@@ -1,0 +1,147 @@
+"""Session facade — the Spark-side equivalent of GlareDB's engine session.
+
+Reference: ``crates/glaredb_core/src/engine/session.rs`` (single-node session
+owning catalog + executor). Here the session wraps a ``SparkSession`` tuned
+for analytic scans at scale: AQE on (runtime join-strategy/skew re-planning),
+shuffle partitions sized to the local core count (overridable for a real
+cluster), UTC session timezone, Arrow-accelerated Python interchange.
+
+Scale notes (100 TB design):
+- AQE + coalescePartitions + skewJoin handle runtime re-planning; we never
+  hand-schedule partition counts per query.
+- ``spark.sql.files.maxPartitionBytes`` is left at 128 MB so a 100 TB scan
+  fans out to ~800k input splits — bounded per-task memory regardless of
+  total size.
+- Nanosecond parquet timestamps (the ``events`` fixture) are read via
+  ``nanosAsLong`` and normalized by :mod:`glaredb_spark.sources.files`;
+  Spark has no ns timestamp (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# All driver fixture tables (TESTDATA.md).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_CONF = {
+    # Runtime re-planning: broadcast conversion, partition coalescing, skew
+    # splitting. This is what replaces GlareDB's static join-reorder
+    # cardinality estimates (optimizer/join_reorder/) at execution time.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # events fixture ships TIMESTAMP(NANOS) which Spark's reader rejects;
+    # read the raw int64 and normalize in sources/files.py.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.orderByOrdinal": "true",
+}
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "glaredb_spark",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+        master = f"local[{cpus}]"
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or str(
+        min(os.cpu_count() or 8, 32)
+    )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in DEFAULT_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+class GlareSession:
+    """Facade mirroring GlareDB's session API surface on top of Spark.
+
+    Reference entry points: ``Session::simple(sql)``
+    (engine/session.rs:175-189) and the Python binding's SQL-only client
+    (crates/glaredb_python/src/session.rs:64-81). We expose both ``sql()``
+    and the full DataFrame API (via ``.spark``), which the reference lacks.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._registered_dir: str | None = None
+
+    # -- query entry points ------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    # -- catalog surface (reference: functions/table/builtin/list_*.rs) ----
+    def list_tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    def list_functions(self) -> list[str]:
+        return [f.name for f in self.spark.catalog.listFunctions()]
+
+    def register_tables(self, sf_dir: str, tables=TPCH_TABLES) -> None:
+        """Register the fixture star schema as temp views (the Spark analog
+        of GlareDB's memory catalog + file-infer scans)."""
+        from glaredb_spark.sources.files import read_parquet
+
+        for t in tables:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                read_parquet(self.spark, path).createOrReplaceTempView(t)
+        self._registered_dir = sf_dir
+
+    def read_parquet(self, path: str) -> DataFrame:
+        from glaredb_spark.sources.files import read_parquet
+
+        return read_parquet(self.spark, path)
+
+    def close(self) -> None:
+        self.spark.stop()
+
+
+def connect(
+    master: str | None = None,
+    app_name: str = "glaredb_spark",
+    sf_dir: str | None = None,
+    **conf,
+) -> GlareSession:
+    """``glaredb.connect()`` equivalent (reference Python binding:
+    crates/glaredb_python/src/lib.rs)."""
+    sess = GlareSession(get_spark(master, app_name, conf or None))
+    from glaredb_spark.functions.register import register_all
+
+    register_all(sess.spark)
+    if sf_dir:
+        sess.register_tables(sf_dir)
+    return sess

@@ -1,0 +1,212 @@
+"""File sources — Spark-side equivalents of GlareDB's scan table functions.
+
+Reference surface (SURVEY.md §2.2):
+- ``read_parquet`` / ``parquet_scan``  — glaredb_ext_parquet/src/extension.rs:32-40
+- ``read_csv`` / ``csv_scan``          — glaredb_ext_csv/src/extension.rs:22-31
+- ``read_text``                         — functions/table/builtin/read_text.rs:29
+- ``glob(pattern)``                     — functions/table/builtin/glob.rs
+- ``generate_series(start, stop, step)``— functions/table/builtin/series.rs:20-45
+- ``parquet_file_metadata`` / ``parquet_rowgroup_metadata`` /
+  ``parquet_column_metadata``           — glaredb_ext_parquet/src/extension.rs:27-30
+
+Scale notes: all readers return lazy DataFrames; Spark's DataSource handles
+split planning (row-group-per-task, like the reference's row-group work queue
+at glaredb_ext_parquet/src/functions/scan.rs:153-179), predicate pushdown and
+column pruning. The metadata helpers use pyarrow on the driver — metadata is
+O(files), not O(data), and mirrors the reference's footer-only scans.
+"""
+
+from __future__ import annotations
+
+import glob as _pyglob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ns_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as raw
+    int64 under ``nanosAsLong``. Footer-only inspection via pyarrow."""
+    try:
+        import pyarrow.parquet as pq
+
+        first = path
+        if os.path.isdir(path):
+            members = sorted(_pyglob.glob(os.path.join(path, "*.parquet")))
+            if not members:
+                return []
+            first = members[0]
+        schema = pq.read_schema(first)
+        out = []
+        for field in schema:
+            typ = field.type
+            if hasattr(typ, "unit") and getattr(typ, "unit", None) == "ns":
+                out.append(field.name)
+        return out
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Parquet scan with ns-timestamp normalization.
+
+    Spark has no nanosecond timestamp (SURVEY.md §1.3); ns columns are read
+    as int64 nanos and truncated to microsecond TIMESTAMP_NTZ — the same
+    truncation DuckDB and the reference's µs pipeline apply.
+    """
+    df = spark.read.options(**options).parquet(path)
+    for col in _ns_timestamp_columns(path):
+        if col in df.columns:
+            df = df.withColumn(
+                col,
+                F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan with dialect/schema inference, matching the reference's
+    auto-detecting csv reader (glaredb_ext_csv/src/{schema,dialect}.rs)."""
+    return spark.read.csv(
+        path, header=header, inferSchema=infer_schema, **options
+    )
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """One row per file: (filename, content) — read_text.rs:29 semantics."""
+    df = spark.read.format("binaryFile").load(path)
+    return df.select(
+        F.col("path").alias("filename"),
+        F.decode(F.col("content"), "UTF-8").alias("content"),
+    )
+
+
+def glob_files(spark: SparkSession, pattern: str) -> DataFrame:
+    """List files matching a glob pattern (functions/table/builtin/glob.rs).
+
+    Driver-side listing via the local filesystem; file *listing* is
+    metadata-scale, the returned DataFrame is distributed.
+    """
+    rows = [(p,) for p in sorted(_pyglob.glob(pattern, recursive=True))]
+    schema = T.StructType([T.StructField("filename", T.StringType(), False)])
+    return spark.createDataFrame(rows, schema)
+
+
+def generate_series(
+    spark: SparkSession, start: int, stop: int, step: int = 1
+) -> DataFrame:
+    """Inclusive-stop integer series (series.rs:20-45,84: inclusive bounds,
+    negative steps allowed). ``spark.range`` is exclusive-stop, so widen by
+    one step — fully parallel, no data materialized on the driver."""
+    if step == 0:
+        raise ValueError("generate_series step must not be zero")
+    end = stop + (1 if step > 0 else -1)
+    return spark.range(start, end, step).select(
+        F.col("id").alias("generate_series")
+    )
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, *names: str
+) -> dict[str, DataFrame]:
+    """Load fixture tables as DataFrames keyed by table name."""
+    from glaredb_spark.session import TPCH_TABLES
+
+    use = names or TPCH_TABLES
+    return {
+        n: read_parquet(spark, os.path.join(sf_dir, f"{n}.parquet"))
+        for n in use
+        if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+    }
+
+
+# ---------------------------------------------------------------------------
+# Parquet metadata table functions (footer-only, driver-side pyarrow)
+# ---------------------------------------------------------------------------
+
+def _expand(path_or_pattern: str) -> list[str]:
+    if os.path.isdir(path_or_pattern):
+        return sorted(_pyglob.glob(os.path.join(path_or_pattern, "*.parquet")))
+    hits = sorted(_pyglob.glob(path_or_pattern))
+    return hits or [path_or_pattern]
+
+
+def parquet_file_metadata(spark: SparkSession, path: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    rows = []
+    for p in _expand(path):
+        md = pq.read_metadata(p)
+        rows.append((p, md.num_rows, md.num_row_groups, md.num_columns,
+                     md.format_version, md.created_by))
+    schema = T.StructType([
+        T.StructField("filename", T.StringType()),
+        T.StructField("num_rows", T.LongType()),
+        T.StructField("num_row_groups", T.LongType()),
+        T.StructField("num_columns", T.LongType()),
+        T.StructField("format_version", T.StringType()),
+        T.StructField("created_by", T.StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def parquet_rowgroup_metadata(spark: SparkSession, path: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    rows = []
+    for p in _expand(path):
+        md = pq.read_metadata(p)
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            rows.append((p, i, rg.num_rows, rg.total_byte_size))
+    schema = T.StructType([
+        T.StructField("filename", T.StringType()),
+        T.StructField("row_group", T.LongType()),
+        T.StructField("num_rows", T.LongType()),
+        T.StructField("total_byte_size", T.LongType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def parquet_column_metadata(spark: SparkSession, path: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    rows = []
+    for p in _expand(path):
+        md = pq.read_metadata(p)
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                stats = col.statistics
+                rows.append((
+                    p, i, ".".join(col.path_in_schema.split(".")),
+                    str(col.physical_type), col.num_values,
+                    col.total_compressed_size, col.total_uncompressed_size,
+                    str(stats.min) if stats and stats.has_min_max else None,
+                    str(stats.max) if stats and stats.has_min_max else None,
+                    stats.null_count if stats else None,
+                ))
+    schema = T.StructType([
+        T.StructField("filename", T.StringType()),
+        T.StructField("row_group", T.LongType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("physical_type", T.StringType()),
+        T.StructField("num_values", T.LongType()),
+        T.StructField("total_compressed_size", T.LongType()),
+        T.StructField("total_uncompressed_size", T.LongType()),
+        T.StructField("stats_min", T.StringType()),
+        T.StructField("stats_max", T.StringType()),
+        T.StructField("stats_null_count", T.LongType()),
+    ])
+    return spark.createDataFrame(rows, schema)
