@@ -1,0 +1,410 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families (BASELINE.json north star), each designed for 100 TB:
+
+- exact           — hash-groupBy on a content digest; one shuffle of digests.
+- n-gram Jaccard  — inverted-index blocking on rare shingles (no O(n²)
+                    cross join); candidate volume bounded by Σ df² over
+                    shingles with df ≤ DF_MAX (hot shingles dropped, the
+                    standard stop-shingle technique).
+- MinHash + LSH   — 16 permutations → 4 bands × 4 rows; only docs sharing a
+                    band key are paired (equi-join, shuffle on band key).
+- SimHash         — 32-bit signature; 8-bit band blocking for Hamming pairs.
+- embedding cosine— sign-LSH bucketing on leading dimensions, exact cosine
+                    verification inside buckets only.
+
+Cross-engine determinism: all hashes derive from md5 (identical in Spark and
+DuckDB) reduced to int64 via hex→int; permutations are (a·h + b) mod p with
+p = 2³¹−1, products bounded by 2⁶² (no int64 overflow in either engine);
+Jaccard/cosine are single divisions of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glaredb_spark.functions import vector as V
+from glaredb_spark.registry import register_query
+from glaredb_spark.sources.files import load_tables
+
+P31 = 2147483647  # 2^31 - 1 (prime)
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+# fixed, documented permutation constants (odd multipliers, arbitrary seeds)
+A = [769, 1031, 1543, 2053, 3079, 6151, 12289, 24593,
+     49157, 98317, 196613, 393241, 786433, 1572869, 3145739, 6291469]
+B = [12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012,
+     90123, 13579, 24680, 35791, 46802, 57913, 68024, 79135]
+
+MINHASH_JACCARD_MIN = 0.5
+NGRAM_JACCARD_MIN = 0.7
+DF_MAX = 100  # stop-shingle document-frequency cutoff for blocking
+COSINE_DUP_MIN = 0.35
+SIMHASH_MAX_HAMMING = 2
+
+
+# -- shared shingle/token machinery -----------------------------------------
+
+def _tokens_df(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", F.split("text", " ").alias("t"))
+
+
+_SHINGLE_EXPR = (
+    "CASE WHEN size(t) < 3 THEN array() "
+    "ELSE transform(sequence(1, size(t) - 2), i -> "
+    "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))) END"
+)
+
+O_SHINGLES = (
+    "CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len(t) - 1), i -> "
+    "concat_ws(' ', t[i], t[i + 1], t[i + 2])) END"
+)
+O_TOK = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+
+
+def _shingles_df(spark, sf_dir):
+    """(doc_id, shingles: array<string>) — token 3-grams."""
+    return _tokens_df(spark, sf_dir).select(
+        "doc_id", F.expr(_SHINGLE_EXPR).alias("shingles")
+    )
+
+
+def _hash64(col):
+    """md5-derived int64 in [0, 2^31-2] — identical in Spark and DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % F.lit(P31)
+    )
+
+
+def _o_hash64(expr: str) -> str:
+    return f"(CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT) % {P31})"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash-groupBy on content digest
+# ---------------------------------------------------------------------------
+@register_query(
+    "dedup_exact",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+       MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select("source", "doc_id", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup — inverted-index blocking, exact verification
+# ---------------------------------------------------------------------------
+@register_query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH tok AS ({O_TOK}),
+sets AS (SELECT doc_id, list_distinct({O_SHINGLES}) AS s FROM tok),
+posting AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM sets),
+rare AS (SELECT sh FROM posting GROUP BY sh
+         HAVING COUNT(*) BETWEEN 2 AND {DF_MAX}),
+cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         JOIN rare r ON a.sh = r.sh),
+scored AS (
+  SELECT doc1, doc2,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / len(list_distinct(x.s || y.s)) AS jaccard
+  FROM cand JOIN sets x ON doc1 = x.doc_id JOIN sets y ON doc2 = y.doc_id)
+SELECT doc1, doc2, jaccard FROM scored
+WHERE jaccard >= {NGRAM_JACCARD_MIN}
+ORDER BY doc1, doc2
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    sets = _shingles_df(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("s")
+    )
+    posting = sets.select("doc_id", F.explode("s").alias("sh")).distinct()
+    rare = (
+        posting.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, DF_MAX))
+        .select("sh")
+    )
+    p = posting.join(rare, "sh")
+    cand = (
+        p.alias("a")
+        .join(p.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    x = sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    y = sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    jac = F.size(F.array_intersect("s1", "s2")).cast("double") / F.size(
+        F.array_union("s1", "s2")
+    )
+    return (
+        cand.join(x, "doc1")
+        .join(y, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def _minhash_aggs():
+    """16 min-aggregates over permuted shingle hashes (no row blowup)."""
+    return [
+        F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % F.lit(P31)).alias(f"mh{j}")
+        for j in range(NUM_HASHES)
+    ]
+
+
+def _o_minhash_cols() -> str:
+    return ", ".join(
+        f"MIN(({A[j]} * h + {B[j]}) % {P31}) AS mh{j}" for j in range(NUM_HASHES)
+    )
+
+
+def _band_key(b: int):
+    cols = [F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+    return F.md5(F.concat_ws("-", *cols))
+
+
+def _o_band_key(b: int) -> str:
+    cols = ", ".join(
+        f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    return f"md5(concat_ws('-', {cols}))"
+
+
+@register_query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH tok AS ({O_TOK}),
+sets AS (SELECT doc_id, list_distinct({O_SHINGLES}) AS s FROM tok),
+posting AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM sets),
+hashed AS (SELECT doc_id, {_o_hash64('sh')} AS h FROM posting),
+sigs AS (SELECT doc_id, {_o_minhash_cols()} FROM hashed GROUP BY doc_id),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_o_band_key(b)} AS band_key FROM sigs" for b in range(BANDS))}
+),
+cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT doc1, doc2,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           / len(list_distinct(x.s || y.s)) AS jaccard
+  FROM cand JOIN sets x ON doc1 = x.doc_id JOIN sets y ON doc2 = y.doc_id)
+SELECT doc1, doc2, jaccard FROM scored
+WHERE jaccard >= {MINHASH_JACCARD_MIN}
+ORDER BY doc1, doc2
+""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    sets = _shingles_df(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("s")
+    )
+    posting = sets.select("doc_id", F.explode("s").alias("sh")).distinct()
+    hashed = posting.select("doc_id", _hash64(F.col("sh")).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(*_minhash_aggs())
+    bands = None
+    for b in range(BANDS):
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band"), _band_key(b).alias("band_key")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    x = sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    y = sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    jac = F.size(F.array_intersect("s1", "s2")).cast("double") / F.size(
+        F.array_union("s1", "s2")
+    )
+    return (
+        cand.join(x, "doc1")
+        .join(y, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_MIN)
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 32-bit signatures + banded Hamming pairing
+# ---------------------------------------------------------------------------
+
+def _simhash_df(spark, sf_dir):
+    toks = _tokens_df(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("t")).alias("w")
+    )
+    hashed = toks.select("doc_id", _hash64(F.col("w")).alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h") / F.lit(2**i)).cast("long") % 2 == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(32)
+        ]
+    )
+    simhash = sum(
+        [F.when(F.col(f"s{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(32)],
+        F.lit(0),
+    ).cast("long")
+    return bit_sums.select("doc_id", simhash.alias("simhash"))
+
+
+_O_SIMHASH = f"""
+tok AS ({O_TOK}),
+words AS (SELECT DISTINCT doc_id, unnest(t) AS w FROM tok),
+hashed AS (SELECT doc_id, {_o_hash64('w')} AS h FROM words),
+bitsums AS (SELECT doc_id,
+  {", ".join(f"SUM(CASE WHEN (h // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(32))}
+  FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id,
+  CAST({" + ".join(f"(CASE WHEN s{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(32))} AS BIGINT) AS simhash
+  FROM bitsums)
+"""
+
+
+@register_query(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_O_SIMHASH}
+SELECT doc_id, simhash FROM sigs ORDER BY doc_id
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    return _simhash_df(spark, sf_dir).orderBy("doc_id")
+
+
+@register_query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {_O_SIMHASH},
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, simhash, {k} AS band, (simhash // {2**(8*k)}) % 256 AS band_val FROM sigs" for k in range(4))}
+),
+cand AS (SELECT DISTINCT a.doc_id AS doc1, a.simhash AS sh1,
+                b.doc_id AS doc2, b.simhash AS sh2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id)
+SELECT doc1, doc2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh1, sh2)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc1, doc2
+""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    sigs = _simhash_df(spark, sf_dir)
+    bands = None
+    for k in range(4):
+        part = sigs.select(
+            "doc_id",
+            "simhash",
+            F.lit(k).alias("band"),
+            ((F.col("simhash") / F.lit(2 ** (8 * k))).cast("long") % 256).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("long")
+    return (
+        cand.select("doc1", "doc2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup — sign-LSH buckets + exact verification
+# ---------------------------------------------------------------------------
+_O_BUCKET = " + ".join(
+    f"(CASE WHEN list_extract(embedding, {d + 1}) > 0 THEN {2**d} ELSE 0 END)"
+    for d in range(8)
+)
+
+
+@register_query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH b AS (SELECT vec_id, label, embedding,
+                  CAST({_O_BUCKET} AS BIGINT) AS bucket
+           FROM embeddings),
+cand AS (SELECT x.vec_id AS v1, y.vec_id AS v2,
+                x.embedding AS e1, y.embedding AS e2
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT v1, v2, {V.o_cosine('e1', 'e2')} AS cosine
+FROM cand
+WHERE {V.o_cosine('e1', 'e2')} >= {COSINE_DUP_MIN}
+ORDER BY v1, v2
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    bucket = sum(
+        [
+            F.when(F.element_at("embedding", d + 1) > 0, F.lit(2**d)).otherwise(F.lit(0))
+            for d in range(8)
+        ],
+        F.lit(0),
+    ).cast("long")
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("v1"),
+            F.col("y.vec_id").alias("v2"),
+            F.col("x.embedding").alias("e1"),
+            F.col("y.embedding").alias("e2"),
+        )
+    )
+    cos = V.cosine_similarity(F.col("e1"), F.col("e2"))
+    return (
+        cand.select("v1", "v2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_MIN)
+        .orderBy("v1", "v2")
+    )

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (ANN / top-k).
+
+North-star operator family (BASELINE.json): brute-force cosine top-k as the
+correctness baseline, and a sign-LSH-bucketed variant as the scale path.
+
+Scale design (100 TB of vectors):
+- Brute force is a broadcast-join of the (small) query set against the full
+  vector corpus — one pass, no shuffle of the corpus; top-k via
+  per-query window rank (Spark runs TakeOrderedAndProject-style partial
+  top-k before the final shuffle of only candidate rows).
+- LSH variant buckets both sides on leading-dimension sign bits; the join
+  becomes an equi-join on bucket id (shuffle ∝ bucket sizes, not |corpus|²).
+  More hyperplanes → smaller buckets; recall traded via multi-probe.
+- Distances use the deterministic scaled-integer kernels in
+  glaredb_spark.functions.vector (bit-identical across engines/partitions).
+
+Reference seed: l2_distance
+(crates/glaredb_core/src/functions/scalar/builtin/similarity/l2_distance.rs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from glaredb_spark.functions import vector as V
+from glaredb_spark.registry import register_query
+from glaredb_spark.sources.files import load_tables
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+@register_query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {V.o_cosine('q.embedding', 'c.embedding')} AS cosine
+  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def knn_bruteforce_cosine(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — sign bits of the leading 6 dimensions form the bucket;
+# candidates limited to the query's bucket (the 100 TB-scale path).
+# ---------------------------------------------------------------------------
+N_PLANES = 6
+_O_BUCKET = " + ".join(
+    f"(CASE WHEN list_extract(embedding, {d + 1}) > 0 THEN {2**d} ELSE 0 END)"
+    for d in range(N_PLANES)
+)
+
+
+def _bucket():
+    return sum(
+        [
+            F.when(F.element_at("embedding", d + 1) > 0, F.lit(2**d)).otherwise(F.lit(0))
+            for d in range(N_PLANES)
+        ],
+        F.lit(0),
+    ).cast("long")
+
+
+@register_query(
+    "knn_lsh_cosine",
+    oracle=f"""
+WITH b AS (SELECT vec_id, embedding, CAST({_O_BUCKET} AS BIGINT) AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {V.o_cosine('q.embedding', 'c.embedding')} AS cosine
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def knn_lsh_cosine(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    b = emb.select("vec_id", "embedding", _bucket().alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pairwise L2 distance — reference l2_distance parity surface
+# ---------------------------------------------------------------------------
+@register_query(
+    "similarity_l2_pairs",
+    oracle=f"""
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       {V.o_l2('a.embedding', 'b.embedding')} AS l2_dist,
+       {V.o_dot('a.embedding', 'b.embedding')} AS dot
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id
+ORDER BY v1, v2
+""",
+)
+def similarity_l2_pairs(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    a = emb.filter(F.col("vec_id") < 20).alias("a")
+    b = emb.filter(F.col("vec_id") < 20).alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            V.l2_distance(F.col("a.embedding"), F.col("b.embedding")).alias("l2_dist"),
+            V.dot(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+        )
+        .orderBy("v1", "v2")
+    )

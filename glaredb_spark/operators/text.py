@@ -1,0 +1,185 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): language ID
+(stopword-hit heuristic), quality scoring (length/stopword/type-token
+ratios), token counting, and document fingerprinting (md5-derived 64-bit
+hashes — the cross-engine-deterministic stand-in for a rolling hash).
+
+All computations stay JVM-side (built-in functions, no Python UDFs) and are
+embarrassingly parallel per document — at 100 TB this is a map-only pipeline
+with zero shuffles (aggregate summaries shuffle only the tiny grouped
+result).
+
+Determinism: counts are integers; ratios are single double divisions of
+exact integers; hashes go through md5 (identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glaredb_spark.registry import register_query
+from glaredb_spark.sources.files import load_tables
+
+# fixture vocabulary is lowercase space-separated words; a stopword set for
+# the heuristic scorers (fixture vocab includes common SQL-ish terms)
+STOP_EN = ("the", "data", "value", "table", "row", "key")
+STOP_DE = ("der", "die", "und", "batch", "scan")
+STOP_FR = ("le", "la", "et", "join", "filter")
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def _count_in(tokens_col, words: tuple[str, ...]):
+    """# tokens ∈ words (with multiplicity) — JVM higher-order filter."""
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_col, lambda t: F.array_contains(lit_arr, t)))
+
+
+def _sql_count_in(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(string_split(text, ' '), t -> t IN (" + inlist + ")))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting + basic stats
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS type_token_ratio
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_stats(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("long")
+    n_unique = F.size(F.array_distinct(toks)).cast("long")
+    n_word_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("text_len"),
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        n_word_chars.alias("n_word_chars"),
+        (n_word_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        (n_unique.cast("double") / n_tokens).alias("type_token_ratio"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — deterministic weighted components
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_sql_count_in(STOP_EN)} AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1.0 ELSE 0.0 END AS len_ok,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS ttr,
+       0.4 * (CAST({_sql_count_in(STOP_EN)} AS DOUBLE)
+              / len(string_split(text, ' ')))
+       + 0.3 * (CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' '))) AS quality_score
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = _count_in(toks, STOP_EN).cast("double") / n_tokens
+    len_ok = F.when(F.col("n_chars").between(100, 500), F.lit(1.0)).otherwise(0.0)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        len_ok.alias("len_ok"),
+        ttr.alias("ttr"),
+        (F.lit(0.4) * stop_ratio + F.lit(0.3) * len_ok + F.lit(0.3) * ttr).alias(
+            "quality_score"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# language ID — stopword-hit argmax with fixed tie order (en > de > fr)
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_lang_id",
+    oracle=f"""
+SELECT lang,
+       CASE WHEN {_sql_count_in(STOP_EN)} >= {_sql_count_in(STOP_DE)}
+             AND {_sql_count_in(STOP_EN)} >= {_sql_count_in(STOP_FR)} THEN 'en'
+            WHEN {_sql_count_in(STOP_DE)} >= {_sql_count_in(STOP_FR)} THEN 'de'
+            ELSE 'fr' END AS pred_lang,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def text_lang_id(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = _tokens()
+    en, de, fr = (
+        _count_in(toks, STOP_EN),
+        _count_in(toks, STOP_DE),
+        _count_in(toks, STOP_FR),
+    )
+    pred = (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — md5-derived 64-bit content hash (exact-dup key)
+# (reference similarity/hash surface: functions/scalar/builtin/string/md5.rs)
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       substr(md5(text), 1, 16) AS fingerprint,
+       CAST(concat('0x', substr(md5(lower(trim(text))), 1, 15)) AS BIGINT)
+         AS content_hash64
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 16).alias("fingerprint"),
+        F.conv(F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 15), 16, 10)
+        .cast("long")
+        .alias("content_hash64"),
+    ).orderBy("doc_id")

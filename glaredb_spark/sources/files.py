@@ -59,11 +59,11 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     df = spark.read.options(**options).parquet(path)
     for col in _ns_timestamp_columns(path):
         if col in df.columns:
+            # integer division — double division would lose precision on
+            # ~1e18 ns epoch values (double mantissa is 53 bits)
             df = df.withColumn(
                 col,
-                F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
             )
     return df
 
