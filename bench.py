@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Benchmark harness — mirrors the reference methodology
+(crates/glaredb_bench/src/{benchmark.rs:8-35,runner.rs:13-50}: setup once,
+run each query N times, record wall clock, report the per-query minimum).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # TPC-H shapes: scan-agg, join-agg-topk, 6-way join, pure filter-agg,
+    # LIKE-join rollup, outer-join distribution, semi-join-heavy, multi-exists
+    "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q09",
+    "tpch_q13", "tpch_q18", "tpch_q21",
+    # pipeline extensions: LSH dedup, blocking jaccard, brute-force kNN,
+    # sessionization, text stats
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "knn_bruteforce_cosine",
+    "events_sessionize", "text_token_stats",
+]
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from glaredb_spark.session import get_spark
+    from glaredb_spark.registry import QUERIES, load_all
+
+    spark = get_spark(app_name="glaredb_spark_bench")
+    load_all()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = None
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_min_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "config": {
+                    "master": spark.sparkContext.master,
+                    "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                    "runs": RUNS,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,71 @@
-"""Function registration stub — filled in with the scalar/aggregate registry."""
+"""SQL-surface registration of reference-named functions.
+
+GlareDB registers its function sets into a system catalog visible to SQL
+(catalog/system.rs:42-58). The Spark analog: names Spark SQL already has
+(most of SURVEY.md §2.3) pass through; names it lacks are registered as
+Spark 4 SQL UDFs (pure SQL expression bodies → fully codegen'd, zero Python
+in the execution path) — plus two pandas UDFs (gcd/lcm) where SQL can't
+express the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# name -> (signature, body) — pure-SQL temporary functions
+_SQL_UDFS: dict[str, tuple[str, str]] = {
+    # similarity (reference similarity/l2_distance.rs); scaled-integer
+    # deterministic kernels mirror glaredb_spark.functions.vector
+    "l2_distance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0.0D,"
+        " (acc, v) -> acc + v))",
+    ),
+    "dot_product": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)",
+    ),
+    "cosine_similarity": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(a, x -> x * x), 0.0D, (acc, v) -> acc + v))"
+        " * sqrt(aggregate(transform(b, x -> x * x), 0.0D, (acc, v) -> acc + v)))",
+    ),
+    # datetime (reference datetime/epoch.rs)
+    "epoch": (
+        "(ts TIMESTAMP) RETURNS BIGINT",
+        "unix_timestamp(ts)",
+    ),
+    "epoch_ms": (
+        "(ts TIMESTAMP) RETURNS BIGINT",
+        "unix_micros(ts) div 1000",
+    ),
+    # string (reference string/strpos.rs, byte_length.rs)
+    "strpos": ("(s STRING, sub STRING) RETURNS INT", "instr(s, sub)"),
+    "byte_length": ("(s STRING) RETURNS INT", "octet_length(s)"),
+    # list (reference list/list_extract.rs — 1-indexed)
+    "list_extract": (
+        "(arr ARRAY<DOUBLE>, i INT) RETURNS DOUBLE",
+        "element_at(arr, i)",
+    ),
+    # numeric (reference numeric/isfinite.rs)
+    "isfinite": (
+        "(x DOUBLE) RETURNS BOOLEAN",
+        "NOT (isnan(x) OR abs(x) = double('inf'))",
+    ),
+    "isinf": ("(x DOUBLE) RETURNS BOOLEAN", "abs(x) = double('inf')"),
+}
 
 
-def register_all(spark) -> None:
-    return None
+def register_all(spark: SparkSession) -> None:
+    """Register the GlareDB-name SQL surface into this session."""
+    for name, (sig, body) in _SQL_UDFS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig.split(' RETURNS')[0]} "
+            f"RETURNS{sig.split(' RETURNS')[1]} RETURN {body}"
+        )
+    # slow-path pandas UDFs (no SQL-expressible form)
+    from glaredb_spark.functions.scalar import gcd_udf, lcm_udf
+
+    spark.udf.register("gcd", gcd_udf())
+    spark.udf.register("lcm", lcm_udf())

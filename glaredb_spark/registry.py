@@ -38,4 +38,5 @@ def load_all() -> None:
     import glaredb_spark.operators.similarity  # noqa: F401
     import glaredb_spark.operators.text  # noqa: F401
     import glaredb_spark.operators.events  # noqa: F401
+    import glaredb_spark.operators.multimodal  # noqa: F401
     import glaredb_spark.functions.queries  # noqa: F401

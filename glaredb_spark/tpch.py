@@ -51,16 +51,17 @@ def dec(col):
     return F.col(col).cast(D)
 
 
-ONE = F.lit(1).cast(D)
+def ONE():
+    return F.lit(1).cast(D)
 
 
 def disc_price():
     """exact: (15,2)*(16,2) → scale-4 product, fits decimal(18,4)"""
-    return (dec("l_extendedprice") * (ONE - dec("l_discount"))).cast("decimal(18,4)")
+    return (dec("l_extendedprice") * (ONE() - dec("l_discount"))).cast("decimal(18,4)")
 
 
 def charge():
-    return (disc_price() * (ONE + dec("l_tax")).cast("decimal(16,2)")).cast(
+    return (disc_price() * (ONE() + dec("l_tax")).cast("decimal(16,2)")).cast(
         "decimal(24,6)"
     )
 

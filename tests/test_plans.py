@@ -1,0 +1,54 @@
+"""100 TB design checks: filter pushdown, column pruning, broadcast joins,
+partial aggregation — asserted on the actual physical plans.
+
+Reference analogs: scan-filter pushdown (optimizer/scan_filter.rs, consumed
+at functions/table/scan.rs:41-42), column prune (optimizer/column_prune.rs),
+parquet row-group pruning (row_group_pruner.rs:13-60).
+"""
+
+from glaredb_spark.plans import (
+    formatted_plan,
+    pushed_filters,
+    query_profile,
+    read_schema_columns,
+)
+from glaredb_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_q06_filters_pushed(spark, sf_dir):
+    df = QUERIES["tpch_q06"](spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+
+
+def test_q01_column_pruning(spark, sf_dir):
+    df = QUERIES["tpch_q01"](spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    assert "l_orderkey" not in cols  # unused column pruned from scan
+    assert {"l_quantity", "l_extendedprice", "l_shipdate"} <= cols
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    plan = formatted_plan(QUERIES["tpch_q01"](spark, sf_dir))
+    # map-side combine: two HashAggregate passes around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q05_broadcasts_small_dims(spark, sf_dir):
+    prof = query_profile(QUERIES["tpch_q05"](spark, sf_dir))
+    assert prof["broadcast_joins"] >= 1
+
+
+def test_q03_topk_take_ordered(spark, sf_dir):
+    plan = formatted_plan(QUERIES["tpch_q03"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # reference sort_limit_hint.rs
+
+
+def test_wholestage_codegen_everywhere(spark, sf_dir):
+    for q in ["tpch_q01", "tpch_q06", "text_token_stats"]:
+        df = QUERIES[q](spark, sf_dir)
+        df.collect()  # AQE marks codegen stages only in the final plan
+        prof = query_profile(df)
+        assert prof["wholestage_codegen"] >= 1, q

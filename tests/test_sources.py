@@ -1,0 +1,86 @@
+"""Source/table-function conformance (SURVEY.md §2.2)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_generate_series_inclusive(spark):
+    from glaredb_spark.sources.files import generate_series
+
+    # reference series.rs:84 — inclusive stop
+    got = [r[0] for r in generate_series(spark, 1, 5).collect()]
+    assert got == [1, 2, 3, 4, 5]
+    got = [r[0] for r in generate_series(spark, 10, 2, -3).orderBy(F.col("generate_series").desc()).collect()]
+    assert got == [10, 7, 4]
+
+
+def test_read_parquet_ns_normalization(spark, sf_dir):
+    from glaredb_spark.sources.files import read_parquet
+
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    # truncation matches DuckDB (integer div by 1000)
+    import duckdb
+
+    d_min = duckdb.sql(
+        f"SELECT min(ts) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    s_min = ev.agg(F.min("ts")).collect()[0][0]
+    assert s_min == d_min
+
+
+def test_read_csv_and_text(spark, tmp_path):
+    from glaredb_spark.sources.files import read_csv, read_text
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(p))
+    assert df.columns == ["a", "b"]
+    assert df.count() == 2
+    assert dict(df.dtypes)["a"] == "int"
+
+    t = tmp_path / "note.txt"
+    t.write_text("hello text source")
+    td = read_text(spark, str(t))
+    row = td.collect()[0]
+    assert row.content == "hello text source"
+    assert row.filename.endswith("note.txt")
+
+
+def test_glob(spark, tmp_path):
+    from glaredb_spark.sources.files import glob_files
+
+    for n in ["a1.txt", "a2.txt", "b.dat"]:
+        (tmp_path / n).write_text("x")
+    df = glob_files(spark, str(tmp_path / "*.txt"))
+    names = [os.path.basename(r[0]) for r in df.collect()]
+    assert names == ["a1.txt", "a2.txt"]
+
+
+def test_parquet_metadata(spark, sf_dir):
+    from glaredb_spark.sources.files import (
+        parquet_column_metadata,
+        parquet_file_metadata,
+        parquet_rowgroup_metadata,
+    )
+
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    fm = parquet_file_metadata(spark, p).collect()
+    assert fm[0].num_rows == 6000
+    rg = parquet_rowgroup_metadata(spark, p)
+    assert rg.agg(F.sum("num_rows")).collect()[0][0] == 6000
+    cm = parquet_column_metadata(spark, p)
+    cols = {r.column for r in cm.collect()}
+    assert "l_orderkey" in cols and "l_shipdate" in cols
+
+
+def test_session_facade(sf_dir):
+    import glaredb_spark as gdb
+
+    sess = gdb.connect(master="local[2]", app_name="facade_test", sf_dir=sf_dir)
+    assert "lineitem" in sess.list_tables()
+    n = sess.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert n == 6000
+    # SQL surface includes registered reference-name functions
+    assert sess.sql("SELECT strpos('abc','b')").collect()[0][0] == 2
