@@ -1,0 +1,102 @@
+"""Catalog & DDL surface — the Spark analog of GlareDB's memory catalog.
+
+Reference: session DatabaseContext with `system` + `temp` catalogs
+(catalog/context.rs:14-15,25-42), DDL operators CreateTable/CreateTableAs/
+CreateSchema/CreateView/Insert/Drop (execution/operators/catalog/*.rs),
+catalog introspection table functions (functions/table/builtin/list_*.rs),
+and DESCRIBE output (statement Describe, glaredb_parser statement.rs:24-62).
+
+Spark mapping: temp views play the `temp` catalog; `spark.catalog` plays the
+introspection surface; `saveAsTable`/`INSERT INTO` play the DML operators.
+``describe`` renders Spark types with the reference's type names
+(Int64/Utf8/Decimal64(p,s)/…) so DESCRIBE-golden tests can compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def create_schema(spark: SparkSession, name: str) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def create_view(spark: SparkSession, name: str, sql_text: str) -> None:
+    """CREATE TEMP VIEW storing SQL text (reference stores view SQL —
+    bind_create_view.rs)."""
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql_text}")
+
+
+def create_table_as(df: DataFrame, name: str) -> None:
+    """CTAS into the session catalog (reference create_table_as.rs:56)."""
+    df.write.mode("overwrite").saveAsTable(name)
+
+
+def insert_into(df: DataFrame, name: str) -> None:
+    df.write.mode("append").insertInto(name)
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def drop_view(spark: SparkSession, name: str) -> None:
+    spark.catalog.dropTempView(name)
+
+
+def list_tables(spark: SparkSession) -> list[str]:
+    return [t.name for t in spark.catalog.listTables()]
+
+
+def list_schemas(spark: SparkSession) -> list[str]:
+    return [d.name for d in spark.catalog.listDatabases()]
+
+
+def list_functions(spark: SparkSession) -> list[str]:
+    return [f.name for f in spark.catalog.listFunctions()]
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE with reference type names (SURVEY.md §7 step 4)
+# ---------------------------------------------------------------------------
+
+def _ref_type_name(dt: T.DataType) -> str:
+    if isinstance(dt, T.ByteType):
+        return "Int8"
+    if isinstance(dt, T.ShortType):
+        return "Int16"
+    if isinstance(dt, T.IntegerType):
+        return "Int32"
+    if isinstance(dt, T.LongType):
+        return "Int64"
+    if isinstance(dt, T.FloatType):
+        return "Float32"
+    if isinstance(dt, T.DoubleType):
+        return "Float64"
+    if isinstance(dt, T.DecimalType):
+        kind = "Decimal64" if dt.precision <= 18 else "Decimal128"
+        return f"{kind}({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "Utf8"
+    if isinstance(dt, T.BinaryType):
+        return "Binary"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "Timestamp(µs)"
+    if isinstance(dt, T.DateType):
+        return "Date32"
+    if isinstance(dt, T.BooleanType):
+        return "Boolean"
+    if isinstance(dt, T.ArrayType):
+        return f"List({_ref_type_name(dt.elementType)})"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f"{f.name} {_ref_type_name(f.dataType)}" for f in dt.fields)
+        return f"Struct({inner})"
+    return dt.simpleString()
+
+
+def describe(df: DataFrame) -> DataFrame:
+    """(column_name, datatype) rows with reference-style type strings."""
+    spark = df.sparkSession
+    rows = [(f.name, _ref_type_name(f.dataType)) for f in df.schema.fields]
+    return spark.createDataFrame(rows, "column_name string, datatype string")

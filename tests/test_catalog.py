@@ -1,0 +1,67 @@
+"""Catalog/DDL surface + sinks (COPY TO analog — the reference stubs COPY
+TO at plan_copy.rs:25; we ship working writers)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_ctas_insert_drop(spark, sf_dir, tmp_path):
+    from glaredb_spark import catalog as cat
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    cat.create_table_as(nation.limit(10), "t_nation_ctas")
+    assert spark.table("t_nation_ctas").count() == 10
+    cat.insert_into(nation.limit(5), "t_nation_ctas")
+    assert spark.table("t_nation_ctas").count() == 15
+    assert "t_nation_ctas" in cat.list_tables(spark)
+    cat.drop_table(spark, "t_nation_ctas")
+    assert "t_nation_ctas" not in cat.list_tables(spark)
+
+
+def test_views_store_sql(spark, sf_dir):
+    from glaredb_spark import catalog as cat
+
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).createOrReplaceTempView(
+        "region"
+    )
+    cat.create_view(spark, "v_regions", "SELECT r_name FROM region WHERE r_regionkey < 3")
+    assert spark.table("v_regions").count() == 3
+    cat.drop_view(spark, "v_regions")
+
+
+def test_describe_reference_type_names(spark, sf_dir):
+    from glaredb_spark.catalog import describe
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    d = {r.column_name: r.datatype for r in describe(li).collect()}
+    assert d["l_orderkey"] == "Int64"
+    assert d["l_linenumber"] == "Int32"
+    assert d["l_quantity"] == "Float64"
+    assert d["l_returnflag"] == "Utf8"
+    assert d["l_shipdate"] == "Timestamp(µs)"
+    dec = li.select(F.col("l_quantity").cast("decimal(15,2)").alias("q"))
+    assert describe(dec).collect()[0].datatype == "Decimal64(15,2)"
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    assert {r.column_name: r.datatype for r in describe(emb).collect()}[
+        "embedding"
+    ] == "List(Float32)"
+
+
+def test_parquet_csv_sinks_roundtrip(spark, sf_dir, tmp_path):
+    """df.write.parquet/csv — the working COPY TO equivalent."""
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    pq_dir = str(tmp_path / "out_parquet")
+    nation.write.mode("overwrite").parquet(pq_dir)
+    back = spark.read.parquet(pq_dir)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+    csv_dir = str(tmp_path / "out_csv")
+    nation.write.mode("overwrite").option("header", True).csv(csv_dir)
+    back_csv = spark.read.csv(csv_dir, header=True, inferSchema=True)
+    assert back_csv.count() == nation.count()
+    assert (
+        back_csv.agg(F.sum("n_nationkey")).collect()[0][0]
+        == nation.agg(F.sum("n_nationkey")).collect()[0][0]
+    )
