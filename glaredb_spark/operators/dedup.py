@@ -21,6 +21,7 @@ Jaccard/cosine are single divisions of exact integers.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 from glaredb_spark.functions import vector as V
@@ -39,7 +40,7 @@ B = [12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012,
 
 MINHASH_JACCARD_MIN = 0.5
 NGRAM_JACCARD_MIN = 0.7
-DF_MAX = 100  # stop-shingle document-frequency cutoff for blocking
+DF_MAX = 20  # stop-shingle document-frequency cutoff for blocking
 COSINE_DUP_MIN = 0.35
 SIMHASH_MAX_HAMMING = 2
 
@@ -81,6 +82,23 @@ def _hash64(col):
 
 def _o_hash64(expr: str) -> str:
     return f"(CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT) % {P31})"
+
+
+def _hashed_sets(sets):
+    """(doc_id, hs: array<long>) — shingle sets hashed to int64 so the
+    verification join ships 8-byte elements instead of ~20-byte strings.
+    Both engines hash identically, so Jaccard values are identical."""
+    return sets.select(
+        "doc_id",
+        F.array_distinct(F.transform("s", lambda x: _hash64(x))).alias("hs"),
+    )
+
+
+O_HASHED_SETS = (
+    "SELECT doc_id, list_distinct(list_transform(s, sh -> "
+    + _o_hash64("sh")
+    + ")) AS hs FROM sets"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -128,21 +146,26 @@ rare AS (SELECT sh FROM posting GROUP BY sh
 cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
          FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
          JOIN rare r ON a.sh = r.sh),
+hsets AS ({O_HASHED_SETS}),
 scored AS (
   SELECT doc1, doc2,
-         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-           / len(list_distinct(x.s || y.s)) AS jaccard
-  FROM cand JOIN sets x ON doc1 = x.doc_id JOIN sets y ON doc2 = y.doc_id)
+         CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+           / len(list_distinct(x.hs || y.hs)) AS jaccard
+  FROM cand JOIN hsets x ON doc1 = x.doc_id JOIN hsets y ON doc2 = y.doc_id)
 SELECT doc1, doc2, jaccard FROM scored
 WHERE jaccard >= {NGRAM_JACCARD_MIN}
 ORDER BY doc1, doc2
 """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    # sets/posting feed several DAG branches (blocking, candidate join,
+    # verification) — persist so the shingle explosion runs once, not 4×
     sets = _shingles_df(spark, sf_dir).select(
         "doc_id", F.array_distinct("shingles").alias("s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    posting = sets.select("doc_id", F.explode("s").alias("sh")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    posting = sets.select("doc_id", F.explode("s").alias("sh")).distinct()
     rare = (
         posting.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -157,8 +180,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    x = sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
-    y = sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    hsets = _hashed_sets(sets)
+    x = hsets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("s1"))
+    y = hsets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("s2"))
     jac = F.size(F.array_intersect("s1", "s2")).cast("double") / F.size(
         F.array_union("s1", "s2")
     )
@@ -216,11 +240,12 @@ cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_key = b.band_key
           AND a.doc_id < b.doc_id),
+hsets AS ({O_HASHED_SETS}),
 scored AS (
   SELECT doc1, doc2,
-         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-           / len(list_distinct(x.s || y.s)) AS jaccard
-  FROM cand JOIN sets x ON doc1 = x.doc_id JOIN sets y ON doc2 = y.doc_id)
+         CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+           / len(list_distinct(x.hs || y.hs)) AS jaccard
+  FROM cand JOIN hsets x ON doc1 = x.doc_id JOIN hsets y ON doc2 = y.doc_id)
 SELECT doc1, doc2, jaccard FROM scored
 WHERE jaccard >= {MINHASH_JACCARD_MIN}
 ORDER BY doc1, doc2
@@ -229,16 +254,18 @@ ORDER BY doc1, doc2
 def dedup_minhash_lsh(spark, sf_dir):
     sets = _shingles_df(spark, sf_dir).select(
         "doc_id", F.array_distinct("shingles").alias("s")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     posting = sets.select("doc_id", F.explode("s").alias("sh")).distinct()
     hashed = posting.select("doc_id", _hash64(F.col("sh")).alias("h"))
     sigs = hashed.groupBy("doc_id").agg(*_minhash_aggs())
-    bands = None
-    for b in range(BANDS):
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band"), _band_key(b).alias("band_key")
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # one band row per (doc, band) via a single explode — a 4-way union
+    # would recompute the signature aggregation per branch
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_band_key(b) for b in range(BANDS)])
+        ).alias("band", "band_key"),
+    )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])
@@ -246,8 +273,9 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    x = sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
-    y = sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    hsets = _hashed_sets(sets)
+    x = hsets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("s1"))
+    y = hsets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("s2"))
     jac = F.size(F.array_intersect("s1", "s2")).cast("double") / F.size(
         F.array_union("s1", "s2")
     )
@@ -327,16 +355,19 @@ ORDER BY doc1, doc2
 """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    sigs = _simhash_df(spark, sf_dir)
-    bands = None
-    for k in range(4):
-        part = sigs.select(
-            "doc_id",
-            "simhash",
-            F.lit(k).alias("band"),
-            ((F.col("simhash") / F.lit(2 ** (8 * k))).cast("long") % 256).alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    sigs = _simhash_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.col("simhash") / F.lit(2 ** (8 * k))).cast("long") % 256)
+                    for k in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_val"])

@@ -34,11 +34,13 @@ TOP_K = 5
 @register_query(
     "knn_bruteforce_cosine",
     oracle=f"""
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+WITH n AS (SELECT vec_id, embedding,
+                  sqrt({V.o_norm_sq('embedding')}) AS nrm FROM embeddings),
+q AS (SELECT vec_id, embedding, nrm FROM n WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {V.o_cosine('q.embedding', 'c.embedding')} AS cosine
-  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+         {V.o_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM q JOIN n c ON q.vec_id <> c.vec_id),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
@@ -51,15 +53,24 @@ ORDER BY query_id, rank
 )
 def knn_bruteforce_cosine(spark, sf_dir):
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    # norms once per vector (not per pair) — cosine = dot / (nrm_q * nrm_c)
+    n = emb.select(
+        "vec_id", "embedding", F.sqrt(V.norm_sq(F.col("embedding"))).alias("nrm")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            V.cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+            (
+                V.dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -97,12 +108,13 @@ def _bucket():
 @register_query(
     "knn_lsh_cosine",
     oracle=f"""
-WITH b AS (SELECT vec_id, embedding, CAST({_O_BUCKET} AS BIGINT) AS bucket
+WITH b AS (SELECT vec_id, embedding, CAST({_O_BUCKET} AS BIGINT) AS bucket,
+                  sqrt({V.o_norm_sq('embedding')}) AS nrm
            FROM embeddings),
-q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < {N_QUERIES}),
+q AS (SELECT vec_id, embedding, bucket, nrm FROM b WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {V.o_cosine('q.embedding', 'c.embedding')} AS cosine
+         {V.o_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
   FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
@@ -116,11 +128,17 @@ ORDER BY query_id, rank
 )
 def knn_lsh_cosine(spark, sf_dir):
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    b = emb.select("vec_id", "embedding", _bucket().alias("bucket"))
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket().alias("bucket"),
+        F.sqrt(V.norm_sq(F.col("embedding"))).alias("nrm"),
+    )
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         b.join(
@@ -131,7 +149,10 @@ def knn_lsh_cosine(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            V.cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+            (
+                V.dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
