@@ -76,7 +76,10 @@ def read_csv(
     **options,
 ) -> DataFrame:
     """CSV scan with dialect/schema inference, matching the reference's
-    auto-detecting csv reader (glaredb_ext_csv/src/{schema,dialect}.rs)."""
+    auto-detecting csv reader (glaredb_ext_csv/src/{schema,dialect}.rs).
+    Standard-CSV quote doubling ("" inside quoted fields) by default —
+    Spark's default escape is backslash."""
+    options.setdefault("escape", '"')
     return spark.read.csv(
         path, header=header, inferSchema=infer_schema, **options
     )
