@@ -34,6 +34,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import glaredb_spark.tpch  # noqa: F401
     import glaredb_spark.operators.relational  # noqa: F401
+    import glaredb_spark.operators.relational2  # noqa: F401
     import glaredb_spark.operators.dedup  # noqa: F401
     import glaredb_spark.operators.similarity  # noqa: F401
     import glaredb_spark.operators.text  # noqa: F401
