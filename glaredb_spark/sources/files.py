@@ -49,6 +49,21 @@ def _ns_timestamp_columns(path: str) -> list[str]:
         return []
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Engine-required dynamic SQL confs — set defensively so queries work
+    on sessions we didn't build (e.g. the driver's own SparkSession):
+    ns-parquet reading and UTC timestamp semantics."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     """Parquet scan with ns-timestamp normalization.
 
@@ -56,6 +71,7 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     as int64 nanos and truncated to microsecond TIMESTAMP_NTZ — the same
     truncation DuckDB and the reference's µs pipeline apply.
     """
+    _ensure_session_conf(spark)
     df = spark.read.options(**options).parquet(path)
     for col in _ns_timestamp_columns(path):
         if col in df.columns:
