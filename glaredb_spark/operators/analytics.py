@@ -1,0 +1,167 @@
+"""Composite analytics queries: LIKE-family conformance, GROUP BY ALL,
+word frequency top-k, event funnels, per-label embedding centroids.
+
+These exercise operator compositions the individual batteries don't:
+LIKE/ILIKE rewrite kernels (reference expr_rewrite/like.rs — prefix/suffix/
+contains specializations), GROUP BY ALL (stubbed at bind_group_by.rs:153),
+explode→aggregate→top-k chains, sequential funnel flags, and array
+aggregation by position.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glaredb_spark.registry import register_query
+from glaredb_spark.sources.files import load_tables
+
+
+# ---------------------------------------------------------------------------
+# LIKE family: prefix / suffix / contains / single-char / ILIKE / NOT LIKE
+# ---------------------------------------------------------------------------
+@register_query(
+    "fn_like_battery",
+    oracle="""
+SELECT p_partkey,
+       (p_name LIKE 'small%') AS pre,
+       (p_name LIKE '%bolt') AS suf,
+       (p_name LIKE '%ring%') AS has,
+       (p_name LIKE '_ed%') AS single_wild,
+       (p_name ILIKE 'SMALL%') AS ipre,
+       (p_name NOT LIKE '%gear%') AS nothas,
+       (p_brand LIKE 'Brand#1_') AS brand_two_digit
+FROM part
+ORDER BY p_partkey
+""",
+)
+def fn_like_battery(spark, sf_dir):
+    part = load_tables(spark, sf_dir, "part")["part"]
+    return part.select(
+        "p_partkey",
+        F.col("p_name").like("small%").alias("pre"),
+        F.col("p_name").like("%bolt").alias("suf"),
+        F.col("p_name").like("%ring%").alias("has"),
+        F.col("p_name").like("_ed%").alias("single_wild"),
+        F.col("p_name").ilike("SMALL%").alias("ipre"),
+        (~F.col("p_name").like("%gear%")).alias("nothas"),
+        F.col("p_brand").like("Brand#1_").alias("brand_two_digit"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL (reference stubs it, bind_group_by.rs:153; Spark 4 + DuckDB
+# both support it natively)
+# ---------------------------------------------------------------------------
+_GBA_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register_query("rel_group_by_all", oracle=_GBA_SQL)
+def rel_group_by_all(spark, sf_dir):
+    load_tables(spark, sf_dir, "orders")["orders"].createOrReplaceTempView("orders")
+    return spark.sql(_GBA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# word frequency top-k (explode → count → deterministic top-k)
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_word_freq_topk",
+    oracle="""
+SELECT w AS word, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w
+ORDER BY freq DESC, word
+LIMIT 20
+""",
+)
+def text_word_freq_topk(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# event funnel: view → click → purchase per user, then conversion counts
+# ---------------------------------------------------------------------------
+@register_query(
+    "events_funnel",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         bool_or(event_type = 'view') AS saw,
+         bool_or(event_type = 'click') AS clicked,
+         bool_or(event_type = 'purchase') AS bought
+  FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN saw THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+       CAST(SUM(CASE WHEN saw AND clicked THEN 1 ELSE 0 END) AS BIGINT)
+         AS stage_click,
+       CAST(SUM(CASE WHEN saw AND clicked AND bought THEN 1 ELSE 0 END)
+            AS BIGINT) AS stage_purchase
+FROM per_user
+""",
+)
+def events_funnel(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.bool_or(F.col("event_type") == "view").alias("saw"),
+        F.bool_or(F.col("event_type") == "click").alias("clicked"),
+        F.bool_or(F.col("event_type") == "purchase").alias("bought"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("saw"), 1).otherwise(0)).alias("stage_view"),
+        F.sum(F.when(F.col("saw") & F.col("clicked"), 1).otherwise(0)).alias(
+            "stage_click"
+        ),
+        F.sum(
+            F.when(F.col("saw") & F.col("clicked") & F.col("bought"), 1).otherwise(0)
+        ).alias("stage_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids (array aggregation by position; exact via
+# scaled-integer sums — the vector.py determinism discipline)
+# ---------------------------------------------------------------------------
+@register_query(
+    "emb_label_centroids",
+    oracle="""
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       (CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT))
+             AS DOUBLE) / 1e7) / COUNT(*) AS centroid
+FROM embeddings, UNNEST(range(1, 9)) AS r(i)
+GROUP BY label, i
+ORDER BY label, dim
+""",
+)
+def emb_label_centroids(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        emb.select(
+            "label", F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "x")
+        )
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("x").cast("double") * F.lit(1e7)).cast("long").alias("xs"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            ((F.sum("xs").cast("double") / F.lit(1e7)) / F.count(F.lit(1))).alias(
+                "centroid"
+            )
+        )
+        .orderBy("label", "dim")
+    )
