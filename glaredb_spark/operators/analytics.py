@@ -165,3 +165,36 @@ def emb_label_centroids(spark, sf_dir):
         )
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (beyond-reference: GlareDB has no JSON functions,
+# SURVEY.md §2.3 — but the events fixture carries a JSON props column and a
+# pipeline engine needs this path)
+# ---------------------------------------------------------------------------
+@register_query(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_json_props(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
