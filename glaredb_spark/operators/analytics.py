@@ -198,3 +198,49 @@ def events_json_props(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# hypertable-style continuous-aggregate rollup: the same event stream
+# aggregated at hour/day/total granularities in one result (north-star
+# "hypertable rollup" — composition of tumbling windows + UNION ALL)
+# ---------------------------------------------------------------------------
+@register_query(
+    "events_time_rollup",
+    oracle="""
+SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day' AS granularity, date_trunc('day', ts) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'all' AS granularity, CAST(NULL AS TIMESTAMP) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
+FROM events
+ORDER BY granularity, bucket
+""",
+)
+def events_time_rollup(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    val = F.sum(F.col("value").cast("decimal(15,2)")).cast("double")
+
+    def level(name, bucket_col):
+        g = ev.groupBy(bucket_col.alias("bucket")) if bucket_col is not None else ev
+        agg = g.agg(F.count(F.lit(1)).alias("n"), val.alias("total_value"))
+        if bucket_col is None:
+            agg = agg.withColumn("bucket", F.lit(None).cast("timestamp_ntz"))
+        return agg.select(
+            F.lit(name).alias("granularity"), "bucket", "n", "total_value"
+        )
+
+    return (
+        level("hour", F.date_trunc("hour", F.col("ts")))
+        .unionByName(level("day", F.date_trunc("day", F.col("ts"))))
+        .unionByName(level("all", None))
+        .orderBy("granularity", "bucket")
+    )
