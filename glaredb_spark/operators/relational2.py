@@ -180,3 +180,57 @@ def fn_cast_battery(spark, sf_dir):
         (F.col("o_orderkey") % 2 == 0).cast("string").alias("bool_str"),
         F.col("o_orderkey").cast("double").cast("string").alias("key_double_str"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (wide → long; Spark `unpivot`, DuckDB UNPIVOT)
+# ---------------------------------------------------------------------------
+@register_query(
+    "rel_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, name, value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey < 100)
+UNPIVOT (value FOR name IN (l_quantity, l_extendedprice, l_discount))
+ORDER BY l_orderkey, l_linenumber, name
+""",
+)
+def rel_unpivot(spark, sf_dir):
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].filter(
+        F.col("l_orderkey") < 100
+    )
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "name",
+            "value",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIMIT + OFFSET paging (PhysicalLimit offset semantics, limit.rs:19-32) —
+# deterministic because the sort key chain is unique
+# ---------------------------------------------------------------------------
+@register_query(
+    "rel_limit_offset",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 25 OFFSET 100
+""",
+)
+def rel_limit_offset(spark, sf_dir):
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(100)
+        .limit(25)
+    )
