@@ -47,6 +47,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # one untimed warmup: JIT/codegen compilation of the heavy
+        # expression trees otherwise lands in the first timed run
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = None
         for _ in range(RUNS):
             t0 = time.perf_counter()

