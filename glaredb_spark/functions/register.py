@@ -15,21 +15,32 @@ from pyspark.sql import SparkSession
 # name -> (signature, body) — pure-SQL temporary functions
 _SQL_UDFS: dict[str, tuple[str, str]] = {
     # similarity (reference similarity/l2_distance.rs); scaled-integer
-    # deterministic kernels mirror glaredb_spark.functions.vector
+    # deterministic kernels — SAME round(x*y*1e12)→BIGINT sum as
+    # glaredb_spark.functions.vector, so fn['l2_distance'] and the SQL name
+    # return bit-identical values (asserted in tests/test_functions.py).
     "l2_distance": (
         "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
-        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0.0D,"
-        " (acc, v) -> acc + v))",
+        "sqrt(CAST(aggregate(zip_with(a, b,"
+        " (x, y) -> CAST(round((x - y) * (x - y) * 1e12) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12)",
     ),
     "dot_product": (
         "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
-        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)",
+        "CAST(aggregate(zip_with(a, b,"
+        " (x, y) -> CAST(round(x * y * 1e12) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12",
     ),
     "cosine_similarity": (
         "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
-        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
-        " / (sqrt(aggregate(transform(a, x -> x * x), 0.0D, (acc, v) -> acc + v))"
-        " * sqrt(aggregate(transform(b, x -> x * x), 0.0D, (acc, v) -> acc + v)))",
+        "(CAST(aggregate(zip_with(a, b,"
+        " (x, y) -> CAST(round(x * y * 1e12) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12)"
+        " / (sqrt(CAST(aggregate(transform(a,"
+        " x -> CAST(round(x * x * 1e12) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12)"
+        " * sqrt(CAST(aggregate(transform(b,"
+        " x -> CAST(round(x * x * 1e12) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12))",
     ),
     # datetime (reference datetime/epoch.rs)
     "epoch": (

@@ -177,7 +177,17 @@ fn: dict[str, object] = {
 }
 
 fn["left"] = lambda s, n: F.substring(s, 1, n)
-fn["right"] = lambda s, n: F.substr(s, F.length(s) - n + 1, F.lit(n) if isinstance(n, int) else n)
+
+
+def _right(s, n):
+    # Clamp start to >= 1: length(s) - n + 1 goes negative when n > len+1,
+    # and Spark's substr treats negative positions as counting from the end
+    # (right('abc', 5) would return 'c' instead of 'abc') — ADVICE r1.
+    n = F.lit(n) if isinstance(n, int) else n
+    return F.substr(s, F.greatest(F.length(s) - n + 1, F.lit(1)), n)
+
+
+fn["right"] = _right
 
 
 def gcd_udf():

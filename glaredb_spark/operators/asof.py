@@ -42,12 +42,18 @@ def asof_join(
     right is projected to (on, right_ts, other cols → asof_<col>).
     """
     r_cols = [c for c in right.columns if c not in (on, right_ts)]
+    # All right columns travel as ONE struct: a struct literal is non-null
+    # for every right row even when individual fields are NULL, so a single
+    # last(ignorenulls) carries the latest right row WHOLESALE — never mixing
+    # fields from different right matches (ASOF semantics; DuckDB parity).
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),  # right rows sort first at equal ts (<=)
-        *[F.col(c).alias(f"asof_{c}") for c in r_cols],
-        F.col(right_ts).alias("asof_ts"),
+        F.struct(
+            *[F.col(c).alias(f"asof_{c}") for c in r_cols],
+            F.col(right_ts).alias("asof_ts"),
+        ).alias("_r"),
     )
     l_cols = [c for c in left.columns if c != on]
     lt = left.select(
@@ -62,20 +68,13 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
-            for c in r_cols
-        ],
-        F.last("asof_ts", ignorenulls=True).over(w).alias("_carry_ts"),
-    )
+    carried = unioned.withColumn("_carry", F.last("_r", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1).select(
         F.col(on),
         F.col("_ts").alias(left_ts),
         *[F.col(c) for c in l_cols if c != left_ts],
-        *[F.col(f"_carry_{c}").alias(f"asof_{c}") for c in r_cols],
-        F.col("_carry_ts").alias("asof_ts"),
+        *[F.col("_carry").getField(f"asof_{c}").alias(f"asof_{c}") for c in r_cols],
+        F.col("_carry").getField("asof_ts").alias("asof_ts"),
     )
     return out
 

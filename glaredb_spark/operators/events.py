@@ -91,7 +91,7 @@ def events_hopping_1h_30m(spark, sf_dir):
     "events_sessionize",
     oracle=f"""
 WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL
                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -100,7 +100,7 @@ WITH marked AS (
   FROM events),
 numbered AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked)
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -123,8 +123,12 @@ def events_sessionize(spark, sf_dir):
             1,
         ).otherwise(0),
     )
+    # event_id tiebreaker: with duplicate timestamps per user the ROWS-frame
+    # order would otherwise be engine-nondeterministic (ADVICE r1).
     wnum = (
-        Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     numbered = marked.withColumn(
         "session_id", F.sum("new_session").over(wnum).cast("long")

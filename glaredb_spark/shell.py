@@ -14,6 +14,38 @@ import argparse
 import sys
 
 
+def _split_sql(text: str) -> list[str]:
+    """Split a script on ';' statement terminators, quote-aware: semicolons
+    inside single-quoted literals (with '' escapes) or double-quoted
+    identifiers don't split (ADVICE r1)."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None  # "'" or '"' while inside a literal/identifier
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                if quote == "'" and i + 1 < len(text) and text[i + 1] == "'":
+                    buf.append("'")  # '' escape stays inside the literal
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if "".join(buf).strip():
+        stmts.append("".join(buf))
+    return stmts
+
+
 def _run_sql(sess, sql: str) -> None:
     sql = sql.strip().rstrip(";")
     if not sql:
@@ -44,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.file:
             with open(args.file) as fh:
-                for stmt in fh.read().split(";"):
+                for stmt in _split_sql(fh.read()):
                     _run_sql(sess, stmt)
             return 0
         print("glaredb_spark shell — SQL statements end with ';', \\q quits")

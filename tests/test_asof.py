@@ -54,3 +54,25 @@ def test_asof_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_asof_join_null_right_columns_carry_wholesale(spark):
+    """ADVICE r1: when the latest right row has a NULL column, the output must
+    keep that NULL — never back-fill the column from an OLDER right row."""
+    from glaredb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "L")],
+        "k int, ts timestamp_ntz, lbl string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "old_val", 7),
+            (1, _ts("2024-01-01T11:00:00"), None, None),  # latest: both NULL
+        ],
+        "k int, ts timestamp_ntz, val string, num int",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row.asof_ts == _ts("2024-01-01T11:00:00")
+    assert row.asof_val is None  # not back-filled with "old_val"
+    assert row.asof_num is None  # not back-filled with 7

@@ -82,3 +82,55 @@ def test_aggregate_registry_names(spark):
         "bit_or", "approx_count_distinct", "approx_quantile",
     ]:
         assert name in agg
+
+
+def test_sql_udf_matches_python_vector_kernels(spark):
+    """ADVICE r1: the SQL UDF bodies must use the same scaled-integer kernels
+    as glaredb_spark.functions.vector — bit-identical results."""
+    from pyspark.sql import functions as F
+
+    from glaredb_spark.functions import vector as V
+
+    df = spark.createDataFrame(
+        [([0.1, 0.2, 0.30000000000000004], [1.5, -2.5, 3.5])],
+        "a array<double>, b array<double>",
+    )
+    row = df.select(
+        V.l2_distance(F.col("a"), F.col("b")).alias("py_l2"),
+        F.expr("l2_distance(a, b)").alias("sql_l2"),
+        V.dot(F.col("a"), F.col("b")).alias("py_dot"),
+        F.expr("dot_product(a, b)").alias("sql_dot"),
+        V.cosine_similarity(F.col("a"), F.col("b")).alias("py_cos"),
+        F.expr("cosine_similarity(a, b)").alias("sql_cos"),
+    ).collect()[0]
+    assert row.py_l2 == row.sql_l2
+    assert row.py_dot == row.sql_dot
+    assert row.py_cos == row.sql_cos
+
+
+def test_right_clamps_when_n_exceeds_length(spark):
+    """ADVICE r1: right('abc', 5) must return 'abc', not 'c'."""
+    from pyspark.sql import functions as F
+
+    from glaredb_spark.functions.scalar import fn
+
+    df = spark.createDataFrame([("abc",)], "s string")
+    row = df.select(
+        fn["right"](F.col("s"), 5).alias("over"),
+        fn["right"](F.col("s"), 2).alias("normal"),
+        fn["right"](F.col("s"), 3).alias("exact"),
+    ).collect()[0]
+    assert row.over == "abc"
+    assert row.normal == "bc"
+    assert row.exact == "abc"
+
+
+def test_shell_split_sql_quote_aware():
+    """ADVICE r1: semicolons inside string literals must not split."""
+    from glaredb_spark.shell import _split_sql
+
+    stmts = _split_sql("SELECT 'a;b' AS x; SELECT ';''; ' AS y;\nSELECT 1")
+    assert stmts[0] == "SELECT 'a;b' AS x"
+    assert stmts[1] == " SELECT ';''; ' AS y"
+    assert stmts[2].strip() == "SELECT 1"
+    assert len(stmts) == 3
