@@ -25,6 +25,7 @@ from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 from glaredb_spark.functions import vector as V
+from glaredb_spark.operators.similarity import o_band_code as _o_band_code
 from glaredb_spark.registry import register_query
 from glaredb_spark.sources.files import load_tables
 
@@ -393,53 +394,112 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# embedding cosine near-dup — sign-LSH buckets + exact verification
+# embedding cosine near-dup — banded multi-probe sign-LSH + exact verification
+# (VERDICT r1 fix: the fixed 2^8 single-bucket design had ~2% recall at the
+# fixture threshold and quadratic candidate volume at scale; knobs now come
+# from similarity.lsh_params — see that module + SCALE.md for the math).
 # ---------------------------------------------------------------------------
-_O_BUCKET = " + ".join(
-    f"(CASE WHEN list_extract(embedding, {d + 1}) > 0 THEN {2**d} ELSE 0 END)"
-    for d in range(8)
+DEDUP_R = 2  # oracle-pinned; == lsh_params at the fixture regime, see tests
+DEDUP_BANDS = 2
+
+_O_DEDUP_CODE = (
+    "CASE band "
+    + " ".join(
+        f"WHEN {b} THEN {_o_band_code('embedding', b, DEDUP_R)}"
+        for b in range(DEDUP_BANDS)
+    )
+    + " END"
+)
+_O_DEDUP_PROBES = (
+    "[code" + "".join(f", xor(code, {1 << d})" for d in range(DEDUP_R)) + "]"
 )
 
 
 @register_query(
     "dedup_embedding_cosine",
     oracle=f"""
-WITH b AS (SELECT vec_id, label, embedding,
-                  CAST({_O_BUCKET} AS BIGINT) AS bucket
-           FROM embeddings),
-cand AS (SELECT x.vec_id AS v1, y.vec_id AS v2,
-                x.embedding AS e1, y.embedding AS e2
-         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-SELECT v1, v2, {V.o_cosine('e1', 'e2')} AS cosine
-FROM cand
-WHERE {V.o_cosine('e1', 'e2')} >= {COSINE_DUP_MIN}
+WITH bands AS (
+  SELECT vec_id, band, CAST({_O_DEDUP_CODE} AS BIGINT) AS code
+  FROM embeddings, (SELECT UNNEST(range({DEDUP_BANDS})) AS band) b),
+px AS (SELECT vec_id, band, UNNEST({_O_DEDUP_PROBES}) AS code FROM bands),
+cand AS (
+  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+  FROM px x JOIN bands y ON x.band = y.band AND x.code = y.code
+  WHERE x.vec_id < y.vec_id)
+SELECT v1, v2, {V.o_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM cand JOIN embeddings a ON a.vec_id = v1
+          JOIN embeddings b ON b.vec_id = v2
+WHERE {V.o_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_MIN}
 ORDER BY v1, v2
 """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    bucket = sum(
-        [
-            F.when(F.element_at("embedding", d + 1) > 0, F.lit(2**d)).otherwise(F.lit(0))
-            for d in range(8)
-        ],
-        F.lit(0),
-    ).cast("long")
-    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    cand = (
-        b.alias("x")
-        .join(b.alias("y"), "bucket")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("v1"),
-            F.col("y.vec_id").alias("v2"),
-            F.col("x.embedding").alias("e1"),
-            F.col("y.embedding").alias("e2"),
-        )
+    return embedding_dup_pairs(
+        emb, COSINE_DUP_MIN, r=DEDUP_R, n_bands=DEDUP_BANDS
+    ).orderBy("v1", "v2")
+
+
+def lsh_candidate_pairs(
+    emb,
+    r: int,
+    n_bands: int,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Distinct (v1 < v2) candidate pairs whose r-bit band codes are within
+    Hamming 1 in at least one of n_bands bands (probe side = smaller id's
+    side by symmetry of the Hamming ball)."""
+    from glaredb_spark.operators.similarity import band_code_cols, probe_code_arrays
+
+    codes = band_code_cols(emb_col, n_bands, r)
+    bands = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.array(*codes)).alias("band", "code"),
     )
+    px = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.array(*probe_code_arrays(codes, r))).alias("band", "probes"),
+    ).select("vec_id", "band", F.explode("probes").alias("code"))
+    return (
+        px.alias("x")
+        .join(bands.alias("y"), ["band", "code"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("v1"), F.col("y.vec_id").alias("v2"))
+        .distinct()
+    )
+
+
+def embedding_dup_pairs(
+    emb,
+    threshold: float,
+    *,
+    r: int | None = None,
+    n_bands: int | None = None,
+    n_rows: int | None = None,
+    recall: float = 0.9,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """All pairs with exact cosine >= threshold among banded multi-probe
+    sign-LSH candidates. Knobs default to lsh_params(|corpus|, threshold,
+    recall). Plan: band/probe explode (map-side), equi-join on (band, code)
+    — shuffle ∝ band-bucket sizes, never a corpus cross join — distinct
+    pairs, then two id-joins back for exact verification."""
+    from glaredb_spark.operators.similarity import lsh_params
+
+    if r is None or n_bands is None:
+        if n_rows is None:
+            n_rows = emb.count()
+        r, n_bands = lsh_params(n_rows, threshold, recall, dim)
+    cand = lsh_candidate_pairs(emb, r, n_bands, id_col=id_col, emb_col=emb_col)
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
     cos = V.cosine_similarity(F.col("e1"), F.col("e2"))
     return (
-        cand.select("v1", "v2", cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_DUP_MIN)
-        .orderBy("v1", "v2")
+        cand.join(e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1")), "v1")
+        .join(e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2")), "v2")
+        .select("v1", "v2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
