@@ -20,10 +20,13 @@ from __future__ import annotations
 
 import glob as _pyglob
 import os
+import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from glaredb_spark.sources.httpfs import is_http_url, localize
 
 
 def _ns_timestamp_columns(path: str) -> list[str]:
@@ -70,8 +73,12 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     Spark has no nanosecond timestamp (SURVEY.md §1.3); ns columns are read
     as int64 nanos and truncated to microsecond TIMESTAMP_NTZ — the same
     truncation DuckDB and the reference's µs pipeline apply.
+
+    http(s):// URLs are supported via the cached fetch in sources/httpfs.py
+    (reference: glaredb_http filesystem + slt/http/read_parquet_http.slt).
     """
     _ensure_session_conf(spark)
+    path = localize(path)
     df = spark.read.options(**options).parquet(path)
     for col in _ns_timestamp_columns(path):
         if col in df.columns:
@@ -97,13 +104,13 @@ def read_csv(
     Spark's default escape is backslash."""
     options.setdefault("escape", '"')
     return spark.read.csv(
-        path, header=header, inferSchema=infer_schema, **options
+        localize(path), header=header, inferSchema=infer_schema, **options
     )
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """One row per file: (filename, content) — read_text.rs:29 semantics."""
-    df = spark.read.format("binaryFile").load(path)
+    df = spark.read.format("binaryFile").load(localize(path))
     return df.select(
         F.col("path").alias("filename"),
         F.decode(F.col("content"), "UTF-8").alias("content"),
@@ -113,11 +120,38 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
 def glob_files(spark: SparkSession, pattern: str) -> DataFrame:
     """List files matching a glob pattern (functions/table/builtin/glob.rs).
 
-    Driver-side listing via the local filesystem; file *listing* is
-    metadata-scale, the returned DataFrame is distributed.
+    Scheme dispatch: plain local paths list via the local filesystem;
+    http(s) URLs resolve exact paths only (HEAD-style probe — the reference
+    HTTP filesystem cannot list either); any other scheme (s3a://, gs://,
+    hdfs://, file://) goes through Hadoop's FileSystem.globStatus, which
+    scales the listing and works wherever the connector jars + credentials
+    are configured. Listing is metadata-scale; the returned DataFrame is
+    distributed.
     """
-    rows = [(p,) for p in sorted(_pyglob.glob(pattern, recursive=True))]
     schema = T.StructType([T.StructField("filename", T.StringType(), False)])
+    if is_http_url(pattern):
+        import urllib.request
+
+        if any(c in pattern for c in "*?[{"):
+            raise ValueError(
+                "HTTP filesystems do not support glob patterns "
+                "(exact URLs only, matching the reference glaredb_http)"
+            )
+        req = urllib.request.Request(pattern, method="HEAD")
+        try:
+            with urllib.request.urlopen(req):
+                hits = [pattern]
+        except Exception:
+            hits = []
+        return spark.createDataFrame([(p,) for p in hits], schema)
+    if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", pattern):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        statuses = fs.globStatus(jpath)
+        hits = sorted(s.getPath().toString() for s in statuses) if statuses else []
+        return spark.createDataFrame([(p,) for p in hits], schema)
+    rows = [(p,) for p in sorted(_pyglob.glob(pattern, recursive=True))]
     return spark.createDataFrame(rows, schema)
 
 
@@ -154,6 +188,8 @@ def load_tables(
 # ---------------------------------------------------------------------------
 
 def _expand(path_or_pattern: str) -> list[str]:
+    if is_http_url(path_or_pattern):
+        return [localize(path_or_pattern)]
     if os.path.isdir(path_or_pattern):
         return sorted(_pyglob.glob(os.path.join(path_or_pattern, "*.parquet")))
     hits = sorted(_pyglob.glob(path_or_pattern))

@@ -1,0 +1,63 @@
+"""Iceberg / Delta table readers, gated on connector availability.
+
+Reference surface: crates/glaredb_ext_iceberg (iceberg.table + metadata
+table functions; slt/iceberg/) and crates/glaredb_ext_delta (delta.table;
+slt/delta/ — note the reference ships the crate but does not register it in
+the default extension set either, glaredb_ext_default/src/lib.rs:24-28).
+
+Spark-side: both formats are first-class Spark DataSources when their
+connector jars are on the classpath (iceberg-spark-runtime, delta-spark).
+This container ships neither, so the readers probe the JVM classpath and
+raise a clear, actionable error instead of Spark's opaque
+"Failed to find data source". Tests skip-with-reason when unavailable
+(tests/test_lakehouse.py) — the gap is documented, not silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ICEBERG_CLASS = "org.apache.iceberg.spark.source.IcebergSource"
+_DELTA_CLASS = "org.apache.spark.sql.delta.sources.DeltaDataSource"
+
+
+def _jvm_class_exists(spark: SparkSession, name: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(name)
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    return _jvm_class_exists(spark, _ICEBERG_CLASS)
+
+
+def delta_available(spark: SparkSession) -> bool:
+    return _jvm_class_exists(spark, _DELTA_CLASS)
+
+
+def read_iceberg(spark: SparkSession, table_or_path: str) -> DataFrame:
+    """Scan an Iceberg table (path or catalog identifier) — the Spark analog
+    of the reference's ``iceberg.table`` function
+    (crates/glaredb_ext_iceberg/src/table/)."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg connector not on the classpath. Add the "
+            "iceberg-spark-runtime jar (e.g. --packages "
+            "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>) "
+            "to enable iceberg reads."
+        )
+    return spark.read.format("iceberg").load(table_or_path)
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a Delta Lake table directory — the Spark analog of the
+    reference's delta scan (crates/glaredb_ext_delta/src/)."""
+    if not delta_available(spark):
+        raise RuntimeError(
+            "Delta connector not on the classpath. Add the delta-spark jar "
+            "(e.g. --packages io.delta:delta-spark_2.13:<version>) to "
+            "enable delta reads."
+        )
+    return spark.read.format("delta").load(path)
