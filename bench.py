@@ -28,6 +28,9 @@ HEADLINE = [
     # sessionization, text stats
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "knn_bruteforce_cosine",
     "events_sessionize", "text_token_stats",
+    # ClickBench shapes (r2): high-cardinality group-by + count-distinct,
+    # regexp-extract grouped aggregation — wide-scan single-table stress
+    "cb_groupby_highcard", "cb_regexp_domain_agg",
 ]
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 

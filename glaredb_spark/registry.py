@@ -43,4 +43,5 @@ def load_all() -> None:
     import glaredb_spark.operators.analytics  # noqa: F401
     import glaredb_spark.operators.asof  # noqa: F401
     import glaredb_spark.operators.recursive  # noqa: F401
+    import glaredb_spark.operators.clickbench  # noqa: F401
     import glaredb_spark.functions.queries  # noqa: F401
