@@ -4,11 +4,15 @@ North-star surface (BASELINE.json): image/audio/video as opaque BINARY
 columns plus a typed metadata struct, with decode / feature-extract /
 resize / frame-sample stages as Arrow-batched ``mapInPandas`` pipelines.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder (bytes → summed-byte "pixel" statistics)
-exercises the real Spark plumbing — schema handling, Arrow batch shapes,
-partition-parallel execution — which is what the tests verify.
+The decode step is REAL for BMP (24-bit BI_RGB) and PPM (P6) via the
+pure-Python codecs in glaredb_spark.functions.imagecodec — no native
+libraries needed; payloads in other formats (PNG/JPEG) raise
+NotImplementedError naming the gap. ``fake=True`` keeps the r1
+deterministic byte-statistics decoder for non-image payloads (it exercises
+the same Spark plumbing over arbitrary bytes). The registered
+``multimodal_decode_bmp`` query round-trips deterministic generated BMPs
+through encode→decode and is ORACLE-GATED: the pixel pattern is a closed
+form of doc_id, so DuckDB computes the expected statistics arithmetically.
 
 Scale notes: binary payloads ride in parquet pages like any column; decode
 fan-out is a map-only stage (no shuffle); ``spark.sql.files.maxPartitionBytes``
@@ -58,19 +62,20 @@ def as_media_table(docs: DataFrame) -> DataFrame:
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payload bytes into pixel statistics + a feature vector.
 
-    Real decoders (PIL/ffmpeg) are not available in this container — the
-    Spark-side contract (mapInPandas over Arrow batches, explicit output
-    schema) is real; the byte-level decode is a deterministic fake.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "environment; pass fake=True for the deterministic test decoder"
-        )
+    Real path (default): BMP/PPM payloads decoded by
+    glaredb_spark.functions.imagecodec (pure Python + numpy) inside
+    Arrow-batched mapInPandas; width/height come from the image header,
+    mean_byte is the mean over all RGB samples, features is an 8-bin
+    luminance histogram (float fractions, deterministic). Other formats
+    raise NotImplementedError naming the missing codec.
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    fake=True: the r1 byte-statistics decoder for arbitrary (non-image)
+    payloads — same plumbing, no image semantics.
+    """
+
+    def _decode_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": [int(m["width"]) for m in pdf["meta"]],
@@ -84,16 +89,75 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
                     ],
                 }
             )
-            yield out
 
-    return media.mapInPandas(_decode, DECODED_SCHEMA)
+    def _decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from glaredb_spark.functions.imagecodec import sniff_decode
+
+        for pdf in batches:
+            widths, heights, means, feats = [], [], [], []
+            for payload in pdf["payload"]:
+                px = sniff_decode(bytes(payload))
+                h, w, _ = px.shape
+                widths.append(w)
+                heights.append(h)
+                means.append(float(px.mean()))
+                # 8-bin luminance histogram as fractions (Rec.601 luma)
+                luma = (
+                    0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                )
+                hist, _ = np.histogram(luma, bins=8, range=(0.0, 256.0))
+                feats.append((hist / luma.size).astype("float32").tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": widths,
+                    "height": heights,
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "mean_byte": means,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(_decode_fake if fake else _decode_real, DECODED_SCHEMA)
 
 
-def resize(decoded: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub — plumbing only (metadata transform, payload untouched)."""
-    return decoded.withColumn("width", F.lit(width).cast("int")).withColumn(
-        "height", F.lit(height).cast("int")
+def resize(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real nearest-neighbor resize: decode payload, resize the pixel array,
+    re-encode as BMP. Map-only stage (no shuffle); payload column is
+    replaced, metadata width/height updated."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
     )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from glaredb_spark.functions.imagecodec import (
+            encode_bmp,
+            resize_nearest,
+            sniff_decode,
+        )
+
+        for pdf in batches:
+            payloads = [
+                encode_bmp(resize_nearest(sniff_decode(bytes(p)), width, height))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return media.mapInPandas(_resize, out_schema)
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -127,3 +191,61 @@ def multimodal_binary_meta(spark, sf_dir):
         F.col("meta.width").cast("long").alias("width"),
         F.col("meta.origin").alias("origin"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked REAL decode: deterministic generated BMPs round-trip
+# encode→decode; pixel value i of doc d is (d*31 + i*7) % 256, so DuckDB
+# computes the expected statistics in closed form — the decoder's output is
+# hash-gated against arithmetic ground truth, not just "ran without error".
+# ---------------------------------------------------------------------------
+_BMP_W, _BMP_H = 16, 8
+_BMP_SAMPLES = _BMP_W * _BMP_H * 3  # 384 RGB samples
+_BMP_BYTES = 54 + _BMP_H * ((_BMP_W * 3 + 3) & ~3)  # header + padded rows
+
+
+@register_query(
+    "multimodal_decode_bmp",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST({_BMP_W} AS INT) AS width,
+       CAST({_BMP_H} AS INT) AS height,
+       CAST({_BMP_BYTES} AS BIGINT) AS n_bytes,
+       (SELECT CAST(SUM((d.doc_id * 31 + i.g * 7) % 256) AS DOUBLE) / {_BMP_SAMPLES}
+        FROM range(0, {_BMP_SAMPLES}) i(g)) AS mean_byte
+FROM documents d
+ORDER BY d.doc_id
+""",
+)
+def multimodal_decode_bmp(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id")
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from glaredb_spark.functions.imagecodec import encode_bmp
+
+        idx = np.arange(_BMP_SAMPLES, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                encode_bmp(
+                    ((int(d) * 31 + idx * 7) % 256)
+                    .astype(np.uint8)
+                    .reshape(_BMP_H, _BMP_W, 3)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_gen, gen_schema)
+    return (
+        decode_image(media)
+        .select("doc_id", "width", "height", "n_bytes", "mean_byte")
+        .orderBy("doc_id")
+    )

@@ -1,6 +1,8 @@
-"""Multimodal plumbing: binary columns, metadata structs, mapInPandas
-decode pipeline (deterministic fake decoder), resize/frame-sample stubs."""
+"""Multimodal plumbing: binary columns, metadata structs, REAL BMP/PPM
+decode via mapInPandas (pure-python codecs), nearest-neighbor resize,
+frame-sample."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -14,21 +16,100 @@ def media(spark, sf_dir):
     return as_media_table(docs)
 
 
+def _gradient(h, w, seed):
+    i = np.arange(h * w * 3, dtype=np.int64)
+    return ((seed * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+@pytest.fixture(scope="module")
+def bmp_media(spark):
+    from glaredb_spark.functions.imagecodec import encode_bmp, encode_ppm
+
+    rows = [
+        (0, bytearray(encode_bmp(_gradient(8, 16, 0)))),
+        (1, bytearray(encode_bmp(_gradient(8, 16, 1)))),
+        (2, bytearray(encode_ppm(_gradient(4, 4, 2)))),  # mixed formats
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
 def test_media_schema(media):
     dt = dict(media.dtypes)
     assert dt["payload"] == "binary"
     assert dt["meta"].startswith("struct<")
 
 
-def test_decode_requires_explicit_fake(media):
+def test_codec_roundtrip_exact():
+    from glaredb_spark.functions.imagecodec import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    px = _gradient(5, 7, 3)  # odd width exercises BMP row padding
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    small = resize_nearest(px, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert np.array_equal(small[0, 0], px[0, 0])  # corner preserved
+
+
+def test_codec_rejects_garbage():
+    from glaredb_spark.functions.imagecodec import decode_bmp, sniff_decode
+
+    with pytest.raises(ValueError, match="BM"):
+        decode_bmp(b"\x89PNG....")
+    with pytest.raises(NotImplementedError, match="PNG/JPEG"):
+        sniff_decode(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated"):
+        from glaredb_spark.functions.imagecodec import encode_bmp
+
+        decode_bmp(encode_bmp(_gradient(4, 4, 0))[:-10])
+
+
+def test_real_decode_pipeline(spark, bmp_media):
     from glaredb_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+    rows = {r.doc_id: r for r in decode_image(bmp_media).collect()}
+    assert (rows[0].width, rows[0].height) == (16, 8)
+    assert (rows[2].width, rows[2].height) == (4, 4)
+    expected_mean = float(_gradient(8, 16, 1).mean())
+    assert rows[1].mean_byte == expected_mean
+    assert len(rows[0].features) == 8
+    assert abs(sum(rows[0].features) - 1.0) < 1e-6  # histogram fractions
+
+
+def test_real_decode_unknown_format_raises(spark):
+    from glaredb_spark.operators.multimodal import decode_image
+
+    png = spark.createDataFrame(
+        [(0, bytearray(b"\x89PNG\r\n\x1a\nxxxx"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="no pure-python decoder"):
+        decode_image(png).collect()
+
+
+def test_resize_real(spark, bmp_media):
+    from glaredb_spark.operators.multimodal import decode_image, resize
+
+    resized = resize(bmp_media.filter(F.col("doc_id") < 2), 4, 4)
+    out = {r.doc_id: r for r in decode_image(resized).collect()}
+    assert all((r.width, r.height) == (4, 4) for r in out.values())
+    # nearest-neighbor: top-left pixel survives the downscale
+    src = _gradient(8, 16, 0)
+    from glaredb_spark.functions.imagecodec import decode_bmp
+
+    first_payload = {
+        r.doc_id: bytes(r.payload)
+        for r in resize(bmp_media.filter(F.col("doc_id") < 2), 4, 4).collect()
+    }[0]
+    assert np.array_equal(decode_bmp(first_payload)[0, 0], src[0, 0])
 
 
 def test_fake_decode_pipeline(media):
-    from glaredb_spark.operators.multimodal import decode_image, resize
+    from glaredb_spark.operators.multimodal import decode_image
 
     decoded = decode_image(media, fake=True)
     assert dict(decoded.dtypes)["features"] == "array<float>"
@@ -38,9 +119,6 @@ def test_fake_decode_pipeline(media):
     # deterministic: running twice gives identical output
     again = decode_image(media, fake=True).orderBy("doc_id").limit(5).collect()
     assert [r.mean_byte for r in rows] == [r.mean_byte for r in again]
-    resized = resize(decoded, 32, 32)
-    r = resized.limit(1).collect()[0]
-    assert (r.width, r.height) == (32, 32)
 
 
 def test_frame_sample(media):
