@@ -29,14 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from glaredb_spark.registry import QUERIES, load_all
+    from glaredb_spark.registry import QUERIES, load_all, ordered_names
 
     load_all()
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from glaredb_spark.registry import ORACLES, load_all
+    from glaredb_spark.registry import ORACLES, load_all, ordered_names
 
     load_all()
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in ordered_names() if n in ORACLES}

@@ -16,6 +16,57 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# The driver records CORRECTNESS rows for (at least in r1: exactly) the
+# FIRST 50 entries of __spark_entry__.queries(). This list pins that prefix
+# so every operator family from SURVEY.md §2 has a green driver row
+# (VERDICT r1 'Next round' #1): all 22 TPC-H shapes, then one-or-more
+# representatives per family — as-of/range, recursive CTE, window,
+# grouping sets, set ops, unnest, null semantics, outer joins, subqueries,
+# GROUP BY ALL, unpivot, limit/offset, scalar/aggregate function batteries,
+# every dedup family, ANN (brute force + LSH + kernels), text, events,
+# multimodal real-decode, ClickBench shape. Everything NOT listed still
+# runs in the local full gate (tests/test_oracle_parity.py).
+GATE_PRIORITY: list[str] = [
+    *[f"tpch_q{i:02d}" for i in range(1, 23)],
+    "asof_purchase_view",
+    "rel_range_join",
+    "rel_recursive_cte",
+    "rel_window_ranking",
+    "rel_rollup",
+    "rel_setops",
+    "rel_unnest_lateral",
+    "rel_null_semantics",
+    "rel_outer_joins",
+    "rel_subqueries",
+    "rel_group_by_all",
+    "rel_unpivot",
+    "rel_limit_offset",
+    "fn_string_battery",
+    "fn_math_battery",
+    "fn_datetime_battery",
+    "fn_agg_exact",
+    "fn_cast_battery",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "knn_bruteforce_cosine",
+    "knn_lsh_cosine",
+    "similarity_l2_pairs",
+    "text_token_stats",
+    "events_sessionize",
+    "multimodal_decode_bmp",
+    "cb_regexp_domain_agg",
+]
+
+
+def ordered_names() -> list[str]:
+    """GATE_PRIORITY first (validated against the registry), then every
+    remaining query in registration order."""
+    missing = [n for n in GATE_PRIORITY if n not in QUERIES]
+    assert not missing, f"GATE_PRIORITY names not registered: {missing}"
+    prio = set(GATE_PRIORITY)
+    return [*GATE_PRIORITY, *[n for n in QUERIES if n not in prio]]
+
 
 def register_query(name: str, oracle: str | None = None):
     """Decorator: register a (spark, sf_dir) -> DataFrame builder, with an
