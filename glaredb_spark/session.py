@@ -98,7 +98,12 @@ class GlareSession:
 
     # -- query entry points ------------------------------------------------
     def sql(self, query: str) -> DataFrame:
-        return self.spark.sql(query)
+        """SQL with the reference's table functions available in FROM —
+        read_parquet/read_csv/read_text/glob/parquet_*_metadata/
+        generate_series with literal args (see functions/table_sql.py)."""
+        from glaredb_spark.functions.table_sql import rewrite_table_functions
+
+        return self.spark.sql(rewrite_table_functions(self.spark, query))
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
