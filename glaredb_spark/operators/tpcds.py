@@ -1,0 +1,283 @@
+"""TPC-DS-shape query battery — the reference carries the full suite
+(slt/tpcds/q01..q99, bench_bin/bench_runner.rs registration); these adapt
+its distinct stress shapes (the ones TPC-H doesn't already cover) to the
+fixture star schema:
+
+- q67 shape  -> tpcds_rollup_rank      (ROLLUP + rank-per-group windows)
+- q47 shape  -> tpcds_moving_avg       (partitioned moving average + deviation)
+- q01/q06    -> tpcds_over_avg_spend   (correlated above-group-average filter)
+- q33/q56    -> tpcds_channel_union    (UNION ALL of channel subqueries + re-agg)
+- q34/q73    -> tpcds_order_buckets    (CASE bucketing + HAVING counts)
+- q10/q35    -> tpcds_multi_exists     (customers active in BOTH periods)
+
+Scale notes: rollup/window shapes shuffle once on their grouping keys with
+partial aggregation; the moving average is one window pass after one agg
+shuffle; channel union re-aggregates map-side (three scans of one table —
+at 100 TB the channel split would be partition-pruned date ranges of one
+scan). Money math runs in DECIMAL(15,2) on both engines (exact,
+order-invariant); every ORDER BY carries full tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from glaredb_spark.registry import register_query
+from glaredb_spark.sources.files import load_tables
+
+D = "decimal(15,2)"
+O_PRICE = "CAST(o_totalprice AS DECIMAL(15,2))"
+
+
+def _t(spark, sf_dir, *names):
+    return load_tables(spark, sf_dir, *names)
+
+
+@register_query(
+    "tpcds_rollup_rank",
+    oracle=f"""
+WITH agg AS (
+  SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+         CAST(SUM({O_PRICE}) AS DOUBLE) AS revenue,
+         GROUPING(n.n_name) + 2 * GROUPING(c.c_mktsegment) AS lvl
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY ROLLUP(n.n_name, c.c_mktsegment)),
+ranked AS (
+  SELECT nation, segment, revenue, CAST(lvl AS INT) AS lvl,
+         RANK() OVER (PARTITION BY lvl ORDER BY revenue DESC, nation NULLS FIRST,
+                      segment NULLS FIRST) AS rnk
+  FROM agg)
+SELECT nation, segment, revenue, lvl, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY lvl, rnk, nation NULLS FIRST, segment NULLS FIRST
+""",
+)
+def tpcds_rollup_rank(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("revenue"),
+            (F.grouping("n_name") + F.grouping("c_mktsegment") * 2)
+            .cast("int")
+            .alias("lvl"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "revenue",
+            "lvl",
+        )
+    )
+    w = Window.partitionBy("lvl").orderBy(
+        F.col("revenue").desc(),
+        F.col("nation").asc_nulls_first(),
+        F.col("segment").asc_nulls_first(),
+    )
+    return (
+        agg.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("nation", "segment", "revenue", "lvl", "rnk")
+        .orderBy(
+            "lvl",
+            "rnk",
+            F.col("nation").asc_nulls_first(),
+            F.col("segment").asc_nulls_first(),
+        )
+    )
+
+
+@register_query(
+    "tpcds_moving_avg",
+    oracle=f"""
+WITH monthly AS (
+  SELECT c.c_nationkey AS nationkey, date_trunc('month', o.o_orderdate) AS mon,
+         SUM({O_PRICE}) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+win AS (
+  SELECT nationkey, mon, CAST(rev AS DOUBLE) AS rev,
+         CAST(SUM(rev) OVER (PARTITION BY nationkey ORDER BY mon
+                             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY nationkey ORDER BY mon
+                            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mavg
+  FROM monthly)
+SELECT CAST(nationkey AS INT) AS nationkey, mon, rev, mavg
+FROM win WHERE rev > 1.1 * mavg
+ORDER BY nationkey, mon
+""",
+)
+def tpcds_moving_avg(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "customer")
+    monthly = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(D)).alias("rev_dec"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("mon").rowsBetween(-1, 1)
+    # exact decimal SUM / integer COUNT (never AVG over DECIMAL: Spark's
+    # decimal-avg rounds at scale 6, DuckDB keeps full precision)
+    win = monthly.select(
+        "nationkey",
+        "mon",
+        F.col("rev_dec").cast("double").alias("rev"),
+        (
+            F.sum("rev_dec").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mavg"),
+    )
+    return win.filter(F.col("rev") > 1.1 * F.col("mavg")).orderBy("nationkey", "mon")
+
+
+@register_query(
+    "tpcds_over_avg_spend",
+    oracle=f"""
+WITH spend AS (
+  SELECT c.c_custkey AS custkey, c.c_nationkey AS nationkey,
+         SUM({O_PRICE}) AS total
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+nat AS (SELECT nationkey, CAST(SUM(total) AS DOUBLE) / COUNT(*) AS avg_total
+        FROM spend GROUP BY 1)
+SELECT CAST(s.custkey AS BIGINT) AS custkey,
+       CAST(s.nationkey AS INT) AS nationkey,
+       CAST(s.total AS DOUBLE) AS total
+FROM spend s JOIN nat n ON s.nationkey = n.nationkey
+WHERE s.total > 1.2 * n.avg_total
+ORDER BY custkey
+""",
+)
+def tpcds_over_avg_spend(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "customer")
+    spend = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(D)).alias("total_dec"))
+    )
+    # exact decimal SUM / COUNT (avg-over-decimal rounds differently per engine)
+    nat = spend.groupBy("nationkey").agg(
+        (F.sum("total_dec").cast("double") / F.count(F.lit(1))).alias("avg_total")
+    )
+    return (
+        spend.join(nat, "nationkey")
+        .filter(F.col("total_dec") > 1.2 * F.col("avg_total"))
+        .select(
+            "custkey", "nationkey", F.col("total_dec").cast("double").alias("total")
+        )
+        .orderBy("custkey")
+    )
+
+
+@register_query(
+    "tpcds_channel_union",
+    oracle=f"""
+WITH channels AS (
+  SELECT 'q1' AS channel, o_custkey, {O_PRICE} AS price FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  UNION ALL
+  SELECT 'q2', o_custkey, {O_PRICE} FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+  UNION ALL
+  SELECT 'q3', o_custkey, {O_PRICE} FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+SELECT channel, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       CAST(SUM(price) AS DOUBLE) AS revenue
+FROM channels GROUP BY channel ORDER BY channel
+""",
+)
+def tpcds_channel_union(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    price = F.col("o_totalprice").cast(D).alias("price")
+
+    def ch(name, cond):
+        return o.filter(cond).select(F.lit(name).alias("channel"), "o_custkey", price)
+
+    d1, d2 = F.lit("1997-01-01").cast("timestamp"), F.lit("1999-01-01").cast("timestamp")
+    dt = F.col("o_orderdate")
+    channels = (
+        ch("q1", dt < d1)
+        .unionByName(ch("q2", (dt >= d1) & (dt < d2)))
+        .unionByName(ch("q3", dt >= d2))
+    )
+    return (
+        channels.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register_query(
+    "tpcds_order_buckets",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+SELECT CASE WHEN n <= 2 THEN 'low' WHEN n <= 5 THEN 'mid' ELSE 'high' END
+         AS bucket,
+       COUNT(*) AS n_custs, CAST(SUM(n) AS BIGINT) AS n_orders
+FROM per_cust
+GROUP BY bucket HAVING COUNT(*) > 1
+ORDER BY bucket
+""",
+)
+def tpcds_order_buckets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")["orders"]
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    bucket = (
+        F.when(F.col("n") <= 2, "low").when(F.col("n") <= 5, "mid").otherwise("high")
+    )
+    return (
+        per_cust.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("n").cast("long").alias("n_orders"),
+        )
+        .filter(F.col("n_custs") > 1)
+        .orderBy("bucket")
+    )
+
+
+@register_query(
+    "tpcds_multi_exists",
+    oracle="""
+SELECT CAST(c.c_custkey AS BIGINT) AS custkey, c.c_mktsegment AS segment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate < TIMESTAMP '1999-01-01')
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+ORDER BY custkey
+""",
+)
+def tpcds_multi_exists(spark, sf_dir):
+    t = _t(spark, sf_dir, "orders", "customer")
+    o, c = t["orders"], t["customer"]
+    cut = F.lit("1999-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    late = o.filter(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    return (
+        c.join(early, c["c_custkey"] == early["o_custkey"], "left_semi")
+        .join(late, c["c_custkey"] == late["o_custkey"], "left_semi")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+        .orderBy("custkey")
+    )

@@ -45,7 +45,7 @@ GATE_PRIORITY: list[str] = [
     "fn_math_battery",
     "fn_datetime_battery",
     "fn_agg_exact",
-    "fn_cast_battery",
+    "tpcds_rollup_rank",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -95,4 +95,5 @@ def load_all() -> None:
     import glaredb_spark.operators.asof  # noqa: F401
     import glaredb_spark.operators.recursive  # noqa: F401
     import glaredb_spark.operators.clickbench  # noqa: F401
+    import glaredb_spark.operators.tpcds  # noqa: F401
     import glaredb_spark.functions.queries  # noqa: F401
