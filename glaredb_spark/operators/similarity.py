@@ -366,6 +366,138 @@ def ann_cosine_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF-style ANN — the second scale path next to sign-LSH (SURVEY north-star:
+# "an IVF or LSH-bucketed variant"). Cells come from k deterministic seed
+# vectors (stride-selected corpus rows — no RNG, so the DuckDB oracle can
+# replicate them); every vector is assigned to its nearest centroid
+# (arg-min over an exact L2 kernel), queries probe the `nprobe` nearest
+# cells, candidates are rescored with exact cosine and top-k'd two-phase.
+#
+# Scale shape: the centroid table is tiny (k rows) and broadcast; cell
+# assignment is a map-side broadcast-join + argmin (one pass over the
+# corpus, no shuffle); the candidate join shuffles only cell-matched pairs.
+# nprobe/k trade recall vs candidates; nprobe == k degrades to exact brute
+# force (asserted in tests/test_lsh_recall.py).
+# ---------------------------------------------------------------------------
+IVF_CENT_IDS = [10, 72, 134, 196, 258, 320, 382, 444]  # exist at every SF
+IVF_NPROBE = 3
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    centroid_ids: list[int] = IVF_CENT_IDS,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    cents = corpus.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"), F.col(emb_col).alias("cemb")
+    )
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+        F.sqrt(V.norm_sq(F.col(emb_col))).alias("nrm"),
+    )
+    # nearest cell per vector: broadcast the k centroids, argmin via
+    # min(struct(d, cid)) — map-side, no shuffle of the corpus
+    cell_scores = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        V.l2_distance(F.col("embedding"), F.col("cemb")).alias("d"),
+    )
+    cells = cell_scores.groupBy("vec_id").agg(
+        F.min(F.struct("d", "cid")).getField("cid").alias("cid")
+    )
+    q_ids = queries.select(F.col(id_col).alias("query_id"))
+    q_probes = (
+        cell_scores.join(
+            F.broadcast(q_ids), cell_scores.vec_id == q_ids.query_id
+        )
+        .groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("d", "cid"))), 1, nprobe
+            ).alias("probes")
+        )
+        .select("query_id", F.explode("probes.cid").alias("cid"))
+    )
+    cand = (
+        cells.join(F.broadcast(q_probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.sqrt(V.norm_sq(F.col(emb_col))).alias("q_nrm"),
+    )
+    scored = (
+        cand.join(base, cand.neighbor_id == base.vec_id)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                V.dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_key(scored, k).select("query_id", "neighbor_id", "rank", "cosine")
+
+
+_O_CENTS = ", ".join(str(i) for i in IVF_CENT_IDS)
+
+
+@register_query(
+    "knn_ivf_cosine",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  WHERE vec_id IN ({_O_CENTS})),
+n AS (SELECT vec_id, embedding,
+             sqrt({V.o_norm_sq('embedding')}) AS nrm FROM embeddings),
+cell_scores AS (
+  SELECT e.vec_id, c.cid, {V.o_l2('e.embedding', 'c.cemb')} AS d
+  FROM embeddings e CROSS JOIN cents c),
+cells AS (
+  SELECT vec_id, cid FROM cell_scores
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+q_probes AS (
+  SELECT vec_id AS query_id, cid FROM cell_scores
+  WHERE vec_id < {N_QUERIES}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid)
+            <= {IVF_NPROBE}),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM q_probes p JOIN cells c ON p.cid = c.cid
+  WHERE c.vec_id <> p.query_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {V.o_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+  FROM cand JOIN n q ON q.vec_id = cand.query_id
+            JOIN n c ON c.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def knn_ivf_cosine(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_cosine_topk(emb, queries, TOP_K).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # pairwise L2 distance — reference l2_distance parity surface
 # ---------------------------------------------------------------------------
 @register_query(

@@ -95,3 +95,42 @@ def test_knn_recall_vs_bruteforce_fixture(spark, sf_dir):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} with (r={r}, L={n_bands})"
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe == n_cells degrades IVF to exact brute force — same top-k."""
+    from glaredb_spark.operators.similarity import (
+        IVF_CENT_IDS,
+        ivf_cosine_topk,
+        knn_bruteforce_cosine,
+    )
+    from glaredb_spark.sources.files import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    full = ivf_cosine_topk(emb, queries, 5, nprobe=len(IVF_CENT_IDS))
+    exact = knn_bruteforce_cosine(spark, sf_dir)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_partial_probe_recall_and_pruning(spark, sf_dir):
+    from glaredb_spark.operators.similarity import (
+        ivf_cosine_topk,
+        knn_bruteforce_cosine,
+    )
+    from glaredb_spark.sources.files import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce_cosine(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_cosine_topk(emb, queries, 5, nprobe=3).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"ivf nprobe=3 recall {recall:.3f}"
