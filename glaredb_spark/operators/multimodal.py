@@ -123,6 +123,54 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(_decode_fake if fake else _decode_real, DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_abs", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Real PCM16 WAV decode (functions/audiocodec.py) — sample statistics
+    per payload. Same Arrow-batched mapInPandas shape as decode_image."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        from glaredb_spark.functions.audiocodec import decode_wav
+
+        for pdf in batches:
+            rates, chans, counts, means, rmss = [], [], [], [], []
+            for payload in pdf["payload"]:
+                rate, ch, samples = decode_wav(bytes(payload))
+                flat = samples.astype(np.int64).ravel()
+                rates.append(rate)
+                chans.append(ch)
+                counts.append(len(flat))
+                # integer sums -> double division -> sqrt: deterministic
+                means.append(float(np.abs(flat).sum()) / len(flat))
+                rmss.append(math.sqrt(float((flat * flat).sum()) / len(flat)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": rates,
+                    "n_channels": chans,
+                    "n_samples": counts,
+                    "mean_abs": means,
+                    "rms": rmss,
+                }
+            )
+
+    return media.mapInPandas(_decode, AUDIO_SCHEMA)
+
+
 def resize(media: DataFrame, width: int, height: int) -> DataFrame:
     """Real nearest-neighbor resize: decode payload, resize the pixel array,
     re-encode as BMP. Map-only stage (no shuffle); payload column is
@@ -249,3 +297,55 @@ def multimodal_decode_bmp(spark, sf_dir):
         .select("doc_id", "width", "height", "n_bytes", "mean_byte")
         .orderBy("doc_id")
     )
+
+
+_WAV_N = 256  # samples per generated clip
+_WAV_RATE = 8000
+
+
+@register_query(
+    "multimodal_decode_wav",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST({_WAV_RATE} AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST({_WAV_N} AS BIGINT) AS n_samples,
+       (SELECT CAST(SUM(ABS((d.doc_id * 37 + i.g * 11) % 4096 - 2048)) AS DOUBLE)
+          / {_WAV_N} FROM range(0, {_WAV_N}) i(g)) AS mean_abs,
+       (SELECT sqrt(CAST(SUM(((d.doc_id * 37 + i.g * 11) % 4096 - 2048)
+                          * ((d.doc_id * 37 + i.g * 11) % 4096 - 2048)) AS DOUBLE)
+          / {_WAV_N}) FROM range(0, {_WAV_N}) i(g)) AS rms
+FROM documents d
+ORDER BY d.doc_id
+""",
+)
+def multimodal_decode_wav(spark, sf_dir):
+    """REAL WAV decode, arithmetic-oracle-gated like multimodal_decode_bmp:
+    sample i of doc d is (d*37 + i*11) % 4096 - 2048, so DuckDB computes the
+    expected mean-abs and RMS in closed form."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id")
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from glaredb_spark.functions.audiocodec import encode_wav
+
+        idx = np.arange(_WAV_N, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    ((int(d) * 37 + idx * 11) % 4096 - 2048).astype(np.int16),
+                    _WAV_RATE,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_gen, gen_schema)
+    return decode_audio(media).orderBy("doc_id")

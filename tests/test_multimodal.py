@@ -139,3 +139,44 @@ def test_payload_pruned_scan(spark, sf_dir):
     cols = read_schema_columns(df)
     assert "text" in cols  # payload is derived from text here
     assert "lang" not in cols  # untouched columns pruned
+
+
+def test_wav_codec_roundtrip_and_chunks():
+    from glaredb_spark.functions.audiocodec import decode_wav, encode_wav
+
+    s = np.arange(-100, 100, dtype=np.int16)
+    rate, ch, back = decode_wav(encode_wav(s, 44100))
+    assert (rate, ch) == (44100, 1)
+    assert np.array_equal(back.ravel(), s)
+    # stereo
+    st = np.stack([s, -s], axis=1).astype(np.int16)
+    rate, ch, back = decode_wav(encode_wav(st, 16000))
+    assert (rate, ch) == (16000, 2) and np.array_equal(back, st)
+    # extra RIFF chunk before data must be skipped
+    raw = encode_wav(s, 8000)
+    extra = raw[:12] + b"LIST\x04\x00\x00\x00INFO" + raw[12:]
+    patched = bytearray(extra)
+    patched[4:8] = (len(extra) - 8).to_bytes(4, "little")
+    rate, ch, back = decode_wav(bytes(patched))
+    assert np.array_equal(back.ravel(), s)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"ID3\x03garbage")
+    with pytest.raises(ValueError, match="PCM16"):
+        # 8-bit format field
+        bad = bytearray(raw)
+        bad[34:36] = (8).to_bytes(2, "little")
+        decode_wav(bytes(bad))
+
+
+def test_decode_audio_pipeline(spark):
+    from glaredb_spark.functions.audiocodec import encode_wav
+    from glaredb_spark.operators.multimodal import decode_audio
+
+    s = np.array([3, -4, 0, 5], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s, 8000)))], "doc_id long, payload binary"
+    )
+    r = decode_audio(df).collect()[0]
+    assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 1, 4)
+    assert r.mean_abs == 3.0  # (3+4+0+5)/4
+    assert r.rms == (50 / 4) ** 0.5  # sqrt((9+16+0+25)/4)

@@ -52,3 +52,26 @@ def test_wholestage_codegen_everywhere(spark, sf_dir):
         df.collect()  # AQE marks codegen stages only in the final plan
         prof = query_profile(df)
         assert prof["wholestage_codegen"] >= 1, q
+
+
+def test_r2_query_plan_shapes(spark, sf_dir):
+    """r2 families keep the plan invariants: dims broadcast, filters pushed,
+    aggregation partial, no stray corpus-wide exchanges."""
+    import re
+
+    from glaredb_spark.plans import formatted_plan
+    from glaredb_spark.registry import QUERIES, load_all
+
+    load_all()
+    plan = formatted_plan(QUERIES["tpcds_rollup_rank"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2  # customer + nation dims
+    assert re.search(r"PushedFilters: \[[^\]]", plan)
+
+    plan = formatted_plan(QUERIES["cb_filter_agg"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1  # one agg shuffle
+    assert "PushedFilters" in plan
+
+    plan = formatted_plan(QUERIES["knn_ivf_cosine"](spark, sf_dir))
+    # centroid/query/probe sides all broadcast — corpus never broadcast-builds
+    assert plan.count("BroadcastExchange") >= 3
+    assert "MapInPandas" in plan  # two-phase top-k reduction present
