@@ -171,6 +171,42 @@ def decode_audio(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_decode, AUDIO_SCHEMA)
 
 
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration_seconds", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def video_meta(media: DataFrame) -> DataFrame:
+    """Real MP4 container-metadata extraction (functions/videometa.py) —
+    duration/timescale/track dimensions from the box tree; frame decode
+    stays gated on native codecs."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from glaredb_spark.functions.videometa import parse_mp4_meta
+
+        for pdf in batches:
+            metas = [parse_mp4_meta(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "major_brand": [m["major_brand"] for m in metas],
+                    "timescale": [m["timescale"] for m in metas],
+                    "duration_seconds": [m["duration_seconds"] for m in metas],
+                    "width": [m.get("width") for m in metas],
+                    "height": [m.get("height") for m in metas],
+                }
+            )
+
+    return media.mapInPandas(_parse, VIDEO_META_SCHEMA)
+
+
 def resize(media: DataFrame, width: int, height: int) -> DataFrame:
     """Real nearest-neighbor resize: decode payload, resize the pixel array,
     re-encode as BMP. Map-only stage (no shuffle); payload column is
@@ -349,3 +385,50 @@ def multimodal_decode_wav(spark, sf_dir):
 
     media = docs.mapInPandas(_gen, gen_schema)
     return decode_audio(media).orderBy("doc_id")
+
+
+_VID_TS = 600
+
+
+@register_query(
+    "multimodal_video_meta",
+    oracle=f"""
+SELECT d.doc_id,
+       'isom' AS major_brand,
+       CAST({_VID_TS} AS INT) AS timescale,
+       CAST(d.doc_id % 300 + 30 AS DOUBLE) AS duration_seconds,
+       CAST(320 + (d.doc_id % 4) * 160 AS INT) AS width,
+       CAST(180 + (d.doc_id % 4) * 90 AS INT) AS height
+FROM documents d
+ORDER BY d.doc_id
+""",
+)
+def multimodal_video_meta(spark, sf_dir):
+    """REAL MP4 box-tree parsing, arithmetic-oracle-gated: each generated
+    container's duration/dimensions are closed forms of doc_id, so DuckDB
+    computes the expected parse results directly."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id")
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from glaredb_spark.functions.videometa import build_minimal_mp4
+
+        for pdf in batches:
+            payloads = [
+                build_minimal_mp4(
+                    duration=(int(d) % 300 + 30) * _VID_TS,
+                    timescale=_VID_TS,
+                    width=320 + (int(d) % 4) * 160,
+                    height=180 + (int(d) % 4) * 90,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_gen, gen_schema)
+    return video_meta(media).orderBy("doc_id")

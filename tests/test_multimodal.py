@@ -180,3 +180,16 @@ def test_decode_audio_pipeline(spark):
     assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 1, 4)
     assert r.mean_abs == 3.0  # (3+4+0+5)/4
     assert r.rms == (50 / 4) ** 0.5  # sqrt((9+16+0+25)/4)
+
+
+def test_mp4_meta_walker():
+    from glaredb_spark.functions.videometa import build_minimal_mp4, parse_mp4_meta
+
+    m = parse_mp4_meta(build_minimal_mp4(duration=45 * 600, width=1920, height=1080))
+    assert m["duration_seconds"] == 45.0
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["major_brand"] == "isom"
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_meta(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_mp4_meta(build_minimal_mp4(600)[:-20])
