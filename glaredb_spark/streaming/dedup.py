@@ -82,3 +82,110 @@ def dedup_exact_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup candidates — MinHash band-LSH buckets with state
+# ---------------------------------------------------------------------------
+MINHASH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_key", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("first_doc_id", T.LongType()),
+        T.StructField("is_first", T.BooleanType()),
+    ]
+)
+
+MINHASH_STATE_SCHEMA = T.StructType([T.StructField("first_doc_id", T.LongType())])
+
+
+def _bucket_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    first = state.get[0] if state.exists else None
+    ids, firsts, flags = [], [], []
+    for pdf in pdfs:
+        for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+            if first is None:
+                first = doc_id
+                flags.append(True)
+            else:
+                flags.append(doc_id == first)
+            ids.append(doc_id)
+            firsts.append(first)
+    state.update((first,))
+    yield pd.DataFrame(
+        {
+            "band": [int(key[0])] * len(ids),
+            "band_key": [key[1]] * len(ids),
+            "doc_id": ids,
+            "first_doc_id": firsts,
+            "is_first": flags,
+        }
+    )
+
+
+def minhash_candidates_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming MinHash band-LSH: each arriving doc is hashed into the same
+    (band, band_key) buckets as the batch dedup_minhash_lsh operator (same
+    shingles, same 16 permutations, same 4 bands — operators/dedup.py), and
+    every bucket keeps its first-seen doc in state. A doc colliding with a
+    bucket seen in ANY earlier micro-batch emits a candidate row pairing it
+    with that representative.
+
+    The signature is computed PER ROW with scalar expressions
+    (array_min over transformed hash arrays) — no pre-state shuffle, so the
+    plan has exactly one stateful operator, which Structured Streaming's
+    append mode requires. Candidate pairs still need exact Jaccard
+    verification downstream, exactly like the batch LSH path."""
+    from glaredb_spark.operators.dedup import (
+        A,
+        B,
+        BANDS,
+        NUM_HASHES,
+        P31,
+        ROWS_PER_BAND,
+        _SHINGLE_EXPR,
+        _hash64,
+    )
+
+    toks = (
+        docs.select("doc_id", F.split(F.col(text_col), " ").alias("t"))
+        .withColumn("hs", F.array_distinct(F.transform(F.expr(_SHINGLE_EXPR), _hash64)))
+        # batch parity: docs too short to shingle produce no posting rows in
+        # the batch path, so they must not all collide in an md5('') bucket
+        .filter(F.size("hs") > 0)
+    )
+    def _perm(j: int):
+        # closure factory, NOT a two-arg lambda: F.transform would treat a
+        # second parameter as the element-index Column
+        return F.array_min(
+            F.transform("hs", lambda h: (F.lit(A[j]) * h + F.lit(B[j])) % F.lit(P31))
+        ).alias(f"mh{j}")
+
+    sigs = toks.select("doc_id", *[_perm(j) for j in range(NUM_HASHES)])
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(BANDS)
+    ]
+    exploded = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    )
+    return exploded.groupBy("band", "band_key").applyInPandasWithState(
+        _bucket_update,
+        outputStructType=MINHASH_OUTPUT_SCHEMA,
+        stateStructType=MINHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
