@@ -183,3 +183,46 @@ def text_fingerprint(spark, sf_dir):
         .cast("long")
         .alias("content_hash64"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting — GPT-2-style pre-tokenizer segments + a
+# deterministic subword estimate (ceil(len/4) per segment, integer math)
+# ---------------------------------------------------------------------------
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@register_query(
+    "text_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_pretokens,
+       CAST(list_sum(list_transform(regexp_extract_all(text, '{_BPE_PAT}'),
+                                    s -> (strlen(s) + 3) // 4)) AS BIGINT)
+         AS est_bpe_tokens
+FROM documents
+WHERE text <> ''
+ORDER BY doc_id
+""",
+)
+def text_bpe_token_count(spark, sf_dir):
+    """Pre-tokenizer segmentation (letter runs / digit runs / punctuation
+    runs — the GPT-2 regex shape) plus a ceil(len/4) subword estimate:
+    the standard cheap proxy for LLM token budgets over a 100 TB corpus.
+    Map-only JVM pipeline — regexp + higher-order aggregate, no Python."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    segs = F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)")
+    est = F.aggregate(
+        F.transform(segs, lambda s: (F.length(s) + 3).cast("long") / F.lit(4)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
+    )
+    return (
+        docs.filter(F.col("text") != "")
+        .select(
+            "doc_id",
+            F.size(segs).cast("long").alias("n_pretokens"),
+            est.alias("est_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
