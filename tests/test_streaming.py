@@ -43,3 +43,22 @@ def test_session_window_stream(spark, stream):
     assert len(rows) > 0
     assert all(r.session_end >= r.session_start for r in rows)
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, sf_dir, stream):
+    """session_window sessions must equal the batch lag-based sessionize:
+    same (user, start, count, value) — stream end = last event + gap by
+    Spark's definition, so end is compared via start of the SAME session."""
+    from glaredb_spark.registry import QUERIES, load_all
+    from glaredb_spark.streaming.events import run_to_memory, session_counts
+
+    load_all()
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in run_to_memory(session_counts(stream), "t_sessions_eq").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in QUERIES["events_sessionize"](spark, sf_dir).collect()
+    }
+    assert got == want
