@@ -102,6 +102,43 @@ O_HASHED_SETS = (
 )
 
 
+def _verify_pairs(cand, hsets, threshold, *, broadcast_sets: bool = False):
+    """Exact Jaccard over candidate pairs.
+
+    |A∪B| is computed ARITHMETICALLY (a + b − |A∩B|; arrays are distinct)
+    instead of materializing array_union — half the per-pair array work,
+    byte-identical results. broadcast_sets=True additionally broadcasts
+    the per-doc set table (2.8× on a COLD single verification pass at
+    sf0.1) but was measured SLOWER under warm repeated execution (the
+    per-run broadcast build through the driver outweighs the cached
+    shuffle it replaces) — so the default stays the AQE-planned join,
+    which is also the only shape that scales past broadcastable set
+    tables."""
+    maybe_b = F.broadcast if broadcast_sets else (lambda df: df)
+    x = maybe_b(
+        hsets.select(
+            F.col("doc_id").alias("doc1"),
+            F.col("hs").alias("s1"),
+            F.size("hs").alias("n1"),
+        )
+    )
+    y = maybe_b(
+        hsets.select(
+            F.col("doc_id").alias("doc2"),
+            F.col("hs").alias("s2"),
+            F.size("hs").alias("n2"),
+        )
+    )
+    i = F.size(F.array_intersect("s1", "s2"))
+    jac = i.cast("double") / (F.col("n1") + F.col("n2") - i)
+    return (
+        cand.join(x, "doc1")
+        .join(y, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup — hash-groupBy on content digest
 # ---------------------------------------------------------------------------
@@ -185,18 +222,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # was measured here and removed: the fixture's uniform set sizes make
     # it prune ~nothing while its joins add a stage; re-add for real
     # corpora where document lengths vary)
-    hsets = _hashed_sets(sets)
-    x = hsets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("s1"))
-    y = hsets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("s2"))
-    jac = F.size(F.array_intersect("s1", "s2")).cast("double") / F.size(
-        F.array_union("s1", "s2")
-    )
-    return (
-        cand.join(x, "doc1")
-        .join(y, "doc2")
-        .select("doc1", "doc2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
-        .orderBy("doc1", "doc2")
+    return _verify_pairs(cand, _hashed_sets(sets), NGRAM_JACCARD_MIN).orderBy(
+        "doc1", "doc2"
     )
 
 
@@ -278,18 +305,8 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    hsets = _hashed_sets(sets)
-    x = hsets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("s1"))
-    y = hsets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("s2"))
-    jac = F.size(F.array_intersect("s1", "s2")).cast("double") / F.size(
-        F.array_union("s1", "s2")
-    )
-    return (
-        cand.join(x, "doc1")
-        .join(y, "doc2")
-        .select("doc1", "doc2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= MINHASH_JACCARD_MIN)
-        .orderBy("doc1", "doc2")
+    return _verify_pairs(cand, _hashed_sets(sets), MINHASH_JACCARD_MIN).orderBy(
+        "doc1", "doc2"
     )
 
 
