@@ -20,8 +20,16 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+# COPY (subquery)|table TO 'path' [(FORMAT fmt [, HEADER])]  — DuckDB shape
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'([^']+)'"
+    r"\s*(?:\(\s*FORMAT\s+(\w+)\s*(?:,\s*HEADER\s*)?\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 # All driver fixture tables (TESTDATA.md).
 TPCH_TABLES = (
@@ -100,10 +108,42 @@ class GlareSession:
     def sql(self, query: str) -> DataFrame:
         """SQL with the reference's table functions available in FROM —
         read_parquet/read_csv/read_text/glob/parquet_*_metadata/
-        generate_series with literal args (see functions/table_sql.py)."""
+        generate_series with literal args (see functions/table_sql.py) —
+        plus ``COPY (query) TO 'path' (FORMAT ...)`` (the surface the
+        reference declares and stubs, plan_copy.rs:25; DuckDB syntax)."""
         from glaredb_spark.functions.table_sql import rewrite_table_functions
 
+        copy = _COPY_RE.match(query)
+        if copy:
+            return self._run_copy(copy)
         return self.spark.sql(rewrite_table_functions(self.spark, query))
+
+    def _run_copy(self, m: "re.Match") -> DataFrame:
+        """Execute COPY: write the source relation to the target path in the
+        requested (or suffix-inferred) format; returns a 1-row Count frame,
+        DuckDB-style."""
+        from pyspark.sql import functions as F
+
+        from glaredb_spark.functions.table_sql import rewrite_table_functions
+
+        source, path, fmt = m.group(1), m.group(2), m.group(3)
+        if source.startswith("("):
+            df = self.spark.sql(
+                rewrite_table_functions(self.spark, source[1:-1])
+            )
+        else:
+            df = self.spark.table(source)
+        fmt = (fmt or os.path.splitext(path)[1].lstrip(".") or "parquet").lower()
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(f"COPY TO: unsupported format {fmt!r}")
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        getattr(writer, fmt)(path)
+        n = self.spark.read.format(fmt).options(
+            **({"header": "true", "inferSchema": "true"} if fmt == "csv" else {})
+        ).load(path).count()
+        return self.spark.range(1).select(F.lit(n).alias("Count"))
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

@@ -1,0 +1,49 @@
+"""COPY ... TO SQL surface (reference plan_copy.rs declares + stubs it;
+DuckDB syntax): subquery and table sources, parquet/csv, format inference,
+table-function composition."""
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def sess(spark, sf_dir):
+    from glaredb_spark.session import GlareSession
+
+    s = GlareSession(spark)
+    s.register_tables(sf_dir, ("nation", "region"))
+    return s
+
+
+def test_copy_subquery_to_parquet(sess, tmp_path):
+    out = str(tmp_path / "af_nations.parquet")
+    n = sess.sql(
+        f"COPY (SELECT n_name, n_regionkey FROM nation WHERE n_regionkey = 0) "
+        f"TO '{out}' (FORMAT PARQUET)"
+    ).collect()[0].Count
+    assert n == 5
+    back = sess.spark.read.parquet(out)
+    assert back.count() == 5 and set(back.columns) == {"n_name", "n_regionkey"}
+
+
+def test_copy_table_to_csv_with_inferred_format(sess, tmp_path):
+    out = str(tmp_path / "regions.csv")
+    n = sess.sql(f"COPY region TO '{out}'").collect()[0].Count
+    assert n == 5
+    back = sess.spark.read.option("header", "true").csv(out)
+    assert back.count() == 5 and "r_name" in back.columns
+
+
+def test_copy_composes_with_table_functions(sess, tmp_path):
+    out = str(tmp_path / "tf.parquet")
+    n = sess.sql(
+        f"COPY (SELECT * FROM read_parquet('{SF_SMALL}/region.parquet')) "
+        f"TO '{out}' (FORMAT PARQUET)"
+    ).collect()[0].Count
+    assert n == 5
+
+
+def test_copy_bad_format_raises(sess, tmp_path):
+    with pytest.raises(ValueError, match="unsupported format"):
+        sess.sql(f"COPY region TO '{tmp_path}/x.xyz' (FORMAT XML)")
