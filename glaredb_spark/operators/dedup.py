@@ -314,10 +314,13 @@ def dedup_minhash_lsh(spark, sf_dir):
 # SimHash — 32-bit signatures + banded Hamming pairing
 # ---------------------------------------------------------------------------
 
-def _simhash_df(spark, sf_dir):
-    toks = _tokens_df(spark, sf_dir).select(
-        "doc_id", F.explode(F.array_distinct("t")).alias("w")
-    )
+def _simhash_df(spark, sf_dir, weighted: bool = False):
+    """32-bit SimHash signatures. weighted=True uses term-frequency weights
+    (Charikar's weighted form): every token OCCURRENCE votes ±1 per bit,
+    which is exactly tf-weighting with integer sums — deterministic, and the
+    standard choice for real corpora where repeated terms carry signal."""
+    col = F.col("t") if weighted else F.array_distinct("t")
+    toks = _tokens_df(spark, sf_dir).select("doc_id", F.explode(col).alias("w"))
     hashed = toks.select("doc_id", _hash64(F.col("w")).alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
@@ -334,9 +337,11 @@ def _simhash_df(spark, sf_dir):
     return bit_sums.select("doc_id", simhash.alias("simhash"))
 
 
-_O_SIMHASH = f"""
+def _o_simhash(weighted: bool = False) -> str:
+    distinct = "" if weighted else "DISTINCT "
+    return f"""
 tok AS ({O_TOK}),
-words AS (SELECT DISTINCT doc_id, unnest(t) AS w FROM tok),
+words AS (SELECT {distinct}doc_id, unnest(t) AS w FROM tok),
 hashed AS (SELECT doc_id, {_o_hash64('w')} AS h FROM words),
 bitsums AS (SELECT doc_id,
   {", ".join(f"SUM(CASE WHEN (h // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(32))}
@@ -345,6 +350,9 @@ sigs AS (SELECT doc_id,
   CAST({" + ".join(f"(CASE WHEN s{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(32))} AS BIGINT) AS simhash
   FROM bitsums)
 """
+
+
+_O_SIMHASH = _o_simhash(False)
 
 
 @register_query(
@@ -520,3 +528,16 @@ def embedding_dup_pairs(
         .select("v1", "v2", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+@register_query(
+    "dedup_simhash_weighted",
+    oracle=f"""
+WITH {_o_simhash(True)}
+SELECT doc_id, simhash FROM sigs ORDER BY doc_id
+""",
+)
+def dedup_simhash_weighted(spark, sf_dir):
+    """tf-weighted SimHash signatures (every token occurrence votes) —
+    the weighted Charikar form for corpora where term repetition matters."""
+    return _simhash_df(spark, sf_dir, weighted=True).orderBy("doc_id")
