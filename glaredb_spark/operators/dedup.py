@@ -197,12 +197,24 @@ ORDER BY doc1, doc2
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     # sets/posting feed several DAG branches (blocking, candidate join,
-    # verification) — persist so the shingle explosion runs once, not 4×
-    sets = _shingles_df(spark, sf_dir).select(
-        "doc_id", F.array_distinct("shingles").alias("s")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    posting = sets.select("doc_id", F.explode("s").alias("sh")).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
+    # verification) — persist so the shingle explosion runs once, not 4×.
+    # hs (hashed set) and n (= |hs|) are computed here too, so the hash
+    # transform runs once and n rides the posting rows for free.
+    sets = (
+        _shingles_df(spark, sf_dir)
+        .select("doc_id", F.array_distinct("shingles").alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.array_distinct(F.transform("s", lambda x: _hash64(x))).alias("hs"),
+        )
+        .select("doc_id", "s", "hs", F.size("hs").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    posting = (
+        sets.select("doc_id", "n", F.explode("s").alias("sh"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rare = (
         posting.groupBy("sh")
@@ -211,20 +223,24 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select("sh")
     )
     p = posting.join(rare, "sh")
+    # size-ratio prune: J ≥ θ ⇒ |A∩B| ≤ min(n1,n2) and |A∪B| ≥ max(n1,n2),
+    # so min(n1,n2) ≥ θ·max(n1,n2) — lossless. n is carried on the posting
+    # rows (no extra join or stage); on skewed real corpora this drops
+    # cross-length candidate pairs before the distinct+verify shuffles.
     cand = (
         p.alias("a")
         .join(p.alias("b"), "sh")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.least("a.n", "b.n")
+            >= F.lit(NGRAM_JACCARD_MIN) * F.greatest("a.n", "b.n")
+        )
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    # (a size-ratio candidate prune — J ≥ θ ⇒ |A|,|B| within factor 1/θ —
-    # was measured here and removed: the fixture's uniform set sizes make
-    # it prune ~nothing while its joins add a stage; re-add for real
-    # corpora where document lengths vary)
-    return _verify_pairs(cand, _hashed_sets(sets), NGRAM_JACCARD_MIN).orderBy(
-        "doc1", "doc2"
-    )
+    return _verify_pairs(
+        cand, sets.select("doc_id", "hs"), NGRAM_JACCARD_MIN
+    ).orderBy("doc1", "doc2")
 
 
 # ---------------------------------------------------------------------------
