@@ -286,6 +286,64 @@ def fn_agg_stats_exact(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# list/struct battery (reference: functions/scalar/builtin/list/ —
+# list_extract is 1-INDEXED (list_extract.rs), list_value constructor;
+# struct_funcs.rs struct_pack/struct_extract). Spark: element_at is also
+# 1-indexed with negative-from-end, matching the reference and DuckDB
+# bracket indexing. Outputs are extracted back to scalars so the gate
+# compares plain columns (no array/struct-typed output normalization).
+# ---------------------------------------------------------------------------
+@register_query(
+    "fn_list_struct_battery",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS t
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tok,
+       t[1] AS first_tok,
+       t[-1] AS last_tok,
+       t[3] AS third_tok,
+       list_sort(t)[1] AS min_tok,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       list_contains(t, 'table') AS has_table,
+       CAST(list_position(t, 'value') AS BIGINT) AS pos_value,
+       array_to_string(t[1:5], '-') AS head5,
+       array_to_string(list_reverse_sort(list_distinct(t))[1:2], '|') AS top2,
+       struct_pack(lang := lang, n := len(t)).lang AS s_lang,
+       CAST(struct_pack(lang := lang, n := len(t)).n AS BIGINT) AS s_n,
+       [lang, source][2] AS lv2
+FROM tok
+ORDER BY doc_id
+""",
+)
+def fn_list_struct_battery(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") < 100
+    )
+    tok = docs.select("doc_id", "lang", "source", F.split("text", " ").alias("t"))
+    packed = F.struct(F.col("lang"), F.size("t").alias("n"))
+    return tok.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        F.element_at("t", 1).alias("first_tok"),
+        F.element_at("t", -1).alias("last_tok"),
+        F.element_at("t", 3).alias("third_tok"),
+        F.element_at(F.array_sort("t"), 1).alias("min_tok"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.array_contains("t", "table").alias("has_table"),
+        F.array_position("t", "value").cast("long").alias("pos_value"),
+        F.array_join(F.slice("t", 1, 5), "-").alias("head5"),
+        F.array_join(
+            F.slice(F.reverse(F.array_sort(F.array_distinct("t"))), 1, 2), "|"
+        ).alias("top2"),
+        packed.getField("lang").alias("s_lang"),
+        packed.getField("n").cast("long").alias("s_n"),
+        F.element_at(F.array("lang", "source"), 2).alias("lv2"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # native approximate / transcendental battery — rows-only (no oracle):
 # approx_count_distinct (HLL — reference statistics/hll.rs),
 # percentile_approx (t-digest — reference statistics/tdigest.rs),

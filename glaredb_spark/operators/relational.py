@@ -103,6 +103,68 @@ def rel_window_running(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# window frame battery — explicit ROWS / RANGE frames + distribution and
+# value functions (ntile, percent_rank, cume_dist, first/last/nth_value).
+# Frames are explicit everywhere (last_value under the default frame is the
+# current row — a classic cross-engine footgun); order keys are unique
+# (o_orderkey tiebreaker) so results are engine-independent; percent_rank /
+# cume_dist are single divisions of exact integers (bit-identical doubles).
+# ---------------------------------------------------------------------------
+@register_query(
+    "rel_window_frames",
+    oracle="""
+SELECT o_orderpriority, o_orderkey,
+       CAST(NTILE(4) OVER wo AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER wo AS pr,
+       CUME_DIST() OVER wo AS cd,
+       FIRST_VALUE(o_orderkey) OVER wf AS first_key,
+       LAST_VALUE(o_orderkey) OVER wf AS last_key,
+       NTH_VALUE(o_orderkey, 2) OVER wf AS second_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER wr AS DOUBLE)
+         AS range_sum,
+       CAST(COUNT(*) OVER wr AS BIGINT) AS range_n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+              OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+         AS centered_sum
+FROM orders
+WHERE o_orderkey < 2000
+WINDOW wo AS (PARTITION BY o_orderpriority ORDER BY o_orderkey),
+       wf AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       wr AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+              RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderpriority, o_orderkey
+""",
+)
+def rel_window_frames(spark, sf_dir):
+    ords = load_tables(spark, sf_dir, "orders")["orders"].filter(
+        F.col("o_orderkey") < 2000
+    )
+    wo = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wr = wo.rangeBetween(-100, 0)
+    wc = wo.rowsBetween(-1, 1)
+    price = F.col("o_totalprice").cast(D)
+    return (
+        ords.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.ntile(4).over(wo).cast("long").alias("quartile"),
+            F.percent_rank().over(wo).alias("pr"),
+            F.cume_dist().over(wo).alias("cd"),
+            F.first("o_orderkey").over(wf).alias("first_key"),
+            F.last("o_orderkey").over(wf).alias("last_key"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+            F.sum(price).over(wr).cast("double").alias("range_sum"),
+            F.count(F.lit(1)).over(wr).cast("long").alias("range_n"),
+            F.sum(price).over(wc).cast("double").alias("centered_sum"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ROLLUP / CUBE / GROUPING SETS + grouping() (reference: ROLLUP/CUBE are
 # expanded at bind_group_by.rs:164-186; explicit GROUPING SETS stubbed)
 # ---------------------------------------------------------------------------
