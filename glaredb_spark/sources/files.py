@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from glaredb_spark.sources.httpfs import is_http_url, localize
+from glaredb_spark.sources.objectstore import ensure_object_store
 
 
 def _ns_timestamp_columns(path: str) -> list[str]:
@@ -78,7 +79,7 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     (reference: glaredb_http filesystem + slt/http/read_parquet_http.slt).
     """
     _ensure_session_conf(spark)
-    path = localize(path)
+    path = ensure_object_store(spark, localize(path))
     df = spark.read.options(**options).parquet(path)
     for col in _ns_timestamp_columns(path):
         if col in df.columns:
@@ -104,13 +105,18 @@ def read_csv(
     Spark's default escape is backslash."""
     options.setdefault("escape", '"')
     return spark.read.csv(
-        localize(path), header=header, inferSchema=infer_schema, **options
+        ensure_object_store(spark, localize(path)),
+        header=header,
+        inferSchema=infer_schema,
+        **options,
     )
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """One row per file: (filename, content) — read_text.rs:29 semantics."""
-    df = spark.read.format("binaryFile").load(localize(path))
+    df = spark.read.format("binaryFile").load(
+        ensure_object_store(spark, localize(path))
+    )
     return df.select(
         F.col("path").alias("filename"),
         F.decode(F.col("content"), "UTF-8").alias("content"),
@@ -145,6 +151,7 @@ def glob_files(spark: SparkSession, pattern: str) -> DataFrame:
             hits = []
         return spark.createDataFrame([(p,) for p in hits], schema)
     if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", pattern):
+        pattern = ensure_object_store(spark, pattern)
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(pattern)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
