@@ -98,3 +98,4 @@ def load_all() -> None:
     import glaredb_spark.operators.tpcds  # noqa: F401
     import glaredb_spark.functions.queries  # noqa: F401
     import glaredb_spark.operators.skew  # noqa: F401
+    import glaredb_spark.operators.pipeline  # noqa: F401
