@@ -99,3 +99,4 @@ def load_all() -> None:
     import glaredb_spark.functions.queries  # noqa: F401
     import glaredb_spark.operators.skew  # noqa: F401
     import glaredb_spark.operators.pipeline  # noqa: F401
+    import glaredb_spark.operators.sampling  # noqa: F401
