@@ -185,8 +185,10 @@ def connect(
     crates/glaredb_python/src/lib.rs)."""
     sess = GlareSession(get_spark(master, app_name, conf or None))
     from glaredb_spark.functions.register import register_all
+    from glaredb_spark.functions.udtf import register_udtfs
 
     register_all(sess.spark)
+    register_udtfs(sess.spark)
     if sf_dir:
         sess.register_tables(sf_dir)
     return sess
