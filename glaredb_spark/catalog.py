@@ -57,6 +57,35 @@ def list_functions(spark: SparkSession) -> list[str]:
     return [f.name for f in spark.catalog.listFunctions()]
 
 
+def analyze_table(
+    spark: SparkSession, name: str, columns: list[str] | None = None
+) -> None:
+    """ANALYZE TABLE ... COMPUTE STATISTICS — the Spark analog of the
+    reference's table statistics (HLL NDV + cardinality propagation,
+    statistics/{hll,value}.rs, optimizer/join_reorder/statistics.rs:11).
+    The reference estimates stats on the fly per query; Spark persists
+    them in the catalog for the CBO (`spark.sql.cbo.enabled`) — compute
+    once at load, amortized over every subsequent query. Column-level
+    stats add NDV/min/max/null-count, which is what join reordering and
+    broadcast decisions feed on."""
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    else:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
+
+def table_stats(spark: SparkSession, name: str) -> dict[str, str]:
+    """Catalog statistics for a managed table (sizeInBytes/rowCount) —
+    introspection analog of the reference's stats surface."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    out: dict[str, str] = {}
+    for r in rows:
+        if r["col_name"] == "Statistics":
+            out["statistics"] = r["data_type"]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # DESCRIBE with reference type names (SURVEY.md §7 step 4)
 # ---------------------------------------------------------------------------

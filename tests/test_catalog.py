@@ -65,3 +65,26 @@ def test_parquet_csv_sinks_roundtrip(spark, sf_dir, tmp_path):
         back_csv.agg(F.sum("n_nationkey")).collect()[0][0]
         == nation.agg(F.sum("n_nationkey")).collect()[0][0]
     )
+
+
+def test_analyze_table_records_stats(spark, sf_dir):
+    """ANALYZE TABLE persists rowCount/sizeInBytes into the catalog; column
+    stats record NDV for the CBO (reference: statistics/hll.rs NDV +
+    cardinality propagation, computed per-query there, persisted here)."""
+    from glaredb_spark.catalog import analyze_table, drop_table, table_stats
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation.write.mode("overwrite").saveAsTable("stats_nation")
+    try:
+        analyze_table(spark, "stats_nation")
+        stats = table_stats(spark, "stats_nation")
+        assert "statistics" in stats and "25 rows" in stats["statistics"]
+        analyze_table(spark, "stats_nation", ["n_nationkey", "n_regionkey"])
+        ndv = (
+            spark.sql("DESCRIBE EXTENDED stats_nation n_regionkey")
+            .filter(F.col("info_name") == "distinct_count")
+            .collect()
+        )
+        assert ndv and int(ndv[0]["info_value"]) == 5
+    finally:
+        drop_table(spark, "stats_nation")
