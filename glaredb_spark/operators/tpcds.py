@@ -9,6 +9,8 @@ fixture star schema:
 - q33/q56    -> tpcds_channel_union    (UNION ALL of channel subqueries + re-agg)
 - q34/q73    -> tpcds_order_buckets    (CASE bucketing + HAVING counts)
 - q10/q35    -> tpcds_multi_exists     (customers active in BOTH periods)
+- q38 shape  -> tpcds_tri_channel_intersect (INTERSECT of channel sets)
+- q53/q63    -> tpcds_ratio_to_avg     (month revenue vs group average)
 
 Scale notes: rollup/window shapes shuffle once on their grouping keys with
 partial aggregation; the moving average is one window pass after one agg
@@ -280,4 +282,83 @@ def tpcds_multi_exists(spark, sf_dir):
         .join(late, c["c_custkey"] == late["o_custkey"], "left_semi")
         .select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
         .orderBy("custkey")
+    )
+
+
+@register_query(
+    "tpcds_tri_channel_intersect",
+    oracle="""
+SELECT CAST(u AS BIGINT) AS user_id FROM (
+  SELECT DISTINCT user_id AS u FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+ORDER BY user_id
+""",
+)
+def tpcds_tri_channel_intersect(spark, sf_dir):
+    """q38 shape: entities present in ALL three channels via INTERSECT of
+    per-channel distinct sets (the reference stubs INTERSECT physical
+    planning at plan_set_operation.rs:30; Spark ships it). Each branch is
+    a filtered distinct of one scan; at 100 TB the three branches are
+    partition-pruned slices of a single source."""
+    events = _t(spark, sf_dir, "events")["events"]
+
+    def chan(t):
+        return (
+            events.filter(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+        )
+
+    return (
+        chan("click")
+        .intersect(chan("view"))
+        .intersect(chan("purchase"))
+        .select(F.col("user_id").cast("long").alias("user_id"))
+        .orderBy("user_id")
+    )
+
+
+@register_query(
+    "tpcds_ratio_to_avg",
+    oracle=f"""
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         date_trunc('month', o_orderdate) AS month,
+         CAST(SUM({O_PRICE}) AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY 1, 2)
+SELECT priority, month, revenue,
+       revenue / (CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                        OVER (PARTITION BY priority) AS DOUBLE)
+                  / COUNT(*) OVER (PARTITION BY priority)) AS ratio
+FROM monthly
+QUALIFY ratio > 1.05
+ORDER BY priority, month
+""",
+)
+def tpcds_ratio_to_avg(spark, sf_dir):
+    """q53/q63 shape: per-group monthly revenue vs the group's average
+    month, keeping above-average months. One agg shuffle then one window
+    pass; the group average uses exact-decimal sum / count (never AVG
+    over DECIMAL — cross-engine scale rules differ)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("priority")
+    ratio = F.col("revenue") / (
+        F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        monthly.withColumn("ratio", ratio)
+        .filter(F.col("ratio") > 1.05)
+        .orderBy("priority", "month")
     )
