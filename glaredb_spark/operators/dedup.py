@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from glaredb_spark.functions import vector as V
 from glaredb_spark.operators.similarity import o_band_code as _o_band_code
 from glaredb_spark.registry import register_query
-from glaredb_spark.sources.files import load_tables
+from glaredb_spark.sources.files import load_wide
 
 P31 = 2147483647  # 2^31 - 1 (prime)
 NUM_HASHES = 16
@@ -49,7 +49,7 @@ SIMHASH_MAX_HAMMING = 2
 # -- shared shingle/token machinery -----------------------------------------
 
 def _tokens_df(spark, sf_dir):
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = load_wide(spark, sf_dir, "documents")
     return docs.select("doc_id", F.split("text", " ").alias("t"))
 
 
@@ -156,7 +156,7 @@ ORDER BY source
 """,
 )
 def dedup_exact(spark, sf_dir):
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = load_wide(spark, sf_dir, "documents")
     return (
         docs.select("source", "doc_id", F.md5("text").alias("h"))
         .groupBy("source")
@@ -475,7 +475,7 @@ ORDER BY v1, v2
 """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = load_wide(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(
         emb, COSINE_DUP_MIN, r=DEDUP_R, n_bands=DEDUP_BANDS
     ).orderBy("v1", "v2")
@@ -537,7 +537,9 @@ def embedding_dup_pairs(
         r, n_bands = lsh_params(n_rows, threshold, recall, dim)
     cand = lsh_candidate_pairs(emb, r, n_bands, id_col=id_col, emb_col=emb_col)
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
-    cos = V.cosine_similarity(F.col("e1"), F.col("e2"))
+    # Arrow kernel: exact-verification is the hot path (candidate volume ~
+    # sum of band-bucket^2) — numpy batch matmul, bit-identical numerics.
+    cos = V.cosine_arrow(F.col("e1"), F.col("e2"))
     return (
         cand.join(e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1")), "v1")
         .join(e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2")), "v2")

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from glaredb_spark.registry import register_query
-from glaredb_spark.sources.files import load_tables
+from glaredb_spark.sources.files import load_wide
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -266,7 +266,7 @@ ORDER BY doc_id
 """,
 )
 def multimodal_binary_meta(spark, sf_dir):
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = load_wide(spark, sf_dir, "documents")
     media = as_media_table(docs)
     return media.select(
         "doc_id",
@@ -302,7 +302,7 @@ ORDER BY d.doc_id
 """,
 )
 def multimodal_decode_bmp(spark, sf_dir):
-    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id")
+    docs = load_wide(spark, sf_dir, "documents").select("doc_id")
     gen_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -359,7 +359,7 @@ def multimodal_decode_wav(spark, sf_dir):
     """REAL WAV decode, arithmetic-oracle-gated like multimodal_decode_bmp:
     sample i of doc d is (d*37 + i*11) % 4096 - 2048, so DuckDB computes the
     expected mean-abs and RMS in closed form."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id")
+    docs = load_wide(spark, sf_dir, "documents").select("doc_id")
     gen_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -407,7 +407,7 @@ def multimodal_video_meta(spark, sf_dir):
     """REAL MP4 box-tree parsing, arithmetic-oracle-gated: each generated
     container's duration/dimensions are closed forms of doc_id, so DuckDB
     computes the expected parse results directly."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id")
+    docs = load_wide(spark, sf_dir, "documents").select("doc_id")
     gen_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

@@ -40,7 +40,7 @@ from glaredb_spark.operators.dedup import (
 )
 from glaredb_spark.operators.text import STOP_EN, _count_in, _sql_count_in
 from glaredb_spark.registry import register_query
-from glaredb_spark.sources.files import load_tables
+from glaredb_spark.sources.files import load_wide
 
 QUALITY_MIN = 0.45
 
@@ -95,7 +95,7 @@ ORDER BY source
 """,
 )
 def pipeline_corpus_clean(spark, sf_dir):
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = load_wide(spark, sf_dir, "documents")
 
     # stage 1: quality filter (map-only; prunes before any explosion)
     toks = F.split(F.col("text"), " ")

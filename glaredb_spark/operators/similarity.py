@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from glaredb_spark.functions import vector as V
 from glaredb_spark.registry import register_query
-from glaredb_spark.sources.files import load_tables
+from glaredb_spark.sources.files import load_wide
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -122,7 +122,7 @@ ORDER BY query_id, rank
 """,
 )
 def knn_bruteforce_cosine(spark, sf_dir):
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = load_wide(spark, sf_dir, "embeddings")
     # norms once per vector (not per pair) — cosine = dot / (nrm_q * nrm_c)
     n = emb.select(
         "vec_id", "embedding", F.sqrt(V.norm_sq(F.col("embedding"))).alias("nrm")
@@ -282,7 +282,7 @@ ORDER BY query_id, rank
 def knn_lsh_cosine(spark, sf_dir):
     """Banded multi-probe sign-LSH ANN over the embeddings fixture — thin
     wrapper over ann_cosine_topk with the oracle-pinned (r, L) knobs."""
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = load_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return (
         ann_cosine_topk(emb, queries, TOP_K, r=KNN_R, n_bands=KNN_BANDS)
@@ -492,7 +492,7 @@ ORDER BY query_id, rank
 """,
 )
 def knn_ivf_cosine(spark, sf_dir):
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = load_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return ivf_cosine_topk(emb, queries, TOP_K).orderBy("query_id", "rank")
 
@@ -512,7 +512,7 @@ ORDER BY v1, v2
 """,
 )
 def similarity_l2_pairs(spark, sf_dir):
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    emb = load_wide(spark, sf_dir, "embeddings")
     a = emb.filter(F.col("vec_id") < 20).alias("a")
     b = emb.filter(F.col("vec_id") < 20).alias("b")
     return (

@@ -190,6 +190,29 @@ def load_tables(
     }
 
 
+def widen_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before compute-heavy per-row
+    work (vector kernels, shingle hashing, regex pipelines).
+
+    A scan that arrives in fewer splits than cores (one small parquet file
+    → one partition) would run its whole map stage on one task. At real
+    scale this helper is a NO-OP — a large table already arrives in
+    thousands of splits and the partition check skips the exchange — so it
+    only fires when the shuffled bytes are by construction tiny.
+    """
+    spark = df.sparkSession
+    want = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
+def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_tables`` + ``widen_partitions`` for compute-heavy corpora
+    (documents text pipelines, embedding vector kernels)."""
+    return widen_partitions(load_tables(spark, sf_dir, name)[name])
+
+
 # ---------------------------------------------------------------------------
 # Parquet metadata table functions (footer-only, driver-side pyarrow)
 # ---------------------------------------------------------------------------
