@@ -21,6 +21,7 @@ Jaccard/cosine are single divisions of exact integers.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
@@ -102,7 +103,35 @@ O_HASHED_SETS = (
 )
 
 
-def _verify_pairs(cand, hsets, threshold, *, broadcast_sets: bool = False):
+_INTER_UDF: dict = {}  # lazy — pandas_udf needs an active session
+
+
+def _intersect_count_arrow():
+    """Arrow-batched |A∩B| over two distinct-int64-array columns.
+
+    Spark's array_intersect is evaluated interpreted (~20 us per 52-element
+    pair measured); numpy's C intersect over an Arrow batch is ~10x. Counts
+    are integers — bit-exact parity with the JVM form is trivial."""
+    if _INTER_UDF:
+        return _INTER_UDF["f"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _inter(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [np.intersect1d(a, b, assume_unique=True).size for a, b in zip(xa, xb)],
+            dtype="int64",
+        )
+
+    _INTER_UDF["f"] = _inter
+    return _inter
+
+
+def _verify_pairs(
+    cand, hsets, threshold, *, broadcast_sets: bool = False, arrow: bool = False
+):
     """Exact Jaccard over candidate pairs.
 
     |A∪B| is computed ARITHMETICALLY (a + b − |A∩B|; arrays are distinct)
@@ -129,11 +158,14 @@ def _verify_pairs(cand, hsets, threshold, *, broadcast_sets: bool = False):
             F.size("hs").alias("n2"),
         )
     )
-    i = F.size(F.array_intersect("s1", "s2"))
-    jac = i.cast("double") / (F.col("n1") + F.col("n2") - i)
+    if arrow:
+        i = _intersect_count_arrow()(F.col("s1"), F.col("s2"))
+    else:
+        i = F.size(F.array_intersect("s1", "s2")).cast("long")
+    joined = cand.join(x, "doc1").join(y, "doc2")
+    jac = F.col("_i").cast("double") / (F.col("n1") + F.col("n2") - F.col("_i"))
     return (
-        cand.join(x, "doc1")
-        .join(y, "doc2")
+        joined.withColumn("_i", i)
         .select("doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -171,65 +203,79 @@ def dedup_exact(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup — inverted-index blocking, exact verification
+# n-gram Jaccard near-dup — prefix-filtered inverted-index blocking
+# (Bayardo/AllPairs), exact verification
+#
+# Prefix filter (lossless): under ANY global element order, two sets with
+# J(A,B) >= θ must share an element among the first |A| − ⌈θ·|A|⌉ + 1
+# elements of each (if not, the overlap is < θ/(1+θ)·(|A|+|B|), forcing
+# J < θ). We use ascending hash order. Only prefixes are indexed — posting
+# volume drops ~(1−θ)x and candidate pairs quadratically so — on top of
+# the df∈[2, DF_MAX] stop-shingle cutoff and the size-ratio prune.
 # ---------------------------------------------------------------------------
+_O_PFX_LEN = f"CAST(n - ceil({NGRAM_JACCARD_MIN} * n) + 1 AS BIGINT)"
+
+
 @register_query(
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH tok AS ({O_TOK}),
-sets AS (SELECT doc_id, list_distinct({O_SHINGLES}) AS s FROM tok),
-posting AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM sets),
-rare AS (SELECT sh FROM posting GROUP BY sh
+raw AS (SELECT doc_id, list_distinct({O_SHINGLES}) AS s FROM tok),
+sets AS (SELECT doc_id, hs, len(hs) AS n FROM (
+  SELECT doc_id, list_sort(list_distinct(list_transform(s, sh ->
+    {_o_hash64('sh')}))) AS hs FROM raw)),
+pfx AS (SELECT doc_id, n, unnest(hs[1 : {_O_PFX_LEN}]) AS h FROM sets),
+rare AS (SELECT h FROM pfx GROUP BY h
          HAVING COUNT(*) BETWEEN 2 AND {DF_MAX}),
 cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-         FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         JOIN rare r ON a.sh = r.sh),
-hsets AS ({O_HASHED_SETS}),
+         FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
+         JOIN rare r ON a.h = r.h
+         WHERE least(a.n, b.n) >= {NGRAM_JACCARD_MIN} * greatest(a.n, b.n)),
 scored AS (
   SELECT doc1, doc2,
          CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
-           / len(list_distinct(x.hs || y.hs)) AS jaccard
-  FROM cand JOIN hsets x ON doc1 = x.doc_id JOIN hsets y ON doc2 = y.doc_id)
+           / (x.n + y.n - len(list_intersect(x.hs, y.hs))) AS jaccard
+  FROM cand JOIN sets x ON doc1 = x.doc_id JOIN sets y ON doc2 = y.doc_id)
 SELECT doc1, doc2, jaccard FROM scored
 WHERE jaccard >= {NGRAM_JACCARD_MIN}
 ORDER BY doc1, doc2
 """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    # sets/posting feed several DAG branches (blocking, candidate join,
-    # verification) — persist so the shingle explosion runs once, not 4×.
-    # hs (hashed set) and n (= |hs|) are computed here too, so the hash
-    # transform runs once and n rides the posting rows for free.
+    # sets feeds blocking AND verification — persist so the shingle
+    # explosion + hashing runs once. hs is the SORTED distinct hash set:
+    # one array serves as the prefix source (ascending hash = the global
+    # order) and the verification set.
     sets = (
         _shingles_df(spark, sf_dir)
         .select("doc_id", F.array_distinct("shingles").alias("s"))
         .select(
             "doc_id",
-            "s",
-            F.array_distinct(F.transform("s", lambda x: _hash64(x))).alias("hs"),
+            F.sort_array(
+                F.array_distinct(F.transform("s", lambda x: _hash64(x)))
+            ).alias("hs"),
         )
-        .select("doc_id", "s", "hs", F.size("hs").alias("n"))
+        .select("doc_id", "hs", F.size("hs").alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    posting = (
-        sets.select("doc_id", "n", F.explode("s").alias("sh"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    pfx_len = (F.col("n") - F.ceil(F.lit(NGRAM_JACCARD_MIN) * F.col("n")) + 1).cast(
+        "int"
     )
+    pfx = sets.select(
+        "doc_id", "n", F.explode(F.slice("hs", F.lit(1), pfx_len)).alias("h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rare = (
-        posting.groupBy("sh")
+        pfx.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df").between(2, DF_MAX))
-        .select("sh")
+        .select("h")
     )
-    p = posting.join(rare, "sh")
-    # size-ratio prune: J ≥ θ ⇒ |A∩B| ≤ min(n1,n2) and |A∪B| ≥ max(n1,n2),
-    # so min(n1,n2) ≥ θ·max(n1,n2) — lossless. n is carried on the posting
-    # rows (no extra join or stage); on skewed real corpora this drops
-    # cross-length candidate pairs before the distinct+verify shuffles.
+    p = pfx.join(rare, "h")
+    # size-ratio prune: J ≥ θ ⇒ min(n1,n2) ≥ θ·max(n1,n2) — lossless; n
+    # rides the posting rows (no extra join or stage).
     cand = (
         p.alias("a")
-        .join(p.alias("b"), "sh")
+        .join(p.alias("b"), "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(
             F.least("a.n", "b.n")
@@ -239,7 +285,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .distinct()
     )
     return _verify_pairs(
-        cand, sets.select("doc_id", "hs"), NGRAM_JACCARD_MIN
+        cand, sets.select("doc_id", "hs"), NGRAM_JACCARD_MIN, arrow=True
     ).orderBy("doc1", "doc2")
 
 
