@@ -14,12 +14,87 @@ introspection surface; `saveAsTable`/`INSERT INTO` play the DML operators.
 
 from __future__ import annotations
 
+import os
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
 def create_schema(spark: SparkSession, name: str) -> None:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+# ---------------------------------------------------------------------------
+# ATTACH / DETACH database (reference declares + stubs: engine/session.rs:390
+# `not_implemented!("Attach database")`; behavioral spec in
+# slt/standard/attach/memory.slt — duplicate-attach and missing-detach are
+# errors, with the messages mirrored below).
+#
+# Spark mapping: an attached catalog = a Spark database. `ATTACH MEMORY` is
+# an empty database (managed tables live in the warehouse); attaching a
+# directory path registers every parquet/csv file in it as an EXTERNAL
+# table (USING <fmt> LOCATION ...) — zero copy, dropped metadata-only on
+# detach. Attachment state is tracked per SparkSession so the reference's
+# error semantics hold even though Spark's CREATE DATABASE is idempotent.
+# ---------------------------------------------------------------------------
+
+_ATTACHED: dict[str, set[str]] = {}
+_IDENT = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _attached(spark: SparkSession) -> set[str]:
+    key = spark.sparkContext.applicationId
+    return _ATTACHED.setdefault(key, set())
+
+
+def attach_database(
+    spark: SparkSession, alias: str, path: str | None = None
+) -> None:
+    """ATTACH [MEMORY] DATABASE AS alias — optionally backed by a directory
+    of parquet/csv files, each registered as an external table
+    ``alias.<stem>``."""
+    if not _IDENT.match(alias):
+        raise ValueError(f"invalid database alias: {alias!r}")
+    if alias in _attached(spark) or spark.catalog.databaseExists(alias):
+        raise ValueError(f"Catalog with name '{alias}' already attached")
+    spark.sql(f"CREATE DATABASE `{alias}`")
+    try:
+        if path is not None:
+            if not os.path.isdir(path):
+                raise ValueError(f"ATTACH path is not a directory: {path!r}")
+            for fname in sorted(os.listdir(path)):
+                stem, ext = os.path.splitext(fname)
+                fmt = ext.lstrip(".").lower()
+                if fmt not in ("parquet", "csv") or not _IDENT.match(stem):
+                    continue
+                loc = os.path.join(path, fname)
+                opts = (
+                    " OPTIONS (header 'true', inferSchema 'true')"
+                    if fmt == "csv"
+                    else ""
+                )
+                spark.sql(
+                    f"CREATE TABLE `{alias}`.`{stem}` USING {fmt}"
+                    f"{opts} LOCATION '{loc}'"
+                )
+    except BaseException:
+        spark.sql(f"DROP DATABASE IF EXISTS `{alias}` CASCADE")
+        raise
+    _attached(spark).add(alias)
+
+
+def detach_database(spark: SparkSession, alias: str) -> None:
+    """DETACH DATABASE alias — drops the database; external table data is
+    untouched (metadata-only, like the reference's catalog detach)."""
+    if alias not in _attached(spark):
+        raise ValueError(f"Database with name '{alias}' doesn't exist")
+    spark.sql(f"DROP DATABASE IF EXISTS `{alias}` CASCADE")
+    _attached(spark).discard(alias)
+
+
+def list_attached(spark: SparkSession) -> list[str]:
+    return sorted(_attached(spark))
 
 
 def create_view(spark: SparkSession, name: str, sql_text: str) -> None:

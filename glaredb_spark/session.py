@@ -31,6 +31,21 @@ _COPY_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# ATTACH MEMORY DATABASE AS x | ATTACH [DATABASE] 'path' AS x | DETACH
+# DATABASE x — reference statement surface (slt/standard/attach/memory.slt;
+# engine/session.rs:390 stubs the execution).
+_ATTACH_MEM_RE = re.compile(
+    r"^\s*ATTACH\s+MEMORY\s+DATABASE\s+AS\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ATTACH_PATH_RE = re.compile(
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DETACH_RE = re.compile(
+    r"^\s*DETACH\s+DATABASE\s+([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE
+)
+
 # All driver fixture tables (TESTDATA.md).
 TPCH_TABLES = (
     "region",
@@ -116,6 +131,25 @@ class GlareSession:
         copy = _COPY_RE.match(query)
         if copy:
             return self._run_copy(copy)
+        attach = _ATTACH_MEM_RE.match(query) or _ATTACH_PATH_RE.match(query)
+        detach = _DETACH_RE.match(query)
+        if attach or detach:
+            from pyspark.sql import functions as F
+
+            from glaredb_spark import catalog as _cat
+
+            if detach:
+                _cat.detach_database(self.spark, detach.group(1))
+                msg = f"detached {detach.group(1)}"
+            elif len(attach.groups()) == 1:  # memory form
+                _cat.attach_database(self.spark, attach.group(1))
+                msg = f"attached {attach.group(1)}"
+            else:  # path form: ('path', alias)
+                _cat.attach_database(
+                    self.spark, attach.group(2), path=attach.group(1)
+                )
+                msg = f"attached {attach.group(2)}"
+            return self.spark.range(1).select(F.lit(msg).alias("status"))
         return self.spark.sql(rewrite_table_functions(self.spark, query))
 
     def _run_copy(self, m: "re.Match") -> DataFrame:

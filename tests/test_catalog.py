@@ -88,3 +88,55 @@ def test_analyze_table_records_stats(spark, sf_dir):
         assert ndv and int(ndv[0]["info_value"]) == 5
     finally:
         drop_table(spark, "stats_nation")
+
+
+def test_attach_detach_memory(spark):
+    """slt/standard/attach/memory.slt behavior: attach, duplicate-attach
+    error, detach, missing-detach error."""
+    import pytest
+
+    from glaredb_spark import catalog as cat
+
+    cat.attach_database(spark, "t_att_mem")
+    assert "t_att_mem" in cat.list_attached(spark)
+    spark.sql("CREATE TABLE t_att_mem.t1 AS SELECT 1 AS x")
+    assert spark.sql("SELECT x FROM t_att_mem.t1").first().x == 1
+    with pytest.raises(ValueError, match="already attached"):
+        cat.attach_database(spark, "t_att_mem")
+    cat.detach_database(spark, "t_att_mem")
+    assert "t_att_mem" not in cat.list_attached(spark)
+    with pytest.raises(ValueError, match="doesn't exist"):
+        cat.detach_database(spark, "t_att_mem")
+    # re-attach after detach is allowed (slt does exactly this)
+    cat.attach_database(spark, "t_att_mem")
+    cat.detach_database(spark, "t_att_mem")
+
+
+def test_attach_directory_external_tables(spark, sf_dir):
+    """Attaching a fixture dir registers each parquet as an external table
+    under the alias; detach drops metadata only (files untouched)."""
+    from glaredb_spark import catalog as cat
+
+    cat.attach_database(spark, "t_att_dir", path=sf_dir)
+    plain = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    assert spark.table("t_att_dir.nation").count() == plain
+    joined = spark.sql(
+        "SELECT n.n_name, COUNT(*) AS c FROM t_att_dir.nation n "
+        "JOIN t_att_dir.customer c ON n.n_nationkey = c.c_nationkey "
+        "GROUP BY n.n_name ORDER BY n.n_name"
+    )
+    assert joined.count() == 25
+    cat.detach_database(spark, "t_att_dir")
+    assert os.path.exists(os.path.join(sf_dir, "nation.parquet"))
+
+
+def test_attach_sql_statements(spark, sf_dir):
+    """ATTACH/DETACH via the SQL surface (GlareSession.sql)."""
+    from glaredb_spark.session import GlareSession
+
+    sess = GlareSession(spark)
+    assert sess.sql("ATTACH MEMORY DATABASE AS t_att_sql").first().status
+    sess.sql(f"ATTACH '{sf_dir}' AS t_att_sql2")
+    assert sess.sql("SELECT COUNT(*) AS c FROM t_att_sql2.region").first().c == 5
+    sess.sql("DETACH DATABASE t_att_sql")
+    sess.sql("DETACH DATABASE t_att_sql2")
