@@ -123,6 +123,67 @@ def fn_math_battery(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# decimal arithmetic battery (reference: dedicated decimal kernels
+# arith/decimal_arith.rs + decimal_sigs.rs — precision/scale result rules).
+#
+# Discipline (see tpch.py header + memory notes): inputs cast to
+# DECIMAL(15,2) on BOTH engines; every intermediate stays in exact decimal
+# via explicit upcasts (upcasts never round); only the final value goes to
+# DOUBLE/BIGINT (all unscaled values << 2^53, so the conversion is exact on
+# both engines). Decimal→int goes through floor/ceil explicitly — Spark
+# truncates bare casts where DuckDB rounds.
+# ---------------------------------------------------------------------------
+_DP = "CAST(l_extendedprice AS DECIMAL(15,2))"
+_DD = "CAST(l_discount AS DECIMAL(15,2))"
+_DT = "CAST(l_tax AS DECIMAL(15,2))"
+
+
+@register_query(
+    "fn_decimal_battery",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST({_DP} + {_DT} AS DECIMAL(16,2)) AS DOUBLE) AS add_pt,
+       CAST(CAST({_DP} - {_DD} AS DECIMAL(16,2)) AS DOUBLE) AS sub_pd,
+       CAST(CAST({_DP} * {_DD} AS DECIMAL(31,4)) AS DOUBLE) AS mul_pd,
+       CAST(-{_DP} AS DOUBLE) AS neg_p,
+       CAST(abs({_DD} - CAST(0.05 AS DECIMAL(15,2))) AS DOUBLE) AS abs_d,
+       CAST(round({_DP}, 1) AS DOUBLE) AS rnd1,
+       CAST(round({_DP}, 0) AS DOUBLE) AS rnd0,
+       CAST(floor({_DP}) AS BIGINT) AS fl_p,
+       CAST(ceil({_DP}) AS BIGINT) AS ce_p,
+       CAST(CAST({_DP} AS DECIMAL(20,4)) AS DOUBLE) AS up_p,
+       CAST({_DP} AS VARCHAR) AS str_p,
+       ({_DP} > {_DT} * 1000) AS gt_pt
+FROM lineitem WHERE l_orderkey < 400
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def fn_decimal_battery(spark, sf_dir):
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].filter(
+        F.col("l_orderkey") < 400
+    )
+    p = F.col("l_extendedprice").cast("decimal(15,2)")
+    d = F.col("l_discount").cast("decimal(15,2)")
+    t = F.col("l_tax").cast("decimal(15,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (p + t).cast("decimal(16,2)").cast("double").alias("add_pt"),
+        (p - d).cast("decimal(16,2)").cast("double").alias("sub_pd"),
+        (p * d).cast("decimal(31,4)").cast("double").alias("mul_pd"),
+        (-p).cast("double").alias("neg_p"),
+        F.abs(d - F.lit(0.05).cast("decimal(15,2)")).cast("double").alias("abs_d"),
+        F.round(p, 1).cast("double").alias("rnd1"),
+        F.round(p, 0).cast("double").alias("rnd0"),
+        F.floor(p).cast("long").alias("fl_p"),
+        F.ceil(p).cast("long").alias("ce_p"),
+        p.cast("decimal(20,4)").cast("double").alias("up_p"),
+        p.cast("string").alias("str_p"),
+        (p > t * 1000).alias("gt_pt"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
 # datetime battery (reference: functions/scalar/builtin/datetime/)
 # ---------------------------------------------------------------------------
 @register_query(
