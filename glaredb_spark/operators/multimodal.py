@@ -245,9 +245,47 @@ def resize(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling stub for video payloads: keep every n-th row —
-    partition-local filter, no shuffle."""
+    """ROW-level sampling (every n-th media row) — partition-local filter,
+    no shuffle. For frame-level sampling inside one video see
+    ``video_frame_samples``."""
     return media.filter(F.col("doc_id") % every_n == 0)
+
+
+def video_frame_samples(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Every n-th FRAME of each MP4 payload via the real sample table
+    (stts/stsc/stsz/stco — functions/videometa.parse_mp4_samples): one row
+    per kept sample with its byte offset/size/dts — exactly the records a
+    codec needs to seek-read frames without scanning the mdat. Map-only
+    (no shuffle); frame decode itself needs native codecs and raises by
+    name upstream."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_idx", T.LongType()),
+            T.StructField("byte_offset", T.LongType()),
+            T.StructField("sample_bytes", T.LongType()),
+            T.StructField("dts_seconds", T.DoubleType()),
+        ]
+    )
+
+    def _samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from glaredb_spark.functions.videometa import parse_mp4_samples
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sample_idx", "byte_offset",
+                                    "sample_bytes", "dts_seconds")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for s in parse_mp4_samples(bytes(payload)):
+                    if s["idx"] % every_n:
+                        continue
+                    rows["doc_id"].append(int(doc_id))
+                    rows["sample_idx"].append(s["idx"])
+                    rows["byte_offset"].append(s["offset"])
+                    rows["sample_bytes"].append(s["size"])
+                    rows["dts_seconds"].append(s["dts_seconds"])
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(_samples, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -432,3 +470,67 @@ def multimodal_video_meta(spark, sf_dir):
 
     media = docs.mapInPandas(_gen, gen_schema)
     return video_meta(media).orderBy("doc_id")
+
+
+_FS_N = 2  # keep every 2nd frame
+_O_NFRAMES = "(d.doc_id % 5 + 4)"
+_O_SIZE = "(100 + ((d.doc_id + r.i) % 7) * 10)"
+
+
+@register_query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH frames AS (
+  SELECT d.doc_id, r.i AS sample_idx, {_O_SIZE} AS sz
+  FROM documents d, UNNEST(range({_O_NFRAMES})) r(i)),
+placed AS (
+  SELECT doc_id, sample_idx, sz,
+         36 + COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY sample_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM frames)
+SELECT doc_id, CAST(sample_idx AS BIGINT) AS sample_idx,
+       CAST(off AS BIGINT) AS byte_offset,
+       CAST(sz AS BIGINT) AS sample_bytes,
+       CAST(sample_idx * 100 AS DOUBLE) / 600 AS dts_seconds
+FROM placed WHERE sample_idx % {_FS_N} = 0
+ORDER BY doc_id, sample_idx
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """REAL MP4 sample-table resolution (stts/stsc/stsz/stco), arithmetic-
+    oracle-gated: generated containers carry closed-form per-frame sizes,
+    so DuckDB reproduces offsets/sizes/timestamps with a window sum while
+    Spark actually parses the binary box tree."""
+    docs = load_wide(spark, sf_dir, "documents").select("doc_id")
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from glaredb_spark.functions.videometa import build_mp4_with_samples
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 5 + 4
+                sizes = [100 + ((d + i) % 7) * 10 for i in range(n)]
+                payloads.append(
+                    build_mp4_with_samples(
+                        duration=n * 100,
+                        sample_sizes=sizes,
+                        sample_delta=100,
+                        timescale=600,
+                        width=320,
+                        height=180,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_gen, gen_schema)
+    return video_frame_samples(media, every_n=_FS_N).orderBy(
+        "doc_id", "sample_idx"
+    )

@@ -304,6 +304,42 @@ def rel_values_distinct(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SingleRow / NoRows sources (reference execution/operators/single_row.rs:18,
+# no_rows.rs:12 — SELECT without FROM, and a provably-empty relation).
+# UNION ALL of a FROM-less scalar row, an empty branch (WHERE false over a
+# real scan), and an ungrouped aggregate over the empty branch (COUNT over
+# zero rows must still yield its single row).
+# ---------------------------------------------------------------------------
+@register_query(
+    "rel_scalar_rows",
+    oracle="""
+SELECT 'single_row' AS tag, CAST(1 + 2 AS BIGINT) AS v
+UNION ALL
+SELECT 'no_rows' AS tag, CAST(o_orderkey AS BIGINT) AS v
+FROM orders WHERE false
+UNION ALL
+SELECT 'agg_over_empty' AS tag, CAST(COUNT(*) AS BIGINT) AS v
+FROM orders WHERE false
+ORDER BY tag
+""",
+)
+def rel_scalar_rows(spark, sf_dir):
+    ords = load_tables(spark, sf_dir, "orders")["orders"]
+    single = spark.range(1).select(
+        F.lit("single_row").alias("tag"), (F.lit(1) + F.lit(2)).cast("long").alias("v")
+    )
+    empty = ords.filter(F.lit(False)).select(
+        F.lit("no_rows").alias("tag"), F.col("o_orderkey").cast("long").alias("v")
+    )
+    agg_empty = (
+        ords.filter(F.lit(False))
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("agg_over_empty").alias("tag"), F.col("v").cast("long"))
+    )
+    return single.unionAll(empty).unionAll(agg_empty).orderBy("tag")
+
+
+# ---------------------------------------------------------------------------
 # UNNEST / LATERAL (reference stubs UNNEST — plan_unnest.rs:13)
 # ---------------------------------------------------------------------------
 @register_query(
