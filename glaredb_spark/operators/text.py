@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from glaredb_spark.registry import register_query
-from glaredb_spark.sources.files import load_wide
+# deliberately load_tables, NOT load_wide: these are single-pass map-agg
+# pipelines whose per-row work (a few regex/split ops) is cheaper than the
+# widening exchange — measured 0.45s plain vs 0.82s widened at sf0.1. At
+# scale the scan arrives pre-split, so nothing is lost.
+from glaredb_spark.sources.files import load_tables
 
 # fixture vocabulary is lowercase space-separated words; a stopword set for
 # the heuristic scorers (fixture vocab includes common SQL-ish terms)
@@ -65,7 +69,7 @@ ORDER BY doc_id
 """,
 )
 def text_token_stats(spark, sf_dir):
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
     toks = _tokens()
     n_tokens = F.size(toks).cast("long")
     n_unique = F.size(F.array_distinct(toks)).cast("long")
@@ -104,7 +108,7 @@ ORDER BY doc_id
 """,
 )
 def text_quality_score(spark, sf_dir):
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
     toks = _tokens()
     n_tokens = F.size(toks)
     stop_ratio = _count_in(toks, STOP_EN).cast("double") / n_tokens
@@ -139,7 +143,7 @@ ORDER BY 1, 2
 """,
 )
 def text_lang_id(spark, sf_dir):
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
     toks = _tokens()
     en, de, fr = (
         _count_in(toks, STOP_EN),
@@ -175,7 +179,7 @@ ORDER BY doc_id
 """,
 )
 def text_fingerprint(spark, sf_dir):
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
     return docs.select(
         "doc_id",
         F.substring(F.md5("text"), 1, 16).alias("fingerprint"),
@@ -210,7 +214,7 @@ def text_bpe_token_count(spark, sf_dir):
     runs — the GPT-2 regex shape) plus a ceil(len/4) subword estimate:
     the standard cheap proxy for LLM token budgets over a 100 TB corpus.
     Map-only JVM pipeline — regexp + higher-order aggregate, no Python."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
     segs = F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)")
     est = F.aggregate(
         F.transform(segs, lambda s: (F.length(s) + 3).cast("long") / F.lit(4)),
