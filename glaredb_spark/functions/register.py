@@ -24,6 +24,11 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         " (x, y) -> CAST(round((x - y) * (x - y) * 1e12) AS BIGINT)),"
         " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12)",
     ),
+    # reference alias (l2_distance.rs: aliases &["array_distance"])
+    "array_distance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "l2_distance(a, b)",
+    ),
     "dot_product": (
         "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
         "CAST(aggregate(zip_with(a, b,"
@@ -59,10 +64,11 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     # string (reference string/strpos.rs, byte_length.rs)
     "strpos": ("(s STRING, sub STRING) RETURNS INT", "instr(s, sub)"),
     "byte_length": ("(s STRING) RETURNS INT", "octet_length(s)"),
-    # list (reference list/list_extract.rs — 1-indexed)
+    # list (reference list/list_extract.rs — 1-indexed, NULL out of bounds
+    # per slt list_extract.slt; try_element_at matches under ANSI mode)
     "list_extract": (
         "(arr ARRAY<DOUBLE>, i INT) RETURNS DOUBLE",
-        "element_at(arr, i)",
+        "try_element_at(arr, i)",
     ),
     # numeric (reference numeric/isfinite.rs)
     "isfinite": (

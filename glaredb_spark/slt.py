@@ -176,11 +176,143 @@ def _rewrite_order_by(sql: str) -> str:
     return out
 
 
-def rewrite_sql(sql: str) -> str:
+_EXTRACT_RE = re.compile(r"\bEXTRACT\s*\(\s*'(\w+)'", re.IGNORECASE)
+_LIST_VALUE_RE = re.compile(r"\blist_value\s*\(", re.IGNORECASE)
+_UNNEST_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+_REL_PATH_RE = re.compile(
+    r"\b(read_text|read_csv|read_parquet|csv_scan|parquet_scan|glob)"
+    r"\s*\(\s*'([^':]+)'",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_quoted_idents(sql: str) -> str:
+    """Postgres-style "double-quoted" identifiers → Spark backticks ("" →
+    literal quote inside; single-quoted literals untouched)."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = i + 1
+            ident = []
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        ident.append('"')
+                        j += 2
+                        continue
+                    break
+                ident.append(sql[j])
+                j += 1
+            out.append("`" + "".join(ident) + "`")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+_KEYWORDS = frozenset(
+    "SELECT FROM WHERE AND OR NOT IN VALUES ON JOIN BY GROUP ORDER HAVING "
+    "LIMIT OFFSET AS CASE WHEN THEN ELSE END UNION ALL EXCEPT INTERSECT "
+    "DISTINCT BETWEEN LIKE ILIKE IS NULL TRUE FALSE RETURN SET INSERT INTO "
+    "UPDATE DELETE RETURNING WITH RECURSIVE LATERAL CROSS INNER LEFT RIGHT "
+    "FULL OUTER USING NATURAL UNNEST".split()
+)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """`[1, 2]` array literals → array(1, 2). A `[` is a literal (not a
+    subscript) unless the previous non-space char is an identifier char,
+    `)`, or `]`."""
+    out, i, n = [], 0, len(sql)
+    stack = []  # True entries: bracket we rewrote to array(
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "[":
+            tail = "".join(out).rstrip()
+            prev = tail[-1:]
+            is_subscript = bool(prev) and (prev.isalnum() or prev in "_)]`")
+            if is_subscript and (prev.isalnum() or prev == "_"):
+                word = re.search(r"[A-Za-z_]\w*$", tail)
+                if word and word.group().upper() in _KEYWORDS:
+                    is_subscript = False  # `SELECT [`, `WHEN [`, ...
+            if is_subscript:
+                stack.append(False)
+                out.append(ch)
+            else:
+                stack.append(True)
+                out.append("array(")
+        elif ch == "]" and stack:
+            out.append(")" if stack.pop() else ch)
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _sub_outside_literals(sql: str, pat, rep) -> str:
+    """Apply a regex substitution only outside single-quoted literals."""
+    out, seg_start, i, n = [], 0, 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            out.append(pat.sub(rep, sql[seg_start:i]))
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = seg_start = j + 1
+        else:
+            i += 1
+    out.append(pat.sub(rep, sql[seg_start:]))
+    return "".join(out)
+
+
+def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
     sql = _TEMP_TABLE_RE.sub("CREATE TABLE", sql)
     for pat, rep in _TYPE_MAP:
-        sql = pat.sub(rep, sql)
-    sql = _COLUMN_N_RE.sub(lambda m: f"col{m.group(1)}", sql)
+        sql = _sub_outside_literals(sql, pat, rep)
+    sql = _sub_outside_literals(sql, _COLUMN_N_RE, lambda m: f"col{m.group(1)}")
+    sql = _EXTRACT_RE.sub(lambda m: f"EXTRACT({m.group(1)}", sql)
+    sql = _sub_outside_literals(sql, _LIST_VALUE_RE, "array(")
+    sql = _sub_outside_literals(sql, _UNNEST_RE, "explode(")
+    sql = _rewrite_quoted_idents(sql)
+    sql = _rewrite_array_literals(sql)
+    if base_dir:
+        sql = _REL_PATH_RE.sub(
+            lambda m: m.group(0)
+            if m.group(2).startswith("/")
+            else f"{m.group(1)}('{base_dir}/{m.group(2)}'",
+            sql,
+        )
     return _rewrite_order_by(sql)
 
 
@@ -195,6 +327,8 @@ def _fmt(v) -> str:
         return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return "\\x" + v.hex()  # reference binary display
+    if isinstance(v, list):
+        return "[" + ", ".join(_fmt(e) for e in v) + "]"  # [a, b] — unquoted
     if isinstance(v, datetime.datetime):
         s = str(v)
         if "." in s:  # reference trims trailing fractional zeros
@@ -244,7 +378,9 @@ def run_slt_file(sess, path: str) -> SltResult:
             if not sql or _SET_RE.match(sql) or _SKIP_RE.match(sql):
                 res.skipped += 1
                 continue
-            sql = rewrite_sql(sql)
+            # relative data paths in the scripts resolve against the
+            # reference checkout (the reference runs slt from its repo root)
+            sql = rewrite_sql(sql, base_dir="/root/reference/slt")
             m = _CREATE_NAME_RE.search(sql)
             if m and rec.kind != "statement_error":
                 created.append(m.group(1))
