@@ -46,6 +46,10 @@ _DETACH_RE = re.compile(
     r"^\s*DETACH\s+DATABASE\s+([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE
 )
 
+# INSERT INTO <table> ... — reference PhysicalInsert emits an inserted-row
+# Count (execution/operators/catalog/insert.rs:33; slt insert_count.slt)
+_INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
+
 # All driver fixture tables (TESTDATA.md).
 TPCH_TABLES = (
     "region",
@@ -150,6 +154,17 @@ class GlareSession:
                 )
                 msg = f"attached {attach.group(2)}"
             return self.spark.range(1).select(F.lit(msg).alias("status"))
+        ins = _INSERT_RE.match(query)
+        if ins:
+            from pyspark.sql import functions as F
+
+            table = ins.group(1)
+            before = self.spark.table(table).count()
+            self.spark.sql(rewrite_table_functions(self.spark, query))
+            after = self.spark.table(table).count()
+            return self.spark.range(1).select(
+                F.lit(after - before).alias("Count")
+            )
         return self.spark.sql(rewrite_table_functions(self.spark, query))
 
     def _run_copy(self, m: "re.Match") -> DataFrame:
