@@ -78,6 +78,28 @@ _CAT = re.compile(
     re.IGNORECASE,
 )
 
+# FROM 'path.parquet' / JOIN 'path.csv' — file-path-as-table with format
+# inference (reference: slt/parquet/file_infer.slt, csv auto-infer;
+# resolve_file in the binder). Extension picks the reader.
+_FROM_FILE = re.compile(
+    r"\b(FROM|JOIN)\s+'([^']+\.(?:parquet|csv|tsv|txt))'",
+    re.IGNORECASE,
+)
+
+
+def _handle_from_file(spark: SparkSession, m: re.Match) -> str:
+    path = m.group(2)
+    ext = path.rsplit(".", 1)[1].lower()
+    if ext == "parquet":
+        df = _files.read_parquet(spark, path)
+    elif ext in ("csv", "tsv"):
+        df = _files.read_csv(spark, path, **({"sep": "\t"} if ext == "tsv" else {}))
+    else:
+        df = _files.read_text(spark, path)
+    view = _view_name("from_file", path)
+    df.createOrReplaceTempView(view)
+    return f"{m.group(1)} {view}"
+
 
 def _catalog_rows(spark: SparkSession, fn: str):
     """Catalog TVF contents mirroring the reference's columns
@@ -154,7 +176,7 @@ def _handle_cat(spark: SparkSession, m: re.Match) -> str:
 def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
     """Materialize table-function calls as temp views and rewrite the SQL to
     reference them. Returns the rewritten statement."""
-    for pattern, handler in ((_TF, _handle_tf), (_GS, _handle_gs), (_CAT, _handle_cat)):
+    for pattern, handler in ((_TF, _handle_tf), (_GS, _handle_gs), (_CAT, _handle_cat), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:

@@ -184,6 +184,9 @@ _REL_PATH_RE = re.compile(
     r"\s*\(\s*'([^':]+)'",
     re.IGNORECASE,
 )
+_REL_FROM_FILE_RE = re.compile(
+    r"\b(FROM|JOIN)\s+'([^':]+\.(?:parquet|csv|tsv|txt))'", re.IGNORECASE
+)
 
 
 def _rewrite_quoted_idents(sql: str) -> str:
@@ -311,6 +314,12 @@ def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
             lambda m: m.group(0)
             if m.group(2).startswith("/")
             else f"{m.group(1)}('{base_dir}/{m.group(2)}'",
+            sql,
+        )
+        sql = _REL_FROM_FILE_RE.sub(
+            lambda m: m.group(0)
+            if m.group(2).startswith("/")
+            else f"{m.group(1)} '{base_dir}/{m.group(2)}'",
             sql,
         )
     return _rewrite_order_by(sql)

@@ -81,8 +81,12 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     _ensure_session_conf(spark)
     path = ensure_object_store(spark, localize(path))
     df = spark.read.options(**options).parquet(path)
+    dtypes = dict(df.dtypes)
     for col in _ns_timestamp_columns(path):
-        if col in df.columns:
+        # pyarrow reports INT96 timestamps as ns too, but Spark reads those
+        # as TIMESTAMP directly (nanosAsLong only covers annotated NANOS) —
+        # normalize only when the column actually surfaced as raw int64
+        if dtypes.get(col) == "bigint":
             # integer division — double division would lose precision on
             # ~1e18 ns epoch values (double mantissa is 53 bits)
             df = df.withColumn(
@@ -92,24 +96,126 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     return df
 
 
+_CSV_DELIMS = (",", ";", "\t", "|")
+
+
+def _head_lines(path: str) -> list[str]:
+    probe = path
+    if os.path.isdir(probe):
+        members = sorted(
+            p for p in _pyglob.glob(os.path.join(probe, "*")) if os.path.isfile(p)
+        )
+        probe = members[0] if members else probe
+    elif _pyglob.has_magic(probe):
+        hits = sorted(_pyglob.glob(probe))
+        probe = hits[0] if hits else probe
+    if not os.path.isfile(probe):
+        return []
+    try:
+        with open(probe, "rb") as fh:
+            head = fh.read(8192).decode("utf-8", errors="replace")
+    except OSError:
+        return []
+    return [ln for ln in head.splitlines() if ln.strip()][:10]
+
+
+def _sniff_delimiter(path: str) -> str | None:
+    """Detect the field delimiter from the first lines of the file —
+    the reference's dialect detection (glaredb_ext_csv/src/dialect.rs
+    tries candidate dialects and keeps the one yielding a consistent
+    column count > 1). Driver-side, first 8 KB only, local files only."""
+    lines = _head_lines(path)
+    if not lines:
+        return None
+    best, best_count = None, 0
+    for d in _CSV_DELIMS:
+        counts = {ln.count(d) for ln in lines}
+        if len(counts) == 1:
+            (c,) = counts
+            if c > best_count:
+                best, best_count = d, c
+    return best
+
+
+def _field_type(s: str) -> int:
+    """0=bool, 1=int, 2=float, 3=utf8 (restrictiveness order, schema.rs
+    CandidateType)."""
+    s = s.strip().strip('"')
+    if not s:
+        return 0  # empty/null fits anything
+    if s.lower() in ("true", "false"):
+        return 0
+    try:
+        int(s)
+        return 1
+    except ValueError:
+        pass
+    try:
+        float(s)
+        return 2
+    except ValueError:
+        return 3
+
+
+def _sniff_header(lines: list[str], delim: str) -> bool:
+    """Header detection mirroring schema.rs infer_from_records: infer the
+    most-restrictive candidate type per column from rows 2..N, then the
+    first row is a header iff ANY of its fields is invalid for its
+    column's candidate type (a Utf8 column never flags one)."""
+    if not lines:
+        return True
+    first = lines[0].split(delim)
+    if len(lines) == 1:
+        # no data rows to infer from — text-only first line reads as header
+        return all(_field_type(f) == 3 or not f.strip() for f in first)
+    ncols = len(first)
+    candidates = [0] * ncols
+    for ln in lines[1:]:
+        for j, f in enumerate(ln.split(delim)[:ncols]):
+            candidates[j] = max(candidates[j], _field_type(f))
+    # empty fields restrict nothing in DATA rows (null) but are invalid as
+    # typed-column values in the header check (schema.rs: `,,` is a header
+    # of empty names over typed columns)
+    return any(
+        (3 if not f.strip().strip('"') else _field_type(f)) > candidates[j]
+        for j, f in enumerate(first)
+    )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
-    header: bool = True,
+    header: bool | None = None,
     infer_schema: bool = True,
     **options,
 ) -> DataFrame:
     """CSV scan with dialect/schema inference, matching the reference's
-    auto-detecting csv reader (glaredb_ext_csv/src/{schema,dialect}.rs).
-    Standard-CSV quote doubling ("" inside quoted fields) by default —
-    Spark's default escape is backslash."""
+    auto-detecting csv reader (glaredb_ext_csv/src/{schema,dialect}.rs):
+    when no ``sep`` is given the delimiter is sniffed from the file head
+    (comma/semicolon/tab/pipe — consistent count across lines wins), and
+    when ``header`` is None it is sniffed too (a header row never contains
+    numeric fields). Headerless columns are named col1..colN (Spark VALUES
+    convention). Standard-CSV quote doubling ("" inside quoted fields) by
+    default — Spark's default escape is backslash."""
     options.setdefault("escape", '"')
-    return spark.read.csv(
-        ensure_object_store(spark, localize(path)),
+    resolved = ensure_object_store(spark, localize(path))
+    local = resolved.replace("file:", "")
+    lines = _head_lines(local)
+    if "sep" not in options and "delimiter" not in options:
+        sniffed = _sniff_delimiter(local)
+        if sniffed and sniffed != ",":
+            options["sep"] = sniffed
+    if header is None:
+        header = _sniff_header(lines, options.get("sep", options.get("delimiter", ",")))
+    df = spark.read.csv(
+        resolved,
         header=header,
         inferSchema=infer_schema,
         **options,
     )
+    if not header and all(c.startswith("_c") for c in df.columns):
+        df = df.toDF(*[f"col{i + 1}" for i in range(len(df.columns))])
+    return df
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
