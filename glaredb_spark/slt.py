@@ -419,7 +419,14 @@ def run_slt_file(sess, path: str) -> SltResult:
                 actual = [[_fmt(v) for v in row] for row in rows]
                 expected = []
                 for ln in rec.expected:
-                    toks = ln.split() if ncols > 1 else [ln.strip()]
+                    if ncols <= 1:
+                        expected.append([ln.strip()])
+                        continue
+                    # columns are padded with 2+ spaces; strings may hold
+                    # single spaces — prefer the wide split when it yields
+                    # exactly the declared column count
+                    wide = [t for t in re.split(r"\s{2,}", ln.strip()) if t]
+                    toks = wide if len(wide) == ncols else ln.split()
                     expected.append(toks)
                 # no top-level ORDER BY → row order is engine/partitioning
                 # specific (the reference's single-threaded order is not a
@@ -434,9 +441,17 @@ def run_slt_file(sess, path: str) -> SltResult:
                     continue
                 bad = None
                 for r_i, (erow, arow) in enumerate(zip(expected, actual)):
-                    if len(erow) != len(arow) or not all(
+                    ok_row = len(erow) == len(arow) and all(
                         _values_match(e, a) for e, a in zip(erow, arow)
-                    ):
+                    )
+                    if not ok_row:
+                        # values with single embedded spaces make token
+                        # splits ambiguous — fall back to comparing the
+                        # whitespace-normalized full line
+                        ok_row = " ".join(" ".join(erow).split()) == " ".join(
+                            " ".join(arow).split()
+                        )
+                    if not ok_row:
                         bad = f"L{rec.line} row {r_i}: expected {erow} got {arow}"
                         break
                 if bad:

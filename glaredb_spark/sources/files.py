@@ -198,6 +198,10 @@ def read_csv(
     convention). Standard-CSV quote doubling ("" inside quoted fields) by
     default — Spark's default escape is backslash."""
     options.setdefault("escape", '"')
+    # the reference trims whitespace around unquoted fields before type
+    # inference (' 1 ' is an Int64) — mirror with Spark's trim options
+    options.setdefault("ignoreLeadingWhiteSpace", "true")
+    options.setdefault("ignoreTrailingWhiteSpace", "true")
     resolved = ensure_object_store(spark, localize(path))
     local = resolved.replace("file:", "")
     lines = _head_lines(local)
