@@ -1,0 +1,165 @@
+"""Connected components over near-duplicate pairs — dedup CLUSTER IDs.
+
+A production dedup pipeline keeps one representative per duplicate
+CLUSTER, not per pair: near-dup relations are not transitive, so pairs
+(a,b),(b,c) must collapse into one component {a,b,c} with a canonical
+representative (min doc_id). This operator closes that gap on top of any
+pair producer (MinHash-LSH, SimHash, embedding-cosine).
+
+Algorithm: min-label propagation — every node starts labeled with its own
+id; each round every node takes the min of its label and its neighbors'
+labels; fixpoint = components labeled by their minimum member. Rounds ∝
+graph diameter; near-dup clusters are short chains (diameter is small by
+construction — every member pair was within the similarity threshold of a
+shared neighbor), so a handful of rounds suffice. Each round is one
+equi-join + one min-aggregate (two bounded shuffles), with localCheckpoint
+truncating the growing lineage like operators/recursive.py.
+
+At 100 TB scale the same loop holds (labels/edges are id-pairs, shuffles
+are bounded by |E|); for adversarially long chains the alternating
+large-star/small-star variant (Kiveris et al., "Connected Components in
+MapReduce") halves diameter per round — noted in SCALE.md, not needed for
+near-dup graphs.
+
+Oracle: DuckDB WITH RECURSIVE transitive closure + MIN per node — exact
+same components, engine-independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from glaredb_spark.registry import register_query
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node in `edges`; component = min node id
+    of the connected component (undirected)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("n"))
+        .distinct()
+        .withColumn("component", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["n"])
+            .groupBy("a")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new = (
+            labels.join(nbr_min, labels["n"] == nbr_min["a"], "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("x")
+            .join(labels.alias("y"), "n")
+            .filter(F.col("x.component") != F.col("y.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    return labels
+
+
+def _minhash_pairs_cte() -> str:
+    """The dedup_minhash_lsh oracle pipeline as a reusable WITH-body."""
+    from glaredb_spark.operators.dedup import (
+        BANDS,
+        MINHASH_JACCARD_MIN,
+        O_HASHED_SETS,
+        O_SHINGLES,
+        O_TOK,
+        _o_band_key,
+        _o_hash64,
+        _o_minhash_cols,
+    )
+
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_o_band_key(b)} AS band_key FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+tok AS ({O_TOK}),
+sets AS (SELECT doc_id, list_distinct({O_SHINGLES}) AS s FROM tok),
+posting AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM sets),
+hashed AS (SELECT doc_id, {_o_hash64('sh')} AS h FROM posting),
+sigs AS (SELECT doc_id, {_o_minhash_cols()} FROM hashed GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+hsets AS ({O_HASHED_SETS}),
+pairs AS (
+  SELECT doc1, doc2 FROM cand
+  JOIN hsets x ON doc1 = x.doc_id JOIN hsets y ON doc2 = y.doc_id
+  WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+          / len(list_distinct(x.hs || y.hs)) >= {MINHASH_JACCARD_MIN})
+"""
+
+
+@register_query(
+    "dedup_components",
+    oracle=None,  # set below — needs the module-level helper
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate clusters over MinHash-LSH pairs: (doc_id, component_id,
+    cluster_size) for every doc in at least one near-dup pair."""
+    from glaredb_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs, "doc1", "doc2")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.col("component").cast("long").alias("component_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# recursive-closure oracle: same pairs, transitive closure, min per node
+from glaredb_spark.registry import ORACLES  # noqa: E402
+
+ORACLES["dedup_components"] = f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+          UNION SELECT doc2, doc1 FROM pairs),
+reach AS (
+  SELECT a AS n, a AS m FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+comp AS (SELECT n, MIN(m) AS component_id FROM reach GROUP BY n),
+sized AS (SELECT component_id, COUNT(*) AS cluster_size FROM comp
+          GROUP BY component_id)
+SELECT comp.n AS doc_id,
+       CAST(comp.component_id AS BIGINT) AS component_id,
+       CAST(sized.cluster_size AS BIGINT) AS cluster_size
+FROM comp JOIN sized USING (component_id)
+ORDER BY doc_id
+"""
