@@ -279,6 +279,41 @@ def fn_agg_exact(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# exact percentiles (the reference ships approx_quantile/t-digest, covered
+# rows-only in fn_native_approx; the EXACT form is bit-comparable — Spark
+# percentile() and DuckDB quantile_cont() use the same linear interpolation
+# (1-f)*lo + f*hi, verified identical on the fixture)
+# ---------------------------------------------------------------------------
+@register_query(
+    "fn_percentile_battery",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS med_q,
+       quantile_cont(l_quantity, 0.9) AS q90,
+       quantile_cont(l_extendedprice, 0.5) AS med_price,
+       quantile_cont(l_extendedprice, 0.99) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def fn_percentile_battery(spark, sf_dir):
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("med_q"),
+            F.percentile("l_quantity", F.lit(0.9)).alias("q90"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
 # statistical aggregates via exact-decimal closed forms (stddev/var/corr —
 # reference: functions/aggregate/builtin/{stddev,variance,corr,covar}.rs)
 # ---------------------------------------------------------------------------
