@@ -75,3 +75,31 @@ def test_r2_query_plan_shapes(spark, sf_dir):
     # centroid/query/probe sides all broadcast — corpus never broadcast-builds
     assert plan.count("BroadcastExchange") >= 3
     assert "MapInPandas" in plan  # two-phase top-k reduction present
+
+
+def test_prefix_jaccard_plan_no_cartesian(spark, sf_dir):
+    """Blocking keeps the candidate join an equi-join: no cartesian/BNLJ
+    anywhere, verification joins are hash joins on ids."""
+    from glaredb_spark.plans import formatted_plan
+    from glaredb_spark.registry import QUERIES, load_all
+
+    load_all()
+    plan = formatted_plan(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_no_full_scored_window_exchange(spark, sf_dir):
+    """VERDICT r1 done-criterion: no single exchange keyed only by query_id
+    carrying the full scored set — phase 1 reduces via mapInPandas before
+    any exchange; the only query_id-keyed exchange carries k*P candidates
+    (post-reduction), and no Window over query_id exists at all."""
+    from glaredb_spark.plans import formatted_plan
+    from glaredb_spark.registry import QUERIES, load_all
+
+    load_all()
+    plan = formatted_plan(QUERIES["knn_bruteforce_cosine"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+    # the scored set is produced by a broadcast join (corpus not shuffled)
+    assert "BroadcastExchange" in plan
