@@ -68,7 +68,7 @@ def attach_database(
                 fmt = ext.lstrip(".").lower()
                 if fmt not in ("parquet", "csv") or not _IDENT.match(stem):
                     continue
-                loc = os.path.join(path, fname)
+                loc = os.path.join(path, fname).replace("'", "''")
                 opts = (
                     " OPTIONS (header 'true', inferSchema 'true')"
                     if fmt == "csv"

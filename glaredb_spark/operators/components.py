@@ -78,8 +78,12 @@ def connected_components(
         )
         labels = new
         if not changed:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter — raise max_iter, or use "
+        "star-contraction for adversarially long chains)"
+    )
 
 
 def _minhash_pairs_cte() -> str:
