@@ -173,9 +173,17 @@ def _handle_cat(spark: SparkSession, m: re.Match) -> str:
     return view
 
 
+# aggregate-name aliases Spark can't alias via SQL UDFs (aggregates are
+# not SQL-UDF-able) — rewritten at the name level in the pre-binder.
+# approx_quantile is the reference's t-digest aggregate (tdigest.rs);
+# percentile_approx is Spark's equivalent sketch.
+_AGG_ALIAS = re.compile(r"\bapprox_quantile\s*\(", re.IGNORECASE)
+
+
 def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
     """Materialize table-function calls as temp views and rewrite the SQL to
     reference them. Returns the rewritten statement."""
+    sql = _AGG_ALIAS.sub("percentile_approx(", sql)
     for pattern, handler in ((_TF, _handle_tf), (_GS, _handle_gs), (_CAT, _handle_cat), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
