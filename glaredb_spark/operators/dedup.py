@@ -582,13 +582,34 @@ def embedding_dup_pairs(
             n_rows = emb.count()
         r, n_bands = lsh_params(n_rows, threshold, recall, dim)
     cand = lsh_candidate_pairs(emb, r, n_bands, id_col=id_col, emb_col=emb_col)
-    e = emb.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
-    # Arrow kernel: exact-verification is the hot path (candidate volume ~
-    # sum of band-bucket^2) — numpy batch matmul, bit-identical numerics.
-    cos = V.cosine_arrow(F.col("e1"), F.col("e2"))
+    # norms once per VECTOR (not per pair — candidate volume is ~ sum of
+    # band-bucket^2); identical bits to a per-pair cosine since the norm is
+    # the same scaled-integer dot of the same array either way
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("embedding"),
+        F.sqrt(V.norm_sq(F.col(emb_col))).alias("nrm"),
+    )
+    # Arrow kernel: exact-verification is the hot path — numpy batch
+    # matmul over the pair dot products, bit-identical numerics.
+    cos = V.dot_arrow(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
-        cand.join(e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1")), "v1")
-        .join(e.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2")), "v2")
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("v1"),
+                F.col("embedding").alias("e1"),
+                F.col("nrm").alias("n1"),
+            ),
+            "v1",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("v2"),
+                F.col("embedding").alias("e2"),
+                F.col("nrm").alias("n2"),
+            ),
+            "v2",
+        )
         .select("v1", "v2", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
