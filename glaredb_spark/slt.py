@@ -177,6 +177,17 @@ def _rewrite_order_by(sql: str) -> str:
 
 
 _EXTRACT_RE = re.compile(r"\bEXTRACT\s*\(\s*'(\w+)'", re.IGNORECASE)
+# multi-column GROUPING(a,b) is Spark's grouping_id(a,b) (same bitmask)
+_GROUPING_MULTI_RE = re.compile(
+    r"\bGROUPING\s*\(([^()]*,[^()]*)\)", re.IGNORECASE
+)
+# plain GROUP BY + GROUPING() — legal in the reference (always 0); Spark
+# requires grouping sets, so wrap the keys in GROUPING SETS ((keys))
+_PLAIN_GROUP_BY_RE = re.compile(
+    r"\bGROUP\s+BY\s+(?!ROLLUP|CUBE|GROUPING|ALL\b)([^;]*?)"
+    r"(?=\bORDER\b|\bHAVING\b|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
 _LIST_VALUE_RE = re.compile(r"\blist_value\s*\(", re.IGNORECASE)
 _UNNEST_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
 _REL_PATH_RE = re.compile(
@@ -305,6 +316,26 @@ def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
         sql = _sub_outside_literals(sql, pat, rep)
     sql = _sub_outside_literals(sql, _COLUMN_N_RE, lambda m: f"col{m.group(1)}")
     sql = _EXTRACT_RE.sub(lambda m: f"EXTRACT({m.group(1)}", sql)
+    def _expand_grouping(m: re.Match) -> str:
+        # GROUPING(a, b, ...) = bitmask Σ grouping(argᵢ)·2^(n-1-i) —
+        # Spark's grouping_id demands the exact grouping-column set, the
+        # explicit bit sum accepts any arguments like the reference
+        args = [a.strip() for a in m.group(1).split(",")]
+        n = len(args)
+        return (
+            "("
+            + " + ".join(
+                f"CAST(grouping({a}) AS INT) * {1 << (n - 1 - i)}"
+                for i, a in enumerate(args)
+            )
+            + ")"
+        )
+
+    sql = _GROUPING_MULTI_RE.sub(_expand_grouping, sql)
+    if re.search(r"\bGROUPING\s*\(|\bgrouping_id\s*\(", sql, re.IGNORECASE):
+        sql = _PLAIN_GROUP_BY_RE.sub(
+            lambda m: f"GROUP BY GROUPING SETS (({m.group(1).strip()})) ", sql
+        )
     sql = _sub_outside_literals(sql, _LIST_VALUE_RE, "array(")
     sql = _sub_outside_literals(sql, _UNNEST_RE, "explode(")
     sql = _rewrite_quoted_idents(sql)
