@@ -184,3 +184,44 @@ def events_daily_type_pivot(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register_query(
+    "events_retention_cohorts",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.week) // 7 AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users bucketed by first-activity week,
+    counted in each subsequent active week. Two aggregations (per-user min,
+    distinct user-week) + one equi-join on user_id — every shuffle keyed by
+    user or (cohort, offset), never by raw events."""
+    ev = _events(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    cohorts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("CAST(datediff(week, cohort_week) AS BIGINT) div 7").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
