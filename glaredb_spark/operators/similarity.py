@@ -526,3 +526,53 @@ def similarity_l2_pairs(spark, sf_dir):
         )
         .orderBy("v1", "v2")
     )
+
+
+@register_query(
+    "emb_unit_quantize",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({V.o_norm_sq('embedding')}) AS nrm FROM embeddings)
+SELECT vec_id, nrm,
+       list_transform(embedding[1:4], x ->
+         CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS INT)) AS q4,
+       CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+         CAST(round(abs(CAST(list_extract(embedding, i) AS DOUBLE) / nrm
+           - CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) / nrm * 127)
+             AS DOUBLE) / 127) * 1e9) AS BIGINT))) AS BIGINT) AS err_ppb
+FROM n
+ORDER BY vec_id
+""",
+)
+def emb_unit_quantize(spark, sf_dir):
+    """Embedding preprocessing for training pipelines: unit-normalize and
+    int8-quantize (q = round(x/|v| * 127)), reporting the total
+    reconstruction error per vector as a scaled integer (ppb, exact and
+    order-independent). Map-only — no shuffle at any scale; numerics are
+    the deterministic scaled-int discipline (round() is half-away in both
+    engines; |v| comes from the integer-sum norm kernel)."""
+    from glaredb_spark.sources.files import load_wide
+
+    emb = load_wide(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(V.norm_sq(F.col("embedding")))
+    x = lambda c: c.cast("double")  # noqa: E731
+    unit = lambda c: x(c) / F.col("nrm")  # noqa: E731
+    q = lambda c: F.round(unit(c) * 127).cast("int")  # noqa: E731
+    err = lambda c: F.round(  # noqa: E731
+        F.abs(unit(c) - q(c).cast("double") / 127) * 1e9
+    ).cast("long")
+    return (
+        emb.withColumn("nrm", nrm)
+        .select(
+            "vec_id",
+            "nrm",
+            F.transform(F.slice("embedding", 1, 4), q).alias("q4"),
+            F.aggregate(
+                F.transform("embedding", err),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ).alias("err_ppb"),
+        )
+        .orderBy("vec_id")
+    )
