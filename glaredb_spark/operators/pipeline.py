@@ -166,3 +166,42 @@ def pipeline_corpus_clean(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register_query(
+    "pipeline_quality_quantile",
+    oracle=f"""
+SELECT doc_id, source,
+       percent_rank() OVER (PARTITION BY source
+                            ORDER BY {_O_SCORE} DESC, doc_id) AS pct_rank
+FROM documents
+QUALIFY pct_rank <= 0.5
+ORDER BY doc_id
+""",
+)
+def pipeline_quality_quantile(spark, sf_dir):
+    """Per-source quality-quantile pruning: keep each source's top half by
+    quality score (window percent_rank with doc_id tiebreaker — fully
+    deterministic). One shuffle on source; at scale sources are few and
+    large, so the window sort is the cost — for heavy skew, pre-aggregate
+    an approximate per-source threshold instead (documented trade)."""
+    from pyspark.sql import Window
+
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    score = (
+        F.lit(0.4) * (_count_in(toks, STOP_EN).cast("double") / n_tokens)
+        + F.lit(0.3)
+        * F.when(F.col("n_chars").between(100, 500), F.lit(1.0)).otherwise(0.0)
+        + F.lit(0.3)
+        * (F.size(F.array_distinct(toks)).cast("double") / n_tokens)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("q_score"), "doc_id")
+    return (
+        docs.withColumn("q_score", score)
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .filter(F.col("pct_rank") <= 0.5)
+        .select("doc_id", "source", "pct_rank")
+        .orderBy("doc_id")
+    )
