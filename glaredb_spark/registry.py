@@ -110,3 +110,4 @@ def load_all() -> None:
     import glaredb_spark.operators.pipeline  # noqa: F401
     import glaredb_spark.operators.sampling  # noqa: F401
     import glaredb_spark.operators.components  # noqa: F401
+    import glaredb_spark.operators.contamination  # noqa: F401
