@@ -27,13 +27,14 @@ ORACLES: dict[str, str] = {}
 # multimodal real-decode, ClickBench shape. Everything NOT listed still
 # runs in the local full gate (tests/test_oracle_parity.py).
 GATE_PRIORITY: list[str] = [
-    # 18 of 22 TPC-H shapes (q07/q12/q14/q19 yield their prefix slots to
-    # the r2 skew/pipeline/sampling/graph-clustering families — their
-    # operator content [multi-join agg, join+conditional agg, join+agg,
-    # disjunctive filter join] is covered by q03/q05/q06/q08/q09/q10; all
-    # 22 stay in the local gate)
-    *[f"tpch_q{i:02d}" for i in range(1, 23) if i not in (7, 12, 14, 19)],
+    # 17 of 22 TPC-H shapes (q07/q10/q12/q14/q19 yield their prefix slots
+    # to the r2 skew/pipeline/sampling/graph-clustering/decontamination
+    # families — their operator content [multi-join agg, join+agg+topk,
+    # join+conditional agg, join+agg, disjunctive filter join] is covered
+    # by q03/q05/q06/q08/q09/q18; all 22 stay in the local gate)
+    *[f"tpch_q{i:02d}" for i in range(1, 23) if i not in (7, 10, 12, 14, 19)],
     "dedup_components",
+    "text_contamination_13gram",
     "rel_skew_salted_join",
     "pipeline_corpus_clean",
     "pipeline_train_split",
