@@ -273,6 +273,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     p = pfx.join(rare, "h")
     # size-ratio prune: J ≥ θ ⇒ min(n1,n2) ≥ θ·max(n1,n2) — lossless; n
     # rides the posting rows (no extra join or stage).
+    #
+    # NO distinct on candidates: a pair appears once per shared rare prefix
+    # hash (multiplicity bounded by the prefix length, observed ~3x), and
+    # deduplicating the verified survivors (a few hundred rows) is far
+    # cheaper than a distinct shuffle over the full candidate stream —
+    # measured 3.2s → 1.5s at sf0.1. Duplicates verify to the SAME jaccard
+    # (same pair, same sets), so min() is a no-op value-wise.
     cand = (
         p.alias("a")
         .join(p.alias("b"), "h")
@@ -282,11 +289,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
             >= F.lit(NGRAM_JACCARD_MIN) * F.greatest("a.n", "b.n")
         )
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
     )
-    return _verify_pairs(
-        cand, sets.select("doc_id", "hs"), NGRAM_JACCARD_MIN, arrow=True
-    ).orderBy("doc1", "doc2")
+    return (
+        _verify_pairs(cand, sets.select("doc_id", "hs"), NGRAM_JACCARD_MIN, arrow=True)
+        .groupBy("doc1", "doc2")
+        .agg(F.min("jaccard").alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
 
 
 # ---------------------------------------------------------------------------
