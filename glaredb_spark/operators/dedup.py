@@ -369,6 +369,9 @@ def dedup_minhash_lsh(spark, sf_dir):
             F.array(*[_band_key(b) for b in range(BANDS)])
         ).alias("band", "band_key"),
     )
+    # distinct IS kept here (unlike the ngram path): band-key collisions
+    # make a tiny candidate stream (near-dups only), so the distinct is
+    # cheap and skipping it measured SLOWER (extra post-verify shuffle)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])
