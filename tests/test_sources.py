@@ -84,3 +84,18 @@ def test_session_facade(sf_dir):
     assert n == 6000
     # SQL surface includes registered reference-name functions
     assert sess.sql("SELECT strpos('abc','b')").collect()[0][0] == 2
+
+
+def test_widen_partitions_noop_when_wide(spark):
+    """The scale-safety contract: a source that already has >= cores
+    partitions passes through with NO added exchange; a single-split
+    source is spread to default parallelism."""
+    from glaredb_spark.sources.files import widen_partitions
+
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism + 4)
+    assert widen_partitions(wide) is wide  # identical object — no-op
+
+    narrow = spark.range(0, 1000, 1, 1)
+    widened = widen_partitions(narrow)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widened.count() == 1000
