@@ -91,7 +91,7 @@ SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.05) AS a,
        CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ce,
        CAST(floor(l_quantity / 7.0) AS BIGINT) AS fl,
-       sign(l_discount - 0.05) AS sg,
+       CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
        sqrt(l_quantity) AS sq,
        CAST(l_orderkey % 7 AS BIGINT) AS md,
        greatest(l_quantity, l_discount * 100) AS gr,
@@ -112,7 +112,10 @@ def fn_math_battery(spark, sf_dir):
         F.abs(F.col("l_discount") - 0.05).alias("a"),
         F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("ce"),
         F.floor(F.col("l_quantity") / 7.0).cast("long").alias("fl"),
-        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        # DuckDB sign() is TINYINT, F.signum is DOUBLE: the driver value-hash
+        # formats -1 vs -1.0 differently. Values are exactly -1/0/1 → cast
+        # both sides to BIGINT (reference: numeric/sign.rs returns int sign).
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("sg"),
         F.sqrt("l_quantity").alias("sq"),
         (F.col("l_orderkey") % 7).cast("long").alias("md"),
         F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("gr"),

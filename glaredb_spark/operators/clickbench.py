@@ -157,8 +157,10 @@ _N_SUMS = 20
 
 @register_query(
     "cb_sum_expr_battery",
+    # DuckDB SUM(int) is HUGEINT -> float64 in pandas; Spark sum(long) stays
+    # long. Cast the oracle to BIGINT so both engines format integers.
     oracle="SELECT "
-    + ", ".join(f"SUM(n_chars + {i}) AS s{i}" for i in range(_N_SUMS))
+    + ", ".join(f"CAST(SUM(n_chars + {i}) AS BIGINT) AS s{i}" for i in range(_N_SUMS))
     + " FROM documents",
 )
 def cb_sum_expr_battery(spark, sf_dir):

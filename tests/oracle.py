@@ -1,14 +1,20 @@
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
 Runs a registered Spark query and its oracle SQL side by side, then compares
-row count, column names, and values exactly (column-name-sorted, row-sorted)
-— stricter than any plausible driver hash, so passing here implies passing
-the driver's CORRECTNESS check.
+row count, column names, values exactly (column-name-sorted, row-sorted),
+AND per-column dtype classes. The dtype-class check exists because the
+driver's value hash FORMATS cells: an int -1 and a float -1.0 are
+value-equal but hash-different (this is exactly how fn_math_battery slipped
+through the r2 local gate while failing the driver — sign() is TINYINT in
+DuckDB, DOUBLE in Spark). A query passes here only if both engines agree on
+the class (int/float/bool/datetime/date/decimal/str/...) of every column.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
+from decimal import Decimal
 
 import duckdb
 import pandas as pd
@@ -61,6 +67,47 @@ def _cell_eq(a, b) -> bool:
     return a == b
 
 
+def _col_class(s: pd.Series) -> str:
+    """Dtype class of a column as the driver's value-formatter would see it.
+
+    Classes deliberately distinguish int from float (-1 vs -1.0 formats
+    differently) and date from datetime (2024-01-01 vs 2024-01-01 00:00:00),
+    but not int8 from int64 (both format the same).
+    """
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    nn = s.dropna()
+    if nn.empty:
+        return "empty"  # all-null: class unknowable, never flag
+    v = nn.iloc[0]
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, Decimal):
+        return "decimal"
+    if isinstance(v, (_dt.datetime, pd.Timestamp)):
+        return "datetime"
+    if isinstance(v, _dt.date):
+        return "date"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        return "array"
+    return type(v).__name__
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
@@ -68,6 +115,12 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         return [f"column mismatch: spark={sc} oracle={oc}"]
     if len(spark_pdf) != len(oracle_pdf):
         return [f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"]
+    for col in sc:
+        a, b = _col_class(spark_pdf[col]), _col_class(oracle_pdf[col])
+        if a != b and "empty" not in (a, b):
+            errs.append(f"col {col}: dtype-class mismatch spark={a} oracle={b}")
+    if errs:
+        return errs
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
