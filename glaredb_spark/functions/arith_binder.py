@@ -1,0 +1,533 @@
+"""Integer-division + polymorphic-arith pre-binder for the SQL surface.
+
+The reference registers polymorphic ``add/sub/mul/div/rem`` scalar names and
+gives ``/`` *integer* semantics when both operands are integers (``5 / 2 =
+2``) — see ``crates/glaredb_core/src/functions/scalar/builtin/arith/`` and
+its own acceptance file ``slt/standard/functions/scalar/arith.slt``. Spark
+SQL has float ``/`` (``5/2 = 2.5``) and no polymorphic SQL UDFs, so a
+reference user's integer-division SQL would silently change meaning.
+
+This module rewrites SQL text *before* Spark parses it:
+
+1. ``add(a,b)/sub/mul/div/rem`` calls expand to parenthesized infix forms
+   (recursively — ``add(add(1,2), 3)`` works). ``div(a,b)`` expands to
+   ``(a / b)`` and then falls into rule 2, matching the reference where
+   ``div`` on floats is float division (``div(1.0, 2) = 0.5``) and on ints
+   is integer division (``div(5, 2) = 2``).
+2. Every ``/`` whose operands are **provably both integral** becomes
+   Spark's infix ``div`` (bigint, truncates toward zero — exactly the
+   reference's Rust ``i64 /``). Provably means a static scan: integer
+   literals, unary sign, parenthesized int expressions, whitelisted
+   int-returning functions (count/length/...), CAST targets, and column
+   references resolved through a caller-supplied ``resolver`` (catalog
+   schemas / VALUES tuples). Anything unresolvable leaves ``/`` untouched
+   — conservative: unknown sites keep Spark float semantics rather than
+   guessing.
+
+Operand analysis is precedence-aware on the multiplicative level: the left
+operand of ``/`` is the whole preceding ``* / % div`` chain (so
+``1.0 * 3 / 2`` stays float division), the right operand is the single
+following factor (``a / b * c`` only considers ``b``).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+# --- literal / token helpers -------------------------------------------
+
+_INT_LIT = re.compile(r"^[+-]?\d+$")
+_NUM_LIT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+_IDENT = re.compile(r"^[A-Za-z_][\w.]*$")
+
+# Functions whose result is integral iff ALL args are integral.
+_INT_IF_ARGS_INT = {"abs", "mod", "negate", "greatest", "least", "coalesce",
+                    "nullif", "if", "sum", "min", "max", "gcd", "lcm",
+                    "shiftleft", "shiftright", "xor", "power_of_two"}
+# Functions that always return an integral type (Spark + reference agree).
+_ALWAYS_INT = {"count", "length", "char_length", "character_length", "ascii",
+               "strpos", "position", "instr", "levenshtein", "factorial",
+               "row_number", "rank", "dense_rank", "ntile", "octet_length",
+               "bit_length", "sign"}
+_INT_TYPE_NAMES = {"tinyint", "smallint", "int", "integer", "bigint",
+                   "long", "short", "byte", "int8", "int16", "int32",
+                   "int64"}
+
+Resolver = Callable[[str], "bool | None"]
+
+
+def _find_literal_spans(sql: str) -> list[tuple[int, int]]:
+    """Spans of single-quoted literals and backtick identifiers (inclusive
+    start, exclusive end) so rewrites never touch their insides."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'" or ch == "`":
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _in_spans(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(s <= pos < e for s, e in spans)
+
+
+def _split_top_args(s: str) -> list[str]:
+    args, buf, depth, i, n = [], [], 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    if buf:
+        args.append("".join(buf))
+    return [a.strip() for a in args]
+
+
+# --- polymorphic function expansion ------------------------------------
+
+_POLY_RE = re.compile(r"\b(add|sub|mul|div|rem)\s*\(", re.IGNORECASE)
+_POLY_OP = {"add": "+", "sub": "-", "mul": "*", "div": "/", "rem": "%"}
+
+
+def expand_poly_calls(sql: str) -> str:
+    """add(a,b) -> (a + b) etc., innermost-out until fixed point."""
+    while True:
+        spans = _find_literal_spans(sql)
+        m = None
+        for cand in _POLY_RE.finditer(sql):
+            if not _in_spans(cand.start(), spans):
+                m = cand
+                break
+        if m is None:
+            return sql
+        # balanced arg span
+        depth, j, n = 1, m.end(), len(sql)
+        while j < n and depth:
+            if sql[j] == "'":
+                j += 1
+                while j < n and sql[j] != "'":
+                    j += 1
+            elif sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        inner = sql[m.end() : j - 1]
+        args = _split_top_args(expand_poly_calls(inner))
+        if len(args) != 2:
+            # not the arith form (e.g. a user 3-arg function of the same
+            # name) — leave untouched by masking the name's 'b' char
+            return sql[: m.start()] + sql[m.start() :].replace(
+                m.group(1), m.group(1), 1
+            ) if False else sql  # pragma: no cover - defensive
+        op = _POLY_OP[m.group(1).lower()]
+        sql = f"{sql[: m.start()]}({args[0]} {op} {args[1]}){sql[j:]}"
+
+
+# --- int-ness analysis --------------------------------------------------
+
+_CAST_RE = re.compile(r"^cast\s*\((.*)\s+as\s+([A-Za-z_]\w*)", re.IGNORECASE | re.DOTALL)
+
+
+def _is_int_expr(expr: str, resolver: Resolver | None) -> bool | None:
+    """True (provably integral) / False (provably not) / None (unknown)."""
+    e = expr.strip()
+    while e.startswith("(") and e.endswith(")"):
+        # strip only if the parens are balanced around the whole expr
+        depth = 0
+        for i, ch in enumerate(e):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(e) - 1:
+                    break
+        else:
+            e = e[1:-1].strip()
+            continue
+        break
+    if not e:
+        return None
+    if _INT_LIT.match(e):
+        return True
+    if _NUM_LIT.match(e):
+        return False
+    if e.startswith("'"):
+        return False
+    if e[0] in "+-":
+        return _is_int_expr(e[1:], resolver)
+    # binary arith at top level: int iff all terms int
+    parts = _split_arith_terms(e)
+    if len(parts) > 1:
+        verdicts = [_is_int_expr(p, resolver) for p in parts]
+        if any(v is False for v in verdicts):
+            return False
+        if all(v is True for v in verdicts):
+            return True
+        return None
+    cast = _CAST_RE.match(e)
+    if cast:
+        return cast.group(2).lower() in _INT_TYPE_NAMES
+    call = re.match(r"^([A-Za-z_][\w.]*)\s*\((.*)\)$", e, re.DOTALL)
+    if call:
+        fname = call.group(1).lower()
+        if fname in _ALWAYS_INT:
+            return True
+        if fname in _INT_IF_ARGS_INT:
+            verdicts = [
+                _is_int_expr(a, resolver)
+                for a in _split_top_args(call.group(2))
+            ]
+            if all(v is True for v in verdicts):
+                return True
+            if any(v is False for v in verdicts):
+                return False
+            return None
+        return None
+    if _IDENT.match(e):
+        kw = e.lower()
+        if kw in ("null", "true", "false"):
+            return False if kw != "null" else None
+        if resolver is not None:
+            return resolver(e.split(".")[-1])
+        return None
+    return None
+
+
+def _split_arith_terms(e: str) -> list[str]:
+    """Split a (paren-balanced) expression at top-level + - * / % div ops;
+    returns the operand pieces. Binary-minus vs unary-minus: a '-' directly
+    after another operator or at the start is unary and stays attached."""
+    parts, buf, depth, i, n = [], [], 0, 0, len(e)
+    prev_operand = False  # saw an operand since last operator
+    while i < n:
+        ch = e[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if e[j] == "'":
+                    if j + 1 < n and e[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(e[i : j + 1])
+            prev_operand = True
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            if ch in "+-" and prev_operand:
+                parts.append("".join(buf))
+                buf = []
+                prev_operand = False
+                i += 1
+                continue
+            if ch in "*/%":
+                parts.append("".join(buf))
+                buf = []
+                prev_operand = False
+                i += 1
+                continue
+            word = re.match(r"[Dd][Ii][Vv]\b", e[i:])
+            if word and not prev_operand_char(e, i) and buf and buf[-1].isspace():
+                parts.append("".join(buf))
+                buf = []
+                prev_operand = False
+                i += 3
+                continue
+        if not ch.isspace():
+            prev_operand = True
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p for p in (p.strip() for p in parts) if p]
+
+
+def prev_operand_char(e: str, i: int) -> bool:
+    """True if e[i:] starting 'div' is part of a longer identifier."""
+    before = e[i - 1] if i else ""
+    after = e[i + 3] if i + 3 < len(e) else ""
+    return (before.isalnum() or before == "_") or (after.isalnum() or after == "_")
+
+
+# --- the / -> div site rewrite ------------------------------------------
+
+_MULT_OPS = ("*", "/", "%")
+
+
+def _scan_operand_left(sql: str, pos: int) -> tuple[int, str]:
+    """Return (start, text) of the full multiplicative chain ending just
+    before `pos` (the '/' character)."""
+    i = pos - 1
+    # single factor scanner, repeated across * / % div links
+    start = pos
+    while True:
+        while i >= 0 and sql[i].isspace():
+            i -= 1
+        if i < 0:
+            break
+        ch = sql[i]
+        if ch in ")]":
+            depth = 0
+            while i >= 0:
+                if sql[i] in ")]":
+                    depth += 1
+                elif sql[i] in "([":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif sql[i] == "'":
+                    i -= 1
+                    while i >= 0 and sql[i] != "'":
+                        i -= 1
+                i -= 1
+            # optional function name before the (
+            j = i - 1
+            while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+                j -= 1
+            i = j
+            start = j + 1
+        elif ch == "'":
+            j = i - 1
+            while j >= 0 and sql[j] != "'":
+                j -= 1
+            start = j
+            i = j - 1
+        elif ch.isalnum() or ch in "_.`":
+            j = i
+            while j >= 0 and (sql[j].isalnum() or sql[j] in "_.`"):
+                j -= 1
+            start = j + 1
+            i = j
+        else:
+            break
+        # continue left across a multiplicative link?
+        k = i
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        if k >= 0 and sql[k] in _MULT_OPS:
+            i = k - 1
+            continue
+        if k >= 2 and sql[k - 2 : k + 1].lower() == "div" and (
+            k - 3 < 0 or not (sql[k - 3].isalnum() or sql[k - 3] == "_")
+        ):
+            i = k - 3
+            continue
+        break
+    return start, sql[start:pos]
+
+
+def _scan_operand_right(sql: str, pos: int) -> tuple[int, str]:
+    """Return (end, text) of the single factor starting after `pos`."""
+    i, n = pos + 1, len(sql)
+    while i < n and sql[i].isspace():
+        i += 1
+    start = i
+    if i < n and sql[i] in "+-":
+        i += 1
+        while i < n and sql[i].isspace():
+            i += 1
+    if i < n and (sql[i].isalnum() or sql[i] in "_.`"):
+        while i < n and (sql[i].isalnum() or sql[i] in "_.`"):
+            i += 1
+        # exponent part of a float literal like 1e-5
+        if i < n and sql[i - 1] in "eE" and sql[i] in "+-" and sql[start].isdigit():
+            i += 1
+            while i < n and sql[i].isdigit():
+                i += 1
+        if i < n and sql[i] == ".":
+            i += 1
+            while i < n and (sql[i].isalnum() or sql[i] in "_."):
+                i += 1
+        k = i
+        while k < n and sql[k].isspace():
+            k += 1
+        if k < n and sql[k] == "(":  # function call
+            depth = 0
+            i = k
+            while i < n:
+                if sql[i] == "'":
+                    i += 1
+                    while i < n and sql[i] != "'":
+                        i += 1
+                elif sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        i += 1
+                        break
+                i += 1
+    elif i < n and sql[i] == "(":
+        depth = 0
+        while i < n:
+            if sql[i] == "'":
+                i += 1
+                while i < n and sql[i] != "'":
+                    i += 1
+            elif sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+            i += 1
+    elif i < n and sql[i] == "'":
+        i += 1
+        while i < n and sql[i] != "'":
+            i += 1
+        i += 1
+    return i, sql[start:i]
+
+
+def rewrite_int_division(sql: str, resolver: Resolver | None = None) -> str:
+    """Rewrite every provably-int/int ``/`` site to infix ``div``."""
+    out = sql
+    # right-to-left so earlier replacements don't shift later positions
+    spans = _find_literal_spans(out)
+    sites = [
+        i
+        for i, ch in enumerate(out)
+        if ch == "/" and not _in_spans(i, spans)
+    ]
+    for i in reversed(sites):
+        _, left = _scan_operand_left(out, i)
+        _, right = _scan_operand_right(out, i)
+        if not left.strip() or not right.strip():
+            continue
+        if (
+            _is_int_expr(left, resolver) is True
+            and _is_int_expr(right, resolver) is True
+        ):
+            out = out[:i] + " div " + out[i + 1 :]
+    return out
+
+
+# --- VALUES tuple column typing ----------------------------------------
+
+_VALUES_RE = re.compile(r"\bVALUES\b", re.IGNORECASE)
+
+
+def values_colmap(sql: str) -> dict[str, bool]:
+    """colN / columnN -> int-ness inferred from VALUES literal tuples
+    (int only when every tuple's literal in that position is an integer)."""
+    verdict: dict[int, bool] = {}
+    for m in _VALUES_RE.finditer(sql):
+        i, n = m.end(), len(sql)
+        while i < n:
+            while i < n and (sql[i].isspace() or sql[i] == ","):
+                i += 1
+            if i >= n or sql[i] != "(":
+                break
+            depth, j = 0, i
+            while j < n:
+                if sql[j] == "'":
+                    j += 1
+                    while j < n and sql[j] != "'":
+                        j += 1
+                elif sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            tup = _split_top_args(sql[i + 1 : j])
+            for k, lit in enumerate(tup):
+                is_int = bool(_INT_LIT.match(lit.strip()))
+                verdict[k] = verdict.get(k, True) and is_int
+            i = j + 1
+    out: dict[str, bool] = {}
+    for k, v in verdict.items():
+        out[f"col{k + 1}"] = v
+        out[f"column{k + 1}"] = v
+    return out
+
+
+def make_resolver(spark, sql: str) -> Resolver:
+    """Column int-ness resolver: VALUES tuples in the query + schemas of
+    every catalog table/view named after FROM/JOIN. Ambiguous names (same
+    column, different int-ness across tables) resolve to unknown."""
+    vmap = {k.lower(): v for k, v in values_colmap(sql).items()}
+    table_names = set(
+        m.group(2)
+        for m in re.finditer(
+            r"\b(FROM|JOIN)\s+([A-Za-z_][\w.]*)", sql, re.IGNORECASE
+        )
+        if m.group(2).lower() not in ("values", "unnest", "lateral")
+    )
+    colmap: dict[str, bool | None] = {}
+    for t in table_names:
+        try:
+            schema = spark.table(t).schema
+        except Exception:  # noqa: BLE001 — TVFs/missing tables: no info
+            continue
+        for f in schema.fields:
+            name = f.name.lower()
+            is_int = f.dataType.typeName() in (
+                "byte", "short", "integer", "long",
+            )
+            if name in colmap and colmap[name] != is_int:
+                colmap[name] = None
+            else:
+                colmap[name] = is_int
+
+    def resolve(name: str) -> bool | None:
+        key = name.lower()
+        if key in vmap:
+            return vmap[key]
+        return colmap.get(key)
+
+    return resolve
+
+
+_NEEDS_REWRITE = re.compile(
+    r"/|\b(add|sub|mul|div|rem)\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_arith(sql: str, spark=None) -> str:
+    """Full pre-binder pass: polymorphic call expansion + int `/` -> div.
+    No-ops (and costs one regex) when the query has no `/` or poly call."""
+    if not _NEEDS_REWRITE.search(sql):
+        return sql
+    sql = expand_poly_calls(sql)
+    resolver = make_resolver(spark, sql) if spark is not None else None
+    return rewrite_int_division(sql, resolver)

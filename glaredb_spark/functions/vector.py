@@ -116,14 +116,22 @@ def _scaled_dot_np(a_col, b_col):
 
 import pandas as _pd
 
-_ARROW_UDFS: dict = {}  # built lazily — pandas_udf needs an active session
+# Built lazily (pandas_udf needs an active session) and keyed by the active
+# SparkSession: a module-global cached across sessions would hand back UDFs
+# bound to a stopped session's state after spark.stop()/getOrCreate().
+_ARROW_UDFS: dict = {}
 
 
 def _arrow_udfs():
-    if _ARROW_UDFS:
-        return _ARROW_UDFS
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
+
+    sess_key = id(SparkSession.getActiveSession())
+    if _ARROW_UDFS.get("session") == sess_key:
+        return _ARROW_UDFS
+    _ARROW_UDFS.clear()
+    _ARROW_UDFS["session"] = sess_key
 
     @pandas_udf(DoubleType())
     def _dot_arrow_udf(xa: _pd.Series, xb: _pd.Series) -> _pd.Series:

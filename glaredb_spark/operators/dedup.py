@@ -103,7 +103,9 @@ O_HASHED_SETS = (
 )
 
 
-_INTER_UDF: dict = {}  # lazy — pandas_udf needs an active session
+# lazy (pandas_udf needs an active session), keyed by session so a new
+# SparkSession after stop() rebuilds instead of reusing a dead binding
+_INTER_UDF: dict = {}
 
 
 def _intersect_count_arrow():
@@ -112,8 +114,13 @@ def _intersect_count_arrow():
     Spark's array_intersect is evaluated interpreted (~20 us per 52-element
     pair measured); numpy's C intersect over an Arrow batch is ~10x. Counts
     are integers — bit-exact parity with the JVM form is trivial."""
-    if _INTER_UDF:
+    from pyspark.sql import SparkSession
+
+    sess_key = id(SparkSession.getActiveSession())
+    if _INTER_UDF.get("session") == sess_key:
         return _INTER_UDF["f"]
+    _INTER_UDF.clear()
+    _INTER_UDF["session"] = sess_key
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

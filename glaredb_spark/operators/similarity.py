@@ -411,10 +411,19 @@ def ivf_cosine_topk(
     cells = cell_scores.groupBy("vec_id").agg(
         F.min(F.struct("d", "cid")).getField("cid").alias("cid")
     )
-    q_ids = queries.select(F.col(id_col).alias("query_id"))
+    # probe cells come from the QUERY embeddings scored against the
+    # centroids directly (not from corpus cell_scores keyed by vec_id) —
+    # a query vector absent from the corpus still probes its nprobe
+    # nearest cells instead of silently returning zero neighbors
     q_probes = (
-        cell_scores.join(
-            F.broadcast(q_ids), cell_scores.vec_id == q_ids.query_id
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cid",
+            V.l2_distance(F.col("q_emb"), F.col("cemb")).alias("d"),
         )
         .groupBy("query_id")
         .agg(

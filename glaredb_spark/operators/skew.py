@@ -38,7 +38,8 @@ _SALT = "__glaredb_salt"
 
 _PARTIAL = {
     "sum": F.sum,
-    "count": lambda c: F.count(F.lit(1)),
+    # COUNT(col) skips NULLs like SQL; pass "*" for COUNT(*) row counting.
+    "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(F.col(c)),
     "min": F.min,
     "max": F.max,
 }
@@ -61,8 +62,21 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread across ``n_salts``
     tasks. ``small`` is replicated n_salts times (only ever use a small
-    dimension side — replication is the price of the spread)."""
+    dimension side — replication is the price of the spread).
+
+    Only inner/left(-semi/-anti) joins are accepted: with how='right' or
+    'full' every UNMATCHED small-side row would be emitted once per salt
+    replica (n_salts duplicate rows), silently corrupting the result.
+    """
     keys = list(keys)
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join how={how!r} unsupported: the replicated small side "
+            "duplicates unmatched rows under right/full joins; use a plain "
+            "join (AQE skew handling) for those"
+        )
     big_s = big.withColumn(_SALT, _salt_col(big, n_salts, unique_col))
     small_s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

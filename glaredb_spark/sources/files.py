@@ -203,7 +203,9 @@ def read_csv(
     options.setdefault("ignoreLeadingWhiteSpace", "true")
     options.setdefault("ignoreTrailingWhiteSpace", "true")
     resolved = ensure_object_store(spark, localize(path))
-    local = resolved.replace("file:", "")
+    # strip only a LEADING scheme (a path may legally contain 'file:' as a
+    # substring elsewhere)
+    local = resolved.removeprefix("file://").removeprefix("file:")
     lines = _head_lines(local)
     if "sep" not in options and "delimiter" not in options:
         sniffed = _sniff_delimiter(local)
