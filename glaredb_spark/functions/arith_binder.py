@@ -58,22 +58,47 @@ Resolver = Callable[[str], "bool | None"]
 
 
 def _find_literal_spans(sql: str) -> list[tuple[int, int]]:
-    """Spans of single-quoted literals and backtick identifiers (inclusive
-    start, exclusive end) so rewrites never touch their insides."""
+    """Spans of quoted literals ('…' "…" `…`), line comments (-- …) and
+    (nested) block comments (/*…*/), inclusive start / exclusive end, so
+    rewrites never touch their insides. Double quotes are string literals
+    in Spark's default dialect; block comments contain '/' and must be
+    masked before division-site scanning."""
     spans, i, n = [], 0, len(sql)
     while i < n:
         ch = sql[i]
-        if ch == "'" or ch == "`":
+        if ch in "'\"`":
             j = i + 1
             while j < n:
+                if sql[j] == "\\" and ch != "`":
+                    j += 2  # C-style escape (\' \" \\) inside strings
+                    continue
                 if sql[j] == ch:
-                    if ch == "'" and j + 1 < n and sql[j + 1] == "'":
-                        j += 2
+                    if j + 1 < n and sql[j + 1] == ch:
+                        j += 2  # doubled-quote escape ('' "" ``)
                         continue
                     break
                 j += 1
             spans.append((i, j + 1))
             i = j + 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = i + 2
+            while j < n and sql[j] != "\n":
+                j += 1
+            spans.append((i, j))
+            i = j
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql[j] == "/" and j + 1 < n and sql[j + 1] == "*":
+                    depth += 1
+                    j += 2
+                elif sql[j] == "*" and j + 1 < n and sql[j + 1] == "/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            spans.append((i, j))
+            i = j
         else:
             i += 1
     return spans
@@ -87,11 +112,11 @@ def _split_top_args(s: str) -> list[str]:
     args, buf, depth, i, n = [], [], 0, 0, len(s)
     while i < n:
         ch = s[i]
-        if ch == "'":
+        if ch in "'\"":
             j = i + 1
             while j < n:
-                if s[j] == "'":
-                    if j + 1 < n and s[j + 1] == "'":
+                if s[j] == ch:
+                    if j + 1 < n and s[j + 1] == ch:
                         j += 2
                         continue
                     break
@@ -122,11 +147,15 @@ _POLY_OP = {"add": "+", "sub": "-", "mul": "*", "div": "/", "rem": "%"}
 
 
 def expand_poly_calls(sql: str) -> str:
-    """add(a,b) -> (a + b) etc., innermost-out until fixed point."""
+    """add(a,b) -> (a + b) etc., innermost-out until fixed point. A
+    matched name whose call doesn't have exactly 2 args (user UDF of the
+    same name) is skipped — the search continues past it instead of
+    abandoning the remaining rewrites."""
+    offset = 0
     while True:
         spans = _find_literal_spans(sql)
         m = None
-        for cand in _POLY_RE.finditer(sql):
+        for cand in _POLY_RE.finditer(sql, offset):
             if not _in_spans(cand.start(), spans):
                 m = cand
                 break
@@ -135,9 +164,10 @@ def expand_poly_calls(sql: str) -> str:
         # balanced arg span
         depth, j, n = 1, m.end(), len(sql)
         while j < n and depth:
-            if sql[j] == "'":
+            if sql[j] in "'\"":
+                q = sql[j]
                 j += 1
-                while j < n and sql[j] != "'":
+                while j < n and sql[j] != q:
                     j += 1
             elif sql[j] == "(":
                 depth += 1
@@ -147,11 +177,8 @@ def expand_poly_calls(sql: str) -> str:
         inner = sql[m.end() : j - 1]
         args = _split_top_args(expand_poly_calls(inner))
         if len(args) != 2:
-            # not the arith form (e.g. a user 3-arg function of the same
-            # name) — leave untouched by masking the name's 'b' char
-            return sql[: m.start()] + sql[m.start() :].replace(
-                m.group(1), m.group(1), 1
-            ) if False else sql  # pragma: no cover - defensive
+            offset = m.end()
+            continue
         op = _POLY_OP[m.group(1).lower()]
         sql = f"{sql[: m.start()]}({args[0]} {op} {args[1]}){sql[j:]}"
 
@@ -234,11 +261,11 @@ def _split_arith_terms(e: str) -> list[str]:
     prev_operand = False  # saw an operand since last operator
     while i < n:
         ch = e[i]
-        if ch == "'":
+        if ch in "'\"":
             j = i + 1
             while j < n:
-                if e[j] == "'":
-                    if j + 1 < n and e[j + 1] == "'":
+                if e[j] == ch:
+                    if j + 1 < n and e[j + 1] == ch:
                         j += 2
                         continue
                     break
@@ -330,10 +357,25 @@ def _scan_operand_left(sql: str, pos: int) -> tuple[int, str]:
             start = j
             i = j - 1
         elif ch.isalnum() or ch in "_.`":
+            end = i + 1
             j = i
             while j >= 0 and (sql[j].isalnum() or sql[j] in "_.`"):
                 j -= 1
             start = j + 1
+            # signed-exponent float literal (ADVICE r3): a pure digit run
+            # preceded by e+/e- attached to a numeric mantissa is the
+            # exponent tail of ONE float factor ('1e-5'), not an int operand
+            if (
+                sql[start:end].isdigit()
+                and start >= 3
+                and sql[start - 1] in "+-"
+                and sql[start - 2] in "eE"
+                and (sql[start - 3].isdigit() or sql[start - 3] == ".")
+            ):
+                j = start - 3
+                while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+                    j -= 1
+                start = j + 1
             i = j
         else:
             break

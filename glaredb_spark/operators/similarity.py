@@ -544,8 +544,8 @@ WITH n AS (
   SELECT vec_id, embedding,
          sqrt({V.o_norm_sq('embedding')}) AS nrm FROM embeddings)
 SELECT vec_id, nrm,
-       list_transform(embedding[1:4], x ->
-         CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS INT)) AS q4,
+       array_to_string(list_transform(embedding[1:4], x ->
+         CAST(round(CAST(x AS DOUBLE) / nrm * 127) AS INT)), ',') AS q4,
        CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
          CAST(round(abs(CAST(list_extract(embedding, i) AS DOUBLE) / nrm
            - CAST(round(CAST(list_extract(embedding, i) AS DOUBLE) / nrm * 127)
@@ -560,7 +560,10 @@ def emb_unit_quantize(spark, sf_dir):
     reconstruction error per vector as a scaled integer (ppb, exact and
     order-independent). Map-only — no shuffle at any scale; numerics are
     the deterministic scaled-int discipline (round() is half-away in both
-    engines; |v| comes from the integer-sum norm kernel)."""
+    engines; |v| comes from the integer-sum norm kernel). The q4 preview
+    column is serialized to a comma-joined string on both engine and
+    oracle sides: the driver's row canonicalizer cannot sort array cells
+    (r3 ADVICE), and tests/oracle.py now rejects top-level arrays."""
     from glaredb_spark.sources.files import load_wide
 
     emb = load_wide(spark, sf_dir, "embeddings")
@@ -576,7 +579,10 @@ def emb_unit_quantize(spark, sf_dir):
         .select(
             "vec_id",
             "nrm",
-            F.transform(F.slice("embedding", 1, 4), q).alias("q4"),
+            F.concat_ws(
+                ",",
+                F.transform(F.slice("embedding", 1, 4), lambda c: q(c).cast("string")),
+            ).alias("q4"),
             F.aggregate(
                 F.transform("embedding", err),
                 F.lit(0).cast("long"),

@@ -129,9 +129,17 @@ class GlareSession:
         read_parquet/read_csv/read_text/glob/parquet_*_metadata/
         generate_series with literal args (see functions/table_sql.py) —
         plus ``COPY (query) TO 'path' (FORMAT ...)`` (the surface the
-        reference declares and stubs, plan_copy.rs:25; DuckDB syntax)."""
+        reference declares and stubs, plan_copy.rs:25; DuckDB syntax).
+
+        SQL text first passes through the arith pre-binder
+        (functions/arith_binder.py): polymorphic ``add/sub/mul/div/rem``
+        calls expand to infix, and provably-int/int ``/`` gets the
+        reference's integer-division semantics (``5/2 = 2``,
+        functions/scalar/builtin/arith/ + arith.slt)."""
+        from glaredb_spark.functions.arith_binder import rewrite_arith
         from glaredb_spark.functions.table_sql import rewrite_table_functions
 
+        query = rewrite_arith(query, self.spark)
         copy = _COPY_RE.match(query)
         if copy:
             return self._run_copy(copy)
@@ -156,14 +164,28 @@ class GlareSession:
             return self.spark.range(1).select(F.lit(msg).alias("status"))
         ins = _INSERT_RE.match(query)
         if ins:
+            from pyspark.sql import Observation
             from pyspark.sql import functions as F
 
             table = ins.group(1)
-            before = self.spark.table(table).count()
-            self.spark.sql(rewrite_table_functions(self.spark, query))
-            after = self.spark.table(table).count()
+            source = query[ins.end() :].strip().rstrip(";").strip()
+            if re.match(r"(VALUES|SELECT|WITH|TABLE|FROM)\b", source, re.IGNORECASE):
+                # single pass: the inserted-row Count (reference
+                # PhysicalInsert, insert.rs:33) rides along the write via
+                # observe — the target table is never rescanned (at 100 TB
+                # the old before/after count() was two extra full passes)
+                src = self.spark.sql(
+                    rewrite_table_functions(self.spark, source)
+                )
+                obs = Observation()
+                counted = src.observe(obs, F.count(F.lit(1)).alias("n"))
+                counted.write.insertInto(table)
+                n = obs.get["n"]
+            else:  # exotic form (column list etc.) — defer to Spark SQL
+                self.spark.sql(rewrite_table_functions(self.spark, query))
+                n = None
             return self.spark.range(1).select(
-                F.lit(after - before).alias("Count")
+                F.lit(n).cast("bigint").alias("Count")
             )
         return self.spark.sql(rewrite_table_functions(self.spark, query))
 
@@ -175,6 +197,8 @@ class GlareSession:
 
         from glaredb_spark.functions.table_sql import rewrite_table_functions
 
+        from pyspark.sql import Observation
+
         source, path, fmt = m.group(1), m.group(2), m.group(3)
         if source.startswith("("):
             df = self.spark.sql(
@@ -185,14 +209,18 @@ class GlareSession:
         fmt = (fmt or os.path.splitext(path)[1].lstrip(".") or "parquet").lower()
         if fmt not in ("parquet", "csv", "json"):
             raise ValueError(f"COPY TO: unsupported format {fmt!r}")
+        # single pass: the written-row Count rides along the write via
+        # observe — the old path re-read the entire written output, a full
+        # extra scan at 100 TB
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         writer = df.write.mode("overwrite")
         if fmt == "csv":
             writer = writer.option("header", "true")
         getattr(writer, fmt)(path)
-        n = self.spark.read.format(fmt).options(
-            **({"header": "true", "inferSchema": "true"} if fmt == "csv" else {})
-        ).load(path).count()
-        return self.spark.range(1).select(F.lit(n).alias("Count"))
+        return self.spark.range(1).select(
+            F.lit(obs.get["n"]).cast("bigint").alias("Count")
+        )
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

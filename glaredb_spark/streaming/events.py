@@ -37,12 +37,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # watermarks require TIMESTAMP (LTZ); session tz is UTC so values
         # align with the batch TIMESTAMP_NTZ reading
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # parquet timestamp[us] (isAdjustedToUTC=false) reads as NTZ, which
+        # withWatermark rejects; session tz is UTC so this cast is value-exact
+        stream = stream.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return stream
 
 

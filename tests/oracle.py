@@ -113,6 +113,21 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if sc != oc:
         return [f"column mismatch: spark={sc} oracle={oc}"]
+    # The DRIVER's canonicalizer cannot sort array/struct cells (pandas
+    # lexsort raises "unhashable type: 'list'" — exactly how
+    # emb_unit_quantize erred in r3). Reject those shapes locally so a
+    # driver-incompatible query fails here first; serialize nested output
+    # to strings (concat_ws / array_to_string) or explode it instead.
+    for col in sc:
+        for df, side in ((spark_pdf, "spark"), (oracle_pdf, "oracle")):
+            cls = _col_class(df[col])
+            if cls in ("array", "dict", "ndarray") or cls == "tuple":
+                errs.append(
+                    f"col {col}: top-level {cls} output on {side} side is "
+                    "driver-incompatible — serialize it to a string"
+                )
+    if errs:
+        return errs
     if len(spark_pdf) != len(oracle_pdf):
         return [f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"]
     for col in sc:
