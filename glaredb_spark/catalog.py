@@ -21,8 +21,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+# Reference schema model: the temp catalog ships schemas default /
+# information_schema / pg_catalog / temp (catalog/context.rs:25-42);
+# CREATE SCHEMA adds to that set. Spark has a flat database namespace, so
+# created schemas map to databases and the reference's base set is virtual.
+_BASE_SCHEMAS = frozenset({"default", "information_schema", "pg_catalog", "temp"})
+_SCHEMAS: dict[str, set[str]] = {}
+
+
+def _created_schemas(spark: SparkSession) -> set[str]:
+    return _SCHEMAS.setdefault(spark.sparkContext.applicationId, set())
+
+
 def create_schema(spark: SparkSession, name: str) -> None:
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+    """CREATE SCHEMA [catalog.]name — the catalog qualifier (temp.s1) is
+    dropped: Spark's database namespace is flat."""
+    short = name.split(".")[-1]
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{short}`")
+    _created_schemas(spark).add(short)
+
+
+def drop_schema(spark: SparkSession, name: str, cascade: bool = False) -> None:
+    short = name.split(".")[-1]
+    spark.sql(f"DROP DATABASE IF EXISTS `{short}`" + (" CASCADE" if cascade else ""))
+    _created_schemas(spark).discard(short)
+
+
+def list_schemas_ref(spark: SparkSession) -> list[str]:
+    """SHOW SCHEMAS with the reference's base set (show_schemas.slt)."""
+    return sorted(_BASE_SCHEMAS | _created_schemas(spark))
+
+
+def reset_schemas(spark: SparkSession) -> None:
+    """Drop every schema created through create_schema and clear tracking —
+    the SLT runner calls this per file (the reference runs each file in a
+    fresh engine)."""
+    for s in list(_created_schemas(spark)):
+        spark.sql(f"DROP DATABASE IF EXISTS `{s}` CASCADE")
+    _created_schemas(spark).clear()
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +227,8 @@ def _ref_type_name(dt: T.DataType) -> str:
         return "Date32"
     if isinstance(dt, T.BooleanType):
         return "Boolean"
+    if isinstance(dt, T.NullType):
+        return "Null"
     if isinstance(dt, T.ArrayType):
         return f"List({_ref_type_name(dt.elementType)})"
     if isinstance(dt, T.StructType):
@@ -199,8 +237,41 @@ def _ref_type_name(dt: T.DataType) -> str:
     return dt.simpleString()
 
 
-def describe(df: DataFrame) -> DataFrame:
-    """(column_name, datatype) rows with reference-style type strings."""
+def _display_name(name: str) -> str:
+    """Reference column-name display: unaliased literals are '?column?',
+    unaliased calls show the bare function name (describe_query.slt —
+    `select 1` -> ?column?, `select min(1)` -> min). Spark auto-names
+    them '1' / 'min(1)'; plain identifiers pass through."""
+    if name == "" or _re.match(r"^[A-Za-z_]\w*$", name):
+        return name  # empty names render as (empty), like the reference
+    if _re.match(r"^CAST\(", name, _re.IGNORECASE) and name.endswith(")"):
+        # cast-of-column keeps the column's name, through nested casts
+        # (reference_through_cast: CAST(a::INT AS TEXT) -> a); split at the
+        # LAST top-level ' AS ' so nested CAST(... AS ...) stays intact
+        content, depth, idx = name[5:-1], 0, -1
+        for i, c in enumerate(content):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and content[i : i + 4] == " AS ":
+                idx = i
+        if idx >= 0:
+            return _display_name(content[:idx].strip())
+    m = _re.match(r"^([A-Za-z_]\w*)\s*\(", name)
+    return m.group(1) if m else "?column?"
+
+
+def describe(df: DataFrame, raw_names: bool = False) -> DataFrame:
+    """(column_name, datatype) rows with reference-style type strings.
+
+    ``raw_names=True`` (table/file scans) keeps column names verbatim —
+    a csv header literally named '4' must not be rewritten; the
+    ?column?/function-name display mapping only applies to DESCRIBE
+    <query>, where non-identifier names are Spark auto-generated."""
     spark = df.sparkSession
-    rows = [(f.name, _ref_type_name(f.dataType)) for f in df.schema.fields]
+    name = (lambda n: n) if raw_names else _display_name
+    rows = [
+        (name(f.name), _ref_type_name(f.dataType)) for f in df.schema.fields
+    ]
     return spark.createDataFrame(rows, "column_name string, datatype string")

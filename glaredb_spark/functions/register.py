@@ -85,6 +85,16 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         "(s STRING, prefix STRING) RETURNS BOOLEAN",
         "startswith(s, prefix)",
     ),
+    # short aliases (reference FunctionSet: prefix/suffix,
+    # starts_with.rs:21 / ends_with.rs:21)
+    "prefix": (
+        "(s STRING, p STRING) RETURNS BOOLEAN",
+        "startswith(s, p)",
+    ),
+    "suffix": (
+        "(s STRING, p STRING) RETURNS BOOLEAN",
+        "endswith(s, p)",
+    ),
     # is-checks under reference names (is.rs; NULL-safe booleans per
     # slt/standard/functions/scalar/is_bool.slt: NULL is neither)
     "is_true": ("(x BOOLEAN) RETURNS BOOLEAN", "coalesce(x = true, false)"),

@@ -28,9 +28,29 @@ from glaredb_spark.sources import files as _files
 _TF = re.compile(
     r"\b(read_parquet|parquet_scan|read_csv|csv_scan|read_text|glob|"
     r"parquet_file_metadata|parquet_rowgroup_metadata|parquet_column_metadata)"
-    r"\s*\(\s*'([^']*)'\s*\)",
+    r"\s*\(\s*('[^']*'|array\(\s*'[^']*'(?:\s*,\s*'[^']*')*\s*,?\s*\)"
+    r"|array\(\s*\))\s*\)",
     re.IGNORECASE,
 )
+_META_COL = re.compile(r"\b_(filename|rowid)\b")
+# namespaced scan functions (reference extension registration: csv.read /
+# csv.scan / parquet.read / parquet.file_metadata / text.read ...)
+_NS_TF = re.compile(
+    r"\b(csv|parquet|text)\s*\.\s*"
+    r"(read|scan|file_metadata|rowgroup_metadata|column_metadata)\s*\(",
+    re.IGNORECASE,
+)
+_NS_MAP = {
+    ("csv", "read"): "read_csv",
+    ("csv", "scan"): "read_csv",
+    ("parquet", "read"): "read_parquet",
+    ("parquet", "scan"): "read_parquet",
+    ("parquet", "file_metadata"): "parquet_file_metadata",
+    ("parquet", "rowgroup_metadata"): "parquet_rowgroup_metadata",
+    ("parquet", "column_metadata"): "parquet_column_metadata",
+    ("text", "read"): "read_text",
+    ("text", "scan"): "read_text",
+}
 _GS = re.compile(
     r"\bgenerate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)",
     re.IGNORECASE,
@@ -87,16 +107,22 @@ _FROM_FILE = re.compile(
 )
 
 
-def _handle_from_file(spark: SparkSession, m: re.Match) -> str:
+def _handle_from_file(
+    spark: SparkSession, m: re.Match, wants_meta: bool = False
+) -> str:
     path = m.group(2)
     ext = path.rsplit(".", 1)[1].lower()
-    if ext == "parquet":
-        df = _files.read_parquet(spark, path)
-    elif ext in ("csv", "tsv"):
-        df = _files.read_csv(spark, path, **({"sep": "\t"} if ext == "tsv" else {}))
+    fn = {"parquet": "read_parquet", "csv": "read_csv", "tsv": "read_csv"}.get(
+        ext, "read_text"
+    )
+    view = _view_name("from_file", f"{path}:meta={wants_meta}")
+    if wants_meta:
+        df, base_cols = _with_meta(spark, fn, [path])
+        _META_VIEW_COLS[view] = base_cols
+    elif ext == "tsv":
+        df = _files.read_csv(spark, path, sep="\t")
     else:
-        df = _files.read_text(spark, path)
-    view = _view_name("from_file", path)
+        df = _DISPATCH[fn](spark, path)
     df.createOrReplaceTempView(view)
     return f"{m.group(1)} {view}"
 
@@ -184,6 +210,15 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
     """Materialize table-function calls as temp views and rewrite the SQL to
     reference them. Returns the rewritten statement."""
     sql = _AGG_ALIAS.sub("percentile_approx(", sql)
+    sql = _NS_TF.sub(
+        lambda m: (
+            _NS_MAP.get((m.group(1).lower(), m.group(2).lower()), m.group(0).rstrip("(")) + "("
+        )
+        if (m.group(1).lower(), m.group(2).lower()) in _NS_MAP
+        else m.group(0),
+        sql,
+    )
+    wants_meta = bool(_META_COL.search(sql))
     for pattern, handler in ((_TF, _handle_tf), (_GS, _handle_gs), (_CAT, _handle_cat), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
@@ -194,19 +229,94 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
         for m in pattern.finditer(sql):
             if not outside(m.start()):
                 continue
-            view = handler(spark, m)
+            if handler in (_handle_tf, _handle_from_file):
+                view = handler(spark, m, wants_meta)
+            else:
+                view = handler(spark, m)
             out.append(sql[last : m.start()])
             out.append(view)
             last = m.end()
         out.append(sql[last:])
         sql = "".join(out)
+    if wants_meta:
+        # star exclusion: `SELECT _filename, *` must not re-expand the
+        # virtual columns (reference semantics); only unambiguous when a
+        # single meta view is scanned
+        used = [v for v, cols in _META_VIEW_COLS.items() if v in sql]
+        if len(used) == 1:
+            collist = ", ".join(f"`{c}`" for c in _META_VIEW_COLS[used[0]])
+            sql = _BARE_STAR.sub(lambda m: f"{m.group(1)}{collist}{m.group(2)}", sql)
     return sql
 
 
-def _handle_tf(spark: SparkSession, m: re.Match) -> str:
-    fn, arg = m.group(1).lower(), m.group(2)
-    view = _view_name(fn, arg)
-    _DISPATCH[fn](spark, arg).createOrReplaceTempView(view)
+def _display_path(p: str) -> str:
+    """Path as the user wrote it: the slt runner prefixes its base dir to
+    relative paths ('<base>/../testdata/x.csv'); the reference's _filename
+    shows the original relative form."""
+    i = p.find("../")
+    return p[i:] if i > 0 else p
+
+
+def _with_meta(spark: SparkSession, fn: str, paths: list[str]):
+    """Scan with the reference's virtual columns (_filename per source
+    file, _rowid per-file 0-based row index — file_provider.rs). Per-file
+    reads so both are exact; small-file scans only (the registered
+    meta_filename_counts query uses _metadata.file_path for scale)."""
+    import glob as _g
+
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from glaredb_spark.sources.files import expand_braces
+
+    members: list[str] = []
+    for p in paths:
+        for q in expand_braces(p):
+            hits = sorted(_g.glob(q)) if _g.has_magic(q) else [q]
+            members.extend(hits or [q])
+    parts = []
+    base_cols: list[str] = []
+    for mb in members:
+        d = _DISPATCH[fn](spark, mb)
+        base_cols = d.columns
+        parts.append(
+            d.withColumn("_filename", F.lit(_display_path(mb))).withColumn(
+                "_rowid", F.monotonically_increasing_id()
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts), base_cols
+
+
+# meta-view name -> its non-virtual column list, for star exclusion
+# (reference: SELECT * never expands _filename/_rowid)
+_META_VIEW_COLS: dict[str, list[str]] = {}
+_BARE_STAR = re.compile(r"(\bSELECT\s+|,\s*)\*(\s*,|\s+FROM\b)", re.IGNORECASE)
+
+
+def _handle_tf(spark: SparkSession, m: re.Match, wants_meta: bool = False) -> str:
+    from functools import reduce
+
+    fn, argtext = m.group(1).lower(), m.group(2)
+    paths = re.findall(r"'([^']*)'", argtext)
+    if not paths:
+        raise ValueError(
+            "No file paths provided, cannot determine which filesystem to use"
+        )
+    view = _view_name(fn, f"{argtext}:meta={wants_meta}")
+    if wants_meta and fn in (
+        "read_parquet", "parquet_scan", "read_csv", "csv_scan", "read_text",
+    ):
+        df, base_cols = _with_meta(spark, fn, paths)
+        _META_VIEW_COLS[view] = base_cols
+    elif len(paths) == 1:
+        df = _DISPATCH[fn](spark, paths[0])
+    else:  # file-list form: read_csv(['a','b']) — schema-aligned union
+        df = reduce(
+            lambda a, b: a.unionByName(b),
+            [_DISPATCH[fn](spark, p) for p in paths],
+        )
+    df.createOrReplaceTempView(view)
     return view
 
 

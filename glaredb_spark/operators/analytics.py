@@ -244,3 +244,37 @@ def events_time_rollup(spark, sf_dir):
         .unionByName(level("all", None))
         .orderBy("granularity", "bucket")
     )
+
+
+@register_query(
+    "meta_filename_counts",
+    oracle="""
+SELECT 'documents.parquet' AS _filename, count(*) AS n_rows FROM documents
+UNION ALL
+SELECT 'events.parquet' AS _filename, count(*) AS n_rows FROM events
+ORDER BY _filename
+""",
+)
+def meta_filename_counts(spark, sf_dir):
+    """Reference ``_filename`` virtual column exercised end-to-end
+    (runtime/filesystem/file_provider.rs): per-source-file row counts over
+    two file scans, paths relativized to the fixture dir so the result is
+    location-independent. ``_metadata.file_path`` rides the scan (no extra
+    IO); the aggregate is a metadata-only count per file — at 100 TB this
+    is one map-side-combined count per input split."""
+    from glaredb_spark.sources.files import read_parquet, with_filename
+
+    import os as _os
+
+    def per_file(table):
+        df = with_filename(
+            read_parquet(spark, _os.path.join(sf_dir, f"{table}.parquet")),
+            base_dir=sf_dir,
+        )
+        return df.groupBy("_filename").agg(F.count(F.lit(1)).alias("n_rows"))
+
+    return (
+        per_file("documents")
+        .unionByName(per_file("events"))
+        .orderBy("_filename")
+    )

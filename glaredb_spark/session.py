@@ -50,6 +50,28 @@ _DETACH_RE = re.compile(
 # Count (execution/operators/catalog/insert.rs:33; slt insert_count.slt)
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
 
+# DESCRIBE <table|query> — reference statement Describe (glaredb_parser
+# statement.rs:24-62); output formatted by catalog.describe with reference
+# type names. Also usable inside FROM: SELECT * FROM (DESCRIBE t)
+# (describe_as_subquery.slt).
+_DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL)
+_INLINE_DESC_RE = re.compile(r"\(\s*DESCRIBE\b", re.IGNORECASE)
+_IDENT_ONLY_RE = re.compile(r"^(`[^`]+`|[A-Za-z_][\w.]*)$")
+
+# SHOW DATABASES/SCHEMAS emulate the reference's catalog model
+# (show_databases.slt: system+temp; show_schemas.slt: default/
+# information_schema/pg_catalog/temp + created schemas).
+_SHOW_DB_RE = re.compile(r"^\s*SHOW\s+DATABASES\s*;?\s*$", re.IGNORECASE)
+_SHOW_SCHEMAS_RE = re.compile(r"^\s*SHOW\s+SCHEMAS\s*;?\s*$", re.IGNORECASE)
+_CREATE_SCHEMA_RE = re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_SCHEMA_RE = re.compile(
+    r"^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*(CASCADE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 # All driver fixture tables (TESTDATA.md).
 TPCH_TABLES = (
     "region",
@@ -140,6 +162,49 @@ class GlareSession:
         from glaredb_spark.functions.table_sql import rewrite_table_functions
 
         query = rewrite_arith(query, self.spark)
+        if _INLINE_DESC_RE.search(query):
+            query = self._rewrite_inline_describe(query)
+        desc = _DESCRIBE_RE.match(query)
+        if desc and not re.match(
+            r"^\s*DESCRIBE\s+(TABLE|QUERY|EXTENDED|FORMATTED)\b",
+            query,
+            re.IGNORECASE,
+        ):
+            return self._describe(desc.group(1))
+        if _SHOW_DB_RE.match(query) or _SHOW_SCHEMAS_RE.match(query):
+            from glaredb_spark import catalog as _cat
+
+            if _SHOW_DB_RE.match(query):
+                names = ["system", "temp"] + _cat.list_attached(self.spark)
+                col = "database_name"
+            else:
+                names = _cat.list_schemas_ref(self.spark)
+                col = "schema_name"
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(names)], f"{col} string"
+            )
+        schema_m = _CREATE_SCHEMA_RE.match(query)
+        if schema_m:
+            from pyspark.sql import functions as F
+
+            from glaredb_spark import catalog as _cat
+
+            _cat.create_schema(self.spark, schema_m.group(1))
+            return self.spark.range(1).select(
+                F.lit(f"created schema {schema_m.group(1)}").alias("status")
+            )
+        drop_m = _DROP_SCHEMA_RE.match(query)
+        if drop_m:
+            from pyspark.sql import functions as F
+
+            from glaredb_spark import catalog as _cat
+
+            _cat.drop_schema(
+                self.spark, drop_m.group(1), cascade=bool(drop_m.group(2))
+            )
+            return self.spark.range(1).select(
+                F.lit(f"dropped schema {drop_m.group(1)}").alias("status")
+            )
         copy = _COPY_RE.match(query)
         if copy:
             return self._run_copy(copy)
@@ -179,6 +244,22 @@ class GlareSession:
                 )
                 obs = Observation()
                 counted = src.observe(obs, F.count(F.lit(1)).alias("n"))
+                # SQL INSERT coerces by position (int literal -> text column,
+                # string -> float); mirror it with explicit casts — ANSI mode
+                # still raises on truly invalid values. Arity mismatches fall
+                # through uncast so insertInto reports them (insert_invalid).
+                tgt_fields = self.spark.table(table).schema.fields
+                if len(counted.columns) == len(tgt_fields):
+                    # positional rename first — the source may carry
+                    # duplicate column names (SELECT * over two TVFs)
+                    counted = counted.toDF(
+                        *[f"_ins_c{i}" for i in range(len(tgt_fields))]
+                    ).select(
+                        *[
+                            F.col(f"_ins_c{i}").cast(f.dataType).alias(f.name)
+                            for i, f in enumerate(tgt_fields)
+                        ]
+                    )
                 counted.write.insertInto(table)
                 n = obs.get["n"]
             else:  # exotic form (column list etc.) — defer to Spark SQL
@@ -221,6 +302,73 @@ class GlareSession:
         return self.spark.range(1).select(
             F.lit(obs.get["n"]).cast("bigint").alias("Count")
         )
+
+    def _describe(self, target: str) -> DataFrame:
+        """DESCRIBE <table-name | query> → (column_name, datatype) with
+        reference type names. Schema-only: the query is analyzed, never
+        executed."""
+        from glaredb_spark import catalog as _cat
+        from glaredb_spark.functions.table_sql import rewrite_table_functions
+
+        target = target.strip().rstrip(";").strip()
+        file_m = re.match(r"^'([^']+)'$", target)
+        if file_m:  # DESCRIBE '<file>' — infer reader by extension
+            from glaredb_spark.sources import files as _files
+
+            p = file_m.group(1)
+            ext = p.rsplit(".", 1)[-1].lower()
+            if ext == "parquet":
+                df = _files.read_parquet(self.spark, p)
+            elif ext in ("csv", "tsv"):
+                df = _files.read_csv(
+                    self.spark, p, **({"sep": "\t"} if ext == "tsv" else {})
+                )
+            else:
+                df = _files.read_text(self.spark, p)
+            return _cat.describe(df, raw_names=True)
+        elif _IDENT_ONLY_RE.match(target):
+            return _cat.describe(self.spark.table(target), raw_names=True)
+        else:
+            if not re.match(
+                r"^(SELECT|WITH|VALUES|TABLE|\()", target, re.IGNORECASE
+            ):
+                # DESCRIBE <table-function(...)> — wrap as a relation
+                target = f"SELECT * FROM {target}"
+            df = self.spark.sql(rewrite_table_functions(self.spark, target))
+        return _cat.describe(df)
+
+    def _rewrite_inline_describe(self, sql: str) -> str:
+        """Replace each parenthesized (DESCRIBE ...) appearing inside a
+        larger query with a temp view of its result, innermost-first
+        (describe_as_subquery.slt: SELECT * FROM (DESCRIBE t))."""
+        import itertools
+
+        if not hasattr(GlareSession, "_desc_counter"):
+            GlareSession._desc_counter = itertools.count()
+        while True:
+            matches = list(_INLINE_DESC_RE.finditer(sql))
+            if not matches:
+                return sql
+            m = matches[-1]  # last match starts latest → innermost
+            depth, j, n = 0, m.start(), len(sql)
+            while j < n:
+                ch = sql[j]
+                if ch == "'":
+                    j += 1
+                    while j < n and sql[j] != "'":
+                        j += 1
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = sql[m.start() + 1 : j]
+            target = re.sub(r"^\s*DESCRIBE\s+", "", inner, flags=re.IGNORECASE)
+            name = f"glaredb_describe_{next(GlareSession._desc_counter)}"
+            self._describe(target).createOrReplaceTempView(name)
+            sql = f"{sql[: m.start()]} {name} {sql[j + 1 :]}"
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

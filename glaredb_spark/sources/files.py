@@ -157,27 +157,131 @@ def _field_type(s: str) -> int:
         return 3
 
 
-def _sniff_header(lines: list[str], delim: str) -> bool:
-    """Header detection mirroring schema.rs infer_from_records: infer the
-    most-restrictive candidate type per column from rows 2..N, then the
-    first row is a header iff ANY of its fields is invalid for its
-    column's candidate type (a Utf8 column never flags one)."""
-    if not lines:
+def _field_type_raw(s: str) -> int:
+    """Candidate type of a parsed csv field, reference-exact: NO trimming —
+    ' 1 ' is Utf8, not Int64 (schema.rs parses the raw field;
+    whitespace_handling.slt)."""
+    if not s:
+        return 0
+    if s.lower() in ("true", "false"):
+        return 0
+    if _re.fullmatch(r"[+-]?\d+", s):
+        return 1
+    try:
+        float(s)
+        # python float() tolerates surrounding whitespace; the reference
+        # doesn't
+        return 2 if s == s.strip() else 3
+    except ValueError:
+        return 3
+
+
+def expand_braces(p: str) -> list[str]:
+    """'{a,b}' glob alternation (reference filesystem globs support it;
+    Python's glob doesn't): cartesian expansion."""
+    from itertools import product
+
+    groups = _re.findall(r"\{([^{}]*)\}", p)
+    if not groups:
+        return [p]
+    template = _re.sub(r"\{[^{}]*\}", "{}", p)
+    return [
+        template.format(*combo)
+        for combo in product(*[g.split(",") for g in groups])
+    ]
+
+
+def _probe_file(path: str) -> str | None:
+    """First member file of a dir/glob path (schema comes from the first
+    file, like the reference's multi-file scans)."""
+    probe = path
+    if os.path.isdir(probe):
+        members = sorted(
+            p for p in _pyglob.glob(os.path.join(probe, "*")) if os.path.isfile(p)
+        )
+        probe = members[0] if members else probe
+    elif _pyglob.has_magic(probe):
+        hits = sorted(_pyglob.glob(probe))
+        probe = hits[0] if hits else probe
+    return probe if os.path.isfile(probe) else None
+
+
+def _sample_rows(path: str, delim: str, quote: str) -> list[list[str]]:
+    """Parsed rows from the head of the file (256 KB cap — the reference
+    infers from a bounded sample too), csv-module parsing so quoted
+    delimiters don't split fields."""
+    import csv as _csv
+    import io as _io
+
+    probe = _probe_file(path)
+    if probe is None:
+        return []
+    try:
+        with open(probe, "rb") as fh:
+            blob = fh.read(262144)
+            truncated = len(blob) == 262144
+        text = blob.decode("utf-8", errors="replace")
+    except OSError:
+        return []
+    rows = list(
+        _csv.reader(
+            _io.StringIO(text), delimiter=delim, quotechar=quote, doublequote=True
+        )
+    )
+    if truncated and rows:
+        rows.pop()  # last row may be cut mid-line
+    # blank LINES parse to [] and are skipped (like Spark's reader); a
+    # line of bare delimiters (',,') is a real all-empty row and kept
+    return [r for r in rows if r]
+
+
+_SQUOTE_FIELD_RE = _re.compile(r"(?:^|[,;|\t])'[^']*'(?:[,;|\t]|$)")
+
+
+def _csv_schema_from_sample(
+    rows: list[list[str]], header: bool
+) -> "tuple[T.StructType, list[str]] | None":
+    """Reference csv schema inference (glaredb_ext_csv/src/schema.rs):
+    per-column most-restrictive CandidateType over the sample —
+    bool < int64 < float64 < utf8, raw fields (no trimming), empties
+    restrict nothing. Returns (schema-with-placeholder-names, real names):
+    Spark's reader rejects duplicate/empty schema names, so the real names
+    (kept verbatim, duplicates/empties included) are applied via toDF
+    after the read."""
+    if not rows:
+        return None
+    ncols = len(rows[0])
+    names = list(rows[0]) if header else [f"col{i}" for i in range(ncols)]
+    data = rows[1:] if header else rows
+    cands = [0] * ncols
+    for r in data:
+        for j in range(ncols):
+            f = r[j] if j < len(r) else ""
+            cands[j] = max(cands[j], _field_type_raw(f))
+    types = [T.BooleanType(), T.LongType(), T.DoubleType(), T.StringType()]
+    schema = T.StructType(
+        [T.StructField(f"_f{i}", types[c], True) for i, c in enumerate(cands)]
+    )
+    return schema, names
+
+
+def _sniff_header_rows(rows: list[list[str]]) -> bool:
+    """Header detection over PARSED rows (quote-aware — a naive delimiter
+    split breaks quoted fields): infer candidate types from rows 2..N,
+    the first row is a header iff any of its fields is invalid for its
+    column's candidate (schema.rs infer_from_records)."""
+    if not rows:
         return True
-    first = lines[0].split(delim)
-    if len(lines) == 1:
-        # no data rows to infer from — text-only first line reads as header
-        return all(_field_type(f) == 3 or not f.strip() for f in first)
+    first = rows[0]
+    if len(rows) == 1:
+        return all(_field_type_raw(f) == 3 or not f.strip() for f in first)
     ncols = len(first)
-    candidates = [0] * ncols
-    for ln in lines[1:]:
-        for j, f in enumerate(ln.split(delim)[:ncols]):
-            candidates[j] = max(candidates[j], _field_type(f))
-    # empty fields restrict nothing in DATA rows (null) but are invalid as
-    # typed-column values in the header check (schema.rs: `,,` is a header
-    # of empty names over typed columns)
+    cands = [0] * ncols
+    for r in rows[1:]:
+        for j, f in enumerate(r[:ncols]):
+            cands[j] = max(cands[j], _field_type_raw(f))
     return any(
-        (3 if not f.strip().strip('"') else _field_type(f)) > candidates[j]
+        (3 if not f.strip() else _field_type_raw(f)) > cands[j]
         for j, f in enumerate(first)
     )
 
@@ -194,14 +298,11 @@ def read_csv(
     when no ``sep`` is given the delimiter is sniffed from the file head
     (comma/semicolon/tab/pipe — consistent count across lines wins), and
     when ``header`` is None it is sniffed too (a header row never contains
-    numeric fields). Headerless columns are named col1..colN (Spark VALUES
-    convention). Standard-CSV quote doubling ("" inside quoted fields) by
+    numeric fields). Headerless columns are named col0..colN-1 — the
+    reference's 0-based column0.. convention (csv/infer slt files) via the
+    columnN→colN dialect rewrite. Standard-CSV quote doubling ("" inside quoted fields) by
     default — Spark's default escape is backslash."""
     options.setdefault("escape", '"')
-    # the reference trims whitespace around unquoted fields before type
-    # inference (' 1 ' is an Int64) — mirror with Spark's trim options
-    options.setdefault("ignoreLeadingWhiteSpace", "true")
-    options.setdefault("ignoreTrailingWhiteSpace", "true")
     resolved = ensure_object_store(spark, localize(path))
     # strip only a LEADING scheme (a path may legally contain 'file:' as a
     # substring elsewhere)
@@ -211,28 +312,69 @@ def read_csv(
         sniffed = _sniff_delimiter(local)
         if sniffed and sniffed != ",":
             options["sep"] = sniffed
+    delim = options.get("sep", options.get("delimiter", ","))
+    if "quote" not in options and any(_SQUOTE_FIELD_RE.search(ln) for ln in lines):
+        options["quote"] = "'"  # single-quoted csv dialect (single_quotes.slt)
+    sample = _sample_rows(local, delim, options.get("quote", '"'))
+    nv = options.get("nullValue")
+    if nv:
+        # fields equal to the caller's null encoding are nulls for
+        # inference (restrict nothing), like empties
+        sample = [[("" if f == nv else f) for f in r] for r in sample]
     if header is None:
-        header = _sniff_header(lines, options.get("sep", options.get("delimiter", ",")))
-    df = spark.read.csv(
-        resolved,
-        header=header,
-        inferSchema=infer_schema,
-        **options,
-    )
+        header = _sniff_header_rows(sample)
+    inferred = None
+    if infer_schema:
+        # reference-exact inference (CandidateType bool<int64<float64<utf8,
+        # raw fields, header names verbatim) from a local head sample;
+        # value PARSING stays in Spark's csv reader (Inf/NaN handling).
+        inferred = _csv_schema_from_sample(sample, header)
+    if inferred is not None:
+        schema, names = inferred
+        df = spark.read.csv(resolved, header=header, schema=schema, **options)
+        df = df.toDF(*names)
+    else:  # remote/empty input: Spark inference + Int64 widening for parity
+        df = spark.read.csv(
+            resolved, header=header, inferSchema=infer_schema, **options
+        )
+        if infer_schema:
+            for f in df.schema.fields:
+                if isinstance(
+                    f.dataType, (T.ByteType, T.ShortType, T.IntegerType)
+                ):
+                    df = df.withColumn(f.name, F.col(f.name).cast("bigint"))
     if not header and all(c.startswith("_c") for c in df.columns):
-        df = df.toDF(*[f"col{i + 1}" for i in range(len(df.columns))])
+        df = df.toDF(*[f"col{i}" for i in range(len(df.columns))])
     return df
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:
-    """One row per file: (filename, content) — read_text.rs:29 semantics."""
-    df = spark.read.format("binaryFile").load(
-        ensure_object_store(spark, localize(path))
+    """One row per file with a single ``content`` column — read_text.rs:29
+    semantics (slt read_text.slt asserts DESCRIBE shows only `content`;
+    the source file is exposed via the ``_filename`` virtual column, see
+    ``with_filename``)."""
+    resolved = ensure_object_store(spark, localize(path))
+    df = spark.read.format("binaryFile").load(resolved).select(
+        F.decode(F.col("content"), "UTF-8").alias("content")
     )
-    return df.select(
-        F.col("path").alias("filename"),
-        F.decode(F.col("content"), "UTF-8").alias("content"),
-    )
+    # Spark's binaryFile source silently drops 0-byte files; the reference
+    # yields one empty-content row per file (read_text.slt: empty.txt)
+    local = resolved.removeprefix("file://").removeprefix("file:")
+    try:
+        members = (
+            sorted(_pyglob.glob(local)) if _pyglob.has_magic(local) else [local]
+        )
+        n_empty = sum(
+            1 for p in members if os.path.isfile(p) and os.path.getsize(p) == 0
+        )
+    except OSError:
+        n_empty = 0
+    if n_empty:
+        empties = spark.createDataFrame(
+            [("",)] * n_empty, "content string"
+        )
+        df = df.unionByName(empties)
+    return df
 
 
 def glob_files(spark: SparkSession, pattern: str) -> DataFrame:
@@ -268,9 +410,31 @@ def glob_files(spark: SparkSession, pattern: str) -> DataFrame:
         jpath = jvm.org.apache.hadoop.fs.Path(pattern)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         statuses = fs.globStatus(jpath)
-        hits = sorted(s.getPath().toString() for s in statuses) if statuses else []
+        hits = (
+            sorted(s.getPath().toString() for s in statuses if s.isFile())
+            if statuses
+            else []
+        )
         return spark.createDataFrame([(p,) for p in hits], schema)
-    rows = [(p,) for p in sorted(_pyglob.glob(pattern, recursive=True))]
+    # recursive ** lists files only (glob.slt expects 27 files, no dir
+    # rows); shallow patterns keep dir entries. Paths keep the caller's
+    # prefix form ('../x' stays relative-looking). {a,b} alternation is
+    # expanded (Python glob lacks it).
+    files_only = "**" in pattern
+    hits: set[str] = set()
+    for pat in expand_braces(pattern):
+        hits.update(_pyglob.glob(pat, recursive=True))
+    if "**/" in pattern:
+        # reference glob: a mid-pattern '**/' matches ONE OR MORE path
+        # segments (glob.slt: '**/nested1/x' must not match 'nested1/x');
+        # Python's matches zero — subtract the zero-segment expansion
+        for pat in expand_braces(pattern.replace("**/", "", 1)):
+            hits.difference_update(_pyglob.glob(pat, recursive=True))
+    rows = [
+        (p[p.find("../") :] if p.find("../") > 0 else p,)
+        for p in sorted(hits)
+        if not files_only or os.path.isfile(p)
+    ]
     return spark.createDataFrame(rows, schema)
 
 
@@ -314,7 +478,23 @@ def widen_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     want = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= want:
+    # For file scans: driver-side file-metadata check only — the previous
+    # df.rdd.getNumPartitions() forced a plan->RDD conversion per call
+    # (VERDICT r3). A scan whose input already spans >= want splits
+    # (many files, or bytes >= want * 128 MB maxPartitionBytes) arrives
+    # wide and must not reshuffle. Non-file frames keep the partition
+    # count check (rare, and never in the scan hot path).
+    try:
+        from urllib.parse import unquote, urlparse
+
+        files = df.inputFiles()
+        total = sum(os.path.getsize(unquote(urlparse(f).path)) for f in files)
+    except Exception:
+        files, total = [], 0
+    if files:
+        if len(files) >= want or total >= want * 128 * 1024 * 1024:
+            return df
+    elif df.rdd.getNumPartitions() >= want:
         return df
     return df.repartition(want)
 
@@ -323,6 +503,27 @@ def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``load_tables`` + ``widen_partitions`` for compute-heavy corpora
     (documents text pipelines, embedding vector kernels)."""
     return widen_partitions(load_tables(spark, sf_dir, name)[name])
+
+
+def with_filename(
+    df: DataFrame, base_dir: str | None = None, col: str = "_filename"
+) -> DataFrame:
+    """Reference ``_filename`` virtual column on file scans
+    (crates/glaredb_core/src/runtime/filesystem/file_provider.rs): every
+    multi-file corpus query can attribute rows to their source file.
+
+    Spark's hidden ``_metadata.file_path`` supplies the path with zero
+    extra IO (it rides the scan, usable in filters/groupBy and prunable
+    like any column); ``base_dir`` relativizes it so results don't depend
+    on where the fixture lives. Must be applied directly on a file-source
+    DataFrame (before joins/aggregations), same as the reference."""
+    path = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    if base_dir:
+        base = base_dir.rstrip("/") + "/"
+        path = F.when(
+            path.startswith(base), F.substring(path, len(base) + 1, 2**31 - 1)
+        ).otherwise(path)
+    return df.withColumn(col, path)
 
 
 # ---------------------------------------------------------------------------

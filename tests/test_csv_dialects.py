@@ -29,7 +29,8 @@ def test_comma_inference(spark, data_dir):
 
     df = read_csv(spark, os.path.join(data_dir, "comma.csv"))
     assert df.columns == ["id", "name", "score"]
-    assert dict(df.dtypes) == {"id": "int", "name": "string", "score": "double"}
+    # integer csv columns widen to bigint for reference parity (schema.rs)
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
     assert df.count() == 2
 
 

@@ -38,14 +38,22 @@ def test_read_csv_and_text(spark, tmp_path):
     df = read_csv(spark, str(p))
     assert df.columns == ["a", "b"]
     assert df.count() == 2
-    assert dict(df.dtypes)["a"] == "int"
+    # csv integer inference is Int64 for reference parity (schema.rs)
+    assert dict(df.dtypes)["a"] == "bigint"
 
     t = tmp_path / "note.txt"
     t.write_text("hello text source")
     td = read_text(spark, str(t))
+    assert td.columns == ["content"]  # read_text.rs: single content column
     row = td.collect()[0]
     assert row.content == "hello text source"
-    assert row.filename.endswith("note.txt")
+    # source-file attribution comes from the _filename virtual column
+    from glaredb_spark.sources.files import with_filename
+
+    named = with_filename(
+        spark.read.format("binaryFile").load(str(t))
+    ).collect()[0]
+    assert named._filename.endswith("note.txt")
 
 
 def test_glob(spark, tmp_path):
