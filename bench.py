@@ -48,20 +48,36 @@ def main() -> None:
     spark = get_spark(app_name="glaredb_spark_bench")
     load_all()
 
+    import statistics
+
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         # one untimed warmup: JIT/codegen compilation of the heavy
         # expression trees otherwise lands in the first timed run
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        best = None
+        samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
+        medians[name] = round(statistics.median(samples), 4)
+        spreads[name] = round(
+            (max(samples) - min(samples)) / max(min(samples), 1e-9), 3
+        )
 
     total = round(sum(timings.values()), 4)
+    # contention detector (the r3 bench file was a contended run recorded
+    # as a 2x regression — VERDICT r3): median sitting far above min on
+    # many queries means another process competed for the cores. A single
+    # slow outlier run (GC pause) widens max-min but not median-min.
+    noisy = sorted(
+        n
+        for n in timings
+        if (medians[n] - timings[n]) / max(timings[n], 1e-9) > 0.25
+    )
     print(
         json.dumps(
             {
@@ -69,6 +85,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_spread": spreads,
+                "median_total": round(sum(medians.values()), 4),
+                "noisy_queries": noisy,
+                "contended_run": len(noisy) >= max(3, len(HEADLINE) // 4),
                 "sf": sf,
                 "config": {
                     "master": spark.sparkContext.master,

@@ -85,6 +85,18 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         "(s STRING, prefix STRING) RETURNS BOOLEAN",
         "startswith(s, prefix)",
     ),
+    # Postgres-semantics left/right (reference string/{left,right}.rs):
+    # negative n drops |n| chars from the other end; Spark's builtins
+    # return empty for negative n. The slt runner maps left(/right( here.
+    "pg_left": (
+        "(s STRING, n INT) RETURNS STRING",
+        "CASE WHEN n >= 0 THEN left(s, n) "
+        "ELSE substr(s, 1, greatest(length(s) + n, 0)) END",
+    ),
+    "pg_right": (
+        "(s STRING, n INT) RETURNS STRING",
+        "CASE WHEN n >= 0 THEN right(s, n) ELSE substr(s, 1 - n) END",
+    ),
     # short aliases (reference FunctionSet: prefix/suffix,
     # starts_with.rs:21 / ends_with.rs:21)
     "prefix": (

@@ -127,11 +127,19 @@ def _arrow_udfs():
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
-    sess_key = id(SparkSession.getActiveSession())
-    if _ARROW_UDFS.get("session") == sess_key:
+    import weakref
+
+    # keyed by a weakref with identity check — a bare id() can be reused
+    # by a NEW session after the old one is GC'd (ADVICE r3), serving
+    # stale UDFs; a dead ref or None session always rebuilds
+    sess = SparkSession.getActiveSession()
+    ref = _ARROW_UDFS.get("session_ref")
+    if sess is not None and ref is not None and ref() is sess:
         return _ARROW_UDFS
     _ARROW_UDFS.clear()
-    _ARROW_UDFS["session"] = sess_key
+    _ARROW_UDFS["session_ref"] = (
+        weakref.ref(sess) if sess is not None else None
+    )
 
     @pandas_udf(DoubleType())
     def _dot_arrow_udf(xa: _pd.Series, xb: _pd.Series) -> _pd.Series:

@@ -116,11 +116,15 @@ def _intersect_count_arrow():
     are integers — bit-exact parity with the JVM form is trivial."""
     from pyspark.sql import SparkSession
 
-    sess_key = id(SparkSession.getActiveSession())
-    if _INTER_UDF.get("session") == sess_key:
+    import weakref
+
+    # weakref + identity check, not id() — see vector.py._arrow_udfs
+    sess = SparkSession.getActiveSession()
+    ref = _INTER_UDF.get("session_ref")
+    if sess is not None and ref is not None and ref() is sess:
         return _INTER_UDF["f"]
     _INTER_UDF.clear()
-    _INTER_UDF["session"] = sess_key
+    _INTER_UDF["session_ref"] = weakref.ref(sess) if sess is not None else None
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

@@ -17,71 +17,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver records CORRECTNESS rows for the FIRST 50 entries of
-# __spark_entry__.queries(). Round-3 rotation (VERDICT r2 'Next round' #3):
-# the 45 registered queries that have never had a driver row in ANY round
-# (r1 ∪ r2 sampled 67 of 112) get the prefix, so by end of r3 every §2
-# family has appeared green in some driver file. Five previously-green
-# representatives are kept: fn_math_battery MUST re-run (the one red r2 row
-# — sign() int-vs-double fix needs a green driver row to close it), plus one
-# regression sentinel each for tpch / dedup / ANN / events. Every rotated-
-# out query still runs in the local strict gate (tests/test_oracle_parity.py)
+# __spark_entry__.queries(). Round-4 rotation (VERDICT r3 'Next round'
+# #10): keep the five regression sentinels, re-prove the two r3 problem
+# rows (emb_unit_quantize driver-ERR now serialized to string;
+# fn_native_approx rows-only), rotate the 22 TPC-H shapes back in (last
+# driver rows r1/r2, two rounds away), give first driver rows to the new
+# meta_filename_counts and to the pass(local)-only grouping shapes
+# (rel_cube / rel_grouping_sets / rel_distinct_aggs), and fill the rest
+# with queries whose last driver row is oldest. One query per registering
+# module stays in the prefix (test_registry invariant). Every rotated-out
+# query still runs in the local strict gate (tests/test_oracle_parity.py)
 # every round.
 GATE_PRIORITY: list[str] = [
-    # the r2 red row, re-proving the sign() cast fix
+    # regression sentinels (green every sampled round)
     "fn_math_battery",
-    # regression sentinels (green in r1+r2, kept to catch regressions)
     "tpch_q01",
     "dedup_minhash_lsh",
     "knn_bruteforce_cosine",
     "events_sessionize",
-    # one representative per single-query module so every operator family
-    # keeps a row in THIS round's driver file too (test_registry invariant)
-    "rel_lateral",  # relational2 — r1-green only, re-proving
+    # r3 problem rows, re-proving this round
+    "emb_unit_quantize",  # r3 driver ERR (array canonicalization) — fixed
+    "fn_native_approx",  # no oracle: rows-only driver check, by design
+    # first-ever driver rows
+    "meta_filename_counts",  # new: _filename virtual column
+    "rel_cube",  # pass(local) only until now
+    "rel_grouping_sets",
+    "rel_distinct_aggs",
+    # single-query module representatives (invariant)
+    "asof_purchase_view",
+    "rel_recursive_cte",
     "dedup_components",
     "text_contamination_13gram",
-    "rel_recursive_cte",
-    "asof_purchase_view",
-    # —— the 45 never-driver-sampled queries ——
-    "rel_window_frames",
-    "rel_scalar_rows",
-    "knn_ivf_cosine",
-    "emb_unit_quantize",
-    "emb_label_centroids",
-    "dedup_simhash_weighted",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_bpe_token_count",
-    "text_word_freq_topk",
-    "events_tumbling_hourly",
-    "events_daily_type_pivot",
-    "events_retention_cohorts",
-    "events_funnel",
-    "events_json_props",
-    "events_time_rollup",
-    "multimodal_binary_meta",
-    "multimodal_decode_wav",
-    "multimodal_video_meta",
-    "multimodal_frame_sample",
-    "fn_like_battery",
-    "fn_decimal_battery",
-    "fn_percentile_battery",
-    "fn_agg_stats_exact",
-    "fn_list_struct_battery",
-    "fn_native_approx",  # no oracle: rows-only driver check, by design
-    "cb_filter_agg",
-    "cb_groupby_highcard",
-    "cb_groupby_distinct_topk",
-    "cb_like_topk",
-    "cb_filtered_daily_topk",
-    "tpcds_moving_avg",
-    "tpcds_over_avg_spend",
-    "tpcds_order_buckets",
-    "tpcds_multi_exists",
-    "tpcds_tri_channel_intersect",
-    "rel_skew_salted_agg",
-    "pipeline_quality_quantile",
-    "pipeline_mixture_sample",
+    # the TPC-H flagship suite, rotated back after two rounds away
+    "tpch_q02", "tpch_q03", "tpch_q04", "tpch_q05", "tpch_q06",
+    "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22",
+    # oldest-driver-row fills (r1/r2 last sampled), one+ per module
+    "rel_subqueries",
+    "rel_limit_offset",
+    "text_token_stats",
+    "multimodal_decode_bmp",
+    "cb_regexp_domain_agg",
+    "cb_sum_expr_battery",
+    "cb_multikey_group",
+    "tpcds_rollup_rank",
+    "tpcds_channel_union",
+    "tpcds_ratio_to_avg",
+    "rel_skew_salted_join",
+    "pipeline_corpus_clean",
+    "pipeline_train_split",
+    "knn_lsh_cosine",
 ]
 
 

@@ -294,9 +294,11 @@ _KEYWORDS = frozenset(
 def _rewrite_array_literals(sql: str) -> str:
     """`[1, 2]` array literals → array(1, 2). A `[` is a literal (not a
     subscript) unless the previous non-space char is an identifier char,
-    `)`, or `]`."""
+    `)`, or `]`. Subscripts are 1-BASED in the reference (list_extract.rs,
+    `[5.1, 2.5][2] = 2.5`); Spark's [] is 0-based, so a non-slice
+    subscript [e] becomes [(e)-1]."""
     out, i, n = [], 0, len(sql)
-    stack = []  # True entries: bracket we rewrote to array(
+    stack = []  # entries: ('lit',) for array( rewrites, ('sub', mark) else
     while i < n:
         ch = sql[i]
         if ch == "'":
@@ -320,13 +322,22 @@ def _rewrite_array_literals(sql: str) -> str:
                 if word and word.group().upper() in _KEYWORDS:
                     is_subscript = False  # `SELECT [`, `WHEN [`, ...
             if is_subscript:
-                stack.append(False)
+                stack.append(("sub", len(out)))
                 out.append(ch)
             else:
-                stack.append(True)
+                stack.append(("lit",))
                 out.append("array(")
         elif ch == "]" and stack:
-            out.append(")" if stack.pop() else ch)
+            top = stack.pop()
+            if top[0] == "lit":
+                out.append(")")
+            else:
+                inner = "".join(out[top[1] + 1 :])
+                if ":" in inner:  # slice form [a:b] — leave untouched
+                    out.append(ch)
+                else:
+                    del out[top[1] + 1 :]
+                    out.append(f"({inner})-1]")
         else:
             out.append(ch)
         i += 1
@@ -418,6 +429,52 @@ def _rewrite_pg_operators(sql: str) -> str:
     return _sub_outside_literals(sql, _XOR_WORD_RE, "^")
 
 
+def _swap_two_arg_calls(sql: str, fname: str) -> str:
+    """Swap the two args of fname(a, b) → fname(b, a): the reference's
+    ltrim/rtrim are (str, chars), Spark's two-arg forms are
+    (trimStr, str)."""
+    from glaredb_spark.functions.arith_binder import (
+        _find_literal_spans,
+        _in_spans,
+        _split_top_args,
+    )
+
+    pat = re.compile(rf"\b{fname}\s*\(", re.IGNORECASE)
+    offset = 0
+    while True:
+        spans = _find_literal_spans(sql)
+        m = next(
+            (c for c in pat.finditer(sql, offset) if not _in_spans(c.start(), spans)),
+            None,
+        )
+        if m is None:
+            return sql
+        depth, j, n = 1, m.end(), len(sql)
+        while j < n and depth:
+            if sql[j] == "'":
+                j += 1
+                while j < n and sql[j] != "'":
+                    j += 1
+            elif sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        args = _split_top_args(sql[m.end() : j - 1])
+        if len(args) == 2:
+            sql = f"{sql[: m.end()]}{args[1]}, {args[0]}{sql[j - 1 :]}"
+        offset = m.end()
+
+
+# string fns whose semantics differ from Spark's same-named builtins:
+# left/right accept negative n (drop from the other end) — mapped to
+# pg_left/pg_right SQL UDFs; 2-arg trim is btrim.
+_LEFT_RE = re.compile(r"\bleft\s*\(", re.IGNORECASE)
+_RIGHT_RE = re.compile(r"\bright\s*\(", re.IGNORECASE)
+_TRIM_RE = re.compile(r"\btrim\s*\(", re.IGNORECASE)
+_EXCLUDE_RE = re.compile(r"\*\s*EXCLUDE\s*(\()", re.IGNORECASE)
+
+
 def _strip_trailing_commas(sql: str) -> str:
     """Reference allows `select 1, 2,` / a comma before FROM; Spark doesn't.
     Matches inside string literals are left alone ($ = true end of text)."""
@@ -436,6 +493,12 @@ def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
     sql = _EXPLAIN_FMT_RE.sub("EXPLAIN", sql)
     sql = _rewrite_pg_operators(sql)
     sql = _strip_trailing_commas(sql)
+    sql = _sub_outside_literals(sql, _LEFT_RE, "pg_left(")
+    sql = _sub_outside_literals(sql, _RIGHT_RE, "pg_right(")
+    sql = _sub_outside_literals(sql, _TRIM_RE, "btrim(")
+    sql = _sub_outside_literals(sql, _EXCLUDE_RE, r"* EXCEPT \1")
+    sql = _swap_two_arg_calls(sql, "ltrim")
+    sql = _swap_two_arg_calls(sql, "rtrim")
     sql = _TYPED_LIT_RE.sub(
         lambda m: f"CAST('{m.group(2)}' AS {_TYPED_LIT_MAP[m.group(1).lower()]})",
         sql,

@@ -83,13 +83,53 @@ def normalize_path(path: str) -> str:
     return path
 
 
+_S3_CACHE: dict[str, str] = {}
+
+
+def _boto3_localize(path: str) -> str:
+    """Driver-side S3 fetch via boto3 into a local cache file.
+
+    FALLBACK path only: used when the hadoop-aws jar is absent but boto3
+    is importable. Correct for small objects and metadata reads; the s3a
+    Hadoop connector (split planning, multipart parallel reads, executor-
+    side IO) remains the 100 TB path and is preferred whenever its jar is
+    on the classpath. Endpoint/credentials come from the standard AWS env
+    (AWS_ENDPOINT_URL for S3-compatible stores like minio/moto)."""
+    if path in _S3_CACHE:
+        return _S3_CACHE[path]
+    import os
+    import tempfile
+
+    import boto3
+
+    bucket, key = path.split("://", 1)[1].split("/", 1)
+    endpoint = os.environ.get("AWS_ENDPOINT_URL")
+    s3 = boto3.client("s3", endpoint_url=endpoint)
+    fd, local = tempfile.mkstemp(
+        prefix="glaredb_s3_", suffix="_" + os.path.basename(key)
+    )
+    os.close(fd)
+    s3.download_file(bucket, key, local)
+    _S3_CACHE[path] = local
+    return local
+
+
 def ensure_object_store(spark: SparkSession, path: str) -> str:
     """Validate connector availability for an object-store path and return
-    the normalized (s3a/gs) path. No-op passthrough for other paths."""
+    the normalized (s3a/gs) path — or, for S3 without the hadoop-aws jar
+    but with boto3 present, a locally cached copy (driver-side fallback;
+    see _boto3_localize). No-op passthrough for other paths."""
     scheme = object_store_scheme(path)
     if scheme is None:
         return path
     cls, help_msg = _HELP[scheme]
     if not _jvm_class_exists(spark, cls):
+        if scheme == "s3a":
+            try:
+                import boto3  # noqa: F401
+
+                return _boto3_localize(path)
+            except ImportError:
+                pass
         raise RuntimeError(help_msg)
     return normalize_path(path)

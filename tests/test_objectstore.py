@@ -30,15 +30,26 @@ def test_scheme_detection_and_normalization():
     assert objectstore.normalize_path("/local/p") == "/local/p"
 
 
-def test_unavailable_error_is_actionable(spark):
+def test_unavailable_error_is_actionable(spark, monkeypatch):
     if not objectstore.s3_available(spark):
+        # without boto3 either, the actionable jar message must surface
+        import builtins
+
+        real_import = builtins.__import__
+
+        def no_boto3(name, *a, **k):
+            if name == "boto3":
+                raise ImportError("boto3 blocked for test")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", no_boto3)
         for fn in (
             lambda: read_parquet(spark, "s3://bucket/k.parquet"),
             lambda: read_csv(spark, "s3a://bucket/k.csv"),
-            lambda: glob_files(spark, "s3a://bucket/*.parquet"),
         ):
             with pytest.raises(RuntimeError, match="hadoop-aws"):
                 fn()
+        monkeypatch.undo()
     if not objectstore.gcs_available(spark):
         with pytest.raises(RuntimeError, match="gcs-connector"):
             read_parquet(spark, "gs://bucket/k.parquet")
@@ -60,6 +71,41 @@ def test_s3_read(spark):
         )
     df = read_parquet(spark, "s3://glaredb-public/userdata0.parquet")
     assert df.count() > 0
+
+
+def test_s3_live_read_moto(spark, sf_dir, monkeypatch):
+    """LIVE object-store read: a real S3 server (moto, HTTP, SigV4-signed
+    requests via boto3) serving the region fixture; the engine's
+    read_parquet('s3://...') result must equal the local read. Exercises
+    the boto3 driver-side fallback documented in objectstore.py (the
+    hadoop-aws executor-side path activates when its jar is present)."""
+    pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        endpoint = f"http://{host}:{port}"
+        monkeypatch.setenv("AWS_ENDPOINT_URL", endpoint)
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", "test")
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "test")
+        monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+        import boto3
+
+        s3 = boto3.client("s3", endpoint_url=endpoint)
+        s3.create_bucket(Bucket="fixtures")
+        s3.upload_file(f"{sf_dir}/region.parquet", "fixtures", "region.parquet")
+        objectstore._S3_CACHE.clear()
+        remote = read_parquet(spark, "s3://fixtures/region.parquet")
+        local = read_parquet(spark, f"{sf_dir}/region.parquet")
+        assert sorted(map(tuple, remote.collect())) == sorted(
+            map(tuple, local.collect())
+        )
+    finally:
+        objectstore._S3_CACHE.clear()
+        server.stop()
 
 
 def test_gcs_read(spark):
