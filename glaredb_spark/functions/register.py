@@ -135,6 +135,24 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         "(a STRING, b STRING) RETURNS BOOLEAN",
         "a <=> b",
     ),
+    # reference sign(): NaN and -0.0 both sign to 0 (sign.slt); Spark's
+    # signum propagates NaN and negative zero
+    "pg_sign": (
+        "(x DOUBLE) RETURNS DOUBLE",
+        "CASE WHEN isnan(x) THEN 0.0d ELSE signum(x) + 0.0d END",
+    ),
+    # reference trunc(): single-arg truncate toward zero (trunc.slt);
+    # Spark's trunc is date-only
+    "pg_trunc": (
+        "(x DOUBLE) RETURNS DOUBLE",
+        "CASE WHEN x >= 0 THEN floor(x) ELSE ceil(x) END",
+    ),
+    # reference split_part: index 0 yields '' (string_split_part.slt);
+    # Spark raises INVALID_INDEX_OF_ZERO
+    "pg_split_part": (
+        "(s STRING, d STRING, n INT) RETURNS STRING",
+        "CASE WHEN n = 0 THEN '' ELSE split_part(s, d, n) END",
+    ),
 }
 
 
@@ -150,3 +168,10 @@ def register_all(spark: SparkSession) -> None:
 
     spark.udf.register("gcd", gcd_udf())
     spark.udf.register("lcm", lcm_udf())
+    from glaredb_spark.functions.scalar import (
+        pg_initcap_udf,
+        pg_regexp_replace_udf,
+    )
+
+    spark.udf.register("pg_regexp_replace", pg_regexp_replace_udf())
+    spark.udf.register("pg_initcap", pg_initcap_udf())

@@ -223,3 +223,76 @@ def lcm_udf():
         )
 
     return _lcm
+
+
+def pg_regexp_replace_udf():
+    """Reference regexp_replace semantics (string/regexp_replace.rs, Rust
+    ``Regex::replace``): replaces the FIRST match only (Spark/Java
+    replaces all), `\\N` backreferences where a nonexistent group expands
+    to empty (Python re raises), and `\\\\` escapes a literal backslash.
+    Arrow-batched pandas UDF — cold-path function, per-row regex columns
+    supported."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _expand(m: "_re.Match", template: str) -> str:
+        out, i, n = [], 0, len(template)
+        while i < n:
+            ch = template[i]
+            if ch == "\\" and i + 1 < n:
+                nxt = template[i + 1]
+                if nxt == "\\":
+                    out.append("\\")
+                    i += 2
+                    continue
+                if nxt.isdigit():
+                    idx = int(nxt)
+                    try:
+                        out.append(m.group(idx) or "")
+                    except (IndexError, _re.error):
+                        pass
+                    i += 2
+                    continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
+    @pandas_udf("string")
+    def _rr(s: pd.Series, p: pd.Series, r: pd.Series) -> pd.Series:
+        def one(val, pat, rep):
+            if val is None or pat is None or rep is None:
+                return None
+            try:
+                rx = _re.compile(pat)
+            except _re.error:
+                return None
+            return rx.sub(lambda m: _expand(m, rep), val, count=1)
+
+        return pd.Series([one(v, q, w) for v, q, w in zip(s, p, r)])
+
+    return _rr
+
+
+def pg_initcap_udf():
+    """Reference initcap: a new word starts after ANY non-alphanumeric
+    char ('hello-world' -> 'Hello-World', initcap.slt); Spark's builtin
+    only splits on whitespace. Arrow-batched pandas UDF, cold path."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    word = _re.compile(r"[A-Za-z0-9]+")
+
+    @pandas_udf("string")
+    def _ic(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                word.sub(lambda m: m.group(0).capitalize(), v) if v is not None else None
+                for v in s
+            ]
+        )
+
+    return _ic

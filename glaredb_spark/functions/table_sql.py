@@ -98,6 +98,27 @@ _CAT = re.compile(
     re.IGNORECASE,
 )
 
+# profile table functions (profile.rs): fn() | fn(n) | fn('query-id')
+_PROFILE = re.compile(
+    r"\b(planning_profile|optimizer_profile|execution_profile)"
+    r"\s*\(\s*(\d+|'[^']*')?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _handle_profile(spark: SparkSession, m: re.Match) -> str:
+    from glaredb_spark.plans import explain as _explain
+
+    fn = m.group(1).lower()
+    raw = m.group(2)
+    arg = None
+    if raw:
+        arg = raw.strip("'") if raw.startswith("'") else int(raw)
+    df = getattr(_explain, fn)(spark, arg)
+    view = _view_name(fn, str(raw))
+    df.createOrReplaceTempView(view)
+    return view
+
 # FROM 'path.parquet' / JOIN 'path.csv' — file-path-as-table with format
 # inference (reference: slt/parquet/file_infer.slt, csv auto-infer;
 # resolve_file in the binder). Extension picks the reader.
@@ -219,7 +240,7 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
         sql,
     )
     wants_meta = bool(_META_COL.search(sql))
-    for pattern, handler in ((_TF, _handle_tf), (_GS, _handle_gs), (_CAT, _handle_cat), (_FROM_FILE, _handle_from_file)):
+    for pattern, handler in ((_TF, _handle_tf), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:

@@ -268,7 +268,16 @@ class GlareSession:
             return self.spark.range(1).select(
                 F.lit(n).cast("bigint").alias("Count")
             )
-        return self.spark.sql(rewrite_table_functions(self.spark, query))
+        from glaredb_spark.functions.table_sql import _PROFILE
+        from glaredb_spark.plans.explain import record_query
+
+        is_profile_query = bool(_PROFILE.search(query))
+        df = self.spark.sql(rewrite_table_functions(self.spark, query))
+        if not is_profile_query:
+            # profile table functions (profile.rs); introspection queries
+            # are not recorded so profile() keeps pointing at user queries
+            record_query(self.spark, df)
+        return df
 
     def _run_copy(self, m: "re.Match") -> DataFrame:
         """Execute COPY: write the source relation to the target path in the

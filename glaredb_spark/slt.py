@@ -473,6 +473,84 @@ _LEFT_RE = re.compile(r"\bleft\s*\(", re.IGNORECASE)
 _RIGHT_RE = re.compile(r"\bright\s*\(", re.IGNORECASE)
 _TRIM_RE = re.compile(r"\btrim\s*\(", re.IGNORECASE)
 _EXCLUDE_RE = re.compile(r"\*\s*EXCLUDE\s*(\()", re.IGNORECASE)
+# sign(): NaN/-0.0 -> 0 in the reference; trunc(): 1-arg toward-zero;
+# regexp_replace: first-match + Rust group-ref semantics (pandas UDF)
+_SIGN_RE = re.compile(r"\bsign\s*\(", re.IGNORECASE)
+_TRUNC_RE = re.compile(r"\btrunc\s*\(", re.IGNORECASE)
+_REGEXP_REPLACE_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
+# int literal ::DATE = days since epoch (cast/date.slt); string ::DATE
+# stays native
+_INT_DATE_RE = re.compile(r"(\(-?\d+\)|-?\d+)\s*::\s*DATE\b", re.IGNORECASE)
+# x = ANY(subq) — reference yields FALSE (not NULL) when no match even
+# with NULLs in the set, hence coalesce(IN, false)
+_EQ_ANY_RE = re.compile(r"=\s*ANY\s*\(", re.IGNORECASE)
+
+
+_SPLIT_PART_RE = re.compile(r"\bsplit_part\s*\(", re.IGNORECASE)
+_INITCAP_RE = re.compile(r"\binitcap\s*\(", re.IGNORECASE)
+
+
+def _double_backslashes_in_literals(sql: str) -> str:
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1].replace("\\", "\\\\"))
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_eq_any(sql: str) -> str:
+    """`x = ANY(subq)` → `coalesce(x IN (subq), false)` (any_all.slt:
+    the reference returns FALSE, not NULL, on no-match-with-NULLs)."""
+    from glaredb_spark.functions.arith_binder import (
+        _find_literal_spans,
+        _in_spans,
+        _scan_operand_left,
+    )
+
+    guard = 0
+    while guard < 50:
+        guard += 1
+        spans = _find_literal_spans(sql)
+        m = next(
+            (
+                c
+                for c in _EQ_ANY_RE.finditer(sql)
+                if not _in_spans(c.start(), spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        ls, left = _scan_operand_left(sql, m.start())
+        if not left.strip():
+            return sql
+        depth, j, n = 1, m.end(), len(sql)
+        while j < n and depth:
+            if sql[j] == "'":
+                j += 1
+                while j < n and sql[j] != "'":
+                    j += 1
+            elif sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        sub = sql[m.end() : j - 1]
+        sql = f"{sql[:ls]}coalesce({left.strip()} IN ({sub}), false){sql[j:]}"
+    return sql
 
 
 def _strip_trailing_commas(sql: str) -> str:
@@ -497,8 +575,21 @@ def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
     sql = _sub_outside_literals(sql, _RIGHT_RE, "pg_right(")
     sql = _sub_outside_literals(sql, _TRIM_RE, "btrim(")
     sql = _sub_outside_literals(sql, _EXCLUDE_RE, r"* EXCEPT \1")
+    sql = _sub_outside_literals(sql, _SIGN_RE, "pg_sign(")
+    sql = _sub_outside_literals(sql, _TRUNC_RE, "pg_trunc(")
+    sql = _sub_outside_literals(sql, _REGEXP_REPLACE_RE, "pg_regexp_replace(")
+    sql = _sub_outside_literals(
+        sql, _INT_DATE_RE, r"DATE_ADD(DATE '1970-01-01', \1)"
+    )
+    sql = _rewrite_eq_any(sql)
     sql = _swap_two_arg_calls(sql, "ltrim")
     sql = _swap_two_arg_calls(sql, "rtrim")
+    sql = _sub_outside_literals(sql, _SPLIT_PART_RE, "pg_split_part(")
+    sql = _sub_outside_literals(sql, _INITCAP_RE, "pg_initcap(")
+    # reference string literals are raw (no escape processing); Spark eats
+    # C-style escapes ('\1' -> '1'), so literal backslashes are doubled to
+    # present the same raw bytes (regexp_* files)
+    sql = _double_backslashes_in_literals(sql)
     sql = _TYPED_LIT_RE.sub(
         lambda m: f"CAST('{m.group(2)}' AS {_TYPED_LIT_MAP[m.group(1).lower()]})",
         sql,

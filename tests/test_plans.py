@@ -103,3 +103,36 @@ def test_knn_no_full_scored_window_exchange(spark, sf_dir):
     assert "MapInPandas" in plan
     # the scored set is produced by a broadcast join (corpus not shuffled)
     assert "BroadcastExchange" in plan
+
+
+def test_profile_table_functions(spark, sf_dir):
+    """Reference profile TVFs (functions/table/builtin/profile.rs):
+    planning_profile / optimizer_profile / execution_profile over the most
+    recent recorded query, via the SQL surface."""
+    from glaredb_spark.session import GlareSession
+
+    sess = GlareSession(spark)
+    sess.register_tables(sf_dir)
+    df = sess.sql("SELECT count(*) AS n FROM lineitem WHERE l_quantity > 10")
+    df.collect()
+
+    planning = {r.step: r for r in sess.sql("SELECT * FROM planning_profile()").collect()}
+    assert {"analysis", "optimization", "planning"} <= set(planning)
+    assert all(r.duration_seconds >= 0 for r in planning.values())
+
+    rules = sess.sql(
+        "SELECT rule, invocations FROM optimizer_profile()"
+    ).collect()
+    assert rules and all(r.invocations >= 1 for r in rules)
+
+    execu = sess.sql(
+        "SELECT operator, metric, value FROM execution_profile() "
+        "WHERE metric = 'numOutputRows'"
+    ).collect()
+    assert execu, "executed plan must expose SQLMetrics"
+    # the aggregate's single output row must appear among operator metrics
+    assert any(r.value >= 1 for r in execu)
+
+    # profile queries are not self-recorded: the target stays the user query
+    again = sess.sql("SELECT count(*) AS n FROM planning_profile()").collect()
+    assert again[0].n >= 3
