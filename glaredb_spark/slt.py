@@ -490,6 +490,61 @@ _SPLIT_PART_RE = re.compile(r"\bsplit_part\s*\(", re.IGNORECASE)
 _INITCAP_RE = re.compile(r"\binitcap\s*\(", re.IGNORECASE)
 
 
+_BOOL_FN_RE = re.compile(r"\b(and|or)\s*\(", re.IGNORECASE)
+
+
+def _expand_bool_fns(sql: str) -> str:
+    """Variadic and(a,b,...) / or(a,b,...) functions (boolean.slt) →
+    parenthesized infix. A match preceded by an operand (identifier, ')',
+    ']', quote) is the INFIX keyword before a parenthesized expression and
+    is left alone; zero-arg calls stay (they must error)."""
+    from glaredb_spark.functions.arith_binder import (
+        _find_literal_spans,
+        _in_spans,
+        _split_top_args,
+    )
+
+    offset = 0
+    while True:
+        spans = _find_literal_spans(sql)
+        m = None
+        for cand in _BOOL_FN_RE.finditer(sql, offset):
+            if _in_spans(cand.start(), spans):
+                continue
+            k = cand.start() - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                # preceded by a word: a KEYWORD (SELECT, WHEN, ...) means
+                # function position; a plain identifier means infix
+                wm = re.search(r"[A-Za-z_]\w*$", sql[: k + 1])
+                if not (wm and wm.group().upper() in _KEYWORDS):
+                    continue
+            elif k >= 0 and sql[k] in ")]'`":
+                continue  # infix AND/OR after an operand
+            m = cand
+            break
+        if m is None:
+            return sql
+        depth, j, n = 1, m.end(), len(sql)
+        while j < n and depth:
+            if sql[j] == "'":
+                j += 1
+                while j < n and sql[j] != "'":
+                    j += 1
+            elif sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        args = _split_top_args(sql[m.end() : j - 1])
+        if len(args) < 2:
+            offset = m.end()
+            continue
+        op = f" {m.group(1).upper()} "
+        sql = f"{sql[: m.start()]}({op.join(args)}){sql[j:]}"
+
+
 def _double_backslashes_in_literals(sql: str) -> str:
     out, i, n = [], 0, len(sql)
     while i < n:
@@ -582,6 +637,7 @@ def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
         sql, _INT_DATE_RE, r"DATE_ADD(DATE '1970-01-01', \1)"
     )
     sql = _rewrite_eq_any(sql)
+    sql = _expand_bool_fns(sql)
     sql = _swap_two_arg_calls(sql, "ltrim")
     sql = _swap_two_arg_calls(sql, "rtrim")
     sql = _sub_outside_literals(sql, _SPLIT_PART_RE, "pg_split_part(")
@@ -678,6 +734,11 @@ def _fmt(v) -> str:
         return "\\x" + v.hex()  # reference binary display
     if isinstance(v, list):
         return "[" + ", ".join(_fmt(e) for e in v) + "]"  # [a, b] — unquoted
+    if isinstance(v, __import__("decimal").Decimal):
+        s = str(v)
+        if "." in s:  # reference trims trailing fractional zeros
+            s = s.rstrip("0").rstrip(".")
+        return s if s else "0"
     if isinstance(v, datetime.timedelta):
         # reference/Postgres interval display: '3 days', '1 day 02:00:00'
         days, secs, us = v.days, v.seconds, v.microseconds
