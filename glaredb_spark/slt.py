@@ -473,6 +473,17 @@ _LEFT_RE = re.compile(r"\bleft\s*\(", re.IGNORECASE)
 _RIGHT_RE = re.compile(r"\bright\s*\(", re.IGNORECASE)
 _TRIM_RE = re.compile(r"\btrim\s*\(", re.IGNORECASE)
 _EXCLUDE_RE = re.compile(r"\*\s*EXCLUDE\s*(\()", re.IGNORECASE)
+# qualified star EXCLUDE: items must be qualified for Spark's EXCEPT list
+# (t1.* EXCLUDE (b) -> t1.* EXCEPT (t1.b))
+_QUAL_EXCLUDE_RE = re.compile(
+    r"([A-Za-z_]\w*)\.\*\s*EXCLUDE\s*\(([^()]*)\)", re.IGNORECASE
+)
+# reference schema-qualified builtin calls: system.default.abs(x) /
+# default.abs(x) — Spark builtins are unqualified (qualified.slt)
+_QUAL_FN_RE = re.compile(
+    r"\b(?:system\.)?(?:default\.|builtin\.)([A-Za-z_]\w*\s*\()",
+    re.IGNORECASE,
+)
 # sign(): NaN/-0.0 -> 0 in the reference; trunc(): 1-arg toward-zero;
 # regexp_replace: first-match + Rust group-ref semantics (pandas UDF)
 _SIGN_RE = re.compile(r"\bsign\s*\(", re.IGNORECASE)
@@ -629,7 +640,19 @@ def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
     sql = _sub_outside_literals(sql, _LEFT_RE, "pg_left(")
     sql = _sub_outside_literals(sql, _RIGHT_RE, "pg_right(")
     sql = _sub_outside_literals(sql, _TRIM_RE, "btrim(")
+    sql = _sub_outside_literals(
+        sql,
+        _QUAL_EXCLUDE_RE,
+        lambda m: "{0}.* EXCEPT ({1})".format(
+            m.group(1),
+            ", ".join(
+                c.strip() if "." in c else f"{m.group(1)}.{c.strip()}"
+                for c in m.group(2).split(",")
+            ),
+        ),
+    )
     sql = _sub_outside_literals(sql, _EXCLUDE_RE, r"* EXCEPT \1")
+    sql = _sub_outside_literals(sql, _QUAL_FN_RE, r"\1")
     sql = _sub_outside_literals(sql, _SIGN_RE, "pg_sign(")
     sql = _sub_outside_literals(sql, _TRUNC_RE, "pg_trunc(")
     sql = _sub_outside_literals(sql, _REGEXP_REPLACE_RE, "pg_regexp_replace(")
