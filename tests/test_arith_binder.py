@@ -80,6 +80,22 @@ def test_int_division(sql, want):
     assert _squash(rewrite_int_division(sql)) == _squash(want)
 
 
+def test_int_division_div_word_chains():
+    # the `div` infix link in multiplicative chains (_split_arith_terms
+    # word branch — flagged as possibly unreachable in the r3 VERDICT)
+    from glaredb_spark.functions.arith_binder import _split_arith_terms
+
+    assert _split_arith_terms("8 div 4") == ["8", "4"]
+    assert _squash(rewrite_int_division("SELECT 8 / 4 div 2")) == _squash(
+        "SELECT 8 div 4 div 2"
+    )
+    # float anywhere in the left chain blocks the rewrite
+    assert (
+        rewrite_int_division("SELECT 8.0 div 4 / 2")
+        == "SELECT 8.0 div 4 / 2"
+    )
+
+
 def test_int_division_signed_exponent_floats():
     # ADVICE r3: '1e-5 / 2' must NOT become '1e-5 div 2' (= 0)
     assert rewrite_int_division("SELECT 1e-5 / 2") == "SELECT 1e-5 / 2"
