@@ -55,6 +55,26 @@ _GS = re.compile(
     r"\bgenerate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)",
     re.IGNORECASE,
 )
+# correlated/lateral generate_series — args reference columns of earlier
+# FROM items (reference: series.rs binds args per row; generate_series.slt
+# 'Lateral input'). Spark form: LATERAL VIEW explode(sequence(...)).
+_LATERAL_GS = re.compile(
+    r",\s*generate_series\s*\(([^()]+)\)"
+    r"(?:\s+(?:AS\s+)?(?!ORDER\b|WHERE\b|GROUP\b|LIMIT\b|HAVING\b|UNION\b|"
+    r"INTERSECT\b|EXCEPT\b|ON\b|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b|"
+    r"CROSS\b|NATURAL\b|LATERAL\b)([A-Za-z_]\w*)\s*(?:\(\s*(\w+)\s*\))?)?",
+    re.IGNORECASE,
+)
+
+
+def _handle_lateral_gs(spark: SparkSession, m: re.Match) -> str:
+    args = [a.strip() for a in m.group(1).split(",")]
+    if all(re.fullmatch(r"-?\d+", a) for a in args) or not 2 <= len(args) <= 3:
+        return m.group(0)  # literal args: the view-based _GS handles it
+    casts = ", ".join(f"CAST({a} AS BIGINT)" for a in args)
+    rel = m.group(2) or "_gs"
+    col = m.group(3) or "generate_series"
+    return f" LATERAL VIEW explode(sequence({casts})) {rel} AS {col}"
 
 _DISPATCH = {
     "read_parquet": _files.read_parquet,
@@ -240,7 +260,7 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
         sql,
     )
     wants_meta = bool(_META_COL.search(sql))
-    for pattern, handler in ((_TF, _handle_tf), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
+    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:
