@@ -86,6 +86,98 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(n, component) via alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the scale path for adversarially long chains.
+
+    Each round: large-star points every strictly-larger neighbor at the
+    neighborhood minimum, small-star points every smaller-or-equal
+    neighbor (and the node) at it. Component diameter collapses
+    geometrically, so rounds are O(log n) REGARDLESS of graph shape —
+    min-label propagation (connected_components) needs O(diameter) rounds
+    and gives up on long paths. Per round: two grouped mins + two
+    equi-joins, all shuffles bounded by |E|; convergence is an edge-set
+    checksum (count + hash sum), one tiny aggregate.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum(F.hash("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row.c, row.h
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhood
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        e1 = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (u >= v)-oriented edges
+        o = (
+            e1.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (
+            o.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = checksum(e2)
+        e = e2
+        if prev == cur:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds"
+        )
+    # converged edges are stars (node -> component min); roots self-map
+    members = e.select("u").distinct()
+    roots = e.select(F.col("v").alias("u")).distinct().join(
+        members, "u", "left_anti"
+    )
+    return (
+        e.select(F.col("u").alias("n"), F.col("v").alias("component"))
+        .unionByName(
+            roots.select(F.col("u").alias("n"), F.col("u").alias("component"))
+        )
+        .groupBy("n")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def _minhash_pairs_cte() -> str:
     """The dedup_minhash_lsh oracle pipeline as a reusable WITH-body."""
     from glaredb_spark.operators.dedup import (
