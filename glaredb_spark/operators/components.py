@@ -18,8 +18,9 @@ truncating the growing lineage like operators/recursive.py.
 At 100 TB scale the same loop holds (labels/edges are id-pairs, shuffles
 are bounded by |E|); for adversarially long chains the alternating
 large-star/small-star variant (Kiveris et al., "Connected Components in
-MapReduce") halves diameter per round — noted in SCALE.md, not needed for
-near-dup graphs.
+MapReduce and Beyond") ships as ``connected_components_star`` — O(log n)
+rounds on any graph shape, equivalence-tested in
+tests/test_components.py.
 
 Oracle: DuckDB WITH RECURSIVE transitive closure + MIN per node — exact
 same components, engine-independently.
@@ -238,6 +239,30 @@ def dedup_components(spark, sf_dir):
     )
 
 
+@register_query("dedup_components_star", oracle=None)  # oracle set below
+def dedup_components_star(spark, sf_dir):
+    """Same duplicate clusters via star contraction — identical output to
+    dedup_components (component = min member), different algorithm
+    (O(log n) rounds vs O(diameter)); both share the DuckDB
+    recursive-closure oracle."""
+    from glaredb_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components_star(pairs, "doc1", "doc2")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.col("component").cast("long").alias("component_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # recursive-closure oracle: same pairs, transitive closure, min per node
 from glaredb_spark.registry import ORACLES  # noqa: E402
 
@@ -259,3 +284,7 @@ SELECT comp.n AS doc_id,
 FROM comp JOIN sized USING (component_id)
 ORDER BY doc_id
 """
+
+# the star variant computes the same (min-labeled) components — share the
+# transitive-closure oracle
+ORACLES["dedup_components_star"] = ORACLES["dedup_components"]

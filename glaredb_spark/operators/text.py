@@ -230,3 +230,78 @@ def text_bpe_token_count(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics — the Gopher/MassiveText repetition filter family
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_repetition_metrics",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS grams
+      FROM t)
+SELECT doc_id,
+       CAST(list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+         / len(toks) AS top_word_frac,
+       CASE WHEN len(grams) > 0
+            THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(grams) > 0
+            THEN CAST(list_max(list_transform(list_distinct(grams),
+                   w -> len(list_filter(grams, x -> x = w)))) AS DOUBLE)
+                   / len(grams)
+            ELSE 0.0 END AS top_2gram_frac
+FROM g
+ORDER BY doc_id
+""",
+)
+def text_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition features per document (Rae et al. 2021,
+    MassiveText quality filters): most-frequent-word fraction, duplicate
+    2-gram fraction, most-frequent-2-gram fraction. Documents dominated by
+    a repeated token or phrase are boilerplate/spam and get filtered
+    before training.
+
+    All-JVM higher-order functions (no Python), map-only per document —
+    zero shuffles at any scale. The per-doc mode count is
+    O(unique·tokens) inside one task, bounded by document length.
+    Fractions are single divisions of exact integer counts — bit-equal
+    across engines."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.withColumn("toks", F.expr("split(text, ' ')"))
+        .withColumn(
+            "grams",
+            # guard: Spark's sequence(1, 0) DESCENDS instead of returning
+            # empty, so a 1-token doc would index element_at(toks, 0)
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+                "ELSE array() END"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(array_max(transform(array_distinct(toks), "
+                "w -> size(filter(toks, x -> x = w)))) AS DOUBLE) / size(toks)"
+            ).alias("top_word_frac"),
+            F.expr(
+                "CASE WHEN size(grams) > 0 THEN 1.0D - "
+                "CAST(size(array_distinct(grams)) AS DOUBLE) / size(grams) "
+                "ELSE 0.0D END"
+            ).alias("dup_2gram_frac"),
+            F.expr(
+                "CASE WHEN size(grams) > 0 THEN "
+                "CAST(array_max(transform(array_distinct(grams), "
+                "w -> size(filter(grams, x -> x = w)))) AS DOUBLE) / size(grams) "
+                "ELSE 0.0D END"
+            ).alias("top_2gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
