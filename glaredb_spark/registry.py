@@ -61,14 +61,15 @@ GATE_PRIORITY: list[str] = [
     "multimodal_decode_bmp",
     "cb_regexp_domain_agg",
     "cb_sum_expr_battery",
-    "cb_multikey_group",
     "tpcds_rollup_rank",
     "tpcds_channel_union",
     "tpcds_ratio_to_avg",
     "rel_skew_salted_join",
     "pipeline_corpus_clean",
     "pipeline_train_split",
-    "knn_lsh_cosine",
+    # r4-new operators, first driver rows
+    "dedup_components_star",
+    "text_repetition_metrics",
 ]
 
 
