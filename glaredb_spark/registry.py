@@ -62,8 +62,11 @@ GATE_PRIORITY: list[str] = [
     "cb_regexp_domain_agg",
     "cb_sum_expr_battery",
     "tpcds_rollup_rank",
-    "tpcds_channel_union",
     "tpcds_ratio_to_avg",
+    # new semantic module (k-means + SemDeDup), first driver row; slot
+    # freed by tpcds_channel_union (module keeps two other reps; still in
+    # the local strict gate)
+    "dedup_semdedup",
     "rel_skew_salted_join",
     "pipeline_corpus_clean",
     "pipeline_train_split",
@@ -116,3 +119,4 @@ def load_all() -> None:
     import glaredb_spark.operators.sampling  # noqa: F401
     import glaredb_spark.operators.components  # noqa: F401
     import glaredb_spark.operators.contamination  # noqa: F401
+    import glaredb_spark.operators.semantic  # noqa: F401
