@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from glaredb_spark.functions import vector as V
 from glaredb_spark.operators.similarity import o_band_code as _o_band_code
 from glaredb_spark.registry import register_query
-from glaredb_spark.sources.files import load_wide
+from glaredb_spark.sources.files import load_tables, load_wide
 
 P31 = 2147483647  # 2^31 - 1 (prime)
 NUM_HASHES = 16
@@ -649,3 +649,101 @@ def dedup_simhash_weighted(spark, sf_dir):
     """tf-weighted SimHash signatures (every token occurrence votes) —
     the weighted Charikar form for corpora where term repetition matters."""
     return _simhash_df(spark, sf_dir, weighted=True).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# chunk-level (paragraph) exact dedup — remove repeated passages globally
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 10
+
+
+@register_query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, u.i AS ci,
+         array_to_string(
+           toks[(u.i - 1) * {CHUNK_TOKENS} + 1 : (u.i - 1) * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+           ' ') AS chunk
+  FROM t, LATERAL (
+    SELECT unnest(range(1, 1 + CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS INT))) AS i
+  ) u
+), o1 AS (
+  SELECT chunk, min(doc_id) AS od FROM c GROUP BY chunk
+), o2 AS (
+  SELECT c.chunk, c.doc_id AS od, min(c.ci) AS oci
+  FROM c JOIN o1 ON c.chunk = o1.chunk AND c.doc_id = o1.od
+  GROUP BY c.chunk, c.doc_id
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN c.doc_id = o2.od AND c.ci = o2.oci
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN c.doc_id = o2.od AND c.ci = o2.oci
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM c JOIN o2 ON c.chunk = o2.chunk
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+)
+def dedup_paragraph_exact(spark, sf_dir):
+    """Passage-level exact dedup (the paragraph-dedup step of C4/Dolma-style
+    pipelines): documents are cut into fixed 10-token chunks (the fixture
+    corpus has no newlines, so token windows stand in for paragraphs — with
+    real text the splitter is `split(text, '\\n\\n')` and everything below
+    is unchanged), every chunk that appears anywhere else in the corpus is
+    dropped except its first occurrence (smallest (doc_id, chunk_idx)),
+    and the per-document kept/dropped counts come back for auditing.
+
+    Scale: one shuffle on the chunk text (groupBy chunk → min owner), then
+    an equi-join on chunk that reuses the same hash partitioning (exchange
+    reuse — no second full shuffle), then a groupBy doc_id over ~|corpus|
+    chunk rows. No windows over the full corpus, no driver-side state; at
+    100 TB chunk keys can be md5-hashed first to bound shuffle width
+    (identical machinery to dedup_exact)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_chunks),
+                    lambda i: F.array_join(
+                        F.slice(toks, (i - 1) * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+                    ),
+                )
+            ).alias("ci0", "chunk"),
+        )
+        .select("doc_id", (F.col("ci0") + 1).alias("ci"), "chunk")
+    )
+    owner = chunks.groupBy("chunk").agg(F.min(F.struct("doc_id", "ci")).alias("o"))
+    return (
+        chunks.join(owner, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(
+                    (F.col("doc_id") == F.col("o.doc_id"))
+                    & (F.col("ci") == F.col("o.ci")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(
+                    (F.col("doc_id") == F.col("o.doc_id"))
+                    & (F.col("ci") == F.col("o.ci")),
+                    0,
+                ).otherwise(1)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )

@@ -132,3 +132,70 @@ def pipeline_mixture_sample(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+TOKEN_BUDGET = 700  # per-source token budget for the registered query
+
+
+def token_budget_take(
+    df: DataFrame, *, group: str, order: str, tokens: Column, budget: int
+) -> DataFrame:
+    """Greedy per-group document selection under a token budget: take rows
+    in `order` while the running token total stays <= budget.
+
+    One shuffle on `group` (the window partition); the cumulative sum is
+    computed inside each partition. Skew note for 100 TB: a single
+    pathological group serializes in one task — but a budgeted take is
+    inherently sequential per group (row k's admission depends on rows
+    < k), and the scan stops mattering because the window reads only
+    (group, order, n_toks)-projected columns. Real pipelines cap groups
+    (sources/domains), not documents, so group count >> executor count."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_toks", tokens.cast("long"))
+        .withColumn("cum_toks", F.sum("n_toks").over(w))
+        .filter(F.col("cum_toks") <= budget)
+    )
+
+
+@register_query(
+    "pipeline_token_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_toks,
+         CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+  FROM t
+)
+SELECT source, doc_id, n_toks, cum_toks
+FROM c WHERE cum_toks <= {TOKEN_BUDGET}
+ORDER BY source, doc_id
+""",
+)
+def pipeline_token_budget(spark, sf_dir):
+    """Per-source token-budget curation: admit documents (in stable
+    doc_id order) until each source's running token count exceeds the
+    budget — the 'cap every domain's contribution' step of corpus
+    mixing (C4/Dolma-style per-source quotas). Exact integer cumsum, so
+    both engines admit the identical document set."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    took = token_budget_take(
+        docs,
+        group="source",
+        order="doc_id",
+        tokens=F.size(F.split("text", " ")),
+        budget=TOKEN_BUDGET,
+    )
+    return took.select("source", "doc_id", "n_toks", "cum_toks").orderBy(
+        "source", "doc_id"
+    )

@@ -305,3 +305,76 @@ def text_repetition_metrics(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules — the MassiveText document-level filter battery
+# ---------------------------------------------------------------------------
+@register_query(
+    "text_gopher_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> strlen(w))) AS DOUBLE)
+           / len(toks) AS mean_word_len,
+         CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+')))
+              AS DOUBLE) / len(toks) AS frac_alpha,
+         CAST(len(list_distinct(list_filter(toks,
+              w -> w IN ({", ".join(f"'{w}'" for w in STOP_EN)}))))
+              AS BIGINT) AS n_stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop_hits,
+       (n_words BETWEEN 20 AND 90)
+         AND (mean_word_len BETWEEN 3 AND 10)
+         AND frac_alpha >= 0.8
+         AND n_stop_hits >= 2 AS passes
+FROM m
+ORDER BY doc_id
+""",
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText document-quality rules (Rae et al. 2021, Table A1
+    — adapted thresholds for the fixture's word-soup scale): word count in
+    [20, 90], mean word length in [3, 10], >= 80% alphabetic words, and at
+    least 2 distinct stopword hits. Emits every rule input plus the
+    combined pass flag so a pipeline can both filter and audit per-rule
+    rejection rates.
+
+    Map-only JVM pipeline (split + higher-order filters), zero shuffles at
+    any scale; every fraction is one division of exact integer counts."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = _tokens()
+    n_words = F.size(toks).cast("long")
+    mean_len = (
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).cast("double")
+        / n_words
+    )
+    frac_alpha = (
+        F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$"))).cast("double") / n_words
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOP_EN])
+    n_stop = F.size(F.array_distinct(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        n_stop.alias("n_stop_hits"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(20, 90)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("frac_alpha") >= 0.8)
+            & (F.col("n_stop_hits") >= 2)
+        ).alias("passes"),
+    ).orderBy("doc_id")
