@@ -278,3 +278,56 @@ def meta_filename_counts(spark, sf_dir):
         .unionByName(per_file("events"))
         .orderBy("_filename")
     )
+
+
+@register_query(
+    "delta_log_scan",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""",
+)
+def delta_log_scan(spark, sf_dir):
+    """Native Delta transaction-log reader exercised end-to-end
+    (sources/delta_native.py ↔ crates/glaredb_ext_delta/src/): the builder
+    authors a Delta table whose log points at fixture parquet — commit 0
+    adds nation AND region, commit 1 removes region — so the scan result
+    proves the add/remove fold, not just a parquet passthrough. The data
+    files are never copied (the log references them absolutely, as the
+    spec allows); the scan itself is Spark's distributed parquet read."""
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    from glaredb_spark.sources.delta_native import read_delta_native
+    from glaredb_spark.sources.files import read_parquet
+
+    nation_file = _os.path.join(sf_dir, "nation.parquet")
+    region_file = _os.path.join(sf_dir, "region.parquet")
+    schema_json = _json.dumps(read_parquet(spark, nation_file).schema.jsonValue())
+    root = _tf.mkdtemp(prefix="glaredb_delta_")
+    log = _os.path.join(root, "_delta_log")
+    _os.makedirs(log, exist_ok=True)
+
+    def commit(version, actions):
+        with open(_os.path.join(log, f"{version:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+
+    def add(p):
+        return {"add": {"path": p, "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True}}
+
+    commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "fixture", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_json, "partitionColumns": [],
+                      "configuration": {}}},
+        add(nation_file),
+        add(region_file),
+    ])
+    commit(1, [{"remove": {"path": region_file, "dataChange": True}}])
+    return (
+        read_delta_native(spark, root)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )

@@ -60,7 +60,10 @@ GATE_PRIORITY: list[str] = [
     "text_token_stats",
     "multimodal_decode_bmp",
     "cb_regexp_domain_agg",
-    "cb_sum_expr_battery",
+    # new native Delta log reader, first driver row; slot freed by
+    # cb_sum_expr_battery (module keeps cb_regexp_domain_agg; still in
+    # the local strict gate)
+    "delta_log_scan",
     "tpcds_rollup_rank",
     "tpcds_ratio_to_avg",
     # new semantic module (k-means + SemDeDup), first driver row; slot

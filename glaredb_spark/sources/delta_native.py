@@ -1,0 +1,177 @@
+"""Native Delta Lake table reader — no connector jar required.
+
+Reference surface: crates/glaredb_ext_delta/src/ (the reference implements
+its own Delta protocol reader in Rust rather than shipping the Spark
+connector; this module is the same idea Spark-first). Protocol per the
+public Delta transaction-log spec (delta.io PROTOCOL.md): the table state
+is the fold of `_delta_log/<version>.json` commit files (each a sequence of
+newline-delimited actions: protocol / metaData / add / remove) over the
+optional parquet checkpoint named by `_delta_log/_last_checkpoint`.
+
+Division of labor at 100 TB: the transaction LOG is small (KBs–MBs, one
+record per data file) and is parsed driver-side — exactly what delta-rs and
+the reference's Rust reader do. The DATA scan stays fully distributed:
+the reconstructed active-file list feeds ``spark.read.parquet(*files)``,
+so predicate pushdown, column pruning, and partition-value pruning all
+behave like any parquet scan. Partition columns (absent from the data
+files per the spec) are re-attached per partition group as literal
+columns cast to the table schema's types.
+
+Supported: reader protocol v1, and v2+ tables whose readerFeatures need
+nothing beyond base parquet (fails with an actionable error on
+deletionVectors / columnMapping rather than returning wrong rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import urllib.parse
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_UNSUPPORTED_FEATURES = {"deletionVectors", "columnMapping"}
+
+
+class DeltaState:
+    """Reconstructed table state: schema + active data files."""
+
+    def __init__(self) -> None:
+        self.schema_json: str | None = None
+        self.partition_columns: list[str] = []
+        self.min_reader_version = 1
+        self.reader_features: set[str] = set()
+        # path -> partitionValues dict (last add wins per spec)
+        self.adds: dict[str, dict[str, Any]] = {}
+
+    def apply(self, action: dict) -> None:
+        if "protocol" in action:
+            p = action["protocol"]
+            self.min_reader_version = p.get("minReaderVersion", 1)
+            self.reader_features = set(p.get("readerFeatures") or [])
+        elif "metaData" in action:
+            m = action["metaData"]
+            self.schema_json = m.get("schemaString")
+            self.partition_columns = list(m.get("partitionColumns") or [])
+        elif "add" in action:
+            a = action["add"]
+            self.adds[a["path"]] = a.get("partitionValues") or {}
+        elif "remove" in action:
+            self.adds.pop(action["remove"]["path"], None)
+
+
+def _read_checkpoint(state: DeltaState, log_dir: str, version: int, parts: int | None) -> None:
+    import pyarrow.parquet as pq
+
+    if parts:
+        files = [
+            os.path.join(
+                log_dir,
+                f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+            )
+            for i in range(1, parts + 1)
+        ]
+    else:
+        files = [os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")]
+    for f in files:
+        tbl = pq.read_table(f)
+        cols = set(tbl.column_names)
+        for row in tbl.to_pylist():
+            # checkpoint rows are one-hot: exactly one action struct non-null
+            for kind in ("protocol", "metaData", "add", "remove"):
+                if kind in cols and row.get(kind) is not None:
+                    state.apply({kind: row[kind]})
+
+
+def load_delta_state(path: str) -> DeltaState:
+    """Fold the transaction log into the current table state."""
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise RuntimeError(
+            f"not a Delta table: {path!r} has no _delta_log/ directory"
+        )
+    state = DeltaState()
+    start_after = -1
+    last_cp = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(last_cp):
+        with open(last_cp) as fh:
+            cp = json.load(fh)
+        _read_checkpoint(state, log_dir, int(cp["version"]), cp.get("parts"))
+        start_after = int(cp["version"])
+    commits = sorted(
+        (int(m.group(1)), os.path.join(log_dir, n))
+        for n in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(n))
+    )
+    if not commits and start_after < 0:
+        raise RuntimeError(f"Delta log at {log_dir!r} contains no commits")
+    for version, fname in commits:
+        if version <= start_after:
+            continue
+        with open(fname) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    state.apply(json.loads(line))
+    unsupported = state.reader_features & _UNSUPPORTED_FEATURES
+    if state.min_reader_version > 3 or unsupported:
+        raise RuntimeError(
+            "Delta table requires unsupported reader features "
+            f"{sorted(unsupported) or state.min_reader_version}; this native "
+            "reader covers base parquet tables — use the delta-spark "
+            "connector jar for advanced features."
+        )
+    if state.schema_json is None:
+        raise RuntimeError(f"Delta log at {log_dir!r} has no metaData action")
+    return state
+
+
+def _cast_partition_lit(raw: str | None, dtype):
+    # spec: partitionValues serializes values as strings, null as JSON null
+    if raw is None:
+        return F.lit(None).cast(dtype)
+    return F.lit(raw).cast(dtype)
+
+
+def read_delta_native(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Delta table directory through the transaction log, returning
+    a DataFrame with the table schema (partition columns included)."""
+    state = load_delta_state(path)
+    schema = StructType.fromJson(json.loads(state.schema_json))
+    part_cols = state.partition_columns
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+
+    def _resolve(p: str) -> str:
+        return os.path.join(path, urllib.parse.unquote(p))
+
+    if not state.adds:
+        return spark.createDataFrame([], schema)
+    if not part_cols:
+        files = [_resolve(p) for p in state.adds]
+        df = spark.read.schema(data_schema).parquet(*files)
+        return df.select(*[f.name for f in schema.fields])
+
+    # group files by partition tuple; attach literals per group. Group
+    # count = live partition count — the same driver-side cardinality any
+    # Delta reader holds in memory from the log.
+    by_part: dict[tuple, list[str]] = {}
+    for p, pv in state.adds.items():
+        key = tuple(pv.get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(_resolve(p))
+    types = {f.name: f.dataType for f in schema.fields}
+    pieces = []
+    for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
+        pieces.append(df.select(*[f.name for f in schema.fields]))
+    out = pieces[0]
+    for df in pieces[1:]:
+        out = out.unionAll(df)
+    return out

@@ -53,11 +53,15 @@ def read_iceberg(spark: SparkSession, table_or_path: str) -> DataFrame:
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
     """Scan a Delta Lake table directory — the Spark analog of the
-    reference's delta scan (crates/glaredb_ext_delta/src/)."""
-    if not delta_available(spark):
-        raise RuntimeError(
-            "Delta connector not on the classpath. Add the delta-spark jar "
-            "(e.g. --packages io.delta:delta-spark_2.13:<version>) to "
-            "enable delta reads."
-        )
-    return spark.read.format("delta").load(path)
+    reference's delta scan (crates/glaredb_ext_delta/src/).
+
+    Uses the connector DataSource when its jar is on the classpath;
+    otherwise falls back to the native transaction-log reader
+    (sources/delta_native.py — same architecture as the reference's own
+    Rust Delta reader: driver-side log fold, distributed parquet scan).
+    """
+    if delta_available(spark):
+        return spark.read.format("delta").load(path)
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    return read_delta_native(spark, path)

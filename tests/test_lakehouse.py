@@ -8,7 +8,9 @@ def test_unavailable_error_is_actionable(spark):
     from glaredb_spark.sources import lakehouse
 
     if not lakehouse.delta_available(spark):
-        with pytest.raises(RuntimeError, match="delta-spark"):
+        # jar absent → the facade falls back to the NATIVE log reader
+        # (tests/test_delta_native.py), whose error names the real problem
+        with pytest.raises(RuntimeError, match="_delta_log"):
             lakehouse.read_delta(spark, "/tmp/nonexistent")
     if not lakehouse.iceberg_available(spark):
         with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
