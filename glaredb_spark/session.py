@@ -157,11 +157,20 @@ class GlareSession:
         (functions/arith_binder.py): polymorphic ``add/sub/mul/div/rem``
         calls expand to infix, and provably-int/int ``/`` gets the
         reference's integer-division semantics (``5/2 = 2``,
-        functions/scalar/builtin/arith/ + arith.slt)."""
+        functions/scalar/builtin/arith/ + arith.slt) — then the star-macro
+        pre-binder (functions/star_binder.py): ``* EXCLUDE`` → Spark-native
+        ``* EXCEPT``, and ``* REPLACE (expr AS col)`` / ``COLUMNS('re')``
+        expand against the analyzed probe schema (select_list binder +
+        COLUMNS expression of the reference)."""
         from glaredb_spark.functions.arith_binder import rewrite_arith
+        from glaredb_spark.functions.star_binder import rewrite_star_macros
         from glaredb_spark.functions.table_sql import rewrite_table_functions
 
+        from glaredb_spark.functions.alias_binder import pad_partial_alias_lists
+
         query = rewrite_arith(query, self.spark)
+        query = rewrite_star_macros(query, self.spark)
+        query = pad_partial_alias_lists(query, self.spark)
         if _INLINE_DESC_RE.search(query):
             query = self._rewrite_inline_describe(query)
         desc = _DESCRIBE_RE.match(query)
