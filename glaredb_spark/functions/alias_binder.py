@@ -24,6 +24,11 @@ _ALIAS_AFTER_PAREN_RE = re.compile(
     r"\)\s*(?:AS\s+)?(\w+)\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)",
     re.IGNORECASE,
 )
+_CREATE_VIEW_COLS_RE = re.compile(
+    r"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+[\w.`]+\s*)"
+    r"\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)(\s+AS\s+)(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _mask(sql: str) -> str:
@@ -48,9 +53,24 @@ def _matching_open(masked: str, close_pos: int) -> int | None:
 
 def pad_partial_alias_lists(sql: str, spark) -> str:
     """Expand ``(<derived>) v(a)`` to ``(<derived>) v(a, <rest...>)``
-    whenever the alias list is shorter than the relation's column list."""
+    whenever the alias list is shorter than the relation's column list;
+    same rule for ``CREATE VIEW v(a) AS SELECT ...`` (the reference allows
+    at MOST as many view aliases as body columns, Spark demands exactly)."""
     if "(" not in sql:
         return sql
+    cv = _CREATE_VIEW_COLS_RE.match(sql)
+    if cv:
+        given = [a.strip() for a in cv.group(2).split(",")]
+        try:
+            cols = spark.sql(f"SELECT * FROM ({cv.group(4)})").columns
+        except Exception:  # noqa: BLE001
+            cols = None
+        if cols is not None and len(given) < len(cols):
+            padded = given + [f"`{c}`" for c in cols[len(given) :]]
+            sql = (
+                cv.group(1) + "(" + ", ".join(padded) + ")"
+                + cv.group(3) + cv.group(4)
+            )
     masked = _mask(sql)
     # iterate right-to-left so span replacements don't shift earlier offsets
     matches = list(_ALIAS_AFTER_PAREN_RE.finditer(masked))
@@ -77,3 +97,83 @@ def pad_partial_alias_lists(sql: str, spark) -> str:
         sql = sql[:alias_span_start] + ", ".join(padded) + sql[alias_span_end:]
         masked = _mask(sql)
     return sql
+
+
+_SCALAR_SUBQ_ITEM_RE = re.compile(r"^\s*\(\s*SELECT\b.*\)\s*$", re.IGNORECASE | re.DOTALL)
+_TRAILING_AS_RE = re.compile(r"\bAS\s+(`[^`]+`|\w+)\s*$", re.IGNORECASE)
+_BARE_COL_RE = re.compile(r"^\s*(?:[\w`]+\s*\.\s*)*(`[^`]+`|[A-Za-z_]\w*)\s*$")
+
+
+def propagate_scalar_subquery_aliases(sql: str, spark) -> str:
+    """Name a select-list scalar subquery after its inner output column —
+    reference behavior (bind_select_list names the subquery column;
+    slt/standard/subqueries/scalar/scalar_subquery.slt): ``SELECT
+    (SELECT 'x' AS a ...)`` exposes column ``a`` and ``ORDER BY a``
+    resolves. Spark names it ``scalarsubquery()``, so the pre-binder
+    appends the inner alias (or the inner bare column name) as an outer
+    alias when the user gave none."""
+    up = sql.upper()
+    if "SELECT" not in up or "(" not in sql:
+        return sql
+    from glaredb_spark.functions.star_binder import (
+        _find_select_span,
+        _split_top_commas,
+    )
+
+    masked = _mask(sql)
+    span = _find_select_span(masked)
+    # FROM-less statements: treat end-of-string as the list end
+    if span is None:
+        m = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", masked, re.IGNORECASE)
+        if not m or masked[: m.start()].count("(") != masked[: m.start()].count(")"):
+            return sql
+        tail = re.search(
+            r"\b(ORDER\s+BY|LIMIT|UNION|EXCEPT|INTERSECT)\b",
+            masked[m.end():],
+            re.IGNORECASE,
+        )
+        end = m.end() + tail.start() if tail else len(sql)
+        list_start, list_end = m.end(), end
+    else:
+        list_start, _, list_end = span[0], span[1], span[2]
+    select_list = sql[list_start:list_end]
+    items = _split_top_commas(select_list, masked[list_start:list_end])
+    changed = False
+    new_items = []
+    for item in items:
+        if _SCALAR_SUBQ_ITEM_RE.match(item):
+            inner = item.strip()[1:-1]
+            inner_masked = _mask(inner)
+            ispan = _find_select_span(inner_masked)
+            if ispan is None:
+                im = re.match(r"\s*SELECT\b", inner, re.IGNORECASE)
+                itail = re.search(
+                    r"\b(WHERE|ORDER\s+BY|LIMIT|GROUP\s+BY)\b",
+                    inner_masked,
+                    re.IGNORECASE,
+                )
+                iend = itail.start() if itail else len(inner)
+                inner_list = inner[im.end():iend] if im else ""
+            else:
+                inner_list = inner[ispan[0] : ispan[2]]
+            inner_items = _split_top_commas(inner_list, _mask(inner_list))
+            if len(inner_items) == 1:
+                one = inner_items[0].strip()
+                am = _TRAILING_AS_RE.search(one)
+                name = None
+                if am:
+                    name = am.group(1).strip("`")
+                else:
+                    bm = _BARE_COL_RE.match(one)
+                    if bm:
+                        name = bm.group(1).strip("`")
+                if name:
+                    new_items.append(f"{item.rstrip()} AS `{name}`")
+                    changed = True
+                    continue
+        new_items.append(item)
+    if not changed:
+        return sql
+    return sql[:list_start] + " " + ", ".join(
+        i.strip() for i in new_items
+    ) + " " + sql[list_end:]

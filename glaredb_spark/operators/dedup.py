@@ -697,12 +697,13 @@ def dedup_paragraph_exact(spark, sf_dir):
     dropped except its first occurrence (smallest (doc_id, chunk_idx)),
     and the per-document kept/dropped counts come back for auditing.
 
-    Scale: one shuffle on the chunk text (groupBy chunk → min owner), then
-    an equi-join on chunk that reuses the same hash partitioning (exchange
-    reuse — no second full shuffle), then a groupBy doc_id over ~|corpus|
-    chunk rows. No windows over the full corpus, no driver-side state; at
-    100 TB chunk keys can be md5-hashed first to bound shuffle width
-    (identical machinery to dedup_exact)."""
+    Scale: one shuffle on the chunk text (groupBy chunk → min owner), an
+    equi-join on chunk (owner side arrives pre-partitioned from its agg;
+    the probe side shuffles once — AQE broadcasts the owner table when it
+    fits, as it does at fixture scale), then a groupBy doc_id over
+    ~|corpus| chunk rows. No windows over the full corpus, no driver-side
+    state; at 100 TB chunk keys can be md5-hashed first to bound shuffle
+    width (identical machinery to dedup_exact)."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int")

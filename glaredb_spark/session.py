@@ -166,11 +166,15 @@ class GlareSession:
         from glaredb_spark.functions.star_binder import rewrite_star_macros
         from glaredb_spark.functions.table_sql import rewrite_table_functions
 
-        from glaredb_spark.functions.alias_binder import pad_partial_alias_lists
+        from glaredb_spark.functions.alias_binder import (
+            pad_partial_alias_lists,
+            propagate_scalar_subquery_aliases,
+        )
 
         query = rewrite_arith(query, self.spark)
         query = rewrite_star_macros(query, self.spark)
         query = pad_partial_alias_lists(query, self.spark)
+        query = propagate_scalar_subquery_aliases(query, self.spark)
         if _INLINE_DESC_RE.search(query):
             query = self._rewrite_inline_describe(query)
         desc = _DESCRIBE_RE.match(query)

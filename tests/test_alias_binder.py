@@ -1,0 +1,68 @@
+"""Unit tests for the alias pre-binders: partial alias-list padding,
+CREATE VIEW partial column lists, scalar-subquery output naming."""
+
+import pytest
+
+from glaredb_spark.functions.alias_binder import (
+    pad_partial_alias_lists,
+    propagate_scalar_subquery_aliases,
+)
+
+
+def test_pad_derived_relation(spark):
+    q = "SELECT b FROM (SELECT 1 AS a, 2) AS t(b)"
+    padded = pad_partial_alias_lists(q, spark)
+    assert [r["b"] for r in spark.sql(padded).collect()] == [1]
+
+
+def test_pad_values_relation(spark):
+    q = "SELECT * FROM (VALUES (1, 2.0, 3)) v(a, b)"
+    padded = pad_partial_alias_lists(q, spark)
+    cols = spark.sql(padded).columns
+    assert cols[:2] == ["a", "b"] and len(cols) == 3
+
+
+def test_full_arity_untouched(spark):
+    q = "SELECT * FROM (VALUES (1, 2)) v(a, b)"
+    assert pad_partial_alias_lists(q, spark) == q
+
+
+def test_function_call_parens_untouched(spark):
+    # table-function aliasing must not be mistaken for a derived relation
+    q = "SELECT * FROM range(1, 5) AS r(id)"
+    assert pad_partial_alias_lists(q, spark) == q
+
+
+def test_create_view_padding(spark):
+    q = "CREATE OR REPLACE TEMP VIEW abv(a, b) AS SELECT 3 AS a1, 4 AS b1, 5 AS c1"
+    padded = pad_partial_alias_lists(q, spark)
+    spark.sql(padded)
+    assert spark.table("abv").columns == ["a", "b", "c1"]
+
+
+def test_scalar_subquery_inner_alias_propagates(spark):
+    q = "SELECT 4, (SELECT 'hello' AS my_alias WHERE false)"
+    out = propagate_scalar_subquery_aliases(q, spark)
+    assert spark.sql(out).columns[1] == "my_alias"
+
+
+def test_scalar_subquery_bare_column_propagates(spark):
+    q = "SELECT 4, (SELECT a FROM (VALUES ('x')) v(a) WHERE false)"
+    out = propagate_scalar_subquery_aliases(q, spark)
+    assert spark.sql(out).columns[1] == "a"
+
+
+def test_scalar_subquery_explicit_alias_untouched(spark):
+    q = "SELECT (SELECT 1 AS x) AS outer_name"
+    # item already carries an alias -> not a bare subquery item, no change
+    assert propagate_scalar_subquery_aliases(q, spark) == q
+
+
+def test_expression_subquery_untouched(spark):
+    q = "SELECT (SELECT max(a) FROM (VALUES (1)) v(a)) + 1 FROM (VALUES (0)) w(z)"
+    assert propagate_scalar_subquery_aliases(q, spark) == q
+
+
+def test_in_subquery_predicate_untouched(spark):
+    q = "SELECT z FROM (VALUES (1)) w(z) WHERE z IN (SELECT a FROM (VALUES (1)) v(a))"
+    assert propagate_scalar_subquery_aliases(q, spark) == q
