@@ -1,0 +1,191 @@
+"""Implicit-lateral binding, retried on analysis failure.
+
+Reference surface: the reference binds comma-joined FROM items with
+visibility of the items to their left — a parenthesized subquery or a
+VALUES clause may reference columns of earlier relations WITHOUT the
+LATERAL keyword (slt/standard/join/lateral_join.slt,
+join/lateral_left_join.slt, values/lateral_values.slt,
+subqueries/correlated_lateral.slt). Spark requires an explicit LATERAL,
+and its inline tables (VALUES) cannot hold outer references at all.
+
+Rather than guess correlation up front, GlareSession.sql retries a failed
+analysis through ``lateralize``:
+
+- ``VALUES (r1), (r2)`` groups inside FROM clauses become
+  ``(SELECT r1 UNION ALL SELECT r2)`` — semantically identical, and a
+  plain SELECT may carry outer references where an inline table may not;
+- comma-joined parenthesized subqueries get the LATERAL keyword
+  (``, (SELECT ...)`` → ``, LATERAL (SELECT ...)``);
+- ``[LEFT|INNER|CROSS] JOIN (SELECT ...)`` gets LATERAL the same way.
+
+If the retried form fails too, the ORIGINAL error is re-raised — the
+binder can only turn failures into successes, never change a working
+query (it is not applied to SQL that analyzes clean).
+"""
+
+from __future__ import annotations
+
+import re
+
+from glaredb_spark.functions.arith_binder import _find_literal_spans
+
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_SEG_END_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET|UNION|EXCEPT|INTERSECT|WINDOW)\b",
+    re.IGNORECASE,
+)
+_VALUES_RE = re.compile(r"\bVALUES\b", re.IGNORECASE)
+_COMMA_SUBQ_RE = re.compile(r",(\s*)\(\s*SELECT\b", re.IGNORECASE)
+_JOIN_SUBQ_RE = re.compile(
+    r"\b(JOIN)(\s*)\(\s*SELECT\b", re.IGNORECASE
+)
+
+
+def _mask(sql: str) -> str:
+    chars = list(sql)
+    for a, b in _find_literal_spans(sql):
+        for i in range(a, min(b, len(chars))):
+            chars[i] = "\x00"
+    return "".join(chars)
+
+
+def _split_rows(body: str) -> list[str] | None:
+    """Split 'VALUES (r1), (r2)' row groups; returns the inner item text
+    of each row, or None if the shape isn't a plain row list."""
+    rows, i, n = [], 0, len(body)
+    while True:
+        while i < n and body[i].isspace():
+            i += 1
+        if i >= n or body[i] != "(":
+            return None
+        depth, j = 1, i + 1
+        while j < n and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return None
+        rows.append(body[i + 1 : j - 1])
+        i = j
+        while i < n and body[i].isspace():
+            i += 1
+        if i >= n:
+            return rows, i  # type: ignore[return-value]
+        if body[i] != ",":
+            return rows, i  # type: ignore[return-value]
+        i += 1
+
+
+def _values_end(masked: str, start: int) -> int:
+    """End offset of the row-list starting at `start` (after VALUES)."""
+    i, n = start, len(masked)
+    while True:
+        while i < n and masked[i].isspace():
+            i += 1
+        if i >= n or masked[i] != "(":
+            return i
+        depth = 1
+        i += 1
+        while i < n and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        j = i
+        while j < n and masked[j].isspace():
+            j += 1
+        if j < n and masked[j] == ",":
+            # a following '(' continues the row list; anything else (an
+            # alias, another relation) ends it
+            k = j + 1
+            while k < n and masked[k].isspace():
+                k += 1
+            if k < n and masked[k] == "(":
+                i = j + 1
+                continue
+        return i
+
+
+def _convert_values_groups(sql: str) -> str:
+    """Rewrite every FROM-clause VALUES row list into SELECT..UNION ALL."""
+    while True:
+        masked = _mask(sql)
+        changed = False
+        for vm in _VALUES_RE.finditer(masked):
+            # must be a table-factor VALUES: preceded (ignoring ws) by
+            # FROM, comma, JOIN or '(' — not INSERT INTO ... VALUES
+            k = vm.start() - 1
+            while k >= 0 and masked[k].isspace():
+                k -= 1
+            prev_word = re.search(r"(\w+|\S)?$", masked[: k + 1]).group(0) or ""
+            if not (
+                prev_word == ","
+                or prev_word == "("
+                or prev_word.upper() in ("FROM", "JOIN", "LATERAL")
+            ):
+                continue
+            end = _values_end(masked, vm.end())
+            body = sql[vm.end() : end]
+            got = _split_rows(body)
+            if not got:
+                continue
+            rows, _ = got
+            selects = " UNION ALL ".join(f"SELECT {r}" for r in rows)
+            wrapped = selects if prev_word == "(" else f"({selects})"
+            sql = sql[: vm.start()] + wrapped + sql[end:]
+            changed = True
+            break  # offsets shifted — rescan
+        if not changed:
+            return sql
+
+
+def lateralize(sql: str) -> str:
+    """The retry transform (see module docstring). Pure text, no session."""
+    out = _convert_values_groups(sql)
+    masked = _mask(out)
+    # add LATERAL to comma-joined / JOINed parenthesized subqueries inside
+    # FROM segments only (a comma before a '(SELECT' in a select list is a
+    # scalar subquery and must stay untouched)
+    spans = []
+    for fm in _FROM_RE.finditer(masked):
+        depth = 0
+        i = fm.end()
+        while i < len(masked):
+            ch = masked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                sm = _SEG_END_RE.match(masked, i)
+                if sm:
+                    break
+            i += 1
+        spans.append((fm.end(), i))
+
+    def at_relation_level(pos: int) -> bool:
+        """pos is inside a FROM segment AND at that segment's own paren
+        depth (a comma inside TVF args must stay untouched)."""
+        for a, b in spans:
+            if a <= pos < b:
+                seg = masked[a:pos]
+                if seg.count("(") == seg.count(")"):
+                    # balanced within the innermost-matching FROM segment
+                    return True
+        return False
+
+    edits = []
+    for m in _COMMA_SUBQ_RE.finditer(masked):
+        if at_relation_level(m.start()):
+            edits.append((m.start(), m.start() + 1, ", LATERAL "))
+    for m in _JOIN_SUBQ_RE.finditer(masked):
+        if at_relation_level(m.start()):
+            edits.append((m.end(1), m.end(2), " LATERAL "))
+    for start, end, rep in sorted(edits, reverse=True):
+        out = out[:start] + rep + out[end:]
+    return out

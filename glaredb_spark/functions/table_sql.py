@@ -175,8 +175,13 @@ def _catalog_rows(spark: SparkSession, fn: str):
     reference's fixed catalogs (`system` read-only, `temp` read-write) are
     part of its catalog model, so they appear alongside Spark databases."""
     if fn == "list_databases":
+        # fixed system/temp + ATTACHed databases — the same catalog model
+        # the SHOW DATABASES emulation exposes (Spark's internal 'default'
+        # database is an implementation detail, not a reference database)
+        from glaredb_spark import catalog as _gcat
+
         rows = [("system", "ReadOnly"), ("temp", "ReadWrite")] + [
-            (d.name, "ReadWrite") for d in spark.catalog.listDatabases()
+            (n, "ReadWrite") for n in _gcat.list_attached(spark)
         ]
         return spark.createDataFrame(rows, "database_name string, access_mode string")
     if fn == "list_schemas":
@@ -185,19 +190,32 @@ def _catalog_rows(spark: SparkSession, fn: str):
         ]
         return spark.createDataFrame(rows, "database_name string, schema_name string")
     if fn == "list_tables":
+        # reference schema: (database_name, schema_name, table_name) —
+        # list_entries.rs:177-180; the database mirrors the schema source
+        # (attached dbs are their own database, session tables live in temp)
         rows = [
-            (t.namespace[0] if t.namespace else "temp", t.name)
+            (
+                t.namespace[0] if t.namespace else "temp",
+                t.namespace[0] if t.namespace else "temp",
+                t.name,
+            )
             for t in spark.catalog.listTables()
             if t.tableType != "VIEW" and not t.isTemporary
         ]
-        return spark.createDataFrame(rows, "schema_name string, table_name string")
+        return spark.createDataFrame(
+            rows, "database_name string, schema_name string, table_name string"
+        )
     if fn == "list_views":
+        # reference schema: (database_name, schema_name, view_name) —
+        # list_entries.rs:294-297
         rows = [
-            ("temp", t.name)
+            ("temp", "temp", t.name)
             for t in spark.catalog.listTables()
             if t.tableType == "VIEW" or t.isTemporary
         ]
-        return spark.createDataFrame(rows, "schema_name string, view_name string")
+        return spark.createDataFrame(
+            rows, "database_name string, schema_name string, view_name string"
+        )
     rows = [
         (
             f.name,

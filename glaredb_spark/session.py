@@ -285,7 +285,24 @@ class GlareSession:
         from glaredb_spark.plans.explain import record_query
 
         is_profile_query = bool(_PROFILE.search(query))
-        df = self.spark.sql(rewrite_table_functions(self.spark, query))
+        final_sql = rewrite_table_functions(self.spark, query)
+        try:
+            df = self.spark.sql(final_sql)
+        except Exception as first_err:  # noqa: BLE001
+            # implicit-lateral retry (functions/lateral_binder.py): the
+            # reference binds comma-joined subqueries/VALUES with left
+            # visibility and no LATERAL keyword; Spark does not. Retry
+            # once with the lateralized form; re-raise the ORIGINAL error
+            # if that fails too, so working queries can never regress.
+            from glaredb_spark.functions.lateral_binder import lateralize
+
+            retried = lateralize(final_sql)
+            if retried == final_sql:
+                raise
+            try:
+                df = self.spark.sql(retried)
+            except Exception:  # noqa: BLE001
+                raise first_err from None
         if not is_profile_query:
             # profile table functions (profile.rs); introspection queries
             # are not recorded so profile() keeps pointing at user queries
@@ -356,7 +373,20 @@ class GlareSession:
             ):
                 # DESCRIBE <table-function(...)> — wrap as a relation
                 target = f"SELECT * FROM {target}"
-            df = self.spark.sql(rewrite_table_functions(self.spark, target))
+            final_sql = rewrite_table_functions(self.spark, target)
+            try:
+                df = self.spark.sql(final_sql)
+            except Exception as first_err:  # noqa: BLE001
+                # same implicit-lateral retry as sql() (lateral_binder.py)
+                from glaredb_spark.functions.lateral_binder import lateralize
+
+                retried = lateralize(final_sql)
+                if retried == final_sql:
+                    raise
+                try:
+                    df = self.spark.sql(retried)
+                except Exception:  # noqa: BLE001
+                    raise first_err from None
         return _cat.describe(df)
 
     def _rewrite_inline_describe(self, sql: str) -> str:
