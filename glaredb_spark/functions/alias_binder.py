@@ -96,7 +96,61 @@ def pad_partial_alias_lists(sql: str, spark) -> str:
         alias_span_end = m.end(2)
         sql = sql[:alias_span_start] + ", ".join(padded) + sql[alias_span_end:]
         masked = _mask(sql)
+    # bare relation names (tables, views, CTEs): `cte1 AS aliased(c3)` —
+    # the AS keyword is required here, so scalar casts/exprs never match;
+    # CTE names resolve by probing with the statement's own WITH prefix
+    for m in reversed(list(_BARE_ALIAS_RE.finditer(masked))):
+        name = m.group(1)
+        given = [a.strip() for a in m.group(2).split(",")]
+        cols = None
+        for probe in _probe_candidates(sql, masked, name):
+            try:
+                cols = spark.sql(probe).columns
+                break
+            except Exception:  # noqa: BLE001
+                continue
+        if cols is None or len(given) >= len(cols):
+            continue
+        padded = given + [f"`{c}`" for c in cols[len(given) :]]
+        sql = sql[: m.start(2)] + ", ".join(padded) + sql[m.end(2) :]
+        masked = _mask(sql)
     return sql
+
+
+_BARE_ALIAS_RE = re.compile(
+    # `AS <type-ctor>(...)` (CAST targets like MAP(VARCHAR, INT)) must
+    # never be read as a column-alias list
+    r"(?<![\w)`.])([A-Za-z_]\w*)\s+AS\s+"
+    r"(?!SELECT\b|MAP\b|STRUCT\b|ARRAY\b|DECIMAL\b|NUMERIC\b|VARCHAR\b|CHAR\b|INTERVAL\b)"
+    r"\w+\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)",
+    re.IGNORECASE,
+)
+_WITH_RE = re.compile(r"\bWITH\b", re.IGNORECASE)
+_SELECT_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+
+
+def _probe_candidates(sql: str, masked: str, name: str) -> list[str]:
+    """Probe SQLs to resolve a bare relation's columns: the name directly,
+    then (when the statement has a WITH clause) the name inside that
+    statement's own CTE scope."""
+    probes = [f"SELECT * FROM {name}"]
+    wm = _WITH_RE.search(masked)
+    if wm and masked[: wm.start()].count("(") == masked[: wm.start()].count(")"):
+        depth = 0
+        for i in range(wm.end(), len(masked)):
+            ch = masked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                sm = _SELECT_RE.match(masked, i)
+                if sm:
+                    probes.append(
+                        sql[wm.start() : i] + f" SELECT * FROM {name}"
+                    )
+                    break
+    return probes
 
 
 _SCALAR_SUBQ_ITEM_RE = re.compile(r"^\s*\(\s*SELECT\b.*\)\s*$", re.IGNORECASE | re.DOTALL)

@@ -298,11 +298,37 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
         out.append(sql[last:])
         sql = "".join(out)
     if wants_meta:
-        # star exclusion: `SELECT _filename, *` must not re-expand the
-        # virtual columns (reference semantics); only unambiguous when a
-        # single meta view is scanned
+        # star exclusion: `SELECT *` / `SELECT _filename, *` must not
+        # re-expand the virtual columns (reference semantics,
+        # file_provider.rs: metadata columns are not part of the star)
         used = [v for v, cols in _META_VIEW_COLS.items() if v in sql]
-        if len(used) == 1:
+        jm = _META_JOIN_RE.search(sql) if len(used) == 2 else None
+        if jm:
+            # two meta scans joined: NATURAL JOIN must exclude virtual
+            # columns from the implicit USING; explicit USING may name
+            # them; the star is USING cols + per-side base cols
+            v1, a1, natural, v2, a2, using_txt = jm.groups()
+            a1, a2 = a1 or v1, a2 or v2
+            base1 = _META_VIEW_COLS.get(v1, [])
+            base2 = _META_VIEW_COLS.get(v2, [])
+            if natural:
+                using = [c for c in base1 if c in base2]
+                sql = (
+                    sql[: jm.start()]
+                    + f"FROM {v1} {a1} JOIN {v2} {a2} USING ({', '.join(using)})"
+                    + sql[jm.end() :]
+                )
+            elif using_txt:
+                using = [c.strip().strip("`") for c in using_txt.split(",")]
+            else:
+                using = []
+            collist = ", ".join(
+                [f"`{c}`" for c in using]
+                + [f"{a1}.`{c}`" for c in base1 if c not in using]
+                + [f"{a2}.`{c}`" for c in base2 if c not in using]
+            )
+            sql = _BARE_STAR.sub(lambda m: f"{m.group(1)}{collist}{m.group(2)}", sql)
+        elif len(used) == 1:
             collist = ", ".join(f"`{c}`" for c in _META_VIEW_COLS[used[0]])
             sql = _BARE_STAR.sub(lambda m: f"{m.group(1)}{collist}{m.group(2)}", sql)
     return sql
@@ -351,6 +377,12 @@ def _with_meta(spark: SparkSession, fn: str, paths: list[str]):
 # (reference: SELECT * never expands _filename/_rowid)
 _META_VIEW_COLS: dict[str, list[str]] = {}
 _BARE_STAR = re.compile(r"(\bSELECT\s+|,\s*)\*(\s*,|\s+FROM\b)", re.IGNORECASE)
+# FROM <meta-view> [alias] [NATURAL] JOIN <meta-view> [alias] [USING (...)]
+_META_JOIN_RE = re.compile(
+    r"FROM\s+(_tf_\w+)(?:\s+(?!NATURAL\b|JOIN\b)(\w+))?\s+(NATURAL\s+)?JOIN\s+"
+    r"(_tf_\w+)(?:\s+(?!USING\b)(\w+))?(?:\s+USING\s*\(([^)]*)\))?",
+    re.IGNORECASE,
+)
 
 
 def _handle_tf(spark: SparkSession, m: re.Match, wants_meta: bool = False) -> str:
