@@ -189,3 +189,51 @@ def lateralize(sql: str) -> str:
     for start, end, rep in sorted(edits, reverse=True):
         out = out[:start] + rep + out[end:]
     return out
+
+
+# ---------------------------------------------------------------------------
+# function chaining: `expr.fn(args)` -> `fn(expr, args)` (reference
+# expr_binder method-call syntax, slt/standard/functions/chaining.slt).
+# Retry-only like lateralize: chaining SQL never analyzes clean in Spark,
+# and a chainized rewrite that is wrong simply fails again, re-raising
+# the original error.
+# ---------------------------------------------------------------------------
+_CHAIN_RE = re.compile(
+    # subject: dotted identifier chain OR a masked string literal (\x00 run)
+    r"(?<![\w.)\x00])((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*|\x00+)\s*\.\s*"
+    r"([A-Za-z_]\w*)\s*\(",
+)
+# roots that are namespaces, not chain subjects (qualified builtins
+# system.default.fn and namespaced TVFs csv.read/parquet.*)
+_NAMESPACE_ROOTS = {"system", "csv", "parquet", "temp"}
+
+
+def chainize(sql: str) -> str:
+    """Rewrite method-call chaining to plain function calls."""
+    while True:
+        masked = _mask(sql)
+        target = None
+        for cand in _CHAIN_RE.finditer(masked):
+            subject = sql[cand.start(1) : cand.end(1)]
+            if not subject.startswith("'"):
+                if subject.split(".")[0].lower() in _NAMESPACE_ROOTS:
+                    continue
+            target = cand
+            break
+        if target is None:
+            return sql
+        subject = sql[target.start(1) : target.end(1)]
+        callee = target.group(2)
+        open_pos = target.end() - 1
+        depth, j = 1, open_pos + 1
+        while j < len(masked) and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return sql
+        args = sql[open_pos + 1 : j - 1].strip()
+        call = f"{callee}({subject}" + (f", {args}" if args else "") + ")"
+        sql = sql[: target.start()] + call + sql[j:]

@@ -289,19 +289,32 @@ class GlareSession:
         try:
             df = self.spark.sql(final_sql)
         except Exception as first_err:  # noqa: BLE001
-            # implicit-lateral retry (functions/lateral_binder.py): the
-            # reference binds comma-joined subqueries/VALUES with left
-            # visibility and no LATERAL keyword; Spark does not. Retry
-            # once with the lateralized form; re-raise the ORIGINAL error
-            # if that fails too, so working queries can never regress.
-            from glaredb_spark.functions.lateral_binder import lateralize
+            # retry binders (functions/lateral_binder.py): implicit
+            # lateral (reference comma-join left visibility) and function
+            # chaining (expr.fn() method syntax). Each candidate is tried
+            # once; the ORIGINAL error is re-raised if none analyze, so a
+            # working query can never regress.
+            from glaredb_spark.functions.lateral_binder import (
+                chainize,
+                lateralize,
+            )
 
-            retried = lateralize(final_sql)
-            if retried == final_sql:
-                raise
-            try:
-                df = self.spark.sql(retried)
-            except Exception:  # noqa: BLE001
+            seen = {final_sql}
+            df = None
+            for cand in (
+                lateralize(final_sql),
+                chainize(final_sql),
+                chainize(lateralize(final_sql)),
+            ):
+                if cand in seen:
+                    continue
+                seen.add(cand)
+                try:
+                    df = self.spark.sql(cand)
+                    break
+                except Exception:  # noqa: BLE001
+                    continue
+            if df is None:
                 raise first_err from None
         if not is_profile_query:
             # profile table functions (profile.rs); introspection queries
@@ -377,15 +390,28 @@ class GlareSession:
             try:
                 df = self.spark.sql(final_sql)
             except Exception as first_err:  # noqa: BLE001
-                # same implicit-lateral retry as sql() (lateral_binder.py)
-                from glaredb_spark.functions.lateral_binder import lateralize
+                # same retry binders as sql() (lateral_binder.py)
+                from glaredb_spark.functions.lateral_binder import (
+                    chainize,
+                    lateralize,
+                )
 
-                retried = lateralize(final_sql)
-                if retried == final_sql:
-                    raise
-                try:
-                    df = self.spark.sql(retried)
-                except Exception:  # noqa: BLE001
+                seen = {final_sql}
+                df = None
+                for cand in (
+                    lateralize(final_sql),
+                    chainize(final_sql),
+                    chainize(lateralize(final_sql)),
+                ):
+                    if cand in seen:
+                        continue
+                    seen.add(cand)
+                    try:
+                        df = self.spark.sql(cand)
+                        break
+                    except Exception:  # noqa: BLE001
+                        continue
+                if df is None:
                     raise first_err from None
         return _cat.describe(df)
 
