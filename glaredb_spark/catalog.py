@@ -230,7 +230,7 @@ def _ref_type_name(dt: T.DataType) -> str:
     if isinstance(dt, T.NullType):
         return "Null"
     if isinstance(dt, T.ArrayType):
-        return f"List({_ref_type_name(dt.elementType)})"
+        return f"List[{_ref_type_name(dt.elementType)}]"  # list_value.slt display
     if isinstance(dt, T.StructType):
         inner = ", ".join(f"{f.name} {_ref_type_name(f.dataType)}" for f in dt.fields)
         return f"Struct({inner})"

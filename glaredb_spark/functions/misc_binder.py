@@ -1,0 +1,284 @@
+"""Reference-semantics pre-binder for small scalar surfaces Spark lacks.
+
+Covers, each with the reference's observable behavior:
+
+- ``factorial(n)`` — the reference returns Int128
+  (crates/glaredb_core/src/functions/scalar/builtin/numeric/factorial.rs;
+  slt/standard/functions/scalar/factorial.slt: factorial(25) >
+  i64::MAX). Spark's built-in ``factorial`` caps at 20!; we expand to an
+  exact DECIMAL(38,0) product fold (§1.3 maps Int128 → DecimalType(38,0)).
+  Directly-nested ``factorial(factorial(..))`` errors like the reference
+  ("Int128 input not accepted").
+- ``X [NOT] BETWEEN lo AND NULL`` / ``BETWEEN NULL AND hi`` — the
+  reference plans BETWEEN as a conjunction whose NULL bound poisons the
+  whole predicate (no ANSI FALSE-short-circuit:
+  slt/standard/functions/operators/between.slt expects zero rows from
+  ``a NOT BETWEEN 5 AND NULL``). A literal-NULL bound rewrites the whole
+  predicate to ``CAST(NULL AS BOOLEAN)`` — exactly the reference result
+  for every input, and only ever *more* NULL-strict than ANSI on the NOT
+  form.
+- ``shl(a, b)`` on TINYINT/SMALLINT — the reference keeps the input
+  width and wraps (slt/.../binary/shl.slt: ``shl(1::TINYINT, 7) = -128``,
+  ``shl(1::TINYINT, 8) = 0``). Spark's ``shiftleft`` promotes to
+  int/long, so the narrow widths get an explicit two's-complement
+  wraparound (pmod into [-2^(w-1), 2^(w-1))).
+- ``DECIMAL(p, -s)`` — negative scale (DecimalTypeMeta scale is i8,
+  crates/glaredb_core/src/arrays/datatype.rs:101-106). Spark rejects
+  negative decimal scale; rewritten to ``ROUND(x, -s)`` then
+  ``DECIMAL(p, 0)``.
+- Reference-only type alias spellings (docs/sql/datatypes.md:9-29):
+  INT1/INT2/INT4/INT8, FLOAT4/FLOAT8, BLOB → the Spark names. (Unsigned
+  and FLOAT2/HALF stay documented-unsupported, SURVEY.md §1.3.)
+
+All rewrites are literal/comment-safe via arith_binder's span masking.
+"""
+
+from __future__ import annotations
+
+import re
+
+from glaredb_spark.functions.arith_binder import (
+    _find_literal_spans,
+    _in_spans,
+    _split_top_args,
+)
+
+__all__ = ["rewrite_misc"]
+
+
+class ReferenceSemanticsError(ValueError):
+    """Raised when the reference contract says the query must error."""
+
+
+# --- type aliases -----------------------------------------------------------
+
+_TYPE_ALIASES = [
+    (re.compile(r"\bINT1\b", re.IGNORECASE), "TINYINT"),
+    (re.compile(r"\bINT2\b", re.IGNORECASE), "SMALLINT"),
+    (re.compile(r"\bINT4\b", re.IGNORECASE), "INT"),
+    (re.compile(r"\bINT8\b", re.IGNORECASE), "BIGINT"),
+    (re.compile(r"\bFLOAT4\b", re.IGNORECASE), "FLOAT"),
+    (re.compile(r"\bFLOAT8\b", re.IGNORECASE), "DOUBLE"),
+    (re.compile(r"\bBLOB\b", re.IGNORECASE), "BINARY"),
+]
+
+
+def _sub_masked(sql: str, pat: re.Pattern, rep) -> str:
+    spans = _find_literal_spans(sql)
+    out, last = [], 0
+    for m in pat.finditer(sql):
+        if _in_spans(m.start(), spans):
+            continue
+        out.append(sql[last : m.start()])
+        out.append(rep(m) if callable(rep) else m.expand(rep))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+# --- factorial --------------------------------------------------------------
+
+_FACTORIAL_RE = re.compile(r"\bfactorial\s*\(", re.IGNORECASE)
+# end of a top-level select item → safe to add the reference's column name
+_ITEM_END_RE = re.compile(r"\s*(,|FROM\b|;|$)", re.IGNORECASE)
+_ITEM_START_RE = re.compile(r"(SELECT|,)\s*$", re.IGNORECASE)
+
+
+def _match_paren(sql: str, open_pos: int) -> int:
+    """Index of the ')' closing the '(' at open_pos (literals masked by
+    caller's span check being applied per call site)."""
+    depth, i, n = 0, open_pos, len(sql)
+    spans = _find_literal_spans(sql)
+    while i < n:
+        if _in_spans(i, spans):
+            i += 1
+            continue
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _factorial_expr(arg: str) -> str:
+    a = f"({arg})"
+    return (
+        f"(CASE WHEN {a} IS NULL THEN CAST(NULL AS DECIMAL(38,0)) "
+        f"WHEN {a} < 2 THEN CAST(1 AS DECIMAL(38,0)) "
+        f"ELSE aggregate(sequence(2, CAST({a} AS INT)), "
+        f"CAST(1 AS DECIMAL(38,0)), "
+        f"(acc, x) -> CAST(acc * x AS DECIMAL(38,0))) END)"
+    )
+
+
+def rewrite_factorial(sql: str) -> str:
+    while True:
+        spans = _find_literal_spans(sql)
+        m = None
+        for cand in _FACTORIAL_RE.finditer(sql):
+            if not _in_spans(cand.start(), spans):
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_pos = m.end() - 1
+        close = _match_paren(sql, open_pos)
+        if close < 0:
+            return sql
+        arg = sql[open_pos + 1 : close]
+        if _FACTORIAL_RE.search(arg):
+            # reference: factorial does not accept i128 input (the result
+            # type of the inner call) — slt expects a bind error
+            raise ReferenceSemanticsError(
+                "factorial: no function overload accepts Int128 input"
+            )
+        repl = _factorial_expr(arg)
+        before, after = sql[: m.start()], sql[close + 1 :]
+        if _ITEM_START_RE.search(before) and _ITEM_END_RE.match(after) and not re.match(
+            r"\s*AS\b", after, re.IGNORECASE
+        ):
+            repl += " AS factorial"
+        sql = before + repl + after
+
+
+# --- BETWEEN with a literal NULL bound --------------------------------------
+
+# conservative operand: qualified identifier, number, quoted literal, or a
+# parenthesized group (one nesting level)
+_OPERAND = r"(?:[A-Za-z_][\w.]*|[-+]?\d+(?:\.\d+)?|'(?:[^']|'')*'|\((?:[^()]|\([^()]*\))*\))"
+_BETWEEN_NULL_HI_RE = re.compile(
+    rf"{_OPERAND}\s+(?:NOT\s+)?BETWEEN\s+{_OPERAND}\s+AND\s+NULL\b",
+    re.IGNORECASE,
+)
+_BETWEEN_NULL_LO_RE = re.compile(
+    rf"{_OPERAND}\s+(?:NOT\s+)?BETWEEN\s+NULL\s+AND\s+{_OPERAND}",
+    re.IGNORECASE,
+)
+
+
+def rewrite_null_bound_between(sql: str) -> str:
+    for pat in (_BETWEEN_NULL_HI_RE, _BETWEEN_NULL_LO_RE):
+        sql = _sub_masked(sql, pat, lambda m: "CAST(NULL AS BOOLEAN)")
+    return sql
+
+
+# --- shl narrow-width wraparound --------------------------------------------
+
+_SHL_RE = re.compile(r"\bshl\s*\(", re.IGNORECASE)
+_NARROW_CAST_RE = re.compile(
+    r"CAST\s*\(.*\bAS\s+(TINYINT|SMALLINT|BYTE|SHORT)\s*\)\s*$"
+    r"|::\s*(TINYINT|SMALLINT|BYTE|SHORT)\s*$"
+    r"|^\s*(TINYINT|SMALLINT)\s+'",
+    re.IGNORECASE | re.DOTALL,
+)
+_WIDTH = {"TINYINT": 8, "BYTE": 8, "SMALLINT": 16, "SHORT": 16}
+
+
+def _narrow_width(expr: str) -> tuple[int, str] | None:
+    m = _NARROW_CAST_RE.search(expr.strip())
+    if not m:
+        return None
+    name = (m.group(1) or m.group(2) or m.group(3)).upper()
+    ty = "TINYINT" if _WIDTH[name] == 8 else "SMALLINT"
+    return _WIDTH[name], ty
+
+
+def rewrite_shl(sql: str) -> str:
+    while True:
+        spans = _find_literal_spans(sql)
+        target = None
+        for cand in _SHL_RE.finditer(sql):
+            if _in_spans(cand.start(), spans):
+                continue
+            close = _match_paren(sql, cand.end() - 1)
+            if close < 0:
+                continue
+            args = _split_top_args(sql[cand.end() : close])
+            if len(args) != 2:
+                continue
+            nw = _narrow_width(args[0])
+            if nw is None:
+                continue  # int/bigint: Spark shiftleft already wraps right
+            target = (cand.start(), close, args, nw)
+            break
+        if target is None:
+            return sql
+        start, close, (a, b), (width, ty) = target
+        half, rng = 1 << (width - 1), 1 << width
+        repl = (
+            f"(CASE WHEN ({b}) >= 64 THEN CAST(0 AS {ty}) "
+            f"ELSE CAST(pmod(shiftleft(CAST(({a}) AS BIGINT), ({b})) "
+            f"+ {half}, {rng}) - {half} AS {ty}) END)"
+        )
+        sql = sql[:start] + repl + sql[close + 1 :]
+
+
+# --- negative-scale DECIMAL --------------------------------------------------
+
+_NEG_DEC_COLON_RE = re.compile(
+    rf"({_OPERAND})\s*::\s*DECIMAL\s*\(\s*(\d+)\s*,\s*-\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
+_NEG_DEC_CAST_TAIL_RE = re.compile(
+    r"\bAS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*-\s*(\d+)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_CAST_OPEN_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+
+
+def rewrite_negative_scale_decimal(sql: str) -> str:
+    sql = _sub_masked(
+        sql,
+        _NEG_DEC_COLON_RE,
+        lambda m: (
+            f"CAST(ROUND({m.group(1)}, -{m.group(3)}) "
+            f"AS DECIMAL({m.group(2)},0))"
+        ),
+    )
+    # CAST(expr AS DECIMAL(p,-s)) form
+    while True:
+        spans = _find_literal_spans(sql)
+        done = True
+        for cand in _CAST_OPEN_RE.finditer(sql):
+            if _in_spans(cand.start(), spans):
+                continue
+            close = _match_paren(sql, cand.end() - 1)
+            if close < 0:
+                continue
+            inner = sql[cand.end() : close]
+            m = _NEG_DEC_CAST_TAIL_RE.search(inner)
+            if not m:
+                continue
+            expr = inner[: m.start()].rstrip()
+            repl = (
+                f"CAST(ROUND({expr}, -{m.group(2)}) "
+                f"AS DECIMAL({m.group(1)},0))"
+            )
+            sql = sql[: cand.start()] + repl + sql[close + 1 :]
+            done = False
+            break
+        if done:
+            return sql
+
+
+# --- entry -------------------------------------------------------------------
+
+
+def rewrite_misc(sql: str) -> str:
+    """Apply all misc reference-semantics rewrites (cheap keyword guards)."""
+    low = sql.lower()
+    if "factorial" in low:
+        sql = rewrite_factorial(sql)
+    if "between" in low and "null" in low:
+        sql = rewrite_null_bound_between(sql)
+    if "shl" in low:
+        sql = rewrite_shl(sql)
+    if "decimal" in low and "-" in sql:
+        sql = rewrite_negative_scale_decimal(sql)
+    if re.search(r"\b(int1|int2|int4|int8|float4|float8|blob)\b", low):
+        for pat, rep in _TYPE_ALIASES:
+            sql = _sub_masked(sql, pat, rep)
+    return sql

@@ -291,6 +291,37 @@ _KEYWORDS = frozenset(
 )
 
 
+def _subscript_base_start(prefix: str) -> int:
+    """Start index of the base expression a subscript applies to: the
+    trailing qualified identifier, with any trailing ()/[] groups (and
+    their function names) included — `c1`, `v.a`, `array(1,2)`,
+    `split(s, ',')[2]` chains."""
+    i = len(prefix)
+    while i > 0:
+        ch = prefix[i - 1]
+        if ch in ")]":
+            opener = "(" if ch == ")" else "["
+            depth = 0
+            j = i - 1
+            while j >= 0:
+                if prefix[j] == ch:
+                    depth += 1
+                elif prefix[j] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            i = j
+            continue
+        if ch.isalnum() or ch in "_.":
+            j = i
+            while j > 0 and (prefix[j - 1].isalnum() or prefix[j - 1] in "_."):
+                j -= 1
+            return j
+        break
+    return i
+
+
 def _rewrite_array_literals(sql: str) -> str:
     """`[1, 2]` array literals → array(1, 2). A `[` is a literal (not a
     subscript) unless the previous non-space char is an identifier char,
@@ -336,8 +367,16 @@ def _rewrite_array_literals(sql: str) -> str:
                 if ":" in inner:  # slice form [a:b] — leave untouched
                     out.append(ch)
                 else:
-                    del out[top[1] + 1 :]
-                    out.append(f"({inner})-1]")
+                    # 1-based + NULL out-of-bounds (list_extract.rs) —
+                    # ANSI element_at would error past the end, so the
+                    # whole subscript becomes try_element_at(base, e)
+                    del out[top[1] :]
+                    prefix = "".join(out)
+                    start = _subscript_base_start(prefix)
+                    base = prefix[start:]
+                    del out[:]
+                    out.append(prefix[:start])
+                    out.append(f"try_element_at({base}, {inner})")
         else:
             out.append(ch)
         i += 1
@@ -821,6 +860,16 @@ def _describe_cell_match(exp: str, act: str) -> bool:
         return True
     if exp == "Timestamp(ns)" and act == "Timestamp(µs)":
         return True  # Spark has no ns timestamp (§1.3): ns reads as µs
+    if exp == "Int128" and re.fullmatch(r"Decimal(64|128)\(38,0\)", act):
+        return True  # §1.3: Int128 → DecimalType(38,0) (factorial.slt)
+    if exp == "list_value" and act == "array":
+        return True  # function renamed to the Spark builtin
+    me, ma = (
+        re.fullmatch(r"List\[(.*)\]", exp),
+        re.fullmatch(r"List\[(.*)\]", act),
+    )
+    if me and ma:  # element-type tolerance recurses (List[Float64] vs
+        return _describe_cell_match(me.group(1), ma.group(1))  # decimal)
     return False
 
 

@@ -45,7 +45,7 @@ def test_describe_reference_type_names(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     assert {r.column_name: r.datatype for r in describe(emb).collect()}[
         "embedding"
-    ] == "List(Float32)"
+    ] == "List[Float32]"  # reference display, list_value.slt:49
 
 
 def test_parquet_csv_sinks_roundtrip(spark, sf_dir, tmp_path):

@@ -1,0 +1,97 @@
+"""Unit tests for functions/misc_binder.py — factorial expansion,
+NULL-bound BETWEEN poisoning, shl narrow-width wraparound, negative-scale
+DECIMAL, reference type aliases. End-to-end coverage lives in the SLT
+allowlist (factorial.slt, between.slt, shl.slt, cast/decimal.slt,
+setops/union.slt)."""
+
+import pytest
+
+from glaredb_spark.functions.misc_binder import (
+    ReferenceSemanticsError,
+    rewrite_factorial,
+    rewrite_misc,
+    rewrite_null_bound_between,
+    rewrite_negative_scale_decimal,
+    rewrite_shl,
+)
+
+
+def test_factorial_expands_to_decimal_fold():
+    out = rewrite_factorial("SELECT factorial(25)")
+    assert "DECIMAL(38,0)" in out and "sequence(2, CAST((25) AS INT))" in out
+    assert out.rstrip().endswith("AS factorial")
+
+
+def test_factorial_no_alias_inside_expression():
+    out = rewrite_factorial("SELECT factorial(3) + factorial(4)")
+    assert "AS factorial" not in out
+    assert out.count("DECIMAL(38,0)") >= 4  # two expansions
+
+
+def test_factorial_nested_errors_like_reference():
+    with pytest.raises(ReferenceSemanticsError):
+        rewrite_factorial("SELECT factorial(factorial(3))")
+
+
+def test_factorial_inside_string_untouched():
+    sql = "SELECT 'factorial(3)'"
+    assert rewrite_factorial(sql) == sql
+
+
+def test_between_null_upper_bound_poisons():
+    out = rewrite_null_bound_between(
+        "SELECT * FROM t1 WHERE a NOT BETWEEN 5 AND NULL ORDER BY 1"
+    )
+    assert "CAST(NULL AS BOOLEAN)" in out and "BETWEEN" not in out
+
+
+def test_between_null_lower_bound_poisons():
+    out = rewrite_null_bound_between("SELECT a BETWEEN NULL AND 9 FROM t")
+    assert "CAST(NULL AS BOOLEAN)" in out
+
+
+def test_between_without_null_untouched():
+    sql = "SELECT * FROM t WHERE a BETWEEN 1 AND 2"
+    assert rewrite_null_bound_between(sql) == sql
+
+
+def test_shl_tinyint_wraparound_form():
+    out = rewrite_shl("SELECT shl(CAST(1 AS TINYINT), 7) AS result")
+    assert "pmod" in out and "+ 128, 256" in out and "AS TINYINT" in out
+
+
+def test_shl_smallint_width():
+    out = rewrite_shl("SELECT shl(CAST(1 AS SMALLINT), 8)")
+    assert "+ 32768, 65536" in out
+
+
+def test_shl_int_untouched():
+    sql = "SELECT shl(4, 1)"
+    assert rewrite_shl(sql) == sql
+
+
+def test_negative_scale_decimal_colon_cast():
+    out = rewrite_negative_scale_decimal("select 10::DECIMAL(8, -1)")
+    assert "ROUND(10, -1)" in out and "DECIMAL(8,0)" in out
+
+
+def test_negative_scale_decimal_cast_form():
+    out = rewrite_negative_scale_decimal(
+        "select CAST(123 AS DECIMAL(8, -2))"
+    )
+    assert "ROUND(123, -2)" in out and "DECIMAL(8,0)" in out
+
+
+def test_positive_scale_decimal_untouched():
+    sql = "select CAST(1 AS DECIMAL(8, 2)), 3::DECIMAL(5, 1)"
+    assert rewrite_negative_scale_decimal(sql) == sql
+
+
+def test_type_aliases():
+    out = rewrite_misc("SELECT 1.0::float8, 2::int8, CAST(x AS BLOB) FROM t")
+    assert "DOUBLE" in out and "BIGINT" in out and "BINARY" in out
+
+
+def test_aliases_inside_strings_untouched():
+    out = rewrite_misc("SELECT 'float8 int8 blob'")
+    assert "'float8 int8 blob'" in out
