@@ -164,6 +164,7 @@ class GlareSession:
         COLUMNS expression of the reference)."""
         from glaredb_spark.functions.arith_binder import rewrite_arith
         from glaredb_spark.functions.misc_binder import rewrite_misc
+        from glaredb_spark.functions.unnest_binder import rewrite_unnest
         from glaredb_spark.functions.star_binder import rewrite_star_macros
         from glaredb_spark.functions.table_sql import rewrite_table_functions
 
@@ -174,6 +175,7 @@ class GlareSession:
 
         query = rewrite_arith(query, self.spark)
         query = rewrite_misc(query)
+        query = rewrite_unnest(query)
         query = rewrite_star_macros(query, self.spark)
         query = pad_partial_alias_lists(query, self.spark)
         query = propagate_scalar_subquery_aliases(query, self.spark)

@@ -746,7 +746,6 @@ def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
             lambda m: f"GROUP BY GROUPING SETS (({m.group(1).strip()})) ", sql
         )
     sql = _sub_outside_literals(sql, _LIST_VALUE_RE, "array(")
-    sql = _sub_outside_literals(sql, _UNNEST_RE, "explode(")
     sql = _rewrite_quoted_idents(sql)
     sql = _rewrite_array_literals(sql)
     if base_dir:
