@@ -176,6 +176,12 @@ class GlareSession:
         query = rewrite_arith(query, self.spark)
         query = rewrite_misc(query)
         query = rewrite_unnest(query)
+        if "interval" in query.lower():
+            from glaredb_spark.functions.interval_util import (
+                rewrite_intervals,
+            )
+
+            query = rewrite_intervals(query)
         query = rewrite_star_macros(query, self.spark)
         query = pad_partial_alias_lists(query, self.spark)
         query = propagate_scalar_subquery_aliases(query, self.spark)

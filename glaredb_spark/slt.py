@@ -782,6 +782,16 @@ def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
     return _rewrite_order_by(sql)
 
 
+def _ym_interval_columns(df) -> set[int]:
+    from pyspark.sql import types as T
+
+    return {
+        i
+        for i, f in enumerate(df.schema.fields)
+        if isinstance(f.dataType, T.YearMonthIntervalType)
+    }
+
+
 def _fmt(v) -> str:
     import datetime
 
@@ -976,11 +986,47 @@ def run_slt_file(sess, path: str) -> SltResult:
                     res.ok += 1
             else:  # query
                 try:
-                    rows = sess.sql(sql).collect()
+                    df = sess.sql(sql)
+                    ym_idx = _ym_interval_columns(df)
+                    if ym_idx:
+                        # YearMonthIntervalType can't cross into Python
+                        # (fromInternal unimplemented) — collect as month
+                        # counts, Postgres-format below
+                        from pyspark.sql import functions as F
+
+                        df = df.select(
+                            *(
+                                # widen to MONTH first: casting an
+                                # INTERVAL YEAR straight to long counts
+                                # years, not months
+                                F.col(c)
+                                .cast("interval month")
+                                .cast("long")
+                                .alias(c)
+                                if i in ym_idx
+                                else F.col(c)
+                                for i, c in enumerate(df.columns)
+                            )
+                        )
+                    rows = df.collect()
                 except Exception as e:  # noqa: BLE001
                     res.failures.append(f"L{rec.line} query failed: {e}")
                     continue
                 ncols = len(rec.types) or (len(rows[0]) if rows else 1)
+                if ym_idx:
+                    from glaredb_spark.functions.interval_util import (
+                        pg_format_interval,
+                    )
+
+                    rows = [
+                        [
+                            pg_format_interval(v, 0)
+                            if i in ym_idx and v is not None
+                            else v
+                            for i, v in enumerate(row)
+                        ]
+                        for row in rows
+                    ]
                 actual = [[_fmt(v) for v in row] for row in rows]
                 expected = []
                 for ln in rec.expected:
