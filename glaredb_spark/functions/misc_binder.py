@@ -264,10 +264,189 @@ def rewrite_negative_scale_decimal(sql: str) -> str:
             return sql
 
 
+# --- unsigned integer emulation ---------------------------------------------
+
+# docs/sql/datatypes.md UTINYINT..UBIGINT — Spark has no unsigned types
+# (SURVEY.md §1.3): each maps to the nearest wider signed type (UInt64 →
+# DECIMAL(20,0)) with an explicit range check that errors like the
+# reference's cast (slt/standard/cast/unsigned_int.slt "Failed to cast
+# value '256' ... to UInt8").
+_UNSIGNED = {
+    "UTINYINT": (255, "SMALLINT", "UInt8"),
+    "UINT1": (255, "SMALLINT", "UInt8"),
+    "USMALLINT": (65535, "INT", "UInt16"),
+    "UINT2": (65535, "INT", "UInt16"),
+    "UINT": (4294967295, "BIGINT", "UInt32"),
+    "UINT4": (4294967295, "BIGINT", "UInt32"),
+    "UBIGINT": (18446744073709551615, "DECIMAL(20,0)", "UInt64"),
+    "UINT8": (18446744073709551615, "DECIMAL(20,0)", "UInt64"),
+}
+_UNSIGNED_COLON_RE = re.compile(
+    r"::\s*(UTINYINT|UINT1|USMALLINT|UINT2|UINT4|UBIGINT|UINT8|UINT)\b",
+    re.IGNORECASE,
+)
+_UNSIGNED_CAST_TAIL_RE = re.compile(
+    r"\bAS\s+(UTINYINT|UINT1|USMALLINT|UINT2|UINT4|UBIGINT|UINT8|UINT)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _scan_operand_start(sql: str, pos: int) -> int:
+    """Start of the expression immediately left of pos: trailing
+    identifier/number/quoted literal, with any ()-groups (and their
+    function names) included — full-depth, unlike _OPERAND."""
+    i = pos
+    while i > 0 and sql[i - 1].isspace():
+        i -= 1
+    while i > 0:
+        ch = sql[i - 1]
+        consumed = False
+        if ch == ")":
+            depth = 0
+            j = i - 1
+            while j >= 0:
+                if sql[j] == ")":
+                    depth += 1
+                elif sql[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            i = j
+            # a function call's name belongs to the operand
+            k = i
+            while k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+                k -= 1
+            i = k
+            consumed = True
+        elif ch == "'":
+            j = i - 2
+            while j >= 0 and sql[j] != "'":
+                j -= 1
+            i = max(j, 0)
+            consumed = True
+        elif ch.isalnum() or ch in "_.":
+            j = i
+            while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_."):
+                j -= 1
+            i = j
+            consumed = True
+        if not consumed:
+            break
+        # chained casts: `100::INT::UINT` — keep scanning past `::`
+        if i >= 2 and sql[i - 2 : i] == "::":
+            i -= 2
+            continue
+        break
+    return i
+
+
+def _unsigned_expr(x: str, bound: int, target: str) -> str:
+    chk = f"CAST(({x}) AS DECIMAL(38,0))"
+    uname = {v[0]: v[2] for v in _UNSIGNED.values()}[bound]
+    return (
+        f"(CASE WHEN {chk} < 0 OR {chk} > {bound} THEN "
+        f"CAST(raise_error(concat('Failed to cast value ''', "
+        f"CAST(({x}) AS STRING), ''' to {uname}')) AS {target}) "
+        f"ELSE CAST(({x}) AS {target}) END)"
+    )
+
+
+def rewrite_unsigned(sql: str) -> str:
+    # ``x::UTINYINT`` chains resolve leftmost-first so an inner rewrite
+    # becomes the (parenthesized) operand of the next
+    while True:
+        spans = _find_literal_spans(sql)
+        m = None
+        for cand in _UNSIGNED_COLON_RE.finditer(sql):
+            if not _in_spans(cand.start(), spans):
+                m = cand
+                break
+        if m is None:
+            break
+        bound, target, _ = _UNSIGNED[m.group(1).upper()]
+        start = _scan_operand_start(sql, m.start())
+        operand = sql[start : m.start()].strip()
+        repl = _unsigned_expr(operand, bound, target)
+        before, after = sql[:start], sql[m.end() :]
+        # the reference names a cast after its base column — keep that
+        # when the cast is a whole select item over a bare identifier
+        base = operand.split("::")[0].strip()
+        if (
+            re.fullmatch(r"[A-Za-z_]\w*", base)
+            and _ITEM_START_RE.search(before)
+            and _ITEM_END_RE.match(after)
+            and not re.match(r"\s*(AS\b|::)", after, re.IGNORECASE)
+        ):
+            repl += f" AS {base}"
+        sql = before + repl + after
+    # CAST(x AS UTINYINT) form
+    while True:
+        spans = _find_literal_spans(sql)
+        done = True
+        for cand in _CAST_OPEN_RE.finditer(sql):
+            if _in_spans(cand.start(), spans):
+                continue
+            close = _match_paren(sql, cand.end() - 1)
+            if close < 0:
+                continue
+            inner = sql[cand.end() : close]
+            m = _UNSIGNED_CAST_TAIL_RE.search(inner)
+            if not m:
+                continue
+            bound, target, _ = _UNSIGNED[m.group(1).upper()]
+            expr = inner[: m.start()].rstrip()
+            sql = (
+                sql[: cand.start()]
+                + _unsigned_expr(expr, bound, target)
+                + sql[close + 1 :]
+            )
+            done = False
+            break
+        if done:
+            break
+    # remaining bare unsigned type names (column DDL, literal-typed
+    # strings): widen without a runtime check — storage uses the wider
+    # signed type, the cast surface above enforces ranges
+    for name, (_, target, _u) in _UNSIGNED.items():
+        sql = _sub_masked(
+            sql, re.compile(rf"\b{name}\b", re.IGNORECASE), target
+        )
+    return sql
+
+
+# --- integer column :: DATE -------------------------------------------------
+
+# the reference casts integers to DATE as days-since-epoch
+# (functions/cast; replace_different_types.slt EventDate USMALLINT →
+# ::DATE); Spark forbids INT→DATE, so provably-int columns go through
+# DATE_ADD. Literal ints are handled by the slt runner's _INT_DATE_RE.
+_IDENT_DATE_RE = re.compile(
+    r"\b([A-Za-z_][\w.]*)\s*::\s*DATE\b", re.IGNORECASE
+)
+
+
+def rewrite_int_date(sql: str, spark) -> str:
+    from glaredb_spark.functions.arith_binder import make_resolver
+
+    try:
+        resolver = make_resolver(spark, sql)
+    except Exception:  # noqa: BLE001 — no session/catalog: leave as-is
+        return sql
+
+    def _repl(m: re.Match) -> str:
+        name = m.group(1)
+        if resolver(name.split(".")[-1]):
+            return f"DATE_ADD(DATE '1970-01-01', CAST({name} AS INT))"
+        return m.group(0)
+
+    return _sub_masked(sql, _IDENT_DATE_RE, _repl)
+
+
 # --- entry -------------------------------------------------------------------
 
 
-def rewrite_misc(sql: str) -> str:
+def rewrite_misc(sql: str, spark=None) -> str:
     """Apply all misc reference-semantics rewrites (cheap keyword guards)."""
     low = sql.lower()
     if "factorial" in low:
@@ -278,6 +457,10 @@ def rewrite_misc(sql: str) -> str:
         sql = rewrite_shl(sql)
     if "decimal" in low and "-" in sql:
         sql = rewrite_negative_scale_decimal(sql)
+    if re.search(r"\bu(?:tiny|small|big)?int", low):
+        sql = rewrite_unsigned(sql)
+    if spark is not None and re.search(r"::\s*date\b", low):
+        sql = rewrite_int_date(sql, spark)
     if re.search(r"\b(int1|int2|int4|int8|float4|float8|blob)\b", low):
         for pat, rep in _TYPE_ALIASES:
             sql = _sub_masked(sql, pat, rep)

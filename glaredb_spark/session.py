@@ -174,7 +174,7 @@ class GlareSession:
         )
 
         query = rewrite_arith(query, self.spark)
-        query = rewrite_misc(query)
+        query = rewrite_misc(query, self.spark)
         query = rewrite_unnest(query)
         if "interval" in query.lower():
             from glaredb_spark.functions.interval_util import (

@@ -871,6 +871,14 @@ def _describe_cell_match(exp: str, act: str) -> bool:
         return True  # Spark has no ns timestamp (§1.3): ns reads as µs
     if exp == "Int128" and re.fullmatch(r"Decimal(64|128)\(38,0\)", act):
         return True  # §1.3: Int128 → DecimalType(38,0) (factorial.slt)
+    # §1.3: unsigned → nearest wider signed (misc_binder.rewrite_unsigned
+    # enforces the ranges at cast sites)
+    if (exp, act) in {
+        ("UInt8", "Int16"),
+        ("UInt16", "Int32"),
+        ("UInt32", "Int64"),
+    } or (exp == "UInt64" and re.fullmatch(r"Decimal(64|128)\(20,0\)", act)):
+        return True
     if exp == "list_value" and act == "array":
         return True  # function renamed to the Spark builtin
     me, ma = (

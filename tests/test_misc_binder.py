@@ -95,3 +95,39 @@ def test_type_aliases():
 def test_aliases_inside_strings_untouched():
     out = rewrite_misc("SELECT 'float8 int8 blob'")
     assert "'float8 int8 blob'" in out
+
+
+def test_unsigned_colon_cast_range_check():
+    from glaredb_spark.functions.misc_binder import rewrite_unsigned
+
+    out = rewrite_unsigned("select 255::UTINYINT")
+    assert "raise_error" in out and "> 255" in out and "AS SMALLINT" in out
+
+
+def test_unsigned_chain_scans_full_operand():
+    from glaredb_spark.functions.misc_binder import rewrite_unsigned
+
+    out = rewrite_unsigned("select 100::INT::UINT")
+    assert "((100::INT)" in out.replace(" ", "") or "(100::INT)" in out
+    assert "> 4294967295" in out
+
+
+def test_unsigned_ubigint_decimal_target():
+    from glaredb_spark.functions.misc_binder import rewrite_unsigned
+
+    out = rewrite_unsigned("select 18446744073709551615::UBIGINT")
+    assert "DECIMAL(20,0)" in out and "> 18446744073709551615" in out
+
+
+def test_unsigned_ddl_names_widen():
+    from glaredb_spark.functions.misc_binder import rewrite_unsigned
+
+    out = rewrite_unsigned("CREATE TABLE t (a USMALLINT, b UBIGINT)")
+    assert "a INT" in out and "b DECIMAL(20,0)" in out
+
+
+def test_unsigned_select_item_keeps_column_name():
+    from glaredb_spark.functions.misc_binder import rewrite_unsigned
+
+    out = rewrite_unsigned("SELECT a::UTINYINT FROM t")
+    assert out.rstrip().endswith("AS a FROM t") or " AS a " in out
