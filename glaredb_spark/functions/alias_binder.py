@@ -231,3 +231,74 @@ def propagate_scalar_subquery_aliases(sql: str, spark) -> str:
     return sql[:list_start] + " " + ", ".join(
         i.strip() for i in new_items
     ) + " " + sql[list_end:]
+
+
+_PAREN_VALUES_RE = re.compile(r"\(\s*VALUES\b", re.IGNORECASE)
+_FROM_LEAD_RE = re.compile(r"(?:\bFROM|\bJOIN|,)\s*$", re.IGNORECASE)
+_NEXT_IDENT_RE = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", re.IGNORECASE)
+_CLAUSE_KWS = {
+    "where", "group", "order", "limit", "having", "union", "except",
+    "intersect", "on", "join", "inner", "left", "right", "full", "cross",
+    "lateral", "values",
+}
+
+
+def name_unaliased_values(sql: str, spark=None) -> str:
+    """Unaliased ``(VALUES ...)`` relations get an explicit
+    ``AS __vN(col1..colK)`` alias so expression tuples keep the
+    reference's positional columnN names (values_aliases.slt: a lateral
+    ``(VALUES (a+3, b*2))`` describes as column1/column2). Spark would
+    otherwise name expression columns after their text."""
+    n = 0
+    pos = 0
+    while True:
+        masked = _mask(sql)
+        m = None
+        for cand in _PAREN_VALUES_RE.finditer(masked, pos):
+            if _FROM_LEAD_RE.search(masked, 0, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return sql
+        depth, j = 0, m.start()
+        while j < len(masked):
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            return sql
+        close = j
+        nm = _NEXT_IDENT_RE.match(masked, close + 1)
+        if nm and nm.group(1).lower() not in _CLAUSE_KWS:
+            pos = close + 1  # already aliased
+            continue
+        # column count = first tuple's top-level commas + 1
+        body = masked[m.end() : close]
+        tuple_open = body.find("(")
+        if tuple_open < 0:
+            pos = close + 1
+            continue
+        depth2, k, ncols = 0, tuple_open, 1
+        while k < len(body):
+            ch = body[k]
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+                if depth2 == 0:
+                    break
+            elif ch == "," and depth2 == 1:
+                ncols += 1
+            k += 1
+        cols = ", ".join(f"col{i+1}" for i in range(ncols))
+        n += 1
+        sql = (
+            sql[: close + 1]
+            + f" AS __values{n}({cols})"
+            + sql[close + 1 :]
+        )
+        pos = close + 1

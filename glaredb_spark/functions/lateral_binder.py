@@ -237,3 +237,56 @@ def chainize(sql: str) -> str:
         args = sql[open_pos + 1 : j - 1].strip()
         call = f"{callee}({subject}" + (f", {args}" if args else "") + ")"
         sql = sql[: target.start()] + call + sql[j:]
+
+
+_AS_ALIAS_TAIL_RE = re.compile(r"\bAS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+
+
+def dealias(sql: str) -> str:
+    """Duplicate select-list aliases with later references — the
+    reference resolves a later bare reference to the LAST prior
+    definition (reference_alias_in_select.slt: ``SELECT 1 AS a, 2 AS a,
+    a + 3`` → 5); Spark raises AMBIGUOUS_LATERAL_COLUMN_ALIAS. Inline
+    the last definition's expression into later references. Retry-only:
+    callers try this candidate after the original query fails, so an
+    unambiguous query never takes this path."""
+    from glaredb_spark.functions.unnest_binder import (
+        _split_top_commas,
+        _top_level_positions,
+    )
+
+    head = re.match(r"^\s*SELECT\s+", sql, re.IGNORECASE)
+    if not head:
+        return sql
+    bounds = _top_level_positions(
+        sql, re.compile(r"\b(FROM|WHERE|GROUP|ORDER|LIMIT|HAVING)\b", re.IGNORECASE)
+    )
+    list_end = min(
+        (b.start() for b in bounds if b.start() >= head.end()),
+        default=len(sql),
+    )
+    items = _split_top_commas(sql[head.end() : list_end])
+    counts: dict[str, int] = {}
+    last_expr: dict[str, str] = {}
+    new_items = []
+    for it in items:
+        work = it
+        for name, expr in last_expr.items():
+            if counts[name] < 2:
+                continue
+            work = re.sub(
+                rf"(?<![\w.`']){re.escape(name)}(?![\w(`'])",
+                f"({expr})",
+                work,
+            )
+        m = _AS_ALIAS_TAIL_RE.search(it)
+        if m:
+            nm = m.group(1)
+            counts[nm] = counts.get(nm, 0) + 1
+            last_expr[nm] = it[: m.start()].strip()
+        new_items.append(work.strip())
+    if not any(c >= 2 for c in counts.values()):
+        return sql
+    return (
+        sql[: head.end()] + ", ".join(new_items) + sql[list_end:]
+    )

@@ -60,6 +60,12 @@ _TYPE_ALIASES = [
     (re.compile(r"\bFLOAT4\b", re.IGNORECASE), "FLOAT"),
     (re.compile(r"\bFLOAT8\b", re.IGNORECASE), "DOUBLE"),
     (re.compile(r"\bBLOB\b", re.IGNORECASE), "BINARY"),
+    # HALF/FLOAT2 (Float16, docs/sql/datatypes.md) → FLOAT: Spark has no
+    # half type (§1.3); cast positions only, so `half` stays usable as an
+    # identifier
+    (re.compile(r"(::\s*)(?:HALF|FLOAT2)\b", re.IGNORECASE), r"\1FLOAT"),
+    (re.compile(r"(\bAS\s+)(?:HALF|FLOAT2)\b(\s*\))", re.IGNORECASE),
+     r"\1FLOAT\2"),
 ]
 
 
@@ -461,7 +467,7 @@ def rewrite_misc(sql: str, spark=None) -> str:
         sql = rewrite_unsigned(sql)
     if spark is not None and re.search(r"::\s*date\b", low):
         sql = rewrite_int_date(sql, spark)
-    if re.search(r"\b(int1|int2|int4|int8|float4|float8|blob)\b", low):
+    if re.search(r"\b(int1|int2|int4|int8|float4|float8|float2|blob|half)\b", low):
         for pat, rep in _TYPE_ALIASES:
             sql = _sub_masked(sql, pat, rep)
     return sql

@@ -169,6 +169,7 @@ class GlareSession:
         from glaredb_spark.functions.table_sql import rewrite_table_functions
 
         from glaredb_spark.functions.alias_binder import (
+            name_unaliased_values,
             pad_partial_alias_lists,
             propagate_scalar_subquery_aliases,
         )
@@ -184,6 +185,8 @@ class GlareSession:
             query = rewrite_intervals(query)
         query = rewrite_star_macros(query, self.spark)
         query = pad_partial_alias_lists(query, self.spark)
+        if "values" in query.lower():
+            query = name_unaliased_values(query, self.spark)
         query = propagate_scalar_subquery_aliases(query, self.spark)
         if _INLINE_DESC_RE.search(query):
             query = self._rewrite_inline_describe(query)
@@ -306,6 +309,7 @@ class GlareSession:
             # working query can never regress.
             from glaredb_spark.functions.lateral_binder import (
                 chainize,
+                dealias,
                 lateralize,
             )
 
@@ -315,6 +319,7 @@ class GlareSession:
                 lateralize(final_sql),
                 chainize(final_sql),
                 chainize(lateralize(final_sql)),
+                dealias(final_sql),
             ):
                 if cand in seen:
                     continue
@@ -403,6 +408,7 @@ class GlareSession:
                 # same retry binders as sql() (lateral_binder.py)
                 from glaredb_spark.functions.lateral_binder import (
                     chainize,
+                    dealias,
                     lateralize,
                 )
 
@@ -412,6 +418,7 @@ class GlareSession:
                     lateralize(final_sql),
                     chainize(final_sql),
                     chainize(lateralize(final_sql)),
+                    dealias(final_sql),
                 ):
                     if cand in seen:
                         continue

@@ -861,7 +861,7 @@ def _describe_cell_match(exp: str, act: str) -> bool:
         r"Int(8|16|32|64)", act
     ):
         return True  # literal-width inference differs; values compare exact
-    if re.fullmatch(r"Float(32|64)", exp) and (
+    if re.fullmatch(r"Float(16|32|64)", exp) and (
         re.fullmatch(r"Float(32|64)", act) or da
     ):
         # reference floats some decimal results (avg, division); Spark

@@ -66,3 +66,35 @@ def test_expression_subquery_untouched(spark):
 def test_in_subquery_predicate_untouched(spark):
     q = "SELECT z FROM (VALUES (1)) w(z) WHERE z IN (SELECT a FROM (VALUES (1)) v(a))"
     assert propagate_scalar_subquery_aliases(q, spark) == q
+
+
+def test_name_unaliased_values_gets_colN():
+    from glaredb_spark.functions.alias_binder import name_unaliased_values
+
+    out = name_unaliased_values(
+        "SELECT * FROM (VALUES (1,2.0,3)) v(a,b), (VALUES (a + 3, b*2, c))"
+    )
+    assert "AS __values1(col1, col2, col3)" in out
+    # the aliased relation is left alone
+    assert "v(a,b) AS" not in out
+
+
+def test_name_unaliased_values_skips_aliased():
+    from glaredb_spark.functions.alias_binder import name_unaliased_values
+
+    sql = "SELECT * FROM (VALUES (1,2)) t(a,b)"
+    assert name_unaliased_values(sql) == sql
+
+
+def test_dealias_inlines_last_duplicate():
+    from glaredb_spark.functions.lateral_binder import dealias
+
+    out = dealias("SELECT 1 AS a, 2 AS a, a + 3")
+    assert out == "SELECT 1 AS a, 2 AS a, (2) + 3"
+
+
+def test_dealias_untouched_when_unique():
+    from glaredb_spark.functions.lateral_binder import dealias
+
+    sql = "SELECT 1 AS a, a + 2"
+    assert dealias(sql) == sql
