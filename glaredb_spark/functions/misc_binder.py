@@ -421,6 +421,110 @@ def rewrite_unsigned(sql: str) -> str:
     return sql
 
 
+# --- cast column naming ------------------------------------------------------
+
+# the reference names a cast expression after its underlying column, so
+# outer scopes reference THROUGH the cast (expr_binder;
+# cast/reference_through_cast.slt: `SELECT CAST(a::INT AS TEXT) FROM t`
+# exposes column `a`). Spark does this for a single CAST but names
+# nested casts by their full text — alias whole-item cast chains over a
+# bare column with the column name.
+_TYPE_SUFFIX = r"[A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*-?\d+\s*)?\))?"
+_CAST_WRAP_RE = re.compile(
+    rf"^CAST\s*\((.*)\s+AS\s+{_TYPE_SUFFIX}\s*\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COLON_TAIL_RE = re.compile(
+    rf"^(.*?)\s*::\s*{_TYPE_SUFFIX}\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+def _cast_base_column(expr: str) -> str | None:
+    e = expr.strip()
+    for _ in range(16):
+        m = _CAST_WRAP_RE.match(e)
+        if m and _balanced(m.group(1)):
+            e = m.group(1).strip()
+            continue
+        m = _COLON_TAIL_RE.match(e)
+        if m and _balanced(m.group(1)):
+            e = m.group(1).strip()
+            continue
+        break
+    return e if re.fullmatch(r"[A-Za-z_]\w*", e) else None
+
+
+def rewrite_cast_naming(sql: str) -> str:
+    from glaredb_spark.functions.unnest_binder import (
+        _split_top_commas,
+        _top_level_positions,
+    )
+
+    dm = re.match(r"^\s*DESCRIBE\s+", sql, re.IGNORECASE)
+    if dm:
+        return sql[: dm.end()] + rewrite_cast_naming(sql[dm.end() :])
+    # recurse into parenthesized subqueries first — outer scopes
+    # reference through the INNER select's cast naming
+    spans = _find_literal_spans(sql)
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if (
+            sql[i] == "("
+            and not _in_spans(i, spans)
+            and re.match(r"\(\s*SELECT\b", sql[i:], re.IGNORECASE)
+        ):
+            close = _match_paren(sql, i)
+            if close > 0:
+                inner = rewrite_cast_naming(sql[i + 1 : close])
+                out.append("(" + inner + ")")
+                i = close + 1
+                continue
+        out.append(sql[i])
+        i += 1
+    sql = "".join(out)
+    head = re.match(r"^\s*SELECT\s+(DISTINCT\s+)?", sql, re.IGNORECASE)
+    if not head:
+        return sql
+    bounds = _top_level_positions(
+        sql,
+        re.compile(
+            r"\b(FROM|WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|EXCEPT"
+            r"|INTERSECT)\b",
+            re.IGNORECASE,
+        ),
+    )
+    list_end = min(
+        (b.start() for b in bounds if b.start() >= head.end()),
+        default=len(sql),
+    )
+    items = _split_top_commas(sql[head.end() : list_end])
+    changed = False
+    out_items = []
+    for it in items:
+        s = it.strip()
+        base = _cast_base_column(s) if "cast" in s.lower() or "::" in s else None
+        if base is not None and base.lower() != s.lower():
+            out_items.append(f"{s} AS {base}")
+            changed = True
+        else:
+            out_items.append(s)
+    if not changed:
+        return sql
+    return sql[: head.end()] + ", ".join(out_items) + " " + sql[list_end:]
+
+
 # --- integer column :: DATE -------------------------------------------------
 
 # the reference casts integers to DATE as days-since-epoch
@@ -467,6 +571,8 @@ def rewrite_misc(sql: str, spark=None) -> str:
         sql = rewrite_unsigned(sql)
     if spark is not None and re.search(r"::\s*date\b", low):
         sql = rewrite_int_date(sql, spark)
+    if "cast" in low or "::" in sql:
+        sql = rewrite_cast_naming(sql)
     if re.search(r"\b(int1|int2|int4|int8|float4|float8|float2|blob|half)\b", low):
         for pat, rep in _TYPE_ALIASES:
             sql = _sub_masked(sql, pat, rep)

@@ -131,3 +131,29 @@ def test_unsigned_select_item_keeps_column_name():
 
     out = rewrite_unsigned("SELECT a::UTINYINT FROM t")
     assert out.rstrip().endswith("AS a FROM t") or " AS a " in out
+
+
+def test_cast_naming_single_and_nested():
+    from glaredb_spark.functions.misc_binder import rewrite_cast_naming
+
+    out = rewrite_cast_naming("SELECT CAST(a::INT AS TEXT) FROM test")
+    assert "AS a FROM" in out
+    out = rewrite_cast_naming("SELECT a::INT FROM test")
+    assert "a::INT AS a" in out
+
+
+def test_cast_naming_recurses_into_subqueries():
+    from glaredb_spark.functions.misc_binder import rewrite_cast_naming
+
+    out = rewrite_cast_naming(
+        "SELECT a || 'x' FROM (SELECT CAST(a::INT AS TEXT) FROM test)"
+    )
+    assert "AS a FROM test" in out
+
+
+def test_cast_naming_leaves_aliased_and_literals():
+    from glaredb_spark.functions.misc_binder import rewrite_cast_naming
+
+    sql = "SELECT CAST(a AS INT) AS x, '2'::INT FROM t"
+    out = rewrite_cast_naming(sql)
+    assert " AS x" in out and "'2'::INT AS" not in out
