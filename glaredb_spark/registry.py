@@ -123,3 +123,5 @@ def load_all() -> None:
     import glaredb_spark.operators.components  # noqa: F401
     import glaredb_spark.operators.contamination  # noqa: F401
     import glaredb_spark.operators.semantic  # noqa: F401
+    import glaredb_spark.operators.scrub  # noqa: F401
+    import glaredb_spark.operators.selection  # noqa: F401
