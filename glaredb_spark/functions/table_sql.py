@@ -278,7 +278,7 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
         sql,
     )
     wants_meta = bool(_META_COL.search(sql))
-    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
+    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:
@@ -408,6 +408,34 @@ def _handle_tf(spark: SparkSession, m: re.Match, wants_meta: bool = False) -> st
             [_DISPATCH[fn](spark, p) for p in paths],
         )
     df.createOrReplaceTempView(view)
+    return view
+
+
+# iceberg metadata/scan table functions (glaredb_ext_iceberg extension
+# registration: iceberg.metadata/snapshots/manifest_list/data_files +
+# table scan; slt/iceberg/*.slt) — native reader, no connector jar
+_ICE_TF = re.compile(
+    r"\biceberg\s*\.\s*"
+    r"(metadata|snapshots|manifest_list|data_files|scan|read)"
+    r"\s*\(\s*'([^']*)'\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _handle_ice(spark: SparkSession, m: re.Match) -> str:
+    from glaredb_spark.sources import iceberg_native as _ice
+
+    fn, path = m.group(1).lower(), m.group(2)
+    builders = {
+        "metadata": _ice.metadata_df,
+        "snapshots": _ice.snapshots_df,
+        "manifest_list": _ice.manifest_list_df,
+        "data_files": _ice.data_files_df,
+        "scan": _ice.read_iceberg_native,
+        "read": _ice.read_iceberg_native,
+    }
+    view = _view_name(f"iceberg.{fn}", path)
+    builders[fn](spark, path).createOrReplaceTempView(view)
     return view
 
 

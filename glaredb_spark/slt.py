@@ -233,7 +233,9 @@ _PLAIN_GROUP_BY_RE = re.compile(
 _LIST_VALUE_RE = re.compile(r"\blist_value\s*\(", re.IGNORECASE)
 _UNNEST_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
 _REL_PATH_RE = re.compile(
-    r"\b(read_text|read_csv|read_parquet|csv_scan|parquet_scan|glob)"
+    r"\b(read_text|read_csv|read_parquet|csv_scan|parquet_scan|glob"
+    r"|iceberg\s*\.\s*(?:metadata|snapshots|manifest_list|data_files"
+    r"|scan|read))"
     r"\s*\(\s*'([^':]+)'",
     re.IGNORECASE,
 )

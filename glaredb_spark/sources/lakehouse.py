@@ -40,15 +40,27 @@ def delta_available(spark: SparkSession) -> bool:
 def read_iceberg(spark: SparkSession, table_or_path: str) -> DataFrame:
     """Scan an Iceberg table (path or catalog identifier) — the Spark analog
     of the reference's ``iceberg.table`` function
-    (crates/glaredb_ext_iceberg/src/table/)."""
-    if not iceberg_available(spark):
+    (crates/glaredb_ext_iceberg/src/table/).
+
+    Uses the connector DataSource when its jar is on the classpath;
+    otherwise the native metadata reader (sources/iceberg_native.py —
+    the reference's own architecture: driver-side metadata.json + avro
+    manifest fold, distributed parquet scan over the active files)."""
+    if iceberg_available(spark):
+        return spark.read.format("iceberg").load(table_or_path)
+    import os
+
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    if not os.path.isdir(table_or_path):
         raise RuntimeError(
-            "Iceberg connector not on the classpath. Add the "
+            "Iceberg connector not on the classpath and "
+            f"{table_or_path!r} is not a local table directory. Add the "
             "iceberg-spark-runtime jar (e.g. --packages "
             "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version>) "
-            "to enable iceberg reads."
+            "for catalog identifiers / object-store tables."
         )
-    return spark.read.format("iceberg").load(table_or_path)
+    return read_iceberg_native(spark, table_or_path)
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
