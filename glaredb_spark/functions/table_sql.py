@@ -278,7 +278,7 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
         sql,
     )
     wants_meta = bool(_META_COL.search(sql))
-    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
+    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:
@@ -420,6 +420,41 @@ _ICE_TF = re.compile(
     r"\s*\(\s*'([^']*)'\s*\)",
     re.IGNORECASE,
 )
+
+
+# tpch_gen TVFs (glaredb_ext_tpch_gen extension; slt/tpch_gen/*.slt)
+_TPCHGEN_TF = re.compile(
+    r"\btpch_gen\s*\.\s*(region|nation|customer|supplier|part|partsupp"
+    r"|orders|lineitem)\s*\(\s*([0-9.]*)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _handle_tpchgen(spark: SparkSession, m: re.Match) -> str:
+    from glaredb_spark.sources.tpchgen import gen_table
+
+    name = m.group(1).lower()
+    sf = float(m.group(2)) if m.group(2) else 1.0
+    view = _view_name(f"tpch_gen.{name}", str(sf))
+    gen_table(spark, name, sf).createOrReplaceTempView(view)
+    return view
+
+
+# delta scan TVF (glaredb_ext_delta: read_delta/delta.scan;
+# slt/delta/simple.slt) — native log reader via lakehouse dispatch
+_DELTA_TF = re.compile(
+    r"\b(?:read_delta|delta\s*\.\s*(?:scan|read))\s*\(\s*'([^']*)'\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _handle_delta(spark: SparkSession, m: re.Match) -> str:
+    from glaredb_spark.sources.lakehouse import read_delta
+
+    path = m.group(1)
+    view = _view_name("read_delta", path)
+    read_delta(spark, path).createOrReplaceTempView(view)
+    return view
 
 
 def _handle_ice(spark: SparkSession, m: re.Match) -> str:

@@ -41,7 +41,6 @@ GATE_PRIORITY: list[str] = [
     # first-ever driver rows
     "meta_filename_counts",  # new: _filename virtual column
     "rel_cube",  # pass(local) only until now
-    "rel_grouping_sets",
     "rel_distinct_aggs",
     # single-query module representatives (invariant)
     "asof_purchase_view",
@@ -65,7 +64,6 @@ GATE_PRIORITY: list[str] = [
     # the local strict gate)
     "delta_log_scan",
     "tpcds_rollup_rank",
-    "tpcds_ratio_to_avg",
     # new semantic module (k-means + SemDeDup), first driver row; slot
     # freed by tpcds_channel_union (module keeps two other reps; still in
     # the local strict gate)
@@ -76,6 +74,12 @@ GATE_PRIORITY: list[str] = [
     # r4-new operators, first driver rows
     "dedup_components_star",
     "text_repetition_metrics",
+    # r4-late modules (scrub/selection), first driver rows; slots freed
+    # by rel_grouping_sets (module kept via rel_cube/rel_distinct_aggs)
+    # and tpcds_ratio_to_avg (module kept via tpcds_rollup_rank) — both
+    # stay in the local strict gate every round
+    "text_pii_redact",
+    "dsir_importance",
 ]
 
 
