@@ -918,9 +918,32 @@ class SltResult:
     failures: list[str] = field(default_factory=list)
 
 
+def _register_tpch_spec_views(sess) -> None:
+    """tpchbench suite setup: the reference harness preloads full-schema
+    TPC-H tables before running; we register the distributed generator's
+    tables (sources/tpchgen.py — exact spec schemas) at a tiny SF.
+    DESCRIBE goldens never execute the generators; the q01-q22 value
+    records stay excluded (they golden dbgen's seeded RNG output)."""
+    from pyspark.sql import functions as F
+
+    from glaredb_spark.sources.tpchgen import TABLES, gen_table
+
+    for name in TABLES:
+        df = gen_table(sess.spark, name, 0.001)
+        if name == "lineitem":
+            # tpchbench parquet models quantity as DECIMAL(15,2)
+            # (tpch_gen's own describe golden keeps the crate's Int64)
+            df = df.withColumn(
+                "l_quantity", F.col("l_quantity").cast("decimal(15,2)")
+            )
+        df.createOrReplaceTempView(name)
+
+
 def run_slt_file(sess, path: str) -> SltResult:
     """Run one .slt file through a GlareSession; returns per-record tallies.
     Tables created by the script are dropped afterwards."""
+    if "tpchbench" in path:
+        _register_tpch_spec_views(sess)
     res = SltResult()
     created: list[str] = []
     created_views: list[str] = []
