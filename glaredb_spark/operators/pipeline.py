@@ -205,3 +205,72 @@ def pipeline_quality_quantile(spark, sf_dir):
         .select("doc_id", "source", "pct_rank")
         .orderBy("doc_id")
     )
+
+
+@register_query(
+    "pipeline_pack_sequences",
+    oracle="""
+WITH tok AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM tok
+)
+SELECT source, doc_id, n_tokens, start_offset,
+       start_offset // 2048 AS first_bin,
+       (start_offset + n_tokens - 1) // 2048 AS last_bin,
+       CAST(start_offset // 2048 != (start_offset + n_tokens - 1) // 2048 AS BOOLEAN)
+         AS straddles
+FROM packed
+ORDER BY source, doc_id
+""",
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """Sequence packing for LM training: per source, documents are
+    concatenated in doc_id order and chopped into fixed 2048-token
+    bins (the GPT-style concat-and-chunk recipe). Each document gets its
+    stream offset, first/last bin, and a boundary-straddle flag — the
+    exact assignment a downstream tokenizer shard needs, computed as one
+    window cumsum.
+
+    Scale: one shuffle (window partition by source, order by doc_id) —
+    the packing ORDER is the operator's definition, so the sort is
+    irreducible. Sources pack independently → partition-parallel at any
+    corpus size; a single giant source would move to a range-partitioned
+    parallel prefix-sum over doc_id ranges (same arithmetic, the offsets
+    are associative)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cap = 2048
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = tok.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {cap}").alias("first_bin"),
+        F.expr(f"(start_offset + n_tokens - 1) div {cap}").alias("last_bin"),
+        (
+            F.expr(f"start_offset div {cap}")
+            != F.expr(f"(start_offset + n_tokens - 1) div {cap}")
+        ).alias("straddles"),
+    ).orderBy("source", "doc_id")

@@ -66,3 +66,19 @@ def test_scrub_plans_map_only(spark, sf_dir):
     for name in ("text_pii_redact", "text_html_strip"):
         plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan and "HashAggregate" not in plan, name
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Offsets are a gapless concatenation per source; bin ids are
+    consistent with offsets."""
+    rows = QUERIES["pipeline_pack_sequences"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        expect = 0
+        for r in rs:  # already ordered by doc_id
+            assert r.start_offset == expect, (src, r.doc_id)
+            expect += r.n_tokens
+            assert r.first_bin == r.start_offset // 2048
+            assert r.straddles == (r.first_bin != r.last_bin)
