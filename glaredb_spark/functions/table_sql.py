@@ -278,7 +278,7 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
         sql,
     )
     wants_meta = bool(_META_COL.search(sql))
-    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
+    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:
@@ -438,6 +438,28 @@ def _handle_tpchgen(spark: SparkSession, m: re.Match) -> str:
     view = _view_name(f"tpch_gen.{name}", str(sf))
     gen_table(spark, name, sf).createOrReplaceTempView(view)
     return view
+
+
+# read_postgres TVF (reference external-postgres surface;
+# slt/postgres/read_postgres.slt) — pure-Python wire client, no driver
+# library. Optional trailing alias is preserved; a bare call gets the
+# function name as its alias (reference: `read_postgres.b` qualifies)
+_PG_TF = re.compile(
+    r"\bread_postgres\s*\(\s*'([^']*)'\s*,\s*'([^']*)'\s*,\s*'([^']*)'\s*\)"
+    r"(\s+(?:AS\s+)?(?!where\b|order\b|group\b|limit\b|having\b|on\b"
+    r"|join\b|inner\b|left\b|right\b|full\b|cross\b|union\b|except\b"
+    r"|intersect\b|lateral\b)[A-Za-z_]\w*)?",
+    re.IGNORECASE,
+)
+
+
+def _handle_pg(spark: SparkSession, m: re.Match) -> str:
+    from glaredb_spark.sources.postgres import read_postgres
+
+    conn, schema, table = m.group(1), m.group(2), m.group(3)
+    view = _view_name("read_postgres", f"{conn}:{schema}:{table}")
+    read_postgres(spark, conn, schema, table).createOrReplaceTempView(view)
+    return view + (m.group(4) or " AS read_postgres")
 
 
 # delta scan TVF (glaredb_ext_delta: read_delta/delta.scan;

@@ -34,6 +34,13 @@ _COPY_RE = re.compile(
 # ATTACH MEMORY DATABASE AS x | ATTACH [DATABASE] 'path' AS x | DETACH
 # DATABASE x — reference statement surface (slt/standard/attach/memory.slt;
 # engine/session.rs:390 stubs the execution).
+# ATTACH POSTGRES DATABASE AS name (connection_string '...') — the
+# reference's external-postgres database surface (slt/postgres/attach.slt)
+_ATTACH_PG_RE = re.compile(
+    r"^\s*ATTACH\s+POSTGRES\s+DATABASE\s+AS\s+([A-Za-z_]\w*)\s*"
+    r"(?:\((.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ATTACH_MEM_RE = re.compile(
     r"^\s*ATTACH\s+MEMORY\s+DATABASE\s+AS\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
@@ -234,6 +241,9 @@ class GlareSession:
         copy = _COPY_RE.match(query)
         if copy:
             return self._run_copy(copy)
+        attach_pg = _ATTACH_PG_RE.match(query)
+        if attach_pg:
+            return self._attach_postgres(attach_pg)
         attach = _ATTACH_MEM_RE.match(query) or _ATTACH_PATH_RE.match(query)
         detach = _DETACH_RE.match(query)
         if attach or detach:
@@ -242,6 +252,12 @@ class GlareSession:
             from glaredb_spark import catalog as _cat
 
             if detach:
+                from glaredb_spark.sources.postgres import detach_postgres
+
+                if detach_postgres(detach.group(1)):
+                    return self.spark.range(1).select(
+                        F.lit(f"detached {detach.group(1)}").alias("status")
+                    )
                 _cat.detach_database(self.spark, detach.group(1))
                 msg = f"detached {detach.group(1)}"
             elif len(attach.groups()) == 1:  # memory form
@@ -299,6 +315,10 @@ class GlareSession:
 
         is_profile_query = bool(_PROFILE.search(query))
         final_sql = rewrite_table_functions(self.spark, query)
+        from glaredb_spark.sources import postgres as _pg
+
+        if _pg.attached():
+            final_sql = _pg.resolve_attached_tables(self.spark, final_sql)
         try:
             df = self.spark.sql(final_sql)
         except Exception as first_err:  # noqa: BLE001
@@ -336,6 +356,39 @@ class GlareSession:
             # are not recorded so profile() keeps pointing at user queries
             record_query(self.spark, df)
         return df
+
+    def _attach_postgres(self, m: "re.Match") -> DataFrame:
+        """ATTACH POSTGRES DATABASE AS name (connection_string '...') —
+        option validation mirrors the reference binder
+        (slt/postgres/attach.slt error contract)."""
+        from pyspark.sql import functions as F
+
+        from glaredb_spark.sources.postgres import attach_postgres
+
+        alias, opts = m.group(1), (m.group(2) or "").strip()
+        if not opts:
+            raise ValueError("Missing required option 'connection_string'")
+        kv: dict[str, str] = {}
+        for item in opts.split(","):
+            item = item.strip()
+            if not item:
+                continue
+            om = re.match(r"(\w+)\s+(.+)$", item, re.DOTALL)
+            if not om:
+                raise ValueError(f"Invalid option: {item!r}")
+            kv[om.group(1).lower()] = om.group(2).strip()
+        extra = [k for k in kv if k != "connection_string"]
+        if extra:
+            raise ValueError(f"Unexpected extra arguments: '{extra[0]}'")
+        if "connection_string" not in kv:
+            raise ValueError("Missing required option 'connection_string'")
+        val = kv["connection_string"]
+        if not (val.startswith("'") and val.endswith("'")):
+            raise ValueError(f"Not a string: {val}")
+        attach_postgres(alias, val.strip("'"))
+        return self.spark.range(1).select(
+            F.lit(f"attached postgres database {alias}").alias("status")
+        )
 
     def _run_copy(self, m: "re.Match") -> DataFrame:
         """Execute COPY: write the source relation to the target path in the
