@@ -95,9 +95,11 @@ def sniff_decode(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
     raise NotImplementedError(
         f"no pure-python decoder for payload starting with {data[:4]!r} "
-        "(BMP and P6 PPM are supported; PNG/JPEG need native codecs)"
+        "(BMP, P6 PPM and 8-bit PNG are supported; JPEG needs native codecs)"
     )
 
 
@@ -107,3 +109,126 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * h) // height
     xs = (np.arange(width) * w) // width
     return pixels[ys][:, xs].copy()
+
+
+# ---------------------------------------------------------------------------
+# PNG — pure-Python decode/encode over zlib (no native codec).
+# Decode: 8-bit gray / gray+alpha / RGB / RGBA / palette, every scanline
+# filter (None/Sub/Up/Average/Paeth), non-interlaced. Encode: filter 0 +
+# zlib, RGB.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a non-interlaced PNG."""
+    import struct as _s
+    import zlib as _z
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8 RGB")
+    h, w, _ = pixels.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters; raw is h rows of (1 filter byte + stride)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int16)
+        prev = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 1:  # Sub
+            rec = cur.copy()
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = cur.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = cur.copy()
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(out[y - 1, i - bpp]) if (y and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to an (h, w, 3) uint8 RGB array
+    (alpha dropped, gray broadcast, palette resolved)."""
+    import struct as _s
+    import zlib as _z
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG file")
+    pos, idat, ihdr, plte = 8, [], None, None
+    while pos + 8 <= len(data):
+        (ln,) = _s.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = _s.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} interlace={interlace} "
+            "(8-bit non-interlaced only)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = np.frombuffer(_z.decompress(b"".join(idat)), np.uint8)
+    stride = w * channels
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color == 3:  # palette
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]].copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    if color == 6:
+        return px[:, :, :3].copy()
+    return px.copy()

@@ -534,3 +534,58 @@ def multimodal_frame_sample(spark, sf_dir):
     return video_frame_samples(media, every_n=_FS_N).orderBy(
         "doc_id", "sample_idx"
     )
+
+
+_PNG_W, _PNG_H = 12, 6
+_PNG_SAMPLES = _PNG_W * _PNG_H * 3
+
+
+@register_query(
+    "multimodal_decode_png",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST({_PNG_W} AS INT) AS width,
+       CAST({_PNG_H} AS INT) AS height,
+       (SELECT CAST(SUM((d.doc_id * 37 + i.g * 11) % 256) AS DOUBLE) / {_PNG_SAMPLES}
+        FROM range(0, {_PNG_SAMPLES}) i(g)) AS mean_byte
+FROM documents d
+ORDER BY d.doc_id
+""",
+)
+def multimodal_decode_png(spark, sf_dir):
+    """Real PNG decode (functions/imagecodec.py decode_png: zlib IDAT +
+    scanline unfilter) hash-gated against closed-form pixel arithmetic —
+    the same contract as multimodal_decode_bmp, over the compressed
+    format. n_bytes is format-dependent (zlib stream) and excluded from
+    the oracle columns."""
+    docs = load_wide(spark, sf_dir, "documents").select("doc_id")
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from glaredb_spark.functions.imagecodec import encode_png
+
+        idx = np.arange(_PNG_SAMPLES, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    ((int(d) * 37 + idx * 11) % 256)
+                    .astype(np.uint8)
+                    .reshape(_PNG_H, _PNG_W, 3)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_gen, gen_schema)
+    return (
+        decode_image(media)
+        .select("doc_id", "width", "height", "mean_byte")
+        .orderBy("doc_id")
+    )

@@ -61,8 +61,12 @@ def test_codec_rejects_garbage():
 
     with pytest.raises(ValueError, match="BM"):
         decode_bmp(b"\x89PNG....")
-    with pytest.raises(NotImplementedError, match="PNG/JPEG"):
+    # PNG is now decoded for real — a bare magic with no chunks is a
+    # malformed file, not an unsupported format
+    with pytest.raises(ValueError, match="IHDR"):
         sniff_decode(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        sniff_decode(b"\xff\xd8\xff\xe0jfif")
     with pytest.raises(ValueError, match="truncated"):
         from glaredb_spark.functions.imagecodec import encode_bmp
 
@@ -84,11 +88,12 @@ def test_real_decode_pipeline(spark, bmp_media):
 def test_real_decode_unknown_format_raises(spark):
     from glaredb_spark.operators.multimodal import decode_image
 
-    png = spark.createDataFrame(
-        [(0, bytearray(b"\x89PNG\r\n\x1a\nxxxx"))], "doc_id long, payload binary"
+    jpg = spark.createDataFrame(
+        [(0, bytearray(b"\xff\xd8\xff\xe0jfifxxxx"))],
+        "doc_id long, payload binary",
     )
     with pytest.raises(Exception, match="no pure-python decoder"):
-        decode_image(png).collect()
+        decode_image(jpg).collect()
 
 
 def test_resize_real(spark, bmp_media):
@@ -193,3 +198,55 @@ def test_mp4_meta_walker():
         parse_mp4_meta(b"\x00\x00\x00\x08free")
     with pytest.raises(ValueError, match="truncated"):
         parse_mp4_meta(build_minimal_mp4(600)[:-20])
+
+
+def test_png_codec_roundtrip_and_filters():
+    """decode_png survives every scanline filter type and color modes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from glaredb_spark.functions.imagecodec import (
+        decode_png,
+        encode_png,
+        sniff_decode,
+    )
+
+    px = (np.arange(16 * 8 * 3) % 256).astype(np.uint8).reshape(8, 16, 3)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    assert np.array_equal(sniff_decode(encode_png(px)), px)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # grayscale (color 0) broadcasts to RGB
+    h, w = 3, 5
+    gray = (np.arange(h * w) % 256).astype(np.uint8).reshape(h, w)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out[:, :, 0], gray)
+
+    # palette (color 3)
+    plte = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    idxs = np.array([[0, 1, 0], [1, 0, 1]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idxs[y].tobytes() for y in range(2))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert np.array_equal(out, plte[idxs])
