@@ -39,17 +39,83 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
-            if audio_fmt != 1 or bits != 16:
+            if not (
+                (audio_fmt == 1 and bits == 16)
+                or (audio_fmt in (6, 7) and bits == 8)
+            ):
                 raise ValueError(
                     f"unsupported WAV: format={audio_fmt} bits={bits} "
-                    "(only PCM16; MP3/AAC need native codecs)"
+                    "(PCM16 + G.711 A-law/mu-law; MP3/AAC need native codecs)"
                 )
-            fmt = (ch, rate)
+            fmt = (audio_fmt, ch, rate)
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("truncated WAV: missing fmt or data chunk")
-    ch, rate = fmt
-    samples = np.frombuffer(pcm, "<i2", len(pcm) // 2)
+    audio_fmt, ch, rate = fmt
+    if audio_fmt == 1:
+        samples = np.frombuffer(pcm, "<i2", len(pcm) // 2)
+    elif audio_fmt == 7:  # G.711 mu-law (ITU-T closed form)
+        samples = _ULAW_TABLE[np.frombuffer(pcm, np.uint8)]
+    else:  # G.711 A-law
+        samples = _ALAW_TABLE[np.frombuffer(pcm, np.uint8)]
     return rate, ch, samples.reshape(-1, ch)
+
+
+def _build_ulaw_table() -> np.ndarray:
+    """ITU-T G.711 mu-law byte → linear PCM16 expansion table."""
+    out = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = ((mant << 3) + 0x84) << exp
+        mag -= 0x84
+        out[b] = -mag if sign else mag
+    return out
+
+
+def _build_alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law byte → linear PCM16 expansion table."""
+    out = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if exp:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        else:
+            mag = (mant << 4) + 8
+        # A-law transmits sign bit 1 for POSITIVE (opposite of mu-law)
+        out[b] = mag if sign else -mag
+    return out
+
+
+_ULAW_TABLE = _build_ulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+
+def encode_ulaw_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a G.711 mu-law WAV (format 7) — the
+    inverse of the expansion table, for round-trip tests."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_ulaw_wav expects int16 mono")
+    # compress: find for each sample the closest table byte (exact for
+    # values produced by the expansion table)
+    order = np.argsort(_ULAW_TABLE)
+    idx = np.searchsorted(_ULAW_TABLE[order], samples)
+    idx = np.clip(idx, 0, 255)
+    lower = np.clip(idx - 1, 0, 255)
+    pick_lower = np.abs(
+        _ULAW_TABLE[order[lower]].astype(np.int32) - samples
+    ) <= np.abs(_ULAW_TABLE[order[np.clip(idx, 0, 255)]].astype(np.int32) - samples)
+    best = np.where(pick_lower, order[lower], order[np.clip(idx, 0, 255)])
+    data = best.astype(np.uint8).tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 7, 1, sample_rate, sample_rate, 1, 8
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data

@@ -250,3 +250,23 @@ def test_png_codec_roundtrip_and_filters():
     )
     out = decode_png(png)
     assert np.array_equal(out, plte[idxs])
+
+
+def test_g711_wav_decode():
+    """ITU G.711 mu-law / A-law WAV expansion (format codes 7/6)."""
+    import numpy as np
+
+    from glaredb_spark.functions.audiocodec import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_wav,
+        encode_ulaw_wav,
+    )
+
+    # standard reference points
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x00] == -32124
+    assert _ALAW_TABLE[0xD5] == 8 and _ALAW_TABLE[0x55] == -8
+    vals = _ULAW_TABLE[np.arange(256)].copy()
+    rate, ch, out = decode_wav(encode_ulaw_wav(vals, 8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(out[:, 0], vals)
