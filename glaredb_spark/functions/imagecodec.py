@@ -97,9 +97,11 @@ def sniff_decode(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     raise NotImplementedError(
         f"no pure-python decoder for payload starting with {data[:4]!r} "
-        "(BMP, P6 PPM and 8-bit PNG are supported; JPEG needs native codecs)"
+        "(BMP, P6 PPM, 8-bit PNG and GIF are supported; JPEG needs native codecs)"
     )
 
 
@@ -232,3 +234,155 @@ def decode_png(data: bytes) -> np.ndarray:
     if color == 6:
         return px[:, :, :3].copy()
     return px.copy()
+
+
+# ---------------------------------------------------------------------------
+# GIF — pure-Python LZW decode (87a/89a, global/local palettes, interlace);
+# encoder emits the classic uncompressed-style LZW stream for round-trips.
+# ---------------------------------------------------------------------------
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF to an (h, w, 3) uint8 RGB array."""
+    import struct as _s
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, flags, _bg, _ar = _s.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = _s.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = data[pos]
+            pos += 1
+            blocks = []
+            while data[pos]:
+                ln = data[pos]
+                blocks.append(data[pos + 1 : pos + 1 + ln])
+                pos += ln + 1
+            pos += 1
+            idxs = _lzw_decode(b"".join(blocks), min_code, w * h)
+            px = np.asarray(idxs, dtype=np.int32).reshape(h, w)
+            if iflags & 0x40:  # interlaced: reorder rows
+                order = []
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    order.extend(range(start, h, step))
+                de = np.empty_like(px)
+                de[np.asarray(order)] = px
+                px = de
+            return table[px].copy()
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(stream: bytes, min_code: int, expect: int) -> list[int]:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    size = min_code + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in stream:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= size:
+            code = acc & ((1 << size) - 1)
+            acc >>= size
+            nbits -= size
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            else:
+                entry = prev + [prev[0]]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << size) and size < 12:
+                size += 1
+            if len(out) >= expect:
+                return out
+    return out
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as GIF89a with a 256-entry
+    palette built from the image (requires <=256 distinct colors) and an
+    uncompressed-style LZW stream (literal codes + periodic clears)."""
+    import struct as _s
+
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports <=256 distinct colors")
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # gct, 256 entries
+    out += palette.tobytes()
+    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = 8
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    size = min_code + 1
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    count = 0
+    for v in inverse:
+        emit(int(v))
+        count += 1
+        # keep the code width fixed: a decoder grows its table by one per
+        # literal after a clear; reset before it would widen past `size`
+        if count >= 254:
+            emit(clear)
+            count = 0
+    emit(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -270,3 +270,24 @@ def test_g711_wav_decode():
     rate, ch, out = decode_wav(encode_ulaw_wav(vals, 8000))
     assert (rate, ch) == (8000, 1)
     assert np.array_equal(out[:, 0], vals)
+
+
+def test_gif_codec_roundtrip():
+    import numpy as np
+
+    from glaredb_spark.functions.imagecodec import (
+        decode_gif,
+        encode_gif,
+        sniff_decode,
+    )
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (20, 3), dtype=np.uint8)
+    px = pal[rng.randint(0, 20, (13, 17))]
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+    assert np.array_equal(sniff_decode(encode_gif(px)), px)
+    # multi-clear-cycle stream
+    big = pal[rng.randint(0, 20, (64, 64))]
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"BM123456")
