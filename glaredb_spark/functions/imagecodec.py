@@ -99,9 +99,13 @@ def sniff_decode(data: bytes) -> np.ndarray:
         return decode_png(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from glaredb_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"no pure-python decoder for payload starting with {data[:4]!r} "
-        "(BMP, P6 PPM, 8-bit PNG and GIF are supported; JPEG needs native codecs)"
+        "(BMP, P6 PPM, 8-bit PNG, GIF and baseline JPEG are supported)"
     )
 
 

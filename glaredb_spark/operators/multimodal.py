@@ -589,3 +589,57 @@ def multimodal_decode_png(spark, sf_dir):
         .select("doc_id", "width", "height", "mean_byte")
         .orderBy("doc_id")
     )
+
+
+_JPG_W, _JPG_H = 16, 16
+
+
+@register_query(
+    "multimodal_decode_jpeg",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_JPG_W} AS INT) AS width,
+       CAST({_JPG_H} AS INT) AS height,
+       CAST(128 + 2 * (doc_id % 50) AS DOUBLE) AS mean_byte
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_decode_jpeg(spark, sf_dir):
+    """Real baseline-JPEG decode (functions/jpegcodec.py: Huffman entropy
+    decode, dequant, exact IDCT, YCbCr→RGB). Payloads are uniform-gray
+    images whose level is a multiple of 2 above 128 — the DC coefficient
+    quantizes EXACTLY (8·Δ/16 integral), so the lossy codec reproduces
+    the input bit-for-bit and the oracle states the mean in closed form."""
+    docs = load_wide(spark, sf_dir, "documents").select("doc_id")
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from glaredb_spark.functions.jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(
+                    np.full(
+                        (_JPG_H, _JPG_W, 3),
+                        128 + 2 * (int(d) % 50),
+                        dtype=np.uint8,
+                    )
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(_gen, gen_schema)
+    return (
+        decode_image(media)
+        .select("doc_id", "width", "height", "mean_byte")
+        .orderBy("doc_id")
+    )

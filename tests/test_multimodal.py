@@ -65,8 +65,8 @@ def test_codec_rejects_garbage():
     # malformed file, not an unsupported format
     with pytest.raises(ValueError, match="IHDR"):
         sniff_decode(b"\x89PNG\r\n\x1a\n")
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        sniff_decode(b"\xff\xd8\xff\xe0jfif")
+    with pytest.raises(NotImplementedError, match="no pure-python decoder"):
+        sniff_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(ValueError, match="truncated"):
         from glaredb_spark.functions.imagecodec import encode_bmp
 
@@ -88,12 +88,12 @@ def test_real_decode_pipeline(spark, bmp_media):
 def test_real_decode_unknown_format_raises(spark):
     from glaredb_spark.operators.multimodal import decode_image
 
-    jpg = spark.createDataFrame(
-        [(0, bytearray(b"\xff\xd8\xff\xe0jfifxxxx"))],
+    webp = spark.createDataFrame(
+        [(0, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 xxxx"))],
         "doc_id long, payload binary",
     )
     with pytest.raises(Exception, match="no pure-python decoder"):
-        decode_image(jpg).collect()
+        decode_image(webp).collect()
 
 
 def test_resize_real(spark, bmp_media):
@@ -291,3 +291,27 @@ def test_gif_codec_roundtrip():
     assert np.array_equal(decode_gif(encode_gif(big)), big)
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"BM123456")
+
+
+def test_jpeg_codec_bounds():
+    """Baseline JPEG: exact on uniform blocks, bounded error on smooth
+    gradients (lossy codec contract)."""
+    import numpy as np
+
+    from glaredb_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 24, 3), 128, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+    yy, xx = np.mgrid[0:32, 0:48]
+    grad = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(grad))
+    err = np.abs(dec.astype(int) - grad.astype(int))
+    assert err.mean() < 4 and err.max() < 40
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"GIF89a..")
+    # sniff path picks it up
+    from glaredb_spark.functions.imagecodec import sniff_decode
+
+    assert np.array_equal(sniff_decode(encode_jpeg(img)), img)
