@@ -553,6 +553,54 @@ def rewrite_int_date(sql: str, spark) -> str:
     return _sub_masked(sql, _IDENT_DATE_RE, _repl)
 
 
+# --- random() CTE inlining ---------------------------------------------------
+
+# the reference inlines CTEs at each reference site, so a CTE producing
+# random() yields DIFFERENT draws per reference (documented contract,
+# slt/standard/functions/scalar/random.slt). Spark evaluates rand() with
+# one seed per expression instance, and CTE inlining duplicates the SAME
+# instance — re-seed each inline site explicitly.
+_WITH_CTE_RE = re.compile(r"^\s*WITH\s+(\w+)\s+AS\s*\(", re.IGNORECASE)
+_RANDOM_CALL_RE = re.compile(r"\brandom\s*\(\s*\)", re.IGNORECASE)
+
+
+def inline_random_ctes(sql: str) -> str:
+    m = _WITH_CTE_RE.match(sql)
+    if not m:
+        return sql
+    open_pos = sql.index("(", m.end() - 1)
+    close = _match_paren(sql, open_pos)
+    if close < 0:
+        return sql
+    name, body = m.group(1), sql[open_pos + 1 : close]
+    tail = sql[close + 1 :]
+    if not _RANDOM_CALL_RE.search(body):
+        return sql
+    refs = [
+        t
+        for t in re.finditer(rf"\b{re.escape(name)}\b", tail, re.IGNORECASE)
+        if not _in_spans(t.start(), _find_literal_spans(tail))
+    ]
+    if len(refs) < 2:
+        return sql
+    import os as _os
+
+    def _seeded_body() -> str:
+        return _RANDOM_CALL_RE.sub(
+            lambda _:
+            f"rand({int.from_bytes(_os.urandom(4), 'big') & 0x7FFFFFFF})",
+            body,
+        )
+
+    out, last = [], 0
+    for t in refs:
+        out.append(tail[last : t.start()])
+        out.append(f"({_seeded_body()})")
+        last = t.end()
+    out.append(tail[last:])
+    return "".join(out).lstrip()
+
+
 # --- entry -------------------------------------------------------------------
 
 
@@ -573,6 +621,19 @@ def rewrite_misc(sql: str, spark=None) -> str:
         sql = rewrite_int_date(sql, spark)
     if "cast" in low or "::" in sql:
         sql = rewrite_cast_naming(sql)
+    materialized = False
+    if "materialized" in low:
+        # MATERIALIZED CTE hint (reference cte/materialized_cte.slt):
+        # evaluate once — Spark's per-instance rand() seed already gives
+        # that, so just strip the hint Spark can't parse and skip the
+        # random()-inlining below
+        stripped = re.sub(
+            r"\bAS\s+MATERIALIZED\s*\(", "AS (", sql, flags=re.IGNORECASE
+        )
+        materialized = stripped != sql
+        sql = stripped
+    if "random" in low and "with" in low and not materialized:
+        sql = inline_random_ctes(sql)
     if re.search(r"\b(int1|int2|int4|int8|float4|float8|float2|blob|half)\b", low):
         for pat, rep in _TYPE_ALIASES:
             sql = _sub_masked(sql, pat, rep)

@@ -75,7 +75,8 @@ _CREATE_SCHEMA_RE = re.compile(
     re.IGNORECASE,
 )
 _DROP_SCHEMA_RE = re.compile(
-    r"^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*(CASCADE)?\s*;?\s*$",
+    r"^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*"
+    r"(CASCADE|RESTRICT)?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -233,7 +234,9 @@ class GlareSession:
             from glaredb_spark import catalog as _cat
 
             _cat.drop_schema(
-                self.spark, drop_m.group(1), cascade=bool(drop_m.group(2))
+                self.spark,
+                drop_m.group(1),
+                cascade=(drop_m.group(2) or "").upper() == "CASCADE",
             )
             return self.spark.range(1).select(
                 F.lit(f"dropped schema {drop_m.group(1)}").alias("status")

@@ -675,7 +675,9 @@ def _strip_trailing_commas(sql: str) -> str:
 
 def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
     sql = _TEMP_TABLE_RE.sub("CREATE TABLE", sql)
-    sql = _MATERIALIZED_RE.sub("AS", sql)
+    # AS MATERIALIZED survives to the misc binder: it must suppress
+    # random()-CTE re-seeding (materialized = evaluate once) before the
+    # hint is stripped
     sql = _EXPLAIN_FMT_RE.sub("EXPLAIN", sql)
     sql = _rewrite_pg_operators(sql)
     sql = _strip_trailing_commas(sql)

@@ -157,3 +157,31 @@ def test_cast_naming_leaves_aliased_and_literals():
     sql = "SELECT CAST(a AS INT) AS x, '2'::INT FROM t"
     out = rewrite_cast_naming(sql)
     assert " AS x" in out and "'2'::INT AS" not in out
+
+
+def test_inline_random_ctes_reseeds_each_site():
+    from glaredb_spark.functions.misc_binder import inline_random_ctes
+
+    out = inline_random_ctes(
+        "with rand_cte as (select random()) select a == b "
+        "from rand_cte t1(a), rand_cte t2(b)"
+    )
+    assert "with" not in out.lower()
+    import re
+
+    seeds = re.findall(r"rand\((\d+)\)", out)
+    assert len(seeds) == 2 and seeds[0] != seeds[1]
+
+
+def test_inline_random_ctes_leaves_single_ref():
+    from glaredb_spark.functions.misc_binder import inline_random_ctes
+
+    sql = "with c as (select random()) select * from c"
+    assert inline_random_ctes(sql) == sql
+
+
+def test_inline_random_ctes_leaves_deterministic_cte():
+    from glaredb_spark.functions.misc_binder import inline_random_ctes
+
+    sql = "with c as (select 1) select * from c, c d"
+    assert inline_random_ctes(sql) == sql
