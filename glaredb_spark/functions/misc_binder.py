@@ -553,6 +553,52 @@ def rewrite_int_date(sql: str, spark) -> str:
     return _sub_masked(sql, _IDENT_DATE_RE, _repl)
 
 
+# --- ordered array comparisons ----------------------------------------------
+
+# the reference orders NULL list elements greatest
+# (list_comparisons.slt: [NULL,4] > [4] is true); Spark's elementwise
+# comparison yields NULL. Wrapping elements as (is_null, value) structs
+# reproduces the NULL-greatest total order; only ordered comparisons of
+# array(...) operands rewrite (equality already agrees).
+_ARRAY_CMP_RE = re.compile(r"\barray\s*\(", re.IGNORECASE)
+_CMP_OP_RE = re.compile(r"\s*(<=|>=|<|>)\s*")
+
+
+def _wrap_array(expr: str) -> str:
+    return (
+        f"transform({expr}, __e -> struct(__e IS NULL AS __n, __e AS __v))"
+    )
+
+
+def rewrite_array_comparisons(sql: str) -> str:
+    while True:
+        spans = _find_literal_spans(sql)
+        target = None
+        for m in _ARRAY_CMP_RE.finditer(sql):
+            if _in_spans(m.start(), spans):
+                continue
+            c1 = _match_paren(sql, m.end() - 1)
+            if c1 < 0:
+                continue
+            op = _CMP_OP_RE.match(sql, c1 + 1)
+            if not op:
+                continue
+            m2 = _ARRAY_CMP_RE.match(sql, op.end())
+            if not m2:
+                continue
+            c2 = _match_paren(sql, m2.end() - 1)
+            if c2 < 0:
+                continue
+            target = (m.start(), c1, op.group(1), m2.start(), c2)
+            break
+        if target is None:
+            return sql
+        s1, c1, op, s2, c2 = target
+        left = _wrap_array(sql[s1 : c1 + 1])
+        right = _wrap_array(sql[s2 : c2 + 1])
+        sql = sql[:s1] + f"({left} {op} {right})" + sql[c2 + 1 :]
+
+
 # --- random() CTE inlining ---------------------------------------------------
 
 # the reference inlines CTEs at each reference site, so a CTE producing
@@ -621,6 +667,8 @@ def rewrite_misc(sql: str, spark=None) -> str:
         sql = rewrite_int_date(sql, spark)
     if "cast" in low or "::" in sql:
         sql = rewrite_cast_naming(sql)
+    if "array" in low and re.search(r"\)\s*(<=|>=|<|>)", sql):
+        sql = rewrite_array_comparisons(sql)
     materialized = False
     if "materialized" in low:
         # MATERIALIZED CTE hint (reference cte/materialized_cte.slt):

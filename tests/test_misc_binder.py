@@ -185,3 +185,13 @@ def test_inline_random_ctes_leaves_deterministic_cte():
 
     sql = "with c as (select 1) select * from c, c d"
     assert inline_random_ctes(sql) == sql
+
+
+def test_array_comparison_null_greatest_rewrite():
+    from glaredb_spark.functions.misc_binder import rewrite_array_comparisons
+
+    out = rewrite_array_comparisons("SELECT array(NULL, 4) > array(4)")
+    assert out.count("transform(") == 2 and "__e IS NULL" in out
+    # equality untouched
+    sql = "SELECT array(1) = array(1)"
+    assert rewrite_array_comparisons(sql) == sql
