@@ -290,3 +290,73 @@ def dealias(sql: str) -> str:
     return (
         sql[: head.end()] + ", ".join(new_items) + sql[list_end:]
     )
+
+
+_LATERAL_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<outer>[A-Za-z_]\w*)"
+    r"\s*,\s*LATERAL\s*\(\s*SELECT\s+(?P<inner_sel>.+?)"
+    r"(?:\s+FROM\s+(?P<inner_from>[^)]*?))?\s*\)\s*"
+    r"(?P<tail>ORDER\s+BY.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_FN_RE = re.compile(
+    r"\b(sum|min|max|avg|count|bool_and|bool_or)\s*\(", re.IGNORECASE
+)
+
+
+def delateralize_aggregate(sql: str, spark=None) -> str:
+    """Comma-joined LATERAL subquery whose select list aggregates over
+    outer+inner references — the reference evaluates the aggregate per
+    outer row (join/lateral_join_aggregate.slt: ``FROM t1, LATERAL
+    (SELECT sum(t1.i * t2.i) FROM t1 AS t2)``); Spark's decorrelator
+    rejects aggregates mixing outer and local columns. Manual
+    decorrelation: cross-join the inner relation and GROUP BY a per-row
+    id of the outer table (a FROM-less lateral aggregates over one
+    implicit row). Retry-only candidate, like lateralize/chainize."""
+    m = _LATERAL_AGG_RE.match(sql.strip().rstrip(";"))
+    if not m or spark is None:
+        return sql
+    if not _AGG_FN_RE.search(m.group("inner_sel")):
+        return sql
+    outer = m.group("outer")
+    try:
+        outer_cols = spark.table(outer).columns
+    except Exception:  # noqa: BLE001
+        return sql
+    inner_from = (m.group("inner_from") or "").strip() or "(SELECT 1)"
+    inner_sel = m.group("inner_sel").strip()
+    # the reference resolves unqualified inner refs to the lateral's own
+    # FROM first — qualify them so the flattened cross join stays
+    # unambiguous (`sum(t1.i * i)` → `sum(t1.i * t2.i)`)
+    fm = re.match(
+        r"^([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?$",
+        inner_from,
+        re.IGNORECASE,
+    )
+    if fm:
+        itable, ialias = fm.group(1), fm.group(2) or fm.group(1)
+        try:
+            icols = {c.lower() for c in spark.table(itable).columns}
+        except Exception:  # noqa: BLE001
+            icols = set()
+        if icols:
+            inner_sel = re.sub(
+                r"(?<![\w.`])([A-Za-z_]\w*)(?![\w(`])",
+                lambda t: f"{ialias}.{t.group(1)}"
+                if t.group(1).lower() in icols
+                else t.group(1),
+                inner_sel,
+            )
+    sel = m.group("sel").strip()
+    collist = ", ".join(f"{outer}.`{c}`" for c in outer_cols)
+    if sel == "*":
+        sel = f"{collist}, {inner_sel}"
+    else:
+        return sql  # only the star form appears in the reference surface
+    tail = (m.group("tail") or "").strip()
+    return (
+        f"SELECT {sel} FROM "
+        f"(SELECT *, monotonically_increasing_id() AS __rid FROM {outer}) "
+        f"AS {outer} CROSS JOIN {inner_from} "
+        f"GROUP BY {outer}.__rid, {collist} {tail}"
+    )

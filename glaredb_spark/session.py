@@ -333,6 +333,7 @@ class GlareSession:
             from glaredb_spark.functions.lateral_binder import (
                 chainize,
                 dealias,
+                delateralize_aggregate,
                 lateralize,
             )
 
@@ -343,6 +344,7 @@ class GlareSession:
                 chainize(final_sql),
                 chainize(lateralize(final_sql)),
                 dealias(final_sql),
+                delateralize_aggregate(final_sql, self.spark),
             ):
                 if cand in seen:
                     continue
@@ -465,6 +467,7 @@ class GlareSession:
                 from glaredb_spark.functions.lateral_binder import (
                     chainize,
                     dealias,
+                    delateralize_aggregate,
                     lateralize,
                 )
 
@@ -475,6 +478,7 @@ class GlareSession:
                     chainize(final_sql),
                     chainize(lateralize(final_sql)),
                     dealias(final_sql),
+                    delateralize_aggregate(final_sql, self.spark),
                 ):
                     if cand in seen:
                         continue

@@ -98,3 +98,34 @@ def test_dealias_untouched_when_unique():
 
     sql = "SELECT 1 AS a, a + 2"
     assert dealias(sql) == sql
+
+
+def test_delateralize_aggregate_flattens(spark):
+    from glaredb_spark.functions.lateral_binder import delateralize_aggregate
+
+    spark.sql("DROP TABLE IF EXISTS _dla_t")
+    spark.createDataFrame([(4,), (5,)], "i int").createOrReplaceTempView(
+        "_dla_t"
+    )
+    out = delateralize_aggregate(
+        "SELECT * FROM _dla_t, LATERAL (SELECT sum(_dla_t.i * i) "
+        "FROM _dla_t AS t2) ORDER BY 1",
+        spark,
+    )
+    assert "CROSS JOIN" in out and "GROUP BY" in out
+    assert "t2.i" in out  # unqualified inner ref qualified
+    rows = [tuple(r) for r in spark.sql(out).collect()]
+    assert rows == [(4, 36), (5, 45)]
+
+
+def test_delateralize_aggregate_no_from(spark):
+    from glaredb_spark.functions.lateral_binder import delateralize_aggregate
+
+    spark.createDataFrame([(4,), (5,)], "i int").createOrReplaceTempView(
+        "_dla_t2"
+    )
+    out = delateralize_aggregate(
+        "SELECT * FROM _dla_t2, LATERAL (SELECT sum(i)) ORDER BY i", spark
+    )
+    rows = [tuple(r) for r in spark.sql(out).collect()]
+    assert rows == [(4, 4), (5, 5)]
