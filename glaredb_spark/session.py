@@ -196,6 +196,20 @@ class GlareSession:
         if "values" in query.lower():
             query = name_unaliased_values(query, self.spark)
         query = propagate_scalar_subquery_aliases(query, self.spark)
+        from glaredb_spark.functions.ident_binder import (
+            create_has_case_dup_columns,
+            resolve_case_idents,
+        )
+
+        if self.spark.conf.get("spark.sql.caseSensitive", "false") == "true":
+            # reference ident model while storage is case-sensitive:
+            # unquoted → case-insensitive unique match, collisions error
+            query = resolve_case_idents(query, self.spark)
+        elif create_has_case_dup_columns(query):
+            # declared columns differ only by case — the reference stores
+            # them side by side; flip the session case-sensitive so Spark
+            # accepts the CREATE (ident_binder covers resolution after)
+            self.spark.conf.set("spark.sql.caseSensitive", "true")
         if _INLINE_DESC_RE.search(query):
             query = self._rewrite_inline_describe(query)
         desc = _DESCRIBE_RE.match(query)

@@ -959,6 +959,10 @@ def run_slt_file(sess, path: str) -> SltResult:
     from glaredb_spark import catalog as _cat
 
     _cat.reset_schemas(sess.spark)
+    # a prior file's case-colliding CREATE flips the session into the
+    # reference's case-sensitive storage mode (session.py); fresh file,
+    # fresh default
+    sess.spark.conf.set("spark.sql.caseSensitive", "false")
     pre_names = set()
     for rec in records:
         for m in _CREATE_NAME_RE.finditer(rec.sql):
@@ -1118,6 +1122,9 @@ def run_slt_file(sess, path: str) -> SltResult:
                 else:
                     res.ok += 1
     finally:
+        # don't leak case-sensitive storage mode into later tests sharing
+        # the session (flipped by a case-colliding CREATE, session.py)
+        sess.spark.conf.set("spark.sql.caseSensitive", "false")
         for t in reversed(created):
             for stmt in (f"DROP TABLE IF EXISTS {t}", f"DROP VIEW IF EXISTS {t}"):
                 try:
