@@ -48,9 +48,12 @@ GATE_PRIORITY: list[str] = [
     "dedup_components",
     "text_contamination_13gram",
     # the TPC-H flagship suite, rotated back after two rounds away
+    # (q12 yields its slot to the new chunking module — its join +
+    # conditional-agg shape is covered by q03/q14 and it stays in the
+    # local strict gate every round)
     "tpch_q02", "tpch_q03", "tpch_q04", "tpch_q05", "tpch_q06",
     "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
     "tpch_q22",
     # oldest-driver-row fills (r1/r2 last sampled), one+ per module
@@ -80,6 +83,9 @@ GATE_PRIORITY: list[str] = [
     # stay in the local strict gate every round
     "text_pii_redact",
     "dsir_importance",
+    # r4-new chunking module (RAG chunks + epoch shuffle), first driver
+    # row; slot freed by tpch_q12 above
+    "text_chunk_overlap",
 ]
 
 
@@ -128,4 +134,5 @@ def load_all() -> None:
     import glaredb_spark.operators.contamination  # noqa: F401
     import glaredb_spark.operators.semantic  # noqa: F401
     import glaredb_spark.operators.scrub  # noqa: F401
+    import glaredb_spark.operators.chunking  # noqa: F401
     import glaredb_spark.operators.selection  # noqa: F401
