@@ -1,0 +1,171 @@
+"""Distributed BPE merge training (byte-pair encoding vocabulary learning).
+
+Training-data pipeline family (BASELINE.json north star): the tokenizer
+side of an LLM data pipeline. ``text_bpe_token_count`` (operators/text.py)
+*applies* a tokenizer heuristic; this module *learns* merge rules from the
+corpus — the Sennrich et al. 2016 algorithm (arXiv:1508.07909):
+
+1. aggregate the corpus to a (word, count) table — after this step the
+   working set is vocabulary-sized, never corpus-sized again;
+2. repeat k times: count adjacent symbol pairs weighted by word count,
+   take the most frequent pair (ties → lexicographic, deterministic),
+   merge it greedily left-to-right inside every word's symbol sequence.
+
+Scale design (100 TB corpus):
+- The corpus is touched ONCE (split+explode → groupBy word). Every
+  iteration then runs over the distinct-word table — bounded by |vocab|
+  (≈ millions), independent of corpus bytes.
+- Per iteration: one map-side pair explosion + groupBy(pair) partial-agg
+  shuffle of ≤ |vocab|·avg_word_len rows of 3 scalars, then a 1-row
+  driver fetch of the argmax (the merge rule IS driver state — same
+  pattern as the k-means centroid fetch, operators/semantic.py), then a
+  map-only greedy re-merge via a JVM higher-order fold (no Python UDF).
+- The symbol-sequence table is re-persisted per iteration and the
+  previous one unpersisted: lineage stays O(1) per round instead of
+  accumulating k nested transforms.
+
+Determinism: counts are exact integers; argmax ties break on
+(left, right) ascending; the greedy fold is left-to-right — identical to
+the reference Python implementation in tests/test_bpe.py.
+
+Non-SQL-expressible (iterative argmax → rewrite loop), so the registered
+query is a rows-only driver check; correctness is pytest-gated against a
+pure-Python BPE on the same word counts (tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from glaredb_spark.registry import register_query
+from glaredb_spark.sources.files import load_wide
+
+N_MERGES = 8
+
+
+def word_counts(docs: DataFrame) -> DataFrame:
+    """Corpus → (word, n) — the single corpus-sized pass."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _init_symbols(words: DataFrame) -> DataFrame:
+    """Each word becomes its character sequence plus an end-of-word
+    marker (the classic formulation: merges can't cross word ends, and
+    final merges ending in the marker represent whole-word tokens)."""
+    chars = F.filter(F.split("word", ""), lambda c: c != "")
+    return words.select(
+        "n", F.concat(chars, F.array(F.lit("</w>"))).alias("sym")
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency: map-side explode
+    of size-1 structs per word, partial-agg combine before the shuffle."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("sym") - 1),
+        lambda i: F.struct(
+            F.element_at("sym", i).alias("left"),
+            F.element_at("sym", i + 1).alias("right"),
+        ),
+    )
+    return (
+        syms.select(F.explode(pairs).alias("p"), "n")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _merge_in_sym(left: str, right: str):
+    """Greedy left-to-right merge of (left, right) → left||right inside
+    the ``sym`` array, as a pure-JVM aggregate fold (no Python UDF).
+
+    The accumulator carries (out, skip): when position i matched the
+    pair, position i+1 was already consumed."""
+    merged = left + right
+    n = F.size("sym")
+
+    def step(acc, i):
+        cur = F.element_at("sym", i)
+        nxt = F.element_at("sym", i + 1)
+        is_pair = (
+            (i < n) & (cur == F.lit(left)) & (nxt.eqNullSafe(F.lit(right)))
+        )
+        return (
+            F.when(
+                acc.skip,
+                F.struct(
+                    acc.out.alias("out"), F.lit(False).alias("skip")
+                ),
+            )
+            .when(
+                is_pair,
+                F.struct(
+                    F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc.out, F.array(cur)).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("skip"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), n), init, step, lambda acc: acc.out
+    )
+
+
+def train_bpe(
+    spark: SparkSession, docs: DataFrame, n_merges: int = N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules; returns
+    [(step, left, right, merged, pair_count), ...]."""
+    syms = _init_symbols(word_counts(docs)).persist()
+    syms.count()  # materialize before the loop re-derives from it
+    rules: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step_no in range(1, n_merges + 1):
+            best = (
+                _pair_counts(syms)
+                .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
+            rules.append((step_no, left, right, left + right, int(cnt)))
+            new_syms = syms.select(
+                "n", _merge_in_sym(left, right).alias("sym")
+            ).persist()
+            new_syms.count()
+            syms.unpersist()
+            syms = new_syms
+    finally:
+        syms.unpersist()
+    return rules
+
+
+@register_query("bpe_train_merges")  # iterative: rows-only driver check
+def bpe_train_merges(spark, sf_dir):
+    """The learned merge table as a DataFrame (tiny by construction:
+    n_merges rows). Oracle-exempt — the argmax→rewrite loop is not one
+    SQL statement; exact-match correctness vs a pure-Python reference
+    implementation is pytest-gated (tests/test_bpe.py)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    rules = train_bpe(spark, docs)
+    return spark.createDataFrame(
+        rules, "step int, left string, right string, merged string, pair_count bigint"
+    ).orderBy("step")

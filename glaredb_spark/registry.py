@@ -58,7 +58,6 @@ GATE_PRIORITY: list[str] = [
     "tpch_q22",
     # oldest-driver-row fills (r1/r2 last sampled), one+ per module
     "rel_subqueries",
-    "rel_limit_offset",
     "text_token_stats",
     "multimodal_decode_bmp",
     "cb_regexp_domain_agg",
@@ -86,6 +85,10 @@ GATE_PRIORITY: list[str] = [
     # r4-new chunking module (RAG chunks + epoch shuffle), first driver
     # row; slot freed by tpch_q12 above
     "text_chunk_overlap",
+    # r4-new BPE merge trainer (rows-only: iterative argmax→rewrite);
+    # slot freed by rel_limit_offset (relational2 keeps rel_subqueries;
+    # still in the local strict gate)
+    "bpe_train_merges",
 ]
 
 
@@ -135,4 +138,5 @@ def load_all() -> None:
     import glaredb_spark.operators.semantic  # noqa: F401
     import glaredb_spark.operators.scrub  # noqa: F401
     import glaredb_spark.operators.chunking  # noqa: F401
+    import glaredb_spark.operators.bpe  # noqa: F401
     import glaredb_spark.operators.selection  # noqa: F401
