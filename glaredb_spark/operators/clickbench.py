@@ -11,6 +11,8 @@ adapt its distinct stress shapes to the events/documents fixtures:
 - q29 shape      -> cb_sum_expr_battery    (many parallel sum expressions)
 - q30 shape      -> cb_multikey_group      (two-key group, mixed aggs)
 - q40 shape      -> cb_filtered_daily_topk (selective filter + LIMIT/OFFSET)
+- q26 shape      -> cb_quantile_battery     (per-group exact percentiles)
+- q05/q35 shape  -> cb_hourly_uniques       (time-bucketed count-distinct)
 
 Scale notes: every query is a single scan -> (optional filter, all pushed
 to parquet) -> one partial+final aggregation -> top-k
@@ -212,4 +214,63 @@ def cb_filtered_daily_topk(spark, sf_dir):
         .orderBy(F.col("pv").desc(), "user_id", "day")
         .offset(10)
         .limit(10)
+    )
+
+
+@register_query(
+    "cb_quantile_battery",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS c
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def cb_quantile_battery(spark, sf_dir):
+    """ClickBench q26-style per-group percentiles — EXACT interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    verified bit-equal at 6 decimals). Exact percentile collects each
+    group's values; the 100 TB path is ``approx_percentile`` (t-digest,
+    mergeable sketches — covered rows-only in fn_native_approx); this
+    battery is the oracle-checkable small-group form (5 groups here)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register_query(
+    "cb_hourly_uniques",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(DISTINCT user_id) AS uniques,
+       COUNT(*) AS c,
+       CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY hour ORDER BY uniques DESC, hour LIMIT 24
+""",
+)
+def cb_hourly_uniques(spark, sf_dir):
+    """ClickBench q05/q35-style time-bucketed uniques: hourly distinct
+    users + traffic. Two-level distinct aggregate after one scan; the
+    decimal sum keeps partition-order invariance (exact associative)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.countDistinct("user_id").alias("uniques"),
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value").cast(D)).cast("double").alias("sum_value"),
+        )
+        .orderBy(F.col("uniques").desc(), "hour")
+        .limit(24)
     )
