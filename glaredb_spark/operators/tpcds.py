@@ -11,6 +11,8 @@ fixture star schema:
 - q10/q35    -> tpcds_multi_exists     (customers active in BOTH periods)
 - q38 shape  -> tpcds_tri_channel_intersect (INTERSECT of channel sets)
 - q53/q63    -> tpcds_ratio_to_avg     (month revenue vs group average)
+- q74 shape  -> tpcds_yoy_growth       (YoY growth: window lag, no self-join)
+- q78/q97    -> tpcds_channel_fullouter (FULL OUTER join of channel aggs)
 
 Scale notes: rollup/window shapes shuffle once on their grouping keys with
 partial aggregation; the moving average is one window pass after one agg
@@ -361,4 +363,95 @@ def tpcds_ratio_to_avg(spark, sf_dir):
         monthly.withColumn("ratio", ratio)
         .filter(F.col("ratio") > 1.05)
         .orderBy("priority", "month")
+    )
+
+
+@register_query(
+    "tpcds_yoy_growth",
+    oracle=f"""
+WITH yearly AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_part('year', o_orderdate) AS INT) AS yr,
+         CAST(SUM({O_PRICE}) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1, 2)
+SELECT custkey, yr, spend,
+       lag(spend) OVER (PARTITION BY custkey ORDER BY yr) AS prev_spend,
+       round(spend / lag(spend) OVER (PARTITION BY custkey ORDER BY yr), 6)
+         AS growth
+FROM yearly
+QUALIFY prev_spend IS NOT NULL AND growth > 1.5
+ORDER BY growth DESC, custkey, yr LIMIT 25
+""",
+)
+def tpcds_yoy_growth(spark, sf_dir):
+    """q74 shape: year-over-year per-customer spend growth. TPC-DS writes
+    this as a self-join of the yearly aggregate with itself; the
+    Spark-first form is one agg shuffle + one window ``lag`` over
+    (custkey, year) — same result, half the scans, no join. Exact
+    decimal sums; the ratio is one double division rounded to 6."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    yearly = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("spend"))
+    w = Window.partitionBy("custkey").orderBy("yr")
+    return (
+        yearly.withColumn("prev_spend", F.lag("spend").over(w))
+        .withColumn("growth", F.round(F.col("spend") / F.col("prev_spend"), 6))
+        .filter(F.col("prev_spend").isNotNull() & (F.col("growth") > 1.5))
+        .orderBy(F.col("growth").desc(), "custkey", "yr")
+        .limit(25)
+    )
+
+
+@register_query(
+    "tpcds_channel_fullouter",
+    oracle="""
+WITH p AS (
+  SELECT user_id, COUNT(*) AS n_purchases,
+         CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+ v AS (
+  SELECT user_id, COUNT(*) AS n_views
+  FROM events WHERE event_type = 'view' GROUP BY user_id)
+SELECT coalesce(p.user_id, v.user_id) AS user_id,
+       coalesce(n_purchases, 0) AS n_purchases,
+       coalesce(purchase_value, 0.0) AS purchase_value,
+       coalesce(n_views, 0) AS n_views
+FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
+WHERE coalesce(n_purchases, 0) = 0 OR coalesce(n_views, 0) = 0
+ORDER BY user_id
+""",
+)
+def tpcds_channel_fullouter(spark, sf_dir):
+    """q78/q97 shape: FULL OUTER join of two per-channel aggregates,
+    keeping single-channel entities (buyers who never browsed and
+    browsers who never bought). Both aggregates shuffle on user_id, so
+    the join itself reuses that partitioning (no third exchange under
+    AQE); at 100 TB the channel split is a partition-pruned predicate
+    over one scan."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast(D)).cast("double").alias("purchase_value"),
+        )
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    joined = p.join(v, "user_id", "full_outer")
+    return (
+        joined.select(
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+            F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        )
+        .filter((F.col("n_purchases") == 0) | (F.col("n_views") == 0))
+        .orderBy("user_id")
     )
