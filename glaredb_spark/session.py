@@ -61,6 +61,10 @@ _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
 # statement.rs:24-62); output formatted by catalog.describe with reference
 # type names. Also usable inside FROM: SELECT * FROM (DESCRIBE t)
 # (describe_as_subquery.slt).
+_VERIFY_PLAN_RE = re.compile(
+    r"^\s*SET\s+verify_optimized_plan\s+TO\s+(true|false)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL)
 _INLINE_DESC_RE = re.compile(r"\(\s*DESCRIBE\b", re.IGNORECASE)
 _IDENT_ONLY_RE = re.compile(r"^(`[^`]+`|[A-Za-z_][\w.]*)$")
@@ -149,9 +153,76 @@ class GlareSession:
     and the full DataFrame API (via ``.spark``), which the reference lacks.
     """
 
+    # Catalyst batches Spark allows excluding — the unoptimized side of
+    # the reference's verification mode (engine/session.rs:217-252 plans
+    # twice: optimized vs unoptimized-with-hash-joins-disabled). Spark
+    # can't run with ZERO optimizations (Analyzer/ConstantFolding are
+    # non-excludable) nor without hash joins entirely; excluding the
+    # pushdown/pruning/reorder batches + AQE + CBO is the honest maximum.
+    _VERIFY_EXCLUDED_RULES = ",".join(
+        f"org.apache.spark.sql.catalyst.optimizer.{r}"
+        for r in (
+            "PushDownPredicates",
+            "ColumnPruning",
+            "CollapseProject",
+            "PushDownLeftSemiAntiJoin",
+            "ReorderJoin",
+            "OptimizeIn",
+            "LikeSimplification",
+            "BooleanSimplification",
+            "RemoveRedundantAggregates",
+            "CombineFilters",
+        )
+    )
+    _VERIFY_ROW_CAP = 200_000  # don't double-collect huge results
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._registered_dir: str | None = None
+        self.verify_optimized_plan = False
+
+    def _verify_against_unoptimized(self, query: str, df: DataFrame) -> None:
+        """Reference verification mode (SURVEY §3.4; SET
+        verify_optimized_plan TO true, engine/session.rs:492-543): re-plan
+        the same SQL with the excludable optimizer batches, AQE, and CBO
+        disabled, execute both plans, and raise on any row-multiset
+        difference. Nondeterministic queries (random()) are exempt, as is
+        anything beyond the row cap."""
+        import re as _re
+
+        if _re.search(r"\brandom\s*\(|\brand\s*\(", query, _re.IGNORECASE):
+            return
+        rows = df.limit(self._VERIFY_ROW_CAP + 1).collect()
+        if len(rows) > self._VERIFY_ROW_CAP:
+            return
+        conf = self.spark.conf
+        saved = {
+            k: conf.get(k, None)
+            for k in (
+                "spark.sql.optimizer.excludedRules",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.cbo.enabled",
+            )
+        }
+        try:
+            conf.set(
+                "spark.sql.optimizer.excludedRules", self._VERIFY_EXCLUDED_RULES
+            )
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.cbo.enabled", "false")
+            plain = self.spark.sql(query).limit(self._VERIFY_ROW_CAP + 1).collect()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+        canon = lambda rs: sorted(repr(tuple(r)) for r in rs)  # noqa: E731
+        if canon(rows) != canon(plain):
+            raise AssertionError(
+                "verify_optimized_plan: optimized and unoptimized plans "
+                f"disagree ({len(rows)} vs {len(plain)} rows) for: {query[:200]}"
+            )
 
     # -- query entry points ------------------------------------------------
     def sql(self, query: str) -> DataFrame:
@@ -170,6 +241,19 @@ class GlareSession:
         ``* EXCEPT``, and ``* REPLACE (expr AS col)`` / ``COLUMNS('re')``
         expand against the analyzed probe schema (select_list binder +
         COLUMNS expression of the reference)."""
+        vm = _VERIFY_PLAN_RE.match(query)
+        if vm:
+            # reference verification mode toggle (SURVEY §3.4,
+            # engine/session.rs:217-252): subsequent queries run twice —
+            # optimized and de-optimized — and diff
+            from pyspark.sql import functions as F
+
+            self.verify_optimized_plan = vm.group(1).lower() == "true"
+            return self.spark.range(1).select(
+                F.lit(
+                    f"verify_optimized_plan = {self.verify_optimized_plan}"
+                ).alias("status")
+            )
         from glaredb_spark.functions.arith_binder import rewrite_arith
         from glaredb_spark.functions.misc_binder import rewrite_misc
         from glaredb_spark.functions.unnest_binder import rewrite_unnest
@@ -336,6 +420,7 @@ class GlareSession:
 
         if _pg.attached():
             final_sql = _pg.resolve_attached_tables(self.spark, final_sql)
+        executed_sql = final_sql
         try:
             df = self.spark.sql(final_sql)
         except Exception as first_err:  # noqa: BLE001
@@ -365,11 +450,18 @@ class GlareSession:
                 seen.add(cand)
                 try:
                     df = self.spark.sql(cand)
+                    executed_sql = cand
                     break
                 except Exception:  # noqa: BLE001
                     continue
             if df is None:
                 raise first_err from None
+        if (
+            self.verify_optimized_plan
+            and df.columns
+            and re.match(r"\s*(SELECT|WITH|VALUES|TABLE)\b", executed_sql, re.IGNORECASE)
+        ):
+            self._verify_against_unoptimized(executed_sql, df)
         if not is_profile_query:
             # profile table functions (profile.rs); introspection queries
             # are not recorded so profile() keeps pointing at user queries

@@ -997,6 +997,17 @@ def run_slt_file(sess, path: str) -> SltResult:
                 break
             sql = rec.sql.strip().rstrip(";")
             if not sql or _SET_RE.match(sql) or _VAR_RE.match(sql):
+                # opt-in: honor the reference's verification-mode toggle
+                # (SET verify_optimized_plan TO true — every subsequent
+                # query runs optimized AND de-optimized and diffs, see
+                # session.py). Off by default: it doubles query work
+                # across the whole suite.
+                if os.environ.get("GLAREDB_SLT_VERIFY_PLANS") and re.match(
+                    r"^\s*SET\s+verify_optimized_plan\b", sql, re.IGNORECASE
+                ):
+                    sess.sql(sql)
+                    res.ok += 1
+                    continue
                 res.skipped += 1
                 continue
             if "__AWS_" in sql or "__GCP_" in sql or "__AZURE_" in sql:
