@@ -61,8 +61,16 @@ _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
 # statement.rs:24-62); output formatted by catalog.describe with reference
 # type names. Also usable inside FROM: SELECT * FROM (DESCRIBE t)
 # (describe_as_subquery.slt).
-_VERIFY_PLAN_RE = re.compile(
-    r"^\s*SET\s+verify_optimized_plan\s+TO\s+(true|false)\s*;?\s*$",
+_SET_VAR_RE = re.compile(
+    r"^\s*SET\s+([A-Za-z_]\w*)\s*(?:TO\s+|=\s*)(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RESET_VAR_RE = re.compile(
+    r"^\s*RESET\s+(ALL|[A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_VAR_RE = re.compile(
+    r"^\s*SHOW\s+(?!DATABASES\b|SCHEMAS\b|TABLES\b|VIEWS\b|FUNCTIONS\b|"
+    r"COLUMNS\b|CATALOGS\b)([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
 _DESCRIBE_RE = re.compile(r"^\s*DESCRIBE\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL)
@@ -179,7 +187,160 @@ class GlareSession:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._registered_dir: str | None = None
-        self.verify_optimized_plan = False
+        self.session_vars: dict[str, object] = {
+            n: d(spark) if callable(d) else d
+            for n, (d, _) in self._VAR_SPEC.items()
+        }
+
+    # -- session variables (reference config/session.rs:12-21; SLTs
+    # slt/standard/vars/*, parallelism/arbitrary_values.slt) ----------------
+    # name -> (default | default_fn(spark), parse_validate(raw) -> value).
+    # Unknown names error "Missing setting for 'x'" (session.rs:44).
+    @staticmethod
+    def _parse_bool(raw: str) -> bool:
+        r = raw.strip().strip("'\"").lower()
+        if r in ("true", "t", "1"):
+            return True
+        if r in ("false", "f", "0"):
+            return False
+        raise ValueError(f"Invalid boolean value: {raw}")
+
+    @staticmethod
+    def _parse_str(raw: str) -> str:
+        r = raw.strip()
+        if len(r) >= 2 and r[0] == r[-1] and r[0] in "'\"":
+            return r[1:-1]
+        return r
+
+    @staticmethod
+    def _parse_partitions(raw: str) -> int:
+        v = int(raw.strip().strip("'\""))
+        # MIN/MAX_PARTITION_COUNT, config/session.rs:160-176 (exact
+        # reference error text, slt/standard/vars/set_partitions.slt)
+        if v < 1:
+            raise ValueError("Partition count cannot be less than 1")
+        if v > 512:
+            raise ValueError("Partition count cannot be greater than 512")
+        return v
+
+    @staticmethod
+    def _parse_batch_size(raw: str) -> int:
+        v = int(raw.strip().strip("'\""))
+        # MIN/MAX_BATCH_SIZE, config/session.rs:202-228
+        if v < 1:
+            raise ValueError("Batch size cannot be less than 1")
+        if v > 8192:
+            raise ValueError("Batch size cannot be greater than 8192")
+        return v
+
+    _VAR_SPEC: dict = {
+        "enable_optimizer": (True, _parse_bool),
+        "application_name": ("", _parse_str),
+        "partitions": (
+            lambda spark: spark.sparkContext.defaultParallelism,
+            _parse_partitions,
+        ),
+        "batch_size": (2048, _parse_batch_size),  # DEFAULT_BATCH_SIZE
+        "verify_optimized_plan": (False, _parse_bool),
+        "enable_hash_joins": (True, _parse_bool),
+        "enable_function_chaining": (True, _parse_bool),
+        "per_partition_counts": (False, _parse_bool),
+    }
+
+    def reset_session_vars(self) -> None:
+        """Fresh-session variable state (dict only — Spark confs touched
+        by _apply_var are the caller's to save/restore, see slt.py)."""
+        self.session_vars = {
+            n: d(self.spark) if callable(d) else d
+            for n, (d, _) in self._VAR_SPEC.items()
+        }
+
+    @property
+    def verify_optimized_plan(self) -> bool:
+        return bool(self.session_vars["verify_optimized_plan"])
+
+    @verify_optimized_plan.setter
+    def verify_optimized_plan(self, v: bool) -> None:
+        self.session_vars["verify_optimized_plan"] = bool(v)
+
+    def _apply_var(self, name: str, value) -> None:
+        """Engine-level effect of a variable, where Spark has the knob:
+
+        - ``partitions`` → ``spark.sql.shuffle.partitions`` (the
+          reference's execution parallelism, session.rs:15)
+        - ``batch_size`` → Arrow transfer batch rows (closest analog of
+          the reference's rows-per-batch; Spark's internal columnar batch
+          size is not a session conf)
+        - ``enable_hash_joins`` off → prefer sort-merge joins
+        - ``enable_optimizer`` off → exclude the excludable Catalyst
+          batches (the de-optimized plan of verification mode)
+        ``application_name`` / ``enable_function_chaining`` (chaining is
+        always-on here) / ``per_partition_counts`` are stored only."""
+        conf = self.spark.conf
+        if name == "partitions":
+            conf.set("spark.sql.shuffle.partitions", str(value))
+        elif name == "batch_size":
+            conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(value)
+            )
+        elif name == "enable_hash_joins":
+            conf.set("spark.sql.join.preferSortMergeJoin", str(not value).lower())
+        elif name == "enable_optimizer":
+            if value:
+                conf.unset("spark.sql.optimizer.excludedRules")
+            else:
+                conf.set(
+                    "spark.sql.optimizer.excludedRules",
+                    self._VERIFY_EXCLUDED_RULES,
+                )
+
+    def _var_statement(self, query: str):
+        """Dispatch SET/RESET/SHOW of session variables; None if the
+        statement isn't one. Dotted names (spark.sql.*) fall through to
+        Spark SQL untouched."""
+        from pyspark.sql import functions as F
+
+        def status(msg: str) -> DataFrame:
+            return self.spark.range(1).select(F.lit(msg).alias("status"))
+
+        def fmt(v) -> str:
+            return str(v).lower() if isinstance(v, bool) else str(v)
+
+        m = _SET_VAR_RE.match(query)
+        if m and not re.match(
+            r"^\s*SET\s+(?:SESSION|TIME|spark)\b", query, re.IGNORECASE
+        ):
+            name = m.group(1).lower()
+            if name not in self._VAR_SPEC:
+                raise ValueError(f"Missing setting for '{name}'")
+            value = self._VAR_SPEC[name][1](m.group(2))
+            self.session_vars[name] = value
+            self._apply_var(name, value)
+            return status(f"{name} = {fmt(value)}")
+        m = _RESET_VAR_RE.match(query)
+        if m:
+            names = (
+                list(self._VAR_SPEC)
+                if m.group(1).upper() == "ALL"
+                else [m.group(1).lower()]
+            )
+            for name in names:
+                if name not in self._VAR_SPEC:
+                    raise ValueError(f"Missing setting for '{name}'")
+                d = self._VAR_SPEC[name][0]
+                value = d(self.spark) if callable(d) else d
+                self.session_vars[name] = value
+                self._apply_var(name, value)
+            return status(f"reset {m.group(1).lower()}")
+        m = _SHOW_VAR_RE.match(query)
+        if m:
+            name = m.group(1).lower()
+            if name not in self._VAR_SPEC:
+                raise ValueError(f"Missing setting for '{name}'")
+            return self.spark.range(1).select(
+                F.lit(fmt(self.session_vars[name])).alias(name)
+            )
+        return None
 
     def _verify_against_unoptimized(self, query: str, df: DataFrame) -> None:
         """Reference verification mode (SURVEY §3.4; SET
@@ -241,19 +402,9 @@ class GlareSession:
         ``* EXCEPT``, and ``* REPLACE (expr AS col)`` / ``COLUMNS('re')``
         expand against the analyzed probe schema (select_list binder +
         COLUMNS expression of the reference)."""
-        vm = _VERIFY_PLAN_RE.match(query)
-        if vm:
-            # reference verification mode toggle (SURVEY §3.4,
-            # engine/session.rs:217-252): subsequent queries run twice —
-            # optimized and de-optimized — and diff
-            from pyspark.sql import functions as F
-
-            self.verify_optimized_plan = vm.group(1).lower() == "true"
-            return self.spark.range(1).select(
-                F.lit(
-                    f"verify_optimized_plan = {self.verify_optimized_plan}"
-                ).alias("status")
-            )
+        var_df = self._var_statement(query)
+        if var_df is not None:
+            return var_df
         from glaredb_spark.functions.arith_binder import rewrite_arith
         from glaredb_spark.functions.misc_binder import rewrite_misc
         from glaredb_spark.functions.unnest_binder import rewrite_unnest

@@ -963,6 +963,23 @@ def run_slt_file(sess, path: str) -> SltResult:
     # reference's case-sensitive storage mode (session.py); fresh file,
     # fresh default
     sess.spark.conf.set("spark.sql.caseSensitive", "false")
+    # the reference runs every file in a fresh engine: reset session
+    # variables (SET/RESET/SHOW, session.py) and remember the Spark confs
+    # their _apply_var hooks touch so this file can't leak parallelism /
+    # join-strategy changes into the next
+    sess.reset_session_vars()
+    _var_confs = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        "spark.sql.join.preferSortMergeJoin",
+        "spark.sql.optimizer.excludedRules",
+    )
+    saved_var_confs = {}
+    for k in _var_confs:
+        try:
+            saved_var_confs[k] = sess.spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            saved_var_confs[k] = None
     pre_names = set()
     for rec in records:
         for m in _CREATE_NAME_RE.finditer(rec.sql):
@@ -996,18 +1013,19 @@ def run_slt_file(sess, path: str) -> SltResult:
             if rec.kind == "halt":
                 break
             sql = rec.sql.strip().rstrip(";")
-            if not sql or _SET_RE.match(sql) or _VAR_RE.match(sql):
-                # opt-in: honor the reference's verification-mode toggle
-                # (SET verify_optimized_plan TO true — every subsequent
-                # query runs optimized AND de-optimized and diffs, see
-                # session.py). Off by default: it doubles query work
-                # across the whole suite.
-                if os.environ.get("GLAREDB_SLT_VERIFY_PLANS") and re.match(
-                    r"^\s*SET\s+verify_optimized_plan\b", sql, re.IGNORECASE
-                ):
-                    sess.sql(sql)
-                    res.ok += 1
-                    continue
+            if not sql:
+                res.skipped += 1
+                continue
+            if re.match(
+                r"^\s*SET\s+verify_optimized_plan\b", sql, re.IGNORECASE
+            ) and not os.environ.get("GLAREDB_SLT_VERIFY_PLANS"):
+                # honored only under opt-in (every subsequent query then
+                # runs optimized AND de-optimized and diffs, session.py)
+                # — on by default it would double query work across the
+                # whole suite. All OTHER SET/RESET/SHOW variable records
+                # execute for real through the session's variable
+                # registry (config/session.rs parity) in the normal
+                # record dispatch below.
                 res.skipped += 1
                 continue
             if "__AWS_" in sql or "__GCP_" in sql or "__AZURE_" in sql:
@@ -1136,6 +1154,15 @@ def run_slt_file(sess, path: str) -> SltResult:
         # don't leak case-sensitive storage mode into later tests sharing
         # the session (flipped by a case-colliding CREATE, session.py)
         sess.spark.conf.set("spark.sql.caseSensitive", "false")
+        sess.reset_session_vars()
+        for k, v in saved_var_confs.items():
+            if v is None:
+                try:
+                    sess.spark.conf.unset(k)
+                except Exception:  # noqa: BLE001
+                    pass
+            else:
+                sess.spark.conf.set(k, v)
         for t in reversed(created):
             for stmt in (f"DROP TABLE IF EXISTS {t}", f"DROP VIEW IF EXISTS {t}"):
                 try:
