@@ -587,12 +587,19 @@ class GlareSession:
                 lateralize,
             )
 
+            # reference gates 'x'.upper() method-call sugar behind the
+            # enable_function_chaining session var (config/session.rs:19)
+            chain = (
+                chainize
+                if self.session_vars.get("enable_function_chaining", True)
+                else (lambda s: s)
+            )
             seen = {final_sql}
             df = None
             for cand in (
                 lateralize(final_sql),
-                chainize(final_sql),
-                chainize(lateralize(final_sql)),
+                chain(final_sql),
+                chain(lateralize(final_sql)),
                 dealias(final_sql),
                 delateralize_aggregate(final_sql, self.spark),
             ):

@@ -73,3 +73,16 @@ def test_dotted_spark_confs_fall_through(sess, spark):
 def test_catalog_shows_untouched(sess):
     # SHOW TABLES/DATABASES keep their catalog meaning
     assert "database_name" in sess.sql("SHOW DATABASES").columns
+
+
+def test_function_chaining_gated_by_var(sess, sf_dir):
+    sess.register_tables(sf_dir)
+    q = "SELECT n_name.upper() AS u FROM nation ORDER BY 1 LIMIT 1"
+    got = sess.sql(q).collect()[0]["u"]
+    assert got == got.upper() and got
+    sess.sql("SET enable_function_chaining TO false")
+    try:
+        with pytest.raises(Exception):
+            sess.sql(q)
+    finally:
+        sess.sql("RESET enable_function_chaining")
