@@ -334,6 +334,51 @@ def delta_log_scan(spark, sf_dir):
 
 
 @register_query(
+    "delta_write_roundtrip",
+    oracle="""
+SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id < 200
+GROUP BY lang ORDER BY lang
+""",
+)
+def delta_write_roundtrip(spark, sf_dir):
+    """Native Delta WRITER exercised end-to-end
+    (sources/delta_native.py:write_delta_native): two append commits of
+    fixture document slices into a fresh lang-partitioned Delta table,
+    read back through the native log reader, aggregated — the oracle
+    aggregates the source directly, so a green row proves write → log →
+    read loses nothing. Data movement is Spark's distributed parquet
+    write/read; only the KB-scale commit JSON is driver-side."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.delta_native import (
+        read_delta_native,
+        write_delta_native,
+    )
+    from glaredb_spark.sources.files import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_delta_w_")
+    write_delta_native(
+        docs.filter("doc_id < 120"), root, partition_by=["lang"]
+    )
+    write_delta_native(
+        docs.filter("doc_id >= 120 AND doc_id < 200"), root
+    )
+    return (
+        read_delta_native(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register_query(
     "iceberg_table_scan",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey

@@ -175,3 +175,167 @@ def read_delta_native(spark: SparkSession, path: str) -> DataFrame:
     for df in pieces[1:]:
         out = out.unionAll(df)
     return out
+
+
+# --------------------------------------------------------------------------
+# Native writer — append / overwrite commits, no connector jar required.
+# --------------------------------------------------------------------------
+
+
+def _walk_data_files(path: str) -> dict[str, os.stat_result]:
+    """Relative path -> stat for every parquet data file under the table
+    root (log dir excluded)."""
+    out: dict[str, os.stat_result] = {}
+    for root, dirs, files in os.walk(path):
+        if "_delta_log" in dirs:
+            dirs.remove("_delta_log")
+        for n in files:
+            if n.endswith(".parquet"):
+                full = os.path.join(root, n)
+                out[os.path.relpath(full, path)] = os.stat(full)
+    return out
+
+
+def _partition_values_from_path(rel: str, part_cols: list[str]) -> dict:
+    """Hive-style key=value directory components -> partitionValues dict
+    (spec: values serialized as strings, null for the default partition)."""
+    vals: dict[str, Any] = {}
+    for comp in rel.split(os.sep)[:-1]:
+        if "=" not in comp:
+            continue
+        k, _, v = comp.partition("=")
+        if k in part_cols:
+            v = urllib.parse.unquote(v)
+            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return {c: vals.get(c) for c in part_cols}
+
+
+def write_delta_native(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit ``df`` to a Delta table at ``path`` by writing parquet
+    distributed (plain ``df.write.parquet``) and then appending ONE
+    transaction-log commit driver-side — the same division of labor as
+    the reader (and as delta-rs): data moves on the cluster, the log is
+    a small driver artifact. Returns the committed version.
+
+    - ``append`` adds the new files; the DataFrame schema must match the
+      table schema.
+    - ``overwrite`` also emits ``remove`` actions for every previously
+      active file (logical delete — old files stay for time travel, per
+      the spec).
+    - Commit atomicity is put-if-absent via ``O_CREAT|O_EXCL`` on the
+      commit file — real optimistic concurrency on any POSIX filesystem;
+      a concurrent writer of the same version raises (object stores
+      without atomic create need a LogStore service, out of scope, as in
+      delta-rs defaults).
+    - Checkpoints are not written (readers never need them; they're a
+      log-compaction optimization) — the reader consumes them when other
+      writers produced them.
+    """
+    import time
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported Delta write mode: {mode!r}")
+    part_cols = list(partition_by or [])
+    log_dir = os.path.join(path, "_delta_log")
+    state = None
+    next_version = 0
+    if os.path.isdir(log_dir) and any(
+        _COMMIT_RE.match(n) for n in os.listdir(log_dir)
+    ):
+        state = load_delta_state(path)
+        existing_schema = StructType.fromJson(json.loads(state.schema_json))
+        if [f.name for f in existing_schema.fields] != df.columns:
+            raise ValueError(
+                "schema mismatch: table has columns "
+                f"{[f.name for f in existing_schema.fields]}, DataFrame has "
+                f"{df.columns}"
+            )
+        if part_cols and part_cols != state.partition_columns:
+            raise ValueError(
+                f"partition columns {part_cols} != table's "
+                f"{state.partition_columns}"
+            )
+        part_cols = state.partition_columns
+        next_version = 1 + max(
+            int(m.group(1))
+            for n in os.listdir(log_dir)
+            if (m := _COMMIT_RE.match(n))
+        )
+    os.makedirs(log_dir, exist_ok=True)
+
+    before = set(_walk_data_files(path))
+    writer = df.write.mode("append")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(path)
+    after = _walk_data_files(path)
+    new_files = {p: st for p, st in after.items() if p not in before}
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+            }
+        }
+    ]
+    if next_version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(df.schema.jsonValue()),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    elif mode == "overwrite":
+        for old in sorted(state.adds):
+            actions.append(
+                {
+                    "remove": {
+                        "path": old,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for rel in sorted(new_files):
+        st = new_files[rel]
+        actions.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel.replace(os.sep, "/")),
+                    "partitionValues": _partition_values_from_path(
+                        rel, part_cols
+                    ),
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    commit_path = os.path.join(log_dir, f"{next_version:020d}.json")
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    except BaseException:
+        os.unlink(commit_path)
+        raise
+    return next_version

@@ -1,0 +1,92 @@
+"""Native Delta writer (sources/delta_native.py:write_delta_native) —
+round-trips through the native reader, log-level assertions, optimistic
+concurrency."""
+
+import json
+import os
+
+import pytest
+
+from glaredb_spark.sources.delta_native import (
+    read_delta_native,
+    write_delta_native,
+)
+
+
+def _docs(spark, sf_dir, lo, hi):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_roundtrip(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = write_delta_native(_docs(spark, sf_dir, 0, 50), path)
+    v1 = write_delta_native(_docs(spark, sf_dir, 50, 80), path)
+    assert (v0, v1) == (0, 1)
+    got = read_delta_native(spark, path)
+    assert _collect(got) == _collect(_docs(spark, sf_dir, 0, 80))
+
+
+def test_overwrite_emits_removes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 50), path)
+    write_delta_native(_docs(spark, sf_dir, 100, 120), path, mode="overwrite")
+    got = read_delta_native(spark, path)
+    assert _collect(got) == _collect(_docs(spark, sf_dir, 100, 120))
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json")) as fh:
+        kinds = [next(iter(json.loads(ln))) for ln in fh if ln.strip()]
+    assert "remove" in kinds and "add" in kinds
+
+
+def test_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_native(
+        _docs(spark, sf_dir, 0, 100), path, partition_by=["lang"]
+    )
+    got = read_delta_native(spark, path)
+    assert _collect(got.select("doc_id", "lang", "n_chars")) == _collect(
+        _docs(spark, sf_dir, 0, 100)
+    )
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as fh:
+        adds = [
+            json.loads(ln)["add"]
+            for ln in fh
+            if ln.strip() and "add" in json.loads(ln)
+        ]
+    assert adds and all("lang" in a["partitionValues"] for a in adds)
+    assert all(a["partitionValues"]["lang"] is not None for a in adds)
+
+
+def test_schema_mismatch_rejected(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 10), path)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta_native(
+            _docs(spark, sf_dir, 0, 10).drop("n_chars"), path
+        )
+
+
+def test_concurrent_commit_collision(spark, sf_dir, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 10), path)
+    # simulate a true race: another writer lands version 1 AFTER this
+    # writer computed its next version — O_EXCL must refuse, not clobber
+    real_open = os.open
+    nxt = os.path.join(path, "_delta_log", f"{1:020d}.json")
+
+    def racing_open(p, flags, *a, **kw):
+        if p == nxt and not os.path.exists(nxt):
+            with open(nxt, "w") as fh:
+                fh.write('{"commitInfo": {}}\n')
+        return real_open(p, flags, *a, **kw)
+
+    monkeypatch.setattr(os, "open", racing_open)
+    with pytest.raises(FileExistsError):
+        write_delta_native(_docs(spark, sf_dir, 10, 20), path)
