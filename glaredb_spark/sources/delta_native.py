@@ -48,6 +48,9 @@ class DeltaState:
         self.reader_features: set[str] = set()
         # path -> partitionValues dict (last add wins per spec)
         self.adds: dict[str, dict[str, Any]] = {}
+        # appId -> latest committed transaction version (spec `txn`
+        # action — the idempotence handle streaming writers use)
+        self.txns: dict[str, int] = {}
 
     def apply(self, action: dict) -> None:
         if "protocol" in action:
@@ -63,6 +66,11 @@ class DeltaState:
             self.adds[a["path"]] = a.get("partitionValues") or {}
         elif "remove" in action:
             self.adds.pop(action["remove"]["path"], None)
+        elif "txn" in action:
+            t = action["txn"]
+            self.txns[t["appId"]] = max(
+                int(t["version"]), self.txns.get(t["appId"], -1)
+            )
 
 
 def _read_checkpoint(state: DeltaState, log_dir: str, version: int, parts: int | None) -> None:
@@ -215,6 +223,7 @@ def write_delta_native(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to a Delta table at ``path`` by writing parquet
     distributed (plain ``df.write.parquet``) and then appending ONE
@@ -287,6 +296,13 @@ def write_delta_native(
             }
         }
     ]
+    if txn is not None:
+        # spec `txn` action: (appId, version) idempotence marker — the
+        # handle stream_to_delta uses for exactly-once batch commits
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]),
+                     "lastUpdated": now_ms}}
+        )
     if next_version == 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
