@@ -677,17 +677,24 @@ class GlareSession:
         else:
             df = self.spark.table(source)
         fmt = (fmt or os.path.splitext(path)[1].lstrip(".") or "parquet").lower()
-        if fmt not in ("parquet", "csv", "json"):
+        if fmt not in ("parquet", "csv", "json", "delta"):
             raise ValueError(f"COPY TO: unsupported format {fmt!r}")
         # single pass: the written-row Count rides along the write via
         # observe — the old path re-read the entire written output, a full
         # extra scan at 100 TB
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        writer = df.write.mode("overwrite")
-        if fmt == "csv":
-            writer = writer.option("header", "true")
-        getattr(writer, fmt)(path)
+        if fmt == "delta":
+            # native Delta commit (sources/delta_native.py) — appends to
+            # an existing table at the path, creates it otherwise
+            from glaredb_spark.sources.delta_native import write_delta_native
+
+            write_delta_native(df, path, mode="append")
+        else:
+            writer = df.write.mode("overwrite")
+            if fmt == "csv":
+                writer = writer.option("header", "true")
+            getattr(writer, fmt)(path)
         return self.spark.range(1).select(
             F.lit(obs.get["n"]).cast("bigint").alias("Count")
         )

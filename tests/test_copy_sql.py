@@ -47,3 +47,17 @@ def test_copy_composes_with_table_functions(sess, tmp_path):
 def test_copy_bad_format_raises(sess, tmp_path):
     with pytest.raises(ValueError, match="unsupported format"):
         sess.sql(f"COPY region TO '{tmp_path}/x.xyz' (FORMAT XML)")
+
+
+def test_copy_to_delta_appends_native_table(sess, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    out = str(tmp_path / "nation_delta")
+    n = sess.sql(f"COPY nation TO '{out}' (FORMAT DELTA)").collect()[0].Count
+    assert n == 25
+    n2 = sess.sql(
+        f"COPY (SELECT * FROM nation WHERE n_regionkey = 0) TO '{out}' "
+        "(FORMAT DELTA)"
+    ).collect()[0].Count
+    back = read_delta_native(sess.spark, out)
+    assert back.count() == 25 + n2
