@@ -278,7 +278,7 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
         sql,
     )
     wants_meta = bool(_META_COL.search(sql))
-    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
+    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_DELTA_HISTORY_TF, _handle_delta_history), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:
@@ -465,8 +465,13 @@ def _handle_pg(spark: SparkSession, m: re.Match) -> str:
 # delta scan TVF (glaredb_ext_delta: read_delta/delta.scan;
 # slt/delta/simple.slt) — native log reader via lakehouse dispatch
 _DELTA_TF = re.compile(
-    r"\b(?:read_delta|delta\s*\.\s*(?:scan|read))\s*\(\s*'([^']*)'\s*\)",
+    r"\b(?:read_delta|delta\s*\.\s*(?:scan|read))\s*\(\s*'([^']*)'"
+    r"(?:\s*,\s*(\d+))?\s*\)",
     re.IGNORECASE,
+)
+# delta.history('path') — commit history (delta-spark DESCRIBE HISTORY)
+_DELTA_HISTORY_TF = re.compile(
+    r"\bdelta\s*\.\s*history\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
 )
 
 
@@ -474,8 +479,17 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
     from glaredb_spark.sources.lakehouse import read_delta
 
     path = m.group(1)
-    view = _view_name("read_delta", path)
-    read_delta(spark, path).createOrReplaceTempView(view)
+    version = int(m.group(2)) if m.group(2) is not None else None
+    view = _view_name("read_delta", f"{path}@{version}")
+    read_delta(spark, path, version=version).createOrReplaceTempView(view)
+    return view
+
+
+def _handle_delta_history(spark: SparkSession, m: re.Match) -> str:
+    from glaredb_spark.sources.delta_native import delta_history
+
+    view = _view_name("delta_history", m.group(1))
+    delta_history(spark, m.group(1)).createOrReplaceTempView(view)
     return view
 
 

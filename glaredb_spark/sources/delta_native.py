@@ -96,8 +96,9 @@ def _read_checkpoint(state: DeltaState, log_dir: str, version: int, parts: int |
                     state.apply({kind: row[kind]})
 
 
-def load_delta_state(path: str) -> DeltaState:
-    """Fold the transaction log into the current table state."""
+def load_delta_state(path: str, version: int | None = None) -> DeltaState:
+    """Fold the transaction log into the table state — current, or as of
+    a past ``version`` (time travel: fold stops after that commit)."""
     log_dir = os.path.join(path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise RuntimeError(
@@ -106,7 +107,9 @@ def load_delta_state(path: str) -> DeltaState:
     state = DeltaState()
     start_after = -1
     last_cp = os.path.join(log_dir, "_last_checkpoint")
-    if os.path.exists(last_cp):
+    if os.path.exists(last_cp) and version is None:
+        # time travel ignores the checkpoint (it may postdate the target
+        # version) and folds the json commits from 0
         with open(last_cp) as fh:
             cp = json.load(fh)
         _read_checkpoint(state, log_dir, int(cp["version"]), cp.get("parts"))
@@ -118,8 +121,15 @@ def load_delta_state(path: str) -> DeltaState:
     )
     if not commits and start_after < 0:
         raise RuntimeError(f"Delta log at {log_dir!r} contains no commits")
-    for version, fname in commits:
-        if version <= start_after:
+    if version is not None:
+        if not any(v == version for v, _ in commits):
+            raise RuntimeError(
+                f"Delta table at {path!r} has no version {version} "
+                f"(available: {[v for v, _ in commits]})"
+            )
+        commits = [(v, f) for v, f in commits if v <= version]
+    for version_i, fname in commits:
+        if version_i <= start_after:
             continue
         with open(fname) as fh:
             for line in fh:
@@ -146,10 +156,47 @@ def _cast_partition_lit(raw: str | None, dtype):
     return F.lit(raw).cast(dtype)
 
 
-def read_delta_native(spark: SparkSession, path: str) -> DataFrame:
+def delta_history(spark: SparkSession, path: str) -> DataFrame:
+    """Commit history as a table (version, timestamp, operation, mode) —
+    the commitInfo line of every log commit (delta-spark's
+    ``DESCRIBE HISTORY`` shape, driver-side KB fold)."""
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise RuntimeError(
+            f"not a Delta table: {path!r} has no _delta_log/ directory"
+        )
+    rows = []
+    for n in sorted(os.listdir(log_dir)):
+        m = _COMMIT_RE.match(n)
+        if not m:
+            continue
+        ci = {}
+        with open(os.path.join(log_dir, n)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line and "commitInfo" in (a := json.loads(line)):
+                    ci = a["commitInfo"]
+                    break
+        rows.append(
+            (
+                int(m.group(1)),
+                ci.get("timestamp"),
+                ci.get("operation"),
+                (ci.get("operationParameters") or {}).get("mode"),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version bigint, timestamp bigint, operation string, mode string"
+    ).orderBy(F.desc("version"))
+
+
+def read_delta_native(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read a Delta table directory through the transaction log, returning
-    a DataFrame with the table schema (partition columns included)."""
-    state = load_delta_state(path)
+    a DataFrame with the table schema (partition columns included).
+    ``version`` time-travels to a past commit."""
+    state = load_delta_state(path, version=version)
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in part_cols]

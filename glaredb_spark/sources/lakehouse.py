@@ -63,7 +63,9 @@ def read_iceberg(spark: SparkSession, table_or_path: str) -> DataFrame:
     return read_iceberg_native(spark, table_or_path)
 
 
-def read_delta(spark: SparkSession, path: str) -> DataFrame:
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Scan a Delta Lake table directory — the Spark analog of the
     reference's delta scan (crates/glaredb_ext_delta/src/).
 
@@ -73,7 +75,10 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     Rust Delta reader: driver-side log fold, distributed parquet scan).
     """
     if delta_available(spark):
-        return spark.read.format("delta").load(path)
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", str(version))
+        return reader.load(path)
     from glaredb_spark.sources.delta_native import read_delta_native
 
-    return read_delta_native(spark, path)
+    return read_delta_native(spark, path, version=version)

@@ -90,3 +90,31 @@ def test_concurrent_commit_collision(spark, sf_dir, tmp_path, monkeypatch):
     monkeypatch.setattr(os, "open", racing_open)
     with pytest.raises(FileExistsError):
         write_delta_native(_docs(spark, sf_dir, 10, 20), path)
+
+
+def test_time_travel_and_history(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 30), path)
+    write_delta_native(_docs(spark, sf_dir, 30, 50), path)
+    write_delta_native(_docs(spark, sf_dir, 100, 110), path, mode="overwrite")
+    v0 = read_delta_native(spark, path, version=0)
+    v1 = read_delta_native(spark, path, version=1)
+    latest = read_delta_native(spark, path)
+    assert v0.count() == 30 and v1.count() == 50 and latest.count() == 10
+    with pytest.raises(RuntimeError, match="no version 9"):
+        read_delta_native(spark, path, version=9)
+
+    from glaredb_spark.sources.delta_native import delta_history
+
+    hist = delta_history(spark, path).collect()
+    assert [r["version"] for r in hist] == [2, 1, 0]
+    assert hist[0]["mode"] == "OVERWRITE"
+
+    # SQL TVF surface: read_delta(path, version) + delta.history(path)
+    from glaredb_spark import GlareSession
+
+    sess = GlareSession(spark)
+    n0 = sess.sql(f"SELECT count(*) AS c FROM read_delta('{path}', 0)")
+    assert n0.collect()[0]["c"] == 30
+    h = sess.sql(f"SELECT max(version) AS v FROM delta.history('{path}')")
+    assert h.collect()[0]["v"] == 2
