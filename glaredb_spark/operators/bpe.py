@@ -169,3 +169,79 @@ def bpe_train_merges(spark, sf_dir):
     return spark.createDataFrame(
         rules, "step int, left string, right string, merged string, pair_count bigint"
     ).orderBy("step")
+
+
+def apply_merges(word_col, merges: list[tuple[str, str]]):
+    """Column expression: encode a word column with the learned merge
+    list, sequentially in rank order (each merge greedily left-to-right
+    everywhere — subword-nmt's per-operation semantics, mirrored exactly
+    by the Python reference in tests/test_bpe.py).
+
+    Why an Arrow-batched pandas UDF and not k chained JVM folds: each
+    ``aggregate`` fold re-references its input expression several times
+    (current symbol, lookahead, size), so chaining k merges nests the
+    whole prior tree ~5× per level — at k=8 the analyzer hits its
+    iteration cap on a ~5^8-node expression. The UDF closes over the
+    tiny merge table (broadcast-by-construction) and keeps the plan
+    flat; per-batch work is a straight loop — the same pattern this repo
+    uses for every genuinely iterative per-row kernel (vector.py).
+    Map-only, no shuffle."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    rules = list(merges)
+
+    def one(w):
+        if w is None:
+            return None
+        seq = list(w) + ["</w>"]
+        for left, right in rules:
+            out, i, n = [], 0, len(seq)
+            while i < n:
+                if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return seq
+
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf can't resolve for locally-imported names
+    encode = pandas_udf(
+        lambda words: words.map(one), T.ArrayType(T.StringType())
+    )
+    return encode(word_col)
+
+
+@register_query("bpe_apply_encode")  # rows-only: merges learned iteratively
+def bpe_apply_encode(spark, sf_dir):
+    """Tokenize documents with the merges learned by ``train_bpe``:
+    per document, subword count after encoding vs raw symbol count.
+    The merge table is tiny driver state closed over by the Arrow
+    encoder (broadcast-by-construction); encoding is map-only — zero
+    shuffles before the per-doc aggregation (grouping on doc_id, the
+    scan's natural key). Exact-match vs the Python reference encoder is
+    pytest-gated (tests/test_bpe.py)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    merges = [(l, r) for _, l, r, _, _ in train_bpe(spark, docs)]
+    per_word = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            (F.length("word") + 1).alias("n_raw"),
+            F.size(apply_merges(F.col("word"), merges)).alias("n_sub"),
+        )
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("n_raw").cast("long").alias("n_raw_symbols"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .orderBy("doc_id")
+    )

@@ -67,3 +67,48 @@ def test_bpe_query_registered(spark, sf_dir):
     assert 1 <= len(rows) <= 8
     assert rows[0]["step"] == 1
     assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def _py_apply(seq, merges):
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+def test_apply_matches_python_reference(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from glaredb_spark.operators.bpe import apply_merges, train_bpe
+    from glaredb_spark.sources.files import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    merges = [(l, r) for _, l, r, _, _ in train_bpe(spark, docs, 6)]
+    words = ["lower", "lowest", "newer", "a", ""]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["enc"]
+        for r in df.select(
+            "word", apply_merges(F.col("word"), merges).alias("enc")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _py_apply(list(w) + ["</w>"], merges), w
+
+
+def test_bpe_apply_encode_counts(spark, sf_dir):
+    from glaredb_spark.registry import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["bpe_apply_encode"](spark, sf_dir)
+    rows = df.limit(50).collect()
+    assert rows
+    # merges only ever shrink the symbol count, never below 2 per word
+    assert all(0 < r["n_subwords"] <= r["n_raw_symbols"] for r in rows)
