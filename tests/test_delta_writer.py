@@ -118,3 +118,26 @@ def test_time_travel_and_history(spark, sf_dir, tmp_path):
     assert n0.collect()[0]["c"] == 30
     h = sess.sql(f"SELECT max(version) AS v FROM delta.history('{path}')")
     assert h.collect()[0]["v"] == 2
+
+
+def test_delete_rewrites_only_touched_files(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        load_delta_state,
+    )
+
+    path = str(tmp_path / "t")
+    # two separate commits -> at least two distinct data files
+    write_delta_native(_docs(spark, sf_dir, 0, 50), path)
+    write_delta_native(_docs(spark, sf_dir, 50, 100), path)
+    n_files_before = len(load_delta_state(path).adds)
+    deleted, rewritten = delete_delta_native(spark, path, "doc_id < 10")
+    assert deleted == 10
+    # only the commit-0 slice holds doc_id < 10; commit-1 files untouched
+    assert rewritten < n_files_before
+    got = read_delta_native(spark, path)
+    assert _collect(got) == _collect(_docs(spark, sf_dir, 10, 100))
+    # no-match delete is a no-op commit-wise
+    assert delete_delta_native(spark, path, "doc_id = -1") == (0, 0)
+    # time travel still sees the pre-delete state
+    assert read_delta_native(spark, path, version=1).count() == 100
