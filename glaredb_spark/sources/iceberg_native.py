@@ -234,3 +234,224 @@ def _spark_schema(meta: dict) -> str:
         else:
             parts.append(f"`{f['name']}` string")  # nested: display-only
     return ", ".join(parts)
+
+
+# --- native append writer ----------------------------------------------------
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "block_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+    ],
+}
+
+_SPARK_TO_ICE = {
+    "long": "long", "bigint": "long", "int": "int", "integer": "int",
+    "smallint": "int", "tinyint": "int", "string": "string",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "date": "date", "timestamp_ntz": "timestamp", "timestamp": "timestamptz",
+    "binary": "binary",
+}
+
+
+def _iceberg_schema(df) -> dict:
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        s = f.dataType.simpleString()
+        t = _SPARK_TO_ICE.get(s)
+        if t is None and s.startswith("decimal"):
+            t = s.replace("decimal", "decimal").replace(",", ", ")
+        if t is None:
+            raise IcebergError(
+                f"cannot map Spark type {s!r} (column {f.name!r}) to an "
+                "iceberg primitive for the native writer"
+            )
+        fields.append(
+            {"id": i, "name": f.name, "required": not f.nullable, "type": t}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def write_iceberg_native(df, table_path: str) -> int:
+    """Append ``df`` to an Iceberg v1 table at ``table_path`` (creating
+    it if absent) without any connector jar — the writer half of this
+    module's native reader (reference: glaredb_ext_iceberg is also
+    read-only; we go one step further).
+
+    Division of labor at 100 TB, same as the Delta writer: data files
+    move via distributed ``df.write.parquet``; the metadata the writer
+    authors (one manifest avro for the new files, a new manifest list
+    carrying the previous snapshot's manifests forward, one
+    metadata.json) is KB-scale driver work — record counts come from
+    parquet footers, not data scans. Unpartitioned v1 append only; the
+    manifest avro carries the field subset the protocol requires for a
+    data scan (no column stats — readers treat missing stats as
+    unpruned, which is correct, just less of an optimization).
+    Returns the new snapshot id."""
+    import time
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from glaredb_spark.sources.avro_lite import write_avro
+
+    table_path = os.path.abspath(table_path)
+    mdir = os.path.join(table_path, "metadata")
+    ddir = os.path.join(table_path, "data")
+    os.makedirs(mdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+
+    meta = None
+    if _glob.glob(os.path.join(mdir, "*.metadata.json")):
+        meta = table_metadata(table_path)
+        want = [
+            (f["name"]) for f in (
+                (meta.get("schemas") or [meta.get("schema", {})])[0]
+            ).get("fields", [])
+        ]
+        if want != df.columns:
+            raise IcebergError(
+                f"schema mismatch: table columns {want}, DataFrame {df.columns}"
+            )
+
+    before = {
+        n for n in os.listdir(ddir) if n.endswith(".parquet")
+    }
+    df.write.mode("append").parquet(ddir)
+    new_files = sorted(
+        n for n in os.listdir(ddir)
+        if n.endswith(".parquet") and n not in before
+    )
+
+    now_ms = int(time.time() * 1000)
+    prev_snaps = (meta or {}).get("snapshots", [])
+    snapshot_id = 1 + max((s["snapshot-id"] for s in prev_snaps), default=0)
+    seq = 1 + max((s.get("sequence-number", 0) for s in prev_snaps), default=0)
+
+    entries = []
+    added_rows = 0
+    for n in new_files:
+        full = os.path.join(ddir, n)
+        nrows = pq.read_metadata(full).num_rows
+        added_rows += nrows
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": f"{table_path}/data/{n}",
+                    "file_format": "PARQUET",
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "block_size_in_bytes": 67108864,
+                },
+            }
+        )
+    manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
+    manifest_path = os.path.join(mdir, manifest_name)
+    write_avro(manifest_path, _MANIFEST_SCHEMA, entries)
+
+    ml_entries = []
+    if meta is not None:
+        for e in _manifest_list_entries(meta, table_path):
+            ml_entries.append(
+                {
+                    "manifest_path": _resolve(
+                        e["manifest_path"], meta, table_path
+                    ),
+                    "manifest_length": int(e.get("manifest_length", 0)),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": e.get("added_snapshot_id"),
+                }
+            )
+    ml_entries.append(
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+        }
+    )
+    ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
+    ml_path = os.path.join(mdir, ml_name)
+    write_avro(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries)
+
+    version = 1
+    if meta is not None:
+        hint = os.path.join(mdir, "version-hint.text")
+        if os.path.exists(hint):
+            try:
+                version = int(open(hint).read().strip()) + 1
+            except ValueError:
+                version = len(_glob.glob(os.path.join(mdir, "*.metadata.json"))) + 1
+        else:
+            version = len(_glob.glob(os.path.join(mdir, "*.metadata.json"))) + 1
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(new_files)),
+            "added-records": str(added_rows),
+        },
+    }
+    new_meta = {
+        "format-version": 1,
+        "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": table_path,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(df.columns),
+        "schema": _iceberg_schema(df) if meta is None else
+            (meta.get("schemas") or [meta["schema"]])[0],
+        "schemas": [
+            _iceberg_schema(df) if meta is None else
+            (meta.get("schemas") or [meta["schema"]])[0]
+        ],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": prev_snaps + [snapshot],
+    }
+    mpath = os.path.join(mdir, f"v{version}.metadata.json")
+    fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_meta, fh, indent=2)
+    except BaseException:
+        os.unlink(mpath)
+        raise
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
