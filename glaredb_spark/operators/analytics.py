@@ -379,6 +379,45 @@ def delta_write_roundtrip(spark, sf_dir):
 
 
 @register_query(
+    "iceberg_write_roundtrip",
+    oracle="""
+SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id < 150
+GROUP BY lang ORDER BY lang
+""",
+)
+def iceberg_write_roundtrip(spark, sf_dir):
+    """Native Iceberg WRITER exercised end-to-end
+    (sources/iceberg_native.py:write_iceberg_native): two append
+    snapshots of fixture document slices, read back through the native
+    manifest fold, aggregated — the oracle aggregates the source, so a
+    green row proves write → manifests → read loses nothing."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.iceberg_native import (
+        read_iceberg_native,
+        write_iceberg_native,
+    )
+    from glaredb_spark.sources.files import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_ice_w_") + "/t"
+    write_iceberg_native(docs.filter("doc_id < 90"), root)
+    write_iceberg_native(docs.filter("doc_id >= 90 AND doc_id < 150"), root)
+    return (
+        read_iceberg_native(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register_query(
     "iceberg_table_scan",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey

@@ -677,7 +677,7 @@ class GlareSession:
         else:
             df = self.spark.table(source)
         fmt = (fmt or os.path.splitext(path)[1].lstrip(".") or "parquet").lower()
-        if fmt not in ("parquet", "csv", "json", "delta"):
+        if fmt not in ("parquet", "csv", "json", "delta", "iceberg"):
             raise ValueError(f"COPY TO: unsupported format {fmt!r}")
         # single pass: the written-row Count rides along the write via
         # observe — the old path re-read the entire written output, a full
@@ -690,6 +690,13 @@ class GlareSession:
             from glaredb_spark.sources.delta_native import write_delta_native
 
             write_delta_native(df, path, mode="append")
+        elif fmt == "iceberg":
+            # native Iceberg v1 append snapshot (sources/iceberg_native.py)
+            from glaredb_spark.sources.iceberg_native import (
+                write_iceberg_native,
+            )
+
+            write_iceberg_native(df, path)
         else:
             writer = df.write.mode("overwrite")
             if fmt == "csv":

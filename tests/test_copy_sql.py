@@ -61,3 +61,13 @@ def test_copy_to_delta_appends_native_table(sess, tmp_path):
     ).collect()[0].Count
     back = read_delta_native(sess.spark, out)
     assert back.count() == 25 + n2
+
+
+def test_copy_to_iceberg_appends_native_table(sess, tmp_path):
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    out = str(tmp_path / "nation_ice")
+    n = sess.sql(f"COPY nation TO '{out}' (FORMAT ICEBERG)").collect()[0].Count
+    assert n == 25
+    back = read_iceberg_native(sess.spark, out)
+    assert back.count() == 25
