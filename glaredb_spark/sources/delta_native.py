@@ -423,25 +423,50 @@ def delete_delta_native(
     state = load_delta_state(path)
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
-    if part_cols:
-        # partition columns live in directory names, not data files; a
-        # predicate over them would need partition-aware probing
-        raise NotImplementedError(
-            "delete on partitioned native Delta tables not supported yet"
-        )
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(data_fields)
+    types = {f.name: f.dataType for f in schema.fields}
 
     def _resolve(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
 
-    files = [_resolve(p) for p in state.adds]
-    if not files:
+    if not state.adds:
         return (0, 0)
+
+    def _with_parts(files_with_pv, with_file_path=False):
+        """Distributed read of (resolved_file, partitionValues) pairs with
+        partition literals re-attached (grouped like read_delta_native).
+        ``_metadata.file_path`` must be captured at the scan itself (it
+        isn't addressable above a union), hence the flag."""
+        by_part: dict[tuple, list[str]] = {}
+        for p, pv in files_with_pv:
+            key = tuple(pv.get(c) for c in part_cols)
+            by_part.setdefault(key, []).append(_resolve(p))
+        pieces = []
+        for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
+            df = spark.read.schema(data_schema).parquet(*files)
+            if with_file_path:
+                df = df.withColumn("_f", F.col("_metadata.file_path"))
+            for c, raw in zip(part_cols, key):
+                df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
+            pieces.append(df)
+        out = pieces[0]
+        for df in pieces[1:]:
+            out = out.unionAll(df)
+        return out
+
+    all_pairs = list(state.adds.items())
+    if part_cols:
+        probe_df = _with_parts(all_pairs, with_file_path=True)
+    else:
+        probe_df = spark.read.schema(data_schema).parquet(
+            *[_resolve(p) for p, _ in all_pairs]
+        ).withColumn("_f", F.col("_metadata.file_path"))
     probe = (
-        spark.read.schema(data_schema)
-        .parquet(*files)
-        .select(F.col("_metadata.file_path").alias("_f"), F.expr(predicate).alias("_m"))
+        probe_df.select(
+            "_f",
+            F.expr(predicate).alias("_m"),
+        )
         .groupBy("_f")
         .agg(
             F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("hits"),
@@ -456,19 +481,27 @@ def delete_delta_native(
     def _norm(uri: str) -> str:
         return urllib.parse.unquote(urllib.parse.urlparse(uri).path)
 
-    touched_full = {_norm(r["_f"]) for r in probe}
+    touched_full = {os.path.realpath(_norm(r["_f"])) for r in probe}
     deleted = sum(r["hits"] for r in probe)
     touched_rel = [
-        p for p in state.adds if os.path.realpath(_resolve(p)) in
-        {os.path.realpath(t) for t in touched_full}
+        p for p in state.adds
+        if os.path.realpath(_resolve(p)) in touched_full
     ]
     before = set(_walk_data_files(path))
-    survivors = (
-        spark.read.schema(data_schema)
-        .parquet(*[_resolve(p) for p in touched_rel])
-        .filter(f"NOT coalesce(({predicate}), false)")
+    touched_pairs = [(p, state.adds[p]) for p in touched_rel]
+    survivors_src = (
+        _with_parts(touched_pairs)
+        if part_cols
+        else spark.read.schema(data_schema).parquet(
+            *[_resolve(p) for p, _ in touched_pairs]
+        )
     )
-    survivors.write.mode("append").parquet(path)
+    survivors = survivors_src.filter(f"NOT coalesce(({predicate}), false)")
+    writer = survivors.write.mode("append")
+    if part_cols:
+        # re-attach via hive-style dirs; partitionValues re-parsed below
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(path)
     after = _walk_data_files(path)
     new_files = {p: st for p, st in after.items() if p not in before}
     now_ms = int(time.time() * 1000)
@@ -490,7 +523,10 @@ def delete_delta_native(
         st = new_files[rel]
         actions.append(
             {"add": {"path": urllib.parse.quote(rel.replace(os.sep, "/")),
-                     "partitionValues": {}, "size": st.st_size,
+                     "partitionValues": _partition_values_from_path(
+                         rel, part_cols
+                     ),
+                     "size": st.st_size,
                      "modificationTime": int(st.st_mtime * 1000),
                      "dataChange": True}}
         )

@@ -141,3 +141,27 @@ def test_delete_rewrites_only_touched_files(spark, sf_dir, tmp_path):
     assert delete_delta_native(spark, path, "doc_id = -1") == (0, 0)
     # time travel still sees the pre-delete state
     assert read_delta_native(spark, path, version=1).count() == 100
+
+
+def test_delete_on_partitioned_table(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import delete_delta_native
+
+    path = str(tmp_path / "t")
+    write_delta_native(
+        _docs(spark, sf_dir, 0, 100), path, partition_by=["lang"]
+    )
+    # predicate over BOTH a partition column and a data column
+    src = _docs(spark, sf_dir, 0, 100)
+    langs = sorted(r["lang"] for r in src.select("lang").distinct().collect())
+    target = langs[0]
+    expect_deleted = src.filter(
+        f"lang = '{target}' AND doc_id % 2 = 0"
+    ).count()
+    deleted, rewritten = delete_delta_native(
+        spark, path, f"lang = '{target}' AND doc_id % 2 = 0"
+    )
+    assert deleted == expect_deleted and rewritten >= 1
+    got = read_delta_native(spark, path)
+    assert _collect(got.select("doc_id", "lang", "n_chars")) == _collect(
+        src.filter(f"NOT (lang = '{target}' AND doc_id % 2 = 0)")
+    )
