@@ -404,22 +404,22 @@ def write_delta_native(
     return next_version
 
 
-def delete_delta_native(
-    spark: SparkSession, path: str, predicate: str
+def _rewrite_matching(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    operation: str,
+    op_params: dict,
+    rewrite,
 ) -> tuple[int, int]:
-    """Copy-on-write DELETE: remove rows matching ``predicate`` by
-    rewriting ONLY the data files that contain at least one match —
-    untouched files stay referenced as-is, so cost scales with the
-    matched-file count, not table size (the same strategy as delta-spark
-    and delta-rs). Returns (deleted_row_count, files_rewritten).
-
-    Plan shape: one distributed scan with ``_metadata.file_path``
-    identifies touched files (predicate pushdown prunes the probe); a
-    second distributed read of only the touched files writes their
-    surviving rows; the commit is remove(touched) + add(new) — driver-
-    side KB JSON. Partitioned tables keep their partition values via the
-    same hive-style directory write.
-    """
+    """Copy-on-write DML core shared by DELETE and UPDATE: find the data
+    files containing at least one row matching ``predicate`` (one
+    distributed probe aggregating per ``_metadata.file_path``), feed ONLY
+    those files through ``rewrite(df, pred_col)`` (their replacement
+    rows), and commit remove(touched) + add(new). Untouched files stay
+    referenced — cost scales with matched-file count, not table size
+    (delta-spark's and delta-rs's strategy). Returns
+    (matched_row_count, files_rewritten)."""
     state = load_delta_state(path)
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
@@ -482,22 +482,23 @@ def delete_delta_native(
         return urllib.parse.unquote(urllib.parse.urlparse(uri).path)
 
     touched_full = {os.path.realpath(_norm(r["_f"])) for r in probe}
-    deleted = sum(r["hits"] for r in probe)
+    matched = sum(r["hits"] for r in probe)
     touched_rel = [
         p for p in state.adds
         if os.path.realpath(_resolve(p)) in touched_full
     ]
     before = set(_walk_data_files(path))
     touched_pairs = [(p, state.adds[p]) for p in touched_rel]
-    survivors_src = (
+    touched_src = (
         _with_parts(touched_pairs)
         if part_cols
         else spark.read.schema(data_schema).parquet(
             *[_resolve(p) for p, _ in touched_pairs]
         )
     )
-    survivors = survivors_src.filter(f"NOT coalesce(({predicate}), false)")
-    writer = survivors.write.mode("append")
+    pred_col = F.coalesce(F.expr(predicate), F.lit(False))
+    replacement = rewrite(touched_src, pred_col)
+    writer = replacement.write.mode("append")
     if part_cols:
         # re-attach via hive-style dirs; partitionValues re-parsed below
         writer = writer.partitionBy(*part_cols)
@@ -509,8 +510,8 @@ def delete_delta_native(
         {
             "commitInfo": {
                 "timestamp": now_ms,
-                "operation": "DELETE",
-                "operationParameters": {"predicate": predicate},
+                "operation": operation,
+                "operationParameters": op_params,
             }
         }
     ]
@@ -545,4 +546,61 @@ def delete_delta_native(
     except BaseException:
         os.unlink(commit_path)
         raise
-    return (int(deleted), len(touched_rel))
+    return (int(matched), len(touched_rel))
+
+
+def delete_delta_native(
+    spark: SparkSession, path: str, predicate: str
+) -> tuple[int, int]:
+    """Copy-on-write DELETE: drop rows matching ``predicate``; only files
+    containing matches are rewritten (see _rewrite_matching). Returns
+    (deleted_row_count, files_rewritten)."""
+    return _rewrite_matching(
+        spark,
+        path,
+        predicate,
+        "DELETE",
+        {"predicate": predicate},
+        lambda df, pred: df.filter(~pred),
+    )
+
+
+def update_delta_native(
+    spark: SparkSession, path: str, set_exprs: dict[str, str], predicate: str
+) -> tuple[int, int]:
+    """Copy-on-write UPDATE: rows matching ``predicate`` get each column
+    in ``set_exprs`` replaced by its SQL expression (evaluated against
+    the pre-update row, standard UPDATE semantics); non-matching rows in
+    touched files are rewritten unchanged, untouched files stay
+    referenced. Returns (updated_row_count, files_rewritten)."""
+
+    def rewrite(df, pred):
+        cols = []
+        for c in df.columns:
+            if c in set_exprs:
+                cols.append(
+                    F.when(pred, F.expr(set_exprs[c]))
+                    .otherwise(F.col(c))
+                    .cast(df.schema[c].dataType)
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    unknown = set(set_exprs) - set(
+        f.name
+        for f in StructType.fromJson(
+            json.loads(load_delta_state(path).schema_json)
+        ).fields
+    )
+    if unknown:
+        raise ValueError(f"UPDATE SET on unknown columns: {sorted(unknown)}")
+    return _rewrite_matching(
+        spark,
+        path,
+        predicate,
+        "UPDATE",
+        {"predicate": predicate},
+        rewrite,
+    )

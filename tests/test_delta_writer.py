@@ -165,3 +165,29 @@ def test_delete_on_partitioned_table(spark, sf_dir, tmp_path):
     assert _collect(got.select("doc_id", "lang", "n_chars")) == _collect(
         src.filter(f"NOT (lang = '{target}' AND doc_id % 2 = 0)")
     )
+
+
+def test_update_rewrites_matching_rows(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import update_delta_native
+
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 50), path)
+    write_delta_native(_docs(spark, sf_dir, 50, 100), path)
+    updated, rewritten = update_delta_native(
+        spark, path, {"n_chars": "n_chars * 10", "lang": "'xx'"},
+        "doc_id < 5",
+    )
+    assert updated == 5 and rewritten >= 1
+    got = read_delta_native(spark, path)
+    assert got.count() == 100
+    changed = {r["doc_id"]: r for r in got.filter("doc_id < 5").collect()}
+    src = {r["doc_id"]: r for r in _docs(spark, sf_dir, 0, 5).collect()}
+    for k in src:
+        assert changed[k]["lang"] == "xx"
+        assert changed[k]["n_chars"] == src[k]["n_chars"] * 10
+    # untouched rows identical
+    assert _collect(got.filter("doc_id >= 5")) == _collect(
+        _docs(spark, sf_dir, 5, 100)
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_delta_native(spark, path, {"nope": "1"}, "doc_id < 5")
