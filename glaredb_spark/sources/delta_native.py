@@ -604,3 +604,141 @@ def update_delta_native(
         {"predicate": predicate},
         rewrite,
     )
+
+
+def optimize_delta_native(
+    spark: SparkSession, path: str, max_files_per_group: int = 128
+) -> tuple[int, int]:
+    """Compaction (delta-spark's OPTIMIZE): rewrite the table's active
+    data files into fewer, larger ones — the small-files problem is the
+    operational cost of frequent small commits (e.g. the streaming sink).
+    Pure reorganization: `dataChange: false` on every action, so
+    streaming readers don't re-emit rows and time travel is unaffected.
+
+    Scale: one distributed read + write per partition group; the commit
+    is KB driver JSON. Returns (files_before, files_after)."""
+    import time
+
+    state = load_delta_state(path)
+    schema = StructType.fromJson(json.loads(state.schema_json))
+    part_cols = state.partition_columns
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+
+    def _resolve(p: str) -> str:
+        return os.path.join(path, urllib.parse.unquote(p))
+
+    n_before = len(state.adds)
+    if n_before <= 1:
+        return (n_before, n_before)
+    before = set(_walk_data_files(path))
+    by_part: dict[tuple, list[str]] = {}
+    for p, pv in state.adds.items():
+        by_part.setdefault(tuple(pv.get(c) for c in part_cols), []).append(p)
+    for key, rels in sorted(by_part.items()):
+        df = spark.read.schema(data_schema).parquet(
+            *[_resolve(p) for p in rels]
+        )
+        groups = max(1, (len(rels) + max_files_per_group - 1) // max_files_per_group)
+        out = df.coalesce(groups)
+        if part_cols:
+            # land inside the partition's own directory
+            pdir = os.path.join(
+                path,
+                *(
+                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else urllib.parse.quote(v, safe='')}"
+                    for c, v in zip(part_cols, key)
+                ),
+            )
+            out.write.mode("append").parquet(pdir)
+        else:
+            out.write.mode("append").parquet(path)
+    after = _walk_data_files(path)
+    new_files = {p: st for p, st in after.items() if p not in before}
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {},
+            }
+        }
+    ]
+    for rel in sorted(state.adds):
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now_ms,
+                        "dataChange": False}}
+        )
+    for rel in sorted(new_files):
+        st = new_files[rel]
+        actions.append(
+            {"add": {"path": urllib.parse.quote(rel.replace(os.sep, "/")),
+                     "partitionValues": _partition_values_from_path(
+                         rel, part_cols
+                     ),
+                     "size": st.st_size,
+                     "modificationTime": int(st.st_mtime * 1000),
+                     "dataChange": False}}
+        )
+    log_dir = os.path.join(path, "_delta_log")
+    next_version = 1 + max(
+        int(m.group(1))
+        for n in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(n))
+    )
+    commit_path = os.path.join(log_dir, f"{next_version:020d}.json")
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    except BaseException:
+        os.unlink(commit_path)
+        raise
+    return (n_before, len(new_files))
+
+
+def vacuum_delta_native(
+    spark: SparkSession, path: str, retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Physically delete data files no longer referenced by the CURRENT
+    table state and older than ``retention_hours`` (delta-spark's VACUUM;
+    default 7 days, its default too). Removed files become unreachable
+    for time travel past them — the documented, intended trade (history
+    beyond retention is given up for storage).
+
+    Driver-side: the candidate set is (files on disk) − (active files),
+    both KB-scale listings. Returns the deleted (or would-delete, when
+    ``dry_run``) relative paths."""
+    import time
+
+    state = load_delta_state(path)
+
+    def _resolve(p: str) -> str:
+        return os.path.join(path, urllib.parse.unquote(p))
+
+    active = {os.path.realpath(_resolve(p)) for p in state.adds}
+    cutoff = time.time() - retention_hours * 3600.0
+    victims = []
+    for rel, st in sorted(_walk_data_files(path).items()):
+        full = os.path.realpath(os.path.join(path, rel))
+        if full in active:
+            continue
+        if st.st_mtime > cutoff:
+            continue
+        victims.append(rel)
+    if not dry_run:
+        for rel in victims:
+            os.unlink(os.path.join(path, rel))
+        # prune now-empty partition dirs
+        for root, dirs, files in os.walk(path, topdown=False):
+            if "_delta_log" in root:
+                continue
+            if not dirs and not files and os.path.realpath(root) != os.path.realpath(path):
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+    return victims

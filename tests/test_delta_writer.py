@@ -191,3 +191,59 @@ def test_update_rewrites_matching_rows(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown columns"):
         update_delta_native(spark, path, {"nope": "1"}, "doc_id < 5")
+
+
+def test_optimize_compacts_without_data_change(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        load_delta_state,
+        optimize_delta_native,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in range(0, 60, 20):  # three small commits -> many files
+        write_delta_native(_docs(spark, sf_dir, lo, lo + 20), path)
+    n_before = len(load_delta_state(path).adds)
+    before_rows = _collect(read_delta_native(spark, path))
+    nb, na = optimize_delta_native(spark, path)
+    assert nb == n_before and na < nb
+    assert len(load_delta_state(path).adds) == na
+    assert _collect(read_delta_native(spark, path)) == before_rows
+    # pure reorganization: every action carries dataChange: false
+    import json as _json
+    import os as _os
+
+    log = _os.path.join(path, "_delta_log")
+    last = sorted(n for n in _os.listdir(log) if n.endswith(".json"))[-1]
+    with open(_os.path.join(log, last)) as fh:
+        for ln in fh:
+            a = _json.loads(ln)
+            for kind in ("add", "remove"):
+                if kind in a:
+                    assert a[kind]["dataChange"] is False
+
+
+def test_vacuum_removes_only_expired_unreferenced(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        optimize_delta_native,
+        vacuum_delta_native,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 30), path)
+    write_delta_native(_docs(spark, sf_dir, 30, 60), path)
+    optimize_delta_native(spark, path)  # old files now unreferenced
+    # within retention: nothing deleted
+    assert vacuum_delta_native(spark, path, retention_hours=1.0) == []
+    would = vacuum_delta_native(
+        spark, path, retention_hours=0.0, dry_run=True
+    )
+    assert would
+    gone = vacuum_delta_native(spark, path, retention_hours=0.0)
+    assert sorted(gone) == sorted(would)
+    # table still reads fully after vacuum
+    assert _collect(read_delta_native(spark, path)) == _collect(
+        _docs(spark, sf_dir, 0, 60)
+    )
+    # time travel past the vacuumed files is now (intentionally) broken
+    with pytest.raises(Exception):
+        read_delta_native(spark, path, version=0).collect()
