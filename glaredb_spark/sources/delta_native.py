@@ -742,3 +742,160 @@ def vacuum_delta_native(
                 except OSError:
                     pass
     return victims
+
+
+def merge_delta_native(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_not_matched_insert: bool = True,
+) -> tuple[int, int, int]:
+    """MERGE (upsert) into a native Delta table: target rows whose key
+    matches a source row get ``when_matched_update`` applied (SQL
+    expressions over ``t.<col>`` / ``s.<col>``; default: replace every
+    column with the source's), unmatched source rows are inserted.
+    Returns (updated_rows, inserted_rows, files_rewritten).
+
+    Copy-on-write like UPDATE/DELETE: only target files containing a key
+    match are rewritten; inserts land as new files in the same commit.
+    Multiple source rows per key raise (ambiguous merge, the standard
+    MERGE contract). Unpartitioned tables only for now (partitioned
+    merge needs the partition-literal join path). Scale: the probe and
+    the rewrite join shuffle on the merge keys — the exchange any
+    engine's MERGE performs; the source is typically the small side and
+    broadcasts under AQE."""
+    import time
+
+    state = load_delta_state(path)
+    schema = StructType.fromJson(json.loads(state.schema_json))
+    if state.partition_columns:
+        raise NotImplementedError(
+            "merge on partitioned native Delta tables not supported yet"
+        )
+    cols = [f.name for f in schema.fields]
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != table "
+            f"columns {sorted(cols)}"
+        )
+    dup = (
+        source.groupBy(*on).count().filter("count > 1").limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge source has multiple rows for key {tuple(dup[0][k] for k in on)!r}"
+        )
+    if when_matched_update is None:
+        when_matched_update = {c: f"s.{c}" for c in cols if c not in on}
+
+    def _resolve(p: str) -> str:
+        return os.path.join(path, urllib.parse.unquote(p))
+
+    files = [_resolve(p) for p in state.adds]
+    src = source.persist()
+    try:
+        target = spark.read.schema(schema).parquet(*files).withColumn(
+            "_f", F.col("_metadata.file_path")
+        )
+        key_cond = [target[k] == src[k] for k in on]
+        cond = key_cond[0]
+        for c in key_cond[1:]:
+            cond = cond & c
+        probe = (
+            target.join(src, cond, "left_semi")
+            .groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .collect()
+        )
+        updated = sum(r["hits"] for r in probe)
+
+        def _norm(uri: str) -> str:
+            return urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+
+        touched_full = {os.path.realpath(_norm(r["_f"])) for r in probe}
+        touched_rel = [
+            p for p in state.adds
+            if os.path.realpath(_resolve(p)) in touched_full
+        ]
+        if when_not_matched_insert:
+            inserts = source.alias("s").join(
+                spark.read.schema(schema).parquet(*files).select(*on),
+                on,
+                "left_anti",
+            ).select(*cols)
+        else:
+            inserts = spark.createDataFrame([], schema)
+        inserted = inserts.count()
+        if not touched_rel and inserted == 0:
+            return (0, 0, 0)
+        before = set(_walk_data_files(path))
+        pieces = [inserts]
+        if touched_rel:
+            t = spark.read.schema(schema).parquet(
+                *[_resolve(p) for p in touched_rel]
+            ).alias("t")
+            joined = t.join(src.alias("s"), on, "left")
+            matched = F.col(f"s.{on[0]}").isNotNull() if on else F.lit(False)
+            out_cols = []
+            for c in cols:
+                if c in on:
+                    out_cols.append(F.col(f"t.{c}").alias(c))
+                elif c in when_matched_update:
+                    out_cols.append(
+                        F.when(matched, F.expr(when_matched_update[c]))
+                        .otherwise(F.col(f"t.{c}"))
+                        .cast(schema[c].dataType)
+                        .alias(c)
+                    )
+                else:
+                    out_cols.append(F.col(f"t.{c}").alias(c))
+            pieces.append(joined.select(*out_cols))
+        out = pieces[0]
+        for df in pieces[1:]:
+            out = out.unionByName(df)
+        out.write.mode("append").parquet(path)
+        after = _walk_data_files(path)
+        new_files = {p: st for p, st in after.items() if p not in before}
+    finally:
+        src.unpersist()
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {"on": ",".join(on)},
+            }
+        }
+    ]
+    for rel in sorted(touched_rel):
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now_ms,
+                        "dataChange": True}}
+        )
+    for rel in sorted(new_files):
+        st = new_files[rel]
+        actions.append(
+            {"add": {"path": urllib.parse.quote(rel.replace(os.sep, "/")),
+                     "partitionValues": {}, "size": st.st_size,
+                     "modificationTime": int(st.st_mtime * 1000),
+                     "dataChange": True}}
+        )
+    log_dir = os.path.join(path, "_delta_log")
+    next_version = 1 + max(
+        int(m.group(1))
+        for n in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(n))
+    )
+    commit_path = os.path.join(log_dir, f"{next_version:020d}.json")
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    except BaseException:
+        os.unlink(commit_path)
+        raise
+    return (int(updated), int(inserted), len(touched_rel))

@@ -247,3 +247,56 @@ def test_vacuum_removes_only_expired_unreferenced(spark, sf_dir, tmp_path):
     # time travel past the vacuumed files is now (intentionally) broken
     with pytest.raises(Exception):
         read_delta_native(spark, path, version=0).collect()
+
+
+def test_merge_upsert(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from glaredb_spark.sources.delta_native import merge_delta_native
+
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 50), path)
+    # source: 10 updated keys (n_chars doubled) + 5 new keys
+    src = (
+        _docs(spark, sf_dir, 40, 65)
+        .withColumn("n_chars", F.col("n_chars") * 2)
+    )
+    updated, inserted, rewritten = merge_delta_native(
+        spark, path, src, on=["doc_id"]
+    )
+    assert (updated, inserted) == (10, 15) and rewritten >= 1
+    got = {r["doc_id"]: r for r in read_delta_native(spark, path).collect()}
+    assert len(got) == 65
+    base = {r["doc_id"]: r for r in _docs(spark, sf_dir, 0, 65).collect()}
+    for k, r in got.items():
+        expect = base[k]["n_chars"] * (2 if k >= 40 else 1)
+        assert r["n_chars"] == expect, k
+    # duplicate source keys are an ambiguous merge
+    import pytest as _pt
+
+    dup = src.union(src.limit(1))
+    with _pt.raises(ValueError, match="multiple rows"):
+        merge_delta_native(spark, path, dup, on=["doc_id"])
+
+
+def test_merge_matched_only(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from glaredb_spark.sources.delta_native import merge_delta_native
+
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 30), path)
+    src = _docs(spark, sf_dir, 20, 40).withColumn("lang", F.lit("zz"))
+    updated, inserted, _ = merge_delta_native(
+        spark, path, src, on=["doc_id"],
+        when_matched_update={"lang": "s.lang"},
+        when_not_matched_insert=False,
+    )
+    assert (updated, inserted) == (10, 0)
+    got = read_delta_native(spark, path)
+    assert got.count() == 30
+    assert got.filter("lang = 'zz'").count() == 10
+    # n_chars untouched by the partial update
+    assert _collect(got.select("doc_id", "n_chars")) == _collect(
+        _docs(spark, sf_dir, 0, 30).select("doc_id", "n_chars")
+    )
