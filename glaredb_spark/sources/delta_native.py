@@ -404,6 +404,48 @@ def write_delta_native(
     return next_version
 
 
+def _read_active(
+    spark: SparkSession,
+    path: str,
+    pairs,
+    data_schema,
+    types,
+    part_cols,
+    with_file_path: bool = False,
+):
+    """Distributed read of (relative_file, partitionValues) pairs with
+    partition literals re-attached per group (read_delta_native's
+    strategy). ``_metadata.file_path`` must be captured at the scan
+    itself (it isn't addressable above a union), hence the flag."""
+
+    def _resolve(p: str) -> str:
+        return os.path.join(path, urllib.parse.unquote(p))
+
+    if not part_cols:
+        df = spark.read.schema(data_schema).parquet(
+            *[_resolve(p) for p, _ in pairs]
+        )
+        if with_file_path:
+            df = df.withColumn("_f", F.col("_metadata.file_path"))
+        return df
+    by_part: dict[tuple, list[str]] = {}
+    for p, pv in pairs:
+        key = tuple(pv.get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(_resolve(p))
+    pieces = []
+    for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
+        df = spark.read.schema(data_schema).parquet(*files)
+        if with_file_path:
+            df = df.withColumn("_f", F.col("_metadata.file_path"))
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
+        pieces.append(df)
+    out = pieces[0]
+    for df in pieces[1:]:
+        out = out.unionAll(df)
+    return out
+
+
 def _rewrite_matching(
     spark: SparkSession,
     path: str,
@@ -433,35 +475,11 @@ def _rewrite_matching(
     if not state.adds:
         return (0, 0)
 
-    def _with_parts(files_with_pv, with_file_path=False):
-        """Distributed read of (resolved_file, partitionValues) pairs with
-        partition literals re-attached (grouped like read_delta_native).
-        ``_metadata.file_path`` must be captured at the scan itself (it
-        isn't addressable above a union), hence the flag."""
-        by_part: dict[tuple, list[str]] = {}
-        for p, pv in files_with_pv:
-            key = tuple(pv.get(c) for c in part_cols)
-            by_part.setdefault(key, []).append(_resolve(p))
-        pieces = []
-        for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
-            df = spark.read.schema(data_schema).parquet(*files)
-            if with_file_path:
-                df = df.withColumn("_f", F.col("_metadata.file_path"))
-            for c, raw in zip(part_cols, key):
-                df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
-            pieces.append(df)
-        out = pieces[0]
-        for df in pieces[1:]:
-            out = out.unionAll(df)
-        return out
-
     all_pairs = list(state.adds.items())
-    if part_cols:
-        probe_df = _with_parts(all_pairs, with_file_path=True)
-    else:
-        probe_df = spark.read.schema(data_schema).parquet(
-            *[_resolve(p) for p, _ in all_pairs]
-        ).withColumn("_f", F.col("_metadata.file_path"))
+    probe_df = _read_active(
+        spark, path, all_pairs, data_schema, types, part_cols,
+        with_file_path=True,
+    )
     probe = (
         probe_df.select(
             "_f",
@@ -489,12 +507,8 @@ def _rewrite_matching(
     ]
     before = set(_walk_data_files(path))
     touched_pairs = [(p, state.adds[p]) for p in touched_rel]
-    touched_src = (
-        _with_parts(touched_pairs)
-        if part_cols
-        else spark.read.schema(data_schema).parquet(
-            *[_resolve(p) for p, _ in touched_pairs]
-        )
+    touched_src = _read_active(
+        spark, path, touched_pairs, data_schema, types, part_cols
     )
     pred_col = F.coalesce(F.expr(predicate), F.lit(False))
     replacement = rewrite(touched_src, pred_col)
@@ -761,8 +775,9 @@ def merge_delta_native(
     Copy-on-write like UPDATE/DELETE: only target files containing a key
     match are rewritten; inserts land as new files in the same commit.
     Multiple source rows per key raise (ambiguous merge, the standard
-    MERGE contract). Unpartitioned tables only for now (partitioned
-    merge needs the partition-literal join path). Scale: the probe and
+    MERGE contract). Partitioned tables re-attach
+    partition literals for the joins and land output via hive-style
+    partitionBy. Scale: the probe and
     the rewrite join shuffle on the merge keys — the exchange any
     engine's MERGE performs; the source is typically the small side and
     broadcasts under AQE."""
@@ -770,10 +785,10 @@ def merge_delta_native(
 
     state = load_delta_state(path)
     schema = StructType.fromJson(json.loads(state.schema_json))
-    if state.partition_columns:
-        raise NotImplementedError(
-            "merge on partitioned native Delta tables not supported yet"
-        )
+    part_cols = state.partition_columns
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+    types = {f.name: f.dataType for f in schema.fields}
     cols = [f.name for f in schema.fields]
     if sorted(source.columns) != sorted(cols):
         raise ValueError(
@@ -793,11 +808,12 @@ def merge_delta_native(
     def _resolve(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
 
-    files = [_resolve(p) for p in state.adds]
+    all_pairs = list(state.adds.items())
     src = source.persist()
     try:
-        target = spark.read.schema(schema).parquet(*files).withColumn(
-            "_f", F.col("_metadata.file_path")
+        target = _read_active(
+            spark, path, all_pairs, data_schema, types, part_cols,
+            with_file_path=True,
         )
         key_cond = [target[k] == src[k] for k in on]
         cond = key_cond[0]
@@ -821,7 +837,9 @@ def merge_delta_native(
         ]
         if when_not_matched_insert:
             inserts = source.alias("s").join(
-                spark.read.schema(schema).parquet(*files).select(*on),
+                _read_active(
+                    spark, path, all_pairs, data_schema, types, part_cols
+                ).select(*on),
                 on,
                 "left_anti",
             ).select(*cols)
@@ -833,8 +851,10 @@ def merge_delta_native(
         before = set(_walk_data_files(path))
         pieces = [inserts]
         if touched_rel:
-            t = spark.read.schema(schema).parquet(
-                *[_resolve(p) for p in touched_rel]
+            t = _read_active(
+                spark, path,
+                [(p, state.adds[p]) for p in touched_rel],
+                data_schema, types, part_cols,
             ).alias("t")
             joined = t.join(src.alias("s"), on, "left")
             matched = F.col(f"s.{on[0]}").isNotNull() if on else F.lit(False)
@@ -855,7 +875,10 @@ def merge_delta_native(
         out = pieces[0]
         for df in pieces[1:]:
             out = out.unionByName(df)
-        out.write.mode("append").parquet(path)
+        writer = out.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(path)
         after = _walk_data_files(path)
         new_files = {p: st for p, st in after.items() if p not in before}
     finally:
@@ -879,7 +902,10 @@ def merge_delta_native(
         st = new_files[rel]
         actions.append(
             {"add": {"path": urllib.parse.quote(rel.replace(os.sep, "/")),
-                     "partitionValues": {}, "size": st.st_size,
+                     "partitionValues": _partition_values_from_path(
+                         rel, part_cols
+                     ),
+                     "size": st.st_size,
                      "modificationTime": int(st.st_mtime * 1000),
                      "dataChange": True}}
         )

@@ -300,3 +300,29 @@ def test_merge_matched_only(spark, sf_dir, tmp_path):
     assert _collect(got.select("doc_id", "n_chars")) == _collect(
         _docs(spark, sf_dir, 0, 30).select("doc_id", "n_chars")
     )
+
+
+def test_merge_on_partitioned_table(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from glaredb_spark.sources.delta_native import merge_delta_native
+
+    path = str(tmp_path / "t")
+    write_delta_native(
+        _docs(spark, sf_dir, 0, 50), path, partition_by=["lang"]
+    )
+    src = (
+        _docs(spark, sf_dir, 40, 60)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+    )
+    updated, inserted, rewritten = merge_delta_native(
+        spark, path, src, on=["doc_id"]
+    )
+    assert (updated, inserted) == (10, 10) and rewritten >= 1
+    got = {r["doc_id"]: r for r in read_delta_native(spark, path).collect()}
+    assert len(got) == 60
+    base = {r["doc_id"]: r for r in _docs(spark, sf_dir, 0, 60).collect()}
+    for k, r in got.items():
+        bump = 1000 if k >= 40 else 0
+        assert r["n_chars"] == base[k]["n_chars"] + bump, k
+        assert r["lang"] == base[k]["lang"], k
