@@ -91,9 +91,14 @@ def _read_checkpoint(state: DeltaState, log_dir: str, version: int, parts: int |
         cols = set(tbl.column_names)
         for row in tbl.to_pylist():
             # checkpoint rows are one-hot: exactly one action struct non-null
-            for kind in ("protocol", "metaData", "add", "remove"):
+            for kind in ("protocol", "metaData", "add", "remove", "txn"):
                 if kind in cols and row.get(kind) is not None:
-                    state.apply({kind: row[kind]})
+                    action = row[kind]
+                    # map columns surface as list-of-pairs in pyarrow
+                    pv = action.get("partitionValues") if kind == "add" else None
+                    if isinstance(pv, list):
+                        action = dict(action, partitionValues=dict(pv))
+                    state.apply({kind: action})
 
 
 def load_delta_state(path: str, version: int | None = None) -> DeltaState:
@@ -925,3 +930,111 @@ def merge_delta_native(
         os.unlink(commit_path)
         raise
     return (int(updated), int(inserted), len(touched_rel))
+
+
+def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
+    """Write a checkpoint for the table's current version — the log-
+    compaction half of the protocol (readers then fold
+    checkpoint + commits-after instead of every commit since 0).
+    Produces ``<version>.checkpoint.parquet`` (one-hot action rows, the
+    spec's classic checkpoint shape) and ``_last_checkpoint``. Driver-
+    side KB work via pyarrow; returns the checkpointed version.
+
+    partitionValues is written as a map column; the reader normalizes
+    pyarrow's list-of-pairs map representation back to a dict."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state = load_delta_state(path)
+    log_dir = os.path.join(path, "_delta_log")
+    version = max(
+        int(m.group(1))
+        for n in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(n))
+    )
+    rows = []
+    rows.append(
+        {
+            "protocol": {"minReaderVersion": state.min_reader_version,
+                         "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+            "txn": None,
+        }
+    )
+    rows.append(
+        {
+            "protocol": None,
+            "metaData": {
+                "id": "checkpointed",
+                "schemaString": state.schema_json,
+                "partitionColumns": state.partition_columns,
+            },
+            "add": None,
+            "txn": None,
+        }
+    )
+    for p, pv in sorted(state.adds.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": p,
+                    "partitionValues": [
+                        (k, v) for k, v in pv.items()
+                    ],
+                    "size": 0,
+                    "modificationTime": 0,
+                    "dataChange": False,
+                },
+                "txn": None,
+            }
+        )
+    for app_id, v in sorted(state.txns.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app_id, "version": v},
+            }
+        )
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()),
+                     ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [("id", pa.string()), ("schemaString", pa.string()),
+                     ("partitionColumns", pa.list_(pa.string()))]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [("path", pa.string()),
+                     ("partitionValues", pa.map_(pa.string(), pa.string())),
+                     ("size", pa.int64()),
+                     ("modificationTime", pa.int64()),
+                     ("dataChange", pa.bool_())]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
+            ),
+        ]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(table, cp_path)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return version

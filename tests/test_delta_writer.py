@@ -326,3 +326,42 @@ def test_merge_on_partitioned_table(spark, sf_dir, tmp_path):
         bump = 1000 if k >= 40 else 0
         assert r["n_chars"] == base[k]["n_chars"] + bump, k
         assert r["lang"] == base[k]["lang"], k
+
+
+def test_checkpoint_compacts_log(spark, sf_dir, tmp_path):
+    import os as _os
+
+    from glaredb_spark.sources.delta_native import (
+        checkpoint_delta_native,
+        load_delta_state,
+    )
+    from glaredb_spark.streaming.sink import delta_batch_writer
+
+    path = str(tmp_path / "t")
+    write_delta_native(
+        _docs(spark, sf_dir, 0, 30), path, partition_by=["lang"]
+    )
+    # a txn-marked batch so the checkpoint must carry txns too
+    delta_batch_writer(path, app_id="appZ")(
+        _docs(spark, sf_dir, 30, 40), 7
+    )
+    v = checkpoint_delta_native(spark, path)
+    assert v == 1
+    assert _os.path.exists(
+        _os.path.join(path, "_delta_log", "_last_checkpoint")
+    )
+    # the fold now starts from the checkpoint; state must be identical
+    st = load_delta_state(path)
+    assert st.txns.get("appZ") == 7
+    assert st.partition_columns == ["lang"]
+    before = _collect(read_delta_native(spark, path))
+    assert before == _collect(_docs(spark, sf_dir, 0, 40))
+    # commits after the checkpoint still apply on top of it
+    write_delta_native(_docs(spark, sf_dir, 40, 45), path)
+    assert len(_collect(read_delta_native(spark, path))) == 45
+    # and the checkpoint makes pre-checkpoint commit files droppable
+    for n in ("00000000000000000000.json", "00000000000000000001.json"):
+        _os.unlink(_os.path.join(path, "_delta_log", n))
+    assert _collect(read_delta_native(spark, path)) == _collect(
+        _docs(spark, sf_dir, 0, 45)
+    )
