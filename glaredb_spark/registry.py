@@ -61,10 +61,11 @@ GATE_PRIORITY: list[str] = [
     "text_token_stats",
     "multimodal_decode_bmp",
     "cb_regexp_domain_agg",
-    # new native Delta log reader, first driver row; slot freed by
-    # cb_sum_expr_battery (module keeps cb_regexp_domain_agg; still in
-    # the local strict gate)
-    "delta_log_scan",
+    # native Delta WRITE→log→read roundtrip (r4 writer) — strictly
+    # stronger than the r4-early delta_log_scan it replaces (the
+    # roundtrip reads a table the writer just committed; the log-scan
+    # fold stays in the local strict gate every round)
+    "delta_write_roundtrip",
     "tpcds_rollup_rank",
     # new semantic module (k-means + SemDeDup), first driver row; slot
     # freed by tpcds_channel_union (module keeps two other reps; still in
