@@ -57,6 +57,17 @@ _DETACH_RE = re.compile(
 # Count (execution/operators/catalog/insert.rs:33; slt insert_count.slt)
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
 
+# DML over native Delta table DIRECTORIES (path-quoted forms; the
+# copy-on-write execution lives in sources/delta_native.py)
+_DELETE_PATH_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_PATH_RE = re.compile(
+    r"^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # DESCRIBE <table|query> — reference statement Describe (glaredb_parser
 # statement.rs:24-62); output formatted by catalog.describe with reference
 # type names. Also usable inside FROM: SELECT * FROM (DESCRIBE t)
@@ -521,6 +532,40 @@ class GlareSession:
                 )
                 msg = f"attached {attach.group(2)}"
             return self.spark.range(1).select(F.lit(msg).alias("status"))
+        dml = _DELETE_PATH_RE.match(query)
+        if dml:
+            # DELETE FROM '<delta-table-dir>' WHERE pred — copy-on-write
+            # over the native log (sources/delta_native.py)
+            from pyspark.sql import functions as F
+
+            from glaredb_spark.sources.delta_native import delete_delta_native
+
+            n, _ = delete_delta_native(
+                self.spark, dml.group(1), dml.group(2)
+            )
+            return self.spark.range(1).select(
+                F.lit(n).cast("bigint").alias("Count")
+            )
+        dml = _UPDATE_PATH_RE.match(query)
+        if dml:
+            # UPDATE '<delta-table-dir>' SET c = expr[, ...] WHERE pred
+            from pyspark.sql import functions as F
+
+            from glaredb_spark.functions.arith_binder import _split_top_args
+            from glaredb_spark.sources.delta_native import update_delta_native
+
+            sets: dict[str, str] = {}
+            for item in _split_top_args(dml.group(2)):
+                col, eq, expr = item.partition("=")
+                if not eq or not col.strip() or not expr.strip():
+                    raise ValueError(f"malformed SET clause item: {item!r}")
+                sets[col.strip().strip("`\"")] = expr.strip()
+            n, _ = update_delta_native(
+                self.spark, dml.group(1), sets, dml.group(3)
+            )
+            return self.spark.range(1).select(
+                F.lit(n).cast("bigint").alias("Count")
+            )
         ins = _INSERT_RE.match(query)
         if ins:
             from pyspark.sql import Observation

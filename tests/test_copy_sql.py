@@ -71,3 +71,26 @@ def test_copy_to_iceberg_appends_native_table(sess, tmp_path):
     assert n == 25
     back = read_iceberg_native(sess.spark, out)
     assert back.count() == 25
+
+
+def test_sql_dml_on_delta_path(sess, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    out = str(tmp_path / "nat_delta")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_regionkey FROM nation) TO '{out}' "
+        "(FORMAT DELTA)"
+    )
+    total = read_delta_native(sess.spark, out).count()
+    n = sess.sql(
+        f"DELETE FROM '{out}' WHERE n_nationkey < 5"
+    ).collect()[0].Count
+    assert n == 5
+    assert read_delta_native(sess.spark, out).count() == total - 5
+    n = sess.sql(
+        f"UPDATE '{out}' SET n_regionkey = n_regionkey + 100 "
+        "WHERE n_nationkey < 10"
+    ).collect()[0].Count
+    assert n == 5  # keys 5..9 remain
+    got = read_delta_native(sess.spark, out)
+    assert got.filter("n_regionkey >= 100").count() == 5
