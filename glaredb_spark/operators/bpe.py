@@ -245,3 +245,50 @@ def bpe_apply_encode(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_PAIR_STATS_ORACLE = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM (
+    SELECT w, unnest(range(1, length(w))) AS i
+    FROM words WHERE length(w) >= 2
+  )
+)
+SELECT pair, count(*) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+"""
+
+
+@register_query("bpe_pair_stats", oracle=_PAIR_STATS_ORACLE)
+def bpe_pair_stats(spark, sf_dir):
+    """The top-20 adjacent character pairs over the corpus's words — the
+    pair-frequency statistic BPE training's first iteration maximizes
+    (Sennrich et al. 2016 §3.2), as one declarative aggregation.
+
+    Scale: split+explode is map-only; the pair explosion multiplies rows
+    by avg word length but each row is a 2-char string, and the groupBy
+    partial-aggregates map-side down to |alphabet|² keys before the
+    exchange; top-k is TakeOrdered (no global sort). Zero Python in the
+    hot path."""
+    docs = load_wide(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )

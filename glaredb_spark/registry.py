@@ -37,7 +37,13 @@ GATE_PRIORITY: list[str] = [
     "events_sessionize",
     # r3 problem rows, re-proving this round
     "emb_unit_quantize",  # r3 driver ERR (array canonicalization) — fixed
-    "fn_native_approx",  # no oracle: rows-only driver check, by design
+    # r5 swap (VERDICT r4 'What's wrong' #4): the two rows-only entries
+    # (fn_native_approx, bpe_train_merges) leave the 50-slot gate — they
+    # read as `err: no_oracle` in the driver ledger despite being
+    # rows-only by design; both stay in the local strict gate every
+    # round. Their slots go to oracle-gated queries that never had a
+    # driver row:
+    "fn_percentile_battery",  # exact percentile forms, first driver row
     # first-ever driver rows
     "meta_filename_counts",  # new: _filename virtual column
     "rel_cube",  # pass(local) only until now
@@ -86,10 +92,10 @@ GATE_PRIORITY: list[str] = [
     # r4-new chunking module (RAG chunks + epoch shuffle), first driver
     # row; slot freed by tpch_q12 above
     "text_chunk_overlap",
-    # r4-new BPE merge trainer (rows-only: iterative argmax→rewrite);
-    # slot freed by rel_limit_offset (relational2 keeps rel_subqueries;
-    # still in the local strict gate)
-    "bpe_train_merges",
+    # r5-new oracle-gated BPE pair-frequency statistic — takes
+    # bpe_train_merges' slot (rows-only by design, local gate only) and
+    # keeps the bpe module represented in the gate prefix
+    "bpe_pair_stats",
 ]
 
 

@@ -346,8 +346,10 @@ class GlareSession:
         m = _SHOW_VAR_RE.match(query)
         if m:
             name = m.group(1).lower()
+            # only intercept names we actually own — SHOW NAMESPACES etc.
+            # stay valid Spark SQL (ADVICE r4)
             if name not in self._VAR_SPEC:
-                raise ValueError(f"Missing setting for '{name}'")
+                return None
             return self.spark.range(1).select(
                 F.lit(fmt(self.session_vars[name])).alias(name)
             )

@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.\d{10}\.(\d{10}))?\.parquet$"
+)
 _UNSUPPORTED_FEATURES = {"deletionVectors", "columnMapping"}
 
 
@@ -48,6 +51,15 @@ class DeltaState:
         self.reader_features: set[str] = set()
         # path -> partitionValues dict (last add wins per spec)
         self.adds: dict[str, dict[str, Any]] = {}
+        # path -> full add action (size / modificationTime carried so
+        # checkpoints we write preserve real file metadata)
+        self.add_meta: dict[str, dict] = {}
+        # path -> deletionTimestamp for removed files (the tombstones a
+        # spec checkpoint retains so VACUUM-era readers don't resurrect)
+        self.removes: dict[str, int] = {}
+        # the last metaData action verbatim (id/format/configuration kept
+        # for checkpoint fidelity, not just schema/partitions)
+        self.metadata_raw: dict | None = None
         # appId -> latest committed transaction version (spec `txn`
         # action — the idempotence handle streaming writers use)
         self.txns: dict[str, int] = {}
@@ -61,16 +73,48 @@ class DeltaState:
             m = action["metaData"]
             self.schema_json = m.get("schemaString")
             self.partition_columns = list(m.get("partitionColumns") or [])
+            self.metadata_raw = dict(m)
         elif "add" in action:
             a = action["add"]
             self.adds[a["path"]] = a.get("partitionValues") or {}
+            self.add_meta[a["path"]] = dict(a)
+            self.removes.pop(a["path"], None)
         elif "remove" in action:
-            self.adds.pop(action["remove"]["path"], None)
+            r = action["remove"]
+            self.adds.pop(r["path"], None)
+            self.add_meta.pop(r["path"], None)
+            self.removes[r["path"]] = int(r.get("deletionTimestamp") or 0)
         elif "txn" in action:
             t = action["txn"]
             self.txns[t["appId"]] = max(
                 int(t["version"]), self.txns.get(t["appId"], -1)
             )
+
+
+def _list_checkpoints(log_dir: str) -> list[tuple[int, int | None]]:
+    """Sorted (version, parts) for every checkpoint present in the log
+    directory — listed directly rather than trusting ``_last_checkpoint``
+    (per spec that file is only a hint and may be stale or missing)."""
+    found: dict[int, int | None] = {}
+    for n in os.listdir(log_dir):
+        m = _CHECKPOINT_RE.match(n)
+        if m:
+            found[int(m.group(1))] = int(m.group(2)) if m.group(2) else None
+    return sorted(found.items())
+
+
+def _latest_version(log_dir: str) -> int | None:
+    """Newest table version visible in the log — max over JSON commits AND
+    checkpoints, so a checkpoint-only table (pre-checkpoint commits
+    cleaned up) is still recognized as an existing table. None when the
+    directory holds neither."""
+    versions = [
+        int(m.group(1))
+        for n in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(n))
+    ]
+    versions.extend(v for v, _ in _list_checkpoints(log_dir))
+    return max(versions) if versions else None
 
 
 def _read_checkpoint(state: DeltaState, log_dir: str, version: int, parts: int | None) -> None:
@@ -86,6 +130,10 @@ def _read_checkpoint(state: DeltaState, log_dir: str, version: int, parts: int |
         ]
     else:
         files = [os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")]
+    def _demap(v):
+        # map columns surface as list-of-pairs in pyarrow
+        return dict(v) if isinstance(v, list) else v
+
     for f in files:
         tbl = pq.read_table(f)
         cols = set(tbl.column_names)
@@ -93,11 +141,21 @@ def _read_checkpoint(state: DeltaState, log_dir: str, version: int, parts: int |
             # checkpoint rows are one-hot: exactly one action struct non-null
             for kind in ("protocol", "metaData", "add", "remove", "txn"):
                 if kind in cols and row.get(kind) is not None:
-                    action = row[kind]
-                    # map columns surface as list-of-pairs in pyarrow
-                    pv = action.get("partitionValues") if kind == "add" else None
-                    if isinstance(pv, list):
-                        action = dict(action, partitionValues=dict(pv))
+                    action = dict(row[kind])
+                    if kind == "add" or kind == "remove":
+                        if "partitionValues" in action:
+                            action["partitionValues"] = _demap(
+                                action["partitionValues"]
+                            )
+                    elif kind == "metaData":
+                        if "configuration" in action:
+                            action["configuration"] = _demap(
+                                action["configuration"]
+                            )
+                        fmt = action.get("format")
+                        if isinstance(fmt, dict) and "options" in fmt:
+                            fmt = dict(fmt, options=_demap(fmt["options"]))
+                            action["format"] = fmt
                     state.apply({kind: action})
 
 
@@ -110,32 +168,46 @@ def load_delta_state(path: str, version: int | None = None) -> DeltaState:
             f"not a Delta table: {path!r} has no _delta_log/ directory"
         )
     state = DeltaState()
-    start_after = -1
-    last_cp = os.path.join(log_dir, "_last_checkpoint")
-    if os.path.exists(last_cp) and version is None:
-        # time travel ignores the checkpoint (it may postdate the target
-        # version) and folds the json commits from 0
-        with open(last_cp) as fh:
-            cp = json.load(fh)
-        _read_checkpoint(state, log_dir, int(cp["version"]), cp.get("parts"))
-        start_after = int(cp["version"])
     commits = sorted(
         (int(m.group(1)), os.path.join(log_dir, n))
         for n in os.listdir(log_dir)
         if (m := _COMMIT_RE.match(n))
     )
-    if not commits and start_after < 0:
+    checkpoints = _list_checkpoints(log_dir)
+    if not commits and not checkpoints:
         raise RuntimeError(f"Delta log at {log_dir!r} contains no commits")
     if version is not None:
-        if not any(v == version for v, _ in commits):
+        if not any(v == version for v, _ in commits) and not any(
+            v == version for v, _ in checkpoints
+        ):
             raise RuntimeError(
                 f"Delta table at {path!r} has no version {version} "
-                f"(available: {[v for v, _ in commits]})"
+                f"(available: {sorted({v for v, _ in commits} | {v for v, _ in checkpoints})})"
             )
         commits = [(v, f) for v, f in commits if v <= version]
-    for version_i, fname in commits:
-        if version_i <= start_after:
-            continue
+    # Start the fold from the newest checkpoint at-or-before the target
+    # version (all of history for a current-state read). Time travel is
+    # checkpoint-aware: once pre-checkpoint commits are cleaned up, the
+    # checkpoint is the only complete snapshot of those versions.
+    start_after = -1
+    eligible = [
+        (v, p) for v, p in checkpoints if version is None or v <= version
+    ]
+    if eligible:
+        cp_version, parts = eligible[-1]  # newest complete snapshot wins
+        _read_checkpoint(state, log_dir, cp_version, parts)
+        start_after = cp_version
+    remaining = [(v, f) for v, f in commits if v > start_after]
+    if start_after < 0 and remaining and remaining[0][0] != 0:
+        # no snapshot covers the head of history: commits 0..N-1 are gone
+        # and no checkpoint replaces them — an incomplete fold would
+        # silently miss metaData/adds, so refuse loudly instead
+        raise RuntimeError(
+            f"Delta history at {path!r} is unavailable before version "
+            f"{remaining[0][0]} (earlier commits were cleaned up and no "
+            "checkpoint at-or-before the requested version exists)"
+        )
+    for _version_i, fname in remaining:
         with open(fname) as fh:
             for line in fh:
                 line = line.strip()
@@ -270,6 +342,85 @@ def _partition_values_from_path(rel: str, part_cols: list[str]) -> dict:
     return {c: vals.get(c) for c in part_cols}
 
 
+def _staged_write(
+    df: DataFrame, path: str, part_cols: list[str],
+    coalesce: int | None = None, subdir_parts: list[str] | None = None,
+) -> dict[str, os.stat_result]:
+    """Write ``df`` as new data files under a UNIQUE per-commit
+    subdirectory of the table root and return exactly the files this
+    write created (relative path -> stat). Commits attribute only their
+    own files — a concurrent writer's in-flight parquet can never be
+    claimed by this commit (the before/after directory-diff this
+    replaces had that race; ADVICE r4). The spec allows data files in
+    any subdirectory of the table root, so no post-write move is needed.
+    ``subdir_parts`` pre-routes the write below extra path components
+    (OPTIMIZE uses it to land each partition group under its own
+    ``k=v`` dirs without a shuffle-inducing partitionBy)."""
+    import shutil
+    import uuid
+
+    sub = "c" + uuid.uuid4().hex[:16]
+    dest = os.path.join(path, sub, *(subdir_parts or []))
+    if coalesce is not None:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode("append")
+    if part_cols and subdir_parts is None:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(dest)
+    out: dict[str, os.stat_result] = {}
+    commit_root = os.path.join(path, sub)
+    for root, _dirs, files in os.walk(commit_root):
+        for n in files:
+            full = os.path.join(root, n)
+            if n.endswith(".parquet"):
+                out[os.path.relpath(full, path)] = os.stat(full)
+            else:
+                # committer markers (_SUCCESS, .crc) — not table data
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
+    if not out:
+        shutil.rmtree(commit_root, ignore_errors=True)
+    return out
+
+
+def _commit_actions(log_dir: str, version: int, actions: list[dict]) -> None:
+    """Atomically publish one commit: put-if-absent via O_CREAT|O_EXCL —
+    real optimistic concurrency on any POSIX filesystem; the loser of a
+    same-version race raises (its staged data files stay unreferenced
+    and are VACUUM-able). Object stores without atomic create need a
+    LogStore service, out of scope here as in delta-rs defaults."""
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    except BaseException:
+        os.unlink(commit_path)
+        raise
+
+
+def _add_action(
+    rel: str, st: os.stat_result, part_cols: list[str],
+    data_change: bool = True, partition_values: dict | None = None,
+) -> dict:
+    return {
+        "add": {
+            "path": urllib.parse.quote(rel.replace(os.sep, "/")),
+            "partitionValues": (
+                partition_values
+                if partition_values is not None
+                else _partition_values_from_path(rel, part_cols)
+            ),
+            "size": st.st_size,
+            "modificationTime": int(st.st_mtime * 1000),
+            "dataChange": data_change,
+        }
+    }
+
+
 def write_delta_native(
     df: DataFrame,
     path: str,
@@ -306,9 +457,10 @@ def write_delta_native(
     log_dir = os.path.join(path, "_delta_log")
     state = None
     next_version = 0
-    if os.path.isdir(log_dir) and any(
-        _COMMIT_RE.match(n) for n in os.listdir(log_dir)
-    ):
+    latest = _latest_version(log_dir) if os.path.isdir(log_dir) else None
+    if latest is not None:
+        # existing table — even if checkpoint-only (all commit JSONs
+        # cleaned up after a checkpoint; ADVICE r4 high)
         state = load_delta_state(path)
         existing_schema = StructType.fromJson(json.loads(state.schema_json))
         if [f.name for f in existing_schema.fields] != df.columns:
@@ -323,20 +475,10 @@ def write_delta_native(
                 f"{state.partition_columns}"
             )
         part_cols = state.partition_columns
-        next_version = 1 + max(
-            int(m.group(1))
-            for n in os.listdir(log_dir)
-            if (m := _COMMIT_RE.match(n))
-        )
+        next_version = latest + 1
     os.makedirs(log_dir, exist_ok=True)
 
-    before = set(_walk_data_files(path))
-    writer = df.write.mode("append")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(path)
-    after = _walk_data_files(path)
-    new_files = {p: st for p, st in after.items() if p not in before}
+    new_files = _staged_write(df, path, part_cols)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
@@ -383,29 +525,8 @@ def write_delta_native(
                 }
             )
     for rel in sorted(new_files):
-        st = new_files[rel]
-        actions.append(
-            {
-                "add": {
-                    "path": urllib.parse.quote(rel.replace(os.sep, "/")),
-                    "partitionValues": _partition_values_from_path(
-                        rel, part_cols
-                    ),
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
-                }
-            }
-        )
-    commit_path = os.path.join(log_dir, f"{next_version:020d}.json")
-    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-    except BaseException:
-        os.unlink(commit_path)
-        raise
+        actions.append(_add_action(rel, new_files[rel], part_cols))
+    _commit_actions(log_dir, next_version, actions)
     return next_version
 
 
@@ -510,20 +631,13 @@ def _rewrite_matching(
         p for p in state.adds
         if os.path.realpath(_resolve(p)) in touched_full
     ]
-    before = set(_walk_data_files(path))
     touched_pairs = [(p, state.adds[p]) for p in touched_rel]
     touched_src = _read_active(
         spark, path, touched_pairs, data_schema, types, part_cols
     )
     pred_col = F.coalesce(F.expr(predicate), F.lit(False))
     replacement = rewrite(touched_src, pred_col)
-    writer = replacement.write.mode("append")
-    if part_cols:
-        # re-attach via hive-style dirs; partitionValues re-parsed below
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(path)
-    after = _walk_data_files(path)
-    new_files = {p: st for p, st in after.items() if p not in before}
+    new_files = _staged_write(replacement, path, part_cols)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -540,31 +654,9 @@ def _rewrite_matching(
                         "dataChange": True}}
         )
     for rel in sorted(new_files):
-        st = new_files[rel]
-        actions.append(
-            {"add": {"path": urllib.parse.quote(rel.replace(os.sep, "/")),
-                     "partitionValues": _partition_values_from_path(
-                         rel, part_cols
-                     ),
-                     "size": st.st_size,
-                     "modificationTime": int(st.st_mtime * 1000),
-                     "dataChange": True}}
-        )
+        actions.append(_add_action(rel, new_files[rel], part_cols))
     log_dir = os.path.join(path, "_delta_log")
-    next_version = 1 + max(
-        int(m.group(1))
-        for n in os.listdir(log_dir)
-        if (m := _COMMIT_RE.match(n))
-    )
-    commit_path = os.path.join(log_dir, f"{next_version:020d}.json")
-    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-    except BaseException:
-        os.unlink(commit_path)
-        raise
+    _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (int(matched), len(touched_rel))
 
 
@@ -650,30 +742,25 @@ def optimize_delta_native(
     n_before = len(state.adds)
     if n_before <= 1:
         return (n_before, n_before)
-    before = set(_walk_data_files(path))
     by_part: dict[tuple, list[str]] = {}
     for p, pv in state.adds.items():
         by_part.setdefault(tuple(pv.get(c) for c in part_cols), []).append(p)
+    new_files: dict[str, os.stat_result] = {}
     for key, rels in sorted(by_part.items()):
         df = spark.read.schema(data_schema).parquet(
             *[_resolve(p) for p in rels]
         )
         groups = max(1, (len(rels) + max_files_per_group - 1) // max_files_per_group)
-        out = df.coalesce(groups)
-        if part_cols:
-            # land inside the partition's own directory
-            pdir = os.path.join(
-                path,
-                *(
-                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else urllib.parse.quote(v, safe='')}"
-                    for c, v in zip(part_cols, key)
-                ),
-            )
-            out.write.mode("append").parquet(pdir)
-        else:
-            out.write.mode("append").parquet(path)
-    after = _walk_data_files(path)
-    new_files = {p: st for p, st in after.items() if p not in before}
+        # each group lands under its own k=v dirs inside this commit's
+        # unique staging subdir (race-free attribution, see _staged_write)
+        comps = [
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else urllib.parse.quote(v, safe='')}"
+            for c, v in zip(part_cols, key)
+        ]
+        new_files.update(
+            _staged_write(df, path, part_cols, coalesce=groups,
+                          subdir_parts=comps)
+        )
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -690,31 +777,11 @@ def optimize_delta_native(
                         "dataChange": False}}
         )
     for rel in sorted(new_files):
-        st = new_files[rel]
         actions.append(
-            {"add": {"path": urllib.parse.quote(rel.replace(os.sep, "/")),
-                     "partitionValues": _partition_values_from_path(
-                         rel, part_cols
-                     ),
-                     "size": st.st_size,
-                     "modificationTime": int(st.st_mtime * 1000),
-                     "dataChange": False}}
+            _add_action(rel, new_files[rel], part_cols, data_change=False)
         )
     log_dir = os.path.join(path, "_delta_log")
-    next_version = 1 + max(
-        int(m.group(1))
-        for n in os.listdir(log_dir)
-        if (m := _COMMIT_RE.match(n))
-    )
-    commit_path = os.path.join(log_dir, f"{next_version:020d}.json")
-    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-    except BaseException:
-        os.unlink(commit_path)
-        raise
+    _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (n_before, len(new_files))
 
 
@@ -850,10 +917,13 @@ def merge_delta_native(
             ).select(*cols)
         else:
             inserts = spark.createDataFrame([], schema)
+        # persisted so the anti-join shuffle runs once: .count() here and
+        # the write below reuse the same materialization (ADVICE r4)
+        inserts = inserts.persist()
         inserted = inserts.count()
         if not touched_rel and inserted == 0:
+            inserts.unpersist()
             return (0, 0, 0)
-        before = set(_walk_data_files(path))
         pieces = [inserts]
         if touched_rel:
             t = _read_active(
@@ -880,12 +950,8 @@ def merge_delta_native(
         out = pieces[0]
         for df in pieces[1:]:
             out = out.unionByName(df)
-        writer = out.write.mode("append")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(path)
-        after = _walk_data_files(path)
-        new_files = {p: st for p, st in after.items() if p not in before}
+        new_files = _staged_write(out, path, part_cols)
+        inserts.unpersist()
     finally:
         src.unpersist()
     now_ms = int(time.time() * 1000)
@@ -904,31 +970,9 @@ def merge_delta_native(
                         "dataChange": True}}
         )
     for rel in sorted(new_files):
-        st = new_files[rel]
-        actions.append(
-            {"add": {"path": urllib.parse.quote(rel.replace(os.sep, "/")),
-                     "partitionValues": _partition_values_from_path(
-                         rel, part_cols
-                     ),
-                     "size": st.st_size,
-                     "modificationTime": int(st.st_mtime * 1000),
-                     "dataChange": True}}
-        )
+        actions.append(_add_action(rel, new_files[rel], part_cols))
     log_dir = os.path.join(path, "_delta_log")
-    next_version = 1 + max(
-        int(m.group(1))
-        for n in os.listdir(log_dir)
-        if (m := _COMMIT_RE.match(n))
-    )
-    commit_path = os.path.join(log_dir, f"{next_version:020d}.json")
-    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-    except BaseException:
-        os.unlink(commit_path)
-        raise
+    _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (int(updated), int(inserted), len(touched_rel))
 
 
@@ -947,59 +991,66 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
 
     state = load_delta_state(path)
     log_dir = os.path.join(path, "_delta_log")
-    version = max(
-        int(m.group(1))
-        for n in os.listdir(log_dir)
-        if (m := _COMMIT_RE.match(n))
-    )
-    rows = []
-    rows.append(
-        {
-            "protocol": {"minReaderVersion": state.min_reader_version,
-                         "minWriterVersion": 2},
-            "metaData": None,
-            "add": None,
-            "txn": None,
-        }
-    )
-    rows.append(
-        {
-            "protocol": None,
-            "metaData": {
-                "id": "checkpointed",
+    version = _latest_version(log_dir)
+    meta = state.metadata_raw or {}
+    fmt = meta.get("format") or {"provider": "parquet", "options": {}}
+
+    def _one_hot(**kw):
+        base = {"protocol": None, "metaData": None, "add": None,
+                "remove": None, "txn": None}
+        base.update(kw)
+        return base
+
+    rows = [
+        _one_hot(
+            protocol={"minReaderVersion": state.min_reader_version,
+                      "minWriterVersion": 2}
+        ),
+        # the table's REAL metaData carried through (id / format /
+        # configuration / createdTime), not a placeholder — external
+        # Delta readers key table identity off it (ADVICE r4)
+        _one_hot(
+            metaData={
+                "id": meta.get("id") or "checkpointed",
+                "format": {
+                    "provider": fmt.get("provider", "parquet"),
+                    "options": [
+                        (k, v) for k, v in (fmt.get("options") or {}).items()
+                    ],
+                },
                 "schemaString": state.schema_json,
                 "partitionColumns": state.partition_columns,
-            },
-            "add": None,
-            "txn": None,
-        }
-    )
-    for p, pv in sorted(state.adds.items()):
-        rows.append(
-            {
-                "protocol": None,
-                "metaData": None,
-                "add": {
-                    "path": p,
-                    "partitionValues": [
-                        (k, v) for k, v in pv.items()
-                    ],
-                    "size": 0,
-                    "modificationTime": 0,
-                    "dataChange": False,
-                },
-                "txn": None,
+                "configuration": [
+                    (k, v)
+                    for k, v in (meta.get("configuration") or {}).items()
+                ],
+                "createdTime": meta.get("createdTime"),
             }
+        ),
+    ]
+    for p, pv in sorted(state.adds.items()):
+        am = state.add_meta.get(p, {})
+        rows.append(
+            _one_hot(
+                add={
+                    "path": p,
+                    "partitionValues": [(k, v) for k, v in pv.items()],
+                    "size": int(am.get("size") or 0),
+                    "modificationTime": int(am.get("modificationTime") or 0),
+                    "dataChange": False,
+                }
+            )
+        )
+    # remove tombstones are part of the spec checkpoint shape: readers of
+    # this checkpoint must not resurrect files a pre-checkpoint commit
+    # removed but VACUUM hasn't deleted yet
+    for p, ts in sorted(state.removes.items()):
+        rows.append(
+            _one_hot(remove={"path": p, "deletionTimestamp": ts,
+                             "dataChange": False})
         )
     for app_id, v in sorted(state.txns.items()):
-        rows.append(
-            {
-                "protocol": None,
-                "metaData": None,
-                "add": None,
-                "txn": {"appId": app_id, "version": v},
-            }
-        )
+        rows.append(_one_hot(txn={"appId": app_id, "version": v}))
     schema = pa.schema(
         [
             pa.field(
@@ -1012,8 +1063,16 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
             pa.field(
                 "metaData",
                 pa.struct(
-                    [("id", pa.string()), ("schemaString", pa.string()),
-                     ("partitionColumns", pa.list_(pa.string()))]
+                    [("id", pa.string()),
+                     ("format",
+                      pa.struct(
+                          [("provider", pa.string()),
+                           ("options", pa.map_(pa.string(), pa.string()))]
+                      )),
+                     ("schemaString", pa.string()),
+                     ("partitionColumns", pa.list_(pa.string())),
+                     ("configuration", pa.map_(pa.string(), pa.string())),
+                     ("createdTime", pa.int64())]
                 ),
             ),
             pa.field(
@@ -1027,6 +1086,14 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
                 ),
             ),
             pa.field(
+                "remove",
+                pa.struct(
+                    [("path", pa.string()),
+                     ("deletionTimestamp", pa.int64()),
+                     ("dataChange", pa.bool_())]
+                ),
+            ),
+            pa.field(
                 "txn",
                 pa.struct([("appId", pa.string()), ("version", pa.int64())]),
             ),
@@ -1035,6 +1102,10 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
     table = pa.Table.from_pylist(rows, schema=schema)
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     pq.write_table(table, cp_path)
-    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+    # _last_checkpoint published atomically: a concurrent reader sees the
+    # old hint or the new one, never truncated JSON
+    hint_tmp = os.path.join(log_dir, "_last_checkpoint.tmp")
+    with open(hint_tmp, "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(hint_tmp, os.path.join(log_dir, "_last_checkpoint"))
     return version

@@ -341,13 +341,19 @@ def write_iceberg_native(df, table_path: str) -> int:
                 f"schema mismatch: table columns {want}, DataFrame {df.columns}"
             )
 
-    before = {
-        n for n in os.listdir(ddir) if n.endswith(".parquet")
-    }
-    df.write.mode("append").parquet(ddir)
+    # each commit writes into its own unique subdir of data/ and claims
+    # exactly the files it created — a concurrent writer's in-flight
+    # parquet can never be attributed to this snapshot (the before/after
+    # listing this replaces had that race; ADVICE r4)
+    import uuid as _uuid
+
+    sub = "c" + _uuid.uuid4().hex[:16]
+    cdir = os.path.join(ddir, sub)
+    df.write.mode("append").parquet(cdir)
     new_files = sorted(
-        n for n in os.listdir(ddir)
-        if n.endswith(".parquet") and n not in before
+        os.path.join(sub, n)
+        for n in os.listdir(cdir)
+        if n.endswith(".parquet")
     )
 
     now_ms = int(time.time() * 1000)

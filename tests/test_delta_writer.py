@@ -365,3 +365,146 @@ def test_checkpoint_compacts_log(spark, sf_dir, tmp_path):
     assert _collect(read_delta_native(spark, path)) == _collect(
         _docs(spark, sf_dir, 0, 45)
     )
+
+
+def test_checkpoint_only_table_recognized(spark, sf_dir, tmp_path):
+    """ADVICE r5 (high): after dropping EVERY commit JSON behind a
+    checkpoint, the table must still be recognized as existing — appends
+    continue the version sequence, DML doesn't crash, and readers see
+    everything."""
+    import os as _os
+
+    from glaredb_spark.sources.delta_native import (
+        checkpoint_delta_native,
+        delete_delta_native,
+        load_delta_state,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 30), path)
+    write_delta_native(_docs(spark, sf_dir, 30, 40), path)
+    assert checkpoint_delta_native(spark, path) == 1
+    log_dir = _os.path.join(path, "_delta_log")
+    for n in list(_os.listdir(log_dir)):
+        if n.endswith(".json") and not n.startswith("_"):
+            _os.unlink(_os.path.join(log_dir, n))
+    # append to the checkpoint-only table: NOT a new table
+    v = write_delta_native(_docs(spark, sf_dir, 40, 50), path)
+    assert v == 2
+    assert _collect(read_delta_native(spark, path)) == _collect(
+        _docs(spark, sf_dir, 0, 50)
+    )
+    # DML over the checkpoint-only history works too
+    deleted, _files = delete_delta_native(spark, path, "doc_id < 5")
+    assert deleted == 5
+    assert len(_collect(read_delta_native(spark, path))) == 45
+    st = load_delta_state(path)
+    assert st.schema_json is not None
+
+
+def test_time_travel_through_checkpoint(spark, sf_dir, tmp_path):
+    """ADVICE r5 (medium): once pre-checkpoint commits are dropped, time
+    travel to a surviving version folds from the checkpoint; travel to a
+    vanished pre-checkpoint version errors clearly instead of returning
+    a wrong partial state."""
+    import os as _os
+
+    from glaredb_spark.sources.delta_native import checkpoint_delta_native
+
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 20), path)   # v0
+    write_delta_native(_docs(spark, sf_dir, 20, 30), path)  # v1
+    checkpoint_delta_native(spark, path)                     # cp@1
+    write_delta_native(_docs(spark, sf_dir, 30, 35), path)  # v2
+    _os.unlink(_os.path.join(path, "_delta_log", f"{0:020d}.json"))
+    _os.unlink(_os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    # v1 == the checkpoint version: full state from the snapshot
+    assert _collect(read_delta_native(spark, path, version=1)) == _collect(
+        _docs(spark, sf_dir, 0, 30)
+    )
+    # v2 folds checkpoint + the surviving commit
+    assert _collect(read_delta_native(spark, path, version=2)) == _collect(
+        _docs(spark, sf_dir, 0, 35)
+    )
+    # v0 predates the snapshot and its commit is gone
+    with pytest.raises(RuntimeError, match="no version 0"):
+        read_delta_native(spark, path, version=0)
+
+
+def test_foreign_files_not_claimed_by_commit(spark, sf_dir, tmp_path):
+    """ADVICE r5 (medium): a concurrent writer's in-flight parquet in the
+    table directory must NOT be attributed to this writer's commit —
+    staged per-commit subdirs register exactly the files each write
+    created."""
+    import json as _json
+    import os as _os
+
+    from glaredb_spark.sources.delta_native import (
+        merge_delta_native,
+        update_delta_native,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 30), path)
+
+    # simulate another writer's in-flight data file at the table root
+    foreign = _os.path.join(path, "part-foreign-in-flight.parquet")
+    _docs(spark, sf_dir, 900, 905).toPandas().to_parquet(foreign)
+
+    write_delta_native(_docs(spark, sf_dir, 30, 40), path)          # v1
+    update_delta_native(spark, path, {"n_chars": "0"}, "doc_id = 1")  # v2
+    merge_delta_native(
+        spark, path, _docs(spark, sf_dir, 40, 45), on=["doc_id"]
+    )  # v3
+    claimed = []
+    log_dir = _os.path.join(path, "_delta_log")
+    for n in sorted(_os.listdir(log_dir)):
+        if n.endswith(".json"):
+            with open(_os.path.join(log_dir, n)) as fh:
+                for ln in fh:
+                    a = _json.loads(ln)
+                    if "add" in a:
+                        claimed.append(a["add"]["path"])
+    assert "part-foreign-in-flight.parquet" not in claimed
+    # and the table's contents exclude the foreign rows (doc_id 900-905)
+    expected = [
+        (d, lang, 0 if d == 1 else n)
+        for d, lang, n in _collect(_docs(spark, sf_dir, 0, 45))
+    ]
+    assert _collect(read_delta_native(spark, path)) == expected
+
+
+def test_checkpoint_carries_real_metadata_and_tombstones(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r5 (low): the checkpoint carries the table's real metaData
+    (id/format/createdTime), true add sizes, and remove tombstones, so
+    external Delta readers can consume it."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from glaredb_spark.sources.delta_native import (
+        checkpoint_delta_native,
+        delete_delta_native,
+        load_delta_state,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta_native(_docs(spark, sf_dir, 0, 30), path)
+    orig_meta = load_delta_state(path).metadata_raw
+    delete_delta_native(spark, path, "doc_id < 10")
+    v = checkpoint_delta_native(spark, path)
+    tbl = pq.read_table(
+        _os.path.join(path, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    ).to_pylist()
+    metas = [r["metaData"] for r in tbl if r.get("metaData")]
+    assert metas and metas[0]["id"] == orig_meta["id"]
+    assert metas[0]["format"]["provider"] == "parquet"
+    assert metas[0]["createdTime"] == orig_meta["createdTime"]
+    adds = [r["add"] for r in tbl if r.get("add")]
+    assert adds and all(a["size"] > 0 for a in adds)
+    removes = [r["remove"] for r in tbl if r.get("remove")]
+    assert removes, "delete tombstones must survive into the checkpoint"
+    # and our own reader folds the richer checkpoint correctly
+    assert len(_collect(read_delta_native(spark, path))) == 20

@@ -86,3 +86,11 @@ def test_function_chaining_gated_by_var(sess, sf_dir):
             sess.sql(q)
     finally:
         sess.sql("RESET enable_function_chaining")
+
+
+def test_show_passthrough_to_spark_sql(sess):
+    """SHOW of a name we don't own falls through to Spark SQL instead of
+    raising 'Missing setting' (ADVICE r5): SHOW NAMESPACES is valid Spark
+    SQL and must keep working."""
+    rows = sess.sql("SHOW NAMESPACES").collect()
+    assert any("default" in str(r) for r in rows)
