@@ -53,6 +53,79 @@ def _ns_timestamp_columns(path: str) -> list[str]:
         return []
 
 
+def _needs_arrow_scan(path: str) -> bool:
+    """True when the parquet file uses a feature Spark's reader rejects:
+    FLOAT16 columns (PARQUET_TYPE_ILLEGAL) or BYTE_STREAM_SPLIT-encoded
+    pages (SparkUnsupportedOperationException in the vectorized reader).
+    Footer-only inspection of the first file."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        first = path
+        if os.path.isdir(path):
+            members = sorted(_pyglob.glob(os.path.join(path, "*.parquet")))
+            if not members:
+                return False
+            first = members[0]
+        elif _pyglob.has_magic(path):
+            members = sorted(_pyglob.glob(path))
+            if not members:
+                return False
+            first = members[0]
+        if any(f.type == pa.float16() for f in pq.read_schema(first)):
+            return True
+        md = pq.ParquetFile(first).metadata
+        if md.num_row_groups:
+            rg = md.row_group(0)
+            for i in range(rg.num_columns):
+                if "BYTE_STREAM_SPLIT" in rg.column(i).encodings:
+                    return True
+        return False
+    except Exception:
+        return False
+
+
+def _read_parquet_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed fallback scan for parquet features Spark can't decode
+    (FLOAT16, BYTE_STREAM_SPLIT): file paths are distributed and each
+    task decodes its file with pyarrow, upcasting halffloat to float32
+    (lossless — every f16 is exactly representable in f32). Per-file
+    parallelism, Arrow-batched; scales with file count like any parquet
+    scan, at the cost of the C++ reader instead of the JVM one."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_pyglob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else sorted(_pyglob.glob(path)) if _pyglob.has_magic(path) else [path]
+    )
+    arrow_schema = pq.read_schema(files[0])
+    target = pa.schema(
+        [
+            f.with_type(pa.float32()) if f.type == pa.float16() else f
+            for f in arrow_schema
+        ]
+    )
+
+    def gen(batches):
+        # mapInArrow, not mapInPandas: pandas folds null and NaN together
+        # for float dtypes; Arrow batches keep them distinct
+        for batch in batches:
+            for p in batch.column("p").to_pylist():
+                for rb in pq.read_table(p).cast(target).to_batches():
+                    yield rb
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    spark_schema = from_arrow_schema(target)
+    return spark.createDataFrame(
+        pd.DataFrame({"p": files})
+    ).mapInArrow(gen, spark_schema)
+
+
 def _ensure_session_conf(spark: SparkSession) -> None:
     """Engine-required dynamic SQL confs — set defensively so queries work
     on sessions we didn't build (e.g. the driver's own SparkSession):
@@ -80,6 +153,8 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     """
     _ensure_session_conf(spark)
     path = ensure_object_store(spark, localize(path))
+    if _needs_arrow_scan(path):
+        return _read_parquet_arrow(spark, path)
     df = spark.read.options(**options).parquet(path)
     dtypes = dict(df.dtypes)
     for col in _ns_timestamp_columns(path):
@@ -540,25 +615,30 @@ def _expand(path_or_pattern: str) -> list[str]:
 
 
 def parquet_file_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """Reference schema (slt/parquet/file_metadata.slt; functions in
+    crates/glaredb_ext_parquet): filename, version, num_rows, created_by,
+    num_row_groups."""
     import pyarrow.parquet as pq
 
     rows = []
     for p in _expand(path):
         md = pq.read_metadata(p)
-        rows.append((p, md.num_rows, md.num_row_groups, md.num_columns,
-                     md.format_version, md.created_by))
+        version = int(str(md.format_version).split(".")[0])
+        rows.append((p, version, md.num_rows, md.created_by,
+                     md.num_row_groups))
     schema = T.StructType([
         T.StructField("filename", T.StringType()),
+        T.StructField("version", T.IntegerType()),
         T.StructField("num_rows", T.LongType()),
-        T.StructField("num_row_groups", T.LongType()),
-        T.StructField("num_columns", T.LongType()),
-        T.StructField("format_version", T.StringType()),
         T.StructField("created_by", T.StringType()),
+        T.StructField("num_row_groups", T.LongType()),
     ])
     return spark.createDataFrame(rows, schema)
 
 
 def parquet_rowgroup_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """Reference schema (slt/parquet/rowgroup_metadata.slt): filename,
+    num_rows, num_columns, uncompressed_size, ordinal."""
     import pyarrow.parquet as pq
 
     rows = []
@@ -566,45 +646,57 @@ def parquet_rowgroup_metadata(spark: SparkSession, path: str) -> DataFrame:
         md = pq.read_metadata(p)
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
-            rows.append((p, i, rg.num_rows, rg.total_byte_size))
+            rows.append((p, rg.num_rows, rg.num_columns,
+                         rg.total_byte_size, i))
     schema = T.StructType([
         T.StructField("filename", T.StringType()),
-        T.StructField("row_group", T.LongType()),
         T.StructField("num_rows", T.LongType()),
-        T.StructField("total_byte_size", T.LongType()),
+        T.StructField("num_columns", T.LongType()),
+        T.StructField("uncompressed_size", T.LongType()),
+        T.StructField("ordinal", T.ShortType()),
     ])
     return spark.createDataFrame(rows, schema)
 
 
 def parquet_column_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """Reference schema (slt/parquet/column_metadata.slt): filename,
+    rowgroup_ordinal, column_ordinal, physical_type, max_definition_level,
+    max_repetition_level, file_offset, num_values, total_compressed_size,
+    total_uncompressed_size, data_page_offset."""
     import pyarrow.parquet as pq
 
     rows = []
     for p in _expand(path):
-        md = pq.read_metadata(p)
+        pf = pq.ParquetFile(p)
+        md = pf.metadata
+        sd = pf.schema  # SchemaDescriptor: leaf max def/rep levels
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             for c in range(rg.num_columns):
                 col = rg.column(c)
-                stats = col.statistics
+                leaf = sd.column(c)
+                # the raw thrift ColumnChunk.file_offset field, echoed
+                # verbatim like the reference does (writers disagree on
+                # its meaning — parquet-mr 1.8 wrote the first-page
+                # offset, GlareDB writes the chunk-end offset)
                 rows.append((
-                    p, i, ".".join(col.path_in_schema.split(".")),
-                    str(col.physical_type), col.num_values,
-                    col.total_compressed_size, col.total_uncompressed_size,
-                    str(stats.min) if stats and stats.has_min_max else None,
-                    str(stats.max) if stats and stats.has_min_max else None,
-                    stats.null_count if stats else None,
+                    p, i, c, str(col.physical_type),
+                    leaf.max_definition_level, leaf.max_repetition_level,
+                    col.file_offset, col.num_values,
+                    col.total_compressed_size,
+                    col.total_uncompressed_size, col.data_page_offset,
                 ))
     schema = T.StructType([
         T.StructField("filename", T.StringType()),
-        T.StructField("row_group", T.LongType()),
-        T.StructField("column", T.StringType()),
+        T.StructField("rowgroup_ordinal", T.ShortType()),
+        T.StructField("column_ordinal", T.LongType()),
         T.StructField("physical_type", T.StringType()),
+        T.StructField("max_definition_level", T.ShortType()),
+        T.StructField("max_repetition_level", T.ShortType()),
+        T.StructField("file_offset", T.LongType()),
         T.StructField("num_values", T.LongType()),
         T.StructField("total_compressed_size", T.LongType()),
         T.StructField("total_uncompressed_size", T.LongType()),
-        T.StructField("stats_min", T.StringType()),
-        T.StructField("stats_max", T.StringType()),
-        T.StructField("stats_null_count", T.LongType()),
+        T.StructField("data_page_offset", T.LongType()),
     ])
     return spark.createDataFrame(rows, schema)

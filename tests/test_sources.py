@@ -78,9 +78,13 @@ def test_parquet_metadata(spark, sf_dir):
     assert fm[0].num_rows == 6000
     rg = parquet_rowgroup_metadata(spark, p)
     assert rg.agg(F.sum("num_rows")).collect()[0][0] == 6000
-    cm = parquet_column_metadata(spark, p)
-    cols = {r.column for r in cm.collect()}
-    assert "l_orderkey" in cols and "l_shipdate" in cols
+    cm = parquet_column_metadata(spark, p).collect()
+    # reference schema (slt/parquet/column_metadata.slt): ordinals +
+    # physical types + page offsets, one row per (rowgroup, column)
+    n_cols = len(spark.read.parquet(p).columns)
+    assert {r.column_ordinal for r in cm} == set(range(n_cols))
+    assert all(r.num_values > 0 and r.data_page_offset >= 4 for r in cm)
+    assert {r.physical_type for r in cm} & {"INT64", "DOUBLE", "BYTE_ARRAY"}
 
 
 def test_session_facade(sf_dir):
