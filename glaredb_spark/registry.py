@@ -53,15 +53,20 @@ GATE_PRIORITY: list[str] = [
     "rel_recursive_cte",
     "dedup_components",
     "text_contamination_13gram",
-    # the TPC-H flagship suite, rotated back after two rounds away
-    # (q12 yields its slot to the new chunking module — its join +
-    # conditional-agg shape is covered by q03/q14 and it stays in the
-    # local strict gate every round)
-    "tpch_q02", "tpch_q03", "tpch_q04", "tpch_q05", "tpch_q06",
+    # the TPC-H flagship suite (q12 yields its slot to the chunking
+    # module since r4; r5: q04 and q15 yield theirs to the new ClickBench
+    # canonical-43 module — their EXISTS-agg and view-max shapes are
+    # covered by q21/q02 and both stay in the local strict gate)
+    "tpch_q02", "tpch_q03", "tpch_q05", "tpch_q06",
     "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10", "tpch_q11",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q13", "tpch_q14", "tpch_q16",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
     "tpch_q22",
+    # r5-new ClickBench canonical suite (all 43 registered + oracle-gated;
+    # these two get first driver rows: the regex-domain HAVING shape and
+    # the planted-constant OFFSET shape)
+    "cb43_q28",
+    "cb43_q40",
     # oldest-driver-row fills (r1/r2 last sampled), one+ per module
     "rel_subqueries",
     "text_token_stats",
@@ -147,3 +152,4 @@ def load_all() -> None:
     import glaredb_spark.operators.chunking  # noqa: F401
     import glaredb_spark.operators.bpe  # noqa: F401
     import glaredb_spark.operators.selection  # noqa: F401
+    import glaredb_spark.operators.clickbench43  # noqa: F401
