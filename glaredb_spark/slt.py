@@ -208,12 +208,19 @@ def _rewrite_order_by(sql: str) -> str:
             ks = k.strip()
             if not ks:
                 continue
+            # a window ORDER BY's frame spec rides on the last key —
+            # null placement must land BEFORE it (tpcds q51 regression:
+            # `d_date ROWS BETWEEN ... ROW NULLS LAST` is unparseable)
+            tail = ""
+            fm = re.search(r"\b(ROWS|RANGE|GROUPS)\b", ks, re.IGNORECASE)
+            if fm:
+                ks, tail = ks[: fm.start()].rstrip(), " " + ks[fm.start():]
             if re.search(r"\bNULLS\s+(FIRST|LAST)\b", ks, re.IGNORECASE):
-                fixed.append(ks)
+                fixed.append(ks + tail)
             elif re.search(r"\bDESC\b\s*$", ks, re.IGNORECASE):
-                fixed.append(ks + " NULLS FIRST")
+                fixed.append(ks + " NULLS FIRST" + tail)
             else:
-                fixed.append(ks + " NULLS LAST")
+                fixed.append(ks + " NULLS LAST" + tail)
         out = out[:start] + " " + ", ".join(fixed) + " " + out[end:]
     return out
 
@@ -226,7 +233,12 @@ _GROUPING_MULTI_RE = re.compile(
 # plain GROUP BY + GROUPING() — legal in the reference (always 0); Spark
 # requires grouping sets, so wrap the keys in GROUPING SETS ((keys))
 _PLAIN_GROUP_BY_RE = re.compile(
-    r"\bGROUP\s+BY\s+(?!ROLLUP|CUBE|GROUPING|ALL\b)([^;]*?)"
+    # the key list must stay paren-BALANCED: an unmatched ')' means the
+    # GROUP BY belongs to a subquery whose scope ends there (tpcds q70
+    # regression — the old [^;]*? ate through `) tmp1 ... GROUP BY
+    # ROLLUP(...)` and produced unparseable SQL)
+    r"\bGROUP\s+BY\s+(?!ROLLUP|CUBE|GROUPING|ALL\b)"
+    r"((?:[^;()]|\((?:[^()]|\([^()]*\))*\))*?)"
     r"(?=\bORDER\b|\bHAVING\b|\bLIMIT\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -918,6 +930,11 @@ def _describe_cell_match(exp: str, act: str) -> bool:
         return True
     if exp == "list_value" and act == "array":
         return True  # function renamed to the Spark builtin
+    if exp == act.lower() and act != act.lower():
+        # the reference normalizes unquoted idents to lowercase in display
+        # (its case-insensitive ident model, ident_binder.py); Spark
+        # preserves the case as written in the query text
+        return True
     se = re.fullmatch(r"Struct\s*\{(.*)\}", exp)
     sa = re.fullmatch(r"Struct\((.*)\)", act)
     if se and sa:
@@ -1017,11 +1034,32 @@ def _register_tpch_spec_views(sess) -> None:
         df.createOrReplaceTempView(name)
 
 
+def _register_tpcds_views(sess) -> None:
+    """tpcds suite setup: the reference parks this suite entirely (no
+    runner wires it, test_bin/integration_slt.rs has no Tpcds setup, and
+    every qNN value golden is empty) — its DESCRIBE goldens are the live
+    assertions. Temp views over empty schema-exact parquet (generated
+    from describe_files.slt's own goldens) make all 99 queries analyzable
+    AND executable-to-empty, matching the reference's goldens."""
+    from glaredb_spark.sources.parquet_testing import (
+        ensure_fixtures,
+        tpcds_schemas,
+    )
+
+    base = ensure_fixtures()
+    for table in tpcds_schemas():
+        sess.spark.read.parquet(
+            os.path.join(base, "testdata", "tpcds_sf0.1", f"{table}.parquet")
+        ).createOrReplaceTempView(table)
+
+
 def run_slt_file(sess, path: str) -> SltResult:
     """Run one .slt file through a GlareSession; returns per-record tallies.
     Tables created by the script are dropped afterwards."""
     if "tpchbench" in path:
         _register_tpch_spec_views(sess)
+    if f"{os.sep}tpcds{os.sep}" in path:
+        _register_tpcds_views(sess)
     res = SltResult()
     created: list[str] = []
     created_views: list[str] = []

@@ -46,7 +46,7 @@ import struct
 _REF_SLT = "/root/reference/slt/parquet/parquet-testing"
 _DEFAULT_DIR = "/root/repo/tests/fixtures/parquet-testing"
 # bump to regenerate fixtures after changing any builder
-_GEN_VERSION = "v5"
+_GEN_VERSION = "v6"
 
 
 def _probe_ids():
@@ -682,6 +682,73 @@ def _gen_testdata(base):
     )
 
 
+_TPCDS_DESCRIBE = "/root/reference/slt/tpcds/describe_files.slt"
+
+
+def tpcds_schemas() -> dict[str, list[tuple[str, str]]]:
+    """Table -> [(column, reference type)] parsed from the reference's own
+    slt/tpcds/describe_files.slt goldens (the only schema source, since
+    the tpcds parquet binaries live in the not-checked-out submodule)."""
+    out: dict[str, list[tuple[str, str]]] = {}
+    cur: list[tuple[str, str]] | None = None
+    for ln in open(_TPCDS_DESCRIBE):
+        m = re.match(r"describe '.*/tpcds_sf0\.1/(\w+)\.parquet'", ln.strip())
+        if m:
+            cur = out.setdefault(m.group(1), [])
+            continue
+        if cur is None:
+            continue
+        s = ln.strip()
+        if s == "----" or s.startswith("#") or s.startswith("query"):
+            continue
+        if not s:
+            cur = None
+            continue
+        parts = s.split()
+        if len(parts) == 2:
+            cur.append((parts[0], parts[1]))
+    return out
+
+
+def _pa_type(ref: str):
+    import pyarrow as pa
+
+    m = re.fullmatch(r"Decimal(?:64|128)\((\d+),(\d+)\)", ref)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    return {
+        "Int8": pa.int8(),
+        "Int16": pa.int16(),
+        "Int32": pa.int32(),
+        "Int64": pa.int64(),
+        "Float32": pa.float32(),
+        "Float64": pa.float64(),
+        "Utf8": pa.string(),
+        "Binary": pa.binary(),
+        "Boolean": pa.bool_(),
+        "Date32": pa.date32(),
+        "Timestamp(µs)": pa.timestamp("us"),
+        "Timestamp(ns)": pa.timestamp("ns"),
+    }[ref]
+
+
+def _gen_tpcds(base):
+    """Empty schema-exact tpcds_sf0.1 parquet files: describe_files.slt
+    DESCRIBEs them; the q01-q99 SLTs run against temp views over them
+    (the reference's own goldens for those queries are empty — the suite
+    was never wired to data, see test_bin/integration_slt.rs)."""
+    import pyarrow as pa
+
+    for table, cols in tpcds_schemas().items():
+        schema = pa.schema([(c, _pa_type(t)) for c, t in cols])
+        _write(
+            os.path.join(base, "testdata", "tpcds_sf0.1", f"{table}.parquet"),
+            pa.Table.from_arrays(
+                [pa.array([], f.type) for f in schema], schema=schema
+            ),
+        )
+
+
 def ensure_fixtures(base_dir: str | None = None) -> str:
     """Generate the corpus under ``base_dir`` (idempotent, version-
     stamped). Returns the directory that stands in for
@@ -706,6 +773,7 @@ def ensure_fixtures(base_dir: str | None = None) -> str:
     _gen_misc(data)
     _gen_bad(bad)
     _gen_testdata(base)
+    _gen_tpcds(base)
     with open(stamp, "w") as fh:
         fh.write(_GEN_VERSION)
     return base
