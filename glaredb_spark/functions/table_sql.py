@@ -28,7 +28,8 @@ from glaredb_spark.sources import files as _files
 _TF = re.compile(
     r"\b(read_parquet|parquet_scan|read_csv|csv_scan|read_text|glob|"
     r"parquet_file_metadata|parquet_rowgroup_metadata|parquet_column_metadata)"
-    r"\s*\(\s*('[^']*'|array\(\s*'[^']*'(?:\s*,\s*'[^']*')*\s*,?\s*\)"
+    r"\s*\(\s*('[^']*'(?:\s*,\s*region\s*=\s*'[^']*')?"
+    r"|array\(\s*'[^']*'(?:\s*,\s*'[^']*')*\s*,?\s*\)"
     r"|array\(\s*\))\s*\)",
     re.IGNORECASE,
 )
@@ -337,7 +338,12 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
 def _display_path(p: str) -> str:
     """Path as the user wrote it: the slt runner prefixes its base dir to
     relative paths ('<base>/../testdata/x.csv'); the reference's _filename
-    shows the original relative form."""
+    shows the original relative form. S3 objects display as their
+    virtual-hosted https URL (slt/s3/public/read_text.slt goldens)."""
+    if p.split("://", 1)[0].lower() in ("s3", "s3a", "s3n"):
+        from glaredb_spark.sources.objectstore import canonical_s3_display
+
+        return canonical_s3_display(p)
     i = p.find("../")
     return p[i:] if i > 0 else p
 
@@ -355,8 +361,24 @@ def _with_meta(spark: SparkSession, fn: str, paths: list[str]):
 
     from glaredb_spark.sources.files import expand_braces
 
+    from glaredb_spark.sources import objectstore as _osm
+
     members: list[str] = []
     for p in paths:
+        if _osm.object_store_scheme(p) == "s3a" and not _osm.s3_available(
+            spark
+        ):
+            # jar-less s3: expand the pattern via a bucket listing so the
+            # virtual columns stay exact per object
+            scheme, rest = p.split("://", 1)
+            bucket, keypat = rest.split("/", 1)
+            keys = (
+                _osm.s3_list_keys(bucket, keypat)
+                if re.search(r"[*?{\[]", keypat)
+                else [keypat]
+            )
+            members.extend(f"{scheme}://{bucket}/{k}" for k in keys)
+            continue
         for q in expand_braces(p):
             hits = sorted(_g.glob(q)) if _g.has_magic(q) else [q]
             members.extend(hits or [q])
@@ -389,6 +411,12 @@ def _handle_tf(spark: SparkSession, m: re.Match, wants_meta: bool = False) -> st
     from functools import reduce
 
     fn, argtext = m.group(1).lower(), m.group(2)
+    # `region='...'` (slt/s3 different_region.slt) is accepted and
+    # dropped: bucket region is discovered via get_bucket_location in the
+    # boto3 fallback, and the s3a connector resolves it itself
+    argtext = re.sub(
+        r",?\s*region\s*=\s*'[^']*'", "", argtext, flags=re.IGNORECASE
+    )
     paths = re.findall(r"'([^']*)'", argtext)
     if not paths:
         raise ValueError(
@@ -496,7 +524,15 @@ def _handle_delta_history(spark: SparkSession, m: re.Match) -> str:
 def _handle_ice(spark: SparkSession, m: re.Match) -> str:
     from glaredb_spark.sources import iceberg_native as _ice
 
+    from glaredb_spark.sources import objectstore as _osm
+
     fn, path = m.group(1).lower(), m.group(2)
+    if _osm.object_store_scheme(path) == "s3a" and not _osm.s3_available(
+        spark
+    ):
+        # jar-less s3: the native reader walks a metadata TREE — fetch
+        # the table prefix into the local cache (KB-scale metadata)
+        path = _osm.localize_prefix(path)
     builders = {
         "metadata": _ice.metadata_df,
         "snapshots": _ice.snapshots_df,

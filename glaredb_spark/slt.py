@@ -1053,6 +1053,68 @@ def _register_tpcds_views(sess) -> None:
         ).createOrReplaceTempView(table)
 
 
+_MOTO: dict = {"server": None}
+
+
+def _ensure_s3_public_fixture() -> None:
+    """slt/s3/public setup: the reference reads the real public
+    glaredb-public bucket; this environment has no network, so a LIVE
+    in-process S3 server (moto — real HTTP, SigV4-signed requests) serves
+    the same keys, populated from the repo-local mirror of the bucket
+    content (/root/reference/testdata) plus the nested glob fixtures
+    glob.slt's own goldens enumerate. The reads exercised are the real
+    boto3 wire path, not stubs. AWS_* env vars are process-global from
+    here on (only s3:// paths consult them)."""
+    if _MOTO["server"] is not None:
+        return
+    import boto3
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    os.environ["AWS_ENDPOINT_URL"] = f"http://{host}:{port}"
+    os.environ.setdefault("AWS_ACCESS_KEY_ID", "test")
+    os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "test")
+    os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
+    s3 = boto3.client("s3", endpoint_url=os.environ["AWS_ENDPOINT_URL"])
+    s3.create_bucket(Bucket="glaredb-public")
+    s3.create_bucket(
+        Bucket="glaredb-public-eu",
+        CreateBucketConfiguration={"LocationConstraint": "eu-west-1"},
+    )
+    ref = "/root/reference/testdata"
+    gn = "testdata/csv/glob_numbers"
+    for bucket in ("glaredb-public", "glaredb-public-eu"):
+        for root, _dirs, files in os.walk(ref):
+            for n in files:
+                full = os.path.join(root, n)
+                key = "testdata/" + os.path.relpath(full, ref).replace(
+                    os.sep, "/"
+                )
+                s3.upload_file(full, bucket, key)
+        s3.upload_file(f"{ref}/csv/simple.csv", bucket, "simple.csv")
+        s3.upload_file(
+            f"{ref}/parquet/userdata0.parquet", bucket, "userdata0.parquet"
+        )
+        # glob.slt's nested glob_numbers tree (its goldens enumerate
+        # exactly these keys)
+        s3.put_object(
+            Bucket=bucket, Key=f"{gn}/README.md", Body=b"glob fixtures\n"
+        )
+        for sub in ("nested1", "nested2", "deep/nested1", "deep/nested2"):
+            for n in ("100", "200", "300", "400", "500"):
+                s3.upload_file(
+                    f"{ref}/csv/glob_numbers/{n}.csv", bucket,
+                    f"{gn}/{sub}/{n}.csv",
+                )
+        s3.upload_file(
+            f"{ref}/csv/glob_numbers/100.csv", bucket,
+            f"{gn}/deep/my_favorite_numbers.csv",
+        )
+    _MOTO["server"] = server
+
+
 def run_slt_file(sess, path: str) -> SltResult:
     """Run one .slt file through a GlareSession; returns per-record tallies.
     Tables created by the script are dropped afterwards."""
@@ -1060,6 +1122,8 @@ def run_slt_file(sess, path: str) -> SltResult:
         _register_tpch_spec_views(sess)
     if f"{os.sep}tpcds{os.sep}" in path:
         _register_tpcds_views(sess)
+    if f"{os.sep}s3{os.sep}public" in path:
+        _ensure_s3_public_fixture()
     res = SltResult()
     created: list[str] = []
     created_views: list[str] = []

@@ -480,6 +480,25 @@ def glob_files(spark: SparkSession, pattern: str) -> DataFrame:
             hits = []
         return spark.createDataFrame([(p,) for p in hits], schema)
     if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", pattern):
+        from glaredb_spark.sources import objectstore as _os_mod
+
+        if (
+            _os_mod.object_store_scheme(pattern) == "s3a"
+            and not _os_mod.s3_available(spark)
+        ):
+            # jar-less s3: list via boto3 and return the caller's own
+            # s3:// URLs (glob.slt displays the original scheme form)
+            try:
+                import boto3  # noqa: F401
+            except ImportError:
+                raise RuntimeError(_os_mod._HELP["s3a"][1]) from None
+            scheme_prefix, rest = pattern.split("://", 1)
+            bucket, key_pattern = rest.split("/", 1)
+            hits = [
+                f"{scheme_prefix}://{bucket}/{k}"
+                for k in _os_mod.s3_list_keys(bucket, key_pattern)
+            ]
+            return spark.createDataFrame([(p,) for p in hits], schema)
         pattern = ensure_object_store(spark, pattern)
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(pattern)
@@ -598,6 +617,18 @@ def with_filename(
         path = F.when(
             path.startswith(base), F.substring(path, len(base) + 1, 2**31 - 1)
         ).otherwise(path)
+    # files localized from S3 display their virtual-hosted https URL, the
+    # reference's _filename form for object-store scans (slt/s3/public)
+    from glaredb_spark.sources.objectstore import canonical_url_pairs
+
+    for local_prefix, url_prefix in canonical_url_pairs():
+        path = F.when(
+            path.startswith(local_prefix),
+            F.concat(
+                F.lit(url_prefix),
+                F.substring(path, len(local_prefix) + 1, 2**31 - 1),
+            ),
+        ).otherwise(path)
     return df.withColumn(col, path)
 
 
@@ -614,6 +645,16 @@ def _expand(path_or_pattern: str) -> list[str]:
     return hits or [path_or_pattern]
 
 
+def _expand_display(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """(local file, display name) pairs: object-store paths localize first
+    (boto3 fallback) and display as their canonical virtual-hosted URL;
+    local paths display as given."""
+    from glaredb_spark.sources.objectstore import canonical_url
+
+    resolved = ensure_object_store(spark, localize(path))
+    return [(p, canonical_url(p)) for p in _expand(resolved)]
+
+
 def parquet_file_metadata(spark: SparkSession, path: str) -> DataFrame:
     """Reference schema (slt/parquet/file_metadata.slt; functions in
     crates/glaredb_ext_parquet): filename, version, num_rows, created_by,
@@ -621,10 +662,10 @@ def parquet_file_metadata(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     rows = []
-    for p in _expand(path):
+    for p, disp in _expand_display(spark, path):
         md = pq.read_metadata(p)
         version = int(str(md.format_version).split(".")[0])
-        rows.append((p, version, md.num_rows, md.created_by,
+        rows.append((disp, version, md.num_rows, md.created_by,
                      md.num_row_groups))
     schema = T.StructType([
         T.StructField("filename", T.StringType()),
@@ -642,11 +683,11 @@ def parquet_rowgroup_metadata(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     rows = []
-    for p in _expand(path):
+    for p, disp in _expand_display(spark, path):
         md = pq.read_metadata(p)
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
-            rows.append((p, rg.num_rows, rg.num_columns,
+            rows.append((disp, rg.num_rows, rg.num_columns,
                          rg.total_byte_size, i))
     schema = T.StructType([
         T.StructField("filename", T.StringType()),
@@ -666,7 +707,7 @@ def parquet_column_metadata(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     rows = []
-    for p in _expand(path):
+    for p, disp in _expand_display(spark, path):
         pf = pq.ParquetFile(p)
         md = pf.metadata
         sd = pf.schema  # SchemaDescriptor: leaf max def/rep levels
@@ -680,7 +721,7 @@ def parquet_column_metadata(spark: SparkSession, path: str) -> DataFrame:
                 # its meaning — parquet-mr 1.8 wrote the first-page
                 # offset, GlareDB writes the chunk-end offset)
                 rows.append((
-                    p, i, c, str(col.physical_type),
+                    disp, i, c, str(col.physical_type),
                     leaf.max_definition_level, leaf.max_repetition_level,
                     col.file_offset, col.num_values,
                     col.total_compressed_size,

@@ -24,6 +24,9 @@ unsigned-request mode (slt/s3/public) via
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import SparkSession
 
 _S3A_CLASS = "org.apache.hadoop.fs.s3a.S3AFileSystem"
@@ -84,32 +87,208 @@ def normalize_path(path: str) -> str:
 
 
 _S3_CACHE: dict[str, str] = {}
+_S3_CACHE_ROOT: str | None = None
+_S3_BUCKET_REGION: dict[str, str] = {}
 
 
-def _boto3_localize(path: str) -> str:
-    """Driver-side S3 fetch via boto3 into a local cache file.
+def _cache_root() -> str:
+    global _S3_CACHE_ROOT
+    if _S3_CACHE_ROOT is None:
+        import tempfile
+
+        _S3_CACHE_ROOT = tempfile.mkdtemp(prefix="glaredb_s3cache_")
+    return _S3_CACHE_ROOT
+
+
+def _s3_client(region: str | None = None):
+    import os
+
+    import boto3
+
+    return boto3.client(
+        "s3",
+        endpoint_url=os.environ.get("AWS_ENDPOINT_URL"),
+        **({"region_name": region} if region else {}),
+    )
+
+
+def _bucket_region(bucket: str, hint: str | None = None) -> str:
+    if bucket not in _S3_BUCKET_REGION:
+        region = hint
+        if region is None:
+            try:
+                loc = _s3_client().get_bucket_location(Bucket=bucket)
+                region = loc.get("LocationConstraint") or "us-east-1"
+            except Exception:
+                region = "us-east-1"
+        _S3_BUCKET_REGION[bucket] = region
+    return _S3_BUCKET_REGION[bucket]
+
+
+def _key_pattern_regex(pattern: str) -> "re.Pattern":
+    """Glob-over-keys semantics matching the reference's filesystem glob
+    (slt/s3/public/glob.slt): `*`/`?` stay within one path segment;
+    `**/` mid-pattern matches ONE OR MORE segments; a trailing `**`
+    matches any non-empty suffix; `{a,b}` alternates."""
+    import re
+
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if pattern.startswith("**/", i):
+            out.append(r"(?:[^/]+/)+")
+            i += 3
+        elif pattern.startswith("**", i):
+            out.append(r".+")
+            i += 2
+        elif ch == "*":
+            out.append(r"[^/]*")
+            i += 1
+        elif ch == "?":
+            out.append(r"[^/]")
+            i += 1
+        elif ch == "{":
+            j = pattern.index("}", i)
+            alts = pattern[i + 1 : j].split(",")
+            out.append("(?:" + "|".join(re.escape(a) for a in alts) + ")")
+            i = j + 1
+        else:
+            out.append(re.escape(ch))
+            i += 1
+    return re.compile("^" + "".join(out) + "$")
+
+
+def s3_list_keys(bucket: str, key_pattern: str) -> list[str]:
+    """List bucket keys matching a glob pattern (driver-side boto3;
+    paginated). The static prefix before the first wildcard bounds the
+    listing, so the scan is prefix-scoped like any object-store list."""
+    import re as _re2
+
+    magic = _re2.search(r"[*?{\[]", key_pattern)
+    prefix = key_pattern[: magic.start()] if magic else key_pattern
+    rx = _key_pattern_regex(key_pattern)
+    s3 = _s3_client()
+    keys: list[str] = []
+    token: str | None = None
+    while True:
+        kw = {"Bucket": bucket, "Prefix": prefix}
+        if token:
+            kw["ContinuationToken"] = token
+        resp = s3.list_objects_v2(**kw)
+        for obj in resp.get("Contents", []) or []:
+            if rx.match(obj["Key"]):
+                keys.append(obj["Key"])
+        if not resp.get("IsTruncated"):
+            break
+        token = resp.get("NextContinuationToken")
+    return sorted(keys)
+
+
+def canonical_url_pairs() -> list[tuple[str, str]]:
+    """(local cache prefix, virtual-hosted https prefix) per bucket seen —
+    used to render `_filename` / metadata-TVF filenames the way the
+    reference does (slt/s3/public: https://<bucket>.s3.<region>...)."""
+    if _S3_CACHE_ROOT is None:
+        return []
+    return [
+        (
+            os.path.join(_S3_CACHE_ROOT, b) + "/",
+            f"https://{b}.s3.{r}.amazonaws.com/",
+        )
+        for b, r in sorted(_S3_BUCKET_REGION.items())
+    ]
+
+
+def canonical_url(local_path: str) -> str:
+    for lp, up in canonical_url_pairs():
+        if local_path.startswith(lp):
+            return up + local_path[len(lp):]
+    return local_path
+
+
+def localize_prefix(path: str) -> str:
+    """Download every object under an s3://bucket/prefix into the cache
+    tree and return the local directory — the jar-less path for directory-
+    shaped sources (Iceberg/Delta table roots, whose readers walk a
+    metadata tree). Driver-side and object-count-bounded: lakehouse
+    METADATA is KBs; with the hadoop-aws jar present the normal s3a path
+    is used instead and nothing is downloaded."""
+    if path in _S3_CACHE:
+        return _S3_CACHE[path]
+    bucket, prefix = path.split("://", 1)[1].split("/", 1)
+    prefix = prefix.rstrip("/")
+    _bucket_region(bucket)
+    root = _cache_root()
+    s3 = _s3_client()
+    local_dir = os.path.join(root, bucket, prefix)
+    token: str | None = None
+    while True:
+        kw = {"Bucket": bucket, "Prefix": prefix + "/"}
+        if token:
+            kw["ContinuationToken"] = token
+        resp = s3.list_objects_v2(**kw)
+        for obj in resp.get("Contents", []) or []:
+            local = os.path.join(root, bucket, obj["Key"])
+            if not os.path.exists(local):
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                s3.download_file(bucket, obj["Key"], local)
+        if not resp.get("IsTruncated"):
+            break
+        token = resp.get("NextContinuationToken")
+    _S3_CACHE[path] = local_dir
+    return local_dir
+
+
+def canonical_s3_display(url: str) -> str:
+    """s3://bucket/key → the virtual-hosted https form the reference
+    displays in _filename (slt/s3/public/read_text.slt)."""
+    if "://" not in url:
+        return url
+    scheme = url.split("://", 1)[0].lower()
+    if scheme not in ("s3", "s3a", "s3n"):
+        return url
+    bucket, key = url.split("://", 1)[1].split("/", 1)
+    region = _bucket_region(bucket)
+    return f"https://{bucket}.s3.{region}.amazonaws.com/{key}"
+
+
+def _boto3_localize(path: str, region: str | None = None) -> str:
+    """Driver-side S3 fetch via boto3 into a per-bucket local cache tree
+    (``<root>/<bucket>/<key>`` — key layout preserved so relative
+    structure, hive partitions, and glob re-matching all survive).
 
     FALLBACK path only: used when the hadoop-aws jar is absent but boto3
     is importable. Correct for small objects and metadata reads; the s3a
     Hadoop connector (split planning, multipart parallel reads, executor-
     side IO) remains the 100 TB path and is preferred whenever its jar is
     on the classpath. Endpoint/credentials come from the standard AWS env
-    (AWS_ENDPOINT_URL for S3-compatible stores like minio/moto)."""
+    (AWS_ENDPOINT_URL for S3-compatible stores like minio/moto).
+
+    Glob patterns localize every matching key and return the pattern
+    rebased onto the cache tree (Hadoop's local glob then re-matches the
+    downloaded files, `{a,b}` included)."""
     if path in _S3_CACHE:
         return _S3_CACHE[path]
-    import os
-    import tempfile
-
-    import boto3
+    import re as _re2
 
     bucket, key = path.split("://", 1)[1].split("/", 1)
-    endpoint = os.environ.get("AWS_ENDPOINT_URL")
-    s3 = boto3.client("s3", endpoint_url=endpoint)
-    fd, local = tempfile.mkstemp(
-        prefix="glaredb_s3_", suffix="_" + os.path.basename(key)
-    )
-    os.close(fd)
-    s3.download_file(bucket, key, local)
+    _bucket_region(bucket, hint=region)
+    root = _cache_root()
+    s3 = _s3_client(region)
+
+    def fetch(k: str) -> str:
+        local = os.path.join(root, bucket, k)
+        if not os.path.exists(local):
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            s3.download_file(bucket, k, local)
+        return local
+
+    if _re2.search(r"[*?{\[]", key):
+        for k in s3_list_keys(bucket, key):
+            fetch(k)
+        local = os.path.join(root, bucket, key)
+    else:
+        local = fetch(key)
     _S3_CACHE[path] = local
     return local
 
