@@ -444,8 +444,8 @@ def _handle_tf(spark: SparkSession, m: re.Match, wants_meta: bool = False) -> st
 # table scan; slt/iceberg/*.slt) — native reader, no connector jar
 _ICE_TF = re.compile(
     r"\biceberg\s*\.\s*"
-    r"(metadata|snapshots|manifest_list|data_files|scan|read)"
-    r"\s*\(\s*'([^']*)'\s*\)",
+    r"(metadata|snapshots|manifest_list|data_files|history|scan|read)"
+    r"\s*\(\s*'([^']*)'\s*(?:,\s*(\d+)\s*)?\)",
     re.IGNORECASE,
 )
 
@@ -538,11 +538,17 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
         "snapshots": _ice.snapshots_df,
         "manifest_list": _ice.manifest_list_df,
         "data_files": _ice.data_files_df,
+        "history": _ice.history_df,
         "scan": _ice.read_iceberg_native,
         "read": _ice.read_iceberg_native,
     }
-    view = _view_name(f"iceberg.{fn}", path)
-    builders[fn](spark, path).createOrReplaceTempView(view)
+    view = _view_name(f"iceberg.{fn}", path + (m.group(3) or ""))
+    if fn in ("scan", "read") and m.group(3):
+        # iceberg.scan('path', <snapshot-id>) — time travel
+        df = _ice.read_iceberg_native(spark, path, int(m.group(3)))
+    else:
+        df = builders[fn](spark, path)
+    df.createOrReplaceTempView(view)
     return view
 
 

@@ -418,6 +418,56 @@ def iceberg_write_roundtrip(spark, sf_dir):
 
 
 @register_query(
+    "iceberg_dml_roundtrip",
+    oracle="""
+SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT lang,
+         CASE WHEN doc_id < 20 THEN 0 ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id < 150 AND doc_id % 7 <> 3
+)
+GROUP BY lang ORDER BY lang
+""",
+)
+def iceberg_dml_roundtrip(spark, sf_dir):
+    """Native Iceberg DML exercised end-to-end
+    (sources/iceberg_native.py: delete_iceberg_native /
+    update_iceberg_native — COW snapshots over the v1 metadata the
+    writer authors): append a fixture slice, DELETE every doc_id % 7 = 3
+    row, UPDATE n_chars to 0 below doc_id 20, read the final snapshot
+    back through the manifest fold. The oracle applies the same DML
+    algebraically to the source, so a green row proves the probe →
+    rewrite → snapshot-publish chain loses and corrupts nothing."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.files import load_tables
+    from glaredb_spark.sources.iceberg_native import (
+        delete_iceberg_native,
+        read_iceberg_native,
+        update_iceberg_native,
+        write_iceberg_native,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_ice_dml_") + "/t"
+    write_iceberg_native(docs.filter("doc_id < 150"), root)
+    delete_iceberg_native(spark, root, "doc_id % 7 = 3")
+    update_iceberg_native(spark, root, {"n_chars": "0"}, "doc_id < 20")
+    return (
+        read_iceberg_native(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register_query(
     "iceberg_table_scan",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey

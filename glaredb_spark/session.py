@@ -24,10 +24,13 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-# COPY (subquery)|table TO 'path' [(FORMAT fmt [, HEADER])]  — DuckDB shape
+# COPY (subquery)|table TO 'path' [(FORMAT fmt [, HEADER] [, OVERWRITE])]
+# — DuckDB shape; OVERWRITE extends it for the native lakehouse writers
+# (a Delta overwrite commit / an Iceberg overwrite snapshot)
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'([^']+)'"
-    r"\s*(?:\(\s*FORMAT\s+(\w+)\s*(?:,\s*HEADER\s*)?\))?\s*;?\s*$",
+    r"\s*(?:\(\s*FORMAT\s+(\w+)\s*((?:,\s*(?:HEADER|OVERWRITE)\s*)*)\))?"
+    r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -67,6 +70,35 @@ _UPDATE_PATH_RE = re.compile(
     r"^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# MERGE INTO '<table-dir>' [AS] t USING (<query>)|<table> [AS] s
+#   ON <equi-cond> [WHEN MATCHED THEN UPDATE SET c = expr, ...]
+#   [WHEN NOT MATCHED THEN INSERT [*]]
+# — the SQL surface over merge_delta_native (standard MERGE shape;
+# the execution is the COW upsert in sources/delta_native.py)
+_MERGE_PATH_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+'([^']+)'\s+(?:AS\s+)?([A-Za-z_]\w*)\s+"
+    r"USING\s+(\(.*?\)|[A-Za-z_][\w.]*)\s+(?:AS\s+)?([A-Za-z_]\w*)\s+"
+    r"ON\s+(.+?)"
+    r"(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?))?"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT(?:\s+\*)?)?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_NOT_MATCHED_RE = re.compile(
+    r"\bWHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\b", re.IGNORECASE
+)
+
+
+def _native_table_kind(path: str) -> str:
+    """'delta' | 'iceberg' | '' for a table DIRECTORY, by its metadata
+    layout (what the path-quoted DML statements dispatch on)."""
+    import glob as _g
+
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        return "delta"
+    if _g.glob(os.path.join(path, "metadata", "*.metadata.json")):
+        return "iceberg"
+    return ""
 
 # DESCRIBE <table|query> — reference statement Describe (glaredb_parser
 # statement.rs:24-62); output formatted by catalog.describe with reference
@@ -536,25 +568,39 @@ class GlareSession:
             return self.spark.range(1).select(F.lit(msg).alias("status"))
         dml = _DELETE_PATH_RE.match(query)
         if dml:
-            # DELETE FROM '<delta-table-dir>' WHERE pred — copy-on-write
-            # over the native log (sources/delta_native.py)
+            # DELETE FROM '<table-dir>' WHERE pred — copy-on-write over
+            # the native Delta log or Iceberg snapshot chain, dispatched
+            # on the directory's metadata layout
             from pyspark.sql import functions as F
 
-            from glaredb_spark.sources.delta_native import delete_delta_native
+            if _native_table_kind(dml.group(1)) == "iceberg":
+                from glaredb_spark.sources.iceberg_native import (
+                    delete_iceberg_native as _del,
+                )
+            else:
+                from glaredb_spark.sources.delta_native import (
+                    delete_delta_native as _del,
+                )
 
-            n, _ = delete_delta_native(
-                self.spark, dml.group(1), dml.group(2)
-            )
+            n, _ = _del(self.spark, dml.group(1), dml.group(2))
             return self.spark.range(1).select(
                 F.lit(n).cast("bigint").alias("Count")
             )
         dml = _UPDATE_PATH_RE.match(query)
         if dml:
-            # UPDATE '<delta-table-dir>' SET c = expr[, ...] WHERE pred
+            # UPDATE '<table-dir>' SET c = expr[, ...] WHERE pred
             from pyspark.sql import functions as F
 
             from glaredb_spark.functions.arith_binder import _split_top_args
-            from glaredb_spark.sources.delta_native import update_delta_native
+
+            if _native_table_kind(dml.group(1)) == "iceberg":
+                from glaredb_spark.sources.iceberg_native import (
+                    update_iceberg_native as _upd,
+                )
+            else:
+                from glaredb_spark.sources.delta_native import (
+                    update_delta_native as _upd,
+                )
 
             sets: dict[str, str] = {}
             for item in _split_top_args(dml.group(2)):
@@ -562,12 +608,13 @@ class GlareSession:
                 if not eq or not col.strip() or not expr.strip():
                     raise ValueError(f"malformed SET clause item: {item!r}")
                 sets[col.strip().strip("`\"")] = expr.strip()
-            n, _ = update_delta_native(
-                self.spark, dml.group(1), sets, dml.group(3)
-            )
+            n, _ = _upd(self.spark, dml.group(1), sets, dml.group(3))
             return self.spark.range(1).select(
                 F.lit(n).cast("bigint").alias("Count")
             )
+        dml = _MERGE_PATH_RE.match(query)
+        if dml:
+            return self._run_merge(dml, query)
         ins = _INSERT_RE.match(query)
         if ins:
             from pyspark.sql import Observation
@@ -717,6 +764,8 @@ class GlareSession:
         from pyspark.sql import Observation
 
         source, path, fmt = m.group(1), m.group(2), m.group(3)
+        opts = (m.group(4) or "").upper()
+        mode = "overwrite" if "OVERWRITE" in opts else "append"
         if source.startswith("("):
             df = self.spark.sql(
                 rewrite_table_functions(self.spark, source[1:-1])
@@ -733,17 +782,19 @@ class GlareSession:
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if fmt == "delta":
             # native Delta commit (sources/delta_native.py) — appends to
-            # an existing table at the path, creates it otherwise
+            # an existing table at the path (or replaces it under
+            # OVERWRITE), creates it otherwise
             from glaredb_spark.sources.delta_native import write_delta_native
 
-            write_delta_native(df, path, mode="append")
+            write_delta_native(df, path, mode=mode)
         elif fmt == "iceberg":
-            # native Iceberg v1 append snapshot (sources/iceberg_native.py)
+            # native Iceberg v1 snapshot (sources/iceberg_native.py) —
+            # append, or an overwrite snapshot under OVERWRITE
             from glaredb_spark.sources.iceberg_native import (
                 write_iceberg_native,
             )
 
-            write_iceberg_native(df, path)
+            write_iceberg_native(df, path, mode=mode)
         else:
             writer = df.write.mode("overwrite")
             if fmt == "csv":
@@ -751,6 +802,76 @@ class GlareSession:
             getattr(writer, fmt)(path)
         return self.spark.range(1).select(
             F.lit(obs.get["n"]).cast("bigint").alias("Count")
+        )
+
+    def _run_merge(self, m: "re.Match", query: str) -> DataFrame:
+        """MERGE INTO '<table-dir>' t USING src s ON t.k = s.k [AND ...]
+        [WHEN MATCHED THEN UPDATE SET ...] [WHEN NOT MATCHED THEN
+        INSERT [*]] — the SQL surface over the native COW upsert
+        (sources/delta_native.py:merge_delta_native). The ON condition
+        must be an equi-join on same-named columns (the contract the
+        key-based merge executes); returns Count = updated + inserted."""
+        from pyspark.sql import functions as F
+
+        from glaredb_spark.functions.arith_binder import _split_top_args
+        from glaredb_spark.functions.table_sql import rewrite_table_functions
+        from glaredb_spark.sources.delta_native import merge_delta_native
+
+        path, t_alias, src_txt, s_alias, on_txt, set_txt = m.groups()
+        if _native_table_kind(path) != "delta":
+            raise ValueError(
+                f"MERGE INTO target is not a native Delta table: {path!r}"
+            )
+        if src_txt.startswith("("):
+            source = self.spark.sql(
+                rewrite_table_functions(self.spark, src_txt[1:-1])
+            )
+        else:
+            source = self.spark.table(src_txt)
+
+        def _norm_alias(expr: str) -> str:
+            expr = re.sub(rf"\b{re.escape(t_alias)}\s*\.", "t.", expr,
+                          flags=re.IGNORECASE)
+            return re.sub(rf"\b{re.escape(s_alias)}\s*\.", "s.", expr,
+                          flags=re.IGNORECASE)
+
+        on: list[str] = []
+        for conj in re.split(r"\bAND\b", on_txt, flags=re.IGNORECASE):
+            lhs, eq, rhs = conj.partition("=")
+            sides = {}
+            for side in (lhs, rhs):
+                owner, dot, col = side.strip().strip("()").partition(".")
+                sides[owner.strip().lower()] = col.strip().strip("`\"")
+            if (
+                not eq
+                or set(sides) != {t_alias.lower(), s_alias.lower()}
+                or len(set(sides.values())) != 1
+            ):
+                raise ValueError(
+                    "MERGE ON must be a conjunction of "
+                    f"{t_alias}.<col> = {s_alias}.<col> terms on the same "
+                    f"column; got {conj.strip()!r}"
+                )
+            on.append(sides[t_alias.lower()])
+
+        when_matched: dict[str, str] = {}
+        if set_txt:
+            for item in _split_top_args(set_txt):
+                col, eq, expr = item.partition("=")
+                if not eq or not col.strip() or not expr.strip():
+                    raise ValueError(f"malformed SET clause item: {item!r}")
+                col = col.strip().strip("`\"")
+                if "." in col:
+                    col = col.split(".", 1)[1].strip("`\"")
+                when_matched[col] = _norm_alias(expr.strip())
+        insert = bool(_MERGE_NOT_MATCHED_RE.search(query))
+        updated, inserted, _files = merge_delta_native(
+            self.spark, path, source, on,
+            when_matched_update=when_matched or {},
+            when_not_matched_insert=insert,
+        )
+        return self.spark.range(1).select(
+            F.lit(updated + inserted).cast("bigint").alias("Count")
         )
 
     def _describe(self, target: str) -> DataFrame:

@@ -907,6 +907,10 @@ def merge_delta_native(
             p for p in state.adds
             if os.path.realpath(_resolve(p)) in touched_full
         ]
+        if not when_matched_update:
+            # insert-only merge (no WHEN MATCHED clause): matched rows
+            # keep their values, so no file needs rewriting
+            touched_rel, updated = [], 0
         if when_not_matched_insert:
             inserts = source.alias("s").join(
                 _read_active(

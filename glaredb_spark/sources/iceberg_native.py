@@ -84,7 +84,15 @@ def _resolve(stored: str, meta: dict, table_path: str) -> str:
     return stored
 
 
-def _current_snapshot(meta: dict) -> dict | None:
+def _current_snapshot(meta: dict, snapshot_id: int | None = None) -> dict | None:
+    """Current snapshot, or the one named by ``snapshot_id`` (time
+    travel — metadata.json retains the full snapshot log, so any prior
+    snapshot's manifest list is still reachable)."""
+    if snapshot_id is not None:
+        for s in meta.get("snapshots", []):
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise IcebergError(f"no snapshot with id {snapshot_id}")
     sid = meta.get("current-snapshot-id")
     if sid in (None, -1):
         return None
@@ -94,8 +102,10 @@ def _current_snapshot(meta: dict) -> dict | None:
     return None
 
 
-def _manifest_list_entries(meta: dict, table_path: str) -> list[dict]:
-    snap = _current_snapshot(meta)
+def _manifest_list_entries(
+    meta: dict, table_path: str, snapshot_id: int | None = None
+) -> list[dict]:
+    snap = _current_snapshot(meta, snapshot_id)
     if snap is None:
         return []
     if "manifest-list" in snap:
@@ -110,9 +120,11 @@ def _manifest_list_entries(meta: dict, table_path: str) -> list[dict]:
     ]
 
 
-def _manifest_entries(meta: dict, table_path: str) -> list[dict]:
+def _manifest_entries(
+    meta: dict, table_path: str, snapshot_id: int | None = None
+) -> list[dict]:
     out = []
-    for ml in _manifest_list_entries(meta, table_path):
+    for ml in _manifest_list_entries(meta, table_path, snapshot_id):
         path = _resolve(ml["manifest_path"], meta, table_path)
         recs, _ = read_avro(path)
         out.extend(recs)
@@ -159,6 +171,32 @@ def manifest_list_df(spark, table_path: str):
     )
 
 
+def history_df(spark, table_path: str):
+    """Snapshot history (iceberg.history TVF shape): one row per
+    snapshot with its operation and summary counts — the Iceberg
+    counterpart of the Delta writer's history surface."""
+    m = table_metadata(table_path)
+    rows = []
+    for s in m.get("snapshots", []):
+        summ = s.get("summary", {})
+        rows.append(
+            (
+                int(s["snapshot-id"]),
+                int(s.get("timestamp-ms", 0)),
+                summ.get("operation", ""),
+                int(summ.get("added-data-files", 0) or 0),
+                int(summ.get("deleted-data-files", 0) or 0),
+                s["snapshot-id"] == m.get("current-snapshot-id"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, timestamp_ms long, operation string,"
+        " added_data_files long, deleted_data_files long,"
+        " is_current boolean",
+    )
+
+
 def data_files_df(spark, table_path: str):
     m = table_metadata(table_path)
     rows = []
@@ -183,11 +221,12 @@ def data_files_df(spark, table_path: str):
 # --- scan --------------------------------------------------------------------
 
 
-def read_iceberg_native(spark, table_path: str):
-    """Distributed scan of the table's current snapshot."""
+def read_iceberg_native(spark, table_path: str, snapshot_id: int | None = None):
+    """Distributed scan of the table's current snapshot, or of a prior
+    one named by ``snapshot_id`` (time travel)."""
     m = table_metadata(table_path)
     active: list[str] = []
-    for e in _manifest_entries(m, table_path):
+    for e in _manifest_entries(m, table_path, snapshot_id):
         df = e["data_file"]
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
@@ -299,104 +338,55 @@ def _iceberg_schema(df) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
-def write_iceberg_native(df, table_path: str) -> int:
-    """Append ``df`` to an Iceberg v1 table at ``table_path`` (creating
-    it if absent) without any connector jar — the writer half of this
-    module's native reader (reference: glaredb_ext_iceberg is also
-    read-only; we go one step further).
-
-    Division of labor at 100 TB, same as the Delta writer: data files
-    move via distributed ``df.write.parquet``; the metadata the writer
-    authors (one manifest avro for the new files, a new manifest list
-    carrying the previous snapshot's manifests forward, one
-    metadata.json) is KB-scale driver work — record counts come from
-    parquet footers, not data scans. Unpartitioned v1 append only; the
-    manifest avro carries the field subset the protocol requires for a
-    data scan (no column stats — readers treat missing stats as
-    unpruned, which is correct, just less of an optimization).
-    Returns the new snapshot id."""
+def _publish_snapshot(
+    table_path: str,
+    meta: dict | None,
+    schema_obj: dict,
+    added: list[dict],
+    existing: list[dict],
+    operation: str,
+    summary: dict,
+    carry_forward: list[dict] | None = None,
+) -> int:
+    """Author and atomically commit one snapshot: a manifest avro for
+    ``added``/``existing`` data_file dicts, a manifest list referencing
+    it (plus ``carry_forward`` manifest-list entries from the previous
+    snapshot — the append path), and a new vN.metadata.json published
+    via O_CREAT|O_EXCL (optimistic concurrency, same contract as the
+    Delta log commit). All KB-scale driver work. Returns the snapshot
+    id."""
     import time
     import uuid
 
-    import pyarrow.parquet as pq
-
     from glaredb_spark.sources.avro_lite import write_avro
 
-    table_path = os.path.abspath(table_path)
     mdir = os.path.join(table_path, "metadata")
-    ddir = os.path.join(table_path, "data")
-    os.makedirs(mdir, exist_ok=True)
-    os.makedirs(ddir, exist_ok=True)
-
-    meta = None
-    if _glob.glob(os.path.join(mdir, "*.metadata.json")):
-        meta = table_metadata(table_path)
-        want = [
-            (f["name"]) for f in (
-                (meta.get("schemas") or [meta.get("schema", {})])[0]
-            ).get("fields", [])
-        ]
-        if want != df.columns:
-            raise IcebergError(
-                f"schema mismatch: table columns {want}, DataFrame {df.columns}"
-            )
-
-    # each commit writes into its own unique subdir of data/ and claims
-    # exactly the files it created — a concurrent writer's in-flight
-    # parquet can never be attributed to this snapshot (the before/after
-    # listing this replaces had that race; ADVICE r4)
-    import uuid as _uuid
-
-    sub = "c" + _uuid.uuid4().hex[:16]
-    cdir = os.path.join(ddir, sub)
-    df.write.mode("append").parquet(cdir)
-    new_files = sorted(
-        os.path.join(sub, n)
-        for n in os.listdir(cdir)
-        if n.endswith(".parquet")
-    )
-
     now_ms = int(time.time() * 1000)
     prev_snaps = (meta or {}).get("snapshots", [])
     snapshot_id = 1 + max((s["snapshot-id"] for s in prev_snaps), default=0)
     seq = 1 + max((s.get("sequence-number", 0) for s in prev_snaps), default=0)
 
-    entries = []
-    added_rows = 0
-    for n in new_files:
-        full = os.path.join(ddir, n)
-        nrows = pq.read_metadata(full).num_rows
-        added_rows += nrows
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    "file_path": f"{table_path}/data/{n}",
-                    "file_format": "PARQUET",
-                    "record_count": nrows,
-                    "file_size_in_bytes": os.path.getsize(full),
-                    "block_size_in_bytes": 67108864,
-                },
-            }
-        )
+    entries = [
+        {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+        for d in added
+    ] + [
+        {"status": 0, "snapshot_id": d.pop("_snapshot_id", None),
+         "data_file": d}
+        for d in existing
+    ]
     manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
     manifest_path = os.path.join(mdir, manifest_name)
     write_avro(manifest_path, _MANIFEST_SCHEMA, entries)
 
-    ml_entries = []
-    if meta is not None:
-        for e in _manifest_list_entries(meta, table_path):
-            ml_entries.append(
-                {
-                    "manifest_path": _resolve(
-                        e["manifest_path"], meta, table_path
-                    ),
-                    "manifest_length": int(e.get("manifest_length", 0)),
-                    "partition_spec_id": 0,
-                    "added_snapshot_id": e.get("added_snapshot_id"),
-                }
-            )
+    ml_entries = [
+        {
+            "manifest_path": _resolve(e["manifest_path"], meta, table_path),
+            "manifest_length": int(e.get("manifest_length", 0)),
+            "partition_spec_id": 0,
+            "added_snapshot_id": e.get("added_snapshot_id"),
+        }
+        for e in (carry_forward or [])
+    ]
     ml_entries.append(
         {
             "manifest_path": manifest_path,
@@ -424,24 +414,17 @@ def write_iceberg_native(df, table_path: str) -> int:
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": ml_path,
-        "summary": {
-            "operation": "append",
-            "added-data-files": str(len(new_files)),
-            "added-records": str(added_rows),
-        },
+        "summary": {"operation": operation,
+                    **{k: str(v) for k, v in summary.items()}},
     }
     new_meta = {
         "format-version": 1,
         "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
         "location": table_path,
         "last-updated-ms": now_ms,
-        "last-column-id": len(df.columns),
-        "schema": _iceberg_schema(df) if meta is None else
-            (meta.get("schemas") or [meta["schema"]])[0],
-        "schemas": [
-            _iceberg_schema(df) if meta is None else
-            (meta.get("schemas") or [meta["schema"]])[0]
-        ],
+        "last-column-id": len(schema_obj.get("fields", [])),
+        "schema": schema_obj,
+        "schemas": [schema_obj],
         "current-schema-id": 0,
         "partition-spec": [],
         "partition-specs": [{"spec-id": 0, "fields": []}],
@@ -461,3 +444,226 @@ def write_iceberg_native(df, table_path: str) -> int:
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return snapshot_id
+
+
+def _stage_data_files(df, table_path: str) -> list[dict]:
+    """Distributed write of ``df`` into a unique per-commit subdirectory
+    of data/; returns data_file dicts for exactly the files this write
+    created (record counts from parquet footers — no data rescans).
+    Commits claim only their own files, so a concurrent writer's
+    in-flight parquet can never be attributed to this snapshot."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    ddir = os.path.join(table_path, "data")
+    sub = "c" + uuid.uuid4().hex[:16]
+    cdir = os.path.join(ddir, sub)
+    df.write.mode("append").parquet(cdir)
+    out = []
+    for n in sorted(os.listdir(cdir)):
+        full = os.path.join(cdir, n)
+        if not n.endswith(".parquet"):
+            try:
+                os.unlink(full)
+            except OSError:
+                pass
+            continue
+        out.append(
+            {
+                "file_path": full,
+                "file_format": "PARQUET",
+                "record_count": pq.read_metadata(full).num_rows,
+                "file_size_in_bytes": os.path.getsize(full),
+                "block_size_in_bytes": 67108864,
+            }
+        )
+    return out
+
+
+def write_iceberg_native(df, table_path: str, mode: str = "append") -> int:
+    """Write ``df`` to an Iceberg v1 table at ``table_path`` (creating
+    it if absent) without any connector jar — the writer half of this
+    module's native reader (reference: glaredb_ext_iceberg is
+    read-only; we go further: append AND overwrite snapshots, plus the
+    COW DELETE/UPDATE below).
+
+    Division of labor at 100 TB, same as the Delta writer: data files
+    move via distributed ``df.write.parquet``; the metadata the writer
+    authors (one manifest avro for the new files, a new manifest list,
+    one metadata.json) is KB-scale driver work — record counts come
+    from parquet footers, not data scans. ``mode="append"`` carries the
+    previous snapshot's manifests forward; ``mode="overwrite"``
+    references only the new files (prior snapshots stay readable via
+    ``read_iceberg_native(..., snapshot_id=...)`` time travel).
+    Unpartitioned v1 only; the manifest avro carries the field subset
+    the protocol requires for a data scan (no column stats — readers
+    treat missing stats as unpruned, which is correct, just less of an
+    optimization). Returns the new snapshot id."""
+    if mode not in ("append", "overwrite"):
+        raise IcebergError(f"unsupported iceberg write mode: {mode!r}")
+    table_path = os.path.abspath(table_path)
+    mdir = os.path.join(table_path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+
+    meta = None
+    if _glob.glob(os.path.join(mdir, "*.metadata.json")):
+        meta = table_metadata(table_path)
+        want = [
+            (f["name"]) for f in (
+                (meta.get("schemas") or [meta.get("schema", {})])[0]
+            ).get("fields", [])
+        ]
+        if want != df.columns:
+            raise IcebergError(
+                f"schema mismatch: table columns {want}, DataFrame {df.columns}"
+            )
+
+    added = _stage_data_files(df, table_path)
+    schema_obj = (
+        _iceberg_schema(df) if meta is None
+        else (meta.get("schemas") or [meta["schema"]])[0]
+    )
+    summary = {
+        "added-data-files": len(added),
+        "added-records": sum(d["record_count"] for d in added),
+    }
+    carry = None
+    if meta is not None and mode == "append":
+        carry = _manifest_list_entries(meta, table_path)
+    elif meta is not None:
+        prev = [
+            e["data_file"] for e in _manifest_entries(meta, table_path)
+            if _STATUS.get(e.get("status", 0)) != "DELETED"
+        ]
+        summary["deleted-data-files"] = len(prev)
+        summary["deleted-records"] = sum(
+            int(d.get("record_count", 0)) for d in prev
+        )
+    return _publish_snapshot(
+        table_path, meta, schema_obj, added, [], mode, summary, carry
+    )
+
+
+# --- copy-on-write DML (beyond the read-only reference) ----------------------
+
+
+def _require_unpartitioned(meta: dict) -> None:
+    specs = meta.get("partition-specs") or [
+        {"fields": meta.get("partition-spec", [])}
+    ]
+    default = next(
+        (s for s in specs if s.get("spec-id", 0) == meta.get("default-spec-id", 0)),
+        specs[0],
+    )
+    if default.get("fields"):
+        raise IcebergError(
+            "native iceberg DML supports unpartitioned tables only; "
+            "install the iceberg-spark connector jar for partitioned DML"
+        )
+
+
+def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
+    """COW core shared by DELETE and UPDATE (the Delta writer's strategy,
+    delta_native.py:_rewrite_matching): one distributed probe finds the
+    data files containing >=1 predicate match via a per-
+    ``_metadata.file_path`` aggregate, ONLY those files are fed through
+    ``rewrite(df, pred_col)``, and the new snapshot references
+    replacement + untouched files. Cost scales with matched-file count,
+    not table size. Returns (matched_rows, files_rewritten)."""
+    from pyspark.sql import functions as F
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    _require_unpartitioned(meta)
+    snap_id = meta.get("current-snapshot-id")
+    active = []
+    for e in _manifest_entries(meta, table_path):
+        if _STATUS.get(e.get("status", 0)) == "DELETED":
+            continue
+        d = dict(e["data_file"])
+        if (d.get("content", 0) or 0) != 0:
+            raise IcebergError(
+                "native iceberg DML cannot rewrite merge-on-read tables"
+            )
+        d["file_path"] = _resolve(d["file_path"], meta, table_path)
+        d["_snapshot_id"] = e.get("snapshot_id")
+        d.setdefault("block_size_in_bytes", 67108864)
+        active.append(d)
+    if not active:
+        return (0, 0)
+    paths = [d["file_path"] for d in active]
+    probe = (
+        spark.read.parquet(*paths)
+        .select(
+            F.col("_metadata.file_path").alias("_f"),
+            F.expr(predicate).alias("_m"),
+        )
+        .groupBy("_f")
+        .agg(F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("hits"))
+        .filter(F.col("hits") > 0)
+        .collect()
+    )
+    if not probe:
+        return (0, 0)
+    import urllib.parse
+
+    def _norm(uri: str) -> str:
+        return os.path.realpath(
+            urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+        )
+
+    touched = {_norm(r["_f"]) for r in probe}
+    matched = sum(r["hits"] for r in probe)
+    keep = [d for d in active if os.path.realpath(d["file_path"]) not in touched]
+    hit = [d for d in active if os.path.realpath(d["file_path"]) in touched]
+    src = spark.read.parquet(*[d["file_path"] for d in hit])
+    pred_col = F.coalesce(F.expr(predicate), F.lit(False))
+    added = _stage_data_files(rewrite(src, pred_col), table_path)
+    schema_obj = (meta.get("schemas") or [meta["schema"]])[0]
+    _publish_snapshot(
+        table_path, meta, schema_obj, added, keep, operation,
+        {
+            "deleted-data-files": len(hit),
+            "added-data-files": len(added),
+            "matched-records": int(matched),
+        },
+    )
+    return (int(matched), len(hit))
+
+
+def delete_iceberg_native(spark, table_path: str, predicate: str) -> tuple[int, int]:
+    """COW DELETE: rows matching ``predicate`` (SQL expression) are
+    removed in a new "delete" snapshot. Returns (rows_deleted,
+    files_rewritten)."""
+    return _rewrite_matching_ice(
+        spark, table_path, predicate, "delete",
+        lambda df, pred: df.filter(~pred),
+    )
+
+
+def update_iceberg_native(
+    spark, table_path: str, sets: dict, predicate: str
+) -> tuple[int, int]:
+    """COW UPDATE: rows matching ``predicate`` get the ``sets``
+    column->SQL-expression assignments in a new "overwrite" snapshot.
+    Returns (rows_updated, files_rewritten)."""
+    from pyspark.sql import functions as F
+
+    def _apply(df, pred):
+        out = df
+        for col, expr in sets.items():
+            if col not in df.columns:
+                raise IcebergError(f"UPDATE of unknown column {col!r}")
+            out = out.withColumn(
+                col,
+                F.when(pred, F.expr(expr).cast(dict(
+                    (f.name, f.dataType) for f in df.schema.fields
+                )[col])).otherwise(F.col(col)),
+            )
+        return out
+
+    return _rewrite_matching_ice(
+        spark, table_path, predicate, "overwrite", _apply
+    )

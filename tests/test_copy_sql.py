@@ -94,3 +94,104 @@ def test_sql_dml_on_delta_path(sess, tmp_path):
     assert n == 5  # keys 5..9 remain
     got = read_delta_native(sess.spark, out)
     assert got.filter("n_regionkey >= 100").count() == 5
+
+
+def test_copy_overwrite_delta_and_iceberg(sess, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    for fmt, reader in (
+        ("DELTA", read_delta_native),
+        ("ICEBERG", read_iceberg_native),
+    ):
+        out = str(tmp_path / fmt.lower())
+        sess.sql(
+            f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{out}' "
+            f"(FORMAT {fmt})"
+        )
+        n = sess.sql(
+            f"COPY (SELECT n_nationkey, n_name FROM nation WHERE "
+            f"n_nationkey < 5) TO '{out}' (FORMAT {fmt}, OVERWRITE)"
+        ).collect()[0].Count
+        assert n == 5
+        assert reader(sess.spark, out).count() == 5
+
+
+def test_sql_dml_on_iceberg_path(sess, tmp_path):
+    """DELETE FROM / UPDATE dispatch on the directory's metadata layout:
+    an iceberg table routes to the iceberg COW DML."""
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    out = str(tmp_path / "ice")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation) "
+        f"TO '{out}' (FORMAT ICEBERG)"
+    )
+    n = sess.sql(f"DELETE FROM '{out}' WHERE n_regionkey = 0").collect()
+    assert n[0].Count == 5
+    n = sess.sql(
+        f"UPDATE '{out}' SET n_name = upper(n_name) WHERE n_nationkey < 3"
+    ).collect()
+    assert n[0].Count == 2  # nations 0 and 2 survive (1 was region 0)
+    rows = read_iceberg_native(sess.spark, out).collect()
+    assert len(rows) == 20
+    assert all(
+        r["n_name"] == r["n_name"].upper()
+        for r in rows if r["n_nationkey"] < 3
+    )
+
+
+def test_merge_into_sql(sess, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    out = str(tmp_path / "dt")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation "
+        f"WHERE n_nationkey < 20) TO '{out}' (FORMAT DELTA)"
+    )
+    sess.spark.sql(
+        "SELECT n_nationkey, concat(n_name, '!') AS n_name, n_regionkey "
+        "FROM nation WHERE n_nationkey >= 15"
+    ).createOrReplaceTempView("merge_src_v")
+    n = sess.sql(
+        f"MERGE INTO '{out}' AS t USING merge_src_v AS s "
+        f"ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED THEN UPDATE SET n_name = s.n_name "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    ).collect()
+    assert n[0].Count == 10  # 5 updated (15..19) + 5 inserted (20..24)
+    rows = {r["n_nationkey"]: r["n_name"]
+            for r in read_delta_native(sess.spark, out).collect()}
+    assert len(rows) == 25
+    assert rows[16].endswith("!") and rows[22].endswith("!")
+    assert not rows[3].endswith("!")
+
+
+def test_merge_into_insert_only_and_subquery_source(sess, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    out = str(tmp_path / "dt")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation WHERE "
+        f"n_nationkey < 10) TO '{out}' (FORMAT DELTA)"
+    )
+    n = sess.sql(
+        f"MERGE INTO '{out}' t USING (SELECT n_nationkey, n_name FROM "
+        f"nation WHERE n_nationkey < 12) s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN NOT MATCHED THEN INSERT"
+    ).collect()
+    assert n[0].Count == 2
+    assert read_delta_native(sess.spark, out).count() == 12
+
+
+def test_merge_into_bad_on_condition_raises(sess, tmp_path):
+    out = str(tmp_path / "dt")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{out}' "
+        f"(FORMAT DELTA)"
+    )
+    with pytest.raises(ValueError, match="MERGE ON"):
+        sess.sql(
+            f"MERGE INTO '{out}' t USING nation s ON t.n_nationkey < "
+            f"s.n_nationkey WHEN NOT MATCHED THEN INSERT"
+        )

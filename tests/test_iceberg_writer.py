@@ -55,3 +55,66 @@ def test_unmappable_type_rejected(spark, tmp_path):
     df = spark.createDataFrame([([1, 2],)], "xs array<int>")
     with pytest.raises(IcebergError, match="cannot map"):
         write_iceberg_native(df, str(tmp_path / "ice"))
+
+
+def test_overwrite_snapshot_and_time_travel(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.iceberg_native import history_df
+
+    path = str(tmp_path / "ice")
+    s1 = write_iceberg_native(_docs(spark, sf_dir, 0, 40), path)
+    s2 = write_iceberg_native(
+        _docs(spark, sf_dir, 0, 10), path, mode="overwrite"
+    )
+    assert read_iceberg_native(spark, path).count() == 10
+    # prior snapshot stays readable (time travel by snapshot id)
+    assert read_iceberg_native(spark, path, snapshot_id=s1).count() == 40
+    hist = history_df(spark, path).orderBy("snapshot_id").collect()
+    assert [r["operation"] for r in hist] == ["append", "overwrite"]
+    assert [r["is_current"] for r in hist] == [False, True]
+    assert hist[1]["snapshot_id"] == s2
+
+
+def test_delete_rewrites_only_touched_files(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.iceberg_native import delete_iceberg_native
+
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 40).coalesce(1), path)
+    write_iceberg_native(_docs(spark, sf_dir, 40, 70).coalesce(1), path)
+    # predicate hits only the second file
+    deleted, rewritten = delete_iceberg_native(
+        spark, path, "doc_id >= 60"
+    )
+    assert (deleted, rewritten) == (10, 1)
+    got = read_iceberg_native(spark, path)
+    assert _collect(got) == _collect(_docs(spark, sf_dir, 0, 60))
+    # no-match predicate is a no-op (no new snapshot)
+    before = snapshots_df(spark, path).count()
+    assert delete_iceberg_native(spark, path, "doc_id > 9999") == (0, 0)
+    assert snapshots_df(spark, path).count() == before
+
+
+def test_update_applies_sets_to_matching_rows(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.iceberg_native import update_iceberg_native
+
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 50), path)
+    updated, _ = update_iceberg_native(
+        spark, path, {"n_chars": "n_chars * 2"}, "doc_id < 7"
+    )
+    assert updated == 7
+    got = {r["doc_id"]: r["n_chars"] for r in
+           read_iceberg_native(spark, path).collect()}
+    src = {r["doc_id"]: r["n_chars"] for r in
+           _docs(spark, sf_dir, 0, 50).collect()}
+    assert got == {
+        k: (v * 2 if k < 7 else v) for k, v in src.items()
+    }
+    with pytest.raises(IcebergError, match="unknown column"):
+        update_iceberg_native(spark, path, {"nope": "1"}, "doc_id < 3")
+
+
+def test_unknown_snapshot_id_raises(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 10), path)
+    with pytest.raises(IcebergError, match="no snapshot"):
+        read_iceberg_native(spark, path, snapshot_id=999)
