@@ -88,6 +88,14 @@ def query_profile(df: DataFrame) -> dict:
 # ---------------------------------------------------------------------------
 
 _QUERY_LOG: dict[str, list] = {}  # applicationId -> [(query_id, DataFrame)]
+_PER_PARTITION: dict[str, bool] = {}  # applicationId -> per_partition_counts
+
+
+def set_per_partition_counts(spark, flag: bool) -> None:
+    """SET per_partition_counts (config/session.rs:12-21): when on,
+    execution_profile() adds one row per output partition (GlareSession
+    _apply_var wires the session variable here)."""
+    _PER_PARTITION[spark.sparkContext.applicationId] = bool(flag)
 
 
 def record_query(spark, df: DataFrame) -> str:
@@ -218,6 +226,24 @@ def execution_profile(spark, arg=None) -> DataFrame:
                         continue
         except Exception:  # noqa: BLE001
             pass
+        if _PER_PARTITION.get(spark.sparkContext.applicationId):
+            # per_partition_counts (reference session var): one row per
+            # output partition of the profiled query. This runs the query
+            # once more with a partition-id aggregate — an explicit
+            # profiling opt-in, exactly what the variable asks for.
+            from pyspark.sql import functions as F
+
+            pcounts = (
+                df.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .orderBy("pid")
+                .collect()
+            )
+            rows.extend(
+                (qid, 10_000 + r["pid"], "ResultOutput",
+                 f"partition_{r['pid']}_rows", int(r["count"]))
+                for r in pcounts
+            )
     return spark.createDataFrame(
         rows,
         "query_id string, operator_order int, operator string, "

@@ -297,6 +297,9 @@ class GlareSession:
             n: d(self.spark) if callable(d) else d
             for n, (d, _) in self._VAR_SPEC.items()
         }
+        from glaredb_spark.plans.explain import set_per_partition_counts
+
+        set_per_partition_counts(self.spark, False)
 
     @property
     def verify_optimized_plan(self) -> bool:
@@ -317,8 +320,10 @@ class GlareSession:
         - ``enable_hash_joins`` off → prefer sort-merge joins
         - ``enable_optimizer`` off → exclude the excludable Catalyst
           batches (the de-optimized plan of verification mode)
+        - ``per_partition_counts`` → execution_profile() emits one row
+          per output partition (plans/explain.py)
         ``application_name`` / ``enable_function_chaining`` (chaining is
-        always-on here) / ``per_partition_counts`` are stored only."""
+        always-on here) are stored only."""
         conf = self.spark.conf
         if name == "partitions":
             conf.set("spark.sql.shuffle.partitions", str(value))
@@ -336,6 +341,10 @@ class GlareSession:
                     "spark.sql.optimizer.excludedRules",
                     self._VERIFY_EXCLUDED_RULES,
                 )
+        elif name == "per_partition_counts":
+            from glaredb_spark.plans.explain import set_per_partition_counts
+
+            set_per_partition_counts(self.spark, value)
 
     def _var_statement(self, query: str):
         """Dispatch SET/RESET/SHOW of session variables; None if the

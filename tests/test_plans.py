@@ -136,3 +136,37 @@ def test_profile_table_functions(spark, sf_dir):
     # profile queries are not self-recorded: the target stays the user query
     again = sess.sql("SELECT count(*) AS n FROM planning_profile()").collect()
     assert again[0].n >= 3
+
+
+def test_per_partition_counts_in_execution_profile(spark, sf_dir):
+    """SET per_partition_counts (config/session.rs:12-21): when on,
+    execution_profile() carries one ResultOutput row per output
+    partition; RESET turns it back off."""
+    from glaredb_spark.session import GlareSession
+
+    sess = GlareSession(spark)
+    sess.register_tables(sf_dir, ("nation",))
+    try:
+        sess.sql("SET per_partition_counts TO true")
+        df = sess.sql(
+            "SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1"
+        )
+        df.collect()
+        rows = sess.sql(
+            "SELECT metric, value FROM execution_profile() "
+            "WHERE operator = 'ResultOutput'"
+        ).collect()
+        assert rows, "per-partition rows must appear when the var is set"
+        assert all(r.metric.startswith("partition_") for r in rows)
+        assert sum(r.value for r in rows) == df.count()
+
+        sess.sql("RESET per_partition_counts")
+        df2 = sess.sql("SELECT count(*) AS n FROM nation")
+        df2.collect()
+        rows2 = sess.sql(
+            "SELECT 1 FROM execution_profile() "
+            "WHERE operator = 'ResultOutput'"
+        ).collect()
+        assert not rows2
+    finally:
+        sess.reset_session_vars()
