@@ -338,12 +338,12 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
 def _display_path(p: str) -> str:
     """Path as the user wrote it: the slt runner prefixes its base dir to
     relative paths ('<base>/../testdata/x.csv'); the reference's _filename
-    shows the original relative form. S3 objects display as their
-    virtual-hosted https URL (slt/s3/public/read_text.slt goldens)."""
-    if p.split("://", 1)[0].lower() in ("s3", "s3a", "s3n"):
-        from glaredb_spark.sources.objectstore import canonical_s3_display
+    shows the original relative form. S3/GCS objects display as their
+    canonical https URL (slt/{s3,gcs}/public/read_text.slt goldens)."""
+    if p.split("://", 1)[0].lower() in ("s3", "s3a", "s3n", "gs"):
+        from glaredb_spark.sources.objectstore import canonical_object_display
 
-        return canonical_s3_display(p)
+        return canonical_object_display(p)
     i = p.find("../")
     return p[i:] if i > 0 else p
 
@@ -365,15 +365,16 @@ def _with_meta(spark: SparkSession, fn: str, paths: list[str]):
 
     members: list[str] = []
     for p in paths:
-        if _osm.object_store_scheme(p) == "s3a" and not _osm.s3_available(
-            spark
+        _scheme = _osm.object_store_scheme(p)
+        if (_scheme == "s3a" and not _osm.s3_available(spark)) or (
+            _scheme == "gs" and not _osm.gcs_available(spark)
         ):
-            # jar-less s3: expand the pattern via a bucket listing so the
-            # virtual columns stay exact per object
+            # jar-less object store: expand the pattern via a bucket
+            # listing so the virtual columns stay exact per object
             scheme, rest = p.split("://", 1)
             bucket, keypat = rest.split("/", 1)
             keys = (
-                _osm.s3_list_keys(bucket, keypat)
+                _osm.list_object_keys(_scheme, bucket, keypat)
                 if re.search(r"[*?{\[]", keypat)
                 else [keypat]
             )
@@ -527,12 +528,13 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
     from glaredb_spark.sources import objectstore as _osm
 
     fn, path = m.group(1).lower(), m.group(2)
-    if _osm.object_store_scheme(path) == "s3a" and not _osm.s3_available(
-        spark
-    ):
-        # jar-less s3: the native reader walks a metadata TREE — fetch
-        # the table prefix into the local cache (KB-scale metadata)
+    _scheme = _osm.object_store_scheme(path)
+    if _scheme == "s3a" and not _osm.s3_available(spark):
+        # jar-less object store: the native reader walks a metadata
+        # TREE — fetch the table prefix into the local cache (KB-scale)
         path = _osm.localize_prefix(path)
+    elif _scheme == "gs" and not _osm.gcs_available(spark):
+        path = _osm.localize_gcs_prefix(path)
     builders = {
         "metadata": _ice.metadata_df,
         "snapshots": _ice.snapshots_df,

@@ -1083,36 +1083,70 @@ def _ensure_s3_public_fixture() -> None:
         Bucket="glaredb-public-eu",
         CreateBucketConfiguration={"LocationConstraint": "eu-west-1"},
     )
-    ref = "/root/reference/testdata"
-    gn = "testdata/csv/glob_numbers"
     for bucket in ("glaredb-public", "glaredb-public-eu"):
-        for root, _dirs, files in os.walk(ref):
-            for n in files:
-                full = os.path.join(root, n)
-                key = "testdata/" + os.path.relpath(full, ref).replace(
-                    os.sep, "/"
-                )
-                s3.upload_file(full, bucket, key)
-        s3.upload_file(f"{ref}/csv/simple.csv", bucket, "simple.csv")
-        s3.upload_file(
-            f"{ref}/parquet/userdata0.parquet", bucket, "userdata0.parquet"
-        )
-        # glob.slt's nested glob_numbers tree (its goldens enumerate
-        # exactly these keys)
-        s3.put_object(
-            Bucket=bucket, Key=f"{gn}/README.md", Body=b"glob fixtures\n"
-        )
-        for sub in ("nested1", "nested2", "deep/nested1", "deep/nested2"):
-            for n in ("100", "200", "300", "400", "500"):
-                s3.upload_file(
-                    f"{ref}/csv/glob_numbers/{n}.csv", bucket,
-                    f"{gn}/{sub}/{n}.csv",
-                )
-        s3.upload_file(
-            f"{ref}/csv/glob_numbers/100.csv", bucket,
-            f"{gn}/deep/my_favorite_numbers.csv",
+        _populate_public_bucket(
+            lambda full, key, b=bucket: s3.upload_file(full, b, key),
+            lambda key, data, b=bucket: s3.put_object(
+                Bucket=b, Key=key, Body=data
+            ),
         )
     _MOTO["server"] = server
+
+
+def _populate_public_bucket(upload_file, put_object) -> None:
+    """Mirror of the reference's public-bucket content (shared by the S3
+    and GCS fixtures): /root/reference/testdata under testdata/, root
+    copies of simple.csv / userdata0.parquet, and the nested glob_numbers
+    tree glob.slt's goldens enumerate."""
+    ref = "/root/reference/testdata"
+    gn = "testdata/csv/glob_numbers"
+    for root, _dirs, files in os.walk(ref):
+        for n in files:
+            full = os.path.join(root, n)
+            key = "testdata/" + os.path.relpath(full, ref).replace(
+                os.sep, "/"
+            )
+            upload_file(full, key)
+    upload_file(f"{ref}/csv/simple.csv", "simple.csv")
+    upload_file(f"{ref}/parquet/userdata0.parquet", "userdata0.parquet")
+    put_object(f"{gn}/README.md", b"glob fixtures\n")
+    for sub in ("nested1", "nested2", "deep/nested1", "deep/nested2"):
+        for n in ("100", "200", "300", "400", "500"):
+            upload_file(f"{ref}/csv/glob_numbers/{n}.csv", f"{gn}/{sub}/{n}.csv")
+    upload_file(
+        f"{ref}/csv/glob_numbers/100.csv",
+        f"{gn}/deep/my_favorite_numbers.csv",
+    )
+
+
+def _ensure_gcs_public_fixture() -> None:
+    """slt/gcs/public setup: a LIVE in-process GCS JSON-API server
+    (sources/gcs_emulator.py — real HTTP on a loopback port, discovered
+    through the standard STORAGE_EMULATOR_HOST convention) serves the
+    same public-bucket mirror as the S3 fixture, plus the glaredb-bench
+    keys bench_queries_docs.slt reads. The jar-less gs:// client in
+    sources/objectstore.py exercises its actual wire path (listing with
+    pagination, media download, URL encoding) against it."""
+    if _MOTO.get("gcs") is not None:
+        return
+    from glaredb_spark.sources.gcs_emulator import GcsEmulator
+
+    em = GcsEmulator()
+    os.environ["STORAGE_EMULATOR_HOST"] = em.start()
+    em.create_bucket("glaredb-public")
+    em.create_bucket("glaredb-bench")
+    _populate_public_bucket(
+        lambda full, key: em.upload_file(full, "glaredb-public", key),
+        lambda key, data: em.put_object("glaredb-public", key, data),
+    )
+    # bench_queries_docs.slt reads (statement-ok: just must run)
+    em.put_object(
+        "glaredb-bench",
+        "results/main/1749063840/c4-standard-32/"
+        "results-tpch-parquet-sf-100.tsv",
+        b"query\tduration_seconds\nq1\t1.5\nq2\t0.7\n",
+    )
+    _MOTO["gcs"] = em
 
 
 def run_slt_file(sess, path: str) -> SltResult:
@@ -1124,6 +1158,8 @@ def run_slt_file(sess, path: str) -> SltResult:
         _register_tpcds_views(sess)
     if f"{os.sep}s3{os.sep}public" in path:
         _ensure_s3_public_fixture()
+    if f"{os.sep}gcs{os.sep}public" in path:
+        _ensure_gcs_public_fixture()
     res = SltResult()
     created: list[str] = []
     created_views: list[str] = []

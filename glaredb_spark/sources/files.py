@@ -482,21 +482,23 @@ def glob_files(spark: SparkSession, pattern: str) -> DataFrame:
     if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", pattern):
         from glaredb_spark.sources import objectstore as _os_mod
 
-        if (
-            _os_mod.object_store_scheme(pattern) == "s3a"
-            and not _os_mod.s3_available(spark)
+        _scheme = _os_mod.object_store_scheme(pattern)
+        if (_scheme == "s3a" and not _os_mod.s3_available(spark)) or (
+            _scheme == "gs" and not _os_mod.gcs_available(spark)
         ):
-            # jar-less s3: list via boto3 and return the caller's own
-            # s3:// URLs (glob.slt displays the original scheme form)
-            try:
-                import boto3  # noqa: F401
-            except ImportError:
-                raise RuntimeError(_os_mod._HELP["s3a"][1]) from None
+            # jar-less object store: list keys via the driver-side
+            # client (boto3 / GCS JSON API) and return the caller's own
+            # URLs (glob.slt displays the original scheme form)
+            if _scheme == "s3a":
+                try:
+                    import boto3  # noqa: F401
+                except ImportError:
+                    raise RuntimeError(_os_mod._HELP["s3a"][1]) from None
             scheme_prefix, rest = pattern.split("://", 1)
             bucket, key_pattern = rest.split("/", 1)
             hits = [
                 f"{scheme_prefix}://{bucket}/{k}"
-                for k in _os_mod.s3_list_keys(bucket, key_pattern)
+                for k in _os_mod.list_object_keys(_scheme, bucket, key_pattern)
             ]
             return spark.createDataFrame([(p,) for p in hits], schema)
         pattern = ensure_object_store(spark, pattern)

@@ -185,18 +185,27 @@ def s3_list_keys(bucket: str, key_pattern: str) -> list[str]:
 
 
 def canonical_url_pairs() -> list[tuple[str, str]]:
-    """(local cache prefix, virtual-hosted https prefix) per bucket seen —
+    """(local cache prefix, canonical https prefix) per bucket seen —
     used to render `_filename` / metadata-TVF filenames the way the
-    reference does (slt/s3/public: https://<bucket>.s3.<region>...)."""
+    reference does (slt/s3/public: https://<bucket>.s3.<region>...;
+    slt/gcs/public: https://storage.googleapis.com/<bucket>/...)."""
     if _S3_CACHE_ROOT is None:
         return []
-    return [
+    pairs = [
+        (
+            os.path.join(_S3_CACHE_ROOT, "gs", b) + "/",
+            f"https://storage.googleapis.com/{b}/",
+        )
+        for b in sorted(_GCS_BUCKETS)
+    ]
+    pairs += [
         (
             os.path.join(_S3_CACHE_ROOT, b) + "/",
             f"https://{b}.s3.{r}.amazonaws.com/",
         )
         for b, r in sorted(_S3_BUCKET_REGION.items())
     ]
+    return pairs
 
 
 def canonical_url(local_path: str) -> str:
@@ -293,11 +302,147 @@ def _boto3_localize(path: str, region: str | None = None) -> str:
     return local
 
 
+# --- GCS fallback client (JSON API over stdlib HTTP) -------------------------
+#
+# The reference ships a native GCS client (crates/glaredb_http/src/gcs/);
+# Spark-side the 100 TB path is the gcs-connector jar. When the jar is
+# absent, this from-scratch JSON-API client (list + media download, no
+# SDK) localizes gs:// objects exactly like the boto3 S3 fallback above.
+# Endpoint discovery honors the standard STORAGE_EMULATOR_HOST convention
+# (fake-gcs-server / Google client libraries); unset means the real
+# https://storage.googleapis.com. Public-bucket reads are unauthenticated,
+# mirroring the reference's anonymous mode.
+
+_GCS_BUCKETS: set[str] = set()
+
+
+def _gcs_endpoint() -> str:
+    ep = os.environ.get("STORAGE_EMULATOR_HOST", "")
+    if not ep:
+        return "https://storage.googleapis.com"
+    if "://" not in ep:
+        ep = "http://" + ep
+    return ep.rstrip("/")
+
+
+def _gcs_get(url: str) -> bytes:
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            return resp.read()
+    except OSError as e:
+        raise RuntimeError(
+            f"GCS request failed ({e}). For cluster-scale gs:// reads: "
+            + _HELP["gs"][1]
+        ) from e
+
+
+def gcs_list_keys(bucket: str, key_pattern: str) -> list[str]:
+    """List bucket keys matching a glob pattern via the GCS JSON API
+    (paginated). The static prefix before the first wildcard bounds the
+    listing, same as the S3 lister."""
+    import json as _json
+    import urllib.parse as _up
+
+    magic = re.search(r"[*?{\[]", key_pattern)
+    prefix = key_pattern[: magic.start()] if magic else key_pattern
+    rx = _key_pattern_regex(key_pattern)
+    _GCS_BUCKETS.add(bucket)
+    base = f"{_gcs_endpoint()}/storage/v1/b/{_up.quote(bucket)}/o"
+    keys: list[str] = []
+    token = ""
+    while True:
+        q = {"prefix": prefix}
+        if token:
+            q["pageToken"] = token
+        resp = _json.loads(_gcs_get(base + "?" + _up.urlencode(q)))
+        for item in resp.get("items", []):
+            if rx.match(item["name"]):
+                keys.append(item["name"])
+        token = resp.get("nextPageToken", "")
+        if not token:
+            break
+    return sorted(keys)
+
+
+def _gcs_localize(path: str) -> str:
+    """Driver-side gs:// fetch into the cache tree
+    (``<root>/gs/<bucket>/<key>``) — the jar-less counterpart of
+    _boto3_localize, with the same glob-rebase behavior."""
+    if path in _S3_CACHE:
+        return _S3_CACHE[path]
+    import urllib.parse as _up
+
+    bucket, key = path.split("://", 1)[1].split("/", 1)
+    _GCS_BUCKETS.add(bucket)
+    root = _cache_root()
+
+    def fetch(k: str) -> str:
+        local = os.path.join(root, "gs", bucket, k)
+        if not os.path.exists(local):
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            url = (
+                f"{_gcs_endpoint()}/storage/v1/b/{_up.quote(bucket)}/o/"
+                f"{_up.quote(k, safe='')}?alt=media"
+            )
+            data = _gcs_get(url)
+            tmp = local + ".part"
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, local)
+        return local
+
+    if re.search(r"[*?{\[]", key):
+        for k in gcs_list_keys(bucket, key):
+            fetch(k)
+        local = os.path.join(root, "gs", bucket, key)
+    else:
+        local = fetch(key)
+    _S3_CACHE[path] = local
+    return local
+
+
+def localize_gcs_prefix(path: str) -> str:
+    """gs:// counterpart of localize_prefix (directory-shaped sources)."""
+    if path in _S3_CACHE:
+        return _S3_CACHE[path]
+    bucket, prefix = path.split("://", 1)[1].split("/", 1)
+    prefix = prefix.rstrip("/")
+    root = _cache_root()
+    for k in gcs_list_keys(bucket, prefix + "/**"):
+        _gcs_localize(f"gs://{bucket}/{k}")
+    local_dir = os.path.join(root, "gs", bucket, prefix)
+    _S3_CACHE[path] = local_dir
+    return local_dir
+
+
+def canonical_object_display(url: str) -> str:
+    """Object-store URL → the https form the reference displays in
+    _filename: virtual-hosted amazonaws.com for s3,
+    storage.googleapis.com for gs (slt/{s3,gcs}/public goldens)."""
+    if "://" not in url:
+        return url
+    scheme = url.split("://", 1)[0].lower()
+    if scheme == "gs":
+        bucket, key = url.split("://", 1)[1].split("/", 1)
+        return f"https://storage.googleapis.com/{bucket}/{key}"
+    return canonical_s3_display(url)
+
+
+def list_object_keys(scheme: str, bucket: str, key_pattern: str) -> list[str]:
+    """Scheme-dispatched key listing for the jar-less fallbacks."""
+    if scheme == "gs":
+        return gcs_list_keys(bucket, key_pattern)
+    return s3_list_keys(bucket, key_pattern)
+
+
 def ensure_object_store(spark: SparkSession, path: str) -> str:
     """Validate connector availability for an object-store path and return
-    the normalized (s3a/gs) path — or, for S3 without the hadoop-aws jar
-    but with boto3 present, a locally cached copy (driver-side fallback;
-    see _boto3_localize). No-op passthrough for other paths."""
+    the normalized (s3a/gs) path — or, without the connector jar, a
+    locally cached copy (driver-side fallbacks: boto3 for s3://, the
+    JSON-API client above for gs://). No-op passthrough for other
+    paths."""
     scheme = object_store_scheme(path)
     if scheme is None:
         return path
@@ -310,5 +455,7 @@ def ensure_object_store(spark: SparkSession, path: str) -> str:
                 return _boto3_localize(path)
             except ImportError:
                 pass
+        elif scheme == "gs":
+            return _gcs_localize(path)
         raise RuntimeError(help_msg)
     return normalize_path(path)

@@ -118,3 +118,58 @@ def test_gcs_read(spark):
         )
     df = read_parquet(spark, "gs://glaredb-public/userdata0.parquet")
     assert df.count() > 0
+
+
+def test_gcs_live_read_emulator(spark, sf_dir, monkeypatch):
+    """LIVE gs:// read: a real GCS JSON-API server
+    (sources/gcs_emulator.py — HTTP on a loopback port, discovered via
+    STORAGE_EMULATOR_HOST) serving the region fixture; the engine's
+    read_parquet('gs://...') result must equal the local read. Exercises
+    the from-scratch JSON-API fallback client in objectstore.py (the
+    gcs-connector executor-side path activates when its jar is
+    present)."""
+    from glaredb_spark.sources.gcs_emulator import GcsEmulator
+
+    em = GcsEmulator()
+    hostport = em.start()
+    try:
+        monkeypatch.setenv("STORAGE_EMULATOR_HOST", hostport)
+        em.create_bucket("fixtures")
+        em.upload_file(f"{sf_dir}/region.parquet", "fixtures",
+                       "region.parquet")
+        objectstore._S3_CACHE.clear()
+        remote = read_parquet(spark, "gs://fixtures/region.parquet")
+        local = read_parquet(spark, f"{sf_dir}/region.parquet")
+        assert sorted(map(tuple, remote.collect())) == sorted(
+            map(tuple, local.collect())
+        )
+    finally:
+        objectstore._S3_CACHE.clear()
+        em.stop()
+
+
+def test_gcs_list_keys_glob_and_pagination(monkeypatch):
+    """The JSON-API lister paginates (pageToken) and applies the
+    reference's segment-aware glob semantics."""
+    from glaredb_spark.sources.gcs_emulator import GcsEmulator
+
+    em = GcsEmulator()
+    hostport = em.start()
+    try:
+        monkeypatch.setenv("STORAGE_EMULATOR_HOST", hostport)
+        em.create_bucket("b")
+        for i in range(7):
+            em.put_object("b", f"d/k{i}.csv", b"x\n1\n")
+        em.put_object("b", "d/deep/k0.csv", b"x\n1\n")
+        em.put_object("b", "d/readme.md", b"hi")
+        # force pagination through the tiny page size
+        import glaredb_spark.sources.gcs_emulator as ge
+
+        monkeypatch.setattr(ge, "_PAGE_SIZE_DEFAULT", 3)
+        keys = objectstore.gcs_list_keys("b", "d/*.csv")
+        assert keys == [f"d/k{i}.csv" for i in range(7)]
+        assert objectstore.gcs_list_keys("b", "d/**/k0.csv") == [
+            "d/deep/k0.csv"
+        ]
+    finally:
+        em.stop()
