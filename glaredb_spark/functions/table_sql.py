@@ -279,7 +279,7 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
         sql,
     )
     wants_meta = bool(_META_COL.search(sql))
-    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_DELTA_HISTORY_TF, _handle_delta_history), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
+    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_UNITY_TF, _handle_unity), (_DELTA_HISTORY_TF, _handle_delta_history), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:
@@ -498,6 +498,50 @@ _DELTA_TF = re.compile(
     r"(?:\s*,\s*(\d+))?\s*\)",
     re.IGNORECASE,
 )
+# unity catalog TVFs (slt/unity_catalog/list_{schemas,tables}.slt):
+# unity_list_schemas(endpoint, catalog),
+# unity_list_tables(endpoint, catalog, schema),
+# unity.read(endpoint, catalog, schema, table) — REST client in
+# sources/unity.py (public OSS Unity Catalog API)
+_UNITY_TF = re.compile(
+    r"\b(?:unity_list_(schemas|tables)|unity\s*\.\s*(read|scan))"
+    r"\s*\(\s*'([^']*)'\s*,\s*'([^']*)'"
+    r"(?:\s*,\s*'([^']*)')?(?:\s*,\s*'([^']*)')?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _handle_unity(spark: SparkSession, m: re.Match) -> str:
+    from glaredb_spark.sources import unity as _u
+
+    listing, reading = (m.group(1) or "").lower(), (m.group(2) or "").lower()
+    args = [a for a in m.groups()[2:] if a is not None]
+    if reading:
+        if len(args) != 4:
+            raise ValueError(
+                "unity.read takes (endpoint, catalog, schema, table)"
+            )
+        df = _u.read_table(spark, *args)
+        name = "unity.read"
+    elif listing == "schemas":
+        if len(args) != 2:
+            raise ValueError(
+                "unity_list_schemas takes (endpoint, catalog)"
+            )
+        df = _u.list_schemas(spark, *args)
+        name = "unity_list_schemas"
+    else:
+        if len(args) != 3:
+            raise ValueError(
+                "unity_list_tables takes (endpoint, catalog, schema)"
+            )
+        df = _u.list_tables(spark, *args)
+        name = "unity_list_tables"
+    view = _view_name(name, ",".join(args))
+    df.createOrReplaceTempView(view)
+    return view
+
+
 # delta.history('path') — commit history (delta-spark DESCRIBE HISTORY)
 _DELTA_HISTORY_TF = re.compile(
     r"\bdelta\s*\.\s*history\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE

@@ -48,6 +48,17 @@ _ATTACH_MEM_RE = re.compile(
     r"^\s*ATTACH\s+MEMORY\s+DATABASE\s+AS\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+# ATTACH unity DATABASE AS x (endpoint 'http://...', catalog 'unity') —
+# reference Unity Catalog surface (slt/unity_catalog/attach.slt); the
+# REST client lives in sources/unity.py
+_ATTACH_UNITY_RE = re.compile(
+    r"^\s*ATTACH\s+UNITY\s+DATABASE\s+AS\s+([A-Za-z_]\w*)\s*"
+    r"\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_CATALOGS_RE = re.compile(
+    r"^\s*SHOW\s+CATALOGS\s*;?\s*$", re.IGNORECASE
+)
 _ATTACH_PATH_RE = re.compile(
     r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
@@ -550,6 +561,39 @@ class GlareSession:
         attach_pg = _ATTACH_PG_RE.match(query)
         if attach_pg:
             return self._attach_postgres(attach_pg)
+        attach_uc = _ATTACH_UNITY_RE.match(query)
+        if attach_uc:
+            from pyspark.sql import functions as F
+
+            from glaredb_spark.sources.unity import attach_unity
+
+            opts = dict(
+                re.findall(r"([A-Za-z_]\w*)\s+'([^']*)'", attach_uc.group(2))
+            )
+            for req in ("endpoint", "catalog"):
+                if req not in opts:
+                    raise ValueError(f"Missing required option '{req}'")
+            attach_unity(
+                self.spark, attach_uc.group(1), opts["endpoint"],
+                opts["catalog"],
+            )
+            return self.spark.range(1).select(
+                F.lit(
+                    f"attached unity catalog {attach_uc.group(1)}"
+                ).alias("status")
+            )
+        if _SHOW_CATALOGS_RE.match(query):
+            from glaredb_spark import catalog as _cat
+            from glaredb_spark.sources.unity import attached_unity
+
+            names = (
+                ["system", "temp"]
+                + _cat.list_attached(self.spark)
+                + attached_unity(self.spark)
+            )
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(names)], "catalog_name string"
+            )
         attach = _ATTACH_MEM_RE.match(query) or _ATTACH_PATH_RE.match(query)
         detach = _DETACH_RE.match(query)
         if attach or detach:
@@ -559,8 +603,11 @@ class GlareSession:
 
             if detach:
                 from glaredb_spark.sources.postgres import detach_postgres
+                from glaredb_spark.sources.unity import detach_unity
 
-                if detach_postgres(detach.group(1)):
+                if detach_postgres(detach.group(1)) or detach_unity(
+                    self.spark, detach.group(1)
+                ):
                     return self.spark.range(1).select(
                         F.lit(f"detached {detach.group(1)}").alias("status")
                     )

@@ -1149,6 +1149,20 @@ def _ensure_gcs_public_fixture() -> None:
     _MOTO["gcs"] = em
 
 
+def _ensure_unity_fixture() -> None:
+    """slt/unity_catalog setup: the reference attaches a live local Unity
+    Catalog server at http://localhost:8080; a from-scratch OSS-REST-API
+    emulator (sources/unity_emulator.py) serving the quickstart sample
+    catalog binds that exact port so the files run verbatim."""
+    if _MOTO.get("unity") is not None:
+        return
+    from glaredb_spark.sources.unity_emulator import UnityEmulator
+
+    em = UnityEmulator()
+    em.start(port=8080)
+    _MOTO["unity"] = em
+
+
 def run_slt_file(sess, path: str) -> SltResult:
     """Run one .slt file through a GlareSession; returns per-record tallies.
     Tables created by the script are dropped afterwards."""
@@ -1160,6 +1174,13 @@ def run_slt_file(sess, path: str) -> SltResult:
         _ensure_s3_public_fixture()
     if f"{os.sep}gcs{os.sep}public" in path:
         _ensure_gcs_public_fixture()
+    if f"{os.sep}unity_catalog{os.sep}" in path:
+        _ensure_unity_fixture()
+    # unity attachments made by the file are session-scoped; detach them
+    # afterwards so a rerun in the same session doesn't collide
+    from glaredb_spark.sources.unity import _attached as _uc_attached
+
+    _uc_before = set(_uc_attached(sess.spark))
     res = SltResult()
     created: list[str] = []
     created_views: list[str] = []
@@ -1375,6 +1396,8 @@ def run_slt_file(sess, path: str) -> SltResult:
         # the session (flipped by a case-colliding CREATE, session.py)
         sess.spark.conf.set("spark.sql.caseSensitive", "false")
         sess.reset_session_vars()
+        for _alias in set(_uc_attached(sess.spark)) - _uc_before:
+            _uc_attached(sess.spark).pop(_alias, None)
         for k, v in saved_var_confs.items():
             if v is None:
                 try:
