@@ -28,7 +28,7 @@ from glaredb_spark.sources import files as _files
 _TF = re.compile(
     r"\b(read_parquet|parquet_scan|read_csv|csv_scan|read_text|glob|"
     r"parquet_file_metadata|parquet_rowgroup_metadata|parquet_column_metadata)"
-    r"\s*\(\s*('[^']*'(?:\s*,\s*region\s*=\s*'[^']*')?"
+    r"\s*\(\s*('[^']*'(?:\s*,\s*[A-Za-z_]\w*\s*=\s*'[^']*')*"
     r"|array\(\s*'[^']*'(?:\s*,\s*'[^']*')*\s*,?\s*\)"
     r"|array\(\s*\))\s*\)",
     re.IGNORECASE,
@@ -412,12 +412,24 @@ def _handle_tf(spark: SparkSession, m: re.Match, wants_meta: bool = False) -> st
     from functools import reduce
 
     fn, argtext = m.group(1).lower(), m.group(2)
-    # `region='...'` (slt/s3 different_region.slt) is accepted and
-    # dropped: bucket region is discovered via get_bucket_location in the
-    # boto3 fallback, and the s3a connector resolves it itself
-    argtext = re.sub(
-        r",?\s*region\s*=\s*'[^']*'", "", argtext, flags=re.IGNORECASE
+    # named arguments (slt/s3: region=, access_key_id=,
+    # secret_access_key=): `region` is accepted and dropped — bucket
+    # region is discovered via get_bucket_location in the boto3 fallback
+    # and the s3a connector resolves it itself; explicit credentials are
+    # applied to the object-store client for this call (slt/s3/private)
+    named = dict(
+        (k.lower(), v)
+        for k, v in re.findall(r"([A-Za-z_]\w*)\s*=\s*'([^']*)'", argtext)
     )
+    argtext = re.sub(
+        r",?\s*[A-Za-z_]\w*\s*=\s*'[^']*'", "", argtext
+    )
+    from glaredb_spark.sources import objectstore as _osm2
+
+    _osm2.set_s3_credentials(
+        named.get("access_key_id"), named.get("secret_access_key")
+    )
+    _osm2.set_gcs_service_account(named.get("service_account"))
     paths = re.findall(r"'([^']*)'", argtext)
     if not paths:
         raise ValueError(
@@ -446,7 +458,8 @@ def _handle_tf(spark: SparkSession, m: re.Match, wants_meta: bool = False) -> st
 _ICE_TF = re.compile(
     r"\biceberg\s*\.\s*"
     r"(metadata|snapshots|manifest_list|data_files|history|scan|read)"
-    r"\s*\(\s*'([^']*)'\s*(?:,\s*(\d+)\s*)?\)",
+    r"\s*\(\s*'([^']*)'\s*(?:,\s*(\d+)\s*)?"
+    r"((?:,\s*[A-Za-z_]\w*\s*=\s*'[^']*'\s*)*)\)",
     re.IGNORECASE,
 )
 
@@ -572,6 +585,16 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
     from glaredb_spark.sources import objectstore as _osm
 
     fn, path = m.group(1).lower(), m.group(2)
+    named = dict(
+        (k.lower(), v)
+        for k, v in re.findall(
+            r"([A-Za-z_]\w*)\s*=\s*'([^']*)'", m.group(4) or ""
+        )
+    )
+    _osm.set_s3_credentials(
+        named.get("access_key_id"), named.get("secret_access_key")
+    )
+    _osm.set_gcs_service_account(named.get("service_account"))
     _scheme = _osm.object_store_scheme(path)
     if _scheme == "s3a" and not _osm.s3_available(spark):
         # jar-less object store: the native reader walks a metadata

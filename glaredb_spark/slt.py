@@ -1083,7 +1083,12 @@ def _ensure_s3_public_fixture() -> None:
         Bucket="glaredb-public-eu",
         CreateBucketConfiguration={"LocationConstraint": "eu-west-1"},
     )
-    for bucket in ("glaredb-public", "glaredb-public-eu"):
+    # glaredb-private mirrors the public content; its SLT files reach it
+    # with explicit access_key_id/secret_access_key arguments
+    # (slt/s3/private — the __AWS_KEY__ placeholders substitute to the
+    # fixture credentials), exercising the per-call credential override
+    s3.create_bucket(Bucket="glaredb-private")
+    for bucket in ("glaredb-public", "glaredb-public-eu", "glaredb-private"):
         _populate_public_bucket(
             lambda full, key, b=bucket: s3.upload_file(full, b, key),
             lambda key, data, b=bucket: s3.put_object(
@@ -1132,19 +1137,56 @@ def _ensure_gcs_public_fixture() -> None:
     from glaredb_spark.sources.gcs_emulator import GcsEmulator
 
     em = GcsEmulator()
-    os.environ["STORAGE_EMULATOR_HOST"] = em.start()
+    hostport = em.start()
+    os.environ["STORAGE_EMULATOR_HOST"] = hostport
     em.create_bucket("glaredb-public")
     em.create_bucket("glaredb-bench")
-    _populate_public_bucket(
-        lambda full, key: em.upload_file(full, "glaredb-public", key),
-        lambda key, data: em.put_object("glaredb-public", key, data),
-    )
+    for bucket in ("glaredb-public", "glaredb-private"):
+        if bucket == "glaredb-private":
+            # private bucket: unauthenticated requests 403; its SLT
+            # files authenticate via the service-account OAuth flow
+            # (slt/gcs/private — __GCP_SERVICE_ACCOUNT__ substitutes to
+            # the fixture key below)
+            em.create_bucket(bucket, private=True)
+        _populate_public_bucket(
+            lambda full, key, b=bucket: em.upload_file(full, b, key),
+            lambda key, data, b=bucket: em.put_object(b, key, data),
+        )
     # bench_queries_docs.slt reads (statement-ok: just must run)
     em.put_object(
         "glaredb-bench",
         "results/main/1749063840/c4-standard-32/"
         "results-tpch-parquet-sf-100.tsv",
         b"query\tduration_seconds\nq1\t1.5\nq2\t0.7\n",
+    )
+    # a real RSA service account for the private bucket: the key pair is
+    # generated here, the public half registered with the emulator, and
+    # the json key (with the emulator's /token as token_uri) substituted
+    # into the SLT files' __GCP_SERVICE_ACCOUNT__ placeholder
+    import json as _json
+
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    ).decode()
+    pub = key.public_key().public_bytes(
+        serialization.Encoding.PEM,
+        serialization.PublicFormat.SubjectPublicKeyInfo,
+    )
+    email = "slt-fixture@glaredb-test.iam.gserviceaccount.com"
+    em.register_service_account(email, pub)
+    _MOTO["gcs_service_account"] = _json.dumps(
+        {
+            "type": "service_account",
+            "client_email": email,
+            "private_key": pem,
+            "token_uri": f"http://{hostport}/token",
+        }
     )
     _MOTO["gcs"] = em
 
@@ -1170,9 +1212,9 @@ def run_slt_file(sess, path: str) -> SltResult:
         _register_tpch_spec_views(sess)
     if f"{os.sep}tpcds{os.sep}" in path:
         _register_tpcds_views(sess)
-    if f"{os.sep}s3{os.sep}public" in path:
+    if f"{os.sep}s3{os.sep}" in path:
         _ensure_s3_public_fixture()
-    if f"{os.sep}gcs{os.sep}public" in path:
+    if f"{os.sep}gcs{os.sep}" in path:
         _ensure_gcs_public_fixture()
     if f"{os.sep}unity_catalog{os.sep}" in path:
         _ensure_unity_fixture()
@@ -1185,7 +1227,21 @@ def run_slt_file(sess, path: str) -> SltResult:
     created: list[str] = []
     created_views: list[str] = []
     with open(path) as fh:
-        records = parse_slt(fh.read())
+        raw = fh.read()
+    # credential placeholders the reference's harness substitutes from
+    # its environment (slt/s3/private, slt/gcs/private); ours come from
+    # the env too, defaulting to the live fixture-server credentials
+    raw = raw.replace(
+        "__AWS_KEY__", os.environ.get("AWS_ACCESS_KEY_ID", "test")
+    ).replace(
+        "__AWS_SECRET__", os.environ.get("AWS_SECRET_ACCESS_KEY", "test")
+    )
+    if "__GCP_SERVICE_ACCOUNT__" in raw:
+        raw = raw.replace(
+            "__GCP_SERVICE_ACCOUNT__",
+            _MOTO.get("gcs_service_account") or "__GCP_SERVICE_ACCOUNT__",
+        )
+    records = parse_slt(raw)
     # the reference runs every slt file in a fresh engine — reset the
     # session-level schema tracking so files don't see each other's
     # schemas, and pre-drop every object this file is about to create

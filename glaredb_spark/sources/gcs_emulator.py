@@ -30,17 +30,38 @@ _PAGE_SIZE_DEFAULT = 1000
 
 
 class GcsEmulator:
-    """In-memory bucket/object store behind a live HTTP listener."""
+    """In-memory bucket/object store behind a live HTTP listener.
+
+    Buckets created with ``private=True`` reject unauthenticated
+    requests (401/403); access requires the service-account OAuth flow:
+    the client POSTs an RS256-signed JWT assertion to ``/token``
+    (google's jwt-bearer grant), the emulator verifies the signature
+    against the registered account's public key and issues a bearer
+    token it then accepts on object requests. This makes the jar-less
+    gs:// client's auth path (sources/objectstore.py) a real wire
+    exercise, not a stub."""
 
     def __init__(self) -> None:
         self._objects: dict[str, dict[str, bytes]] = {}
+        self._private: set[str] = set()
+        self._accounts: dict[str, object] = {}  # email -> public key
+        self._tokens: set[str] = set()
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
     # -- fixture population ------------------------------------------------
 
-    def create_bucket(self, bucket: str) -> None:
+    def create_bucket(self, bucket: str, private: bool = False) -> None:
         self._objects.setdefault(bucket, {})
+        if private:
+            self._private.add(bucket)
+
+    def register_service_account(self, email: str, public_key_pem: bytes) -> None:
+        from cryptography.hazmat.primitives.serialization import (
+            load_pem_public_key,
+        )
+
+        self._accounts[email] = load_pem_public_key(public_key_pem)
 
     def put_object(self, bucket: str, key: str, data: bytes) -> None:
         self._objects.setdefault(bucket, {})[key] = data
@@ -54,6 +75,7 @@ class GcsEmulator:
     def start(self) -> str:
         """Bind a loopback port and serve; returns ``host:port``."""
         store = self._objects
+        private, accounts, tokens = self._private, self._accounts, self._tokens
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args) -> None:  # quiet
@@ -66,6 +88,72 @@ class GcsEmulator:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _authorized(self, bucket: str) -> bool:
+                if bucket not in private:
+                    return True
+                auth = self.headers.get("Authorization", "")
+                return (
+                    auth.startswith("Bearer ")
+                    and auth[len("Bearer "):] in tokens
+                )
+
+            def do_POST(self) -> None:  # noqa: N802 — http.server API
+                if urllib.parse.urlsplit(self.path).path != "/token":
+                    self._json(404, {"error": "not found"})
+                    return
+                import base64
+                import secrets
+
+                from cryptography.hazmat.primitives.asymmetric import padding
+                from cryptography.hazmat.primitives.hashes import SHA256
+
+                n = int(self.headers.get("Content-Length", "0"))
+                form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+                assertion = form.get("assertion", [""])[0]
+                try:
+                    head_b64, claims_b64, sig_b64 = assertion.split(".")
+
+                    def _unb64(s: str) -> bytes:
+                        return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+                    claims = json.loads(_unb64(claims_b64))
+                    key = accounts[claims["iss"]]
+                    key.verify(
+                        _unb64(sig_b64),
+                        f"{head_b64}.{claims_b64}".encode(),
+                        padding.PKCS1v15(),
+                        SHA256(),
+                    )
+                except Exception:
+                    self._json(401, {"error": "invalid_grant"})
+                    return
+                token = secrets.token_urlsafe(24)
+                tokens.add(token)
+                self._json(
+                    200,
+                    {"access_token": token, "token_type": "Bearer",
+                     "expires_in": 3600},
+                )
+
+            def do_HEAD(self) -> None:  # noqa: N802 — http.server API
+                parsed = urllib.parse.urlsplit(self.path)
+                parts = parsed.path.split("/")
+                code = 404
+                if (
+                    len(parts) >= 7
+                    and parts[1:4] == ["storage", "v1", "b"]
+                    and parts[5] == "o"
+                ):
+                    bucket = urllib.parse.unquote(parts[4])
+                    key = urllib.parse.unquote("/".join(parts[6:]))
+                    if not self._authorized(bucket):
+                        code = 403
+                    elif key in store.get(bucket, {}):
+                        code = 200
+                self.send_response(code)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
 
             def do_GET(self) -> None:  # noqa: N802 — http.server API
                 parsed = urllib.parse.urlsplit(self.path)
@@ -80,6 +168,13 @@ class GcsEmulator:
                     and parts[5:6] == ["o"]
                 ):
                     bucket = urllib.parse.unquote(parts[4])
+                    if not self._authorized(bucket):
+                        self._json(
+                            403,
+                            {"error": {"code": 403,
+                                       "message": "access denied"}},
+                        )
+                        return
                     objs = store.get(bucket)
                     if objs is None:
                         self._json(404, {"error": {"code": 404,

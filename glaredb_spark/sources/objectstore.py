@@ -100,6 +100,23 @@ def _cache_root() -> str:
     return _S3_CACHE_ROOT
 
 
+_S3_CRED_OVERRIDE: dict[str, str] = {}
+
+
+def set_s3_credentials(
+    access_key_id: str | None, secret_access_key: str | None
+) -> None:
+    """Explicit per-call credentials (read_csv('s3://...',
+    access_key_id='...', secret_access_key='...'), slt/s3/private).
+    Passing None clears the override back to the default AWS chain —
+    callers set this per table-function call, so a credentialed call
+    never leaks its keys into the next one."""
+    _S3_CRED_OVERRIDE.clear()
+    if access_key_id is not None and secret_access_key is not None:
+        _S3_CRED_OVERRIDE["aws_access_key_id"] = access_key_id
+        _S3_CRED_OVERRIDE["aws_secret_access_key"] = secret_access_key
+
+
 def _s3_client(region: str | None = None):
     import os
 
@@ -109,6 +126,7 @@ def _s3_client(region: str | None = None):
         "s3",
         endpoint_url=os.environ.get("AWS_ENDPOINT_URL"),
         **({"region_name": region} if region else {}),
+        **_S3_CRED_OVERRIDE,
     )
 
 
@@ -325,13 +343,146 @@ def _gcs_endpoint() -> str:
     return ep.rstrip("/")
 
 
-def _gcs_get(url: str) -> bytes:
+_GCS_SA: dict = {}
+_GCS_TOKENS: dict[tuple, str] = {}
+
+
+def set_gcs_service_account(sa_json: str | None) -> None:
+    """Explicit per-call credentials (read_parquet('gs://...',
+    service_account = '{...}'), slt/gcs/private). The JSON is the
+    standard GCP service-account key file; None clears back to
+    anonymous. Error text mirrors the reference's
+    (slt/gcs/private/errors.slt)."""
+    import json as _json
+
+    _GCS_SA.clear()
+    if sa_json is None:
+        return
+    try:
+        sa = _json.loads(sa_json)
+    except ValueError as e:
+        raise RuntimeError(
+            f"Failed to deserialize json service account key: {e}"
+        ) from e
+    missing = [
+        k for k in ("client_email", "private_key", "token_uri")
+        if k not in sa
+    ]
+    if missing:
+        raise RuntimeError(
+            "Failed to deserialize json service account key: missing "
+            f"required fields {missing}"
+        )
+    # keys often arrive with escaped newlines (env vars, SQL literals
+    # whose backslashes were doubled for C-style parsing); PEM never
+    # legitimately contains backslashes, so normalizing is lossless
+    sa["private_key"] = sa["private_key"].replace("\\n", "\n")
+    _GCS_SA.update(sa)
+
+
+def _gcs_bearer() -> str | None:
+    """OAuth2 jwt-bearer grant for the configured service account
+    (google's documented flow): an RS256-signed JWT assertion is POSTed
+    to the key's token_uri for a bearer token. Signed with the
+    cryptography library; token cached per account."""
+    if not _GCS_SA:
+        return None
+    cache_key = (_GCS_SA["client_email"], _GCS_SA["token_uri"])
+    tok = _GCS_TOKENS.get(cache_key)
+    if tok:
+        return tok
+    import base64
+    import json as _json
+    import time
+    import urllib.parse as _up
     import urllib.request
 
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+    from cryptography.hazmat.primitives.hashes import SHA256
+
+    def b64(b: bytes) -> bytes:
+        return base64.urlsafe_b64encode(b).rstrip(b"=")
+
+    now = int(time.time())
+    header = b64(_json.dumps({"alg": "RS256", "typ": "JWT"}).encode())
+    claims = b64(
+        _json.dumps(
+            {
+                "iss": _GCS_SA["client_email"],
+                "scope": "https://www.googleapis.com/auth/devstorage.read_only",
+                "aud": _GCS_SA["token_uri"],
+                "iat": now,
+                "exp": now + 3600,
+            }
+        ).encode()
+    )
+    signing_input = header + b"." + claims
+    pk = serialization.load_pem_private_key(
+        _GCS_SA["private_key"].encode(), password=None
+    )
+    sig = b64(pk.sign(signing_input, padding.PKCS1v15(), SHA256()))
+    assertion = (signing_input + b"." + sig).decode()
+    data = _up.urlencode(
+        {
+            "grant_type": "urn:ietf:params:oauth:grant-type:jwt-bearer",
+            "assertion": assertion,
+        }
+    ).encode()
+    req = urllib.request.Request(_GCS_SA["token_uri"], data=data)
     try:
-        with urllib.request.urlopen(url, timeout=60) as resp:
-            return resp.read()
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            tok = _json.loads(resp.read())["access_token"]
     except OSError as e:
+        raise RuntimeError(
+            f"GCS token exchange failed at {_GCS_SA['token_uri']!r}: {e}"
+        ) from e
+    _GCS_TOKENS[cache_key] = tok
+    return tok
+
+
+def _gcs_request(url: str, method: str = "GET") -> bytes:
+    import urllib.request
+
+    req = urllib.request.Request(url, method=method)
+    tok = _gcs_bearer()
+    if tok:
+        req.add_header("Authorization", f"Bearer {tok}")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.read()
+
+
+def _gcs_get(url: str) -> bytes:
+    try:
+        return _gcs_request(url)
+    except OSError as e:
+        raise RuntimeError(
+            f"GCS request failed ({e}). For cluster-scale gs:// reads: "
+            + _HELP["gs"][1]
+        ) from e
+
+
+def _gcs_head(bucket: str, key: str) -> None:
+    """Stat the object before downloading (the reference's client HEADs
+    first; its 'Failed to make HEAD request' error for missing
+    credentials / missing objects comes from here)."""
+    import urllib.parse as _up
+
+    import urllib.error
+
+    url = (
+        f"{_gcs_endpoint()}/storage/v1/b/{_up.quote(bucket)}/o/"
+        f"{_up.quote(key, safe='')}"
+    )
+    try:
+        _gcs_request(url, method="HEAD")
+    except urllib.error.HTTPError as e:
+        # reached a server; 403/404 are access/existence failures
+        raise RuntimeError(
+            f"Failed to make HEAD request for gs://{bucket}/{key}: {e}"
+        ) from e
+    except OSError as e:
+        # no server reachable — surface the actionable connector help
         raise RuntimeError(
             f"GCS request failed ({e}). For cluster-scale gs:// reads: "
             + _HELP["gs"][1]
@@ -369,9 +520,13 @@ def gcs_list_keys(bucket: str, key_pattern: str) -> list[str]:
 def _gcs_localize(path: str) -> str:
     """Driver-side gs:// fetch into the cache tree
     (``<root>/gs/<bucket>/<key>``) — the jar-less counterpart of
-    _boto3_localize, with the same glob-rebase behavior."""
-    if path in _S3_CACHE:
-        return _S3_CACHE[path]
+    _boto3_localize, with the same glob-rebase behavior. The cache is
+    keyed by (path, credential identity) so an anonymous read can never
+    be satisfied by files a credentialed read fetched from a private
+    bucket."""
+    cache_key = (path, _GCS_SA.get("client_email", ""))
+    if cache_key in _S3_CACHE:
+        return _S3_CACHE[cache_key]
     import urllib.parse as _up
 
     bucket, key = path.split("://", 1)[1].split("/", 1)
@@ -380,6 +535,10 @@ def _gcs_localize(path: str) -> str:
 
     def fetch(k: str) -> str:
         local = os.path.join(root, "gs", bucket, k)
+        # stat EVERY time, cached or not: access control lives on the
+        # remote object, and a file a credentialed read localized must
+        # not satisfy a later anonymous read
+        _gcs_head(bucket, k)
         if not os.path.exists(local):
             os.makedirs(os.path.dirname(local), exist_ok=True)
             url = (
@@ -399,21 +558,22 @@ def _gcs_localize(path: str) -> str:
         local = os.path.join(root, "gs", bucket, key)
     else:
         local = fetch(key)
-    _S3_CACHE[path] = local
+    _S3_CACHE[cache_key] = local
     return local
 
 
 def localize_gcs_prefix(path: str) -> str:
     """gs:// counterpart of localize_prefix (directory-shaped sources)."""
-    if path in _S3_CACHE:
-        return _S3_CACHE[path]
+    cache_key = (path, _GCS_SA.get("client_email", ""))
+    if cache_key in _S3_CACHE:
+        return _S3_CACHE[cache_key]
     bucket, prefix = path.split("://", 1)[1].split("/", 1)
     prefix = prefix.rstrip("/")
     root = _cache_root()
     for k in gcs_list_keys(bucket, prefix + "/**"):
         _gcs_localize(f"gs://{bucket}/{k}")
     local_dir = os.path.join(root, "gs", bucket, prefix)
-    _S3_CACHE[path] = local_dir
+    _S3_CACHE[cache_key] = local_dir
     return local_dir
 
 

@@ -173,3 +173,79 @@ def test_gcs_list_keys_glob_and_pagination(monkeypatch):
         ]
     finally:
         em.stop()
+
+
+def test_gcs_private_bucket_requires_service_account(spark, sf_dir, monkeypatch):
+    """Private-bucket auth end-to-end: anonymous reads 403 with the
+    reference's HEAD-request error; the documented service-account OAuth
+    flow (RS256 JWT assertion -> /token -> Bearer) grants access; a file
+    localized under credentials never satisfies a later anonymous
+    read."""
+    import json
+
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    from glaredb_spark.sources.gcs_emulator import GcsEmulator
+
+    em = GcsEmulator()
+    hostport = em.start()
+    try:
+        monkeypatch.setenv("STORAGE_EMULATOR_HOST", hostport)
+        em.create_bucket("priv", private=True)
+        em.upload_file(f"{sf_dir}/region.parquet", "priv", "region.parquet")
+        key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+        pem = key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        ).decode()
+        pub = key.public_key().public_bytes(
+            serialization.Encoding.PEM,
+            serialization.PublicFormat.SubjectPublicKeyInfo,
+        )
+        em.register_service_account("t@test.iam", pub)
+        sa = json.dumps({
+            "type": "service_account", "client_email": "t@test.iam",
+            "private_key": pem, "token_uri": f"http://{hostport}/token",
+        })
+        objectstore._S3_CACHE.clear()
+        objectstore.set_gcs_service_account(None)
+        with pytest.raises(RuntimeError, match="Failed to make HEAD request"):
+            objectstore._gcs_localize("gs://priv/region.parquet")
+        objectstore.set_gcs_service_account(sa)
+        local = objectstore._gcs_localize("gs://priv/region.parquet")
+        assert read_parquet(spark, local).count() == read_parquet(
+            spark, f"{sf_dir}/region.parquet"
+        ).count()
+        # the credentialed download must not leak to anonymous callers
+        objectstore.set_gcs_service_account(None)
+        with pytest.raises(RuntimeError, match="Failed to make HEAD request"):
+            objectstore._gcs_localize("gs://priv/region.parquet")
+        # unknown signer is refused at the token endpoint
+        bad_key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+        bad_pem = bad_key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        ).decode()
+        objectstore.set_gcs_service_account(json.dumps({
+            "type": "service_account", "client_email": "evil@test.iam",
+            "private_key": bad_pem, "token_uri": f"http://{hostport}/token",
+        }))
+        with pytest.raises(RuntimeError, match="token exchange failed"):
+            objectstore._gcs_localize("gs://priv/region.parquet")
+    finally:
+        objectstore.set_gcs_service_account(None)
+        objectstore._S3_CACHE.clear()
+        em.stop()
+
+
+def test_gcs_service_account_validation():
+    with pytest.raises(RuntimeError, match="Failed to deserialize json"):
+        objectstore.set_gcs_service_account("{not json")
+    with pytest.raises(RuntimeError, match="missing required fields"):
+        objectstore.set_gcs_service_account(
+            '{"type": "service_account", "somefield": "hello"}'
+        )
+    objectstore.set_gcs_service_account(None)
