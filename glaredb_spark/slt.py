@@ -1191,6 +1191,39 @@ def _ensure_gcs_public_fixture() -> None:
     _MOTO["gcs"] = em
 
 
+def _ensure_http_fixture() -> None:
+    """slt/http setup: the files read the GlareDB repo's own testdata
+    through raw.github URLs; no internet egress here, so a local HTTP
+    server roots the SAME testdata tree and httpfs's URL map points the
+    github prefix at it. Cache identity and displayed filenames keep the
+    original URLs (rowgroup_metadata_http.slt golden)."""
+    if _MOTO.get("http") is not None:
+        return
+    import functools
+    import threading
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    class Quiet(SimpleHTTPRequestHandler):
+        def log_message(self, *args) -> None:
+            pass
+
+    handler = functools.partial(Quiet, directory="/root/reference/testdata")
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address[:2]
+    from glaredb_spark.sources.httpfs import set_url_map
+
+    set_url_map(
+        [
+            (
+                "https://github.com/GlareDB/glaredb/raw/main/testdata/",
+                f"http://{host}:{port}/",
+            )
+        ]
+    )
+    _MOTO["http"] = server
+
+
 def _ensure_unity_fixture() -> None:
     """slt/unity_catalog setup: the reference attaches a live local Unity
     Catalog server at http://localhost:8080; a from-scratch OSS-REST-API
@@ -1218,6 +1251,8 @@ def run_slt_file(sess, path: str) -> SltResult:
         _ensure_gcs_public_fixture()
     if f"{os.sep}unity_catalog{os.sep}" in path:
         _ensure_unity_fixture()
+    if f"{os.sep}slt{os.sep}http{os.sep}" in path:
+        _ensure_http_fixture()
     # unity attachments made by the file are session-scoped; detach them
     # afterwards so a rerun in the same session doesn't collide
     from glaredb_spark.sources.unity import _attached as _uc_attached

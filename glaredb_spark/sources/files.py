@@ -650,11 +650,15 @@ def _expand(path_or_pattern: str) -> list[str]:
 def _expand_display(spark: SparkSession, path: str) -> list[tuple[str, str]]:
     """(local file, display name) pairs: object-store paths localize first
     (boto3 fallback) and display as their canonical virtual-hosted URL;
-    local paths display as given."""
+    http-localized files display their original URL; local paths display
+    as given."""
+    from glaredb_spark.sources.httpfs import display_url
     from glaredb_spark.sources.objectstore import canonical_url
 
     resolved = ensure_object_store(spark, localize(path))
-    return [(p, canonical_url(p)) for p in _expand(resolved)]
+    return [
+        (p, display_url(p) or canonical_url(p)) for p in _expand(resolved)
+    ]
 
 
 def parquet_file_metadata(spark: SparkSession, path: str) -> DataFrame:

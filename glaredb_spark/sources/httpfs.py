@@ -26,6 +26,30 @@ import urllib.request
 _CACHE_DIR = os.environ.get("SPARK_GRAFT_HTTP_CACHE", "/tmp/glaredb_spark_http_cache")
 _GLOB_CHARS = set("*?[{")
 
+# url-prefix remapping for environments without internet egress: fetches
+# of a mapped prefix go to the replacement (a mirror serving identical
+# content — the slt/http fixture serves the repo-local testdata tree),
+# while cache identity and display keep the ORIGINAL url, so goldens
+# that echo the url (parquet.rowgroup_metadata filename) still match.
+_URL_MAP: list[tuple[str, str]] = []
+_DISPLAY: dict[str, str] = {}  # local cached path -> original url
+
+
+def set_url_map(pairs: list[tuple[str, str]]) -> None:
+    _URL_MAP[:] = list(pairs)
+
+
+def _mapped(url: str) -> str:
+    for orig, repl in _URL_MAP:
+        if url.startswith(orig):
+            return repl + url[len(orig):]
+    return url
+
+
+def display_url(local_path: str) -> str | None:
+    """Original URL for a cache file http_fetch produced, else None."""
+    return _DISPLAY.get(local_path)
+
 
 def is_http_url(path: str) -> bool:
     return path.startswith(("http://", "https://"))
@@ -46,12 +70,15 @@ def http_fetch(url: str) -> str:
     if not os.path.exists(dest):
         tmp = f"{dest}.part.{os.getpid()}"
         try:
-            with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+            with urllib.request.urlopen(_mapped(url)) as resp, open(
+                tmp, "wb"
+            ) as out:
                 shutil.copyfileobj(resp, out)
             os.replace(tmp, dest)  # atomic: concurrent fetchers converge
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+    _DISPLAY[dest] = url
     return dest
 
 

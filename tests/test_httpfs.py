@@ -116,3 +116,39 @@ def test_glob_hadoop_file_scheme(spark):
         for r in glob_files(spark, f"file:{SF_SMALL}/nation.parquet").collect()
     ]
     assert len(got) == 1 and got[0].endswith("nation.parquet")
+
+
+def test_url_map_preserves_cache_identity_and_display(tmp_path, monkeypatch):
+    """The URL map fetches from the mirror but caches and displays under
+    the ORIGINAL url (slt/http fixture contract)."""
+    import functools
+    import threading
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    from glaredb_spark.sources import httpfs
+
+    (tmp_path / "f.csv").write_text("a,b\n1,2\n")
+
+    class Quiet(SimpleHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), functools.partial(Quiet, directory=str(tmp_path))
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address[:2]
+    monkeypatch.setattr(
+        httpfs, "_CACHE_DIR", str(tmp_path / "cache"), raising=True
+    )
+    try:
+        httpfs.set_url_map(
+            [("https://example.invalid/data/", f"http://{host}:{port}/")]
+        )
+        url = "https://example.invalid/data/f.csv"
+        local = httpfs.http_fetch(url)
+        assert open(local).read() == "a,b\n1,2\n"
+        assert httpfs.display_url(local) == url
+    finally:
+        httpfs.set_url_map([])
+        server.shutdown()
