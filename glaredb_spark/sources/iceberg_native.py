@@ -221,30 +221,104 @@ def data_files_df(spark, table_path: str):
 # --- scan --------------------------------------------------------------------
 
 
+def _schema_field_names(meta: dict) -> dict[int, str]:
+    schemas = meta.get("schemas") or [meta.get("schema", {})]
+    cur = next(
+        (s for s in schemas
+         if s.get("schema-id") == meta.get("current-schema-id")),
+        schemas[0],
+    )
+    return {f["id"]: f["name"] for f in cur.get("fields", [])}
+
+
 def read_iceberg_native(spark, table_path: str, snapshot_id: int | None = None):
     """Distributed scan of the table's current snapshot, or of a prior
-    one named by ``snapshot_id`` (time travel)."""
+    one named by ``snapshot_id`` (time travel).
+
+    v2 merge-on-read tables are supported (beyond the reference, whose
+    spec module parses delete manifests but whose scan is v1-only):
+    position deletes apply as an exact anti-join on
+    (data file, ``_metadata.row_index``) — the delete files' stored
+    data-file URIs are translated to scan paths through a
+    broadcast-sized mapping frame (one row per data file), never a UDF —
+    and equality deletes apply as null-safe anti-joins on their equality
+    columns (resolved from ``equality_ids`` against the current schema,
+    falling back to the delete file's own columns). At scale each
+    anti-join shuffles on the delete keys — the exchange MoR semantics
+    require — with the typically-small delete side broadcast under AQE."""
     m = table_metadata(table_path)
     active: list[str] = []
+    pos_deletes: list[str] = []
+    eq_deletes: list[tuple[str, list[int] | None]] = []
     for e in _manifest_entries(m, table_path, snapshot_id):
         df = e["data_file"]
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
-        if (df.get("content", 0) or 0) != 0:
-            raise IcebergError(
-                "iceberg row-level deletes (position/equality) are not"
-                " supported by the native reader; results would include"
-                " deleted rows. Install the iceberg-spark connector jar"
-                " for merge-on-read tables."
-            )
         fmt = (df.get("file_format") or "PARQUET").upper()
         if fmt != "PARQUET":
             raise IcebergError(f"unsupported iceberg data file format: {fmt}")
-        active.append(_resolve(df["file_path"], m, table_path))
+        content = df.get("content", 0) or 0
+        resolved = _resolve(df["file_path"], m, table_path)
+        if content == 0:
+            active.append((df["file_path"], resolved))
+        elif content == 1:
+            pos_deletes.append(resolved)
+        elif content == 2:
+            eq_deletes.append((resolved, df.get("equality_ids")))
+        else:
+            raise IcebergError(f"unknown iceberg data file content: {content}")
     if not active:
         schema = _spark_schema(m)
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*active)
+    if not pos_deletes and not eq_deletes:
+        return spark.read.parquet(*[p for _s, p in active])
+
+    from pyspark.sql import functions as F
+
+    out = spark.read.parquet(*[p for _s, p in active])
+    data_cols = out.columns
+    # normalized absolute path of the scanned file ("file:///a/b" and
+    # "file:/a/b" both -> "/a/b"), matched against the manifests'
+    # resolved paths below
+    out = out.withColumn(
+        "_ice_path",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+    ).withColumn("_ice_pos", F.col("_metadata.row_index"))
+    if pos_deletes:
+        # stored-URI -> scan-path mapping: one row per data file,
+        # broadcast into the delete join
+        mapping = spark.createDataFrame(
+            [(s, "/" + os.path.abspath(p).lstrip("/")) for s, p in active],
+            "stored string, resolved string",
+        )
+        dels = (
+            spark.read.parquet(*pos_deletes)
+            .select(
+                F.col("file_path").alias("stored"),
+                F.col("pos").cast("long").alias("_ice_pos"),
+            )
+            .join(F.broadcast(mapping), "stored")
+            .select(F.col("resolved").alias("_ice_path"), "_ice_pos")
+        )
+        out = out.join(dels, ["_ice_path", "_ice_pos"], "left_anti")
+    field_names = _schema_field_names(m)
+    for path, eq_ids in eq_deletes:
+        del_df = spark.read.parquet(path)
+        if eq_ids:
+            cols = [field_names[i] for i in eq_ids if i in field_names]
+        else:
+            cols = [c for c in del_df.columns if c in data_cols]
+        if not cols:
+            raise IcebergError(
+                f"equality delete file {path!r} shares no columns with "
+                "the table schema"
+            )
+        cond = None
+        for c in cols:
+            term = out[c].eqNullSafe(del_df[c])
+            cond = term if cond is None else cond & term
+        out = out.join(del_df.select(*cols), cond, "left_anti")
+    return out.select(*data_cols)
 
 
 _PRIMITIVES = {

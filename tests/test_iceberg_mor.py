@@ -1,0 +1,196 @@
+"""Iceberg v2 merge-on-read READS (sources/iceberg_native.py:
+read_iceberg_native): position and equality delete files applied at scan
+time. The tables are authored from scratch here (metadata.json, manifest
+list avro, manifest avro via sources/avro_lite.py, delete parquets via
+pyarrow) — the same layer external v2 writers produce."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from glaredb_spark.sources.avro_lite import write_avro
+from glaredb_spark.sources.iceberg_native import (
+    IcebergError,
+    read_iceberg_native,
+)
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
+                ],
+            },
+        },
+    ],
+}
+_ML_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+    ],
+}
+
+
+def _write_parquet(path, table):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path)
+
+
+def _author_v2(tmp_path, data_files, delete_files):
+    """data_files: [(relpath, pa.Table)]; delete_files:
+    [(relpath, pa.Table, content, equality_ids)]. Returns table root."""
+    root = str(tmp_path / "mor")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    entries = []
+    for rel, tbl in data_files:
+        full = os.path.join(root, rel)
+        _write_parquet(full, tbl)
+        entries.append(
+            {"status": 1, "data_file": {
+                "content": 0, "file_path": full, "file_format": "PARQUET",
+                "record_count": tbl.num_rows,
+                "file_size_in_bytes": os.path.getsize(full),
+                "equality_ids": None}}
+        )
+    for rel, tbl, content, eq_ids in delete_files:
+        full = os.path.join(root, rel)
+        _write_parquet(full, tbl)
+        entries.append(
+            {"status": 1, "data_file": {
+                "content": content, "file_path": full,
+                "file_format": "PARQUET", "record_count": tbl.num_rows,
+                "file_size_in_bytes": os.path.getsize(full),
+                "equality_ids": eq_ids}}
+        )
+    manifest = os.path.join(mdir, "manifest-1.avro")
+    write_avro(manifest, _MANIFEST_SCHEMA, entries)
+    ml = os.path.join(mdir, "snap-1.avro")
+    write_avro(ml, _ML_SCHEMA, [
+        {"manifest_path": manifest,
+         "manifest_length": os.path.getsize(manifest),
+         "content": 0, "sequence_number": 1},
+    ])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0b2cde12-8a52-4a2c-a7f3-0b6d2b1f2a01",
+        "location": root,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"},
+        ]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                       "timestamp-ms": 0, "manifest-list": ml}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    return root
+
+
+def _data(lo, hi):
+    return pa.table({
+        "id": pa.array(range(lo, hi), pa.int64()),
+        "val": pa.array([f"v{i}" for i in range(lo, hi)]),
+    })
+
+
+def test_position_deletes_applied(spark, tmp_path):
+    root = str(tmp_path / "mor")
+    f1, f2 = os.path.join(root, "data/a.parquet"), os.path.join(
+        root, "data/b.parquet")
+    pos_del = pa.table({
+        "file_path": pa.array([f1, f1, f2]),
+        "pos": pa.array([0, 3, 9], pa.int64()),
+    })
+    _author_v2(
+        tmp_path,
+        [("data/a.parquet", _data(0, 10)), ("data/b.parquet", _data(10, 20))],
+        [("data/del-pos.parquet", pos_del, 1, None)],
+    )
+    got = sorted(r["id"] for r in read_iceberg_native(spark, root).collect())
+    # file a loses rows at positions 0 and 3 (ids 0, 3); file b loses
+    # position 9 (id 19)
+    assert got == [i for i in range(20) if i not in (0, 3, 19)]
+
+
+def test_equality_deletes_applied(spark, tmp_path):
+    eq_del = pa.table({"id": pa.array([2, 5, 17], pa.int64())})
+    root = _author_v2(
+        tmp_path,
+        [("data/a.parquet", _data(0, 10)), ("data/b.parquet", _data(10, 20))],
+        [("data/del-eq.parquet", eq_del, 2, [1])],
+    )
+    got = sorted(r["id"] for r in read_iceberg_native(spark, root).collect())
+    assert got == [i for i in range(20) if i not in (2, 5, 17)]
+
+
+def test_position_and_equality_combined(spark, tmp_path):
+    root = str(tmp_path / "mor")
+    f1 = os.path.join(root, "data/a.parquet")
+    pos_del = pa.table({
+        "file_path": pa.array([f1]), "pos": pa.array([1], pa.int64()),
+    })
+    eq_del = pa.table({"id": pa.array([8, 12], pa.int64())})
+    _author_v2(
+        tmp_path,
+        [("data/a.parquet", _data(0, 10)), ("data/b.parquet", _data(10, 20))],
+        [("data/del-pos.parquet", pos_del, 1, None),
+         ("data/del-eq.parquet", eq_del, 2, [1])],
+    )
+    got = sorted(r["id"] for r in read_iceberg_native(spark, root).collect())
+    assert got == [i for i in range(20) if i not in (1, 8, 12)]
+    # schema and values survive the anti-joins
+    row = read_iceberg_native(spark, root).filter("id = 4").collect()[0]
+    assert row["val"] == "v4"
+
+
+def test_equality_delete_without_ids_uses_file_columns(spark, tmp_path):
+    eq_del = pa.table({"val": pa.array(["v3", "v14"])})
+    root = _author_v2(
+        tmp_path,
+        [("data/a.parquet", _data(0, 10)), ("data/b.parquet", _data(10, 20))],
+        [("data/del-eq.parquet", eq_del, 2, None)],
+    )
+    got = sorted(r["id"] for r in read_iceberg_native(spark, root).collect())
+    assert got == [i for i in range(20) if i not in (3, 14)]
+
+
+def test_dml_still_rejected_on_mor_tables(spark, tmp_path):
+    from glaredb_spark.sources.iceberg_native import delete_iceberg_native
+
+    eq_del = pa.table({"id": pa.array([2], pa.int64())})
+    root = _author_v2(
+        tmp_path,
+        [("data/a.parquet", _data(0, 10))],
+        [("data/del-eq.parquet", eq_del, 2, [1])],
+    )
+    with pytest.raises(IcebergError, match="merge-on-read"):
+        delete_iceberg_native(spark, root, "id = 1")
