@@ -508,7 +508,8 @@ def _handle_pg(spark: SparkSession, m: re.Match) -> str:
 # slt/delta/simple.slt) — native log reader via lakehouse dispatch
 _DELTA_TF = re.compile(
     r"\b(?:read_delta|delta\s*\.\s*(?:scan|read))\s*\(\s*'([^']*)'"
-    r"(?:\s*,\s*(\d+))?\s*\)",
+    r"(?:\s*,\s*(\d+))?"
+    r"((?:\s*,\s*[A-Za-z_]\w*\s*=\s*'[^']*')*)\s*\)",
     re.IGNORECASE,
 )
 # unity catalog TVFs (slt/unity_catalog/list_{schemas,tables}.slt):
@@ -562,10 +563,30 @@ _DELTA_HISTORY_TF = re.compile(
 
 
 def _handle_delta(spark: SparkSession, m: re.Match) -> str:
+    from glaredb_spark.sources import objectstore as _osm
     from glaredb_spark.sources.lakehouse import read_delta
 
     path = m.group(1)
     version = int(m.group(2)) if m.group(2) is not None else None
+    # named args (slt/delta/simple.slt s3 form): region dropped (bucket
+    # region is discovered), key_id/secret applied per call
+    named = dict(
+        (k.lower(), v)
+        for k, v in re.findall(
+            r"([A-Za-z_]\w*)\s*=\s*'([^']*)'", m.group(3) or ""
+        )
+    )
+    _osm.set_s3_credentials(
+        named.get("key_id") or named.get("access_key_id"),
+        named.get("secret") or named.get("secret_access_key"),
+    )
+    if _osm.object_store_scheme(path) == "s3a" and not _osm.s3_available(
+        spark
+    ):
+        # jar-less s3: the log reader walks the _delta_log tree — fetch
+        # the table prefix into the local cache (KB-scale metadata +
+        # the table's data files)
+        path = _osm.localize_prefix(path)
     view = _view_name("read_delta", f"{path}@{version}")
     read_delta(spark, path, version=version).createOrReplaceTempView(view)
     return view

@@ -1095,6 +1095,15 @@ def _ensure_s3_public_fixture() -> None:
                 Bucket=b, Key=key, Body=data
             ),
         )
+    # slt/delta/simple.slt reads s3://glaredb-test-copy/delta/table1
+    # (a copy of the local delta fixture at the bucket root)
+    s3.create_bucket(Bucket="glaredb-test-copy")
+    ref = "/root/reference/testdata/delta"
+    for root_dir, _dirs, files in os.walk(ref):
+        for n in files:
+            full = os.path.join(root_dir, n)
+            key = "delta/" + os.path.relpath(full, ref).replace(os.sep, "/")
+            s3.upload_file(full, "glaredb-test-copy", key)
     _MOTO["server"] = server
 
 
@@ -1245,7 +1254,7 @@ def run_slt_file(sess, path: str) -> SltResult:
         _register_tpch_spec_views(sess)
     if f"{os.sep}tpcds{os.sep}" in path:
         _register_tpcds_views(sess)
-    if f"{os.sep}s3{os.sep}" in path:
+    if f"{os.sep}s3{os.sep}" in path or f"{os.sep}delta{os.sep}" in path:
         _ensure_s3_public_fixture()
     if f"{os.sep}gcs{os.sep}" in path:
         _ensure_gcs_public_fixture()

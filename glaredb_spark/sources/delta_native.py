@@ -18,8 +18,12 @@ files per the spec) are re-attached per partition group as literal
 columns cast to the table schema's types.
 
 Supported: reader protocol v1, and v2+ tables whose readerFeatures need
-nothing beyond base parquet (fails with an actionable error on
-deletionVectors / columnMapping rather than returning wrong rows).
+nothing beyond base parquet — plus deletionVectors for READS (bitmaps
+decoded by the from-scratch roaring codec in sources/roaring.py and
+applied as a distributed anti-join on ``_metadata.row_index``).
+columnMapping fails with an actionable error rather than silently
+mis-mapping columns, and COW DML / OPTIMIZE / VACUUM / checkpointing on
+DV-carrying tables are rejected rather than resurrecting deleted rows.
 """
 
 from __future__ import annotations
@@ -38,7 +42,11 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.\d{10}\.(\d{10}))?\.parquet$"
 )
-_UNSUPPORTED_FEATURES = {"deletionVectors", "columnMapping"}
+# columnMapping would silently mis-map columns; deletionVectors are
+# SUPPORTED for reads (decoded via the from-scratch roaring codec,
+# sources/roaring.py) and rejected for COW DML (rewriting a DV'd file
+# without honoring its vector would resurrect deleted rows).
+_UNSUPPORTED_FEATURES = {"columnMapping"}
 
 
 class DeltaState:
@@ -267,12 +275,60 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
     ).orderBy(F.desc("version"))
 
 
+def _dv_positions(table_path: str, dv: dict):
+    """Deleted row indexes for one add action's deletionVector descriptor
+    (spec storage types: 'i' inline z85, 'u' uuid-named file under the
+    table, 'p' absolute path)."""
+    from glaredb_spark.sources.roaring import (
+        decode_dv_blob,
+        read_dv_file,
+        z85_decode,
+    )
+
+    st = dv.get("storageType")
+    if st == "i":
+        return decode_dv_blob(z85_decode(dv["pathOrInlineDv"]))
+    if st == "p":
+        return read_dv_file(
+            dv["pathOrInlineDv"], int(dv["offset"]), int(dv["sizeInBytes"])
+        )
+    if st == "u":
+        import uuid as _uuid
+
+        enc = dv["pathOrInlineDv"]
+        prefix, uuid_z85 = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(uuid_z85))
+        fname = f"deletion_vector_{u}.bin"
+        p = os.path.join(table_path, prefix, fname) if prefix else os.path.join(
+            table_path, fname
+        )
+        return read_dv_file(p, int(dv["offset"]), int(dv["sizeInBytes"]))
+    raise RuntimeError(f"unknown deletion vector storageType {st!r}")
+
+
+def _require_no_dvs(state: "DeltaState", operation: str) -> None:
+    dvd = [p for p, a in state.add_meta.items() if a.get("deletionVector")]
+    if dvd:
+        raise RuntimeError(
+            f"{operation} on a table with active deletion vectors is not "
+            f"supported by the native writer ({len(dvd)} file(s) carry "
+            "DVs; a copy-on-write rewrite that ignored them would "
+            "resurrect deleted rows). Use the delta-spark connector jar."
+        )
+
+
 def read_delta_native(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a Delta table directory through the transaction log, returning
     a DataFrame with the table schema (partition columns included).
-    ``version`` time-travels to a past commit."""
+    ``version`` time-travels to a past commit.
+
+    Files whose add actions carry deletion vectors are filtered by an
+    anti-join on (file, ``_metadata.row_index``): DV bitmaps decode
+    driver-side (KB-scale roaring blobs, the same layer every Delta
+    client folds) into a positions frame joined distributed — no UDFs,
+    and files without DVs scan exactly as before."""
     state = load_delta_state(path, version=version)
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
@@ -284,29 +340,57 @@ def read_delta_native(
 
     if not state.adds:
         return spark.createDataFrame([], schema)
-    if not part_cols:
-        files = [_resolve(p) for p in state.adds]
-        df = spark.read.schema(data_schema).parquet(*files)
-        return df.select(*[f.name for f in schema.fields])
+    dv_adds = {
+        p: a["deletionVector"]
+        for p, a in state.add_meta.items()
+        if a.get("deletionVector") and p in state.adds
+    }
+    out_cols = [f.name for f in schema.fields]
 
-    # group files by partition tuple; attach literals per group. Group
-    # count = live partition count — the same driver-side cardinality any
-    # Delta reader holds in memory from the log.
-    by_part: dict[tuple, list[str]] = {}
-    for p, pv in state.adds.items():
-        key = tuple(pv.get(c) for c in part_cols)
-        by_part.setdefault(key, []).append(_resolve(p))
-    types = {f.name: f.dataType for f in schema.fields}
-    pieces = []
-    for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
+    def _scan(files):
         df = spark.read.schema(data_schema).parquet(*files)
-        for c, raw in zip(part_cols, key):
-            df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
-        pieces.append(df.select(*[f.name for f in schema.fields]))
+        if dv_adds:
+            df = df.withColumn(
+                "_dv_path",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ),
+            ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+        return df
+
+    if not part_cols:
+        pieces = [_scan([_resolve(p) for p in state.adds])]
+    else:
+        # group files by partition tuple; attach literals per group.
+        # Group count = live partition count — the same driver-side
+        # cardinality any Delta reader holds in memory from the log.
+        by_part: dict[tuple, list[str]] = {}
+        for p, pv in state.adds.items():
+            key = tuple(pv.get(c) for c in part_cols)
+            by_part.setdefault(key, []).append(_resolve(p))
+        types = {f.name: f.dataType for f in schema.fields}
+        pieces = []
+        for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
+            df = _scan(files)
+            for c, raw in zip(part_cols, key):
+                df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
+            pieces.append(df)
     out = pieces[0]
     for df in pieces[1:]:
-        out = out.unionAll(df)
-    return out
+        out = out.unionByName(df)
+    if dv_adds:
+        rows = []
+        for p, dv in dv_adds.items():
+            resolved = "/" + os.path.abspath(_resolve(p)).lstrip("/")
+            for pos in _dv_positions(path, dv):
+                rows.append((resolved, int(pos)))
+        dels = spark.createDataFrame(
+            rows, "_dv_path string, _dv_pos long"
+        )
+        # no explicit broadcast: DV cardinality is unbounded (it is the
+        # deleted-row count) — AQE broadcasts when it is actually small
+        out = out.join(dels, ["_dv_path", "_dv_pos"], "left_anti")
+    return out.select(*out_cols)
 
 
 # --------------------------------------------------------------------------
@@ -589,6 +673,7 @@ def _rewrite_matching(
     (delta-spark's and delta-rs's strategy). Returns
     (matched_row_count, files_rewritten)."""
     state = load_delta_state(path)
+    _require_no_dvs(state, 'copy-on-write DML')
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in part_cols]
@@ -731,6 +816,7 @@ def optimize_delta_native(
     import time
 
     state = load_delta_state(path)
+    _require_no_dvs(state, 'OPTIMIZE')
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in part_cols]
@@ -801,6 +887,7 @@ def vacuum_delta_native(
     import time
 
     state = load_delta_state(path)
+    _require_no_dvs(state, 'VACUUM')
 
     def _resolve(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
@@ -856,6 +943,7 @@ def merge_delta_native(
     import time
 
     state = load_delta_state(path)
+    _require_no_dvs(state, 'MERGE')
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in part_cols]
@@ -994,6 +1082,7 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
     import pyarrow.parquet as pq
 
     state = load_delta_state(path)
+    _require_no_dvs(state, 'checkpointing')
     log_dir = os.path.join(path, "_delta_log")
     version = _latest_version(log_dir)
     meta = state.metadata_raw or {}

@@ -1,0 +1,206 @@
+"""Delta deletion-vector READS: the roaring codec (sources/roaring.py —
+format pinned against hand-computed byte vectors from the public
+RoaringFormatSpec) and the scan-time anti-join in
+sources/delta_native.py. DV tables are authored from scratch here, the
+same log layer delta-spark writes."""
+
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from glaredb_spark.sources import roaring as R
+
+
+# -- byte-level format pins --------------------------------------------------
+
+
+def test_rbm32_array_container_exact_bytes():
+    """{1, 2, 3} -> no-run cookie, one array container, hand-computed."""
+    got = R._encode_rbm32(np.array([1, 2, 3], np.uint32))
+    want = (
+        struct.pack("<ii", 12346, 1)      # cookie, container count
+        + struct.pack("<HH", 0, 2)        # key 0, cardinality-1
+        + struct.pack("<I", 16)           # offset of container data
+        + struct.pack("<HHH", 1, 2, 3)    # array container values
+    )
+    assert got == want
+    vals, pos = R._decode_rbm32(want, 0)
+    assert list(vals) == [1, 2, 3] and pos == len(want)
+
+
+def test_rbm32_run_container_decode():
+    """Hand-encoded run-format bitmap ([5,9] run): cookie 12347 with
+    container count in the high bits, run bitset, no offsets below the
+    4-container threshold."""
+    buf = (
+        struct.pack("<i", 12347 | (0 << 16))  # 1 container
+        + b"\x01"                              # run bitset: container 0 is runs
+        + struct.pack("<HH", 0, 4)             # key 0, card-1 (5 values)
+        + struct.pack("<H", 1)                 # 1 run
+        + struct.pack("<HH", 5, 4)             # start 5, length-1 = 4
+    )
+    vals, pos = R._decode_rbm32(buf, 0)
+    assert list(vals) == [5, 6, 7, 8, 9] and pos == len(buf)
+
+
+def test_rbm32_bitmap_container_roundtrip():
+    dense = np.arange(0, 9000, dtype=np.uint32)  # card > 4096 -> bitmap
+    enc = R._encode_rbm32(dense)
+    vals, _ = R._decode_rbm32(enc, 0)
+    assert np.array_equal(vals, dense)
+
+
+def test_portable64_multi_bucket_roundtrip():
+    positions = [0, 1, 70000, (1 << 32) + 5, (1 << 33) + 123456]
+    blob = R.encode_portable64(positions)
+    assert list(R.decode_portable64(blob)) == sorted(positions)
+
+
+def test_z85_known_vector():
+    # ZeroMQ's spec test vector: "HelloWorld" encodes 0x86 0x4F 0xD2 ...
+    assert R.z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+    assert R.z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F])) == "Hello"
+
+
+def test_dv_file_roundtrip_and_checksum(tmp_path):
+    p = str(tmp_path / "dv.bin")
+    offset, size = R.write_dv_file(p, [3, 7, 1 << 33])
+    assert list(R.read_dv_file(p, offset, size)) == [3, 7, 1 << 33]
+    # corrupt one payload byte -> checksum failure
+    data = bytearray(open(p, "rb").read())
+    data[offset + 10] ^= 0xFF
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(R.RoaringError, match="checksum"):
+        R.read_dv_file(p, offset, size)
+
+
+# -- scan integration --------------------------------------------------------
+
+
+def _author_dv_table(spark, tmp_path, dv_for, inline=False, part_col=None):
+    """Two-file table (ids 0-9, 10-19); dv_for: {relpath: [positions]}."""
+    from glaredb_spark.sources.roaring import encode_dv_blob, z85_encode
+
+    root = str(tmp_path / "dvt")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    fields = [{"name": "id", "type": "long", "nullable": True, "metadata": {}},
+              {"name": "val", "type": "string", "nullable": True,
+               "metadata": {}}]
+    part_cols = []
+    if part_col:
+        fields.append({"name": part_col, "type": "string", "nullable": True,
+                       "metadata": {}})
+        part_cols = [part_col]
+    schema = {"type": "struct", "fields": fields}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t1", "format": {"provider": "parquet",
+                                             "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": part_cols,
+                      "configuration": {}}},
+    ]
+    for i, (rel, lo, hi) in enumerate(
+        [("a.parquet", 0, 10), ("b.parquet", 10, 20)]
+    ):
+        sub = os.path.join(root, f"p={i}") if part_col else root
+        os.makedirs(sub, exist_ok=True)
+        full = os.path.join(sub, rel)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"id": pa.array(range(lo, hi), pa.int64()),
+                      "val": pa.array([f"v{j}" for j in range(lo, hi)])}),
+            full,
+        )
+        relpath = os.path.relpath(full, root)
+        add = {"path": relpath,
+               "partitionValues": {part_col: str(i)} if part_col else {},
+               "size": os.path.getsize(full),
+               "modificationTime": 0, "dataChange": True}
+        if relpath in dv_for:
+            if inline:
+                blob = encode_dv_blob(dv_for[relpath])
+                pad = (-len(blob)) % 4
+                add["deletionVector"] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(blob + b"\x00" * pad),
+                    "sizeInBytes": len(blob),
+                    "cardinality": len(dv_for[relpath]),
+                }
+            else:
+                dvp = os.path.join(root, f"dv_{i}.bin")
+                offset, size = R.write_dv_file(dvp, dv_for[relpath])
+                add["deletionVector"] = {
+                    "storageType": "p", "pathOrInlineDv": dvp,
+                    "offset": offset, "sizeInBytes": size,
+                    "cardinality": len(dv_for[relpath]),
+                }
+        actions.append({"add": add})
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return root
+
+
+def test_dv_read_path_storage(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    root = _author_dv_table(
+        spark, tmp_path, {"a.parquet": [0, 3], "b.parquet": [9]}
+    )
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(20) if i not in (0, 3, 19)]
+
+
+def test_dv_read_inline_storage(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    root = _author_dv_table(
+        spark, tmp_path, {"a.parquet": [1, 2, 3, 4]}, inline=True
+    )
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [0] + list(range(5, 20))
+
+
+def test_dv_read_partitioned(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    root = _author_dv_table(
+        spark, tmp_path, {os.path.join("p=1", "b.parquet"): [0, 1]},
+        part_col="p",
+    )
+    df = read_delta_native(spark, root)
+    got = sorted((r["id"], r["p"]) for r in df.collect())
+    ids = [g[0] for g in got]
+    assert ids == [i for i in range(20) if i not in (10, 11)]
+    assert all(p == ("0" if i < 10 else "1") for i, p in got)
+
+
+def test_dml_rejected_on_dv_table(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        checkpoint_delta_native,
+        delete_delta_native,
+        optimize_delta_native,
+        vacuum_delta_native,
+    )
+
+    root = _author_dv_table(spark, tmp_path, {"a.parquet": [0]})
+    for fn, args in [
+        (delete_delta_native, (spark, root, "id = 1")),
+        (optimize_delta_native, (spark, root)),
+        (vacuum_delta_native, (spark, root)),
+        (checkpoint_delta_native, (spark, root)),
+    ]:
+        with pytest.raises(RuntimeError, match="deletion vectors"):
+            fn(*args)

@@ -192,7 +192,9 @@ def test_checkpoint_replay(spark, tmp_path):
 
 
 def test_unsupported_features_rejected(tmp_path):
-    root = tmp_path / "dv"
+    """columnMapping still fails loudly; deletionVectors became a
+    SUPPORTED reader feature in r5 (tests/test_deletion_vectors.py)."""
+    root = tmp_path / "cm"
     log = root / "_delta_log"
     log.mkdir(parents=True)
     _commit(
@@ -203,13 +205,13 @@ def test_unsupported_features_rejected(tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["columnMapping"],
                 }
             },
             _meta(),
         ],
     )
-    with pytest.raises(RuntimeError, match="deletionVectors"):
+    with pytest.raises(RuntimeError, match="columnMapping"):
         load_delta_state(str(root))
 
 
