@@ -17,13 +17,14 @@ behave like any parquet scan. Partition columns (absent from the data
 files per the spec) are re-attached per partition group as literal
 columns cast to the table schema's types.
 
-Supported: reader protocol v1, and v2+ tables whose readerFeatures need
-nothing beyond base parquet — plus deletionVectors for READS (bitmaps
-decoded by the from-scratch roaring codec in sources/roaring.py and
-applied as a distributed anti-join on ``_metadata.row_index``).
-columnMapping fails with an actionable error rather than silently
-mis-mapping columns, and COW DML / OPTIMIZE / VACUUM / checkpointing on
-DV-carrying tables are rejected rather than resurrecting deleted rows.
+Supported: reader protocol v1, and v2+ tables over base parquet — plus,
+for READS, deletionVectors (bitmaps decoded by the from-scratch roaring
+codec in sources/roaring.py, applied as a distributed anti-join on
+``_metadata.row_index``), columnMapping name/id modes (physical-name
+scan + logical rename), and timestampNtz. Unknown reader features are
+refused per spec, and COW DML / OPTIMIZE / VACUUM / checkpointing on
+DV-carrying or column-mapped tables are rejected rather than producing
+wrong tables.
 """
 
 from __future__ import annotations
@@ -42,11 +43,17 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.\d{10}\.(\d{10}))?\.parquet$"
 )
-# columnMapping would silently mis-map columns; deletionVectors are
-# SUPPORTED for reads (decoded via the from-scratch roaring codec,
-# sources/roaring.py) and rejected for COW DML (rewriting a DV'd file
-# without honoring its vector would resurrect deleted rows).
-_UNSUPPORTED_FEATURES = {"columnMapping"}
+# Reader features this reader implements (per spec, anything else must
+# be refused, not ignored): deletionVectors (from-scratch roaring codec,
+# sources/roaring.py), columnMapping (physical-name scan + logical
+# rename), timestampNtz (Spark reads TIMESTAMP_NTZ natively). Both DV
+# and mapped tables are rejected for COW DML — a rewrite that ignored
+# them would resurrect deleted rows or write wrongly-named columns.
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+}
 
 
 class DeltaState:
@@ -221,7 +228,7 @@ def load_delta_state(path: str, version: int | None = None) -> DeltaState:
                 line = line.strip()
                 if line:
                     state.apply(json.loads(line))
-    unsupported = state.reader_features & _UNSUPPORTED_FEATURES
+    unsupported = state.reader_features - _SUPPORTED_READER_FEATURES
     if state.min_reader_version > 3 or unsupported:
         raise RuntimeError(
             "Delta table requires unsupported reader features "
@@ -306,7 +313,15 @@ def _dv_positions(table_path: str, dv: dict):
     raise RuntimeError(f"unknown deletion vector storageType {st!r}")
 
 
+def _mapping_mode(state: "DeltaState") -> str:
+    config = (state.metadata_raw or {}).get("configuration") or {}
+    return config.get("delta.columnMapping.mode", "none")
+
+
 def _require_no_dvs(state: "DeltaState", operation: str) -> None:
+    """COW-compatibility gate for the write paths: deletion vectors and
+    column mapping are read-supported, but a rewrite that ignored them
+    would resurrect deleted rows / write wrongly-named columns."""
     dvd = [p for p, a in state.add_meta.items() if a.get("deletionVector")]
     if dvd:
         raise RuntimeError(
@@ -314,6 +329,13 @@ def _require_no_dvs(state: "DeltaState", operation: str) -> None:
             f"supported by the native writer ({len(dvd)} file(s) carry "
             "DVs; a copy-on-write rewrite that ignored them would "
             "resurrect deleted rows). Use the delta-spark connector jar."
+        )
+    if _mapping_mode(state) != "none":
+        raise RuntimeError(
+            f"{operation} on a column-mapped table is not supported by "
+            "the native writer (rewritten files would carry logical "
+            "instead of physical column names). Use the delta-spark "
+            "connector jar."
         )
 
 
@@ -333,7 +355,22 @@ def read_delta_native(
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = StructType(data_fields)
+    # column mapping ('name'/'id' modes): data files carry PHYSICAL
+    # column names (delta.columnMapping.physicalName in the schema field
+    # metadata; partitionValues keys are physical too) — scan with the
+    # physical schema, rename to logical immediately after the read
+    phys: dict[str, str] = {}
+    if _mapping_mode(state) != "none":
+        for f in json.loads(state.schema_json).get("fields", []):
+            phys[f["name"]] = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+    data_schema = StructType(
+        [
+            type(f)(phys.get(f.name, f.name), f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
 
     def _resolve(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
@@ -350,12 +387,22 @@ def read_delta_native(
     def _scan(files):
         df = spark.read.schema(data_schema).parquet(*files)
         if dv_adds:
+            # _metadata must be captured at the scan itself, before any
+            # projection hides it
             df = df.withColumn(
                 "_dv_path",
                 F.regexp_replace(
                     F.col("_metadata.file_path"), "^file:/*", "/"
                 ),
             ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+        if phys:
+            keep = [
+                F.col(phys.get(f.name, f.name)).alias(f.name)
+                for f in data_fields
+            ]
+            if dv_adds:
+                keep += [F.col("_dv_path"), F.col("_dv_pos")]
+            df = df.select(*keep)
         return df
 
     if not part_cols:
@@ -366,7 +413,7 @@ def read_delta_native(
         # cardinality any Delta reader holds in memory from the log.
         by_part: dict[tuple, list[str]] = {}
         for p, pv in state.adds.items():
-            key = tuple(pv.get(c) for c in part_cols)
+            key = tuple(pv.get(phys.get(c, c)) for c in part_cols)
             by_part.setdefault(key, []).append(_resolve(p))
         types = {f.name: f.dataType for f in schema.fields}
         pieces = []

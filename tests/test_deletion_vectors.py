@@ -204,3 +204,128 @@ def test_dml_rejected_on_dv_table(spark, tmp_path):
     ]:
         with pytest.raises(RuntimeError, match="deletion vectors"):
             fn(*args)
+
+
+# -- column mapping ----------------------------------------------------------
+
+
+def _author_mapped_table(tmp_path, part=False, dv_positions=None):
+    """Column-mapped table: logical (id, val[, p]) stored under physical
+    names col-1/col-2/col-3 (name mode); partitionValues keyed physical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from glaredb_spark.sources.roaring import encode_dv_blob, z85_encode
+
+    root = str(tmp_path / "cmt")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-1"}},
+        {"name": "val", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-2"}},
+    ]
+    part_cols = []
+    if part:
+        fields.append(
+            {"name": "p", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-3"}})
+        part_cols = ["p"]
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "cm1",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(
+                          {"type": "struct", "fields": fields}),
+                      "partitionColumns": part_cols,
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"}}},
+    ]
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20)]):
+        sub = os.path.join(root, f"col-3={i}") if part else root
+        os.makedirs(sub, exist_ok=True)
+        full = os.path.join(sub, f"f{i}.parquet")
+        pq.write_table(
+            pa.table({"col-1": pa.array(range(lo, hi), pa.int64()),
+                      "col-2": pa.array([f"v{j}" for j in range(lo, hi)])}),
+            full,
+        )
+        add = {"path": os.path.relpath(full, root),
+               "partitionValues": {"col-3": str(i)} if part else {},
+               "size": os.path.getsize(full),
+               "modificationTime": 0, "dataChange": True}
+        if dv_positions and i == 0:
+            blob = encode_dv_blob(dv_positions)
+            pad = (-len(blob)) % 4
+            add["deletionVector"] = {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(blob + b"\x00" * pad),
+                "sizeInBytes": len(blob),
+                "cardinality": len(dv_positions),
+            }
+        actions.append({"add": add})
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return root
+
+
+def test_column_mapping_read_logical_names(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    root = _author_mapped_table(tmp_path)
+    df = read_delta_native(spark, root)
+    assert df.columns == ["id", "val"]
+    got = sorted((r["id"], r["val"]) for r in df.collect())
+    assert got == [(i, f"v{i}") for i in range(20)]
+
+
+def test_column_mapping_partitioned(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    root = _author_mapped_table(tmp_path, part=True)
+    df = read_delta_native(spark, root)
+    assert df.columns == ["id", "val", "p"]
+    got = sorted((r["id"], r["p"]) for r in df.collect())
+    assert [g[1] for g in got] == ["0"] * 10 + ["1"] * 10
+
+
+def test_column_mapping_with_deletion_vector(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    root = _author_mapped_table(tmp_path, dv_positions=[2, 4])
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(20) if i not in (2, 4)]
+
+
+def test_column_mapping_dml_rejected(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import delete_delta_native
+
+    root = _author_mapped_table(tmp_path)
+    with pytest.raises(RuntimeError, match="column-mapped"):
+        delete_delta_native(spark, root, "id = 1")
+
+
+def test_unknown_reader_feature_still_refused(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import load_delta_state
+
+    root = str(tmp_path / "vx")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"]}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": []}),
+            "partitionColumns": [], "configuration": {}}}) + "\n")
+    with pytest.raises(RuntimeError, match="v2Checkpoint"):
+        load_delta_state(root)

@@ -192,9 +192,10 @@ def test_checkpoint_replay(spark, tmp_path):
 
 
 def test_unsupported_features_rejected(tmp_path):
-    """columnMapping still fails loudly; deletionVectors became a
-    SUPPORTED reader feature in r5 (tests/test_deletion_vectors.py)."""
-    root = tmp_path / "cm"
+    """Reader features outside the implemented set still fail loudly
+    (deletionVectors and columnMapping became SUPPORTED in r5 —
+    tests/test_deletion_vectors.py)."""
+    root = tmp_path / "tw"
     log = root / "_delta_log"
     log.mkdir(parents=True)
     _commit(
@@ -205,13 +206,13 @@ def test_unsupported_features_rejected(tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["columnMapping"],
+                    "readerFeatures": ["typeWidening"],
                 }
             },
             _meta(),
         ],
     )
-    with pytest.raises(RuntimeError, match="columnMapping"):
+    with pytest.raises(RuntimeError, match="typeWidening"):
         load_delta_state(str(root))
 
 
