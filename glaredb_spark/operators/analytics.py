@@ -418,6 +418,236 @@ def iceberg_write_roundtrip(spark, sf_dir):
 
 
 @register_query(
+    "delta_dv_scan",
+    oracle="""
+SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id < 120 AND doc_id % 9 <> 0
+GROUP BY lang ORDER BY lang
+""",
+)
+def delta_dv_scan(spark, sf_dir):
+    """Delta DELETION-VECTOR read exercised end-to-end
+    (sources/roaring.py codec + the scan-time anti-join in
+    sources/delta_native.py:read_delta_native): a DV table is authored
+    from the fixture slice — one deterministic-order parquet data file
+    plus a roaring bitmap marking every doc_id % 9 == 0 row deleted —
+    and read back through the log fold. The oracle applies the same
+    filter algebraically, so a green row proves bitmap decode, position
+    mapping, and the anti-join drop exactly the vectored rows."""
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from glaredb_spark.sources.delta_native import read_delta_native
+    from glaredb_spark.sources.files import load_tables
+    from glaredb_spark.sources.roaring import write_dv_file
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "lang", "n_chars")
+        .filter("doc_id < 120")
+        .orderBy("doc_id")
+    )
+    rows = docs.collect()  # metadata-scale slice; file order must be known
+    root = _tf.mkdtemp(prefix="glaredb_dv_") + "/t"
+    log = _os.path.join(root, "_delta_log")
+    _os.makedirs(log)
+    data = _os.path.join(root, "part-0.parquet")
+    _pq.write_table(
+        _pa.table(
+            {
+                "doc_id": _pa.array([r["doc_id"] for r in rows], _pa.int64()),
+                "lang": _pa.array([r["lang"] for r in rows]),
+                "n_chars": _pa.array(
+                    [r["n_chars"] for r in rows], _pa.int64()
+                ),
+            }
+        ),
+        data,
+    )
+    positions = [i for i, r in enumerate(rows) if r["doc_id"] % 9 == 0]
+    dv_path = _os.path.join(root, "dv.bin")
+    offset, size = write_dv_file(dv_path, positions)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "n_chars", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dvq", "format": {"provider": "parquet",
+                                              "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "size": _os.path.getsize(data), "modificationTime": 0,
+                 "dataChange": True,
+                 "deletionVector": {"storageType": "p",
+                                    "pathOrInlineDv": dv_path,
+                                    "offset": offset,
+                                    "sizeInBytes": size,
+                                    "cardinality": len(positions)}}},
+    ]
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    return (
+        read_delta_native(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register_query(
+    "iceberg_mor_scan",
+    oracle="""
+SELECT lang, COUNT(*) AS c
+FROM documents
+WHERE doc_id < 100 AND doc_id % 11 <> 0 AND doc_id % 7 <> 3
+GROUP BY lang ORDER BY lang
+""",
+)
+def iceberg_mor_scan(spark, sf_dir):
+    """Iceberg v2 MERGE-ON-READ scan exercised end-to-end
+    (sources/iceberg_native.py:read_iceberg_native): a v2 table is
+    authored from the fixture slice with a position-delete file (every
+    doc_id % 11 == 0 row by row index) and an equality-delete file
+    (doc_id % 7 == 3 by value); the scan's two anti-joins must drop
+    exactly those rows to match the oracle's algebraic filter."""
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from glaredb_spark.sources.avro_lite import write_avro
+    from glaredb_spark.sources.files import load_tables
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "lang")
+        .filter("doc_id < 100")
+        .orderBy("doc_id")
+    )
+    rows = docs.collect()
+    root = _tf.mkdtemp(prefix="glaredb_mor_") + "/t"
+    mdir = _os.path.join(root, "metadata")
+    _os.makedirs(mdir)
+    data = _os.path.join(root, "data-0.parquet")
+    _pq.write_table(
+        _pa.table(
+            {
+                "doc_id": _pa.array([r["doc_id"] for r in rows], _pa.int64()),
+                "lang": _pa.array([r["lang"] for r in rows]),
+            }
+        ),
+        data,
+    )
+    pos = [i for i, r in enumerate(rows) if r["doc_id"] % 11 == 0]
+    pos_del = _os.path.join(root, "del-pos.parquet")
+    _pq.write_table(
+        _pa.table(
+            {
+                "file_path": _pa.array([data] * len(pos)),
+                "pos": _pa.array(pos, _pa.int64()),
+            }
+        ),
+        pos_del,
+    )
+    eq_vals = sorted({r["doc_id"] for r in rows if r["doc_id"] % 7 == 3})
+    eq_del = _os.path.join(root, "del-eq.parquet")
+    _pq.write_table(
+        _pa.table({"doc_id": _pa.array(eq_vals, _pa.int64())}), eq_del
+    )
+    mschema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}],
+                     "default": None},
+                ]}},
+        ],
+    }
+    entries = [
+        {"status": 1, "data_file": {
+            "content": 0, "file_path": data, "file_format": "PARQUET",
+            "record_count": len(rows),
+            "file_size_in_bytes": _os.path.getsize(data),
+            "equality_ids": None}},
+        {"status": 1, "data_file": {
+            "content": 1, "file_path": pos_del, "file_format": "PARQUET",
+            "record_count": len(pos),
+            "file_size_in_bytes": _os.path.getsize(pos_del),
+            "equality_ids": None}},
+        {"status": 1, "data_file": {
+            "content": 2, "file_path": eq_del, "file_format": "PARQUET",
+            "record_count": len(eq_vals),
+            "file_size_in_bytes": _os.path.getsize(eq_del),
+            "equality_ids": [1]}},
+    ]
+    manifest = _os.path.join(mdir, "manifest-1.avro")
+    write_avro(manifest, mschema, entries)
+    ml = _os.path.join(mdir, "snap-1.avro")
+    write_avro(
+        ml,
+        {"type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"}]},
+        [{"manifest_path": manifest,
+          "manifest_length": _os.path.getsize(manifest),
+          "content": 0, "sequence_number": 1}],
+    )
+    meta = {
+        "format-version": 2, "table-uuid": "q-mor", "location": root,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+            {"id": 2, "name": "lang", "required": False, "type": "string"},
+        ]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                       "timestamp-ms": 0, "manifest-list": ml}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+    }
+    with open(_os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    return (
+        read_iceberg_native(spark, root)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("lang")
+    )
+
+
+@register_query(
     "iceberg_dml_roundtrip",
     oracle="""
 SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total_chars
