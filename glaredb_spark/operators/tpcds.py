@@ -13,6 +13,11 @@ fixture star schema:
 - q53/q63    -> tpcds_ratio_to_avg     (month revenue vs group average)
 - q74 shape  -> tpcds_yoy_growth       (YoY growth: window lag, no self-join)
 - q78/q97    -> tpcds_channel_fullouter (FULL OUTER join of channel aggs)
+- q66 shape  -> tpcds_case_pivot       (conditional-aggregate pivot, one pass)
+- q86 shape  -> tpcds_grouping_share   (ROLLUP + share-of-parent via window)
+- q90 shape  -> tpcds_ampm_ratio       (two time-window counts, one scan)
+- q49 shape  -> tpcds_ntile_buckets    (quartile split of per-entity aggregate)
+- q51 shape  -> tpcds_cumulative_compare (aligned running totals, overtake days)
 
 Scale notes: rollup/window shapes shuffle once on their grouping keys with
 partial aggregation; the moving average is one window pass after one agg
@@ -454,4 +459,244 @@ def tpcds_channel_fullouter(spark, sf_dir):
         )
         .filter((F.col("n_purchases") == 0) | (F.col("n_views") == 0))
         .orderBy("user_id")
+    )
+
+
+@register_query(
+    "tpcds_case_pivot",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN {O_PRICE} ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE) AS urgent_rev,
+       CAST(SUM(CASE WHEN o.o_orderpriority = '2-HIGH' THEN {O_PRICE} ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE) AS high_rev,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN {O_PRICE} ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE) AS other_rev,
+       CAST(SUM({O_PRICE}) AS DOUBLE) AS total_rev
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+     JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+)
+def tpcds_case_pivot(spark, sf_dir):
+    """q66 shape: conditional-aggregate pivot — one pass computes a
+    column per category (priority bands here standing in for q66's
+    months) plus the total. One shuffle on the grouping key with full
+    map-side partial aggregation; at 100 TB this beats the naive
+    N-subquery self-join form by N scans. Money math in DECIMAL(15,2)
+    so results are AQE-repartition-invariant."""
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    o, c, n = t["orders"], t["customer"], t["nation"]
+    price = F.col("o_totalprice").cast(D)
+    zero = F.lit(0).cast(D)
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", price)
+                .otherwise(zero)
+            ).cast("double").alias("urgent_rev"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "2-HIGH", price)
+                .otherwise(zero)
+            ).cast("double").alias("high_rev"),
+            F.sum(
+                F.when(
+                    ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                    price,
+                ).otherwise(zero)
+            ).cast("double").alias("other_rev"),
+            F.sum(price).cast("double").alias("total_rev"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register_query(
+    "tpcds_grouping_share",
+    oracle=f"""
+WITH agg AS (
+  SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+         SUM({O_PRICE}) AS revenue,
+         GROUPING(o.o_orderpriority) AS is_total
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+  HAVING GROUPING(n.n_name) = 0)
+SELECT nation, priority,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(CAST(is_total AS INT) AS INT) AS is_total,
+       CAST(revenue AS DOUBLE) * 100 /
+       CAST(SUM(CASE WHEN is_total = 1 THEN revenue END)
+            OVER (PARTITION BY nation) AS DOUBLE) AS pct_of_nation
+FROM agg
+ORDER BY nation, is_total, priority NULLS FIRST
+""",
+)
+def tpcds_grouping_share(spark, sf_dir):
+    """q86 shape: ROLLUP with GROUPING() + share-of-parent percentage —
+    each (nation, priority) row carries its percent of the nation
+    subtotal computed by a window over the rollup output (no re-join of
+    the aggregate to itself). The rollup shuffles once; the window
+    repartitions on nation only."""
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    o, c, n = t["orders"], t["customer"], t["nation"]
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(D)).alias("revenue"),
+            F.grouping("o_orderpriority").alias("is_total"),
+        )
+        # GROUPING(n_name) = 0: fixture nation names are never NULL, so
+        # dropping the NULL-nation row removes exactly the grand total
+        .filter(F.col("n_name").isNotNull())
+    )
+    w = Window.partitionBy("n_name")
+    total = F.sum(
+        F.when(F.col("is_total") == 1, F.col("revenue"))
+    ).over(w)
+    return (
+        agg.select(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("is_total").cast("int").alias("is_total"),
+            (
+                F.col("revenue").cast("double") * 100
+                / total.cast("double")
+            ).alias("pct_of_nation"),
+        )
+        .orderBy("nation", "is_total", F.col("priority").asc_nulls_first())
+    )
+
+
+@register_query(
+    "tpcds_ampm_ratio",
+    oracle="""
+SELECT CAST(am_events AS BIGINT) AS am_events,
+       CAST(pm_events AS BIGINT) AS pm_events,
+       CAST(am_events AS DOUBLE) / pm_events AS am_pm_ratio
+FROM (SELECT SUM(CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 1 ELSE 0 END) AS am_events,
+             SUM(CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END) AS pm_events
+      FROM events WHERE event_type IN ('view', 'click'))
+""",
+)
+def tpcds_ampm_ratio(spark, sf_dir):
+    """q90 shape: the ratio of two time-window counts, computed as ONE
+    conditional aggregate over one scan — not q90's literal two
+    subqueries joined (two scans). Zero-shuffle to a single row."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    hour = F.hour("ts")
+    return (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .agg(
+            F.sum(F.when(hour < 12, 1).otherwise(0)).alias("am_events"),
+            F.sum(F.when(hour >= 12, 1).otherwise(0)).alias("pm_events"),
+        )
+        .select(
+            F.col("am_events").cast("long").alias("am_events"),
+            F.col("pm_events").cast("long").alias("pm_events"),
+            (
+                F.col("am_events").cast("double") / F.col("pm_events")
+            ).alias("am_pm_ratio"),
+        )
+    )
+
+
+@register_query(
+    "tpcds_ntile_buckets",
+    oracle=f"""
+WITH t AS (
+  SELECT o_custkey, SUM({O_PRICE}) AS spend
+  FROM orders GROUP BY o_custkey),
+b AS (
+  SELECT o_custkey, spend, NTILE(4) OVER (ORDER BY spend DESC, o_custkey) AS bucket
+  FROM t)
+SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS customers,
+       CAST(MIN(spend) AS DOUBLE) AS min_spend,
+       CAST(MAX(spend) AS DOUBLE) AS max_spend
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def tpcds_ntile_buckets(spark, sf_dir):
+    """q49 shape: quartile bucketing of a per-entity aggregate (NTILE
+    over deterministic total order) then per-bucket stats. The global
+    NTILE is the single-partition window any engine pays for an exact
+    global quantile split; at 100 TB the approx path is
+    approx_quantile cutoffs + a map-side bucket join (fn_percentile
+    family), kept exact here for oracle parity."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(D)).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    b = spend.withColumn("bucket", F.ntile(4).over(w))
+    return (
+        b.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.min("spend").cast("double").alias("min_spend"),
+            F.max("spend").cast("double").alias("max_spend"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register_query(
+    "tpcds_cumulative_compare",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+  FROM events GROUP BY CAST(ts AS DATE)),
+cum AS (
+  SELECT d,
+         SUM(purchases) OVER (ORDER BY d) AS cum_purchases,
+         SUM(views) OVER (ORDER BY d) AS cum_views
+  FROM daily)
+SELECT CAST(d AS VARCHAR) AS d,
+       CAST(cum_purchases AS BIGINT) AS cum_purchases,
+       CAST(cum_views AS BIGINT) AS cum_views
+FROM cum WHERE cum_purchases > cum_views
+ORDER BY d
+""",
+)
+def tpcds_cumulative_compare(spark, sf_dir):
+    """q51 shape: running totals of two channels aligned by day, keeping
+    the days where one overtakes the other. One conditional daily
+    aggregate (single scan, no per-channel self-join) then an ordered
+    cumulative window; cardinality entering the window is |days| — tiny
+    — so the single-partition ordered window is not a scale concern."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchases"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("views"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("purchases").over(w).cast("long").alias("cum_purchases"),
+        F.sum("views").over(w).cast("long").alias("cum_views"),
+    )
+    return (
+        cum.filter(F.col("cum_purchases") > F.col("cum_views"))
+        .select(
+            F.col("d").cast("string").alias("d"),
+            "cum_purchases",
+            "cum_views",
+        )
+        .orderBy("d")
     )
