@@ -514,6 +514,47 @@ def delta_dv_scan(spark, sf_dir):
 
 
 @register_query(
+    "delta_dv_delete_roundtrip",
+    oracle="""
+SELECT lang, COUNT(*) AS c
+FROM documents
+WHERE doc_id < 150 AND doc_id % 6 <> 2 AND doc_id % 10 <> 7
+GROUP BY lang ORDER BY lang
+""",
+)
+def delta_dv_delete_roundtrip(spark, sf_dir):
+    """Deletion-vector-WRITING DELETE exercised end-to-end
+    (sources/delta_native.py:_delete_with_dvs): write the fixture slice
+    as a native Delta table, run two DV deletes (the second unions with
+    the first's vectors), read back through the DV-applying scan. Data
+    files are never rewritten — at 100 TB this is the difference
+    between KB-scale bitmaps and rewriting every touched file. The
+    oracle applies the same two filters algebraically."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        read_delta_native,
+        write_delta_native,
+    )
+    from glaredb_spark.sources.files import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang"
+    ).filter("doc_id < 150")
+    root = _tf.mkdtemp(prefix="glaredb_dvdel_") + "/t"
+    write_delta_native(docs, root)
+    delete_delta_native(spark, root, "doc_id % 6 = 2", strategy="dv")
+    delete_delta_native(spark, root, "doc_id % 10 = 7", strategy="dv")
+    return (
+        read_delta_native(spark, root)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("lang")
+    )
+
+
+@register_query(
     "iceberg_mor_scan",
     oracle="""
 SELECT lang, COUNT(*) AS c

@@ -793,11 +793,24 @@ def _rewrite_matching(
 
 
 def delete_delta_native(
-    spark: SparkSession, path: str, predicate: str
+    spark: SparkSession, path: str, predicate: str, strategy: str = "cow"
 ) -> tuple[int, int]:
-    """Copy-on-write DELETE: drop rows matching ``predicate``; only files
-    containing matches are rewritten (see _rewrite_matching). Returns
-    (deleted_row_count, files_rewritten)."""
+    """DELETE rows matching ``predicate``.
+
+    ``strategy="cow"`` (default): copy-on-write — only files containing
+    matches are rewritten (see _rewrite_matching); rejected on tables
+    that already carry deletion vectors.
+
+    ``strategy="dv"``: merge-on-read — instead of rewriting data files,
+    write DELETION VECTORS marking the matched row positions (the
+    delta-spark fast path for small deletes: at 100 TB a 0.1% delete
+    stops costing a rewrite of every touched file and costs KB-scale
+    bitmaps instead). Works on tables with or without existing DVs
+    (positions union). Returns (deleted_row_count, files_touched)."""
+    if strategy == "dv":
+        return _delete_with_dvs(spark, path, predicate)
+    if strategy != "cow":
+        raise ValueError(f"unknown DELETE strategy {strategy!r}")
     return _rewrite_matching(
         spark,
         path,
@@ -806,6 +819,214 @@ def delete_delta_native(
         {"predicate": predicate},
         lambda df, pred: df.filter(~pred),
     )
+
+
+def _delete_with_dvs(
+    spark: SparkSession, path: str, predicate: str
+) -> tuple[int, int]:
+    """Deletion-vector-writing DELETE. Fully distributed where it
+    matters: the probe scans live rows (existing DVs applied) capturing
+    (file, ``_metadata.row_index``); matched positions are grouped per
+    file and each group's roaring bitmap is ENCODED AND WRITTEN
+    EXECUTOR-SIDE (cogrouped applyInPandas — existing DV blobs ride the
+    cogroup's right side for the position union), so no per-row data
+    ever reaches the driver. The driver handles only the KB-scale
+    commit: a remove+add pair per touched file re-pointing it at its
+    new vector ('u' storage, uuid-named .bin under the table root) and
+    a protocol upgrade to the deletionVectors feature when needed."""
+    import time
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from glaredb_spark.sources.roaring import z85_encode
+
+    path = os.path.abspath(path)
+    state = load_delta_state(path)
+    if _mapping_mode(state) != "none":
+        raise RuntimeError(
+            "DV DELETE on a column-mapped table is not supported by the "
+            "native writer"
+        )
+    schema = StructType.fromJson(json.loads(state.schema_json))
+    part_cols = state.partition_columns
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+    types = {f.name: f.dataType for f in schema.fields}
+
+    def _resolve(p: str) -> str:
+        return os.path.join(path, urllib.parse.unquote(p))
+
+    if not state.adds:
+        return (0, 0)
+    # resolved absolute file -> relative add path (commit attribution)
+    rel_of = {
+        "/" + os.path.abspath(_resolve(p)).lstrip("/"): p
+        for p in state.adds
+    }
+
+    def _with_pos(df):
+        return df.withColumn(
+            "_dv_path",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+
+    if not part_cols:
+        scanned = _with_pos(
+            spark.read.schema(data_schema).parquet(
+                *[_resolve(p) for p in state.adds]
+            )
+        )
+    else:
+        by_part: dict[tuple, list[str]] = {}
+        for p, pv in state.adds.items():
+            key = tuple(pv.get(c) for c in part_cols)
+            by_part.setdefault(key, []).append(_resolve(p))
+        pieces = []
+        for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
+            df = _with_pos(spark.read.schema(data_schema).parquet(*files))
+            for c, raw in zip(part_cols, key):
+                df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
+            pieces.append(df)
+        scanned = pieces[0]
+        for df in pieces[1:]:
+            scanned = scanned.unionByName(df)
+    # live rows only: existing DVs must be applied so re-deletes don't
+    # double-count (new positions end up disjoint from old by design)
+    dv_old = {
+        p: a["deletionVector"]
+        for p, a in state.add_meta.items()
+        if a.get("deletionVector") and p in state.adds
+    }
+    if dv_old:
+        old_rows = []
+        for p, dv in dv_old.items():
+            resolved = "/" + os.path.abspath(_resolve(p)).lstrip("/")
+            for pos in _dv_positions(path, dv):
+                old_rows.append((resolved, int(pos)))
+        scanned = scanned.join(
+            spark.createDataFrame(old_rows, "_dv_path string, _dv_pos long"),
+            ["_dv_path", "_dv_pos"],
+            "left_anti",
+        )
+    matched = scanned.filter(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    ).select(F.col("_dv_path").alias("f"), F.col("_dv_pos").alias("pos"))
+
+    # existing blobs (KB-scale each) enter the cogroup's right side
+    blob_rows = []
+    for p, dv in dv_old.items():
+        from glaredb_spark.sources.roaring import encode_portable64
+
+        blob_rows.append(
+            (
+                "/" + os.path.abspath(_resolve(p)).lstrip("/"),
+                encode_portable64(_dv_positions(path, dv)).hex(),
+            )
+        )
+    blobs = spark.createDataFrame(
+        blob_rows or [("", "")], "f string, blob_hex string"
+    ).filter(F.col("f") != "")
+
+    table_root = path
+    out_schema = (
+        "f string, dv_name string, offset long, size long, cardinality long"
+    )
+
+    def _write_group(key, pos_pdf, blob_pdf):
+        import os as _os
+        import uuid as _u
+
+        from glaredb_spark.sources.roaring import (
+            decode_portable64,
+            write_dv_file,
+        )
+
+        if pos_pdf.empty:
+            return pd.DataFrame(
+                columns=["f", "dv_name", "offset", "size", "cardinality"]
+            )
+        positions = set(int(x) for x in pos_pdf["pos"])
+        for h in blob_pdf.get("blob_hex", []):
+            positions.update(
+                int(x) for x in decode_portable64(bytes.fromhex(h))
+            )
+        u = _u.uuid4()
+        name = f"deletion_vector_{u}.bin"
+        offset, size = write_dv_file(
+            _os.path.join(table_root, name), sorted(positions)
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "f": key[0],
+                    "dv_name": name,
+                    "offset": offset,
+                    "size": size,
+                    "cardinality": len(positions),
+                }
+            ]
+        )
+
+    results = (
+        matched.groupBy("f")
+        .cogroup(blobs.groupBy("f"))
+        .applyInPandas(_write_group, out_schema)
+        .collect()
+    )  # one row per TOUCHED FILE — metadata-scale
+    if not results:
+        return (0, 0)
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate,
+                                        "strategy": "deletion-vectors"},
+            }
+        }
+    ]
+    if "deletionVectors" not in state.reader_features:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        state.reader_features | {"deletionVectors"}
+                    ),
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        )
+    deleted = 0
+    for r in sorted(results, key=lambda r: r["f"]):
+        rel = rel_of[r["f"]]
+        old = state.add_meta[rel]
+        prev_card = int(
+            (old.get("deletionVector") or {}).get("cardinality", 0)
+        )
+        deleted += int(r["cardinality"]) - prev_card
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now_ms,
+                        "dataChange": True}}
+        )
+        new_add = dict(old)
+        u = r["dv_name"][len("deletion_vector_"):-len(".bin")]
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(_uuid.UUID(u).bytes),
+            "offset": int(r["offset"]),
+            "sizeInBytes": int(r["size"]),
+            "cardinality": int(r["cardinality"]),
+        }
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+    log_dir = os.path.join(path, "_delta_log")
+    _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
+    return (deleted, len(results))
 
 
 def update_delta_native(

@@ -329,3 +329,110 @@ def test_unknown_reader_feature_still_refused(spark, tmp_path):
             "partitionColumns": [], "configuration": {}}}) + "\n")
     with pytest.raises(RuntimeError, match="v2Checkpoint"):
         load_delta_state(root)
+
+
+# -- DV-writing DELETE -------------------------------------------------------
+
+
+def test_dv_delete_marks_rows_without_rewrite(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        load_delta_state,
+        read_delta_native,
+        write_delta_native,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .filter("doc_id < 60")
+    )
+    root = str(tmp_path / "dt")
+    write_delta_native(docs, root)
+    before_files = {
+        p for p in load_delta_state(root).adds
+    }
+    deleted, touched = delete_delta_native(
+        spark, root, "doc_id % 5 = 2", strategy="dv"
+    )
+    assert deleted == 12 and touched >= 1
+    got = sorted(r["id"] if "id" in r else r["doc_id"]
+                 for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(60) if i % 5 != 2]
+    # the DATA files were not rewritten — same paths, now DV-carrying
+    state = load_delta_state(root)
+    assert set(state.adds) == before_files
+    assert all(
+        state.add_meta[p].get("deletionVector") for p in state.adds
+        if state.add_meta[p].get("deletionVector")
+    )
+    assert any(a.get("deletionVector") for a in state.add_meta.values())
+
+
+def test_dv_delete_unions_with_existing_vectors(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        read_delta_native,
+        write_delta_native,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .filter("doc_id < 40")
+    )
+    root = str(tmp_path / "dt")
+    write_delta_native(docs, root)
+    d1, _ = delete_delta_native(spark, root, "doc_id < 5", strategy="dv")
+    d2, _ = delete_delta_native(
+        spark, root, "doc_id >= 35", strategy="dv"
+    )
+    assert (d1, d2) == (5, 5)
+    # re-deleting already-deleted rows is a no-op
+    assert delete_delta_native(
+        spark, root, "doc_id < 5", strategy="dv"
+    ) == (0, 0)
+    got = sorted(r["doc_id"]
+                 for r in read_delta_native(spark, root).collect())
+    assert got == list(range(5, 35))
+
+
+def test_dv_delete_partitioned(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        read_delta_native,
+        write_delta_native,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .filter("doc_id < 80")
+    )
+    root = str(tmp_path / "dt")
+    write_delta_native(docs, root, partition_by=["lang"])
+    deleted, _ = delete_delta_native(
+        spark, root, "doc_id % 4 = 1", strategy="dv"
+    )
+    assert deleted == 20
+    got = sorted(r["doc_id"]
+                 for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(80) if i % 4 != 1]
+
+
+def test_cow_delete_still_rejected_after_dv_delete(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        write_delta_native,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .filter("doc_id < 20")
+    )
+    root = str(tmp_path / "dt")
+    write_delta_native(docs, root)
+    delete_delta_native(spark, root, "doc_id = 0", strategy="dv")
+    with pytest.raises(RuntimeError, match="deletion vectors"):
+        delete_delta_native(spark, root, "doc_id = 1")
