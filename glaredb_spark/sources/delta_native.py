@@ -821,33 +821,11 @@ def delete_delta_native(
     )
 
 
-def _delete_with_dvs(
-    spark: SparkSession, path: str, predicate: str
-) -> tuple[int, int]:
-    """Deletion-vector-writing DELETE. Fully distributed where it
-    matters: the probe scans live rows (existing DVs applied) capturing
-    (file, ``_metadata.row_index``); matched positions are grouped per
-    file and each group's roaring bitmap is ENCODED AND WRITTEN
-    EXECUTOR-SIDE (cogrouped applyInPandas — existing DV blobs ride the
-    cogroup's right side for the position union), so no per-row data
-    ever reaches the driver. The driver handles only the KB-scale
-    commit: a remove+add pair per touched file re-pointing it at its
-    new vector ('u' storage, uuid-named .bin under the table root) and
-    a protocol upgrade to the deletionVectors feature when needed."""
-    import time
-    import uuid as _uuid
-
-    import pandas as pd
-
-    from glaredb_spark.sources.roaring import z85_encode
-
-    path = os.path.abspath(path)
-    state = load_delta_state(path)
-    if _mapping_mode(state) != "none":
-        raise RuntimeError(
-            "DV DELETE on a column-mapped table is not supported by the "
-            "native writer"
-        )
+def _scan_live_with_positions(spark, path: str, state: "DeltaState"):
+    """DataFrame of the table's LIVE rows (existing DVs applied) with
+    ``_dv_path``/``_dv_pos`` helper columns, plus the resolved-path ->
+    relative-add-path mapping — the shared probe for every DV-writing
+    operation."""
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in part_cols]
@@ -857,9 +835,6 @@ def _delete_with_dvs(
     def _resolve(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
 
-    if not state.adds:
-        return (0, 0)
-    # resolved absolute file -> relative add path (commit attribution)
     rel_of = {
         "/" + os.path.abspath(_resolve(p)).lstrip("/"): p
         for p in state.adds
@@ -891,8 +866,6 @@ def _delete_with_dvs(
         scanned = pieces[0]
         for df in pieces[1:]:
             scanned = scanned.unionByName(df)
-    # live rows only: existing DVs must be applied so re-deletes don't
-    # double-count (new positions end up disjoint from old by design)
     dv_old = {
         p: a["deletionVector"]
         for p, a in state.add_meta.items()
@@ -909,21 +882,34 @@ def _delete_with_dvs(
             ["_dv_path", "_dv_pos"],
             "left_anti",
         )
-    matched = scanned.filter(
-        F.coalesce(F.expr(predicate), F.lit(False))
-    ).select(F.col("_dv_path").alias("f"), F.col("_dv_pos").alias("pos"))
+    return scanned, rel_of
 
-    # existing blobs (KB-scale each) enter the cogroup's right side
-    blob_rows = []
-    for p, dv in dv_old.items():
-        from glaredb_spark.sources.roaring import encode_portable64
 
-        blob_rows.append(
-            (
-                "/" + os.path.abspath(_resolve(p)).lstrip("/"),
-                encode_portable64(_dv_positions(path, dv)).hex(),
-            )
+def _write_dvs_distributed(spark, path: str, state: "DeltaState", matched):
+    """Encode+write one roaring .bin per touched file EXECUTOR-SIDE
+    (cogrouped applyInPandas; existing DV blobs ride the right side for
+    the position union). ``matched`` is a (f, pos) frame of LIVE row
+    positions. Returns one collected Row per touched file — the only
+    driver-side product (metadata-scale)."""
+    import pandas as pd
+
+    def _resolve(p: str) -> str:
+        return os.path.join(path, urllib.parse.unquote(p))
+
+    from glaredb_spark.sources.roaring import encode_portable64
+
+    dv_old = {
+        p: a["deletionVector"]
+        for p, a in state.add_meta.items()
+        if a.get("deletionVector") and p in state.adds
+    }
+    blob_rows = [
+        (
+            "/" + os.path.abspath(_resolve(p)).lstrip("/"),
+            encode_portable64(_dv_positions(path, dv)).hex(),
         )
+        for p, dv in dv_old.items()
+    ]
     blobs = spark.createDataFrame(
         blob_rows or [("", "")], "f string, blob_hex string"
     ).filter(F.col("f") != "")
@@ -968,40 +954,25 @@ def _delete_with_dvs(
             ]
         )
 
-    results = (
+    return (
         matched.groupBy("f")
         .cogroup(blobs.groupBy("f"))
         .applyInPandas(_write_group, out_schema)
         .collect()
-    )  # one row per TOUCHED FILE — metadata-scale
-    if not results:
-        return (0, 0)
+    )
 
-    now_ms = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "DELETE",
-                "operationParameters": {"predicate": predicate,
-                                        "strategy": "deletion-vectors"},
-            }
-        }
-    ]
-    if "deletionVectors" not in state.reader_features:
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(
-                        state.reader_features | {"deletionVectors"}
-                    ),
-                    "writerFeatures": ["deletionVectors"],
-                }
-            }
-        )
+
+def _dv_update_actions(
+    state: "DeltaState", rel_of: dict, results, now_ms: int
+) -> tuple[int, list[dict]]:
+    """remove+add action pairs re-pointing each touched file at its new
+    vector ('u' storage); returns (newly_deleted_rows, actions)."""
+    import uuid as _uuid
+
+    from glaredb_spark.sources.roaring import z85_encode
+
     deleted = 0
+    actions: list[dict] = []
     for r in sorted(results, key=lambda r: r["f"]):
         rel = rel_of[r["f"]]
         old = state.add_meta[rel]
@@ -1024,19 +995,220 @@ def _delete_with_dvs(
         }
         new_add["dataChange"] = True
         actions.append({"add": new_add})
+    return deleted, actions
+
+
+def _protocol_upgrade_action(state: "DeltaState") -> list[dict]:
+    if "deletionVectors" in state.reader_features:
+        return []
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    state.reader_features | {"deletionVectors"}
+                ),
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+
+
+def _delete_with_dvs(
+    spark: SparkSession, path: str, predicate: str
+) -> tuple[int, int]:
+    """Deletion-vector-writing DELETE (see delete_delta_native). Fully
+    distributed where it matters: the probe scans live rows, matched
+    positions group per file, and bitmaps are encoded and written
+    executor-side — no per-row data reaches the driver; the commit is a
+    remove+add pair per touched file plus a protocol upgrade when
+    needed."""
+    import time
+
+    path = os.path.abspath(path)
+    state = load_delta_state(path)
+    if _mapping_mode(state) != "none":
+        raise RuntimeError(
+            "DV DELETE on a column-mapped table is not supported by the "
+            "native writer"
+        )
+    if not state.adds:
+        return (0, 0)
+    scanned, rel_of = _scan_live_with_positions(spark, path, state)
+    matched = scanned.filter(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    ).select(F.col("_dv_path").alias("f"), F.col("_dv_pos").alias("pos"))
+    results = _write_dvs_distributed(spark, path, state, matched)
+    if not results:
+        return (0, 0)
+    now_ms = int(time.time() * 1000)
+    deleted, pairs = _dv_update_actions(state, rel_of, results, now_ms)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate,
+                                        "strategy": "deletion-vectors"},
+            }
+        }
+    ] + _protocol_upgrade_action(state) + pairs
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (deleted, len(results))
 
 
-def update_delta_native(
+def _update_with_dvs(
     spark: SparkSession, path: str, set_exprs: dict[str, str], predicate: str
 ) -> tuple[int, int]:
-    """Copy-on-write UPDATE: rows matching ``predicate`` get each column
-    in ``set_exprs`` replaced by its SQL expression (evaluated against
-    the pre-update row, standard UPDATE semantics); non-matching rows in
-    touched files are rewritten unchanged, untouched files stay
-    referenced. Returns (updated_row_count, files_rewritten)."""
+    """Deletion-vector-writing UPDATE (delta-spark's DV update shape):
+    matched rows are DV-marked in their current files and their UPDATED
+    COPIES land as new appended files in the same commit — touched files
+    are never rewritten, so an update of k rows costs k new rows + KB
+    bitmaps instead of a rewrite of every touched file."""
+    import time
+
+    path = os.path.abspath(path)
+    state = load_delta_state(path)
+    if _mapping_mode(state) != "none":
+        raise RuntimeError(
+            "DV UPDATE on a column-mapped table is not supported by the "
+            "native writer"
+        )
+    if not state.adds:
+        return (0, 0)
+    schema = StructType.fromJson(json.loads(state.schema_json))
+    unknown = set(set_exprs) - {f.name for f in schema.fields}
+    if unknown:
+        raise ValueError(f"UPDATE SET on unknown columns: {sorted(unknown)}")
+    part_cols = state.partition_columns
+    scanned, rel_of = _scan_live_with_positions(spark, path, state)
+    matched = scanned.filter(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    ).persist()
+    try:
+        positions = matched.select(
+            F.col("_dv_path").alias("f"), F.col("_dv_pos").alias("pos")
+        )
+        results = _write_dvs_distributed(spark, path, state, positions)
+        if not results:
+            return (0, 0)
+        updated_cols = []
+        for f in schema.fields:
+            if f.name in set_exprs:
+                updated_cols.append(
+                    F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                )
+            else:
+                updated_cols.append(F.col(f.name))
+        new_files = _staged_write(
+            matched.select(*updated_cols), path, part_cols
+        )
+    finally:
+        matched.unpersist()
+    now_ms = int(time.time() * 1000)
+    updated, pairs = _dv_update_actions(state, rel_of, results, now_ms)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate,
+                                        "strategy": "deletion-vectors"},
+            }
+        }
+    ] + _protocol_upgrade_action(state) + pairs
+    for rel in sorted(new_files):
+        actions.append(_add_action(rel, new_files[rel], part_cols))
+    log_dir = os.path.join(path, "_delta_log")
+    _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
+    return (updated, len(results))
+
+
+def purge_delta_native(spark: SparkSession, path: str) -> tuple[int, int]:
+    """REORG TABLE ... APPLY (PURGE): materialize deletion vectors —
+    every DV-carrying file's LIVE rows are rewritten into new files and
+    the vectors dropped, returning the table to plain COW form (COW
+    DML, OPTIMIZE, and VACUUM become available again; the superseded
+    data and .bin files become unreferenced history). Untouched files
+    stay referenced; cost scales with DV'd-file count, not table size.
+    Returns (files_purged, rows_materialized)."""
+    import time
+
+    path = os.path.abspath(path)
+    state = load_delta_state(path)
+    if _mapping_mode(state) != "none":
+        raise RuntimeError(
+            "PURGE on a column-mapped table is not supported by the "
+            "native writer"
+        )
+    dvd = {
+        p: a["deletionVector"]
+        for p, a in state.add_meta.items()
+        if a.get("deletionVector") and p in state.adds
+    }
+    if not dvd:
+        return (0, 0)
+    part_cols = state.partition_columns
+    # scan ONLY the DV-carrying files, live rows
+    sub = DeltaState()
+    sub.schema_json = state.schema_json
+    sub.partition_columns = state.partition_columns
+    sub.adds = {p: state.adds[p] for p in dvd}
+    sub.add_meta = {p: state.add_meta[p] for p in dvd}
+    live, _rel_of = _scan_live_with_positions(spark, path, sub)
+    table_cols = [
+        f.name
+        for f in StructType.fromJson(json.loads(state.schema_json)).fields
+    ]
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    counted = live.select(*table_cols).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
+    new_files = _staged_write(counted, path, part_cols)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "REORG",
+                "operationParameters": {"applyPurge": True},
+            }
+        }
+    ]
+    for rel in sorted(dvd):
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now_ms,
+                        "dataChange": True}}
+        )
+    for rel in sorted(new_files):
+        actions.append(_add_action(rel, new_files[rel], part_cols))
+    log_dir = os.path.join(path, "_delta_log")
+    _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
+    return (len(dvd), int(obs.get["n"]))
+
+
+def update_delta_native(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    strategy: str = "cow",
+) -> tuple[int, int]:
+    """UPDATE rows matching ``predicate``: each column in ``set_exprs``
+    is replaced by its SQL expression (evaluated against the pre-update
+    row, standard UPDATE semantics). ``strategy="cow"`` rewrites touched
+    files (non-matching rows copied unchanged); ``strategy="dv"``
+    DV-marks the old rows and appends the updated copies as new files —
+    touched files are never rewritten (see _update_with_dvs). Returns
+    (updated_row_count, files_touched)."""
+    if strategy == "dv":
+        return _update_with_dvs(spark, path, set_exprs, predicate)
+    if strategy != "cow":
+        raise ValueError(f"unknown UPDATE strategy {strategy!r}")
 
     def rewrite(df, pred):
         cols = []

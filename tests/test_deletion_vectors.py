@@ -436,3 +436,75 @@ def test_cow_delete_still_rejected_after_dv_delete(spark, sf_dir, tmp_path):
     delete_delta_native(spark, root, "doc_id = 0", strategy="dv")
     with pytest.raises(RuntimeError, match="deletion vectors"):
         delete_delta_native(spark, root, "doc_id = 1")
+
+
+def test_dv_update_marks_and_appends(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        load_delta_state,
+        read_delta_native,
+        update_delta_native,
+        write_delta_native,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .filter("doc_id < 50")
+    )
+    root = str(tmp_path / "dt")
+    write_delta_native(docs, root)
+    before_files = set(load_delta_state(root).adds)
+    updated, touched = update_delta_native(
+        spark, root, {"n_chars": "n_chars + 1000"}, "doc_id < 8",
+        strategy="dv",
+    )
+    assert updated == 8 and touched >= 1
+    got = {r["doc_id"]: r["n_chars"]
+           for r in read_delta_native(spark, root).collect()}
+    src = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert len(got) == 50
+    assert got == {
+        k: (v + 1000 if k < 8 else v) for k, v in src.items()
+    }
+    # original data files still referenced (DV'd), plus new append files
+    after = load_delta_state(root)
+    assert before_files <= set(after.adds)
+    assert len(after.adds) > len(before_files)
+
+
+def test_purge_materializes_vectors(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        load_delta_state,
+        purge_delta_native,
+        read_delta_native,
+        vacuum_delta_native,
+        write_delta_native,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .filter("doc_id < 60")
+    )
+    root = str(tmp_path / "dt")
+    write_delta_native(docs, root)
+    delete_delta_native(spark, root, "doc_id % 3 = 0", strategy="dv")
+    files, rows = purge_delta_native(spark, root)
+    assert files >= 1 and rows == 40
+    state = load_delta_state(root)
+    assert not any(
+        a.get("deletionVector") for a in state.add_meta.values()
+    )
+    got = sorted(r["doc_id"]
+                 for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(60) if i % 3 != 0]
+    # COW DML and VACUUM are usable again after the purge
+    d, _ = delete_delta_native(spark, root, "doc_id = 1")
+    assert d == 1
+    vacuum_delta_native(spark, root, retention_hours=0)
+    assert sorted(
+        r["doc_id"] for r in read_delta_native(spark, root).collect()
+    ) == [i for i in range(60) if i % 3 != 0 and i != 1]
+    # idempotent when nothing carries a vector
+    assert purge_delta_native(spark, root) == (0, 0)
