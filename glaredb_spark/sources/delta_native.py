@@ -792,21 +792,37 @@ def _rewrite_matching(
     return (int(matched), len(touched_rel))
 
 
+def _has_dvs(path: str) -> bool:
+    state = load_delta_state(path)
+    return any(
+        a.get("deletionVector")
+        for p, a in state.add_meta.items()
+        if p in state.adds
+    )
+
+
 def delete_delta_native(
-    spark: SparkSession, path: str, predicate: str, strategy: str = "cow"
+    spark: SparkSession, path: str, predicate: str, strategy: str = "auto"
 ) -> tuple[int, int]:
     """DELETE rows matching ``predicate``.
 
-    ``strategy="cow"`` (default): copy-on-write — only files containing
-    matches are rewritten (see _rewrite_matching); rejected on tables
-    that already carry deletion vectors.
+    ``strategy="cow"``: copy-on-write — only files containing matches
+    are rewritten (see _rewrite_matching); rejected on tables that
+    already carry deletion vectors.
 
     ``strategy="dv"``: merge-on-read — instead of rewriting data files,
     write DELETION VECTORS marking the matched row positions (the
     delta-spark fast path for small deletes: at 100 TB a 0.1% delete
     stops costing a rewrite of every touched file and costs KB-scale
     bitmaps instead). Works on tables with or without existing DVs
-    (positions union). Returns (deleted_row_count, files_touched)."""
+    (positions union).
+
+    ``strategy="auto"`` (default): COW on plain tables, DV on tables
+    that already carry vectors — so the SQL surface (DELETE FROM
+    '<path>') keeps working after a table goes merge-on-read. Returns
+    (deleted_row_count, files_touched)."""
+    if strategy == "auto":
+        strategy = "dv" if _has_dvs(path) else "cow"
     if strategy == "dv":
         return _delete_with_dvs(spark, path, predicate)
     if strategy != "cow":
@@ -1196,15 +1212,19 @@ def update_delta_native(
     path: str,
     set_exprs: dict[str, str],
     predicate: str,
-    strategy: str = "cow",
+    strategy: str = "auto",
 ) -> tuple[int, int]:
     """UPDATE rows matching ``predicate``: each column in ``set_exprs``
     is replaced by its SQL expression (evaluated against the pre-update
     row, standard UPDATE semantics). ``strategy="cow"`` rewrites touched
     files (non-matching rows copied unchanged); ``strategy="dv"``
     DV-marks the old rows and appends the updated copies as new files —
-    touched files are never rewritten (see _update_with_dvs). Returns
+    touched files are never rewritten (see _update_with_dvs);
+    ``strategy="auto"`` (default) picks COW on plain tables and DV on
+    tables already carrying vectors. Returns
     (updated_row_count, files_touched)."""
+    if strategy == "auto":
+        strategy = "dv" if _has_dvs(path) else "cow"
     if strategy == "dv":
         return _update_with_dvs(spark, path, set_exprs, predicate)
     if strategy != "cow":

@@ -196,14 +196,15 @@ def test_dml_rejected_on_dv_table(spark, tmp_path):
     )
 
     root = _author_dv_table(spark, tmp_path, {"a.parquet": [0]})
-    for fn, args in [
-        (delete_delta_native, (spark, root, "id = 1")),
-        (optimize_delta_native, (spark, root)),
-        (vacuum_delta_native, (spark, root)),
-        (checkpoint_delta_native, (spark, root)),
+    for fn, args, kw in [
+        (delete_delta_native, (spark, root, "id = 1"),
+         {"strategy": "cow"}),
+        (optimize_delta_native, (spark, root), {}),
+        (vacuum_delta_native, (spark, root), {}),
+        (checkpoint_delta_native, (spark, root), {}),
     ]:
         with pytest.raises(RuntimeError, match="deletion vectors"):
-            fn(*args)
+            fn(*args, **kw)
 
 
 # -- column mapping ----------------------------------------------------------
@@ -420,9 +421,14 @@ def test_dv_delete_partitioned(spark, sf_dir, tmp_path):
     assert got == [i for i in range(80) if i % 4 != 1]
 
 
-def test_cow_delete_still_rejected_after_dv_delete(spark, sf_dir, tmp_path):
+def test_auto_strategy_follows_table_state(spark, sf_dir, tmp_path):
+    """Default strategy='auto': COW on plain tables, DV once the table
+    carries vectors — the SQL surface keeps working after a table goes
+    merge-on-read; explicit COW on a DV table still raises."""
     from glaredb_spark.sources.delta_native import (
         delete_delta_native,
+        load_delta_state,
+        read_delta_native,
         write_delta_native,
     )
 
@@ -433,9 +439,21 @@ def test_cow_delete_still_rejected_after_dv_delete(spark, sf_dir, tmp_path):
     )
     root = str(tmp_path / "dt")
     write_delta_native(docs, root)
+    # plain table: auto = COW (no DVs appear)
+    delete_delta_native(spark, root, "doc_id = 19")
+    assert not any(
+        a.get("deletionVector")
+        for a in load_delta_state(root).add_meta.values()
+    )
     delete_delta_native(spark, root, "doc_id = 0", strategy="dv")
+    # DV table: auto = DV, and the result stays correct
+    d, _ = delete_delta_native(spark, root, "doc_id = 1")
+    assert d == 1
+    got = sorted(r["doc_id"]
+                 for r in read_delta_native(spark, root).collect())
+    assert got == list(range(2, 19))
     with pytest.raises(RuntimeError, match="deletion vectors"):
-        delete_delta_native(spark, root, "doc_id = 1")
+        delete_delta_native(spark, root, "doc_id = 2", strategy="cow")
 
 
 def test_dv_update_marks_and_appends(spark, sf_dir, tmp_path):
