@@ -279,6 +279,12 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
         sql,
     )
     wants_meta = bool(_META_COL.search(sql))
+    # each statement starts with clean object-store credentials: one
+    # statement's explicit keys must never sign another's requests
+    from glaredb_spark.sources.objectstore import clear_credentials
+
+    clear_credentials()
+
     for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_UNITY_TF, _handle_unity), (_DELTA_HISTORY_TF, _handle_delta_history), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
@@ -421,6 +427,15 @@ def _handle_tf(spark: SparkSession, m: re.Match, wants_meta: bool = False) -> st
         (k.lower(), v)
         for k, v in re.findall(r"([A-Za-z_]\w*)\s*=\s*'([^']*)'", argtext)
     )
+    unknown = set(named) - {
+        "region", "access_key_id", "secret_access_key", "service_account"
+    }
+    if unknown:
+        # an unsupported option must fail loudly, not be silently
+        # stripped (a dropped delim= would mis-parse every row)
+        raise ValueError(
+            f"unsupported named argument(s) for {fn}: {sorted(unknown)}"
+        )
     argtext = re.sub(
         r",?\s*[A-Za-z_]\w*\s*=\s*'[^']*'", "", argtext
     )
@@ -576,6 +591,14 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
             r"([A-Za-z_]\w*)\s*=\s*'([^']*)'", m.group(3) or ""
         )
     )
+    unknown = set(named) - {
+        "region", "key_id", "secret", "access_key_id", "secret_access_key"
+    }
+    if unknown:
+        raise ValueError(
+            f"unsupported named argument(s) for read_delta: "
+            f"{sorted(unknown)}"
+        )
     _osm.set_s3_credentials(
         named.get("key_id") or named.get("access_key_id"),
         named.get("secret") or named.get("secret_access_key"),
@@ -612,6 +635,14 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
             r"([A-Za-z_]\w*)\s*=\s*'([^']*)'", m.group(4) or ""
         )
     )
+    unknown = set(named) - {
+        "region", "access_key_id", "secret_access_key", "service_account"
+    }
+    if unknown:
+        raise ValueError(
+            f"unsupported named argument(s) for iceberg.{fn}: "
+            f"{sorted(unknown)}"
+        )
     _osm.set_s3_credentials(
         named.get("access_key_id"), named.get("secret_access_key")
     )

@@ -634,12 +634,16 @@ def iceberg_mor_scan(spark, sf_dir):
                 ]}},
         ],
     }
-    entries = [
+    data_entries = [
         {"status": 1, "data_file": {
             "content": 0, "file_path": data, "file_format": "PARQUET",
             "record_count": len(rows),
             "file_size_in_bytes": _os.path.getsize(data),
             "equality_ids": None}},
+    ]
+    # delete files land at sequence 2 > the data's 1: the spec scopes
+    # equality deletes to strictly-older data sequence numbers
+    del_entries = [
         {"status": 1, "data_file": {
             "content": 1, "file_path": pos_del, "file_format": "PARQUET",
             "record_count": len(pos),
@@ -651,8 +655,17 @@ def iceberg_mor_scan(spark, sf_dir):
             "file_size_in_bytes": _os.path.getsize(eq_del),
             "equality_ids": [1]}},
     ]
-    manifest = _os.path.join(mdir, "manifest-1.avro")
-    write_avro(manifest, mschema, entries)
+    ml_entries = []
+    for seq, content, entries in (
+        (1, 0, data_entries), (2, 1, del_entries)
+    ):
+        manifest = _os.path.join(mdir, f"manifest-{seq}.avro")
+        write_avro(manifest, mschema, entries)
+        ml_entries.append(
+            {"manifest_path": manifest,
+             "manifest_length": _os.path.getsize(manifest),
+             "content": content, "sequence_number": seq}
+        )
     ml = _os.path.join(mdir, "snap-1.avro")
     write_avro(
         ml,
@@ -661,9 +674,7 @@ def iceberg_mor_scan(spark, sf_dir):
             {"name": "manifest_length", "type": "long"},
             {"name": "content", "type": "int"},
             {"name": "sequence_number", "type": "long"}]},
-        [{"manifest_path": manifest,
-          "manifest_length": _os.path.getsize(manifest),
-          "content": 0, "sequence_number": 1}],
+        ml_entries,
     )
     meta = {
         "format-version": 2, "table-uuid": "q-mor", "location": root,

@@ -886,10 +886,19 @@ class GlareSession:
             source = self.spark.table(src_txt)
 
         def _norm_alias(expr: str) -> str:
-            expr = re.sub(rf"\b{re.escape(t_alias)}\s*\.", "t.", expr,
-                          flags=re.IGNORECASE)
-            return re.sub(rf"\b{re.escape(s_alias)}\s*\.", "s.", expr,
-                          flags=re.IGNORECASE)
+            # single pass: sequential substitutions would double-rewrite
+            # when the user's aliases are literally 't'/'s'
+            def repl(m: "re.Match") -> str:
+                return (
+                    "t." if m.group(1).lower() == t_alias.lower() else "s."
+                )
+
+            return re.sub(
+                rf"\b({re.escape(t_alias)}|{re.escape(s_alias)})\s*\.",
+                repl,
+                expr,
+                flags=re.IGNORECASE,
+            )
 
         on: list[str] = []
         for conj in re.split(r"\bAND\b", on_txt, flags=re.IGNORECASE):

@@ -63,7 +63,9 @@ class DeltaState:
         self.schema_json: str | None = None
         self.partition_columns: list[str] = []
         self.min_reader_version = 1
+        self.min_writer_version = 2
         self.reader_features: set[str] = set()
+        self.writer_features: set[str] = set()
         # path -> partitionValues dict (last add wins per spec)
         self.adds: dict[str, dict[str, Any]] = {}
         # path -> full add action (size / modificationTime carried so
@@ -83,7 +85,9 @@ class DeltaState:
         if "protocol" in action:
             p = action["protocol"]
             self.min_reader_version = p.get("minReaderVersion", 1)
+            self.min_writer_version = p.get("minWriterVersion", 2)
             self.reader_features = set(p.get("readerFeatures") or [])
+            self.writer_features = set(p.get("writerFeatures") or [])
         elif "metaData" in action:
             m = action["metaData"]
             self.schema_json = m.get("schemaString")
@@ -318,6 +322,29 @@ def _mapping_mode(state: "DeltaState") -> str:
     return config.get("delta.columnMapping.mode", "none")
 
 
+def _dv_positions_frame(spark, table_path: str, dv_adds: dict, resolve):
+    """(``_dv_path``, ``_dv_pos``) frame of every vectored position —
+    built in bulk from the decoded numpy arrays via pandas/Arrow (no
+    per-row Python tuples: DV cardinality is the deleted-row count and
+    can be large)."""
+    import numpy as np
+    import pandas as pd
+
+    paths, poss = [], []
+    for p, dv in dv_adds.items():
+        resolved = "/" + os.path.abspath(resolve(p)).lstrip("/")
+        arr = np.asarray(_dv_positions(table_path, dv), dtype=np.int64)
+        paths.append(np.full(len(arr), resolved, dtype=object))
+        poss.append(arr)
+    pdf = pd.DataFrame(
+        {
+            "_dv_path": np.concatenate(paths) if paths else [],
+            "_dv_pos": np.concatenate(poss) if poss else [],
+        }
+    )
+    return spark.createDataFrame(pdf, "_dv_path string, _dv_pos long")
+
+
 def _require_no_dvs(state: "DeltaState", operation: str) -> None:
     """COW-compatibility gate for the write paths: deletion vectors and
     column mapping are read-supported, but a rewrite that ignored them
@@ -426,14 +453,7 @@ def read_delta_native(
     for df in pieces[1:]:
         out = out.unionByName(df)
     if dv_adds:
-        rows = []
-        for p, dv in dv_adds.items():
-            resolved = "/" + os.path.abspath(_resolve(p)).lstrip("/")
-            for pos in _dv_positions(path, dv):
-                rows.append((resolved, int(pos)))
-        dels = spark.createDataFrame(
-            rows, "_dv_path string, _dv_pos long"
-        )
+        dels = _dv_positions_frame(spark, path, dv_adds, _resolve)
         # no explicit broadcast: DV cardinality is unbounded (it is the
         # deleted-row count) — AQE broadcasts when it is actually small
         out = out.join(dels, ["_dv_path", "_dv_pos"], "left_anti")
@@ -792,8 +812,7 @@ def _rewrite_matching(
     return (int(matched), len(touched_rel))
 
 
-def _has_dvs(path: str) -> bool:
-    state = load_delta_state(path)
+def _has_dvs(state: "DeltaState") -> bool:
     return any(
         a.get("deletionVector")
         for p, a in state.add_meta.items()
@@ -822,7 +841,7 @@ def delete_delta_native(
     '<path>') keeps working after a table goes merge-on-read. Returns
     (deleted_row_count, files_touched)."""
     if strategy == "auto":
-        strategy = "dv" if _has_dvs(path) else "cow"
+        strategy = "dv" if _has_dvs(load_delta_state(path)) else "cow"
     if strategy == "dv":
         return _delete_with_dvs(spark, path, predicate)
     if strategy != "cow":
@@ -888,13 +907,8 @@ def _scan_live_with_positions(spark, path: str, state: "DeltaState"):
         if a.get("deletionVector") and p in state.adds
     }
     if dv_old:
-        old_rows = []
-        for p, dv in dv_old.items():
-            resolved = "/" + os.path.abspath(_resolve(p)).lstrip("/")
-            for pos in _dv_positions(path, dv):
-                old_rows.append((resolved, int(pos)))
         scanned = scanned.join(
-            spark.createDataFrame(old_rows, "_dv_path string, _dv_pos long"),
+            _dv_positions_frame(spark, path, dv_old, _resolve),
             ["_dv_path", "_dv_pos"],
             "left_anti",
         )
@@ -1022,10 +1036,14 @@ def _protocol_upgrade_action(state: "DeltaState") -> list[dict]:
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
+                # pre-existing features are carried forward — replacing
+                # them would write a spec-invalid protocol
                 "readerFeatures": sorted(
                     state.reader_features | {"deletionVectors"}
                 ),
-                "writerFeatures": ["deletionVectors"],
+                "writerFeatures": sorted(
+                    state.writer_features | {"deletionVectors"}
+                ),
             }
         }
     ]
@@ -1224,7 +1242,7 @@ def update_delta_native(
     tables already carrying vectors. Returns
     (updated_row_count, files_touched)."""
     if strategy == "auto":
-        strategy = "dv" if _has_dvs(path) else "cow"
+        strategy = "dv" if _has_dvs(load_delta_state(path)) else "cow"
     if strategy == "dv":
         return _update_with_dvs(spark, path, set_exprs, predicate)
     if strategy != "cow":
@@ -1435,16 +1453,22 @@ def merge_delta_native(
             spark, path, all_pairs, data_schema, types, part_cols,
             with_file_path=True,
         )
-        key_cond = [target[k] == src[k] for k in on]
-        cond = key_cond[0]
-        for c in key_cond[1:]:
-            cond = cond & c
-        probe = (
-            target.join(src, cond, "left_semi")
-            .groupBy("_f")
-            .agg(F.count(F.lit(1)).alias("hits"))
-            .collect()
-        )
+        if not when_matched_update:
+            # insert-only merge: matched rows keep their values, so the
+            # matched-file probe (a full target-vs-source join) is
+            # skipped entirely
+            probe = []
+        else:
+            key_cond = [target[k] == src[k] for k in on]
+            cond = key_cond[0]
+            for c in key_cond[1:]:
+                cond = cond & c
+            probe = (
+                target.join(src, cond, "left_semi")
+                .groupBy("_f")
+                .agg(F.count(F.lit(1)).alias("hits"))
+                .collect()
+            )
         updated = sum(r["hits"] for r in probe)
 
         def _norm(uri: str) -> str:
@@ -1455,10 +1479,6 @@ def merge_delta_native(
             p for p in state.adds
             if os.path.realpath(_resolve(p)) in touched_full
         ]
-        if not when_matched_update:
-            # insert-only merge (no WHEN MATCHED clause): matched rows
-            # keep their values, so no file needs rewriting
-            touched_rel, updated = [], 0
         if when_not_matched_insert:
             inserts = source.alias("s").join(
                 _read_active(

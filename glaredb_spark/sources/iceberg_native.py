@@ -126,7 +126,14 @@ def _manifest_entries(
     out = []
     for ml in _manifest_list_entries(meta, table_path, snapshot_id):
         path = _resolve(ml["manifest_path"], meta, table_path)
+        mseq = int(ml.get("sequence_number") or 0)
         recs, _ = read_avro(path)
+        for r in recs:
+            # per-entry data sequence number, inheriting the manifest's
+            # when null (v2 inheritance rules) — consumed by the MoR
+            # scan's equality-delete scoping
+            eseq = r.get("sequence_number")
+            r["_seq"] = int(eseq) if eseq is not None else mseq
         out.extend(recs)
     return out
 
@@ -243,13 +250,15 @@ def read_iceberg_native(spark, table_path: str, snapshot_id: int | None = None):
     broadcast-sized mapping frame (one row per data file), never a UDF —
     and equality deletes apply as null-safe anti-joins on their equality
     columns (resolved from ``equality_ids`` against the current schema,
-    falling back to the delete file's own columns). At scale each
-    anti-join shuffles on the delete keys — the exchange MoR semantics
-    require — with the typically-small delete side broadcast under AQE."""
+    falling back to the delete file's own columns), scoped per spec to
+    data files with STRICTLY OLDER sequence numbers — a row re-inserted
+    after the delete survives. At scale each anti-join shuffles on the
+    delete keys — the exchange MoR semantics require — with the
+    typically-small delete side broadcast under AQE."""
     m = table_metadata(table_path)
-    active: list[str] = []
+    active: list[tuple[str, str, int]] = []
     pos_deletes: list[str] = []
-    eq_deletes: list[tuple[str, list[int] | None]] = []
+    eq_deletes: list[tuple[str, list[int] | None, int]] = []
     for e in _manifest_entries(m, table_path, snapshot_id):
         df = e["data_file"]
         if _STATUS.get(e.get("status", 0)) == "DELETED":
@@ -259,36 +268,46 @@ def read_iceberg_native(spark, table_path: str, snapshot_id: int | None = None):
             raise IcebergError(f"unsupported iceberg data file format: {fmt}")
         content = df.get("content", 0) or 0
         resolved = _resolve(df["file_path"], m, table_path)
+        seq = int(e.get("_seq", 0))
         if content == 0:
-            active.append((df["file_path"], resolved))
+            active.append((df["file_path"], resolved, seq))
         elif content == 1:
             pos_deletes.append(resolved)
         elif content == 2:
-            eq_deletes.append((resolved, df.get("equality_ids")))
+            eq_deletes.append((resolved, df.get("equality_ids"), seq))
         else:
             raise IcebergError(f"unknown iceberg data file content: {content}")
     if not active:
         schema = _spark_schema(m)
         return spark.createDataFrame([], schema)
     if not pos_deletes and not eq_deletes:
-        return spark.read.parquet(*[p for _s, p in active])
+        return spark.read.parquet(*[p for _s, p, _q in active])
 
     from pyspark.sql import functions as F
 
-    out = spark.read.parquet(*[p for _s, p in active])
+    out = spark.read.parquet(*[p for _s, p, _q in active])
     data_cols = out.columns
     # normalized absolute path of the scanned file ("file:///a/b" and
     # "file:/a/b" both -> "/a/b"), matched against the manifests'
-    # resolved paths below
+    # resolved paths below; the per-file data sequence number rides a
+    # broadcast map join (one row per data file)
     out = out.withColumn(
         "_ice_path",
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
     ).withColumn("_ice_pos", F.col("_metadata.row_index"))
+    seq_map = spark.createDataFrame(
+        [("/" + os.path.abspath(p).lstrip("/"), q) for _s, p, q in active],
+        "_ice_path string, _ice_seq long",
+    )
+    out = out.join(F.broadcast(seq_map), "_ice_path", "left")
     if pos_deletes:
         # stored-URI -> scan-path mapping: one row per data file,
         # broadcast into the delete join
         mapping = spark.createDataFrame(
-            [(s, "/" + os.path.abspath(p).lstrip("/")) for s, p in active],
+            [
+                (s, "/" + os.path.abspath(p).lstrip("/"))
+                for s, p, _q in active
+            ],
             "stored string, resolved string",
         )
         dels = (
@@ -302,7 +321,7 @@ def read_iceberg_native(spark, table_path: str, snapshot_id: int | None = None):
         )
         out = out.join(dels, ["_ice_path", "_ice_pos"], "left_anti")
     field_names = _schema_field_names(m)
-    for path, eq_ids in eq_deletes:
+    for path, eq_ids, dseq in eq_deletes:
         del_df = spark.read.parquet(path)
         if eq_ids:
             cols = [field_names[i] for i in eq_ids if i in field_names]
@@ -317,6 +336,13 @@ def read_iceberg_native(spark, table_path: str, snapshot_id: int | None = None):
         for c in cols:
             term = out[c].eqNullSafe(del_df[c])
             cond = term if cond is None else cond & term
+        if dseq > 0:
+            # spec: an equality delete applies only to data files with a
+            # strictly older sequence number (rows re-inserted later
+            # survive); sequence-less tables apply unconditionally
+            cond = cond & (
+                F.coalesce(out["_ice_seq"], F.lit(0)) < F.lit(dseq)
+            )
         out = out.join(del_df.select(*cols), cond, "left_anti")
     return out.select(*data_cols)
 

@@ -294,8 +294,9 @@ def _boto3_localize(path: str, region: str | None = None) -> str:
     Glob patterns localize every matching key and return the pattern
     rebased onto the cache tree (Hadoop's local glob then re-matches the
     downloaded files, `{a,b}` included)."""
-    if path in _S3_CACHE:
-        return _S3_CACHE[path]
+    cache_key = (path, _S3_CRED_OVERRIDE.get("aws_access_key_id", ""))
+    if cache_key in _S3_CACHE:
+        return _S3_CACHE[cache_key]
     import re as _re2
 
     bucket, key = path.split("://", 1)[1].split("/", 1)
@@ -308,6 +309,11 @@ def _boto3_localize(path: str, region: str | None = None) -> str:
         if not os.path.exists(local):
             os.makedirs(os.path.dirname(local), exist_ok=True)
             s3.download_file(bucket, k, local)
+        else:
+            # access control lives on the remote object: a file a
+            # credentialed read localized must not satisfy a later
+            # caller whose credentials can't see it
+            s3.head_object(Bucket=bucket, Key=k)
         return local
 
     if _re2.search(r"[*?{\[]", key):
@@ -316,7 +322,7 @@ def _boto3_localize(path: str, region: str | None = None) -> str:
         local = os.path.join(root, bucket, key)
     else:
         local = fetch(key)
-    _S3_CACHE[path] = local
+    _S3_CACHE[cache_key] = local
     return local
 
 
@@ -344,7 +350,7 @@ def _gcs_endpoint() -> str:
 
 
 _GCS_SA: dict = {}
-_GCS_TOKENS: dict[tuple, str] = {}
+_GCS_TOKENS: dict[tuple, tuple[str, float]] = {}  # key -> (token, expiry)
 
 
 def set_gcs_service_account(sa_json: str | None) -> None:
@@ -387,10 +393,12 @@ def _gcs_bearer() -> str | None:
     cryptography library; token cached per account."""
     if not _GCS_SA:
         return None
+    import time as _time
+
     cache_key = (_GCS_SA["client_email"], _GCS_SA["token_uri"])
-    tok = _GCS_TOKENS.get(cache_key)
-    if tok:
-        return tok
+    cached = _GCS_TOKENS.get(cache_key)
+    if cached and cached[1] > _time.time() + 60:  # refresh before expiry
+        return cached[0]
     import base64
     import json as _json
     import time
@@ -432,12 +440,14 @@ def _gcs_bearer() -> str | None:
     req = urllib.request.Request(_GCS_SA["token_uri"], data=data)
     try:
         with urllib.request.urlopen(req, timeout=30) as resp:
-            tok = _json.loads(resp.read())["access_token"]
+            body = _json.loads(resp.read())
+            tok = body["access_token"]
+            ttl = int(body.get("expires_in", 3600))
     except OSError as e:
         raise RuntimeError(
             f"GCS token exchange failed at {_GCS_SA['token_uri']!r}: {e}"
         ) from e
-    _GCS_TOKENS[cache_key] = tok
+    _GCS_TOKENS[cache_key] = (tok, _time.time() + ttl)
     return tok
 
 
@@ -595,6 +605,14 @@ def list_object_keys(scheme: str, bucket: str, key_pattern: str) -> list[str]:
     if scheme == "gs":
         return gcs_list_keys(bucket, key_pattern)
     return s3_list_keys(bucket, key_pattern)
+
+
+def clear_credentials() -> None:
+    """Reset every per-call credential override (rewrite_table_functions
+    calls this at the start of each statement so one statement's keys
+    can never sign another statement's requests)."""
+    _S3_CRED_OVERRIDE.clear()
+    _GCS_SA.clear()
 
 
 def ensure_object_store(spark: SparkSession, path: str) -> str:

@@ -195,3 +195,44 @@ def test_merge_into_bad_on_condition_raises(sess, tmp_path):
             f"MERGE INTO '{out}' t USING nation s ON t.n_nationkey < "
             f"s.n_nationkey WHEN NOT MATCHED THEN INSERT"
         )
+
+
+def test_merge_into_aliases_named_t_and_s_swapped(sess, tmp_path):
+    """User aliases that collide with the internal t/s names must not
+    double-rewrite: target aliased 'x', source aliased 't'."""
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    out = str(tmp_path / "dt")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_regionkey FROM nation WHERE "
+        f"n_nationkey < 10) TO '{out}' (FORMAT DELTA)"
+    )
+    sess.spark.sql(
+        "SELECT n_nationkey, n_regionkey + 100 AS n_regionkey FROM nation "
+        "WHERE n_nationkey < 5"
+    ).createOrReplaceTempView("msrc")
+    n = sess.sql(
+        f"MERGE INTO '{out}' AS x USING msrc AS t "
+        f"ON x.n_nationkey = t.n_nationkey "
+        f"WHEN MATCHED THEN UPDATE SET n_regionkey = x.n_regionkey + t.n_regionkey"
+    ).collect()
+    assert n[0].Count == 5
+    rows = {r["n_nationkey"]: r["n_regionkey"]
+            for r in read_delta_native(sess.spark, out).collect()}
+    base = {r["n_nationkey"]: r["n_regionkey"]
+            for r in sess.spark.sql(
+                "SELECT n_nationkey, n_regionkey FROM nation "
+                "WHERE n_nationkey < 10").collect()}
+    for k, v in base.items():
+        # matched rows: target value + (source value + 100); x.* must
+        # bind to the target, t.* to the source
+        want = v + (v + 100) if k < 5 else v
+        assert rows[k] == want, (k, rows[k], want)
+
+
+def test_unknown_tvf_named_argument_raises(sess):
+    with pytest.raises(Exception, match="unsupported named argument"):
+        sess.sql(
+            "SELECT * FROM read_csv('/root/testdata/sf0.001/region.parquet',"
+            " delim = ';')"
+        )

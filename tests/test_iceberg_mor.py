@@ -60,41 +60,53 @@ def _write_parquet(path, table):
     pq.write_table(table, path)
 
 
-def _author_v2(tmp_path, data_files, delete_files):
-    """data_files: [(relpath, pa.Table)]; delete_files:
-    [(relpath, pa.Table, content, equality_ids)]. Returns table root."""
+def _author_v2(tmp_path, data_files, delete_files, late_data_files=()):
+    """data_files: [(relpath, pa.Table)] at sequence 1; delete_files:
+    [(relpath, pa.Table, content, equality_ids)] at sequence 2 (the
+    spec's shape: deletes scope data with strictly older sequence
+    numbers); late_data_files at sequence 3 (inserted AFTER the
+    deletes — equality deletes must not touch them). Returns root."""
     root = str(tmp_path / "mor")
     mdir = os.path.join(root, "metadata")
     os.makedirs(mdir, exist_ok=True)
-    entries = []
-    for rel, tbl in data_files:
-        full = os.path.join(root, rel)
-        _write_parquet(full, tbl)
-        entries.append(
-            {"status": 1, "data_file": {
-                "content": 0, "file_path": full, "file_format": "PARQUET",
-                "record_count": tbl.num_rows,
-                "file_size_in_bytes": os.path.getsize(full),
-                "equality_ids": None}}
+
+    def _entries(files, content_of, eq_of):
+        out = []
+        for item in files:
+            rel, tbl = item[0], item[1]
+            full = os.path.join(root, rel)
+            _write_parquet(full, tbl)
+            out.append(
+                {"status": 1, "data_file": {
+                    "content": content_of(item), "file_path": full,
+                    "file_format": "PARQUET",
+                    "record_count": tbl.num_rows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "equality_ids": eq_of(item)}}
+            )
+        return out
+
+    ml_entries = []
+    groups = [
+        (1, 0, _entries(data_files, lambda i: 0, lambda i: None)),
+        (2, 1, _entries(delete_files, lambda i: i[2], lambda i: i[3])),
+    ]
+    if late_data_files:
+        groups.append(
+            (3, 0, _entries(late_data_files, lambda i: 0, lambda i: None))
         )
-    for rel, tbl, content, eq_ids in delete_files:
-        full = os.path.join(root, rel)
-        _write_parquet(full, tbl)
-        entries.append(
-            {"status": 1, "data_file": {
-                "content": content, "file_path": full,
-                "file_format": "PARQUET", "record_count": tbl.num_rows,
-                "file_size_in_bytes": os.path.getsize(full),
-                "equality_ids": eq_ids}}
+    for seq, ml_content, entries in groups:
+        if not entries:
+            continue
+        manifest = os.path.join(mdir, f"manifest-{seq}.avro")
+        write_avro(manifest, _MANIFEST_SCHEMA, entries)
+        ml_entries.append(
+            {"manifest_path": manifest,
+             "manifest_length": os.path.getsize(manifest),
+             "content": ml_content, "sequence_number": seq}
         )
-    manifest = os.path.join(mdir, "manifest-1.avro")
-    write_avro(manifest, _MANIFEST_SCHEMA, entries)
     ml = os.path.join(mdir, "snap-1.avro")
-    write_avro(ml, _ML_SCHEMA, [
-        {"manifest_path": manifest,
-         "manifest_length": os.path.getsize(manifest),
-         "content": 0, "sequence_number": 1},
-    ])
+    write_avro(ml, _ML_SCHEMA, ml_entries)
     meta = {
         "format-version": 2,
         "table-uuid": "0b2cde12-8a52-4a2c-a7f3-0b6d2b1f2a01",
@@ -194,3 +206,20 @@ def test_dml_still_rejected_on_mor_tables(spark, tmp_path):
     )
     with pytest.raises(IcebergError, match="merge-on-read"):
         delete_iceberg_native(spark, root, "id = 1")
+
+
+def test_equality_delete_scoped_by_sequence_number(spark, tmp_path):
+    """A row re-inserted AFTER an equality delete (higher data sequence
+    number) survives the scan — deletes scope strictly-older data."""
+    eq_del = pa.table({"id": pa.array([4, 15], pa.int64())})
+    root = _author_v2(
+        tmp_path,
+        [("data/a.parquet", _data(0, 10)), ("data/b.parquet", _data(10, 20))],
+        [("data/del-eq.parquet", eq_del, 2, [1])],
+        late_data_files=[("data/c.parquet", _data(4, 5))],  # re-insert id 4
+    )
+    got = sorted(r["id"] for r in read_iceberg_native(spark, root).collect())
+    # ids 4 and 15 deleted from seq-1 data; the seq-3 re-insert of 4 survives
+    assert got == sorted(
+        [i for i in range(20) if i not in (4, 15)] + [4]
+    )

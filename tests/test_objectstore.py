@@ -249,3 +249,16 @@ def test_gcs_service_account_validation():
             '{"type": "service_account", "somefield": "hello"}'
         )
     objectstore.set_gcs_service_account(None)
+
+
+def test_statement_rewrite_clears_credential_overrides(spark):
+    """Each statement rewrite starts with clean overrides — one
+    statement's keys never sign another statement's requests."""
+    from glaredb_spark.functions.table_sql import rewrite_table_functions
+
+    objectstore.set_s3_credentials("K", "S")
+    objectstore._GCS_SA.update({"client_email": "x@y", "private_key": "p",
+                                "token_uri": "http://t"})
+    rewrite_table_functions(spark, "SELECT 1")
+    assert not objectstore._S3_CRED_OVERRIDE
+    assert not objectstore._GCS_SA
