@@ -98,6 +98,20 @@ _MERGE_PATH_RE = re.compile(
 _MERGE_NOT_MATCHED_RE = re.compile(
     r"\bWHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\b", re.IGNORECASE
 )
+# maintenance statements over native table DIRECTORIES (delta-spark's
+# OPTIMIZE / VACUUM [RETAIN n HOURS] [DRY RUN] / REORG APPLY (PURGE))
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+'([^']+)'\s*;?\s*$", re.IGNORECASE
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+'([^']+)'"
+    r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REORG_RE = re.compile(
+    r"^\s*REORG\s+TABLE\s+'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _native_table_kind(path: str) -> str:
@@ -671,6 +685,51 @@ class GlareSession:
         dml = _MERGE_PATH_RE.match(query)
         if dml:
             return self._run_merge(dml, query)
+        m = _OPTIMIZE_RE.match(query)
+        if m:
+            from pyspark.sql import functions as F
+
+            from glaredb_spark.sources.delta_native import (
+                optimize_delta_native,
+            )
+
+            removed, added = optimize_delta_native(self.spark, m.group(1))
+            return self.spark.range(1).select(
+                F.lit(removed).cast("bigint").alias("files_removed"),
+                F.lit(added).cast("bigint").alias("files_added"),
+            )
+        m = _VACUUM_RE.match(query)
+        if m:
+            from pyspark.sql import functions as F
+
+            from glaredb_spark.sources.delta_native import (
+                vacuum_delta_native,
+            )
+
+            deleted = vacuum_delta_native(
+                self.spark,
+                m.group(1),
+                retention_hours=(
+                    float(m.group(2)) if m.group(2) else 168.0
+                ),
+                dry_run=bool(m.group(3)),
+            )
+            return self.spark.createDataFrame(
+                [(p,) for p in deleted] or [], "path string"
+            )
+        m = _REORG_RE.match(query)
+        if m:
+            from pyspark.sql import functions as F
+
+            from glaredb_spark.sources.delta_native import (
+                purge_delta_native,
+            )
+
+            files, rows = purge_delta_native(self.spark, m.group(1))
+            return self.spark.range(1).select(
+                F.lit(files).cast("bigint").alias("files_purged"),
+                F.lit(rows).cast("bigint").alias("rows_materialized"),
+            )
         ins = _INSERT_RE.match(query)
         if ins:
             from pyspark.sql import Observation
@@ -871,12 +930,21 @@ class GlareSession:
 
         from glaredb_spark.functions.arith_binder import _split_top_args
         from glaredb_spark.functions.table_sql import rewrite_table_functions
-        from glaredb_spark.sources.delta_native import merge_delta_native
 
         path, t_alias, src_txt, s_alias, on_txt, set_txt = m.groups()
-        if _native_table_kind(path) != "delta":
+        kind = _native_table_kind(path)
+        if kind == "delta":
+            from glaredb_spark.sources.delta_native import (
+                merge_delta_native as _merge,
+            )
+        elif kind == "iceberg":
+            from glaredb_spark.sources.iceberg_native import (
+                merge_iceberg_native as _merge,
+            )
+        else:
             raise ValueError(
-                f"MERGE INTO target is not a native Delta table: {path!r}"
+                f"MERGE INTO target is not a native Delta or Iceberg "
+                f"table: {path!r}"
             )
         if src_txt.startswith("("):
             source = self.spark.sql(
@@ -930,7 +998,7 @@ class GlareSession:
                     col = col.split(".", 1)[1].strip("`\"")
                 when_matched[col] = _norm_alias(expr.strip())
         insert = bool(_MERGE_NOT_MATCHED_RE.search(query))
-        updated, inserted, _files = merge_delta_native(
+        updated, inserted, _files = _merge(
             self.spark, path, source, on,
             when_matched_update=when_matched or {},
             when_not_matched_insert=insert,

@@ -733,6 +733,148 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     return (int(matched), len(hit))
 
 
+def merge_iceberg_native(
+    spark,
+    table_path: str,
+    source,
+    on: list[str],
+    when_matched_update: dict | None = None,
+    when_not_matched_insert: bool = True,
+) -> tuple[int, int, int]:
+    """MERGE (upsert) into a native Iceberg v1 table — the Iceberg
+    counterpart of delta_native.merge_delta_native: target rows whose
+    key matches a source row get ``when_matched_update`` applied (SQL
+    expressions over ``t.<col>`` / ``s.<col>``; default: replace every
+    non-key column with the source's), unmatched source rows are
+    inserted; duplicate source keys raise (the standard MERGE
+    contract). COW: only files containing a key match are rewritten;
+    inserts land as new files referenced by the same "overwrite"
+    snapshot. Scale: the probe and the rewrite join shuffle on the
+    merge keys — the exchange any engine's MERGE performs; the source
+    is typically the small side and broadcasts under AQE. Returns
+    (updated_rows, inserted_rows, files_rewritten)."""
+    from pyspark.sql import functions as F
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    _require_unpartitioned(meta)
+    cols = [
+        f["name"]
+        for f in (meta.get("schemas") or [meta.get("schema", {})])[0].get(
+            "fields", []
+        )
+    ]
+    if sorted(source.columns) != sorted(cols):
+        raise IcebergError(
+            f"merge source columns {sorted(source.columns)} != table "
+            f"columns {sorted(cols)}"
+        )
+    dup = source.groupBy(*on).count().filter("count > 1").limit(1).collect()
+    if dup:
+        raise IcebergError(
+            f"merge source has multiple rows for key "
+            f"{tuple(dup[0][k] for k in on)!r}"
+        )
+    if when_matched_update is None:
+        when_matched_update = {c: f"s.{c}" for c in cols if c not in on}
+
+    active = []
+    for e in _manifest_entries(meta, table_path):
+        if _STATUS.get(e.get("status", 0)) == "DELETED":
+            continue
+        d = dict(e["data_file"])
+        if (d.get("content", 0) or 0) != 0:
+            raise IcebergError(
+                "native iceberg MERGE cannot rewrite merge-on-read tables"
+            )
+        d["file_path"] = _resolve(d["file_path"], meta, table_path)
+        d["_snapshot_id"] = e.get("snapshot_id")
+        d.setdefault("block_size_in_bytes", 67108864)
+        active.append(d)
+
+    src = source.persist()
+    try:
+        updated, touched, keep = 0, [], list(active)
+        if active and when_matched_update is not None:
+            target = spark.read.parquet(
+                *[d["file_path"] for d in active]
+            ).withColumn(
+                "_f",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+            )
+            probe = (
+                target.join(src, on, "left_semi")
+                .groupBy("_f")
+                .agg(F.count(F.lit(1)).alias("hits"))
+                .collect()
+            )
+            updated = sum(r["hits"] for r in probe)
+            hit_paths = {r["_f"] for r in probe}
+            touched = [
+                d for d in active
+                if "/" + os.path.abspath(d["file_path"]).lstrip("/")
+                in hit_paths
+            ]
+            keep = [d for d in active if d not in touched]
+        if when_not_matched_insert and active:
+            inserts = src.alias("s").join(
+                spark.read.parquet(
+                    *[d["file_path"] for d in active]
+                ).select(*on),
+                on,
+                "left_anti",
+            ).select(*cols)
+        elif when_not_matched_insert:
+            inserts = src.select(*cols)
+        else:
+            inserts = spark.createDataFrame([], source.schema).select(*cols)
+        inserts = inserts.persist()
+        inserted = inserts.count()
+        if not touched and inserted == 0:
+            inserts.unpersist()
+            return (0, 0, 0)
+        pieces = [inserts]
+        if touched:
+            t = spark.read.parquet(
+                *[d["file_path"] for d in touched]
+            ).alias("t")
+            joined = t.join(src.alias("s"), on, "left")
+            matched = (
+                F.col(f"s.{on[0]}").isNotNull() if on else F.lit(False)
+            )
+            out_cols = []
+            for c in cols:
+                if c in on:
+                    out_cols.append(F.col(f"t.{c}").alias(c))
+                elif c in when_matched_update:
+                    out_cols.append(
+                        F.when(matched, F.expr(when_matched_update[c]))
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                    )
+                else:
+                    out_cols.append(F.col(f"t.{c}").alias(c))
+            pieces.append(joined.select(*out_cols))
+        out = pieces[0]
+        for df in pieces[1:]:
+            out = out.unionByName(df)
+        added = _stage_data_files(out, table_path)
+        inserts.unpersist()
+    finally:
+        src.unpersist()
+    schema_obj = (meta.get("schemas") or [meta["schema"]])[0]
+    _publish_snapshot(
+        table_path, meta, schema_obj, added, keep, "overwrite",
+        {
+            "deleted-data-files": len(touched),
+            "added-data-files": len(added),
+            "matched-records": int(updated),
+            "added-records": int(inserted),
+        },
+    )
+    return (int(updated), int(inserted), len(touched))
+
+
 def delete_iceberg_native(spark, table_path: str, predicate: str) -> tuple[int, int]:
     """COW DELETE: rows matching ``predicate`` (SQL expression) are
     removed in a new "delete" snapshot. Returns (rows_deleted,

@@ -236,3 +236,37 @@ def test_unknown_tvf_named_argument_raises(sess):
             "SELECT * FROM read_csv('/root/testdata/sf0.001/region.parquet',"
             " delim = ';')"
         )
+
+
+def test_maintenance_sql_statements(sess, tmp_path):
+    """OPTIMIZE / VACUUM [RETAIN n HOURS] [DRY RUN] / REORG TABLE APPLY
+    (PURGE) over a native Delta directory."""
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    out = str(tmp_path / "dt")
+    for lo, hi in ((0, 10), (10, 20), (20, 25)):
+        sess.sql(
+            f"COPY (SELECT n_nationkey, n_name FROM nation WHERE "
+            f"n_nationkey >= {lo} AND n_nationkey < {hi}) TO '{out}' "
+            f"(FORMAT DELTA)"
+        )
+    r = sess.sql(f"OPTIMIZE '{out}'").collect()[0]
+    assert r.files_removed >= 2 and r.files_added >= 1
+    assert read_delta_native(sess.spark, out).count() == 25
+    # DV delete then purge via SQL
+    sess.sql(f"DELETE FROM '{out}' WHERE n_nationkey = 3")  # COW (plain)
+    from glaredb_spark.sources.delta_native import delete_delta_native
+
+    delete_delta_native(sess.spark, out, "n_nationkey = 4", strategy="dv")
+    r = sess.sql(f"REORG TABLE '{out}' APPLY (PURGE)").collect()[0]
+    assert r.files_purged >= 1 and r.rows_materialized >= 1
+    # dry-run lists but doesn't delete; the real vacuum then removes
+    dry = sess.sql(f"VACUUM '{out}' RETAIN 0 HOURS DRY RUN").collect()
+    assert dry
+    import os as _os
+
+    # returned paths are table-relative; dry-run must not delete
+    assert all(_os.path.exists(_os.path.join(out, r.path)) for r in dry)
+    real = sess.sql(f"VACUUM '{out}' RETAIN 0 HOURS").collect()
+    assert {r.path for r in real} == {r.path for r in dry}
+    assert read_delta_native(sess.spark, out).count() == 23

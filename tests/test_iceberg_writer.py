@@ -118,3 +118,52 @@ def test_unknown_snapshot_id_raises(spark, sf_dir, tmp_path):
     write_iceberg_native(_docs(spark, sf_dir, 0, 10), path)
     with pytest.raises(IcebergError, match="no snapshot"):
         read_iceberg_native(spark, path, snapshot_id=999)
+
+
+def test_merge_upsert(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.iceberg_native import merge_iceberg_native
+
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 30), path)
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id >= 25 AND doc_id < 40")
+        .selectExpr("doc_id", "lang", "n_chars + 7 AS n_chars")
+    )
+    updated, inserted, rewritten = merge_iceberg_native(
+        spark, path, src, ["doc_id"]
+    )
+    assert (updated, inserted) == (5, 10) and rewritten >= 1
+    got = {r["doc_id"]: r["n_chars"]
+           for r in read_iceberg_native(spark, path).collect()}
+    base = {r["doc_id"]: r["n_chars"]
+            for r in _docs(spark, sf_dir, 0, 40).collect()}
+    assert len(got) == 40
+    for k, v in base.items():
+        assert got[k] == (v + 7 if k >= 25 else v), (k, got[k])
+    # duplicate source keys raise
+    dup = src.unionAll(src.limit(1))
+    with pytest.raises(IcebergError, match="multiple rows"):
+        merge_iceberg_native(spark, path, dup, ["doc_id"])
+
+
+def test_merge_into_sql_on_iceberg_path(spark, sf_dir, tmp_path):
+    from glaredb_spark.session import GlareSession
+
+    sess = GlareSession(spark)
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 20), path)
+    spark.createDataFrame(
+        [(18, "xx", 1), (19, "xx", 1), (20, "xx", 1)],
+        "doc_id long, lang string, n_chars long",
+    ).createOrReplaceTempView("ice_msrc")
+    n = sess.sql(
+        f"MERGE INTO '{path}' t USING ice_msrc s ON t.doc_id = s.doc_id "
+        f"WHEN MATCHED THEN UPDATE SET lang = s.lang "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    ).collect()
+    assert n[0].Count == 3  # 2 updated + 1 inserted
+    rows = {r["doc_id"]: r["lang"]
+            for r in read_iceberg_native(spark, path).collect()}
+    assert len(rows) == 21
+    assert rows[18] == "xx" and rows[20] == "xx" and rows[5] != "xx"
