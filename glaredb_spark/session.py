@@ -689,11 +689,16 @@ class GlareSession:
         if m:
             from pyspark.sql import functions as F
 
-            from glaredb_spark.sources.delta_native import (
-                optimize_delta_native,
-            )
+            if _native_table_kind(m.group(1)) == "iceberg":
+                from glaredb_spark.sources.iceberg_native import (
+                    optimize_iceberg_native as _opt,
+                )
+            else:
+                from glaredb_spark.sources.delta_native import (
+                    optimize_delta_native as _opt,
+                )
 
-            removed, added = optimize_delta_native(self.spark, m.group(1))
+            removed, added = _opt(self.spark, m.group(1))
             return self.spark.range(1).select(
                 F.lit(removed).cast("bigint").alias("files_removed"),
                 F.lit(added).cast("bigint").alias("files_added"),

@@ -733,6 +733,43 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     return (int(matched), len(hit))
 
 
+def optimize_iceberg_native(
+    spark, table_path: str, max_files_per_group: int = 128
+) -> tuple[int, int]:
+    """Compaction (Iceberg's rewrite_data_files): the current snapshot's
+    data files are rewritten into fewer, larger ones referenced by a
+    "replace" snapshot — pure reorganization, rows unchanged; prior
+    snapshots stay readable via time travel. Returns
+    (files_removed, files_added)."""
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    _require_unpartitioned(meta)
+    active = []
+    for e in _manifest_entries(meta, table_path):
+        if _STATUS.get(e.get("status", 0)) == "DELETED":
+            continue
+        d = e["data_file"]
+        if (d.get("content", 0) or 0) != 0:
+            raise IcebergError(
+                "native iceberg OPTIMIZE cannot rewrite merge-on-read "
+                "tables"
+            )
+        active.append(_resolve(d["file_path"], meta, table_path))
+    if len(active) < 2:
+        return (0, 0)
+    groups = max(1, (len(active) + max_files_per_group - 1)
+                 // max_files_per_group)
+    df = spark.read.parquet(*active).coalesce(groups)
+    added = _stage_data_files(df, table_path)
+    schema_obj = (meta.get("schemas") or [meta["schema"]])[0]
+    _publish_snapshot(
+        table_path, meta, schema_obj, added, [], "replace",
+        {"deleted-data-files": len(active),
+         "added-data-files": len(added)},
+    )
+    return (len(active), len(added))
+
+
 def merge_iceberg_native(
     spark,
     table_path: str,

