@@ -1200,6 +1200,30 @@ def _ensure_gcs_public_fixture() -> None:
     _MOTO["gcs"] = em
 
 
+def _register_clickbench_hits(sess) -> None:
+    """slt/clickbench setup: the reference harness registers a `hits`
+    temp view over the truncated ClickBench sample
+    (integration_slt.rs:358). That parquet lives in an uncheckedout
+    submodule, so the VALUE files stay excluded — but the schema is
+    fully declared by the suite's own describe.slt golden, so an empty
+    view with exactly those types lets the schema files run (the
+    DESCRIBE then asserts our Spark-type -> reference-type-name round
+    trip for all 105 columns)."""
+    spark_type = {
+        "Int64": "bigint", "Int32": "int", "Int16": "smallint",
+        "Utf8": "string", "Date32": "date",
+    }
+    fields = []
+    ref = "/root/reference/slt/clickbench/single/describe.slt"
+    for line in open(ref):
+        parts = line.split()
+        if len(parts) == 2 and parts[1] in spark_type:
+            fields.append(f"`{parts[0]}` {spark_type[parts[1]]}")
+    sess.spark.createDataFrame([], ", ".join(fields)).createOrReplaceTempView(
+        "hits"
+    )
+
+
 def _ensure_http_fixture() -> None:
     """slt/http setup: the files read the GlareDB repo's own testdata
     through raw.github URLs; no internet egress here, so a local HTTP
@@ -1262,6 +1286,8 @@ def run_slt_file(sess, path: str) -> SltResult:
         _ensure_unity_fixture()
     if f"{os.sep}slt{os.sep}http{os.sep}" in path:
         _ensure_http_fixture()
+    if f"{os.sep}clickbench{os.sep}" in path:
+        _register_clickbench_hits(sess)
     # unity attachments made by the file are session-scoped; detach them
     # afterwards so a rerun in the same session doesn't collide
     from glaredb_spark.sources.unity import _attached as _uc_attached
