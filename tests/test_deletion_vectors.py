@@ -526,3 +526,32 @@ def test_purge_materializes_vectors(spark, sf_dir, tmp_path):
     ) == [i for i in range(60) if i % 3 != 0 and i != 1]
     # idempotent when nothing carries a vector
     assert purge_delta_native(spark, root) == (0, 0)
+
+
+def test_dv_update_partitioned(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        read_delta_native,
+        update_delta_native,
+        write_delta_native,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .filter("doc_id < 60")
+    )
+    root = str(tmp_path / "dt")
+    write_delta_native(docs, root, partition_by=["lang"])
+    updated, _ = update_delta_native(
+        spark, root, {"n_chars": "n_chars * 10"}, "doc_id % 6 = 1",
+        strategy="dv",
+    )
+    assert updated == 10
+    got = {r["doc_id"]: (r["lang"], r["n_chars"])
+           for r in read_delta_native(spark, root).collect()}
+    src = {r["doc_id"]: (r["lang"], r["n_chars"])
+           for r in docs.collect()}
+    assert len(got) == 60
+    for k, (lang, v) in src.items():
+        want = v * 10 if k % 6 == 1 else v
+        assert got[k] == (lang, want), (k, got[k], (lang, want))
