@@ -416,11 +416,10 @@ def read_delta_native(
         if dv_adds:
             # _metadata must be captured at the scan itself, before any
             # projection hides it
+            from glaredb_spark.sources.files import decoded_file_path
+
             df = df.withColumn(
-                "_dv_path",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
-                ),
+                "_dv_path", decoded_file_path()
             ).withColumn("_dv_pos", F.col("_metadata.row_index"))
         if phys:
             keep = [
@@ -876,9 +875,10 @@ def _scan_live_with_positions(spark, path: str, state: "DeltaState"):
     }
 
     def _with_pos(df):
+        from glaredb_spark.sources.files import decoded_file_path
+
         return df.withColumn(
-            "_dv_path",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+            "_dv_path", decoded_file_path()
         ).withColumn("_dv_pos", F.col("_metadata.row_index"))
 
     if not part_cols:
@@ -1575,9 +1575,25 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
         return base
 
     rows = [
+        # full protocol fidelity (ADVICE r5): a table upgraded by DV DML
+        # to reader v3 / writer v7 (then REORG PURGEd, which passes the
+        # no-DVs gate) must keep its feature lists — v3/v7 REQUIRE
+        # readerFeatures/writerFeatures per PROTOCOL.md, and dropping
+        # minWriterVersion silently disabled feature enforcement
+        # (timestampNtz etc.) for external writers
         _one_hot(
-            protocol={"minReaderVersion": state.min_reader_version,
-                      "minWriterVersion": 2}
+            protocol={
+                "minReaderVersion": state.min_reader_version,
+                "minWriterVersion": state.min_writer_version,
+                "readerFeatures": (
+                    sorted(state.reader_features)
+                    if state.min_reader_version >= 3 else None
+                ),
+                "writerFeatures": (
+                    sorted(state.writer_features)
+                    if state.min_writer_version >= 7 else None
+                ),
+            }
         ),
         # the table's REAL metaData carried through (id / format /
         # configuration / createdTime), not a placeholder — external
@@ -1630,7 +1646,9 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
                 "protocol",
                 pa.struct(
                     [("minReaderVersion", pa.int32()),
-                     ("minWriterVersion", pa.int32())]
+                     ("minWriterVersion", pa.int32()),
+                     ("readerFeatures", pa.list_(pa.string())),
+                     ("writerFeatures", pa.list_(pa.string()))]
                 ),
             ),
             pa.field(

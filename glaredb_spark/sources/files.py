@@ -601,6 +601,21 @@ def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return widen_partitions(load_tables(spark, sf_dir, name)[name])
 
 
+def decoded_file_path(col=None):
+    """``_metadata.file_path`` as a real filesystem path (a Column).
+
+    Spark reports the scan path URI-encoded (space→%20, %→%25, #→%23)
+    while ``+`` stays literal; java's URLDecoder would turn that ``+``
+    into a space, so pre-escape it before ``url_decode``. Join keys
+    built from ``os.path.abspath`` on the driver then match
+    byte-for-byte. (ADVICE r5: partition directories with
+    URI-escapable characters otherwise silently drop deletion-vector /
+    delete-file matches, resurrecting deleted rows.)"""
+    c = col if col is not None else F.col("_metadata.file_path")
+    p = F.regexp_replace(c, "^file:/*", "/")
+    return F.url_decode(F.regexp_replace(p, r"\+", "%2B"))
+
+
 def with_filename(
     df: DataFrame, base_dir: str | None = None, col: str = "_filename"
 ) -> DataFrame:
@@ -613,7 +628,7 @@ def with_filename(
     like any column); ``base_dir`` relativizes it so results don't depend
     on where the fixture lives. Must be applied directly on a file-source
     DataFrame (before joins/aggregations), same as the reference."""
-    path = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    path = decoded_file_path()
     if base_dir:
         base = base_dir.rstrip("/") + "/"
         path = F.when(

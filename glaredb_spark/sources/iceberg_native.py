@@ -291,9 +291,10 @@ def read_iceberg_native(spark, table_path: str, snapshot_id: int | None = None):
     # "file:/a/b" both -> "/a/b"), matched against the manifests'
     # resolved paths below; the per-file data sequence number rides a
     # broadcast map join (one row per data file)
+    from glaredb_spark.sources.files import decoded_file_path
+
     out = out.withColumn(
-        "_ice_path",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        "_ice_path", decoded_file_path()
     ).withColumn("_ice_pos", F.col("_metadata.row_index"))
     seq_map = spark.createDataFrame(
         [("/" + os.path.abspath(p).lstrip("/"), q) for _s, p, q in active],
@@ -438,6 +439,18 @@ def _iceberg_schema(df) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def _current_schema_obj(meta: dict) -> dict:
+    """The schema selected by current-schema-id (NOT schemas[0]: on a
+    schema-evolved table the first list entry is the oldest schema —
+    writing it back would pin the table to it; ADVICE r5)."""
+    schemas = meta.get("schemas") or [meta.get("schema", {})]
+    return next(
+        (s for s in schemas
+         if s.get("schema-id") == meta.get("current-schema-id")),
+        schemas[0],
+    )
+
+
 def _publish_snapshot(
     table_path: str,
     meta: dict | None,
@@ -459,6 +472,18 @@ def _publish_snapshot(
     import uuid
 
     from glaredb_spark.sources.avro_lite import write_avro
+
+    # refuse rather than corrupt: this writer authors format-version 1
+    # metadata, so committing onto an externally-written v2 table would
+    # silently downgrade it and discard sequence numbers (ADVICE r5;
+    # v2 tables pass the MoR read guard when they carry no delete files)
+    if meta is not None and (meta.get("format-version", 1) or 1) != 1:
+        raise IcebergError(
+            "native iceberg writes support format-version 1 tables only; "
+            f"this table is format-version {meta.get('format-version')} — "
+            "a commit would downgrade its metadata (use the Iceberg "
+            "connector jar for v2 DML)"
+        )
 
     mdir = os.path.join(table_path, "metadata")
     now_ms = int(time.time() * 1000)
@@ -517,19 +542,35 @@ def _publish_snapshot(
         "summary": {"operation": operation,
                     **{k: str(v) for k, v in summary.items()}},
     }
+    # metadata fidelity on existing tables: preserve the full schemas
+    # list + current-schema-id (schema evolution), last-column-id,
+    # properties, and partition specs — only the snapshot set advances
+    prev = meta or {}
+    schemas = prev.get("schemas") or [schema_obj]
+    cur_schema_id = prev.get(
+        "current-schema-id", schema_obj.get("schema-id", 0)
+    )
+    last_col = max(
+        int(prev.get("last-column-id", 0) or 0),
+        max((int(f.get("id", 0) or 0)
+             for f in schema_obj.get("fields", [])), default=0),
+        len(schema_obj.get("fields", [])),
+    )
     new_meta = {
         "format-version": 1,
-        "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
+        "table-uuid": prev.get("table-uuid", str(uuid.uuid4())),
         "location": table_path,
         "last-updated-ms": now_ms,
-        "last-column-id": len(schema_obj.get("fields", [])),
+        "last-column-id": last_col,
         "schema": schema_obj,
-        "schemas": [schema_obj],
-        "current-schema-id": 0,
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "default-spec-id": 0,
-        "properties": {},
+        "schemas": schemas,
+        "current-schema-id": cur_schema_id,
+        "partition-spec": prev.get("partition-spec", []),
+        "partition-specs": prev.get(
+            "partition-specs", [{"spec-id": 0, "fields": []}]
+        ),
+        "default-spec-id": prev.get("default-spec-id", 0),
+        "properties": prev.get("properties", {}),
         "current-snapshot-id": snapshot_id,
         "snapshots": prev_snaps + [snapshot],
     }
@@ -612,7 +653,7 @@ def write_iceberg_native(df, table_path: str, mode: str = "append") -> int:
         meta = table_metadata(table_path)
         want = [
             (f["name"]) for f in (
-                (meta.get("schemas") or [meta.get("schema", {})])[0]
+                _current_schema_obj(meta)
             ).get("fields", [])
         ]
         if want != df.columns:
@@ -623,7 +664,7 @@ def write_iceberg_native(df, table_path: str, mode: str = "append") -> int:
     added = _stage_data_files(df, table_path)
     schema_obj = (
         _iceberg_schema(df) if meta is None
-        else (meta.get("schemas") or [meta["schema"]])[0]
+        else _current_schema_obj(meta)
     )
     summary = {
         "added-data-files": len(added),
@@ -721,7 +762,7 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     src = spark.read.parquet(*[d["file_path"] for d in hit])
     pred_col = F.coalesce(F.expr(predicate), F.lit(False))
     added = _stage_data_files(rewrite(src, pred_col), table_path)
-    schema_obj = (meta.get("schemas") or [meta["schema"]])[0]
+    schema_obj = _current_schema_obj(meta)
     _publish_snapshot(
         table_path, meta, schema_obj, added, keep, operation,
         {
@@ -761,7 +802,7 @@ def optimize_iceberg_native(
                  // max_files_per_group)
     df = spark.read.parquet(*active).coalesce(groups)
     added = _stage_data_files(df, table_path)
-    schema_obj = (meta.get("schemas") or [meta["schema"]])[0]
+    schema_obj = _current_schema_obj(meta)
     _publish_snapshot(
         table_path, meta, schema_obj, added, [], "replace",
         {"deleted-data-files": len(active),
@@ -797,7 +838,7 @@ def merge_iceberg_native(
     _require_unpartitioned(meta)
     cols = [
         f["name"]
-        for f in (meta.get("schemas") or [meta.get("schema", {})])[0].get(
+        for f in _current_schema_obj(meta).get(
             "fields", []
         )
     ]
@@ -832,13 +873,18 @@ def merge_iceberg_native(
     src = source.persist()
     try:
         updated, touched, keep = 0, [], list(active)
-        if active and when_matched_update is not None:
+        # {} (insert-only merge: no WHEN MATCHED clause) skips the
+        # matched-file probe and rewrite entirely — matched rows keep
+        # their values and count as 0 updated, matching the Delta
+        # writer's semantics (None was expanded to default-replace
+        # above). ADVICE r5: `is not None` here probed + rewrote every
+        # matched file with unchanged values and over-counted.
+        if active and when_matched_update:
+            from glaredb_spark.sources.files import decoded_file_path
+
             target = spark.read.parquet(
                 *[d["file_path"] for d in active]
-            ).withColumn(
-                "_f",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
-            )
+            ).withColumn("_f", decoded_file_path())
             probe = (
                 target.join(src, on, "left_semi")
                 .groupBy("_f")
@@ -899,7 +945,7 @@ def merge_iceberg_native(
         inserts.unpersist()
     finally:
         src.unpersist()
-    schema_obj = (meta.get("schemas") or [meta["schema"]])[0]
+    schema_obj = _current_schema_obj(meta)
     _publish_snapshot(
         table_path, meta, schema_obj, added, keep, "overwrite",
         {

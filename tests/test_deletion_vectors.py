@@ -555,3 +555,91 @@ def test_dv_update_partitioned(spark, sf_dir, tmp_path):
     for k, (lang, v) in src.items():
         want = v * 10 if k % 6 == 1 else v
         assert got[k] == (lang, want), (k, got[k], (lang, want))
+
+
+def test_dv_partition_values_with_uri_chars(spark, tmp_path):
+    """Partition values containing URI-escapable characters (space, %,
+    #) plus a literal '+': Spark reports _metadata.file_path
+    URI-encoded, so the DV join key must be decoded before matching
+    driver-side abspaths — otherwise deleted rows silently resurrect
+    (ADVICE r5). '+' stays literal in the URI, so a plain url_decode
+    would corrupt it the other way."""
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        load_delta_state,
+        read_delta_native,
+        write_delta_native,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a b%c#d+e" if i < 10 else "plain") for i in range(20)],
+        "id long, p string",
+    )
+    root = str(tmp_path / "dt")
+    write_delta_native(df, root, partition_by=["p"])
+    deleted, _ = delete_delta_native(spark, root, "id % 2 = 0",
+                                     strategy="dv")
+    assert deleted == 10
+    got = sorted((r["id"], r["p"])
+                 for r in read_delta_native(spark, root).collect())
+    assert [g[0] for g in got] == [i for i in range(20) if i % 2 == 1]
+    assert all(p == ("a b%c#d+e" if i < 10 else "plain") for i, p in got)
+    # second delete unions into the same vectors (hits the existing-DV
+    # read inside the DML scan too)
+    deleted2, _ = delete_delta_native(spark, root, "id in (1, 11)",
+                                      strategy="dv")
+    assert deleted2 == 2
+    assert sorted(r["id"] for r in read_delta_native(spark, root).collect()
+                  ) == [i for i in range(20) if i % 2 == 1 and i not in (1, 11)]
+    assert any(a.get("deletionVector")
+               for a in load_delta_state(root).add_meta.values())
+
+
+def test_checkpoint_preserves_feature_protocol(spark, sf_dir, tmp_path):
+    """DV DML upgrades the table to reader v3 / writer v7 with feature
+    lists; after REORG PURGE (no vectors left) a checkpoint must carry
+    that protocol through — v3 REQUIRES readerFeatures per PROTOCOL.md,
+    and dropping minWriterVersion disables feature enforcement for
+    external writers (ADVICE r5)."""
+    import pyarrow.parquet as pq
+
+    from glaredb_spark.sources.delta_native import (
+        checkpoint_delta_native,
+        delete_delta_native,
+        load_delta_state,
+        purge_delta_native,
+        read_delta_native,
+        write_delta_native,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .filter("doc_id < 40")
+    )
+    root = str(tmp_path / "dt")
+    write_delta_native(docs, root)
+    delete_delta_native(spark, root, "doc_id % 4 = 0", strategy="dv")
+    purge_delta_native(spark, root)
+    version = checkpoint_delta_native(spark, root)
+    cp = os.path.join(root, "_delta_log",
+                      f"{version:020d}.checkpoint.parquet")
+    protos = [r["protocol"] for r in pq.read_table(cp).to_pylist()
+              if r.get("protocol")]
+    assert len(protos) == 1
+    p = protos[0]
+    assert p["minReaderVersion"] == 3 and p["minWriterVersion"] == 7
+    assert "deletionVectors" in (p["readerFeatures"] or [])
+    assert "deletionVectors" in (p["writerFeatures"] or [])
+    # a state fold that starts FROM this checkpoint sees the features
+    for f in os.listdir(os.path.join(root, "_delta_log")):
+        if f.endswith(".json"):
+            os.unlink(os.path.join(root, "_delta_log", f))
+    state = load_delta_state(root)
+    assert state.min_reader_version == 3
+    assert state.min_writer_version == 7
+    assert "deletionVectors" in state.reader_features
+    assert "deletionVectors" in state.writer_features
+    got = sorted(r["doc_id"]
+                 for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(40) if i % 4 != 0]

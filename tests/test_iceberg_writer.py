@@ -190,3 +190,105 @@ def test_optimize_compacts_files(spark, sf_dir, tmp_path):
     ).count() == 10
     # idempotent when already compact
     assert optimize_iceberg_native(spark, path) in ((0, 0), (1, 1)) or True
+
+
+def test_merge_insert_only_skips_rewrite(spark, sf_dir, tmp_path):
+    """when_matched_update={} (MERGE with no WHEN MATCHED clause) must
+    not probe or rewrite matched files — matched rows keep their
+    values, updated == 0 (ADVICE r5: the old `is not None` guard
+    rewrote every matched file with unchanged values and over-counted
+    by the matched-row count, diverging from the Delta writer)."""
+    from glaredb_spark.sources.iceberg_native import merge_iceberg_native
+
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 30), path)
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id >= 25 AND doc_id < 40")
+        .selectExpr("doc_id", "lang", "n_chars + 7 AS n_chars")
+    )
+    updated, inserted, rewritten = merge_iceberg_native(
+        spark, path, src, ["doc_id"], when_matched_update={}
+    )
+    assert (updated, inserted, rewritten) == (0, 10, 0)
+    got = {r["doc_id"]: r["n_chars"]
+           for r in read_iceberg_native(spark, path).collect()}
+    base = {r["doc_id"]: r["n_chars"]
+            for r in _docs(spark, sf_dir, 0, 40).collect()}
+    assert len(got) == 40
+    for k, v in base.items():
+        # matched rows (25..29) keep their ORIGINAL values; only the
+        # unmatched keys (30..39) carry the source's +7
+        assert got[k] == (v + 7 if k >= 30 else v), (k, got[k])
+
+
+def test_write_refuses_v2_metadata(spark, sf_dir, tmp_path):
+    """Committing onto an externally-written format-version 2 table
+    must refuse rather than silently downgrade its metadata to v1
+    (ADVICE r5). Covers append and COW DML."""
+    import json
+    import os
+
+    from glaredb_spark.sources.iceberg_native import (
+        _metadata_path,
+        delete_iceberg_native,
+    )
+
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 10), path)
+    mp = _metadata_path(path)
+    meta = json.load(open(mp))
+    meta["format-version"] = 2
+    meta["last-sequence-number"] = 1
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(IcebergError, match="format-version"):
+        write_iceberg_native(_docs(spark, sf_dir, 10, 20), path,
+                             mode="append")
+    with pytest.raises(IcebergError, match="format-version"):
+        delete_iceberg_native(spark, path, "doc_id = 1")
+    # the v2 metadata is untouched by the refused attempts
+    assert json.load(open(mp))["format-version"] == 2
+    assert os.path.basename(_metadata_path(path)) == os.path.basename(mp)
+
+
+def test_publish_preserves_schema_evolution(spark, sf_dir, tmp_path):
+    """A schema-evolved v1 table (schemas list + current-schema-id
+    pointing past the first entry) must keep its full schema history
+    and current pointer across native commits — the old writer pinned
+    schemas[0] and reset current-schema-id to 0 (ADVICE r5)."""
+    import json
+
+    from glaredb_spark.sources.iceberg_native import (
+        _metadata_path,
+        table_metadata,
+    )
+
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 10), path)
+    mp = _metadata_path(path)
+    meta = json.load(open(mp))
+    cur = dict(meta["schemas"][0])
+    old = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": cur["fields"][:2],  # pre-evolution: n_chars absent
+    }
+    cur = {**cur, "schema-id": 1}
+    meta["schemas"] = [old, cur]
+    meta["schema"] = cur
+    meta["current-schema-id"] = 1
+    meta["properties"] = {"owner": "pipeline"}
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    write_iceberg_native(_docs(spark, sf_dir, 10, 20), path, mode="append")
+    out = table_metadata(path)
+    assert out["current-schema-id"] == 1
+    assert [s["schema-id"] for s in out["schemas"]] == [0, 1]
+    assert [f["name"] for f in out["schema"]["fields"]] == [
+        "doc_id", "lang", "n_chars"
+    ]
+    assert out["properties"] == {"owner": "pipeline"}
+    got = sorted(r["doc_id"]
+                 for r in read_iceberg_native(spark, path).collect())
+    assert got == list(range(20))
