@@ -491,9 +491,16 @@ def _order_block(sf: float, start: int, n: int):
     total = np.where(line_mask, charged, 0).sum(axis=1)
     # statuses
     linestatus_O = ship_off > CURRENTDATE_OFF
+    # dbgen only draws the returnflag pick for lines with receipt <=
+    # CURRENTDATE ("N" lines consume NO draw; build.c's mk_order guards
+    # the pick_str call), so line i's draw index within the order is the
+    # count of PRIOR eligible lines, not i.
+    elig = receipt_off <= CURRENTDATE_OFF
+    rflg_idx = np.cumsum(elig, axis=1) - elig
+    rflg_used = np.take_along_axis(rflg, rflg_idx, axis=1)
     returnflag = np.where(
-        receipt_off <= CURRENTDATE_OFF,
-        np.where(rflg == 0, "R", "A"),
+        elig,
+        np.where(rflg_used == 0, "R", "A"),
         "N",
     )
     n_open = np.where(line_mask, linestatus_O, False).sum(axis=1)
