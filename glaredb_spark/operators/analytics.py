@@ -750,6 +750,64 @@ def iceberg_dml_roundtrip(spark, sf_dir):
 
 
 @register_query(
+    "iceberg_partitioned_dml",
+    oracle="""
+SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id >= 40 THEN n_chars + 5
+              ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE doc_id < 100 AND NOT (doc_id < 40 AND doc_id % 5 = 0)
+)
+GROUP BY lang ORDER BY lang
+""",
+)
+def iceberg_partitioned_dml(spark, sf_dir):
+    """Identity-partitioned native Iceberg DML end-to-end
+    (sources/iceberg_native.py; beyond the read-only reference
+    crates/glaredb_ext_iceberg): create a lang-partitioned v1 table
+    over doc_id < 60 (partition tuples recorded per data file via the
+    shadow-column partitionBy stage), COW-DELETE doc_id % 5 = 0, then
+    MERGE a source of rows 40-99 with n_chars+5 — rows 40-59 still
+    present are matched-updated, deleted 40-59 rows and all 60-99 rows
+    insert. The oracle applies the same algebra to the fixture, so a
+    green row proves partition-aware probe → per-partition rewrite →
+    manifest partition tuples survive the full DML chain."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.files import load_tables
+    from glaredb_spark.sources.iceberg_native import (
+        delete_iceberg_native,
+        merge_iceberg_native,
+        read_iceberg_native,
+        write_iceberg_native,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_ice_pdml_") + "/t"
+    write_iceberg_native(
+        docs.filter("doc_id < 60"), root, partition_by=["lang"]
+    )
+    delete_iceberg_native(spark, root, "doc_id % 5 = 0")
+    source = docs.filter("doc_id >= 40 AND doc_id < 100").selectExpr(
+        "doc_id", "lang", "n_chars + 5 AS n_chars"
+    )
+    merge_iceberg_native(spark, root, source, on=["doc_id"])
+    return (
+        read_iceberg_native(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register_query(
     "iceberg_table_scan",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey

@@ -378,28 +378,37 @@ def _spark_schema(meta: dict) -> str:
 
 # --- native append writer ----------------------------------------------------
 
-_MANIFEST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
-        {
-            "name": "data_file",
-            "type": {
-                "type": "record",
-                "name": "data_file",
-                "fields": [
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                    {"name": "block_size_in_bytes", "type": "long"},
-                ],
-            },
-        },
-    ],
-}
+def _manifest_schema(partition_avro_fields: list[dict] | None = None) -> dict:
+    """Manifest-entry avro schema; partitioned tables add the spec's
+    ``partition`` record (r102) so each data file's partition tuple is
+    recorded per the iceberg spec."""
+    data_fields = [
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+    ]
+    if partition_avro_fields:
+        data_fields.append({
+            "name": "partition",
+            "type": {"type": "record", "name": "r102",
+                     "fields": partition_avro_fields},
+        })
+    data_fields += [
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "block_size_in_bytes", "type": "long"},
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None},
+            {"name": "data_file",
+             "type": {"type": "record", "name": "data_file",
+                      "fields": data_fields}},
+        ],
+    }
 
 _MANIFEST_LIST_SCHEMA = {
     "type": "record",
@@ -460,6 +469,7 @@ def _publish_snapshot(
     operation: str,
     summary: dict,
     carry_forward: list[dict] | None = None,
+    partition_specs: list[dict] | None = None,
 ) -> int:
     """Author and atomically commit one snapshot: a manifest avro for
     ``added``/``existing`` data_file dicts, a manifest list referencing
@@ -499,15 +509,26 @@ def _publish_snapshot(
          "data_file": d}
         for d in existing
     ]
+    spec_src = meta if meta is not None else {
+        "partition-specs": partition_specs or [],
+        "default-spec-id": 0,
+        "schemas": [schema_obj],
+        "current-schema-id": schema_obj.get("schema-id", 0),
+    }
+    pfields = _identity_partition_fields(spec_src)
+    part_avro = _partition_avro_fields(pfields) if pfields else None
+    spec_id = int(spec_src.get("default-spec-id", 0) or 0)
     manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
     manifest_path = os.path.join(mdir, manifest_name)
-    write_avro(manifest_path, _MANIFEST_SCHEMA, entries)
+    write_avro(manifest_path, _manifest_schema(part_avro), entries)
 
     ml_entries = [
         {
             "manifest_path": _resolve(e["manifest_path"], meta, table_path),
             "manifest_length": int(e.get("manifest_length", 0)),
-            "partition_spec_id": 0,
+            "partition_spec_id": int(
+                e.get("partition_spec_id", spec_id) or 0
+            ),
             "added_snapshot_id": e.get("added_snapshot_id"),
         }
         for e in (carry_forward or [])
@@ -516,7 +537,7 @@ def _publish_snapshot(
         {
             "manifest_path": manifest_path,
             "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "added_snapshot_id": snapshot_id,
         }
     )
@@ -565,9 +586,13 @@ def _publish_snapshot(
         "schema": schema_obj,
         "schemas": schemas,
         "current-schema-id": cur_schema_id,
-        "partition-spec": prev.get("partition-spec", []),
+        "partition-spec": prev.get(
+            "partition-spec",
+            (partition_specs or [{"fields": []}])[0]["fields"],
+        ),
         "partition-specs": prev.get(
-            "partition-specs", [{"spec-id": 0, "fields": []}]
+            "partition-specs",
+            partition_specs or [{"spec-id": 0, "fields": []}],
         ),
         "default-spec-id": prev.get("default-spec-id", 0),
         "properties": prev.get("properties", {}),
@@ -587,12 +612,106 @@ def _publish_snapshot(
     return snapshot_id
 
 
-def _stage_data_files(df, table_path: str) -> list[dict]:
+def _identity_partition_fields(meta: dict) -> list[tuple[str, str]]:
+    """Default-spec partition fields as [(column name, iceberg type)].
+    Identity transforms only (the layout the native DML can stage);
+    bucket/truncate/temporal transforms raise — use the connector jar.
+    Empty list = unpartitioned."""
+    specs = meta.get("partition-specs") or [
+        {"spec-id": 0, "fields": meta.get("partition-spec", [])}
+    ]
+    default = next(
+        (s for s in specs
+         if s.get("spec-id", 0) == meta.get("default-spec-id", 0)),
+        specs[0],
+    )
+    fields = default.get("fields") or []
+    if not fields:
+        return []
+    by_id = {}
+    for sc in meta.get("schemas") or [meta.get("schema", {})]:
+        for f in sc.get("fields", []):
+            by_id[f["id"]] = f
+    out = []
+    for pf in fields:
+        tr = pf.get("transform", "identity")
+        if tr == "void":
+            continue
+        if tr != "identity":
+            raise IcebergError(
+                f"native iceberg DML supports identity partition "
+                f"transforms only (found {tr!r}); install the "
+                "iceberg-spark connector jar for transformed partitions"
+            )
+        src = by_id.get(pf.get("source-id"))
+        if src is None:
+            raise IcebergError(
+                f"partition field {pf.get('name')!r} references unknown "
+                f"source-id {pf.get('source-id')}"
+            )
+        t = src["type"] if isinstance(src["type"], str) else "string"
+        out.append((src["name"], t))
+    return out
+
+
+_ICE_PART_AVRO = {
+    "int": "int", "long": "long", "string": "string",
+    "boolean": "boolean", "double": "double", "float": "float",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def _partition_avro_fields(pfields: list[tuple[str, str]]) -> list[dict]:
+    out = []
+    for name, t in pfields:
+        at = _ICE_PART_AVRO.get(t.split("(")[0])
+        if at is None:
+            raise IcebergError(
+                f"native iceberg DML cannot encode partition type {t!r}"
+            )
+        out.append({"name": name, "type": ["null", at], "default": None})
+    return out
+
+
+def _decode_part_value(raw: str, ice_type: str):
+    """Hive directory-name value -> typed iceberg partition value."""
+    import urllib.parse
+
+    v = urllib.parse.unquote(raw)
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    base = ice_type.split("(")[0]
+    if base in ("int", "long"):
+        return int(v)
+    if base == "boolean":
+        return v.lower() == "true"
+    if base in ("float", "double"):
+        return float(v)
+    if base == "date":
+        import datetime
+
+        return (datetime.date.fromisoformat(v)
+                - datetime.date(1970, 1, 1)).days
+    return v
+
+
+def _stage_data_files(
+    df, table_path: str,
+    pfields: list[tuple[str, str]] | None = None,
+) -> list[dict]:
     """Distributed write of ``df`` into a unique per-commit subdirectory
     of data/; returns data_file dicts for exactly the files this write
     created (record counts from parquet footers — no data rescans).
     Commits claim only their own files, so a concurrent writer's
-    in-flight parquet can never be attributed to this snapshot."""
+    in-flight parquet can never be attributed to this snapshot.
+
+    Partitioned tables (identity transforms): iceberg data files carry
+    the partition columns IN the parquet (unlike hive layout), and each
+    file must hold exactly one partition's rows. Both at once via one
+    distributed write: duplicate each partition column as ``_ice_p_i``
+    and ``partitionBy`` on the copies — the originals stay in the file,
+    the copies become the directory names the manifest partition struct
+    is decoded from."""
     import uuid
 
     import pyarrow.parquet as pq
@@ -600,29 +719,52 @@ def _stage_data_files(df, table_path: str) -> list[dict]:
     ddir = os.path.join(table_path, "data")
     sub = "c" + uuid.uuid4().hex[:16]
     cdir = os.path.join(ddir, sub)
-    df.write.mode("append").parquet(cdir)
+    if pfields:
+        from pyspark.sql import functions as F
+
+        staged = df
+        shadow = []
+        for i, (name, _t) in enumerate(pfields):
+            staged = staged.withColumn(f"_ice_p_{i}", F.col(f"`{name}`"))
+            shadow.append(f"_ice_p_{i}")
+        staged.write.mode("append").partitionBy(*shadow).parquet(cdir)
+    else:
+        df.write.mode("append").parquet(cdir)
     out = []
-    for n in sorted(os.listdir(cdir)):
-        full = os.path.join(cdir, n)
-        if not n.endswith(".parquet"):
-            try:
-                os.unlink(full)
-            except OSError:
-                pass
-            continue
-        out.append(
-            {
+    for root, _dirs, files in sorted(os.walk(cdir)):
+        for n in sorted(files):
+            full = os.path.join(root, n)
+            if not n.endswith(".parquet"):
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
+                continue
+            d = {
                 "file_path": full,
                 "file_format": "PARQUET",
                 "record_count": pq.read_metadata(full).num_rows,
                 "file_size_in_bytes": os.path.getsize(full),
                 "block_size_in_bytes": 67108864,
             }
-        )
+            if pfields:
+                rel = os.path.relpath(root, cdir)
+                vals = {}
+                for seg in [s for s in rel.split(os.sep) if s and s != "."]:
+                    key, _, raw = seg.partition("=")
+                    if key.startswith("_ice_p_"):
+                        i = int(key[len("_ice_p_"):])
+                        name, t = pfields[i]
+                        vals[name] = _decode_part_value(raw, t)
+                d["partition"] = vals
+            out.append(d)
     return out
 
 
-def write_iceberg_native(df, table_path: str, mode: str = "append") -> int:
+def write_iceberg_native(
+    df, table_path: str, mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
     """Write ``df`` to an Iceberg v1 table at ``table_path`` (creating
     it if absent) without any connector jar — the writer half of this
     module's native reader (reference: glaredb_ext_iceberg is
@@ -637,8 +779,11 @@ def write_iceberg_native(df, table_path: str, mode: str = "append") -> int:
     previous snapshot's manifests forward; ``mode="overwrite"``
     references only the new files (prior snapshots stay readable via
     ``read_iceberg_native(..., snapshot_id=...)`` time travel).
-    Unpartitioned v1 only; the manifest avro carries the field subset
-    the protocol requires for a data scan (no column stats — readers
+    v1 tables, unpartitioned or identity-partitioned (``partition_by``
+    names identity partition columns when creating a new table; on an
+    existing table the default spec's identity fields apply). The
+    manifest avro carries the field subset the protocol requires for a
+    data scan plus the partition tuple (no column stats — readers
     treat missing stats as unpruned, which is correct, just less of an
     optimization). Returns the new snapshot id."""
     if mode not in ("append", "overwrite"):
@@ -661,11 +806,36 @@ def write_iceberg_native(df, table_path: str, mode: str = "append") -> int:
                 f"schema mismatch: table columns {want}, DataFrame {df.columns}"
             )
 
-    added = _stage_data_files(df, table_path)
     schema_obj = (
         _iceberg_schema(df) if meta is None
         else _current_schema_obj(meta)
     )
+    partition_specs = None
+    if meta is None:
+        fields = []
+        if partition_by:
+            by_name = {f["name"]: f for f in schema_obj["fields"]}
+            for i, col in enumerate(partition_by):
+                if col not in by_name:
+                    raise IcebergError(
+                        f"partition column {col!r} not in schema"
+                    )
+                fields.append({
+                    "name": col, "transform": "identity",
+                    "source-id": by_name[col]["id"],
+                    "field-id": 1000 + i,
+                })
+        partition_specs = [{"spec-id": 0, "fields": fields}]
+        pfields = [(c, by_name[c]["type"]) for c in (partition_by or [])] \
+            if partition_by else []
+    else:
+        if partition_by is not None:
+            raise IcebergError(
+                "partition_by applies only when creating a table; this "
+                "table already has a partition spec"
+            )
+        pfields = _identity_partition_fields(meta)
+    added = _stage_data_files(df, table_path, pfields or None)
     summary = {
         "added-data-files": len(added),
         "added-records": sum(d["record_count"] for d in added),
@@ -683,26 +853,12 @@ def write_iceberg_native(df, table_path: str, mode: str = "append") -> int:
             int(d.get("record_count", 0)) for d in prev
         )
     return _publish_snapshot(
-        table_path, meta, schema_obj, added, [], mode, summary, carry
+        table_path, meta, schema_obj, added, [], mode, summary, carry,
+        partition_specs=partition_specs,
     )
 
 
 # --- copy-on-write DML (beyond the read-only reference) ----------------------
-
-
-def _require_unpartitioned(meta: dict) -> None:
-    specs = meta.get("partition-specs") or [
-        {"fields": meta.get("partition-spec", [])}
-    ]
-    default = next(
-        (s for s in specs if s.get("spec-id", 0) == meta.get("default-spec-id", 0)),
-        specs[0],
-    )
-    if default.get("fields"):
-        raise IcebergError(
-            "native iceberg DML supports unpartitioned tables only; "
-            "install the iceberg-spark connector jar for partitioned DML"
-        )
 
 
 def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
@@ -717,7 +873,7 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
 
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
-    _require_unpartitioned(meta)
+    pfields = _identity_partition_fields(meta)
     snap_id = meta.get("current-snapshot-id")
     active = []
     for e in _manifest_entries(meta, table_path):
@@ -761,7 +917,9 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     hit = [d for d in active if os.path.realpath(d["file_path"]) in touched]
     src = spark.read.parquet(*[d["file_path"] for d in hit])
     pred_col = F.coalesce(F.expr(predicate), F.lit(False))
-    added = _stage_data_files(rewrite(src, pred_col), table_path)
+    added = _stage_data_files(
+        rewrite(src, pred_col), table_path, pfields or None
+    )
     schema_obj = _current_schema_obj(meta)
     _publish_snapshot(
         table_path, meta, schema_obj, added, keep, operation,
@@ -784,7 +942,7 @@ def optimize_iceberg_native(
     (files_removed, files_added)."""
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
-    _require_unpartitioned(meta)
+    pfields = _identity_partition_fields(meta)
     active = []
     for e in _manifest_entries(meta, table_path):
         if _STATUS.get(e.get("status", 0)) == "DELETED":
@@ -801,7 +959,7 @@ def optimize_iceberg_native(
     groups = max(1, (len(active) + max_files_per_group - 1)
                  // max_files_per_group)
     df = spark.read.parquet(*active).coalesce(groups)
-    added = _stage_data_files(df, table_path)
+    added = _stage_data_files(df, table_path, pfields or None)
     schema_obj = _current_schema_obj(meta)
     _publish_snapshot(
         table_path, meta, schema_obj, added, [], "replace",
@@ -835,7 +993,7 @@ def merge_iceberg_native(
 
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
-    _require_unpartitioned(meta)
+    pfields = _identity_partition_fields(meta)
     cols = [
         f["name"]
         for f in _current_schema_obj(meta).get(
@@ -941,7 +1099,7 @@ def merge_iceberg_native(
         out = pieces[0]
         for df in pieces[1:]:
             out = out.unionByName(df)
-        added = _stage_data_files(out, table_path)
+        added = _stage_data_files(out, table_path, pfields or None)
         inserts.unpersist()
     finally:
         src.unpersist()

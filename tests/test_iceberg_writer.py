@@ -292,3 +292,118 @@ def test_publish_preserves_schema_evolution(spark, sf_dir, tmp_path):
     got = sorted(r["doc_id"]
                  for r in read_iceberg_native(spark, path).collect())
     assert got == list(range(20))
+
+
+# --- partitioned-table DML (identity transforms; VERDICT r6 #2) -------------
+
+
+def _part_docs(spark, sf_dir, lo, hi):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def _read_manifest_partitions(path):
+    """Partition tuples recorded in the CURRENT snapshot's manifests."""
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries, table_metadata,
+    )
+
+    meta = table_metadata(path)
+    out = []
+    for e in _manifest_entries(meta, path):
+        if e.get("status", 0) != 2:  # not DELETED
+            out.append(e["data_file"].get("partition"))
+    return out
+
+
+def test_partitioned_create_and_read(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "ice_part")
+    write_iceberg_native(
+        _part_docs(spark, sf_dir, 0, 60), path, partition_by=["lang"]
+    )
+    got = read_iceberg_native(spark, path)
+    assert _collect(got) == _collect(_part_docs(spark, sf_dir, 0, 60))
+    # every data file carries its partition tuple in the manifest
+    parts = _read_manifest_partitions(path)
+    assert parts and all(p and "lang" in p for p in parts)
+    langs = {r["lang"] for r in _part_docs(spark, sf_dir, 0, 60).collect()}
+    assert {p["lang"] for p in parts} == langs
+    # appends honor the existing spec
+    write_iceberg_native(_part_docs(spark, sf_dir, 60, 80), path)
+    got = read_iceberg_native(spark, path)
+    assert _collect(got) == _collect(_part_docs(spark, sf_dir, 0, 80))
+
+
+def test_partitioned_delete_update(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.iceberg_native import (
+        delete_iceberg_native, update_iceberg_native,
+    )
+
+    path = str(tmp_path / "ice_part_dml")
+    src = _part_docs(spark, sf_dir, 0, 60)
+    write_iceberg_native(src, path, partition_by=["lang"])
+    lang0 = src.collect()[0]["lang"]
+    ndel = src.filter(f"lang = '{lang0}' AND doc_id % 2 = 0").count()
+    deleted, _files = delete_iceberg_native(
+        spark, path, f"lang = '{lang0}' AND doc_id % 2 = 0"
+    )
+    assert deleted == ndel > 0
+    got = read_iceberg_native(spark, path)
+    assert _collect(got) == _collect(
+        src.filter(f"NOT (lang = '{lang0}' AND doc_id % 2 = 0)")
+    )
+    # untouched partitions keep their manifest partition tuples
+    parts = _read_manifest_partitions(path)
+    assert all(p and p.get("lang") is not None for p in parts)
+    updated, _files = update_iceberg_native(
+        spark, path, {"n_chars": "n_chars + 1000"}, f"lang = '{lang0}'"
+    )
+    assert updated == src.filter(
+        f"lang = '{lang0}' AND NOT (doc_id % 2 = 0)"
+    ).count()
+    got2 = read_iceberg_native(spark, path)
+    bumped = [r for r in got2.collect() if r["lang"] == lang0]
+    assert bumped and all(r["n_chars"] >= 1000 for r in bumped)
+
+
+def test_partitioned_merge_and_optimize(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.iceberg_native import (
+        merge_iceberg_native, optimize_iceberg_native,
+    )
+
+    path = str(tmp_path / "ice_part_merge")
+    write_iceberg_native(
+        _part_docs(spark, sf_dir, 0, 40), path, partition_by=["lang"]
+    )
+    source = _part_docs(spark, sf_dir, 20, 50)
+    upd, ins, _f = merge_iceberg_native(
+        spark, path, source, on=["doc_id"],
+        when_matched_update={"n_chars": "s.n_chars + 7"},
+    )
+    assert upd == 20 and ins == 10
+    got = read_iceberg_native(spark, path)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert len(rows) == 50
+    src_chars = {
+        r["doc_id"]: r["n_chars"] for r in source.collect()
+    }
+    for d in range(20, 40):
+        assert rows[d]["n_chars"] == src_chars[d] + 7
+    removed, added = optimize_iceberg_native(spark, path)
+    assert removed >= 2 and added >= 1
+    got2 = read_iceberg_native(spark, path)
+    assert _collect(got2) == _collect(got)
+    parts = _read_manifest_partitions(path)
+    assert parts and all(p and p.get("lang") is not None for p in parts)
+
+
+def test_partition_by_on_existing_table_rejected(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "ice_part_err")
+    write_iceberg_native(_part_docs(spark, sf_dir, 0, 10), path)
+    with pytest.raises(IcebergError, match="partition_by applies only"):
+        write_iceberg_native(
+            _part_docs(spark, sf_dir, 10, 20), path, partition_by=["lang"]
+        )
