@@ -43,6 +43,8 @@ import os
 import re
 from dataclasses import dataclass, field
 
+import numpy as np
+
 _SET_RE = re.compile(r"^\s*SET\s+\w+\s+TO\s+", re.IGNORECASE)
 # engine-internal session vars: SET x TO v / RESET x / SHOW x — skipped as
 # a family (catalog SHOW DATABASES/SCHEMAS/TABLES/... still execute)
@@ -797,7 +799,69 @@ def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
 
         sql = re.sub(r"'([^':]+\.(?:parquet|csv|tsv|txt))'", _rel_any, sql)
         sql = _redirect_parquet_testing(sql)
+        sql = _redirect_tpch_small_lineitem(sql)
     return _rewrite_order_by(sql)
+
+
+def _redirect_tpch_small_lineitem(sql: str) -> str:
+    """testdata/csv/tpch_small ships 7 of the 8 tables — lineitem.csv is
+    absent from the reference checkout, but its slt
+    (csv/tpch_small/lineitem.slt) goldens real values. The dbgen engine
+    reproduces that lineage bit-exactly (tests/test_dbgen_exact.py), so
+    the missing CSV is regenerated once into the cache and the path
+    redirected. A real checkout of the file wins."""
+    needle = "testdata/csv/tpch_small/lineitem.csv"
+    if needle not in sql:
+        return sql
+    ref = "/root/reference/testdata/csv/tpch_small/lineitem.csv"
+    if os.path.exists(ref):
+        return sql
+    path = _ensure_tpch_small_lineitem_csv()
+    return re.sub(r"'[^']*testdata/csv/tpch_small/lineitem\.csv'",
+                  f"'{path}'", sql)
+
+
+def _ensure_tpch_small_lineitem_csv() -> str:
+    from glaredb_spark.sources.dbgen import gen_lineitem
+    from glaredb_spark.sources.dbgen_text import (
+        POOL_SIZE_SMALL,
+        _pool_fingerprint,
+    )
+
+    cache = os.environ.get(
+        "GLAREDB_SPARK_CACHE", os.path.join("/tmp", "glaredb_spark_cache")
+    )
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(
+        cache,
+        f"tpch_small_lineitem_{_pool_fingerprint(POOL_SIZE_SMALL)}.csv",
+    )
+    if os.path.exists(path):
+        return path
+    import csv as _csv
+
+    frame = gen_lineitem(0.01, pool_size=POOL_SIZE_SMALL)
+    money = {"l_extendedprice_cents", "l_discount_cents", "l_tax_cents"}
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow([c.replace("_cents", "") for c in frame.columns])
+        cols = []
+        for c in frame.columns:
+            arr = frame[c].to_numpy()
+            if c in money:
+                cols.append([f"{v // 100}.{v % 100:02d}" for v in arr])
+            elif c == "l_quantity":
+                cols.append([f"{v}.00" for v in arr])
+            elif arr.dtype.kind == "M":
+                cols.append(
+                    list(np.datetime_as_string(arr.astype("datetime64[D]")))
+                )
+            else:
+                cols.append(list(arr))
+        w.writerows(zip(*cols))
+    os.replace(tmp, path)
+    return path
 
 
 _PT_REF_RE = re.compile(r"/root/reference/slt/\.\./submodules/parquet-testing/")
@@ -1014,24 +1078,72 @@ class SltResult:
 
 
 def _register_tpch_spec_views(sess) -> None:
-    """tpchbench suite setup: the reference harness preloads full-schema
-    TPC-H tables before running; we register the distributed generator's
-    tables (sources/tpchgen.py — exact spec schemas) at a tiny SF.
-    DESCRIBE goldens never execute the generators; the q01-q22 value
-    records stay excluded (they golden dbgen's seeded RNG output)."""
+    """tpchbench suite setup: the reference harness preloads SF0.1
+    TPC-H parquet before running (test_bin/integration_slt.rs:451 reads
+    ../submodules/testdata/tpch_sf0.1/*.parquet — a submodule absent
+    here). The distributed generator (sources/tpchgen.py) is bit-exact
+    vs dbgen (tests/test_dbgen_exact.py), so we materialize the same
+    dataset once into a fingerprint-keyed parquet cache and register
+    views over it; the q01-q22 value goldens then reproduce exactly."""
+    base = _tpchbench_dataset(sess)
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "partsupp", "orders", "lineitem"):
+        sess.spark.read.parquet(
+            os.path.join(base, f"{name}.parquet")
+        ).createOrReplaceTempView(name)
+
+
+def _tpchbench_dataset(sess) -> str:
+    """Materialize the generator's SF0.1 tables to cached parquet
+    (one-time ~30 s; keyed by the text-pool fingerprint so a generator
+    fix rebuilds). The tpchbench parquet comes from the 10 MiB-pool
+    dbgen lineage (its q10/q13 text goldens prove it; the live tpch_gen
+    TVFs keep the 300 MiB crate pool per region.slt).
+    l_quantity is written DECIMAL(15,2) to match the
+    tpchbench parquet schema (q01's DESCRIBE golden sums to
+    Decimal128(38,2); tpch_gen's own describe golden keeps Int64)."""
     from pyspark.sql import functions as F
 
-    from glaredb_spark.sources.tpchgen import TABLES, gen_table
+    from glaredb_spark.sources.dbgen_text import (
+        POOL_SIZE_SMALL,
+        _pool_fingerprint,
+    )
+    from glaredb_spark.sources.tpchgen import gen_table
 
-    for name in TABLES:
-        df = gen_table(sess.spark, name, 0.001)
+    cache = os.environ.get(
+        "GLAREDB_SPARK_CACHE", os.path.join("/tmp", "glaredb_spark_cache")
+    )
+    base = os.path.join(
+        cache, f"tpch_sf01_{_pool_fingerprint(POOL_SIZE_SMALL)}"
+    )
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker):
+        return base
+    tmp = f"{base}.tmp.{os.getpid()}"
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "partsupp", "orders", "lineitem"):
+        df = gen_table(sess.spark, name, 0.1, pool_size=POOL_SIZE_SMALL)
         if name == "lineitem":
-            # tpchbench parquet models quantity as DECIMAL(15,2)
-            # (tpch_gen's own describe golden keeps the crate's Int64)
             df = df.withColumn(
                 "l_quantity", F.col("l_quantity").cast("decimal(15,2)")
             )
-        df.createOrReplaceTempView(name)
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"{name}.parquet")
+        )
+    open(os.path.join(tmp, "_COMPLETE"), "w").close()
+    import shutil
+
+    try:
+        os.replace(tmp, base)
+    except OSError:
+        if os.path.exists(marker):
+            # lost a race to a concurrent builder; theirs is complete
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # stale partial dir from an interrupted build — evict it
+            shutil.rmtree(base, ignore_errors=True)
+            os.replace(tmp, base)
+    return base
 
 
 def _register_tpcds_views(sess) -> None:

@@ -17,12 +17,14 @@ by airlift/tpch and tpchgen-rs):
   (double math, matching C's rounding);
 - weighted string distributions picked by cumulative weight;
 - V_STR alphanumerics: one draw per 5 characters, 6 bits per char;
-- text columns: substrings of the 300 MB grammar text pool
-  (built in dbgen_text.py, cached on disk).
+- text columns: substrings of the grammar text pool
+  (built in dbgen_pool.py / dbgen_text.py, cached on disk).
 
 Bit-exactness is proven in tests/test_dbgen_exact.py against the
 reference's checked-in dbgen SF0.01 output
-(testdata/csv/tpch_small/*.csv) and the slt/tpchbench golden results.
+(testdata/csv/tpch_small/*.csv) — every cell of every table, text
+columns included — and cross-checked against an independent dbgen
+implementation (DuckDB's tpch extension) at SF 0.1.
 
 Everything here is vectorized numpy — no Python-level per-row work —
 so a 600k-row SF0.1 table builds in well under a second per partition.
@@ -108,6 +110,12 @@ BASE = {
 STARTDATE = np.datetime64("1992-01-01")
 CURRENTDATE_OFF = 1263  # 1995-06-17 - 1992-01-01 in days
 ODATE_SPAN = 2406  # orderdate in STARTDATE + [0, 2405]
+
+
+def _pk(pool_size: int | None) -> dict:
+    """kwargs for the text helpers: explicit pool size or their default
+    (POOL_SIZE_FULL — the reference's tpchgen-crate lineage)."""
+    return {} if pool_size is None else {"pool_size": pool_size}
 
 
 def _rows(table: str, sf: float) -> int:
@@ -281,7 +289,8 @@ def _dates_from_offsets(offsets: np.ndarray) -> np.ndarray:
 # --- table builders (pandas frames over a row range) ------------------------
 
 
-def gen_part(sf: float, start: int = 0, count: int | None = None):
+def gen_part(sf: float, start: int = 0, count: int | None = None,
+            pool_size: int | None = None):
     import pandas as pd
 
     n_total = _rows("part", sf)
@@ -295,7 +304,7 @@ def gen_part(sf: float, start: int = 0, count: int | None = None):
     cntr = pick(Stream("P_CNTR", start, n), P_CNTRS)
     from glaredb_spark.sources.dbgen_text import text_column
 
-    comment = text_column(Stream("P_CMNT", start, n), 14)
+    comment = text_column(Stream("P_CMNT", start, n), 14, **_pk(pool_size))
     return pd.DataFrame(
         {
             "p_partkey": pk,
@@ -311,7 +320,8 @@ def gen_part(sf: float, start: int = 0, count: int | None = None):
     )
 
 
-def gen_supplier(sf: float, start: int = 0, count: int | None = None):
+def gen_supplier(sf: float, start: int = 0, count: int | None = None,
+            pool_size: int | None = None):
     import pandas as pd
 
     n_total = _rows("supplier", sf)
@@ -323,7 +333,7 @@ def gen_supplier(sf: float, start: int = 0, count: int | None = None):
     bal = Stream("S_ABAL", start, n).draw(-99999, 999999)
     from glaredb_spark.sources.dbgen_text import text_column
 
-    comment = text_column(Stream("S_CMNT", start, n), 63)
+    comment = text_column(Stream("S_CMNT", start, n), 63, **_pk(pool_size))
     comment = _bbb_inject(comment, start, n)
     return pd.DataFrame(
         {
@@ -375,7 +385,8 @@ def _bbb_inject(comments: np.ndarray, start: int, n: int) -> np.ndarray:
     return out
 
 
-def gen_customer(sf: float, start: int = 0, count: int | None = None):
+def gen_customer(sf: float, start: int = 0, count: int | None = None,
+            pool_size: int | None = None):
     import pandas as pd
 
     n_total = _rows("customer", sf)
@@ -388,7 +399,7 @@ def gen_customer(sf: float, start: int = 0, count: int | None = None):
     seg = pick(Stream("C_MSEG", start, n), SEGMENTS)
     from glaredb_spark.sources.dbgen_text import text_column
 
-    comment = text_column(Stream("C_CMNT", start, n), 73)
+    comment = text_column(Stream("C_CMNT", start, n), 73, **_pk(pool_size))
     return pd.DataFrame(
         {
             "c_custkey": ck,
@@ -405,7 +416,63 @@ def gen_customer(sf: float, start: int = 0, count: int | None = None):
     )
 
 
-def gen_partsupp(sf: float, start: int = 0, count: int | None = None):
+NATION_ROWS = [
+    (0, "ALGERIA", 0), (1, "ARGENTINA", 1), (2, "BRAZIL", 1),
+    (3, "CANADA", 1), (4, "EGYPT", 4), (5, "ETHIOPIA", 0),
+    (6, "FRANCE", 3), (7, "GERMANY", 3), (8, "INDIA", 2),
+    (9, "INDONESIA", 2), (10, "IRAN", 4), (11, "IRAQ", 4),
+    (12, "JAPAN", 2), (13, "JORDAN", 4), (14, "KENYA", 0),
+    (15, "MOROCCO", 0), (16, "MOZAMBIQUE", 0), (17, "PERU", 1),
+    (18, "CHINA", 2), (19, "ROMANIA", 3), (20, "SAUDI ARABIA", 4),
+    (21, "VIETNAM", 2), (22, "RUSSIA", 3), (23, "UNITED KINGDOM", 3),
+    (24, "UNITED STATES", 1),
+]
+
+REGION_ROWS = [
+    (0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+    (4, "MIDDLE EAST"),
+]
+
+
+def gen_nation(sf: float = 1.0, start: int = 0, count: int | None = None,
+           pool_size: int | None = None):
+    """The 25 constant nation rows; comments from the text pool
+    (N_CMNT stream, avg 72) — identical at every SF."""
+    import pandas as pd
+
+    from glaredb_spark.sources.dbgen_text import text_column
+
+    comment = text_column(Stream("N_CMNT", 0, 25), 72, **_pk(pool_size))
+    return pd.DataFrame(
+        {
+            "n_nationkey": np.array([r[0] for r in NATION_ROWS], np.int32),
+            "n_name": np.array([r[1] for r in NATION_ROWS], object),
+            "n_regionkey": np.array([r[2] for r in NATION_ROWS], np.int32),
+            "n_comment": comment,
+        }
+    )
+
+
+def gen_region(sf: float = 1.0, start: int = 0, count: int | None = None,
+           pool_size: int | None = None):
+    """The 5 constant region rows; comments from the text pool
+    (R_CMNT stream, avg 72)."""
+    import pandas as pd
+
+    from glaredb_spark.sources.dbgen_text import text_column
+
+    comment = text_column(Stream("R_CMNT", 0, 5), 72, **_pk(pool_size))
+    return pd.DataFrame(
+        {
+            "r_regionkey": np.array([r[0] for r in REGION_ROWS], np.int32),
+            "r_name": np.array([r[1] for r in REGION_ROWS], object),
+            "r_comment": comment,
+        }
+    )
+
+
+def gen_partsupp(sf: float, start: int = 0, count: int | None = None,
+            pool_size: int | None = None):
     """Partsupp rows for PART rows [start, start+count): 4 suppliers per
     part, streams advance 4 (or 8 for comments) per part row."""
     import pandas as pd
@@ -419,7 +486,7 @@ def gen_partsupp(sf: float, start: int = 0, count: int | None = None):
     from glaredb_spark.sources.dbgen_text import text_columns_interleaved
 
     comments = text_columns_interleaved(
-        Stream("PS_CMNT", start, n), 124, 4
+        Stream("PS_CMNT", start, n), 124, 4, **_pk(pool_size)
     )
     frames = {"ps_partkey": [], "ps_suppkey": [], "ps_availqty": [],
               "ps_supplycost_cents": [], "ps_comment": []}
@@ -528,7 +595,8 @@ def _seven(stream: Stream, low: int, high: int) -> np.ndarray:
     return out
 
 
-def gen_orders(sf: float, start: int = 0, count: int | None = None):
+def gen_orders(sf: float, start: int = 0, count: int | None = None,
+            pool_size: int | None = None):
     import pandas as pd
 
     n_total = _rows("orders", sf)
@@ -536,7 +604,7 @@ def gen_orders(sf: float, start: int = 0, count: int | None = None):
     b = _order_block(sf, start, n)
     from glaredb_spark.sources.dbgen_text import text_column
 
-    comment = text_column(Stream("O_CMNT", start, n), 49)
+    comment = text_column(Stream("O_CMNT", start, n), 49, **_pk(pool_size))
     return pd.DataFrame(
         {
             "o_orderkey": b["okey"],
@@ -554,7 +622,8 @@ def gen_orders(sf: float, start: int = 0, count: int | None = None):
     )
 
 
-def gen_lineitem(sf: float, start: int = 0, count: int | None = None):
+def gen_lineitem(sf: float, start: int = 0, count: int | None = None,
+            pool_size: int | None = None):
     """Lineitem rows for ORDER rows [start, start+count)."""
     import pandas as pd
 
@@ -563,7 +632,8 @@ def gen_lineitem(sf: float, start: int = 0, count: int | None = None):
     b = _order_block(sf, start, n)
     from glaredb_spark.sources.dbgen_text import text_columns_interleaved
 
-    comments = text_columns_interleaved(Stream("L_CMNT", start, n), 27, 7)
+    comments = text_columns_interleaved(Stream("L_CMNT", start, n), 27, 7,
+                                        **_pk(pool_size))
     mask = b["line_mask"]
     rows, lines = np.nonzero(mask)
     return pd.DataFrame(

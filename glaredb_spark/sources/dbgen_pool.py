@@ -1,16 +1,18 @@
-"""Build dbgen's 300 MB pseudo-text pool (TPC-H spec §4.2.2.13).
+"""Build dbgen's pseudo-text pool (TPC-H spec §4.2.2.13).
 
 One Lehmer LCG stream (seed 933588178) drives every choice: sentence
 pattern, phrase patterns, and word picks — one draw per choice, chosen
 by cumulative weight over the dists.dss lists in dbgen_dists.py.
 Sentences are emitted space-separated ("... requests. carefully ...")
-until the pool reaches 300 MB, then truncated to exactly that size.
+until the pool reaches POOL_SIZE, then truncated to exactly that size
+(10 MiB — the size used by the generator lineage behind the reference
+goldens; TPC's original dbgen uses 300 MiB, same walk truncated later).
 
 The LCG sequence itself is precomputed in vectorized chunks
 (s_n = s0 * 16807^n mod 2^31-1 via square-and-multiply on index
 arrays), so the Python-level work is only the data-dependent grammar
-walk. Building takes ~1 minute one-time; dbgen_text.py caches the
-result on disk.
+walk. Building takes ~2 s one-time; dbgen_text.py caches the result
+on disk keyed by a fingerprint of the dists + builder source.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from glaredb_spark.sources import dbgen_dists as D
 M = 2147483647
 G = 16807
 POOL_SEED = 933588178
-POOL_SIZE = 300 * 1024 * 1024
+POOL_SIZE = 10 * 1024 * 1024
 
 _CHUNK = 4_000_000
 

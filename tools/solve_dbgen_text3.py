@@ -296,28 +296,33 @@ def solve_category(pairs):
     return None, order
 
 
+BPD = 6.333  # mean bytes per draw of the walk; only window sizing
+
+
 def run_pass(R, iv, slack, segs, parsed):
-    bpd = 6.3
-    anchors = []  # (p, n) accepted anchor points
     anchor_n, anchor_p = 0.0, 0
-    anchor_exact = False
     exact = defaultdict(list)
     n_acc = n_rej = 0
     for (seg_off, seg_text), sents in zip(segs, parsed):
         if not sents:
             continue
-        gap = seg_off + sents[0][0] - anchor_p
-        est = anchor_n + gap / bpd
-        spread = max(10, int(gap / bpd * 0.22))
-        if not anchor_exact:
-            spread = max(spread, 80)
+        gap_bytes = seg_off + sents[0][0] - anchor_p
+        gap_draws = max(1.0, gap_bytes / BPD)
+        est = anchor_n + gap_draws
+        # word-length variance ~= 0.48 relative sigma/draw -> window
+        # grows with sqrt(gap); 4-sigma + slop
+        spread = int(4 * 0.48 * (gap_draws ** 0.5)) + 10
         n_lo = max(0, int(est) - spread)
         n_hi = min(N_DRAWS - 80, int(est) + spread)
         chain = locate_chain(R, iv, slack, n_lo, n_hi, sents)
+        # trust gates: multi-sentence chain, or a single long sentence
+        if chain and not (
+            len(chain) >= 2
+            or (len(sents) == 1 and len(chain[0][0]) >= 12)
+        ):
+            chain = None
         if not chain:
             n_rej += 1
-            # soft-advance the anchor so the window doesn't balloon
-            anchor_exact = False
             continue
         n_acc += len(chain)
         for tpl, n in chain:
@@ -325,18 +330,23 @@ def run_pass(R, iv, slack, segs, parsed):
                 exact[cat].append((R[n + k], val))
         last_tpl, last_n = chain[-1]
         idx = len(chain) - 1
-        new_n = last_n + len(last_tpl)
-        new_p = seg_off + sents[idx][1] + 1
-        if anchors and new_p - anchors[-1][0] > 0:
-            pass
-        anchors.append((new_p, new_n))
-        if len(anchors) >= 2:
-            p0, nn0 = anchors[max(0, len(anchors) - 60)]
-            p1, nn1 = anchors[-1]
-            if nn1 > nn0:
-                bpd = (p1 - p0) / (nn1 - nn0)
-        anchor_n, anchor_p, anchor_exact = new_n, new_p, True
-    return exact, n_acc, n_rej, bpd
+        anchor_n = last_n + len(last_tpl)
+        anchor_p = seg_off + sents[idx][1] + 1
+    return exact, n_acc, n_rej, BPD
+
+
+def densest_cluster(rs, max_gap=0.012):
+    """Longest run of sorted ratios whose consecutive gaps stay under
+    ``max_gap``; (lo, hi, coverage_fraction)."""
+    rs = sorted(rs)
+    best = (rs[0], rs[0], 1)
+    s = 0
+    for i in range(1, len(rs) + 1):
+        if i == len(rs) or rs[i] - rs[i - 1] > max_gap:
+            if i - s > best[2]:
+                best = (rs[s], rs[i - 1], i - s)
+            s = i
+    return best[0], best[1], best[2] / len(rs)
 
 
 def refine_intervals(exact, slack):
@@ -352,19 +362,10 @@ def refine_intervals(exact, slack):
             per.setdefault(v, []).append(r)
         rob = {}
         for v, rs_ in per.items():
-            rs_ = sorted(rs_)
-            k = max(0, int(len(rs_) * 0.04) - (0 if len(rs_) >= 8 else 0))
-            if len(rs_) >= 8:
-                rob[v] = (rs_[k], rs_[len(rs_) - 1 - k])
-            elif len(rs_) >= 3:
-                rob[v] = (rs_[1], rs_[-2]) if len(rs_) >= 5 else \
-                    (rs_[0], rs_[-1])
-            else:
-                rob[v] = (rs_[0], rs_[-1])
-        # order values: observed medians must respect table order mostly;
-        # order by observed median, falling back to table position
-        med = {v: float(np.median(per[v])) for v in per}
-        obs_sorted = sorted(per, key=lambda v: med[v])
+            lo, hi, cov = densest_cluster(rs_)
+            if cov >= 0.6:
+                rob[v] = (lo, hi)
+        obs_sorted = sorted(rob, key=lambda v: (rob[v][0] + rob[v][1]) / 2)
         # boundaries between consecutive observed values
         cuts = [0.0]
         for a, b in zip(obs_sorted, obs_sorted[1:]):
