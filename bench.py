@@ -35,6 +35,60 @@ HEADLINE = [
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def prior_best_total(here: str, sf: float) -> "float | None":
+    """Best (lowest) prior committed headline total at this SF.
+
+    Sources, in order of reliability (VERDICT r7 #1 — the old reader
+    expected bench.py's own schema inside BENCH_r*.json, but those files
+    are DRIVER wrappers `{"n","rc","cpus","sf","tail","parsed"}`, so the
+    guard never fired):
+
+    - BENCH_HISTORY.jsonl — written by this script after every run
+      (primary; survives any driver-side truncation).
+    - BENCH_r*.json `parsed` — the driver's parse of our stdout JSON
+      (works r1–r6; r7's line outgrew the driver's 2000-byte tail, which
+      is why the printed line is now kept compact).
+    - top-level "value" — a file in bench.py's own schema (local runs
+      redirected to a file).
+    """
+    import glob
+
+    prev_best = None
+
+    def consider(rec) -> None:
+        nonlocal prev_best
+        if not isinstance(rec, dict):
+            return
+        try:
+            if abs(float(rec.get("sf", -2)) - sf) < 1e-9:
+                v = float(rec["value"])
+                prev_best = v if prev_best is None else min(prev_best, v)
+        except (KeyError, TypeError, ValueError):
+            return
+
+    hist = os.path.join(here, "BENCH_HISTORY.jsonl")
+    if os.path.exists(hist):
+        try:
+            with open(hist) as fh:
+                for line in fh:
+                    if line.strip():
+                        try:
+                            consider(json.loads(line))
+                        except ValueError:
+                            continue
+        except OSError:
+            pass
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (ValueError, OSError):
+            continue
+        consider(prev.get("parsed") if isinstance(prev, dict) else None)
+        consider(prev)
+    return prev_best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -94,18 +148,8 @@ def main() -> None:
     # this run's total regresses >15% vs the best prior committed BENCH
     # at the same SF, re-run every query once and keep per-query minima —
     # real regressions survive a re-run, contention usually doesn't.
-    import glob
-    prev_best = None
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        try:
-            with open(path) as fh:
-                prev = json.load(fh)
-            if abs(prev.get("sf", -2) - sf) < 1e-9 and "value" in prev:
-                v = float(prev["value"])
-                prev_best = v if prev_best is None else min(prev_best, v)
-        except (ValueError, OSError):
-            continue
+    prev_best = prior_best_total(here, sf)
     rerun_performed = False
     if prev_best is not None and total > 1.15 * prev_best:
         rerun_performed = True
@@ -151,31 +195,62 @@ def main() -> None:
         for n in timings
         if (medians[n] - timings[n]) / max(timings[n], 1e-9) > 0.25
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_min_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "queries_spread": spreads,
-                "median_total": round(sum(medians.values()), 4),
-                "noisy_queries": noisy,
-                "contended_run": len(noisy) >= max(3, len(HEADLINE) // 4),
-                "prev_round_best": prev_best,
-                "regression_rerun": rerun_performed,
-                "scale_sweep": scale,
-                "sf": sf,
-                "config": {
-                    "master": spark.sparkContext.master,
-                    "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-                    "runs": RUNS,
-                },
-            }
-        )
+    # The driver captures only the last ~2000 bytes of stdout and parses
+    # the JSON line out of it (BENCH_r07.json: parsed=null because r7's
+    # line outgrew that window, losing "value" entirely). Keep the printed
+    # line COMPACT — headline numbers only — and write the full detail to
+    # BENCH_DETAIL.json + an append-only BENCH_HISTORY.jsonl beside it.
+    summary = {
+        "metric": "headline_queries_total_min_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "median_total": round(sum(medians.values()), 4),
+        "contended_run": len(noisy) >= max(3, len(HEADLINE) // 4),
+        "prev_round_best": prev_best,
+        "regression_rerun": rerun_performed,
+        "scale_ratio": {
+            n: v["ratio_vs_sf0.1"] for n, v in scale.items()
+        },
+        "sf": sf,
+    }
+    detail = dict(
+        summary,
+        queries_median=medians,
+        queries_spread=spreads,
+        noisy_queries=noisy,
+        scale_sweep=scale,
+        config={
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            "runs": RUNS,
+        },
     )
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "value": total,
+                        "median_total": summary["median_total"],
+                        "sf": sf,
+                        "queries": timings,
+                        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass  # read-only checkout: the printed line still carries the result
+    line = json.dumps(summary)
+    if len(line) > 1900:  # stay inside the driver's tail window
+        summary.pop("scale_ratio", None)
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

@@ -253,10 +253,12 @@ def _is_int_expr(expr: str, resolver: Resolver | None) -> bool | None:
     return None
 
 
-def _split_arith_terms(e: str) -> list[str]:
+def _split_arith_terms(e: str, ops: list[str] | None = None) -> list[str]:
     """Split a (paren-balanced) expression at top-level + - * / % div ops;
     returns the operand pieces. Binary-minus vs unary-minus: a '-' directly
-    after another operator or at the start is unary and stays attached."""
+    after another operator or at the start is unary and stays attached.
+    When ``ops`` is given, the operator symbols are appended to it in
+    order (used by the decimal classifier to spot division in a chain)."""
     parts, buf, depth, i, n = [], [], 0, 0, len(e)
     prev_operand = False  # saw an operand since last operator
     while i < n:
@@ -283,12 +285,16 @@ def _split_arith_terms(e: str) -> list[str]:
                 parts.append("".join(buf))
                 buf = []
                 prev_operand = False
+                if ops is not None:
+                    ops.append(ch)
                 i += 1
                 continue
             if ch in "*/%":
                 parts.append("".join(buf))
                 buf = []
                 prev_operand = False
+                if ops is not None:
+                    ops.append(ch)
                 i += 1
                 continue
             word = re.match(r"[Dd][Ii][Vv]\b", e[i:])
@@ -296,6 +302,8 @@ def _split_arith_terms(e: str) -> list[str]:
                 parts.append("".join(buf))
                 buf = []
                 prev_operand = False
+                if ops is not None:
+                    ops.append("div")
                 i += 3
                 continue
         if not ch.isspace():
@@ -482,6 +490,383 @@ def rewrite_int_division(sql: str, resolver: Resolver | None = None) -> str:
     return out
 
 
+# --- decimal / division -> float64 (reference div.rs) --------------------
+
+# The reference's `/` on decimals casts BOTH sides to float64 and divides
+# (functions/scalar/builtin/arith/div.rs:122-135 DivDecimal, "Current
+# implementation just casts both side to float64"), so decimal÷decimal is
+# Float64-typed and keeps float precision (tpchbench q08 mkt_share:
+# 0.018250279107962147). Spark's decimal division stays DECIMAL with a
+# bounded result scale, silently losing that precision. The classifier
+# below statically types expressions as 'dec' | 'int' | 'no' (provably
+# something else) | None (unknown) and rewrites provable decimal `/`
+# sites to explicit double division. Unknown sites are left untouched —
+# conservative, same policy as the int-division rewrite above.
+
+ClassResolver = Callable[[str], "str | None"]
+
+_DEC_TYPE_WORDS = {"decimal", "numeric", "dec"}
+_FLOAT_TYPE_WORDS = {"double", "float", "real", "float4", "float8"}
+_CASE_RE = re.compile(r"^case\b.*\bend$", re.IGNORECASE | re.DOTALL)
+
+
+def _strip_outer_parens(e: str) -> str:
+    e = e.strip()
+    while e.startswith("(") and e.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(e):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(e) - 1:
+                    return e
+        e = e[1:-1].strip()
+    return e
+
+
+def _combine_classes(classes: list["str | None"]) -> "str | None":
+    if any(c is None for c in classes):
+        return None
+    if any(c == "no" for c in classes):
+        return "no"
+    return "dec" if "dec" in classes else "int"
+
+
+def _case_branch_exprs(e: str) -> "list[str] | None":
+    """THEN/ELSE result expressions of a top-level CASE ... END (nested
+    CASEs stay inside their branch text and recurse via _dec_class)."""
+    body = e[4:-3]  # strip CASE / END (caller matched _CASE_RE)
+    spans = _find_literal_spans(body)
+    kw = re.compile(r"\b(case|end|when|then|else)\b", re.IGNORECASE)
+    out, nest = [], 0
+    collecting_from: "int | None" = None
+    events = [
+        m for m in kw.finditer(body) if not _in_spans(m.start(), spans)
+    ]
+    # paren depth must be tracked across the whole body
+    depth_at: dict[int, int] = {}
+    d = 0
+    for i, ch in enumerate(body):
+        if _in_spans(i, spans):
+            continue
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        depth_at[i] = d
+    for m in events:
+        if depth_at.get(m.start(), 0) != 0:
+            continue
+        word = m.group(1).lower()
+        if word == "case":
+            nest += 1
+            continue
+        if word == "end":
+            if nest:
+                nest -= 1
+            continue
+        if nest:
+            continue
+        if collecting_from is not None:
+            out.append(body[collecting_from : m.start()].strip())
+            collecting_from = None
+        if word in ("then", "else"):
+            collecting_from = m.end()
+    if collecting_from is not None:
+        out.append(body[collecting_from:].strip())
+    return [x for x in out if x] or None
+
+
+_COLON_CAST_RE = re.compile(
+    r"^(.*)::\s*([A-Za-z_]\w*)\s*(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s*$",
+    re.DOTALL,
+)
+
+# reference returns Float64 for these regardless of input (avg.rs floats
+# decimal averages; the SLT describe tolerance documents the same)
+_ALWAYS_FLOAT_FNS = {"avg", "mean"}
+# forced to DECIMAL(18,3) by misc_binder.rewrite_datepart_decimal
+# (date_part.rs:77-79)
+_ALWAYS_DEC_FNS = {"extract", "date_part"}
+
+
+def _cast_target_class(type_word: str) -> "str | None":
+    t = type_word.lower()
+    if t in _INT_TYPE_NAMES:
+        return "int"
+    if t in _DEC_TYPE_WORDS:
+        return "dec"
+    return "no"  # float/text/date/... — provably not decimal or int
+
+
+def _dec_class(expr: str, resolver: "ClassResolver | None") -> "str | None":
+    """'dec' (provably decimal-typed under reference rules), 'int'
+    (provably integral), 'no' (provably neither), None (unknown)."""
+    e = _strip_outer_parens(expr)
+    if not e:
+        return None
+    if _INT_LIT.match(e):
+        return "int"
+    if _NUM_LIT.match(e):
+        # 1.5 parses as a decimal literal in both engines; an exponent
+        # makes it float
+        return "no" if ("e" in e or "E" in e) else "dec"
+    if e.startswith("'") or e.startswith('"'):
+        return "no"
+    if e[0] in "+-":
+        return _dec_class(e[1:], resolver)
+    ops: list[str] = []
+    parts = _split_arith_terms(e, ops)
+    if len(parts) > 1:
+        classes = [_dec_class(p, resolver) for p in parts]
+        if any(op in ("/", "%") for op in ops):
+            c = _combine_classes(classes)
+            if c == "dec":
+                # decimal involved in division → reference result is
+                # Float64 (div.rs DivDecimal) — and after this module's
+                # own site rewrite Spark agrees
+                return "no"
+            return c  # all-int chains keep int semantics; else no/None
+        return _combine_classes(classes)
+    if _CASE_RE.match(e):
+        branches = _case_branch_exprs(e)
+        if branches is None:
+            return None
+        classes = [
+            None if b.lower() == "null" else _dec_class(b, resolver)
+            for b in branches
+        ]
+        # a NULL branch carries no type of its own
+        classes = [c for c, b in zip(classes, branches)
+                   if b.lower() != "null"] or [None]
+        return _combine_classes(classes)
+    cast = _CAST_RE.match(e)
+    if cast:
+        return _cast_target_class(cast.group(2))
+    colon = _COLON_CAST_RE.match(e)
+    if colon and "::" in e:
+        return _cast_target_class(colon.group(2))
+    call = re.match(r"^([A-Za-z_][\w.]*)\s*\((.*)\)$", e, re.DOTALL)
+    if call:
+        fname = call.group(1).lower()
+        if fname in _ALWAYS_INT:
+            return "int"
+        if fname in _ALWAYS_FLOAT_FNS:
+            return "no"
+        if fname in _ALWAYS_DEC_FNS:
+            return "dec"
+        if fname in _INT_IF_ARGS_INT:
+            args = _split_top_args(call.group(2))
+            return _combine_classes(
+                [_dec_class(a, resolver) for a in args]
+            )
+        return None
+    if _IDENT.match(e):
+        kw = e.lower()
+        if kw == "null":
+            return None
+        if kw in ("true", "false"):
+            return "no"
+        if resolver is not None:
+            return resolver(e.split(".")[-1])
+        return None
+    return None
+
+
+def _values_classmap(sql: str) -> dict[str, "str | None"]:
+    """colN / columnN -> type class inferred from VALUES literal tuples."""
+    verdict: dict[int, list] = {}
+    for m in _VALUES_RE.finditer(sql):
+        i, n = m.end(), len(sql)
+        while i < n:
+            while i < n and (sql[i].isspace() or sql[i] == ","):
+                i += 1
+            if i >= n or sql[i] != "(":
+                break
+            depth, j = 0, i
+            while j < n:
+                if sql[j] == "'":
+                    j += 1
+                    while j < n and sql[j] != "'":
+                        j += 1
+                elif sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            tup = _split_top_args(sql[i + 1 : j])
+            for k, lit in enumerate(tup):
+                verdict.setdefault(k, []).append(_dec_class(lit, None))
+            i = j + 1
+    out: dict[str, "str | None"] = {}
+    for k, classes in verdict.items():
+        cls = _combine_classes(classes)
+        out[f"col{k + 1}"] = cls
+        out[f"column{k + 1}"] = cls
+    return out
+
+
+_NOT_A_TABLE = {"values", "unnest", "lateral", "select"}
+_RESERVED_AFTER_TABLE = {
+    "where", "group", "order", "on", "join", "inner", "left", "right",
+    "full", "cross", "limit", "union", "intersect", "except", "having",
+    "qualify", "window", "using", "natural", "lateral", "values",
+    "select", "offset", "when", "then", "else", "end", "and", "or",
+}
+
+
+def _from_tables(sql: str) -> set[str]:
+    """Table names referenced after FROM/JOIN, including comma-separated
+    FROM lists (`FROM part, supplier, lineitem l` — TPC-H style)."""
+    names: set[str] = set()
+    spans = _find_literal_spans(sql)
+    n = len(sql)
+    for m in re.finditer(r"\b(FROM|JOIN)\b", sql, re.IGNORECASE):
+        if _in_spans(m.start(), spans):
+            continue
+        i = m.end()
+        while True:
+            while i < n and sql[i].isspace():
+                i += 1
+            t = re.match(r"[A-Za-z_][\w.]*", sql[i:])
+            if not t or t.group(0).lower() in _NOT_A_TABLE:
+                break
+            names.add(t.group(0))
+            i += t.end()
+            while i < n and sql[i].isspace():
+                i += 1
+            a = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)", sql[i:], re.IGNORECASE)
+            if a and a.group(1).lower() not in _RESERVED_AFTER_TABLE:
+                i += a.end()
+                while i < n and sql[i].isspace():
+                    i += 1
+            if i < n and sql[i] == ",":
+                i += 1
+                continue
+            break
+    return names
+
+
+def make_class_resolver(spark, sql: str) -> ClassResolver:
+    """Column type-class resolver ('dec'/'int'/'no'/None): catalog
+    schemas of FROM/JOIN tables, VALUES tuples, and SELECT-list aliases
+    (classified from their expression text — how subquery-derived names
+    like q08's `volume` resolve)."""
+    vmap = {k.lower(): v for k, v in _values_classmap(sql).items()}
+    table_names = _from_tables(sql)
+    colmap: dict[str, "str | None"] = {}
+    for t in table_names:
+        try:
+            schema = spark.table(t).schema
+        except Exception:  # noqa: BLE001 — TVFs/missing tables: no info
+            continue
+        for f in schema.fields:
+            name = f.name.lower()
+            tn = f.dataType.typeName()
+            if tn in ("byte", "short", "integer", "long"):
+                cls: "str | None" = "int"
+            elif tn.startswith("decimal"):
+                cls = "dec"
+            else:
+                cls = "no"
+            if name in colmap and colmap[name] != cls:
+                colmap[name] = None
+            elif name not in colmap:
+                colmap[name] = cls
+
+    def base_resolve(name: str) -> "str | None":
+        key = name.lower()
+        if key in vmap:
+            return vmap[key]
+        return colmap.get(key)
+
+    # SELECT-list aliases: `expr AS name` anywhere in the text (subquery
+    # nesting doesn't matter — resolution is by name). Conflicting
+    # definitions resolve to unknown.
+    aliasmap: dict[str, "str | None"] = {}
+    spans = _find_literal_spans(sql)
+    for m in re.finditer(r"\s+AS\s+([A-Za-z_]\w*)", sql, re.IGNORECASE):
+        if _in_spans(m.start(), spans):
+            continue
+        name = m.group(1).lower()
+        i, depth, start = m.start() - 1, 0, 0
+        while i >= 0:
+            if _in_spans(i, spans):
+                i -= 1
+                continue
+            ch = sql[i]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    start = i + 1
+                    break
+                depth -= 1
+            elif depth == 0 and ch == ",":
+                start = i + 1
+                break
+            i -= 1
+        expr = sql[start : m.start()].strip()
+        expr = re.sub(
+            r"^(?:SELECT\s+)?(?:DISTINCT\s+)?", "", expr, flags=re.IGNORECASE
+        )
+        if not expr:
+            continue
+        cls = _dec_class(expr, base_resolve)
+        if name in aliasmap and aliasmap[name] != cls:
+            aliasmap[name] = None
+        elif name not in aliasmap:
+            aliasmap[name] = cls
+
+    def resolve(name: str) -> "str | None":
+        key = name.lower()
+        if key in vmap:
+            return vmap[key]
+        if key in colmap:
+            return colmap[key]
+        return aliasmap.get(key)
+
+    return resolve
+
+
+def rewrite_dec_division(
+    sql: str, resolver: "ClassResolver | None" = None
+) -> str:
+    """Rewrite every provably-decimal ``/`` site to double division
+    (reference div.rs:122-135: DivDecimal casts both sides to f64).
+    Qualifies when one side is provably decimal and the other provably
+    decimal-or-int (the reference implicit-casts the int side)."""
+    guard = 0
+    while guard < 64:
+        guard += 1
+        spans = _find_literal_spans(sql)
+        changed = False
+        for i, ch in enumerate(sql):
+            if ch != "/" or _in_spans(i, spans):
+                continue
+            ls, left = _scan_operand_left(sql, i)
+            rend, right = _scan_operand_right(sql, i)
+            if not left.strip() or not right.strip():
+                continue
+            lc = _dec_class(left, resolver)
+            rc = _dec_class(right, resolver)
+            if "dec" in (lc, rc) and {lc, rc} <= {"dec", "int"}:
+                sql = (
+                    sql[:ls]
+                    + f"CAST({left.strip()} AS DOUBLE) / "
+                    + f"CAST({right.strip()} AS DOUBLE)"
+                    + sql[rend:]
+                )
+                changed = True
+                break
+        if not changed:
+            break
+    return sql
+
+
 # --- VALUES tuple column typing ----------------------------------------
 
 _VALUES_RE = re.compile(r"\bVALUES\b", re.IGNORECASE)
@@ -528,13 +913,7 @@ def make_resolver(spark, sql: str) -> Resolver:
     every catalog table/view named after FROM/JOIN. Ambiguous names (same
     column, different int-ness across tables) resolve to unknown."""
     vmap = {k.lower(): v for k, v in values_colmap(sql).items()}
-    table_names = set(
-        m.group(2)
-        for m in re.finditer(
-            r"\b(FROM|JOIN)\s+([A-Za-z_][\w.]*)", sql, re.IGNORECASE
-        )
-        if m.group(2).lower() not in ("values", "unnest", "lateral")
-    )
+    table_names = _from_tables(sql)
     colmap: dict[str, bool | None] = {}
     for t in table_names:
         try:
@@ -572,4 +951,8 @@ def rewrite_arith(sql: str, spark=None) -> str:
         return sql
     sql = expand_poly_calls(sql)
     resolver = make_resolver(spark, sql) if spark is not None else None
-    return rewrite_int_division(sql, resolver)
+    sql = rewrite_int_division(sql, resolver)
+    if "/" in sql:
+        cres = make_class_resolver(spark, sql) if spark is not None else None
+        sql = rewrite_dec_division(sql, cres)
+    return sql

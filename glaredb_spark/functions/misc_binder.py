@@ -82,6 +82,41 @@ def _sub_masked(sql: str, pat: re.Pattern, rep) -> str:
     return "".join(out)
 
 
+# --- extract / date_part return type ---------------------------------------
+
+_DATEPART_CALL_RE = re.compile(r"\b(extract|date_part)\s*\(", re.IGNORECASE)
+
+
+def rewrite_datepart_decimal(sql: str) -> str:
+    """``extract()``/``date_part()`` return Decimal64(18,3) in the
+    reference — every signature does
+    (functions/scalar/builtin/datetime/date_part.rs:77-79; goldens print
+    ``2012.000``) — while Spark returns integral/decimal widths per field.
+    Wrap each call in ``CAST(.. AS DECIMAL(18,3))`` so DESCRIBE typing and
+    downstream arithmetic (decimal÷decimal → float64 division, tpchbench
+    q07–q09) match. Nested calls inside a wrapped call are left as-is
+    (the outer cast fixes the observable type)."""
+    out, pos = sql, 0
+    while True:
+        spans = _find_literal_spans(out)
+        m = next(
+            (
+                c
+                for c in _DATEPART_CALL_RE.finditer(out, pos)
+                if not _in_spans(c.start(), spans)
+            ),
+            None,
+        )
+        if m is None:
+            return out
+        close = _match_paren(out, m.end() - 1)
+        if close < 0:
+            return out
+        call = out[m.start() : close + 1]
+        out = f"{out[:m.start()]}CAST({call} AS DECIMAL(18,3)){out[close + 1 :]}"
+        pos = m.start() + 5 + len(call) + 18  # past ' AS DECIMAL(18,3))'
+
+
 # --- factorial --------------------------------------------------------------
 
 _FACTORIAL_RE = re.compile(r"\bfactorial\s*\(", re.IGNORECASE)
@@ -754,6 +789,8 @@ def rewrite_misc(sql: str, spark=None) -> str:
         low = sql.lower()
     if "factorial" in low:
         sql = rewrite_factorial(sql)
+    if re.search(r"\b(extract|date_part)\s*\(", low):
+        sql = rewrite_datepart_decimal(sql)
     if "between" in low and "null" in low:
         sql = rewrite_null_bound_between(sql)
     if "shl" in low:

@@ -1033,6 +1033,11 @@ _TS_TEXT_RE = re.compile(
 
 
 def _values_match(exp: str, act: str) -> bool:
+    # the reference harness normalizes every cell by collapsing runs of
+    # whitespace (glaredb_slt/src/lib.rs:273-275 normalize()), so goldens
+    # store trimmed values — compare both sides through the same transform
+    # (tpchbench q02/q10: comment values with leading/trailing spaces)
+    exp, act = " ".join(exp.split()), " ".join(act.split())
     # reference prints timestamps with a ' UTC' suffix (session tz is UTC)
     if exp.endswith(" UTC"):
         exp = exp[:-4]
@@ -1616,11 +1621,18 @@ def run_slt_file(sess, path: str) -> SltResult:
                             for e, a in zip(erow, arow)
                         )
                     if not ok_row:
-                        # values with single embedded spaces make token
-                        # splits ambiguous — fall back to comparing the
-                        # whitespace-normalized full line
-                        ok_row = " ".join(" ".join(erow).split()) == " ".join(
-                            " ".join(arow).split()
+                        # values with embedded spaces make token splits
+                        # ambiguous (goldens even pad INSIDE a value:
+                        # q09.slt 'SAUDI       ARABIA') — the reference
+                        # compares the whitespace-collapsed row
+                        # (glaredb_slt/src/lib.rs:273-275); do the same,
+                        # token-wise so numeric display tolerance
+                        # ('1998.000' vs '1998') still applies
+                        etoks = " ".join(erow).split()
+                        atoks = " ".join(arow).split()
+                        ok_row = len(etoks) == len(atoks) and all(
+                            _values_match(e, a)
+                            for e, a in zip(etoks, atoks)
                         )
                     if not ok_row:
                         bad = f"L{rec.line} row {r_i}: expected {erow} got {arow}"

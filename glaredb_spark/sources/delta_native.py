@@ -43,6 +43,13 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.\d{10}\.(\d{10}))?\.parquet$"
 )
+# v2 checkpoints (reader feature `v2Checkpoint`) are UUID-named and may be
+# parquet or json; their add/remove actions can live in sidecar files
+# under _delta_log/_sidecars/ (PROTOCOL.md "V2 Spec Checkpoints")
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\.(parquet|json)$"
+)
 # Reader features this reader implements (per spec, anything else must
 # be refused, not ignored): deletionVectors (from-scratch roaring codec,
 # sources/roaring.py), columnMapping (physical-name scan + logical
@@ -53,6 +60,7 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "timestampNtz",
+    "v2Checkpoint",
 }
 
 
@@ -110,15 +118,29 @@ class DeltaState:
             )
 
 
-def _list_checkpoints(log_dir: str) -> list[tuple[int, int | None]]:
-    """Sorted (version, parts) for every checkpoint present in the log
+def _list_checkpoints(log_dir: str) -> list[tuple[int, "int | str | None"]]:
+    """Sorted (version, info) for every checkpoint present in the log
     directory — listed directly rather than trusting ``_last_checkpoint``
-    (per spec that file is only a hint and may be stale or missing)."""
-    found: dict[int, int | None] = {}
+    (per spec that file is only a hint and may be stale or missing).
+    info: None = classic single-file, int = multipart part count,
+    str = v2 UUID-named checkpoint's filename."""
+    found: dict[int, "int | str | None"] = {}
+
+    def _rank(info) -> int:  # same version, several complete forms:
+        return 0 if info is None else (1 if isinstance(info, int) else 2)
+
     for n in os.listdir(log_dir):
         m = _CHECKPOINT_RE.match(n)
+        info: "int | str | None"
         if m:
-            found[int(m.group(1))] = int(m.group(2)) if m.group(2) else None
+            v, info = int(m.group(1)), (int(m.group(2)) if m.group(2) else None)
+        else:
+            m2 = _CHECKPOINT_V2_RE.match(n)
+            if not m2:
+                continue
+            v, info = int(m2.group(1)), n
+        if v not in found or _rank(info) < _rank(found[v]):
+            found[v] = info
     return sorted(found.items())
 
 
@@ -136,46 +158,98 @@ def _latest_version(log_dir: str) -> int | None:
     return max(versions) if versions else None
 
 
-def _read_checkpoint(state: DeltaState, log_dir: str, version: int, parts: int | None) -> None:
+def _demap(v):
+    # map columns surface as list-of-pairs in pyarrow
+    return dict(v) if isinstance(v, list) else v
+
+
+def _apply_action_row(
+    state: DeltaState, row: dict, cols: set, sidecars: "list[str] | None"
+) -> None:
+    """Apply one one-hot checkpoint row (exactly one action struct
+    non-null); collect `sidecar` references when the caller passes a
+    sink for them (v2 checkpoints only)."""
+    if sidecars is not None and "sidecar" in cols and row.get("sidecar"):
+        sidecars.append(dict(row["sidecar"])["path"])
+        return
+    for kind in ("protocol", "metaData", "add", "remove", "txn"):
+        if kind in cols and row.get(kind) is not None:
+            action = dict(row[kind])
+            if kind == "add" or kind == "remove":
+                if "partitionValues" in action:
+                    action["partitionValues"] = _demap(
+                        action["partitionValues"]
+                    )
+            elif kind == "metaData":
+                if "configuration" in action:
+                    action["configuration"] = _demap(action["configuration"])
+                fmt = action.get("format")
+                if isinstance(fmt, dict) and "options" in fmt:
+                    fmt = dict(fmt, options=_demap(fmt["options"]))
+                    action["format"] = fmt
+            state.apply({kind: action})
+
+
+def _fold_parquet_actions(
+    state: DeltaState, path: str, sidecars: "list[str] | None" = None
+) -> None:
     import pyarrow.parquet as pq
 
-    if parts:
+    tbl = pq.read_table(path)
+    cols = set(tbl.column_names)
+    for row in tbl.to_pylist():
+        _apply_action_row(state, row, cols, sidecars)
+
+
+def _read_checkpoint(
+    state: DeltaState, log_dir: str, version: int, info: "int | str | None"
+) -> None:
+    """Fold a checkpoint snapshot: classic single-file, multipart, or a
+    v2 UUID-named checkpoint whose add/remove actions may live in
+    sidecar parquet files under _delta_log/_sidecars/ (PROTOCOL.md
+    "V2 Spec Checkpoints": the top-level file carries checkpointMetadata
+    + protocol/metaData and `sidecar` pointers; sidecar `path` values are
+    relative to the _sidecars directory unless absolute)."""
+    if isinstance(info, str):  # v2 checkpoint
+        top = os.path.join(log_dir, info)
+        sidecars: list[str] = []
+        if info.endswith(".json"):
+            with open(top) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "sidecar" in action:
+                        sidecars.append(action["sidecar"]["path"])
+                    elif "checkpointMetadata" not in action:
+                        state.apply(action)
+        else:
+            _fold_parquet_actions(state, top, sidecars)
+        for ref in sidecars:
+            p = (
+                ref
+                if os.path.isabs(ref) or "://" in ref
+                else os.path.join(log_dir, "_sidecars", ref)
+            )
+            if "://" in p:
+                raise RuntimeError(
+                    f"v2 checkpoint sidecar at remote URI {ref!r} is not "
+                    "supported by the native reader"
+                )
+            _fold_parquet_actions(state, p)
+        return
+    if info:
         files = [
             os.path.join(
                 log_dir,
-                f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+                f"{version:020d}.checkpoint.{i:010d}.{info:010d}.parquet",
             )
-            for i in range(1, parts + 1)
+            for i in range(1, info + 1)
         ]
     else:
         files = [os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")]
-    def _demap(v):
-        # map columns surface as list-of-pairs in pyarrow
-        return dict(v) if isinstance(v, list) else v
-
     for f in files:
-        tbl = pq.read_table(f)
-        cols = set(tbl.column_names)
-        for row in tbl.to_pylist():
-            # checkpoint rows are one-hot: exactly one action struct non-null
-            for kind in ("protocol", "metaData", "add", "remove", "txn"):
-                if kind in cols and row.get(kind) is not None:
-                    action = dict(row[kind])
-                    if kind == "add" or kind == "remove":
-                        if "partitionValues" in action:
-                            action["partitionValues"] = _demap(
-                                action["partitionValues"]
-                            )
-                    elif kind == "metaData":
-                        if "configuration" in action:
-                            action["configuration"] = _demap(
-                                action["configuration"]
-                            )
-                        fmt = action.get("format")
-                        if isinstance(fmt, dict) and "options" in fmt:
-                            fmt = dict(fmt, options=_demap(fmt["options"]))
-                            action["format"] = fmt
-                    state.apply({kind: action})
+        _fold_parquet_actions(state, f)
 
 
 def load_delta_state(path: str, version: int | None = None) -> DeltaState:

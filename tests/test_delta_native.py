@@ -191,6 +191,144 @@ def test_checkpoint_replay(spark, tmp_path):
     assert rows == {(1, "x"), (2, "y")}
 
 
+_UUID = "0f7d3a2b-1c4e-4b5a-9d6f-2e8a7c9b0d1e"
+
+
+def _v2_sidecar(log, name: str, adds=(), removes=()) -> None:
+    """Author a sidecar parquet under _delta_log/_sidecars/ (PROTOCOL.md:
+    sidecars hold only add/remove actions)."""
+    side = log / "_sidecars"
+    side.mkdir(exist_ok=True)
+    add_t = pa.struct(
+        [("path", pa.string()),
+         ("partitionValues", pa.map_(pa.string(), pa.string())),
+         ("size", pa.int64()), ("modificationTime", pa.int64()),
+         ("dataChange", pa.bool_())]
+    )
+    rm_t = pa.struct(
+        [("path", pa.string()), ("deletionTimestamp", pa.int64())]
+    )
+    n = len(adds) + len(removes)
+    cols = {
+        "add": pa.array(
+            [{"path": p, "partitionValues": [], "size": 1,
+              "modificationTime": 0, "dataChange": True} for p in adds]
+            + [None] * len(removes),
+            add_t,
+        ),
+        "remove": pa.array(
+            [None] * len(adds)
+            + [{"path": p, "deletionTimestamp": 1} for p in removes],
+            rm_t,
+        ),
+    }
+    assert n
+    pq.write_table(pa.table(cols), str(side / name))
+
+
+def _v2_protocol_meta_arrays():
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+         ("readerFeatures", pa.list_(pa.string())),
+         ("writerFeatures", pa.list_(pa.string()))]
+    )
+    meta_t = pa.struct(
+        [("id", pa.string()), ("schemaString", pa.string()),
+         ("partitionColumns", pa.list_(pa.string()))]
+    )
+    return proto_t, meta_t
+
+
+def test_v2_checkpoint_parquet_with_sidecars(spark, tmp_path):
+    """v2Checkpoint read path: UUID-named top-level checkpoint carrying
+    checkpointMetadata + protocol/metaData + sidecar pointers; add/remove
+    actions live in _delta_log/_sidecars/*.parquet; later JSON commits
+    replay on top (reference model: glaredb_ext_delta reads the same
+    delta.io PROTOCOL.md surface)."""
+    root = tmp_path / "v2tbl"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    for name, i, v in (("a.parquet", 1, "x"), ("b.parquet", 2, "y"),
+                       ("d.parquet", 4, "w")):
+        _write_data(str(root / name), [i], [v])
+    # two sidecars: one adds a+b, one adds-then-removes c (net: a, b)
+    _v2_sidecar(log, "s1.parquet", adds=("a.parquet", "b.parquet"))
+    _v2_sidecar(log, "s2.parquet", removes=("c.parquet",))
+    proto_t, meta_t = _v2_protocol_meta_arrays()
+    cpmeta_t = pa.struct([("version", pa.int64())])
+    side_t = pa.struct(
+        [("path", pa.string()), ("sizeInBytes", pa.int64()),
+         ("modificationTime", pa.int64())]
+    )
+    rows = 5  # checkpointMetadata, protocol, metaData, sidecar x2
+    top = pa.table(
+        {
+            "checkpointMetadata": pa.array(
+                [{"version": 2}] + [None] * 4, cpmeta_t
+            ),
+            "protocol": pa.array(
+                [None,
+                 {"minReaderVersion": 3, "minWriterVersion": 7,
+                  "readerFeatures": ["v2Checkpoint"],
+                  "writerFeatures": ["v2Checkpoint"]}]
+                + [None] * 3,
+                proto_t,
+            ),
+            "metaData": pa.array(
+                [None, None,
+                 {"id": "0", "schemaString": SCHEMA_JSON,
+                  "partitionColumns": []}]
+                + [None] * 2,
+                meta_t,
+            ),
+            "sidecar": pa.array(
+                [None] * 3
+                + [{"path": "s1.parquet", "sizeInBytes": 1,
+                    "modificationTime": 0},
+                   {"path": "s2.parquet", "sizeInBytes": 1,
+                    "modificationTime": 0}],
+                side_t,
+            ),
+        }
+    )
+    assert top.num_rows == rows
+    pq.write_table(top, str(log / f"{2:020d}.checkpoint.{_UUID}.parquet"))
+    with open(log / "_last_checkpoint", "w") as fh:
+        json.dump({"version": 2, "size": rows}, fh)
+    # pre-checkpoint commits vacuumed; version 3 adds d on top
+    _commit(str(log), 3, [_add("d.parquet")])
+    rows_out = {
+        (r["id"], r["v"])
+        for r in read_delta_native(spark, str(root)).collect()
+    }
+    assert rows_out == {(1, "x"), (2, "y"), (4, "w")}
+
+
+def test_v2_checkpoint_json(spark, tmp_path):
+    """The JSON flavor of a v2 checkpoint (PROTOCOL.md allows both)."""
+    root = tmp_path / "v2json"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    _write_data(str(root / "a.parquet"), [7], ["z"])
+    _v2_sidecar(log, "s.parquet", adds=("a.parquet",))
+    with open(log / f"{1:020d}.checkpoint.{_UUID}.json", "w") as fh:
+        for action in (
+            {"checkpointMetadata": {"version": 1}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
+            json.loads(json.dumps(_meta())),
+            {"sidecar": {"path": "s.parquet", "sizeInBytes": 1,
+                         "modificationTime": 0}},
+        ):
+            fh.write(json.dumps(action) + "\n")
+    rows = {
+        (r["id"], r["v"])
+        for r in read_delta_native(spark, str(root)).collect()
+    }
+    assert rows == {(7, "z")}
+
+
 def test_unsupported_features_rejected(tmp_path):
     """Reader features outside the implemented set still fail loudly
     (deletionVectors and columnMapping became SUPPORTED in r5 —
