@@ -17,14 +17,16 @@ behave like any parquet scan. Partition columns (absent from the data
 files per the spec) are re-attached per partition group as literal
 columns cast to the table schema's types.
 
-Supported: reader protocol v1, and v2+ tables over base parquet — plus,
-for READS, deletionVectors (bitmaps decoded by the from-scratch roaring
-codec in sources/roaring.py, applied as a distributed anti-join on
+Supported: reader protocol v1, and v2+ tables over base parquet — plus
+deletionVectors (bitmaps decoded by the from-scratch roaring codec in
+sources/roaring.py, applied as a distributed anti-join on
 ``_metadata.row_index``), columnMapping name/id modes (physical-name
-scan + logical rename), and timestampNtz. Unknown reader features are
-refused per spec, and COW DML / OPTIMIZE / VACUUM / checkpointing on
-DV-carrying or column-mapped tables are rejected rather than producing
-wrong tables.
+scan + logical rename on read; every write path renames back to
+physical names with parquet field ids), v2Checkpoint (UUID-named
+checkpoints + _sidecars/), and timestampNtz. Unknown reader features
+are refused per spec; COW DML / OPTIMIZE / VACUUM / checkpointing on
+DV-carrying tables are rejected rather than producing wrong tables
+(DELETE/UPDATE route to the DV-writing strategy instead).
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -396,6 +399,84 @@ def _mapping_mode(state: "DeltaState") -> str:
     return config.get("delta.columnMapping.mode", "none")
 
 
+def _physical_map(state: "DeltaState") -> dict[str, str]:
+    """logical column name -> physical parquet name (columnMapping
+    'name'/'id' modes store it per field as
+    delta.columnMapping.physicalName; empty map when unmapped)."""
+    if _mapping_mode(state) == "none":
+        return {}
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in json.loads(state.schema_json).get("fields", [])
+    }
+
+
+def _field_id_map(state: "DeltaState") -> dict[str, int]:
+    """logical column name -> delta.columnMapping.id (the parquet
+    field_id 'id'-mode readers resolve by)."""
+    if _mapping_mode(state) == "none":
+        return {}
+    out: dict[str, int] = {}
+    for f in json.loads(state.schema_json).get("fields", []):
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if fid is not None:
+            out[f["name"]] = int(fid)
+    return out
+
+
+def _physical_data_schema(
+    state: "DeltaState", data_fields
+) -> "StructType":
+    """SCAN schema for a column-mapped table's data files: physical
+    field names, resolved by name (no parquet.field.id metadata — a
+    read schema carrying ids makes Spark demand ids in every file,
+    which hand-written 'name'-mode files legitimately lack)."""
+    phys = _physical_map(state)
+    return StructType(
+        [
+            T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
+
+
+def _attach_field_ids(df: DataFrame, state: "DeltaState") -> DataFrame:
+    """Attach ``parquet.field.id`` metadata to an already-physical-named
+    DataFrame ahead of a write, so files WE produce stay resolvable by
+    'id'-mode readers (Spark's parquet writer emits field_ids from this
+    metadata key)."""
+    phys = _physical_map(state)
+    fids = _field_id_map(state)
+    by_phys = {phys.get(l, l): i for l, i in fids.items()}
+    if not by_phys:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": by_phys[c]})
+            if c in by_phys
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, state: "DeltaState") -> DataFrame:
+    """Rename a logical-named DataFrame to the table's physical column
+    names (parquet.field.id metadata attached) ahead of a data-file
+    write. Identity when the table is unmapped."""
+    phys = _physical_map(state)
+    if not phys:
+        return df
+    fids = _field_id_map(state)
+    cols = []
+    for c in df.columns:
+        meta = {"parquet.field.id": fids[c]} if c in fids else None
+        cols.append(F.col(c).alias(phys.get(c, c), metadata=meta))
+    return df.select(*cols)
+
+
 def _dv_positions_frame(spark, table_path: str, dv_adds: dict, resolve):
     """(``_dv_path``, ``_dv_pos``) frame of every vectored position —
     built in bulk from the decoded numpy arrays via pandas/Arrow (no
@@ -420,9 +501,10 @@ def _dv_positions_frame(spark, table_path: str, dv_adds: dict, resolve):
 
 
 def _require_no_dvs(state: "DeltaState", operation: str) -> None:
-    """COW-compatibility gate for the write paths: deletion vectors and
-    column mapping are read-supported, but a rewrite that ignored them
-    would resurrect deleted rows / write wrongly-named columns."""
+    """COW-compatibility gate for the write paths: a rewrite that
+    ignored active deletion vectors would resurrect deleted rows.
+    (columnMapping is no longer gated here — every write path renames
+    to physical column names via _to_physical/_physical_data_schema.)"""
     dvd = [p for p, a in state.add_meta.items() if a.get("deletionVector")]
     if dvd:
         raise RuntimeError(
@@ -430,13 +512,6 @@ def _require_no_dvs(state: "DeltaState", operation: str) -> None:
             f"supported by the native writer ({len(dvd)} file(s) carry "
             "DVs; a copy-on-write rewrite that ignored them would "
             "resurrect deleted rows). Use the delta-spark connector jar."
-        )
-    if _mapping_mode(state) != "none":
-        raise RuntimeError(
-            f"{operation} on a column-mapped table is not supported by "
-            "the native writer (rewritten files would carry logical "
-            "instead of physical column names). Use the delta-spark "
-            "connector jar."
         )
 
 
@@ -651,6 +726,7 @@ def write_delta_native(
     mode: str = "append",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    column_mapping: str = "none",
 ) -> int:
     """Commit ``df`` to a Delta table at ``path`` by writing parquet
     distributed (plain ``df.write.parquet``) and then appending ONE
@@ -677,6 +753,10 @@ def write_delta_native(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported Delta write mode: {mode!r}")
+    if column_mapping not in ("none", "name", "id"):
+        raise ValueError(
+            f"unsupported columnMapping mode: {column_mapping!r}"
+        )
     part_cols = list(partition_by or [])
     log_dir = os.path.join(path, "_delta_log")
     state = None
@@ -700,9 +780,46 @@ def write_delta_native(
             )
         part_cols = state.partition_columns
         next_version = latest + 1
+        if column_mapping != "none" and _mapping_mode(state) != column_mapping:
+            raise ValueError(
+                "columnMapping mode of an existing table cannot be "
+                f"changed (table: {_mapping_mode(state)!r}, requested: "
+                f"{column_mapping!r})"
+            )
     os.makedirs(log_dir, exist_ok=True)
 
-    new_files = _staged_write(df, path, part_cols)
+    # creating a column-mapped table: mint physical names + field ids
+    # per spec (delta.columnMapping.{id,physicalName} field metadata,
+    # mode + maxColumnId in table configuration, columnMapping in the
+    # protocol's reader/writer features)
+    mapped_schema_fields = None
+    if next_version == 0 and column_mapping != "none":
+        mapped_schema_fields = []
+        for i, f in enumerate(df.schema.fields, start=1):
+            fj = f.jsonValue()
+            fj["metadata"] = {
+                "delta.columnMapping.id": i,
+                "delta.columnMapping.physicalName": (
+                    f"col-{uuid.uuid4().hex[:12]}"
+                ),
+            }
+            mapped_schema_fields.append(fj)
+        state = DeltaState()
+        state.schema_json = json.dumps(
+            {"type": "struct", "fields": mapped_schema_fields}
+        )
+        state.partition_columns = part_cols
+        state.metadata_raw = {
+            "configuration": {"delta.columnMapping.mode": column_mapping}
+        }
+
+    # column-mapped target: data files carry physical names (appending
+    # logical-named parquet would read back as all-NULL)
+    pc_phys = part_cols
+    if state is not None and _mapping_mode(state) != "none":
+        df = _to_physical(df, state)
+        pc_phys = [_physical_map(state).get(c, c) for c in part_cols]
+    new_files = _staged_write(df, path, pc_phys)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
@@ -722,17 +839,38 @@ def write_delta_native(
                      "lastUpdated": now_ms}}
         )
     if next_version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+        if mapped_schema_fields is not None:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["columnMapping"],
+                        "writerFeatures": ["columnMapping"],
+                    }
+                }
+            )
+            schema_string = state.schema_json
+            configuration = {
+                "delta.columnMapping.mode": column_mapping,
+                "delta.columnMapping.maxColumnId": str(
+                    len(mapped_schema_fields)
+                ),
+            }
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            schema_string = json.dumps(df.schema.jsonValue())
+            configuration = {}
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": json.dumps(df.schema.jsonValue()),
+                    "schemaString": schema_string,
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    "configuration": configuration,
                     "createdTime": now_ms,
                 }
             }
@@ -749,7 +887,7 @@ def write_delta_native(
                 }
             )
     for rel in sorted(new_files):
-        actions.append(_add_action(rel, new_files[rel], part_cols))
+        actions.append(_add_action(rel, new_files[rel], pc_phys))
     _commit_actions(log_dir, next_version, actions)
     return next_version
 
@@ -762,31 +900,51 @@ def _read_active(
     types,
     part_cols,
     with_file_path: bool = False,
+    state: "DeltaState | None" = None,
 ):
     """Distributed read of (relative_file, partitionValues) pairs with
     partition literals re-attached per group (read_delta_native's
     strategy). ``_metadata.file_path`` must be captured at the scan
-    itself (it isn't addressable above a union), hence the flag."""
+    itself (it isn't addressable above a union), hence the flag.
+    Column-mapped tables (pass ``state``) scan with physical names —
+    which is also how partitionValues are keyed — and come back renamed
+    to logical, so callers' predicates/rewrites see logical columns."""
 
     def _resolve(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
 
+    phys = _physical_map(state) if state is not None else {}
+    scan_schema = (
+        _physical_data_schema(state, data_schema.fields) if phys else data_schema
+    )
+
+    def _demap_names(df):
+        if not phys:
+            return df
+        keep = [
+            F.col(phys.get(f.name, f.name)).alias(f.name)
+            for f in data_schema.fields
+        ]
+        extra = [c for c in ("_f",) if c in df.columns]
+        return df.select(*keep, *extra)
+
     if not part_cols:
-        df = spark.read.schema(data_schema).parquet(
+        df = spark.read.schema(scan_schema).parquet(
             *[_resolve(p) for p, _ in pairs]
         )
         if with_file_path:
             df = df.withColumn("_f", F.col("_metadata.file_path"))
-        return df
+        return _demap_names(df)
     by_part: dict[tuple, list[str]] = {}
     for p, pv in pairs:
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys.get(c, c)) for c in part_cols)
         by_part.setdefault(key, []).append(_resolve(p))
     pieces = []
     for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
-        df = spark.read.schema(data_schema).parquet(*files)
+        df = spark.read.schema(scan_schema).parquet(*files)
         if with_file_path:
             df = df.withColumn("_f", F.col("_metadata.file_path"))
+        df = _demap_names(df)
         for c, raw in zip(part_cols, key):
             df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
         pieces.append(df)
@@ -829,7 +987,7 @@ def _rewrite_matching(
     all_pairs = list(state.adds.items())
     probe_df = _read_active(
         spark, path, all_pairs, data_schema, types, part_cols,
-        with_file_path=True,
+        with_file_path=True, state=state,
     )
     probe = (
         probe_df.select(
@@ -858,11 +1016,14 @@ def _rewrite_matching(
     ]
     touched_pairs = [(p, state.adds[p]) for p in touched_rel]
     touched_src = _read_active(
-        spark, path, touched_pairs, data_schema, types, part_cols
+        spark, path, touched_pairs, data_schema, types, part_cols,
+        state=state,
     )
     pred_col = F.coalesce(F.expr(predicate), F.lit(False))
-    replacement = rewrite(touched_src, pred_col)
-    new_files = _staged_write(replacement, path, part_cols)
+    replacement = _to_physical(rewrite(touched_src, pred_col), state)
+    phys = _physical_map(state)
+    pc_phys = [phys.get(c, c) for c in part_cols]
+    new_files = _staged_write(replacement, path, pc_phys)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -879,7 +1040,7 @@ def _rewrite_matching(
                         "dataChange": True}}
         )
     for rel in sorted(new_files):
-        actions.append(_add_action(rel, new_files[rel], part_cols))
+        actions.append(_add_action(rel, new_files[rel], pc_phys))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (int(matched), len(touched_rel))
@@ -939,6 +1100,10 @@ def _scan_live_with_positions(spark, path: str, state: "DeltaState"):
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(data_fields)
     types = {f.name: f.dataType for f in schema.fields}
+    phys = _physical_map(state)
+    scan_schema = (
+        _physical_data_schema(state, data_fields) if phys else data_schema
+    )
 
     def _resolve(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
@@ -951,24 +1116,34 @@ def _scan_live_with_positions(spark, path: str, state: "DeltaState"):
     def _with_pos(df):
         from glaredb_spark.sources.files import decoded_file_path
 
-        return df.withColumn(
+        df = df.withColumn(
             "_dv_path", decoded_file_path()
         ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+        if phys:  # logical names for the caller's predicate
+            df = df.select(
+                *[
+                    F.col(phys.get(f.name, f.name)).alias(f.name)
+                    for f in data_fields
+                ],
+                "_dv_path",
+                "_dv_pos",
+            )
+        return df
 
     if not part_cols:
         scanned = _with_pos(
-            spark.read.schema(data_schema).parquet(
+            spark.read.schema(scan_schema).parquet(
                 *[_resolve(p) for p in state.adds]
             )
         )
     else:
         by_part: dict[tuple, list[str]] = {}
         for p, pv in state.adds.items():
-            key = tuple(pv.get(c) for c in part_cols)
+            key = tuple(pv.get(phys.get(c, c)) for c in part_cols)
             by_part.setdefault(key, []).append(_resolve(p))
         pieces = []
         for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
-            df = _with_pos(spark.read.schema(data_schema).parquet(*files))
+            df = _with_pos(spark.read.schema(scan_schema).parquet(*files))
             for c, raw in zip(part_cols, key):
                 df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
             pieces.append(df)
@@ -1136,11 +1311,6 @@ def _delete_with_dvs(
 
     path = os.path.abspath(path)
     state = load_delta_state(path)
-    if _mapping_mode(state) != "none":
-        raise RuntimeError(
-            "DV DELETE on a column-mapped table is not supported by the "
-            "native writer"
-        )
     if not state.adds:
         return (0, 0)
     scanned, rel_of = _scan_live_with_positions(spark, path, state)
@@ -1179,11 +1349,6 @@ def _update_with_dvs(
 
     path = os.path.abspath(path)
     state = load_delta_state(path)
-    if _mapping_mode(state) != "none":
-        raise RuntimeError(
-            "DV UPDATE on a column-mapped table is not supported by the "
-            "native writer"
-        )
     if not state.adds:
         return (0, 0)
     schema = StructType.fromJson(json.loads(state.schema_json))
@@ -1210,8 +1375,13 @@ def _update_with_dvs(
                 )
             else:
                 updated_cols.append(F.col(f.name))
+        pc_phys = [
+            _physical_map(state).get(c, c) for c in part_cols
+        ]
         new_files = _staged_write(
-            matched.select(*updated_cols), path, part_cols
+            _to_physical(matched.select(*updated_cols), state),
+            path,
+            pc_phys,
         )
     finally:
         matched.unpersist()
@@ -1228,7 +1398,7 @@ def _update_with_dvs(
         }
     ] + _protocol_upgrade_action(state) + pairs
     for rel in sorted(new_files):
-        actions.append(_add_action(rel, new_files[rel], part_cols))
+        actions.append(_add_action(rel, new_files[rel], pc_phys))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (updated, len(results))
@@ -1246,11 +1416,6 @@ def purge_delta_native(spark: SparkSession, path: str) -> tuple[int, int]:
 
     path = os.path.abspath(path)
     state = load_delta_state(path)
-    if _mapping_mode(state) != "none":
-        raise RuntimeError(
-            "PURGE on a column-mapped table is not supported by the "
-            "native writer"
-        )
     dvd = {
         p: a["deletionVector"]
         for p, a in state.add_meta.items()
@@ -1263,6 +1428,7 @@ def purge_delta_native(spark: SparkSession, path: str) -> tuple[int, int]:
     sub = DeltaState()
     sub.schema_json = state.schema_json
     sub.partition_columns = state.partition_columns
+    sub.metadata_raw = state.metadata_raw  # columnMapping mode rides here
     sub.adds = {p: state.adds[p] for p in dvd}
     sub.add_meta = {p: state.add_meta[p] for p in dvd}
     live, _rel_of = _scan_live_with_positions(spark, path, sub)
@@ -1276,7 +1442,8 @@ def purge_delta_native(spark: SparkSession, path: str) -> tuple[int, int]:
     counted = live.select(*table_cols).observe(
         obs, F.count(F.lit(1)).alias("n")
     )
-    new_files = _staged_write(counted, path, part_cols)
+    pc_phys = [_physical_map(state).get(c, c) for c in part_cols]
+    new_files = _staged_write(_to_physical(counted, state), path, pc_phys)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -1293,7 +1460,7 @@ def purge_delta_native(spark: SparkSession, path: str) -> tuple[int, int]:
                         "dataChange": True}}
         )
     for rel in sorted(new_files):
-        actions.append(_add_action(rel, new_files[rel], part_cols))
+        actions.append(_add_action(rel, new_files[rel], pc_phys))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (len(dvd), int(obs.get["n"]))
@@ -1372,7 +1539,16 @@ def optimize_delta_native(
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = StructType(data_fields)
+    # compaction rewrites rows verbatim: on a column-mapped table, scan
+    # AND write with the physical schema directly (field-id metadata
+    # rides along for 'id'-mode readers) — no rename round-trip needed
+    phys = _physical_map(state)
+    data_schema = (
+        _physical_data_schema(state, data_fields)
+        if phys
+        else StructType(data_fields)
+    )
+    pc_phys = [phys.get(c, c) for c in part_cols]
 
     def _resolve(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
@@ -1382,18 +1558,22 @@ def optimize_delta_native(
         return (n_before, n_before)
     by_part: dict[tuple, list[str]] = {}
     for p, pv in state.adds.items():
-        by_part.setdefault(tuple(pv.get(c) for c in part_cols), []).append(p)
+        by_part.setdefault(
+            tuple(pv.get(c) for c in pc_phys), []
+        ).append(p)
     new_files: dict[str, os.stat_result] = {}
     for key, rels in sorted(by_part.items()):
         df = spark.read.schema(data_schema).parquet(
             *[_resolve(p) for p in rels]
         )
+        if phys:
+            df = _attach_field_ids(df, state)
         groups = max(1, (len(rels) + max_files_per_group - 1) // max_files_per_group)
         # each group lands under its own k=v dirs inside this commit's
         # unique staging subdir (race-free attribution, see _staged_write)
         comps = [
             f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else urllib.parse.quote(v, safe='')}"
-            for c, v in zip(part_cols, key)
+            for c, v in zip(pc_phys, key)
         ]
         new_files.update(
             _staged_write(df, path, part_cols, coalesce=groups,
@@ -1416,7 +1596,7 @@ def optimize_delta_native(
         )
     for rel in sorted(new_files):
         actions.append(
-            _add_action(rel, new_files[rel], part_cols, data_change=False)
+            _add_action(rel, new_files[rel], pc_phys, data_change=False)
         )
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
@@ -1525,7 +1705,7 @@ def merge_delta_native(
     try:
         target = _read_active(
             spark, path, all_pairs, data_schema, types, part_cols,
-            with_file_path=True,
+            with_file_path=True, state=state,
         )
         if not when_matched_update:
             # insert-only merge: matched rows keep their values, so the
@@ -1556,7 +1736,8 @@ def merge_delta_native(
         if when_not_matched_insert:
             inserts = source.alias("s").join(
                 _read_active(
-                    spark, path, all_pairs, data_schema, types, part_cols
+                    spark, path, all_pairs, data_schema, types, part_cols,
+                    state=state,
                 ).select(*on),
                 on,
                 "left_anti",
@@ -1575,7 +1756,7 @@ def merge_delta_native(
             t = _read_active(
                 spark, path,
                 [(p, state.adds[p]) for p in touched_rel],
-                data_schema, types, part_cols,
+                data_schema, types, part_cols, state=state,
             ).alias("t")
             joined = t.join(src.alias("s"), on, "left")
             matched = F.col(f"s.{on[0]}").isNotNull() if on else F.lit(False)
@@ -1596,7 +1777,8 @@ def merge_delta_native(
         out = pieces[0]
         for df in pieces[1:]:
             out = out.unionByName(df)
-        new_files = _staged_write(out, path, part_cols)
+        pc_phys = [_physical_map(state).get(c, c) for c in part_cols]
+        new_files = _staged_write(_to_physical(out, state), path, pc_phys)
         inserts.unpersist()
     finally:
         src.unpersist()
@@ -1616,7 +1798,7 @@ def merge_delta_native(
                         "dataChange": True}}
         )
     for rel in sorted(new_files):
-        actions.append(_add_action(rel, new_files[rel], part_cols))
+        actions.append(_add_action(rel, new_files[rel], pc_phys))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (int(updated), int(inserted), len(touched_rel))

@@ -306,12 +306,111 @@ def test_column_mapping_with_deletion_vector(spark, tmp_path):
     assert got == [i for i in range(20) if i not in (2, 4)]
 
 
-def test_column_mapping_dml_rejected(spark, tmp_path):
-    from glaredb_spark.sources.delta_native import delete_delta_native
+def _physical_parquet_columns(root):
+    """Column names actually stored in the table's newest data files."""
+    import pyarrow.parquet as pq
+
+    from glaredb_spark.sources.delta_native import load_delta_state
+
+    import urllib.parse as _up
+
+    state = load_delta_state(root)
+    names = set()
+    for rel in state.adds:
+        names.update(
+            pq.read_schema(os.path.join(root, _up.unquote(rel))).names
+        )
+    return names
+
+
+def test_column_mapping_cow_delete(spark, tmp_path):
+    """COW DELETE on a column-mapped table: predicate binds logical
+    names, rewritten files carry PHYSICAL names (VERDICT r5 #7 gap)."""
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native, read_delta_native)
 
     root = _author_mapped_table(tmp_path)
-    with pytest.raises(RuntimeError, match="column-mapped"):
-        delete_delta_native(spark, root, "id = 1")
+    deleted, rewritten = delete_delta_native(
+        spark, root, "id >= 15", strategy="cow")
+    assert (deleted, rewritten) == (5, 1)
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == list(range(15))
+    assert _physical_parquet_columns(root) == {"col-1", "col-2"}
+
+
+def test_column_mapping_cow_update_partitioned(spark, tmp_path):
+    """UPDATE on a mapped PARTITIONED table: rewritten files land under
+    physical k=v dirs and their add actions key partitionValues by
+    physical name."""
+    from glaredb_spark.sources.delta_native import (
+        load_delta_state, read_delta_native, update_delta_native)
+
+    root = _author_mapped_table(tmp_path, part=True)
+    updated, rewritten = update_delta_native(
+        spark, root, {"val": "'patched'"}, "id = 3", strategy="cow")
+    assert (updated, rewritten) == (1, 1)
+    df = read_delta_native(spark, root)
+    assert {r["val"] for r in df.filter("id = 3").collect()} == {"patched"}
+    assert df.filter("val = 'patched'").count() == 1
+    state = load_delta_state(root)
+    for pv in state.adds.values():
+        assert set(pv) == {"col-3"}  # physical partition key everywhere
+
+
+def test_column_mapping_dv_delete_then_purge(spark, tmp_path):
+    """The columnMapping + deletionVectors + DML composition: DV DELETE
+    marks rows in mapped files; PURGE materializes live rows back into
+    physical-named plain files."""
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native, purge_delta_native, read_delta_native)
+
+    root = _author_mapped_table(tmp_path, dv_positions=[2, 4])
+    deleted, touched = delete_delta_native(
+        spark, root, "id IN (7, 17)", strategy="dv")
+    assert (deleted, touched) == (2, 2)
+    got = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got == [i for i in range(20) if i not in (2, 4, 7, 17)]
+    files, rows = purge_delta_native(spark, root)
+    assert files == 2 and rows == 16
+    got2 = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert got2 == got
+    assert _physical_parquet_columns(root) == {"col-1", "col-2"}
+
+
+def test_column_mapping_append_and_merge(spark, tmp_path):
+    """Plain appends and MERGE into a mapped table write physical names
+    (a logical-named append would read back all-NULL)."""
+    from glaredb_spark.sources.delta_native import (
+        merge_delta_native, read_delta_native, write_delta_native)
+
+    root = _author_mapped_table(tmp_path)
+    extra = spark.createDataFrame([(100, "new")], "id long, val string")
+    write_delta_native(extra, root, mode="append")
+    df = read_delta_native(spark, root)
+    assert df.filter("id = 100").collect()[0]["val"] == "new"
+    assert df.filter("val IS NULL").count() == 0
+    src = spark.createDataFrame(
+        [(5, "merged"), (200, "inserted")], "id long, val string")
+    updated, inserted, rewritten = merge_delta_native(
+        spark, root, src, on=["id"])
+    assert (updated, inserted) == (1, 1) and rewritten >= 1
+    df2 = read_delta_native(spark, root)
+    assert df2.filter("id = 5").collect()[0]["val"] == "merged"
+    assert df2.filter("id = 200").count() == 1
+    assert df2.count() == 22
+    assert _physical_parquet_columns(root) == {"col-1", "col-2"}
+
+
+def test_column_mapping_optimize(spark, tmp_path):
+    """OPTIMIZE compacts mapped files physically-in physically-out."""
+    from glaredb_spark.sources.delta_native import (
+        optimize_delta_native, read_delta_native)
+
+    root = _author_mapped_table(tmp_path)
+    before, after = optimize_delta_native(spark, root)
+    assert before == 2 and after == 1
+    assert read_delta_native(spark, root).count() == 20
+    assert _physical_parquet_columns(root) == {"col-1", "col-2"}
 
 
 def test_unknown_reader_feature_still_refused(spark, tmp_path):
@@ -323,12 +422,12 @@ def test_unknown_reader_feature_still_refused(spark, tmp_path):
     with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"]}}) + "\n")
+            "readerFeatures": ["typeWidening"]}}) + "\n")
         fh.write(json.dumps({"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": []}),
             "partitionColumns": [], "configuration": {}}}) + "\n")
-    with pytest.raises(RuntimeError, match="v2Checkpoint"):
+    with pytest.raises(RuntimeError, match="typeWidening"):
         load_delta_state(root)
 
 

@@ -508,3 +508,70 @@ def test_checkpoint_carries_real_metadata_and_tombstones(
     assert removes, "delete tombstones must survive into the checkpoint"
     # and our own reader folds the richer checkpoint correctly
     assert len(_collect(read_delta_native(spark, path))) == 20
+
+
+def test_create_column_mapped_table(spark, tmp_path):
+    """write_delta_native(column_mapping='name') mints spec metadata:
+    physical col-* names + field ids in schemaString, mode+maxColumnId in
+    configuration, columnMapping in the protocol features — and the data
+    files carry the physical names with parquet field_ids."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from glaredb_spark.sources.delta_native import (
+        load_delta_state,
+        read_delta_native,
+        write_delta_native,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, v string, p string"
+    )
+    path = str(tmp_path / "cm")
+    write_delta_native(df, path, partition_by=["p"], column_mapping="name")
+    state = load_delta_state(path)
+    cfg = state.metadata_raw["configuration"]
+    assert cfg["delta.columnMapping.mode"] == "name"
+    assert cfg["delta.columnMapping.maxColumnId"] == "3"
+    assert "columnMapping" in state.reader_features
+    fields = _json.loads(state.schema_json)["fields"]
+    assert [f["name"] for f in fields] == ["id", "v", "p"]
+    phys = [f["metadata"]["delta.columnMapping.physicalName"] for f in fields]
+    assert all(p.startswith("col-") for p in phys)
+    assert [f["metadata"]["delta.columnMapping.id"] for f in fields] == [1, 2, 3]
+    # partitionValues keyed by the physical partition name
+    for pv in state.adds.values():
+        assert set(pv) == {phys[2]}
+    # data files: physical names + parquet field ids
+    import urllib.parse as _up
+
+    rel = next(iter(state.adds))
+    sch = pq.read_schema(_os.path.join(path, _up.unquote(rel)))
+    assert set(sch.names) == set(phys[:2])
+    for name in sch.names:
+        fld = sch.field(name)
+        assert fld.metadata and b"PARQUET:field_id" in fld.metadata
+    # logical read + a second logical append round-trip
+    write_delta_native(
+        spark.createDataFrame([(3, "c", "z")], "id long, v string, p string"),
+        path,
+    )
+    got = sorted(
+        (r["id"], r["v"], r["p"])
+        for r in read_delta_native(spark, path).collect()
+    )
+    assert got == [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]
+
+
+def test_column_mapping_mode_change_rejected(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import write_delta_native
+
+    df = spark.createDataFrame([(1,)], "id long")
+    path = str(tmp_path / "nm")
+    write_delta_native(df, path)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot be changed"):
+        write_delta_native(df, path, column_mapping="name")
