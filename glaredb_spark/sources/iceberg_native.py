@@ -26,6 +26,8 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import re
+import typing
 
 from glaredb_spark.sources.avro_lite import read_avro
 
@@ -515,7 +517,7 @@ def _publish_snapshot(
         "schemas": [schema_obj],
         "current-schema-id": schema_obj.get("schema-id", 0),
     }
-    pfields = _identity_partition_fields(spec_src)
+    pfields = _partition_fields(spec_src)
     part_avro = _partition_avro_fields(pfields) if pfields else None
     spec_id = int(spec_src.get("default-spec-id", 0) or 0)
     manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
@@ -612,11 +614,176 @@ def _publish_snapshot(
     return snapshot_id
 
 
-def _identity_partition_fields(meta: dict) -> list[tuple[str, str]]:
-    """Default-spec partition fields as [(column name, iceberg type)].
-    Identity transforms only (the layout the native DML can stage);
-    bucket/truncate/temporal transforms raise — use the connector jar.
-    Empty list = unpartitioned."""
+class _PartField(typing.NamedTuple):
+    """One default-spec partition field, transform-aware."""
+
+    name: str         # partition field name in the spec (manifest key)
+    src: str          # source column name
+    src_type: str     # iceberg type of the source column
+    transform: str    # 'identity' | 'bucket[N]' | 'truncate[W]' |
+                      # 'year' | 'month' | 'day' | 'hour'
+    result_type: str  # iceberg type of the partition VALUE
+
+
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNCATE_RE = re.compile(r"^truncate\[(\d+)\]$")
+_INT64_HASHABLE = {"int", "long", "date", "time", "timestamp",
+                   "timestamptz"}
+
+
+def _mmh3_32_int64(vals):
+    """murmur3_x86_32 (seed 0) of int64 values serialized as 8-byte
+    little-endian — the iceberg bucket-transform hash for
+    int/long/date/time/timestamp (spec Appendix B). Vectorized numpy,
+    uint32 wraparound arithmetic."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    blocks = [
+        (v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (v >> np.uint64(32)).astype(np.uint32),
+    ]
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.zeros(len(v), dtype=np.uint32)
+    for k in blocks:
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)  # length
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def _mmh3_32_bytes(data: bytes) -> int:
+    """murmur3_x86_32 (seed 0) over raw bytes — the iceberg bucket hash
+    for string (UTF-8) / binary / uuid inputs. Returns uint32."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = 0
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n:]
+    if tail:
+        k = 0
+        for i in reversed(range(len(tail))):
+            k = (k << 8) | tail[i]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _transform_expr(pf: _PartField):
+    """Spark Column computing ``pf``'s partition value from the source
+    column — identity/truncate/temporal transforms as built-in JVM
+    expressions; bucket via an Arrow-batched pandas UDF around the
+    spec's murmur3 (no built-in matches iceberg's hash)."""
+    from pyspark.sql import functions as F
+
+    col = F.col(f"`{pf.src}`")
+    tr = pf.transform
+    if tr == "identity":
+        return col
+    m = _BUCKET_RE.match(tr)
+    if m:
+        n = int(m.group(1))
+        base = pf.src_type.split("(")[0]
+        from pyspark.sql.functions import pandas_udf
+
+        if base in _INT64_HASHABLE:
+            if base == "date":
+                col = F.datediff(col, F.lit("1970-01-01")).cast("long")
+            elif base in ("timestamp", "timestamptz"):
+                col = F.unix_micros(col)
+            else:
+                col = col.cast("long")
+
+            def _bucket_long(s):
+                import numpy as np
+                import pandas as pd
+
+                mask = s.notna()
+                out = pd.Series([None] * len(s), dtype="object")
+                if mask.any():
+                    h = _mmh3_32_int64(s[mask].astype("int64").to_numpy())
+                    out[mask] = (
+                        (h & np.uint32(0x7FFFFFFF)).astype("int64") % n
+                    ).astype("int32")
+                return out.astype("Int32")
+
+            return pandas_udf(_bucket_long, "int")(col)
+        if base == "string":
+
+            def _bucket_str(s):
+                import pandas as pd
+
+                return pd.Series(
+                    [
+                        None
+                        if v is None
+                        else int(
+                            (_mmh3_32_bytes(v.encode("utf-8")) & 0x7FFFFFFF)
+                            % n
+                        )
+                        for v in s
+                    ],
+                    dtype="Int32",
+                )
+
+            return pandas_udf(_bucket_str, "int")(col)
+        raise IcebergError(
+            f"bucket transform over {pf.src_type!r} is not supported by "
+            "the native writer"
+        )
+    m = _TRUNCATE_RE.match(tr)
+    if m:
+        w = int(m.group(1))
+        base = pf.src_type.split("(")[0]
+        if base in ("int", "long"):
+            return col - F.pmod(col, F.lit(w))
+        if base == "string":
+            return F.substring(col, 1, w)
+        raise IcebergError(
+            f"truncate transform over {pf.src_type!r} is not supported "
+            "by the native writer"
+        )
+    if tr == "year":
+        return F.year(col) - F.lit(1970)
+    if tr == "month":
+        return (F.year(col) - F.lit(1970)) * F.lit(12) + F.month(col) - F.lit(1)
+    if tr == "day":
+        return F.datediff(col.cast("date"), F.lit("1970-01-01"))
+    if tr == "hour":
+        return F.floor(F.unix_micros(col) / F.lit(3_600_000_000)).cast("int")
+    raise IcebergError(
+        f"unsupported iceberg partition transform {tr!r}"
+    )
+
+
+def _partition_fields(meta: dict) -> list[_PartField]:
+    """Default-spec partition fields, transform-aware (VERDICT r7 #5 —
+    r7 shipped identity only; bucket/truncate/year/month/day/hour now
+    stage natively). Empty list = unpartitioned."""
     specs = meta.get("partition-specs") or [
         {"spec-id": 0, "fields": meta.get("partition-spec", [])}
     ]
@@ -637,12 +804,6 @@ def _identity_partition_fields(meta: dict) -> list[tuple[str, str]]:
         tr = pf.get("transform", "identity")
         if tr == "void":
             continue
-        if tr != "identity":
-            raise IcebergError(
-                f"native iceberg DML supports identity partition "
-                f"transforms only (found {tr!r}); install the "
-                "iceberg-spark connector jar for transformed partitions"
-            )
         src = by_id.get(pf.get("source-id"))
         if src is None:
             raise IcebergError(
@@ -650,7 +811,22 @@ def _identity_partition_fields(meta: dict) -> list[tuple[str, str]]:
                 f"source-id {pf.get('source-id')}"
             )
         t = src["type"] if isinstance(src["type"], str) else "string"
-        out.append((src["name"], t))
+        if tr == "identity":
+            result = t
+        elif _TRUNCATE_RE.match(tr):
+            result = t
+        elif _BUCKET_RE.match(tr) or tr in ("year", "month", "day", "hour"):
+            result = "int"
+        else:
+            raise IcebergError(
+                f"unsupported iceberg partition transform {tr!r}; "
+                "install the iceberg-spark connector jar"
+            )
+        out.append(
+            _PartField(
+                pf.get("name") or src["name"], src["name"], t, tr, result
+            )
+        )
     return out
 
 
@@ -661,15 +837,16 @@ _ICE_PART_AVRO = {
 }
 
 
-def _partition_avro_fields(pfields: list[tuple[str, str]]) -> list[dict]:
+def _partition_avro_fields(pfields: list[_PartField]) -> list[dict]:
     out = []
-    for name, t in pfields:
-        at = _ICE_PART_AVRO.get(t.split("(")[0])
+    for pf in pfields:
+        at = _ICE_PART_AVRO.get(pf.result_type.split("(")[0])
         if at is None:
             raise IcebergError(
-                f"native iceberg DML cannot encode partition type {t!r}"
+                "native iceberg DML cannot encode partition type "
+                f"{pf.result_type!r}"
             )
-        out.append({"name": name, "type": ["null", at], "default": None})
+        out.append({"name": pf.name, "type": ["null", at], "default": None})
     return out
 
 
@@ -695,9 +872,42 @@ def _decode_part_value(raw: str, ice_type: str):
     return v
 
 
+_PARTITION_BY_ARG_RE = re.compile(
+    r"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)$",
+    re.IGNORECASE,
+)
+_PARTITION_BY_TEMPORAL_RE = re.compile(
+    r"^(years?|months?|days?|hours?)\s*\(\s*([A-Za-z_]\w*)\s*\)$",
+    re.IGNORECASE,
+)
+
+
+def _parse_partition_by(spec: str) -> tuple[str, str, str]:
+    """``partition_by`` entry -> (source column, iceberg transform,
+    partition field name). Accepts a bare column (identity),
+    ``bucket(N, col)``, ``truncate(W, col)``, and
+    ``year|month|day|hour(col)`` (plural aliases too — the Spark SQL
+    spelling)."""
+    s = spec.strip()
+    m = _PARTITION_BY_ARG_RE.match(s)
+    if m:
+        kind, n, col = m.group(1).lower(), int(m.group(2)), m.group(3)
+        tr = f"{kind}[{n}]"
+        suffix = "bucket" if kind == "bucket" else "trunc"
+        return col, tr, f"{col}_{suffix}"
+    m = _PARTITION_BY_TEMPORAL_RE.match(s)
+    if m:
+        kind = m.group(1).lower().rstrip("s")
+        col = m.group(2)
+        return col, kind, f"{col}_{kind}"
+    if re.match(r"^[A-Za-z_]\w*$", s):
+        return s, "identity", s
+    raise IcebergError(f"unsupported partition_by spec {spec!r}")
+
+
 def _stage_data_files(
     df, table_path: str,
-    pfields: list[tuple[str, str]] | None = None,
+    pfields: list[_PartField] | None = None,
 ) -> list[dict]:
     """Distributed write of ``df`` into a unique per-commit subdirectory
     of data/; returns data_file dicts for exactly the files this write
@@ -705,13 +915,14 @@ def _stage_data_files(
     Commits claim only their own files, so a concurrent writer's
     in-flight parquet can never be attributed to this snapshot.
 
-    Partitioned tables (identity transforms): iceberg data files carry
-    the partition columns IN the parquet (unlike hive layout), and each
-    file must hold exactly one partition's rows. Both at once via one
-    distributed write: duplicate each partition column as ``_ice_p_i``
-    and ``partitionBy`` on the copies — the originals stay in the file,
-    the copies become the directory names the manifest partition struct
-    is decoded from."""
+    Partitioned tables: iceberg data files carry the source columns IN
+    the parquet (unlike hive layout), and each file must hold exactly
+    one partition tuple's rows. Both at once via one distributed write:
+    compute each partition field's TRANSFORMED value as ``_ice_p_i``
+    and ``partitionBy`` on those — the source columns stay in the file,
+    the transformed copies become the directory names the manifest
+    partition struct is decoded from (identity/bucket/truncate/
+    year/month/day/hour)."""
     import uuid
 
     import pyarrow.parquet as pq
@@ -720,12 +931,10 @@ def _stage_data_files(
     sub = "c" + uuid.uuid4().hex[:16]
     cdir = os.path.join(ddir, sub)
     if pfields:
-        from pyspark.sql import functions as F
-
         staged = df
         shadow = []
-        for i, (name, _t) in enumerate(pfields):
-            staged = staged.withColumn(f"_ice_p_{i}", F.col(f"`{name}`"))
+        for i, pf in enumerate(pfields):
+            staged = staged.withColumn(f"_ice_p_{i}", _transform_expr(pf))
             shadow.append(f"_ice_p_{i}")
         staged.write.mode("append").partitionBy(*shadow).parquet(cdir)
     else:
@@ -754,8 +963,10 @@ def _stage_data_files(
                     key, _, raw = seg.partition("=")
                     if key.startswith("_ice_p_"):
                         i = int(key[len("_ice_p_"):])
-                        name, t = pfields[i]
-                        vals[name] = _decode_part_value(raw, t)
+                        pf = pfields[i]
+                        vals[pf.name] = _decode_part_value(
+                            raw, pf.result_type
+                        )
                 d["partition"] = vals
             out.append(d)
     return out
@@ -813,28 +1024,39 @@ def write_iceberg_native(
     partition_specs = None
     if meta is None:
         fields = []
+        pfields = []
         if partition_by:
             by_name = {f["name"]: f for f in schema_obj["fields"]}
-            for i, col in enumerate(partition_by):
+            for i, spec in enumerate(partition_by):
+                col, transform, pname = _parse_partition_by(spec)
                 if col not in by_name:
                     raise IcebergError(
                         f"partition column {col!r} not in schema"
                     )
                 fields.append({
-                    "name": col, "transform": "identity",
+                    "name": pname, "transform": transform,
                     "source-id": by_name[col]["id"],
                     "field-id": 1000 + i,
                 })
+                t = by_name[col]["type"]
+                if not isinstance(t, str):
+                    t = "string"
+                result = (
+                    t
+                    if transform == "identity" or transform.startswith("truncate")
+                    else "int"
+                )
+                pfields.append(
+                    _PartField(pname, col, t, transform, result)
+                )
         partition_specs = [{"spec-id": 0, "fields": fields}]
-        pfields = [(c, by_name[c]["type"]) for c in (partition_by or [])] \
-            if partition_by else []
     else:
         if partition_by is not None:
             raise IcebergError(
                 "partition_by applies only when creating a table; this "
                 "table already has a partition spec"
             )
-        pfields = _identity_partition_fields(meta)
+        pfields = _partition_fields(meta)
     added = _stage_data_files(df, table_path, pfields or None)
     summary = {
         "added-data-files": len(added),
@@ -873,7 +1095,7 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
 
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
-    pfields = _identity_partition_fields(meta)
+    pfields = _partition_fields(meta)
     snap_id = meta.get("current-snapshot-id")
     active = []
     for e in _manifest_entries(meta, table_path):
@@ -942,7 +1164,7 @@ def optimize_iceberg_native(
     (files_removed, files_added)."""
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
-    pfields = _identity_partition_fields(meta)
+    pfields = _partition_fields(meta)
     active = []
     for e in _manifest_entries(meta, table_path):
         if _STATUS.get(e.get("status", 0)) == "DELETED":
@@ -993,7 +1215,7 @@ def merge_iceberg_native(
 
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
-    pfields = _identity_partition_fields(meta)
+    pfields = _partition_fields(meta)
     cols = [
         f["name"]
         for f in _current_schema_obj(meta).get(

@@ -407,3 +407,101 @@ def test_partition_by_on_existing_table_rejected(spark, sf_dir, tmp_path):
         write_iceberg_native(
             _part_docs(spark, sf_dir, 10, 20), path, partition_by=["lang"]
         )
+
+
+# --- transformed partition specs (bucket/truncate/temporal; VERDICT r7 #5) ---
+
+
+def test_bucket_hash_spec_vectors():
+    """murmur3_x86_32 bucket hash reproduces the Iceberg spec's
+    Appendix B test vectors exactly."""
+    from glaredb_spark.sources.iceberg_native import (
+        _mmh3_32_bytes, _mmh3_32_int64,
+    )
+
+    def s32(u):
+        u = int(u)
+        return u - 2**32 if u >= 2**31 else u
+
+    assert s32(_mmh3_32_int64([34])[0]) == 2017239379          # int/long
+    assert s32(_mmh3_32_int64([17486])[0]) == -653330422       # date
+    assert s32(_mmh3_32_int64([1510871468000000])[0]) == -2047944441  # ts
+    assert s32(_mmh3_32_bytes(b"iceberg")) == 1210000089       # string
+
+
+def test_bucket_partitioned_create_delete(spark, sf_dir, tmp_path):
+    """bucket(4, doc_id): manifest tuples carry the spec hash's bucket
+    ids; COW DELETE restages the surviving rows into the same buckets."""
+    from glaredb_spark.sources.iceberg_native import (
+        _mmh3_32_int64, delete_iceberg_native,
+    )
+
+    path = str(tmp_path / "ice_bucket")
+    src = _part_docs(spark, sf_dir, 0, 60)
+    write_iceberg_native(src, path, partition_by=["bucket(4, doc_id)"])
+    assert _collect(read_iceberg_native(spark, path)) == _collect(src)
+    parts = _read_manifest_partitions(path)
+    assert parts and all(set(p) == {"doc_id_bucket"} for p in parts)
+    assert {p["doc_id_bucket"] for p in parts} <= {0, 1, 2, 3}
+
+    def bucket(v, n=4):
+        return int((int(_mmh3_32_int64([v])[0]) & 0x7FFFFFFF) % n)
+
+    expect = {bucket(r["doc_id"]) for r in src.collect()}
+    assert {p["doc_id_bucket"] for p in parts} == expect
+    deleted, rewritten = delete_iceberg_native(
+        spark, path, "doc_id % 3 = 1")
+    assert deleted == 20 and rewritten >= 1
+    got = sorted(r["doc_id"]
+                 for r in read_iceberg_native(spark, path).collect())
+    assert got == [i for i in range(60) if i % 3 != 1]
+    # surviving files still carry bucket tuples
+    parts2 = _read_manifest_partitions(path)
+    assert parts2 and all(set(p) == {"doc_id_bucket"} for p in parts2)
+
+
+def test_truncate_and_temporal_transforms(spark, sf_dir, tmp_path):
+    """truncate(2, lang) + month(d): transformed values land in the
+    manifests; update restages correctly."""
+    import datetime
+
+    from glaredb_spark.sources.iceberg_native import update_iceberg_native
+
+    path = str(tmp_path / "ice_tt")
+    rows = [
+        (i, ["en", "enx", "fr", "frz"][i % 4],
+         datetime.date(1970 + i % 3, 1 + i % 12, 5))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, d date")
+    write_iceberg_native(
+        df, path, partition_by=["truncate(2, lang)", "month(d)"]
+    )
+    parts = _read_manifest_partitions(path)
+    assert parts and all(
+        set(p) == {"lang_trunc", "d_month"} for p in parts
+    )
+    assert {p["lang_trunc"] for p in parts} == {"en", "fr"}
+    months = {
+        (r[2].year - 1970) * 12 + r[2].month - 1 for r in rows
+    }
+    assert {p["d_month"] for p in parts} == months
+    got = sorted(r["id"] for r in read_iceberg_native(spark, path).collect())
+    assert got == list(range(24))
+    updated, rewritten = update_iceberg_native(
+        spark, path, {"lang": "'zz'"}, "id = 3")
+    assert updated == 1
+    df2 = read_iceberg_native(spark, path)
+    assert df2.filter("id = 3").collect()[0]["lang"] == "zz"
+    assert df2.count() == 24
+
+
+def test_unsupported_transform_still_rejected(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.iceberg_native import IcebergError
+
+    with pytest.raises(IcebergError, match="unsupported partition_by"):
+        write_iceberg_native(
+            _part_docs(spark, sf_dir, 0, 10),
+            str(tmp_path / "bad"),
+            partition_by=["zorder(lang)"],
+        )
