@@ -620,15 +620,19 @@ def _dec_class(expr: str, resolver: "ClassResolver | None") -> "str | None":
     parts = _split_arith_terms(e, ops)
     if len(parts) > 1:
         classes = [_dec_class(p, resolver) for p in parts]
-        if any(op in ("/", "%") for op in ops):
-            c = _combine_classes(classes)
-            if c == "dec":
-                # decimal involved in division → reference result is
-                # Float64 (div.rs DivDecimal) — and after this module's
-                # own site rewrite Spark agrees
-                return "no"
-            return c  # all-int chains keep int semantics; else no/None
-        return _combine_classes(classes)
+        c = _combine_classes(classes)
+        if any(op in ("%", "div") for op in ops):
+            # Spark keeps decimal %/div decimal-typed while the
+            # reference has no decimal overload (implicit float) — no
+            # rewrite matches them yet, so a decimal-involving chain is
+            # UNKNOWN (skip downstream rewrites), not provably-float
+            return c if c == "int" else None
+        if any(op == "/" for op in ops):
+            # decimal involved in division → reference result is
+            # Float64 (div.rs DivDecimal) — and after this module's
+            # own site rewrite Spark agrees
+            return "no" if c == "dec" else c
+        return c
     if _CASE_RE.match(e):
         branches = _case_branch_exprs(e)
         if branches is None:
@@ -658,6 +662,10 @@ def _dec_class(expr: str, resolver: "ClassResolver | None") -> "str | None":
             return "dec"
         if fname in _INT_IF_ARGS_INT:
             args = _split_top_args(call.group(2))
+            if fname == "if" and len(args) == 3:
+                args = args[1:]  # the boolean condition carries no value type
+            elif fname == "nullif" and args:
+                args = args[:1]  # result type is the first argument's
             return _combine_classes(
                 [_dec_class(a, resolver) for a in args]
             )
@@ -674,9 +682,9 @@ def _dec_class(expr: str, resolver: "ClassResolver | None") -> "str | None":
     return None
 
 
-def _values_classmap(sql: str) -> dict[str, "str | None"]:
-    """colN / columnN -> type class inferred from VALUES literal tuples."""
-    verdict: dict[int, list] = {}
+def _iter_values_tuples(sql: str):
+    """Yield each VALUES tuple as its list of top-level literal texts —
+    the single scanner both the int-ness and class maps derive from."""
     for m in _VALUES_RE.finditer(sql):
         i, n = m.end(), len(sql)
         while i < n:
@@ -697,10 +705,16 @@ def _values_classmap(sql: str) -> dict[str, "str | None"]:
                     if depth == 0:
                         break
                 j += 1
-            tup = _split_top_args(sql[i + 1 : j])
-            for k, lit in enumerate(tup):
-                verdict.setdefault(k, []).append(_dec_class(lit, None))
+            yield _split_top_args(sql[i + 1 : j])
             i = j + 1
+
+
+def _values_classmap(sql: str) -> dict[str, "str | None"]:
+    """colN / columnN -> type class inferred from VALUES literal tuples."""
+    verdict: dict[int, list] = {}
+    for tup in _iter_values_tuples(sql):
+        for k, lit in enumerate(tup):
+            verdict.setdefault(k, []).append(_dec_class(lit, None))
     out: dict[str, "str | None"] = {}
     for k, classes in verdict.items():
         cls = _combine_classes(classes)
@@ -832,6 +846,79 @@ def make_class_resolver(spark, sql: str) -> ClassResolver:
     return resolve
 
 
+_AVG_CALL_RE = re.compile(r"\b(avg|mean)\s*\(", re.IGNORECASE)
+
+
+def _find_close(s: str, open_pos: int) -> int:
+    """Index of the ')' matching the '(' at open_pos (quote-aware)."""
+    depth, i, n = 0, open_pos, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"":
+            q = s[i]
+            i += 1
+            while i < n and s[i] != q:
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def rewrite_dec_avg(
+    sql: str, resolver: "ClassResolver | None" = None
+) -> str:
+    """``avg()`` over decimals returns Float64 in the reference
+    (avg.rs floats decimal averages; the SLT describe tolerance
+    documents it) while Spark keeps DECIMAL(p+4,s+4) — which then
+    changes downstream division precision. Wrap every provably-decimal
+    avg/mean call in ``CAST(.. AS DOUBLE)``; window forms extend the
+    wrap over the OVER clause (a CAST between the call and OVER would
+    not parse)."""
+    out, pos = sql, 0
+    while True:
+        spans = _find_literal_spans(out)
+        m = next(
+            (
+                c
+                for c in _AVG_CALL_RE.finditer(out, pos)
+                if not _in_spans(c.start(), spans)
+            ),
+            None,
+        )
+        if m is None:
+            return out
+        close = _find_close(out, m.end() - 1)
+        if close < 0:
+            return out
+        args = _split_top_args(out[m.end() : close])
+        arg = args[0].strip() if len(args) == 1 else ""
+        arg = re.sub(r"^(?:DISTINCT|ALL)\s+", "", arg, flags=re.IGNORECASE)
+        if not arg or _dec_class(arg, resolver) != "dec":
+            pos = m.end()
+            continue
+        end = close + 1
+        over = re.match(r"\s+OVER\b\s*", out[end:], re.IGNORECASE)
+        if over:
+            rest = end + over.end()
+            if rest < len(out) and out[rest] == "(":
+                oc = _find_close(out, rest)
+                if oc < 0:
+                    return out
+                end = oc + 1
+            else:
+                named = re.match(r"[A-Za-z_]\w*", out[rest:])
+                if named:
+                    end = rest + named.end()
+        call = out[m.start() : end]
+        out = f"{out[:m.start()]}CAST({call} AS DOUBLE){out[end:]}"
+        pos = m.start() + 5 + len(call) + 11  # past ' AS DOUBLE)'
+
+
 def rewrite_dec_division(
     sql: str, resolver: "ClassResolver | None" = None
 ) -> str:
@@ -839,8 +926,12 @@ def rewrite_dec_division(
     (reference div.rs:122-135: DivDecimal casts both sides to f64).
     Qualifies when one side is provably decimal and the other provably
     decimal-or-int (the reference implicit-casts the int side)."""
+    # each iteration rewrites exactly one site and never creates a new
+    # qualifying one (the inserted CASTs classify 'no'), so site-count
+    # iterations always suffice — no silent cap on large queries
     guard = 0
-    while guard < 64:
+    max_iters = sql.count("/") + 8
+    while guard < max_iters:
         guard += 1
         spans = _find_literal_spans(sql)
         changed = False
@@ -876,31 +967,10 @@ def values_colmap(sql: str) -> dict[str, bool]:
     """colN / columnN -> int-ness inferred from VALUES literal tuples
     (int only when every tuple's literal in that position is an integer)."""
     verdict: dict[int, bool] = {}
-    for m in _VALUES_RE.finditer(sql):
-        i, n = m.end(), len(sql)
-        while i < n:
-            while i < n and (sql[i].isspace() or sql[i] == ","):
-                i += 1
-            if i >= n or sql[i] != "(":
-                break
-            depth, j = 0, i
-            while j < n:
-                if sql[j] == "'":
-                    j += 1
-                    while j < n and sql[j] != "'":
-                        j += 1
-                elif sql[j] == "(":
-                    depth += 1
-                elif sql[j] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j += 1
-            tup = _split_top_args(sql[i + 1 : j])
-            for k, lit in enumerate(tup):
-                is_int = bool(_INT_LIT.match(lit.strip()))
-                verdict[k] = verdict.get(k, True) and is_int
-            i = j + 1
+    for tup in _iter_values_tuples(sql):
+        for k, lit in enumerate(tup):
+            is_int = bool(_INT_LIT.match(lit.strip()))
+            verdict[k] = verdict.get(k, True) and is_int
     out: dict[str, bool] = {}
     for k, v in verdict.items():
         out[f"col{k + 1}"] = v
@@ -952,7 +1022,15 @@ def rewrite_arith(sql: str, spark=None) -> str:
     sql = expand_poly_calls(sql)
     resolver = make_resolver(spark, sql) if spark is not None else None
     sql = rewrite_int_division(sql, resolver)
-    if "/" in sql:
+    spans = _find_literal_spans(sql)
+    has_div = any(
+        ch == "/" and not _in_spans(i, spans) for i, ch in enumerate(sql)
+    )  # literal-masked gate: paths/URLs alone don't pay resolver cost
+    has_avg = bool(_AVG_CALL_RE.search(sql))
+    if has_div or has_avg:
         cres = make_class_resolver(spark, sql) if spark is not None else None
-        sql = rewrite_dec_division(sql, cres)
+        if has_avg:
+            sql = rewrite_dec_avg(sql, cres)
+        if has_div:
+            sql = rewrite_dec_division(sql, cres)
     return sql

@@ -57,20 +57,31 @@ GATE_PRIORITY: list[str] = [
     # module since r4; r5: q04 and q15 yield theirs to the new ClickBench
     # canonical-43 module — their EXISTS-agg and view-max shapes are
     # covered by q21/q02 and both stay in the local strict gate)
+    # r8 rotation (VERDICT r7 #8): q11 and q14 yield their slots to the
+    # round's new lakehouse DML queries — their group-agg-having and
+    # filter-join-ratio shapes are covered by q16/q17 and q19/q06, and
+    # both now ALSO run bit-exact every round as tpchbench golden SLTs
+    # (tests/test_slt.py allowlist); both stay in the local strict gate
     "tpch_q02", "tpch_q03", "tpch_q05", "tpch_q06",
-    "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10", "tpch_q11",
-    "tpch_q13", "tpch_q14", "tpch_q16",
+    "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10",
+    "tpch_q13", "tpch_q16",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    # r7/r8 lakehouse DML surface, first driver rows: identity-partitioned
+    # Iceberg DML (r7, local-only evidence until now), columnMapping Delta
+    # DML, and bucket-transform Iceberg DML (both r8)
+    "iceberg_partitioned_dml",
+    "delta_mapped_dml",
+    "iceberg_bucket_dml",
     # r5: q22 yields its slot to the new Iceberg DML roundtrip (the
     # headline r5 writer feature gets a driver row; q22's anti-join +
     # scalar-subquery shape is covered by q21/q16 and it stays in the
     # local strict gate every round)
     "iceberg_dml_roundtrip",
     # r5-new ClickBench canonical suite (all 43 registered + oracle-gated;
-    # these two get first driver rows: the regex-domain HAVING shape and
-    # the planted-constant OFFSET shape)
+    # q28 keeps the driver row for the regex-domain HAVING shape; r8:
+    # q40's planted-constant OFFSET slot went to the lakehouse DML rows —
+    # all 43 stay in the local strict gate every round)
     "cb43_q28",
-    "cb43_q40",
     # oldest-driver-row fills (r1/r2 last sampled), one+ per module
     "rel_subqueries",
     "text_token_stats",

@@ -717,21 +717,26 @@ def _transform_expr(pf: _PartField):
                 col = F.unix_micros(col)
             else:
                 col = col.cast("long")
+            # a null-free long column and a separate null flag: a
+            # LongType batch CONTAINING nulls reaches pandas as float64,
+            # silently rounding |v| > 2^53 before hashing — so nulls are
+            # coalesced out Spark-side and re-applied after
+            filled = F.coalesce(col, F.lit(0))
+            isnull = col.isNull()
 
-            def _bucket_long(s):
+            def _bucket_long(s, nul):
                 import numpy as np
                 import pandas as pd
 
-                mask = s.notna()
-                out = pd.Series([None] * len(s), dtype="object")
-                if mask.any():
-                    h = _mmh3_32_int64(s[mask].astype("int64").to_numpy())
-                    out[mask] = (
-                        (h & np.uint32(0x7FFFFFFF)).astype("int64") % n
-                    ).astype("int32")
-                return out.astype("Int32")
+                h = _mmh3_32_int64(s.to_numpy(dtype="int64"))
+                out = pd.Series(
+                    ((h & np.uint32(0x7FFFFFFF)).astype("int64") % n),
+                    dtype="Int32",
+                )
+                out[nul.astype(bool)] = None
+                return out
 
-            return pandas_udf(_bucket_long, "int")(col)
+            return pandas_udf(_bucket_long, "int")(filled, isnull)
         if base == "string":
 
             def _bucket_str(s):
