@@ -651,6 +651,15 @@ def _dec_class(expr: str, resolver: "ClassResolver | None") -> "str | None":
     colon = _COLON_CAST_RE.match(e)
     if colon and "::" in e:
         return _cast_target_class(colon.group(2))
+    over = re.match(
+        r"^(.*\S)\s+OVER\s*(\(.*\)|[A-Za-z_]\w*)\s*$",
+        e,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if over:
+        # window form: the value type is the function's (tpcds q12:
+        # sum(x) OVER (PARTITION BY c))
+        return _dec_class(over.group(1), resolver)
     call = re.match(r"^([A-Za-z_][\w.]*)\s*\((.*)\)$", e, re.DOTALL)
     if call:
         fname = call.group(1).lower()
@@ -869,6 +878,22 @@ def _find_close(s: str, open_pos: int) -> int:
     return -1
 
 
+def _extend_over(sql: str, end: int) -> int:
+    """If an OVER clause follows position ``end``, return the position
+    past it (through `OVER (...)` or a named window `OVER w`); else
+    ``end`` unchanged. Splitting a window call from its OVER clause
+    would produce unparseable SQL."""
+    m = re.match(r"\s+OVER\b\s*", sql[end:], re.IGNORECASE)
+    if not m:
+        return end
+    rest = end + m.end()
+    if rest < len(sql) and sql[rest] == "(":
+        oc = _find_close(sql, rest)
+        return oc + 1 if oc >= 0 else end
+    named = re.match(r"[A-Za-z_]\w*", sql[rest:])
+    return rest + named.end() if named else end
+
+
 def rewrite_dec_avg(
     sql: str, resolver: "ClassResolver | None" = None
 ) -> str:
@@ -901,19 +926,7 @@ def rewrite_dec_avg(
         if not arg or _dec_class(arg, resolver) != "dec":
             pos = m.end()
             continue
-        end = close + 1
-        over = re.match(r"\s+OVER\b\s*", out[end:], re.IGNORECASE)
-        if over:
-            rest = end + over.end()
-            if rest < len(out) and out[rest] == "(":
-                oc = _find_close(out, rest)
-                if oc < 0:
-                    return out
-                end = oc + 1
-            else:
-                named = re.match(r"[A-Za-z_]\w*", out[rest:])
-                if named:
-                    end = rest + named.end()
+        end = _extend_over(out, close + 1)
         call = out[m.start() : end]
         out = f"{out[:m.start()]}CAST({call} AS DOUBLE){out[end:]}"
         pos = m.start() + 5 + len(call) + 11  # past ' AS DOUBLE)'
@@ -942,6 +955,18 @@ def rewrite_dec_division(
             rend, right = _scan_operand_right(sql, i)
             if not left.strip() or not right.strip():
                 continue
+            # window operands: absorb the OVER clause on the right
+            # (CAST between call and OVER would not parse — tpcds q12),
+            # and extend a left scan that stopped at the OVER keyword
+            new_rend = _extend_over(sql, rend)
+            if new_rend != rend:
+                rend, right = new_rend, sql[i + 1 : new_rend]
+            mo = re.search(r"\bOVER\s*$", sql[:ls], re.IGNORECASE)
+            if mo or re.match(r"^OVER\b", left.strip(), re.IGNORECASE):
+                anchor = mo.start() if mo else ls
+                ls2, _fn = _scan_operand_left(sql, anchor)
+                if _fn.strip():
+                    ls, left = ls2, sql[ls2:i]
             lc = _dec_class(left, resolver)
             rc = _dec_class(right, resolver)
             if "dec" in (lc, rc) and {lc, rc} <= {"dec", "int"}:

@@ -380,11 +380,18 @@ def _spark_schema(meta: dict) -> str:
 
 # --- native append writer ----------------------------------------------------
 
-def _manifest_schema(partition_avro_fields: list[dict] | None = None) -> dict:
+def _manifest_schema(
+    partition_avro_fields: list[dict] | None = None, fv: int = 1
+) -> dict:
     """Manifest-entry avro schema; partitioned tables add the spec's
     ``partition`` record (r102) so each data file's partition tuple is
-    recorded per the iceberg spec."""
-    data_fields = [
+    recorded per the iceberg spec. format-version 2 adds the per-entry
+    sequence-number pair and data_file.content, and drops v1's
+    block_size_in_bytes."""
+    data_fields = []
+    if fv == 2:
+        data_fields.append({"name": "content", "type": "int"})
+    data_fields += [
         {"name": "file_path", "type": "string"},
         {"name": "file_format", "type": "string"},
     ]
@@ -397,31 +404,68 @@ def _manifest_schema(partition_avro_fields: list[dict] | None = None) -> dict:
     data_fields += [
         {"name": "record_count", "type": "long"},
         {"name": "file_size_in_bytes", "type": "long"},
-        {"name": "block_size_in_bytes", "type": "long"},
     ]
+    if fv == 1:
+        data_fields.append(
+            {"name": "block_size_in_bytes", "type": "long"}
+        )
+    entry_fields = [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None},
+    ]
+    if fv == 2:
+        entry_fields += [
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None},
+        ]
+    entry_fields.append(
+        {"name": "data_file",
+         "type": {"type": "record", "name": "data_file",
+                  "fields": data_fields}}
+    )
     return {
         "type": "record",
         "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": ["null", "long"],
-             "default": None},
-            {"name": "data_file",
-             "type": {"type": "record", "name": "data_file",
-                      "fields": data_fields}},
-        ],
+        "fields": entry_fields,
     }
 
-_MANIFEST_LIST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_file",
-    "fields": [
+
+def _manifest_list_schema(fv: int = 1) -> dict:
+    fields = [
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
-        {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
-    ],
-}
+    ]
+    if fv == 2:
+        fields += [
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "min_sequence_number", "type": "long"},
+            {"name": "added_snapshot_id", "type": "long"},
+            {"name": "added_files_count", "type": "int"},
+            {"name": "existing_files_count", "type": "int"},
+            {"name": "deleted_files_count", "type": "int"},
+            {"name": "added_rows_count", "type": "long"},
+            {"name": "existing_rows_count", "type": "long"},
+            {"name": "deleted_rows_count", "type": "long"},
+        ]
+    else:
+        fields.append(
+            {"name": "added_snapshot_id", "type": ["null", "long"],
+             "default": None}
+        )
+    return {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": fields,
+    }
+
+
+# v1 alias kept for external callers/tests
+_MANIFEST_LIST_SCHEMA = _manifest_list_schema(1)
 
 _SPARK_TO_ICE = {
     "long": "long", "bigint": "long", "int": "int", "integer": "int",
@@ -472,6 +516,7 @@ def _publish_snapshot(
     summary: dict,
     carry_forward: list[dict] | None = None,
     partition_specs: list[dict] | None = None,
+    format_version: int = 1,
 ) -> int:
     """Author and atomically commit one snapshot: a manifest avro for
     ``added``/``existing`` data_file dicts, a manifest list referencing
@@ -485,32 +530,49 @@ def _publish_snapshot(
 
     from glaredb_spark.sources.avro_lite import write_avro
 
-    # refuse rather than corrupt: this writer authors format-version 1
-    # metadata, so committing onto an externally-written v2 table would
-    # silently downgrade it and discard sequence numbers (ADVICE r5;
-    # v2 tables pass the MoR read guard when they carry no delete files)
-    if meta is not None and (meta.get("format-version", 1) or 1) != 1:
+    # format-version-aware publication (was v1-only until r8; ADVICE r5
+    # rightly refused to downgrade v2 metadata — now v2 commits keep
+    # the version, carry data sequence numbers, and author the v2
+    # manifest/manifest-list/metadata field sets)
+    fv = int((meta or {}).get("format-version", format_version) or 1)
+    if fv not in (1, 2):
         raise IcebergError(
-            "native iceberg writes support format-version 1 tables only; "
-            f"this table is format-version {meta.get('format-version')} — "
-            "a commit would downgrade its metadata (use the Iceberg "
-            "connector jar for v2 DML)"
+            f"native iceberg writes support format-version 1 and 2; "
+            f"this table is format-version {fv}"
         )
 
     mdir = os.path.join(table_path, "metadata")
     now_ms = int(time.time() * 1000)
     prev_snaps = (meta or {}).get("snapshots", [])
     snapshot_id = 1 + max((s["snapshot-id"] for s in prev_snaps), default=0)
-    seq = 1 + max((s.get("sequence-number", 0) for s in prev_snaps), default=0)
+    seq = 1 + max(
+        (s.get("sequence-number", 0) for s in prev_snaps),
+        default=0,
+    )
+    if meta is not None:
+        seq = max(seq, int(meta.get("last-sequence-number", 0) or 0) + 1)
 
-    entries = [
-        {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
-        for d in added
-    ] + [
-        {"status": 0, "snapshot_id": d.pop("_snapshot_id", None),
-         "data_file": d}
-        for d in existing
-    ]
+    entries = []
+    for d in added:
+        e = {"status": 1, "snapshot_id": snapshot_id, "data_file": d}
+        if fv == 2:
+            d.setdefault("content", 0)
+            # null sequence numbers inherit the manifest's (v2 rules)
+            e["sequence_number"] = None
+            e["file_sequence_number"] = None
+        entries.append(e)
+    for d in existing:
+        e = {"status": 0, "snapshot_id": d.pop("_snapshot_id", None),
+             "data_file": d}
+        dseq = d.pop("_seq", None)
+        if fv == 2:
+            d.setdefault("content", 0)
+            # kept files RETAIN their original data sequence number —
+            # inheriting the new manifest's would break MoR delete
+            # scoping for any later reader
+            e["sequence_number"] = dseq
+            e["file_sequence_number"] = dseq
+        entries.append(e)
     spec_src = meta if meta is not None else {
         "partition-specs": partition_specs or [],
         "default-spec-id": 0,
@@ -522,10 +584,11 @@ def _publish_snapshot(
     spec_id = int(spec_src.get("default-spec-id", 0) or 0)
     manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
     manifest_path = os.path.join(mdir, manifest_name)
-    write_avro(manifest_path, _manifest_schema(part_avro), entries)
+    write_avro(manifest_path, _manifest_schema(part_avro, fv), entries)
 
-    ml_entries = [
-        {
+    ml_entries = []
+    for e in carry_forward or []:
+        ce = {
             "manifest_path": _resolve(e["manifest_path"], meta, table_path),
             "manifest_length": int(e.get("manifest_length", 0)),
             "partition_spec_id": int(
@@ -533,19 +596,66 @@ def _publish_snapshot(
             ),
             "added_snapshot_id": e.get("added_snapshot_id"),
         }
-        for e in (carry_forward or [])
-    ]
-    ml_entries.append(
-        {
-            "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": spec_id,
-            "added_snapshot_id": snapshot_id,
-        }
-    )
+        if fv == 2:
+            # v2 manifest-list entries carry content + sequence bounds +
+            # counts; preserve the carried manifest's own values
+            ce.update(
+                content=int(e.get("content", 0) or 0),
+                sequence_number=int(e.get("sequence_number", 0) or 0),
+                min_sequence_number=int(
+                    e.get("min_sequence_number",
+                          e.get("sequence_number", 0)) or 0
+                ),
+                added_snapshot_id=int(
+                    e.get("added_snapshot_id") or snapshot_id
+                ),
+                added_files_count=int(e.get("added_files_count", 0) or 0),
+                existing_files_count=int(
+                    e.get("existing_files_count", 0) or 0
+                ),
+                deleted_files_count=int(
+                    e.get("deleted_files_count", 0) or 0
+                ),
+                added_rows_count=int(e.get("added_rows_count", 0) or 0),
+                existing_rows_count=int(
+                    e.get("existing_rows_count", 0) or 0
+                ),
+                deleted_rows_count=int(
+                    e.get("deleted_rows_count", 0) or 0
+                ),
+            )
+        ml_entries.append(ce)
+    new_ml = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": spec_id,
+        "added_snapshot_id": snapshot_id,
+    }
+    if fv == 2:
+        kept_seqs = [
+            e["sequence_number"]
+            for e in entries
+            if e.get("sequence_number") is not None
+        ]
+        new_ml.update(
+            content=0,
+            sequence_number=seq,
+            min_sequence_number=min([seq, *kept_seqs]),
+            added_files_count=len(added),
+            existing_files_count=len(existing),
+            deleted_files_count=0,
+            added_rows_count=sum(
+                int(d.get("record_count", 0) or 0) for d in added
+            ),
+            existing_rows_count=sum(
+                int(d.get("record_count", 0) or 0) for d in existing
+            ),
+            deleted_rows_count=0,
+        )
+    ml_entries.append(new_ml)
     ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
     ml_path = os.path.join(mdir, ml_name)
-    write_avro(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries)
+    write_avro(ml_path, _manifest_list_schema(fv), ml_entries)
 
     version = 1
     if meta is not None:
@@ -580,7 +690,7 @@ def _publish_snapshot(
         len(schema_obj.get("fields", [])),
     )
     new_meta = {
-        "format-version": 1,
+        "format-version": fv,
         "table-uuid": prev.get("table-uuid", str(uuid.uuid4())),
         "location": table_path,
         "last-updated-ms": now_ms,
@@ -601,6 +711,28 @@ def _publish_snapshot(
         "current-snapshot-id": snapshot_id,
         "snapshots": prev_snaps + [snapshot],
     }
+    if fv == 2:
+        specs = new_meta["partition-specs"]
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-partition-id"] = int(
+            prev.get(
+                "last-partition-id",
+                max(
+                    (
+                        int(f.get("field-id", 999) or 999)
+                        for s in specs
+                        for f in s.get("fields", [])
+                    ),
+                    default=999,
+                ),
+            )
+        )
+        new_meta["sort-orders"] = prev.get(
+            "sort-orders", [{"order-id": 0, "fields": []}]
+        )
+        new_meta["default-sort-order-id"] = prev.get(
+            "default-sort-order-id", 0
+        )
     mpath = os.path.join(mdir, f"v{version}.metadata.json")
     fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
@@ -980,6 +1112,7 @@ def _stage_data_files(
 def write_iceberg_native(
     df, table_path: str, mode: str = "append",
     partition_by: list[str] | None = None,
+    format_version: int = 1,
 ) -> int:
     """Write ``df`` to an Iceberg v1 table at ``table_path`` (creating
     it if absent) without any connector jar — the writer half of this
@@ -995,11 +1128,15 @@ def write_iceberg_native(
     previous snapshot's manifests forward; ``mode="overwrite"``
     references only the new files (prior snapshots stay readable via
     ``read_iceberg_native(..., snapshot_id=...)`` time travel).
-    v1 tables, unpartitioned or identity-partitioned (``partition_by``
-    names identity partition columns when creating a new table; on an
-    existing table the default spec's identity fields apply). The
-    manifest avro carries the field subset the protocol requires for a
-    data scan plus the partition tuple (no column stats — readers
+    Both format versions commit natively: v1, and (r8) v2 — sequence
+    numbers advance per commit, kept files retain their data sequence
+    numbers, and the v2 manifest/manifest-list field sets are authored
+    per spec (``format_version=2`` creates a v2 table; an existing
+    table keeps its version). Partitioning: unpartitioned, identity,
+    or transformed specs (``partition_by`` accepts "col",
+    "bucket(N, col)", "truncate(W, col)", "year|month|day|hour(col)").
+    The manifest avro carries the field subset the protocol requires
+    for a data scan plus the partition tuple (no column stats — readers
     treat missing stats as unpruned, which is correct, just less of an
     optimization). Returns the new snapshot id."""
     if mode not in ("append", "overwrite"):
@@ -1081,7 +1218,7 @@ def write_iceberg_native(
         )
     return _publish_snapshot(
         table_path, meta, schema_obj, added, [], mode, summary, carry,
-        partition_specs=partition_specs,
+        partition_specs=partition_specs, format_version=format_version,
     )
 
 
@@ -1113,6 +1250,7 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
             )
         d["file_path"] = _resolve(d["file_path"], meta, table_path)
         d["_snapshot_id"] = e.get("snapshot_id")
+        d["_seq"] = e.get("_seq")  # kept files retain their data seq (v2)
         d.setdefault("block_size_in_bytes", 67108864)
         active.append(d)
     if not active:
@@ -1252,6 +1390,7 @@ def merge_iceberg_native(
             )
         d["file_path"] = _resolve(d["file_path"], meta, table_path)
         d["_snapshot_id"] = e.get("snapshot_id")
+        d["_seq"] = e.get("_seq")  # kept files retain their data seq (v2)
         d.setdefault("block_size_in_bytes", 67108864)
         active.append(d)
 

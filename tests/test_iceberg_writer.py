@@ -222,16 +222,18 @@ def test_merge_insert_only_skips_rewrite(spark, sf_dir, tmp_path):
         assert got[k] == (v + 7 if k >= 30 else v), (k, got[k])
 
 
-def test_write_refuses_v2_metadata(spark, sf_dir, tmp_path):
+def test_write_preserves_external_v2_metadata(spark, sf_dir, tmp_path):
     """Committing onto an externally-written format-version 2 table
-    must refuse rather than silently downgrade its metadata to v1
-    (ADVICE r5). Covers append and COW DML."""
+    keeps it v2 and advances last-sequence-number (the ADVICE r5
+    refusal is replaced by real v2 publication in r8); an unknown
+    future version still refuses rather than corrupting."""
     import json
     import os
 
     from glaredb_spark.sources.iceberg_native import (
         _metadata_path,
         delete_iceberg_native,
+        table_metadata,
     )
 
     path = str(tmp_path / "ice")
@@ -239,17 +241,32 @@ def test_write_refuses_v2_metadata(spark, sf_dir, tmp_path):
     mp = _metadata_path(path)
     meta = json.load(open(mp))
     meta["format-version"] = 2
-    meta["last-sequence-number"] = 1
+    meta["last-sequence-number"] = 7
     with open(mp, "w") as fh:
         json.dump(meta, fh)
+    write_iceberg_native(_docs(spark, sf_dir, 10, 20), path, mode="append")
+    meta2 = table_metadata(path)
+    assert meta2["format-version"] == 2
+    assert meta2["last-sequence-number"] == 8
+    deleted, _ = delete_iceberg_native(spark, path, "doc_id = 1")
+    assert deleted == 1
+    meta3 = table_metadata(path)
+    assert meta3["format-version"] == 2
+    assert meta3["last-sequence-number"] == 9
+    got = sorted(
+        r["doc_id"] for r in read_iceberg_native(spark, path).collect()
+    )
+    assert got == [i for i in range(20) if i != 1]
+    # future versions refuse untouched
+    mp3 = _metadata_path(path)
+    m = json.load(open(mp3))
+    m["format-version"] = 3
+    with open(mp3, "w") as fh:
+        json.dump(m, fh)
     with pytest.raises(IcebergError, match="format-version"):
-        write_iceberg_native(_docs(spark, sf_dir, 10, 20), path,
-                             mode="append")
-    with pytest.raises(IcebergError, match="format-version"):
-        delete_iceberg_native(spark, path, "doc_id = 1")
-    # the v2 metadata is untouched by the refused attempts
-    assert json.load(open(mp))["format-version"] == 2
-    assert os.path.basename(_metadata_path(path)) == os.path.basename(mp)
+        write_iceberg_native(_docs(spark, sf_dir, 20, 30), path)
+    assert json.load(open(mp3))["format-version"] == 3
+    assert os.path.basename(_metadata_path(path)) == os.path.basename(mp3)
 
 
 def test_publish_preserves_schema_evolution(spark, sf_dir, tmp_path):
@@ -505,3 +522,98 @@ def test_unsupported_transform_still_rejected(spark, sf_dir, tmp_path):
             str(tmp_path / "bad"),
             partition_by=["zorder(lang)"],
         )
+
+
+# --- format-version 2 commits (r8; was v1-only with a refusal) ---------------
+
+
+def test_v2_create_append_read(spark, sf_dir, tmp_path):
+    """format_version=2 creation: v2 metadata keys (last-sequence-number,
+    sort-orders), v2 manifest-list field set, sequence numbers advancing
+    per commit; our own v2-aware reader folds it back."""
+    from glaredb_spark.sources.avro_lite import read_avro
+    from glaredb_spark.sources.iceberg_native import table_metadata
+
+    path = str(tmp_path / "v2t")
+    write_iceberg_native(
+        _part_docs(spark, sf_dir, 0, 30), path, format_version=2
+    )
+    meta = table_metadata(path)
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 1
+    assert meta["sort-orders"] == [{"order-id": 0, "fields": []}]
+    write_iceberg_native(_part_docs(spark, sf_dir, 30, 50), path)
+    meta = table_metadata(path)
+    assert meta["last-sequence-number"] == 2
+    snaps = meta["snapshots"]
+    assert [s["sequence-number"] for s in snaps] == [1, 2]
+    # manifest list carries the v2 required fields
+    import os as _os
+
+    ml = snaps[-1]["manifest-list"]
+    recs, _ = read_avro(ml)
+    assert all(
+        {"content", "sequence_number", "min_sequence_number",
+         "added_files_count", "added_rows_count"} <= set(r)
+        for r in recs
+    )
+    assert {r["sequence_number"] for r in recs} == {1, 2}
+    got = _collect(read_iceberg_native(spark, path))
+    assert got == _collect(_part_docs(spark, sf_dir, 0, 50))
+
+
+def test_v2_cow_dml_preserves_sequence_numbers(spark, sf_dir, tmp_path):
+    """COW DELETE on a v2 table: rewritten files get the new sequence
+    number, KEPT files retain their original one (v2 inheritance rules
+    — a kept file adopting the new seq would break MoR delete scoping
+    for external readers)."""
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries, delete_iceberg_native, table_metadata,
+        update_iceberg_native,
+    )
+
+    path = str(tmp_path / "v2dml")
+    write_iceberg_native(
+        _part_docs(spark, sf_dir, 0, 30), path, format_version=2
+    )
+    write_iceberg_native(_part_docs(spark, sf_dir, 30, 60), path)
+    deleted, rewritten = delete_iceberg_native(spark, path, "doc_id < 10")
+    assert deleted == 10 and rewritten >= 1
+    meta = table_metadata(path)
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 3
+    entries = _manifest_entries(meta, path)
+    by_status = {}
+    for e in entries:
+        by_status.setdefault(e["status"], []).append(e)
+    # added entries inherit seq 3 (null in the file), kept entries
+    # carry their explicit original seqs
+    assert all(e["_seq"] == 3 for e in by_status.get(1, []))
+    kept_seqs = {e["_seq"] for e in by_status.get(0, [])}
+    assert kept_seqs and kept_seqs <= {1, 2}
+    got = sorted(
+        r["doc_id"] for r in read_iceberg_native(spark, path).collect()
+    )
+    assert got == list(range(10, 60))
+    updated, _ = update_iceberg_native(
+        spark, path, {"n_chars": "0"}, "doc_id >= 55")
+    assert updated == 5
+    df = read_iceberg_native(spark, path)
+    assert df.filter("n_chars = 0 AND doc_id >= 55").count() == 5
+
+
+def test_v2_bucket_partitioned_merge(spark, sf_dir, tmp_path):
+    """v2 + bucket transform + MERGE compose."""
+    from glaredb_spark.sources.iceberg_native import merge_iceberg_native
+
+    path = str(tmp_path / "v2bkt")
+    write_iceberg_native(
+        _part_docs(spark, sf_dir, 0, 40), path,
+        partition_by=["bucket(4, doc_id)"], format_version=2,
+    )
+    src = _part_docs(spark, sf_dir, 30, 70)
+    updated, inserted, rewritten = merge_iceberg_native(
+        spark, path, src, on=["doc_id"])
+    assert (updated, inserted) == (10, 30)
+    got = _collect(read_iceberg_native(spark, path))
+    assert got == _collect(_part_docs(spark, sf_dir, 0, 70))
