@@ -853,6 +853,52 @@ def iceberg_bucket_dml(spark, sf_dir):
 
 
 @register_query(
+    "iceberg_mor_delete",
+    oracle="""
+SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id < 140 AND doc_id % 6 <> 2 AND n_chars % 5 <> 1
+GROUP BY lang ORDER BY lang
+""",
+)
+def iceberg_mor_delete(spark, sf_dir):
+    """Merge-on-read DELETE on a format-version 2 Iceberg table (r8):
+    two successive deletes write POSITION DELETE FILES (content=1,
+    spec-sorted (file_path, pos) parquet) instead of rewriting data
+    files — the Iceberg analog of the Delta DV strategy; at 100 TB a
+    small delete costs KB-scale delete parquet. The read applies them
+    as an anti-join on (file, _metadata.row_index). The oracle applies
+    both predicates to the source directly."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.files import load_tables
+    from glaredb_spark.sources.iceberg_native import (
+        delete_iceberg_native,
+        read_iceberg_native,
+        write_iceberg_native,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_ice_mor_") + "/t"
+    write_iceberg_native(
+        docs.filter("doc_id < 140"), root, format_version=2
+    )
+    delete_iceberg_native(spark, root, "doc_id % 6 = 2", strategy="mor")
+    delete_iceberg_native(spark, root, "n_chars % 5 = 1")  # auto → mor
+    return (
+        read_iceberg_native(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register_query(
     "iceberg_partitioned_dml",
     oracle="""
 SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total_chars

@@ -517,6 +517,7 @@ def _publish_snapshot(
     carry_forward: list[dict] | None = None,
     partition_specs: list[dict] | None = None,
     format_version: int = 1,
+    manifest_content: int = 0,
 ) -> int:
     """Author and atomically commit one snapshot: a manifest avro for
     ``added``/``existing`` data_file dicts, a manifest list referencing
@@ -638,7 +639,7 @@ def _publish_snapshot(
             if e.get("sequence_number") is not None
         ]
         new_ml.update(
-            content=0,
+            content=manifest_content,
             sequence_number=seq,
             min_sequence_number=min([seq, *kept_seqs]),
             added_files_count=len(added),
@@ -1482,14 +1483,130 @@ def merge_iceberg_native(
     return (int(updated), int(inserted), len(touched))
 
 
-def delete_iceberg_native(spark, table_path: str, predicate: str) -> tuple[int, int]:
-    """COW DELETE: rows matching ``predicate`` (SQL expression) are
-    removed in a new "delete" snapshot. Returns (rows_deleted,
-    files_rewritten)."""
+def delete_iceberg_native(
+    spark, table_path: str, predicate: str, strategy: str = "auto"
+) -> tuple[int, int]:
+    """DELETE rows matching ``predicate`` (SQL expression).
+
+    ``strategy="cow"``: copy-on-write — only files containing matches
+    are rewritten into a new "delete" snapshot.
+
+    ``strategy="mor"``: merge-on-read — write POSITION DELETE FILES
+    (v2 content=1) marking the matched (file, row) pairs instead of
+    rewriting data files: at 100 TB a 0.1% delete costs KB-scale delete
+    parquet, not a rewrite of every touched file (the Iceberg analog of
+    the Delta writer's deletion-vector strategy). Requires a
+    format-version 2 table.
+
+    ``strategy="auto"`` (default): MoR on tables that already carry
+    position deletes (COW would refuse them), COW otherwise. Returns
+    (rows_deleted, files_touched_or_written)."""
+    if strategy == "auto":
+        meta = table_metadata(table_path)
+        has_pos = any(
+            (e["data_file"].get("content", 0) or 0) == 1
+            for e in _manifest_entries(meta, table_path)
+            if _STATUS.get(e.get("status", 0)) != "DELETED"
+        )
+        strategy = "mor" if has_pos else "cow"
+    if strategy == "mor":
+        return _delete_with_position_files(spark, table_path, predicate)
+    if strategy != "cow":
+        raise IcebergError(f"unknown DELETE strategy {strategy!r}")
     return _rewrite_matching_ice(
         spark, table_path, predicate, "delete",
         lambda df, pred: df.filter(~pred),
     )
+
+
+def _delete_with_position_files(
+    spark, table_path: str, predicate: str
+) -> tuple[int, int]:
+    """Position-delete-writing DELETE (see delete_iceberg_native).
+    Fully distributed where it matters: the probe scans live rows
+    (existing position deletes applied), matched (stored-URI, pos)
+    pairs are written as sorted delete parquet executor-side, and the
+    commit carries every existing manifest forward plus ONE new
+    content=1 delete manifest — KB driver work."""
+    from pyspark.sql import functions as F
+
+    from glaredb_spark.sources.files import decoded_file_path
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    fv = int(meta.get("format-version", 1) or 1)
+    if fv != 2:
+        raise IcebergError(
+            "position-delete DELETE requires a format-version 2 table "
+            "(strategy='cow' handles v1)"
+        )
+    active: list[tuple[str, str]] = []
+    pos_deletes: list[str] = []
+    for e in _manifest_entries(meta, table_path):
+        if _STATUS.get(e.get("status", 0)) == "DELETED":
+            continue
+        d = e["data_file"]
+        content = d.get("content", 0) or 0
+        if content == 0:
+            active.append(
+                (d["file_path"], _resolve(d["file_path"], meta, table_path))
+            )
+        elif content == 1:
+            pos_deletes.append(_resolve(d["file_path"], meta, table_path))
+        else:
+            raise IcebergError(
+                "position-delete DELETE on a table with equality deletes "
+                "is not supported by the native writer"
+            )
+    if not active:
+        return (0, 0)
+    out = (
+        spark.read.parquet(*[p for _s, p in active])
+        .withColumn("_ice_path", decoded_file_path())
+        .withColumn("_ice_pos", F.col("_metadata.row_index"))
+    )
+    mapping = spark.createDataFrame(
+        [(s, "/" + os.path.abspath(p).lstrip("/")) for s, p in active],
+        "stored string, _ice_path string",
+    )
+    if pos_deletes:
+        prior = (
+            spark.read.parquet(*pos_deletes)
+            .select(
+                F.col("file_path").alias("stored"),
+                F.col("pos").cast("long").alias("_ice_pos"),
+            )
+            .join(F.broadcast(mapping), "stored")
+            .select("_ice_path", "_ice_pos")
+        )
+        out = out.join(prior, ["_ice_path", "_ice_pos"], "left_anti")
+    matched = (
+        out.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+        .join(F.broadcast(mapping), "_ice_path")
+        .select(
+            F.col("stored").alias("file_path"),
+            F.col("_ice_pos").alias("pos"),
+        )
+        # the spec requires delete files sorted by (file_path, pos)
+        .sortWithinPartitions("file_path", "pos")
+    )
+    added = [
+        d for d in _stage_data_files(matched, table_path)
+        if int(d["record_count"]) > 0  # empty part files aren't deletes
+    ]
+    if not added:
+        return (0, 0)
+    deleted = sum(int(d["record_count"]) for d in added)
+    for d in added:
+        d["content"] = 1  # POSITION_DELETES
+    carry = _manifest_list_entries(meta, table_path)
+    _publish_snapshot(
+        table_path, meta, _current_schema_obj(meta), added, [],
+        "delete",
+        {"added-delete-files": len(added), "deleted-records": deleted},
+        carry_forward=carry, manifest_content=1,
+    )
+    return (deleted, len(added))
 
 
 def update_iceberg_native(

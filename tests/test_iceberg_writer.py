@@ -617,3 +617,62 @@ def test_v2_bucket_partitioned_merge(spark, sf_dir, tmp_path):
     assert (updated, inserted) == (10, 30)
     got = _collect(read_iceberg_native(spark, path))
     assert got == _collect(_part_docs(spark, sf_dir, 0, 70))
+
+
+def test_v2_mor_position_delete_write(spark, sf_dir, tmp_path):
+    """MoR DELETE (strategy='mor'): matched rows are marked by written
+    position-delete files — no data file is rewritten; a second delete
+    unions; strategy='auto' routes to MoR once deletes exist."""
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries, delete_iceberg_native, table_metadata,
+    )
+
+    path = str(tmp_path / "v2mor")
+    write_iceberg_native(
+        _part_docs(spark, sf_dir, 0, 40), path, format_version=2
+    )
+    data_files_before = {
+        e["data_file"]["file_path"]
+        for e in _manifest_entries(table_metadata(path), path)
+        if (e["data_file"].get("content", 0) or 0) == 0
+    }
+    deleted, files = delete_iceberg_native(
+        spark, path, "doc_id % 4 = 1", strategy="mor")
+    assert deleted == 10 and files >= 1
+    meta = table_metadata(path)
+    entries = _manifest_entries(meta, path)
+    data_files_after = {
+        e["data_file"]["file_path"] for e in entries
+        if (e["data_file"].get("content", 0) or 0) == 0
+        and e.get("status", 0) != 2
+    }
+    assert data_files_after == data_files_before  # nothing rewritten
+    dels = [
+        e for e in entries
+        if (e["data_file"].get("content", 0) or 0) == 1
+    ]
+    assert dels and all(e["_seq"] == 2 for e in dels)
+    got = sorted(
+        r["doc_id"] for r in read_iceberg_native(spark, path).collect()
+    )
+    assert got == [i for i in range(40) if i % 4 != 1]
+    # auto now routes to MoR (COW would refuse the delete files)
+    deleted2, _ = delete_iceberg_native(spark, path, "doc_id = 2")
+    assert deleted2 == 1
+    got2 = sorted(
+        r["doc_id"] for r in read_iceberg_native(spark, path).collect()
+    )
+    assert got2 == [i for i in range(40) if i % 4 != 1 and i != 2]
+    # already-deleted rows don't re-match (live-row probe)
+    deleted3, files3 = delete_iceberg_native(
+        spark, path, "doc_id % 4 = 1", strategy="mor")
+    assert (deleted3, files3) == (0, 0)
+
+
+def test_mor_delete_requires_v2(spark, sf_dir, tmp_path):
+    from glaredb_spark.sources.iceberg_native import delete_iceberg_native
+
+    path = str(tmp_path / "v1mor")
+    write_iceberg_native(_part_docs(spark, sf_dir, 0, 10), path)
+    with pytest.raises(IcebergError, match="format-version 2"):
+        delete_iceberg_native(spark, path, "doc_id = 1", strategy="mor")
