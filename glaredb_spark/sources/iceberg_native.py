@@ -518,14 +518,17 @@ def _publish_snapshot(
     partition_specs: list[dict] | None = None,
     format_version: int = 1,
     manifest_content: int = 0,
+    added_deletes: list[dict] | None = None,
 ) -> int:
     """Author and atomically commit one snapshot: a manifest avro for
     ``added``/``existing`` data_file dicts, a manifest list referencing
     it (plus ``carry_forward`` manifest-list entries from the previous
     snapshot — the append path), and a new vN.metadata.json published
     via O_CREAT|O_EXCL (optimistic concurrency, same contract as the
-    Delta log commit). All KB-scale driver work. Returns the snapshot
-    id."""
+    Delta log commit). ``added_deletes`` publishes a SECOND content=1
+    manifest of position-delete files in the same snapshot (the MoR
+    UPDATE shape: deletes + updated copies together). All KB-scale
+    driver work. Returns the snapshot id."""
     import time
     import uuid
 
@@ -583,6 +586,11 @@ def _publish_snapshot(
     pfields = _partition_fields(spec_src)
     part_avro = _partition_avro_fields(pfields) if pfields else None
     spec_id = int(spec_src.get("default-spec-id", 0) or 0)
+    if part_avro:
+        # files without a partition tuple (position-delete files on a
+        # partitioned table) encode an all-null tuple
+        for e in entries:
+            e["data_file"].setdefault("partition", {})
     manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
     manifest_path = os.path.join(mdir, manifest_name)
     write_avro(manifest_path, _manifest_schema(part_avro, fv), entries)
@@ -654,6 +662,46 @@ def _publish_snapshot(
             deleted_rows_count=0,
         )
     ml_entries.append(new_ml)
+    if added_deletes:
+        if fv != 2:
+            raise IcebergError(
+                "delete manifests require a format-version 2 table"
+            )
+        del_entries = []
+        for d in added_deletes:
+            d.setdefault("content", 1)
+            if part_avro:
+                d.setdefault("partition", {})
+            del_entries.append(
+                {"status": 1, "snapshot_id": snapshot_id,
+                 "sequence_number": None, "file_sequence_number": None,
+                 "data_file": d}
+            )
+        dm_name = (
+            f"manifest-del-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
+        )
+        dm_path = os.path.join(mdir, dm_name)
+        write_avro(dm_path, _manifest_schema(part_avro, fv), del_entries)
+        ml_entries.append(
+            {
+                "manifest_path": dm_path,
+                "manifest_length": os.path.getsize(dm_path),
+                "partition_spec_id": spec_id,
+                "added_snapshot_id": snapshot_id,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_files_count": len(added_deletes),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    int(d.get("record_count", 0) or 0)
+                    for d in added_deletes
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro"
     ml_path = os.path.join(mdir, ml_name)
     write_avro(ml_path, _manifest_list_schema(fv), ml_entries)
@@ -1519,26 +1567,20 @@ def delete_iceberg_native(
     )
 
 
-def _delete_with_position_files(
-    spark, table_path: str, predicate: str
-) -> tuple[int, int]:
-    """Position-delete-writing DELETE (see delete_iceberg_native).
-    Fully distributed where it matters: the probe scans live rows
-    (existing position deletes applied), matched (stored-URI, pos)
-    pairs are written as sorted delete parquet executor-side, and the
-    commit carries every existing manifest forward plus ONE new
-    content=1 delete manifest — KB driver work."""
+def _mor_live_scan(spark, table_path: str, meta: dict, operation: str):
+    """Live rows of a v2 table with ``_ice_path``/``_ice_pos`` position
+    columns (existing position deletes applied) plus the
+    stored-URI↔scan-path mapping frame — the shared probe of the
+    position-delete-writing DML paths. None when the table is empty."""
     from pyspark.sql import functions as F
 
     from glaredb_spark.sources.files import decoded_file_path
 
-    table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
     fv = int(meta.get("format-version", 1) or 1)
     if fv != 2:
         raise IcebergError(
-            "position-delete DELETE requires a format-version 2 table "
-            "(strategy='cow' handles v1)"
+            f"position-delete {operation} requires a format-version 2 "
+            "table (strategy='cow' handles v1)"
         )
     active: list[tuple[str, str]] = []
     pos_deletes: list[str] = []
@@ -1555,11 +1597,11 @@ def _delete_with_position_files(
             pos_deletes.append(_resolve(d["file_path"], meta, table_path))
         else:
             raise IcebergError(
-                "position-delete DELETE on a table with equality deletes "
-                "is not supported by the native writer"
+                f"position-delete {operation} on a table with equality "
+                "deletes is not supported by the native writer"
             )
     if not active:
-        return (0, 0)
+        return None, None
     out = (
         spark.read.parquet(*[p for _s, p in active])
         .withColumn("_ice_path", decoded_file_path())
@@ -1580,9 +1622,18 @@ def _delete_with_position_files(
             .select("_ice_path", "_ice_pos")
         )
         out = out.join(prior, ["_ice_path", "_ice_pos"], "left_anti")
-    matched = (
-        out.filter(F.coalesce(F.expr(predicate), F.lit(False)))
-        .join(F.broadcast(mapping), "_ice_path")
+    return out, mapping
+
+
+def _positions_to_delete_files(
+    spark, table_path: str, matched, mapping
+) -> list[dict]:
+    """Stage matched live rows' (stored-URI, pos) pairs as spec-sorted
+    position-delete parquet; returns content=1 data_file dicts."""
+    from pyspark.sql import functions as F
+
+    pairs = (
+        matched.join(F.broadcast(mapping), "_ice_path")
         .select(
             F.col("stored").alias("file_path"),
             F.col("_ice_pos").alias("pos"),
@@ -1591,14 +1642,35 @@ def _delete_with_position_files(
         .sortWithinPartitions("file_path", "pos")
     )
     added = [
-        d for d in _stage_data_files(matched, table_path)
+        d for d in _stage_data_files(pairs, table_path)
         if int(d["record_count"]) > 0  # empty part files aren't deletes
     ]
+    for d in added:
+        d["content"] = 1  # POSITION_DELETES
+    return added
+
+
+def _delete_with_position_files(
+    spark, table_path: str, predicate: str
+) -> tuple[int, int]:
+    """Position-delete-writing DELETE (see delete_iceberg_native).
+    Fully distributed where it matters: the probe scans live rows
+    (existing position deletes applied), matched (stored-URI, pos)
+    pairs are written as sorted delete parquet executor-side, and the
+    commit carries every existing manifest forward plus ONE new
+    content=1 delete manifest — KB driver work."""
+    from pyspark.sql import functions as F
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    out, mapping = _mor_live_scan(spark, table_path, meta, "DELETE")
+    if out is None:
+        return (0, 0)
+    matched = out.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+    added = _positions_to_delete_files(spark, table_path, matched, mapping)
     if not added:
         return (0, 0)
     deleted = sum(int(d["record_count"]) for d in added)
-    for d in added:
-        d["content"] = 1  # POSITION_DELETES
     carry = _manifest_list_entries(meta, table_path)
     _publish_snapshot(
         table_path, meta, _current_schema_obj(meta), added, [],
@@ -1609,13 +1681,91 @@ def _delete_with_position_files(
     return (deleted, len(added))
 
 
-def update_iceberg_native(
+def _update_with_position_files(
     spark, table_path: str, sets: dict, predicate: str
 ) -> tuple[int, int]:
-    """COW UPDATE: rows matching ``predicate`` get the ``sets``
-    column->SQL-expression assignments in a new "overwrite" snapshot.
-    Returns (rows_updated, files_rewritten)."""
+    """Position-delete-writing UPDATE (the MoR UPDATE shape): matched
+    live rows are position-deleted in place and their UPDATED COPIES
+    land as new appended data files in the SAME snapshot — touched data
+    files are never rewritten, so updating k rows costs k new rows plus
+    KB delete parquet (mirrors the Delta writer's DV UPDATE)."""
     from pyspark.sql import functions as F
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    schema_obj = _current_schema_obj(meta)
+    cols = [f["name"] for f in schema_obj.get("fields", [])]
+    unknown = set(sets) - set(cols)
+    if unknown:
+        raise IcebergError(f"UPDATE SET on unknown columns: {sorted(unknown)}")
+    out, mapping = _mor_live_scan(spark, table_path, meta, "UPDATE")
+    if out is None:
+        return (0, 0)
+    matched = out.filter(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    ).persist()
+    try:
+        del_adds = _positions_to_delete_files(
+            spark, table_path, matched, mapping
+        )
+        if not del_adds:
+            return (0, 0)
+        dtypes = {f.name: f.dataType for f in matched.schema.fields}
+        updated_rows = matched.select(
+            *[
+                F.expr(sets[c]).cast(dtypes[c]).alias(c)
+                if c in sets
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        pfields = _partition_fields(meta)
+        data_adds = _stage_data_files(
+            updated_rows, table_path, pfields or None
+        )
+    finally:
+        matched.unpersist()
+    updated = sum(int(d["record_count"]) for d in del_adds)
+    carry = _manifest_list_entries(meta, table_path)
+    _publish_snapshot(
+        table_path, meta, schema_obj, data_adds, [],
+        "overwrite",
+        {"added-delete-files": len(del_adds),
+         "added-data-files": len(data_adds),
+         "updated-records": updated},
+        carry_forward=carry, added_deletes=del_adds,
+    )
+    return (updated, len(del_adds))
+
+
+def update_iceberg_native(
+    spark, table_path: str, sets: dict, predicate: str,
+    strategy: str = "auto",
+) -> tuple[int, int]:
+    """UPDATE: rows matching ``predicate`` get the ``sets``
+    column->SQL-expression assignments. ``strategy="cow"`` rewrites
+    touched files in a new "overwrite" snapshot; ``strategy="mor"``
+    position-deletes the old rows and appends the updated copies in the
+    same snapshot (v2 tables; see _update_with_position_files);
+    ``strategy="auto"`` picks MoR once the table carries position
+    deletes (COW refuses them) and COW otherwise. Returns
+    (rows_updated, files_rewritten_or_delete_files)."""
+    from pyspark.sql import functions as F
+
+    if strategy == "auto":
+        meta = table_metadata(table_path)
+        has_pos = any(
+            (e["data_file"].get("content", 0) or 0) == 1
+            for e in _manifest_entries(meta, table_path)
+            if _STATUS.get(e.get("status", 0)) != "DELETED"
+        )
+        strategy = "mor" if has_pos else "cow"
+    if strategy == "mor":
+        return _update_with_position_files(
+            spark, table_path, sets, predicate
+        )
+    if strategy != "cow":
+        raise IcebergError(f"unknown UPDATE strategy {strategy!r}")
 
     def _apply(df, pred):
         out = df

@@ -676,3 +676,49 @@ def test_mor_delete_requires_v2(spark, sf_dir, tmp_path):
     write_iceberg_native(_part_docs(spark, sf_dir, 0, 10), path)
     with pytest.raises(IcebergError, match="format-version 2"):
         delete_iceberg_native(spark, path, "doc_id = 1", strategy="mor")
+
+
+def test_v2_mor_update(spark, sf_dir, tmp_path):
+    """MoR UPDATE: matched rows are position-deleted and their updated
+    copies appended in ONE snapshot; untouched data files unrewritten;
+    later UPDATE auto-routes to MoR; partitioned tables restage copies
+    into their partitions."""
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries, table_metadata, update_iceberg_native,
+    )
+
+    path = str(tmp_path / "v2mupd")
+    write_iceberg_native(
+        _part_docs(spark, sf_dir, 0, 30), path,
+        partition_by=["lang"], format_version=2,
+    )
+    before = {
+        e["data_file"]["file_path"]
+        for e in _manifest_entries(table_metadata(path), path)
+        if (e["data_file"].get("content", 0) or 0) == 0
+    }
+    updated, dels = update_iceberg_native(
+        spark, path, {"n_chars": "n_chars + 100"}, "doc_id < 5",
+        strategy="mor",
+    )
+    assert updated == 5 and dels >= 1
+    meta = table_metadata(path)
+    entries = _manifest_entries(meta, path)
+    data_after = {
+        e["data_file"]["file_path"] for e in entries
+        if (e["data_file"].get("content", 0) or 0) == 0
+    }
+    assert before <= data_after and len(data_after) > len(before)
+    got = {r["doc_id"]: r["n_chars"]
+           for r in read_iceberg_native(spark, path).collect()}
+    src = {r["doc_id"]: r["n_chars"]
+           for r in _part_docs(spark, sf_dir, 0, 30).collect()}
+    assert got == {k: (v + 100 if k < 5 else v) for k, v in src.items()}
+    # auto now routes to MoR; updated copies are themselves updatable
+    updated2, _ = update_iceberg_native(
+        spark, path, {"n_chars": "0"}, "doc_id = 1")
+    assert updated2 == 1
+    got2 = {r["doc_id"]: r["n_chars"]
+            for r in read_iceberg_native(spark, path).collect()}
+    assert got2[1] == 0 and got2[2] == src[2] + 100
+    assert len(got2) == 30
