@@ -726,11 +726,16 @@ class GlareSession:
         if m:
             from pyspark.sql import functions as F
 
-            from glaredb_spark.sources.delta_native import (
-                purge_delta_native,
-            )
+            if _native_table_kind(m.group(1)) == "iceberg":
+                from glaredb_spark.sources.iceberg_native import (
+                    purge_iceberg_native as _purge,
+                )
+            else:
+                from glaredb_spark.sources.delta_native import (
+                    purge_delta_native as _purge,
+                )
 
-            files, rows = purge_delta_native(self.spark, m.group(1))
+            files, rows = _purge(self.spark, m.group(1))
             return self.spark.range(1).select(
                 F.lit(files).cast("bigint").alias("files_purged"),
                 F.lit(rows).cast("bigint").alias("rows_materialized"),

@@ -1346,6 +1346,95 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     return (int(matched), len(hit))
 
 
+def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
+    """REORG APPLY (PURGE) for Iceberg: materialize position deletes —
+    every data file referenced by a delete file has its LIVE rows
+    rewritten into new files, delete manifests are dropped, and the
+    table returns to plain COW form (OPTIMIZE becomes available again).
+    Untouched data files stay referenced with their original sequence
+    numbers; cost scales with deleted-file count, not table size.
+    Returns (files_purged, rows_materialized)."""
+    from pyspark.sql import functions as F
+
+    from glaredb_spark.sources.files import decoded_file_path
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    active: list[dict] = []
+    pos_deletes: list[str] = []
+    for e in _manifest_entries(meta, table_path):
+        if _STATUS.get(e.get("status", 0)) == "DELETED":
+            continue
+        d = dict(e["data_file"])
+        content = d.get("content", 0) or 0
+        if content == 0:
+            d["_snapshot_id"] = e.get("snapshot_id")
+            d["_seq"] = e.get("_seq")
+            d["_resolved"] = _resolve(d["file_path"], meta, table_path)
+            active.append(d)
+        elif content == 1:
+            pos_deletes.append(_resolve(d["file_path"], meta, table_path))
+        else:
+            raise IcebergError(
+                "PURGE on a table with equality deletes is not supported "
+                "by the native writer"
+            )
+    if not pos_deletes:
+        return (0, 0)
+    # which data files do the delete files actually reference?
+    referenced = {
+        r["file_path"]
+        for r in spark.read.parquet(*pos_deletes)
+        .select("file_path")
+        .distinct()
+        .collect()  # one row per touched file — metadata-scale
+    }
+    touched = [d for d in active if d["file_path"] in referenced]
+    untouched = [d for d in active if d["file_path"] not in referenced]
+    if not touched:
+        return (0, 0)
+    mapping = spark.createDataFrame(
+        [
+            (d["file_path"], "/" + os.path.abspath(d["_resolved"]).lstrip("/"))
+            for d in touched
+        ],
+        "stored string, _ice_path string",
+    )
+    live = (
+        spark.read.parquet(*[d["_resolved"] for d in touched])
+        .withColumn("_ice_path", decoded_file_path())
+        .withColumn("_ice_pos", F.col("_metadata.row_index"))
+    )
+    dels = (
+        spark.read.parquet(*pos_deletes)
+        .select(
+            F.col("file_path").alias("stored"),
+            F.col("pos").cast("long").alias("_ice_pos"),
+        )
+        .join(F.broadcast(mapping), "stored")
+        .select("_ice_path", "_ice_pos")
+    )
+    schema_obj = _current_schema_obj(meta)
+    cols = [f["name"] for f in schema_obj.get("fields", [])]
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    live = (
+        live.join(dels, ["_ice_path", "_ice_pos"], "left_anti")
+        .select(*cols)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    pfields = _partition_fields(meta)
+    added = _stage_data_files(live, table_path, pfields or None)
+    for d in untouched:
+        d.pop("_resolved", None)
+    _publish_snapshot(
+        table_path, meta, schema_obj, added, untouched, "replace",
+        {"purged-files": len(touched), "added-data-files": len(added)},
+    )
+    return (len(touched), int(obs.get["n"]))
+
+
 def optimize_iceberg_native(
     spark, table_path: str, max_files_per_group: int = 128
 ) -> tuple[int, int]:

@@ -722,3 +722,47 @@ def test_v2_mor_update(spark, sf_dir, tmp_path):
             for r in read_iceberg_native(spark, path).collect()}
     assert got2[1] == 0 and got2[2] == src[2] + 100
     assert len(got2) == 30
+
+
+def test_v2_purge_materializes_position_deletes(spark, sf_dir, tmp_path):
+    """REORG APPLY (PURGE) on Iceberg: delete files are materialized —
+    referenced data files rewritten live-rows-only, untouched files kept
+    with their sequence numbers, delete manifests dropped; OPTIMIZE
+    works again afterwards. SQL surface dispatches on the directory's
+    metadata layout like OPTIMIZE."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries, delete_iceberg_native, optimize_iceberg_native,
+        purge_iceberg_native, table_metadata,
+    )
+
+    path = str(tmp_path / "v2purge")
+    write_iceberg_native(
+        _part_docs(spark, sf_dir, 0, 20).coalesce(1), path,
+        format_version=2,
+    )
+    write_iceberg_native(_part_docs(spark, sf_dir, 20, 40).coalesce(1), path)
+    deleted, _ = delete_iceberg_native(
+        spark, path, "doc_id < 3", strategy="mor")
+    assert deleted == 3
+    files, rows = purge_iceberg_native(spark, path)
+    assert files == 1 and rows == 17  # only the first file was touched
+    entries = _manifest_entries(table_metadata(path), path)
+    assert all(
+        (e["data_file"].get("content", 0) or 0) == 0 for e in entries
+    )
+    got = sorted(
+        r["doc_id"] for r in read_iceberg_native(spark, path).collect()
+    )
+    assert got == list(range(3, 40))
+    # second purge is a no-op; OPTIMIZE available again
+    assert purge_iceberg_native(spark, path) == (0, 0)
+    removed, added = optimize_iceberg_native(spark, path)
+    assert removed >= 2 and added >= 1
+    assert read_iceberg_native(spark, path).count() == 37
+    # SQL surface
+    sess = GlareSession(spark)
+    delete_iceberg_native(spark, path, "doc_id = 5", strategy="mor")
+    out = sess.sql(f"REORG TABLE '{path}' APPLY (PURGE)").collect()
+    assert out[0]["files_purged"] >= 1
+    assert read_iceberg_native(spark, path).count() == 36
