@@ -409,6 +409,14 @@ def _manifest_schema(
         data_fields.append(
             {"name": "block_size_in_bytes", "type": "long"}
         )
+    if fv == 2:
+        # schema field ids an equality-delete file matches on (null for
+        # data and position-delete files)
+        data_fields.append(
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "default": None}
+        )
     entry_fields = [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"],
@@ -1344,6 +1352,55 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
         },
     )
     return (int(matched), len(hit))
+
+
+def equality_delete_iceberg_native(
+    spark, table_path: str, keys
+) -> tuple[int, int]:
+    """Equality-delete write (v2 content=2): delete every row whose key
+    columns match a row of ``keys`` (a DataFrame whose columns name a
+    subset of the table schema) by WRITING the keys as an
+    equality-delete file — the CDC/streaming-upsert shape: NO data scan
+    at all, cost is O(|keys|) regardless of table size. The reader
+    applies it as a null-safe anti-join scoped to data files with
+    strictly older sequence numbers (rows re-inserted later survive,
+    per spec). Returns (key_rows_written, delete_files_written)."""
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    fv = int(meta.get("format-version", 1) or 1)
+    if fv != 2:
+        raise IcebergError(
+            "equality deletes require a format-version 2 table"
+        )
+    schema_obj = _current_schema_obj(meta)
+    field_ids = {
+        f["name"]: int(f["id"]) for f in schema_obj.get("fields", [])
+    }
+    unknown = [c for c in keys.columns if c not in field_ids]
+    if unknown:
+        raise IcebergError(
+            f"equality-delete key columns not in schema: {unknown}"
+        )
+    eq_ids = [field_ids[c] for c in keys.columns]
+    # CDC key batches are small by nature — one delete file beats one
+    # per input partition (a huge key set should be MoR/COW instead)
+    added = [
+        d for d in _stage_data_files(keys.coalesce(1), table_path)
+        if int(d["record_count"]) > 0
+    ]
+    if not added:
+        return (0, 0)
+    for d in added:
+        d["content"] = 2  # EQUALITY_DELETES
+        d["equality_ids"] = eq_ids
+    nkeys = sum(int(d["record_count"]) for d in added)
+    carry = _manifest_list_entries(meta, table_path)
+    _publish_snapshot(
+        table_path, meta, schema_obj, added, [], "delete",
+        {"added-delete-files": len(added), "equality-delete-keys": nkeys},
+        carry_forward=carry, manifest_content=1,
+    )
+    return (nkeys, len(added))
 
 
 def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:

@@ -766,3 +766,43 @@ def test_v2_purge_materializes_position_deletes(spark, sf_dir, tmp_path):
     out = sess.sql(f"REORG TABLE '{path}' APPLY (PURGE)").collect()
     assert out[0]["files_purged"] >= 1
     assert read_iceberg_native(spark, path).count() == 36
+
+
+def test_v2_equality_delete_write(spark, sf_dir, tmp_path):
+    """Equality-delete WRITE: delete-by-key with no data scan; rows
+    re-inserted AFTER the delete survive (sequence scoping, spec rule
+    our reader implements); purge-by-position leaves eq-deletes alone
+    (refused), COW DML refuses too."""
+    from glaredb_spark.sources.iceberg_native import (
+        delete_iceberg_native, equality_delete_iceberg_native,
+        purge_iceberg_native, table_metadata,
+    )
+
+    path = str(tmp_path / "v2eq")
+    write_iceberg_native(
+        _part_docs(spark, sf_dir, 0, 30), path, format_version=2
+    )
+    keys = spark.createDataFrame([(3,), (7,), (11,)], "doc_id long")
+    nkeys, files = equality_delete_iceberg_native(spark, path, keys)
+    assert (nkeys, files) == (3, 1)
+    got = sorted(
+        r["doc_id"] for r in read_iceberg_native(spark, path).collect()
+    )
+    assert got == [i for i in range(30) if i not in (3, 7, 11)]
+    # a key re-inserted after the delete survives (newer sequence number)
+    write_iceberg_native(_part_docs(spark, sf_dir, 7, 8), path)
+    got2 = sorted(
+        r["doc_id"] for r in read_iceberg_native(spark, path).collect()
+    )
+    assert got2 == sorted(got + [7])
+    meta = table_metadata(path)
+    assert meta["last-sequence-number"] == 3
+    # maintenance/COW on eq-delete tables refuses rather than corrupting
+    with pytest.raises(IcebergError, match="equality deletes"):
+        purge_iceberg_native(spark, path)
+    with pytest.raises(IcebergError, match="merge-on-read"):
+        delete_iceberg_native(spark, path, "doc_id = 1", strategy="cow")
+    # unknown key column refused
+    bad = spark.createDataFrame([(1,)], "nope long")
+    with pytest.raises(IcebergError, match="not in schema"):
+        equality_delete_iceberg_native(spark, path, bad)
