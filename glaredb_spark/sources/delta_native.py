@@ -1818,7 +1818,6 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
     import pyarrow.parquet as pq
 
     state = load_delta_state(path)
-    _require_no_dvs(state, 'checkpointing')
     log_dir = os.path.join(path, "_delta_log")
     version = _latest_version(log_dir)
     meta = state.metadata_raw or {}
@@ -1875,17 +1874,29 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
     ]
     for p, pv in sorted(state.adds.items()):
         am = state.add_meta.get(p, {})
-        rows.append(
-            _one_hot(
-                add={
-                    "path": p,
-                    "partitionValues": [(k, v) for k, v in pv.items()],
-                    "size": int(am.get("size") or 0),
-                    "modificationTime": int(am.get("modificationTime") or 0),
-                    "dataChange": False,
-                }
-            )
-        )
+        add = {
+            "path": p,
+            "partitionValues": [(k, v) for k, v in pv.items()],
+            "size": int(am.get("size") or 0),
+            "modificationTime": int(am.get("modificationTime") or 0),
+            "dataChange": False,
+        }
+        dv = am.get("deletionVector")
+        if dv:
+            # active deletion vectors survive log compaction — a
+            # checkpoint that dropped them would resurrect deleted rows
+            # for every post-checkpoint reader
+            add["deletionVector"] = {
+                "storageType": dv.get("storageType"),
+                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                "offset": (
+                    int(dv["offset"]) if dv.get("offset") is not None
+                    else None
+                ),
+                "sizeInBytes": int(dv.get("sizeInBytes") or 0),
+                "cardinality": int(dv.get("cardinality") or 0),
+            }
+        rows.append(_one_hot(add=add))
     # remove tombstones are part of the spec checkpoint shape: readers of
     # this checkpoint must not resurrect files a pre-checkpoint commit
     # removed but VACUUM hasn't deleted yet
@@ -1929,7 +1940,15 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
                      ("partitionValues", pa.map_(pa.string(), pa.string())),
                      ("size", pa.int64()),
                      ("modificationTime", pa.int64()),
-                     ("dataChange", pa.bool_())]
+                     ("dataChange", pa.bool_()),
+                     ("deletionVector",
+                      pa.struct(
+                          [("storageType", pa.string()),
+                           ("pathOrInlineDv", pa.string()),
+                           ("offset", pa.int32()),
+                           ("sizeInBytes", pa.int32()),
+                           ("cardinality", pa.int64())]
+                      ))]
                 ),
             ),
             pa.field(

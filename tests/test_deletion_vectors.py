@@ -189,7 +189,6 @@ def test_dv_read_partitioned(spark, tmp_path):
 
 def test_dml_rejected_on_dv_table(spark, tmp_path):
     from glaredb_spark.sources.delta_native import (
-        checkpoint_delta_native,
         delete_delta_native,
         optimize_delta_native,
         vacuum_delta_native,
@@ -201,10 +200,36 @@ def test_dml_rejected_on_dv_table(spark, tmp_path):
          {"strategy": "cow"}),
         (optimize_delta_native, (spark, root), {}),
         (vacuum_delta_native, (spark, root), {}),
-        (checkpoint_delta_native, (spark, root), {}),
     ]:
         with pytest.raises(RuntimeError, match="deletion vectors"):
             fn(*args, **kw)
+
+
+def test_checkpoint_carries_deletion_vectors(spark, tmp_path):
+    """Checkpointing a DV table keeps the vectors (r8; previously
+    refused): the compacted log must not resurrect deleted rows even
+    after the pre-checkpoint commits are cleaned up."""
+    import os as _os
+
+    from glaredb_spark.sources.delta_native import (
+        checkpoint_delta_native,
+        load_delta_state,
+        read_delta_native,
+    )
+
+    root = _author_dv_table(spark, tmp_path, {"a.parquet": [0, 3]})
+    before = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    v = checkpoint_delta_native(spark, root)
+    # simulate log cleanup: remove every commit JSON at/below v
+    log = _os.path.join(root, "_delta_log")
+    for n in _os.listdir(log):
+        if n.endswith(".json") and not n.startswith("_"):
+            _os.unlink(_os.path.join(log, n))
+    state = load_delta_state(root)
+    dvs = [a for a in state.add_meta.values() if a.get("deletionVector")]
+    assert dvs and dvs[0]["deletionVector"]["cardinality"] == 2
+    after = sorted(r["id"] for r in read_delta_native(spark, root).collect())
+    assert after == before and 0 not in after and 3 not in after
 
 
 # -- column mapping ----------------------------------------------------------
