@@ -1403,6 +1403,70 @@ def equality_delete_iceberg_native(
     return (nkeys, len(added))
 
 
+def upsert_iceberg_native(
+    spark, table_path: str, df, on: list[str],
+    summary_extra: "dict | None" = None,
+) -> int:
+    """CDC upsert in ONE snapshot: an equality-delete file over the
+    batch's ``on`` key values plus the batch's data files, published
+    together. Sequence semantics do the merge: the delete applies only
+    to data files with STRICTLY OLDER sequence numbers, so the batch's
+    own rows (same sequence number) survive while any prior row with a
+    matching key dies — no table scan, no join; cost is O(|batch|)
+    regardless of table size (the streaming upsert sink's engine).
+    Creates the table (format-version 2) when absent. Returns the
+    snapshot id."""
+    table_path = os.path.abspath(table_path)
+    mdir = os.path.join(table_path, "metadata")
+    if not _glob.glob(os.path.join(mdir, "*.metadata.json")):
+        return write_iceberg_native(df, table_path, format_version=2)
+    meta = table_metadata(table_path)
+    fv = int(meta.get("format-version", 1) or 1)
+    if fv != 2:
+        raise IcebergError(
+            "upsert requires a format-version 2 table (equality deletes)"
+        )
+    schema_obj = _current_schema_obj(meta)
+    cols = [f["name"] for f in schema_obj.get("fields", [])]
+    if sorted(df.columns) != sorted(cols):
+        raise IcebergError(
+            f"upsert source columns {sorted(df.columns)} != table "
+            f"columns {sorted(cols)}"
+        )
+    field_ids = {
+        f["name"]: int(f["id"]) for f in schema_obj.get("fields", [])
+    }
+    unknown = [c for c in on if c not in field_ids]
+    if unknown:
+        raise IcebergError(f"upsert key columns not in schema: {unknown}")
+    df = df.persist()
+    try:
+        pfields = _partition_fields(meta)
+        data_adds = _stage_data_files(
+            df.select(*cols), table_path, pfields or None
+        )
+        keys = df.select(*on).distinct().coalesce(1)
+        del_adds = [
+            d for d in _stage_data_files(keys, table_path)
+            if int(d["record_count"]) > 0
+        ]
+    finally:
+        df.unpersist()
+    for d in del_adds:
+        d["content"] = 2
+        d["equality_ids"] = [field_ids[c] for c in on]
+    carry = _manifest_list_entries(meta, table_path)
+    summary = {
+        "added-data-files": len(data_adds),
+        "added-delete-files": len(del_adds),
+        **(summary_extra or {}),
+    }
+    return _publish_snapshot(
+        table_path, meta, schema_obj, data_adds, [], "overwrite",
+        summary, carry_forward=carry, added_deletes=del_adds or None,
+    )
+
+
 def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
     """REORG APPLY (PURGE) for Iceberg: materialize position deletes —
     every data file referenced by a delete file has its LIVE rows

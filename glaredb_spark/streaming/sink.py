@@ -76,3 +76,76 @@ def stream_to_delta(
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+# --- Iceberg streaming upsert sink (r8) -------------------------------------
+#
+# The Iceberg counterpart of stream_to_delta, with UPSERT semantics:
+# each micro-batch commits ONE snapshot carrying an equality-delete file
+# over the batch's key columns plus the batch's data files
+# (sources/iceberg_native.py:upsert_iceberg_native — sequence-number
+# scoping makes the delete apply to prior data only). Iceberg has no
+# `txn` action; idempotence rides the snapshot summary instead (the same
+# convention the Iceberg Spark sink uses): every commit records
+# glaredb-app-id/glaredb-batch-id, and a checkpoint-replayed batch whose
+# id is already committed becomes a no-op.
+
+
+def last_committed_batch_iceberg(path: str, app_id: str) -> int:
+    """Latest batch id committed for app_id per the snapshot summaries,
+    or -1 (missing table / no marked snapshots)."""
+    from glaredb_spark.sources.iceberg_native import (
+        IcebergError,
+        table_metadata,
+    )
+
+    try:
+        meta = table_metadata(path)
+    except (IcebergError, OSError):
+        return -1
+    best = -1
+    for s in meta.get("snapshots", []):
+        summ = s.get("summary", {})
+        if summ.get("glaredb-app-id") == app_id:
+            try:
+                best = max(best, int(summ.get("glaredb-batch-id", -1)))
+            except (TypeError, ValueError):
+                continue
+    return best
+
+
+def iceberg_upsert_writer(path: str, app_id: str, on: list[str]):
+    """The foreachBatch callback: idempotent exactly-once upsert."""
+    from glaredb_spark.sources.iceberg_native import upsert_iceberg_native
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed_batch_iceberg(path, app_id):
+            return  # checkpoint replay of an already-committed batch
+        upsert_iceberg_native(
+            batch_df.sparkSession, path, batch_df, on,
+            summary_extra={
+                "glaredb-app-id": app_id,
+                "glaredb-batch-id": str(batch_id),
+            },
+        )
+
+    return write_batch
+
+
+def stream_upsert_to_iceberg(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    on: list[str],
+):
+    """``stream.writeStream`` upserting into a native Iceberg v2 table
+    with exactly-once batch commits. Returns the (unstarted)
+    DataStreamWriter so callers pick the trigger."""
+    return (
+        stream.writeStream.foreachBatch(
+            iceberg_upsert_writer(path, app_id, on)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -47,3 +47,96 @@ def test_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
     assert read_delta_native(spark, path).count() == 2 * n1
     assert last_committed_batch(path, "app1") == 1
     assert last_committed_batch(path, "other_app") == -1
+
+
+# --- Iceberg streaming upsert sink (r8) --------------------------------------
+
+
+def test_upsert_iceberg_batch_semantics(spark, tmp_path):
+    """One-snapshot upsert: prior rows with matching keys die via the
+    equality delete, the batch's own rows survive (same sequence
+    number), unrelated rows untouched."""
+    from glaredb_spark.sources.iceberg_native import (
+        read_iceberg_native,
+        table_metadata,
+        upsert_iceberg_native,
+        write_iceberg_native,
+    )
+
+    path = str(tmp_path / "ice_up")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    )
+    write_iceberg_native(base, path, format_version=2)
+    batch = spark.createDataFrame(
+        [(3, "NEW3"), (7, "NEW7"), (20, "NEW20")], "id long, val string"
+    )
+    upsert_iceberg_native(spark, path, batch, on=["id"])
+    got = {r["id"]: r["val"]
+           for r in read_iceberg_native(spark, path).collect()}
+    assert len(got) == 11
+    assert got[3] == "NEW3" and got[7] == "NEW7" and got[20] == "NEW20"
+    assert got[0] == "v0"
+    # a second upsert of the same key wins again (newer sequence)
+    upsert_iceberg_native(
+        spark, path,
+        spark.createDataFrame([(3, "NEWER3")], "id long, val string"),
+        on=["id"],
+    )
+    got2 = {r["id"]: r["val"]
+            for r in read_iceberg_native(spark, path).collect()}
+    assert got2[3] == "NEWER3" and len(got2) == 11
+    assert table_metadata(path)["format-version"] == 2
+
+
+def test_stream_upserts_into_iceberg(spark, tmp_path):
+    """End-to-end Structured Streaming upsert with replay idempotence."""
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+    from glaredb_spark.streaming.sink import (
+        iceberg_upsert_writer,
+        last_committed_batch_iceberg,
+        stream_upsert_to_iceberg,
+    )
+
+    # foreachBatch-level: replayed batch id is a no-op
+    path = str(tmp_path / "ice_s")
+    b0 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "id long, val string"
+    )
+    w = iceberg_upsert_writer(path, "app1", on=["id"])
+    w(b0, 0)
+    w(b1, 1)
+    snap_count = len(
+        __import__("glaredb_spark.sources.iceberg_native",
+                   fromlist=["table_metadata"]).table_metadata(path)[
+            "snapshots"]
+    )
+    w(b1, 1)  # checkpoint replay: skipped
+    meta2 = __import__("glaredb_spark.sources.iceberg_native",
+                       fromlist=["table_metadata"]).table_metadata(path)
+    assert len(meta2["snapshots"]) == snap_count
+    got = {r["id"]: r["val"]
+           for r in read_iceberg_native(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert last_committed_batch_iceberg(path, "app1") == 1
+    assert last_committed_batch_iceberg(path, "other") == -1
+
+    # full writeStream drive over a file source
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(3, "C2"), (4, "d")], "id long, val string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / "p0"))
+    stream = spark.readStream.schema("id long, val string").parquet(
+        str(src_dir / "p0")
+    )
+    q = stream_upsert_to_iceberg(
+        stream, path, str(tmp_path / "ckpt"), app_id="app2", on=["id"]
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got2 = {r["id"]: r["val"]
+            for r in read_iceberg_native(spark, path).collect()}
+    assert got2 == {1: "a", 2: "B", 3: "C2", 4: "d"}
