@@ -899,6 +899,57 @@ def iceberg_mor_delete(spark, sf_dir):
 
 
 @register_query(
+    "iceberg_upsert_cdc",
+    oracle="""
+SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id >= 60 AND doc_id < 100 THEN n_chars + 50
+              ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id < 100
+)
+GROUP BY lang ORDER BY lang
+""",
+)
+def iceberg_upsert_cdc(spark, sf_dir):
+    """One-snapshot CDC upsert (r8, iceberg_native.py:
+    upsert_iceberg_native): base rows 0–79, then an upsert batch of rows
+    60–99 with n_chars+50 — keys 60–79 replace via the equality delete's
+    sequence scoping, 80–99 insert. The oracle applies the same algebra
+    to the fixture. Scale: the upsert never scans the table — an
+    equality-delete file + the batch's data files, O(|batch|)."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.files import load_tables
+    from glaredb_spark.sources.iceberg_native import (
+        read_iceberg_native,
+        upsert_iceberg_native,
+        write_iceberg_native,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_ice_up_") + "/t"
+    write_iceberg_native(
+        docs.filter("doc_id < 80"), root, format_version=2
+    )
+    batch = docs.filter("doc_id >= 60 AND doc_id < 100").withColumn(
+        "n_chars", F.col("n_chars") + 50
+    )
+    upsert_iceberg_native(spark, root, batch, on=["doc_id"])
+    return (
+        read_iceberg_native(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register_query(
     "iceberg_partitioned_dml",
     oracle="""
 SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total_chars
