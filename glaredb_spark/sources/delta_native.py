@@ -1656,6 +1656,7 @@ def merge_delta_native(
     on: list[str],
     when_matched_update: dict[str, str] | None = None,
     when_not_matched_insert: bool = True,
+    txn: "tuple[str, int] | None" = None,
 ) -> tuple[int, int, int]:
     """MERGE (upsert) into a native Delta table: target rows whose key
     matches a source row get ``when_matched_update`` applied (SQL
@@ -1792,6 +1793,13 @@ def merge_delta_native(
             }
         }
     ]
+    if txn is not None:
+        # spec txn idempotence marker — the streaming upsert sink's
+        # exactly-once handle (same contract as write_delta_native's)
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]),
+                     "lastUpdated": now_ms}}
+        )
     for rel in sorted(touched_rel):
         actions.append(
             {"remove": {"path": rel, "deletionTimestamp": now_ms,

@@ -149,3 +149,48 @@ def stream_upsert_to_iceberg(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def delta_upsert_writer(path: str, app_id: str, on: list[str]):
+    """foreachBatch callback: idempotent exactly-once UPSERT into a
+    native Delta table (merge_delta_native per batch — delta-spark's
+    foreachBatch+MERGE recipe; the txn marker rides the merge commit).
+    The first batch creates the table."""
+    from glaredb_spark.sources.delta_native import (
+        merge_delta_native,
+        write_delta_native,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(path, app_id):
+            return  # checkpoint replay of an already-committed batch
+        if not os.path.isdir(os.path.join(path, "_delta_log")):
+            write_delta_native(
+                batch_df, path, mode="append", txn=(app_id, batch_id)
+            )
+            return
+        merge_delta_native(
+            batch_df.sparkSession, path, batch_df, on,
+            txn=(app_id, batch_id),
+        )
+
+    return write_batch
+
+
+def stream_upsert_to_delta(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    app_id: str,
+    on: list[str],
+):
+    """``stream.writeStream`` upserting into a native Delta table with
+    exactly-once batch commits. Returns the (unstarted)
+    DataStreamWriter so callers pick the trigger."""
+    return (
+        stream.writeStream.foreachBatch(
+            delta_upsert_writer(path, app_id, on)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

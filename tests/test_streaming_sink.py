@@ -140,3 +140,25 @@ def test_stream_upserts_into_iceberg(spark, tmp_path):
     got2 = {r["id"]: r["val"]
             for r in read_iceberg_native(spark, path).collect()}
     assert got2 == {1: "a", 2: "B", 3: "C2", 4: "d"}
+
+
+def test_delta_upsert_writer_idempotent(spark, tmp_path):
+    """Delta streaming upsert: merge per batch, txn marker on the merge
+    commit, checkpoint replays skipped."""
+    from glaredb_spark.streaming.sink import delta_upsert_writer
+
+    path = str(tmp_path / "dup")
+    w = delta_upsert_writer(path, "appd", on=["id"])
+    w(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"), 0)
+    w(spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string"), 1)
+    got = {r["id"]: r["val"]
+           for r in read_delta_native(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert last_committed_batch(path, "appd") == 1
+    # replay of batch 1: no new version
+    from glaredb_spark.sources.delta_native import _latest_version
+    import os as _os
+
+    v = _latest_version(_os.path.join(path, "_delta_log"))
+    w(spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string"), 1)
+    assert _latest_version(_os.path.join(path, "_delta_log")) == v
