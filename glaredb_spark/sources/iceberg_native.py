@@ -240,7 +240,90 @@ def _schema_field_names(meta: dict) -> dict[int, str]:
     return {f["id"]: f["name"] for f in cur.get("fields", [])}
 
 
-def read_iceberg_native(spark, table_path: str, snapshot_id: int | None = None):
+def _transform_value(pf: "_PartField", v):
+    """Driver-side transform of a literal — the metadata-level twin of
+    _transform_expr, used to prune manifests by partition tuple."""
+    import datetime
+
+    if v is None:
+        return None
+    tr = pf.transform
+    if tr == "identity":
+        return v
+    m = _BUCKET_RE.match(tr)
+    if m:
+        n = int(m.group(1))
+        base = pf.src_type.split("(")[0]
+        if base in _INT64_HASHABLE:
+            if isinstance(v, datetime.datetime):
+                epoch = datetime.datetime(
+                    1970, 1, 1, tzinfo=v.tzinfo
+                )
+                v = int((v - epoch).total_seconds() * 1_000_000)
+            elif isinstance(v, datetime.date):
+                v = (v - datetime.date(1970, 1, 1)).days
+            h = int(_mmh3_32_int64([int(v)])[0])
+        elif base == "string":
+            h = _mmh3_32_bytes(str(v).encode("utf-8"))
+        else:
+            return None  # can't derive → no pruning
+        return (h & 0x7FFFFFFF) % n
+    m = _TRUNCATE_RE.match(tr)
+    if m:
+        w = int(m.group(1))
+        base = pf.src_type.split("(")[0]
+        if base in ("int", "long"):
+            return int(v) - (((int(v) % w) + w) % w)
+        if base == "string":
+            return str(v)[:w]
+        return None
+    if isinstance(v, str):
+        try:
+            v = datetime.date.fromisoformat(v[:10])
+        except ValueError:
+            return None
+    if tr == "year":
+        return v.year - 1970
+    if tr == "month":
+        return (v.year - 1970) * 12 + v.month - 1
+    if tr == "day":
+        d = v.date() if isinstance(v, datetime.datetime) else v
+        return (d - datetime.date(1970, 1, 1)).days
+    if tr == "hour":
+        if not isinstance(v, datetime.datetime):
+            return None
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() // 3600)
+    return None
+
+
+def _partition_prunes(
+    pfields: list["_PartField"], tuple_vals: "dict | None",
+    partition_filter: dict,
+) -> bool:
+    """True when the file's manifest partition tuple PROVES no row can
+    match ``partition_filter`` (source column -> literal equality).
+    Missing tuples or underivable transforms never prune."""
+    if not tuple_vals:
+        return False
+    for col, want in partition_filter.items():
+        for pf in pfields:
+            if pf.src != col or pf.name not in tuple_vals:
+                continue
+            expect = _transform_value(pf, want)
+            if expect is None:
+                continue
+            if tuple_vals[pf.name] is not None and tuple_vals[pf.name] != expect:
+                return True
+    return False
+
+
+def read_iceberg_native(
+    spark,
+    table_path: str,
+    snapshot_id: int | None = None,
+    partition_filter: "dict | None" = None,
+):
     """Distributed scan of the table's current snapshot, or of a prior
     one named by ``snapshot_id`` (time travel).
 
@@ -256,8 +339,17 @@ def read_iceberg_native(spark, table_path: str, snapshot_id: int | None = None):
     data files with STRICTLY OLDER sequence numbers — a row re-inserted
     after the delete survives. At scale each anti-join shuffles on the
     delete keys — the exchange MoR semantics require — with the
-    typically-small delete side broadcast under AQE."""
+    typically-small delete side broadcast under AQE.
+
+    ``partition_filter`` ({source column -> literal}) prunes data FILES
+    by their manifest partition tuples BEFORE any scan — including
+    through bucket/truncate/temporal transforms (the literal is
+    transformed driver-side with the same spec kernels the writer
+    stages with). This is metadata-level pruning Spark cannot do on a
+    plain file list; the caller still applies the row predicate (a
+    bucket holds many keys)."""
     m = table_metadata(table_path)
+    pfields = _partition_fields(m) if partition_filter else []
     active: list[tuple[str, str, int]] = []
     pos_deletes: list[str] = []
     eq_deletes: list[tuple[str, list[int] | None, int]] = []
@@ -272,6 +364,10 @@ def read_iceberg_native(spark, table_path: str, snapshot_id: int | None = None):
         resolved = _resolve(df["file_path"], m, table_path)
         seq = int(e.get("_seq", 0))
         if content == 0:
+            if partition_filter and _partition_prunes(
+                pfields, df.get("partition"), partition_filter
+            ):
+                continue
             active.append((df["file_path"], resolved, seq))
         elif content == 1:
             pos_deletes.append(resolved)

@@ -806,3 +806,32 @@ def test_v2_equality_delete_write(spark, sf_dir, tmp_path):
     bad = spark.createDataFrame([(1,)], "nope long")
     with pytest.raises(IcebergError, match="not in schema"):
         equality_delete_iceberg_native(spark, path, bad)
+
+
+def test_partition_filter_prunes_files(spark, sf_dir, tmp_path):
+    """read_iceberg_native(partition_filter=...): manifest-tuple file
+    pruning through identity AND bucket transforms — the scan's
+    inputFiles shrink, results (after the row predicate) unchanged."""
+    path = str(tmp_path / "prune_id")
+    src = _part_docs(spark, sf_dir, 0, 60)
+    write_iceberg_native(src, path, partition_by=["lang"])
+    full = read_iceberg_native(spark, path)
+    pruned = read_iceberg_native(
+        spark, path, partition_filter={"lang": "en"})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _collect(pruned.filter("lang = 'en'")) == _collect(
+        src.filter("lang = 'en'"))
+
+    path2 = str(tmp_path / "prune_bkt")
+    write_iceberg_native(
+        src, path2, partition_by=["bucket(4, doc_id)"])
+    full2 = read_iceberg_native(spark, path2)
+    pruned2 = read_iceberg_native(
+        spark, path2, partition_filter={"doc_id": 17})
+    assert len(pruned2.inputFiles()) < len(full2.inputFiles())
+    got = pruned2.filter("doc_id = 17").collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 17
+    # a filter on an unpartitioned column never prunes
+    same = read_iceberg_native(
+        spark, path2, partition_filter={"lang": "en"})
+    assert len(same.inputFiles()) == len(full2.inputFiles())
