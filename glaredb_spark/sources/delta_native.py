@@ -1973,8 +1973,30 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
             ),
         ]
     )
+    # a table with the v2Checkpoint writer feature REQUIRES the v2 spec
+    # shape (PROTOCOL.md): UUID-named checkpoint carrying a
+    # checkpointMetadata action (sidecars are optional — actions may be
+    # inlined, which is what we do)
+    v2 = "v2Checkpoint" in state.writer_features
+    if v2:
+        import uuid as _uuid
+
+        schema = schema.append(
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64())]),
+            )
+        )
+        rows.insert(
+            0,
+            dict(_one_hot(), checkpointMetadata={"version": version}),
+        )
+        cp_path = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{_uuid.uuid4()}.parquet"
+        )
+    else:
+        cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     table = pa.Table.from_pylist(rows, schema=schema)
-    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     pq.write_table(table, cp_path)
     # _last_checkpoint published atomically: a concurrent reader sees the
     # old hint or the new one, never truncated JSON

@@ -575,3 +575,47 @@ def test_column_mapping_mode_change_rejected(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="cannot be changed"):
         write_delta_native(df, path, column_mapping="name")
+
+
+def test_checkpoint_writes_v2_shape_when_feature_active(spark, sf_dir, tmp_path):
+    """On a table carrying the v2Checkpoint writer feature, the
+    checkpoint writer produces the v2 spec shape (UUID-named file with a
+    checkpointMetadata action) — writing classic there would violate the
+    feature contract. The native reader folds it back."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from glaredb_spark.sources.delta_native import (
+        checkpoint_delta_native,
+        read_delta_native,
+        write_delta_native,
+    )
+
+    path = str(tmp_path / "v2cpw")
+    write_delta_native(_docs(spark, sf_dir, 0, 20), path)
+    # upgrade the protocol to carry the v2Checkpoint feature
+    log = _os.path.join(path, "_delta_log")
+    with open(_os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"]}}) + "\n")
+    v = checkpoint_delta_native(spark, path)
+    classic = _glob.glob(_os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+    uuid_named = [
+        p for p in _glob.glob(_os.path.join(log, f"{v:020d}.checkpoint.*.parquet"))
+        if len(_os.path.basename(p).split(".")) == 4
+    ]
+    assert not classic and len(uuid_named) == 1
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(uuid_named[0])
+    assert "checkpointMetadata" in tbl.column_names
+    cms = [r for r in tbl.to_pylist() if r.get("checkpointMetadata")]
+    assert cms and cms[0]["checkpointMetadata"]["version"] == v
+    # commits at/below v removed: the v2 checkpoint alone reconstructs
+    for n in _os.listdir(log):
+        if n.endswith(".json") and not n.startswith("_"):
+            _os.unlink(_os.path.join(log, n))
+    assert read_delta_native(spark, path).count() == 20
