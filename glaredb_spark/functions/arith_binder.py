@@ -878,11 +878,20 @@ def _find_close(s: str, open_pos: int) -> int:
     return -1
 
 
+_NOT_A_WINDOW_NAME = {
+    "from", "where", "group", "order", "having", "union", "intersect",
+    "except", "limit", "offset", "join", "inner", "left", "right",
+    "full", "cross", "on", "as", "and", "or", "when", "then", "else",
+    "end", "select", "window", "qualify", "using",
+}
+
+
 def _extend_over(sql: str, end: int) -> int:
     """If an OVER clause follows position ``end``, return the position
     past it (through `OVER (...)` or a named window `OVER w`); else
     ``end`` unchanged. Splitting a window call from its OVER clause
-    would produce unparseable SQL."""
+    would produce unparseable SQL. A keyword after OVER is NOT a window
+    name (`a / b over FROM t` — 'over' used as a bare column alias)."""
     m = re.match(r"\s+OVER\b\s*", sql[end:], re.IGNORECASE)
     if not m:
         return end
@@ -891,7 +900,9 @@ def _extend_over(sql: str, end: int) -> int:
         oc = _find_close(sql, rest)
         return oc + 1 if oc >= 0 else end
     named = re.match(r"[A-Za-z_]\w*", sql[rest:])
-    return rest + named.end() if named else end
+    if named and named.group(0).lower() not in _NOT_A_WINDOW_NAME:
+        return rest + named.end()
+    return end
 
 
 def rewrite_dec_avg(

@@ -242,13 +242,32 @@ def _schema_field_names(meta: dict) -> dict[int, str]:
 
 def _transform_value(pf: "_PartField", v):
     """Driver-side transform of a literal — the metadata-level twin of
-    _transform_expr, used to prune manifests by partition tuple."""
+    _transform_expr, used to prune manifests by partition tuple.
+    Returns None (= never prune) whenever the literal can't be derived,
+    including type mismatches — a crash here would fail a read whose
+    correct behavior is simply 'unpruned'."""
+    try:
+        return _transform_value_strict(pf, v)
+    except (ValueError, TypeError, AttributeError, OverflowError):
+        return None
+
+
+def _transform_value_strict(pf: "_PartField", v):
     import datetime
 
     if v is None:
         return None
     tr = pf.transform
     if tr == "identity":
+        # coerce to the stored tuple representation
+        # (_decode_part_value): date columns store days-since-epoch ints
+        if pf.src_type.split("(")[0] == "date":
+            if isinstance(v, datetime.datetime):
+                v = v.date()
+            if isinstance(v, str):
+                v = datetime.date.fromisoformat(v[:10])
+            if isinstance(v, datetime.date):
+                return (v - datetime.date(1970, 1, 1)).days
         return v
     m = _BUCKET_RE.match(tr)
     if m:
@@ -311,9 +330,31 @@ def _partition_prunes(
             if pf.src != col or pf.name not in tuple_vals:
                 continue
             expect = _transform_value(pf, want)
-            if expect is None:
+            stored = tuple_vals[pf.name]
+            if expect is None or stored is None:
                 continue
-            if tuple_vals[pf.name] is not None and tuple_vals[pf.name] != expect:
+            if type(stored) is not type(expect):
+                # a representation mismatch must never prune (pruning on
+                # `19727 != date(2024,1,5)` would drop matching rows);
+                # try one safe numeric coercion, else skip
+                if isinstance(stored, int) and isinstance(expect, str):
+                    try:
+                        expect = int(expect)
+                    except ValueError:
+                        continue
+                elif isinstance(stored, str) and isinstance(expect, int):
+                    stored = stored.strip()
+                    if not re.fullmatch(r"[+-]?\d+", stored):
+                        continue
+                    stored = int(stored)
+                elif isinstance(stored, bool) or isinstance(expect, bool):
+                    continue
+                elif not (
+                    isinstance(stored, (int, float))
+                    and isinstance(expect, (int, float))
+                ):
+                    continue
+            if stored != expect:
                 return True
     return False
 
@@ -1266,6 +1307,7 @@ def write_iceberg_native(
     df, table_path: str, mode: str = "append",
     partition_by: list[str] | None = None,
     format_version: int = 1,
+    summary_extra: "dict | None" = None,
 ) -> int:
     """Write ``df`` to an Iceberg v1 table at ``table_path`` (creating
     it if absent) without any connector jar — the writer half of this
@@ -1356,6 +1398,7 @@ def write_iceberg_native(
     summary = {
         "added-data-files": len(added),
         "added-records": sum(d["record_count"] for d in added),
+        **(summary_extra or {}),
     }
     carry = None
     if meta is not None and mode == "append":
@@ -1513,9 +1556,25 @@ def upsert_iceberg_native(
     Creates the table (format-version 2) when absent. Returns the
     snapshot id."""
     table_path = os.path.abspath(table_path)
+    unknown = [c for c in on if c not in df.columns]
+    if unknown:
+        raise IcebergError(f"upsert key columns not in source: {unknown}")
+    # intra-batch duplicate keys would BOTH survive (the equality delete
+    # only kills prior-sequence rows) — refuse like MERGE does; the
+    # caller owns last-wins ordering
+    dup = df.groupBy(*on).count().filter("count > 1").limit(1).collect()
+    if dup:
+        raise IcebergError(
+            "upsert batch has multiple rows for key "
+            f"{tuple(dup[0][k] for k in on)!r}; dedupe the batch first"
+        )
     mdir = os.path.join(table_path, "metadata")
     if not _glob.glob(os.path.join(mdir, "*.metadata.json")):
-        return write_iceberg_native(df, table_path, format_version=2)
+        # creating commit carries the same summary markers (the
+        # streaming sink's idempotence handle must cover batch 0 too)
+        return write_iceberg_native(
+            df, table_path, format_version=2, summary_extra=summary_extra
+        )
     meta = table_metadata(table_path)
     fv = int(meta.get("format-version", 1) or 1)
     if fv != 2:
@@ -1538,9 +1597,13 @@ def upsert_iceberg_native(
     df = df.persist()
     try:
         pfields = _partition_fields(meta)
-        data_adds = _stage_data_files(
-            df.select(*cols), table_path, pfields or None
-        )
+        data_adds = [
+            d
+            for d in _stage_data_files(
+                df.select(*cols), table_path, pfields or None
+            )
+            if int(d["record_count"]) > 0  # empty batches add nothing
+        ]
         keys = df.select(*on).distinct().coalesce(1)
         del_adds = [
             d for d in _stage_data_files(keys, table_path)
@@ -1548,6 +1611,8 @@ def upsert_iceberg_native(
         ]
     finally:
         df.unpersist()
+    if not data_adds and not del_adds:
+        return int(meta.get("current-snapshot-id") or 0)
     for d in del_adds:
         d["content"] = 2
         d["equality_ids"] = [field_ids[c] for c in on]
@@ -1642,7 +1707,11 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
         .observe(obs, F.count(F.lit(1)).alias("n"))
     )
     pfields = _partition_fields(meta)
-    added = _stage_data_files(live, table_path, pfields or None)
+    added = [
+        d
+        for d in _stage_data_files(live, table_path, pfields or None)
+        if int(d["record_count"]) > 0  # fully-deleted files just drop
+    ]
     for d in untouched:
         d.pop("_resolved", None)
     _publish_snapshot(
@@ -1856,13 +1925,7 @@ def delete_iceberg_native(
     position deletes (COW would refuse them), COW otherwise. Returns
     (rows_deleted, files_touched_or_written)."""
     if strategy == "auto":
-        meta = table_metadata(table_path)
-        has_pos = any(
-            (e["data_file"].get("content", 0) or 0) == 1
-            for e in _manifest_entries(meta, table_path)
-            if _STATUS.get(e.get("status", 0)) != "DELETED"
-        )
-        strategy = "mor" if has_pos else "cow"
+        strategy = "mor" if _has_position_deletes(table_path) else "cow"
     if strategy == "mor":
         return _delete_with_position_files(spark, table_path, predicate)
     if strategy != "cow":
@@ -1870,6 +1933,17 @@ def delete_iceberg_native(
     return _rewrite_matching_ice(
         spark, table_path, predicate, "delete",
         lambda df, pred: df.filter(~pred),
+    )
+
+
+def _has_position_deletes(table_path: str) -> bool:
+    """Any live position-delete file in the current snapshot (the
+    strategy='auto' router: COW refuses them, MoR handles them)."""
+    meta = table_metadata(table_path)
+    return any(
+        (e["data_file"].get("content", 0) or 0) == 1
+        for e in _manifest_entries(meta, table_path)
+        if _STATUS.get(e.get("status", 0)) != "DELETED"
     )
 
 
@@ -2059,13 +2133,7 @@ def update_iceberg_native(
     from pyspark.sql import functions as F
 
     if strategy == "auto":
-        meta = table_metadata(table_path)
-        has_pos = any(
-            (e["data_file"].get("content", 0) or 0) == 1
-            for e in _manifest_entries(meta, table_path)
-            if _STATUS.get(e.get("status", 0)) != "DELETED"
-        )
-        strategy = "mor" if has_pos else "cow"
+        strategy = "mor" if _has_position_deletes(table_path) else "cow"
     if strategy == "mor":
         return _update_with_position_files(
             spark, table_path, sets, predicate

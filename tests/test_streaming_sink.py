@@ -162,3 +162,36 @@ def test_delta_upsert_writer_idempotent(spark, tmp_path):
     v = _latest_version(_os.path.join(path, "_delta_log"))
     w(spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string"), 1)
     assert _latest_version(_os.path.join(path, "_delta_log")) == v
+
+
+def test_upsert_rejects_intra_batch_duplicate_keys(spark, tmp_path):
+    """Two rows for one key in a batch would BOTH survive the equality
+    delete (same sequence number) — refused like MERGE; and batch 0's
+    creating commit now carries the idempotence marker."""
+    import pytest
+
+    from glaredb_spark.sources.iceberg_native import (
+        IcebergError,
+        upsert_iceberg_native,
+        write_iceberg_native,
+    )
+    from glaredb_spark.streaming.sink import (
+        iceberg_upsert_writer,
+        last_committed_batch_iceberg,
+    )
+
+    path = str(tmp_path / "dupk")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a")], "id long, val string"),
+        path, format_version=2,
+    )
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, val string"
+    )
+    with pytest.raises(IcebergError, match="multiple rows"):
+        upsert_iceberg_native(spark, path, dup, on=["id"])
+    # creating batch records the marker → replay of batch 0 skipped
+    path2 = str(tmp_path / "b0")
+    w = iceberg_upsert_writer(path2, "appz", on=["id"])
+    w(spark.createDataFrame([(1, "a")], "id long, val string"), 0)
+    assert last_committed_batch_iceberg(path2, "appz") == 0
