@@ -636,13 +636,28 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
         )
     )
     unknown = set(named) - {
-        "region", "access_key_id", "secret_access_key", "service_account"
+        "region", "access_key_id", "secret_access_key", "service_account",
+        "prune",
     }
     if unknown:
         raise ValueError(
             f"unsupported named argument(s) for iceberg.{fn}: "
             f"{sorted(unknown)}"
         )
+    # prune='col=value[,col2=value2]' — manifest-level partition-file
+    # pruning (read_iceberg_native partition_filter); literals arrive as
+    # strings, the pruner's typed coercion handles int/date forms
+    partition_filter = None
+    if named.get("prune"):
+        partition_filter = {}
+        for part in named["prune"].split(","):
+            col, _, val = part.partition("=")
+            if not col.strip() or not _:
+                raise ValueError(
+                    "iceberg prune= expects 'col=value[,col=value]', got "
+                    f"{named['prune']!r}"
+                )
+            partition_filter[col.strip()] = val.strip()
     _osm.set_s3_credentials(
         named.get("access_key_id"), named.get("secret_access_key")
     )
@@ -663,10 +678,19 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
         "scan": _ice.read_iceberg_native,
         "read": _ice.read_iceberg_native,
     }
-    view = _view_name(f"iceberg.{fn}", path + (m.group(3) or ""))
-    if fn in ("scan", "read") and m.group(3):
-        # iceberg.scan('path', <snapshot-id>) — time travel
-        df = _ice.read_iceberg_native(spark, path, int(m.group(3)))
+    view = _view_name(
+        f"iceberg.{fn}",
+        path + (m.group(3) or "") + (named.get("prune") or ""),
+    )
+    if fn in ("scan", "read") and (m.group(3) or partition_filter):
+        # iceberg.scan('path', <snapshot-id>) — time travel; prune= —
+        # partition-file pruning
+        df = _ice.read_iceberg_native(
+            spark,
+            path,
+            int(m.group(3)) if m.group(3) else None,
+            partition_filter=partition_filter,
+        )
     else:
         df = builders[fn](spark, path)
     df.createOrReplaceTempView(view)

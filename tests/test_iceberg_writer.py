@@ -835,3 +835,30 @@ def test_partition_filter_prunes_files(spark, sf_dir, tmp_path):
     same = read_iceberg_native(
         spark, path2, partition_filter={"lang": "en"})
     assert len(same.inputFiles()) == len(full2.inputFiles())
+
+
+def test_sql_scan_prune_named_arg(spark, sf_dir, tmp_path):
+    """iceberg.scan('path', prune='col=value') — partition-file pruning
+    on the SQL surface; string literals coerce through the typed
+    pruner."""
+    from glaredb_spark.session import GlareSession
+
+    path = str(tmp_path / "sqlprune")
+    write_iceberg_native(
+        _part_docs(spark, sf_dir, 0, 60), path,
+        partition_by=["bucket(4, doc_id)"],
+    )
+    sess = GlareSession(spark)
+    got = sess.sql(
+        f"SELECT doc_id FROM iceberg.scan('{path}', prune='doc_id=17') "
+        f"WHERE doc_id = 17"
+    ).collect()
+    assert [r["doc_id"] for r in got] == [17]
+    full = sess.sql(
+        f"SELECT count(*) AS c FROM iceberg.scan('{path}')"
+    ).collect()
+    assert full[0]["c"] == 60
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="prune="):
+        sess.sql(f"SELECT * FROM iceberg.scan('{path}', prune='oops')")
