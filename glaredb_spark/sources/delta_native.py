@@ -516,7 +516,8 @@ def _require_no_dvs(state: "DeltaState", operation: str) -> None:
 
 
 def read_delta_native(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    partition_filter: "dict | None" = None,
 ) -> DataFrame:
     """Read a Delta table directory through the transaction log, returning
     a DataFrame with the table schema (partition columns included).
@@ -526,8 +527,33 @@ def read_delta_native(
     anti-join on (file, ``_metadata.row_index``): DV bitmaps decode
     driver-side (KB-scale roaring blobs, the same layer every Delta
     client folds) into a positions frame joined distributed — no UDFs,
-    and files without DVs scan exactly as before."""
+    and files without DVs scan exactly as before.
+
+    ``partition_filter`` ({partition column -> literal}) drops files by
+    their log partitionValues BEFORE any scan — log-level pruning (the
+    plan-time equivalent happens anyway via the attached partition
+    literals, but this keeps the union and file listing small on
+    many-partition tables). Values compare as the log's strings; the
+    caller still applies the row predicate."""
     state = load_delta_state(path, version=version)
+    if partition_filter:
+        phys0 = _physical_map(state)
+        pf = {
+            phys0.get(c, c): (None if v is None else str(v))
+            for c, v in partition_filter.items()
+        }
+        state.adds = {
+            p: pv
+            for p, pv in state.adds.items()
+            if not any(
+                k in pv and pv[k] is not None and pv[k] != want
+                for k, want in pf.items()
+                if want is not None
+            )
+        }
+        state.add_meta = {
+            p: a for p, a in state.add_meta.items() if p in state.adds
+        }
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in part_cols]

@@ -619,3 +619,24 @@ def test_checkpoint_writes_v2_shape_when_feature_active(spark, sf_dir, tmp_path)
         if n.endswith(".json") and not n.startswith("_"):
             _os.unlink(_os.path.join(log, n))
     assert read_delta_native(spark, path).count() == 20
+
+
+def test_read_partition_filter_prunes_files(spark, sf_dir, tmp_path):
+    """read_delta_native(partition_filter=...): log-level file pruning;
+    results after the row predicate unchanged; non-partition keys never
+    prune."""
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    path = str(tmp_path / "dprune")
+    src = _docs(spark, sf_dir, 0, 100)
+    write_delta_native(src, path, partition_by=["lang"])
+    full = read_delta_native(spark, path)
+    pruned = read_delta_native(spark, path, partition_filter={"lang": "en"})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _collect(
+        pruned.filter("lang = 'en'").select("doc_id", "lang", "n_chars")
+    ) == _collect(src.filter("lang = 'en'"))
+    same = read_delta_native(
+        spark, path, partition_filter={"doc_id": 5}  # not a partition col
+    )
+    assert len(same.inputFiles()) == len(full.inputFiles())
