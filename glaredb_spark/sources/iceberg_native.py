@@ -359,11 +359,59 @@ def _partition_prunes(
     return False
 
 
+def _bounds_lookup(bounds, fid: int):
+    """Bound bytes for a field id from the manifest's k_v list (our
+    writer) or a plain dict (tolerant of other decoders)."""
+    if bounds is None:
+        return None
+    if isinstance(bounds, dict):
+        return bounds.get(fid)
+    for kv in bounds:
+        if isinstance(kv, dict) and kv.get("key") == fid:
+            return kv.get("value")
+    return None
+
+
+def _bounds_prune(
+    schema_fields: list[dict], data_file: dict, value_filter: dict
+) -> bool:
+    """True when the file's lower/upper column bounds PROVE no row can
+    equal the value_filter literals. Missing bounds never prune."""
+    by_name = {
+        f["name"]: (int(f["id"]), f["type"])
+        for f in schema_fields
+        if isinstance(f.get("type"), str)
+    }
+    for col, want in value_filter.items():
+        if col not in by_name:
+            continue
+        fid, t = by_name[col]
+        lb = _bounds_lookup(data_file.get("lower_bounds"), fid)
+        ub = _bounds_lookup(data_file.get("upper_bounds"), fid)
+        if lb is None or ub is None:
+            continue
+        wb = _serialize_bound(t, want)  # canonicalize through Appendix D
+        if wb is None:
+            continue
+        w = _deserialize_bound(t, wb)
+        lo = _deserialize_bound(t, bytes(lb))
+        hi = _deserialize_bound(t, bytes(ub))
+        if w is None or lo is None or hi is None:
+            continue
+        try:
+            if w < lo or w > hi:
+                return True
+        except TypeError:
+            continue
+    return False
+
+
 def read_iceberg_native(
     spark,
     table_path: str,
     snapshot_id: int | None = None,
     partition_filter: "dict | None" = None,
+    value_filter: "dict | None" = None,
 ):
     """Distributed scan of the table's current snapshot, or of a prior
     one named by ``snapshot_id`` (time travel).
@@ -391,6 +439,9 @@ def read_iceberg_native(
     bucket holds many keys)."""
     m = table_metadata(table_path)
     pfields = _partition_fields(m) if partition_filter else []
+    schema_fields = (
+        _current_schema_obj(m).get("fields", []) if value_filter else []
+    )
     active: list[tuple[str, str, int]] = []
     pos_deletes: list[str] = []
     eq_deletes: list[tuple[str, list[int] | None, int]] = []
@@ -407,6 +458,10 @@ def read_iceberg_native(
         if content == 0:
             if partition_filter and _partition_prunes(
                 pfields, df.get("partition"), partition_filter
+            ):
+                continue
+            if value_filter and _bounds_prune(
+                schema_fields, df, value_filter
             ):
                 continue
             active.append((df["file_path"], resolved, seq))
@@ -553,6 +608,30 @@ def _manifest_schema(
             {"name": "equality_ids",
              "type": ["null", {"type": "array", "items": "int"}],
              "default": None}
+        )
+    # per-column value bounds (field-id -> Appendix-D bytes), the spec's
+    # k_v-record map encoding — lets any reader skip files without
+    # opening footers
+    for bname in ("lower_bounds", "upper_bounds"):
+        data_fields.append(
+            {
+                "name": bname,
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": f"k_v_{bname}",
+                            "fields": [
+                                {"name": "key", "type": "int"},
+                                {"name": "value", "type": "bytes"},
+                            ],
+                        },
+                    },
+                ],
+                "default": None,
+            }
         )
     entry_fields = [
         {"name": "status", "type": "int"},
@@ -1236,9 +1315,111 @@ def _parse_partition_by(spec: str) -> tuple[str, str, str]:
     raise IcebergError(f"unsupported partition_by spec {spec!r}")
 
 
+# iceberg spec Appendix D single-value serialization (the byte form
+# lower_bounds/upper_bounds store, keyed by schema field id)
+def _serialize_bound(ice_type: str, v) -> "bytes | None":
+    import datetime
+    import struct
+
+    base = ice_type.split("(")[0]
+    try:
+        if base == "int":
+            return struct.pack("<i", int(v))
+        if base == "long":
+            return struct.pack("<q", int(v))
+        if base == "float":
+            return struct.pack("<f", float(v))
+        if base == "double":
+            return struct.pack("<d", float(v))
+        if base == "boolean":
+            return b"\x01" if v else b"\x00"
+        if base == "date":
+            if isinstance(v, datetime.date):
+                v = (v - datetime.date(1970, 1, 1)).days
+            return struct.pack("<i", int(v))
+        if base in ("timestamp", "timestamptz"):
+            if isinstance(v, datetime.datetime):
+                epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                v = int((v - epoch).total_seconds() * 1_000_000)
+            return struct.pack("<q", int(v))
+        if base == "string":
+            if isinstance(v, bytes):
+                v = v.decode("utf-8", "replace")
+            b = str(v).encode("utf-8")
+            # spec-truncating an UPPER bound requires incrementing the
+            # last code point; recording no bound at all is always safe
+            return b if len(b) <= 16 else None
+    except (ValueError, TypeError, OverflowError, struct.error):
+        return None
+    return None  # decimal/binary/nested: no bounds recorded
+
+
+def _deserialize_bound(ice_type: str, b: bytes):
+    import struct
+
+    base = ice_type.split("(")[0]
+    try:
+        if base in ("int", "date"):
+            return struct.unpack("<i", b)[0]
+        if base == "long" or base in ("timestamp", "timestamptz"):
+            return struct.unpack("<q", b)[0]
+        if base == "float":
+            return struct.unpack("<f", b)[0]
+        if base == "double":
+            return struct.unpack("<d", b)[0]
+        if base == "boolean":
+            return b != b"\x00"
+        if base == "string":
+            return b.decode("utf-8", "replace")
+    except (struct.error, ValueError):
+        return None
+    return None
+
+
+def _file_column_bounds(pq_meta, field_ids: dict, types: dict):
+    """(lower_bounds, upper_bounds) as {field_id: bytes} from a parquet
+    footer's row-group statistics — the same footer read that already
+    supplies record_count, so bounds cost no extra IO. A column whose
+    stats are absent in ANY row group records no bound (absent = never
+    prune, per spec)."""
+    lo: dict[int, object] = {}
+    hi: dict[int, object] = {}
+    complete: set[str] = set()
+    for rg in range(pq_meta.num_row_groups):
+        g = pq_meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in field_ids:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                lo.pop(name, None)
+                hi.pop(name, None)
+                complete.discard(name)
+                continue
+            if rg == 0:
+                lo[name], hi[name] = st.min, st.max
+                complete.add(name)
+            elif name in complete:
+                lo[name] = min(lo[name], st.min)
+                hi[name] = max(hi[name], st.max)
+    lower: dict[int, bytes] = {}
+    upper: dict[int, bytes] = {}
+    for name in complete:
+        fid, t = field_ids[name], types[name]
+        lb = _serialize_bound(t, lo[name])
+        ub = _serialize_bound(t, hi[name])
+        if lb is not None and ub is not None:
+            lower[fid] = lb
+            upper[fid] = ub
+    return lower, upper
+
+
 def _stage_data_files(
     df, table_path: str,
     pfields: list[_PartField] | None = None,
+    schema_obj: "dict | None" = None,
 ) -> list[dict]:
     """Distributed write of ``df`` into a unique per-commit subdirectory
     of data/; returns data_file dicts for exactly the files this write
@@ -1270,6 +1451,13 @@ def _stage_data_files(
         staged.write.mode("append").partitionBy(*shadow).parquet(cdir)
     else:
         df.write.mode("append").parquet(cdir)
+    field_ids = {}
+    ice_types = {}
+    if schema_obj:
+        for f in schema_obj.get("fields", []):
+            if isinstance(f.get("type"), str):
+                field_ids[f["name"]] = int(f["id"])
+                ice_types[f["name"]] = f["type"]
     out = []
     for root, _dirs, files in sorted(os.walk(cdir)):
         for n in sorted(files):
@@ -1280,13 +1468,27 @@ def _stage_data_files(
                 except OSError:
                     pass
                 continue
+            pmeta = pq.read_metadata(full)
             d = {
                 "file_path": full,
                 "file_format": "PARQUET",
-                "record_count": pq.read_metadata(full).num_rows,
+                "record_count": pmeta.num_rows,
                 "file_size_in_bytes": os.path.getsize(full),
                 "block_size_in_bytes": 67108864,
             }
+            if field_ids:
+                lower, upper = _file_column_bounds(
+                    pmeta, field_ids, ice_types
+                )
+                if lower:
+                    d["lower_bounds"] = [
+                        {"key": k, "value": v}
+                        for k, v in sorted(lower.items())
+                    ]
+                    d["upper_bounds"] = [
+                        {"key": k, "value": v}
+                        for k, v in sorted(upper.items())
+                    ]
             if pfields:
                 rel = os.path.relpath(root, cdir)
                 vals = {}
@@ -1394,7 +1596,9 @@ def write_iceberg_native(
                 "table already has a partition spec"
             )
         pfields = _partition_fields(meta)
-    added = _stage_data_files(df, table_path, pfields or None)
+    added = _stage_data_files(
+        df, table_path, pfields or None, schema_obj=schema_obj
+    )
     summary = {
         "added-data-files": len(added),
         "added-records": sum(d["record_count"] for d in added),
@@ -1478,10 +1682,11 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     hit = [d for d in active if os.path.realpath(d["file_path"]) in touched]
     src = spark.read.parquet(*[d["file_path"] for d in hit])
     pred_col = F.coalesce(F.expr(predicate), F.lit(False))
-    added = _stage_data_files(
-        rewrite(src, pred_col), table_path, pfields or None
-    )
     schema_obj = _current_schema_obj(meta)
+    added = _stage_data_files(
+        rewrite(src, pred_col), table_path, pfields or None,
+        schema_obj=schema_obj,
+    )
     _publish_snapshot(
         table_path, meta, schema_obj, added, keep, operation,
         {
@@ -1600,7 +1805,8 @@ def upsert_iceberg_native(
         data_adds = [
             d
             for d in _stage_data_files(
-                df.select(*cols), table_path, pfields or None
+                df.select(*cols), table_path, pfields or None,
+                schema_obj=schema_obj,
             )
             if int(d["record_count"]) > 0  # empty batches add nothing
         ]
@@ -1709,7 +1915,9 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
     pfields = _partition_fields(meta)
     added = [
         d
-        for d in _stage_data_files(live, table_path, pfields or None)
+        for d in _stage_data_files(
+            live, table_path, pfields or None, schema_obj=schema_obj
+        )
         if int(d["record_count"]) > 0  # fully-deleted files just drop
     ]
     for d in untouched:
@@ -1889,7 +2097,10 @@ def merge_iceberg_native(
         out = pieces[0]
         for df in pieces[1:]:
             out = out.unionByName(df)
-        added = _stage_data_files(out, table_path, pfields or None)
+        added = _stage_data_files(
+            out, table_path, pfields or None,
+            schema_obj=_current_schema_obj(meta),
+        )
         inserts.unpersist()
     finally:
         src.unpersist()
@@ -2101,7 +2312,8 @@ def _update_with_position_files(
         )
         pfields = _partition_fields(meta)
         data_adds = _stage_data_files(
-            updated_rows, table_path, pfields or None
+            updated_rows, table_path, pfields or None,
+            schema_obj=schema_obj,
         )
     finally:
         matched.unpersist()

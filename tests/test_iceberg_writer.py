@@ -862,3 +862,47 @@ def test_sql_scan_prune_named_arg(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception, match="prune="):
         sess.sql(f"SELECT * FROM iceberg.scan('{path}', prune='oops')")
+
+
+def test_manifest_column_bounds_and_value_pruning(spark, sf_dir, tmp_path):
+    """Written manifests carry Appendix-D lower/upper bounds from the
+    same footer read as record_count; read_iceberg_native(value_filter=)
+    skips files whose bounds exclude the literal; a long string records
+    no bound (truncating an upper bound without incrementing is
+    spec-invalid) and never prunes."""
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries, table_metadata,
+    )
+
+    path = str(tmp_path / "bounds")
+    write_iceberg_native(_part_docs(spark, sf_dir, 0, 30).coalesce(1), path)
+    write_iceberg_native(_part_docs(spark, sf_dir, 30, 60).coalesce(1), path)
+    entries = _manifest_entries(table_metadata(path), path)
+    data = [e["data_file"] for e in entries if e.get("status", 0) != 2]
+    assert all(d.get("lower_bounds") and d.get("upper_bounds") for d in data)
+    # doc_id is field id 1: bounds match the written ranges
+    import struct
+
+    rngs = sorted(
+        (
+            struct.unpack("<q", bytes(next(
+                kv["value"] for kv in d["lower_bounds"] if kv["key"] == 1
+            )))[0],
+            struct.unpack("<q", bytes(next(
+                kv["value"] for kv in d["upper_bounds"] if kv["key"] == 1
+            )))[0],
+        )
+        for d in data
+    )
+    assert rngs == [(0, 29), (30, 59)]
+    full = read_iceberg_native(spark, path)
+    pruned = read_iceberg_native(spark, path, value_filter={"doc_id": 45})
+    assert len(pruned.inputFiles()) == 1 < len(full.inputFiles())
+    got = pruned.filter("doc_id = 45").collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 45
+    # out-of-range literal prunes everything -> empty-but-correct
+    none = read_iceberg_native(spark, path, value_filter={"doc_id": 999})
+    assert none.count() == 0
+    # unknown column / absent bounds never prune
+    same = read_iceberg_native(spark, path, value_filter={"nope": 1})
+    assert len(same.inputFiles()) == len(full.inputFiles())
