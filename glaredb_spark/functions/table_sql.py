@@ -684,12 +684,15 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
     )
     if fn in ("scan", "read") and (m.group(3) or partition_filter):
         # iceberg.scan('path', <snapshot-id>) — time travel; prune= —
-        # partition-file pruning
+        # file pruning through BOTH partition tuples and column bounds
+        # (each only ever prunes on proof, so the same equality map
+        # feeds both)
         df = _ice.read_iceberg_native(
             spark,
             path,
             int(m.group(3)) if m.group(3) else None,
             partition_filter=partition_filter,
+            value_filter=partition_filter,
         )
     else:
         df = builders[fn](spark, path)
