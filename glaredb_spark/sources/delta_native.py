@@ -727,23 +727,95 @@ def _commit_actions(log_dir: str, version: int, actions: list[dict]) -> None:
         raise
 
 
+def _file_stats_json(full_path: str) -> "str | None":
+    """Per-file ``stats`` JSON for an add action (numRecords /
+    minValues / maxValues / nullCount — the structure delta-spark
+    data-skips on), from the parquet footer: zero extra data IO. Keys
+    are the file's own (physical) column names per spec. Columns
+    without footer statistics are simply omitted (absent = never
+    skip)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def _j(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat(sep=" ") if isinstance(
+                v, datetime.datetime
+            ) else v.isoformat()
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, float) and (v != v or v in (float("inf"),
+                                                     float("-inf"))):
+            return None  # NaN/inf aren't valid JSON stats
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        return None
+
+    try:
+        meta = pq.read_metadata(full_path)
+    except Exception:  # noqa: BLE001 — stats are best-effort
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    complete: set = set()
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested: skip
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                complete.discard(name)
+                continue
+            nulls[name] = nulls.get(name, 0) + int(st.null_count or 0)
+            if rg == 0:
+                mins[name], maxs[name] = st.min, st.max
+                complete.add(name)
+            elif name in complete:
+                mins[name] = min(mins[name], st.min)
+                maxs[name] = max(maxs[name], st.max)
+    out = {"numRecords": meta.num_rows, "minValues": {}, "maxValues": {},
+           "nullCount": {}}
+    for name in sorted(complete):
+        lo, hi = _j(mins[name]), _j(maxs[name])
+        if lo is None or hi is None:
+            continue
+        out["minValues"][name] = lo
+        out["maxValues"][name] = hi
+        out["nullCount"][name] = nulls.get(name, 0)
+    return json.dumps(out)
+
+
 def _add_action(
     rel: str, st: os.stat_result, part_cols: list[str],
     data_change: bool = True, partition_values: dict | None = None,
+    root: str | None = None,
 ) -> dict:
-    return {
-        "add": {
-            "path": urllib.parse.quote(rel.replace(os.sep, "/")),
-            "partitionValues": (
-                partition_values
-                if partition_values is not None
-                else _partition_values_from_path(rel, part_cols)
-            ),
-            "size": st.st_size,
-            "modificationTime": int(st.st_mtime * 1000),
-            "dataChange": data_change,
-        }
+    add = {
+        "path": urllib.parse.quote(rel.replace(os.sep, "/")),
+        "partitionValues": (
+            partition_values
+            if partition_values is not None
+            else _partition_values_from_path(rel, part_cols)
+        ),
+        "size": st.st_size,
+        "modificationTime": int(st.st_mtime * 1000),
+        "dataChange": data_change,
     }
+    if root is not None:
+        stats = _file_stats_json(os.path.join(root, rel))
+        if stats:
+            add["stats"] = stats
+    return {"add": add}
 
 
 def write_delta_native(
@@ -913,7 +985,7 @@ def write_delta_native(
                 }
             )
     for rel in sorted(new_files):
-        actions.append(_add_action(rel, new_files[rel], pc_phys))
+        actions.append(_add_action(rel, new_files[rel], pc_phys, root=path))
     _commit_actions(log_dir, next_version, actions)
     return next_version
 
@@ -1066,7 +1138,7 @@ def _rewrite_matching(
                         "dataChange": True}}
         )
     for rel in sorted(new_files):
-        actions.append(_add_action(rel, new_files[rel], pc_phys))
+        actions.append(_add_action(rel, new_files[rel], pc_phys, root=path))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (int(matched), len(touched_rel))
@@ -1424,7 +1496,7 @@ def _update_with_dvs(
         }
     ] + _protocol_upgrade_action(state) + pairs
     for rel in sorted(new_files):
-        actions.append(_add_action(rel, new_files[rel], pc_phys))
+        actions.append(_add_action(rel, new_files[rel], pc_phys, root=path))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (updated, len(results))
@@ -1486,7 +1558,7 @@ def purge_delta_native(spark: SparkSession, path: str) -> tuple[int, int]:
                         "dataChange": True}}
         )
     for rel in sorted(new_files):
-        actions.append(_add_action(rel, new_files[rel], pc_phys))
+        actions.append(_add_action(rel, new_files[rel], pc_phys, root=path))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (len(dvd), int(obs.get["n"]))
@@ -1622,7 +1694,7 @@ def optimize_delta_native(
         )
     for rel in sorted(new_files):
         actions.append(
-            _add_action(rel, new_files[rel], pc_phys, data_change=False)
+            _add_action(rel, new_files[rel], pc_phys, data_change=False, root=path)
         )
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
@@ -1832,7 +1904,7 @@ def merge_delta_native(
                         "dataChange": True}}
         )
     for rel in sorted(new_files):
-        actions.append(_add_action(rel, new_files[rel], pc_phys))
+        actions.append(_add_action(rel, new_files[rel], pc_phys, root=path))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (int(updated), int(inserted), len(touched_rel))

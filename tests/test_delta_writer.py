@@ -640,3 +640,26 @@ def test_read_partition_filter_prunes_files(spark, sf_dir, tmp_path):
         spark, path, partition_filter={"doc_id": 5}  # not a partition col
     )
     assert len(same.inputFiles()) == len(full.inputFiles())
+
+
+def test_add_actions_carry_stats(spark, sf_dir, tmp_path):
+    """Every written add action carries the spec stats JSON (numRecords
+    + min/max/nullCount per column) from the parquet footer — what
+    delta-spark data-skips on."""
+    from glaredb_spark.sources.delta_native import load_delta_state
+
+    path = str(tmp_path / "stats")
+    write_delta_native(_docs(spark, sf_dir, 0, 50), path)
+    state = load_delta_state(path)
+    for a in state.add_meta.values():
+        s = json.loads(a["stats"])
+        assert s["numRecords"] > 0
+        assert "doc_id" in s["minValues"] and "doc_id" in s["maxValues"]
+        assert s["minValues"]["doc_id"] >= 0
+        assert s["maxValues"]["doc_id"] <= 49
+        assert s["nullCount"]["doc_id"] == 0
+    total = sum(
+        json.loads(a["stats"])["numRecords"]
+        for a in state.add_meta.values()
+    )
+    assert total == 50
