@@ -515,9 +515,40 @@ def _require_no_dvs(state: "DeltaState", operation: str) -> None:
         )
 
 
+def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
+    """True when an add action's stats PROVE no row can equal the
+    value_filter literals (min/max per column). Missing or unparseable
+    stats never prune; comparisons only happen between same-kind values
+    (numbers with numbers, strings with strings — ISO date/timestamp
+    strings order correctly)."""
+    if not stats_json:
+        return False
+    try:
+        s = json.loads(stats_json)
+    except (ValueError, TypeError):
+        return False
+    mins = s.get("minValues") or {}
+    maxs = s.get("maxValues") or {}
+    for col, want in value_filter.items():
+        if want is None or col not in mins or col not in maxs:
+            continue
+        lo, hi = mins[col], maxs[col]
+        if isinstance(want, bool) or isinstance(lo, bool):
+            continue
+        num = (int, float)
+        if isinstance(want, num) and isinstance(lo, num) and isinstance(hi, num):
+            if want < lo or want > hi:
+                return True
+        elif isinstance(want, str) and isinstance(lo, str) and isinstance(hi, str):
+            if want < lo or want > hi:
+                return True
+    return False
+
+
 def read_delta_native(
     spark: SparkSession, path: str, version: int | None = None,
     partition_filter: "dict | None" = None,
+    value_filter: "dict | None" = None,
 ) -> DataFrame:
     """Read a Delta table directory through the transaction log, returning
     a DataFrame with the table schema (partition columns included).
@@ -536,6 +567,18 @@ def read_delta_native(
     many-partition tables). Values compare as the log's strings; the
     caller still applies the row predicate."""
     state = load_delta_state(path, version=version)
+    if value_filter:
+        phys0 = _physical_map(state)
+        pf = {phys0.get(c, c): v for c, v in value_filter.items()}
+        keep = {
+            p
+            for p, a in state.add_meta.items()
+            if not _stats_prune(a.get("stats"), pf)
+        }
+        state.adds = {p: pv for p, pv in state.adds.items() if p in keep}
+        state.add_meta = {
+            p: a for p, a in state.add_meta.items() if p in keep
+        }
     if partition_filter:
         phys0 = _physical_map(state)
         pf = {

@@ -663,3 +663,25 @@ def test_add_actions_carry_stats(spark, sf_dir, tmp_path):
         for a in state.add_meta.values()
     )
     assert total == 50
+
+
+def test_read_value_filter_skips_by_stats(spark, sf_dir, tmp_path):
+    """read_delta_native(value_filter=...): per-file min/max stats skip
+    files whose range excludes the literal; missing stats never skip."""
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    path = str(tmp_path / "vskip")
+    write_delta_native(_docs(spark, sf_dir, 0, 30).coalesce(1), path)
+    write_delta_native(_docs(spark, sf_dir, 30, 60).coalesce(1), path)
+    full = read_delta_native(spark, path)
+    skipped = read_delta_native(spark, path, value_filter={"doc_id": 45})
+    assert len(skipped.inputFiles()) == 1 < len(full.inputFiles())
+    got = skipped.filter("doc_id = 45").collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 45
+    # excluded-everywhere literal -> empty but correct
+    assert read_delta_native(
+        spark, path, value_filter={"doc_id": 999}
+    ).count() == 0
+    # unknown column: untouched
+    same = read_delta_native(spark, path, value_filter={"nope": 1})
+    assert len(same.inputFiles()) == len(full.inputFiles())
