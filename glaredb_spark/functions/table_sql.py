@@ -649,6 +649,10 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
     # strings, the pruner's typed coercion handles int/date forms
     partition_filter = None
     if named.get("prune"):
+        if fn not in ("scan", "read"):
+            raise ValueError(
+                f"prune= applies to iceberg.scan/read, not iceberg.{fn}"
+            )
         partition_filter = {}
         for part in named["prune"].split(","):
             col, _, val = part.partition("=")
@@ -680,7 +684,8 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
     }
     view = _view_name(
         f"iceberg.{fn}",
-        path + (m.group(3) or "") + (named.get("prune") or ""),
+        # delimited: 'p'|12|'a=1' and 'p'|1|'2a=1' must not collide
+        f"{path}|{m.group(3) or ''}|{named.get('prune') or ''}",
     )
     if fn in ("scan", "read") and (m.group(3) or partition_filter):
         # iceberg.scan('path', <snapshot-id>) — time travel; prune= —

@@ -515,6 +515,24 @@ def _require_no_dvs(state: "DeltaState", operation: str) -> None:
         )
 
 
+def _partition_literal_str(v) -> "str | None":
+    """Python literal -> the log's partitionValues string form: booleans
+    are lowercase 'true'/'false' (str(True) is 'True' and would prune
+    the matching partition), dates ISO."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return str(v)
+
+
+_TS_ISH_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}")
+
+
 def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
     """True when an add action's stats PROVE no row can equal the
     value_filter literals (min/max per column). Missing or unparseable
@@ -540,6 +558,16 @@ def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
             if want < lo or want > hi:
                 return True
         elif isinstance(want, str) and isinstance(lo, str) and isinstance(hi, str):
+            if (
+                _TS_ISH_RE.match(want)
+                and _TS_ISH_RE.match(lo)
+                and _TS_ISH_RE.match(hi)
+            ):
+                # both 'T'- and space-separated ISO timestamps exist in
+                # the wild; normalize so the lexicographic compare holds
+                want = want.replace(" ", "T", 1)
+                lo = lo.replace(" ", "T", 1)
+                hi = hi.replace(" ", "T", 1)
             if want < lo or want > hi:
                 return True
     return False
@@ -568,8 +596,10 @@ def read_delta_native(
     caller still applies the row predicate."""
     state = load_delta_state(path, version=version)
     if value_filter:
-        phys0 = _physical_map(state)
-        pf = {phys0.get(c, c): v for c, v in value_filter.items()}
+        pf = {
+            _physical_map(state).get(c, c): v
+            for c, v in value_filter.items()
+        }
         keep = {
             p
             for p, a in state.add_meta.items()
@@ -580,9 +610,8 @@ def read_delta_native(
             p: a for p, a in state.add_meta.items() if p in keep
         }
     if partition_filter:
-        phys0 = _physical_map(state)
         pf = {
-            phys0.get(c, c): (None if v is None else str(v))
+            _physical_map(state).get(c, c): _partition_literal_str(v)
             for c, v in partition_filter.items()
         }
         state.adds = {
@@ -783,9 +812,9 @@ def _file_stats_json(full_path: str) -> "str | None":
 
     def _j(v):
         if isinstance(v, (datetime.date, datetime.datetime)):
-            return v.isoformat(sep=" ") if isinstance(
-                v, datetime.datetime
-            ) else v.isoformat()
+            # 'T'-separated ISO-8601, delta-spark's stats convention
+            # (lexicographic compares only hold within one convention)
+            return v.isoformat()
         if isinstance(v, bytes):
             try:
                 return v.decode("utf-8")
@@ -802,30 +831,9 @@ def _file_stats_json(full_path: str) -> "str | None":
         meta = pq.read_metadata(full_path)
     except Exception:  # noqa: BLE001 — stats are best-effort
         return None
-    mins: dict = {}
-    maxs: dict = {}
-    nulls: dict = {}
-    complete: set = set()
-    for rg in range(meta.num_row_groups):
-        g = meta.row_group(rg)
-        for ci in range(g.num_columns):
-            col = g.column(ci)
-            name = col.path_in_schema
-            if "." in name:
-                continue  # nested: skip
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                mins.pop(name, None)
-                maxs.pop(name, None)
-                complete.discard(name)
-                continue
-            nulls[name] = nulls.get(name, 0) + int(st.null_count or 0)
-            if rg == 0:
-                mins[name], maxs[name] = st.min, st.max
-                complete.add(name)
-            elif name in complete:
-                mins[name] = min(mins[name], st.min)
-                maxs[name] = max(maxs[name], st.max)
+    from glaredb_spark.sources.footer_stats import footer_minmax
+
+    mins, maxs, nulls, complete = footer_minmax(meta)
     out = {"numRecords": meta.num_rows, "minValues": {}, "maxValues": {},
            "nullCount": {}}
     for name in sorted(complete):
@@ -2030,6 +2038,10 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
             "modificationTime": int(am.get("modificationTime") or 0),
             "dataChange": False,
         }
+        if am.get("stats"):
+            # per-file stats survive log compaction (dropping them would
+            # silently disable data skipping after the first checkpoint)
+            add["stats"] = am["stats"]
         dv = am.get("deletionVector")
         if dv:
             # active deletion vectors survive log compaction — a
@@ -2090,6 +2102,7 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
                      ("size", pa.int64()),
                      ("modificationTime", pa.int64()),
                      ("dataChange", pa.bool_()),
+                     ("stats", pa.string()),
                      ("deletionVector",
                       pa.struct(
                           [("storageType", pa.string()),

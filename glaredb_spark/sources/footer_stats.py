@@ -1,0 +1,51 @@
+"""Shared parquet-footer min/max accumulator for the lakehouse writers.
+
+Both the Iceberg manifest bounds (iceberg_native._file_column_bounds)
+and the Delta add-action stats (delta_native._file_stats_json) need the
+same subtle per-column fold over row-group statistics: seed on the
+first row group, merge while every row group has stats, and DROP the
+column the moment any row group lacks them (an incomplete bound must
+never be recorded — absent bounds mean "never skip", wrong bounds mean
+wrong results)."""
+
+from __future__ import annotations
+
+
+def footer_minmax(pq_meta):
+    """→ (mins, maxs, null_counts, complete_column_names) from a
+    pyarrow parquet FileMetaData. Nested columns are skipped."""
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    complete: set = set()
+    for rg in range(pq_meta.num_row_groups):
+        g = pq_meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                complete.discard(name)
+                continue
+            nulls[name] = nulls.get(name, 0) + int(st.null_count or 0)
+            if rg == 0:
+                mins[name], maxs[name] = st.min, st.max
+                complete.add(name)
+            elif name in complete:
+                mins[name] = min(mins[name], st.min)
+                maxs[name] = max(maxs[name], st.max)
+    return mins, maxs, nulls, complete
+
+
+def exact_epoch_micros(v, epoch) -> int:
+    """Exact integer microseconds for a datetime difference —
+    total_seconds()*1e6 loses a microsecond to float rounding for
+    pre-1970 and far-future values."""
+    td = v - epoch
+    return (
+        td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+    )

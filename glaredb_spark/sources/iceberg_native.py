@@ -278,7 +278,11 @@ def _transform_value_strict(pf: "_PartField", v):
                 epoch = datetime.datetime(
                     1970, 1, 1, tzinfo=v.tzinfo
                 )
-                v = int((v - epoch).total_seconds() * 1_000_000)
+                from glaredb_spark.sources.footer_stats import (
+                    exact_epoch_micros,
+                )
+
+                v = exact_epoch_micros(v, epoch)
             elif isinstance(v, datetime.date):
                 v = (v - datetime.date(1970, 1, 1)).days
             h = int(_mmh3_32_int64([int(v)])[0])
@@ -312,7 +316,9 @@ def _transform_value_strict(pf: "_PartField", v):
         if not isinstance(v, datetime.datetime):
             return None
         epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - epoch).total_seconds() // 3600)
+        from glaredb_spark.sources.footer_stats import exact_epoch_micros
+
+        return exact_epoch_micros(v, epoch) // 3_600_000_000
     return None
 
 
@@ -1332,15 +1338,31 @@ def _serialize_bound(ice_type: str, v) -> "bytes | None":
         if base == "double":
             return struct.pack("<d", float(v))
         if base == "boolean":
+            if isinstance(v, str):
+                s = v.strip().lower()
+                if s in ("true", "t", "1"):
+                    v = True
+                elif s in ("false", "f", "0"):
+                    v = False
+                else:
+                    return None
+            elif not isinstance(v, (bool, int)):
+                return None  # truthiness of 'false' is True — never guess
             return b"\x01" if v else b"\x00"
         if base == "date":
+            if isinstance(v, str):
+                v = datetime.date.fromisoformat(v[:10])
             if isinstance(v, datetime.date):
                 v = (v - datetime.date(1970, 1, 1)).days
             return struct.pack("<i", int(v))
         if base in ("timestamp", "timestamptz"):
             if isinstance(v, datetime.datetime):
+                from glaredb_spark.sources.footer_stats import (
+                    exact_epoch_micros,
+                )
+
                 epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-                v = int((v - epoch).total_seconds() * 1_000_000)
+                v = exact_epoch_micros(v, epoch)
             return struct.pack("<q", int(v))
         if base == "string":
             if isinstance(v, bytes):
@@ -1382,28 +1404,10 @@ def _file_column_bounds(pq_meta, field_ids: dict, types: dict):
     supplies record_count, so bounds cost no extra IO. A column whose
     stats are absent in ANY row group records no bound (absent = never
     prune, per spec)."""
-    lo: dict[int, object] = {}
-    hi: dict[int, object] = {}
-    complete: set[str] = set()
-    for rg in range(pq_meta.num_row_groups):
-        g = pq_meta.row_group(rg)
-        for ci in range(g.num_columns):
-            col = g.column(ci)
-            name = col.path_in_schema
-            if name not in field_ids:
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                lo.pop(name, None)
-                hi.pop(name, None)
-                complete.discard(name)
-                continue
-            if rg == 0:
-                lo[name], hi[name] = st.min, st.max
-                complete.add(name)
-            elif name in complete:
-                lo[name] = min(lo[name], st.min)
-                hi[name] = max(hi[name], st.max)
+    from glaredb_spark.sources.footer_stats import footer_minmax
+
+    lo, hi, _nulls, complete = footer_minmax(pq_meta)
+    complete = {n for n in complete if n in field_ids}
     lower: dict[int, bytes] = {}
     upper: dict[int, bytes] = {}
     for name in complete:
