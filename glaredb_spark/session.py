@@ -101,7 +101,9 @@ _MERGE_NOT_MATCHED_RE = re.compile(
 # maintenance statements over native table DIRECTORIES (delta-spark's
 # OPTIMIZE / VACUUM [RETAIN n HOURS] [DRY RUN] / REORG APPLY (PURGE))
 _OPTIMIZE_RE = re.compile(
-    r"^\s*OPTIMIZE\s+'([^']+)'\s*;?\s*$", re.IGNORECASE
+    r"^\s*OPTIMIZE\s+'([^']+)'"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+'([^']+)'"
@@ -689,16 +691,30 @@ class GlareSession:
         if m:
             from pyspark.sql import functions as F
 
+            zorder = (
+                [c.strip().strip("`") for c in m.group(2).split(",")]
+                if m.group(2)
+                else None
+            )
             if _native_table_kind(m.group(1)) == "iceberg":
+                if zorder:
+                    raise ValueError(
+                        "OPTIMIZE ... ZORDER BY is supported on native "
+                        "Delta tables only"
+                    )
                 from glaredb_spark.sources.iceberg_native import (
                     optimize_iceberg_native as _opt,
                 )
+
+                removed, added = _opt(self.spark, m.group(1))
             else:
                 from glaredb_spark.sources.delta_native import (
                     optimize_delta_native as _opt,
                 )
 
-            removed, added = _opt(self.spark, m.group(1))
+                removed, added = _opt(
+                    self.spark, m.group(1), zorder_by=zorder
+                )
             return self.spark.range(1).select(
                 F.lit(removed).cast("bigint").alias("files_removed"),
                 F.lit(added).cast("bigint").alias("files_added"),

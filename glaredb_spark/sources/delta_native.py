@@ -1670,14 +1670,105 @@ def update_delta_native(
     )
 
 
+def _zorder_value(df, cols: list[str]):
+    """Z-order (Morton) clustering key over ``cols``: each column scales
+    to a 16-bit lane (numeric/date/timestamp linearly between the
+    frame's min and max — range locality; strings by crc32 — equality
+    locality), lanes interleave bit-by-bit. Pure JVM expressions (one
+    driver-side min/max agg per call), no UDFs."""
+    import datetime
+
+    lanes = []
+    numeric_cols = []
+    exprs: dict = {}
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        if dt in ("date",):
+            exprs[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
+            numeric_cols.append(c)
+        elif dt.startswith("timestamp"):
+            exprs[c] = F.unix_micros(F.col(c))
+            numeric_cols.append(c)
+        elif dt in ("string",):
+            exprs[c] = None  # hash lane
+        elif dt in ("boolean",):
+            exprs[c] = F.col(c).cast("int")
+            numeric_cols.append(c)
+        else:
+            exprs[c] = F.col(c).cast("double")
+            numeric_cols.append(c)
+    stats = {}
+    if numeric_cols:
+        row = df.agg(
+            *[F.min(exprs[c]).alias(f"lo_{c}") for c in numeric_cols],
+            *[F.max(exprs[c]).alias(f"hi_{c}") for c in numeric_cols],
+        ).collect()[0]
+
+        def _num(v):
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return None  # already converted by exprs; not expected
+            return v
+
+        for c in numeric_cols:
+            stats[c] = (_num(row[f"lo_{c}"]), _num(row[f"hi_{c}"]))
+    for c in cols:
+        if exprs[c] is None:
+            lanes.append((F.crc32(F.col(c).cast("string"))
+                          % F.lit(65536)).cast("long"))
+            continue
+        lo, hi = stats.get(c, (None, None))
+        if lo is None or hi is None or float(hi) == float(lo):
+            lanes.append(F.lit(0).cast("long"))
+            continue
+        span = float(hi) - float(lo)
+        lanes.append(
+            F.least(
+                F.lit(65535),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (
+                            F.coalesce(
+                                exprs[c].cast("double"), F.lit(float(lo))
+                            )
+                            - F.lit(float(lo))
+                        )
+                        / F.lit(span)
+                        * F.lit(65535.0)
+                    ),
+                ),
+            ).cast("long")
+        )
+    # interleave: bit i of lane j lands at position i*len(lanes)+j
+    z = F.lit(0).cast("long")
+    k = len(lanes)
+    for j, lane in enumerate(lanes):
+        for i in range(16):
+            z = z + F.shiftleft(
+                F.shiftright(lane, i).bitwiseAND(F.lit(1)),
+                i * k + j,
+            )
+    return z
+
+
 def optimize_delta_native(
-    spark: SparkSession, path: str, max_files_per_group: int = 128
+    spark: SparkSession, path: str, max_files_per_group: int = 128,
+    zorder_by: "list[str] | None" = None,
 ) -> tuple[int, int]:
     """Compaction (delta-spark's OPTIMIZE): rewrite the table's active
     data files into fewer, larger ones — the small-files problem is the
     operational cost of frequent small commits (e.g. the streaming sink).
     Pure reorganization: `dataChange: false` on every action, so
     streaming readers don't re-emit rows and time travel is unaffected.
+
+    ``zorder_by`` additionally CLUSTERS the rewrite on a Morton
+    interleaving of the named columns (delta-spark's OPTIMIZE ZORDER BY):
+    rows close in the multi-column space land in the same files, so the
+    per-file stats become tight on EVERY z-ordered column and
+    stats-based skipping works for predicates on any of them — the
+    multi-dimensional answer single-column sorting can't give. The
+    z-value is built from JVM expressions (no UDFs) and the write
+    range-partitions on it.
 
     Scale: one distributed read + write per partition group; the commit
     is KB driver JSON. Returns (files_before, files_after)."""
@@ -1702,8 +1793,15 @@ def optimize_delta_native(
     def _resolve(p: str) -> str:
         return os.path.join(path, urllib.parse.unquote(p))
 
+    if zorder_by:
+        logical_names = {f.name for f in data_fields}
+        unknown = [c for c in zorder_by if c not in logical_names]
+        if unknown:
+            raise ValueError(
+                f"ZORDER BY on unknown/partition columns: {unknown}"
+            )
     n_before = len(state.adds)
-    if n_before <= 1:
+    if n_before <= 1 and not zorder_by:
         return (n_before, n_before)
     by_part: dict[tuple, list[str]] = {}
     for p, pv in state.adds.items():
@@ -1715,9 +1813,20 @@ def optimize_delta_native(
         df = spark.read.schema(data_schema).parquet(
             *[_resolve(p) for p in rels]
         )
+        groups = max(1, (len(rels) + max_files_per_group - 1) // max_files_per_group)
+        if zorder_by:
+            zcols = [phys.get(c, c) for c in zorder_by]
+            z = _zorder_value(df, zcols)
+            # z-order locality is per-dimension ~ F^(1/k): too few files
+            # and every file still spans every dimension — keep at least
+            # 16 output files (each then covers ~1/16^(1/k) of each
+            # dimension), still bounded by the compaction target
+            df = df.repartitionByRange(
+                max(groups, 16), z.alias("_z")
+            ).sortWithinPartitions(z.alias("_z"))
+            groups = None  # repartitionByRange already set the layout
         if phys:
             df = _attach_field_ids(df, state)
-        groups = max(1, (len(rels) + max_files_per_group - 1) // max_files_per_group)
         # each group lands under its own k=v dirs inside this commit's
         # unique staging subdir (race-free attribution, see _staged_write)
         comps = [
@@ -1734,7 +1843,10 @@ def optimize_delta_native(
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
-                "operationParameters": {},
+                "operationParameters": (
+                    {"zOrderBy": json.dumps(zorder_by)}
+                    if zorder_by else {}
+                ),
             }
         }
     ]

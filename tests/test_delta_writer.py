@@ -685,3 +685,50 @@ def test_read_value_filter_skips_by_stats(spark, sf_dir, tmp_path):
     # unknown column: untouched
     same = read_delta_native(spark, path, value_filter={"nope": 1})
     assert len(same.inputFiles()) == len(full.inputFiles())
+
+
+def test_optimize_zorder_clusters_for_skipping(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER BY: after clustering on (doc_id, n_chars), the
+    per-file stats become tight on BOTH columns and value_filter
+    skipping prunes files for predicates on either — the
+    multi-dimensional payoff of the Morton interleave."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.delta_native import (
+        load_delta_state,
+        optimize_delta_native,
+        read_delta_native,
+    )
+
+    path = str(tmp_path / "zt")
+    # interleaved writes so doc_id ranges overlap across files pre-zorder
+    src = _docs(spark, sf_dir, 0, 200)
+    write_delta_native(src.filter("doc_id % 2 = 0"), path)
+    write_delta_native(src.filter("doc_id % 2 = 1"), path)
+    full_before = read_delta_native(
+        spark, path, value_filter={"doc_id": 7}
+    )
+    n_before = len(full_before.inputFiles())
+    removed, added = optimize_delta_native(
+        spark, path, zorder_by=["doc_id", "n_chars"]
+    )
+    assert removed >= 2 and added >= 2
+    got = read_delta_native(spark, path)
+    assert _collect(got) == _collect(src)
+    # z-ordered files: a point lookup touches fewer files than exist
+    state = load_delta_state(path)
+    pruned = read_delta_native(spark, path, value_filter={"doc_id": 7})
+    assert len(pruned.inputFiles()) < len(state.adds)
+    assert pruned.filter("doc_id = 7").count() == 1
+    # stats are recorded per file with bounded doc_id ranges
+    spans = []
+    for a in state.add_meta.values():
+        s = json.loads(a["stats"])
+        spans.append(s["maxValues"]["doc_id"] - s["minValues"]["doc_id"])
+    assert min(spans) < 199  # pre-zorder every file spanned ~the whole range
+    # SQL surface
+    sess = GlareSession(spark)
+    out = sess.sql(
+        f"OPTIMIZE '{path}' ZORDER BY (doc_id, n_chars)"
+    ).collect()
+    assert out[0]["files_removed"] >= 1
+    assert read_delta_native(spark, path).count() == 200
