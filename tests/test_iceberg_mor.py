@@ -223,3 +223,219 @@ def test_equality_delete_scoped_by_sequence_number(spark, tmp_path):
     assert got == sorted(
         [i for i in range(20) if i not in (4, 15)] + [4]
     )
+
+
+def test_many_upsert_batches_bounded_plan_then_purge(spark, tmp_path):
+    """The r8 scale-killer, fixed: 22 micro-batch upserts leave 21
+    equality-delete files that all share one equality-id set, so the MoR
+    read plans exactly ONE anti-join (was one PER delete file — the plan
+    grew with batch count); REORG PURGE then materializes the equality
+    deletes and returns the table to plain COW (was refused)."""
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries,
+        purge_iceberg_native,
+        table_metadata,
+        upsert_iceberg_native,
+    )
+
+    path = str(tmp_path / "many")
+    expect = {}
+    for b in range(22):
+        batch = [(k, f"b{b}") for k in range(b, b + 5)]
+        upsert_iceberg_native(
+            spark,
+            path,
+            spark.createDataFrame(batch, "k long, v string"),
+            on=["k"],
+        )
+        expect.update({k: v for k, v in batch})
+    out = read_iceberg_native(spark, path)
+    assert {r["k"]: r["v"] for r in out.collect()} == expect
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one eq-delete anti-join total, NOT one per micro-batch
+    assert plan.count("LeftAnti") == 1, plan
+    meta = table_metadata(path)
+    n_eq = sum(
+        1
+        for e in _manifest_entries(meta, path)
+        if (e["data_file"].get("content", 0) or 0) == 2
+    )
+    assert n_eq == 21  # batch 0 created the table, 1..21 upserted
+    purged, rows = purge_iceberg_native(spark, path)
+    assert purged >= 1
+    meta2 = table_metadata(path)
+    assert all(
+        (e["data_file"].get("content", 0) or 0) == 0
+        for e in _manifest_entries(meta2, path)
+    )
+    out2 = read_iceberg_native(spark, path)
+    assert {r["k"]: r["v"] for r in out2.collect()} == expect
+    # post-purge plan is a plain scan: no joins at all
+    assert "Join" not in out2._jdf.queryExecution().optimizedPlan().toString()
+
+
+_PART_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {"type": "record", "name": "r102", "fields": [
+                            {"name": "val",
+                             "type": ["null", "string"], "default": None},
+                        ]},
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
+                ],
+            },
+        },
+    ],
+}
+_PART_ML_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+    ],
+}
+
+
+def test_equality_delete_scoped_by_partition(spark, tmp_path):
+    """Spec rule (ADVICE r8): a delete file committed under a
+    PARTITIONED spec applies only to data files with the same partition
+    tuple. An externally-authored eq-delete scoped to val='x' kills ids
+    in the x partition only — the same ids in y survive."""
+    root = str(tmp_path / "scoped")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+
+    def _tbl(lo, hi, val):
+        return pa.table({
+            "id": pa.array(range(lo, hi), pa.int64()),
+            "val": pa.array([val] * (hi - lo)),
+        })
+
+    def _entry(rel, tbl, content, eq_ids, part):
+        full = os.path.join(root, rel)
+        _write_parquet(full, tbl)
+        return {"status": 1, "data_file": {
+            "content": content, "file_path": full,
+            "file_format": "PARQUET", "partition": {"val": part},
+            "record_count": tbl.num_rows,
+            "file_size_in_bytes": os.path.getsize(full),
+            "equality_ids": eq_ids}}
+
+    # both partitions contain ids 0..9; the delete names ids 1 and 3
+    data_entries = [
+        _entry("data/x.parquet", _tbl(0, 10, "x"), 0, None, "x"),
+        _entry("data/y.parquet", _tbl(0, 10, "y"), 0, None, "y"),
+    ]
+    eq_del = pa.table({"id": pa.array([1, 3], pa.int64())})
+    del_entries = [
+        _entry("data/del-eq.parquet", eq_del, 2, [1], "x"),
+    ]
+    ml_entries = []
+    for seq, content, entries, name in [
+        (1, 0, data_entries, "manifest-1.avro"),
+        (2, 1, del_entries, "manifest-2.avro"),
+    ]:
+        manifest = os.path.join(mdir, name)
+        write_avro(manifest, _PART_MANIFEST_SCHEMA, entries)
+        ml_entries.append(
+            {"manifest_path": manifest,
+             "manifest_length": os.path.getsize(manifest),
+             "partition_spec_id": 0,
+             "content": content, "sequence_number": seq}
+        )
+    ml = os.path.join(mdir, "snap-1.avro")
+    write_avro(ml, _PART_ML_SCHEMA, ml_entries)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "1c3cde12-8a52-4a2c-a7f3-0b6d2b1f2a02",
+        "location": root,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"},
+        ]}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                       "timestamp-ms": 0, "manifest-list": ml}],
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "val", "transform": "identity",
+             "source-id": 2, "field-id": 1000},
+        ]}],
+        "default-spec-id": 0,
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    got = sorted(
+        (r["val"], r["id"])
+        for r in read_iceberg_native(spark, root).collect()
+    )
+    expect = sorted(
+        [("x", i) for i in range(10) if i not in (1, 3)]
+        + [("y", i) for i in range(10)]
+    )
+    assert got == expect
+
+
+def test_writer_commits_deletes_under_unpartitioned_spec(spark, tmp_path):
+    """Our writer's delete manifests on a PARTITIONED table go under a
+    dedicated unpartitioned spec (global scope, spec-conformant for
+    external readers — ADVICE r8) and still apply across partitions."""
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_list_entries,
+        table_metadata,
+        upsert_iceberg_native,
+        write_iceberg_native,
+    )
+
+    path = str(tmp_path / "partup")
+    rows = [(k, "x" if k % 2 == 0 else "y", "old") for k in range(10)]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "k long, p string, v string"),
+        path, partition_by=["p"], format_version=2,
+    )
+    up = [(3, "y", "new3"), (4, "x", "new4")]
+    upsert_iceberg_native(
+        spark, path,
+        spark.createDataFrame(up, "k long, p string, v string"),
+        on=["k"],
+    )
+    got = {r["k"]: r["v"] for r in read_iceberg_native(spark, path).collect()}
+    assert got == {k: ("new3" if k == 3 else "new4" if k == 4 else "old")
+                   for k in range(10)}
+    meta = table_metadata(path)
+    specs = {int(s.get("spec-id", 0) or 0): s
+             for s in meta["partition-specs"]}
+    del_mls = [
+        ml for ml in _manifest_list_entries(meta, path)
+        if int(ml.get("content", 0) or 0) == 1
+    ]
+    assert del_mls, "expected a delete manifest"
+    for ml in del_mls:
+        spec = specs[int(ml["partition_spec_id"])]
+        assert spec.get("fields") == []  # unpartitioned delete spec
+    # the table's default spec stays partitioned
+    assert specs[int(meta.get("default-spec-id", 0))]["fields"]

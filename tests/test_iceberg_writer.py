@@ -771,11 +771,11 @@ def test_v2_purge_materializes_position_deletes(spark, sf_dir, tmp_path):
 def test_v2_equality_delete_write(spark, sf_dir, tmp_path):
     """Equality-delete WRITE: delete-by-key with no data scan; rows
     re-inserted AFTER the delete survive (sequence scoping, spec rule
-    our reader implements); purge-by-position leaves eq-deletes alone
-    (refused), COW DML refuses too."""
+    our reader implements); PURGE materializes equality deletes (r9 —
+    was refused through r8) and returns the table to COW."""
     from glaredb_spark.sources.iceberg_native import (
         delete_iceberg_native, equality_delete_iceberg_native,
-        purge_iceberg_native, table_metadata,
+        purge_iceberg_native, table_metadata, _manifest_entries,
     )
 
     path = str(tmp_path / "v2eq")
@@ -797,11 +797,27 @@ def test_v2_equality_delete_write(spark, sf_dir, tmp_path):
     assert got2 == sorted(got + [7])
     meta = table_metadata(path)
     assert meta["last-sequence-number"] == 3
-    # maintenance/COW on eq-delete tables refuses rather than corrupting
-    with pytest.raises(IcebergError, match="equality deletes"):
-        purge_iceberg_native(spark, path)
+    # COW DML on eq-delete tables still refuses rather than corrupting
     with pytest.raises(IcebergError, match="merge-on-read"):
         delete_iceberg_native(spark, path, "doc_id = 1", strategy="cow")
+    # PURGE materializes the equality deletes: rows unchanged, all
+    # delete manifests gone, COW DML available again
+    purged, rows = purge_iceberg_native(spark, path)
+    assert purged >= 1 and rows == len(got2) - 1  # re-insert file untouched
+    meta2 = table_metadata(path)
+    assert all(
+        (e["data_file"].get("content", 0) or 0) == 0
+        for e in _manifest_entries(meta2, path)
+    )
+    got3 = sorted(
+        r["doc_id"] for r in read_iceberg_native(spark, path).collect()
+    )
+    assert got3 == got2
+    delete_iceberg_native(spark, path, "doc_id = 1", strategy="cow")
+    got4 = sorted(
+        r["doc_id"] for r in read_iceberg_native(spark, path).collect()
+    )
+    assert got4 == [i for i in got3 if i != 1]
     # unknown key column refused
     bad = spark.createDataFrame([(1,)], "nope long")
     with pytest.raises(IcebergError, match="not in schema"):
