@@ -359,8 +359,19 @@ def main() -> None:
     if len(line) > 1900:
         summary.pop("sf1_ratio", None)
         line = json.dumps(summary)
-    print(line)
-    spark.stop()
+    # stop BEFORE printing: the driver records only the LAST 2000 bytes
+    # of stdout, and Spark's shutdown occasionally spews a harmless
+    # RejectedExecutionException burst that would displace the JSON line
+    # out of that window (this lost the r7 AND r8 bench datums —
+    # VERDICT r8 "What's wrong #1"). Shutdown errors go to stderr, but
+    # a py4j-relayed burst can hit stdout; printing last wins either way.
+    try:
+        spark.stop()
+        time.sleep(0.5)  # let straggler executor threads flush their spew
+    except Exception:
+        pass
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
