@@ -577,6 +577,29 @@ _DELTA_HISTORY_TF = re.compile(
 )
 
 
+def _parse_prune_arg(raw: str, what: str) -> dict:
+    """``prune='col=value[,col2=value2]'`` -> {col: coerced literal}.
+    Literals coerce driver-side (int, then float, else string) so stats/
+    bounds pruners compare same-kind values."""
+    out: dict = {}
+    for part in raw.split(","):
+        col, eq, val = part.partition("=")
+        if not col.strip() or not eq:
+            raise ValueError(
+                f"{what} prune= expects 'col=value[,col=value]', got "
+                f"{raw!r}"
+            )
+        v: object = val.strip()
+        for conv in (int, float):
+            try:
+                v = conv(val.strip())
+                break
+            except ValueError:
+                continue
+        out[col.strip()] = v
+    return out
+
+
 def _handle_delta(spark: SparkSession, m: re.Match) -> str:
     from glaredb_spark.sources import objectstore as _osm
     from glaredb_spark.sources.lakehouse import read_delta
@@ -592,13 +615,24 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
         )
     )
     unknown = set(named) - {
-        "region", "key_id", "secret", "access_key_id", "secret_access_key"
+        "region", "key_id", "secret", "access_key_id",
+        "secret_access_key", "prune",
     }
     if unknown:
         raise ValueError(
             f"unsupported named argument(s) for read_delta: "
             f"{sorted(unknown)}"
         )
+    # prune='col=value[,col2=value2]' — log-level file skipping through
+    # BOTH partitionValues and per-file stats (min/max), mirroring the
+    # iceberg TVF; the equality predicate is ALSO applied to the rows so
+    # results match the apparent filter (pruning alone only drops files
+    # PROVEN non-matching)
+    prune = (
+        _parse_prune_arg(named["prune"], "delta")
+        if named.get("prune")
+        else None
+    )
     _osm.set_s3_credentials(
         named.get("key_id") or named.get("access_key_id"),
         named.get("secret") or named.get("secret_access_key"),
@@ -610,8 +644,23 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
         # the table prefix into the local cache (KB-scale metadata +
         # the table's data files)
         path = _osm.localize_prefix(path)
-    view = _view_name("read_delta", f"{path}@{version}")
-    read_delta(spark, path, version=version).createOrReplaceTempView(view)
+    view = _view_name(
+        "read_delta", f"{path}@{version}|{named.get('prune') or ''}"
+    )
+    if prune:
+        from pyspark.sql import functions as F
+
+        from glaredb_spark.sources.delta_native import read_delta_native
+
+        df = read_delta_native(
+            spark, path, version=version,
+            partition_filter=prune, value_filter=prune,
+        )
+        for c, v in prune.items():
+            df = df.filter(F.col(c) == F.lit(v))
+    else:
+        df = read_delta(spark, path, version=version)
+    df.createOrReplaceTempView(view)
     return view
 
 
@@ -646,22 +695,21 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
         )
     # prune='col=value[,col2=value2]' — manifest-level partition-file
     # pruning (read_iceberg_native partition_filter); literals arrive as
-    # strings, the pruner's typed coercion handles int/date forms
+    # strings, the pruner's typed coercion handles int/date forms. The
+    # equality predicate is ALSO applied to the rows (below) so results
+    # match the apparent filter — pruning alone only drops files PROVEN
+    # non-matching (a bucket holds many keys — ADVICE r8).
     partition_filter = None
+    row_filter = None
     if named.get("prune"):
         if fn not in ("scan", "read"):
             raise ValueError(
                 f"prune= applies to iceberg.scan/read, not iceberg.{fn}"
             )
-        partition_filter = {}
-        for part in named["prune"].split(","):
-            col, _, val = part.partition("=")
-            if not col.strip() or not _:
-                raise ValueError(
-                    "iceberg prune= expects 'col=value[,col=value]', got "
-                    f"{named['prune']!r}"
-                )
-            partition_filter[col.strip()] = val.strip()
+        row_filter = _parse_prune_arg(named["prune"], "iceberg")
+        partition_filter = {
+            c: str(v) for c, v in row_filter.items()
+        }
     _osm.set_s3_credentials(
         named.get("access_key_id"), named.get("secret_access_key")
     )
@@ -699,6 +747,11 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
             partition_filter=partition_filter,
             value_filter=partition_filter,
         )
+        if row_filter:
+            from pyspark.sql import functions as F
+
+            for c, v in row_filter.items():
+                df = df.filter(F.col(c) == F.lit(v))
     else:
         df = builders[fn](spark, path)
     df.createOrReplaceTempView(view)

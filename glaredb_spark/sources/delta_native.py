@@ -518,16 +518,40 @@ def _require_no_dvs(state: "DeltaState", operation: str) -> None:
 def _partition_literal_str(v) -> "str | None":
     """Python literal -> the log's partitionValues string form: booleans
     are lowercase 'true'/'false' (str(True) is 'True' and would prune
-    the matching partition), dates ISO."""
+    the matching partition), dates ISO, timestamps SPACE-separated —
+    the spec's serialization and what this writer's hive-derived values
+    hold; isoformat()'s 'T' would never equal the log string and every
+    matching partition's files were silently pruned (ADVICE r8)."""
     import datetime
 
     if v is None:
         return None
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (datetime.date, datetime.datetime)):
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
         return v.isoformat()
     return str(v)
+
+
+def _parse_ts_instant(s: str):
+    """ISO-ish timestamp string -> naive-UTC datetime, or None when the
+    string doesn't parse. Accepts 'T' or space separators, any
+    fractional-second precision, and a 'Z'/offset suffix — stats written
+    by different engines disagree on all three."""
+    import datetime
+
+    t = s.strip().replace(" ", "T", 1)
+    if t.endswith("Z"):
+        t = t[:-1] + "+00:00"
+    try:
+        dt = datetime.datetime.fromisoformat(t)
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 _TS_ISH_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}")
@@ -560,14 +584,21 @@ def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
         elif isinstance(want, str) and isinstance(lo, str) and isinstance(hi, str):
             if (
                 _TS_ISH_RE.match(want)
-                and _TS_ISH_RE.match(lo)
-                and _TS_ISH_RE.match(hi)
+                or _TS_ISH_RE.match(lo)
+                or _TS_ISH_RE.match(hi)
             ):
-                # both 'T'- and space-separated ISO timestamps exist in
-                # the wild; normalize so the lexicographic compare holds
-                want = want.replace(" ", "T", 1)
-                lo = lo.replace(" ", "T", 1)
-                hi = hi.replace(" ", "T", 1)
+                # timestamps compare as INSTANTS, not strings: differing
+                # fractional precision or a 'Z' suffix makes equal
+                # instants compare unequal lexicographically and prunes
+                # files containing matching rows (ADVICE r8)
+                w = _parse_ts_instant(want)
+                l_ = _parse_ts_instant(lo)
+                h = _parse_ts_instant(hi)
+                if w is None or l_ is None or h is None:
+                    continue  # unparseable: never prune
+                if w < l_ or w > h:
+                    return True
+                continue
             if want < lo or want > hi:
                 return True
     return False
