@@ -697,16 +697,13 @@ class GlareSession:
                 else None
             )
             if _native_table_kind(m.group(1)) == "iceberg":
-                if zorder:
-                    raise ValueError(
-                        "OPTIMIZE ... ZORDER BY is supported on native "
-                        "Delta tables only"
-                    )
                 from glaredb_spark.sources.iceberg_native import (
                     optimize_iceberg_native as _opt,
                 )
 
-                removed, added = _opt(self.spark, m.group(1))
+                removed, added = _opt(
+                    self.spark, m.group(1), zorder_by=zorder
+                )
             else:
                 from glaredb_spark.sources.delta_native import (
                     optimize_delta_native as _opt,

@@ -2100,13 +2100,23 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
 
 
 def optimize_iceberg_native(
-    spark, table_path: str, max_files_per_group: int = 128
+    spark, table_path: str, max_files_per_group: int = 128,
+    zorder_by: "list[str] | None" = None,
 ) -> tuple[int, int]:
     """Compaction (Iceberg's rewrite_data_files): the current snapshot's
     data files are rewritten into fewer, larger ones referenced by a
     "replace" snapshot — pure reorganization, rows unchanged; prior
-    snapshots stay readable via time travel. Returns
-    (files_removed, files_added)."""
+    snapshots stay readable via time travel.
+
+    ``zorder_by`` additionally CLUSTERS the rewrite on a Morton
+    interleaving of the named columns (rewrite_data_files sort-order
+    zorder): rows close in the multi-column space land in the same
+    files, the manifests' per-file lower/upper bounds become tight on
+    EVERY z-ordered column, and the r8 bounds-based file skipping then
+    prunes on any of them. The z-value builder is shared with the Delta
+    writer (format-agnostic JVM expressions, no UDFs).
+
+    Returns (files_removed, files_added)."""
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
     pfields = _partition_fields(meta)
@@ -2118,20 +2128,41 @@ def optimize_iceberg_native(
         if (d.get("content", 0) or 0) != 0:
             raise IcebergError(
                 "native iceberg OPTIMIZE cannot rewrite merge-on-read "
-                "tables"
+                "tables; run REORG TABLE ... APPLY (PURGE) first"
             )
         active.append(_resolve(d["file_path"], meta, table_path))
-    if len(active) < 2:
+    if len(active) < 2 and not zorder_by:
         return (0, 0)
+    if not active:
+        return (0, 0)
+    schema_obj = _current_schema_obj(meta)
     groups = max(1, (len(active) + max_files_per_group - 1)
                  // max_files_per_group)
-    df = spark.read.parquet(*active).coalesce(groups)
-    added = _stage_data_files(df, table_path, pfields or None)
-    schema_obj = _current_schema_obj(meta)
+    df = spark.read.parquet(*active)
+    if zorder_by:
+        unknown = [c for c in zorder_by if c not in df.columns]
+        if unknown:
+            raise IcebergError(f"ZORDER BY on unknown columns: {unknown}")
+        from glaredb_spark.sources.delta_native import _zorder_value
+
+        z = _zorder_value(df, zorder_by)
+        # z-order locality is per-dimension ~ F^(1/k): keep at least 16
+        # output files so each covers a fraction of every dimension
+        df = df.repartitionByRange(
+            max(groups, 16), z.alias("_z")
+        ).sortWithinPartitions(z.alias("_z"))
+    else:
+        df = df.coalesce(groups)
+    # schema_obj attaches field ids AND records per-file column bounds
+    # in the manifest — the whole point of a z-ordered rewrite
+    added = _stage_data_files(
+        df, table_path, pfields or None, schema_obj=schema_obj
+    )
     _publish_snapshot(
         table_path, meta, schema_obj, added, [], "replace",
         {"deleted-data-files": len(active),
-         "added-data-files": len(added)},
+         "added-data-files": len(added),
+         **({"zorder-by": ",".join(zorder_by)} if zorder_by else {})},
     )
     return (len(active), len(added))
 

@@ -823,3 +823,35 @@ def test_timestamp_partition_and_stats_pruning_semantics(
     assert sorted(r["id"] for r in pruned.collect()) == [
         i for i in range(10) if i % 2 == 0
     ]
+
+
+def test_optimize_partition_groups_concurrent(spark, sf_dir, tmp_path):
+    """OPTIMIZE on a many-partition table rewrites every partition group
+    (now submitted concurrently — r9); rows and partition routing are
+    unchanged and each partition compacts to fewer files."""
+    from glaredb_spark.sources.delta_native import (
+        load_delta_state,
+        optimize_delta_native,
+    )
+
+    path = str(tmp_path / "popt")
+    src = _docs(spark, sf_dir, 0, 200)
+    # several commits -> several small files per lang partition
+    for lo in range(0, 200, 40):
+        write_delta_native(
+            _docs(spark, sf_dir, lo, lo + 40), path, partition_by=["lang"]
+        )
+    state0 = load_delta_state(path)
+    langs = {r["lang"] for r in src.select("lang").distinct().collect()}
+    assert len(langs) >= 3  # genuinely multi-group
+    removed, added = optimize_delta_native(spark, path)
+    assert removed == len(state0.adds) and added < removed
+    got = read_delta_native(spark, path)
+    assert _collect(got.select("doc_id", "lang", "n_chars")) == _collect(src)
+    # each partition holds exactly one compacted file now
+    state1 = load_delta_state(path)
+    per_part: dict = {}
+    for p, pv in state1.adds.items():
+        per_part.setdefault(pv.get("lang"), []).append(p)
+    assert set(per_part) == langs
+    assert all(len(v) == 1 for v in per_part.values())

@@ -922,3 +922,68 @@ def test_manifest_column_bounds_and_value_pruning(spark, sf_dir, tmp_path):
     # unknown column / absent bounds never prune
     same = read_iceberg_native(spark, path, value_filter={"nope": 1})
     assert len(same.inputFiles()) == len(full.inputFiles())
+
+
+def test_iceberg_optimize_zorder_bounds_skipping(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER BY on Iceberg (r9 — Delta got it in r8): after
+    Morton clustering on (doc_id, n_chars), the rewrite's manifests
+    carry tight per-file lower/upper bounds on BOTH columns and
+    value_filter bounds skipping prunes files for predicates on either
+    — including the second column, which single-column sorting can't
+    serve."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_native import (
+        optimize_iceberg_native,
+        table_metadata,
+        _manifest_entries,
+        _deserialize_bound,
+    )
+
+    path = str(tmp_path / "izt")
+    # interleaved writes so doc_id ranges overlap across files pre-zorder
+    src = _part_docs(spark, sf_dir, 0, 200)
+    write_iceberg_native(src.filter("doc_id % 2 = 0"), path)
+    write_iceberg_native(src.filter("doc_id % 2 = 1"), path)
+    removed, added = optimize_iceberg_native(
+        spark, path, zorder_by=["doc_id", "n_chars"]
+    )
+    assert removed >= 2 and added >= 2
+    got = read_iceberg_native(spark, path)
+    assert _collect(got) == _collect(src)
+    # bounds-based skipping now prunes on BOTH z-ordered columns
+    n_files = len(read_iceberg_native(spark, path).inputFiles())
+    by_id = read_iceberg_native(spark, path, value_filter={"doc_id": 7})
+    assert len(by_id.inputFiles()) < n_files
+    assert by_id.filter("doc_id = 7").count() == 1
+    meta = table_metadata(path)
+    chars_vals = sorted(
+        r["n_chars"] for r in src.select("n_chars").collect()
+    )
+    probe = chars_vals[2]  # near the low end: most files exclude it
+    by_chars = read_iceberg_native(
+        spark, path, value_filter={"n_chars": probe}
+    )
+    assert len(by_chars.inputFiles()) < n_files
+    assert by_chars.filter(f"n_chars = {probe}").count() >= 1
+    # per-file doc_id spans tightened vs the full 0..199 range
+    spans = []
+    for e in _manifest_entries(meta, path):
+        d = e["data_file"]
+        lob = {b["key"]: b["value"] for b in d.get("lower_bounds") or []}
+        hib = {b["key"]: b["value"] for b in d.get("upper_bounds") or []}
+        if 1 in lob and 1 in hib:  # field id 1 = doc_id
+            spans.append(
+                _deserialize_bound("long", hib[1])
+                - _deserialize_bound("long", lob[1])
+            )
+    assert spans and min(spans) < 199
+    # SQL surface routes zorder to the iceberg optimizer now
+    sess = GlareSession(spark)
+    out = sess.sql(
+        f"OPTIMIZE '{path}' ZORDER BY (doc_id, n_chars)"
+    ).collect()
+    assert out[0]["files_removed"] >= 1
+    assert read_iceberg_native(spark, path).count() == 200
+    # unknown column refused
+    with pytest.raises(IcebergError, match="unknown"):
+        optimize_iceberg_native(spark, path, zorder_by=["nope"])
