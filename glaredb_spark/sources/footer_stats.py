@@ -11,9 +11,13 @@ wrong results)."""
 from __future__ import annotations
 
 
-def footer_minmax(pq_meta):
+def footer_minmax(pq_meta, nested: bool = False):
     """→ (mins, maxs, null_counts, complete_column_names) from a
-    pyarrow parquet FileMetaData. Nested columns are skipped."""
+    pyarrow parquet FileMetaData. Nested columns are skipped unless
+    ``nested`` — then leaf stats come back under their dotted
+    path_in_schema names ('info.score'); the caller owns filtering out
+    list/map element paths (Delta's flat stats JSON keeps nested=False;
+    Iceberg manifest bounds resolve dotted struct leaves by field id)."""
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
@@ -23,7 +27,7 @@ def footer_minmax(pq_meta):
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
-            if "." in name:
+            if "." in name and not nested:
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:

@@ -411,12 +411,9 @@ def _bounds_prune(
     schema_fields: list[dict], data_file: dict, value_filter: dict
 ) -> bool:
     """True when the file's lower/upper column bounds PROVE no row can
-    equal the value_filter literals. Missing bounds never prune."""
-    by_name = {
-        f["name"]: (int(f["id"]), f["type"])
-        for f in schema_fields
-        if isinstance(f.get("type"), str)
-    }
+    equal the value_filter literals. Missing bounds never prune.
+    Struct leaves address as dotted paths ('info.score')."""
+    by_name = _leaf_fields({"fields": schema_fields})
     for col, want in value_filter.items():
         if col not in by_name:
             continue
@@ -654,16 +651,24 @@ def _spark_schema(meta: dict) -> str:
         (s for s in schemas if s.get("schema-id") == meta.get("current-schema-id")),
         schemas[0],
     )
-    parts = []
-    for f in cur.get("fields", []):
-        t = f["type"]
+
+    def _ddl(t) -> str:
         if isinstance(t, str):
             base = t.split("(")[0]
-            parts.append(
-                f"`{f['name']}` {_PRIMITIVES.get(base, t if t.startswith('decimal') else 'string')}"
+            return _PRIMITIVES.get(
+                base, t if t.startswith("decimal") else "string"
             )
-        else:
-            parts.append(f"`{f['name']}` string")  # nested: display-only
+        if isinstance(t, dict) and t.get("type") == "struct":
+            inner = ", ".join(
+                f"`{f['name']}`: {_ddl(f['type'])}"
+                for f in t.get("fields", [])
+            )
+            return f"struct<{inner}>"
+        return "string"  # list/map: display-only
+
+    parts = [
+        f"`{f['name']}` {_ddl(f['type'])}" for f in cur.get("fields", [])
+    ]
     return ", ".join(parts)
 
 
@@ -798,21 +803,62 @@ _SPARK_TO_ICE = {
 
 
 def _iceberg_schema(df) -> dict:
-    fields = []
-    for i, f in enumerate(df.schema.fields, start=1):
-        s = f.dataType.simpleString()
+    """Spark DataFrame schema -> iceberg schema JSON. Struct columns map
+    recursively (field ids assigned depth-first by one counter, like
+    java Iceberg's assignFreshIds); their leaves get manifest bounds
+    via _leaf_fields."""
+    from pyspark.sql.types import StructType
+
+    counter = [0]
+
+    def _ice_type(dt, colname):
+        s = dt.simpleString()
         t = _SPARK_TO_ICE.get(s)
         if t is None and s.startswith("decimal"):
-            t = s.replace("decimal", "decimal").replace(",", ", ")
+            return s.replace("decimal", "decimal").replace(",", ", ")
+        if t is None and isinstance(dt, StructType):
+            return {"type": "struct", "fields": _fields(dt)}
         if t is None:
             raise IcebergError(
-                f"cannot map Spark type {s!r} (column {f.name!r}) to an "
-                "iceberg primitive for the native writer"
+                f"cannot map Spark type {s!r} (column {colname!r}) to an "
+                "iceberg type for the native writer"
             )
-        fields.append(
-            {"id": i, "name": f.name, "required": not f.nullable, "type": t}
-        )
-    return {"type": "struct", "schema-id": 0, "fields": fields}
+        return t
+
+    def _fields(st):
+        out = []
+        for f in st.fields:
+            counter[0] += 1
+            out.append({
+                "id": counter[0], "name": f.name,
+                "required": not f.nullable,
+                "type": _ice_type(f.dataType, f.name),
+            })
+        return out
+
+    return {"type": "struct", "schema-id": 0,
+            "fields": _fields(df.schema)}
+
+
+def _leaf_fields(schema_obj: dict) -> "dict[str, tuple[int, str]]":
+    """{leaf name -> (field id, primitive type)} over the schema,
+    dotted for struct members ('info.score') — the names parquet footer
+    statistics use, so struct leaves get manifest bounds and bounds
+    pruning exactly like top-level columns. List/map element leaves are
+    skipped (their stats don't bound equality predicates)."""
+    out: dict = {}
+
+    def walk(fields, prefix):
+        for f in fields:
+            t = f.get("type")
+            name = prefix + f["name"]
+            if isinstance(t, str):
+                out[name] = (int(f["id"]), t)
+            elif isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields", []), name + ".")
+
+    walk(schema_obj.get("fields", []), "")
+    return out
 
 
 def _current_schema_obj(meta: dict) -> dict:
@@ -1526,7 +1572,9 @@ def _file_column_bounds(pq_meta, field_ids: dict, types: dict):
     prune, per spec)."""
     from glaredb_spark.sources.footer_stats import footer_minmax
 
-    lo, hi, _nulls, complete = footer_minmax(pq_meta)
+    # nested=True: struct leaves arrive as dotted paths, matching
+    # _leaf_fields' names (field_ids gates out list/map element paths)
+    lo, hi, _nulls, complete = footer_minmax(pq_meta, nested=True)
     complete = {n for n in complete if n in field_ids}
     lower: dict[int, bytes] = {}
     upper: dict[int, bytes] = {}
@@ -1589,10 +1637,9 @@ def _stage_data_files(
     field_ids = {}
     ice_types = {}
     if schema_obj:
-        for f in schema_obj.get("fields", []):
-            if isinstance(f.get("type"), str):
-                field_ids[f["name"]] = int(f["id"])
-                ice_types[f["name"]] = f["type"]
+        for name, (fid, t) in _leaf_fields(schema_obj).items():
+            field_ids[name] = fid
+            ice_types[name] = t
     df = _with_field_ids(df, field_ids)
     if pfields:
         staged = df
