@@ -73,12 +73,21 @@ _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
 
 # DML over native Delta table DIRECTORIES (path-quoted forms; the
 # copy-on-write execution lives in sources/delta_native.py)
+# DML targets: a quoted table directory, or iceberg.scan('path'
+# [, strategy=>'cow'|'mor']) — the TVF form exposes the row-level
+# delete strategy knob (delete/update_iceberg_native strategy=) on the
+# SQL surface; '=>' and '=' both accepted
+_DML_TARGET = (
+    r"(?:'([^']+)'|iceberg\s*\.\s*(?:scan|read)\s*\(\s*'([^']+)'"
+    r"(?:\s*,\s*strategy\s*=>?\s*'(\w+)')?\s*\))"
+)
 _DELETE_PATH_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+" + _DML_TARGET + r"\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_PATH_RE = re.compile(
-    r"^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    r"^\s*UPDATE\s+" + _DML_TARGET
+    + r"\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # MERGE INTO '<table-dir>' [AS] t USING (<query>)|<table> [AS] s
@@ -642,19 +651,30 @@ class GlareSession:
         if dml:
             # DELETE FROM '<table-dir>' WHERE pred — copy-on-write over
             # the native Delta log or Iceberg snapshot chain, dispatched
-            # on the directory's metadata layout
+            # on the directory's metadata layout; the iceberg.scan(...,
+            # strategy=>'mor') target writes position deletes instead
             from pyspark.sql import functions as F
 
-            if _native_table_kind(dml.group(1)) == "iceberg":
+            path = dml.group(1) or dml.group(2)
+            strategy = (dml.group(3) or "auto").lower()
+            if _native_table_kind(path) == "iceberg":
                 from glaredb_spark.sources.iceberg_native import (
                     delete_iceberg_native as _del,
                 )
+
+                n, _ = _del(self.spark, path, dml.group(4),
+                            strategy=strategy)
             else:
+                if dml.group(3):
+                    raise ValueError(
+                        "strategy= applies to iceberg tables; Delta "
+                        "row-level deletes use deletion vectors"
+                    )
                 from glaredb_spark.sources.delta_native import (
                     delete_delta_native as _del,
                 )
 
-            n, _ = _del(self.spark, dml.group(1), dml.group(2))
+                n, _ = _del(self.spark, path, dml.group(4))
             return self.spark.range(1).select(
                 F.lit(n).cast("bigint").alias("Count")
             )
@@ -665,22 +685,32 @@ class GlareSession:
 
             from glaredb_spark.functions.arith_binder import _split_top_args
 
-            if _native_table_kind(dml.group(1)) == "iceberg":
-                from glaredb_spark.sources.iceberg_native import (
-                    update_iceberg_native as _upd,
-                )
-            else:
-                from glaredb_spark.sources.delta_native import (
-                    update_delta_native as _upd,
-                )
-
+            path = dml.group(1) or dml.group(2)
+            strategy = (dml.group(3) or "auto").lower()
             sets: dict[str, str] = {}
-            for item in _split_top_args(dml.group(2)):
+            for item in _split_top_args(dml.group(4)):
                 col, eq, expr = item.partition("=")
                 if not eq or not col.strip() or not expr.strip():
                     raise ValueError(f"malformed SET clause item: {item!r}")
                 sets[col.strip().strip("`\"")] = expr.strip()
-            n, _ = _upd(self.spark, dml.group(1), sets, dml.group(3))
+            if _native_table_kind(path) == "iceberg":
+                from glaredb_spark.sources.iceberg_native import (
+                    update_iceberg_native as _upd,
+                )
+
+                n, _ = _upd(self.spark, path, sets, dml.group(5),
+                            strategy=strategy)
+            else:
+                if dml.group(3):
+                    raise ValueError(
+                        "strategy= applies to iceberg tables; Delta "
+                        "row-level deletes use deletion vectors"
+                    )
+                from glaredb_spark.sources.delta_native import (
+                    update_delta_native as _upd,
+                )
+
+                n, _ = _upd(self.spark, path, sets, dml.group(5))
             return self.spark.range(1).select(
                 F.lit(n).cast("bigint").alias("Count")
             )

@@ -270,3 +270,75 @@ def test_maintenance_sql_statements(sess, tmp_path):
     real = sess.sql(f"VACUUM '{out}' RETAIN 0 HOURS").collect()
     assert {r.path for r in real} == {r.path for r in dry}
     assert read_delta_native(sess.spark, out).count() == 23
+
+
+def test_sql_iceberg_dml_strategy_knob(spark, sf_dir, tmp_path):
+    """DELETE FROM / UPDATE accept an iceberg.scan('path',
+    strategy=>'cow'|'mor') target (r9): 'mor' writes position deletes
+    (no data-file rewrite), 'cow' rewrites; results identical. Delta
+    targets refuse the knob."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries,
+        read_iceberg_native,
+        table_metadata,
+        write_iceberg_native,
+    )
+
+    sess = GlareSession(spark)
+    src = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+    def _content_counts(path):
+        meta = table_metadata(path)
+        out = {0: 0, 1: 0, 2: 0}
+        for e in _manifest_entries(meta, path):
+            out[(e["data_file"].get("content", 0) or 0)] += 1
+        return out
+
+    # MoR DELETE via SQL: position-delete files appear
+    p1 = str(tmp_path / "mor")
+    write_iceberg_native(src, p1, format_version=2)
+    n = sess.sql(
+        f"DELETE FROM iceberg.scan('{p1}', strategy=>'mor') "
+        f"WHERE n_nationkey < 5"
+    ).collect()
+    assert n[0]["Count"] == 5
+    assert _content_counts(p1)[1] >= 1  # position-delete files committed
+    got = sorted(
+        r["n_nationkey"] for r in read_iceberg_native(spark, p1).collect()
+    )
+    assert got == sorted(
+        r["n_nationkey"] for r in src.filter("n_nationkey >= 5").collect()
+    )
+    # MoR UPDATE via SQL ('=' form also accepted)
+    n = sess.sql(
+        f"UPDATE iceberg.scan('{p1}', strategy='mor') "
+        f"SET n_regionkey = n_regionkey + 100 WHERE n_nationkey = 7"
+    ).collect()
+    assert n[0]["Count"] == 1
+    row = read_iceberg_native(spark, p1).filter("n_nationkey = 7").collect()
+    assert row[0]["n_regionkey"] >= 100
+    # COW via the knob: no delete files added
+    p2 = str(tmp_path / "cow")
+    write_iceberg_native(src, p2, format_version=2)
+    sess.sql(
+        f"DELETE FROM iceberg.scan('{p2}', strategy=>'cow') "
+        f"WHERE n_nationkey < 5"
+    ).collect()
+    assert _content_counts(p2)[1] == 0
+    assert read_iceberg_native(spark, p2).count() == src.count() - 5
+    # the knob is refused on Delta targets
+    import pytest as _pytest
+
+    from glaredb_spark.sources.delta_native import write_delta_native
+
+    p3 = str(tmp_path / "dlt")
+    write_delta_native(src, p3)
+    with _pytest.raises(Exception, match="strategy"):
+        sess.sql(
+            f"DELETE FROM iceberg.scan('{p3}', strategy=>'mor') "
+            f"WHERE n_nationkey = 1"
+        )
