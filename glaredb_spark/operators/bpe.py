@@ -292,3 +292,85 @@ def bpe_pair_stats(spark, sf_dir):
         .orderBy(F.desc("cnt"), "pair")
         .limit(20)
     )
+
+
+# --- fixed-rule encoder (oracle-gated) ---------------------------------------
+
+# A constant merge table gates the ENCODER kernel (apply_merges) bit-
+# exactly against DuckDB at any scale factor: training is iterative
+# (rows-only by design), but encoding with known rules is a pure
+# function of the text, and DuckDB can express greedy left-to-right
+# merging as a sentinel-delimited replace chain (see _FIXED_ORACLE).
+FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"), ("t", "h"), ("th", "e"), ("a", "n"),
+    ("i", "n"), ("s", "</w>"), ("e", "r"), ("o", "n"),
+]
+
+
+def _fixed_encode_oracle() -> str:
+    """DuckDB SQL equivalent of apply_merges(FIXED_MERGES): each word
+    becomes a chr(2)<sym>chr(3)-delimited symbol string (one symbol per
+    character plus '</w>'); each merge rule is one replace() of the
+    adjacent delimited pair — non-overlapping left-to-right replacement
+    is exactly the greedy merge because the sentinels make symbol
+    boundaries unambiguous and non-shared. Subword count = number of
+    chr(2) sentinels."""
+    s = "s0"
+    for i, (left, right) in enumerate(FIXED_MERGES, start=1):
+        pat = f"chr(2) || '{left}' || chr(3) || chr(2) || '{right}' || chr(3)"
+        rep = f"chr(2) || '{left}{right}' || chr(3)"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+), wrapped AS (
+  SELECT doc_id, length(w) + 1 AS n_raw,
+    regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')
+      || chr(2) || '</w>' || chr(3) AS s0
+  FROM words
+), merged AS (
+  SELECT doc_id, n_raw,
+    length({s}) - length(replace({s}, chr(2), '')) AS n_sub
+  FROM wrapped
+)
+SELECT doc_id,
+  CAST(sum(n_raw) AS BIGINT) AS n_raw_symbols,
+  CAST(sum(n_sub) AS BIGINT) AS n_subwords
+FROM merged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register_query("bpe_encode_fixed", oracle=_fixed_encode_oracle())
+def bpe_encode_fixed(spark, sf_dir):
+    """Encode every document with the constant FIXED_MERGES rule table —
+    the same Arrow-batched greedy encoder bpe_apply_encode uses, but
+    with rules that don't depend on training, so the result is
+    oracle-checkable bit-exactly (the gate the trained path can't have).
+
+    Scale: identical to bpe_apply_encode — the merge table is tiny
+    driver state closed over by the encoder UDF, encoding is map-only,
+    and the per-doc aggregation groups on the scan's natural key."""
+    docs = load_wide(spark, sf_dir, "documents")
+    per_word = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            (F.length("word") + 1).alias("n_raw"),
+            F.size(
+                apply_merges(F.col("word"), FIXED_MERGES)
+            ).alias("n_sub"),
+        )
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("n_raw").cast("long").alias("n_raw_symbols"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .orderBy("doc_id")
+    )

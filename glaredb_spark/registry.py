@@ -62,8 +62,12 @@ GATE_PRIORITY: list[str] = [
     # filter-join-ratio shapes are covered by q16/q17 and q19/q06, and
     # both now ALSO run bit-exact every round as tpchbench golden SLTs
     # (tests/test_slt.py allowlist); both stay in the local strict gate
+    # r9 rotation (VERDICT r8 #8): q10 yields its slot to the round's new
+    # lifecycle row — its join-agg-topk shape is covered by q03/q18 and it
+    # runs bit-exact every round as a tpchbench golden SLT; stays in the
+    # local strict gate
     "tpch_q02", "tpch_q03", "tpch_q05", "tpch_q06",
-    "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10",
+    "tpch_q07", "tpch_q08", "tpch_q09",
     "tpch_q13", "tpch_q16",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
     # r7/r8 lakehouse DML surface, first driver rows: identity-partitioned
@@ -72,11 +76,19 @@ GATE_PRIORITY: list[str] = [
     "iceberg_partitioned_dml",
     "delta_mapped_dml",
     "iceberg_bucket_dml",
-    # r5: q22 yields its slot to the new Iceberg DML roundtrip (the
-    # headline r5 writer feature gets a driver row; q22's anti-join +
-    # scalar-subquery shape is covered by q21/q16 and it stays in the
-    # local strict gate every round)
-    "iceberg_dml_roundtrip",
+    # r9 rotation: iceberg_dml_roundtrip (green r8) yields its slot to the
+    # round's equality-delete LIFECYCLE row — 12 micro-batch upserts →
+    # grouped MoR read → PURGE materialization (the r8 scale-killer fix,
+    # sampled by the driver); identity COW DML stays covered by
+    # iceberg_partitioned_dml and in the local strict gate
+    "iceberg_upsert_purge",
+    # r9: zorder-backed bounds-pruned point reads (new OPTIMIZE ZORDER BY
+    # on Iceberg) and Delta stats-pruned reads (the machinery behind the
+    # new SQL prune=) — slots freed by delta_write_roundtrip (write→read
+    # covered by delta_mapped_dml) and bpe_pair_stats (module now repped
+    # by the strictly-stronger encoder gate below); both stay local-gated
+    "iceberg_zorder_read",
+    "delta_stats_pruned_read",
     # r5-new ClickBench canonical suite (all 43 registered + oracle-gated;
     # q28 keeps the driver row for the regex-domain HAVING shape; r8:
     # q40's planted-constant OFFSET slot went to the lakehouse DML rows —
@@ -87,11 +99,6 @@ GATE_PRIORITY: list[str] = [
     "text_token_stats",
     "multimodal_decode_bmp",
     "cb_regexp_domain_agg",
-    # native Delta WRITE→log→read roundtrip (r4 writer) — strictly
-    # stronger than the r4-early delta_log_scan it replaces (the
-    # roundtrip reads a table the writer just committed; the log-scan
-    # fold stays in the local strict gate every round)
-    "delta_write_roundtrip",
     "tpcds_rollup_rank",
     # new semantic module (k-means + SemDeDup), first driver row; slot
     # freed by tpcds_channel_union (module keeps two other reps; still in
@@ -112,10 +119,11 @@ GATE_PRIORITY: list[str] = [
     # r4-new chunking module (RAG chunks + epoch shuffle), first driver
     # row; slot freed by tpch_q12 above
     "text_chunk_overlap",
-    # r5-new oracle-gated BPE pair-frequency statistic — takes
-    # bpe_train_merges' slot (rows-only by design, local gate only) and
-    # keeps the bpe module represented in the gate prefix
-    "bpe_pair_stats",
+    # r9: the BPE module's gate row is the fixed-rule ENCODER (the real
+    # Arrow greedy-merge kernel vs a DuckDB sentinel-delimited replace
+    # chain — VERDICT r8 #9); bpe_pair_stats stays in the local strict
+    # gate every round
+    "bpe_encode_fixed",
 ]
 
 
