@@ -578,9 +578,11 @@ _DELTA_HISTORY_TF = re.compile(
 
 
 def _parse_prune_arg(raw: str, what: str) -> dict:
-    """``prune='col=value[,col2=value2]'`` -> {col: coerced literal}.
-    Literals coerce driver-side (int, then float, else string) so stats/
-    bounds pruners compare same-kind values."""
+    """``prune='col=value[,col2=value2]'`` -> {col: literal string}.
+    Literals stay RAW strings: the pruners coerce per the TABLE SCHEMA
+    type (a look-based int() coercion turned string values like '007'
+    into '7' and wrongly pruned matching files — r9 review), and Spark's
+    comparison coercion handles the row predicate."""
     out: dict = {}
     for part in raw.split(","):
         col, eq, val = part.partition("=")
@@ -589,14 +591,7 @@ def _parse_prune_arg(raw: str, what: str) -> dict:
                 f"{what} prune= expects 'col=value[,col=value]', got "
                 f"{raw!r}"
             )
-        v: object = val.strip()
-        for conv in (int, float):
-            try:
-                v = conv(val.strip())
-                break
-            except ValueError:
-                continue
-        out[col.strip()] = v
+        out[col.strip()] = val.strip()
     return out
 
 
@@ -650,12 +645,24 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
     if prune:
         from pyspark.sql import functions as F
 
-        from glaredb_spark.sources.delta_native import read_delta_native
+        from glaredb_spark.sources.lakehouse import delta_available
 
-        df = read_delta_native(
-            spark, path, version=version,
-            partition_filter=prune, value_filter=prune,
-        )
+        if delta_available(spark):
+            # connector-backed sessions keep the SAME reader with and
+            # without prune= (its own data skipping serves the pushed
+            # filter); the native log-level pruning is the jar-less path
+            # (r9 review: silently switching readers on prune= made the
+            # same table readable without it and failing with it)
+            df = read_delta(spark, path, version=version)
+        else:
+            from glaredb_spark.sources.delta_native import (
+                read_delta_native,
+            )
+
+            df = read_delta_native(
+                spark, path, version=version,
+                partition_filter=prune, value_filter=prune,
+            )
         for c, v in prune.items():
             df = df.filter(F.col(c) == F.lit(v))
     else:
@@ -707,9 +714,7 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
                 f"prune= applies to iceberg.scan/read, not iceberg.{fn}"
             )
         row_filter = _parse_prune_arg(named["prune"], "iceberg")
-        partition_filter = {
-            c: str(v) for c, v in row_filter.items()
-        }
+        partition_filter = dict(row_filter)
     _osm.set_s3_credentials(
         named.get("access_key_id"), named.get("secret_access_key")
     )

@@ -322,6 +322,15 @@ def load_delta_state(path: str, version: int | None = None) -> DeltaState:
     return state
 
 
+def _part_sort_key(kv):
+    """None-safe deterministic ordering for partition-tuple dict items:
+    a NULL partition value (__HIVE_DEFAULT_PARTITION__) makes the key
+    tuple contain None, and sorted() over mixed None/str raises
+    TypeError (r9 review — crashed OPTIMIZE and every multi-partition
+    scan of a table with a null partition)."""
+    return tuple((v is None, v or "") for v in kv[0])
+
+
 def _cast_partition_lit(raw: str | None, dtype):
     # spec: partitionValues serializes values as strings, null as JSON null
     if raw is None:
@@ -627,8 +636,30 @@ def read_delta_native(
     caller still applies the row predicate."""
     state = load_delta_state(path, version=version)
     if value_filter:
+        # string literals (the SQL prune= surface) coerce per the TABLE
+        # SCHEMA type so _stats_prune compares same-kind values — never
+        # by what the literal looks like ('007' on a string column must
+        # stay '007'; r9 review)
+        ltypes = {
+            f.get("name"): (f.get("type") or "")
+            for f in json.loads(state.schema_json).get("fields", [])
+            if isinstance(f.get("type"), str)
+        }
+
+        def _coerce(c, v):
+            t = ltypes.get(c, "")
+            if isinstance(v, str):
+                try:
+                    if t in ("long", "integer", "short", "byte"):
+                        return int(v)
+                    if t in ("double", "float"):
+                        return float(v)
+                except ValueError:
+                    return v
+            return v
+
         pf = {
-            _physical_map(state).get(c, c): v
+            _physical_map(state).get(c, c): _coerce(c, v)
             for c, v in value_filter.items()
         }
         keep = {
@@ -721,7 +752,7 @@ def read_delta_native(
             by_part.setdefault(key, []).append(_resolve(p))
         types = {f.name: f.dataType for f in schema.fields}
         pieces = []
-        for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
+        for key, files in sorted(by_part.items(), key=_part_sort_key):
             df = _scan(files)
             for c, raw in zip(part_cols, key):
                 df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
@@ -1120,7 +1151,7 @@ def _read_active(
         key = tuple(pv.get(phys.get(c, c)) for c in part_cols)
         by_part.setdefault(key, []).append(_resolve(p))
     pieces = []
-    for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
+    for key, files in sorted(by_part.items(), key=_part_sort_key):
         df = spark.read.schema(scan_schema).parquet(*files)
         if with_file_path:
             df = df.withColumn("_f", F.col("_metadata.file_path"))
@@ -1322,7 +1353,7 @@ def _scan_live_with_positions(spark, path: str, state: "DeltaState"):
             key = tuple(pv.get(phys.get(c, c)) for c in part_cols)
             by_part.setdefault(key, []).append(_resolve(p))
         pieces = []
-        for key, files in sorted(by_part.items(), key=lambda kv: kv[0]):
+        for key, files in sorted(by_part.items(), key=_part_sort_key):
             df = _with_pos(spark.read.schema(scan_schema).parquet(*files))
             for c, raw in zip(part_cols, key):
                 df = df.withColumn(c, _cast_partition_lit(raw, types[c]))
@@ -1867,7 +1898,7 @@ def optimize_delta_native(
                              subdir_parts=comps)
 
     new_files: dict[str, os.stat_result] = {}
-    items = sorted(by_part.items())
+    items = sorted(by_part.items(), key=_part_sort_key)
     if len(items) <= 1:
         for key, rels in items:
             new_files.update(_rewrite_group(key, rels))

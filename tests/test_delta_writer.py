@@ -855,3 +855,51 @@ def test_optimize_partition_groups_concurrent(spark, sf_dir, tmp_path):
         per_part.setdefault(pv.get("lang"), []).append(p)
     assert set(per_part) == langs
     assert all(len(v) == 1 for v in per_part.values())
+
+
+def test_optimize_with_null_partition_values(spark, sf_dir, tmp_path):
+    """r9 review regression: a NULL partition value
+    (__HIVE_DEFAULT_PARTITION__) crashed OPTIMIZE and multi-partition
+    scans with TypeError (sorted() over None/str tuples)."""
+    from glaredb_spark.sources.delta_native import optimize_delta_native
+
+    path = str(tmp_path / "nullpart")
+    rows = [(i, None if i % 3 == 0 else f"l{i % 2}") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    write_delta_native(df, path, partition_by=["lang"])
+    write_delta_native(df, path, partition_by=["lang"])
+    full = read_delta_native(spark, path)
+    assert full.count() == 60
+    assert full.filter("lang IS NULL").count() == 20
+    removed, added = optimize_delta_native(spark, path)
+    assert removed > added
+    got = read_delta_native(spark, path)
+    assert got.count() == 60 and got.filter("lang IS NULL").count() == 20
+
+
+def test_prune_string_column_numeric_looking_literal(spark, sf_dir, tmp_path):
+    """r9 review regression: prune literals must NOT be coerced by what
+    they look like — prune='code=007' on a STRING column wrongly became
+    int 7 and pruned the matching file (zero rows). Coercion is now
+    schema-driven inside the reader."""
+    from glaredb_spark.session import GlareSession
+
+    path = str(tmp_path / "strcol")
+    df = spark.createDataFrame(
+        [(i, f"{i:03d}") for i in range(10)], "id long, code string"
+    )
+    write_delta_native(df.coalesce(1), path)
+    sess = GlareSession(spark)
+    got = sess.sql(
+        f"SELECT id, code FROM read_delta('{path}', prune='code=007')"
+    ).collect()
+    assert [(r["id"], r["code"]) for r in got] == [(7, "007")]
+    # numeric column via string literal still stats-prunes
+    path2 = str(tmp_path / "numcol")
+    write_delta_native(df.filter("id < 5").coalesce(1), path2)
+    write_delta_native(df.filter("id >= 5").coalesce(1), path2)
+    pruned = sess.sql(
+        f"SELECT id FROM read_delta('{path2}', prune='id=7')"
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert [r["id"] for r in pruned.collect()] == [7]

@@ -1039,3 +1039,48 @@ def test_struct_columns_and_nested_bounds_skipping(spark, sf_dir, tmp_path):
         spark, path, value_filter={"info.score": 99999}
     )
     assert len(none.inputFiles()) == 0 or none.count() == 0
+
+
+def test_struct_field_ids_and_last_column_id(spark, sf_dir, tmp_path):
+    """r9 review regressions: (1) last-column-id must cover struct-leaf
+    ids (was top-level max: spec-invalid metadata, future id collision);
+    (2) written parquet must carry PARQUET:field_id at EVERY level —
+    a partially-id'd file breaks strict id-resolving readers."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from glaredb_spark.sources.iceberg_native import table_metadata
+
+    path = str(tmp_path / "fid")
+    df = spark.createDataFrame(
+        [(1, (10, "a")), (2, None)],
+        "id long, info struct<score: long, tag: string>",
+    )
+    write_iceberg_native(df, path, format_version=2)
+    meta = table_metadata(path)
+    assert int(meta["last-column-id"]) >= 4  # id, info, score, tag
+    f = sorted(_glob.glob(
+        _os.path.join(path, "data", "**", "*.parquet"), recursive=True
+    ))[0]
+    sch = pq.read_schema(f)
+    ids = {}
+
+    def walk(field, prefix=""):
+        ids[prefix + field.name] = (field.metadata or {}).get(
+            b"PARQUET:field_id"
+        )
+        try:
+            for i in range(field.type.num_fields):
+                walk(field.type.field(i), prefix + field.name + ".")
+        except AttributeError:
+            pass
+
+    for i in range(len(sch)):
+        walk(sch.field(i))
+    assert ids["id"] == b"1" and ids["info"] == b"2"
+    assert ids["info.score"] == b"3" and ids["info.tag"] == b"4"
+    # NULL struct rows survive the schema swap
+    got = read_iceberg_native(spark, path).orderBy("id").collect()
+    assert got[1]["info"] is None
