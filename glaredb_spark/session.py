@@ -750,18 +750,34 @@ class GlareSession:
         if m:
             from pyspark.sql import functions as F
 
-            from glaredb_spark.sources.delta_native import (
-                vacuum_delta_native,
-            )
+            if _native_table_kind(m.group(1)) == "iceberg":
+                # Iceberg has no VACUUM statement of its own; route to
+                # snapshot expiration + orphan cleanup (r9) — the same
+                # retention semantics over the snapshot chain
+                from glaredb_spark.sources.iceberg_native import (
+                    expire_snapshots_iceberg_native as _vac,
+                )
 
-            deleted = vacuum_delta_native(
-                self.spark,
-                m.group(1),
-                retention_hours=(
-                    float(m.group(2)) if m.group(2) else 168.0
-                ),
-                dry_run=bool(m.group(3)),
-            )
+                deleted = _vac(
+                    m.group(1),
+                    retention_hours=(
+                        float(m.group(2)) if m.group(2) else 168.0
+                    ),
+                    dry_run=bool(m.group(3)),
+                )
+            else:
+                from glaredb_spark.sources.delta_native import (
+                    vacuum_delta_native,
+                )
+
+                deleted = vacuum_delta_native(
+                    self.spark,
+                    m.group(1),
+                    retention_hours=(
+                        float(m.group(2)) if m.group(2) else 168.0
+                    ),
+                    dry_run=bool(m.group(3)),
+                )
             return self.spark.createDataFrame(
                 [(p,) for p in deleted] or [], "path string"
             )

@@ -2247,6 +2247,128 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
     return (len(touched), rows)
 
 
+def _write_metadata_version(mdir: str, new_meta: dict) -> int:
+    """Publish a new vN.metadata.json + version hint via O_CREAT|O_EXCL
+    (the same optimistic-concurrency contract as _publish_snapshot)."""
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        try:
+            version = int(open(hint).read().strip()) + 1
+        except ValueError:
+            version = len(
+                _glob.glob(os.path.join(mdir, "*.metadata.json"))
+            ) + 1
+    else:
+        version = len(
+            _glob.glob(os.path.join(mdir, "*.metadata.json"))
+        ) + 1
+    mpath = os.path.join(mdir, f"v{version}.metadata.json")
+    fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_meta, fh, indent=2)
+    except BaseException:
+        os.unlink(mpath)
+        raise
+    with open(hint, "w") as fh:
+        fh.write(str(version))
+    return version
+
+
+def expire_snapshots_iceberg_native(
+    table_path: str, retention_hours: float = 168.0,
+    retain_last: int = 1, dry_run: bool = False,
+) -> list[str]:
+    """Snapshot expiration (Iceberg's expireSnapshots + orphan file
+    cleanup — the maintenance path the small-commit streaming sinks
+    need; the Iceberg analog of Delta VACUUM): snapshots older than the
+    retention window are dropped from the metadata — the CURRENT
+    snapshot and the ``retain_last`` most recent always survive — and
+    every file reachable ONLY from expired snapshots (data files,
+    delete files, manifests, manifest lists) is deleted. Time travel to
+    retained snapshots is unaffected.
+
+    Scale: pure driver-side metadata walk + unlinks — cost follows
+    metadata size (manifest count), never table bytes; no Spark jobs.
+    The shrunk metadata publishes BEFORE any unlink so a racing reader
+    never sees a referenced file vanish. Returns the deleted paths
+    (``dry_run`` returns them without deleting)."""
+    import time
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    snaps = sorted(
+        meta.get("snapshots", []),
+        key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]),
+    )
+    if not snaps:
+        return []
+    cutoff = time.time() * 1000 - retention_hours * 3600 * 1000
+    keep_ids = {
+        s["snapshot-id"]
+        for s in snaps
+        if int(s.get("timestamp-ms", 0) or 0) >= cutoff
+    }
+    cur = meta.get("current-snapshot-id")
+    if cur is not None:
+        keep_ids.add(cur)
+    for s in snaps[-max(retain_last, 1):]:
+        keep_ids.add(s["snapshot-id"])
+    expired_ids = {
+        s["snapshot-id"] for s in snaps if s["snapshot-id"] not in keep_ids
+    }
+    if not expired_ids:
+        return []
+
+    def _reachable(ids) -> tuple[set, set, set]:
+        mls: set = set()
+        manifests: set = set()
+        files: set = set()
+        for s in snaps:
+            if s["snapshot-id"] not in ids or "manifest-list" not in s:
+                continue
+            mlp = _resolve(s["manifest-list"], meta, table_path)
+            mls.add(mlp)
+            try:
+                recs, _ = read_avro(mlp)
+            except (OSError, ValueError):
+                continue
+            for r in recs:
+                mp = _resolve(r["manifest_path"], meta, table_path)
+                manifests.add(mp)
+                try:
+                    ents, _ = read_avro(mp)
+                except (OSError, ValueError):
+                    continue
+                for e in ents:
+                    files.add(_resolve(
+                        e["data_file"]["file_path"], meta, table_path
+                    ))
+        return mls, manifests, files
+
+    kept = _reachable(keep_ids)
+    exp = _reachable(expired_ids)
+    doomed = sorted(
+        (exp[0] - kept[0]) | (exp[1] - kept[1]) | (exp[2] - kept[2])
+    )
+    if dry_run:
+        return doomed
+    new_meta = dict(meta)
+    new_meta["snapshots"] = [
+        s for s in snaps if s["snapshot-id"] in keep_ids
+    ]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(
+        os.path.join(table_path, "metadata"), new_meta
+    )
+    for p in doomed:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+    return doomed
+
+
 def optimize_iceberg_native(
     spark, table_path: str, max_files_per_group: int = 128,
     zorder_by: "list[str] | None" = None,

@@ -114,8 +114,26 @@ def last_committed_batch_iceberg(path: str, app_id: str) -> int:
     return best
 
 
-def iceberg_upsert_writer(path: str, app_id: str, on: list[str]):
-    """The foreachBatch callback: idempotent exactly-once upsert."""
+def iceberg_upsert_writer(
+    path: str, app_id: str, on: list[str],
+    maintenance_every: "int | None" = None,
+):
+    """The foreachBatch callback: idempotent exactly-once upsert.
+
+    ``maintenance_every=N`` closes the equality-delete LIFECYCLE inline
+    (r9): every N committed batches the sink PURGEs (materializes the
+    accumulated per-batch equality-delete files back to plain COW) and
+    compacts — so a long-running stream's table never accumulates
+    unbounded delete files even though each micro-batch commits one.
+    Maintenance commits are plain "replace" snapshots: the batch-id
+    idempotence markers live in earlier snapshot summaries and survive
+    (snapshot EXPIRATION is deliberately not done here — expiring a
+    marker-carrying snapshot could re-apply a replayed batch; run
+    VACUUM / expire_snapshots with a retention longer than the
+    checkpoint replay horizon instead). If the stream dies between the
+    upsert commit and maintenance, the replay skips both (the batch is
+    marked committed) and maintenance simply fires at the next
+    boundary."""
     from glaredb_spark.sources.iceberg_native import upsert_iceberg_native
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -128,6 +146,15 @@ def iceberg_upsert_writer(path: str, app_id: str, on: list[str]):
                 "glaredb-batch-id": str(batch_id),
             },
         )
+        if maintenance_every and (batch_id + 1) % maintenance_every == 0:
+            from glaredb_spark.sources.iceberg_native import (
+                optimize_iceberg_native,
+                purge_iceberg_native,
+            )
+
+            spark = batch_df.sparkSession
+            purge_iceberg_native(spark, path)
+            optimize_iceberg_native(spark, path)
 
     return write_batch
 
@@ -138,13 +165,17 @@ def stream_upsert_to_iceberg(
     checkpoint: str,
     app_id: str,
     on: list[str],
+    maintenance_every: "int | None" = None,
 ):
     """``stream.writeStream`` upserting into a native Iceberg v2 table
-    with exactly-once batch commits. Returns the (unstarted)
-    DataStreamWriter so callers pick the trigger."""
+    with exactly-once batch commits (``maintenance_every=N`` purges +
+    compacts every N batches — see iceberg_upsert_writer). Returns the
+    (unstarted) DataStreamWriter so callers pick the trigger."""
     return (
         stream.writeStream.foreachBatch(
-            iceberg_upsert_writer(path, app_id, on)
+            iceberg_upsert_writer(
+                path, app_id, on, maintenance_every=maintenance_every
+            )
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

@@ -1084,3 +1084,54 @@ def test_struct_field_ids_and_last_column_id(spark, sf_dir, tmp_path):
     # NULL struct rows survive the schema swap
     got = read_iceberg_native(spark, path).orderBy("id").collect()
     assert got[1]["info"] is None
+
+
+def test_expire_snapshots(spark, sf_dir, tmp_path):
+    """r9: expire_snapshots_iceberg_native — the Iceberg analog of Delta
+    VACUUM: old snapshots leave the metadata, files reachable only from
+    them are deleted, retained snapshots still time-travel, and shared
+    (carried-forward) data files survive."""
+    import os as _os
+
+    from glaredb_spark.sources.iceberg_native import (
+        delete_iceberg_native,
+        expire_snapshots_iceberg_native,
+        snapshots_df,
+        table_metadata,
+    )
+
+    path = str(tmp_path / "expire")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 30).coalesce(1), path)
+    write_iceberg_native(_docs(spark, sf_dir, 30, 50).coalesce(1), path)
+    # COW delete rewrites the touched file: snapshot 3 drops a file that
+    # only snapshots 1-2 reference
+    delete_iceberg_native(spark, path, "doc_id < 5", strategy="cow")
+    assert snapshots_df(spark, path).count() == 3
+    # retention 0, keep the most recent only
+    dry = expire_snapshots_iceberg_native(
+        path, retention_hours=0.0, retain_last=1, dry_run=True
+    )
+    assert dry and all(_os.path.exists(p) for p in dry)
+    deleted = expire_snapshots_iceberg_native(
+        path, retention_hours=0.0, retain_last=1
+    )
+    assert sorted(deleted) == sorted(dry)
+    assert all(not _os.path.exists(p) for p in deleted)
+    meta = table_metadata(path)
+    assert len(meta["snapshots"]) == 1
+    # the current snapshot still reads whole
+    got = read_iceberg_native(spark, path)
+    assert _collect(got) == _collect(_docs(spark, sf_dir, 5, 50))
+    # the pre-delete data file shared with the current snapshot survived
+    # (only the REWRITTEN file and old manifests/manifest-lists died)
+    assert any(p.endswith(".parquet") for p in deleted)
+    # nothing left to expire
+    assert expire_snapshots_iceberg_native(path, retention_hours=0.0) == []
+    # SQL surface: VACUUM on an iceberg path routes to expiration
+    from glaredb_spark.session import GlareSession
+
+    sess = GlareSession(spark)
+    write_iceberg_native(_docs(spark, sf_dir, 50, 60).coalesce(1), path)
+    out = sess.sql(f"VACUUM '{path}' RETAIN 0 HOURS").collect()
+    assert len(table_metadata(path)["snapshots"]) == 1
+    assert read_iceberg_native(spark, path).count() == 55

@@ -195,3 +195,40 @@ def test_upsert_rejects_intra_batch_duplicate_keys(spark, tmp_path):
     w = iceberg_upsert_writer(path2, "appz", on=["id"])
     w(spark.createDataFrame([(1, "a")], "id long, val string"), 0)
     assert last_committed_batch_iceberg(path2, "appz") == 0
+
+
+def test_iceberg_upsert_maintenance_every(spark, tmp_path):
+    """r9: maintenance_every purges+compacts inline — after 6 batches
+    with maintenance_every=3 the table holds NO equality-delete files,
+    values are last-wins, and the idempotence markers survive the
+    maintenance snapshots (a replayed batch stays a no-op)."""
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries,
+        read_iceberg_native,
+        table_metadata,
+    )
+    from glaredb_spark.streaming.sink import (
+        iceberg_upsert_writer,
+        last_committed_batch_iceberg,
+    )
+
+    path = str(tmp_path / "maint")
+    write = iceberg_upsert_writer(path, "app1", ["k"], maintenance_every=3)
+    expect = {}
+    for b in range(6):
+        rows = [(k, f"b{b}") for k in range(b, b + 4)]
+        write(spark.createDataFrame(rows, "k long, v string"), b)
+        expect.update(dict(rows))
+    meta = table_metadata(path)
+    contents = [
+        (e["data_file"].get("content", 0) or 0)
+        for e in _manifest_entries(meta, path)
+    ]
+    assert all(c == 0 for c in contents)  # maintenance purged the deletes
+    got = {r["k"]: r["v"] for r in read_iceberg_native(spark, path).collect()}
+    assert got == expect
+    # markers survived: replaying the last batch is a no-op
+    assert last_committed_batch_iceberg(path, "app1") == 5
+    write(spark.createDataFrame([(0, "DUP")], "k long, v string"), 5)
+    got2 = {r["k"]: r["v"] for r in read_iceberg_native(spark, path).collect()}
+    assert got2 == expect
