@@ -577,22 +577,46 @@ _DELTA_HISTORY_TF = re.compile(
 )
 
 
+_PRUNE_PRED = re.compile(r"^\s*([^<>=\s]+)\s*(>=|<=|=|>|<)\s*(.*?)\s*$")
+
+
 def _parse_prune_arg(raw: str, what: str) -> dict:
-    """``prune='col=value[,col2=value2]'`` -> {col: literal string}.
+    """``prune='col=value[,col2>value2,...]'`` -> {col: literal} for
+    equality, {col: (op, literal)} for ranges ('>', '>=', '<', '<=').
     Literals stay RAW strings: the pruners coerce per the TABLE SCHEMA
     type (a look-based int() coercion turned string values like '007'
     into '7' and wrongly pruned matching files — r9 review), and Spark's
     comparison coercion handles the row predicate."""
     out: dict = {}
     for part in raw.split(","):
-        col, eq, val = part.partition("=")
-        if not col.strip() or not eq:
+        m = _PRUNE_PRED.match(part)
+        if not m or not m.group(3):
             raise ValueError(
-                f"{what} prune= expects 'col=value[,col=value]', got "
-                f"{raw!r}"
+                f"{what} prune= expects 'col<op>value[,col<op>value]' "
+                f"with <op> one of = > >= < <=, got {raw!r}"
             )
-        out[col.strip()] = val.strip()
+        col, op, val = m.group(1), m.group(2), m.group(3)
+        out[col] = val if op == "=" else (op, val)
     return out
+
+
+def _apply_prune_row_filter(df, prune: dict):
+    """The pruners only drop files PROVEN non-matching; the row-level
+    predicate makes SQL results match the apparent filter."""
+    import operator
+
+    from pyspark.sql import functions as F
+
+    ops = {
+        ">": operator.gt, ">=": operator.ge,
+        "<": operator.lt, "<=": operator.le,
+    }
+    for c, v in prune.items():
+        if isinstance(v, tuple):
+            df = df.filter(ops[v[0]](F.col(c), F.lit(v[1])))
+        else:
+            df = df.filter(F.col(c) == F.lit(v))
+    return df
 
 
 def _handle_delta(spark: SparkSession, m: re.Match) -> str:
@@ -643,8 +667,6 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
         "read_delta", f"{path}@{version}|{named.get('prune') or ''}"
     )
     if prune:
-        from pyspark.sql import functions as F
-
         from glaredb_spark.sources.lakehouse import delta_available
 
         if delta_available(spark):
@@ -663,8 +685,7 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
                 spark, path, version=version,
                 partition_filter=prune, value_filter=prune,
             )
-        for c, v in prune.items():
-            df = df.filter(F.col(c) == F.lit(v))
+        df = _apply_prune_row_filter(df, prune)
     else:
         df = read_delta(spark, path, version=version)
     df.createOrReplaceTempView(view)
@@ -753,10 +774,7 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
             value_filter=partition_filter,
         )
         if row_filter:
-            from pyspark.sql import functions as F
-
-            for c, v in row_filter.items():
-                df = df.filter(F.col(c) == F.lit(v))
+            df = _apply_prune_row_filter(df, row_filter)
     else:
         df = builders[fn](spark, path)
     df.createOrReplaceTempView(view)

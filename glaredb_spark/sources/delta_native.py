@@ -566,12 +566,29 @@ def _parse_ts_instant(s: str):
 _TS_ISH_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}")
 
 
+def _range_excludes(lo, hi, op: str, w) -> bool:
+    """True when the [lo, hi] stats interval PROVES no value satisfies
+    ``<op> w``. Unknown operators never prune."""
+    if op == "=":
+        return w < lo or w > hi
+    if op == ">":
+        return hi <= w
+    if op == ">=":
+        return hi < w
+    if op == "<":
+        return lo >= w
+    if op == "<=":
+        return lo > w
+    return False
+
+
 def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
-    """True when an add action's stats PROVE no row can equal the
-    value_filter literals (min/max per column). Missing or unparseable
-    stats never prune; comparisons only happen between same-kind values
-    (numbers with numbers, strings with strings — ISO date/timestamp
-    strings order correctly)."""
+    """True when an add action's stats PROVE no row can satisfy the
+    value_filter predicates (min/max per column) — plain literals mean
+    equality, ``(op, literal)`` tuples carry range operators ('>', '>=',
+    '<', '<='). Missing or unparseable stats never prune; comparisons
+    only happen between same-kind values (numbers with numbers, strings
+    with strings — ISO date/timestamp strings compare as instants)."""
     if not stats_json:
         return False
     try:
@@ -581,6 +598,9 @@ def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
     mins = s.get("minValues") or {}
     maxs = s.get("maxValues") or {}
     for col, want in value_filter.items():
+        op = "="
+        if isinstance(want, tuple):
+            op, want = want
         if want is None or col not in mins or col not in maxs:
             continue
         lo, hi = mins[col], maxs[col]
@@ -588,7 +608,7 @@ def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
             continue
         num = (int, float)
         if isinstance(want, num) and isinstance(lo, num) and isinstance(hi, num):
-            if want < lo or want > hi:
+            if _range_excludes(lo, hi, op, want):
                 return True
         elif isinstance(want, str) and isinstance(lo, str) and isinstance(hi, str):
             if (
@@ -605,10 +625,10 @@ def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
                 h = _parse_ts_instant(hi)
                 if w is None or l_ is None or h is None:
                     continue  # unparseable: never prune
-                if w < l_ or w > h:
+                if _range_excludes(l_, h, op, w):
                     return True
                 continue
-            if want < lo or want > hi:
+            if _range_excludes(lo, hi, op, want):
                 return True
     return False
 
@@ -647,6 +667,8 @@ def read_delta_native(
         }
 
         def _coerce(c, v):
+            if isinstance(v, tuple):  # (op, literal) range predicate
+                return (v[0], _coerce(c, v[1]))
             t = ltypes.get(c, "")
             if isinstance(v, str):
                 try:
@@ -672,9 +694,12 @@ def read_delta_native(
             p: a for p, a in state.add_meta.items() if p in keep
         }
     if partition_filter:
+        # range predicates prune via stats only — a tuple serialized to
+        # its repr would never equal the log string and wrongly prune
         pf = {
             _physical_map(state).get(c, c): _partition_literal_str(v)
             for c, v in partition_filter.items()
+            if not isinstance(v, tuple)
         }
         state.adds = {
             p: pv

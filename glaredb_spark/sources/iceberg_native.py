@@ -400,6 +400,8 @@ def _partition_prunes(
     if not tuple_vals:
         return False
     for col, want in partition_filter.items():
+        if isinstance(want, tuple):
+            continue  # range predicates prune via column bounds only
         for pf in pfields:
             if pf.src != col or pf.name not in tuple_vals:
                 continue
@@ -446,14 +448,36 @@ def _bounds_lookup(bounds, fid: int):
     return None
 
 
+def _range_excludes(lo, hi, op: str, w) -> bool:
+    """True when the [lo, hi] bound interval PROVES no value satisfies
+    ``<op> w`` — shared by the Iceberg bounds and Delta stats pruners.
+    Unknown operators never prune."""
+    if op == "=":
+        return w < lo or w > hi
+    if op == ">":
+        return hi <= w
+    if op == ">=":
+        return hi < w
+    if op == "<":
+        return lo >= w
+    if op == "<=":
+        return lo > w
+    return False
+
+
 def _bounds_prune(
     schema_fields: list[dict], data_file: dict, value_filter: dict
 ) -> bool:
     """True when the file's lower/upper column bounds PROVE no row can
-    equal the value_filter literals. Missing bounds never prune.
-    Struct leaves address as dotted paths ('info.score')."""
+    satisfy the value_filter predicates — plain literals mean equality,
+    ``(op, literal)`` tuples carry range operators ('>', '>=', '<',
+    '<='). Missing bounds never prune. Struct leaves address as dotted
+    paths ('info.score')."""
     by_name = _leaf_fields({"fields": schema_fields})
     for col, want in value_filter.items():
+        op = "="
+        if isinstance(want, tuple):
+            op, want = want
         if col not in by_name:
             continue
         fid, t = by_name[col]
@@ -470,7 +494,7 @@ def _bounds_prune(
         if w is None or lo is None or hi is None:
             continue
         try:
-            if w < lo or w > hi:
+            if _range_excludes(lo, hi, op, w):
                 return True
         except TypeError:
             continue

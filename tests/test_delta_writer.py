@@ -903,3 +903,31 @@ def test_prune_string_column_numeric_looking_literal(spark, sf_dir, tmp_path):
     )
     assert len(pruned.inputFiles()) == 1
     assert [r["id"] for r in pruned.collect()] == [7]
+
+
+def test_prune_range_operators(spark, sf_dir, tmp_path):
+    """r9: prune= supports range operators — files whose stats interval
+    provably excludes the predicate are skipped, and the row predicate
+    applies (results match the apparent filter)."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.delta_native import _stats_prune
+
+    # pruner truth table
+    stats = json.dumps({"minValues": {"x": 10}, "maxValues": {"x": 20}})
+    assert _stats_prune(stats, {"x": (">", 20)})
+    assert not _stats_prune(stats, {"x": (">", 19)})
+    assert _stats_prune(stats, {"x": ("<", 10)})
+    assert not _stats_prune(stats, {"x": ("<=", 10)})
+    assert _stats_prune(stats, {"x": (">=", 21)})
+
+    path = str(tmp_path / "range")
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    write_delta_native(df.filter("id < 50").coalesce(1), path)
+    write_delta_native(df.filter("id >= 50").coalesce(1), path)
+    sess = GlareSession(spark)
+    got = sess.sql(f"SELECT id FROM read_delta('{path}', prune='id>=97')")
+    assert len(got.inputFiles()) == 1
+    assert sorted(r["id"] for r in got.collect()) == [97, 98, 99]
+    lt = sess.sql(f"SELECT id FROM read_delta('{path}', prune='id<3')")
+    assert len(lt.inputFiles()) == 1
+    assert sorted(r["id"] for r in lt.collect()) == [0, 1, 2]

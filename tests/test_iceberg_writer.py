@@ -1135,3 +1135,26 @@ def test_expire_snapshots(spark, sf_dir, tmp_path):
     out = sess.sql(f"VACUUM '{path}' RETAIN 0 HOURS").collect()
     assert len(table_metadata(path)["snapshots"]) == 1
     assert read_iceberg_native(spark, path).count() == 55
+
+
+def test_iceberg_prune_range_operators(spark, sf_dir, tmp_path):
+    """r9: iceberg prune= range operators skip files via manifest bounds
+    (bucket partition tuples can't range-prune — bounds carry it)."""
+    from glaredb_spark.session import GlareSession
+
+    path = str(tmp_path / "irange")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)],
+                               "id long, v string")
+    write_iceberg_native(df.filter("id < 50").coalesce(1), path)
+    write_iceberg_native(df.filter("id >= 50").coalesce(1), path)
+    sess = GlareSession(spark)
+    got = sess.sql(
+        f"SELECT id FROM iceberg.scan('{path}', prune='id>=97')"
+    )
+    assert len(got.inputFiles()) == 1
+    assert sorted(r["id"] for r in got.collect()) == [97, 98, 99]
+    # python API form
+    pruned = read_iceberg_native(
+        spark, path, value_filter={"id": ("<", 3)}
+    )
+    assert len(pruned.inputFiles()) == 1
