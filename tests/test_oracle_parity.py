@@ -1,5 +1,6 @@
 """Full driver-gate mirror: every registered query with an oracle is run at
-sf0.01 (exactly what the driver does) and compared bit-exactly.
+the local fixture scale (sf0.001 — the driver runs the same comparison at
+sf0.01) and compared bit-exactly.
 
 Slow (~2-3 min for the whole suite) — this is the main correctness gate.
 """
