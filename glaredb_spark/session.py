@@ -119,6 +119,17 @@ _VACUUM_RE = re.compile(
     r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# schema evolution over native table DIRECTORIES (r9):
+#   ALTER TABLE '<path>' ADD COLUMN name type
+#   ALTER TABLE '<path>' RENAME COLUMN a TO b   (Delta columnMapping)
+#   ALTER TABLE '<path>' DROP COLUMN a          (Delta columnMapping)
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+'([^']+)'\s+"
+    r"(?:ADD\s+COLUMN\s+(\w+)\s+([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
+    r"|RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
+    r"|DROP\s+COLUMN\s+(\w+))\s*;?\s*$",
+    re.IGNORECASE,
+)
 _REORG_RE = re.compile(
     r"^\s*REORG\s+TABLE\s+'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
     re.IGNORECASE,
@@ -781,6 +792,50 @@ class GlareSession:
             return self.spark.createDataFrame(
                 [(p,) for p in deleted] or [], "path string"
             )
+        m = _ALTER_RE.match(query)
+        if m:
+            from pyspark.sql import functions as F
+
+            path, kind = m.group(1), _native_table_kind(m.group(1))
+            if m.group(2):  # ADD COLUMN
+                if kind == "iceberg":
+                    from glaredb_spark.sources.iceberg_native import (
+                        add_column_iceberg_native as _add,
+                    )
+
+                    _add(path, m.group(2), m.group(3))
+                else:
+                    from glaredb_spark.sources.delta_native import (
+                        add_column_delta_native as _add,
+                    )
+
+                    _add(path, m.group(2), m.group(3))
+                msg = f"added column {m.group(2)}"
+            elif m.group(4):  # RENAME COLUMN
+                if kind == "iceberg":
+                    raise ValueError(
+                        "RENAME COLUMN on iceberg paths is not supported "
+                        "by the native writer (name-resolving reader)"
+                    )
+                from glaredb_spark.sources.delta_native import (
+                    rename_column_delta_native,
+                )
+
+                rename_column_delta_native(path, m.group(4), m.group(5))
+                msg = f"renamed column {m.group(4)} to {m.group(5)}"
+            else:  # DROP COLUMN
+                if kind == "iceberg":
+                    raise ValueError(
+                        "DROP COLUMN on iceberg paths is not supported "
+                        "by the native writer (name-resolving reader)"
+                    )
+                from glaredb_spark.sources.delta_native import (
+                    drop_column_delta_native,
+                )
+
+                drop_column_delta_native(path, m.group(6))
+                msg = f"dropped column {m.group(6)}"
+            return self.spark.range(1).select(F.lit(msg).alias("status"))
         m = _REORG_RE.match(query)
         if m:
             from pyspark.sql import functions as F

@@ -2374,3 +2374,125 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
         json.dump({"version": version, "size": len(rows)}, fh)
     os.replace(hint_tmp, os.path.join(log_dir, "_last_checkpoint"))
     return version
+
+
+# --- schema evolution (ALTER TABLE) ------------------------------------------
+
+_SPARK_DDL_TO_DELTA = {
+    "bigint": "long", "long": "long", "int": "integer",
+    "integer": "integer", "smallint": "short", "tinyint": "byte",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "binary": "binary", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestampNtz",
+}
+
+
+def _commit_new_metadata(path: str, state: "DeltaState",
+                         fields: list[dict],
+                         config_update: "dict | None" = None,
+                         operation: str = "ALTER TABLE") -> int:
+    """Commit a metaData action carrying ``fields`` as the new schema —
+    the whole ALTER is one KB-scale driver JSON append; data files are
+    untouched (evolution is metadata-only in the Delta protocol)."""
+    import time
+
+    meta = dict(state.metadata_raw or {})
+    schema = json.loads(state.schema_json)
+    schema["fields"] = fields
+    meta["schemaString"] = json.dumps(schema)
+    if config_update:
+        cfg = dict(meta.get("configuration") or {})
+        cfg.update(config_update)
+        meta["configuration"] = cfg
+    log_dir = os.path.join(path, "_delta_log")
+    version = 1 + (_latest_version(log_dir) or 0)
+    _commit_actions(log_dir, version, [
+        {"commitInfo": {"timestamp": int(time.time() * 1000),
+                        "operation": operation}},
+        {"metaData": meta},
+    ])
+    return version
+
+
+def add_column_delta_native(path: str, name: str, ddl_type: str) -> int:
+    """ALTER TABLE ADD COLUMN: append a nullable field to the schema in
+    one metadata-only commit. Old data files simply lack the column —
+    the reader's explicit scan schema fills it with NULLs (parquet
+    missing-column semantics). On column-mapped tables the new field
+    gets the next columnMapping id + a fresh physical name."""
+    path = os.path.abspath(path)
+    state = load_delta_state(path)
+    t = _SPARK_DDL_TO_DELTA.get(ddl_type.strip().lower())
+    if t is None and ddl_type.strip().lower().startswith("decimal"):
+        t = ddl_type.strip().lower()
+    if t is None:
+        raise RuntimeError(
+            f"ADD COLUMN: unsupported type {ddl_type!r} (supported: "
+            f"{sorted(_SPARK_DDL_TO_DELTA)} and decimal(p,s))"
+        )
+    fields = json.loads(state.schema_json)["fields"]
+    if any(f["name"] == name for f in fields):
+        raise RuntimeError(f"column {name!r} already exists")
+    new_field: dict = {"name": name, "type": t, "nullable": True,
+                       "metadata": {}}
+    config_update = None
+    if _mapping_mode(state) != "none":
+        import uuid
+
+        cfg = (state.metadata_raw or {}).get("configuration") or {}
+        next_id = 1 + int(cfg.get("delta.columnMapping.maxColumnId", 0))
+        new_field["metadata"] = {
+            "delta.columnMapping.id": next_id,
+            "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+        }
+        config_update = {"delta.columnMapping.maxColumnId": str(next_id)}
+    return _commit_new_metadata(
+        path, state, fields + [new_field], config_update,
+        operation="ADD COLUMNS",
+    )
+
+
+def rename_column_delta_native(path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — columnMapping tables only: the data
+    files carry stable PHYSICAL names, so a logical rename is one
+    metadata commit; on an unmapped table the files carry the logical
+    name and a rename would orphan every existing file (refused, per
+    the Delta protocol's column-mapping requirement)."""
+    path = os.path.abspath(path)
+    state = load_delta_state(path)
+    if _mapping_mode(state) == "none":
+        raise RuntimeError(
+            "RENAME COLUMN requires columnMapping (create the table "
+            "with write_delta_native(column_mapping='name'))"
+        )
+    fields = json.loads(state.schema_json)["fields"]
+    if any(f["name"] == new for f in fields):
+        raise RuntimeError(f"column {new!r} already exists")
+    hit = [f for f in fields if f["name"] == old]
+    if not hit:
+        raise RuntimeError(f"unknown column {old!r}")
+    out = [dict(f, name=new) if f["name"] == old else f for f in fields]
+    return _commit_new_metadata(path, state, out,
+                                operation="RENAME COLUMN")
+
+
+def drop_column_delta_native(path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — columnMapping tables only (the Delta
+    protocol's requirement): one metadata commit removes the field; the
+    physical data stays in old files and simply stops being read."""
+    path = os.path.abspath(path)
+    state = load_delta_state(path)
+    if _mapping_mode(state) == "none":
+        raise RuntimeError(
+            "DROP COLUMN requires columnMapping (create the table "
+            "with write_delta_native(column_mapping='name'))"
+        )
+    fields = json.loads(state.schema_json)["fields"]
+    if name in state.partition_columns:
+        raise RuntimeError(f"cannot drop partition column {name!r}")
+    out = [f for f in fields if f["name"] != name]
+    if len(out) == len(fields):
+        raise RuntimeError(f"unknown column {name!r}")
+    if not out:
+        raise RuntimeError("cannot drop the last column")
+    return _commit_new_metadata(path, state, out, operation="DROP COLUMNS")

@@ -143,7 +143,8 @@ def _manifest_entries(
     return out
 
 
-def _scan_parquet(spark, *paths, merge_schema: bool = False):
+def _scan_parquet(spark, *paths, merge_schema: bool = False,
+                  schema: "str | None" = None):
     """Data-file scan that tolerates MIXED id-stamped / id-less files:
     since r9 the writer stamps parquet.field.id on new files, and when
     Spark infers the read schema from a stamped file it then REQUIRES
@@ -154,6 +155,11 @@ def _scan_parquet(spark, *paths, merge_schema: bool = False):
     schema subsumes mergeSchema on the re-read)."""
     from pyspark.sql.types import StructField, StructType
 
+    if schema is not None:
+        # schema-evolved table: scan with the CURRENT schema so files
+        # written before an ADD COLUMN null-fill it (inference from one
+        # old file would drop the column entirely)
+        return spark.read.schema(schema).parquet(*paths)
     reader = (
         spark.read.option("mergeSchema", "true")
         if merge_schema
@@ -572,9 +578,16 @@ def read_iceberg_native(
     if not active:
         schema = _spark_schema(m)
         return spark.createDataFrame([], schema)
+    # schema-evolved tables (>1 schema) scan with the CURRENT schema so
+    # pre-evolution files null-fill added columns
+    evolved = _spark_schema(m) if len(m.get("schemas") or []) > 1 else None
     if not pos_deletes and not eq_deletes:
-        return _scan_parquet(spark, *[p for _s, p, _q, _pt in active])
-    return _mor_apply(spark, m, active, pos_deletes, eq_deletes)
+        return _scan_parquet(
+            spark, *[p for _s, p, _q, _pt in active], schema=evolved
+        )
+    return _mor_apply(
+        spark, m, active, pos_deletes, eq_deletes, schema=evolved
+    )
 
 
 def _mor_apply(
@@ -583,6 +596,7 @@ def _mor_apply(
     active: "list[tuple[str, str, int, str | None]]",
     pos_deletes: list[str],
     eq_deletes: "list[tuple[str, list[int] | None, int, str | None]]",
+    schema: "str | None" = None,
 ):
     """Apply position + equality deletes to the given data files and
     return the live rows (shared by the MoR scan and REORG PURGE).
@@ -600,7 +614,9 @@ def _mor_apply(
     (VERDICT r8 "What's wrong #2")."""
     from pyspark.sql import functions as F
 
-    out = _scan_parquet(spark, *[p for _s, p, _q, _pt in active])
+    out = _scan_parquet(
+        spark, *[p for _s, p, _q, _pt in active], schema=schema
+    )
     data_cols = out.columns
     # normalized absolute path of the scanned file ("file:///a/b" and
     # "file:/a/b" both -> "/a/b"), matched against the manifests'
@@ -2243,6 +2259,11 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
                 for d in touched
             ],
             pos_deletes, eq_deletes,
+            schema=(
+                _spark_schema(meta)
+                if len(meta.get("schemas") or []) > 1
+                else None
+            ),
         )
         from pyspark.sql import Observation
 
@@ -2297,6 +2318,64 @@ def _write_metadata_version(mdir: str, new_meta: dict) -> int:
     with open(hint, "w") as fh:
         fh.write(str(version))
     return version
+
+
+def add_column_iceberg_native(table_path: str, name: str,
+                              ddl_type: str) -> int:
+    """ALTER TABLE ADD COLUMN (schema evolution): a new schema with the
+    next field id appends to the schemas list and becomes current — one
+    KB-scale metadata commit, data files untouched. Old files simply
+    lack the column; evolved tables scan with an EXPLICIT schema built
+    from the current iceberg schema (read_iceberg_native), so parquet's
+    missing-column semantics fill NULLs. RENAME/DROP are refused: this
+    reader resolves columns by NAME, and a rename would orphan every
+    existing file (field-id resolution is the iceberg-spec answer; not
+    implemented). Returns the new schema id."""
+    _DDL_TO_ICE = {
+        "bigint": "long", "long": "long", "int": "int", "integer": "int",
+        "smallint": "int", "tinyint": "int", "string": "string",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "binary": "binary", "date": "date",
+        "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+    }
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    t = _DDL_TO_ICE.get(ddl_type.strip().lower())
+    if t is None and ddl_type.strip().lower().startswith("decimal"):
+        t = ddl_type.strip().lower().replace(",", ", ")
+    if t is None:
+        raise IcebergError(
+            f"ADD COLUMN: unsupported type {ddl_type!r}"
+        )
+    cur = _current_schema_obj(meta)
+    if any(f["name"] == name for f in cur.get("fields", [])):
+        raise IcebergError(f"column {name!r} already exists")
+    schemas = meta.get("schemas") or [cur]
+    new_id = 1 + max(
+        (int(s.get("schema-id", 0) or 0) for s in schemas), default=0
+    )
+    next_fid = 1 + max(
+        int(meta.get("last-column-id", 0) or 0), _max_field_id(cur)
+    )
+    new_schema = {
+        "type": "struct",
+        "schema-id": new_id,
+        "fields": list(cur.get("fields", [])) + [
+            {"id": next_fid, "name": name, "required": False, "type": t}
+        ],
+    }
+    import time
+
+    new_meta = dict(meta)
+    new_meta["schemas"] = list(schemas) + [new_schema]
+    new_meta["current-schema-id"] = new_id
+    new_meta["schema"] = new_schema
+    new_meta["last-column-id"] = next_fid
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(
+        os.path.join(table_path, "metadata"), new_meta
+    )
+    return new_id
 
 
 def expire_snapshots_iceberg_native(

@@ -931,3 +931,62 @@ def test_prune_range_operators(spark, sf_dir, tmp_path):
     lt = sess.sql(f"SELECT id FROM read_delta('{path}', prune='id<3')")
     assert len(lt.inputFiles()) == 1
     assert sorted(r["id"] for r in lt.collect()) == [0, 1, 2]
+
+
+def test_alter_table_schema_evolution(spark, sf_dir, tmp_path):
+    """r9 schema evolution: ADD COLUMN is one metadata-only commit on
+    both formats (old files null-fill); RENAME/DROP work on columnMapped
+    Delta (stable physical names) and are refused elsewhere."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.delta_native import (
+        add_column_delta_native,
+    )
+    from glaredb_spark.sources.iceberg_native import (
+        read_iceberg_native,
+        write_iceberg_native,
+    )
+
+    sess = GlareSession(spark)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    )
+    # --- plain Delta: ADD works, RENAME/DROP refused
+    p1 = str(tmp_path / "plain")
+    write_delta_native(df.coalesce(1), p1)
+    sess.sql(f"ALTER TABLE '{p1}' ADD COLUMN score double")
+    got = read_delta_native(spark, p1)
+    assert got.columns == ["id", "v", "score"]
+    assert got.filter("score IS NULL").count() == 10
+    # appends WITH the new column coexist with null-filled old files
+    df2 = spark.createDataFrame([(100, "x", 1.5)],
+                                "id long, v string, score double")
+    write_delta_native(df2, p1)
+    got = read_delta_native(spark, p1)
+    assert got.count() == 11
+    assert got.filter("score = 1.5").count() == 1
+    with pytest.raises(RuntimeError, match="columnMapping"):
+        sess.sql(f"ALTER TABLE '{p1}' RENAME COLUMN v TO w")
+    with pytest.raises(RuntimeError, match="columnMapping"):
+        sess.sql(f"ALTER TABLE '{p1}' DROP COLUMN v")
+    with pytest.raises(RuntimeError, match="already exists"):
+        add_column_delta_native(p1, "v", "string")
+    # --- columnMapped Delta: full ADD/RENAME/DROP
+    p2 = str(tmp_path / "mapped")
+    write_delta_native(df.coalesce(1), p2, column_mapping="name")
+    sess.sql(f"ALTER TABLE '{p2}' ADD COLUMN score double")
+    sess.sql(f"ALTER TABLE '{p2}' RENAME COLUMN v TO label")
+    got = read_delta_native(spark, p2)
+    assert got.columns == ["id", "label", "score"]
+    assert got.filter("label = 'v3'").count() == 1  # data survives rename
+    sess.sql(f"ALTER TABLE '{p2}' DROP COLUMN score")
+    got = read_delta_native(spark, p2)
+    assert got.columns == ["id", "label"] and got.count() == 10
+    # --- Iceberg: ADD works (explicit-schema scan), RENAME refused
+    p3 = str(tmp_path / "ice")
+    write_iceberg_native(df.coalesce(1), p3, format_version=2)
+    sess.sql(f"ALTER TABLE '{p3}' ADD COLUMN score double")
+    got = read_iceberg_native(spark, p3)
+    assert got.columns == ["id", "v", "score"]
+    assert got.filter("score IS NULL").count() == 10
+    with pytest.raises(Exception, match="not supported"):
+        sess.sql(f"ALTER TABLE '{p3}' RENAME COLUMN v TO w")
