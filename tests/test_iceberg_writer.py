@@ -1158,3 +1158,44 @@ def test_iceberg_prune_range_operators(spark, sf_dir, tmp_path):
         spark, path, value_filter={"id": ("<", 3)}
     )
     assert len(pruned.inputFiles()) == 1
+
+
+def test_evolved_table_dml_roundtrip(spark, sf_dir, tmp_path):
+    """DML on a schema-evolved Iceberg table: after ADD COLUMN, appends
+    with the new column coexist with null-filled old files, MoR DELETE /
+    upsert / PURGE all run, and values survive every hop."""
+    from glaredb_spark.sources.iceberg_native import (
+        add_column_iceberg_native,
+        delete_iceberg_native,
+        purge_iceberg_native,
+        upsert_iceberg_native,
+    )
+
+    p = str(tmp_path / "evol")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    )
+    write_iceberg_native(df, p, format_version=2)
+    add_column_iceberg_native(p, "score", "double")
+    write_iceberg_native(
+        spark.createDataFrame([(100, "x", 1.5)],
+                              "id long, v string, score double"),
+        p,
+    )
+    out = read_iceberg_native(spark, p)
+    assert out.columns == ["id", "v", "score"]
+    assert out.count() == 11
+    assert out.filter("score IS NOT NULL").count() == 1
+    delete_iceberg_native(spark, p, "id = 3", strategy="mor")
+    upsert_iceberg_native(
+        spark, p,
+        spark.createDataFrame([(5, "NEW", 9.9)],
+                              "id long, v string, score double"),
+        on=["id"],
+    )
+    purge_iceberg_native(spark, p)
+    rows = {r["id"]: (r["v"], r["score"])
+            for r in read_iceberg_native(spark, p).collect()}
+    assert 3 not in rows
+    assert rows[5] == ("NEW", 9.9) and rows[100] == ("x", 1.5)
+    assert rows[2] == ("v2", None)
