@@ -596,7 +596,14 @@ def _parse_prune_arg(raw: str, what: str) -> dict:
                 f"with <op> one of = > >= < <=, got {raw!r}"
             )
         col, op, val = m.group(1), m.group(2), m.group(3)
-        out[col] = val if op == "=" else (op, val)
+        pred = val if op == "=" else (op, val)
+        if col in out:
+            # two predicates on one column (range intersection): keep
+            # BOTH — overwriting silently widened the filter (r9 review)
+            prev = out[col]
+            out[col] = (prev if isinstance(prev, list) else [prev]) + [pred]
+        else:
+            out[col] = pred
     return out
 
 
@@ -612,10 +619,11 @@ def _apply_prune_row_filter(df, prune: dict):
         "<": operator.lt, "<=": operator.le,
     }
     for c, v in prune.items():
-        if isinstance(v, tuple):
-            df = df.filter(ops[v[0]](F.col(c), F.lit(v[1])))
-        else:
-            df = df.filter(F.col(c) == F.lit(v))
+        for pred in (v if isinstance(v, list) else [v]):
+            if isinstance(pred, tuple):
+                df = df.filter(ops[pred[0]](F.col(c), F.lit(pred[1])))
+            else:
+                df = df.filter(F.col(c) == F.lit(pred))
     return df
 
 

@@ -42,6 +42,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
+from glaredb_spark.sources.footer_stats import (
+    range_excludes as _range_excludes,
+)
+
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.\d{10}\.(\d{10}))?\.parquet$"
@@ -566,22 +570,6 @@ def _parse_ts_instant(s: str):
 _TS_ISH_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}")
 
 
-def _range_excludes(lo, hi, op: str, w) -> bool:
-    """True when the [lo, hi] stats interval PROVES no value satisfies
-    ``<op> w``. Unknown operators never prune."""
-    if op == "=":
-        return w < lo or w > hi
-    if op == ">":
-        return hi <= w
-    if op == ">=":
-        return hi < w
-    if op == "<":
-        return lo >= w
-    if op == "<=":
-        return lo > w
-    return False
-
-
 def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
     """True when an add action's stats PROVE no row can satisfy the
     value_filter predicates (min/max per column) — plain literals mean
@@ -597,39 +585,51 @@ def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
         return False
     mins = s.get("minValues") or {}
     maxs = s.get("maxValues") or {}
-    for col, want in value_filter.items():
-        op = "="
-        if isinstance(want, tuple):
-            op, want = want
-        if want is None or col not in mins or col not in maxs:
+    for col, preds in value_filter.items():
+        if col not in mins or col not in maxs:
             continue
         lo, hi = mins[col], maxs[col]
-        if isinstance(want, bool) or isinstance(lo, bool):
+        if isinstance(lo, bool):
             continue
-        num = (int, float)
-        if isinstance(want, num) and isinstance(lo, num) and isinstance(hi, num):
-            if _range_excludes(lo, hi, op, want):
-                return True
-        elif isinstance(want, str) and isinstance(lo, str) and isinstance(hi, str):
-            if (
-                _TS_ISH_RE.match(want)
-                or _TS_ISH_RE.match(lo)
-                or _TS_ISH_RE.match(hi)
-            ):
-                # timestamps compare as INSTANTS, not strings: differing
-                # fractional precision or a 'Z' suffix makes equal
-                # instants compare unequal lexicographically and prunes
-                # files containing matching rows (ADVICE r8)
-                w = _parse_ts_instant(want)
-                l_ = _parse_ts_instant(lo)
-                h = _parse_ts_instant(hi)
-                if w is None or l_ is None or h is None:
-                    continue  # unparseable: never prune
-                if _range_excludes(l_, h, op, w):
-                    return True
+        for want in (preds if isinstance(preds, list) else [preds]):
+            op = "="
+            if isinstance(want, tuple):
+                op, want = want
+            if want is None or isinstance(want, bool):
                 continue
-            if _range_excludes(lo, hi, op, want):
-                return True
+            num = (int, float)
+            if (
+                isinstance(want, num)
+                and isinstance(lo, num)
+                and isinstance(hi, num)
+            ):
+                if _range_excludes(lo, hi, op, want):
+                    return True
+            elif (
+                isinstance(want, str)
+                and isinstance(lo, str)
+                and isinstance(hi, str)
+            ):
+                if (
+                    _TS_ISH_RE.match(want)
+                    or _TS_ISH_RE.match(lo)
+                    or _TS_ISH_RE.match(hi)
+                ):
+                    # timestamps compare as INSTANTS, not strings:
+                    # differing fractional precision or a 'Z' suffix
+                    # makes equal instants compare unequal
+                    # lexicographically and prunes files containing
+                    # matching rows (ADVICE r8)
+                    w = _parse_ts_instant(want)
+                    l_ = _parse_ts_instant(lo)
+                    h = _parse_ts_instant(hi)
+                    if w is None or l_ is None or h is None:
+                        continue  # unparseable: never prune
+                    if _range_excludes(l_, h, op, w):
+                        return True
+                    continue
+                if _range_excludes(lo, hi, op, want):
+                    return True
     return False
 
 
@@ -667,6 +667,8 @@ def read_delta_native(
         }
 
         def _coerce(c, v):
+            if isinstance(v, list):  # several predicates on one column
+                return [_coerce(c, p) for p in v]
             if isinstance(v, tuple):  # (op, literal) range predicate
                 return (v[0], _coerce(c, v[1]))
             t = ltypes.get(c, "")
@@ -699,7 +701,7 @@ def read_delta_native(
         pf = {
             _physical_map(state).get(c, c): _partition_literal_str(v)
             for c, v in partition_filter.items()
-            if not isinstance(v, tuple)
+            if not isinstance(v, (tuple, list))
         }
         state.adds = {
             p: pv
@@ -2390,7 +2392,9 @@ _SPARK_DDL_TO_DELTA = {
 def _commit_new_metadata(path: str, state: "DeltaState",
                          fields: list[dict],
                          config_update: "dict | None" = None,
-                         operation: str = "ALTER TABLE") -> int:
+                         operation: str = "ALTER TABLE",
+                         partition_columns: "list[str] | None" = None,
+                         ) -> int:
     """Commit a metaData action carrying ``fields`` as the new schema —
     the whole ALTER is one KB-scale driver JSON append; data files are
     untouched (evolution is metadata-only in the Delta protocol)."""
@@ -2400,6 +2404,8 @@ def _commit_new_metadata(path: str, state: "DeltaState",
     schema = json.loads(state.schema_json)
     schema["fields"] = fields
     meta["schemaString"] = json.dumps(schema)
+    if partition_columns is not None:
+        meta["partitionColumns"] = partition_columns
     if config_update:
         cfg = dict(meta.get("configuration") or {})
         cfg.update(config_update)
@@ -2422,9 +2428,12 @@ def add_column_delta_native(path: str, name: str, ddl_type: str) -> int:
     gets the next columnMapping id + a fresh physical name."""
     path = os.path.abspath(path)
     state = load_delta_state(path)
-    t = _SPARK_DDL_TO_DELTA.get(ddl_type.strip().lower())
-    if t is None and ddl_type.strip().lower().startswith("decimal"):
-        t = ddl_type.strip().lower()
+    norm = re.sub(r"\s+", "", ddl_type.lower())
+    t = _SPARK_DDL_TO_DELTA.get(norm)
+    if t is None and re.fullmatch(r"decimal\(\d+,\d+\)", norm):
+        # whitespace-normalized + validated: committing a malformed type
+        # string bricks every subsequent read (r9 review)
+        t = norm
     if t is None:
         raise RuntimeError(
             f"ADD COLUMN: unsupported type {ddl_type!r} (supported: "
@@ -2440,7 +2449,18 @@ def add_column_delta_native(path: str, name: str, ddl_type: str) -> int:
         import uuid
 
         cfg = (state.metadata_raw or {}).get("configuration") or {}
-        next_id = 1 + int(cfg.get("delta.columnMapping.maxColumnId", 0))
+        # next id must clear BOTH the recorded maxColumnId and every
+        # existing field's mapping id — tables created before the writer
+        # recorded maxColumnId would otherwise mint a duplicate id and
+        # break spec-conformant readers (r9 review)
+        used = [
+            int((f.get("metadata") or {}).get("delta.columnMapping.id", 0))
+            for f in fields
+        ]
+        next_id = 1 + max(
+            int(cfg.get("delta.columnMapping.maxColumnId", 0) or 0),
+            max(used, default=0),
+        )
         new_field["metadata"] = {
             "delta.columnMapping.id": next_id,
             "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
@@ -2472,8 +2492,14 @@ def rename_column_delta_native(path: str, old: str, new: str) -> int:
     if not hit:
         raise RuntimeError(f"unknown column {old!r}")
     out = [dict(f, name=new) if f["name"] == old else f for f in fields]
-    return _commit_new_metadata(path, state, out,
-                                operation="RENAME COLUMN")
+    # a renamed partition column must rename in partitionColumns too, or
+    # the reader treats the new name as a data field and every value
+    # reads back NULL (r9 review)
+    parts = [new if c == old else c for c in state.partition_columns]
+    return _commit_new_metadata(
+        path, state, out, operation="RENAME COLUMN",
+        partition_columns=parts,
+    )
 
 
 def drop_column_delta_native(path: str, name: str) -> int:

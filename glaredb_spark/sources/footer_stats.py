@@ -53,3 +53,21 @@ def exact_epoch_micros(v, epoch) -> int:
     return (
         td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
     )
+
+
+def range_excludes(lo, hi, op: str, w) -> bool:
+    """True when the [lo, hi] bound/stats interval PROVES no value
+    satisfies ``<op> w`` — the shared interval-exclusion check behind
+    the Iceberg manifest-bounds pruner and the Delta stats pruner.
+    Unknown operators never prune."""
+    if op == "=":
+        return w < lo or w > hi
+    if op == ">":
+        return hi <= w
+    if op == ">=":
+        return hi < w
+    if op == "<":
+        return lo >= w
+    if op == "<=":
+        return lo > w
+    return False

@@ -36,6 +36,11 @@ _CONTENT = {0: "DATA", 1: "POSITION_DELETES", 2: "EQUALITY_DELETES"}
 _LIST_CONTENT = {0: "data", 1: "deletes"}
 
 
+from glaredb_spark.sources.footer_stats import (
+    range_excludes as _range_excludes,
+)
+
+
 class IcebergError(ValueError):
     pass
 
@@ -64,6 +69,17 @@ def _metadata_path(table_path: str) -> str:
 
 def table_metadata(table_path: str) -> dict:
     return json.load(open(_metadata_path(table_path)))
+
+
+def _metadata_version(table_path: str) -> int:
+    """Version number of the CURRENT metadata file — the read half of a
+    read-modify-write commit (write vN+1 via O_EXCL; a racing commit
+    collides instead of being silently dropped)."""
+    name = os.path.basename(_metadata_path(table_path))
+    m = re.match(r"v(\d+)\.metadata\.json$", name) or re.match(
+        r"(\d+)(?:-.*)?\.metadata\.json$", name
+    )
+    return int(m.group(1)) if m else 0
 
 
 def _resolve(stored: str, meta: dict, table_path: str) -> str:
@@ -156,9 +172,9 @@ def _scan_parquet(spark, *paths, merge_schema: bool = False,
     from pyspark.sql.types import StructField, StructType
 
     if schema is not None:
-        # schema-evolved table: scan with the CURRENT schema so files
-        # written before an ADD COLUMN null-fill it (inference from one
-        # old file would drop the column entirely)
+        # schema-evolved table: scan with the pre-built explicit schema
+        # so files written before an ADD COLUMN null-fill it (inference
+        # from one old file would drop the column entirely)
         return spark.read.schema(schema).parquet(*paths)
     reader = (
         spark.read.option("mergeSchema", "true")
@@ -166,26 +182,75 @@ def _scan_parquet(spark, *paths, merge_schema: bool = False,
         else spark.read
     )
     df = reader.parquet(*paths)
-
-    def strip(st: StructType):
-        changed = False
-        fields = []
-        for f in st.fields:
-            dt = f.dataType
-            if isinstance(dt, StructType):
-                dt, ch = strip(dt)
-                changed = changed or ch
-            md = dict(f.metadata or {})
-            if "parquet.field.id" in md:
-                md.pop("parquet.field.id")
-                changed = True
-            fields.append(StructField(f.name, dt, f.nullable, md))
-        return StructType(fields), changed
-
-    clean, changed = strip(df.schema)
+    clean, changed = _strip_schema_field_ids(df.schema)
     if not changed:
         return df
     return spark.read.schema(clean).parquet(*paths)
+
+
+def _strip_schema_field_ids(st):
+    """(schema without parquet.field.id metadata, changed?) — a read
+    schema carrying field ids makes Spark REQUIRE them in every file."""
+    from pyspark.sql.types import StructField, StructType
+
+    changed = False
+    fields = []
+    for f in st.fields:
+        dt = f.dataType
+        if isinstance(dt, StructType):
+            dt, ch = _strip_schema_field_ids(dt)
+            changed = changed or ch
+        md = dict(f.metadata or {})
+        if "parquet.field.id" in md:
+            md.pop("parquet.field.id")
+            changed = True
+        fields.append(StructField(f.name, dt, f.nullable, md))
+    return StructType(fields), changed
+
+
+def _evolved_read_schema(spark, meta: dict, paths: list):
+    """Explicit scan schema for a schema-evolved table (>1 schemas):
+    mergeSchema-inferred types for every column ANY file carries —
+    preserving list/map/uuid/decimal fidelity that an iceberg-type
+    mapping can't (the r9-early _spark_schema scan lossily stringified
+    them and broke externally-evolved tables — r9 review) — plus
+    synthesized nullable fields for current-schema columns no file
+    carries yet (a just-added column). Dropped columns are simply not
+    selected. Field-id metadata is stripped (mixed-era files)."""
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    merged, _ = _strip_schema_field_ids(
+        spark.read.option("mergeSchema", "true").parquet(*paths).schema
+    )
+    by_name = {f.name: f for f in merged.fields}
+    cur = _current_schema_obj(meta).get("fields", [])
+
+    def _ddl(t) -> str:
+        if isinstance(t, str):
+            base = t.split("(")[0]
+            return _PRIMITIVES.get(
+                base,
+                t.replace(" ", "") if t.startswith("decimal") else "string",
+            )
+        if isinstance(t, dict) and t.get("type") == "struct":
+            inner = ", ".join(
+                f"`{f['name']}`: {_ddl(f['type'])}"
+                for f in t.get("fields", [])
+            )
+            return f"struct<{inner}>"
+        return "string"
+
+    fields = []
+    for f in cur:
+        name = f["name"]
+        if name in by_name:
+            fields.append(by_name[name])
+        else:
+            fields.append(StructField(
+                name, _parse_datatype_string(_ddl(f["type"])), True
+            ))
+    return StructType(fields)
 
 
 def _partition_scope(meta: dict, spec_id: int, partition) -> "str | None":
@@ -406,7 +471,7 @@ def _partition_prunes(
     if not tuple_vals:
         return False
     for col, want in partition_filter.items():
-        if isinstance(want, tuple):
+        if isinstance(want, (tuple, list)):
             continue  # range predicates prune via column bounds only
         for pf in pfields:
             if pf.src != col or pf.name not in tuple_vals:
@@ -454,23 +519,6 @@ def _bounds_lookup(bounds, fid: int):
     return None
 
 
-def _range_excludes(lo, hi, op: str, w) -> bool:
-    """True when the [lo, hi] bound interval PROVES no value satisfies
-    ``<op> w`` — shared by the Iceberg bounds and Delta stats pruners.
-    Unknown operators never prune."""
-    if op == "=":
-        return w < lo or w > hi
-    if op == ">":
-        return hi <= w
-    if op == ">=":
-        return hi < w
-    if op == "<":
-        return lo >= w
-    if op == "<=":
-        return lo > w
-    return False
-
-
 def _bounds_prune(
     schema_fields: list[dict], data_file: dict, value_filter: dict
 ) -> bool:
@@ -480,10 +528,7 @@ def _bounds_prune(
     '<='). Missing bounds never prune. Struct leaves address as dotted
     paths ('info.score')."""
     by_name = _leaf_fields({"fields": schema_fields})
-    for col, want in value_filter.items():
-        op = "="
-        if isinstance(want, tuple):
-            op, want = want
+    for col, preds in value_filter.items():
         if col not in by_name:
             continue
         fid, t = by_name[col]
@@ -491,19 +536,25 @@ def _bounds_prune(
         ub = _bounds_lookup(data_file.get("upper_bounds"), fid)
         if lb is None or ub is None:
             continue
-        wb = _serialize_bound(t, want)  # canonicalize through Appendix D
-        if wb is None:
-            continue
-        w = _deserialize_bound(t, wb)
         lo = _deserialize_bound(t, bytes(lb))
         hi = _deserialize_bound(t, bytes(ub))
-        if w is None or lo is None or hi is None:
+        if lo is None or hi is None:
             continue
-        try:
-            if _range_excludes(lo, hi, op, w):
-                return True
-        except TypeError:
-            continue
+        for want in (preds if isinstance(preds, list) else [preds]):
+            op = "="
+            if isinstance(want, tuple):
+                op, want = want
+            wb = _serialize_bound(t, want)  # canonical via Appendix D
+            if wb is None:
+                continue
+            w = _deserialize_bound(t, wb)
+            if w is None:
+                continue
+            try:
+                if _range_excludes(lo, hi, op, w):
+                    return True
+            except TypeError:
+                continue
     return False
 
 
@@ -578,13 +629,16 @@ def read_iceberg_native(
     if not active:
         schema = _spark_schema(m)
         return spark.createDataFrame([], schema)
-    # schema-evolved tables (>1 schema) scan with the CURRENT schema so
+    # schema-evolved tables (>1 schema) scan with an explicit schema so
     # pre-evolution files null-fill added columns
-    evolved = _spark_schema(m) if len(m.get("schemas") or []) > 1 else None
+    apaths = [p for _s, p, _q, _pt in active]
+    evolved = (
+        _evolved_read_schema(spark, m, apaths)
+        if len(m.get("schemas") or []) > 1
+        else None
+    )
     if not pos_deletes and not eq_deletes:
-        return _scan_parquet(
-            spark, *[p for _s, p, _q, _pt in active], schema=evolved
-        )
+        return _scan_parquet(spark, *apaths, schema=evolved)
     return _mor_apply(
         spark, m, active, pos_deletes, eq_deletes, schema=evolved
     )
@@ -1989,8 +2043,16 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     if not active:
         return (0, 0)
     paths = [d["file_path"] for d in active]
+    # evolved tables scan with an explicit schema: inference from one
+    # pre-evolution file would silently DROP an added column from the
+    # rewrite (r9 review)
+    evolved = (
+        _evolved_read_schema(spark, meta, paths)
+        if len(meta.get("schemas") or []) > 1
+        else None
+    )
     probe = (
-        _scan_parquet(spark, *paths)
+        _scan_parquet(spark, *paths, schema=evolved)
         .select(
             F.col("_metadata.file_path").alias("_f"),
             F.expr(predicate).alias("_m"),
@@ -2013,7 +2075,9 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     matched = sum(r["hits"] for r in probe)
     keep = [d for d in active if os.path.realpath(d["file_path"]) not in touched]
     hit = [d for d in active if os.path.realpath(d["file_path"]) in touched]
-    src = _scan_parquet(spark, *[d["file_path"] for d in hit])
+    src = _scan_parquet(
+        spark, *[d["file_path"] for d in hit], schema=evolved
+    )
     pred_col = F.coalesce(F.expr(predicate), F.lit(False))
     schema_obj = _current_schema_obj(meta)
     added = _stage_data_files(
@@ -2260,7 +2324,9 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
             ],
             pos_deletes, eq_deletes,
             schema=(
-                _spark_schema(meta)
+                _evolved_read_schema(
+                    spark, meta, [d["_resolved"] for d in touched]
+                )
                 if len(meta.get("schemas") or []) > 1
                 else None
             ),
@@ -2292,21 +2358,27 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
     return (len(touched), rows)
 
 
-def _write_metadata_version(mdir: str, new_meta: dict) -> int:
+def _write_metadata_version(
+    mdir: str, new_meta: dict, version: "int | None" = None
+) -> int:
     """Publish a new vN.metadata.json + version hint via O_CREAT|O_EXCL
-    (the same optimistic-concurrency contract as _publish_snapshot)."""
+    (the same optimistic-concurrency contract as _publish_snapshot).
+    Pass ``version`` explicitly for a read-modify-write (expire): the
+    O_EXCL create then COLLIDES with any commit that landed after the
+    read instead of silently overwriting it (r9 review)."""
     hint = os.path.join(mdir, "version-hint.text")
-    if os.path.exists(hint):
-        try:
-            version = int(open(hint).read().strip()) + 1
-        except ValueError:
+    if version is None:
+        if os.path.exists(hint):
+            try:
+                version = int(open(hint).read().strip()) + 1
+            except ValueError:
+                version = len(
+                    _glob.glob(os.path.join(mdir, "*.metadata.json"))
+                ) + 1
+        else:
             version = len(
                 _glob.glob(os.path.join(mdir, "*.metadata.json"))
             ) + 1
-    else:
-        version = len(
-            _glob.glob(os.path.join(mdir, "*.metadata.json"))
-        ) + 1
     mpath = os.path.join(mdir, f"v{version}.metadata.json")
     fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
@@ -2340,9 +2412,10 @@ def add_column_iceberg_native(table_path: str, name: str,
     }
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
-    t = _DDL_TO_ICE.get(ddl_type.strip().lower())
-    if t is None and ddl_type.strip().lower().startswith("decimal"):
-        t = ddl_type.strip().lower().replace(",", ", ")
+    norm = re.sub(r"\s+", "", ddl_type.lower())
+    t = _DDL_TO_ICE.get(norm)
+    if t is None and re.fullmatch(r"decimal\(\d+,\d+\)", norm):
+        t = norm.replace(",", ", ")
     if t is None:
         raise IcebergError(
             f"ADD COLUMN: unsupported type {ddl_type!r}"
@@ -2373,7 +2446,8 @@ def add_column_iceberg_native(table_path: str, name: str,
     new_meta["last-column-id"] = next_fid
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     _write_metadata_version(
-        os.path.join(table_path, "metadata"), new_meta
+        os.path.join(table_path, "metadata"), new_meta,
+        version=_metadata_version(table_path) + 1,
     )
     return new_id
 
@@ -2394,11 +2468,33 @@ def expire_snapshots_iceberg_native(
     Scale: pure driver-side metadata walk + unlinks — cost follows
     metadata size (manifest count), never table bytes; no Spark jobs.
     The shrunk metadata publishes BEFORE any unlink so a racing reader
-    never sees a referenced file vanish. Returns the deleted paths
-    (``dry_run`` returns them without deleting)."""
+    never sees a referenced file vanish, and it commits at the version
+    AFTER the one the walk read (O_EXCL): a snapshot committed mid-walk
+    makes the publish collide and the whole pass recompute, instead of
+    being silently dropped from the table (r9 review). Returns the
+    deleted paths (``dry_run`` returns them without deleting)."""
+    table_path = os.path.abspath(table_path)
+    for _attempt in range(5):
+        result = _expire_snapshots_once(
+            table_path, retention_hours, retain_last, dry_run
+        )
+        if result is not None:
+            return result
+    raise IcebergError(
+        "expire_snapshots lost the metadata commit race 5 times "
+        f"(concurrent writers on {table_path!r})"
+    )
+
+
+def _expire_snapshots_once(
+    table_path: str, retention_hours: float,
+    retain_last: int, dry_run: bool,
+) -> "list[str] | None":
+    """One expiration pass; None = a commit landed between the metadata
+    read and the publish (caller retries over fresh metadata)."""
     import time
 
-    table_path = os.path.abspath(table_path)
+    ver0 = _metadata_version(table_path)
     meta = table_metadata(table_path)
     snaps = sorted(
         meta.get("snapshots", []),
@@ -2461,9 +2557,13 @@ def expire_snapshots_iceberg_native(
         s for s in snaps if s["snapshot-id"] in keep_ids
     ]
     new_meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_metadata_version(
-        os.path.join(table_path, "metadata"), new_meta
-    )
+    try:
+        _write_metadata_version(
+            os.path.join(table_path, "metadata"), new_meta,
+            version=ver0 + 1,
+        )
+    except FileExistsError:
+        return None  # commit landed mid-walk — retry over fresh metadata
     for p in doomed:
         try:
             os.unlink(p)
@@ -2475,43 +2575,70 @@ def expire_snapshots_iceberg_native(
 def optimize_iceberg_native(
     spark, table_path: str, max_files_per_group: int = 128,
     zorder_by: "list[str] | None" = None,
+    min_file_bytes: "int | None" = None,
 ) -> tuple[int, int]:
     """Compaction (Iceberg's rewrite_data_files): the current snapshot's
     data files are rewritten into fewer, larger ones referenced by a
     "replace" snapshot — pure reorganization, rows unchanged; prior
     snapshots stay readable via time travel.
 
+    ``min_file_bytes`` limits the rewrite to files SMALLER than the
+    threshold (classic small-file compaction): already-large files
+    carry forward as existing manifest entries with their sequence
+    numbers, so the cost is ∝ small-file bytes, never table size — the
+    shape a recurring maintenance job needs (the streaming sink's
+    maintenance_every uses it; a full-table rewrite per boundary would
+    be O(table) — r9 review).
+
     ``zorder_by`` additionally CLUSTERS the rewrite on a Morton
     interleaving of the named columns (rewrite_data_files sort-order
     zorder): rows close in the multi-column space land in the same
     files, the manifests' per-file lower/upper bounds become tight on
     EVERY z-ordered column, and the r8 bounds-based file skipping then
-    prunes on any of them. The z-value builder is shared with the Delta
-    writer (format-agnostic JVM expressions, no UDFs).
+    prunes on any of them (zorder ignores min_file_bytes — clustering
+    is whole-table by definition). The z-value builder is shared with
+    the Delta writer (format-agnostic JVM expressions, no UDFs).
 
     Returns (files_removed, files_added)."""
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
     pfields = _partition_fields(meta)
-    active = []
+    active: list[dict] = []
     for e in _manifest_entries(meta, table_path):
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
-        d = e["data_file"]
+        d = dict(e["data_file"])
         if (d.get("content", 0) or 0) != 0:
             raise IcebergError(
                 "native iceberg OPTIMIZE cannot rewrite merge-on-read "
                 "tables; run REORG TABLE ... APPLY (PURGE) first"
             )
-        active.append(_resolve(d["file_path"], meta, table_path))
-    if len(active) < 2 and not zorder_by:
+        d["_resolved"] = _resolve(d["file_path"], meta, table_path)
+        d["_snapshot_id"] = e.get("snapshot_id")
+        d["_seq"] = e.get("_seq")
+        active.append(d)
+    if min_file_bytes and not zorder_by:
+        rewrite = [
+            d for d in active
+            if int(d.get("file_size_in_bytes", 0) or 0) < min_file_bytes
+        ]
+        keep = [d for d in active if d not in rewrite]
+    else:
+        rewrite, keep = active, []
+    if len(rewrite) < 2 and not zorder_by:
         return (0, 0)
-    if not active:
+    if not rewrite:
         return (0, 0)
     schema_obj = _current_schema_obj(meta)
-    groups = max(1, (len(active) + max_files_per_group - 1)
+    paths = [d["_resolved"] for d in rewrite]
+    evolved = (
+        _evolved_read_schema(spark, meta, paths)
+        if len(meta.get("schemas") or []) > 1
+        else None
+    )
+    groups = max(1, (len(paths) + max_files_per_group - 1)
                  // max_files_per_group)
-    df = _scan_parquet(spark, *active)
+    df = _scan_parquet(spark, *paths, schema=evolved)
     if zorder_by:
         unknown = [c for c in zorder_by if c not in df.columns]
         if unknown:
@@ -2531,13 +2658,15 @@ def optimize_iceberg_native(
     added = _stage_data_files(
         df, table_path, pfields or None, schema_obj=schema_obj
     )
+    for d in keep:
+        d.pop("_resolved", None)
     _publish_snapshot(
-        table_path, meta, schema_obj, added, [], "replace",
-        {"deleted-data-files": len(active),
+        table_path, meta, schema_obj, added, keep, "replace",
+        {"deleted-data-files": len(rewrite),
          "added-data-files": len(added),
          **({"zorder-by": ",".join(zorder_by)} if zorder_by else {})},
     )
-    return (len(active), len(added))
+    return (len(rewrite), len(added))
 
 
 def merge_iceberg_native(
@@ -2600,6 +2729,13 @@ def merge_iceberg_native(
         d.setdefault("block_size_in_bytes", 67108864)
         active.append(d)
 
+    evolved = (
+        _evolved_read_schema(
+            spark, meta, [d["file_path"] for d in active]
+        )
+        if active and len(meta.get("schemas") or []) > 1
+        else None
+    )
     src = source.persist()
     try:
         updated, touched, keep = 0, [], list(active)
@@ -2612,8 +2748,9 @@ def merge_iceberg_native(
         if active and when_matched_update:
             from glaredb_spark.sources.files import decoded_file_path
 
-            target = _scan_parquet(spark, 
-                *[d["file_path"] for d in active]
+            target = _scan_parquet(
+                spark, *[d["file_path"] for d in active],
+                schema=evolved,
             ).withColumn("_f", decoded_file_path())
             probe = (
                 target.join(src, on, "left_semi")
@@ -2631,8 +2768,9 @@ def merge_iceberg_native(
             keep = [d for d in active if d not in touched]
         if when_not_matched_insert and active:
             inserts = src.alias("s").join(
-                _scan_parquet(spark, 
-                    *[d["file_path"] for d in active]
+                _scan_parquet(
+                    spark, *[d["file_path"] for d in active],
+                    schema=evolved,
                 ).select(*on),
                 on,
                 "left_anti",
@@ -2648,8 +2786,9 @@ def merge_iceberg_native(
             return (0, 0, 0)
         pieces = [inserts]
         if touched:
-            t = _scan_parquet(spark, 
-                *[d["file_path"] for d in touched]
+            t = _scan_parquet(
+                spark, *[d["file_path"] for d in touched],
+                schema=evolved,
             ).alias("t")
             joined = t.join(src.alias("s"), on, "left")
             matched = (
@@ -2767,8 +2906,13 @@ def _mor_live_scan(spark, table_path: str, meta: dict, operation: str):
             )
     if not active:
         return None, None
+    evolved = (
+        _evolved_read_schema(spark, meta, [p for _s, p in active])
+        if len(meta.get("schemas") or []) > 1
+        else None
+    )
     out = (
-        _scan_parquet(spark, *[p for _s, p in active])
+        _scan_parquet(spark, *[p for _s, p in active], schema=evolved)
         .withColumn("_ice_path", decoded_file_path())
         .withColumn("_ice_pos", F.col("_metadata.row_index"))
     )

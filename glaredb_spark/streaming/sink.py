@@ -154,7 +154,11 @@ def iceberg_upsert_writer(
 
             spark = batch_df.sparkSession
             purge_iceberg_native(spark, path)
-            optimize_iceberg_native(spark, path)
+            # small-file compaction ONLY: a full-table rewrite per
+            # boundary would cost O(table) — large files carry forward
+            optimize_iceberg_native(
+                spark, path, min_file_bytes=64 * 1024 * 1024
+            )
 
     return write_batch
 

@@ -990,3 +990,36 @@ def test_alter_table_schema_evolution(spark, sf_dir, tmp_path):
     assert got.filter("score IS NULL").count() == 10
     with pytest.raises(Exception, match="not supported"):
         sess.sql(f"ALTER TABLE '{p3}' RENAME COLUMN v TO w")
+
+
+def test_prune_repeated_column_and_rename_partition(spark, sf_dir, tmp_path):
+    """r9 review regressions: (1) two prune predicates on one column
+    intersect instead of last-one-wins; (2) renaming a partition column
+    updates partitionColumns (values read back, not NULL)."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.delta_native import (
+        rename_column_delta_native,
+    )
+
+    sess = GlareSession(spark)
+    path = str(tmp_path / "dup")
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    write_delta_native(df.filter("id < 50").coalesce(1), path)
+    write_delta_native(df.filter("id >= 50").coalesce(1), path)
+    got = sess.sql(
+        f"SELECT id FROM read_delta('{path}', prune='id>=10,id<20')"
+    )
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 20))
+    assert len(got.inputFiles()) == 1  # both bounds below 50: one file
+    # rename a partition column on a mapped table
+    p2 = str(tmp_path / "rp")
+    src = spark.createDataFrame(
+        [(i, "x" if i % 2 == 0 else "y") for i in range(10)],
+        "id long, region string",
+    )
+    write_delta_native(src, p2, partition_by=["region"],
+                       column_mapping="name")
+    rename_column_delta_native(p2, "region", "area")
+    got2 = read_delta_native(spark, p2)
+    assert got2.columns == ["id", "area"]
+    assert got2.filter("area = 'x'").count() == 5  # values, not NULLs

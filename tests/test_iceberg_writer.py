@@ -1199,3 +1199,104 @@ def test_evolved_table_dml_roundtrip(spark, sf_dir, tmp_path):
     assert 3 not in rows
     assert rows[5] == ("NEW", 9.9) and rows[100] == ("x", 1.5)
     assert rows[2] == ("v2", None)
+
+
+def test_evolved_table_optimize_and_cow_keep_added_column(
+    spark, sf_dir, tmp_path
+):
+    """r9 review regressions: OPTIMIZE and COW DELETE on a schema-
+    evolved table must scan with the evolved schema — schema inference
+    from a pre-evolution file silently DROPPED the added column's data
+    from the rewrite."""
+    from glaredb_spark.sources.iceberg_native import (
+        add_column_iceberg_native,
+        delete_iceberg_native,
+        optimize_iceberg_native,
+    )
+
+    p = str(tmp_path / "evopt")
+    old = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    )
+    write_iceberg_native(old.coalesce(1), p, format_version=2)
+    add_column_iceberg_native(p, "score", "double")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(100 + i, "x", float(i)) for i in range(5)],
+            "id long, v string, score double",
+        ).coalesce(1),
+        p,
+    )
+    optimize_iceberg_native(spark, p)
+    got = {r["id"]: r["score"]
+           for r in read_iceberg_native(spark, p).collect()}
+    assert len(got) == 15
+    assert got[104] == 4.0  # score survived the full-table rewrite
+    # COW delete touching BOTH eras keeps the added column too
+    deleted, _ = delete_iceberg_native(
+        spark, p, "id = 2 OR id = 101", strategy="cow"
+    )
+    assert deleted == 2
+    got2 = {r["id"]: r["score"]
+            for r in read_iceberg_native(spark, p).collect()}
+    assert len(got2) == 13 and got2[104] == 4.0 and got2[3] is None
+    # externally-shaped evolution: a table whose CURRENT schema matches
+    # its files (schemas list > 1) with a non-primitive column still
+    # reads (the r9-early _spark_schema scan stringified arrays)
+    from glaredb_spark.sources.iceberg_native import (
+        _metadata_version,
+        table_metadata,
+        _write_metadata_version,
+    )
+    import os as _os
+
+    p2 = str(tmp_path / "extlist")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a")], "id long, v string"), p2,
+    )
+    meta = table_metadata(p2)
+    # simulate an external writer's schema history: same current schema,
+    # one older revision in the list
+    meta["schemas"] = [dict(meta["schemas"][0], **{"schema-id": 99})] + list(
+        meta["schemas"]
+    )
+    _write_metadata_version(
+        _os.path.join(p2, "metadata"), meta,
+        version=_metadata_version(p2) + 1,
+    )
+    assert read_iceberg_native(spark, p2).collect()[0]["v"] == "a"
+
+
+def test_optimize_min_file_bytes_keeps_large_files(spark, sf_dir, tmp_path):
+    """r9: min_file_bytes limits compaction to small files — large files
+    carry forward untouched (the maintenance-job cost model)."""
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries,
+        optimize_iceberg_native,
+        table_metadata,
+    )
+
+    p = str(tmp_path / "minb")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 400).coalesce(1), p)
+    write_iceberg_native(_docs(spark, sf_dir, 400, 402).coalesce(1), p)
+    write_iceberg_native(_docs(spark, sf_dir, 402, 404).coalesce(1), p)
+    meta = table_metadata(p)
+    sizes = sorted(
+        int(e["data_file"]["file_size_in_bytes"])
+        for e in _manifest_entries(meta, p)
+    )
+    threshold = sizes[-1]  # strictly-below keeps the biggest file
+    big_path = [
+        e["data_file"]["file_path"]
+        for e in _manifest_entries(meta, p)
+        if int(e["data_file"]["file_size_in_bytes"]) == sizes[-1]
+    ][0]
+    removed, added = optimize_iceberg_native(
+        spark, p, min_file_bytes=threshold
+    )
+    assert removed == 2 and added >= 1
+    meta2 = table_metadata(p)
+    paths2 = {e["data_file"]["file_path"]
+              for e in _manifest_entries(meta2, p)}
+    assert big_path in paths2  # the large file carried forward
+    assert read_iceberg_native(spark, p).count() == 404
