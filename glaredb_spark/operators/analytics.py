@@ -1229,3 +1229,65 @@ def delta_stats_pruned_read(spark, sf_dir):
         for k in (42, 142)
     ]
     return reduce(lambda a, b: a.unionAll(b), probes).orderBy("doc_id")
+
+
+@register_query(
+    "delta_change_feed",
+    oracle="""
+WITH base AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100)
+SELECT * FROM (
+  SELECT 0 AS v, 'insert' AS ct, COUNT(*) AS c,
+         CAST(SUM(n_chars) AS BIGINT) AS total FROM base
+  UNION ALL
+  SELECT 1, 'delete', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+  FROM base WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT 2, 'update_preimage', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+  FROM base WHERE doc_id % 9 <> 2 AND doc_id < 10
+  UNION ALL
+  SELECT 2, 'update_postimage', COUNT(*),
+         CAST(SUM(n_chars + 1000) AS BIGINT)
+  FROM base WHERE doc_id % 9 <> 2 AND doc_id < 10
+) ORDER BY v, ct
+""",
+)
+def delta_change_feed(spark, sf_dir):
+    """r9 Change Data Feed end-to-end: create a CDF-enabled Delta table
+    from a fixture slice, COW-DELETE then UPDATE, and replay
+    table_changes(0) aggregated per (version, change type). The oracle
+    states each commit's expected change set algebraically over the
+    source, so a green row proves the cdc write path AND the replay
+    derive/read path agree with the DML that ran."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        table_changes_delta_native,
+        update_delta_native,
+        write_delta_native,
+    )
+    from glaredb_spark.sources.files import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_delta_cdf_")
+    write_delta_native(
+        docs.filter("doc_id < 100").coalesce(2), root, enable_cdf=True
+    )
+    delete_delta_native(spark, root, "doc_id % 9 = 2")
+    update_delta_native(
+        spark, root, {"n_chars": "n_chars + 1000"}, "doc_id < 10"
+    )
+    return (
+        table_changes_delta_native(spark, root, 0)
+        .groupBy(
+            F.col("_commit_version").alias("v"),
+            F.col("_change_type").alias("ct"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total"),
+        )
+        .orderBy("v", "ct")
+    )

@@ -965,6 +965,7 @@ def write_delta_native(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     column_mapping: str = "none",
+    enable_cdf: bool = False,
 ) -> int:
     """Commit ``df`` to a Delta table at ``path`` by writing parquet
     distributed (plain ``df.write.parquet``) and then appending ONE
@@ -1101,6 +1102,9 @@ def write_delta_native(
             )
             schema_string = json.dumps(df.schema.jsonValue())
             configuration = {}
+        if enable_cdf:
+            # DML on this table writes _change_data/ + cdc actions
+            configuration[_CDF_KEY] = "true"
         actions.append(
             {
                 "metaData": {
@@ -1199,6 +1203,7 @@ def _rewrite_matching(
     operation: str,
     op_params: dict,
     rewrite,
+    cdf_rows=None,
 ) -> tuple[int, int]:
     """Copy-on-write DML core shared by DELETE and UPDATE: find the data
     files containing at least one row matching ``predicate`` (one
@@ -1262,6 +1267,15 @@ def _rewrite_matching(
     phys = _physical_map(state)
     pc_phys = [phys.get(c, c) for c in part_cols]
     new_files = _staged_write(replacement, path, pc_phys)
+    cdc_files: dict = {}
+    if cdf_rows is not None and _cdf_enabled(state):
+        # change rows land under _change_data/ in the SAME commit (spec
+        # cdc actions) — table_changes replays them verbatim instead of
+        # refusing the rewrite as underivable
+        change_df = _to_physical(
+            cdf_rows(touched_src, pred_col), state
+        )
+        cdc_files = _stage_cdc_files(change_df, path, pc_phys)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -1279,6 +1293,7 @@ def _rewrite_matching(
         )
     for rel in sorted(new_files):
         actions.append(_add_action(rel, new_files[rel], pc_phys, root=path))
+    actions.extend(_cdc_actions(cdc_files, pc_phys))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (int(matched), len(touched_rel))
@@ -1325,6 +1340,9 @@ def delete_delta_native(
         "DELETE",
         {"predicate": predicate},
         lambda df, pred: df.filter(~pred),
+        cdf_rows=lambda df, pred: df.filter(pred).withColumn(
+            "_change_type", F.lit("delete")
+        ),
     )
 
 
@@ -1552,12 +1570,27 @@ def _delete_with_dvs(
     if not state.adds:
         return (0, 0)
     scanned, rel_of = _scan_live_with_positions(spark, path, state)
-    matched = scanned.filter(
+    matched_rows = scanned.filter(
         F.coalesce(F.expr(predicate), F.lit(False))
-    ).select(F.col("_dv_path").alias("f"), F.col("_dv_pos").alias("pos"))
+    )
+    matched = matched_rows.select(
+        F.col("_dv_path").alias("f"), F.col("_dv_pos").alias("pos")
+    )
     results = _write_dvs_distributed(spark, path, state, matched)
     if not results:
         return (0, 0)
+    cdc_files: dict = {}
+    pc_phys_cdc = [
+        _physical_map(state).get(c, c) for c in state.partition_columns
+    ]
+    if _cdf_enabled(state):
+        schema = StructType.fromJson(json.loads(state.schema_json))
+        change = matched_rows.select(
+            *[f.name for f in schema.fields]
+        ).withColumn("_change_type", F.lit("delete"))
+        cdc_files = _stage_cdc_files(
+            _to_physical(change, state), path, pc_phys_cdc
+        )
     now_ms = int(time.time() * 1000)
     deleted, pairs = _dv_update_actions(state, rel_of, results, now_ms)
     actions = [
@@ -1570,6 +1603,7 @@ def _delete_with_dvs(
             }
         }
     ] + _protocol_upgrade_action(state) + pairs
+    actions.extend(_cdc_actions(cdc_files, pc_phys_cdc))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (deleted, len(results))
@@ -1621,6 +1655,19 @@ def _update_with_dvs(
             path,
             pc_phys,
         )
+        cdc_files: dict = {}
+        if _cdf_enabled(state):
+            names = [f.name for f in schema.fields]
+            pre = matched.select(*names).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = matched.select(*updated_cols).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            cdc_files = _stage_cdc_files(
+                _to_physical(pre.unionAll(post), state),
+                path, pc_phys,
+            )
     finally:
         matched.unpersist()
     now_ms = int(time.time() * 1000)
@@ -1637,6 +1684,7 @@ def _update_with_dvs(
     ] + _protocol_upgrade_action(state) + pairs
     for rel in sorted(new_files):
         actions.append(_add_action(rel, new_files[rel], pc_phys, root=path))
+    actions.extend(_cdc_actions(cdc_files, pc_phys))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (updated, len(results))
@@ -1749,6 +1797,17 @@ def update_delta_native(
     )
     if unknown:
         raise ValueError(f"UPDATE SET on unknown columns: {sorted(unknown)}")
+
+    def cdf_rows(df, pred):
+        matched = df.filter(pred)
+        pre = matched.withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = rewrite(matched, F.lit(True)).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        return pre.unionAll(post)
+
     return _rewrite_matching(
         spark,
         path,
@@ -1756,6 +1815,7 @@ def update_delta_native(
         "UPDATE",
         {"predicate": predicate},
         rewrite,
+        cdf_rows=cdf_rows,
     )
 
 
@@ -2119,6 +2179,11 @@ def merge_delta_native(
             inserts.unpersist()
             return (0, 0, 0)
         pieces = [inserts]
+        cdc_pieces = []
+        if _cdf_enabled(state) and when_not_matched_insert:
+            cdc_pieces.append(
+                inserts.withColumn("_change_type", F.lit("insert"))
+            )
         if touched_rel:
             t = _read_active(
                 spark, path,
@@ -2141,11 +2206,28 @@ def merge_delta_native(
                 else:
                     out_cols.append(F.col(f"t.{c}").alias(c))
             pieces.append(joined.select(*out_cols))
+            if _cdf_enabled(state):
+                m = joined.filter(matched)
+                pre = m.select(
+                    *[F.col(f"t.{c}").alias(c) for c in cols]
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                post = m.select(*out_cols).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                cdc_pieces.extend([pre, post])
         out = pieces[0]
         for df in pieces[1:]:
             out = out.unionByName(df)
         pc_phys = [_physical_map(state).get(c, c) for c in part_cols]
         new_files = _staged_write(_to_physical(out, state), path, pc_phys)
+        cdc_files: dict = {}
+        if cdc_pieces:
+            cdc_df = cdc_pieces[0]
+            for d in cdc_pieces[1:]:
+                cdc_df = cdc_df.unionByName(d)
+            cdc_files = _stage_cdc_files(
+                _to_physical(cdc_df, state), path, pc_phys
+            )
         inserts.unpersist()
     finally:
         src.unpersist()
@@ -2173,6 +2255,7 @@ def merge_delta_native(
         )
     for rel in sorted(new_files):
         actions.append(_add_action(rel, new_files[rel], pc_phys, root=path))
+    actions.extend(_cdc_actions(cdc_files, pc_phys))
     log_dir = os.path.join(path, "_delta_log")
     _commit_actions(log_dir, 1 + _latest_version(log_dir), actions)
     return (int(updated), int(inserted), len(touched_rel))
@@ -2522,3 +2605,200 @@ def drop_column_delta_native(path: str, name: str) -> int:
     if not out:
         raise RuntimeError("cannot drop the last column")
     return _commit_new_metadata(path, state, out, operation="DROP COLUMNS")
+
+
+# --- Change Data Feed (CDF) ---------------------------------------------------
+#
+# delta-spark's readChangeFeed surface over the native log: DML on a
+# table with delta.enableChangeDataFeed=true writes its changed rows
+# under _change_data/ referenced by spec `cdc` actions in the SAME
+# commit, and table_changes() replays any version range as a DataFrame
+# of (row, _change_type, _commit_version, _commit_timestamp) — the
+# incremental-consumption handle a training-data pipeline needs
+# (reprocess only what changed since the last run, not 100 TB).
+
+_CDF_KEY = "delta.enableChangeDataFeed"
+
+
+def _cdf_enabled(state: "DeltaState") -> bool:
+    cfg = (state.metadata_raw or {}).get("configuration") or {}
+    return str(cfg.get(_CDF_KEY, "")).lower() == "true"
+
+
+def _stage_cdc_files(df: DataFrame, path: str,
+                     pc_phys: list[str]) -> dict[str, os.stat_result]:
+    """Write change rows (carrying ``_change_type``) under a unique
+    _change_data/ subdirectory; returns rel path -> stat for the commit's
+    cdc actions. Same race-free attribution contract as _staged_write."""
+    import uuid
+
+    sub = os.path.join("_change_data", "c" + uuid.uuid4().hex[:16])
+    dest = os.path.join(path, sub)
+    writer = df.write.mode("append")
+    if pc_phys:
+        writer = writer.partitionBy(*pc_phys)
+    writer.parquet(dest)
+    out: dict[str, os.stat_result] = {}
+    for root, _dirs, files in os.walk(dest):
+        for n in files:
+            full = os.path.join(root, n)
+            if n.endswith(".parquet"):
+                out[os.path.relpath(full, path)] = os.stat(full)
+            else:
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
+    return out
+
+
+def _cdc_actions(new_files: dict, pc_phys: list[str]) -> list[dict]:
+    return [
+        {"cdc": {
+            "path": urllib.parse.quote(rel.replace(os.sep, "/")),
+            "partitionValues": _partition_values_from_path(rel, pc_phys),
+            "size": st.st_size,
+            "dataChange": False,
+        }}
+        for rel, st in sorted(new_files.items())
+    ]
+
+
+def table_changes_delta_native(
+    spark: SparkSession, path: str,
+    starting_version: int, ending_version: "int | None" = None,
+) -> DataFrame:
+    """Change feed between commit versions (inclusive): per version,
+    spec `cdc` actions replay verbatim; commits WITHOUT cdc actions
+    derive blind appends (adds -> 'insert') and blind deletes (removes
+    -> 'delete', every row of the removed file); a commit that rewrote
+    files (adds AND removes, dataChange, no cdc) is underivable and
+    raises — enable CDF before running DML. Output columns: the table
+    schema + _change_type / _commit_version / _commit_timestamp.
+
+    Scale: the log fold is KB driver work; each version's files read
+    distributed and the per-version frames union (no shuffle added
+    beyond the scans)."""
+    path = os.path.abspath(path)
+    state = load_delta_state(path)
+    if _mapping_mode(state) != "none":
+        raise RuntimeError(
+            "table_changes on a column-mapped table is not supported by "
+            "the native reader yet"
+        )
+    schema = StructType.fromJson(json.loads(state.schema_json))
+    part_cols = state.partition_columns
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+    types = {f.name: f.dataType for f in schema.fields}
+    log_dir = os.path.join(path, "_delta_log")
+    latest = _latest_version(log_dir) or 0
+    end = latest if ending_version is None else min(ending_version, latest)
+    if starting_version > end:
+        raise ValueError(
+            f"starting_version {starting_version} > latest {end}"
+        )
+
+    from pyspark.sql.types import StringType, StructField
+
+    cdc_schema = StructType(
+        data_fields + [StructField("_change_type", StringType(), True)]
+    )
+
+    def _attach(df, pv: dict, ctype: "str | None", ver: int, ts_ms: int):
+        for c in part_cols:
+            df = df.withColumn(c, _cast_partition_lit(pv.get(c), types[c]))
+        if ctype is not None:
+            df = df.withColumn("_change_type", F.lit(ctype))
+        return df.select(
+            *[f.name for f in schema.fields], "_change_type",
+            F.lit(ver).cast("long").alias("_commit_version"),
+            F.to_timestamp(
+                F.lit(ts_ms) / F.lit(1000.0)
+            ).alias("_commit_timestamp"),
+        )
+
+    pieces = []
+    for ver in range(starting_version, end + 1):
+        commit = os.path.join(log_dir, f"{ver:020d}.json")
+        if not os.path.exists(commit):
+            continue  # checkpoint-compacted history: nothing to replay
+        cdc, adds, removes = [], [], []
+        ts_ms = None
+        with open(commit) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ts_ms = a["commitInfo"].get("timestamp")
+                elif "cdc" in a:
+                    cdc.append(a["cdc"])
+                elif "add" in a and a["add"].get("dataChange", True):
+                    adds.append(a["add"])
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    removes.append(a["remove"])
+        if ts_ms is None:
+            ts_ms = int(os.stat(commit).st_mtime * 1000)
+
+        def _group(actions):
+            by_pv: dict = {}
+            for a in actions:
+                pv = a.get("partitionValues")
+                if pv is None and part_cols:
+                    # remove actions may omit partitionValues — the
+                    # hive-style path carries them
+                    pv = _partition_values_from_path(
+                        urllib.parse.unquote(a["path"]), part_cols
+                    )
+                key = tuple((pv or {}).get(c) for c in part_cols)
+                by_pv.setdefault(key, []).append(a)
+            return sorted(by_pv.items(), key=_part_sort_key)
+
+        if cdc:
+            for key, acts in _group(cdc):
+                pv = dict(zip(part_cols, key))
+                files = [
+                    os.path.join(path, urllib.parse.unquote(a["path"]))
+                    for a in acts
+                ]
+                df = spark.read.schema(cdc_schema).parquet(*files)
+                pieces.append(_attach(df, pv, None, ver, ts_ms))
+            continue
+        if adds and removes:
+            raise RuntimeError(
+                f"commit {ver} rewrote files without change data (no cdc "
+                "actions) — its row-level changes cannot be derived; "
+                "enable CDF (delta.enableChangeDataFeed) before DML or "
+                "start table_changes after it"
+            )
+        for ctype, actions in (("insert", adds), ("delete", removes)):
+            for key, acts in _group(actions):
+                pv = dict(zip(part_cols, key))
+                files = [
+                    os.path.join(path, urllib.parse.unquote(a["path"]))
+                    for a in acts
+                ]
+                missing = [f for f in files if not os.path.exists(f)]
+                if missing:
+                    raise RuntimeError(
+                        f"commit {ver}: {len(missing)} changed file(s) "
+                        "no longer exist (VACUUMed past retention) — "
+                        "start table_changes at a later version"
+                    )
+                df = spark.read.schema(data_schema).parquet(*files)
+                pieces.append(_attach(df, pv, ctype, ver, ts_ms))
+    if not pieces:
+        from pyspark.sql.types import LongType, TimestampType
+
+        empty = StructType(
+            schema.fields
+            + [StructField("_change_type", StringType(), True),
+               StructField("_commit_version", LongType(), True),
+               StructField("_commit_timestamp", TimestampType(), True)]
+        )
+        return spark.createDataFrame([], empty)
+    out = pieces[0]
+    for df in pieces[1:]:
+        out = out.unionAll(df)
+    return out

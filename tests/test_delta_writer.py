@@ -1023,3 +1023,117 @@ def test_prune_repeated_column_and_rename_partition(spark, sf_dir, tmp_path):
     got2 = read_delta_native(spark, p2)
     assert got2.columns == ["id", "area"]
     assert got2.filter("area = 'x'").count() == 5  # values, not NULLs
+
+
+def test_change_data_feed(spark, sf_dir, tmp_path):
+    """r9 Change Data Feed: DML on a delta.enableChangeDataFeed table
+    writes _change_data files + cdc actions, and table_changes replays
+    any version range (appends derive as inserts; COW/DV DELETE/UPDATE
+    and MERGE replay their cdc rows); DML without CDF is underivable
+    and raises."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        merge_delta_native,
+        table_changes_delta_native,
+        update_delta_native,
+    )
+
+    path = str(tmp_path / "cdf")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(10)],
+        "id long, v string, score long",
+    )
+    write_delta_native(df.coalesce(1), path, enable_cdf=True)      # v0
+    write_delta_native(
+        spark.createDataFrame([(100, "x", 0)],
+                              "id long, v string, score long"),
+        path,
+    )                                                              # v1
+    delete_delta_native(spark, path, "id >= 8 AND id < 10")        # v2
+    update_delta_native(spark, path, {"score": "score + 1"},
+                        "id < 2")                                  # v3
+    src = spark.createDataFrame(
+        [(0, "merged", 999), (200, "new", 1)],
+        "id long, v string, score long",
+    )
+    merge_delta_native(spark, path, src, ["id"])                   # v4
+
+    changes = table_changes_delta_native(spark, path, 0)
+    rows = [
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in changes.collect()
+    ]
+    by = {}
+    for rid, ct, ver in rows:
+        by.setdefault((ver, ct), set()).add(rid)
+    assert by[(0, "insert")] == set(range(10))
+    assert by[(1, "insert")] == {100}
+    assert by[(2, "delete")] == {8, 9}
+    assert by[(3, "update_preimage")] == {0, 1}
+    assert by[(3, "update_postimage")] == {0, 1}
+    assert by[(4, "insert")] == {200}
+    assert by[(4, "update_preimage")] == {0}
+    assert by[(4, "update_postimage")] == {0}
+    # postimage values are the post-DML rows
+    post3 = {
+        r["id"]: r["score"]
+        for r in changes.filter(
+            "_commit_version = 3 AND _change_type = 'update_postimage'"
+        ).collect()
+    }
+    assert post3 == {0: 1, 1: 11}
+    # version range + SQL TVF
+    sess = GlareSession(spark)
+    got = sess.sql(
+        f"SELECT _change_type, count(*) AS c FROM delta.changes('{path}', 2, 3) "
+        f"GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    assert [(r["_change_type"], r["c"]) for r in got] == [
+        ("delete", 2), ("update_postimage", 2), ("update_preimage", 2),
+    ]
+    # the final table state is consistent with the replayed feed
+    assert read_delta_native(spark, path).count() == 10  # 11 - 2 + 1
+    # DV-strategy DML also writes cdc
+    deleted, _ = delete_delta_native(spark, path, "id = 5",
+                                     strategy="dv")                # v5
+    assert deleted == 1
+    dv_changes = table_changes_delta_native(spark, path, 5, 5).collect()
+    assert [(r["id"], r["_change_type"]) for r in dv_changes] == [
+        (5, "delete")
+    ]
+    # a non-CDF table's DML commit is underivable
+    p2 = str(tmp_path / "nocdf")
+    write_delta_native(df.coalesce(1), p2)
+    delete_delta_native(spark, p2, "id = 1")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="cannot be derived"):
+        table_changes_delta_native(spark, p2, 0).collect()
+    # but the append-only prefix still replays
+    assert table_changes_delta_native(spark, p2, 0, 0).count() == 10
+
+
+def test_change_data_feed_partitioned(spark, sf_dir, tmp_path):
+    """CDF on a partitioned table: cdc files land under hive dirs, the
+    replay re-attaches partition values."""
+    from glaredb_spark.sources.delta_native import (
+        table_changes_delta_native,
+        update_delta_native,
+    )
+
+    path = str(tmp_path / "cdfp")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i) for i in range(10)],
+        "id long, part string, score long",
+    )
+    write_delta_native(df, path, partition_by=["part"], enable_cdf=True)
+    update_delta_native(spark, path, {"score": "score + 100"},
+                        "part = 'a' AND id < 4")
+    got = table_changes_delta_native(spark, path, 1).collect()
+    pre = {(r["id"], r["part"]) for r in got
+           if r["_change_type"] == "update_preimage"}
+    post = {(r["id"], r["part"], r["score"]) for r in got
+            if r["_change_type"] == "update_postimage"}
+    assert pre == {(0, "a"), (2, "a")}
+    assert post == {(0, "a", 100), (2, "a", 102)}
