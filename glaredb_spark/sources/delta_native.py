@@ -831,6 +831,7 @@ def _partition_values_from_path(rel: str, part_cols: list[str]) -> dict:
 def _staged_write(
     df: DataFrame, path: str, part_cols: list[str],
     coalesce: int | None = None, subdir_parts: list[str] | None = None,
+    parent: str | None = None,
 ) -> dict[str, os.stat_result]:
     """Write ``df`` as new data files under a UNIQUE per-commit
     subdirectory of the table root and return exactly the files this
@@ -846,6 +847,8 @@ def _staged_write(
     import uuid
 
     sub = "c" + uuid.uuid4().hex[:16]
+    if parent:  # e.g. _change_data/ for CDF files
+        sub = os.path.join(parent, sub)
     dest = os.path.join(path, sub, *(subdir_parts or []))
     if coalesce is not None:
         df = df.coalesce(coalesce)
@@ -1079,13 +1082,16 @@ def write_delta_native(
         )
     if next_version == 0:
         if mapped_schema_fields is not None:
+            wfeatures = ["columnMapping"]
+            if enable_cdf:
+                wfeatures.append("changeDataFeed")
             actions.append(
                 {
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
                         "readerFeatures": ["columnMapping"],
-                        "writerFeatures": ["columnMapping"],
+                        "writerFeatures": wfeatures,
                     }
                 }
             )
@@ -1098,7 +1104,12 @@ def write_delta_native(
             }
         else:
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                # CDF is a writer feature gated at writer version 4 —
+                # a version-2 writer would be allowed to DML without
+                # cdc actions and corrupt the feed (r9 review)
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion":
+                                  4 if enable_cdf else 2}}
             )
             schema_string = json.dumps(df.schema.jsonValue())
             configuration = {}
@@ -1128,6 +1139,58 @@ def write_delta_native(
                     }
                 }
             )
+    if next_version > 0 and enable_cdf and not _cdf_enabled(state):
+        # turning CDF on for an EXISTING table: commit a metaData update
+        # (the flag was previously dropped silently and later DML broke
+        # the feed — r9 review) + the writer-feature protocol bump
+        meta_raw = dict(state.metadata_raw or {})
+        cfg = dict(meta_raw.get("configuration") or {})
+        cfg[_CDF_KEY] = "true"
+        meta_raw["configuration"] = cfg
+        actions.append({"metaData": meta_raw})
+        if state.writer_features:
+            actions.append({"protocol": {
+                "minReaderVersion": max(3, state.min_reader_version),
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(state.reader_features),
+                "writerFeatures": sorted(
+                    state.writer_features | {"changeDataFeed"}
+                ),
+            }})
+        elif state.min_writer_version < 4:
+            actions.append({"protocol": {
+                "minReaderVersion": state.min_reader_version,
+                "minWriterVersion": 4,
+            }})
+        state.metadata_raw = meta_raw  # the cdc staging below sees it
+    if (
+        next_version > 0
+        and mode == "overwrite"
+        and state is not None
+        and _cdf_enabled(state)
+        and state.adds
+        and _mapping_mode(state) == "none"
+    ):
+        # an overwrite REWRITES rows: without cdc actions the commit is
+        # underivable and poisons the feed forever (r9 review) — record
+        # the replaced rows as deletes and the new rows as inserts
+        # (column-mapped tables skip this: table_changes refuses them)
+        schema0 = StructType.fromJson(json.loads(state.schema_json))
+        types0 = {f.name: f.dataType for f in schema0.fields}
+        data_fields0 = [
+            f for f in schema0.fields if f.name not in part_cols
+        ]
+        names0 = [f.name for f in schema0.fields]
+        prior = _read_active(
+            df.sparkSession, path, list(state.adds.items()),
+            StructType(data_fields0), types0, part_cols, state=state,
+        ).withColumn("_change_type", F.lit("delete"))
+        fresh = df.withColumn("_change_type", F.lit("insert"))
+        cdc_df = prior.select(*names0, "_change_type").unionAll(
+            fresh.select(*names0, "_change_type")
+        )
+        cdc = _stage_cdc_files(cdc_df, path, pc_phys)
+        actions.extend(_cdc_actions(cdc, pc_phys))
     for rel in sorted(new_files):
         actions.append(_add_action(rel, new_files[rel], pc_phys, root=path))
     _commit_actions(log_dir, next_version, actions)
@@ -1573,17 +1636,25 @@ def _delete_with_dvs(
     matched_rows = scanned.filter(
         F.coalesce(F.expr(predicate), F.lit(False))
     )
+    cdf_on = _cdf_enabled(state)
+    if cdf_on:
+        # one evaluation feeds BOTH the DV write and the cdc rows —
+        # re-running a nondeterministic predicate could make the feed
+        # disagree with the vectors (r9 review)
+        matched_rows = matched_rows.persist()
     matched = matched_rows.select(
         F.col("_dv_path").alias("f"), F.col("_dv_pos").alias("pos")
     )
     results = _write_dvs_distributed(spark, path, state, matched)
     if not results:
+        if cdf_on:
+            matched_rows.unpersist()
         return (0, 0)
     cdc_files: dict = {}
     pc_phys_cdc = [
         _physical_map(state).get(c, c) for c in state.partition_columns
     ]
-    if _cdf_enabled(state):
+    if cdf_on:
         schema = StructType.fromJson(json.loads(state.schema_json))
         change = matched_rows.select(
             *[f.name for f in schema.fields]
@@ -1591,6 +1662,7 @@ def _delete_with_dvs(
         cdc_files = _stage_cdc_files(
             _to_physical(change, state), path, pc_phys_cdc
         )
+        matched_rows.unpersist()
     now_ms = int(time.time() * 1000)
     deleted, pairs = _dv_update_actions(state, rel_of, results, now_ms)
     actions = [
@@ -2628,28 +2700,10 @@ def _cdf_enabled(state: "DeltaState") -> bool:
 def _stage_cdc_files(df: DataFrame, path: str,
                      pc_phys: list[str]) -> dict[str, os.stat_result]:
     """Write change rows (carrying ``_change_type``) under a unique
-    _change_data/ subdirectory; returns rel path -> stat for the commit's
-    cdc actions. Same race-free attribution contract as _staged_write."""
-    import uuid
-
-    sub = os.path.join("_change_data", "c" + uuid.uuid4().hex[:16])
-    dest = os.path.join(path, sub)
-    writer = df.write.mode("append")
-    if pc_phys:
-        writer = writer.partitionBy(*pc_phys)
-    writer.parquet(dest)
-    out: dict[str, os.stat_result] = {}
-    for root, _dirs, files in os.walk(dest):
-        for n in files:
-            full = os.path.join(root, n)
-            if n.endswith(".parquet"):
-                out[os.path.relpath(full, path)] = os.stat(full)
-            else:
-                try:
-                    os.unlink(full)
-                except OSError:
-                    pass
-    return out
+    _change_data/ subdirectory; returns rel path -> stat for the
+    commit's cdc actions — one shared implementation with _staged_write
+    (same race-free attribution + empty-result cleanup; r9 review)."""
+    return _staged_write(df, path, pc_phys, parent="_change_data")
 
 
 def _cdc_actions(new_files: dict, pc_phys: list[str]) -> list[dict]:
@@ -2696,7 +2750,8 @@ def table_changes_delta_native(
     end = latest if ending_version is None else min(ending_version, latest)
     if starting_version > end:
         raise ValueError(
-            f"starting_version {starting_version} > latest {end}"
+            f"starting_version {starting_version} exceeds the requested "
+            f"range end {end} (table latest version: {latest})"
         )
 
     from pyspark.sql.types import StringType, StructField
@@ -2722,7 +2777,13 @@ def table_changes_delta_native(
     for ver in range(starting_version, end + 1):
         commit = os.path.join(log_dir, f"{ver:020d}.json")
         if not os.path.exists(commit):
-            continue  # checkpoint-compacted history: nothing to replay
+            # checkpoint-compacted history: silently skipping would hand
+            # an incremental consumer an INCOMPLETE feed (r9 review)
+            raise RuntimeError(
+                f"commit {ver} is no longer in the log (checkpoint "
+                "cleanup) — its changes cannot be replayed; start "
+                "table_changes at the earliest retained commit"
+            )
         cdc, adds, removes = [], [], []
         ts_ms = None
         with open(commit) as fh:
@@ -2762,6 +2823,14 @@ def table_changes_delta_native(
                     os.path.join(path, urllib.parse.unquote(a["path"]))
                     for a in acts
                 ]
+                missing = [f for f in files if not os.path.exists(f)]
+                if missing:
+                    raise RuntimeError(
+                        f"commit {ver}: {len(missing)} change-data "
+                        "file(s) no longer exist (VACUUMed past "
+                        "retention) — start table_changes at a later "
+                        "version"
+                    )
                 df = spark.read.schema(cdc_schema).parquet(*files)
                 pieces.append(_attach(df, pv, None, ver, ts_ms))
             continue

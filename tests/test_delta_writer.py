@@ -1137,3 +1137,56 @@ def test_change_data_feed_partitioned(spark, sf_dir, tmp_path):
             if r["_change_type"] == "update_postimage"}
     assert pre == {(0, "a"), (2, "a")}
     assert post == {(0, "a", 100), (2, "a", 102)}
+
+
+def test_change_data_feed_overwrite_and_enable_existing(
+    spark, sf_dir, tmp_path
+):
+    """r9 review regressions: (1) overwrite on a CDF table records the
+    replaced rows as deletes + new rows as inserts (previously poisoned
+    the feed as underivable); (2) enable_cdf=True on an EXISTING table
+    commits the property + protocol bump instead of being dropped;
+    (3) CDF tables carry writer version 4 / the changeDataFeed feature;
+    (4) a checkpoint-cleaned commit raises instead of silently skipping."""
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        load_delta_state,
+        table_changes_delta_native,
+    )
+
+    path = str(tmp_path / "cdfow")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "id long, v string"
+    )
+    write_delta_native(df.coalesce(1), path, enable_cdf=True)       # v0
+    st = load_delta_state(path)
+    assert st.min_writer_version >= 4
+    df2 = spark.createDataFrame(
+        [(10, "x"), (11, "y")], "id long, v string"
+    )
+    write_delta_native(df2.coalesce(1), path, mode="overwrite")     # v1
+    got = table_changes_delta_native(spark, path, 1, 1).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by == {"delete": set(range(5)), "insert": {10, 11}}
+    # enable on an existing plain table
+    p2 = str(tmp_path / "enable")
+    write_delta_native(df.coalesce(1), p2)                          # v0
+    write_delta_native(df2.coalesce(1), p2, enable_cdf=True)        # v1
+    st2 = load_delta_state(p2)
+    assert st2.min_writer_version >= 4
+    delete_delta_native(spark, p2, "id = 1")                        # v2
+    got2 = table_changes_delta_native(spark, p2, 2, 2).collect()
+    assert [(r["id"], r["_change_type"]) for r in got2] == [(1, "delete")]
+    # a checkpoint-cleaned commit raises (no silent gap)
+    import os as _os
+
+    import pytest as _pytest
+
+    from glaredb_spark.sources.delta_native import checkpoint_delta_native
+
+    checkpoint_delta_native(spark, p2)
+    _os.unlink(_os.path.join(p2, "_delta_log", f"{0:020d}.json"))
+    with _pytest.raises(RuntimeError, match="no longer in the log"):
+        table_changes_delta_native(spark, p2, 0).collect()
