@@ -813,27 +813,27 @@ class GlareSession:
                 msg = f"added column {m.group(2)}"
             elif m.group(4):  # RENAME COLUMN
                 if kind == "iceberg":
-                    raise ValueError(
-                        "RENAME COLUMN on iceberg paths is not supported "
-                        "by the native writer (name-resolving reader)"
+                    from glaredb_spark.sources.iceberg_native import (
+                        rename_column_iceberg_native as _ren,
                     )
-                from glaredb_spark.sources.delta_native import (
-                    rename_column_delta_native,
-                )
+                else:
+                    from glaredb_spark.sources.delta_native import (
+                        rename_column_delta_native as _ren,
+                    )
 
-                rename_column_delta_native(path, m.group(4), m.group(5))
+                _ren(path, m.group(4), m.group(5))
                 msg = f"renamed column {m.group(4)} to {m.group(5)}"
             else:  # DROP COLUMN
                 if kind == "iceberg":
-                    raise ValueError(
-                        "DROP COLUMN on iceberg paths is not supported "
-                        "by the native writer (name-resolving reader)"
+                    from glaredb_spark.sources.iceberg_native import (
+                        drop_column_iceberg_native as _drop,
                     )
-                from glaredb_spark.sources.delta_native import (
-                    drop_column_delta_native,
-                )
+                else:
+                    from glaredb_spark.sources.delta_native import (
+                        drop_column_delta_native as _drop,
+                    )
 
-                drop_column_delta_native(path, m.group(6))
+                _drop(path, m.group(6))
                 msg = f"dropped column {m.group(6)}"
             return self.spark.range(1).select(F.lit(msg).alias("status"))
         m = _REORG_RE.match(query)

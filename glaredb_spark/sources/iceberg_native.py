@@ -208,6 +208,118 @@ def _strip_schema_field_ids(st):
     return StructType(fields), changed
 
 
+def _ddl_of_ice_type(t) -> str:
+    """Iceberg type (JSON) -> Spark DDL string (primitives + struct;
+    list/map degrade to string — display/null-fill paths only)."""
+    if isinstance(t, str):
+        base = t.split("(")[0]
+        return _PRIMITIVES.get(
+            base,
+            t.replace(" ", "") if t.startswith("decimal") else "string",
+        )
+    if isinstance(t, dict) and t.get("type") == "struct":
+        inner = ", ".join(
+            f"`{f['name']}`: {_ddl_of_ice_type(f['type'])}"
+            for f in t.get("fields", [])
+        )
+        return f"struct<{inner}>"
+    return "string"
+
+
+def _renamed_or_dropped(meta: dict) -> bool:
+    """True when any schema revision renamed a field (same id, different
+    name) or dropped one (id absent from the current schema) — reads
+    must then resolve columns by FIELD ID per file, not by name."""
+    schemas = meta.get("schemas") or []
+    if len(schemas) < 2:
+        return False
+    cur_ids = {
+        int(f["id"]): f["name"]
+        for f in _current_schema_obj(meta).get("fields", [])
+    }
+    for s in schemas:
+        for f in s.get("fields", []):
+            fid = int(f.get("id", 0) or 0)
+            if fid not in cur_ids:
+                return True  # dropped
+            if f["name"] != cur_ids[fid]:
+                return True  # renamed
+    return False
+
+
+def _scan_with_field_ids(spark, meta: dict, paths: list):
+    """Scan a renamed/dropped-column table by resolving each file's
+    columns by FIELD ID (the iceberg-spec answer a name-based read
+    can't give): every footer's id→name map (threaded driver reads —
+    one KB footer per file, only on rename/drop tables) selects the
+    CURRENT schema's columns under whatever physical name that file
+    uses; id-less pre-r9 files fall back to the field's name HISTORY
+    across schema revisions. Files sharing a mapping signature scan as
+    one group (typically 2: pre- and post-rename), so the plan is
+    O(#signatures) unions, not O(#files)."""
+    import concurrent.futures as _cf
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    cur_fields = [
+        (int(f["id"]), f["name"], f["type"])
+        for f in _current_schema_obj(meta).get("fields", [])
+    ]
+    history: dict[int, list[str]] = {}
+    for s in meta.get("schemas") or []:
+        for f in s.get("fields", []):
+            history.setdefault(int(f.get("id", 0) or 0), []).append(
+                f["name"]
+            )
+
+    def _sig(path: str) -> tuple:
+        sch = pq.read_schema(path)
+        ids: dict[int, str] = {}
+        names = set()
+        for i in range(len(sch)):
+            fld = sch.field(i)
+            names.add(fld.name)
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                ids[int(fid)] = fld.name
+        mapping = []
+        for fid, _cname, _t in cur_fields:
+            phys = ids.get(fid)
+            if phys is None:
+                for cand in reversed(history.get(fid, [])):
+                    if cand in names:
+                        phys = cand
+                        break
+            mapping.append(phys)
+        return tuple(mapping)
+
+    with _cf.ThreadPoolExecutor(
+        max_workers=min(16, max(1, len(paths)))
+    ) as ex:
+        sigs = list(ex.map(_sig, paths))
+    groups: dict[tuple, list[str]] = {}
+    for p, g in zip(paths, sigs):
+        groups.setdefault(g, []).append(p)
+    pieces = []
+    for mapping, ps in sorted(groups.items(), key=lambda kv: kv[1][0]):
+        df = _scan_parquet(spark, *ps)
+        cols = []
+        for (fid, cname, t), phys in zip(cur_fields, mapping):
+            if phys is not None and phys in df.columns:
+                cols.append(F.col(phys).alias(cname))
+            else:  # added after this file was written
+                cols.append(
+                    F.lit(None).cast(_ddl_of_ice_type(t)).alias(cname)
+                )
+        pieces.append(df.select(*cols))
+    out = pieces[0]
+    for d in pieces[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def _evolved_read_schema(spark, meta: dict, paths: list):
     """Explicit scan schema for a schema-evolved table (>1 schemas):
     mergeSchema-inferred types for every column ANY file carries —
@@ -225,22 +337,6 @@ def _evolved_read_schema(spark, meta: dict, paths: list):
     )
     by_name = {f.name: f for f in merged.fields}
     cur = _current_schema_obj(meta).get("fields", [])
-
-    def _ddl(t) -> str:
-        if isinstance(t, str):
-            base = t.split("(")[0]
-            return _PRIMITIVES.get(
-                base,
-                t.replace(" ", "") if t.startswith("decimal") else "string",
-            )
-        if isinstance(t, dict) and t.get("type") == "struct":
-            inner = ", ".join(
-                f"`{f['name']}`: {_ddl(f['type'])}"
-                for f in t.get("fields", [])
-            )
-            return f"struct<{inner}>"
-        return "string"
-
     fields = []
     for f in cur:
         name = f["name"]
@@ -248,7 +344,9 @@ def _evolved_read_schema(spark, meta: dict, paths: list):
             fields.append(by_name[name])
         else:
             fields.append(StructField(
-                name, _parse_datatype_string(_ddl(f["type"])), True
+                name,
+                _parse_datatype_string(_ddl_of_ice_type(f["type"])),
+                True,
             ))
     return StructType(fields)
 
@@ -629,9 +727,18 @@ def read_iceberg_native(
     if not active:
         schema = _spark_schema(m)
         return spark.createDataFrame([], schema)
+    apaths = [p for _s, p, _q, _pt in active]
+    if _table_needs_id_resolution(m, table_path):
+        # renamed/dropped columns resolve by FIELD ID per file
+        if pos_deletes or eq_deletes:
+            raise IcebergError(
+                "reading a renamed/dropped-column table with row-level "
+                "deletes is not supported (the writer refuses such "
+                "renames; REORG ... APPLY (PURGE) first)"
+            )
+        return _scan_with_field_ids(spark, m, apaths)
     # schema-evolved tables (>1 schema) scan with an explicit schema so
     # pre-evolution files null-fill added columns
-    apaths = [p for _s, p, _q, _pt in active]
     evolved = (
         _evolved_read_schema(spark, m, apaths)
         if len(m.get("schemas") or []) > 1
@@ -2042,6 +2149,11 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
         active.append(d)
     if not active:
         return (0, 0)
+    if _table_needs_id_resolution(meta, table_path):
+        raise IcebergError(
+            f"{operation} on a renamed/dropped-column table is not "
+            "supported until OPTIMIZE physically normalizes the files"
+        )
     paths = [d["file_path"] for d in active]
     # evolved tables scan with an explicit schema: inference from one
     # pre-evolution file would silently DROP an added column from the
@@ -2185,6 +2297,11 @@ def upsert_iceberg_native(
     if fv != 2:
         raise IcebergError(
             "upsert requires a format-version 2 table (equality deletes)"
+        )
+    if _table_needs_id_resolution(meta, table_path):
+        raise IcebergError(
+            "upsert on a renamed/dropped-column table is not supported "
+            "until OPTIMIZE physically normalizes the files"
         )
     schema_obj = _current_schema_obj(meta)
     cols = [f["name"] for f in schema_obj.get("fields", [])]
@@ -2356,6 +2473,123 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
          "removed-delete-files": len(pos_deletes) + len(eq_deletes)},
     )
     return (len(touched), rows)
+
+
+def _commit_schema_revision(table_path: str, meta: dict,
+                            new_fields: list[dict]) -> int:
+    """Append a new schema revision and make it current — one KB-scale
+    metadata commit at read-version+1 (O_EXCL). Shared by RENAME/DROP.
+
+    Also records ``glaredb.evolution-dirty-seq`` = the table's current
+    last sequence number: files with an older-or-equal data sequence
+    were written under the PRE-revision names and need field-id
+    resolution; once OPTIMIZE rewrites them (newer sequence), reads and
+    DML go back to the plain name-based paths."""
+    import time
+
+    schemas = meta.get("schemas") or [_current_schema_obj(meta)]
+    new_id = 1 + max(
+        (int(s.get("schema-id", 0) or 0) for s in schemas), default=0
+    )
+    new_schema = {"type": "struct", "schema-id": new_id,
+                  "fields": new_fields}
+    new_meta = dict(meta)
+    new_meta["schemas"] = list(schemas) + [new_schema]
+    new_meta["current-schema-id"] = new_id
+    new_meta["schema"] = new_schema
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    props = dict(new_meta.get("properties") or {})
+    cur_seq = new_meta.get("last-sequence-number")
+    dirty = 10**18 if cur_seq is None else int(cur_seq)  # v1: no seqs
+    prev = int(props.get("glaredb.evolution-dirty-seq", -1))
+    props["glaredb.evolution-dirty-seq"] = str(max(prev, dirty))
+    new_meta["properties"] = props
+    _write_metadata_version(
+        os.path.join(table_path, "metadata"), new_meta,
+        version=_metadata_version(table_path) + 1,
+    )
+    return new_id
+
+
+def _table_needs_id_resolution(meta: dict, table_path: str) -> bool:
+    """True while any active data file predates the latest
+    rename/drop (data sequence <= glaredb.evolution-dirty-seq) — those
+    files carry superseded column names and must resolve by field id.
+    Externally-renamed tables (no marker) stay conservative-dirty."""
+    if not _renamed_or_dropped(meta):
+        return False
+    ds = (meta.get("properties") or {}).get("glaredb.evolution-dirty-seq")
+    if ds is None:
+        return True
+    ds = int(ds)
+    for e in _manifest_entries(meta, table_path):
+        if _STATUS.get(e.get("status", 0)) == "DELETED":
+            continue
+        if (e["data_file"].get("content", 0) or 0) != 0:
+            return True  # delete files: key columns resolve by name
+        if int(e.get("_seq", 0) or 0) <= ds:
+            return True
+    return False
+
+
+def _refuse_row_level_deletes(meta: dict, table_path: str,
+                              operation: str) -> None:
+    for e in _manifest_entries(meta, table_path):
+        if _STATUS.get(e.get("status", 0)) == "DELETED":
+            continue
+        if (e["data_file"].get("content", 0) or 0) != 0:
+            raise IcebergError(
+                f"{operation} on a table with row-level deletes is not "
+                "supported (equality-delete columns resolve by name); "
+                "run REORG TABLE ... APPLY (PURGE) first"
+            )
+
+
+def rename_column_iceberg_native(table_path: str, old: str,
+                                 new: str) -> int:
+    """ALTER TABLE RENAME COLUMN (r9-late): metadata-only — the field
+    keeps its ID, so reads resolve old-named files by field id
+    (_scan_with_field_ids) exactly as the iceberg spec intends; data
+    files written after the rename (and any OPTIMIZE rewrite, which
+    normalizes) carry the new name. Refused while row-level deletes
+    exist (their key columns resolve by name)."""
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    _refuse_row_level_deletes(meta, table_path, "RENAME COLUMN")
+    fields = _current_schema_obj(meta).get("fields", [])
+    if any(f["name"] == new for f in fields):
+        raise IcebergError(f"column {new!r} already exists")
+    if not any(f["name"] == old for f in fields):
+        raise IcebergError(f"unknown column {old!r}")
+    out = [dict(f, name=new) if f["name"] == old else dict(f)
+           for f in fields]
+    return _commit_schema_revision(table_path, meta, out)
+
+
+def drop_column_iceberg_native(table_path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN (r9-late): metadata-only — the field
+    leaves the current schema (its id is never reused: ids are minted
+    from last-column-id); old files keep the physical data, which reads
+    simply no longer select. Partition source columns are refused."""
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    _refuse_row_level_deletes(meta, table_path, "DROP COLUMN")
+    fields = _current_schema_obj(meta).get("fields", [])
+    hit = [f for f in fields if f["name"] == name]
+    if not hit:
+        raise IcebergError(f"unknown column {name!r}")
+    fid = int(hit[0]["id"])
+    part_sources = {
+        int(f.get("source-id", 0) or 0)
+        for s in (meta.get("partition-specs") or [])
+        for f in s.get("fields", [])
+    }
+    if fid in part_sources:
+        raise IcebergError(f"cannot drop partition source column {name!r}")
+    out = [dict(f) for f in fields if f["name"] != name]
+    if not out:
+        raise IcebergError("cannot drop the last column")
+    return _commit_schema_revision(table_path, meta, out)
 
 
 def _write_metadata_version(
@@ -2631,14 +2865,21 @@ def optimize_iceberg_native(
         return (0, 0)
     schema_obj = _current_schema_obj(meta)
     paths = [d["_resolved"] for d in rewrite]
-    evolved = (
-        _evolved_read_schema(spark, meta, paths)
-        if len(meta.get("schemas") or []) > 1
-        else None
-    )
     groups = max(1, (len(paths) + max_files_per_group - 1)
                  // max_files_per_group)
-    df = _scan_parquet(spark, *paths, schema=evolved)
+    if _table_needs_id_resolution(meta, table_path):
+        # field-id-resolved scan; the rewrite lands files under the
+        # CURRENT names + ids — OPTIMIZE physically normalizes a
+        # renamed table (post-rename sequence numbers clear the
+        # dirty marker)
+        df = _scan_with_field_ids(spark, meta, paths)
+    else:
+        evolved = (
+            _evolved_read_schema(spark, meta, paths)
+            if len(meta.get("schemas") or []) > 1
+            else None
+        )
+        df = _scan_parquet(spark, *paths, schema=evolved)
     if zorder_by:
         unknown = [c for c in zorder_by if c not in df.columns]
         if unknown:
@@ -2729,6 +2970,11 @@ def merge_iceberg_native(
         d.setdefault("block_size_in_bytes", 67108864)
         active.append(d)
 
+    if _table_needs_id_resolution(meta, table_path):
+        raise IcebergError(
+            "MERGE on a renamed/dropped-column table is not supported "
+            "until OPTIMIZE physically normalizes the files"
+        )
     evolved = (
         _evolved_read_schema(
             spark, meta, [d["file_path"] for d in active]
@@ -2906,6 +3152,11 @@ def _mor_live_scan(spark, table_path: str, meta: dict, operation: str):
             )
     if not active:
         return None, None
+    if _table_needs_id_resolution(meta, table_path):
+        raise IcebergError(
+            f"position-delete {operation} on a renamed/dropped-column "
+            "table is not supported until OPTIMIZE normalizes the files"
+        )
     evolved = (
         _evolved_read_schema(spark, meta, [p for _s, p in active])
         if len(meta.get("schemas") or []) > 1

@@ -981,15 +981,18 @@ def test_alter_table_schema_evolution(spark, sf_dir, tmp_path):
     sess.sql(f"ALTER TABLE '{p2}' DROP COLUMN score")
     got = read_delta_native(spark, p2)
     assert got.columns == ["id", "label"] and got.count() == 10
-    # --- Iceberg: ADD works (explicit-schema scan), RENAME refused
+    # --- Iceberg: ADD works (explicit-schema scan); RENAME resolves by
+    # field id (r9-late, see test_iceberg_rename_drop_field_id)
     p3 = str(tmp_path / "ice")
     write_iceberg_native(df.coalesce(1), p3, format_version=2)
     sess.sql(f"ALTER TABLE '{p3}' ADD COLUMN score double")
     got = read_iceberg_native(spark, p3)
     assert got.columns == ["id", "v", "score"]
     assert got.filter("score IS NULL").count() == 10
-    with pytest.raises(Exception, match="not supported"):
-        sess.sql(f"ALTER TABLE '{p3}' RENAME COLUMN v TO w")
+    sess.sql(f"ALTER TABLE '{p3}' RENAME COLUMN v TO w")
+    got = read_iceberg_native(spark, p3)
+    assert got.columns == ["id", "w", "score"]
+    assert got.filter("w = 'v3'").count() == 1
 
 
 def test_prune_repeated_column_and_rename_partition(spark, sf_dir, tmp_path):

@@ -1300,3 +1300,61 @@ def test_optimize_min_file_bytes_keeps_large_files(spark, sf_dir, tmp_path):
               for e in _manifest_entries(meta2, p)}
     assert big_path in paths2  # the large file carried forward
     assert read_iceberg_native(spark, p).count() == 404
+
+
+def test_iceberg_rename_drop_field_id(spark, sf_dir, tmp_path):
+    """r9-late: RENAME/DROP COLUMN on Iceberg resolve by FIELD ID per
+    file (the spec's answer): pre-rename files read under the new name,
+    post-rename appends coexist, OPTIMIZE physically normalizes and
+    re-enables DML, DROP hides the column everywhere."""
+    from glaredb_spark.sources.iceberg_native import (
+        IcebergError,
+        delete_iceberg_native,
+        drop_column_iceberg_native,
+        optimize_iceberg_native,
+        rename_column_iceberg_native,
+    )
+
+    p = str(tmp_path / "ren")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(10)],
+        "id long, v string, score long",
+    )
+    write_iceberg_native(df.coalesce(1), p, format_version=2)
+    rename_column_iceberg_native(p, "v", "label")
+    got = read_iceberg_native(spark, p)
+    assert got.columns == ["id", "label", "score"]
+    assert got.filter("label = 'v3'").count() == 1  # old file, new name
+    # post-rename append under the new name coexists
+    write_iceberg_native(
+        spark.createDataFrame([(100, "x", 0)],
+                              "id long, label string, score long")
+        .coalesce(1),
+        p,
+    )
+    got2 = read_iceberg_native(spark, p)
+    assert got2.count() == 11
+    assert {r["label"] for r in got2.filter("id >= 100").collect()} == {"x"}
+    # DML refuses until OPTIMIZE normalizes
+    with pytest.raises(IcebergError, match="normaliz"):
+        delete_iceberg_native(spark, p, "id = 1", strategy="cow")
+    removed, added = optimize_iceberg_native(spark, p)
+    assert removed == 2
+    got3 = read_iceberg_native(spark, p)
+    assert got3.columns == ["id", "label", "score"] and got3.count() == 11
+    deleted, _ = delete_iceberg_native(spark, p, "id = 1", strategy="cow")
+    assert deleted == 1
+    # DROP hides the column (data stays in old files, unselected)
+    drop_column_iceberg_native(p, "score")
+    got4 = read_iceberg_native(spark, p)
+    assert got4.columns == ["id", "label"] and got4.count() == 10
+    optimize_iceberg_native(spark, p)
+    assert read_iceberg_native(spark, p).columns == ["id", "label"]
+    # guard rails
+    with pytest.raises(IcebergError, match="already exists"):
+        rename_column_iceberg_native(p, "id", "label")
+    with pytest.raises(IcebergError, match="unknown column"):
+        drop_column_iceberg_native(p, "nope")
+    drop_column_iceberg_native(p, "id")
+    with pytest.raises(IcebergError, match="last column"):
+        drop_column_iceberg_native(p, "label")
