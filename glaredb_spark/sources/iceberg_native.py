@@ -287,7 +287,12 @@ def _scan_with_field_ids(spark, meta: dict, paths: list):
         mapping = []
         for fid, _cname, _t in cur_fields:
             phys = ids.get(fid)
-            if phys is None:
+            if phys is None and not ids:
+                # name-history fallback ONLY for fully id-less (pre-r9)
+                # files: on an id-stamped file a missing id means the
+                # column was added later — matching a historical name
+                # would bind a re-used name to the OLD column's data
+                # (r9 review)
                 for cand in reversed(history.get(fid, [])):
                     if cand in names:
                         phys = cand
@@ -695,7 +700,8 @@ def read_iceberg_native(
     active: list[tuple[str, str, int, "str | None"]] = []
     pos_deletes: list[str] = []
     eq_deletes: list[tuple[str, list[int] | None, int, "str | None"]] = []
-    for e in _manifest_entries(m, table_path, snapshot_id):
+    entries = _manifest_entries(m, table_path, snapshot_id)
+    for e in entries:
         df = e["data_file"]
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
@@ -728,13 +734,14 @@ def read_iceberg_native(
         schema = _spark_schema(m)
         return spark.createDataFrame([], schema)
     apaths = [p for _s, p, _q, _pt in active]
-    if _table_needs_id_resolution(m, table_path):
+    if _table_needs_id_resolution(m, entries):
         # renamed/dropped columns resolve by FIELD ID per file
         if pos_deletes or eq_deletes:
             raise IcebergError(
                 "reading a renamed/dropped-column table with row-level "
-                "deletes is not supported (the writer refuses such "
-                "renames; REORG ... APPLY (PURGE) first)"
+                "deletes is not supported (this writer refuses renames "
+                "while deletes exist; only external writers produce "
+                "this state)"
             )
         return _scan_with_field_ids(spark, m, apaths)
     # schema-evolved tables (>1 schema) scan with an explicit schema so
@@ -1885,27 +1892,66 @@ def _with_field_ids(df, ids: "dict[str, int]"):
     metadata-carrying schema without touching data (NULL structs
     survive, unlike a struct() rebuild). Write schemas only: field-id
     metadata on a READ schema makes Spark require ids in every file."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
     if not ids:
         return df
 
-    def conv(st: StructType, prefix: str) -> StructType:
-        out = []
-        for f in st.fields:
-            full = prefix + f.name
-            dt = (
-                conv(f.dataType, full + ".")
-                if isinstance(f.dataType, StructType)
-                else f.dataType
-            )
-            md = dict(f.metadata or {})
-            if full in ids:
-                md["parquet.field.id"] = ids[full]
-            out.append(StructField(f.name, dt, f.nullable, md))
-        return StructType(out)
+    # NOTE: df.to(metadata-schema) carries the ids in the DataFrame
+    # schema but the parquet writer does NOT emit them (the write plan's
+    # attributes lose the metadata) — only Alias-attached metadata
+    # reaches the file, so structs rebuild with aliased members and a
+    # null-guard (a bare struct() rebuild turns NULL structs into
+    # structs of NULLs).
 
-    return df.to(conv(df.schema, ""))
+    def md_type(dtype, prefix: str):
+        if not isinstance(dtype, StructType):
+            return dtype
+        return StructType([
+            StructField(
+                f.name,
+                md_type(f.dataType, f"{prefix}{f.name}."),
+                f.nullable,
+                {
+                    **(f.metadata or {}),
+                    **(
+                        {"parquet.field.id": ids[prefix + f.name]}
+                        if prefix + f.name in ids
+                        else {}
+                    ),
+                },
+            )
+            for f in dtype.fields
+        ])
+
+    def build(expr, dtype, path: str):
+        if not isinstance(dtype, StructType):
+            return expr
+        inner = []
+        for f in dtype.fields:
+            full = f"{path}.{f.name}"
+            child = build(expr.getField(f.name), f.dataType, full)
+            if full in ids:
+                inner.append(child.alias(
+                    f.name, metadata={"parquet.field.id": ids[full]}
+                ))
+            else:
+                inner.append(child.alias(f.name))
+        return F.when(
+            expr.isNull(), F.lit(None).cast(md_type(dtype, path + "."))
+        ).otherwise(F.struct(*inner))
+
+    cols = []
+    for f in df.schema.fields:
+        c = build(F.col(f.name), f.dataType, f.name)
+        if f.name in ids:
+            cols.append(c.alias(
+                f.name, metadata={"parquet.field.id": ids[f.name]}
+            ))
+        else:
+            cols.append(c.alias(f.name))
+    return df.select(*cols)
 
 
 def _stage_data_files(
@@ -2134,7 +2180,8 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     pfields = _partition_fields(meta)
     snap_id = meta.get("current-snapshot-id")
     active = []
-    for e in _manifest_entries(meta, table_path):
+    entries = _manifest_entries(meta, table_path)
+    for e in entries:
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
         d = dict(e["data_file"])
@@ -2149,7 +2196,7 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
         active.append(d)
     if not active:
         return (0, 0)
-    if _table_needs_id_resolution(meta, table_path):
+    if _table_needs_id_resolution(meta, entries):
         raise IcebergError(
             f"{operation} on a renamed/dropped-column table is not "
             "supported until OPTIMIZE physically normalizes the files"
@@ -2225,6 +2272,14 @@ def equality_delete_iceberg_native(
         raise IcebergError(
             "equality deletes require a format-version 2 table"
         )
+    if _table_needs_id_resolution(
+        meta, _manifest_entries(meta, table_path)
+    ):
+        raise IcebergError(
+            "equality deletes on a renamed/dropped-column table are not "
+            "supported until OPTIMIZE physically normalizes the files "
+            "(the keys resolve by name)"
+        )
     schema_obj = _current_schema_obj(meta)
     field_ids = {
         f["name"]: int(f["id"]) for f in schema_obj.get("fields", [])
@@ -2298,7 +2353,9 @@ def upsert_iceberg_native(
         raise IcebergError(
             "upsert requires a format-version 2 table (equality deletes)"
         )
-    if _table_needs_id_resolution(meta, table_path):
+    if _table_needs_id_resolution(
+        meta, _manifest_entries(meta, table_path)
+    ):
         raise IcebergError(
             "upsert on a renamed/dropped-column table is not supported "
             "until OPTIMIZE physically normalizes the files"
@@ -2371,7 +2428,17 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
     active: list[dict] = []
     pos_deletes: list[str] = []
     eq_deletes: "list[tuple[str, list[int] | None, int, str | None]]" = []
-    for e in _manifest_entries(meta, table_path):
+    entries = _manifest_entries(meta, table_path)
+    if _table_needs_id_resolution(meta, entries):
+        # materializing deletes through a name-based scan would rewrite
+        # pre-rename files with the renamed column NULLED (r9 review)
+        raise IcebergError(
+            "PURGE on a renamed/dropped-column table with pre-rename "
+            "files is not supported (this writer refuses renames while "
+            "row-level deletes exist, so only external writers produce "
+            "this state)"
+        )
+    for e in entries:
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
         d = dict(e["data_file"])
@@ -2511,10 +2578,13 @@ def _commit_schema_revision(table_path: str, meta: dict,
     return new_id
 
 
-def _table_needs_id_resolution(meta: dict, table_path: str) -> bool:
-    """True while any active data file predates the latest
-    rename/drop (data sequence <= glaredb.evolution-dirty-seq) — those
-    files carry superseded column names and must resolve by field id.
+def _table_needs_id_resolution(meta: dict, entries: list) -> bool:
+    """True while any of the given ACTIVE manifest entries predates the
+    latest rename/drop (data sequence <= glaredb.evolution-dirty-seq) —
+    those files carry superseded column names and must resolve by field
+    id. Takes the caller's already-enumerated entries (re-reading every
+    manifest doubled metadata IO forever on once-renamed tables — r9
+    review) so time-travel snapshots are judged by THEIR file set.
     Externally-renamed tables (no marker) stay conservative-dirty."""
     if not _renamed_or_dropped(meta):
         return False
@@ -2522,7 +2592,7 @@ def _table_needs_id_resolution(meta: dict, table_path: str) -> bool:
     if ds is None:
         return True
     ds = int(ds)
-    for e in _manifest_entries(meta, table_path):
+    for e in entries:
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
         if (e["data_file"].get("content", 0) or 0) != 0:
@@ -2555,6 +2625,12 @@ def rename_column_iceberg_native(table_path: str, old: str,
     exist (their key columns resolve by name)."""
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
+    if int(meta.get("format-version", 1) or 1) != 2:
+        raise IcebergError(
+            "RENAME COLUMN requires a format-version 2 table (v1 has no "
+            "data sequence numbers, so OPTIMIZE could never mark the "
+            "rewritten files normalized)"
+        )
     _refuse_row_level_deletes(meta, table_path, "RENAME COLUMN")
     fields = _current_schema_obj(meta).get("fields", [])
     if any(f["name"] == new for f in fields):
@@ -2573,6 +2649,12 @@ def drop_column_iceberg_native(table_path: str, name: str) -> int:
     simply no longer select. Partition source columns are refused."""
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
+    if int(meta.get("format-version", 1) or 1) != 2:
+        raise IcebergError(
+            "DROP COLUMN requires a format-version 2 table (v1 has no "
+            "data sequence numbers, so OPTIMIZE could never mark the "
+            "rewritten files normalized)"
+        )
     _refuse_row_level_deletes(meta, table_path, "DROP COLUMN")
     fields = _current_schema_obj(meta).get("fields", [])
     hit = [f for f in fields if f["name"] == name]
@@ -2633,10 +2715,9 @@ def add_column_iceberg_native(table_path: str, name: str,
     KB-scale metadata commit, data files untouched. Old files simply
     lack the column; evolved tables scan with an EXPLICIT schema built
     from the current iceberg schema (read_iceberg_native), so parquet's
-    missing-column semantics fill NULLs. RENAME/DROP are refused: this
-    reader resolves columns by NAME, and a rename would orphan every
-    existing file (field-id resolution is the iceberg-spec answer; not
-    implemented). Returns the new schema id."""
+    missing-column semantics fill NULLs. RENAME/DROP live in
+    rename/drop_column_iceberg_native (field-id resolution, v2 tables).
+    Returns the new schema id."""
     _DDL_TO_ICE = {
         "bigint": "long", "long": "long", "int": "int", "integer": "int",
         "smallint": "int", "tinyint": "int", "string": "string",
@@ -2838,7 +2919,8 @@ def optimize_iceberg_native(
     meta = table_metadata(table_path)
     pfields = _partition_fields(meta)
     active: list[dict] = []
-    for e in _manifest_entries(meta, table_path):
+    entries = _manifest_entries(meta, table_path)
+    for e in entries:
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
         d = dict(e["data_file"])
@@ -2851,7 +2933,10 @@ def optimize_iceberg_native(
         d["_snapshot_id"] = e.get("snapshot_id")
         d["_seq"] = e.get("_seq")
         active.append(d)
-    if min_file_bytes and not zorder_by:
+    dirty = _table_needs_id_resolution(meta, entries)
+    if min_file_bytes and not zorder_by and not dirty:
+        # size split only on CLEAN tables: a dirty table must rewrite
+        # everything or the marker never clears (r9 review)
         rewrite = [
             d for d in active
             if int(d.get("file_size_in_bytes", 0) or 0) < min_file_bytes
@@ -2859,7 +2944,9 @@ def optimize_iceberg_native(
         keep = [d for d in active if d not in rewrite]
     else:
         rewrite, keep = active, []
-    if len(rewrite) < 2 and not zorder_by:
+    if len(rewrite) < 2 and not zorder_by and not dirty:
+        # single-file dirty tables still rewrite: OPTIMIZE is the only
+        # way to normalize a rename (r9 review)
         return (0, 0)
     if not rewrite:
         return (0, 0)
@@ -2867,7 +2954,7 @@ def optimize_iceberg_native(
     paths = [d["_resolved"] for d in rewrite]
     groups = max(1, (len(paths) + max_files_per_group - 1)
                  // max_files_per_group)
-    if _table_needs_id_resolution(meta, table_path):
+    if dirty:
         # field-id-resolved scan; the rewrite lands files under the
         # CURRENT names + ids — OPTIMIZE physically normalizes a
         # renamed table (post-rename sequence numbers clear the
@@ -2956,7 +3043,8 @@ def merge_iceberg_native(
         when_matched_update = {c: f"s.{c}" for c in cols if c not in on}
 
     active = []
-    for e in _manifest_entries(meta, table_path):
+    entries = _manifest_entries(meta, table_path)
+    for e in entries:
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
         d = dict(e["data_file"])
@@ -2970,7 +3058,7 @@ def merge_iceberg_native(
         d.setdefault("block_size_in_bytes", 67108864)
         active.append(d)
 
-    if _table_needs_id_resolution(meta, table_path):
+    if _table_needs_id_resolution(meta, entries):
         raise IcebergError(
             "MERGE on a renamed/dropped-column table is not supported "
             "until OPTIMIZE physically normalizes the files"
@@ -3134,7 +3222,8 @@ def _mor_live_scan(spark, table_path: str, meta: dict, operation: str):
         )
     active: list[tuple[str, str]] = []
     pos_deletes: list[str] = []
-    for e in _manifest_entries(meta, table_path):
+    entries = _manifest_entries(meta, table_path)
+    for e in entries:
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
         d = e["data_file"]
@@ -3152,7 +3241,7 @@ def _mor_live_scan(spark, table_path: str, meta: dict, operation: str):
             )
     if not active:
         return None, None
-    if _table_needs_id_resolution(meta, table_path):
+    if _table_needs_id_resolution(meta, entries):
         raise IcebergError(
             f"position-delete {operation} on a renamed/dropped-column "
             "table is not supported until OPTIMIZE normalizes the files"

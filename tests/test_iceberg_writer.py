@@ -1358,3 +1358,48 @@ def test_iceberg_rename_drop_field_id(spark, sf_dir, tmp_path):
     drop_column_iceberg_native(p, "id")
     with pytest.raises(IcebergError, match="last column"):
         drop_column_iceberg_native(p, "label")
+
+
+def test_rename_guard_rails_v1_timetravel_reuse(spark, sf_dir, tmp_path):
+    """r9 review regressions around rename: (1) v1 tables refuse
+    rename/drop (no sequence numbers — the dirty marker could never
+    clear); (2) time-travel to a pre-rename snapshot still reads the
+    renamed column's data (per-snapshot dirty judgment); (3) a column
+    added AFTER a rename reusing the old name reads NULL from id-stamped
+    pre-rename files, never the old column's data."""
+    from glaredb_spark.sources.iceberg_native import (
+        IcebergError,
+        add_column_iceberg_native,
+        optimize_iceberg_native,
+        rename_column_iceberg_native,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, v string"
+    )
+    p1 = str(tmp_path / "v1t")
+    write_iceberg_native(df, p1)  # format-version 1
+    with pytest.raises(IcebergError, match="format-version 2"):
+        rename_column_iceberg_native(p1, "v", "w")
+
+    p2 = str(tmp_path / "tt")
+    s1 = write_iceberg_native(df.coalesce(1), p2, format_version=2)
+    rename_column_iceberg_native(p2, "v", "label")
+    optimize_iceberg_native(spark, p2)  # normalizes; marker clears
+    # current read: plain path, data intact
+    cur = read_iceberg_native(spark, p2)
+    assert cur.filter("label = 'v3'").count() == 1
+    # time travel to the PRE-rename snapshot: its files predate the
+    # rename, so the id-resolved path must serve the values
+    tt = read_iceberg_native(spark, p2, snapshot_id=s1)
+    assert tt.filter("label = 'v3'").count() == 1
+
+    p3 = str(tmp_path / "reuse")
+    write_iceberg_native(df.coalesce(1), p3, format_version=2)
+    rename_column_iceberg_native(p3, "v", "label")
+    add_column_iceberg_native(p3, "v", "string")  # re-uses the old name
+    got = read_iceberg_native(spark, p3)
+    assert got.columns == ["id", "label", "v"]
+    rows = {r["id"]: (r["label"], r["v"]) for r in got.collect()}
+    # old data serves label; the NEW 'v' is NULL (not the old values)
+    assert rows[3] == ("v3", None)
