@@ -1338,8 +1338,10 @@ def test_iceberg_rename_drop_field_id(spark, sf_dir, tmp_path):
     # DML refuses until OPTIMIZE normalizes
     with pytest.raises(IcebergError, match="normaliz"):
         delete_iceberg_native(spark, p, "id = 1", strategy="cow")
+    # r10: normalization rewrites ONLY the pre-rename file; the
+    # post-rename append carries forward untouched
     removed, added = optimize_iceberg_native(spark, p)
-    assert removed == 2
+    assert removed == 1
     got3 = read_iceberg_native(spark, p)
     assert got3.columns == ["id", "label", "score"] and got3.count() == 11
     deleted, _ = delete_iceberg_native(spark, p, "id = 1", strategy="cow")
@@ -1403,3 +1405,77 @@ def test_rename_guard_rails_v1_timetravel_reuse(spark, sf_dir, tmp_path):
     rows = {r["id"]: (r["label"], r["v"]) for r in got.collect()}
     # old data serves label; the NEW 'v' is NULL (not the old values)
     assert rows[3] == ("v3", None)
+
+def test_rename_dirty_window_scales(spark, sf_dir, tmp_path, monkeypatch):
+    """r10 (r9 VERDICT #1): the rename/drop dirty window must be
+    readable without ANY footer reads (per-file id→name maps derive
+    from each file's adding snapshot's recorded schema-id) and
+    escapable without a full-table rewrite (OPTIMIZE rewrites only
+    files with _seq <= the dirty marker)."""
+    from glaredb_spark.sources import iceberg_native as ice
+    from glaredb_spark.sources.iceberg_native import (
+        _manifest_entries,
+        optimize_iceberg_native,
+        rename_column_iceberg_native,
+        table_metadata,
+    )
+
+    p = str(tmp_path / "dirtyscale")
+    write_iceberg_native(
+        spark.createDataFrame([(i, f"v{i}") for i in range(8)],
+                              "id long, v string").coalesce(1),
+        p, format_version=2,
+    )
+    write_iceberg_native(
+        spark.createDataFrame([(100, "a"), (101, "b")],
+                              "id long, v string").coalesce(1), p,
+    )
+    rename_column_iceberg_native(p, "v", "label")
+    # two post-rename appends under the new name
+    for i in (200, 201):
+        write_iceberg_native(
+            spark.createDataFrame([(i, f"n{i}")],
+                                  "id long, label string").coalesce(1), p,
+        )
+
+    # (a) dirty-window reads: zero footer sweeps — every file's mapping
+    # comes from snapshot schema-id metadata
+    def _boom(*a, **k):
+        raise AssertionError("footer sweep ran on a snapshot-tracked table")
+
+    monkeypatch.setattr(ice, "_footer_sig_fn", _boom)
+    got = read_iceberg_native(spark, p)
+    assert got.count() == 12
+    assert got.filter("label = 'v3'").count() == 1
+    assert got.filter("label = 'n200'").count() == 1
+    monkeypatch.undo()
+
+    meta1 = table_metadata(p)
+    post_rename_paths = {
+        e["data_file"]["file_path"]
+        for e in _manifest_entries(meta1, p)
+        if int(e.get("_seq", 0)) > int(
+            meta1["properties"]["glaredb.evolution-dirty-seq"])
+    }
+    assert len(post_rename_paths) == 2
+
+    # (b) OPTIMIZE rewrites ONLY the two pre-rename files
+    removed, added = optimize_iceberg_native(spark, p)
+    assert removed == 2
+    meta2 = table_metadata(p)
+    active2 = {
+        e["data_file"]["file_path"]
+        for e in _manifest_entries(meta2, p)
+        if e.get("status", 0) != 2
+    }
+    assert post_rename_paths <= active2  # untouched, carried forward
+
+    # (c) post-OPTIMIZE reads are plain name-based scans — the
+    # id-resolution path must not run at all
+    def _boom2(*a, **k):
+        raise AssertionError("id-resolution ran on a normalized table")
+
+    monkeypatch.setattr(ice, "_scan_with_field_ids", _boom2)
+    got2 = read_iceberg_native(spark, p)
+    assert got2.count() == 12
+    assert got2.filter("label = 'v3'").count() == 1
