@@ -2735,16 +2735,28 @@ def table_changes_delta_native(
     beyond the scans)."""
     path = os.path.abspath(path)
     state = load_delta_state(path)
-    if _mapping_mode(state) != "none":
-        raise RuntimeError(
-            "table_changes on a column-mapped table is not supported by "
-            "the native reader yet"
-        )
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(data_fields)
     types = {f.name: f.dataType for f in schema.fields}
+    # columnMapping (r10, VERDICT r9 next #3): data and cdc files carry
+    # PHYSICAL column names (stable across logical renames — which is
+    # why the CURRENT mapping resolves every version in range); scan
+    # physical, demap to logical for the caller. partitionValues in the
+    # log are keyed physical too.
+    phys = _physical_map(state)
+    pc_phys = [phys.get(c, c) for c in part_cols]
+
+    def _demap(df):
+        if not phys:
+            return df
+        keep = [
+            F.col(phys.get(f.name, f.name)).alias(f.name)
+            for f in data_fields
+        ]
+        extra = [c for c in ("_change_type",) if c in df.columns]
+        return df.select(*keep, *extra)
     log_dir = os.path.join(path, "_delta_log")
     latest = _latest_version(log_dir) or 0
     end = latest if ending_version is None else min(ending_version, latest)
@@ -2756,8 +2768,11 @@ def table_changes_delta_native(
 
     from pyspark.sql.types import StringType, StructField
 
+    scan_schema = (
+        _physical_data_schema(state, data_fields) if phys else data_schema
+    )
     cdc_schema = StructType(
-        data_fields + [StructField("_change_type", StringType(), True)]
+        scan_schema.fields + [StructField("_change_type", StringType(), True)]
     )
 
     def _attach(df, pv: dict, ctype: "str | None", ver: int, ts_ms: int):
@@ -2808,11 +2823,11 @@ def table_changes_delta_native(
                 pv = a.get("partitionValues")
                 if pv is None and part_cols:
                     # remove actions may omit partitionValues — the
-                    # hive-style path carries them
+                    # hive-style path carries them (physical names)
                     pv = _partition_values_from_path(
-                        urllib.parse.unquote(a["path"]), part_cols
+                        urllib.parse.unquote(a["path"]), pc_phys
                     )
-                key = tuple((pv or {}).get(c) for c in part_cols)
+                key = tuple((pv or {}).get(c) for c in pc_phys)
                 by_pv.setdefault(key, []).append(a)
             return sorted(by_pv.items(), key=_part_sort_key)
 
@@ -2831,7 +2846,7 @@ def table_changes_delta_native(
                         "retention) — start table_changes at a later "
                         "version"
                     )
-                df = spark.read.schema(cdc_schema).parquet(*files)
+                df = _demap(spark.read.schema(cdc_schema).parquet(*files))
                 pieces.append(_attach(df, pv, None, ver, ts_ms))
             continue
         if adds and removes:
@@ -2855,7 +2870,7 @@ def table_changes_delta_native(
                         "no longer exist (VACUUMed past retention) — "
                         "start table_changes at a later version"
                     )
-                df = spark.read.schema(data_schema).parquet(*files)
+                df = _demap(spark.read.schema(scan_schema).parquet(*files))
                 pieces.append(_attach(df, pv, ctype, ver, ts_ms))
     if not pieces:
         from pyspark.sql.types import LongType, TimestampType
