@@ -267,25 +267,52 @@ def main() -> None:
             print(f"# sf1 sweep skipped: {exc}", file=sys.stderr)
             sf1_dir = None
         if sf1_dir:
+            def run_sf1(name: str) -> float:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf1_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                dt = time.perf_counter() - t0
+                spark.catalog.clearCache()
+                return dt
+
             for name in HEADLINE:
                 if not name.startswith("tpch_"):
                     continue
-                # min over two timed runs, like the sf0.01 sweep — a
-                # single sample is exposed to one-off GC pauses (one
-                # run recorded q01 at 16x its stable time)
-                samples = []
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    QUERIES[name](spark, sf1_dir).write.mode(
-                        "overwrite"
-                    ).format("noop").save()
-                    samples.append(time.perf_counter() - t0)
-                    spark.catalog.clearCache()
+                # same discipline as the headline loop (warmup + bounded
+                # median-vs-min retry): the r9 sweep was min-of-2 with NO
+                # noise guard and published q01 sf1 = 12.58 s — a GC/
+                # contention artifact recorded as a 13.2x scaling ratio
+                # where the stable warm time is ~2 s (VERDICT r9 wrong
+                # #2). The one place the harness publishes a scaling-
+                # exponent claim must be at least as noise-guarded as the
+                # headline numbers.
+                run_sf1(name)  # untimed warmup
+                samples = [run_sf1(name) for _ in range(2)]
+                extra = 0
+                while (
+                    extra < 2
+                    and (statistics.median(samples) - min(samples))
+                    / max(min(samples), 1e-9) > 0.25
+                ):
+                    samples.append(run_sf1(name))
+                    extra += 1
                 dt = min(samples)
+                still_noisy = (
+                    (statistics.median(samples) - dt)
+                    / max(dt, 1e-9) > 0.25
+                )
                 sf1[name] = {
                     "sf1_sec": round(dt, 4),
-                    "ratio_vs_sf0.1": round(
-                        dt / max(timings[name], 1e-9), 2
+                    # a sample that stayed noisy after the retry budget
+                    # publishes NO ratio (a flag instead): a misleading
+                    # committed scaling number is worse than none
+                    **(
+                        {"noisy": True}
+                        if still_noisy
+                        else {"ratio_vs_sf0.1": round(
+                            dt / max(timings[name], 1e-9), 2
+                        )}
                     ),
                 }
     # contention detector (the r3 bench file was a contended run recorded
@@ -315,7 +342,7 @@ def main() -> None:
             n: v["ratio_vs_sf0.1"] for n, v in scale.items()
         },
         "sf1_ratio": {
-            n: v["ratio_vs_sf0.1"] for n, v in sf1.items()
+            n: v.get("ratio_vs_sf0.1", "noisy") for n, v in sf1.items()
         },
         "sf": sf,
     }

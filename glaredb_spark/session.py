@@ -127,7 +127,9 @@ _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+'([^']+)'\s+"
     r"(?:ADD\s+COLUMN\s+(\w+)\s+([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
     r"|RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
-    r"|DROP\s+COLUMN\s+(\w+))\s*;?\s*$",
+    r"|DROP\s+COLUMN\s+(\w+)"
+    r"|ADD\s+PARTITION\s+FIELD\s+([^;]+?)"
+    r"|DROP\s+PARTITION\s+FIELD\s+([^;]+?))\s*;?\s*$",
     re.IGNORECASE,
 )
 _REORG_RE = re.compile(
@@ -823,7 +825,7 @@ class GlareSession:
 
                 _ren(path, m.group(4), m.group(5))
                 msg = f"renamed column {m.group(4)} to {m.group(5)}"
-            else:  # DROP COLUMN
+            elif m.group(6):  # DROP COLUMN
                 if kind == "iceberg":
                     from glaredb_spark.sources.iceberg_native import (
                         drop_column_iceberg_native as _drop,
@@ -835,6 +837,36 @@ class GlareSession:
 
                 _drop(path, m.group(6))
                 msg = f"dropped column {m.group(6)}"
+            elif m.group(7):  # ADD PARTITION FIELD (iceberg only)
+                if kind != "iceberg":
+                    raise ValueError(
+                        "ADD PARTITION FIELD requires an iceberg table "
+                        "(delta has no partition-spec evolution)"
+                    )
+                from glaredb_spark.sources.iceberg_native import (
+                    add_partition_field_iceberg_native as _addpf,
+                )
+
+                sid = _addpf(path, m.group(7).strip())
+                msg = (
+                    f"added partition field {m.group(7).strip()} "
+                    f"(spec {sid})"
+                )
+            else:  # DROP PARTITION FIELD (iceberg only)
+                if kind != "iceberg":
+                    raise ValueError(
+                        "DROP PARTITION FIELD requires an iceberg table "
+                        "(delta has no partition-spec evolution)"
+                    )
+                from glaredb_spark.sources.iceberg_native import (
+                    drop_partition_field_iceberg_native as _droppf,
+                )
+
+                sid = _droppf(path, m.group(8).strip())
+                msg = (
+                    f"dropped partition field {m.group(8).strip()} "
+                    f"(spec {sid})"
+                )
             return self.spark.range(1).select(F.lit(msg).alias("status"))
         m = _REORG_RE.match(query)
         if m:

@@ -735,7 +735,15 @@ def read_iceberg_native(
     plain file list; the caller still applies the row predicate (a
     bucket holds many keys)."""
     m = table_metadata(table_path)
-    pfields = _partition_fields(m) if partition_filter else []
+    # spec evolution (r10): files written under different specs carry
+    # different partition tuples — prune each entry under ITS spec
+    _pf_cache: dict[int, list] = {}
+
+    def _pfields_for(spec_id: int) -> list:
+        if spec_id not in _pf_cache:
+            _pf_cache[spec_id] = _partition_fields(m, spec_id)
+        return _pf_cache[spec_id]
+
     schema_fields = (
         _current_schema_obj(m).get("fields", []) if value_filter else []
     )
@@ -759,7 +767,8 @@ def read_iceberg_native(
         )
         if content == 0:
             if partition_filter and _partition_prunes(
-                pfields, df.get("partition"), partition_filter
+                _pfields_for(int(e.get("_spec_id", 0) or 0)),
+                df.get("partition"), partition_filter,
             ):
                 continue
             if value_filter and _bounds_prune(
@@ -1271,7 +1280,16 @@ def _publish_snapshot(
             e["sequence_number"] = None
             e["file_sequence_number"] = None
         entries.append(e)
+    # spec evolution (r10): kept files written under an OLDER partition
+    # spec cannot share the new manifest (its partition record has the
+    # default spec's shape) — they split into one side manifest per
+    # foreign spec, each listed under ITS OWN partition_spec_id
+    side_by_spec: dict[int, list] = {}
+    default_spec_now = int(
+        (meta or {}).get("default-spec-id", 0) or 0
+    )
     for d in existing:
+        espec = d.pop("_spec_id", None)
         e = {"status": 0, "snapshot_id": d.pop("_snapshot_id", None),
              "data_file": d}
         dseq = d.pop("_seq", None)
@@ -1282,7 +1300,10 @@ def _publish_snapshot(
             # scoping for any later reader
             e["sequence_number"] = dseq
             e["file_sequence_number"] = dseq
-        entries.append(e)
+        if espec is not None and int(espec) != default_spec_now:
+            side_by_spec.setdefault(int(espec), []).append(e)
+        else:
+            entries.append(e)
     spec_src = meta if meta is not None else {
         "partition-specs": partition_specs or [],
         "default-spec-id": 0,
@@ -1381,17 +1402,55 @@ def _publish_snapshot(
             sequence_number=seq,
             min_sequence_number=min([seq, *kept_seqs]),
             added_files_count=len(added),
-            existing_files_count=len(existing),
+            existing_files_count=len(entries) - len(added),
             deleted_files_count=0,
             added_rows_count=sum(
                 int(d.get("record_count", 0) or 0) for d in added
             ),
             existing_rows_count=sum(
-                int(d.get("record_count", 0) or 0) for d in existing
+                int(e["data_file"].get("record_count", 0) or 0)
+                for e in entries if e["status"] == 0
             ),
             deleted_rows_count=0,
         )
     ml_entries.append(new_ml)
+    for espec, side_entries in sorted(side_by_spec.items()):
+        side_pf = _partition_fields(spec_src, espec)
+        side_avro = _partition_avro_fields(side_pf) if side_pf else None
+        if side_avro:
+            for e in side_entries:
+                e["data_file"].setdefault("partition", {})
+        sm_name = (
+            f"manifest-{snapshot_id}-s{espec}-{uuid.uuid4().hex[:8]}.avro"
+        )
+        sm_path = os.path.join(mdir, sm_name)
+        write_avro(sm_path, _manifest_schema(side_avro, fv), side_entries)
+        sml = {
+            "manifest_path": sm_path,
+            "manifest_length": os.path.getsize(sm_path),
+            "partition_spec_id": espec,
+            "added_snapshot_id": snapshot_id,
+        }
+        if fv == 2:
+            sseqs = [
+                e["sequence_number"] for e in side_entries
+                if e.get("sequence_number") is not None
+            ]
+            sml.update(
+                content=0,
+                sequence_number=seq,
+                min_sequence_number=min([seq, *sseqs]),
+                added_files_count=0,
+                existing_files_count=len(side_entries),
+                deleted_files_count=0,
+                added_rows_count=0,
+                existing_rows_count=sum(
+                    int(e["data_file"].get("record_count", 0) or 0)
+                    for e in side_entries
+                ),
+                deleted_rows_count=0,
+            )
+        ml_entries.append(sml)
     if added_deletes:
         if fv != 2:
             raise IcebergError(
@@ -1704,18 +1763,27 @@ def _transform_expr(pf: _PartField):
     )
 
 
-def _partition_fields(meta: dict) -> list[_PartField]:
-    """Default-spec partition fields, transform-aware (VERDICT r7 #5 —
-    r7 shipped identity only; bucket/truncate/year/month/day/hour now
-    stage natively). Empty list = unpartitioned."""
+def _partition_fields(
+    meta: dict, spec_id: "int | None" = None
+) -> list[_PartField]:
+    """Partition fields of the given spec (default spec when omitted),
+    transform-aware (VERDICT r7 #5 — r7 shipped identity only;
+    bucket/truncate/year/month/day/hour now stage natively). Empty list
+    = unpartitioned. With spec evolution (r10) each manifest entry
+    prunes under ITS OWN spec, hence the spec_id parameter."""
     specs = meta.get("partition-specs") or [
         {"spec-id": 0, "fields": meta.get("partition-spec", [])}
     ]
-    default = next(
-        (s for s in specs
-         if s.get("spec-id", 0) == meta.get("default-spec-id", 0)),
-        specs[0],
+    want = (
+        int(meta.get("default-spec-id", 0) or 0)
+        if spec_id is None else int(spec_id)
     )
+    default = next(
+        (s for s in specs if int(s.get("spec-id", 0) or 0) == want),
+        specs[0] if spec_id is None else None,
+    )
+    if default is None:
+        return []
     fields = default.get("fields") or []
     if not fields:
         return []
@@ -2239,6 +2307,7 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
             )
         d["file_path"] = _resolve(d["file_path"], meta, table_path)
         d["_snapshot_id"] = e.get("snapshot_id")
+        d["_spec_id"] = e.get("_spec_id", 0)
         d["_seq"] = e.get("_seq")  # kept files retain their data seq (v2)
         d.setdefault("block_size_in_bytes", 67108864)
         active.append(d)
@@ -2497,6 +2566,7 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
         )
         if content == 0:
             d["_snapshot_id"] = e.get("snapshot_id")
+            d["_spec_id"] = e.get("_spec_id", 0)
             d["_seq"] = e.get("_seq")
             d["_resolved"] = resolved
             d["_scope"] = scope
@@ -2756,6 +2826,162 @@ def _write_metadata_version(
     return version
 
 
+_TRANSFORM_SQL_RE = re.compile(
+    r"(?:(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(year|month|day|hour)\s*\(\s*(\w+)\s*\)"
+    r"|(\w+))$",
+    re.IGNORECASE,
+)
+
+
+def _parse_transform_sql(expr: str) -> tuple[str, str]:
+    """'bucket(4, col)' / 'truncate(3, col)' / 'year(col)' / 'col' ->
+    (source column, iceberg transform string) — the ADD PARTITION FIELD
+    SQL forms (iceberg-spark DDL)."""
+    m = _TRANSFORM_SQL_RE.fullmatch(expr.strip())
+    if not m:
+        raise IcebergError(
+            f"unsupported partition transform expression {expr!r}"
+        )
+    if m.group(1):
+        return m.group(3), f"{m.group(1).lower()}[{m.group(2)}]"
+    if m.group(4):
+        return m.group(5), m.group(4).lower()
+    return m.group(6), "identity"
+
+
+def _default_partition_field_name(src: str, transform: str) -> str:
+    if transform == "identity":
+        return src
+    if transform.startswith("bucket"):
+        return f"{src}_bucket"
+    if transform.startswith("truncate"):
+        return f"{src}_trunc"
+    return f"{src}_{transform}"
+
+
+def add_partition_field_iceberg_native(
+    table_path: str, expr: str, name: "str | None" = None
+) -> int:
+    """ALTER TABLE ADD PARTITION FIELD (partition-spec evolution, r10 —
+    VERDICT r9 next #5): commit a NEW spec = current default fields +
+    the new field and make it the default. Metadata-only (one KB-scale
+    commit): existing files keep their original spec-id — manifest-list
+    entries record it and the reader prunes each entry under ITS OWN
+    spec — while new writes partition by the evolved spec, exactly the
+    iceberg-spec evolution model. Returns the new spec id."""
+    import time
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    src, transform = _parse_transform_sql(expr)
+    by_name = {
+        f["name"]: f for f in _current_schema_obj(meta).get("fields", [])
+    }
+    if src not in by_name:
+        raise IcebergError(f"unknown partition source column {src!r}")
+    specs = meta.get("partition-specs") or [
+        {"spec-id": 0, "fields": meta.get("partition-spec", [])}
+    ]
+    default = next(
+        (s for s in specs
+         if int(s.get("spec-id", 0) or 0)
+         == int(meta.get("default-spec-id", 0) or 0)),
+        specs[0],
+    )
+    if name is None:
+        name = _default_partition_field_name(src, transform)
+    if any(f.get("name") == name for f in default.get("fields", [])):
+        raise IcebergError(f"partition field {name!r} already exists")
+    # partition field ids are unique across ALL specs (spec: ids start
+    # at 1000 and never reuse)
+    last_pid = max(
+        [int(meta.get("last-partition-id", 999) or 999)]
+        + [int(f.get("field-id", 0) or 0)
+           for s in specs for f in s.get("fields", [])]
+    )
+    new_field = {
+        "name": name,
+        "transform": transform,
+        "source-id": int(by_name[src]["id"]),
+        "field-id": last_pid + 1,
+    }
+    new_spec_id = 1 + max(
+        (int(s.get("spec-id", 0) or 0) for s in specs), default=0
+    )
+    new_spec = {
+        "spec-id": new_spec_id,
+        "fields": list(default.get("fields") or []) + [new_field],
+    }
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = list(specs) + [new_spec]
+    new_meta["default-spec-id"] = new_spec_id
+    new_meta["last-partition-id"] = last_pid + 1
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(
+        os.path.join(table_path, "metadata"), new_meta,
+        version=_metadata_version(table_path) + 1,
+    )
+    return new_spec_id
+
+
+def drop_partition_field_iceberg_native(table_path: str, expr: str) -> int:
+    """ALTER TABLE DROP PARTITION FIELD: a new default spec WITHOUT the
+    named field (match by partition field name or by transform
+    expression). Existing files stay pruned under their own spec;
+    future writes stop partitioning by it. Returns the new spec id."""
+    import time
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    specs = meta.get("partition-specs") or [
+        {"spec-id": 0, "fields": meta.get("partition-spec", [])}
+    ]
+    default = next(
+        (s for s in specs
+         if int(s.get("spec-id", 0) or 0)
+         == int(meta.get("default-spec-id", 0) or 0)),
+        specs[0],
+    )
+    fields = list(default.get("fields") or [])
+    want = expr.strip()
+    try:
+        src, transform = _parse_transform_sql(want)
+    except IcebergError:
+        src, transform = None, None
+    by_id = {
+        int(f["id"]): f["name"]
+        for f in _current_schema_obj(meta).get("fields", [])
+    }
+
+    def _matches(f) -> bool:
+        if f.get("name") == want:
+            return True
+        return (
+            transform is not None
+            and f.get("transform") == transform
+            and by_id.get(int(f.get("source-id", 0) or 0)) == src
+        )
+
+    keep = [f for f in fields if not _matches(f)]
+    if len(keep) == len(fields):
+        raise IcebergError(f"unknown partition field {want!r}")
+    new_spec_id = 1 + max(
+        (int(s.get("spec-id", 0) or 0) for s in specs), default=0
+    )
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = list(specs) + [
+        {"spec-id": new_spec_id, "fields": keep}
+    ]
+    new_meta["default-spec-id"] = new_spec_id
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(
+        os.path.join(table_path, "metadata"), new_meta,
+        version=_metadata_version(table_path) + 1,
+    )
+    return new_spec_id
+
+
 def add_column_iceberg_native(table_path: str, name: str,
                               ddl_type: str) -> int:
     """ALTER TABLE ADD COLUMN (schema evolution): a new schema with the
@@ -2979,6 +3205,7 @@ def optimize_iceberg_native(
             )
         d["_resolved"] = _resolve(d["file_path"], meta, table_path)
         d["_snapshot_id"] = e.get("snapshot_id")
+        d["_spec_id"] = e.get("_spec_id", 0)
         d["_seq"] = e.get("_seq")
         active.append(d)
     dirty = _table_needs_id_resolution(meta, entries)
@@ -3123,6 +3350,7 @@ def merge_iceberg_native(
             )
         d["file_path"] = _resolve(d["file_path"], meta, table_path)
         d["_snapshot_id"] = e.get("snapshot_id")
+        d["_spec_id"] = e.get("_spec_id", 0)
         d["_seq"] = e.get("_seq")  # kept files retain their data seq (v2)
         d.setdefault("block_size_in_bytes", 67108864)
         active.append(d)
