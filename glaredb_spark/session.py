@@ -129,7 +129,9 @@ _ALTER_RE = re.compile(
     r"|RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
     r"|DROP\s+COLUMN\s+(\w+)"
     r"|ADD\s+PARTITION\s+FIELD\s+([^;]+?)"
-    r"|DROP\s+PARTITION\s+FIELD\s+([^;]+?))\s*;?\s*$",
+    r"|DROP\s+PARTITION\s+FIELD\s+([^;]+?)"
+    r"|ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
+    r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?))\s*;?\s*$",
     re.IGNORECASE,
 )
 _REORG_RE = re.compile(
@@ -837,6 +839,21 @@ class GlareSession:
 
                 _drop(path, m.group(6))
                 msg = f"dropped column {m.group(6)}"
+            elif m.group(9):  # ALTER COLUMN TYPE (widening)
+                if kind == "iceberg":
+                    from glaredb_spark.sources.iceberg_native import (
+                        widen_column_iceberg_native as _widen,
+                    )
+                else:
+                    from glaredb_spark.sources.delta_native import (
+                        widen_column_delta_native as _widen,
+                    )
+
+                _widen(path, m.group(9), m.group(10))
+                msg = (
+                    f"widened column {m.group(9)} to "
+                    f"{m.group(10).lower()}"
+                )
             elif m.group(7):  # ADD PARTITION FIELD (iceberg only)
                 if kind != "iceberg":
                     raise ValueError(

@@ -30,18 +30,28 @@ def footer_minmax(pq_meta, nested: bool = False):
             if "." in name and not nested:
                 continue
             st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                has = st is not None and st.has_min_max
+                # force extraction here: pyarrow raises
+                # ArrowNotImplementedError lazily on .min for types it
+                # can't cast (e.g. some decimal physical layouts) — a
+                # column with unreadable stats records NO bound, it
+                # must not fail the write (r10)
+                lo_hi = (st.min, st.max) if has else None
+            except Exception:
+                has, lo_hi = False, None
+            if not has:
                 mins.pop(name, None)
                 maxs.pop(name, None)
                 complete.discard(name)
                 continue
             nulls[name] = nulls.get(name, 0) + int(st.null_count or 0)
             if rg == 0:
-                mins[name], maxs[name] = st.min, st.max
+                mins[name], maxs[name] = lo_hi
                 complete.add(name)
             elif name in complete:
-                mins[name] = min(mins[name], st.min)
-                maxs[name] = max(maxs[name], st.max)
+                mins[name] = min(mins[name], lo_hi[0])
+                maxs[name] = max(maxs[name], lo_hi[1])
     return mins, maxs, nulls, complete
 
 
