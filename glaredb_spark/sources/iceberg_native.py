@@ -209,8 +209,9 @@ def _strip_schema_field_ids(st):
 
 
 def _ddl_of_ice_type(t) -> str:
-    """Iceberg type (JSON) -> Spark DDL string (primitives + struct;
-    list/map degrade to string — display/null-fill paths only)."""
+    """Iceberg type (JSON) -> Spark DDL string — full fidelity for
+    primitives, struct, list, and map (r10: containers no longer
+    degrade to string in display DDL / null-fill paths)."""
     if isinstance(t, str):
         base = t.split("(")[0]
         return _PRIMITIVES.get(
@@ -223,6 +224,13 @@ def _ddl_of_ice_type(t) -> str:
             for f in t.get("fields", [])
         )
         return f"struct<{inner}>"
+    if isinstance(t, dict) and t.get("type") == "list":
+        return f"array<{_ddl_of_ice_type(t.get('element'))}>"
+    if isinstance(t, dict) and t.get("type") == "map":
+        return (
+            f"map<{_ddl_of_ice_type(t.get('key'))},"
+            f"{_ddl_of_ice_type(t.get('value'))}>"
+        )
     return "string"
 
 
@@ -1018,22 +1026,9 @@ def _spark_schema(meta: dict) -> str:
         schemas[0],
     )
 
-    def _ddl(t) -> str:
-        if isinstance(t, str):
-            base = t.split("(")[0]
-            return _PRIMITIVES.get(
-                base, t if t.startswith("decimal") else "string"
-            )
-        if isinstance(t, dict) and t.get("type") == "struct":
-            inner = ", ".join(
-                f"`{f['name']}`: {_ddl(f['type'])}"
-                for f in t.get("fields", [])
-            )
-            return f"struct<{inner}>"
-        return "string"  # list/map: display-only
-
     parts = [
-        f"`{f['name']}` {_ddl(f['type'])}" for f in cur.get("fields", [])
+        f"`{f['name']}` {_ddl_of_ice_type(f['type'])}"
+        for f in cur.get("fields", [])
     ]
     return ", ".join(parts)
 
@@ -1178,12 +1173,39 @@ def _iceberg_schema(df) -> dict:
     counter = [0]
 
     def _ice_type(dt, colname):
+        from pyspark.sql.types import ArrayType, MapType
+
         s = dt.simpleString()
         t = _SPARK_TO_ICE.get(s)
         if t is None and s.startswith("decimal"):
             return s.replace("decimal", "decimal").replace(",", ", ")
         if t is None and isinstance(dt, StructType):
             return {"type": "struct", "fields": _fields(dt)}
+        if t is None and isinstance(dt, ArrayType):
+            # spec list type: element gets its own field id (r10 —
+            # container columns no longer refused; primitive element
+            # leaves additionally record manifest bounds)
+            counter[0] += 1
+            eid = counter[0]
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": _ice_type(dt.elementType, colname),
+                "element-required": not dt.containsNull,
+            }
+        if t is None and isinstance(dt, MapType):
+            counter[0] += 1
+            kid = counter[0]
+            counter[0] += 1
+            vid = counter[0]
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": _ice_type(dt.keyType, colname),
+                "value-id": vid,
+                "value": _ice_type(dt.valueType, colname),
+                "value-required": not dt.valueContainsNull,
+            }
         if t is None:
             raise IcebergError(
                 f"cannot map Spark type {s!r} (column {colname!r}) to an "
@@ -1210,9 +1232,32 @@ def _leaf_fields(schema_obj: dict) -> "dict[str, tuple[int, str]]":
     """{leaf name -> (field id, primitive type)} over the schema,
     dotted for struct members ('info.score') — the names parquet footer
     statistics use, so struct leaves get manifest bounds and bounds
-    pruning exactly like top-level columns. List/map element leaves are
-    skipped (their stats don't bound equality predicates)."""
+    pruning exactly like top-level columns.
+
+    List/map PRIMITIVE element leaves (r10): registered under BOTH
+    their parquet stats path ('tags.list.element', 'm.key_value.key')
+    — matched when the writer folds footer stats into manifest bounds
+    — and a canonical short alias ('tags.element', 'm.key') the
+    value_filter pruner resolves, so an array_contains-style predicate
+    can skip files whose element bounds exclude the literal."""
     out: dict = {}
+
+    def put_container(t, name):
+        if t.get("type") == "list":
+            el = t.get("element")
+            eid = t.get("element-id")
+            if isinstance(el, str) and eid is not None:
+                out[name + ".list.element"] = (int(eid), el)
+                out[name + ".element"] = (int(eid), el)
+            elif isinstance(el, dict):
+                put_container(el, name + ".list.element")
+        elif t.get("type") == "map":
+            for part, stat in (("key", "key"), ("value", "value")):
+                sub = t.get(part)
+                sid = t.get(f"{part}-id")
+                if isinstance(sub, str) and sid is not None:
+                    out[f"{name}.key_value.{stat}"] = (int(sid), sub)
+                    out[f"{name}.{part}"] = (int(sid), sub)
 
     def walk(fields, prefix):
         for f in fields:
@@ -1222,6 +1267,8 @@ def _leaf_fields(schema_obj: dict) -> "dict[str, tuple[int, str]]":
                 out[name] = (int(f["id"]), t)
             elif isinstance(t, dict) and t.get("type") == "struct":
                 walk(t.get("fields", []), name + ".")
+            elif isinstance(t, dict):
+                put_container(t, name)
 
     walk(schema_obj.get("fields", []), "")
     return out
@@ -1251,16 +1298,22 @@ def _max_field_id(schema_obj: dict) -> int:
     metadata and future id assignment would collide (r9 review)."""
     best = 0
 
+    def walk_type(t):
+        nonlocal best
+        if not isinstance(t, dict):
+            return
+        walk(t.get("fields", []) or [])
+        for k in ("element-id", "key-id", "value-id"):
+            if t.get(k):
+                best = max(best, int(t[k]))
+        for k in ("element", "key", "value"):
+            walk_type(t.get(k))
+
     def walk(fields):
         nonlocal best
         for f in fields:
             best = max(best, int(f.get("id", 0) or 0))
-            t = f.get("type")
-            if isinstance(t, dict):
-                walk(t.get("fields", []) or [])
-                for k in ("element-id", "key-id", "value-id"):
-                    if t.get(k):
-                        best = max(best, int(t[k]))
+            walk_type(f.get("type"))
 
     walk(schema_obj.get("fields", []))
     return best
