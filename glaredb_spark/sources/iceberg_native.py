@@ -433,8 +433,12 @@ def _evolved_read_schema(spark, meta: dict, paths: list):
         )
         by_name = {f.name: f for f in merged.fields}
     except Exception:
-        if any(_declared_primitive_ddl(f["type"]) is None for f in cur):
-            raise  # complex columns need inference; nothing to fall back on
+        # pre-/post-widen files coexist: every field rebuilds from the
+        # declared schema — containers via the now-faithful
+        # _ddl_of_ice_type (struct/list/map keep shape; only uuid/fixed
+        # degrade to string, same as the legacy null-fill path). Raising
+        # here would make a widened table with ANY container column
+        # permanently unreadable, OPTIMIZE included (r10 review #1)
         by_name = {}
     fields = []
     for f in cur:
@@ -1167,7 +1171,16 @@ def _iceberg_schema(df) -> dict:
     """Spark DataFrame schema -> iceberg schema JSON. Struct columns map
     recursively (field ids assigned depth-first by one counter, like
     java Iceberg's assignFreshIds); their leaves get manifest bounds
-    via _leaf_fields."""
+    via _leaf_fields.
+
+    Container divergence (documented): list element / map key+value
+    field ids are minted in the METADATA, but Spark's parquet writer
+    has no way to stamp ids on element nodes (alias metadata addresses
+    fields only), so the data files carry ids down to the container
+    column itself and are name-resolvable below it. This reader and
+    Spark read containers by name; a strict id-resolving external
+    reader may not bind the element ids on files this writer produced
+    (r10 review #3)."""
     from pyspark.sql.types import StructType
 
     counter = [0]
@@ -1627,6 +1640,14 @@ def _publish_snapshot(
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": ml_path,
+        # spec field: lineage for the changelog reader (a range whose
+        # start has an EXPIRED parent must raise, not replay the whole
+        # carried-forward state as inserts — r10 review #2)
+        **(
+            {"parent-snapshot-id": int(prev["current-snapshot-id"])}
+            if prev.get("current-snapshot-id") is not None
+            else {}
+        ),
         # spec field: the schema current when this snapshot was written.
         # Rename/drop reads derive each file's write-time id→name map
         # from its adding snapshot's schema-id — no footer reads (r10)
@@ -3028,6 +3049,34 @@ def add_partition_field_iceberg_native(
     }
     if src not in by_name:
         raise IcebergError(f"unknown partition source column {src!r}")
+    # validate the transform against the source type BEFORE committing:
+    # a bad default spec fails only on the NEXT write, after external
+    # readers already see it (r10 review #5)
+    src_t = by_name[src]["type"]
+    base = src_t.split("(")[0] if isinstance(src_t, str) else None
+    m_param = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", transform)
+    if m_param and int(m_param.group(2)) < 1:
+        raise IcebergError(
+            f"{m_param.group(1)} width must be >= 1, got "
+            f"{m_param.group(2)}"
+        )
+    ok_types = {
+        "identity": {"boolean", "int", "long", "float", "double", "date",
+                     "string", "decimal", "timestamp", "timestamptz"},
+        "bucket": {"int", "long", "string", "date", "timestamp",
+                   "timestamptz", "decimal"},
+        "truncate": {"int", "long", "string", "decimal"},
+        "year": {"date", "timestamp", "timestamptz"},
+        "month": {"date", "timestamp", "timestamptz"},
+        "day": {"date", "timestamp", "timestamptz"},
+        "hour": {"timestamp", "timestamptz"},
+    }
+    kind = m_param.group(1) if m_param else transform
+    if base is None or base not in ok_types.get(kind, set()):
+        raise IcebergError(
+            f"partition transform {transform!r} does not apply to "
+            f"column {src!r} of type {src_t!r}"
+        )
     specs = meta.get("partition-specs") or [
         {"spec-id": 0, "fields": meta.get("partition-spec", [])}
     ]
@@ -3376,13 +3425,18 @@ def optimize_iceberg_native(
                 and int(d.get("file_size_in_bytes", 0) or 0)
                 < min_file_bytes)
         ]
-        keep = [d for d in active if d not in rewrite]
+        # identity-based split: `d not in rewrite` is O(keep x rewrite)
+        # full-dict comparisons — minutes of driver CPU at the 100k-file
+        # scale this path exists for (r10 review #6)
+        rw = {id(d) for d in rewrite}
+        keep = [d for d in active if id(d) not in rw]
     elif min_file_bytes and not zorder_by:
         rewrite = [
             d for d in active
             if int(d.get("file_size_in_bytes", 0) or 0) < min_file_bytes
         ]
-        keep = [d for d in active if d not in rewrite]
+        rw = {id(d) for d in rewrite}
+        keep = [d for d in active if id(d) not in rw]
     else:
         rewrite, keep = active, []
     if len(rewrite) < 2 and not zorder_by and not dirty:
@@ -3946,11 +4000,19 @@ def changes_iceberg_native(
 
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
+    # rename/drop dirty window: files written BEFORE the revision carry
+    # superseded column names, and these per-snapshot scans select by
+    # CURRENT name. The check is per-range (files actually touched),
+    # not a table-lifetime gate — after OPTIMIZE normalizes, every
+    # later snapshot's files pass and the changelog works again
+    # (the r10-early global _renamed_or_dropped gate could never be
+    # satisfied by its own prescribed remediation — r10 review #4)
+    dirty_seq: "int | None" = None
     if _renamed_or_dropped(meta):
-        raise IcebergError(
-            "iceberg.changes on a renamed/dropped-column table is not "
-            "supported; run OPTIMIZE to normalize the files first"
+        marker = (meta.get("properties") or {}).get(
+            "glaredb.evolution-dirty-seq"
         )
+        dirty_seq = int(marker) if marker is not None else 10**18
     snaps = sorted(
         meta.get("snapshots", []),
         key=lambda s: (int(s.get("sequence-number", 0) or 0),
@@ -4028,6 +4090,24 @@ def changes_iceberg_native(
             ).alias("_commit_timestamp"),
         )
 
+    def _require_clean(sid: int, *file_dicts):
+        """Refuse scans over files predating a RENAME/DROP (their
+        columns resolve by field id, these scans select by name)."""
+        if dirty_seq is None:
+            return
+        bad = sum(
+            1
+            for dct in file_dicts
+            for v in dct.values()
+            if int(v[1]) <= dirty_seq
+        )
+        if bad:
+            raise IcebergError(
+                f"iceberg.changes: snapshot {sid} touches {bad} file(s) "
+                "written before a RENAME/DROP COLUMN; start the range "
+                "at a snapshot after OPTIMIZE normalized the table"
+            )
+
     pieces = []
     prev_sets: "tuple | None" = None  # (data, dels) of the previous snapshot
     for idx in range(i0, i1 + 1):
@@ -4037,6 +4117,23 @@ def changes_iceberg_native(
         op = (s.get("summary") or {}).get("operation", "")
         if prev_sets is None:
             if idx == 0:
+                # the range starts at the OLDEST retained snapshot: only
+                # a true first snapshot has no predecessor. A recorded
+                # parent id, or carried-forward entries added by another
+                # (expired) snapshot, mean history is gone — replaying
+                # the whole carried state as 'insert's would double-
+                # ingest it downstream (r10 review #2)
+                inherited = s.get("parent-snapshot-id") is not None or any(
+                    e.get("snapshot_id") not in (None, sid)
+                    for e in _manifest_entries(meta, table_path, sid)
+                    if _STATUS.get(e.get("status", 0)) != "DELETED"
+                )
+                if inherited:
+                    raise IcebergError(
+                        f"snapshot {sid}'s predecessor has been expired "
+                        "— its changes cannot be derived; start "
+                        "iceberg.changes at a later snapshot"
+                    )
                 data_p, dels_p = {}, {}
             else:
                 data_p, dels_p = _snapshot_file_sets(
@@ -4053,6 +4150,7 @@ def changes_iceberg_native(
         added_data = {k: v for k, v in data_s.items() if k not in data_p}
         removed_data = {k: v for k, v in data_p.items() if k not in data_s}
         added_dels = {k: v for k, v in dels_s.items() if k not in dels_p}
+        _require_clean(sid, added_data, removed_data, added_dels)
         if added_dels and removed_data:
             raise IcebergError(
                 f"snapshot {sid} ({op!r}) both removed data files and "
@@ -4068,6 +4166,7 @@ def changes_iceberg_native(
             cand = {
                 k: v for k, v in data_p.items() if v[1] <= max_seq
             }
+            _require_clean(sid, cand, dels_p)
             if cand:
                 before = _visible(cand, dels_p)
                 after = _visible(cand, dels_s)
@@ -4087,6 +4186,7 @@ def changes_iceberg_native(
             # of the removed files are taken as VISIBLE rows (older
             # delete files still apply); added files are newer than
             # every existing delete file, so they scan plain.
+            _require_clean(sid, dels_p)
             before = _visible(removed_data, dels_p)
             after = _scan([v[0] for v in added_data.values()])
             pieces.append(_attach(
@@ -4105,6 +4205,7 @@ def changes_iceberg_native(
                 "insert", sid, ts_ms,
             ))
         elif removed_data:
+            _require_clean(sid, dels_p)
             pieces.append(_attach(
                 _visible(removed_data, dels_p)
                 .withColumn("_change_type", F.lit("delete")),

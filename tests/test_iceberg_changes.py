@@ -156,3 +156,50 @@ def test_sql_tvf(spark, tmp_path):
     assert [tuple(r) for r in got] == [
         (1, "a", "insert"), (2, "b", "insert"), (1, "a", "delete"),
     ]
+
+def test_changes_refuses_expired_predecessor(spark, tmp_path):
+    """r10 review #2: after snapshot expiration, the oldest retained
+    snapshot must not replay its carried-forward state as inserts."""
+    from glaredb_spark.sources.iceberg_native import (
+        expire_snapshots_iceberg_native,
+    )
+
+    p = str(tmp_path / "exp")
+    write_iceberg_native(
+        spark.createDataFrame([(i, "x") for i in range(20)],
+                              "id long, v string").coalesce(1),
+        p, format_version=2,
+    )
+    s2 = write_iceberg_native(
+        spark.createDataFrame([(100, "y")], "id long, v string"), p
+    )
+    expire_snapshots_iceberg_native(p, retention_hours=0, retain_last=1)
+    with pytest.raises(IcebergError, match="expired"):
+        _changes(spark, p, s2, s2)
+
+
+def test_changes_after_rename_normalize(spark, tmp_path):
+    """r10 review #4: the dirty gate is per-range — snapshots touching
+    pre-rename files raise, but a range starting after OPTIMIZE
+    normalized the table works."""
+    from glaredb_spark.sources.iceberg_native import (
+        optimize_iceberg_native,
+        rename_column_iceberg_native,
+    )
+
+    p = str(tmp_path / "ren")
+    s1 = write_iceberg_native(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        .coalesce(1),
+        p, format_version=2,
+    )
+    rename_column_iceberg_native(p, "v", "label")
+    optimize_iceberg_native(spark, p)  # normalizes; snapshot 2 (replace)
+    delete_iceberg_native(spark, p, "id = 1", strategy="cow")  # snapshot 3
+    # the pre-rename snapshot's files resolve by field id -> refused
+    with pytest.raises(IcebergError, match="RENAME/DROP"):
+        _changes(spark, p, s1).count()
+    # post-normalize range replays fine under the CURRENT names
+    got = changes_iceberg_native(spark, p, 3, 3)
+    assert [(r["id"], r["label"], r["_change_type"])
+            for r in got.collect()] == [(1, "a", "delete")]

@@ -143,3 +143,23 @@ def test_sql_alter_partition_field(spark, tmp_path):
     write_delta_native(_df(spark, 0, 5), dp)
     with pytest.raises(ValueError, match="iceberg"):
         sess.sql(f"ALTER TABLE '{dp}' ADD PARTITION FIELD lang")
+
+def test_add_partition_field_validates_transform(spark, tmp_path):
+    """r10 review #5: a transform incompatible with the source type (or
+    a zero bucket width) is refused BEFORE the spec commits."""
+    p = str(tmp_path / "val")
+    write_iceberg_native(
+        _df(spark, 0, 5), p, partition_by=["lang"], format_version=2
+    )
+    with pytest.raises(IcebergError, match="does not apply"):
+        add_partition_field_iceberg_native(p, "year(lang)")
+    with pytest.raises(IcebergError, match=">= 1"):
+        add_partition_field_iceberg_native(p, "bucket(0, doc_id)")
+    with pytest.raises(IcebergError, match="does not apply"):
+        add_partition_field_iceberg_native(p, "hour(doc_id)")
+    with pytest.raises(IcebergError, match="unknown partition source"):
+        add_partition_field_iceberg_native(p, "bucket(4, nope)")
+    # nothing committed
+    from glaredb_spark.sources.iceberg_native import table_metadata
+
+    assert table_metadata(p)["default-spec-id"] == 0

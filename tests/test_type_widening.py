@@ -134,3 +134,37 @@ def test_sql_alter_column_type(spark, tmp_path):
     got = sess.sql(f"SELECT * FROM iceberg.scan('{p}')")
     assert dict(got.dtypes) == {"id": "bigint", "d": "decimal(18,2)"}
     assert got.collect()[0]["d"] == Decimal("2.50")
+
+def test_widen_with_container_column_stays_readable(spark, tmp_path):
+    """r10 review #1: widening a table that ALSO has a container column
+    must not make it unreadable once narrow+wide files coexist (the
+    merge-inference failure falls back to declared types, containers
+    included), and OPTIMIZE can still normalize."""
+    from glaredb_spark.sources.iceberg_native import (
+        optimize_iceberg_native,
+        read_iceberg_native,
+        widen_column_iceberg_native,
+        write_iceberg_native,
+    )
+
+    p = str(tmp_path / "wc")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, [f"t{i}"]) for i in range(5)],
+            "id int, tags array<string>",
+        ).coalesce(1),
+        p, format_version=2,
+    )
+    widen_column_iceberg_native(p, "id", "long")
+    write_iceberg_native(
+        spark.createDataFrame([(2**40, ["big"])],
+                              "id long, tags array<string>").coalesce(1),
+        p,
+    )
+    got = read_iceberg_native(spark, p)  # mixed int/long + array column
+    assert got.count() == 6
+    assert got.filter(f"id = {2**40}").collect()[0]["tags"] == ["big"]
+    assert dict(got.dtypes)["tags"] == "array<string>"
+    optimize_iceberg_native(spark, p)
+    got2 = read_iceberg_native(spark, p)
+    assert got2.count() == 6 and dict(got2.dtypes)["id"] == "bigint"
