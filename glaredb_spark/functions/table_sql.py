@@ -660,12 +660,16 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
     )
     unknown = set(named) - {
         "region", "key_id", "secret", "access_key_id",
-        "secret_access_key", "prune",
+        "secret_access_key", "prune", "as_of",
     }
     if unknown:
         raise ValueError(
             f"unsupported named argument(s) for read_delta: "
             f"{sorted(unknown)}"
+        )
+    if named.get("as_of") and version is not None:
+        raise ValueError(
+            "read_delta takes a version OR as_of=, not both"
         )
     # prune='col=value[,col2=value2]' — log-level file skipping through
     # BOTH partitionValues and per-file stats (min/max), mirroring the
@@ -688,6 +692,14 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
         # the table prefix into the local cache (KB-scale metadata +
         # the table's data files)
         path = _osm.localize_prefix(path)
+    if named.get("as_of"):
+        # time travel by timestamp (r10): resolve the commit version
+        # once via the native log walk, then either reader serves it
+        from glaredb_spark.sources.delta_native import (
+            version_as_of_delta_native,
+        )
+
+        version = version_as_of_delta_native(path, named["as_of"])
     view = _view_name(
         "read_delta", f"{path}@{version}|{named.get('prune') or ''}"
     )
@@ -767,12 +779,20 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
     )
     unknown = set(named) - {
         "region", "access_key_id", "secret_access_key", "service_account",
-        "prune",
+        "prune", "as_of",
     }
     if unknown:
         raise ValueError(
             f"unsupported named argument(s) for iceberg.{fn}: "
             f"{sorted(unknown)}"
+        )
+    if named.get("as_of") and fn not in ("scan", "read"):
+        raise ValueError(
+            f"as_of= applies to iceberg.scan/read, not iceberg.{fn}"
+        )
+    if named.get("as_of") and m.group(3):
+        raise ValueError(
+            "iceberg.scan takes a snapshot id OR as_of=, not both"
         )
     # prune='col=value[,col2=value2]' — manifest-level partition-file
     # pruning (read_iceberg_native partition_filter); literals arrive as
@@ -812,19 +832,23 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
     view = _view_name(
         f"iceberg.{fn}",
         # delimited: 'p'|12|'a=1' and 'p'|1|'2a=1' must not collide
-        f"{path}|{m.group(3) or ''}|{named.get('prune') or ''}",
+        f"{path}|{m.group(3) or ''}|{named.get('prune') or ''}"
+        f"|{named.get('as_of') or ''}",
     )
-    if fn in ("scan", "read") and (m.group(3) or partition_filter):
-        # iceberg.scan('path', <snapshot-id>) — time travel; prune= —
-        # file pruning through BOTH partition tuples and column bounds
-        # (each only ever prunes on proof, so the same equality map
-        # feeds both)
+    if fn in ("scan", "read") and (
+        m.group(3) or partition_filter or named.get("as_of")
+    ):
+        # iceberg.scan('path', <snapshot-id>) / as_of='ts' — time
+        # travel; prune= — file pruning through BOTH partition tuples
+        # and column bounds (each only ever prunes on proof, so the
+        # same equality map feeds both)
         df = _ice.read_iceberg_native(
             spark,
             path,
             int(m.group(3)) if m.group(3) else None,
             partition_filter=partition_filter,
             value_filter=partition_filter,
+            as_of=named.get("as_of"),
         )
         if row_filter:
             df = _apply_prune_row_filter(df, row_filter)

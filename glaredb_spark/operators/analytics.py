@@ -1362,6 +1362,96 @@ def iceberg_change_feed(spark, sf_dir):
 
 
 @register_query(
+    "lakehouse_asof_travel",
+    oracle="""
+WITH a AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 50),
+     b AS (SELECT doc_id, n_chars FROM documents
+           WHERE doc_id >= 50 AND doc_id < 80)
+SELECT * FROM (
+  SELECT 'delta_current' AS stage, COUNT(*) AS c,
+         CAST(SUM(n_chars) AS BIGINT) AS total
+  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+  UNION ALL
+  SELECT 'delta_past', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM a
+  UNION ALL
+  SELECT 'iceberg_current', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+  UNION ALL
+  SELECT 'iceberg_past', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM a
+) ORDER BY stage
+""",
+)
+def lakehouse_asof_travel(spark, sf_dir):
+    """r10 AS OF timestamp time travel on both formats: two commits,
+    then one read pinned to the FIRST commit's own timestamp (newest
+    snapshot/commit <= AS OF) and one current read, aggregated against
+    an algebraic oracle — proves the timestamp→snapshot/version
+    resolution picks exactly the first era."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.delta_native import (
+        read_delta_native,
+        write_delta_native,
+    )
+    from glaredb_spark.sources.files import load_tables
+    from glaredb_spark.sources.iceberg_native import (
+        read_iceberg_native,
+        table_metadata,
+        write_iceberg_native,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "n_chars"
+    )
+    a = docs.filter("doc_id < 50").coalesce(1)
+    b = docs.filter("doc_id >= 50 AND doc_id < 80").coalesce(1)
+
+    def _agg(df, stage):
+        return df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total"),
+        ).select(F.lit(stage).alias("stage"), "c", "total")
+
+    import time as _time
+
+    def _wait_past(ts_ms: int) -> None:
+        # both commits landing in the same millisecond would make
+        # as_of=ts1 ambiguous (newest <= AS OF picks the second)
+        while int(_time.time() * 1000) <= ts_ms:
+            _time.sleep(0.002)
+
+    pieces = []
+    ip = _tf.mkdtemp(prefix="glaredb_asof_ice_")
+    write_iceberg_native(a, ip, format_version=2)
+    ts1 = int(table_metadata(ip)["snapshots"][0]["timestamp-ms"])
+    _wait_past(ts1)
+    write_iceberg_native(b, ip)
+    pieces.append(_agg(read_iceberg_native(spark, ip), "iceberg_current"))
+    pieces.append(
+        _agg(read_iceberg_native(spark, ip, as_of=ts1), "iceberg_past")
+    )
+    dp = _tf.mkdtemp(prefix="glaredb_asof_delta_")
+    import json as _json
+    import os as _os
+
+    write_delta_native(a, dp)
+    ts0 = _json.loads(
+        open(_os.path.join(dp, "_delta_log", f"{0:020d}.json"))
+        .readline()
+    )["commitInfo"]["timestamp"]
+    _wait_past(int(ts0))
+    write_delta_native(b, dp, mode="append")
+    pieces.append(_agg(read_delta_native(spark, dp), "delta_current"))
+    pieces.append(
+        _agg(read_delta_native(spark, dp, as_of=ts0), "delta_past")
+    )
+    out = pieces[0]
+    for df in pieces[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("stage")
+
+
+@register_query(
     "iceberg_container_roundtrip",
     oracle="""
 WITH d AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 80)

@@ -634,10 +634,49 @@ def _stats_prune(stats_json: "str | None", value_filter: dict) -> bool:
     return False
 
 
+def version_as_of_delta_native(path: str, as_of) -> int:
+    """Commit version current AT the given time (delta-spark
+    timestampAsOf semantics): the latest commit whose commitInfo
+    timestamp (file mtime fallback) <= AS OF. KB-scale driver walk of
+    commit headers. Raises when every retained commit is newer."""
+    from glaredb_spark.sources.iceberg_native import parse_as_of_ms
+
+    ts = parse_as_of_ms(as_of)
+    path = os.path.abspath(path)
+    log_dir = os.path.join(path, "_delta_log")
+    latest = _latest_version(log_dir)
+    if latest is None:
+        raise RuntimeError(f"not a Delta table: {path!r}")
+    best = None
+    for ver in range(latest + 1):
+        commit = os.path.join(log_dir, f"{ver:020d}.json")
+        if not os.path.exists(commit):
+            continue  # checkpoint-compacted prefix
+        cts = None
+        with open(commit) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    cts = a["commitInfo"].get("timestamp")
+                break  # commitInfo is the first action our writer emits
+        if cts is None:
+            cts = int(os.stat(commit).st_mtime * 1000)
+        if int(cts) <= ts:
+            best = ver
+    if best is None:
+        raise RuntimeError(
+            f"no commit at or before {as_of!r} in {path!r}"
+        )
+    return best
+
+
 def read_delta_native(
     spark: SparkSession, path: str, version: int | None = None,
     partition_filter: "dict | None" = None,
     value_filter: "dict | None" = None,
+    as_of=None,
 ) -> DataFrame:
     """Read a Delta table directory through the transaction log, returning
     a DataFrame with the table schema (partition columns included).
@@ -655,6 +694,9 @@ def read_delta_native(
     literals, but this keeps the union and file listing small on
     many-partition tables). Values compare as the log's strings; the
     caller still applies the row predicate."""
+    if version is None and as_of is not None:
+        # time travel by timestamp (r10): latest commit <= AS OF
+        version = version_as_of_delta_native(path, as_of)
     state = load_delta_state(path, version=version)
     if value_filter:
         # string literals (the SQL prune= surface) coerce per the TABLE
@@ -2968,3 +3010,38 @@ def table_changes_delta_native(
     for df in pieces[1:]:
         out = out.unionAll(df)
     return out
+
+
+def changes_cursor_delta_native(spark: SparkSession, path: str,
+                                cursor_path: str):
+    """Incremental CDF consumption with a durable cursor — the Delta
+    twin of changes_cursor_iceberg_native: (changes_df, commit) over
+    every commit AFTER the version in ``cursor_path`` (full feed from
+    version 0 on first call); commit() atomically advances the cursor.
+    Returns (None, no-op) when already caught up. A cursor behind the
+    checkpoint-cleaned log raises inside table_changes (honest gap)."""
+    import tempfile
+
+    path = os.path.abspath(path)
+    log_dir = os.path.join(path, "_delta_log")
+    latest = _latest_version(log_dir)
+    if latest is None:
+        raise RuntimeError(f"not a Delta table: {path!r}")
+    cur = None
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            cur = int(json.load(fh)["version"])
+    start = 0 if cur is None else cur + 1
+    if start > latest:
+        return None, (lambda: None)
+    df = table_changes_delta_native(spark, path, start, latest)
+
+    def commit() -> None:
+        d = os.path.dirname(os.path.abspath(cursor_path)) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".cursor")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": latest, "table": path}, fh)
+        os.replace(tmp, cursor_path)
+
+    return df, commit

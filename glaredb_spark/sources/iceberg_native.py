@@ -772,12 +772,61 @@ def _bounds_prune(
     return False
 
 
+def parse_as_of_ms(value) -> int:
+    """AS OF literal -> epoch milliseconds: an all-digit string/int is
+    millis verbatim; otherwise ISO 'YYYY-MM-DD[ HH:MM[:SS]]' (naive
+    values are UTC — snapshot/commit timestamps are epoch-based)."""
+    import datetime
+
+    s = str(value).strip()
+    if re.fullmatch(r"\d+", s):
+        return int(s)
+    try:
+        dt = datetime.datetime.fromisoformat(s)
+    except ValueError:
+        raise IcebergError(
+            f"cannot parse AS OF timestamp {value!r} (expected epoch "
+            "millis or ISO 'YYYY-MM-DD[ HH:MM:SS]')"
+        ) from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def snapshot_as_of_iceberg_native(meta: dict, as_of) -> int:
+    """Snapshot id current AT the given time: the newest snapshot with
+    timestamp-ms <= AS OF (iceberg's snapshot-log semantics). Raises
+    when the table has no snapshot that old."""
+    ts = parse_as_of_ms(as_of)
+    cands = [
+        s for s in meta.get("snapshots", [])
+        if int(s.get("timestamp-ms", 0) or 0) <= ts
+    ]
+    if not cands:
+        raise IcebergError(
+            f"no snapshot at or before {as_of!r} (earliest retained: "
+            + str(min(
+                (int(s.get("timestamp-ms", 0) or 0)
+                 for s in meta.get("snapshots", [])),
+                default=0,
+            ))
+            + " ms)"
+        )
+    best = max(
+        cands,
+        key=lambda s: (int(s.get("timestamp-ms", 0) or 0),
+                       int(s["snapshot-id"])),
+    )
+    return int(best["snapshot-id"])
+
+
 def read_iceberg_native(
     spark,
     table_path: str,
     snapshot_id: int | None = None,
     partition_filter: "dict | None" = None,
     value_filter: "dict | None" = None,
+    as_of=None,
 ):
     """Distributed scan of the table's current snapshot, or of a prior
     one named by ``snapshot_id`` (time travel).
@@ -804,6 +853,9 @@ def read_iceberg_native(
     plain file list; the caller still applies the row predicate (a
     bucket holds many keys)."""
     m = table_metadata(table_path)
+    if snapshot_id is None and as_of is not None:
+        # time travel by timestamp (r10): newest snapshot <= AS OF
+        snapshot_id = snapshot_as_of_iceberg_native(m, as_of)
     # spec evolution (r10): files written under different specs carry
     # different partition tuples — prune each entry under ITS spec
     _pf_cache: dict[int, list] = {}
@@ -4230,3 +4282,57 @@ def changes_iceberg_native(
     for df in pieces[1:]:
         out = out.unionAll(df)
     return out
+
+
+def changes_cursor_iceberg_native(spark, table_path: str,
+                                  cursor_path: str):
+    """Incremental changelog consumption with a durable cursor — the
+    batch-pipeline idiom on top of changes_iceberg_native: each call
+    returns (changes_df, commit) covering every snapshot AFTER the one
+    recorded in ``cursor_path`` (the full feed on first call), and
+    ``commit()`` atomically advances the cursor (temp + os.replace)
+    once the caller has durably processed the batch — crash before
+    commit replays the same range, the exactly-once shape an
+    incremental consumer needs. Returns (None, no-op) when the cursor
+    is already at the current snapshot. A cursor pointing at an
+    EXPIRED snapshot raises (the gap is unrecoverable — same honesty
+    rule as the range reader)."""
+    import tempfile
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    snaps = sorted(
+        meta.get("snapshots", []),
+        key=lambda s: (int(s.get("sequence-number", 0) or 0),
+                       int(s["snapshot-id"])),
+    )
+    ids = [int(s["snapshot-id"]) for s in snaps]
+    if not ids:
+        return None, (lambda: None)
+    cur = None
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            cur = int(json.load(fh)["snapshot_id"])
+    if cur is None:
+        i0 = 0
+    elif cur not in ids:
+        raise IcebergError(
+            f"cursor snapshot {cur} is no longer retained (expired) — "
+            "the incremental feed has a gap; reprocess from a full scan"
+        )
+    else:
+        i0 = ids.index(cur) + 1
+        if i0 >= len(ids):
+            return None, (lambda: None)
+    to = ids[-1]
+    df = changes_iceberg_native(spark, table_path, ids[i0], to)
+
+    def commit() -> None:
+        d = os.path.dirname(os.path.abspath(cursor_path)) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".cursor")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"snapshot_id": to, "table": table_path}, fh)
+        os.replace(tmp, cursor_path)
+
+    return df, commit
