@@ -427,6 +427,22 @@ def _evolved_read_schema(spark, meta: dict, paths: list):
     from pyspark.sql.types import _parse_datatype_string
 
     cur = _current_schema_obj(meta).get("fields", [])
+    # fast path (r10): a schema of faithfully-mappable primitives needs
+    # NO inference at all — the declared types ARE the scan schema
+    # (old files null-fill added columns, narrower files upcast under a
+    # widened type). This keeps evolved-table reads zero-I/O at plan
+    # time: the mergeSchema sweep below reads every file's footer per
+    # read, O(#files) planning a 100k-file table must not pay for one
+    # historical ADD COLUMN. Complex columns (struct/list/map/uuid)
+    # keep the inference path for shape fidelity.
+    fast = [
+        (_declared_primitive_ddl(f["type"]), f["name"]) for f in cur
+    ]
+    if all(d is not None for d, _n in fast):
+        return StructType([
+            StructField(n, _parse_datatype_string(d), True)
+            for d, n in fast
+        ])
     try:
         merged, _ = _strip_schema_field_ids(
             spark.read.option("mergeSchema", "true").parquet(*paths).schema
