@@ -1,0 +1,200 @@
+"""Structured Streaming SOURCE over native lakehouse tables.
+
+`readStream.format("iceberg_appends")` tails an Iceberg table's append
+snapshots through the PySpark 4 Python DataSource API — the counterpart
+of iceberg-spark's streaming read (reference scope: the reference
+engine has no streaming at all; its iceberg extension is a batch
+v1 scan, crates/glaredb_ext_iceberg). Semantics mirror iceberg-spark's
+source:
+
+- offsets are the table's monotonic SEQUENCE NUMBER — stable under
+  snapshot expiration (expired snapshots only ever have older seqs);
+- each micro-batch covers the snapshots with start < seq <= end;
+  'append' snapshots contribute their added data files, 'replace'
+  snapshots (OPTIMIZE / REORG PURGE) are reorganizations and contribute
+  nothing;
+- overwrite/delete snapshots RAISE by default (a row-level change
+  cannot be represented in an append stream); pass
+  .option("skip_non_appends", "true") for iceberg-spark's
+  streaming-skip-overwrite-snapshots behavior (documented data loss:
+  their added files are skipped too).
+
+Scale: offset resolution and partition planning are KB-scale driver
+metadata reads; the DATA moves entirely on executors — one input
+partition per data file, read with pyarrow and handed to Spark as Arrow
+record batches (null-filling added columns and upcasting widened types
+against the table's current schema). No driver row movement, unlike
+SimpleDataSourceStreamReader.
+
+Usage:
+    from glaredb_spark.streaming.source import register_stream_sources
+    register_stream_sources(spark)
+    df = (spark.readStream.format("iceberg_appends")
+          .option("path", table_path).load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+def _read_file_as_batches(spec: dict):
+    """Executor-side: one data file -> Arrow batches conforming to the
+    table schema (by-name projection, null-fill for columns added after
+    the file was written, cast for widened types)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import StructType
+
+    # StructType JSON, not a DDL string: DDL parsing needs an active
+    # SparkSession, which executors don't have
+    st = StructType.fromJson(json.loads(spec["schema"]))
+    tbl = pq.read_table(spec["file"])
+    cols = []
+    fields = []
+    for f in st.fields:
+        at = to_arrow_type(f.dataType)
+        if f.name in tbl.column_names:
+            col = tbl.column(f.name)
+            if col.type != at:
+                col = col.cast(at)
+        else:
+            col = pa.nulls(tbl.num_rows, at)
+        cols.append(col)
+        fields.append(pa.field(f.name, at, True))
+    out = pa.table(cols, schema=pa.schema(fields))
+    yield from out.to_batches(max_chunksize=8192)
+
+
+class _IcebergAppendsStreamReader(DataSourceStreamReader):
+    def __init__(self, schema_json: str, options: dict):
+        self._path = os.path.abspath(options["path"])
+        self._schema_json = schema_json
+        self._skip = str(
+            options.get("skip_non_appends", "false")
+        ).lower() == "true"
+
+    # -- offset bookkeeping (KB-scale driver metadata reads) -----------
+
+    def _snapshots(self):
+        from glaredb_spark.sources.iceberg_native import table_metadata
+
+        meta = table_metadata(self._path)
+        snaps = sorted(
+            meta.get("snapshots", []),
+            key=lambda s: (int(s.get("sequence-number", 0) or 0),
+                           int(s["snapshot-id"])),
+        )
+        return meta, snaps
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        _meta, snaps = self._snapshots()
+        latest = max(
+            (int(s.get("sequence-number", 0) or 0) for s in snaps),
+            default=0,
+        )
+        return {"seq": latest}
+
+    def partitions(self, start: dict, end: dict):
+        from glaredb_spark.sources.iceberg_native import (
+            IcebergError,
+            _manifest_entries,
+            _renamed_or_dropped,
+            _resolve,
+            _STATUS,
+        )
+
+        lo, hi = int(start["seq"]), int(end["seq"])
+        meta, snaps = self._snapshots()
+        if _renamed_or_dropped(meta):
+            marker = (meta.get("properties") or {}).get(
+                "glaredb.evolution-dirty-seq"
+            )
+            dirty = int(marker) if marker is not None else 10**18
+        else:
+            dirty = -1
+        out = []
+        for s in snaps:
+            seq = int(s.get("sequence-number", 0) or 0)
+            if not (lo < seq <= hi):
+                continue
+            sid = int(s["snapshot-id"])
+            op = (s.get("summary") or {}).get("operation", "")
+            if op == "replace":
+                continue  # reorganization: no new rows
+            if op not in ("append",):
+                if self._skip:
+                    continue
+                raise IcebergError(
+                    f"snapshot {sid} is a {op!r} — an append stream "
+                    "cannot represent row-level changes; use "
+                    "iceberg.changes for a changelog, or set "
+                    "skip_non_appends=true to drop such snapshots"
+                )
+            if seq <= dirty:
+                raise IcebergError(
+                    f"snapshot {sid} predates a RENAME/DROP COLUMN; "
+                    "stream from a snapshot after OPTIMIZE normalized "
+                    "the table"
+                )
+            for e in _manifest_entries(meta, self._path, sid):
+                # carried-forward manifests keep their entries' original
+                # ADDED status — only entries THIS snapshot added count
+                if _STATUS.get(e.get("status", 0)) != "ADDED":
+                    continue
+                if int(e.get("snapshot_id") or 0) != sid:
+                    continue
+                d = e["data_file"]
+                if (d.get("content", 0) or 0) != 0:
+                    continue
+                out.append(InputPartition(json.dumps({
+                    "file": _resolve(d["file_path"], meta, self._path),
+                    "schema": self._schema_json,
+                })))
+        return out
+
+    def read(self, partition: InputPartition):
+        yield from _read_file_as_batches(json.loads(partition.value))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergAppendsDataSource(DataSource):
+    """spark.readStream.format("iceberg_appends").option("path", p)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_appends"
+
+    def schema(self) -> str:
+        from glaredb_spark.sources.iceberg_native import (
+            _spark_schema,
+            table_metadata,
+        )
+
+        return _spark_schema(table_metadata(self.options["path"]))
+
+    def streamReader(self, schema):
+        # ship the schema as StructType JSON: executors reconstruct it
+        # without a SparkSession (DDL parsing would need one)
+        return _IcebergAppendsStreamReader(
+            schema.json(), dict(self.options)
+        )
+
+
+def register_stream_sources(spark) -> None:
+    """Register the lakehouse streaming sources on this session."""
+    spark.dataSource.register(IcebergAppendsDataSource)

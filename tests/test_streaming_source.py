@@ -1,0 +1,139 @@
+"""r10: Structured Streaming SOURCE over Iceberg appends (PySpark 4
+Python DataSource API) — offsets by sequence number, one executor-side
+Arrow partition per added data file, iceberg-spark streaming-source
+semantics for non-append snapshots."""
+
+import pytest
+
+from glaredb_spark.sources.iceberg_native import (
+    delete_iceberg_native,
+    optimize_iceberg_native,
+    write_iceberg_native,
+)
+from glaredb_spark.streaming.source import register_stream_sources
+
+
+def _drain(spark, path, name):
+    q = (
+        spark.readStream.format("iceberg_appends")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_iceberg_appends_stream(spark, tmp_path):
+    register_stream_sources(spark)
+    p = str(tmp_path / "src")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ).repartition(2),
+        p, format_version=2,
+    )
+    write_iceberg_native(
+        spark.createDataFrame([(100, "x")], "id long, v string"), p
+    )
+    got = _drain(spark, p, "ice_stream_1")
+    assert got.count() == 11
+    assert {r["id"] for r in got.filter("id >= 100").collect()} == {100}
+    # OPTIMIZE is a reorganization: a fresh stream over the compacted
+    # table still sees each row ONCE (replace snapshots are silent, the
+    # pre-compaction appends supply the rows)
+    optimize_iceberg_native(spark, p)
+    got2 = _drain(spark, p, "ice_stream_2")
+    assert got2.count() == 11
+    # added columns null-fill in earlier files
+    from glaredb_spark.sources.iceberg_native import (
+        add_column_iceberg_native,
+    )
+
+    add_column_iceberg_native(p, "score", "long")
+    write_iceberg_native(
+        spark.createDataFrame([(200, "y", 5)],
+                              "id long, v string, score long"), p
+    )
+    got3 = _drain(spark, p, "ice_stream_3")
+    assert got3.count() == 12
+    rows = {r["id"]: r["score"] for r in got3.collect()}
+    assert rows[200] == 5 and rows[100] is None
+
+
+def test_iceberg_appends_stream_non_append(spark, tmp_path):
+    register_stream_sources(spark)
+    p = str(tmp_path / "srcd")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        .coalesce(1),
+        p, format_version=2,
+    )
+    delete_iceberg_native(spark, p, "id = 1", strategy="cow")
+    # default: the overwrite snapshot fails the stream
+    q = (
+        spark.readStream.format("iceberg_appends")
+        .option("path", p)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_stream_fail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append stream|STREAM"):
+        q.awaitTermination(120)
+    # skip_non_appends drops the whole overwrite snapshot (documented
+    # iceberg-spark streaming-skip-overwrite-snapshots behavior)
+    q2 = (
+        spark.readStream.format("iceberg_appends")
+        .option("path", p)
+        .option("skip_non_appends", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_stream_skip")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ice_stream_skip")
+    assert {r["id"] for r in got.collect()} == {1, 2}  # the append only
+
+
+def test_iceberg_appends_stream_incremental(spark, tmp_path):
+    """Checkpointed incremental consumption: a second availableNow run
+    with the SAME checkpoint processes only the new snapshots."""
+    register_stream_sources(spark)
+    p = str(tmp_path / "srci")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a")], "id long, v string"), p,
+        format_version=2,
+    )
+
+    def run():
+        q = (
+            spark.readStream.format("iceberg_appends")
+            .option("path", p)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 1
+    write_iceberg_native(
+        spark.createDataFrame([(2, "b"), (3, "c")], "id long, v string"),
+        p,
+    )
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # exactly once each: 1 old + 2 new
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
