@@ -45,10 +45,41 @@ from pyspark.sql.datasource import (
 )
 
 
+def _pv_literal(raw, dt):
+    """Delta partitionValues string -> typed python value (spec
+    serialization: plain numbers, ISO dates, 'true'/'false')."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    if raw is None:
+        return None
+    if isinstance(dt, T.StringType):
+        return raw
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return int(raw)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(raw)
+    if isinstance(dt, T.BooleanType):
+        return str(raw).lower() == "true"
+    if isinstance(dt, T.DateType):
+        return datetime.date.fromisoformat(raw)
+    if isinstance(dt, T.DecimalType):
+        return decimal.Decimal(raw)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return datetime.datetime.fromisoformat(raw)
+    raise ValueError(
+        f"unsupported partition column type {dt.simpleString()!r}"
+    )
+
+
 def _read_file_as_batches(spec: dict):
     """Executor-side: one data file -> Arrow batches conforming to the
-    table schema (by-name projection, null-fill for columns added after
-    the file was written, cast for widened types)."""
+    table schema (by-name projection — through the physical-name map on
+    column-mapped Delta — null-fill for columns added after the file
+    was written, constant fill for hive-style partition columns, cast
+    for widened types)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -58,13 +89,21 @@ def _read_file_as_batches(spec: dict):
     # StructType JSON, not a DDL string: DDL parsing needs an active
     # SparkSession, which executors don't have
     st = StructType.fromJson(json.loads(spec["schema"]))
+    phys = spec.get("phys") or {}
+    pv = spec.get("pv") or {}
     tbl = pq.read_table(spec["file"])
     cols = []
     fields = []
     for f in st.fields:
         at = to_arrow_type(f.dataType)
-        if f.name in tbl.column_names:
-            col = tbl.column(f.name)
+        name = phys.get(f.name, f.name)
+        if f.name in pv:
+            lit = _pv_literal(pv[f.name], f.dataType)
+            col = pa.nulls(tbl.num_rows, at) if lit is None else pa.array(
+                [lit] * tbl.num_rows, type=at
+            )
+        elif name in tbl.column_names:
+            col = tbl.column(name)
             if col.type != at:
                 col = col.cast(at)
         else:
@@ -195,6 +234,129 @@ class IcebergAppendsDataSource(DataSource):
         )
 
 
+class _DeltaAppendsStreamReader(DataSourceStreamReader):
+    """Offsets are commit VERSIONS; each micro-batch covers commits
+    (start, end] — append commits (adds only, dataChange) contribute
+    their files; commits that REMOVE data files fail the stream (or
+    skip with skip_non_appends=true); metadata-only commits are
+    silent. Column-mapped tables project through the physical-name map
+    and partition columns constant-fill from partitionValues — all on
+    executors."""
+
+    def __init__(self, schema_json: str, options: dict):
+        self._path = os.path.abspath(options["path"])
+        self._schema_json = schema_json
+        self._skip = str(
+            options.get("skip_non_appends", "false")
+        ).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        from glaredb_spark.sources.delta_native import _latest_version
+
+        latest = _latest_version(os.path.join(self._path, "_delta_log"))
+        return {"version": -1 if latest is None else int(latest)}
+
+    def partitions(self, start: dict, end: dict):
+        import urllib.parse
+
+        from glaredb_spark.sources.delta_native import (
+            _mapping_mode,
+            _physical_map,
+            load_delta_state,
+        )
+
+        lo, hi = int(start["version"]), int(end["version"])
+        state = load_delta_state(self._path, version=hi)
+        phys = (
+            {k: v for k, v in _physical_map(state).items()}
+            if _mapping_mode(state) != "none" else {}
+        )
+        part_cols = list(state.partition_columns)
+        pc_phys = {phys.get(c, c): c for c in part_cols}
+        log_dir = os.path.join(self._path, "_delta_log")
+        out = []
+        for ver in range(lo + 1, hi + 1):
+            commit = os.path.join(log_dir, f"{ver:020d}.json")
+            if not os.path.exists(commit):
+                raise RuntimeError(
+                    f"commit {ver} is no longer in the log (checkpoint "
+                    "cleanup) — its appends cannot be replayed"
+                )
+            adds, removed = [], False
+            with open(commit) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "add" in a and a["add"].get("dataChange", True):
+                        adds.append(a["add"])
+                    elif "remove" in a and a["remove"].get(
+                        "dataChange", True
+                    ):
+                        removed = True
+            if removed:
+                if self._skip:
+                    continue
+                raise RuntimeError(
+                    f"commit {ver} removed data files — an append "
+                    "stream cannot represent row-level changes; use "
+                    "delta.changes for a changelog, or set "
+                    "skip_non_appends=true"
+                )
+            for a in adds:
+                rel = urllib.parse.unquote(a["path"])
+                pv_raw = a.get("partitionValues") or {}
+                # partitionValues are keyed by PHYSICAL name on mapped
+                # tables; the reader wants logical keys
+                pv = {
+                    pc_phys.get(k, k): v for k, v in pv_raw.items()
+                    if pc_phys.get(k, k) in part_cols
+                }
+                out.append(InputPartition(json.dumps({
+                    "file": os.path.join(self._path, rel),
+                    "schema": self._schema_json,
+                    "phys": phys,
+                    "pv": pv,
+                })))
+        return out
+
+    def read(self, partition: InputPartition):
+        yield from _read_file_as_batches(json.loads(partition.value))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaAppendsDataSource(DataSource):
+    """spark.readStream.format("delta_appends").option("path", p)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_appends"
+
+    def schema(self) -> str:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from glaredb_spark.sources.delta_native import load_delta_state
+
+        state = load_delta_state(self.options["path"])
+        st = StructType.fromJson(_json.loads(state.schema_json))
+        return ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields
+        )
+
+    def streamReader(self, schema):
+        return _DeltaAppendsStreamReader(
+            schema.json(), dict(self.options)
+        )
+
+
 def register_stream_sources(spark) -> None:
     """Register the lakehouse streaming sources on this session."""
     spark.dataSource.register(IcebergAppendsDataSource)
+    spark.dataSource.register(DeltaAppendsDataSource)

@@ -137,3 +137,55 @@ def test_iceberg_appends_stream_incremental(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3  # exactly once each: 1 old + 2 new
     assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
+
+def test_delta_appends_stream(spark, tmp_path):
+    """Delta twin: versions as offsets; partitioned + column-mapped
+    tables project through physical names and constant-fill partition
+    columns on executors; a removing commit fails unless skipped."""
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        write_delta_native,
+    )
+
+    register_stream_sources(spark)
+    p = str(tmp_path / "dsrc")
+    write_delta_native(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b", i * 10) for i in range(10)],
+            "id long, part string, score long",
+        ),
+        p, partition_by=["part"], column_mapping="name",
+    )
+    write_delta_native(
+        spark.createDataFrame([(100, "a", 7)],
+                              "id long, part string, score long"),
+        p, mode="append",
+    )
+
+    def drain(name, skip=False):
+        r = (spark.readStream.format("delta_appends")
+             .option("path", p))
+        if skip:
+            r = r.option("skip_non_appends", "true")
+        q = (r.load().writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}")
+
+    got = drain("delta_stream_1")
+    assert got.count() == 11
+    rows = {r["id"]: (r["part"], r["score"]) for r in got.collect()}
+    assert rows[100] == ("a", 7)
+    assert rows[3] == ("b", 30)  # partition value constant-filled
+    # a removing commit fails the stream; skip_non_appends drops it
+    delete_delta_native(spark, p, "id = 2")
+    q = (spark.readStream.format("delta_appends").option("path", p)
+         .load().writeStream.format("memory")
+         .queryName("delta_stream_fail").trigger(availableNow=True)
+         .start())
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append stream|STREAM"):
+        q.awaitTermination(120)
+    got2 = drain("delta_stream_2", skip=True)
+    assert got2.count() == 11
