@@ -692,16 +692,10 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
         # the table prefix into the local cache (KB-scale metadata +
         # the table's data files)
         path = _osm.localize_prefix(path)
-    if named.get("as_of"):
-        # time travel by timestamp (r10): resolve the commit version
-        # once via the native log walk, then either reader serves it
-        from glaredb_spark.sources.delta_native import (
-            version_as_of_delta_native,
-        )
-
-        version = version_as_of_delta_native(path, named["as_of"])
+    as_of = named.get("as_of")
     view = _view_name(
-        "read_delta", f"{path}@{version}|{named.get('prune') or ''}"
+        "read_delta",
+        f"{path}@{version}|{named.get('prune') or ''}|{as_of or ''}",
     )
     if prune:
         from glaredb_spark.sources.lakehouse import delta_available
@@ -712,19 +706,19 @@ def _handle_delta(spark: SparkSession, m: re.Match) -> str:
             # filter); the native log-level pruning is the jar-less path
             # (r9 review: silently switching readers on prune= made the
             # same table readable without it and failing with it)
-            df = read_delta(spark, path, version=version)
+            df = read_delta(spark, path, version=version, as_of=as_of)
         else:
             from glaredb_spark.sources.delta_native import (
                 read_delta_native,
             )
 
             df = read_delta_native(
-                spark, path, version=version,
+                spark, path, version=version, as_of=as_of,
                 partition_filter=prune, value_filter=prune,
             )
         df = _apply_prune_row_filter(df, prune)
     else:
-        df = read_delta(spark, path, version=version)
+        df = read_delta(spark, path, version=version, as_of=as_of)
     df.createOrReplaceTempView(view)
     return view
 

@@ -659,8 +659,12 @@ def version_as_of_delta_native(path: str, as_of) -> int:
                     continue
                 a = json.loads(line)
                 if "commitInfo" in a:
+                    # scan ALL lines: external writers (delta-rs) put
+                    # commitInfo LAST; breaking on the first action fell
+                    # back to file mtime, which a copy/sync rewrites
+                    # (r10 review #3)
                     cts = a["commitInfo"].get("timestamp")
-                break  # commitInfo is the first action our writer emits
+                    break
         if cts is None:
             cts = int(os.stat(commit).st_mtime * 1000)
         if int(cts) <= ts:
@@ -3020,28 +3024,27 @@ def changes_cursor_delta_native(spark: SparkSession, path: str,
     version 0 on first call); commit() atomically advances the cursor.
     Returns (None, no-op) when already caught up. A cursor behind the
     checkpoint-cleaned log raises inside table_changes (honest gap)."""
-    import tempfile
+    from glaredb_spark.sources.iceberg_native import (
+        _read_cursor,
+        _write_cursor,
+    )
 
     path = os.path.abspath(path)
     log_dir = os.path.join(path, "_delta_log")
     latest = _latest_version(log_dir)
     if latest is None:
         raise RuntimeError(f"not a Delta table: {path!r}")
-    cur = None
-    if os.path.exists(cursor_path):
-        with open(cursor_path) as fh:
-            cur = int(json.load(fh)["version"])
+    try:
+        rec = _read_cursor(cursor_path, path)
+    except Exception as exc:
+        raise RuntimeError(str(exc)) from None
+    cur = int(rec["version"]) if rec is not None else None
     start = 0 if cur is None else cur + 1
     if start > latest:
         return None, (lambda: None)
     df = table_changes_delta_native(spark, path, start, latest)
 
     def commit() -> None:
-        d = os.path.dirname(os.path.abspath(cursor_path)) or "."
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".cursor")
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"version": latest, "table": path}, fh)
-        os.replace(tmp, cursor_path)
+        _write_cursor(cursor_path, {"version": latest, "table": path})
 
     return df, commit

@@ -4081,11 +4081,7 @@ def changes_iceberg_native(
             "glaredb.evolution-dirty-seq"
         )
         dirty_seq = int(marker) if marker is not None else 10**18
-    snaps = sorted(
-        meta.get("snapshots", []),
-        key=lambda s: (int(s.get("sequence-number", 0) or 0),
-                       int(s["snapshot-id"])),
-    )
+    snaps = _sorted_snapshots(meta)
     ids = [int(s["snapshot-id"]) for s in snaps]
     if to_snapshot is None:
         to_snapshot = int(meta.get("current-snapshot-id", 0) or 0)
@@ -4300,6 +4296,46 @@ def changes_iceberg_native(
     return out
 
 
+def _write_cursor(cursor_path: str, payload: dict) -> None:
+    """Atomic cursor publish (temp + os.replace) — shared by both
+    formats' cursor APIs (r10 review #8)."""
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(cursor_path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".cursor")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, cursor_path)
+
+
+def _read_cursor(cursor_path: str, table_path: str) -> "dict | None":
+    """Load + validate a cursor file: a cursor written for a DIFFERENT
+    table must not silently skip this table's history (the 'table'
+    field was written for exactly this check — r10 review #6)."""
+    if not os.path.exists(cursor_path):
+        return None
+    with open(cursor_path) as fh:
+        cur = json.load(fh)
+    recorded = cur.get("table")
+    if recorded is not None and os.path.abspath(recorded) != table_path:
+        raise IcebergError(
+            f"cursor {cursor_path!r} was written for table "
+            f"{recorded!r}, not {table_path!r}"
+        )
+    return cur
+
+
+def _sorted_snapshots(meta: dict) -> list:
+    """Snapshot lineage order: (sequence-number, snapshot-id) — shared
+    by the changelog, the cursor API, and the streaming source."""
+    return sorted(
+        meta.get("snapshots", []),
+        key=lambda s: (int(s.get("sequence-number", 0) or 0),
+                       int(s["snapshot-id"])),
+    )
+
+
 def changes_cursor_iceberg_native(spark, table_path: str,
                                   cursor_path: str):
     """Incremental changelog consumption with a durable cursor — the
@@ -4313,22 +4349,14 @@ def changes_cursor_iceberg_native(spark, table_path: str,
     is already at the current snapshot. A cursor pointing at an
     EXPIRED snapshot raises (the gap is unrecoverable — same honesty
     rule as the range reader)."""
-    import tempfile
-
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
-    snaps = sorted(
-        meta.get("snapshots", []),
-        key=lambda s: (int(s.get("sequence-number", 0) or 0),
-                       int(s["snapshot-id"])),
-    )
+    snaps = _sorted_snapshots(meta)
     ids = [int(s["snapshot-id"]) for s in snaps]
     if not ids:
         return None, (lambda: None)
-    cur = None
-    if os.path.exists(cursor_path):
-        with open(cursor_path) as fh:
-            cur = int(json.load(fh)["snapshot_id"])
+    rec = _read_cursor(cursor_path, table_path)
+    cur = int(rec["snapshot_id"]) if rec is not None else None
     if cur is None:
         i0 = 0
     elif cur not in ids:
@@ -4344,11 +4372,7 @@ def changes_cursor_iceberg_native(spark, table_path: str,
     df = changes_iceberg_native(spark, table_path, ids[i0], to)
 
     def commit() -> None:
-        d = os.path.dirname(os.path.abspath(cursor_path)) or "."
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".cursor")
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"snapshot_id": to, "table": table_path}, fh)
-        os.replace(tmp, cursor_path)
+        _write_cursor(cursor_path,
+                      {"snapshot_id": to, "table": table_path})
 
     return df, commit

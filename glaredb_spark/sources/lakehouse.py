@@ -64,7 +64,8 @@ def read_iceberg(spark: SparkSession, table_or_path: str) -> DataFrame:
 
 
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Scan a Delta Lake table directory — the Spark analog of the
     reference's delta scan (crates/glaredb_ext_delta/src/).
@@ -73,12 +74,29 @@ def read_delta(
     otherwise falls back to the native transaction-log reader
     (sources/delta_native.py — same architecture as the reference's own
     Rust Delta reader: driver-side log fold, distributed parquet scan).
-    """
+
+    ``as_of`` time-travels by timestamp: the connector path maps it to
+    its native timestampAsOf option (so remote tables resolve without
+    any local log walk — r10 review), the native path resolves the
+    commit version from the log."""
     if delta_available(spark):
         reader = spark.read.format("delta")
         if version is not None:
             reader = reader.option("versionAsOf", str(version))
+        elif as_of is not None:
+            import datetime
+
+            from glaredb_spark.sources.iceberg_native import (
+                parse_as_of_ms,
+            )
+
+            ts = datetime.datetime.fromtimestamp(
+                parse_as_of_ms(as_of) / 1000.0, datetime.timezone.utc
+            )
+            reader = reader.option(
+                "timestampAsOf", ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+            )
         return reader.load(path)
     from glaredb_spark.sources.delta_native import read_delta_native
 
-    return read_delta_native(spark, path, version=version)
+    return read_delta_native(spark, path, version=version, as_of=as_of)

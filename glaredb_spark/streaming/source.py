@@ -125,31 +125,45 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
     # -- offset bookkeeping (KB-scale driver metadata reads) -----------
 
     def _snapshots(self):
-        from glaredb_spark.sources.iceberg_native import table_metadata
+        from glaredb_spark.sources.iceberg_native import (
+            IcebergError,
+            _sorted_snapshots,
+            table_metadata,
+        )
 
         meta = table_metadata(self._path)
-        snaps = sorted(
-            meta.get("snapshots", []),
-            key=lambda s: (int(s.get("sequence-number", 0) or 0),
-                           int(s["snapshot-id"])),
-        )
+        snaps = _sorted_snapshots(meta)
+        if snaps and all(
+            s.get("sequence-number") is None for s in snaps
+        ):
+            # external v1 tables carry no sequence numbers: every
+            # offset would coerce to 0 and the stream would "succeed"
+            # forever yielding nothing (r10 review #5). This writer
+            # stamps sequence-number on v1 metadata too.
+            raise IcebergError(
+                "cannot stream a table whose snapshots have no "
+                "sequence numbers (external format-version 1 metadata)"
+            )
         return meta, snaps
 
     def initialOffset(self) -> dict:
-        return {"seq": 0}
+        return {"seq": 0, "snapshot_id": None}
 
     def latestOffset(self) -> dict:
         _meta, snaps = self._snapshots()
-        latest = max(
-            (int(s.get("sequence-number", 0) or 0) for s in snaps),
-            default=0,
-        )
-        return {"seq": latest}
+        if not snaps:
+            return {"seq": 0, "snapshot_id": None}
+        last = snaps[-1]
+        return {
+            "seq": int(last.get("sequence-number", 0) or 0),
+            "snapshot_id": int(last["snapshot-id"]),
+        }
 
     def partitions(self, start: dict, end: dict):
+        from glaredb_spark.sources.avro_lite import read_avro
         from glaredb_spark.sources.iceberg_native import (
             IcebergError,
-            _manifest_entries,
+            _manifest_list_entries,
             _renamed_or_dropped,
             _resolve,
             _STATUS,
@@ -164,12 +178,36 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
             dirty = int(marker) if marker is not None else 10**18
         else:
             dirty = -1
+        in_range = [
+            s for s in snaps
+            if lo < int(s.get("sequence-number", 0) or 0) <= hi
+        ]
+        # gap detection (r10 review #2): snapshots expired between runs
+        # must fail the stream, not silently drop their rows — the
+        # parent chain proves continuity (the Delta twin raises on a
+        # missing commit file; this is the iceberg equivalent).
+        prev_sid = start.get("snapshot_id")
+        retained = {int(x["snapshot-id"]) for x in snaps}
+        for s in in_range:
+            par = s.get("parent-snapshot-id")
+            if prev_sid is None:
+                if par is not None and int(par) not in retained:
+                    raise IcebergError(
+                        f"snapshot {s['snapshot-id']}'s predecessor has "
+                        "been expired — its appends cannot be replayed "
+                        "from the stream start"
+                    )
+            elif par is not None and int(par) != int(prev_sid):
+                raise IcebergError(
+                    f"snapshots between {prev_sid} and "
+                    f"{s['snapshot-id']} have been expired — the "
+                    "stream has an unrecoverable gap"
+                )
+            prev_sid = int(s["snapshot-id"])
         out = []
-        for s in snaps:
-            seq = int(s.get("sequence-number", 0) or 0)
-            if not (lo < seq <= hi):
-                continue
+        for s in in_range:
             sid = int(s["snapshot-id"])
+            seq = int(s.get("sequence-number", 0) or 0)
             op = (s.get("summary") or {}).get("operation", "")
             if op == "replace":
                 continue  # reorganization: no new rows
@@ -188,20 +226,36 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                     "stream from a snapshot after OPTIMIZE normalized "
                     "the table"
                 )
-            for e in _manifest_entries(meta, self._path, sid):
-                # carried-forward manifests keep their entries' original
-                # ADDED status — only entries THIS snapshot added count
-                if _STATUS.get(e.get("status", 0)) != "ADDED":
+            # only manifests this snapshot ADDED can contain its new
+            # files — skipping carried-forward manifests keeps planning
+            # O(new manifests), not O(snapshots x total manifests)
+            # (r10 review #7)
+            for ml in _manifest_list_entries(meta, self._path, sid):
+                if int(ml.get("added_snapshot_id") or 0) != sid:
                     continue
-                if int(e.get("snapshot_id") or 0) != sid:
-                    continue
-                d = e["data_file"]
-                if (d.get("content", 0) or 0) != 0:
-                    continue
-                out.append(InputPartition(json.dumps({
-                    "file": _resolve(d["file_path"], meta, self._path),
-                    "schema": self._schema_json,
-                })))
+                if int(ml.get("content", 0) or 0) != 0:
+                    continue  # delete manifests
+                recs, _sch = read_avro(
+                    _resolve(ml["manifest_path"], meta, self._path)
+                )
+                for e in recs:
+                    if _STATUS.get(e.get("status", 0)) != "ADDED":
+                        continue
+                    esid = e.get("snapshot_id")
+                    # null snapshot_id inherits the adding snapshot
+                    # (v2 inheritance — external writers rely on it;
+                    # r10 review #1)
+                    if esid is not None and int(esid) != sid:
+                        continue
+                    d = e["data_file"]
+                    if (d.get("content", 0) or 0) != 0:
+                        continue
+                    out.append(InputPartition(json.dumps({
+                        "file": _resolve(
+                            d["file_path"], meta, self._path
+                        ),
+                        "schema": self._schema_json,
+                    })))
         return out
 
     def read(self, partition: InputPartition):
@@ -271,7 +325,7 @@ class _DeltaAppendsStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         state = load_delta_state(self._path, version=hi)
         phys = (
-            {k: v for k, v in _physical_map(state).items()}
+            _physical_map(state)
             if _mapping_mode(state) != "none" else {}
         )
         part_cols = list(state.partition_columns)

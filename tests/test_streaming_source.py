@@ -189,3 +189,60 @@ def test_delta_appends_stream(spark, tmp_path):
         q.awaitTermination(120)
     got2 = drain("delta_stream_2", skip=True)
     assert got2.count() == 11
+
+def test_iceberg_stream_gap_and_v1_guards(spark, tmp_path):
+    """r10 review #2/#5: expired snapshots inside a checkpointed range
+    fail the stream (parent-chain continuity), and external v1 metadata
+    without sequence numbers is refused instead of yielding nothing."""
+    import json as _json
+    import glob as _glob
+    import os as _os
+
+    from glaredb_spark.sources.iceberg_native import (
+        expire_snapshots_iceberg_native,
+    )
+
+    register_stream_sources(spark)
+    p = str(tmp_path / "gap")
+    ckpt = str(tmp_path / "gapckpt")
+    out = str(tmp_path / "gapout")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a")], "id long, v string"), p,
+        format_version=2,
+    )
+
+    def run():
+        q = (spark.readStream.format("iceberg_appends")
+             .option("path", p).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()  # checkpoint at snapshot 1
+    write_iceberg_native(
+        spark.createDataFrame([(2, "b")], "id long, v string"), p
+    )
+    write_iceberg_native(
+        spark.createDataFrame([(3, "c")], "id long, v string"), p
+    )
+    expire_snapshots_iceberg_native(p, retention_hours=0, retain_last=1)
+    with pytest.raises(Exception, match="expired|STREAM"):
+        run()
+
+    # external v1 metadata without sequence numbers is refused
+    p2 = str(tmp_path / "v1x")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a")], "id long, v string"), p2
+    )
+    for mf in _glob.glob(_os.path.join(p2, "metadata", "*.metadata.json")):
+        m = _json.load(open(mf))
+        for s in m.get("snapshots", []):
+            s.pop("sequence-number", None)
+        _json.dump(m, open(mf, "w"))
+    q = (spark.readStream.format("iceberg_appends")
+         .option("path", p2).load()
+         .writeStream.format("memory").queryName("v1x_stream")
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="sequence numbers|STREAM"):
+        q.awaitTermination(120)

@@ -150,3 +150,29 @@ def test_delta_changes_cursor(spark, tmp_path):
     assert rows == [(1, "delete")]
     commit2()
     assert json.load(open(cursor))["version"] == 1
+
+def test_cursor_table_validation(spark, tmp_path):
+    """r10 review #6: a cursor written for a DIFFERENT table must raise
+    instead of silently skipping history."""
+    pa_, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    cursor = str(tmp_path / "shared.cursor")
+    for p in (pa_, pb):
+        write_iceberg_native(
+            spark.createDataFrame([(1, "a")], "id long, v string"), p,
+            format_version=2,
+        )
+    df, commit = changes_cursor_iceberg_native(spark, pa_, cursor)
+    commit()
+    with pytest.raises(IcebergError, match="written for table"):
+        changes_cursor_iceberg_native(spark, pb, cursor)
+    # delta twin
+    dpa, dpb = str(tmp_path / "da"), str(tmp_path / "db")
+    dcur = str(tmp_path / "d.cursor")
+    for p in (dpa, dpb):
+        write_delta_native(
+            spark.createDataFrame([(1, "a")], "id long, v string"), p
+        )
+    df2, commit2 = changes_cursor_delta_native(spark, dpa, dcur)
+    commit2()
+    with pytest.raises(RuntimeError, match="written for table"):
+        changes_cursor_delta_native(spark, dpb, dcur)
