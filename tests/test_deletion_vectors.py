@@ -447,12 +447,12 @@ def test_unknown_reader_feature_still_refused(spark, tmp_path):
     with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["typeWidening"]}}) + "\n")
+            "readerFeatures": ["variantType"]}}) + "\n")
         fh.write(json.dumps({"metaData": {
             "id": "x", "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps({"type": "struct", "fields": []}),
             "partitionColumns": [], "configuration": {}}}) + "\n")
-    with pytest.raises(RuntimeError, match="typeWidening"):
+    with pytest.raises(RuntimeError, match="variantType"):
         load_delta_state(root)
 
 

@@ -344,13 +344,13 @@ def test_unsupported_features_rejected(tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["typeWidening"],
+                    "readerFeatures": ["variantType"],
                 }
             },
             _meta(),
         ],
     )
-    with pytest.raises(RuntimeError, match="typeWidening"):
+    with pytest.raises(RuntimeError, match="variantType"):
         load_delta_state(str(root))
 
 
