@@ -1294,6 +1294,72 @@ def delta_change_feed(spark, sf_dir):
 
 
 @register_query(
+    "delta_change_feed_mapped",
+    oracle="""
+WITH base AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100)
+SELECT * FROM (
+  SELECT 0 AS v, 'insert' AS ct, COUNT(*) AS c,
+         CAST(SUM(chars) AS BIGINT) AS total
+  FROM (SELECT n_chars AS chars FROM base)
+  UNION ALL
+  SELECT 1, 'delete', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+  FROM base WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT 2, 'update_preimage', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+  FROM base WHERE doc_id % 9 <> 2 AND doc_id < 10
+  UNION ALL
+  SELECT 2, 'update_postimage', COUNT(*),
+         CAST(SUM(n_chars + 1000) AS BIGINT)
+  FROM base WHERE doc_id % 9 <> 2 AND doc_id < 10
+) ORDER BY v, ct
+""",
+)
+def delta_change_feed_mapped(spark, sf_dir):
+    """r10 (VERDICT r9 next #3 'done' criterion): the CDF feed on a
+    columnMapping TABLE, with a logical RENAME mid-history — cdc and
+    data files carry rename-stable physical names, the replay demaps to
+    the CURRENT logical names (chars, post-rename) across the whole
+    range, and the per-commit change sets still match the algebraic
+    oracle."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        rename_column_delta_native,
+        table_changes_delta_native,
+        update_delta_native,
+        write_delta_native,
+    )
+    from glaredb_spark.sources.files import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_delta_cdfm_")
+    write_delta_native(
+        docs.filter("doc_id < 100").coalesce(2), root,
+        column_mapping="name", enable_cdf=True,
+    )
+    delete_delta_native(spark, root, "doc_id % 9 = 2")
+    update_delta_native(
+        spark, root, {"n_chars": "n_chars + 1000"}, "doc_id < 10"
+    )
+    rename_column_delta_native(root, "n_chars", "chars")
+    return (
+        table_changes_delta_native(spark, root, 0)
+        .groupBy(
+            F.col("_commit_version").alias("v"),
+            F.col("_change_type").alias("ct"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("chars").cast("long").alias("total"),
+        )
+        .orderBy("v", "ct")
+    )
+
+
+@register_query(
     "iceberg_change_feed",
     oracle="""
 WITH base AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100)
