@@ -170,3 +170,36 @@ def test_per_partition_counts_in_execution_profile(spark, sf_dir):
         assert not rows2
     finally:
         sess.reset_session_vars()
+
+
+def test_iceberg_changes_plan_bounded(spark, tmp_path):
+    """r10 changelog plan audit: a MoR-upsert snapshot's change
+    derivation (visible-before EXCEPT ALL visible-after over candidate
+    files) must plan with NO cartesian product and a bounded join count
+    — the delete side broadcasts, the diff is anti-join shaped."""
+    from glaredb_spark.sources.iceberg_native import (
+        changes_iceberg_native,
+        upsert_iceberg_native,
+    )
+
+    p = str(tmp_path / "chplan")
+    upsert_iceberg_native(
+        spark, p,
+        spark.createDataFrame([(i, f"v{i}") for i in range(200)],
+                              "id long, v string"),
+        on=["id"],
+    )
+    upsert_iceberg_native(
+        spark, p,
+        spark.createDataFrame([(i, f"w{i}") for i in range(100, 300)],
+                              "id long, v string"),
+        on=["id"],
+    )
+    df = changes_iceberg_native(spark, p, 2, 2)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in optimized
+    assert "Join Cross" not in optimized
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
+    # 100 overwritten keys -> 100 deletes; 200 batch rows -> inserts
+    assert df.count() == 300
