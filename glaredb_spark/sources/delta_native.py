@@ -652,19 +652,30 @@ def version_as_of_delta_native(path: str, as_of) -> int:
         commit = os.path.join(log_dir, f"{ver:020d}.json")
         if not os.path.exists(commit):
             continue  # checkpoint-compacted prefix
+        # commitInfo sits FIRST (this writer, delta-spark) or LAST
+        # (delta-rs) — read the head line and a bounded tail window
+        # instead of json-parsing MB-scale commits line by line
+        # (r10 review: 'KB header walk' must stay KB)
         cts = None
-        with open(commit) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "commitInfo" in a:
-                    # scan ALL lines: external writers (delta-rs) put
-                    # commitInfo LAST; breaking on the first action fell
-                    # back to file mtime, which a copy/sync rewrites
-                    # (r10 review #3)
-                    cts = a["commitInfo"].get("timestamp")
-                    break
+        with open(commit, "rb") as fh:
+            head = fh.readline().strip()
+            candidates = [head]
+            fh.seek(0, os.SEEK_END)
+            size = fh.tell()
+            fh.seek(max(0, size - 65536))
+            tail_lines = [
+                ln for ln in fh.read().splitlines() if ln.strip()
+            ]
+            if tail_lines:
+                candidates.append(tail_lines[-1])
+        for raw in candidates:
+            try:
+                a = json.loads(raw)
+            except ValueError:
+                continue  # tail window cut a line mid-way
+            if "commitInfo" in a:
+                cts = a["commitInfo"].get("timestamp")
+                break
         if cts is None:
             cts = int(os.stat(commit).st_mtime * 1000)
         if int(cts) <= ts:
@@ -3034,10 +3045,7 @@ def changes_cursor_delta_native(spark: SparkSession, path: str,
     latest = _latest_version(log_dir)
     if latest is None:
         raise RuntimeError(f"not a Delta table: {path!r}")
-    try:
-        rec = _read_cursor(cursor_path, path)
-    except Exception as exc:
-        raise RuntimeError(str(exc)) from None
+    rec = _read_cursor(cursor_path, path, err_cls=RuntimeError)
     cur = int(rec["version"]) if rec is not None else None
     start = 0 if cur is None else cur + 1
     if start > latest:

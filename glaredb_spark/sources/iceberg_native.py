@@ -4309,17 +4309,20 @@ def _write_cursor(cursor_path: str, payload: dict) -> None:
     os.replace(tmp, cursor_path)
 
 
-def _read_cursor(cursor_path: str, table_path: str) -> "dict | None":
+def _read_cursor(cursor_path: str, table_path: str,
+                 err_cls=None) -> "dict | None":
     """Load + validate a cursor file: a cursor written for a DIFFERENT
     table must not silently skip this table's history (the 'table'
-    field was written for exactly this check — r10 review #6)."""
+    field was written for exactly this check — r10 review #6).
+    ``err_cls`` lets the Delta caller raise its own error type without
+    wrapping (a blanket rewrap discarded tracebacks — r10 review)."""
     if not os.path.exists(cursor_path):
         return None
     with open(cursor_path) as fh:
         cur = json.load(fh)
     recorded = cur.get("table")
     if recorded is not None and os.path.abspath(recorded) != table_path:
-        raise IcebergError(
+        raise (err_cls or IcebergError)(
             f"cursor {cursor_path!r} was written for table "
             f"{recorded!r}, not {table_path!r}"
         )

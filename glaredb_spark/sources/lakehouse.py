@@ -80,10 +80,30 @@ def read_delta(
     any local log walk — r10 review), the native path resolves the
     commit version from the log."""
     if delta_available(spark):
+        import os as _os
+
+        if version is None and as_of is not None and _os.path.isdir(
+            _os.path.join(path, "_delta_log")
+        ):
+            # local tables resolve the version natively so jar-backed
+            # and jar-less sessions agree (Delta's own timestampAsOf
+            # RAISES for a timestamp newer than the last commit and
+            # parses naive strings in the SESSION timezone — reader
+            # parity matters more; r10 review)
+            from glaredb_spark.sources.delta_native import (
+                version_as_of_delta_native,
+            )
+
+            version = version_as_of_delta_native(path, as_of)
+            as_of = None
         reader = spark.read.format("delta")
         if version is not None:
             reader = reader.option("versionAsOf", str(version))
         elif as_of is not None:
+            # remote URIs: the connector's native timestampAsOf is the
+            # only log-walk-free option. Documented divergences: it
+            # raises for after-latest timestamps and interprets the
+            # naive string in spark.sql.session.timeZone.
             import datetime
 
             from glaredb_spark.sources.iceberg_native import (

@@ -133,15 +133,15 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
 
         meta = table_metadata(self._path)
         snaps = _sorted_snapshots(meta)
-        if snaps and all(
-            s.get("sequence-number") is None for s in snaps
-        ):
-            # external v1 tables carry no sequence numbers: every
-            # offset would coerce to 0 and the stream would "succeed"
-            # forever yielding nothing (r10 review #5). This writer
-            # stamps sequence-number on v1 metadata too.
+        if any(s.get("sequence-number") is None for s in snaps):
+            # ANY seq-less snapshot is refused, not just all-seq-less:
+            # a v1->v2 upgraded external table has seq-less old
+            # snapshots that would coerce to 0 and silently fall out of
+            # every (lo, hi] offset range — the exact silent-data-loss
+            # class this guard exists for (r10 reviews #5 and #10).
+            # This writer stamps sequence-number on v1 metadata too.
             raise IcebergError(
-                "cannot stream a table whose snapshots have no "
+                "cannot stream a table with snapshots that have no "
                 "sequence numbers (external format-version 1 metadata)"
             )
         return meta, snaps
@@ -188,10 +188,16 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         # missing commit file; this is the iceberg equivalent).
         prev_sid = start.get("snapshot_id")
         retained = {int(x["snapshot-id"]) for x in snaps}
+        first_check = prev_sid is not None or lo <= 0
         for s in in_range:
             par = s.get("parent-snapshot-id")
             if prev_sid is None:
-                if par is not None and int(par) not in retained:
+                # prev_sid None with lo>0 = an offset that predates the
+                # snapshot_id field: the parent may be a legitimately
+                # expired ALREADY-CONSUMED snapshot, so only the
+                # intra-range chain is verifiable (r10 review)
+                if first_check and par is not None \
+                        and int(par) not in retained:
                     raise IcebergError(
                         f"snapshot {s['snapshot-id']}'s predecessor has "
                         "been expired — its appends cannot be replayed "
