@@ -1546,3 +1546,14 @@ def test_container_types_roundtrip_and_element_bounds(spark, sf_dir, tmp_path):
         spark, path, value_filter={"vals.element": 5000}
     )
     assert none.count() == 0
+    # map KEY and VALUE bounds record too and prune the same way
+    mt = [f for f in sch["fields"] if f["name"] == "attrs"][0]["type"]
+    kid, vid = int(mt["key-id"]), int(mt["value-id"])
+    for e in _manifest_entries(meta, path):
+        lbs = {kv["key"] for kv in e["data_file"].get("lower_bounds") or []}
+        assert kid in lbs and vid in lbs
+    by_val = read_iceberg_native(
+        spark, path, value_filter={"attrs.value": 1005}
+    )
+    assert len(by_val.inputFiles()) == 1
+    assert by_val.filter("attrs['k'] = 1005").count() == 1
