@@ -131,7 +131,8 @@ _ALTER_RE = re.compile(
     r"|ADD\s+PARTITION\s+FIELD\s+([^;]+?)"
     r"|DROP\s+PARTITION\s+FIELD\s+([^;]+?)"
     r"|ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
-    r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?))\s*;?\s*$",
+    r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
+    r"|SET\s+IDENTIFIER\s+FIELDS\s*\(([^)]*)\))\s*;?\s*$",
     re.IGNORECASE,
 )
 _REORG_RE = re.compile(
@@ -839,6 +840,20 @@ class GlareSession:
 
                 _drop(path, m.group(6))
                 msg = f"dropped column {m.group(6)}"
+            elif m.group(11):  # SET IDENTIFIER FIELDS (iceberg only)
+                if kind != "iceberg":
+                    raise ValueError(
+                        "SET IDENTIFIER FIELDS requires an iceberg "
+                        "table (Delta has no identifier-field-ids)"
+                    )
+                from glaredb_spark.sources.iceberg_native import (
+                    set_identifier_fields_iceberg_native as _setid,
+                )
+
+                cols = [c.strip() for c in m.group(11).split(",")
+                        if c.strip()]
+                _setid(path, cols)
+                msg = f"set identifier fields {cols}"
             elif m.group(9):  # ALTER COLUMN TYPE (widening)
                 if kind == "iceberg":
                     from glaredb_spark.sources.iceberg_native import (

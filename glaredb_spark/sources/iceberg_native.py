@@ -2861,7 +2861,9 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
 
 def _commit_schema_revision(table_path: str, meta: dict,
                             new_fields: list[dict],
-                            mark_dirty: bool = True) -> int:
+                            mark_dirty: bool = True,
+                            identifier_field_ids: "list | None" = None,
+                            ) -> int:
     """Append a new schema revision and make it current — one KB-scale
     metadata commit at read-version+1 (O_EXCL). Shared by RENAME/DROP/
     type widening.
@@ -2881,6 +2883,21 @@ def _commit_schema_revision(table_path: str, meta: dict,
     )
     new_schema = {"type": "struct", "schema-id": new_id,
                   "fields": new_fields}
+    if identifier_field_ids is not None:
+        new_schema["identifier-field-ids"] = [
+            int(i) for i in identifier_field_ids
+        ]
+    elif _current_schema_obj(meta).get("identifier-field-ids"):
+        # carry the row-identity declaration through unrelated
+        # revisions, dropping ids the revision removed (spec behavior)
+        keep = {int(f["id"]) for f in new_fields}
+        carried = [
+            int(i)
+            for i in _current_schema_obj(meta)["identifier-field-ids"]
+            if int(i) in keep
+        ]
+        if carried:
+            new_schema["identifier-field-ids"] = carried
     new_meta = dict(meta)
     new_meta["schemas"] = list(schemas) + [new_schema]
     new_meta["current-schema-id"] = new_id
@@ -3061,6 +3078,45 @@ def widen_column_iceberg_native(table_path: str, name: str,
            for f in fields]
     return _commit_schema_revision(table_path, meta, out,
                                    mark_dirty=False)
+
+
+def set_identifier_fields_iceberg_native(
+    table_path: str, cols: list
+) -> int:
+    """ALTER TABLE SET IDENTIFIER FIELDS (iceberg spec
+    identifier-field-ids, r10): marks the row-identity columns on a new
+    schema revision (metadata-only; names and ids unchanged — never
+    dirties the table). The changelog reader uses them to pair a
+    snapshot's delete+insert of the same key into update_preimage /
+    update_postimage rows, the Delta-CDF-parity shape."""
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    fields = _current_schema_obj(meta).get("fields", [])
+    by_name = {f["name"]: f for f in fields}
+    unknown = [c for c in cols if c not in by_name]
+    if unknown:
+        raise IcebergError(f"unknown identifier column(s): {unknown}")
+    bad = [
+        c for c in cols
+        if not isinstance(by_name[c]["type"], str)
+    ]
+    if bad:
+        raise IcebergError(
+            f"identifier fields must be primitive columns: {bad}"
+        )
+    out = [dict(f) for f in fields]
+    return _commit_schema_revision(
+        table_path, meta, out, mark_dirty=False,
+        identifier_field_ids=[int(by_name[c]["id"]) for c in cols],
+    )
+
+
+def _identifier_columns(meta: dict) -> list:
+    """Current schema's identifier-field column NAMES ([] when unset)."""
+    cur = _current_schema_obj(meta)
+    ids = cur.get("identifier-field-ids") or []
+    by_id = {int(f["id"]): f["name"] for f in cur.get("fields", [])}
+    return [by_id[int(i)] for i in ids if int(i) in by_id]
 
 
 _TRANSFORM_SQL_RE = re.compile(
@@ -4154,6 +4210,43 @@ def changes_iceberg_native(
             ).alias("_commit_timestamp"),
         )
 
+    id_cols = _identifier_columns(meta)
+
+    def _emit(sid: int, ts_ms: int, dels_df, ins_df) -> None:
+        """Append a snapshot's change frames. With identifier fields
+        set (SET IDENTIFIER FIELDS), a key deleted AND inserted in the
+        SAME snapshot pairs into update_preimage/update_postimage —
+        the Delta-CDF-parity shape the iceberg changelog spec derives
+        from row identity; ambiguous keys (multiple deletes or inserts)
+        stay as plain delete+insert. Pairing costs two aggregations +
+        semi/anti joins over only the snapshot's CHANGED rows."""
+        if not id_cols or dels_df is None or ins_df is None:
+            if dels_df is not None:
+                pieces.append(_attach(dels_df, "delete", sid, ts_ms))
+            if ins_df is not None:
+                pieces.append(_attach(ins_df, "insert", sid, ts_ms))
+            return
+        dcnt = dels_df.groupBy(*id_cols).agg(
+            F.count(F.lit(1)).alias("_nd")
+        )
+        icnt = ins_df.groupBy(*id_cols).agg(
+            F.count(F.lit(1)).alias("_ni")
+        )
+        keys = (
+            dcnt.filter("_nd = 1")
+            .join(icnt.filter("_ni = 1"), list(id_cols))
+            .select(*id_cols)
+        )
+        for df, ct in (
+            (dels_df.join(keys, list(id_cols), "left_anti"), "delete"),
+            (dels_df.join(keys, list(id_cols), "left_semi"),
+             "update_preimage"),
+            (ins_df.join(keys, list(id_cols), "left_semi"),
+             "update_postimage"),
+            (ins_df.join(keys, list(id_cols), "left_anti"), "insert"),
+        ):
+            pieces.append(_attach(df, ct, sid, ts_ms))
+
     def _require_clean(sid: int, *file_dicts):
         """Refuse scans over files predating a RENAME/DROP (their
         columns resolve by field id, these scans select by name)."""
@@ -4231,19 +4324,16 @@ def changes_iceberg_native(
                 k: v for k, v in data_p.items() if v[1] <= max_seq
             }
             _require_clean(sid, cand, dels_p)
+            dels_df = None
             if cand:
                 before = _visible(cand, dels_p)
                 after = _visible(cand, dels_s)
-                pieces.append(_attach(
-                    before.exceptAll(after)
-                    .withColumn("_change_type", F.lit("delete")),
-                    None, sid, ts_ms,
-                ))
-            if added_data:
-                pieces.append(_attach(
-                    _scan([v[0] for v in added_data.values()]),
-                    "insert", sid, ts_ms,
-                ))
+                dels_df = before.exceptAll(after)
+            ins_df = (
+                _scan([v[0] for v in added_data.values()])
+                if added_data else None
+            )
+            _emit(sid, ts_ms, dels_df, ins_df)
             continue
         if added_data and removed_data:
             # COW rewrite: exact diff of the touched files only. Rows
@@ -4253,28 +4343,14 @@ def changes_iceberg_native(
             _require_clean(sid, dels_p)
             before = _visible(removed_data, dels_p)
             after = _scan([v[0] for v in added_data.values()])
-            pieces.append(_attach(
-                before.exceptAll(after)
-                .withColumn("_change_type", F.lit("delete")),
-                None, sid, ts_ms,
-            ))
-            pieces.append(_attach(
-                after.exceptAll(before)
-                .withColumn("_change_type", F.lit("insert")),
-                None, sid, ts_ms,
-            ))
+            _emit(sid, ts_ms, before.exceptAll(after),
+                  after.exceptAll(before))
         elif added_data:
-            pieces.append(_attach(
-                _scan([v[0] for v in added_data.values()]),
-                "insert", sid, ts_ms,
-            ))
+            _emit(sid, ts_ms, None,
+                  _scan([v[0] for v in added_data.values()]))
         elif removed_data:
             _require_clean(sid, dels_p)
-            pieces.append(_attach(
-                _visible(removed_data, dels_p)
-                .withColumn("_change_type", F.lit("delete")),
-                None, sid, ts_ms,
-            ))
+            _emit(sid, ts_ms, _visible(removed_data, dels_p), None)
         # else: metadata-only snapshot -> nothing
     if not pieces:
         fields = [

@@ -203,3 +203,59 @@ def test_changes_after_rename_normalize(spark, tmp_path):
     got = changes_iceberg_native(spark, p, 3, 3)
     assert [(r["id"], r["label"], r["_change_type"])
             for r in got.collect()] == [(1, "a", "delete")]
+
+def test_identifier_fields_update_pairing(spark, tmp_path):
+    """r10: SET IDENTIFIER FIELDS makes the changelog pair a same-
+    snapshot delete+insert of one key into update_preimage/postimage
+    (Delta-CDF-parity shape); keys without a counterpart stay plain
+    delete/insert, and unset tables keep the net form."""
+    from glaredb_spark.sources.iceberg_native import (
+        set_identifier_fields_iceberg_native,
+        table_metadata,
+    )
+
+    p = str(tmp_path / "idf")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        ).coalesce(1),
+        p, format_version=2,
+    )
+    set_identifier_fields_iceberg_native(p, ["id"])
+    assert table_metadata(p)["schema"]["identifier-field-ids"] == [1]
+    # one COW UPDATE -> the changed key pairs into pre/post
+    update_iceberg_native(spark, p, {"v": "'patched'"}, "id = 3")
+    got = changes_iceberg_native(spark, p, 2, 2)
+    rows = sorted(
+        (r["_change_type"], r["id"], r["v"]) for r in got.collect()
+    )
+    assert rows == [
+        ("update_postimage", 3, "patched"),
+        ("update_preimage", 3, "v3"),
+    ]
+    # upsert batch: key 2 pairs (old row visible), key 100 is a pure
+    # insert
+    upsert_iceberg_native(
+        spark, p,
+        spark.createDataFrame([(2, "B"), (100, "new")],
+                              "id long, v string"),
+        on=["id"],
+    )
+    got2 = changes_iceberg_native(spark, p, 3, 3)
+    rows2 = sorted(
+        (r["_change_type"], r["id"]) for r in got2.collect()
+    )
+    assert rows2 == [
+        ("insert", 100), ("update_postimage", 2), ("update_preimage", 2),
+    ]
+    # guard rails
+    with pytest.raises(IcebergError, match="unknown identifier"):
+        set_identifier_fields_iceberg_native(p, ["nope"])
+    # SQL surface
+    from glaredb_spark.session import GlareSession
+
+    sess = GlareSession(spark)
+    msg = sess.sql(
+        f"ALTER TABLE '{p}' SET IDENTIFIER FIELDS (id)"
+    ).collect()[0][0]
+    assert "identifier fields" in msg
