@@ -840,7 +840,10 @@ class GlareSession:
 
                 _drop(path, m.group(6))
                 msg = f"dropped column {m.group(6)}"
-            elif m.group(11):  # SET IDENTIFIER FIELDS (iceberg only)
+            elif m.group(11) is not None:  # SET IDENTIFIER FIELDS
+                # `is not None`, not truthiness: 'FIELDS ()' matches
+                # with an EMPTY group and must error here, not fall
+                # through to the DROP PARTITION FIELD arm (r10 review)
                 if kind != "iceberg":
                     raise ValueError(
                         "SET IDENTIFIER FIELDS requires an iceberg "

@@ -3093,16 +3093,27 @@ def set_identifier_fields_iceberg_native(
     meta = table_metadata(table_path)
     fields = _current_schema_obj(meta).get("fields", [])
     by_name = {f["name"]: f for f in fields}
+    if not cols:
+        raise IcebergError(
+            "SET IDENTIFIER FIELDS needs at least one column"
+        )
+    if len(set(cols)) != len(cols):
+        raise IcebergError(
+            f"duplicate identifier column(s): {sorted(set(c for c in cols if cols.count(c) > 1))}"
+        )
     unknown = [c for c in cols if c not in by_name]
     if unknown:
         raise IcebergError(f"unknown identifier column(s): {unknown}")
     bad = [
         c for c in cols
         if not isinstance(by_name[c]["type"], str)
+        # spec: float/double cannot be identifier fields (NaN identity)
+        or by_name[c]["type"].split("(")[0] in ("float", "double")
     ]
     if bad:
         raise IcebergError(
-            f"identifier fields must be primitive columns: {bad}"
+            "identifier fields must be non-floating primitive "
+            f"columns: {bad}"
         )
     out = [dict(f) for f in fields]
     return _commit_schema_revision(
@@ -3347,6 +3358,13 @@ def add_column_iceberg_native(table_path: str, name: str,
             {"id": next_fid, "name": name, "required": False, "type": t}
         ],
     }
+    if cur.get("identifier-field-ids"):
+        # row-identity declarations carry through unrelated revisions
+        # (an ADD COLUMN silently dropping them reverted the changelog
+        # to net form — r10 review)
+        new_schema["identifier-field-ids"] = list(
+            cur["identifier-field-ids"]
+        )
     import time
 
     new_meta = dict(meta)
@@ -4226,6 +4244,11 @@ def changes_iceberg_native(
             if ins_df is not None:
                 pieces.append(_attach(ins_df, "insert", sid, ts_ms))
             return
+        # the pairing joins reference each frame several times; without
+        # persist the MoR visible-diff lineage would re-evaluate per
+        # reference (r10 review — same pattern as the dedup persists)
+        dels_df = dels_df.persist()
+        ins_df = ins_df.persist()
         dcnt = dels_df.groupBy(*id_cols).agg(
             F.count(F.lit(1)).alias("_nd")
         )

@@ -259,3 +259,34 @@ def test_identifier_fields_update_pairing(spark, tmp_path):
         f"ALTER TABLE '{p}' SET IDENTIFIER FIELDS (id)"
     ).collect()[0][0]
     assert "identifier fields" in msg
+
+def test_identifier_fields_guard_rails(spark, tmp_path):
+    """r10 review: duplicates / empties / float identifiers refused;
+    ADD COLUMN carries identifier-field-ids through; empty SQL parens
+    error instead of falling through to another ALTER arm."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_native import (
+        add_column_iceberg_native,
+        set_identifier_fields_iceberg_native,
+        table_metadata,
+    )
+
+    p = str(tmp_path / "idguard")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a", 1.5)],
+                              "id long, v string, x double"),
+        p, format_version=2,
+    )
+    with pytest.raises(IcebergError, match="duplicate"):
+        set_identifier_fields_iceberg_native(p, ["id", "id"])
+    with pytest.raises(IcebergError, match="at least one"):
+        set_identifier_fields_iceberg_native(p, [])
+    with pytest.raises(IcebergError, match="non-floating"):
+        set_identifier_fields_iceberg_native(p, ["x"])
+    set_identifier_fields_iceberg_native(p, ["id"])
+    # ADD COLUMN keeps the declaration
+    add_column_iceberg_native(p, "note", "string")
+    assert table_metadata(p)["schema"]["identifier-field-ids"] == [1]
+    sess = GlareSession(spark)
+    with pytest.raises(Exception, match="at least one|IDENTIFIER"):
+        sess.sql(f"ALTER TABLE '{p}' SET IDENTIFIER FIELDS ()")
