@@ -448,13 +448,19 @@ def _evolved_read_schema(spark, meta: dict, paths: list):
             spark.read.option("mergeSchema", "true").parquet(*paths).schema
         )
         by_name = {f.name: f for f in merged.fields}
-    except Exception:
+    except Exception as exc:
         # pre-/post-widen files coexist: every field rebuilds from the
         # declared schema — containers via the now-faithful
         # _ddl_of_ice_type (struct/list/map keep shape; only uuid/fixed
         # degrade to string, same as the legacy null-fill path). Raising
         # here would make a widened table with ANY container column
-        # permanently unreadable, OPTIMIZE included (r10 review #1)
+        # permanently unreadable, OPTIMIZE included (r10 review #1).
+        # Only the MERGE failure itself degrades — a transient I/O /
+        # missing-file error must fail the read, not silently rebuild
+        # uuid/fixed columns as string (r10 advice #5).
+        msg = str(exc)
+        if not ("merge" in msg.lower() or "CANNOT_MERGE" in msg):
+            raise
         by_name = {}
     fields = []
     for f in cur:
@@ -828,9 +834,15 @@ def snapshot_as_of_iceberg_native(meta: dict, as_of) -> int:
             ))
             + " ms)"
         )
+    # tie-break same-millisecond commits by sequence-number (lineage
+    # order) before snapshot-id — external writers use RANDOM snapshot
+    # ids, so raw id order can pick the lineage-OLDER snapshot (r10
+    # advice); id stays as the final deterministic tiebreaker for v1
+    # metadata without sequence numbers.
     best = max(
         cands,
         key=lambda s: (int(s.get("timestamp-ms", 0) or 0),
+                       int(s.get("sequence-number", 0) or 0),
                        int(s["snapshot-id"])),
     )
     return int(best["snapshot-id"])
@@ -3115,11 +3127,85 @@ def set_identifier_fields_iceberg_native(
             "identifier fields must be non-floating primitive "
             f"columns: {bad}"
         )
-    out = [dict(f) for f in fields]
+    # spec: identifier fields must be REQUIRED. This writer marks
+    # Spark-nullable columns required:false, so flip them — after
+    # PROVING no live row is null via parquet footer null counts
+    # (strict: a file whose stats are absent, or a table with row-level
+    # deletes masking the nulls, is refused rather than guessed).
+    # Committing required:false identifier-field-ids is spec-invalid
+    # and strict readers (Java Iceberg/PyIceberg) refuse the whole
+    # table (r10 advice, medium). O(#current-files) footer reads,
+    # driver-side — a rare DDL, not a query path.
+    flip = [c for c in cols if not by_name[c].get("required", False)]
+    if flip:
+        _assert_no_nulls(meta, table_path, flip)
+    flipset = set(flip)
+    out = [
+        dict(f, required=True) if f["name"] in flipset else dict(f)
+        for f in fields
+    ]
     return _commit_schema_revision(
         table_path, meta, out, mark_dirty=False,
         identifier_field_ids=[int(by_name[c]["id"]) for c in cols],
     )
+
+
+def _assert_no_nulls(meta: dict, table_path: str, cols: list) -> None:
+    """Refuse unless every live data file's footer PROVES zero nulls in
+    each of ``cols``. Delete files (MoR) could mask a null row, so any
+    row-level delete in the current snapshot also refuses (run
+    OPTIMIZE/REORG PURGE first)."""
+    import pyarrow.parquet as pq
+
+    want = set(cols)
+    data_paths = []
+    for e in _manifest_entries(meta, table_path):
+        if _STATUS.get(e.get("status", 0)) == "DELETED":
+            continue
+        df = e["data_file"]
+        if (df.get("content", 0) or 0) != 0:
+            raise IcebergError(
+                "SET IDENTIFIER FIELDS on a nullable column requires "
+                "proving the column has no nulls, but the table carries "
+                "row-level delete files; run OPTIMIZE (or REORG PURGE) "
+                "first"
+            )
+        data_paths.append(_resolve(df["file_path"], meta, table_path))
+    for path in data_paths:
+        m = pq.ParquetFile(path).metadata
+        if m.num_rows == 0:
+            continue
+        seen = {}
+        for rg in range(m.num_row_groups):
+            g = m.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in want:
+                    continue
+                st = col.statistics
+                if st is None or not getattr(st, "has_null_count", False):
+                    raise IcebergError(
+                        f"cannot prove column {name!r} is null-free: "
+                        f"{os.path.basename(path)} has no null-count "
+                        "statistics; identifier fields must be required"
+                    )
+                seen[name] = seen.get(name, 0) + int(st.null_count)
+        missing = sorted(want - seen.keys())
+        if missing:
+            # a file written before the column was ADDED null-fills it
+            raise IcebergError(
+                f"identifier field(s) {missing} are absent from "
+                f"{os.path.basename(path)} (all-null there); identifier "
+                "fields must be required non-null columns"
+            )
+        nulled = sorted(n for n, c in seen.items() if c > 0)
+        if nulled:
+            raise IcebergError(
+                f"identifier field(s) {nulled} contain NULLs (in "
+                f"{os.path.basename(path)}); identifier fields must be "
+                "required non-null columns"
+            )
 
 
 def _identifier_columns(meta: dict) -> list:
@@ -4245,10 +4331,15 @@ def changes_iceberg_native(
                 pieces.append(_attach(ins_df, "insert", sid, ts_ms))
             return
         # the pairing joins reference each frame several times; without
-        # persist the MoR visible-diff lineage would re-evaluate per
-        # reference (r10 review — same pattern as the dedup persists)
-        dels_df = dels_df.persist()
-        ins_df = ins_df.persist()
+        # materialization the MoR visible-diff lineage would re-evaluate
+        # per reference (r10 review — same pattern as the dedup
+        # persists). Eager localCheckpoint instead of persist: persist()
+        # pins cache entries in the CacheManager for the SESSION
+        # lifetime (a changelog over many snapshots leaks executor
+        # storage — r10 advice #3); checkpoint blocks are freed by the
+        # ContextCleaner once the returned DataFrame is unreachable.
+        dels_df = dels_df.localCheckpoint(eager=True)
+        ins_df = ins_df.localCheckpoint(eager=True)
         dcnt = dels_df.groupBy(*id_cols).agg(
             F.count(F.lit(1)).alias("_nd")
         )

@@ -110,8 +110,20 @@ def read_delta(
                 parse_as_of_ms,
             )
 
+            # Delta parses timestampAsOf in spark.sql.session.timeZone,
+            # so render the wall-clock string in THAT zone — a UTC
+            # string under a non-UTC session travels to an instant
+            # shifted by the session offset (r10 advice #4).
+            try:
+                from zoneinfo import ZoneInfo
+
+                tz = ZoneInfo(
+                    spark.conf.get("spark.sql.session.timeZone", "UTC")
+                )
+            except Exception:
+                tz = datetime.timezone.utc
             ts = datetime.datetime.fromtimestamp(
-                parse_as_of_ms(as_of) / 1000.0, datetime.timezone.utc
+                parse_as_of_ms(as_of) / 1000.0, tz
             )
             reader = reader.option(
                 "timestampAsOf", ts.strftime("%Y-%m-%d %H:%M:%S.%f")

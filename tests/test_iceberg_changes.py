@@ -290,3 +290,73 @@ def test_identifier_fields_guard_rails(spark, tmp_path):
     sess = GlareSession(spark)
     with pytest.raises(Exception, match="at least one|IDENTIFIER"):
         sess.sql(f"ALTER TABLE '{p}' SET IDENTIFIER FIELDS ()")
+
+
+def test_identifier_fields_must_be_required(spark, tmp_path):
+    """r11 (r10 advice, medium): identifier fields commit as
+    required:true per spec — a nullable column is FLIPPED after a
+    footer null-count proof; a column holding NULLs is refused; a
+    table with row-level delete files (which could mask the null) is
+    refused until OPTIMIZE."""
+    from glaredb_spark.sources.iceberg_native import (
+        equality_delete_iceberg_native,
+        set_identifier_fields_iceberg_native,
+        table_metadata,
+    )
+
+    p = str(tmp_path / "idreq")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        p, format_version=2,
+    )
+    set_identifier_fields_iceberg_native(p, ["id"])
+    sch = table_metadata(p)["schema"]
+    assert sch["identifier-field-ids"] == [1]
+    fid = [f for f in sch["fields"] if f["name"] == "id"][0]
+    assert fid["required"] is True
+    # v stays as declared (not an identifier field)
+    assert [f for f in sch["fields"] if f["name"] == "v"][0].get(
+        "required", False
+    ) is False
+
+    # a column containing NULLs is refused
+    p2 = str(tmp_path / "idnull")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a"), (None, "b")],
+                              "id long, v string"),
+        p2, format_version=2,
+    )
+    with pytest.raises(IcebergError, match="NULL"):
+        set_identifier_fields_iceberg_native(p2, ["id"])
+
+    # row-level deletes present -> refuse (can't prove liveness)
+    p3 = str(tmp_path / "idmor")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        p3, format_version=2,
+    )
+    equality_delete_iceberg_native(
+        spark, p3, spark.createDataFrame([(2,)], "id long"),
+    )
+    with pytest.raises(IcebergError, match="delete files"):
+        set_identifier_fields_iceberg_native(p3, ["id"])
+
+
+def test_as_of_same_millisecond_tiebreak():
+    """r11 (r10 advice): two snapshots in the same millisecond resolve
+    by sequence-number (lineage order), not raw random snapshot-id."""
+    from glaredb_spark.sources.iceberg_native import (
+        snapshot_as_of_iceberg_native,
+    )
+
+    meta = {
+        "snapshots": [
+            # lineage-NEWER snapshot has the SMALLER random id
+            {"snapshot-id": 111, "timestamp-ms": 1000,
+             "sequence-number": 7},
+            {"snapshot-id": 999, "timestamp-ms": 1000,
+             "sequence-number": 6},
+        ],
+        "current-snapshot-id": 111,
+    }
+    assert snapshot_as_of_iceberg_native(meta, 1000) == 111
