@@ -89,6 +89,76 @@ def prior_best_total(here: str, sf: float) -> "float | None":
     return prev_best
 
 
+def prior_best_normalized(here: str, sf: float) -> "float | None":
+    """Best prior canary-normalized total (value / canary_sec) at this
+    SF, from BENCH_HISTORY.jsonl records that carry canary_sec. Rounds
+    before r11 have no canary — they are simply not comparable (that is
+    the point: r3/r9/r10 each published a phantom swing that needed
+    judge adjudication because raw wall-clock can't distinguish a slow
+    plan from a slow machine)."""
+    best = None
+    hist = os.path.join(here, "BENCH_HISTORY.jsonl")
+    if not os.path.exists(hist):
+        return None
+    try:
+        with open(hist) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                try:
+                    if abs(float(rec.get("sf", -2)) - sf) < 1e-9 and \
+                            float(rec.get("canary_sec", 0)) > 0:
+                        v = float(rec["value"]) / float(rec["canary_sec"])
+                        best = v if best is None else min(best, v)
+                except (KeyError, TypeError, ValueError):
+                    continue
+    except OSError:
+        return None
+    return best
+
+
+def measure_canary(spark) -> dict:
+    """Fixed-work machine-speed canary (VERDICT r10 next #2): the SAME
+    workload every round, so total/canary_sec is comparable across
+    machine-state drift (thermal, page cache, co-tenancy) that
+    contended_run's median-vs-min heuristic cannot see. Two probes, min
+    of 3 each:
+
+    - cpu_sec: single-thread numpy sqrt+sum over a fixed array — pure
+      ALU+memory-bandwidth, no JVM.
+    - spark_sec: spark.range sum, 32 partitions, no shuffle beyond the
+      final partial-agg exchange — scheduler + codegen throughput.
+    """
+    import numpy as np
+
+    def cpu_once() -> float:
+        a = np.arange(8_000_000, dtype=np.float64)
+        t0 = time.perf_counter()
+        for _ in range(24):
+            (np.sqrt(a) * 1.0000001).sum()
+        return time.perf_counter() - t0
+
+    def spark_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 800_000_000, 1, 32).selectExpr(
+            "sum(id * 2 + 1) AS s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    cpu_once(); spark_once()  # warm (allocator, codegen cache)
+    cpu = min(cpu_once() for _ in range(3))
+    spk = min(spark_once() for _ in range(3))
+    return {
+        "cpu_sec": round(cpu, 4),
+        "spark_sec": round(spk, 4),
+        "canary_sec": round(cpu + spk, 4),
+    }
+
+
 def _sf1_dataset(spark, testdata_dir: str) -> str:
     """Generate the TPC-H tables at SF1 with the bit-exact distributed
     dbgen (glaredb_spark/sources/tpchgen.py — mapInPandas over
@@ -164,6 +234,8 @@ def main() -> None:
     spark = get_spark(app_name="glaredb_spark_bench")
     load_all()
 
+    canary = measure_canary(spark)
+
     import statistics
 
     timings: dict[str, float] = {}
@@ -212,14 +284,28 @@ def main() -> None:
     # real regressions survive a re-run, contention usually doesn't.
     here = os.path.dirname(os.path.abspath(__file__))
     prev_best = prior_best_total(here, sf)
+    # r11: the regression gate compares CANARY-NORMALIZED totals when a
+    # normalized prior exists — raw wall-clock comparisons triggered
+    # phantom reruns three rounds running (r3 contention, r9 artifact,
+    # r10 drift: identical headline code, 10.92 -> 13.31 s). Raw totals
+    # remain the published headline; normalization only gates the rerun
+    # and gives the judge a drift-free round-over-round signal.
+    prev_norm = prior_best_normalized(here, sf)
+    norm = round(total / canary["canary_sec"], 3)
+    regressed = (
+        norm > 1.15 * prev_norm
+        if prev_norm is not None
+        else (prev_best is not None and total > 1.15 * prev_best)
+    )
     rerun_performed = False
-    if prev_best is not None and total > 1.15 * prev_best:
+    if regressed:
         rerun_performed = True
         for name in HEADLINE:
             dt = run_once(name)
             if dt < timings[name]:
                 timings[name] = round(dt, 4)
         total = round(sum(timings.values()), 4)
+        norm = round(total / canary["canary_sec"], 3)
 
     # --- scale sweep (VERDICT r6 #3): run the headline set at sf0.01 too
     # and report the measured scaling ratio (data scales 10x between the
@@ -335,6 +421,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "median_total": round(sum(medians.values()), 4),
+        "canary_sec": canary["canary_sec"],
+        "value_normalized": norm,
+        "prev_norm_best": (
+            round(prev_norm, 3) if prev_norm is not None else None
+        ),
         "contended_run": len(noisy) >= max(3, len(HEADLINE) // 4),
         "prev_round_best": prev_best,
         "regression_rerun": rerun_performed,
@@ -348,6 +439,7 @@ def main() -> None:
     }
     detail = dict(
         summary,
+        canary=canary,
         queries_median=medians,
         queries_spread=spreads,
         noisy_queries=noisy,
@@ -370,6 +462,8 @@ def main() -> None:
                     {
                         "value": total,
                         "median_total": summary["median_total"],
+                        "canary_sec": canary["canary_sec"],
+                        "value_normalized": norm,
                         "sf": sf,
                         "queries": timings,
                         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
