@@ -1427,6 +1427,161 @@ def iceberg_change_feed(spark, sf_dir):
     )
 
 
+def _drain_available_now(spark, fmt: str, path: str):
+    """Run a lakehouse changelog STREAM to completion (availableNow)
+    into a parquet sink and return the result — the registry-facing
+    harness for the readStream sources (streaming/source.py)."""
+    import tempfile as _tf
+
+    from glaredb_spark.streaming.source import register_stream_sources
+
+    register_stream_sources(spark)
+    out = _tf.mkdtemp(prefix="glaredb_stream_out_")
+    ck = _tf.mkdtemp(prefix="glaredb_stream_ck_")
+    q = (
+        spark.readStream.format(fmt).option("path", path).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+@register_query(
+    "iceberg_change_stream",
+    oracle="""
+WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 80)
+SELECT * FROM (
+  SELECT 1 AS v, 'insert' AS ct, COUNT(*) AS c,
+         CAST(SUM(n_chars) AS BIGINT) AS total FROM base
+  UNION ALL
+  SELECT 2, 'delete', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+  FROM base WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT 2, 'insert', COUNT(*), CAST(SUM(n_chars + 1000) AS BIGINT)
+  FROM base WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT 3, 'delete', COUNT(*),
+         CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000
+                       ELSE n_chars END) AS BIGINT)
+  FROM base WHERE doc_id % 5 = 0
+) ORDER BY v, ct
+""",
+)
+def iceberg_change_stream(spark, sf_dir):
+    """r11 STREAMING changelog over Iceberg MoR DML (readStream format
+    iceberg_changes — the streaming form of iceberg.changes, which
+    iceberg-spark itself does not offer): append, CDC upsert, equality
+    delete, then one availableNow drain whose micro-batches surface
+    _change_type rows computed PER-FILE on executors (position/equality
+    deletes applied within each candidate file's partition — no joins).
+    The oracle states each snapshot's change set algebraically; the
+    seq-3 deletes carry the post-upsert values, proving before-
+    visibility is applied, not raw file contents."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.files import load_tables
+    from glaredb_spark.sources.iceberg_native import (
+        equality_delete_iceberg_native,
+        upsert_iceberg_native,
+        write_iceberg_native,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_ice_chstream_")
+    write_iceberg_native(
+        docs.filter("doc_id < 80").coalesce(2), root, format_version=2
+    )
+    upsert_iceberg_native(
+        spark, root,
+        docs.filter("doc_id < 80 AND doc_id % 7 = 3").withColumn(
+            "n_chars",
+            (F.col("n_chars") + 1000).cast(dict(docs.dtypes)["n_chars"]),
+        ),
+        on=["doc_id"],
+    )
+    equality_delete_iceberg_native(
+        spark, root,
+        docs.filter("doc_id < 80 AND doc_id % 5 = 0").select("doc_id"),
+    )
+    return (
+        _drain_available_now(spark, "iceberg_changes", root)
+        .groupBy(
+            F.col("_commit_snapshot_id").alias("v"),
+            F.col("_change_type").alias("ct"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total"),
+        )
+        .orderBy("v", "ct")
+    )
+
+
+@register_query(
+    "delta_change_stream",
+    oracle="""
+WITH base AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100)
+SELECT * FROM (
+  SELECT 0 AS v, 'insert' AS ct, COUNT(*) AS c,
+         CAST(SUM(n_chars) AS BIGINT) AS total FROM base
+  UNION ALL
+  SELECT 1, 'delete', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+  FROM base WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT 2, 'update_preimage', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+  FROM base WHERE doc_id % 9 <> 2 AND doc_id < 10
+  UNION ALL
+  SELECT 2, 'update_postimage', COUNT(*),
+         CAST(SUM(n_chars + 1000) AS BIGINT)
+  FROM base WHERE doc_id % 9 <> 2 AND doc_id < 10
+) ORDER BY v, ct
+""",
+)
+def delta_change_stream(spark, sf_dir):
+    """r11 STREAMING Change Data Feed (readStream format delta_changes
+    — the delta-spark readChangeFeed streaming shape): CDF-enabled
+    table, COW DELETE then UPDATE, one availableNow drain; cdc files
+    replay update_preimage/postimage verbatim per micro-batch. Same
+    algebraic oracle as the batch delta_change_feed row — stream and
+    batch MUST agree."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        update_delta_native,
+        write_delta_native,
+    )
+    from glaredb_spark.sources.files import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_delta_chstream_")
+    write_delta_native(
+        docs.filter("doc_id < 100").coalesce(2), root, enable_cdf=True
+    )
+    delete_delta_native(spark, root, "doc_id % 9 = 2")
+    update_delta_native(
+        spark, root, {"n_chars": "n_chars + 1000"}, "doc_id < 10"
+    )
+    return (
+        _drain_available_now(spark, "delta_changes", root)
+        .groupBy(
+            F.col("_commit_version").alias("v"),
+            F.col("_change_type").alias("ct"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total"),
+        )
+        .orderBy("v", "ct")
+    )
+
+
 @register_query(
     "lakehouse_asof_travel",
     oracle="""

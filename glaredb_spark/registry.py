@@ -75,7 +75,12 @@ GATE_PRIORITY: list[str] = [
     "tpch_q02", "tpch_q03", "tpch_q05", "tpch_q06",
     "tpch_q09",
     "tpch_q13",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    # r11 rotation (VERDICT r10 #1): q19 — long-green, filter-join-ratio
+    # shape covered by q06/q17, runs bit-exact every round as a
+    # tpchbench golden SLT — yields its slot to the round's new
+    # STREAMING changelog row (iceberg_change_stream below); stays in
+    # the local strict gate every round
+    "tpch_q17", "tpch_q18", "tpch_q20", "tpch_q21",
     # r7/r8 lakehouse DML surface, first driver rows: identity-partitioned
     # Iceberg DML (r7, local-only evidence until now), columnMapping Delta
     # DML, and bucket-transform Iceberg DML (both r8)
@@ -103,6 +108,10 @@ GATE_PRIORITY: list[str] = [
     "delta_change_feed",
     "iceberg_change_feed",
     "iceberg_evolution_lifecycle",
+    # r11: streaming changelog source (readStream iceberg_changes —
+    # per-file MoR diff on executors), first driver row; the Delta twin
+    # delta_change_stream is oracle-gated locally every round
+    "iceberg_change_stream",
     # r5-new ClickBench canonical suite (all 43 registered + oracle-gated;
     # q28 keeps the driver row for the regex-domain HAVING shape; r8:
     # q40's planted-constant OFFSET slot went to the lakehouse DML rows —

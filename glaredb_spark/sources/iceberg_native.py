@@ -4161,9 +4161,12 @@ def update_iceberg_native(
 
 # --- incremental / changelog read ---------------------------------------------
 
-def _snapshot_file_sets(meta: dict, table_path: str, snapshot_id: int):
+def _snapshot_file_sets(meta: dict, table_path: str, snapshot_id: int,
+                        with_counts: bool = False):
     """(data, deletes) active at the given snapshot, keyed by stored
-    file path. data values: (resolved, seq, scope); delete values:
+    file path. data values: (resolved, seq, scope) — plus record_count
+    when ``with_counts`` (the streaming changelog uses it to tell an
+    empty-replacement COW delete from a real rewrite); delete values:
     (resolved, seq, scope, content, equality_ids). KB-scale driver
     metadata work — one manifest-list walk per snapshot."""
     data: dict = {}
@@ -4179,7 +4182,10 @@ def _snapshot_file_sets(meta: dict, table_path: str, snapshot_id: int):
         )
         content = int(d.get("content", 0) or 0)
         if content == 0:
-            data[d["file_path"]] = (resolved, seq, scope)
+            data[d["file_path"]] = (
+                (resolved, seq, scope, int(d.get("record_count", 0) or 0))
+                if with_counts else (resolved, seq, scope)
+            )
         else:
             dels[d["file_path"]] = (
                 resolved, seq, scope, content, d.get("equality_ids")

@@ -246,3 +246,226 @@ def test_iceberg_stream_gap_and_v1_guards(spark, tmp_path):
          .trigger(availableNow=True).start())
     with pytest.raises(Exception, match="sequence numbers|STREAM"):
         q.awaitTermination(120)
+
+
+# --- r11: changelog streams (readStream over iceberg.changes / delta.changes)
+
+def _drain_fmt(spark, fmt, path, name, **opts):
+    r = spark.readStream.format(fmt).option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (r.load().writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_iceberg_changes_stream_equals_batch(spark, tmp_path):
+    """Stream ≡ batch changelog over MoR DML: eq-delete upsert commits
+    surface delete+insert rows per micro-batch, matching
+    changes_iceberg_native's net form row-for-row (the stream cannot
+    pair updates — that is a batch-only identifier-fields feature)."""
+    from glaredb_spark.sources.iceberg_native import (
+        changes_iceberg_native,
+        equality_delete_iceberg_native,
+        table_metadata,
+        upsert_iceberg_native,
+    )
+
+    register_stream_sources(spark)
+    p = str(tmp_path / "chsrc")
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, v string"
+        ).coalesce(1),
+        p, format_version=2,
+    )                                                            # snap 1
+    upsert_iceberg_native(
+        spark, p,
+        spark.createDataFrame([(2, "B"), (100, "new")],
+                              "id long, v string"),
+        on=["id"],
+    )                                                            # snap 2
+    equality_delete_iceberg_native(
+        spark, p, spark.createDataFrame([(4,)], "id long")
+    )                                                            # snap 3
+    got = _drain_fmt(spark, "iceberg_changes", p, "ice_chg_1")
+    stream_rows = sorted(
+        (r["id"], r["v"], r["_change_type"], r["_commit_snapshot_id"])
+        for r in got.collect()
+    )
+    meta = table_metadata(p)
+    snaps = sorted(
+        int(s["snapshot-id"]) for s in meta["snapshots"]
+    )
+    first = min(
+        meta["snapshots"], key=lambda s: s.get("sequence-number", 0)
+    )
+    batch = changes_iceberg_native(
+        spark, p, int(first["snapshot-id"]),
+    )
+    batch_rows = sorted(
+        (r["id"], r["v"], r["_change_type"], r["_commit_snapshot_id"])
+        for r in batch.collect()
+    )
+    assert stream_rows == batch_rows
+    # spot-check semantics, not just self-consistency
+    by = {}
+    for rid, v, ct, sid in stream_rows:
+        by.setdefault(ct, set()).add(rid)
+    assert by["insert"] >= {0, 1, 2, 3, 4, 5, 100}
+    assert by["delete"] == {2, 4}  # upsert's preimage + eq delete
+
+
+def test_iceberg_changes_stream_cow_fails(spark, tmp_path):
+    """A COW rewrite is underivable per-file: the stream fails with a
+    pointer to batch iceberg.changes / MoR DML."""
+    register_stream_sources(spark)
+    p = str(tmp_path / "chcow")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        .coalesce(1),
+        p, format_version=2,
+    )
+    delete_iceberg_native(spark, p, "id = 1", strategy="cow")
+    q = (spark.readStream.format("iceberg_changes").option("path", p)
+         .load().writeStream.format("memory").queryName("ice_chg_cow")
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="copy-on-write|STREAM"):
+        q.awaitTermination(120)
+
+
+def test_iceberg_changes_stream_removed_only(spark, tmp_path):
+    """A whole-file COW delete (removes, no adds) streams every
+    previously-visible row of the removed file as a delete."""
+    register_stream_sources(spark)
+    p = str(tmp_path / "chrm")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        .coalesce(1),
+        p, format_version=2,
+    )
+    delete_iceberg_native(spark, p, "id IS NOT NULL", strategy="cow")
+    got = _drain_fmt(spark, "iceberg_changes", p, "ice_chg_rm")
+    rows = sorted(
+        (r["id"], r["_change_type"]) for r in got.collect()
+    )
+    assert rows == [
+        (1, "delete"), (1, "insert"), (2, "delete"), (2, "insert")
+    ]
+
+
+def test_iceberg_changes_stream_incremental(spark, tmp_path):
+    """Checkpointed exactly-once: a second availableNow run processes
+    only the new snapshot's changes."""
+    from glaredb_spark.sources.iceberg_native import (
+        equality_delete_iceberg_native,
+    )
+
+    register_stream_sources(spark)
+    p = str(tmp_path / "chinc")
+    ckpt = str(tmp_path / "chckpt")
+    out = str(tmp_path / "chout")
+    write_iceberg_native(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        .coalesce(1),
+        p, format_version=2,
+    )
+
+    def run():
+        q = (spark.readStream.format("iceberg_changes")
+             .option("path", p).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 2  # 2 inserts
+    equality_delete_iceberg_native(
+        spark, p, spark.createDataFrame([(1,)], "id long")
+    )
+    run()
+    got = spark.read.parquet(out)
+    rows = sorted((r["id"], r["_change_type"]) for r in got.collect())
+    assert rows == [(1, "delete"), (1, "insert"), (2, "insert")]
+
+
+def test_delta_changes_stream_equals_batch(spark, tmp_path):
+    """Delta CDF stream ≡ batch table_changes: cdc commits replay
+    update_preimage/postimage verbatim, blind appends derive inserts,
+    and a non-CDF rewrite fails the stream."""
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        table_changes_delta_native,
+        update_delta_native,
+        write_delta_native,
+    )
+
+    register_stream_sources(spark)
+    p = str(tmp_path / "dchg")
+    write_delta_native(
+        spark.createDataFrame(
+            [(i, f"v{i}", i * 10) for i in range(6)],
+            "id long, v string, score long",
+        ).coalesce(1),
+        p, enable_cdf=True,
+    )                                                             # v0
+    update_delta_native(spark, p, {"score": "score + 1"}, "id < 2")  # v1
+    delete_delta_native(spark, p, "id = 5")                          # v2
+    got = _drain_fmt(spark, "delta_changes", p, "delta_chg_1")
+    stream_rows = sorted(
+        (r["id"], r["score"], r["_change_type"], r["_commit_version"])
+        for r in got.collect()
+    )
+    batch = table_changes_delta_native(spark, p, 0)
+    batch_rows = sorted(
+        (r["id"], r["score"], r["_change_type"], r["_commit_version"])
+        for r in batch.collect()
+    )
+    assert stream_rows == batch_rows
+    assert (0, 1, "update_postimage", 1) in stream_rows
+    assert (5, 50, "delete", 2) in stream_rows
+
+    # non-CDF rewrite fails the stream
+    p2 = str(tmp_path / "dnocdf")
+    write_delta_native(
+        spark.createDataFrame([(1, "a", 1)],
+                              "id long, v string, score long"),
+        p2,
+    )
+    delete_delta_native(spark, p2, "id = 1")
+    q = (spark.readStream.format("delta_changes").option("path", p2)
+         .load().writeStream.format("memory").queryName("delta_chg_f")
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="cannot be derived|STREAM"):
+        q.awaitTermination(120)
+
+
+def test_delta_changes_stream_partitioned_mapped(spark, tmp_path):
+    """Column-mapped + partitioned CDF streaming: physical-name scan,
+    logical demap, partition constant fill — per micro-batch."""
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        write_delta_native,
+    )
+
+    register_stream_sources(spark)
+    p = str(tmp_path / "dmap")
+    write_delta_native(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b", i * 10) for i in range(6)],
+            "id long, part string, score long",
+        ),
+        p, partition_by=["part"], column_mapping="name",
+        enable_cdf=True,
+    )
+    delete_delta_native(spark, p, "id = 3")
+    got = _drain_fmt(spark, "delta_changes", p, "delta_chg_map")
+    rows = {
+        (r["id"], r["_change_type"]): (r["part"], r["score"])
+        for r in got.collect()
+    }
+    assert rows[(3, "delete")] == ("b", 30)
+    assert rows[(4, "insert")] == ("a", 40)
+    assert len(rows) == 7  # 6 inserts + 1 delete
