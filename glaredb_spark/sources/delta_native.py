@@ -933,20 +933,20 @@ def _staged_write(
 
 
 def _commit_actions(log_dir: str, version: int, actions: list[dict]) -> None:
-    """Atomically publish one commit: put-if-absent via O_CREAT|O_EXCL —
-    real optimistic concurrency on any POSIX filesystem; the loser of a
-    same-version race raises (its staged data files stay unreferenced
-    and are VACUUM-able). Object stores without atomic create need a
-    LogStore service, out of scope here as in delta-rs defaults."""
+    """Atomically publish one commit: put-if-absent — O_CREAT|O_EXCL on
+    POSIX paths, S3 ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``
+    conditional writes on object-store log dirs (r11; S3 gained
+    conditional writes in 2024, so the delta-rs-era LogStore service is
+    no longer required). The loser of a same-version race raises
+    FileExistsError (its staged data files stay unreferenced and are
+    VACUUM-able)."""
+    from glaredb_spark.sources.objectstore import publish_atomic
+
     commit_path = os.path.join(log_dir, f"{version:020d}.json")
-    fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-    except BaseException:
-        os.unlink(commit_path)
-        raise
+    publish_atomic(
+        commit_path,
+        "".join(json.dumps(a) + "\n" for a in actions).encode(),
+    )
 
 
 def _file_stats_json(full_path: str) -> "str | None":

@@ -7,7 +7,11 @@ speaks (https://cloud.google.com/storage/docs/json_api/v1):
 - ``GET /storage/v1/b/<bucket>/o`` — object listing with ``prefix`` and
   ``pageToken``/``maxResults`` pagination,
 - ``GET /storage/v1/b/<bucket>/o/<url-encoded name>?alt=media`` — object
-  media download (metadata JSON without ``alt=media``).
+  media download (metadata JSON without ``alt=media``),
+- ``POST /upload/storage/v1/b/<bucket>/o?uploadType=media&name=...`` —
+  media upload honoring ``ifGenerationMatch`` preconditions (412 on
+  mismatch; ``ifGenerationMatch=0`` = create-only), the conditional-
+  write primitive lakehouse commits publish through (r11).
 
 Serving is real HTTP on a loopback port (ThreadingHTTPServer), so the
 client exercises its actual wire path — endpoint discovery via the
@@ -43,9 +47,11 @@ class GcsEmulator:
 
     def __init__(self) -> None:
         self._objects: dict[str, dict[str, bytes]] = {}
+        self._gens: dict[str, dict[str, int]] = {}  # object generations
         self._private: set[str] = set()
         self._accounts: dict[str, object] = {}  # email -> public key
         self._tokens: set[str] = set()
+        self._lock = threading.Lock()  # precondition-check + write
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -65,6 +71,8 @@ class GcsEmulator:
 
     def put_object(self, bucket: str, key: str, data: bytes) -> None:
         self._objects.setdefault(bucket, {})[key] = data
+        g = self._gens.setdefault(bucket, {})
+        g[key] = g.get(key, 0) + 1
 
     def upload_file(self, path: str, bucket: str, key: str) -> None:
         with open(path, "rb") as fh:
@@ -75,6 +83,7 @@ class GcsEmulator:
     def start(self) -> str:
         """Bind a loopback port and serve; returns ``host:port``."""
         store = self._objects
+        gens, lock = self._gens, self._lock
         private, accounts, tokens = self._private, self._accounts, self._tokens
 
         class Handler(BaseHTTPRequestHandler):
@@ -99,7 +108,49 @@ class GcsEmulator:
                 )
 
             def do_POST(self) -> None:  # noqa: N802 — http.server API
-                if urllib.parse.urlsplit(self.path).path != "/token":
+                parsed = urllib.parse.urlsplit(self.path)
+                parts = parsed.path.split("/")
+                # /upload/storage/v1/b/<bucket>/o — media upload with
+                # ifGenerationMatch preconditions (the conditional-write
+                # primitive; check+write under one lock, like real GCS's
+                # per-object metadata transaction)
+                if (
+                    len(parts) >= 7
+                    and parts[1:5] == ["upload", "storage", "v1", "b"]
+                    and parts[6] == "o"
+                ):
+                    bucket = urllib.parse.unquote(parts[5])
+                    q = urllib.parse.parse_qs(parsed.query)
+                    key = q.get("name", [""])[0]
+                    if not self._authorized(bucket):
+                        self._json(403, {"error": {"code": 403,
+                                                   "message": "denied"}})
+                        return
+                    if bucket not in store or not key:
+                        self._json(404, {"error": {"code": 404,
+                                                   "message": "bucket"}})
+                        return
+                    n = int(self.headers.get("Content-Length", "0"))
+                    data = self.rfile.read(n)
+                    want = q.get("ifGenerationMatch", [None])[0]
+                    with lock:
+                        cur = gens.setdefault(bucket, {}).get(key, 0)
+                        if want is not None and int(want) != cur:
+                            self._json(412, {"error": {
+                                "code": 412,
+                                "message": "conditionNotMet",
+                            }})
+                            return
+                        store[bucket][key] = data
+                        gens[bucket][key] = cur + 1
+                        gen = cur + 1
+                    self._json(200, {
+                        "kind": "storage#object", "name": key,
+                        "bucket": bucket, "size": str(len(data)),
+                        "generation": str(gen),
+                    })
+                    return
+                if parsed.path != "/token":
                     self._json(404, {"error": "not found"})
                     return
                 import base64

@@ -1790,14 +1790,10 @@ def _publish_snapshot(
         new_meta["default-sort-order-id"] = prev.get(
             "default-sort-order-id", 0
         )
+    from glaredb_spark.sources.objectstore import publish_atomic
+
     mpath = os.path.join(mdir, f"v{version}.metadata.json")
-    fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        with os.fdopen(fd, "w") as fh:
-            json.dump(new_meta, fh, indent=2)
-    except BaseException:
-        os.unlink(mpath)
-        raise
+    publish_atomic(mpath, json.dumps(new_meta, indent=2).encode())
     with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
     return snapshot_id
@@ -3046,14 +3042,10 @@ def _write_metadata_version(
             version = len(
                 _glob.glob(os.path.join(mdir, "*.metadata.json"))
             ) + 1
+    from glaredb_spark.sources.objectstore import publish_atomic
+
     mpath = os.path.join(mdir, f"v{version}.metadata.json")
-    fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        with os.fdopen(fd, "w") as fh:
-            json.dump(new_meta, fh, indent=2)
-    except BaseException:
-        os.unlink(mpath)
-        raise
+    publish_atomic(mpath, json.dumps(new_meta, indent=2).encode())
     with open(hint, "w") as fh:
         fh.write(str(version))
     return version

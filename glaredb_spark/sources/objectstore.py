@@ -637,3 +637,109 @@ def ensure_object_store(spark: SparkSession, path: str) -> str:
             return _gcs_localize(path)
         raise RuntimeError(help_msg)
     return normalize_path(path)
+
+
+# --- conditional writes (r11, VERDICT r10 next #4) ---------------------------
+#
+# Lakehouse commit publishes need put-if-absent so two concurrent
+# committers on the SAME table cannot clobber each other. Local paths
+# have O_CREAT|O_EXCL; S3 has conditional writes (If-None-Match: *,
+# https://docs.aws.amazon.com/AmazonS3/latest/userguide/conditional-writes.html)
+# and GCS has ifGenerationMatch=0 (create-only) — both return HTTP 412
+# when the object already exists. publish_atomic() below is the single
+# dispatch the Delta commit log and Iceberg metadata publishes route
+# through.
+
+
+def _split_object_url(url: str) -> tuple[str, str]:
+    import urllib.parse as _up
+
+    parsed = _up.urlparse(url)
+    return parsed.netloc, parsed.path.lstrip("/")
+
+
+def put_object_url(url: str, data: bytes) -> None:
+    """Unconditional object write (s3:// / gs://) — used for advisory
+    artifacts (version-hint.text) where last-writer-wins is correct."""
+    scheme = object_store_scheme(url)
+    bucket, key = _split_object_url(url)
+    if scheme == "s3a":
+        _s3_client(_bucket_region(bucket)).put_object(
+            Bucket=bucket, Key=key, Body=data
+        )
+    elif scheme == "gs":
+        _gcs_upload(bucket, key, data, generation_match=None)
+    else:
+        raise ValueError(f"not an object-store url: {url!r}")
+
+
+def put_if_absent(url: str, data: bytes) -> None:
+    """Conditional CREATE: succeeds iff the key does not exist, raising
+    FileExistsError when another writer got there first — S3 via
+    ``If-None-Match: *`` (PreconditionFailed / 412), GCS via
+    ``ifGenerationMatch=0`` on the JSON upload API. The loser's staged
+    data files stay unreferenced (VACUUM-able), exactly the local
+    O_EXCL contract."""
+    scheme = object_store_scheme(url)
+    bucket, key = _split_object_url(url)
+    if scheme == "s3a":
+        import botocore.exceptions
+
+        try:
+            _s3_client(_bucket_region(bucket)).put_object(
+                Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
+            )
+        except botocore.exceptions.ClientError as e:
+            code = str(e.response.get("Error", {}).get("Code", ""))
+            if code in ("PreconditionFailed", "412",
+                        "ConditionalRequestConflict"):
+                raise FileExistsError(url) from e
+            raise
+    elif scheme == "gs":
+        _gcs_upload(bucket, key, data, generation_match=0)
+    else:
+        raise ValueError(f"not an object-store url: {url!r}")
+
+
+def _gcs_upload(bucket: str, key: str, data: bytes,
+                generation_match: "int | None") -> None:
+    import urllib.error
+    import urllib.parse as _up
+    import urllib.request
+
+    url = (
+        f"{_gcs_endpoint()}/upload/storage/v1/b/"
+        f"{_up.quote(bucket, safe='')}/o?uploadType=media"
+        f"&name={_up.quote(key, safe='')}"
+    )
+    if generation_match is not None:
+        url += f"&ifGenerationMatch={generation_match}"
+    req = urllib.request.Request(url, data=data, method="POST")
+    req.add_header("Content-Type", "application/octet-stream")
+    tok = _gcs_bearer()
+    if tok:
+        req.add_header("Authorization", f"Bearer {tok}")
+    try:
+        with urllib.request.urlopen(req, timeout=60):
+            return
+    except urllib.error.HTTPError as e:
+        if e.code == 412:
+            raise FileExistsError(f"gs://{bucket}/{key}") from e
+        raise
+
+
+def publish_atomic(path: str, data: bytes) -> None:
+    """Put-if-absent publish of one commit artifact: O_CREAT|O_EXCL on
+    local paths, conditional writes on s3:// and gs:// —
+    FileExistsError always means "lost the optimistic-concurrency
+    race; re-read and retry at the next version"."""
+    if object_store_scheme(path):
+        put_if_absent(path, data)
+        return
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+    except BaseException:
+        os.unlink(path)
+        raise
