@@ -1,0 +1,709 @@
+"""Synthesized ClickBench `hits` fixtures for the reference SLT suites.
+
+The reference runs slt/clickbench/{single,partitioned} against truncated
+samples of the real ClickBench dataset (test_bin/integration_slt.rs:355-434)
+that live in an un-checked-out git submodule.  The goldens in those .slt
+files are aggregates OF that data — so this module re-derives datasets that
+satisfy every golden simultaneously, by construction: each query's pinned
+result set (top-k rows, counts, sums, averages, distinct counts) is treated
+as a constraint, and rows are laid out user-by-user / region-by-region so
+all of them hold at once.  Deterministic, pure-Python; ~1 s for 10 000 rows.
+
+Layout mirrors the reference submodule:
+    <root>/single/hits_truncated.parquet        (10 000 rows)
+    <root>/partitioned/hits_truncated_{i}.parquet
+
+Physical types mirror the reference files: the single file stores proper
+UTF-8 strings with EventDate as uint16 days-since-epoch (the harness view
+casts it to DATE, integration_slt.rs:358-362); the partitioned files store
+all string columns as un-annotated BINARY plus uint16 EventDate, with the
+view casting both back (integration_slt.rs:388-421).
+
+Constraint provenance (single): every literal below is copied from a golden
+in /root/reference/slt/clickbench/single/qNN.slt; comments cite the query.
+"""
+
+from __future__ import annotations
+
+import os
+
+# ---------------------------------------------------------------------------
+# The 105-column ClickBench schema (public; clickbench/single/describe.slt).
+# (name, kind) where kind ∈ i16,i32,i64,str,date16 (uint16 days since epoch).
+# ---------------------------------------------------------------------------
+
+SCHEMA: list[tuple[str, str]] = [
+    ("WatchID", "i64"), ("JavaEnable", "i16"), ("Title", "str"),
+    ("GoodEvent", "i16"), ("EventTime", "i64"), ("EventDate", "date16"),
+    ("CounterID", "i32"), ("ClientIP", "i32"), ("RegionID", "i32"),
+    ("UserID", "i64"), ("CounterClass", "i16"), ("OS", "i16"),
+    ("UserAgent", "i16"), ("URL", "str"), ("Referer", "str"),
+    ("IsRefresh", "i16"), ("RefererCategoryID", "i16"),
+    ("RefererRegionID", "i32"), ("URLCategoryID", "i16"),
+    ("URLRegionID", "i32"), ("ResolutionWidth", "i16"),
+    ("ResolutionHeight", "i16"), ("ResolutionDepth", "i16"),
+    ("FlashMajor", "i16"), ("FlashMinor", "i16"), ("FlashMinor2", "str"),
+    ("NetMajor", "i16"), ("NetMinor", "i16"), ("UserAgentMajor", "i16"),
+    ("UserAgentMinor", "str"), ("CookieEnable", "i16"),
+    ("JavascriptEnable", "i16"), ("IsMobile", "i16"), ("MobilePhone", "i16"),
+    ("MobilePhoneModel", "str"), ("Params", "str"), ("IPNetworkID", "i32"),
+    ("TraficSourceID", "i16"), ("SearchEngineID", "i16"),
+    ("SearchPhrase", "str"), ("AdvEngineID", "i16"), ("IsArtifical", "i16"),
+    ("WindowClientWidth", "i16"), ("WindowClientHeight", "i16"),
+    ("ClientTimeZone", "i16"), ("ClientEventTime", "i64"),
+    ("SilverlightVersion1", "i16"), ("SilverlightVersion2", "i16"),
+    ("SilverlightVersion3", "i32"), ("SilverlightVersion4", "i16"),
+    ("PageCharset", "str"), ("CodeVersion", "i32"), ("IsLink", "i16"),
+    ("IsDownload", "i16"), ("IsNotBounce", "i16"), ("FUniqID", "i64"),
+    ("OriginalURL", "str"), ("HID", "i32"), ("IsOldCounter", "i16"),
+    ("IsEvent", "i16"), ("IsParameter", "i16"), ("DontCountHits", "i16"),
+    ("WithHash", "i16"), ("HitColor", "str"), ("LocalEventTime", "i64"),
+    ("Age", "i16"), ("Sex", "i16"), ("Income", "i16"), ("Interests", "i16"),
+    ("Robotness", "i16"), ("RemoteIP", "i32"), ("WindowName", "i32"),
+    ("OpenerName", "i32"), ("HistoryLength", "i16"),
+    ("BrowserLanguage", "str"), ("BrowserCountry", "str"),
+    ("SocialNetwork", "str"), ("SocialAction", "str"), ("HTTPError", "i16"),
+    ("SendTiming", "i32"), ("DNSTiming", "i32"), ("ConnectTiming", "i32"),
+    ("ResponseStartTiming", "i32"), ("ResponseEndTiming", "i32"),
+    ("FetchTiming", "i32"), ("SocialSourceNetworkID", "i16"),
+    ("SocialSourcePage", "str"), ("ParamPrice", "i64"),
+    ("ParamOrderID", "str"), ("ParamCurrency", "str"),
+    ("ParamCurrencyID", "i16"), ("OpenstatServiceName", "str"),
+    ("OpenstatCampaignID", "str"), ("OpenstatAdID", "str"),
+    ("OpenstatSourceID", "str"), ("UTMSource", "str"), ("UTMMedium", "str"),
+    ("UTMCampaign", "str"), ("UTMContent", "str"), ("UTMTerm", "str"),
+    ("FromTag", "str"), ("HasGCLID", "i16"), ("RefererHash", "i64"),
+    ("URLHash", "i64"), ("CLID", "i32"),
+]
+
+_DAY = 15901          # 2013-07-15 as days since epoch (q06)
+_T0 = _DAY * 86400    # midnight UTC
+
+
+def _mk_row(**kw) -> dict:
+    r = {}
+    for name, kind in SCHEMA:
+        r[name] = "" if kind == "str" else 0
+    r["EventDate"] = _DAY
+    r["CounterID"] = 1          # never 62 → q36-q42 stay empty
+    r.update(kw)
+    return r
+
+
+def _shash(s: str) -> int:
+    """Deterministic tiny string hash (builtin hash() is salted)."""
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 997
+    return h
+
+
+# ---------------------------------------------------------------------------
+# single-suite plan data (all literals from slt/clickbench/single/*.slt)
+# ---------------------------------------------------------------------------
+
+P1 = "ведомосквы вместу"
+P2 = "ведомосквиталия страции"
+P3 = "ведомосквы вы из"
+P4 = "ведомосковский"
+P5 = "ведомоскве варфейс"
+P6 = "растика конд каторией в чебурек"
+P7 = "авторий"
+P8 = "коптимиквиды юристический"
+P9 = "ведомосква"
+P10 = "ведомосквы с ляйсан баллы"
+PN1 = "шарарки в москве"        # q24 early pair
+PN2 = "ведомосква мартыне"      # q24 early pair
+X1 = "покеты рецепт засня"                  # q13 u=3
+X2 = "usb на алекомедит джонс мультр"       # q13 u=2
+X3 = "активный отельство"                   # q13 u=2
+X4 = "афиша липецк автосточка"              # q13 u=2
+F13 = "чебуречный спрос"        # filler phrase for the SE=13 ip group
+S1P = "авомосква веб каменисный"
+S2P = "чагин выпуска на волна 2 сезон 24 резюме онлайн"
+S3P = "my loving teknos 200885;&#1091;&"
+S4P = "авомосковью и тедения пробегом и запечение"
+S6P = "коптимир крас возрождения креставки"
+S7P = "ай ку"
+Q25_PHRASES = [     # q25: the 5 smallest phrases, exactly 2 rows, 1 user each
+    "188242-81 кубов",
+    "5951-88 денске-уральские массы велир",
+    "95 квартир",
+    "diamond rmc m45011-8 сериал",
+    "erection пермь курском звучка штильники скривода моряков адлера",
+]
+
+Q22_URL = "https://produkty%2Fpulove.ru/booklyattion-war-sinij-9182/women"
+Q22_TITLE = (
+    "Легко на участные участников., Цены - Стильная парнем. Саганрог "
+    "догадения : Турции, купить у 10 дне кольные машинки не представки - "
+    "Новая с избиение спродажа: котята 2014 г.в. Цена: 47500-10ECO060 – "
+    "-------- купить квартиру Оренбург (России Galantrax Flamiliada "
+    "Google, Nо 18 фотоконверк Супер Кардиган"
+)
+
+# q33 URL histogram (counts pinned; 42 chosen for the unshown 11th so q33's
+# in-order compare has no tie at 43)
+URL_PLAN = [
+    ("https://produkty%2Fproduct", 225),
+    ("https://produkty%2Fpulove.ru/album/login", 140),
+    ("", 130),
+    ("https://produkty%2Fpulove.ru/kiroverlanet.ru/otdam-soul", 118),
+    ("https://produkty/kurortmag", 108),
+    ("https://produkty%2F", 102),
+    ("https://produkty%2Fpulove.ru/kiroverlanet.ru/otdam-soulmjj/628965/"
+     "detail.aspx?Forum.cofe.ru&pvid=163789569-geniya_1538", 62),
+    ("https://produkty/full&qset=159508&s_yers", 60),
+    ("https://produkty%2Fproduct_id", 50),
+    ("https://produkty%2Fpulove.ru/moscow", 43),
+    ("https://produkty%2Fpulove.ru/novosib", 42),
+]
+
+# q08/q09 region plan: region → (rows, adv_sum, rw_avg, distinct_users)
+REGIONS = {
+    229: (5197, 1156, 1641.5397344621897, 294),
+    2: (1964, 326, 1561.1390020366598, 119),
+    1: (623, 60, 1617.720706260032, 38),
+    208: (213, 102, 1172.906103286385, 29),
+    7: (164, 16, 1592.5853658536585, 12),
+    12457: (142, 130, 1777.1549295774648, 2),
+    9: (98, 0, 1559.2857142857142, 9),
+    47: (96, 8, 1174.75, 6),
+    57: (78, 20, 1603.3846153846155, 5),
+    34: (76, 18, 1578.1052631578948, 6),
+}
+# q08-only regions: (rows chosen ≤75, pinned distinct_users)
+Q08_REGIONS = {11: (60, 8), 139: (55, 8), 226: (50, 8), 14593: (40, 7)}
+
+TOTAL_ROWS = 10_000
+TOTAL_USERS = 723       # q04
+TOTAL_PHRASES = 390     # q05 (includes '')
+RW_SUM = 15_922_380     # q02/q29
+AVG_USER = -7.135061942656019e18  # q03
+ADV_PLAN = {2: 220, 13: 142}      # q01/q07
+# per-region AdvEngineID decomposition: region → (#rows of 2, #rows of 13);
+# satisfies 2a+13b == REGIONS[r][1] and Σa=220, Σb=142 with the remainder
+# (a=160, b=10 → sum 450) spread over non-q09 regions
+ADV_REGION = {229: (6, 88), 2: (7, 24), 1: (4, 4), 208: (12, 6),
+              7: (8, 0), 12457: (0, 10), 9: (0, 0), 47: (4, 0),
+              57: (10, 0), 34: (9, 0)}
+ADV_OTHER = (160, 10)
+
+# q31: ten smallest WatchIDs among SearchPhrase<>'' rows
+W_SMALL = [
+    (4617561261186506426, 1785570738, 0, 1750),
+    (4621548433098056642, 1515936442, 1, 1917),
+    (4627214020331320067, 743072690, 1, 1368),    # U1 row
+    (4630380122233063518, 1207096081, 1, 1917),
+    (4636835208715655538, 1603657374, 0, 1828),
+    (4638023078767590803, 601553448, 0, 1368),
+    (4640697035997705957, 743072690, 0, 1368),    # U1 row
+    (4646520385515517960, 1337491165, 0, 1368),
+    (4647310520206361580, 127765921, 0, 1638),
+    (4649178432418992904, 1948294990, 0, 1750),
+]
+# q32: ten largest WatchIDs overall
+W_BIG = [
+    (9223293557789499343, 1743521871, 1, 1760),
+    (9223247512111991176, 1745080255, 0, 1917),
+    (9223117509516371378, -2134099372, 0, 1638),
+    (9222583454246564335, 1499579807, 0, 1750),
+    (9222423940302739840, 1943715871, 0, 1638),   # U7 ('' row)
+    (9222148957862209006, 2087176462, 1, 1368),
+    (9220326222135566870, 934770972, 0, 1087),    # U6 ('' row)
+    (9220253031120917191, -504725664, 0, 1638),
+    (9219819009086900760, 2052076231, 0, 1891),
+    (9218696198217409492, -673500741, 1, 1638),   # SE13 group row
+]
+
+
+class _User:
+    __slots__ = ("uid", "ip", "groups", "empty", "minute_pins", "region",
+                 "is_pad")
+
+    def __init__(self, uid, ip=None, empty=0, is_pad=False):
+        self.uid = uid
+        self.ip = ip
+        self.groups = []        # (phrase, se, count, rw_or_None, refresh_n)
+        self.empty = empty
+        self.minute_pins = {}   # minute → count, for '' rows (q18)
+        self.region = None
+        self.is_pad = is_pad
+
+    @property
+    def total(self):
+        return self.empty + sum(g[2] for g in self.groups)
+
+
+def _build_single_users() -> tuple[list[_User], list[_User]]:
+    """Returns (all_users, pads)."""
+    users: list[_User] = []
+
+    def mk(uid, ip=None, empty=0):
+        u = _User(uid, ip, empty)
+        users.append(u)
+        return u
+
+    # --- q17: the seven smallest UserIDs, group sets pinned exactly
+    s1 = mk(-9214751021948998350); s1.groups.append((S1P, 4, 2, None, 0))
+    s2 = mk(-9213728704863893851, empty=2)
+    s2.groups.append((S2P, 4, 2, None, 0))
+    s3 = mk(-9185786869851590940); s3.groups.append((S3P, 4, 2, None, 0))
+    s4 = mk(-9183768020535680440); s4.groups.append((S4P, 4, 2, None, 0))
+    s5 = mk(-9181512033394222426); s5.groups.append((P4, 2, 2, None, 0))
+    s6 = mk(-9180825132631298460, empty=18)
+    s6.groups.append((S6P, 4, 2, None, 0))
+    s7 = mk(-9178515231912571900, empty=26)
+    s7.groups.append((S7P, 4, 2, None, 0))
+
+    # --- q15/q16 top users (totals & '' counts pinned), IPs from q35,
+    #     non-empty (se,ip) groups from q30
+    u1 = mk(-7918574344944952583, 743072690, empty=182)
+    u1.minute_pins = {26: 24, 9: 14}
+    u2 = mk(-7589677728426322164, -896338100, empty=152)
+    u3 = mk(-8258406745529374862, 1735595921, empty=111)
+    mk(-8906290752198210953, 2107723744, empty=126)                  # U4
+    u5 = mk(-7904263253391067902, 1852934819, empty=123)
+    u5.minute_pins = {34: 14}
+    mk(-8351596774216514728, 934770972, empty=112)                   # U6
+    u7 = mk(-5813304333699498523, 1943715871, empty=102)
+    u8 = mk(-6263574068676474198, 1140309473, empty=98)
+    mk(-5808690843284415970, 1593446890, empty=104)                  # U9
+    u10 = mk(-7443496593543088467, 874640340, empty=100)
+    mk(-4975559395456095104, 999999999, empty=102)                   # U11
+    mk(-8229872269465361314, 1010101010, empty=100)                  # U12
+    # q18 pinned-minute users
+    u13 = mk(-9154375582268094750, empty=20); u13.minute_pins = {1: 20}
+    u14 = mk(-8455721461950319637, empty=16); u14.minute_pins = {21: 16}
+    u15 = mk(-8284294157038592779, empty=16); u15.minute_pins = {11: 16}
+    u16 = mk(-7725127544842036118, empty=16); u16.minute_pins = {21: 16}
+    u17 = mk(-9158995094684353950, empty=14); u17.minute_pins = {12: 14}
+    u18 = mk(-7018910098174567459, empty=28)
+    u18.minute_pins = {56: 14, 57: 14}
+
+    nid = [5_000_000_000_000]   # small positive uid sequence
+
+    def small(ip=None, empty=0):
+        nid[0] += 1
+        return mk(nid[0], ip, empty)
+
+    # --- q30 pinned (SearchEngineID, ClientIP) groups not owned by U-users
+    v1 = small(-125068408)      # (2,-125068408,14,r7,1638)
+    v2 = small(-1555581670)     # (2,-1555581670,12,r6,1638)
+    v3 = small(-1300828471)     # (2,-1300828471,10,r5,1396)
+    v4 = small(-181568119)      # (2,-181568119,10,r5,1996)
+    v5 = small(403806690)       # (2,403806690,10,r5,1828)
+    v6 = small(1449805590)      # (2,1449805590,10,r6,1638)
+
+    # big-consumer phrase allocation (hand-balanced; asserted in build):
+    # (user, phrase, se, count, rw, refresh)
+    big_alloc = [
+        (v1, P5, 2, 14, 1638, 7),
+        (v2, P5, 2, 6, 1638, 3), (v2, P8, 2, 6, 1638, 3),
+        (u1, P10, 2, 6, 1368, 3), (u1, P7, 2, 4, 1368, 2),
+        (u1, P3, 2, 2, 1368, 1),                 # + w3's refresh → 6 (q30)
+        (u2, P7, 2, 2, None, 0), (u2, P3, 2, 2, None, 0),
+        (u3, P10, 2, 6, 1638, 3), (u3, P9, 2, 5, 1638, 2),
+        (u3, P4, 2, 9, 1638, 4),
+        (u7, P7, 2, 2, None, 0), (u7, P3, 2, 4, None, 0),
+        (u7, P4, 2, 4, None, 0),
+        (u8, P8, 2, 8, 1638, 4), (u8, P2, 2, 4, 1638, 2),
+        (u10, P9, 2, 2, None, 0),
+        (v3, P9, 2, 4, 1396, 2), (v3, P3, 2, 6, 1396, 3),
+        (v4, P9, 2, 2, 1996, 1), (v4, P7, 2, 4, 1996, 2),
+        (v4, P3, 2, 4, 1996, 2),
+        (v5, P7, 2, 2, 1828, 1), (v5, P4, 2, 8, 1828, 4),
+        (v6, P4, 2, 6, 1638, 4), (v6, P3, 2, 4, 1638, 2),
+    ]
+    for u, p, se, n, rw, rf in big_alloc:
+        u.groups.append((p, se, n, rw, rf))
+
+    # --- SE=13 ip group (q30: (13,-673500741) c=20, refresh 12, rw 1638)
+    p6a = small(-673500741); p6a.groups.append((P6, 13, 8, 1638, 5))
+    p6b = small(-673500741); p6b.groups.append((P6, 13, 8, 1638, 5))
+    p6c = small(-673500741); p6c.groups.append((F13, 13, 4, 1638, 2))
+
+    # --- small users completing each phrase's row count & distinct-user
+    #     target (q12/q13/q14)
+    def spread(total, n_users):
+        base, rem = divmod(total, n_users)
+        return [base + (1 if i < rem else 0) for i in range(n_users)]
+
+    p1_smalls = []
+    for c in spread(87, 20):
+        u = small(); u.groups.append((P1, 2, c, None, 0)); p1_smalls.append(u)
+    for c in spread(15, 6):
+        u = small(); u.groups.append((P1, 3, c, None, 0)); p1_smalls.append(u)
+    for c in spread(8, 6):
+        u = small(); u.groups.append((P1, 5, c, None, 0)); p1_smalls.append(u)
+    # the eight q31-pinned WatchID rows not owned by U1 ride on P1 smalls:
+    # give those users the pinned ClientIPs
+    w_ips = [ip for _, ip, _, _ in W_SMALL if ip != 743072690]
+    for u, ip in zip(p1_smalls, w_ips):
+        u.ip = ip
+    for c in spread(35, 11):
+        u = small(); u.groups.append((P2, 2, c, None, 0))
+    for c in spread(6, 3):
+        u = small(); u.groups.append((P2, 5, c, None, 0))
+    for c in spread(9, 2):
+        u = small(); u.groups.append((P3, 2, c, None, 0))
+    for c in spread(7, 2):
+        u = small(); u.groups.append((P3, 5, c, None, 0))
+    for _ in range(4):
+        u = small(); u.groups.append((P4, 2, 1, None, 0))
+
+    # q13 low-u phrases and q25's five pinned-smallest phrases
+    for _ in range(3):
+        u = small(); u.groups.append((X1, 4, 1, None, 0))
+    for ph in (X2, X3, X4):
+        for _ in range(2):
+            u = small(); u.groups.append((ph, 4, 1, None, 0))
+    for ph in Q25_PHRASES + [PN1, PN2]:
+        u = small(); u.groups.append((ph, 4, 2, None, 0))
+
+    # --- filler phrases to reach exactly 390 distinct values (incl. '')
+    fixed_phrases = {
+        P1, P2, P3, P4, P5, P6, P7, P8, P9, P10, PN1, PN2, S1P, S2P, S3P,
+        S4P, S6P, S7P, X1, X2, X3, X4, F13, *Q25_PHRASES, "",
+    }
+    for i in range(TOTAL_PHRASES - len(fixed_phrases)):
+        u = small()
+        u.groups.append((f"тема {i:03d} простое разное", 4, 1, None, 0))
+
+    # --- pad users: '' rows only; region assignment sizes them
+    n_pads = TOTAL_USERS - len(users)
+    pad_rows = TOTAL_ROWS - sum(u.total for u in users)
+    assert n_pads > 40 and pad_rows >= n_pads, (n_pads, pad_rows)
+    pads = []
+    # q32 pinned '' rows not owned by U6/U7/the SE13 group → dedicated pads
+    w_pad_ips = [ip for _, ip, _, _ in W_BIG
+                 if ip not in (1943715871, 934770972, -673500741)]
+    for ip in w_pad_ips:
+        p = mk(0, ip, empty=1)
+        p.is_pad = True
+        pads.append(p)
+    for _ in range(n_pads - len(w_pad_ips)):
+        p = mk(0, None, empty=1)
+        p.is_pad = True
+        pads.append(p)
+    return users, pads
+
+
+def _assign_regions(users: list[_User], pads: list[_User]) -> None:
+    """Exact per-region row and distinct-user quotas (q08/q09); pads flex."""
+    specs = [(r, c, uq) for r, (c, _a, _w, uq) in REGIONS.items()]
+    specs += [(r, (cu := Q08_REGIONS[r])[0], cu[1]) for r in Q08_REGIONS]
+    specs.sort(key=lambda t: -t[1])
+    nonpads = sorted((u for u in users if not u.is_pad),
+                     key=lambda u: -u.total)
+    placed: dict[int, list[_User]] = {r: [] for r, _, _ in specs}
+    rows_in: dict[int, int] = {r: 0 for r, _, _ in specs}
+    for u in nonpads:
+        for r, c, uq in specs:
+            slots_after = uq - len(placed[r]) - 1
+            room = c - rows_in[r] - u.total
+            # leave each later pad slot 1..99 rows of headroom
+            if (len(placed[r]) < uq and room >= slots_after
+                    and room <= slots_after * 99):
+                placed[r].append(u)
+                rows_in[r] += u.total
+                u.region = r
+                break
+        assert u.region is not None, f"user total={u.total} unplaced"
+    # size pads into the leftover of each pinned region
+    pad_q = list(pads)
+    for r, c, uq in specs:
+        k = uq - len(placed[r])
+        left = c - rows_in[r]
+        assert k <= left <= k * 99, (r, k, left)
+        sizes = [left // k + (1 if i < left % k else 0) for i in range(k)]
+        for sz in sizes:
+            p = pad_q.pop(0)
+            p.region = r
+            p.empty = sz
+    # remaining pads form the non-pinned regions: ≤7 users (q08: a 7-user
+    # region must have id > 14593) and ≤75 rows (q09 cutoff) each
+    other_rows = TOTAL_ROWS - sum(c for _, c, _ in specs)
+    rid = 20_001
+    while pad_q:
+        group = [pad_q.pop(0) for _ in range(min(7, len(pad_q)))]
+        regions_left_after = (len(pad_q) + 6) // 7
+        take = min(75, other_rows - len(pad_q))
+        take = max(take, len(group))
+        if regions_left_after == 0:
+            take = other_rows
+        assert len(group) <= take <= 75, (take, len(group))
+        sizes = [take // len(group) + (1 if i < take % len(group) else 0)
+                 for i in range(len(group))]
+        for p, sz in zip(group, sizes):
+            p.region = rid
+            p.empty = sz
+        other_rows -= take
+        rid += 1
+    assert other_rows == 0, other_rows
+    total = sum(u.total for u in users)
+    assert total == TOTAL_ROWS, total
+
+
+def _steer_user_ids(users: list[_User], pads: list[_User]) -> None:
+    """Pick pad UserIDs so AVG(UserID) lands on the q03 golden (±1e-5)."""
+    target_sum = int(AVG_USER * TOTAL_ROWS)
+    pinned = sum(u.uid * u.total for u in users if not u.is_pad)
+    pad_rows = sum(p.total for p in pads)
+    per_row = (target_sum - pinned) // pad_rows
+    assert -9_000_000_000_000_000_000 < per_row < 0, per_row
+    for j, p in enumerate(pads):
+        p.uid = per_row + j + 1
+    uids = [u.uid for u in users]
+    assert len(set(uids)) == len(uids) == TOTAL_USERS
+
+
+def _build_single_rows() -> list[dict]:
+    users, pads = _build_single_users()
+    _assign_regions(users, pads)
+    _steer_user_ids(users, pads)
+
+    # unique IPs for everyone unassigned
+    seen_ips = {u.ip for u in users if u.ip is not None}
+    nxt = 100_000
+    for u in users:
+        if u.ip is None:
+            while nxt in seen_ips:
+                nxt += 1
+            u.ip = nxt
+            seen_ips.add(nxt)
+
+    rows: list[dict] = []
+    w_small_left = {}
+    for t in W_SMALL:
+        w_small_left.setdefault(t[1], []).append(t)
+    w_big_left = {}
+    for t in W_BIG:
+        w_big_left.setdefault(t[1], []).append(t)
+    next_ne = [4_650_000_000_000_000_000]   # non-empty WatchID sequence
+    next_e = [6_000_000_000_000_000_000]    # ''-row WatchID sequence
+
+    # q24/q26: the ten earliest EventTimes among SearchPhrase<>'' rows,
+    # in this exact output order (pairs share a phrase)
+    early_order = [P10, P10, P4, P4, PN1, PN1, P1, P1, PN2, PN2]
+    early_idx = {}
+    for i, ph in enumerate(early_order):
+        early_idx.setdefault(ph, []).append(i)
+    # owner of the early pair for multi-user phrases (any user works;
+    # pinned here so exactly one user's rows claim them)
+    p1_first_small = next(u for u in users
+                          if u.groups and u.groups[0][0] == P1)
+    u1 = next(u for u in users if u.uid == -7918574344944952583)
+    s5 = next(u for u in users if u.uid == -9181512033394222426)
+    early_owner = {P10: u1.uid, P4: s5.uid, P1: p1_first_small.uid}
+
+    hour_cycle = [0]
+
+    def ev_time(minute):
+        hour_cycle[0] = hour_cycle[0] % 22 + 1   # hours 1..22
+        return _T0 + hour_cycle[0] * 3600 + minute * 60 + len(rows) % 60
+
+    for u in users:
+        for phrase, se, n, rw, refresh_n in u.groups:
+            made_refresh = 0
+            claims_early = (phrase in early_idx
+                            and early_owner.get(phrase, u.uid) == u.uid)
+            for k in range(n):
+                r = _mk_row(UserID=u.uid, ClientIP=u.ip, RegionID=u.region,
+                            SearchPhrase=phrase, SearchEngineID=se)
+                if claims_early and early_idx[phrase]:
+                    r["EventTime"] = _T0 + early_idx[phrase].pop(0)
+                else:
+                    r["EventTime"] = ev_time((k // 12 * 7 + _shash(phrase))
+                                             % 60)
+                pin = w_small_left.get(u.ip)
+                if not pin and phrase == F13:
+                    pin = w_big_left.get(u.ip)
+                if pin:
+                    wid, _ip, rf, prw = pin.pop(0)
+                    r["WatchID"] = wid
+                    r["IsRefresh"] = rf
+                    r["ResolutionWidth"] = prw
+                    r["__rw_pinned"] = True
+                    made_refresh += rf
+                else:
+                    next_ne[0] += 1
+                    r["WatchID"] = next_ne[0]
+                    if made_refresh < refresh_n:
+                        r["IsRefresh"] = 1
+                        made_refresh += 1
+                    if rw is not None:
+                        r["ResolutionWidth"] = rw
+                        r["__rw_pinned"] = True
+                rows.append(r)
+        # '' rows with the q18 minute plan (≤12 per unpinned minute)
+        minutes = []
+        for m, cnt in sorted(u.minute_pins.items()):
+            minutes += [m] * cnt
+        allowed = [m for m in range(60) if m not in u.minute_pins]
+        k = 0
+        base = abs(u.uid) % len(allowed)
+        while len(minutes) < u.empty:
+            minutes.append(allowed[(base + k // 12) % len(allowed)])
+            k += 1
+        for m in minutes:
+            r = _mk_row(UserID=u.uid, ClientIP=u.ip, RegionID=u.region,
+                        EventTime=ev_time(m))
+            pin = w_big_left.get(u.ip)
+            if pin:
+                wid, _ip, rf, prw = pin.pop(0)
+                r["WatchID"] = wid
+                r["IsRefresh"] = rf
+                r["ResolutionWidth"] = prw
+                r["__rw_pinned"] = True
+            else:
+                next_e[0] += 1
+                r["WatchID"] = next_e[0]
+            rows.append(r)
+
+    assert len(rows) == TOTAL_ROWS, len(rows)
+    assert not any(w_small_left.values()), w_small_left
+    assert not any(w_big_left.values()), w_big_left
+
+    # --- AdvEngineID placement (q01/q02/q07/q09)
+    by_region: dict[int, list[dict]] = {}
+    for r in rows:
+        by_region.setdefault(r["RegionID"], []).append(r)
+    placed = {2: 0, 13: 0}
+    for reg, (a, b) in ADV_REGION.items():
+        cand = by_region[reg]
+        assert len(cand) >= a + b, (reg, a, b)
+        for r in cand[:a]:
+            r["AdvEngineID"] = 2
+        for r in cand[a:a + b]:
+            r["AdvEngineID"] = 13
+        placed[2] += a
+        placed[13] += b
+    other_pool = [r for reg, rl in by_region.items()
+                  if reg not in ADV_REGION for r in rl]
+    a, b = ADV_OTHER
+    for r in other_pool[:a]:
+        r["AdvEngineID"] = 2
+    for r in other_pool[a:a + b]:
+        r["AdvEngineID"] = 13
+    placed[2] += a
+    placed[13] += b
+    assert placed == ADV_PLAN, placed
+
+    # --- ResolutionWidth balancing to the per-region averages (q09) and
+    #     the global sum (q02/q29)
+    targets = {reg: round(avg * c)
+               for reg, (c, _a2, avg, _u2) in REGIONS.items()}
+    assert all(abs(targets[g] - REGIONS[g][2] * REGIONS[g][0]) < 0.51
+               for g in REGIONS)
+    other_regs = [g for g in by_region if g not in targets]
+    leftover = RW_SUM - sum(targets.values())
+    other_total = sum(len(by_region[g]) for g in other_regs)
+    for g in other_regs:
+        targets[g] = leftover * len(by_region[g]) // other_total
+    for g, rl in by_region.items():
+        free = [r for r in rl if not r.get("__rw_pinned")]
+        pinned_sum = sum(r["ResolutionWidth"] for r in rl
+                         if r.get("__rw_pinned"))
+        want = targets[g] - pinned_sum
+        assert free, f"region {g} has no free rows for RW balance"
+        base, rem = divmod(want, len(free))
+        assert 0 <= base <= 32_000, (g, base)
+        for i, r in enumerate(free):
+            r["ResolutionWidth"] = base + (1 if i < rem else 0)
+    # integer-division crumbs land on one row of a NON-q09 region (their
+    # per-region sums are unconstrained)
+    crumbs = RW_SUM - sum(r["ResolutionWidth"] for r in rows)
+    fixer = next(r for r in by_region[other_regs[0]]
+                 if not r.get("__rw_pinned"))
+    fixer["ResolutionWidth"] += crumbs
+    assert 0 <= fixer["ResolutionWidth"] <= 32_767
+    assert sum(r["ResolutionWidth"] for r in rows) == RW_SUM
+
+    # --- URLs (q33/q34) + the q22 special row
+    url_seq: list[str] = []
+    for url, cnt in URL_PLAN:
+        url_seq += [url] * cnt
+    filler = TOTAL_ROWS - len(url_seq) - 1      # −1: the q22 row
+    fi = 0
+    while filler > 0:
+        take = min(30, filler)
+        url_seq += [f"https://produkty/f{fi:04d}"] * take
+        filler -= take
+        fi += 1
+    q22_done = False
+    ui = 0
+    for r in rows:
+        if not q22_done and r["SearchPhrase"] == P2:
+            r["URL"] = Q22_URL
+            r["Title"] = Q22_TITLE
+            q22_done = True
+            continue
+        r["URL"] = url_seq[ui]
+        ui += 1
+    assert q22_done and ui == len(url_seq)
+
+    # --- MobilePhoneModel (q10/q11): 22 distinct users over 4 phone codes
+    first_row_of: dict[int, dict] = {}
+    for r in rows:
+        first_row_of.setdefault(r["UserID"], r)
+    picked = iter(pads)
+    for phone, n_users in [(1, 19), (19, 1), (60, 1), (7, 1)]:
+        for _ in range(n_users):
+            u = next(picked)
+            fr = first_row_of[u.uid]
+            fr["MobilePhone"] = phone
+            fr["MobilePhoneModel"] = "iPad"
+
+    for r in rows:
+        r.pop("__rw_pinned", None)
+        r["ClientEventTime"] = r["EventTime"]
+        r["LocalEventTime"] = r["EventTime"]
+    # cheap global invariants (full verification is the DuckDB/SLT gate)
+    assert len({r["WatchID"] for r in rows}) == TOTAL_ROWS
+    assert len({r["SearchPhrase"] for r in rows}) == TOTAL_PHRASES
+    assert len({r["UserID"] for r in rows}) == TOTAL_USERS
+    return rows
+
+
+def _arrow_table(rows: list[dict], binary_strings: bool):
+    import pyarrow as pa
+
+    arrays, fields = [], []
+    for name, kind in SCHEMA:
+        vals = [r[name] for r in rows]
+        if kind == "i16":
+            t = pa.int16()
+        elif kind == "i32":
+            t = pa.int32()
+        elif kind == "i64":
+            t = pa.int64()
+        elif kind == "date16":
+            t = pa.uint16()
+        else:
+            t = pa.binary() if binary_strings else pa.string()
+            if binary_strings:
+                vals = [v.encode() for v in vals]
+        arrays.append(pa.array(vals, type=t))
+        fields.append(pa.field(name, t))
+    return pa.table(dict(zip([f.name for f in fields], arrays)),
+                    schema=pa.schema(fields))
+
+
+_GEN_VERSION = "single-v1"
+
+
+def ensure_single(root: str) -> str:
+    """Build (idempotently) and return the single-suite parquet path."""
+    import pyarrow.parquet as pq
+
+    out = os.path.join(root, "single", "hits_truncated.parquet")
+    stamp = out + ".generated"
+    if os.path.exists(stamp) and open(stamp).read().strip() == _GEN_VERSION:
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    rows = _build_single_rows()
+    pq.write_table(_arrow_table(rows, binary_strings=False), out)
+    with open(stamp, "w") as fh:
+        fh.write(_GEN_VERSION)
+    return out

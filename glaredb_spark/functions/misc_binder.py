@@ -82,6 +82,36 @@ def _sub_masked(sql: str, pat: re.Pattern, rep) -> str:
     return "".join(out)
 
 
+# --- epoch()/epoch_s()/epoch_ms() macro inlining ----------------------------
+#
+# These are registered as SQL UDFs (register.py) for list_functions/
+# chaining surfaces, but Spark 4.x SQL-UDF inlining breaks
+# ResolveAggregateFunctions when the call appears in a GROUP-BY-aliased
+# SELECT item and the ORDER BY references an aggregate
+# (clickbench/single/q18.slt: `extract(minute FROM epoch(EventTime)) AS m
+# ... GROUP BY m ... ORDER BY COUNT(*)` → UNSUPPORTED_EXPR_FOR_OPERATOR).
+# Inlining the one-expression macros textually sidesteps the analyzer bug
+# with identical semantics.
+
+_EPOCH_RE = re.compile(r"\b(epoch_ms|epoch_s|epoch)\s*\(", re.IGNORECASE)
+_EPOCH_FN = {"epoch": "timestamp_seconds", "epoch_s": "timestamp_seconds",
+             "epoch_ms": "timestamp_millis"}
+
+
+def rewrite_epoch_inline(sql: str) -> str:
+    out = []
+    last = 0
+    spans = _find_literal_spans(sql)
+    for m in _EPOCH_RE.finditer(sql):
+        if _in_spans(m.start(), spans):
+            continue
+        out.append(sql[last:m.start()])
+        out.append(_EPOCH_FN[m.group(1).lower()] + "(")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 # --- extract / date_part return type ---------------------------------------
 
 _DATEPART_CALL_RE = re.compile(r"\b(extract|date_part)\s*\(", re.IGNORECASE)
@@ -789,6 +819,8 @@ def rewrite_misc(sql: str, spark=None) -> str:
         low = sql.lower()
     if "factorial" in low:
         sql = rewrite_factorial(sql)
+    if "epoch" in low:
+        sql = rewrite_epoch_inline(sql)
     if re.search(r"\b(extract|date_part)\s*\(", low):
         sql = rewrite_datepart_decimal(sql)
     if "between" in low and "null" in low:

@@ -955,6 +955,14 @@ def _describe_cell_match(exp: str, act: str) -> bool:
     """
     if exp == act:
         return True
+    import unicodedata
+
+    if unicodedata.normalize("NFKC", exp) == unicodedata.normalize(
+        "NFKC", act
+    ):
+        # e.g. Timestamp(μs) goldens vary between GREEK MU and MICRO SIGN
+        # across reference suites
+        return True
     if exp == "?column?":
         return True
     m = re.fullmatch(r"column(\d+)", exp)
@@ -1317,28 +1325,37 @@ def _ensure_gcs_public_fixture() -> None:
     _MOTO["gcs"] = em
 
 
-def _register_clickbench_hits(sess) -> None:
+_CLICKBENCH_FIXTURE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "clickbench_slt",
+)
+
+
+def _register_clickbench_hits(sess, suite: str) -> None:
     """slt/clickbench setup: the reference harness registers a `hits`
-    temp view over the truncated ClickBench sample
-    (integration_slt.rs:358). That parquet lives in an uncheckedout
-    submodule, so the VALUE files stay excluded — but the schema is
-    fully declared by the suite's own describe.slt golden, so an empty
-    view with exactly those types lets the schema files run (the
-    DESCRIBE then asserts our Spark-type -> reference-type-name round
-    trip for all 105 columns)."""
-    spark_type = {
-        "Int64": "bigint", "Int32": "int", "Int16": "smallint",
-        "Utf8": "string", "Date32": "date",
-    }
-    fields = []
-    ref = "/root/reference/slt/clickbench/single/describe.slt"
-    for line in open(ref):
-        parts = line.split()
-        if len(parts) == 2 and parts[1] in spark_type:
-            fields.append(f"`{parts[0]}` {spark_type[parts[1]]}")
-    sess.spark.createDataFrame([], ", ".join(fields)).createOrReplaceTempView(
-        "hits"
+    temp view over truncated ClickBench samples living in an
+    un-checked-out submodule (integration_slt.rs:355-434).  The samples
+    are re-derived from the suites' own goldens (clickbench_fixture.py)
+    and the view applies the same REPLACE casts the reference setup
+    does: EventDate uint16→DATE for both suites, BINARY→string for the
+    partitioned files."""
+    from pyspark.sql import functions as F
+
+    from glaredb_spark import clickbench_fixture as cf
+
+    if suite == "single":
+        path = cf.ensure_single(_CLICKBENCH_FIXTURE_ROOT)
+        df = sess.spark.read.parquet(path)
+    else:
+        paths = cf.ensure_partitioned(_CLICKBENCH_FIXTURE_ROOT)
+        df = sess.spark.read.parquet(os.path.dirname(paths[0]))
+        for col, kind in cf.SCHEMA:
+            if kind == "str":
+                df = df.withColumn(col, F.col(col).cast("string"))
+    df = df.withColumn(
+        "EventDate", F.expr("DATE_ADD(DATE '1970-01-01', EventDate)")
     )
+    df.createOrReplaceTempView("hits")
 
 
 def _ensure_http_fixture() -> None:
@@ -1404,7 +1421,11 @@ def run_slt_file(sess, path: str) -> SltResult:
     if f"{os.sep}slt{os.sep}http{os.sep}" in path:
         _ensure_http_fixture()
     if f"{os.sep}clickbench{os.sep}" in path:
-        _register_clickbench_hits(sess)
+        _register_clickbench_hits(
+            sess,
+            "partitioned" if f"{os.sep}partitioned{os.sep}" in path
+            else "single",
+        )
     # unity attachments made by the file are session-scoped; detach them
     # afterwards so a rerun in the same session doesn't collide
     from glaredb_spark.sources.unity import _attached as _uc_attached
