@@ -881,6 +881,7 @@ def read_iceberg_native(
     plain file list; the caller still applies the row predicate (a
     bucket holds many keys)."""
     m = table_metadata(table_path)
+    reject_v3(m, "read")
     if snapshot_id is None and as_of is not None:
         # time travel by timestamp (r10): newest snapshot <= AS OF
         snapshot_id = snapshot_as_of_iceberg_native(m, as_of)
@@ -906,9 +907,11 @@ def read_iceberg_native(
         if _STATUS.get(e.get("status", 0)) == "DELETED":
             continue
         fmt = (df.get("file_format") or "PARQUET").upper()
+        content = df.get("content", 0) or 0
+        if content:
+            _reject_v3_delete_entry(df)
         if fmt != "PARQUET":
             raise IcebergError(f"unsupported iceberg data file format: {fmt}")
-        content = df.get("content", 0) or 0
         resolved = _resolve(df["file_path"], m, table_path)
         seq = int(e.get("_seq", 0))
         scope = _partition_scope(
@@ -1424,6 +1427,70 @@ def _current_schema_obj(meta: dict) -> dict:
     )
 
 
+def _v3_features(meta: dict) -> list[str]:
+    """Names of Iceberg v3 features present in a metadata document.
+
+    The v3 spec (format-version 3) adds row lineage (``next-row-id`` +
+    per-snapshot ``first-row-id``), variant/geometry/geography column
+    types, default values, and binary deletion vectors.  None of these
+    can be silently misread as v2 semantics — lineage columns would be
+    fabricated, variant values misdecoded, DV'd rows resurrected — so
+    readers and writers refuse by NAME rather than proceeding."""
+    feats = []
+    if meta.get("next-row-id") is not None or meta.get("row-lineage"):
+        feats.append("row lineage (next-row-id)")
+    v3_types = {"variant", "geometry", "geography", "unknown"}
+    for s in meta.get("schemas") or [meta.get("schema", {})]:
+        for f in (s or {}).get("fields", []):
+            t = f.get("type")
+            base = t if isinstance(t, str) else ""
+            if base.split("(")[0] in v3_types:
+                feats.append(f"column '{f.get('name')}' of type {base}")
+    for f in (_current_schema_obj(meta) or {}).get("fields", []):
+        if "initial-default" in f or "write-default" in f:
+            feats.append(f"default values (column '{f.get('name')}')")
+    return feats
+
+
+def reject_v3(meta: dict, op: str) -> None:
+    """Refuse format-version ≥ 3 metadata with an actionable,
+    feature-named error on both read and write paths (r10 verdict #5).
+    v1/v2 documents that smuggle a v3 column type are refused too."""
+    fv = int(meta.get("format-version", 1) or 1)
+    feats = _v3_features(meta)
+    if fv >= 3:
+        detail = ("; v3 features present: " + ", ".join(sorted(set(feats)))
+                  ) if feats else ""
+        raise IcebergError(
+            f"cannot {op} iceberg table: format-version {fv} is not "
+            f"supported (v1 and v2 only){detail}. Deletion vectors, row "
+            f"lineage, variant columns and column defaults have no v2 "
+            f"representation; rewrite the table as format-version 2 to "
+            f"use this engine."
+        )
+    if feats:
+        raise IcebergError(
+            f"cannot {op} iceberg table: v3-only features in a "
+            f"format-version {fv} document: " + ", ".join(sorted(set(feats)))
+        )
+
+
+def _reject_v3_delete_entry(df: dict) -> None:
+    """A v3 deletion vector is a puffin blob referenced from a delete
+    manifest entry (content=1, file_format=PUFFIN, referenced-data-file
+    + content-offset/size). Refuse it by name — falling through to the
+    generic 'unsupported file format' error would hide what the table
+    actually needs."""
+    fmt = (df.get("file_format") or "").upper()
+    if (fmt == "PUFFIN" or df.get("referenced_data_file") is not None
+            or df.get("content_offset") is not None):
+        raise IcebergError(
+            "iceberg v3 deletion vectors (puffin delete blobs) are not "
+            "supported; rewrite position deletes as v2 position-delete "
+            "parquet files"
+        )
+
+
 def _publish_snapshot(
     table_path: str,
     meta: dict | None,
@@ -1458,6 +1525,7 @@ def _publish_snapshot(
     # manifest/manifest-list/metadata field sets)
     fv = int((meta or {}).get("format-version", format_version) or 1)
     if fv not in (1, 2):
+        reject_v3(meta or {}, "write to")
         raise IcebergError(
             f"native iceberg writes support format-version 1 and 2; "
             f"this table is format-version {fv}"
@@ -4213,6 +4281,9 @@ def changes_iceberg_native(
       numbers); added data files in the same snapshot (upsert MERGE)
       are 'insert's.
 
+    Format-version ≥ 3 metadata is refused with a feature-named error
+    (reject_v3) like every other read path.
+
     Output: current-schema columns + _change_type ('insert'/'delete'),
     _commit_snapshot_id, _commit_timestamp. Expired (or unknown)
     snapshot bounds raise — silently skipping would hand an incremental
@@ -4226,6 +4297,7 @@ def changes_iceberg_native(
 
     table_path = os.path.abspath(table_path)
     meta = table_metadata(table_path)
+    reject_v3(meta, "read changes from")
     # rename/drop dirty window: files written BEFORE the revision carry
     # superseded column names, and these per-snapshot scans select by
     # CURRENT name. The check is per-range (files actually touched),
