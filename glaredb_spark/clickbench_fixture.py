@@ -669,9 +669,13 @@ def _build_single_rows() -> list[dict]:
 def _arrow_table(rows: list[dict], binary_strings: bool):
     import pyarrow as pa
 
+    defaults = {n: ("" if k == "str" else 0) for n, k in SCHEMA}
+    defaults["EventDate"] = _DAY
+    defaults["CounterID"] = 1
     arrays, fields = [], []
     for name, kind in SCHEMA:
-        vals = [r[name] for r in rows]
+        dflt = defaults[name]
+        vals = [r.get(name, dflt) for r in rows]
         if kind == "i16":
             t = pa.int16()
         elif kind == "i32":
@@ -688,6 +692,794 @@ def _arrow_table(rows: list[dict], binary_strings: bool):
         fields.append(pa.field(name, t))
     return pa.table(dict(zip([f.name for f in fields], arrays)),
                     schema=pa.schema(fields))
+
+
+# ===========================================================================
+# partitioned-suite plan (slt/clickbench/partitioned/*.slt — a DIFFERENT,
+# 100 000-row truncation with its own goldens)
+# ===========================================================================
+
+PT_TOTAL = 100_000
+PT_USERS = 19_804      # q04
+PT_PHRASES = 8_124     # q05 (includes '')
+PT_RW_SUM = 151_496_936               # q02/q29
+PT_AVG_USER = 1.790912656247254e18    # q03
+PT_ADV = {2: 337, 45: 117, 13: 61, 3: 7, 27: 3, 52: 2, 50: 1}  # q07
+
+# q12 counts / q13 distinct users / q14 per-SE splits, as one table:
+# phrase → ({se: rows}, u_target)
+PT_PHRASE_PLAN = {
+    "карелки": ({2: 54, 3: 46, 4: 30, 5: 9}, 39),
+    "албатрутдин": ({2: 20, 3: 33, 5: 7}, 29),
+    "самарестская прессии. крыловые": ({3: 31}, 8),
+    "смотреть онлайн": ({2: 20, 5: 11}, 24),
+    "дружке помещение": ({2: 28, 5: 1}, 13),
+    "футажирской": ({2: 13, 3: 12}, 6),
+    "смотреть": ({2: 18, 5: 5}, 19),
+    "смотреть онлайн бесплатно": ({2: 12, 3: 10}, 21),
+    "секс старый от": ({2: 19}, 5),
+    "сколько мытищи": ({2: 10, 5: 9}, 13),
+    "экзоидные": ({2: 14}, 14),
+    "коды я телефон": ({2: 13}, 13),
+    "игратьяна маша и обращения": ({2: 12}, 12),
+}
+
+# q09: region → (rows, adv_sum, rw_avg, distinct_users)
+PT_REGIONS = {
+    229: (19879, 4096, 1539.5330248000403, 3729),
+    2: (8095, 159, 1468.4835083384805, 1347),
+    208: (3746, 229, 1190.1388147357181, 830),
+    169: (2861, 20, 1422.2492135616917, 578),
+    107: (2770, 89, 1096.1649819494585, 597),
+    34: (2220, 367, 1622.3207207207208, 340),
+    32: (1845, 84, 1552.4124661246613, 240),
+    42: (1525, 4, 1599.6190163934427, 272),
+    44: (1361, 42, 1260.5326965466568, 227),
+    106: (1325, 12, 1688.6354716981132, 153),
+}
+# q08-only regions (u pinned; rows chosen below the q09 cutoff of 1325)
+PT_Q08_REGIONS = {184: (1200, 298), 1: (1150, 285), 158: (1100, 264)}
+
+# per-region AdvEngineID decomposition (value → row count); satisfies
+# Σ v·n == region adv_sum and column-wise totals ≤ PT_ADV, the remainder
+# spread over non-q09 regions
+PT_ADV_REGION = {
+    229: {45: 88, 2: 68},
+    2: {45: 1, 13: 2, 2: 44},
+    208: {45: 4, 13: 1, 2: 18},
+    169: {2: 10},
+    107: {45: 1, 2: 22},
+    34: {45: 7, 2: 26},
+    32: {13: 2, 2: 29},
+    42: {2: 2},
+    44: {13: 2, 2: 8},
+    106: {2: 6},
+}
+
+# q15/q16/q35: (uid, total_rows, empty_rows, client_ip)
+PT_TOP_USERS = [
+    (41807706700062380, 755, 754, 2087340455),
+    (1562640662116092494, 514, 510, -1157627977),
+    (837030437662161096, 367, 367, -1053709350),
+    (2269436933544637193, 366, 366, 1379989994),
+    (7784313027574572611, 348, 348, 1093422790),
+    (1746707412719239174, 335, 335, -1136831848),
+    (30308260369410819, 306, 306, 1700490537),
+    (3222472366988226278, 302, 302, -504823980),
+    (42054270512169853, 297, 297, -1831087278),
+    (692173635739341594, 295, 295, 1984071770),
+]
+# q18 minute pins: uid → {minute: count}
+PT_MINUTE_PINS = {
+    41807706700062380: {0: 39, 24: 32, 8: 31, 58: 29},
+    7784313027574572611: {11: 29, 12: 27},
+    1746707412719239174: {23: 29},
+}
+# q18 extra pinned-minute users: (uid, empty_rows, {minute: count})
+PT_MINUTE_USERS = [
+    (314262872525830524, 63, {6: 63}),
+    (1747185559404332185, 29, {32: 29}),
+    (1751766049836573147, 28, {49: 28}),
+]
+
+# q17: the seven smallest UserIDs — (uid, empty, [(phrase, rows)])
+PT_SMALLEST = [
+    (-9220868456983495476, 7, []),
+    (-9214751021948998350, 0, [("авомосква веб каменисный", 2)]),
+    (-9213728704863893851, 2,
+     [("чагин выпуска на волна 2 сезон 24 резюме онлайн", 2)]),
+    (-9211766507324270896, 1,
+     [("неровой мультик муравьен мазь вирт", 1)]),
+    (-9187932620519482331, 8, [("вспомидорковье лодов", 1)]),
+    (-9185786869851590940, 0, [("my loving teknos 200885;&#1091;&", 2)]),
+    (-9184253468857993081, 7, []),
+]
+
+# q30: (se, client_ip, rows, refresh_sum, rw)
+PT_Q30 = [
+    (3, -1034800790, 31, 8, 1750),
+    (2, 1783543165, 28, 0, 1368),
+    (2, 1417975104, 19, 0, 1368),
+    (2, 1846255786, 17, 1, 1368),
+    (2, 1524051586, 15, 4, 1638),
+    (3, 1646986298, 15, 0, 1638),
+    (2, 1966393542, 14, 0, 1368),
+    (2, -1598586988, 13, 0, 1990),
+    (4, 317128473, 13, 2, 1996),
+    (2, -482883409, 12, 0, 1996),
+]
+
+# q31: ten smallest WatchIDs among SearchPhrase<>'' rows
+PT_W_SMALL = [
+    (4612370633242225390, -1942588412, 0, 1917),
+    (4612570075531272731, 2038702050, 0, 1087),
+    (4612932267616621082, 1559515331, 0, 1250),
+    (4614288805349139728, 833220039, 0, 1503),
+    (4614904794321388368, 1336397430, 0, 1368),
+    (4615657597981734919, -208854013, 0, 1697),
+    (4615704411839892664, 1549242453, 0, 1638),
+    (4615785498062991578, -603595433, 0, 1750),
+    (4616012623521387671, -856905447, 0, 253),
+    (4616727492768065163, 938377770, 0, 1368),
+]
+# q32: ten largest WatchIDs overall (all on '' rows here)
+PT_W_BIG = [
+    (9223346073397044919, 1486596066, 0, 582),
+    (9223289112528719433, 1574814697, 0, 1638),
+    (9223219972965907103, 1177840395, 0, 1638),
+    (9223117772270931170, 623938913, 0, 1990),
+    (9223117509516371378, -2134099372, 0, 1638),
+    (9223099810030938582, 1672965941, 0, 582),
+    (9223070351560418166, -158811327, 0, 1917),
+    (9222950988647893041, 1176213215, 0, 1638),
+    (9222871663945957981, 1365652814, 0, 1638),
+    (9222844614246726949, -472300100, 0, 1638),
+]
+
+# q33/q34 URL histogram (all other URLs ≤ 438)
+PT_URL_PLAN = [
+    ("http://liver.ru/belgorod/page/1006.jки/доп_приборы", 3808),
+    ("http://video.yandex", 1342),
+    ("http://kinopoisk.ru", 1133),
+    ("http://auto_fiat_dlya-bluzki%2F8536.30.18&he=900&with", 1000),
+    ("http://bdsm_po_yers=0&with_video", 825),
+    ("http://sp-money.yandex.ru/comme%2F27.0.1453.116 Safari", 586),
+    ("http://video.yandex.ru%26sid", 523),
+    ("http://bjdleaks.php?produkty%2Fproduct", 513),
+    ("http://liver.ru/place_rukodel=365115eb7bbb90", 463),
+    ("http://smeshariki.ru/?id=6", 439),
+]
+
+# q36 (CounterID=62 & DontCountHits=0 & IsRefresh=0 & URL<>'')
+PT_C62_URLS = [
+    ("http://irr.ru/index.php?showalbum/login-leniya7777294,938303130", 64),
+    ("http://irr.ru/index.php?showalbum/login-kapustic/product_name", 59),
+    ("http://komme%2F27.0.1453.116", 45),
+    ("http://irr.ru/index.php?showalbum/login-kapusta-advert2668]=0"
+     "&order_by=0", 9),
+    ("http://irr.ru/index.php?showalbum/login-kupalnik", 9),
+    ("http://irr.ru/index.php?showalbum/login-kapusta-advert27256"
+     ".html_params", 8),
+    ("http://irr.ru/index.php?showalbum/login.pl?cmd=showbiz/photo-7/"
+     "#photo=6", 8),
+    ("http://irr.ru/index.php?showalbum/login-kapustom%3D%26xpid%3D158197"
+     "%26width%3D728%26height", 7),
+    ("http://irr.ru/index.php?showalbum/list=0&vip=&int[22970][to]="
+     "&input_who2=1&isize%3D0%26ad%3D27888885%26bt%3D43%26bn%3DKeyword"
+     "&ti=Толстуху если mastered/main.aspx?naId=6oBCPopQZUU&where=all"
+     "&text=офис хилз 90216629", 5),
+    ("http://irr.ru/index.php?showalbum/login-kapusta-advert2486"
+     ".html&services", 5),
+]
+# q37 (same filter, Title<>'')
+PT_C62_TITLES = [
+    ("Брюки New Era H (Асус) 258 общая выплаток, горшечными", 140),
+    ("Приморск - IRR.ru", 75),
+    ("Тест (Россия) - Яндекс", 74),
+    ("Теплоску на", 62),
+    ("Шарарай), Выбрать! - обсуждаются на голд: Шоубиз - Свободная "
+     "историс", 52),
+    ("Приморск (Россия) - Яндекс.Видео", 41),
+    ("бассе» — Афиша@Mail.Ru / Новости из рук в Москва (Россия) - форум",
+     36),
+    ("бассе» в персональные гонки цветы", 26),
+    ("Бесплатные щенки | SexWife: Женщинам соусе сериаловарях — Яндекс",
+     24),
+    ("AUTO.ria.ua ™ - Аппер", 23),
+]
+
+# q21: exactly one URL-contains-'google' row has a SearchPhrase
+PT_Q21 = (
+    "производств оставая вакаро новых богатыря у детский",
+    "http://smeshariki.ru/index.ua/product_id=0&page9/#overkh%2F%2F"
+    "wwwwww.bonprix.ru/mepps.google-Android 4.0.1453.95 Safari%2F5.0 "
+    "(Windows)&bL=ru&cE=true&uA=Mozilla%2F%2Fwwwww.bonprix.ru%2F"
+    "product_id=16921150?blocks.html?personal/unsRcoxmoi/semiranimals/"
+    "clothes",
+)
+PT_GOOGLE_EMPTY = 42      # the remaining URL-'google' rows ('' phrase)
+
+# q22: the five Title-contains-'Google' rows (phrase, url, title)
+PT_Q22 = [
+    ("авторы для заданным и операта",
+     "http%3A//unise.ru/carspringtau_trafkey=964113",
+     "Google Papa Rapalaxy Accer Travel.Ru — перименте - Пульс цене – "
+     "Яндекс.Слова"),
+    ("прогноз посад люберцах дома стробережье курорт чечная сель "
+     "смотреть онлайн",
+     "http:%2F%2Fvk.com/iframe/iframe-owa.html_parapleservices/"
+     "483850.html?Messa",
+     "SEMIR GEA Gamo — пробегом мошения, Спортал Мире Ламины в большой "
+     "брита Google, аксессуары"),
+    ("игры для дер блич",
+     "http://kinopoisk.ru/a-albums_scroll_to_auto_id=363064472354"
+     "&lb_id=1559843",
+     "Легко на купить автозаврам телась Google Anaissage_599-61 "
+     "«Оверлок колепный рецепт: Тверсал, 20008 г.в. Цена: 300 с "
+     "пробегом и новый магазине Wildberries.ru (Работа"),
+    ("вспоминский языке 400 отзывы майнкрафт",
+     "http://pogoda.yandex.ru/cgi-bin/click.cgi%3Fsid%3D10394,911894"
+     "&op_provideo.yandex",
+     "Чуваши условары к Samsung Galaxy S4 Google And "
+     "Benrolf-autodoc.ru/viewsAndroid — Продам - Челябинск, Кирования. "
+     "Коммерческая одежда, г. Санкт-Петербурге"),
+    ("wwwwww.komplex hepburn manhattalibraheat",
+     "http://xx-bikin.ru/catalog/SHHitovyj-97542.xhtml#newsru.com/ru/"
+     "auto_id=2479&offe.30533&site_off=FORID:9&ie=wizbiz",
+     "«factoria Google — Selena, 32, Москва предмет:Перов - "
+     "loveplanet.ru. Не огромный медалии, Египертов в Через - Свободная "
+     "блузки"),
+]
+
+# q24/q26: the ten earliest EventTimes among SearchPhrase<>'' rows —
+# (phrase, rows_for_that_phrase); output order is row-per-entry below
+PT_EARLY_ORDER = [
+    "погода сотряд",
+    "русскных блюдей по нечас",
+    "мультики видео такое чистирли",
+    "мультики видео такое чистирли",
+    "мультики видео такое чистирли",
+    "белгория",
+    "far crysis 38 сезон смотреть",
+    "санатор тверь русская до машины в хорошем",
+    "цены 2013 круизервался по мошение",
+    "санатор тверь русская до машины в хорошем",
+]
+
+# q25: the ten lexicographically-smallest phrase rows
+PT_Q25 = [
+    ("$_poslandon.ru/moscow 2 торговлю", 1),
+    ("'kbnyjuj jntktdbpjhjdjls", 1),
+    ("'ktrnhjkm d .,rf[ gjvbljhjujv d uhtwbb d ;tkelrt", 1),
+    ("(http://kommediapad guetta but you", 1),
+    ("(http://kommedium=cpc&utm_source=main произвестивозачать на "
+     "автомобиле", 1),
+    ("(http://kommedovico - петухово-бенц cv инстрогое неделю отель", 1),
+    ("01 рд 2013", 1),
+    ("096 маяки самсунг галище послез", 1),
+    ("0976", 2),
+]
+
+# q10/q11 mobile plan: (MobilePhone, model, distinct_users)
+PT_MOBILE = [
+    (1, "iPad", 1081), (5, "iPad", 49), (6, "iPad", 42),
+    (26, "iPhone", 19), (7, "iPad", 18), (32, "iPad", 17),
+    (6, "iPhone", 17), (10, "iPad", 15), (5, "N8-00", 9),
+    (7, "iPhone", 9),
+    # u ≤ 8 remainders so q11's tenth row stays (7, iPhone, 9)
+    (40, "iPad", 8), (41, "iPad", 8), (42, "iPad", 8), (43, "iPad", 4),
+    (27, "iPhone", 8), (28, "iPhone", 1),
+    (1, "A500", 7), (1, "3110000", 5), (1, "ONE TOUCH 6030A", 5),
+    (1, "LG/P760/V1", 4), (1, "5250", 3), (1, "GT-I9100", 2),
+    (1, "GT-I9500", 2),
+]
+
+_PT_DAY_MIN = 15888    # 2013-07-02 (q06 min)
+_PT_DAY_MAX = 15917    # 2013-07-31 (q06 max)
+_PT_DAY_C62 = 15906    # 2013-07-20: outside q42's 07-14..15 window
+
+
+def _allocate_phrases(consumers):
+    """Feed q30 consumer row-demands from the PT_PHRASE_PLAN pools, then
+    mint small users so each phrase lands on exactly u_target distinct
+    users (q13) with per-(se,phrase) row counts preserved (q14).
+
+    consumers: list of (key, se, demand).  Returns
+    (consumer_takes: key → [(phrase, se, n)], smalls: [(phrase, se, n)]
+    grouped per small user as a list of single-group users).
+    """
+    rows_left = {}      # (phrase, se) → rows
+    users_left = {}     # phrase → user slots
+    for ph, (per_se, u) in PT_PHRASE_PLAN.items():
+        users_left[ph] = u
+        for se, n in per_se.items():
+            rows_left[(ph, se)] = n
+    takes = {k: [] for k, _, _ in consumers}
+    for key, se, demand in consumers:
+        left = demand
+        pools = sorted((p for p in rows_left if p[1] == se),
+                       key=lambda p: -rows_left[p])
+        for ph, _se in pools:
+            if left == 0:
+                break
+            total_ph = sum(v for (p2, _s2), v in rows_left.items()
+                           if p2 == ph)
+            # leave ≥1 row per remaining user slot of this phrase
+            cap = min(rows_left[(ph, se)], total_ph - (users_left[ph] - 1))
+            take = min(left, cap)
+            if take <= 0:
+                continue
+            takes[key].append((ph, se, take))
+            rows_left[(ph, se)] -= take
+            users_left[ph] -= 1
+            left -= take
+        assert left == 0, (key, se, left)
+    # phase 2: small users close each phrase exactly
+    smalls = []
+    for ph in PT_PHRASE_PLAN:
+        pools = [(se, rows_left[(ph, se)]) for (p2, se) in rows_left
+                 if p2 == ph and rows_left[(p2, se)] > 0]
+        n_users = users_left[ph]
+        total = sum(r for _se, r in pools)
+        assert len(pools) <= n_users <= total, (ph, n_users, pools)
+        # seed each pool with enough users to keep every chunk ≤ 12 rows
+        # (small (se,ip) groups must stay under the q30 cutoff), then
+        # spread the spare user slots across the largest pools
+        per_pool = {se: max(1, -(-r // 12)) for se, r in pools}
+        spare = n_users - sum(per_pool.values())
+        assert spare >= 0, (ph, n_users, per_pool)
+        for se, r in sorted(pools, key=lambda t: -t[1]):
+            extra = min(spare, r - per_pool[se])
+            per_pool[se] += extra
+            spare -= extra
+        assert spare == 0, (ph, spare)
+        for se, r in pools:
+            k = per_pool[se]
+            base, rem = divmod(r, k)
+            assert base + 1 <= 12, (ph, se, base)   # (se,ip) cap (q30)
+            for i in range(k):
+                smalls.append((ph, se, base + (1 if i < rem else 0)))
+    return takes, smalls
+
+
+def _build_partitioned_rows() -> list[dict]:
+    users: list[_User] = []
+
+    def mk(uid, ip=None, empty=0):
+        u = _User(uid, ip, empty)
+        users.append(u)
+        return u
+
+    # --- q17 smallest users
+    for uid, empty, groups in PT_SMALLEST:
+        u = mk(uid, empty=empty)
+        for ph, n in groups:
+            u.groups.append((ph, 4, n, None, 0))
+
+    # --- q15/q16/q35 top users + q18 minute pins
+    top_by_uid = {}
+    for uid, total, empty, ip in PT_TOP_USERS:
+        u = mk(uid, ip, empty=empty)
+        u.minute_pins = PT_MINUTE_PINS.get(uid, {})
+        top_by_uid[uid] = (u, total - empty)
+    for uid, empty, pins in PT_MINUTE_USERS:
+        u = mk(uid, empty=empty)
+        u.minute_pins = pins
+
+    nid = [5_000_000_000_000]
+
+    def small(ip=None, empty=0):
+        nid[0] += 1
+        return mk(nid[0], ip, empty)
+
+    # --- q30 consumers + top-user non-empty rows through the allocator
+    consumers = []
+    consumer_user = {}
+    for se, ip, n, refresh, rw in PT_Q30:
+        u = small(ip)
+        consumer_user[ip] = (u, rw, refresh)
+        consumers.append((ip, se, n))
+    for uid, total, empty, _ip in PT_TOP_USERS:
+        ne = total - empty
+        if ne:
+            u, _ = top_by_uid[uid]
+            consumer_user[uid] = (u, None, 0)
+            consumers.append((uid, 2, ne))
+    takes, smalls = _allocate_phrases(consumers)
+    for key, groups in takes.items():
+        u, rw, refresh = consumer_user[key]
+        rf_left = refresh
+        for ph, se, n in groups:
+            rf = min(rf_left, n)
+            u.groups.append((ph, se, n, rw, rf))
+            rf_left -= rf
+        assert rf_left == 0, (key, rf_left)
+    for ph, se, n in smalls:
+        u = small()
+        u.groups.append((ph, se, n, None, 0))
+
+    # --- q31 pinned-WatchID owners: 1 filler-phrase row each
+    filler_i = [0]
+
+    def filler_phrase():
+        filler_i[0] += 1
+        return f"тема {filler_i[0]:05d} простое разное"
+
+    for _wid, ip, _rf, _rw in PT_W_SMALL:
+        u = small(ip)
+        u.groups.append((filler_phrase(), 4, 1, None, 0))
+
+    # --- q24 phrase owners (early EventTime rows), q25, q21, q22
+    early_counts = {}
+    for ph in PT_EARLY_ORDER:
+        early_counts[ph] = early_counts.get(ph, 0) + 1
+    for ph, n in early_counts.items():
+        u = small()
+        u.groups.append((ph, 4, n, None, 0))
+    for ph, n in PT_Q25:
+        u = small()
+        u.groups.append((ph, 4, n, None, 0))
+    q21_user = small()
+    q21_user.groups.append((PT_Q21[0], 4, 1, None, 0))
+    q22_users = []
+    for ph, _url, _title in PT_Q22:
+        u = small()
+        u.groups.append((ph, 4, 1, None, 0))
+        q22_users.append(u)
+
+    # --- CounterID=62 block (q36/q37; q38-q42 stay empty by construction)
+    c62_rows_n = sum(n for _t, n in PT_C62_TITLES)
+    c62a = small(empty=c62_rows_n // 2)
+    c62b = small(empty=c62_rows_n - c62_rows_n // 2)
+    c62_users = {c62a, c62b}
+    # --- the 42 ''-phrase google-URL rows (q20)
+    google_user = small(empty=PT_GOOGLE_EMPTY)
+
+    # --- filler phrases to reach exactly 8124 distinct values
+    named = {ph for ph in PT_PHRASE_PLAN}
+    named |= {ph for ph, *_ in PT_Q22} | {ph for ph, _n in PT_Q25}
+    named |= set(PT_EARLY_ORDER) | {PT_Q21[0], ""}
+    named |= {ph for _u, _e, gs in PT_SMALLEST for ph, _n in gs}
+    n_filler = PT_PHRASES - len(named) - filler_i[0]
+    assert n_filler > 0
+    for _ in range(n_filler):
+        u = small()
+        u.groups.append((filler_phrase(), 4, 1, None, 0))
+
+    # --- pads
+    n_pads = PT_USERS - len(users)
+    assert n_pads > 2000, n_pads
+    pads = []
+    for _wid, ip, _rf, _rw in PT_W_BIG:
+        p = mk(0, ip, empty=1)
+        p.is_pad = True
+        pads.append(p)
+    for _ in range(n_pads - len(PT_W_BIG)):
+        p = mk(0, None, empty=1)
+        p.is_pad = True
+        pads.append(p)
+
+    # --- regions, pad sizing, uid steering
+    specs = [(r, c, uq) for r, (c, _a, _w, uq) in PT_REGIONS.items()]
+    specs += [(r, cu[0], cu[1]) for r, cu in PT_Q08_REGIONS.items()]
+    _assign_regions_generic(
+        users, pads, specs, total_rows=PT_TOTAL,
+        other_user_cap=263, other_row_cap=1324, pad_row_cap=294,
+        other_rid_base=20_001,
+    )
+    _steer_user_ids_generic(users, pads, PT_AVG_USER, PT_TOTAL, PT_USERS)
+
+    # unique IPs
+    seen_ips = {u.ip for u in users if u.ip is not None}
+    nxt = 100_000
+    for u in users:
+        if u.ip is None:
+            while nxt in seen_ips:
+                nxt += 1
+            u.ip = nxt
+            seen_ips.add(nxt)
+
+    # --- materialize
+    rows: list[dict] = []
+    w_small_left = {}
+    for t in PT_W_SMALL:
+        w_small_left.setdefault(t[1], []).append(t)
+    w_big_left = {}
+    for t in PT_W_BIG:
+        w_big_left.setdefault(t[1], []).append(t)
+    next_ne = [4_620_000_000_000_000_000]
+    next_e = [6_000_000_000_000_000_000]
+    early_idx = {}
+    for i, ph in enumerate(PT_EARLY_ORDER):
+        early_idx.setdefault(ph, []).append(i)
+    hour_cycle = [0]
+
+    def ev_time(minute):
+        hour_cycle[0] = hour_cycle[0] % 22 + 1
+        return _T0 + hour_cycle[0] * 3600 + minute * 60 + len(rows) % 60
+
+    for u in users:
+        for phrase, se, n, rw, refresh_n in u.groups:
+            made_refresh = 0
+            for k in range(n):
+                r = {"UserID": u.uid, "ClientIP": u.ip,
+                     "RegionID": u.region, "SearchPhrase": phrase,
+                     "SearchEngineID": se}
+                if early_idx.get(phrase):
+                    r["EventTime"] = _T0 + early_idx[phrase].pop(0)
+                else:
+                    r["EventTime"] = ev_time((k // 12 * 7 + _shash(phrase))
+                                             % 60)
+                pin = w_small_left.get(u.ip)
+                if pin:
+                    wid, _ip, rf, prw = pin.pop(0)
+                    r["WatchID"] = wid
+                    r["IsRefresh"] = rf
+                    r["ResolutionWidth"] = prw
+                    r["__rw_pinned"] = True
+                    made_refresh += rf
+                else:
+                    next_ne[0] += 1
+                    r["WatchID"] = next_ne[0]
+                    if made_refresh < refresh_n:
+                        r["IsRefresh"] = 1
+                        made_refresh += 1
+                    if rw is not None:
+                        r["ResolutionWidth"] = rw
+                        r["__rw_pinned"] = True
+                rows.append(r)
+        minutes = []
+        for m, cnt in sorted(u.minute_pins.items()):
+            minutes += [m] * cnt
+        allowed = [m for m in range(60) if m not in u.minute_pins]
+        k = 0
+        base = abs(u.uid) % len(allowed)
+        while len(minutes) < u.empty:
+            minutes.append(allowed[(base + k // 12) % len(allowed)])
+            k += 1
+        for m in minutes:
+            r = {"UserID": u.uid, "ClientIP": u.ip,
+                 "RegionID": u.region, "EventTime": ev_time(m)}
+            pin = w_big_left.get(u.ip)
+            if pin:
+                wid, _ip, rf, prw = pin.pop(0)
+                r["WatchID"] = wid
+                r["IsRefresh"] = rf
+                r["ResolutionWidth"] = prw
+                r["__rw_pinned"] = True
+            else:
+                next_e[0] += 1
+                r["WatchID"] = next_e[0]
+            if u in c62_users:
+                r["CounterID"] = 62
+                r["EventDate"] = _PT_DAY_C62
+            rows.append(r)
+
+    assert len(rows) == PT_TOTAL, len(rows)
+    assert not any(w_small_left.values()) and not any(w_big_left.values())
+
+    # --- q06 date sentinels on two plain pad rows
+    sentinels = 0
+    for r in rows:
+        if ("SearchPhrase" not in r and "CounterID" not in r
+                and not r.get("__rw_pinned")):
+            r["EventDate"] = _PT_DAY_MIN if sentinels == 0 else _PT_DAY_MAX
+            sentinels += 1
+            if sentinels == 2:
+                break
+    assert sentinels == 2
+
+    # --- AdvEngineID placement (skip CounterID=62 rows: q39 group cap)
+    by_region: dict[int, list[dict]] = {}
+    for r in rows:
+        by_region.setdefault(r["RegionID"], []).append(r)
+    placed = dict.fromkeys(PT_ADV, 0)
+    for reg, plan in PT_ADV_REGION.items():
+        cand = [r for r in by_region[reg] if "CounterID" not in r]
+        i = 0
+        for val, cnt in plan.items():
+            for _ in range(cnt):
+                cand[i]["AdvEngineID"] = val
+                placed[val] += 1
+                i += 1
+    leftover_plan = {v: PT_ADV[v] - placed[v] for v in PT_ADV}
+    assert all(n >= 0 for n in leftover_plan.values()), leftover_plan
+    other_pool = [r for reg, rl in by_region.items()
+                  if reg not in PT_ADV_REGION
+                  for r in rl if "CounterID" not in r]
+    i = 0
+    for val, cnt in leftover_plan.items():
+        for _ in range(cnt):
+            other_pool[i]["AdvEngineID"] = val
+            placed[val] += 1
+            i += 1
+    assert placed == PT_ADV, placed
+    adv_check = sum(r.get("AdvEngineID", 0) for r in rows)
+    assert adv_check == sum(v * n for v, n in PT_ADV.items()), adv_check
+
+    # --- ResolutionWidth balancing (q09 region averages + q02 global sum)
+    targets = {reg: round(avg * c)
+               for reg, (c, _a2, avg, _u2) in PT_REGIONS.items()}
+    assert all(abs(targets[g] - PT_REGIONS[g][2] * PT_REGIONS[g][0]) < 0.51
+               for g in PT_REGIONS)
+    other_regs = [g for g in by_region if g not in targets]
+    leftover = PT_RW_SUM - sum(targets.values())
+    other_total = sum(len(by_region[g]) for g in other_regs)
+    for g in other_regs:
+        targets[g] = leftover * len(by_region[g]) // other_total
+    for g, rl in by_region.items():
+        free = [r for r in rl if not r.get("__rw_pinned")]
+        pinned_sum = sum(r.get("ResolutionWidth", 0) for r in rl
+                         if r.get("__rw_pinned"))
+        want = targets[g] - pinned_sum
+        assert free, f"region {g} lacks free rows"
+        base, rem = divmod(want, len(free))
+        assert 0 <= base <= 32_000, (g, base)
+        for i, r in enumerate(free):
+            r["ResolutionWidth"] = base + (1 if i < rem else 0)
+    crumbs = PT_RW_SUM - sum(r.get("ResolutionWidth", 0) for r in rows)
+    fixer = next(r for r in by_region[other_regs[0]]
+                 if not r.get("__rw_pinned"))
+    fixer["ResolutionWidth"] += crumbs
+    assert 0 <= fixer["ResolutionWidth"] <= 32_767
+    assert sum(r.get("ResolutionWidth", 0) for r in rows) == PT_RW_SUM
+
+    # --- URLs and Titles
+    # CounterID=62 rows: q36 URL histogram + q37 Title histogram
+    c62_rows = [r for r in rows if r.get("CounterID") == 62]
+    assert len(c62_rows) == c62_rows_n
+    i = 0
+    for url, cnt in PT_C62_URLS:
+        for _ in range(cnt):
+            c62_rows[i]["URL"] = url
+            i += 1
+    i = 0
+    for title, cnt in PT_C62_TITLES:
+        for _ in range(cnt):
+            c62_rows[i]["Title"] = title
+            i += 1
+    # google rows: q20/q21
+    g_rows = [r for r in rows if r.get("UserID") == google_user.uid]
+    assert len(g_rows) == PT_GOOGLE_EMPTY
+    for j, r in enumerate(g_rows):
+        r["URL"] = f"http://bonprix.ru/mepps.google-ad{j:03d}"
+    q21_row = next(r for r in rows
+                   if r.get("SearchPhrase") == PT_Q21[0])
+    q21_row["URL"] = PT_Q21[1]
+    # q22 rows
+    for ph, url, title in PT_Q22:
+        r = next(rr for rr in rows if rr.get("SearchPhrase") == ph)
+        r["URL"] = url
+        r["Title"] = title
+    # q33 histogram over the remaining rows
+    url_seq: list[str] = []
+    for url, cnt in PT_URL_PLAN:
+        url_seq += [url] * cnt
+    remaining = [r for r in rows
+                 if "URL" not in r and r.get("CounterID") != 62]
+    filler = len(remaining) - len(url_seq)
+    fi = 0
+    while filler > 0:
+        take = min(300, filler)
+        url_seq += [f"http://liver.ru/f{fi:04d}"] * take
+        filler -= take
+        fi += 1
+    assert len(url_seq) == len(remaining)
+    for r, url in zip(remaining, url_seq):
+        r["URL"] = url
+
+    # --- mobile (q10/q11)
+    pad_iter = iter(p for p in pads if p not in c62_users)
+    first_row_of: dict[int, dict] = {}
+    for r in rows:
+        first_row_of.setdefault(r["UserID"], r)
+    for phone, model, n_users in PT_MOBILE:
+        for _ in range(n_users):
+            p = next(pad_iter)
+            fr = first_row_of[p.uid]
+            fr["MobilePhone"] = phone
+            fr["MobilePhoneModel"] = model
+
+    for r in rows:
+        r.pop("__rw_pinned", None)
+        r["ClientEventTime"] = r["EventTime"]
+        r["LocalEventTime"] = r["EventTime"]
+    assert len({r["WatchID"] for r in rows}) == PT_TOTAL
+    phrases = {r.get("SearchPhrase", "") for r in rows}
+    assert len(phrases) == PT_PHRASES, len(phrases)
+    assert len({r["UserID"] for r in rows}) == PT_USERS
+    return rows
+
+
+def _assign_regions_generic(users, pads, specs, *, total_rows,
+                            other_user_cap, other_row_cap, pad_row_cap,
+                            other_rid_base):
+    specs = sorted(specs, key=lambda t: -t[1])
+    nonpads = sorted((u for u in users if not u.is_pad),
+                     key=lambda u: -u.total)
+    placed = {r: [] for r, _, _ in specs}
+    rows_in = {r: 0 for r, _, _ in specs}
+    for u in nonpads:
+        for r, c, uq in specs:
+            slots_after = uq - len(placed[r]) - 1
+            room = c - rows_in[r] - u.total
+            if (len(placed[r]) < uq and room >= slots_after
+                    and room <= slots_after * pad_row_cap):
+                placed[r].append(u)
+                rows_in[r] += u.total
+                u.region = r
+                break
+        assert u.region is not None, f"user total={u.total} unplaced"
+    pad_q = list(pads)
+    for r, c, uq in specs:
+        k = uq - len(placed[r])
+        left = c - rows_in[r]
+        assert k <= left <= k * pad_row_cap, (r, k, left)
+        for i in range(k):
+            p = pad_q.pop(0)
+            p.region = r
+            p.empty = left // k + (1 if i < left % k else 0)
+    other_rows = total_rows - sum(c for _, c, _ in specs)
+    rid = other_rid_base
+    while pad_q:
+        group = [pad_q.pop(0)
+                 for _ in range(min(other_user_cap, len(pad_q)))]
+        take = min(other_row_cap, other_rows - len(pad_q))
+        take = max(take, len(group))
+        if not pad_q:
+            take = other_rows
+        assert len(group) <= take <= other_row_cap, (take, len(group))
+        for i, p in enumerate(group):
+            p.region = rid
+            p.empty = take // len(group) + (1 if i < take % len(group)
+                                            else 0)
+        other_rows -= take
+        rid += 1
+    assert other_rows == 0, other_rows
+    total = sum(u.total for u in users)
+    assert total == total_rows, total
+
+
+def _steer_user_ids_generic(users, pads, avg_target, total_rows,
+                            total_users):
+    target_sum = int(avg_target * total_rows)
+    pinned = sum(u.uid * u.total for u in users if not u.is_pad)
+    pad_rows = sum(p.total for p in pads)
+    per_row = (target_sum - pinned) // pad_rows
+    assert -9.2e18 < per_row < 9.2e18, per_row
+    for j, p in enumerate(pads):
+        p.uid = per_row + j + 1
+    uids = [u.uid for u in users]
+    assert len(set(uids)) == len(uids) == total_users
+
+
+_PT_GEN_VERSION = "partitioned-v1"
+
+
+def ensure_partitioned(root: str) -> list[str]:
+    """Build (idempotently) the partitioned-suite parquet files; returns
+    the file paths. Strings are stored as un-annotated BINARY and
+    EventDate as uint16, matching the reference files (the harness view
+    casts both back, integration_slt.rs:388-421)."""
+    import pyarrow.parquet as pq
+
+    outdir = os.path.join(root, "partitioned")
+    stamp = os.path.join(outdir, ".generated")
+    n_files = 10
+    paths = [os.path.join(outdir, f"hits_truncated_{i}.parquet")
+             for i in range(n_files)]
+    if os.path.exists(stamp) and open(stamp).read().strip() == \
+            _PT_GEN_VERSION:
+        return paths
+    os.makedirs(outdir, exist_ok=True)
+    rows = _build_partitioned_rows()
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i, path in enumerate(paths):
+        part = rows[i * chunk:(i + 1) * chunk]
+        pq.write_table(_arrow_table(part, binary_strings=True), path)
+    with open(stamp, "w") as fh:
+        fh.write(_PT_GEN_VERSION)
+    return paths
 
 
 _GEN_VERSION = "single-v1"

@@ -89,9 +89,8 @@ def main():
                 f"FROM read_parquet('{p}')")
     else:
         paths = cf.ensure_partitioned(ROOT)
-        repl = ["CAST(EventDate AS DATE) AS EventDate"] + [
-            f"CAST({c} AS VARCHAR) AS {c}"
-            for c, k in cf.SCHEMA if k == "str"]
+        repl = ["DATE '1970-01-01' + CAST(EventDate AS INT) AS EventDate"] + [
+            f"decode({c}) AS {c}" for c, k in cf.SCHEMA if k == "str"]
         view = (f"CREATE VIEW hits AS SELECT * REPLACE ({', '.join(repl)}) "
                 f"FROM read_parquet('{os.path.dirname(paths[0])}/*.parquet')")
     con = duckdb.connect()
