@@ -259,7 +259,16 @@ def _display_name(name: str) -> str:
         if idx >= 0:
             return _display_name(content[:idx].strip())
     m = _re.match(r"^([A-Za-z_]\w*)\s*\(", name)
-    return m.group(1) if m else "?column?"
+    if m:
+        return m.group(1)
+    if _re.fullmatch(r"-?\d+(\.\d+)?([eE]-?\d+)?", name) or _re.match(
+        r"^[('\[-]", name
+    ):
+        # Spark auto-generated literal/expression names ('1', '(a + b)',
+        # "'x'") — the reference shows ?column? for these
+        return "?column?"
+    # anything else is a user-quoted alias (`30 days`, tpcds q50) — keep it
+    return name
 
 
 def describe(df: DataFrame, raw_names: bool = False) -> DataFrame:

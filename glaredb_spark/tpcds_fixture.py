@@ -1,0 +1,559 @@
+"""Synthesized TPC-DS micro-dataset satisfying the reference's own
+slt/tpcds value goldens.
+
+The reference parks slt/tpcds entirely (no runner in
+test_bin/integration_slt.rs), but 11 of its qNN files carry REAL value
+goldens captured from the tpcds_sf0.1 submodule (not checked out here).
+As with the ClickBench fixtures (clickbench_fixture.py), the dataset is
+re-derived from the goldens themselves: each output row becomes a bundle
+of input rows across the joined tables, with join keys unique per bundle
+so bundles don't interact, and with cross-QUERY pollution engineered away
+(facts reference their own dimension rows; a store_sales row dodges q28's
+quantity/price windows by construction; unset foreign keys are NULL so
+inner joins in other queries drop them).
+
+Golden values are parsed from the reference .slt files at build time —
+they are the constraint source, not copied data.  Averages are
+rationalized per group (Fraction.limit_denominator) to recover the
+original row count n and exact sums; q27's whole-result average row is
+absorbed by a hidden item group that sorts past the LIMIT 100 cut.
+
+q45 is NOT synthesized: its golden sorts an empty-string ca_zip group
+AFTER digit zips under `ORDER BY ca_zip ASC`, which contradicts byte-wise
+ascending order (the reference's own documented default,
+slt/standard/order/order_by_nulls.slt) — the golden captures an
+authoring-time engine behavior that no conforming sort reproduces.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from fractions import Fraction
+
+_SLT_DIR = "/root/reference/slt/tpcds"
+
+# q28's six store_sales buckets: (qty_lo, qty_hi, list_lo, coupon_lo,
+# wholesale_lo); windows are +10 / +1000 / +20 wide.  Every synthesized
+# store_sales row must miss all of them or q28's pinned counts drift.
+_Q28 = [
+    (0, 5, 8, 459, 57), (6, 10, 90, 2323, 31), (11, 15, 142, 12214, 79),
+    (16, 20, 135, 6071, 38), (21, 25, 122, 836, 17), (26, 30, 154, 7326, 7),
+]
+
+
+def _q28_hits(qty, list_c, coup_c, whole_c) -> bool:
+    """Does a store_sales row land in any q28 bucket? (cents args)"""
+    if qty is None:
+        return False
+    for lo, hi, lp, cp, wc in _Q28:
+        if lo <= qty <= hi:
+            if list_c is not None and lp * 100 <= list_c <= (lp + 10) * 100:
+                return True
+            if coup_c is not None and cp * 100 <= coup_c <= (cp + 1000) * 100:
+                return True
+            if whole_c is not None and wc * 100 <= whole_c <= (wc + 20) * 100:
+                return True
+    return False
+
+
+def _golden_rows(qfile: str) -> list[str]:
+    """Raw golden lines of the VALUE record (the non-DESCRIBE query)."""
+    lines = open(os.path.join(_SLT_DIR, qfile)).read().splitlines()
+    i = 0
+    while i < len(lines):
+        if lines[i].startswith("query"):
+            j = i + 1
+            sql = []
+            while j < len(lines) and lines[j] != "----":
+                sql.append(lines[j])
+                j += 1
+            j += 1
+            golden = []
+            while j < len(lines) and lines[j].strip():
+                golden.append(lines[j])
+                j += 1
+            if not " ".join(sql).upper().lstrip().startswith("DESCRIBE"):
+                return golden
+            i = j
+        else:
+            i += 1
+    raise AssertionError(f"no value record in {qfile}")
+
+
+def _rat(tok: str) -> Fraction | None:
+    """Golden numeric token → exact rational (floats were printed
+    shortest-repr; the true value is the small-denominator neighbour)."""
+    if tok == "NULL":
+        return None
+    return Fraction(float(tok)).limit_denominator(10_000)
+
+
+def _group_n(vals: list[Fraction | None], money_idx: set[int]) -> int:
+    """Smallest row count reproducing all of a group's averages exactly
+    (money averages must be integral in cents)."""
+    n = 1
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        scaled = v * 100 if i in money_idx else v
+        n = n * scaled.denominator // __import__("math").gcd(
+            n, scaled.denominator)
+    assert n <= 720, n
+    return n
+
+
+def _split(total: int, n: int) -> list[int]:
+    base, rem = divmod(total, n)
+    return [base + (1 if i < rem else 0) for i in range(n)]
+
+
+class _Ctx:
+    def __init__(self):
+        self.rows: dict[str, list[dict]] = {}
+        self._sk = 1000
+
+    def sk(self) -> int:
+        self._sk += 1
+        return self._sk
+
+    def add(self, table: str, **kw) -> dict:
+        self.rows.setdefault(table, []).append(kw)
+        return kw
+
+    def date(self, **kw) -> int:
+        d = self.sk()
+        self.add("date_dim", d_date_sk=d, **kw)
+        return d
+
+    def item(self, **kw) -> int:
+        sk = kw.pop("i_item_sk", None) or self.sk()
+        self.add("item", i_item_sk=sk, **kw)
+        return sk
+
+    def demo(self, gender, marital, edu, **kw) -> int:
+        sk = self.sk()
+        self.add("customer_demographics", cd_demo_sk=sk, cd_gender=gender,
+                 cd_marital_status=marital, cd_education_status=edu, **kw)
+        return sk
+
+    def customer(self, addr_sk=None, cdemo_sk=None) -> int:
+        sk = self.sk()
+        self.add("customer", c_customer_sk=sk, c_current_addr_sk=addr_sk,
+                 c_current_cdemo_sk=cdemo_sk)
+        return sk
+
+    def address(self, **kw) -> int:
+        sk = self.sk()
+        self.add("customer_address", ca_address_sk=sk, **kw)
+        return sk
+
+    def ss(self, **kw) -> dict:
+        """store_sales row with the q28 dodge asserted (wholesale cost
+        pinned outside every window unless the caller set it)."""
+        kw.setdefault("ss_wholesale_cost_c", 99_900)
+        assert not _q28_hits(
+            kw.get("ss_quantity"), kw.get("ss_list_price_c"),
+            kw.get("ss_coupon_amt_c"), kw.get("ss_wholesale_cost_c"),
+        ), f"store_sales row pollutes q28: {kw}"
+        return self.add("store_sales", **kw)
+
+
+def _avg_bundle_rows(ctx, vals, money_idx):
+    """(quantity_avg, money averages...) → n and per-row value lists.
+    Rows are laid out so no row lands in a q28 bucket: money values are
+    split evenly (all pinned windows top out at 164.00/13,214.00 while
+    golden averages run higher or are 0/NULL); quantities are re-skewed
+    when the even layout would still collide."""
+    n = _group_n(vals, money_idx)
+    qty_sum = int(vals[0] * n) if vals[0] is not None else None
+    money = [None if v is None else int(v * 100 * n) for v in vals[1:]]
+    money_rows = [[None] * n if t is None else _split(t, n) for t in money]
+    candidates = []
+    if qty_sum is None:
+        candidates.append([None] * n)
+    else:
+        candidates.append(_split(qty_sum, n))              # even
+        if n > 1:
+            candidates.append([qty_sum] + [31] * 0 + [0] * (n - 1))
+            if qty_sum >= 31 * (n - 1):
+                candidates.append(
+                    [qty_sum - 31 * (n - 1)] + [31] * (n - 1))
+    for qty_rows in candidates:
+        ok = True
+        for i in range(n):
+            lc = money_rows[0][i] if money_rows else None
+            cc = money_rows[1][i] if len(money_rows) > 1 else None
+            if _q28_hits(qty_rows[i], lc, cc, 99_900):
+                ok = False
+                break
+        if ok:
+            return n, qty_rows, money_rows
+    raise AssertionError(f"no q28-safe layout for {vals}")
+
+
+# --------------------------------------------------------------------------
+# per-query builders
+# --------------------------------------------------------------------------
+
+def _build_q07(ctx):
+    """store_sales avg bundle per item (d_year=2000, cd M/S/College,
+    promotion channel N)."""
+    d = ctx.date(d_year=2000)
+    cd = ctx.demo("M", "S", "College")
+    promo = ctx.sk()
+    ctx.add("promotion", p_promo_sk=promo, p_channel_email="N",
+            p_channel_event="N")
+    for ln in _golden_rows("q07.slt"):
+        toks = ln.split()
+        item_id, vals = toks[0], [_rat(t) for t in toks[1:]]
+        isk = ctx.item(i_item_id=item_id)
+        n, qty_rows, money = _avg_bundle_rows(ctx, vals, {1, 2, 3})
+        for i in range(n):
+            ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk, ss_cdemo_sk=cd,
+                   ss_promo_sk=promo, ss_quantity=qty_rows[i],
+                   ss_list_price_c=money[0][i], ss_coupon_amt_c=money[1][i],
+                   ss_sales_price_c=money[2][i])
+
+
+def _build_q26(ctx):
+    """catalog_sales analog of q07 (no q28 coupling on catalog_sales)."""
+    d = ctx.date(d_year=2000)
+    cd = ctx.demo("M", "S", "College")
+    promo = ctx.sk()
+    ctx.add("promotion", p_promo_sk=promo, p_channel_email="N",
+            p_channel_event="N")
+    for ln in _golden_rows("q26.slt"):
+        toks = ln.split()
+        item_id, vals = toks[0], [_rat(t) for t in toks[1:]]
+        isk = ctx.item(i_item_id=item_id)
+        n = _group_n(vals, {1, 2, 3})
+        qty = _split(int(vals[0] * n), n) if vals[0] is not None else [None] * n
+        money = [[None] * n if v is None else _split(int(v * 100 * n), n)
+                 for v in vals[1:]]
+        for i in range(n):
+            ctx.add("catalog_sales", cs_sold_date_sk=d, cs_item_sk=isk,
+                    cs_bill_cdemo_sk=cd, cs_promo_sk=promo,
+                    cs_quantity=qty[i], cs_list_price_c=money[0][i],
+                    cs_coupon_amt_c=money[1][i],
+                    cs_sales_price_c=money[2][i])
+
+
+def _build_q15(ctx):
+    """catalog_sales sum per customer zip (d_qoy=2 d_year=2001); state CA
+    qualifies every row regardless of zip."""
+    d = ctx.date(d_year=2001, d_qoy=2)
+    for ln in _golden_rows("q15.slt"):
+        toks = ln.split()
+        zipc = "" if toks[0] == "(empty)" else toks[0]
+        total_c = int(round(float(toks[1]) * 100))
+        addr = ctx.address(ca_zip=zipc, ca_state="CA")
+        cust = ctx.customer(addr_sk=addr)
+        # cs_sales_price is DECIMAL(7,2): split sums over the column cap
+        left = total_c
+        while True:
+            take = min(left, 9_999_999)
+            ctx.add("catalog_sales", cs_sold_date_sk=d,
+                    cs_bill_customer_sk=cust, cs_sales_price_c=take)
+            left -= take
+            if left <= 0:
+                break
+
+
+def _parse_brand_row(toks):
+    """brand_id | brand... | manufact_id | manufact... | price — the two
+    string fields are variable-width; manufact_id is the first pure-int
+    token after the brand tokens."""
+    brand_id = None if toks[0] == "NULL" else int(toks[0])
+    i = 1
+    while i < len(toks) and not re.fullmatch(r"-?\d+", toks[i]):
+        i += 1
+    brand = " ".join(toks[1:i])
+    manufact_id = int(toks[i])
+    manufact = " ".join(toks[i + 1:-1])
+    price = toks[-1]
+    return brand_id, brand, manufact_id, manufact, price
+
+
+def _build_q19(ctx):
+    """store_sales ext-price per brand/manufact (d 1998/11, manager 8,
+    customer zip != store zip). The golden's all-NULL lead row is a
+    display collision: its brand CELL prints 'NULL' and SORTS before
+    'amalgedu...' — i.e. the literal string — while brand_id/manufact_id
+    are true NULLs."""
+    d = ctx.date(d_year=1998, d_moy=11)
+    store = ctx.sk()
+    ctx.add("store", s_store_sk=store, s_zip="99999", s_state="AK")
+    addr = ctx.address(ca_zip="11111")
+    cust = ctx.customer(addr_sk=addr)
+    for ln in _golden_rows("q19.slt"):
+        toks = ln.split()
+        if toks[0] == "NULL" and toks[1] == "NULL":
+            brand_id, brand = None, "NULL"
+            manufact_id = None if toks[2] == "NULL" else int(toks[2])
+            manufact, price = " ".join(toks[3:-1]), toks[-1]
+        else:
+            brand_id, brand, manufact_id, manufact, price = \
+                _parse_brand_row(toks)
+        isk = ctx.item(i_item_id=f"Q19{len(ctx.rows.get('item', []))}",
+                       i_manager_id=8, i_brand_id=brand_id, i_brand=brand,
+                       i_manufact_id=manufact_id, i_manufact=manufact)
+        if price == "NULL":
+            ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk, ss_customer_sk=cust,
+                   ss_store_sk=store, ss_ext_sales_price_c=None)
+            continue
+        left = int(round(float(price) * 100))
+        while True:
+            take = min(left, 9_999_999)
+            ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk, ss_customer_sk=cust,
+                   ss_store_sk=store, ss_ext_sales_price_c=take)
+            left -= take
+            if left <= 0:
+                break
+
+
+def _build_q55(ctx):
+    """store_sales ext-price per brand (d 1999/11, manager 28)."""
+    d = ctx.date(d_year=1999, d_moy=11)
+    for ln in _golden_rows("q55.slt"):
+        toks = ln.split()
+        brand_id = int(toks[0])
+        brand = " ".join(toks[1:-1])
+        price = toks[-1]
+        isk = ctx.item(i_item_id=f"Q55{len(ctx.rows.get('item', []))}",
+                       i_manager_id=28, i_brand_id=brand_id, i_brand=brand)
+        if price == "NULL":
+            ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk,
+                   ss_ext_sales_price_c=None)
+            continue
+        left = int(round(float(price) * 100))
+        while True:
+            take = min(left, 9_999_999)
+            ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk,
+                   ss_ext_sales_price_c=take)
+            left -= take
+            if left <= 0:
+                break
+
+
+def _build_q27(ctx):
+    """store_sales avg rollup (d_year=2002, cd M/S/College, TN stores).
+    Golden = per-item (TN, NULL-state) pairs + one whole-result row; a
+    hidden item past the LIMIT-100 cut absorbs the whole-result averages."""
+    d = ctx.date(d_year=2002)
+    cd = ctx.demo("M", "S", "College")
+    store = ctx.sk()
+    ctx.add("store", s_store_sk=store, s_state="TN", s_zip="37188")
+    rows = _golden_rows("q27.slt")
+    global_vals = None
+    groups: dict[str, list] = {}
+    for ln in rows:
+        toks = ln.split()
+        if toks[0] == "NULL":       # the whole-result row
+            global_vals = [_rat(t) for t in toks[3:]]
+            continue
+        groups.setdefault(toks[0], [_rat(t) for t in toks[3:]])
+    sums = [Fraction(0)] * 4
+    n_total = 0
+    for item_id, vals in groups.items():
+        isk = ctx.item(i_item_id=item_id)
+        n, qty_rows, money = _avg_bundle_rows(ctx, vals, {1, 2, 3})
+        n_total += n
+        for j, v in enumerate(vals):
+            assert v is not None, (item_id, vals)   # q27 has no NULL aggs
+            sums[j] += v * n
+        for i in range(n):
+            ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk, ss_cdemo_sk=cd,
+                   ss_store_sk=store, ss_quantity=qty_rows[i],
+                   ss_list_price_c=money[0][i], ss_coupon_amt_c=money[1][i],
+                   ss_sales_price_c=money[2][i])
+    # hidden item: sorts after the 100th visible row, tunes the global
+    # avgs. h large enough that the integer rounding of each hidden SUM
+    # shifts the whole-result average by < the 1e-5 comparison tolerance.
+    h = 2000
+    hidden_id = "AAAAAAAAZZZZZZZZ"
+    assert hidden_id > max(groups), hidden_id
+    isk = ctx.item(i_item_id=hidden_id)
+    for j in range(4):
+        target = global_vals[j] * (n_total + h)
+        hidden_sum = target - sums[j]
+        assert hidden_sum >= 0, (j, hidden_sum)
+        if j == 0:
+            qty_hidden = _split(int(round(hidden_sum)), h)
+        else:
+            money_hidden = _split(int(round(hidden_sum * 100)), h)
+            if j == 1:
+                list_hidden = money_hidden
+            elif j == 2:
+                coup_hidden = money_hidden
+            else:
+                sales_hidden = money_hidden
+    for i in range(h):
+        ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk, ss_cdemo_sk=cd,
+               ss_store_sk=store, ss_quantity=qty_hidden[i],
+               ss_list_price_c=list_hidden[i],
+               ss_coupon_amt_c=coup_hidden[i],
+               ss_sales_price_c=sales_hidden[i])
+
+
+def _build_q28(ctx):
+    """Six quantity-bucket aggregates over bare store_sales. Build each
+    bucket's rows inside its own price window; counts and distinct list
+    prices come straight from the golden. These rows dodge every OTHER
+    query via NULL foreign keys and a d_date_sk that joins nothing."""
+    toks = _golden_rows("q28.slt")[0].split()
+    assert len(toks) == 18
+    for b, (qlo, _qhi, lp, _cp, _wc) in enumerate(_Q28):
+        avg = Fraction(float(toks[b * 3])).limit_denominator(10_000)
+        cnt = int(toks[b * 3 + 1])
+        cntd = int(toks[b * 3 + 2])
+        assert (avg * 100 * cnt).denominator == 1, (b, avg)
+        total_c = int(avg * 100 * cnt)
+        # cnt values summing to total_c with exactly cntd distinct:
+        # (cnt-cntd+1) copies of X plus uniques X+1..X+cntd-1, division
+        # remainder pushed onto the largest unique (stays the max →
+        # uniqueness preserved). Prices are NOT window-constrained —
+        # bucket membership rides on the pinned in-window coupon.
+        tri = cntd * (cntd - 1) // 2
+        bulk = cnt - (cntd - 1)
+        x = (total_c - tri) // cnt
+        rem = total_c - (x * cnt + tri)
+        uniq = [x + i for i in range(1, cntd)]
+        if uniq:
+            uniq[-1] += rem
+        else:
+            x += rem // bulk    # cntd == 1: all rows equal
+            rem -= (rem // bulk) * bulk
+            assert rem == 0
+        rows_vals = [x] * bulk + uniq
+        assert sum(rows_vals) == total_c
+        assert len(set(rows_vals)) == cntd, (b, cntd, len(set(rows_vals)))
+        assert len(rows_vals) == cnt
+        for v in rows_vals:
+            ctx.add("store_sales", ss_quantity=qlo,
+                    ss_list_price_c=v,
+                    ss_coupon_amt_c=(_Q28[b][3] + 1) * 100,
+                    ss_wholesale_cost_c=99_900)
+
+
+def _build_q48(ctx):
+    """Single sum(ss_quantity)=139: one row matching branch 1 of both OR
+    blocks (cd M/4 yr Degree + sales price 100-150; CO address +
+    net profit 0-2000), d_year=2000."""
+    d = ctx.date(d_year=2000)
+    cd = ctx.demo("M", "M", "4 yr Degree")
+    store = ctx.sk()
+    ctx.add("store", s_store_sk=store, s_state="NM", s_zip="88001")
+    addr = ctx.address(ca_country="United States", ca_state="CO")
+    ctx.ss(ss_sold_date_sk=d, ss_store_sk=store, ss_cdemo_sk=cd,
+           ss_addr_sk=addr, ss_quantity=139, ss_sales_price_c=12_000,
+           ss_net_profit_c=100_000)
+
+
+def _build_q50(ctx):
+    """One store_sales/store_returns pair returned >120 days after the
+    sale (sk arithmetic), return month 2001-08; store row from golden."""
+    g = _golden_rows("q50.slt")[0].split()
+    # ought | 1 | 767 | Spring | Wy | Suite 250 | Midway |
+    # Williamson County | TN | 31904 | 0 0 0 0 1
+    store = ctx.sk()
+    ctx.add("store", s_store_sk=store, s_store_name=g[0], s_company_id=1,
+            s_street_number=g[2], s_street_name=g[3], s_street_type=g[4],
+            s_suite_number="Suite 250", s_city="Midway",
+            s_county="Williamson County", s_state="TN", s_zip="31904")
+    d_sold = ctx.date(d_year=1990)
+    # returned sk must exceed the sold sk by >120 → burn the sk space
+    ctx._sk += 130
+    d_ret = ctx.date(d_year=2001, d_moy=8)
+    assert d_ret - d_sold > 120
+    ctx.ss(ss_sold_date_sk=d_sold, ss_store_sk=store, ss_item_sk=77_777,
+           ss_customer_sk=-7, ss_ticket_number=424_242)
+    ctx.add("store_returns", sr_returned_date_sk=d_ret, sr_item_sk=77_777,
+            sr_customer_sk=-7, sr_ticket_number=424_242)
+
+
+def _build_q35(ctx):
+    """Customer-demographic rollup gated by EXISTS(store_sales 2002 Q<4)
+    AND (EXISTS web OR catalog). One customer bundle per golden-row
+    count unit."""
+    d_ss = ctx.date(d_year=2002, d_qoy=1)
+    d_ws = ctx.date(d_year=2002, d_qoy=1)
+    for ln in _golden_rows("q35.slt"):
+        t = ln.split()
+        state = None if t[0] == "NULL" else t[0]
+        gender, marital = t[1], t[2]
+        dep, cnt = int(t[3]), int(t[4])
+        dep_emp = int(t[8])
+        dep_col = int(t[13])
+        for _ in range(cnt):
+            addr = ctx.address(ca_state=state)
+            cd = ctx.demo(gender, marital, f"E{dep}{dep_emp}{dep_col}",
+                          cd_dep_count=dep, cd_dep_employed_count=dep_emp,
+                          cd_dep_college_count=dep_col)
+            cust = ctx.customer(addr_sk=addr, cdemo_sk=cd)
+            ctx.ss(ss_sold_date_sk=d_ss, ss_customer_sk=cust,
+                   ss_quantity=50)
+            ctx.add("web_sales", ws_sold_date_sk=d_ws,
+                    ws_bill_customer_sk=cust)
+
+
+_BUILDERS = [
+    _build_q07, _build_q15, _build_q19, _build_q26, _build_q27,
+    _build_q28, _build_q35, _build_q48, _build_q50, _build_q55,
+]
+
+FILLED_FILES = ["q07.slt", "q15.slt", "q19.slt", "q26.slt", "q27.slt",
+                "q28.slt", "q35.slt", "q48.slt", "q50.slt", "q55.slt"]
+
+
+def build_rows() -> dict[str, list[dict]]:
+    ctx = _Ctx()
+    for b in _BUILDERS:
+        b(ctx)
+    return ctx.rows
+
+
+_GEN_VERSION = "tpcds-v1"
+
+
+def ensure_tables(root: str) -> dict[str, str]:
+    """Write the filled tables as schema-exact parquet under <root>;
+    returns table → path. Idempotent via a version stamp."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from glaredb_spark.sources.parquet_testing import _pa_type, tpcds_schemas
+
+    os.makedirs(root, exist_ok=True)
+    stamp = os.path.join(root, ".generated")
+    schemas = tpcds_schemas()
+    rows_by_table = build_rows()
+    paths = {t: os.path.join(root, f"{t}.parquet") for t in rows_by_table}
+    if os.path.exists(stamp) and open(stamp).read().strip() == _GEN_VERSION:
+        return paths
+    for table, rows in rows_by_table.items():
+        cols = schemas[table]
+        arrays, fields = [], []
+        for name, ref_t in cols:
+            t = _pa_type(ref_t)
+            vals = []
+            cents_key = f"{name}_c"
+            for r in rows:
+                if cents_key in r:
+                    c = r[cents_key]
+                    vals.append(None if c is None else
+                                decimal.Decimal(c).scaleb(-2))
+                else:
+                    vals.append(r.get(name))
+            arrays.append(pa.array(vals, type=t))
+            fields.append(pa.field(name, t))
+        pq.write_table(
+            pa.table(dict(zip([f.name for f in fields], arrays)),
+                     schema=pa.schema(fields)),
+            paths[table],
+        )
+    with open(stamp, "w") as fh:
+        fh.write(_GEN_VERSION)
+    return paths
