@@ -1444,7 +1444,14 @@ def _drain_available_now(spark, fmt: str, path: str):
         .option("checkpointLocation", ck)
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a partial sink would fail the oracle with a confusing value
+        # mismatch (or pass on a lucky prefix) — fail loudly instead
+        # (r11 review #8)
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain did not finish within 300s"
+        )
     return spark.read.parquet(out)
 
 

@@ -688,10 +688,17 @@ def _strip_trailing_commas(sql: str) -> str:
 
 
 def rewrite_sql(sql: str, base_dir: str | None = None) -> str:
-    if sql.count("'") % 2 == 1 and not sql.rstrip().endswith("'"):
+    if (
+        re.match(r"\s*DESCRIBE\s+'", sql, re.IGNORECASE)
+        and sql.count("'") % 2 == 1
+        and not sql.rstrip().endswith("'")
+    ):
         # the reference's parser treats an unterminated trailing string
         # literal as running to end-of-statement (clickbench/partitioned/
-        # describe.slt: DESCRIBE '<glob-path> with no closing quote)
+        # describe.slt: DESCRIBE '<glob-path> with no closing quote).
+        # Scoped to DESCRIBE-of-path so a legitimate odd apostrophe
+        # inside a double-quoted token elsewhere is never "closed"
+        # (r11 review #6)
         sql = sql.rstrip() + "'"
     sql = _TEMP_TABLE_RE.sub("CREATE TABLE", sql)
     # AS MATERIALIZED survives to the misc binder: it must suppress

@@ -458,8 +458,15 @@ def _evolved_read_schema(spark, meta: dict, paths: list):
         # Only the MERGE failure itself degrades — a transient I/O /
         # missing-file error must fail the read, not silently rebuild
         # uuid/fixed columns as string (r10 advice #5).
+        # match the merge-CONFLICT phrasing specifically, not the word
+        # 'merge' anywhere in the message — executor stack traces embed
+        # mergeSchemasInParallel frames, which made transient I/O errors
+        # degrade silently (r11 review #2)
         msg = str(exc)
-        if not ("merge" in msg.lower() or "CANNOT_MERGE" in msg):
+        if not re.search(
+            r"failed (?:to )?merg|cannot_merge|incompatible.*merg",
+            msg, re.IGNORECASE,
+        ):
             raise
         by_name = {}
     fields = []
@@ -1524,8 +1531,13 @@ def _publish_snapshot(
     # the version, carry data sequence numbers, and author the v2
     # manifest/manifest-list/metadata field sets)
     fv = int((meta or {}).get("format-version", format_version) or 1)
+    if meta:
+        # unconditional: a v1/v2 document smuggling v3-only features
+        # (variant columns, defaults, row lineage) must refuse on WRITE
+        # too, not just read — committing on top would perpetuate a
+        # schema this engine refuses to scan (r11 review #5)
+        reject_v3(meta, "write to")
     if fv not in (1, 2):
-        reject_v3(meta or {}, "write to")
         raise IcebergError(
             f"native iceberg writes support format-version 1 and 2; "
             f"this table is format-version {fv}"
@@ -1862,9 +1874,27 @@ def _publish_snapshot(
 
     mpath = os.path.join(mdir, f"v{version}.metadata.json")
     publish_atomic(mpath, json.dumps(new_meta, indent=2).encode())
-    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _write_version_hint(mdir, version)
     return snapshot_id
+
+
+def _write_version_hint(mdir: str, version: int) -> None:
+    """version-hint.text is advisory (last-writer-wins): plain write
+    locally, unconditional put on object stores — the same split
+    publish_atomic makes for the metadata document itself (r11 review:
+    the builtin open() crashed on s3://-rooted tables right after a
+    successful conditional-write commit)."""
+    from glaredb_spark.sources.objectstore import (
+        object_store_scheme,
+        put_object_url,
+    )
+
+    hint = os.path.join(mdir, "version-hint.text")
+    if object_store_scheme(hint):
+        put_object_url(hint, str(version).encode())
+        return
+    with open(hint, "w") as fh:
+        fh.write(str(version))
 
 
 class _PartField(typing.NamedTuple):
@@ -3114,8 +3144,7 @@ def _write_metadata_version(
 
     mpath = os.path.join(mdir, f"v{version}.metadata.json")
     publish_atomic(mpath, json.dumps(new_meta, indent=2).encode())
-    with open(hint, "w") as fh:
-        fh.write(str(version))
+    _write_version_hint(mdir, version)
     return version
 
 

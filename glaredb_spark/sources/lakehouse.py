@@ -15,6 +15,8 @@ raise a clear, actionable error instead of Spark's opaque
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 _ICEBERG_CLASS = "org.apache.iceberg.spark.source.IcebergSource"
@@ -114,14 +116,28 @@ def read_delta(
             # so render the wall-clock string in THAT zone — a UTC
             # string under a non-UTC session travels to an instant
             # shifted by the session offset (r10 advice #4).
+            zone = spark.conf.get("spark.sql.session.timeZone", "UTC")
             try:
                 from zoneinfo import ZoneInfo
 
-                tz = ZoneInfo(
-                    spark.conf.get("spark.sql.session.timeZone", "UTC")
-                )
+                tz = ZoneInfo(zone)
             except Exception:
-                tz = datetime.timezone.utc
+                # Spark also accepts offset-style zones ZoneInfo cannot
+                # parse ('+08:00', 'GMT+8', 'UTC+08:30'); falling back
+                # to UTC re-shifts the instant by the session offset —
+                # the very bug this block fixes (r11 review #4)
+                m = re.fullmatch(
+                    r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", zone
+                )
+                if not m:
+                    raise ValueError(
+                        f"cannot render timestampAsOf in session "
+                        f"timezone {zone!r}"
+                    )
+                sign = 1 if m.group(1) == "+" else -1
+                tz = datetime.timezone(sign * datetime.timedelta(
+                    hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+                ))
             ts = datetime.datetime.fromtimestamp(
                 parse_as_of_ms(as_of) / 1000.0, tz
             )

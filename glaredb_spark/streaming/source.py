@@ -464,9 +464,20 @@ class _IcebergChangesStreamReader(_IcebergAppendsStreamReader):
         ids = [int(s["snapshot-id"]) for s in snaps]
         first_idx = ids.index(int(in_range[0]["snapshot-id"]))
         if first_idx == 0:
-            # true first snapshot: starts from empty (the inherited-
-            # entries case — history expired — was raised by the gap
-            # check above via parent-snapshot-id)
+            # oldest retained snapshot: change derivation needs its
+            # PARENT's file sets. A parent-less snapshot is the table's
+            # true first commit (empty prev is exact); a parent that was
+            # expired — even an already-consumed one the appends reader
+            # may skip past — makes the before-image unrecoverable, so
+            # the changes stream must FAIL, not re-emit inherited rows
+            # as inserts (r11 review #1)
+            par = in_range[0].get("parent-snapshot-id")
+            if par is not None:
+                raise IcebergError(
+                    f"snapshot {in_range[0]['snapshot-id']}'s parent "
+                    f"{par} has been expired — its changes cannot be "
+                    "derived (the prior file set is unrecoverable)"
+                )
             prev = ({}, {})
         else:
             prev = _snapshot_file_sets(

@@ -505,6 +505,13 @@ _BUILDERS = [
 FILLED_FILES = ["q07.slt", "q15.slt", "q19.slt", "q26.slt", "q27.slt",
                 "q28.slt", "q35.slt", "q48.slt", "q50.slt", "q55.slt"]
 
+# every table the builders touch (stamp-hit fast path returns these)
+FILLED_TABLES = [
+    "catalog_sales", "customer", "customer_address",
+    "customer_demographics", "date_dim", "item", "promotion", "store",
+    "store_returns", "store_sales", "web_sales",
+]
+
 
 def build_rows() -> dict[str, list[dict]]:
     ctx = _Ctx()
@@ -528,11 +535,16 @@ def ensure_tables(root: str) -> dict[str, str]:
 
     os.makedirs(root, exist_ok=True)
     stamp = os.path.join(root, ".generated")
+    if os.path.exists(stamp) and open(stamp).read().strip() == _GEN_VERSION:
+        # stamp first: _register_tpcds_views calls this per SLT file and
+        # must not rebuild the dataset each time (r11 review #7)
+        return {t: os.path.join(root, f"{t}.parquet")
+                for t in FILLED_TABLES}
     schemas = tpcds_schemas()
     rows_by_table = build_rows()
+    assert sorted(rows_by_table) == sorted(FILLED_TABLES), sorted(
+        rows_by_table)
     paths = {t: os.path.join(root, f"{t}.parquet") for t in rows_by_table}
-    if os.path.exists(stamp) and open(stamp).read().strip() == _GEN_VERSION:
-        return paths
     for table, rows in rows_by_table.items():
         cols = schemas[table]
         arrays, fields = [], []

@@ -469,3 +469,35 @@ def test_delta_changes_stream_partitioned_mapped(spark, tmp_path):
     assert rows[(3, "delete")] == ("b", 30)
     assert rows[(4, "insert")] == ("a", 40)
     assert len(rows) == 7  # 6 inserts + 1 delete
+
+
+def test_iceberg_changes_stream_expired_parent_fails(spark, tmp_path):
+    """r11 review #1: an iceberg_changes stream whose starting_seq
+    predates expired history must FAIL — diffing the oldest retained
+    snapshot against an empty file set would re-emit every inherited
+    (already-consumed) row as an insert."""
+    from glaredb_spark.sources.iceberg_native import (
+        expire_snapshots_iceberg_native,
+    )
+
+    register_stream_sources(spark)
+    p = str(tmp_path / "chexp")
+    write_iceberg_native(
+        spark.createDataFrame([(i, "a") for i in range(5)],
+                              "id long, v string"), p, format_version=2,
+    )
+    write_iceberg_native(
+        spark.createDataFrame([(9, "b")], "id long, v string"), p
+    )
+    write_iceberg_native(
+        spark.createDataFrame([(10, "c")], "id long, v string"), p
+    )
+    expire_snapshots_iceberg_native(p, retention_hours=0, retain_last=1)
+    q = (spark.readStream.format("iceberg_changes")
+         .option("path", p).option("starting_seq", "1").load()
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "chexpout"))
+         .option("checkpointLocation", str(tmp_path / "chexpckpt"))
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="expired|STREAM"):
+        q.awaitTermination(120)
