@@ -81,13 +81,10 @@ _T0 = _DAY * 86400    # midnight UTC
 
 
 def _mk_row(**kw) -> dict:
-    r = {}
-    for name, kind in SCHEMA:
-        r[name] = "" if kind == "str" else 0
-    r["EventDate"] = _DAY
-    r["CounterID"] = 1          # never 62 → q36-q42 stay empty
-    r.update(kw)
-    return r
+    """Sparse row: unset columns take _arrow_table's defaults ('' / 0,
+    EventDate = 2013-07-15, CounterID = 1 — never 62, so q36-q42 stay
+    empty). Both suites' builders share this representation."""
+    return dict(kw)
 
 
 def _shash(s: str) -> int:
@@ -389,79 +386,18 @@ def _build_single_users() -> tuple[list[_User], list[_User]]:
     return users, pads
 
 
-def _assign_regions(users: list[_User], pads: list[_User]) -> None:
-    """Exact per-region row and distinct-user quotas (q08/q09); pads flex."""
-    specs = [(r, c, uq) for r, (c, _a, _w, uq) in REGIONS.items()]
-    specs += [(r, (cu := Q08_REGIONS[r])[0], cu[1]) for r in Q08_REGIONS]
-    specs.sort(key=lambda t: -t[1])
-    nonpads = sorted((u for u in users if not u.is_pad),
-                     key=lambda u: -u.total)
-    placed: dict[int, list[_User]] = {r: [] for r, _, _ in specs}
-    rows_in: dict[int, int] = {r: 0 for r, _, _ in specs}
-    for u in nonpads:
-        for r, c, uq in specs:
-            slots_after = uq - len(placed[r]) - 1
-            room = c - rows_in[r] - u.total
-            # leave each later pad slot 1..99 rows of headroom
-            if (len(placed[r]) < uq and room >= slots_after
-                    and room <= slots_after * 99):
-                placed[r].append(u)
-                rows_in[r] += u.total
-                u.region = r
-                break
-        assert u.region is not None, f"user total={u.total} unplaced"
-    # size pads into the leftover of each pinned region
-    pad_q = list(pads)
-    for r, c, uq in specs:
-        k = uq - len(placed[r])
-        left = c - rows_in[r]
-        assert k <= left <= k * 99, (r, k, left)
-        sizes = [left // k + (1 if i < left % k else 0) for i in range(k)]
-        for sz in sizes:
-            p = pad_q.pop(0)
-            p.region = r
-            p.empty = sz
-    # remaining pads form the non-pinned regions: ≤7 users (q08: a 7-user
-    # region must have id > 14593) and ≤75 rows (q09 cutoff) each
-    other_rows = TOTAL_ROWS - sum(c for _, c, _ in specs)
-    rid = 20_001
-    while pad_q:
-        group = [pad_q.pop(0) for _ in range(min(7, len(pad_q)))]
-        regions_left_after = (len(pad_q) + 6) // 7
-        take = min(75, other_rows - len(pad_q))
-        take = max(take, len(group))
-        if regions_left_after == 0:
-            take = other_rows
-        assert len(group) <= take <= 75, (take, len(group))
-        sizes = [take // len(group) + (1 if i < take % len(group) else 0)
-                 for i in range(len(group))]
-        for p, sz in zip(group, sizes):
-            p.region = rid
-            p.empty = sz
-        other_rows -= take
-        rid += 1
-    assert other_rows == 0, other_rows
-    total = sum(u.total for u in users)
-    assert total == TOTAL_ROWS, total
-
-
-def _steer_user_ids(users: list[_User], pads: list[_User]) -> None:
-    """Pick pad UserIDs so AVG(UserID) lands on the q03 golden (±1e-5)."""
-    target_sum = int(AVG_USER * TOTAL_ROWS)
-    pinned = sum(u.uid * u.total for u in users if not u.is_pad)
-    pad_rows = sum(p.total for p in pads)
-    per_row = (target_sum - pinned) // pad_rows
-    assert -9_000_000_000_000_000_000 < per_row < 0, per_row
-    for j, p in enumerate(pads):
-        p.uid = per_row + j + 1
-    uids = [u.uid for u in users]
-    assert len(set(uids)) == len(uids) == TOTAL_USERS
-
-
 def _build_single_rows() -> list[dict]:
     users, pads = _build_single_users()
-    _assign_regions(users, pads)
-    _steer_user_ids(users, pads)
+    specs = [(r, c, uq) for r, (c, _a, _w, uq) in REGIONS.items()]
+    specs += [(r, cu[0], cu[1]) for r, cu in Q08_REGIONS.items()]
+    _assign_regions_generic(
+        users, pads, specs, total_rows=TOTAL_ROWS,
+        other_user_cap=7, other_row_cap=75, pad_row_cap=99,
+        other_rid_base=20_001,
+    )
+    # uid floor: pads must never usurp q17's pinned smallest users
+    _steer_user_ids_generic(users, pads, AVG_USER, TOTAL_ROWS, TOTAL_USERS,
+                            uid_floor=-9_178_515_231_912_571_900)
 
     # unique IPs for everyone unassigned
     seen_ips = {u.ip for u in users if u.ip is not None}
@@ -634,7 +570,7 @@ def _build_single_rows() -> list[dict]:
     q22_done = False
     ui = 0
     for r in rows:
-        if not q22_done and r["SearchPhrase"] == P2:
+        if not q22_done and r.get("SearchPhrase") == P2:
             r["URL"] = Q22_URL
             r["Title"] = Q22_TITLE
             q22_done = True
@@ -661,7 +597,7 @@ def _build_single_rows() -> list[dict]:
         r["LocalEventTime"] = r["EventTime"]
     # cheap global invariants (full verification is the DuckDB/SLT gate)
     assert len({r["WatchID"] for r in rows}) == TOTAL_ROWS
-    assert len({r["SearchPhrase"] for r in rows}) == TOTAL_PHRASES
+    assert len({r.get("SearchPhrase", "") for r in rows}) == TOTAL_PHRASES
     assert len({r["UserID"] for r in rows}) == TOTAL_USERS
     return rows
 
@@ -1167,7 +1103,8 @@ def _build_partitioned_rows() -> list[dict]:
         other_user_cap=263, other_row_cap=1324, pad_row_cap=294,
         other_rid_base=20_001,
     )
-    _steer_user_ids_generic(users, pads, PT_AVG_USER, PT_TOTAL, PT_USERS)
+    _steer_user_ids_generic(users, pads, PT_AVG_USER, PT_TOTAL, PT_USERS,
+                            uid_floor=-9_184_253_468_857_993_081)
 
     # unique IPs
     seen_ips = {u.ip for u in users if u.ip is not None}
@@ -1369,7 +1306,8 @@ def _build_partitioned_rows() -> list[dict]:
         r["URL"] = url
 
     # --- mobile (q10/q11)
-    pad_iter = iter(p for p in pads if p not in c62_users)
+    # c62a/c62b are non-pad users, so pads can all carry models freely
+    pad_iter = iter(pads)
     first_row_of: dict[int, dict] = {}
     for r in rows:
         first_row_of.setdefault(r["UserID"], r)
@@ -1441,12 +1379,17 @@ def _assign_regions_generic(users, pads, specs, *, total_rows,
 
 
 def _steer_user_ids_generic(users, pads, avg_target, total_rows,
-                            total_users):
+                            total_users, *, uid_floor):
+    """Pick pad UserIDs steering AVG(UserID) onto the q03 golden.
+
+    ``uid_floor`` is load-bearing: q17 pins the table's N smallest
+    UserIDs exactly, so every pad uid must stay strictly above the
+    largest pinned-smallest uid (r11 review #3)."""
     target_sum = int(avg_target * total_rows)
     pinned = sum(u.uid * u.total for u in users if not u.is_pad)
     pad_rows = sum(p.total for p in pads)
     per_row = (target_sum - pinned) // pad_rows
-    assert -9.2e18 < per_row < 9.2e18, per_row
+    assert uid_floor < per_row < 9.2e18, (per_row, uid_floor)
     for j, p in enumerate(pads):
         p.uid = per_row + j + 1
     uids = [u.uid for u in users]
@@ -1461,22 +1404,19 @@ def ensure_partitioned(root: str) -> list[str]:
     the file paths. Strings are stored as un-annotated BINARY and
     EventDate as uint16, matching the reference files (the harness view
     casts both back, integration_slt.rs:388-421)."""
-    import pyarrow.parquet as pq
-
     outdir = os.path.join(root, "partitioned")
     stamp = os.path.join(outdir, ".generated")
     n_files = 10
     paths = [os.path.join(outdir, f"hits_truncated_{i}.parquet")
              for i in range(n_files)]
-    if os.path.exists(stamp) and open(stamp).read().strip() == \
-            _PT_GEN_VERSION:
+    if _stamp_fresh(stamp, _PT_GEN_VERSION, paths):
         return paths
     os.makedirs(outdir, exist_ok=True)
     rows = _build_partitioned_rows()
     chunk = (len(rows) + n_files - 1) // n_files
     for i, path in enumerate(paths):
         part = rows[i * chunk:(i + 1) * chunk]
-        pq.write_table(_arrow_table(part, binary_strings=True), path)
+        _write_atomic(_arrow_table(part, binary_strings=True), path)
     with open(stamp, "w") as fh:
         fh.write(_PT_GEN_VERSION)
     return paths
@@ -1485,17 +1425,37 @@ def ensure_partitioned(root: str) -> list[str]:
 _GEN_VERSION = "single-v1"
 
 
-def ensure_single(root: str) -> str:
-    """Build (idempotently) and return the single-suite parquet path."""
+def _write_atomic(table, path: str) -> None:
+    """tmp + os.replace so a concurrent builder's reader never sees a
+    truncated footer (r11 review #1; same pattern as slt.py's tpch
+    dataset cache)."""
     import pyarrow.parquet as pq
 
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _stamp_fresh(stamp: str, version: str, paths: list[str]) -> bool:
+    """Fast path only when the stamp matches AND every data file exists
+    (a deleted parquet next to a surviving stamp must rebuild, r11
+    review #2)."""
+    return (
+        os.path.exists(stamp)
+        and open(stamp).read().strip() == version
+        and all(os.path.exists(p) for p in paths)
+    )
+
+
+def ensure_single(root: str) -> str:
+    """Build (idempotently) and return the single-suite parquet path."""
     out = os.path.join(root, "single", "hits_truncated.parquet")
     stamp = out + ".generated"
-    if os.path.exists(stamp) and open(stamp).read().strip() == _GEN_VERSION:
+    if _stamp_fresh(stamp, _GEN_VERSION, [out]):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
     rows = _build_single_rows()
-    pq.write_table(_arrow_table(rows, binary_strings=False), out)
+    _write_atomic(_arrow_table(rows, binary_strings=False), out)
     with open(stamp, "w") as fh:
         fh.write(_GEN_VERSION)
     return out

@@ -27,6 +27,7 @@ authoring-time engine behavior that no conforming sort reproduces.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 from fractions import Fraction
@@ -97,10 +98,22 @@ def _group_n(vals: list[Fraction | None], money_idx: set[int]) -> int:
         if v is None:
             continue
         scaled = v * 100 if i in money_idx else v
-        n = n * scaled.denominator // __import__("math").gcd(
-            n, scaled.denominator)
+        n = math.lcm(n, scaled.denominator)
     assert n <= 720, n
     return n
+
+
+def _split_cents_capped(total_c: int, cap_c: int = 9_999_999) -> list[int]:
+    """Split a cents total into DECIMAL(7,2)-column-sized chunks (the
+    column caps at 99,999.99; sums above it need multiple rows)."""
+    out = []
+    left = total_c
+    while True:
+        take = min(left, cap_c)
+        out.append(take)
+        left -= take
+        if left <= 0:
+            return out
 
 
 def _split(total: int, n: int) -> list[int]:
@@ -175,7 +188,7 @@ def _avg_bundle_rows(ctx, vals, money_idx):
     else:
         candidates.append(_split(qty_sum, n))              # even
         if n > 1:
-            candidates.append([qty_sum] + [31] * 0 + [0] * (n - 1))
+            candidates.append([qty_sum] + [0] * (n - 1))
             if qty_sum >= 31 * (n - 1):
                 candidates.append(
                     [qty_sum - 31 * (n - 1)] + [31] * (n - 1))
@@ -249,15 +262,9 @@ def _build_q15(ctx):
         total_c = int(round(float(toks[1]) * 100))
         addr = ctx.address(ca_zip=zipc, ca_state="CA")
         cust = ctx.customer(addr_sk=addr)
-        # cs_sales_price is DECIMAL(7,2): split sums over the column cap
-        left = total_c
-        while True:
-            take = min(left, 9_999_999)
+        for take in _split_cents_capped(total_c):
             ctx.add("catalog_sales", cs_sold_date_sk=d,
                     cs_bill_customer_sk=cust, cs_sales_price_c=take)
-            left -= take
-            if left <= 0:
-                break
 
 
 def _parse_brand_row(toks):
@@ -302,14 +309,9 @@ def _build_q19(ctx):
             ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk, ss_customer_sk=cust,
                    ss_store_sk=store, ss_ext_sales_price_c=None)
             continue
-        left = int(round(float(price) * 100))
-        while True:
-            take = min(left, 9_999_999)
+        for take in _split_cents_capped(int(round(float(price) * 100))):
             ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk, ss_customer_sk=cust,
                    ss_store_sk=store, ss_ext_sales_price_c=take)
-            left -= take
-            if left <= 0:
-                break
 
 
 def _build_q55(ctx):
@@ -326,14 +328,9 @@ def _build_q55(ctx):
             ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk,
                    ss_ext_sales_price_c=None)
             continue
-        left = int(round(float(price) * 100))
-        while True:
-            take = min(left, 9_999_999)
+        for take in _split_cents_capped(int(round(float(price) * 100))):
             ctx.ss(ss_sold_date_sk=d, ss_item_sk=isk,
                    ss_ext_sales_price_c=take)
-            left -= take
-            if left <= 0:
-                break
 
 
 def _build_q27(ctx):
@@ -533,13 +530,16 @@ def ensure_tables(root: str) -> dict[str, str]:
 
     from glaredb_spark.sources.parquet_testing import _pa_type, tpcds_schemas
 
+    from glaredb_spark.clickbench_fixture import _stamp_fresh
+
     os.makedirs(root, exist_ok=True)
     stamp = os.path.join(root, ".generated")
-    if os.path.exists(stamp) and open(stamp).read().strip() == _GEN_VERSION:
+    fast = {t: os.path.join(root, f"{t}.parquet") for t in FILLED_TABLES}
+    if _stamp_fresh(stamp, _GEN_VERSION, list(fast.values())):
         # stamp first: _register_tpcds_views calls this per SLT file and
-        # must not rebuild the dataset each time (r11 review #7)
-        return {t: os.path.join(root, f"{t}.parquet")
-                for t in FILLED_TABLES}
+        # must not rebuild the dataset each time (r11 review #7); a
+        # deleted parquet next to a surviving stamp rebuilds
+        return fast
     schemas = tpcds_schemas()
     rows_by_table = build_rows()
     assert sorted(rows_by_table) == sorted(FILLED_TABLES), sorted(
@@ -561,11 +561,13 @@ def ensure_tables(root: str) -> dict[str, str]:
                     vals.append(r.get(name))
             arrays.append(pa.array(vals, type=t))
             fields.append(pa.field(name, t))
+        tmp = f"{paths[table]}.tmp.{os.getpid()}"
         pq.write_table(
             pa.table(dict(zip([f.name for f in fields], arrays)),
                      schema=pa.schema(fields)),
-            paths[table],
+            tmp,
         )
+        os.replace(tmp, paths[table])   # concurrent-builder safe
     with open(stamp, "w") as fh:
         fh.write(_GEN_VERSION)
     return paths
