@@ -186,6 +186,10 @@ ADV_REGION = {229: (6, 88), 2: (7, 24), 1: (4, 4), 208: (12, 6),
               57: (10, 0), 34: (9, 0)}
 ADV_OTHER = (160, 10)
 
+# q17: the largest of the seven pinned-smallest UserIDs — the steered
+# pad uids must stay strictly above it (uid_floor)
+Q17_MAX_SMALLEST = -9178515231912571900
+
 # q31: ten smallest WatchIDs among SearchPhrase<>'' rows
 W_SMALL = [
     (4617561261186506426, 1785570738, 0, 1750),
@@ -250,7 +254,7 @@ def _build_single_users() -> tuple[list[_User], list[_User]]:
     s5 = mk(-9181512033394222426); s5.groups.append((P4, 2, 2, None, 0))
     s6 = mk(-9180825132631298460, empty=18)
     s6.groups.append((S6P, 4, 2, None, 0))
-    s7 = mk(-9178515231912571900, empty=26)
+    s7 = mk(Q17_MAX_SMALLEST, empty=26)
     s7.groups.append((S7P, 4, 2, None, 0))
 
     # --- q15/q16 top users (totals & '' counts pinned), IPs from q35,
@@ -397,7 +401,7 @@ def _build_single_rows() -> list[dict]:
     )
     # uid floor: pads must never usurp q17's pinned smallest users
     _steer_user_ids_generic(users, pads, AVG_USER, TOTAL_ROWS, TOTAL_USERS,
-                            uid_floor=-9_178_515_231_912_571_900)
+                            uid_floor=Q17_MAX_SMALLEST)
 
     # unique IPs for everyone unassigned
     seen_ips = {u.ip for u in users if u.ip is not None}
@@ -1103,8 +1107,10 @@ def _build_partitioned_rows() -> list[dict]:
         other_user_cap=263, other_row_cap=1324, pad_row_cap=294,
         other_rid_base=20_001,
     )
-    _steer_user_ids_generic(users, pads, PT_AVG_USER, PT_TOTAL, PT_USERS,
-                            uid_floor=-9_184_253_468_857_993_081)
+    _steer_user_ids_generic(
+        users, pads, PT_AVG_USER, PT_TOTAL, PT_USERS,
+        uid_floor=max(uid for uid, _e, _g in PT_SMALLEST),
+    )
 
     # unique IPs
     seen_ips = {u.ip for u in users if u.ip is not None}

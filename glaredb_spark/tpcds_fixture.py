@@ -530,7 +530,10 @@ def ensure_tables(root: str) -> dict[str, str]:
 
     from glaredb_spark.sources.parquet_testing import _pa_type, tpcds_schemas
 
-    from glaredb_spark.clickbench_fixture import _stamp_fresh
+    from glaredb_spark.clickbench_fixture import (
+        _stamp_fresh,
+        _write_atomic,
+    )
 
     os.makedirs(root, exist_ok=True)
     stamp = os.path.join(root, ".generated")
@@ -561,13 +564,11 @@ def ensure_tables(root: str) -> dict[str, str]:
                     vals.append(r.get(name))
             arrays.append(pa.array(vals, type=t))
             fields.append(pa.field(name, t))
-        tmp = f"{paths[table]}.tmp.{os.getpid()}"
-        pq.write_table(
+        _write_atomic(
             pa.table(dict(zip([f.name for f in fields], arrays)),
                      schema=pa.schema(fields)),
-            tmp,
+            paths[table],
         )
-        os.replace(tmp, paths[table])   # concurrent-builder safe
     with open(stamp, "w") as fh:
         fh.write(_GEN_VERSION)
     return paths
