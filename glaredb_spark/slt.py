@@ -1290,6 +1290,14 @@ def _populate_public_bucket(upload_file, put_object) -> None:
         f"{ref}/csv/glob_numbers/100.csv",
         f"{gn}/deep/my_favorite_numbers.csv",
     )
+    if not os.path.exists(f"{ref}/csv/tpch_small/lineitem.csv"):
+        # lineitem.csv is absent from the repo-local mirror but its s3/gcs
+        # SLTs golden real values; the dbgen engine regenerates the exact
+        # file (same path the local csv/tpch_small/lineitem.slt takes)
+        upload_file(
+            _ensure_tpch_small_lineitem_csv(),
+            "testdata/csv/tpch_small/lineitem.csv",
+        )
 
 
 def _ensure_gcs_public_fixture() -> None:
