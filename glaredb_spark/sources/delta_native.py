@@ -327,6 +327,69 @@ def load_delta_state(path: str, version: int | None = None) -> DeltaState:
     return state
 
 
+# Writer features this native writer actually implements. The Delta
+# protocol requires a writer to REFUSE tables whose writerFeatures it
+# does not implement (it would otherwise silently break the feature's
+# invariants — e.g. stop maintaining row-tracking metadata). Legacy
+# minWriterVersion implications (invariants/constraints/generated/
+# identity columns) are enforced by definition-presence checks in
+# _check_writer_features rather than by version number: a table that
+# DECLARES a validation feature but defines no rule is safe to write.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+    "changeDataFeed", "deletionVectors", "columnMapping", "typeWidening",
+    "v2Checkpoint", "timestampNtz",
+}
+# operations a delta.appendOnly=true table refuses (they remove or
+# rewrite data; OPTIMIZE/VACUUM/checkpoint/metadata ops stay allowed)
+_APPEND_ONLY_BLOCKED = {"overwrite", "delete", "update", "merge", "purge"}
+
+
+def _check_writer_features(state: "DeltaState", operation: str) -> None:
+    """Refuse to write when the table requires writer features this
+    writer does not implement (r11; the reader-side twin is
+    _SUPPORTED_READER_FEATURES at load time)."""
+    unknown = state.writer_features - _SUPPORTED_WRITER_FEATURES
+    if state.min_writer_version > 7 or unknown:
+        raise RuntimeError(
+            "Delta table requires unsupported writer features "
+            f"{sorted(unknown) or state.min_writer_version}; committing "
+            "would break their invariants — use the delta-spark "
+            "connector jar to write this table."
+        )
+    cfg = (state.metadata_raw or {}).get("configuration") or {}
+    if cfg.get("delta.appendOnly") == "true" \
+            and operation in _APPEND_ONLY_BLOCKED:
+        raise RuntimeError(
+            f"Delta table is append-only (delta.appendOnly=true); "
+            f"cannot {operation}"
+        )
+    if any(k.startswith("delta.constraints.") for k in cfg):
+        raise RuntimeError(
+            "Delta table defines CHECK constraints "
+            f"({sorted(k for k in cfg if k.startswith('delta.constraints.'))}); "
+            "this writer does not evaluate them"
+        )
+    for f in json.loads(state.schema_json or '{"fields": []}').get(
+            "fields", []):
+        md = f.get("metadata") or {}
+        if "delta.invariants" in md:
+            raise RuntimeError(
+                f"column {f.get('name')!r} defines an invariant; this "
+                "writer does not evaluate invariants"
+            )
+        if "delta.generationExpression" in md:
+            raise RuntimeError(
+                f"column {f.get('name')!r} is a generated column; this "
+                "writer does not compute generation expressions"
+            )
+        if any(k.startswith("delta.identity.") for k in md):
+            raise RuntimeError(
+                f"column {f.get('name')!r} is an identity column; this "
+                "writer does not allocate identity values"
+            )
+
+
 def _part_sort_key(kv):
     """None-safe deterministic ordering for partition-tuple dict items:
     a NULL partition value (__HIVE_DEFAULT_PARTITION__) makes the key
@@ -1066,6 +1129,7 @@ def write_delta_native(
         # existing table — even if checkpoint-only (all commit JSONs
         # cleaned up after a checkpoint; ADVICE r4 high)
         state = load_delta_state(path)
+        _check_writer_features(state, mode)
         existing_schema = StructType.fromJson(json.loads(state.schema_json))
         if [f.name for f in existing_schema.fields] != df.columns:
             raise ValueError(
@@ -1448,6 +1512,7 @@ def delete_delta_native(
     that already carry vectors — so the SQL surface (DELETE FROM
     '<path>') keeps working after a table goes merge-on-read. Returns
     (deleted_row_count, files_touched)."""
+    _check_writer_features(load_delta_state(path), "delete")
     if strategy == "auto":
         strategy = "dv" if _has_dvs(load_delta_state(path)) else "cow"
     if strategy == "dv":
@@ -1832,6 +1897,7 @@ def purge_delta_native(spark: SparkSession, path: str) -> tuple[int, int]:
 
     path = os.path.abspath(path)
     state = load_delta_state(path)
+    _check_writer_features(state, "purge")
     dvd = {
         p: a["deletionVector"]
         for p, a in state.add_meta.items()
@@ -1898,6 +1964,7 @@ def update_delta_native(
     ``strategy="auto"`` (default) picks COW on plain tables and DV on
     tables already carrying vectors. Returns
     (updated_row_count, files_touched)."""
+    _check_writer_features(load_delta_state(path), "update")
     if strategy == "auto":
         strategy = "dv" if _has_dvs(load_delta_state(path)) else "cow"
     if strategy == "dv":
@@ -2054,6 +2121,7 @@ def optimize_delta_native(
     import time
 
     state = load_delta_state(path)
+    _check_writer_features(state, "optimize")
     _require_no_dvs(state, 'OPTIMIZE')
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
@@ -2175,6 +2243,7 @@ def vacuum_delta_native(
     import time
 
     state = load_delta_state(path)
+    _check_writer_features(state, "vacuum")
     _require_no_dvs(state, 'VACUUM')
 
     def _resolve(p: str) -> str:
@@ -2232,6 +2301,7 @@ def merge_delta_native(
     import time
 
     state = load_delta_state(path)
+    _check_writer_features(state, "merge")
     _require_no_dvs(state, 'MERGE')
     schema = StructType.fromJson(json.loads(state.schema_json))
     part_cols = state.partition_columns
@@ -2405,6 +2475,7 @@ def checkpoint_delta_native(spark: SparkSession, path: str) -> int:
     import pyarrow.parquet as pq
 
     state = load_delta_state(path)
+    _check_writer_features(state, "checkpoint")
     log_dir = os.path.join(path, "_delta_log")
     version = _latest_version(log_dir)
     meta = state.metadata_raw or {}
@@ -2611,6 +2682,7 @@ def _commit_new_metadata(path: str, state: "DeltaState",
     """Commit a metaData action carrying ``fields`` as the new schema —
     the whole ALTER is one KB-scale driver JSON append; data files are
     untouched (evolution is metadata-only in the Delta protocol)."""
+    _check_writer_features(state, "alter")
     import time
 
     meta = dict(state.metadata_raw or {})

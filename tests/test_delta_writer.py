@@ -1236,3 +1236,115 @@ def test_change_data_feed_column_mapped(spark, sf_dir, tmp_path):
     assert by[(2, "update_postimage")][1] == ("b", 11)
     # rename v3 is metadata-only: no change rows
     assert (3, "insert") not in by and (3, "delete") not in by
+
+
+# --- writer-feature gating (r11): the protocol requires a writer to
+# refuse tables whose writerFeatures it does not implement -------------------
+
+
+def _edit_last_commit(path, edit):
+    import glob as _glob
+
+    log = os.path.join(path, "_delta_log")
+    fname = sorted(_glob.glob(os.path.join(log, "*.json")))[-1]
+    actions = [json.loads(ln) for ln in open(fname) if ln.strip()]
+    actions = edit(actions)
+    with open(fname, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def test_unknown_writer_feature_refused(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        optimize_delta_native,
+        write_delta_native,
+    )
+
+    path = str(tmp_path / "wf")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_delta_native(df, path)
+
+    def bump(actions):
+        return [{"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "readerFeatures": [], "writerFeatures": ["rowTracking"],
+        }}] + [a for a in actions if "protocol" not in a]
+
+    _edit_last_commit(path, bump)
+    with pytest.raises(RuntimeError, match="rowTracking"):
+        write_delta_native(df, path)
+    with pytest.raises(RuntimeError, match="rowTracking"):
+        delete_delta_native(spark, path, "id = 1")
+    with pytest.raises(RuntimeError, match="rowTracking"):
+        optimize_delta_native(spark, path)
+    # reads stay fine: rowTracking is writer-only
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    assert read_delta_native(spark, path).count() == 2
+
+
+def test_append_only_table_blocks_data_removal(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        optimize_delta_native,
+        read_delta_native,
+        write_delta_native,
+    )
+
+    path = str(tmp_path / "ao")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_delta_native(df, path)
+
+    def set_append_only(actions):
+        out = []
+        for a in actions:
+            if "metaData" in a:
+                m = dict(a["metaData"])
+                cfg = dict(m.get("configuration") or {})
+                cfg["delta.appendOnly"] = "true"
+                m["configuration"] = cfg
+                a = {"metaData": m}
+            out.append(a)
+        return out
+
+    _edit_last_commit(path, set_append_only)
+    # appends and maintenance stay allowed
+    write_delta_native(
+        spark.createDataFrame([(3, "c")], "id long, v string"), path
+    )
+    optimize_delta_native(spark, path)
+    assert read_delta_native(spark, path).count() == 3
+    with pytest.raises(RuntimeError, match="append-only"):
+        delete_delta_native(spark, path, "id = 1")
+    with pytest.raises(RuntimeError, match="append-only"):
+        write_delta_native(df, path, mode="overwrite")
+
+
+def test_defined_validation_features_refused(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        write_delta_native,
+    )
+
+    path = str(tmp_path / "inv")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_delta_native(df, path)
+
+    def add_invariant(actions):
+        out = []
+        for a in actions:
+            if "metaData" in a:
+                m = dict(a["metaData"])
+                schema = json.loads(m["schemaString"])
+                schema["fields"][0]["metadata"] = {
+                    "delta.invariants":
+                        '{"expression": {"expression": "id > 0"}}'
+                }
+                m["schemaString"] = json.dumps(schema)
+                a = {"metaData": m}
+            out.append(a)
+        return out
+
+    _edit_last_commit(path, add_invariant)
+    with pytest.raises(RuntimeError, match="invariant"):
+        write_delta_native(df, path)
