@@ -2808,6 +2808,7 @@ def widen_column_delta_native(path: str, name: str,
 
     path = os.path.abspath(path)
     state = load_delta_state(path)
+    _check_writer_features(state, "alter")
     fields = json.loads(state.schema_json)["fields"]
     hit = [f for f in fields if f["name"] == name]
     if not hit:
