@@ -343,6 +343,10 @@ _SUPPORTED_WRITER_FEATURES = {
 # operations a delta.appendOnly=true table refuses (they remove or
 # rewrite data; OPTIMIZE/VACUUM/checkpoint/metadata ops stay allowed)
 _APPEND_ONLY_BLOCKED = {"overwrite", "delete", "update", "merge", "purge"}
+# operations that introduce NEW row values — the only ones obligated to
+# evaluate CHECK constraints / invariants / generation expressions
+# ("append"/"overwrite" arrive as the df.write mode strings)
+_ROW_ADDING_OPS = {"append", "overwrite", "update", "merge"}
 
 
 def _check_writer_features(state: "DeltaState", operation: str) -> None:
@@ -351,10 +355,13 @@ def _check_writer_features(state: "DeltaState", operation: str) -> None:
     _SUPPORTED_READER_FEATURES at load time)."""
     unknown = state.writer_features - _SUPPORTED_WRITER_FEATURES
     if state.min_writer_version > 7 or unknown:
+        what = (
+            f"writer features {sorted(unknown)}" if unknown
+            else f"minWriterVersion {state.min_writer_version} > 7"
+        )
         raise RuntimeError(
-            "Delta table requires unsupported writer features "
-            f"{sorted(unknown) or state.min_writer_version}; committing "
-            "would break their invariants — use the delta-spark "
+            f"Delta table requires unsupported {what}; committing "
+            "would break its invariants — use the delta-spark "
             "connector jar to write this table."
         )
     cfg = (state.metadata_raw or {}).get("configuration") or {}
@@ -364,6 +371,13 @@ def _check_writer_features(state: "DeltaState", operation: str) -> None:
             f"Delta table is append-only (delta.appendOnly=true); "
             f"cannot {operation}"
         )
+    if operation not in _ROW_ADDING_OPS:
+        # CHECK constraints / invariants / generated columns only
+        # obligate the writer "on new rows"; maintenance ops (optimize/
+        # vacuum/checkpoint/purge) and delete rewrite or remove existing
+        # rows unchanged (dataChange=false), so the obligation is
+        # trivially met (r11 advice #1)
+        return
     if any(k.startswith("delta.constraints.") for k in cfg):
         raise RuntimeError(
             "Delta table defines CHECK constraints "

@@ -1447,11 +1447,28 @@ def _v3_features(meta: dict) -> list[str]:
     if meta.get("next-row-id") is not None or meta.get("row-lineage"):
         feats.append("row lineage (next-row-id)")
     v3_types = {"variant", "geometry", "geography", "unknown"}
+
+    def type_names(t):
+        # a v3-only type nested in a struct field / list element / map
+        # key-value must be refused by name like a top-level one
+        # (r11 advice #4)
+        if isinstance(t, str):
+            if t.split("(")[0] in v3_types:
+                yield t
+        elif isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                for f in t.get("fields", []):
+                    yield from type_names(f.get("type"))
+            elif kind == "list":
+                yield from type_names(t.get("element"))
+            elif kind == "map":
+                yield from type_names(t.get("key"))
+                yield from type_names(t.get("value"))
+
     for s in meta.get("schemas") or [meta.get("schema", {})]:
         for f in (s or {}).get("fields", []):
-            t = f.get("type")
-            base = t if isinstance(t, str) else ""
-            if base.split("(")[0] in v3_types:
+            for base in type_names(f.get("type")):
                 feats.append(f"column '{f.get('name')}' of type {base}")
     for f in (_current_schema_obj(meta) or {}).get("fields", []):
         if "initial-default" in f or "write-default" in f:

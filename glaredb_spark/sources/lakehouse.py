@@ -22,6 +22,58 @@ from pyspark.sql import DataFrame, SparkSession
 _ICEBERG_CLASS = "org.apache.iceberg.spark.source.IcebergSource"
 _DELTA_CLASS = "org.apache.spark.sql.delta.sources.DeltaDataSource"
 
+# java.time.ZoneId.SHORT_IDS — Spark resolves session timezones with
+# ZoneId.of(id, SHORT_IDS), so these deprecated three-letter aliases are
+# accepted wherever an IANA name is (EST/HST/MST resolve as fixed
+# offsets in the JVM table and as legacy tzdata zones here; both are
+# the same fixed offset)
+_JVM_SHORT_ZONE_IDS = {
+    "ACT": "Australia/Darwin", "AET": "Australia/Sydney",
+    "AGT": "America/Argentina/Buenos_Aires", "ART": "Africa/Cairo",
+    "AST": "America/Anchorage", "BET": "America/Sao_Paulo",
+    "BST": "Asia/Dhaka", "CAT": "Africa/Harare",
+    "CNT": "America/St_Johns", "CST": "America/Chicago",
+    "CTT": "Asia/Shanghai", "EAT": "Africa/Addis_Ababa",
+    "ECT": "Europe/Paris", "IET": "America/Indiana/Indianapolis",
+    "IST": "Asia/Kolkata", "JST": "Asia/Tokyo", "MIT": "Pacific/Apia",
+    "NET": "Asia/Yerevan", "NST": "Pacific/Auckland",
+    "PLT": "Asia/Karachi", "PNT": "America/Phoenix",
+    "PRT": "America/Puerto_Rico", "PST": "America/Los_Angeles",
+    "SST": "Pacific/Guadalcanal", "VST": "Asia/Ho_Chi_Minh",
+    # EST/MST/HST are fixed offsets in the JVM table AND legacy tzdata
+    # zones with the same fixed offset — plain ZoneInfo resolves them
+}
+
+
+def resolve_session_zone(zone: str):
+    """spark.sql.session.timeZone → a datetime tzinfo.
+
+    Spark resolves the session zone via ``ZoneId.of(id,
+    ZoneId.SHORT_IDS)``, so the deprecated three-letter JVM aliases are
+    valid session configs; map them before ZoneInfo (r11 advice #3 —
+    raising on 'PST' turned a working session config into a read
+    failure). Offset-style zones ZoneInfo cannot parse ('+08:00',
+    'GMT+8', 'UTC+08:30') resolve via the regex; anything else raises —
+    silently falling back to UTC would re-shift the instant by the
+    session offset, the very bug this path exists to fix (r11 review
+    #4)."""
+    import datetime
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(_JVM_SHORT_ZONE_IDS.get(zone, zone))
+    except Exception:
+        m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", zone)
+        if not m:
+            raise ValueError(
+                f"cannot render timestampAsOf in session timezone {zone!r}"
+            )
+        sign = 1 if m.group(1) == "+" else -1
+        return datetime.timezone(sign * datetime.timedelta(
+            hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+        ))
+
 
 def _jvm_class_exists(spark: SparkSession, name: str) -> bool:
     try:
@@ -117,29 +169,8 @@ def read_delta(
             # string under a non-UTC session travels to an instant
             # shifted by the session offset (r10 advice #4).
             zone = spark.conf.get("spark.sql.session.timeZone", "UTC")
-            try:
-                from zoneinfo import ZoneInfo
-
-                tz = ZoneInfo(zone)
-            except Exception:
-                # Spark also accepts offset-style zones ZoneInfo cannot
-                # parse ('+08:00', 'GMT+8', 'UTC+08:30'); falling back
-                # to UTC re-shifts the instant by the session offset —
-                # the very bug this block fixes (r11 review #4)
-                m = re.fullmatch(
-                    r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", zone
-                )
-                if not m:
-                    raise ValueError(
-                        f"cannot render timestampAsOf in session "
-                        f"timezone {zone!r}"
-                    )
-                sign = 1 if m.group(1) == "+" else -1
-                tz = datetime.timezone(sign * datetime.timedelta(
-                    hours=int(m.group(2)), minutes=int(m.group(3) or 0)
-                ))
             ts = datetime.datetime.fromtimestamp(
-                parse_as_of_ms(as_of) / 1000.0, tz
+                parse_as_of_ms(as_of) / 1000.0, resolve_session_zone(zone)
             )
             reader = reader.option(
                 "timestampAsOf", ts.strftime("%Y-%m-%d %H:%M:%S.%f")

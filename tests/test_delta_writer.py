@@ -1348,3 +1348,68 @@ def test_defined_validation_features_refused(spark, tmp_path):
     _edit_last_commit(path, add_invariant)
     with pytest.raises(RuntimeError, match="invariant"):
         write_delta_native(df, path)
+
+
+def test_validation_features_allow_row_preserving_maintenance(
+        spark, tmp_path):
+    """CHECK constraints / invariants obligate the writer on NEW rows
+    only — optimize/vacuum/checkpoint/delete rewrite or remove existing
+    rows unchanged, so they stay allowed on such tables (r11 advice #1);
+    row-adding ops are still refused."""
+    from glaredb_spark.sources.delta_native import (
+        checkpoint_delta_native,
+        delete_delta_native,
+        optimize_delta_native,
+        read_delta_native,
+        update_delta_native,
+        vacuum_delta_native,
+        write_delta_native,
+    )
+
+    path = str(tmp_path / "ck")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_delta_native(df, path)
+
+    def add_constraint(actions):
+        out = []
+        for a in actions:
+            if "metaData" in a:
+                m = dict(a["metaData"])
+                cfg = dict(m.get("configuration") or {})
+                cfg["delta.constraints.idpos"] = "id > 0"
+                m["configuration"] = cfg
+                a = {"metaData": m}
+            out.append(a)
+        return out
+
+    _edit_last_commit(path, add_constraint)
+    optimize_delta_native(spark, path)
+    checkpoint_delta_native(spark, path)
+    vacuum_delta_native(spark, path, retention_hours=0.0)
+    delete_delta_native(spark, path, "id = 2")
+    assert read_delta_native(spark, path).count() == 1
+    with pytest.raises(RuntimeError, match="constraint"):
+        write_delta_native(df, path)
+    with pytest.raises(RuntimeError, match="constraint"):
+        update_delta_native(spark, path, {"v": "'z'"}, "id = 1")
+
+
+def test_min_writer_version_above_7_message(spark, tmp_path):
+    """minWriterVersion > 7 with an empty writerFeatures set must report
+    the version, not interpolate it where a feature list is expected
+    (r11 advice #2)."""
+    from glaredb_spark.sources.delta_native import write_delta_native
+
+    path = str(tmp_path / "v8")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_delta_native(df, path)
+
+    def bump(actions):
+        return [{"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 8,
+            "readerFeatures": [], "writerFeatures": [],
+        }}] + [a for a in actions if "protocol" not in a]
+
+    _edit_last_commit(path, bump)
+    with pytest.raises(RuntimeError, match=r"minWriterVersion 8 > 7"):
+        write_delta_native(df, path)

@@ -1623,6 +1623,45 @@ def test_v3_variant_column_refused_named(spark, sf_dir, tmp_path):
         read_iceberg_native(spark, path)
 
 
+def test_v3_nested_type_refused_named():
+    """A v3-only type hidden inside a struct / list / map element of a
+    smuggled v1/v2 document is refused by feature name, same as a
+    top-level occurrence (r11 advice #4)."""
+    from glaredb_spark.sources.iceberg_native import reject_v3
+
+    def meta_with(field_type):
+        return {
+            "format-version": 2,
+            "current-schema-id": 0,
+            "schemas": [{
+                "schema-id": 0, "type": "struct",
+                "fields": [{"id": 1, "name": "payload",
+                            "required": False, "type": field_type}],
+            }],
+        }
+
+    nests = [
+        {"type": "struct", "fields": [
+            {"id": 2, "name": "inner", "required": False,
+             "type": "variant"}]},
+        {"type": "list", "element-id": 2, "element-required": False,
+         "element": "geometry(srid:4326)"},
+        {"type": "map", "key-id": 2, "value-id": 3, "key": "string",
+         "value-required": False, "value": "variant"},
+        {"type": "struct", "fields": [
+            {"id": 2, "name": "mid", "required": False,
+             "type": {"type": "list", "element-id": 3,
+                      "element-required": False, "element": "variant"}}]},
+    ]
+    for t in nests:
+        with pytest.raises(IcebergError, match="variant|geometry"):
+            reject_v3(meta_with(t), "read")
+    # plain nested v2 types still pass
+    reject_v3(meta_with(
+        {"type": "list", "element-id": 2, "element-required": False,
+         "element": "string"}), "read")
+
+
 def test_v3_deletion_vector_entry_refused_named():
     from glaredb_spark.sources.iceberg_native import (
         _reject_v3_delete_entry,

@@ -43,3 +43,32 @@ def test_iceberg_roundtrip(spark, tmp_path):
     path = str(tmp_path / "iceberg_tbl")
     spark.range(10).write.format("iceberg").save(path)
     assert lakehouse.read_iceberg(spark, path).count() == 10
+
+
+def test_resolve_session_zone_variants():
+    """Session-timezone resolution covers IANA names, JVM three-letter
+    SHORT_IDS aliases (r11 advice #3), legacy fixed-offset tzdata zones,
+    and offset-style strings; unknowns raise rather than silently
+    shifting the instant."""
+    import datetime
+
+    from glaredb_spark.sources.lakehouse import resolve_session_zone
+
+    probe = datetime.datetime(2024, 1, 15, 12, 0, 0,
+                              tzinfo=datetime.timezone.utc)
+
+    def offset(zone):
+        return probe.astimezone(resolve_session_zone(zone)).utcoffset()
+
+    h = datetime.timedelta(hours=1)
+    assert offset("UTC") == 0 * h
+    assert offset("America/Los_Angeles") == -8 * h  # January = PST
+    assert offset("PST") == -8 * h    # JVM alias -> America/Los_Angeles
+    assert offset("JST") == 9 * h     # JVM alias -> Asia/Tokyo
+    assert offset("IST") == datetime.timedelta(hours=5, minutes=30)
+    assert offset("EST") == -5 * h    # legacy tzdata fixed-offset zone
+    assert offset("+08:00") == 8 * h
+    assert offset("GMT+8") == 8 * h
+    assert offset("UTC+08:30") == datetime.timedelta(hours=8, minutes=30)
+    with pytest.raises(ValueError, match="XYZ"):
+        resolve_session_zone("XYZ")
