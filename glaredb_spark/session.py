@@ -56,6 +56,15 @@ _ATTACH_UNITY_RE = re.compile(
     r"\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# ATTACH iceberg_rest DATABASE AS x (endpoint 'http://...'
+# [, token '...']) — Apache Iceberg REST catalog client in
+# sources/iceberg_rest.py (extension surface; the reference is
+# path-addressed only)
+_ATTACH_ICEREST_RE = re.compile(
+    r"^\s*ATTACH\s+ICEBERG_REST\s+DATABASE\s+AS\s+([A-Za-z_]\w*)\s*"
+    r"\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_CATALOGS_RE = re.compile(
     r"^\s*SHOW\s+CATALOGS\s*;?\s*$", re.IGNORECASE
 )
@@ -626,14 +635,40 @@ class GlareSession:
                     f"attached unity catalog {attach_uc.group(1)}"
                 ).alias("status")
             )
+        attach_ir = _ATTACH_ICEREST_RE.match(query)
+        if attach_ir:
+            from pyspark.sql import functions as F
+
+            from glaredb_spark.sources.iceberg_rest import (
+                attach_iceberg_rest,
+            )
+
+            opts = dict(
+                re.findall(r"([A-Za-z_]\w*)\s+'([^']*)'", attach_ir.group(2))
+            )
+            if "endpoint" not in opts:
+                raise ValueError("Missing required option 'endpoint'")
+            attach_iceberg_rest(
+                self.spark, attach_ir.group(1), opts["endpoint"],
+                token=opts.get("token"),
+            )
+            return self.spark.range(1).select(
+                F.lit(
+                    f"attached iceberg rest catalog {attach_ir.group(1)}"
+                ).alias("status")
+            )
         if _SHOW_CATALOGS_RE.match(query):
             from glaredb_spark import catalog as _cat
+            from glaredb_spark.sources.iceberg_rest import (
+                attached_iceberg_rest,
+            )
             from glaredb_spark.sources.unity import attached_unity
 
             names = (
                 ["system", "temp"]
                 + _cat.list_attached(self.spark)
                 + attached_unity(self.spark)
+                + attached_iceberg_rest(self.spark)
             )
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(names)], "catalog_name string"
@@ -646,12 +681,15 @@ class GlareSession:
             from glaredb_spark import catalog as _cat
 
             if detach:
+                from glaredb_spark.sources.iceberg_rest import (
+                    detach_iceberg_rest,
+                )
                 from glaredb_spark.sources.postgres import detach_postgres
                 from glaredb_spark.sources.unity import detach_unity
 
                 if detach_postgres(detach.group(1)) or detach_unity(
                     self.spark, detach.group(1)
-                ):
+                ) or detach_iceberg_rest(self.spark, detach.group(1)):
                     return self.spark.range(1).select(
                         F.lit(f"detached {detach.group(1)}").alias("status")
                     )

@@ -862,6 +862,7 @@ def read_iceberg_native(
     partition_filter: "dict | None" = None,
     value_filter: "dict | None" = None,
     as_of=None,
+    metadata: "dict | None" = None,
 ):
     """Distributed scan of the table's current snapshot, or of a prior
     one named by ``snapshot_id`` (time travel).
@@ -887,7 +888,11 @@ def read_iceberg_native(
     stages with). This is metadata-level pruning Spark cannot do on a
     plain file list; the caller still applies the row predicate (a
     bucket holds many keys)."""
-    m = table_metadata(table_path)
+    # ``metadata`` pins the scan to a caller-supplied metadata document
+    # instead of the version-hint resolution — the REST catalog's
+    # loadTable contract (r12): the catalog, not the filesystem, decides
+    # which metadata version is current
+    m = metadata if metadata is not None else table_metadata(table_path)
     reject_v3(m, "read")
     if snapshot_id is None and as_of is not None:
         # time travel by timestamp (r10): newest snapshot <= AS OF
@@ -1528,6 +1533,7 @@ def _publish_snapshot(
     format_version: int = 1,
     manifest_content: int = 0,
     added_deletes: list[dict] | None = None,
+    commit_fn=None,
 ) -> int:
     """Author and atomically commit one snapshot: a manifest avro for
     ``added``/``existing`` data_file dicts, a manifest list referencing
@@ -1887,6 +1893,16 @@ def _publish_snapshot(
         new_meta["default-sort-order-id"] = prev.get(
             "default-sort-order-id", 0
         )
+    if commit_fn is not None:
+        # catalog-routed commit (r12, Iceberg REST): the caller swaps
+        # the table pointer through its catalog — manifests and the
+        # snapshot doc are already durable in the warehouse; the
+        # filesystem version hint is NOT written (the catalog, not the
+        # hint, names the current metadata). commit_fn raises on
+        # conflict (CommitFailedException) and the staged files become
+        # orphans a later VACUUM removes.
+        commit_fn(new_meta)
+        return snapshot_id
     from glaredb_spark.sources.objectstore import publish_atomic
 
     mpath = os.path.join(mdir, f"v{version}.metadata.json")
@@ -2488,6 +2504,8 @@ def write_iceberg_native(
     partition_by: list[str] | None = None,
     format_version: int = 1,
     summary_extra: "dict | None" = None,
+    base_meta: "dict | None" = None,
+    commit_fn=None,
 ) -> int:
     """Write ``df`` to an Iceberg v1 table at ``table_path`` (creating
     it if absent) without any connector jar — the writer half of this
@@ -2521,9 +2539,14 @@ def write_iceberg_native(
     os.makedirs(mdir, exist_ok=True)
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
 
-    meta = None
-    if _glob.glob(os.path.join(mdir, "*.metadata.json")):
+    # base_meta pins the write's read-set to a catalog-supplied
+    # metadata document (r12, REST catalog): the conflict check then
+    # happens at commit time against the CATALOG's current state, not
+    # against whatever the filesystem hint says
+    meta = base_meta
+    if meta is None and _glob.glob(os.path.join(mdir, "*.metadata.json")):
         meta = table_metadata(table_path)
+    if meta is not None:
         want = [
             (f["name"]) for f in (
                 _current_schema_obj(meta)
@@ -2597,6 +2620,7 @@ def write_iceberg_native(
     return _publish_snapshot(
         table_path, meta, schema_obj, added, [], mode, summary, carry,
         partition_specs=partition_specs, format_version=format_version,
+        commit_fn=commit_fn,
     )
 
 

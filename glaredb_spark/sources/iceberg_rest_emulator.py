@@ -1,0 +1,449 @@
+"""Minimal in-process Iceberg REST catalog server (OpenAPI subset).
+
+A from-scratch test double for the public Apache Iceberg REST Catalog
+OpenAPI, serving real HTTP on a loopback port so the client in
+sources/iceberg_rest.py exercises its actual wire path (the same
+pattern as sources/unity_emulator.py / gcs_emulator.py). Backed by a
+local warehouse directory of native-written Iceberg tables — the
+catalog holds the POINTER (current metadata file) per table; the
+warehouse holds the bytes.
+
+Implements: /v1/config (with a server-chosen ``prefix`` override, so
+clients that skip config resolution break loudly), namespace CRUD +
+listing with %1F multipart separators and page-token pagination, table
+list/load/register/create/drop, HEAD existence, rename, and
+``commitTable`` with real optimistic concurrency — requirements
+(assert-table-uuid, assert-ref-snapshot-id) check under a server-side
+lock against the CURRENT metadata, losers get 409
+CommitFailedException, and the server itself authors the new
+vN.metadata.json (per the REST spec the server, not the client, owns
+metadata publication). Optional static bearer-token auth (401 without).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_SEP = "\x1f"
+
+
+class IcebergRestEmulator:
+    def __init__(self, warehouse: str, prefix: str = "w1",
+                 token: str | None = None, page_size: int = 100) -> None:
+        self.warehouse = warehouse
+        self.prefix = prefix
+        self.token = token
+        self.page_size = page_size
+        # ns tuple -> properties
+        self.namespaces: dict[tuple, dict] = {}
+        # (ns tuple, name) -> current metadata file path
+        self.tables: dict[tuple, str] = {}
+        self._lock = threading.Lock()
+        self._server: ThreadingHTTPServer | None = None
+
+    # --- state helpers (also usable directly from tests) ---
+
+    def add_namespace(self, namespace: str, properties: dict | None = None):
+        self.namespaces[tuple(namespace.split("."))] = properties or {}
+
+    def register(self, namespace: str, name: str, metadata_location: str):
+        if not os.path.exists(metadata_location):
+            raise FileNotFoundError(metadata_location)
+        ns = tuple(namespace.split("."))
+        self.namespaces.setdefault(ns, {})
+        self.tables[(ns, name)] = metadata_location
+
+    def _load_meta(self, key: tuple) -> dict:
+        with open(self.tables[key]) as fh:
+            return json.load(fh)
+
+    def _commit(self, key: tuple, requirements: list, updates: list) -> str:
+        """Apply a CommitTableRequest under the catalog lock; returns
+        the new metadata location. Raises _Conflict on requirement
+        failure."""
+        with self._lock:
+            meta = self._load_meta(key)
+            for r in requirements or []:
+                t = r.get("type")
+                if t == "assert-table-uuid":
+                    if r.get("uuid") != meta.get("table-uuid"):
+                        raise _Conflict(
+                            f"table uuid changed: now "
+                            f"{meta.get('table-uuid')}"
+                        )
+                elif t == "assert-ref-snapshot-id":
+                    if r.get("ref") != "main":
+                        raise _Conflict(f"unknown ref {r.get('ref')!r}")
+                    cur = meta.get("current-snapshot-id")
+                    if cur is not None and int(cur) == -1:
+                        cur = None
+                    want = r.get("snapshot-id")
+                    if (cur is None) != (want is None) or (
+                            cur is not None and int(cur) != int(want)):
+                        raise _Conflict(
+                            f"branch main moved: expected {want}, "
+                            f"now {cur}"
+                        )
+                elif t == "assert-create":
+                    raise _Conflict("table already exists")
+                else:
+                    raise _BadRequest(f"unknown requirement type {t!r}")
+            for u in updates or []:
+                a = u.get("action")
+                if a == "add-snapshot":
+                    snap = u["snapshot"]
+                    meta["snapshots"] = list(
+                        meta.get("snapshots") or []
+                    ) + [snap]
+                    meta["last-updated-ms"] = snap.get("timestamp-ms")
+                    if int(meta.get("format-version", 1) or 1) >= 2:
+                        meta["last-sequence-number"] = max(
+                            int(meta.get("last-sequence-number", 0) or 0),
+                            int(snap.get("sequence-number", 0) or 0),
+                        )
+                elif a == "set-snapshot-ref":
+                    if u.get("ref-name") != "main":
+                        raise _BadRequest(
+                            f"only the main branch is supported, got "
+                            f"{u.get('ref-name')!r}"
+                        )
+                    meta["current-snapshot-id"] = u["snapshot-id"]
+                elif a == "set-properties":
+                    props = dict(meta.get("properties") or {})
+                    props.update(u.get("updates") or {})
+                    meta["properties"] = props
+                elif a == "remove-properties":
+                    props = dict(meta.get("properties") or {})
+                    for k in u.get("removals") or []:
+                        props.pop(k, None)
+                    meta["properties"] = props
+                else:
+                    raise _BadRequest(f"unsupported update action {a!r}")
+            cur_path = self.tables[key]
+            base = os.path.basename(cur_path)
+            mdir = os.path.dirname(cur_path)
+            try:
+                version = int(base.split(".")[0].lstrip("v")) + 1
+            except ValueError:
+                version = len(
+                    [n for n in os.listdir(mdir)
+                     if n.endswith(".metadata.json")]
+                ) + 1
+            new_path = os.path.join(mdir, f"v{version}.metadata.json")
+            # O_EXCL even under the lock: a filesystem-direct committer
+            # racing the catalog collides here instead of clobbering
+            fd = os.open(new_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                json.dump(meta, fh, indent=2)
+            # keep the advisory hint in step so path-addressed readers
+            # of the same warehouse table see catalog commits
+            with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+                fh.write(str(version))
+            self.tables[key] = new_path
+            return new_path
+
+    def _create(self, ns: tuple, name: str, schema: dict,
+                location: str | None) -> str:
+        import time
+        import uuid
+
+        if (ns, name) in self.tables:
+            raise _Conflict(f"table {'.'.join(ns)}.{name} already exists")
+        loc = location or os.path.join(
+            self.warehouse, *ns, name
+        )
+        mdir = os.path.join(loc, "metadata")
+        os.makedirs(mdir, exist_ok=True)
+        os.makedirs(os.path.join(loc, "data"), exist_ok=True)
+        schema = dict(schema)
+        schema.setdefault("schema-id", 0)
+        schema.setdefault("type", "struct")
+        meta = {
+            "format-version": 1,
+            "table-uuid": str(uuid.uuid4()),
+            "location": loc,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": max(
+                (int(f.get("id", 0) or 0)
+                 for f in schema.get("fields", [])), default=0,
+            ),
+            "schema": schema,
+            "schemas": [schema],
+            "current-schema-id": 0,
+            "partition-spec": [],
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "properties": {},
+            "snapshots": [],
+        }
+        path = os.path.join(mdir, "v1.metadata.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh, indent=2)
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+        self.tables[(ns, name)] = path
+        return path
+
+    # --- HTTP plumbing ---
+
+    def start(self, port: int = 0) -> str:
+        emu = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args) -> None:
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if self.command != "HEAD":
+                    self.wfile.write(body)
+
+            def _err(self, code: int, etype: str, msg: str) -> None:
+                self._json(code, {"error": {
+                    "message": msg, "type": etype, "code": code}})
+
+            def _auth_ok(self) -> bool:
+                if emu.token is None:
+                    return True
+                if self.headers.get("Authorization") == \
+                        f"Bearer {emu.token}":
+                    return True
+                self._err(401, "NotAuthorizedException", "bad token")
+                return False
+
+            def _route(self):
+                parsed = urllib.parse.urlsplit(self.path)
+                q = urllib.parse.parse_qs(parsed.query)
+                segs = [urllib.parse.unquote(s)
+                        for s in parsed.path.split("/") if s]
+                if not self._auth_ok():
+                    return
+                body = {}
+                length = int(self.headers.get("Content-Length") or 0)
+                if length:
+                    body = json.loads(self.rfile.read(length))
+                try:
+                    self._dispatch(segs, q, body)
+                except _Conflict as e:
+                    self._err(409, "CommitFailedException", str(e))
+                except _BadRequest as e:
+                    self._err(400, "BadRequestException", str(e))
+                except KeyError as e:
+                    self._err(404, "NoSuchTableException", str(e))
+
+            def _page(self, items: list, q: dict, key: str) -> None:
+                start = int(q.get("pageToken", ["0"])[0] or 0)
+                chunk = items[start:start + emu.page_size]
+                out: dict = {key: chunk}
+                if start + emu.page_size < len(items):
+                    out["next-page-token"] = str(start + emu.page_size)
+                self._json(200, out)
+
+            def _dispatch(self, segs, q, body):
+                m = self.command
+                if segs == ["v1", "config"] and m == "GET":
+                    self._json(200, {"defaults": {},
+                                     "overrides": {"prefix": emu.prefix}})
+                    return
+                if len(segs) < 2 or segs[0] != "v1" \
+                        or segs[1] != emu.prefix:
+                    self._err(404, "NotFoundException",
+                              "/".join(segs) or "/")
+                    return
+                rest = segs[2:]
+                if rest == ["namespaces"]:
+                    if m == "GET":
+                        parent = tuple(
+                            q.get("parent", [""])[0].split(_SEP)
+                        ) if q.get("parent", [""])[0] else ()
+                        names = sorted(
+                            ns for ns in emu.namespaces
+                            if ns[:len(parent)] == parent
+                            and len(ns) == len(parent) + 1
+                        ) if parent else sorted(
+                            ns for ns in emu.namespaces if len(ns) == 1
+                        )
+                        self._page(
+                            [list(n) for n in names], q, "namespaces"
+                        )
+                    elif m == "POST":
+                        ns = tuple(body.get("namespace") or [])
+                        if not ns:
+                            raise _BadRequest("empty namespace")
+                        if ns in emu.namespaces:
+                            self._err(409, "AlreadyExistsException",
+                                      ".".join(ns))
+                            return
+                        emu.namespaces[ns] = body.get("properties") or {}
+                        self._json(200, {
+                            "namespace": list(ns),
+                            "properties": emu.namespaces[ns]})
+                    else:
+                        self._err(405, "MethodNotAllowed", m)
+                    return
+                if len(rest) == 2 and rest[0] == "namespaces":
+                    ns = tuple(rest[1].split(_SEP))
+                    if ns not in emu.namespaces:
+                        self._err(404, "NoSuchNamespaceException",
+                                  ".".join(ns))
+                        return
+                    if m in ("GET", "HEAD"):
+                        self._json(200, {
+                            "namespace": list(ns),
+                            "properties": emu.namespaces[ns]})
+                    elif m == "DELETE":
+                        if any(k[0] == ns for k in emu.tables):
+                            self._err(409, "NamespaceNotEmptyException",
+                                      ".".join(ns))
+                            return
+                        del emu.namespaces[ns]
+                        self._json(204, {})
+                    else:
+                        self._err(405, "MethodNotAllowed", m)
+                    return
+                if len(rest) == 3 and rest[0] == "namespaces" \
+                        and rest[2] == "tables":
+                    ns = tuple(rest[1].split(_SEP))
+                    if ns not in emu.namespaces:
+                        self._err(404, "NoSuchNamespaceException",
+                                  ".".join(ns))
+                        return
+                    if m == "GET":
+                        idents = sorted(
+                            k[1] for k in emu.tables if k[0] == ns
+                        )
+                        self._page(
+                            [{"namespace": list(ns), "name": n}
+                             for n in idents], q, "identifiers",
+                        )
+                    elif m == "POST":
+                        name = body.get("name") or ""
+                        if not name or "schema" not in body:
+                            raise _BadRequest("name and schema required")
+                        path = emu._create(
+                            ns, name, body["schema"],
+                            body.get("location"),
+                        )
+                        self._json(200, {
+                            "metadata-location": path,
+                            "metadata": emu._load_meta((ns, name)),
+                            "config": {}})
+                    else:
+                        self._err(405, "MethodNotAllowed", m)
+                    return
+                if len(rest) == 3 and rest[0] == "namespaces" \
+                        and rest[2] == "register" and m == "POST":
+                    ns = tuple(rest[1].split(_SEP))
+                    if ns not in emu.namespaces:
+                        self._err(404, "NoSuchNamespaceException",
+                                  ".".join(ns))
+                        return
+                    name = body.get("name") or ""
+                    mloc = body.get("metadata-location") or ""
+                    if not name or not mloc:
+                        raise _BadRequest(
+                            "name and metadata-location required"
+                        )
+                    if (ns, name) in emu.tables:
+                        self._err(409, "AlreadyExistsException", name)
+                        return
+                    if not os.path.exists(mloc):
+                        raise _BadRequest(
+                            f"metadata-location does not exist: {mloc}"
+                        )
+                    emu.tables[(ns, name)] = mloc
+                    self._json(200, {
+                        "metadata-location": mloc,
+                        "metadata": emu._load_meta((ns, name)),
+                        "config": {}})
+                    return
+                if len(rest) == 4 and rest[0] == "namespaces" \
+                        and rest[2] == "tables":
+                    key = (tuple(rest[1].split(_SEP)), rest[3])
+                    if key not in emu.tables:
+                        self._err(404, "NoSuchTableException",
+                                  f"{'.'.join(key[0])}.{key[1]}")
+                        return
+                    if m in ("GET", "HEAD"):
+                        self._json(200, {
+                            "metadata-location": emu.tables[key],
+                            "metadata": emu._load_meta(key),
+                            "config": {}})
+                    elif m == "DELETE":
+                        del emu.tables[key]
+                        self._json(204, {})
+                    elif m == "POST":
+                        path = emu._commit(
+                            key, body.get("requirements") or [],
+                            body.get("updates") or [],
+                        )
+                        self._json(200, {
+                            "metadata-location": path,
+                            "metadata": emu._load_meta(key)})
+                    else:
+                        self._err(405, "MethodNotAllowed", m)
+                    return
+                if rest == ["tables", "rename"] and m == "POST":
+                    src = body.get("source") or {}
+                    dst = body.get("destination") or {}
+                    skey = (tuple(src.get("namespace") or []),
+                            src.get("name"))
+                    dkey = (tuple(dst.get("namespace") or []),
+                            dst.get("name"))
+                    if skey not in emu.tables:
+                        self._err(404, "NoSuchTableException",
+                                  str(src.get("name")))
+                        return
+                    if dkey in emu.tables:
+                        self._err(409, "AlreadyExistsException",
+                                  str(dst.get("name")))
+                        return
+                    if dkey[0] not in emu.namespaces:
+                        self._err(404, "NoSuchNamespaceException",
+                                  ".".join(dkey[0]))
+                        return
+                    emu.tables[dkey] = emu.tables.pop(skey)
+                    self._json(204, {})
+                    return
+                self._err(404, "NotFoundException", "/".join(segs))
+
+            def do_GET(self):     # noqa: N802 — http.server API
+                self._route()
+
+            def do_POST(self):    # noqa: N802
+                self._route()
+
+            def do_DELETE(self):  # noqa: N802
+                self._route()
+
+            def do_HEAD(self):    # noqa: N802
+                self._route()
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        ).start()
+        host, bound = self._server.server_address[:2]
+        return f"http://{host}:{bound}"
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server = None
+
+
+class _Conflict(Exception):
+    pass
+
+
+class _BadRequest(Exception):
+    pass
