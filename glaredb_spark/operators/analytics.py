@@ -1876,6 +1876,67 @@ def iceberg_rest_catalog(spark, sf_dir):
 
 
 @register_query(
+    "incremental_mv_maintenance",
+    oracle="""
+WITH final AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE doc_id < 80 AND doc_id % 10 <> 3 AND lang <> 'de'
+)
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total,
+       COUNT(*) AS n_rows
+FROM final GROUP BY lang ORDER BY lang
+""",
+)
+def incremental_mv_maintenance(spark, sf_dir):
+    """r12 composition row: upstream Delta table (CDF on) → THREE DML
+    rounds (append, predicate delete, whole-group delete) → the
+    delta_changes STREAM drives an incrementally-maintained aggregate
+    MV (per-batch delta MERGE, exactly-once txn markers, groups retired
+    atomically when their count hits zero) — and the MV must equal the
+    from-scratch GROUP BY of the final upstream state. Proves the
+    entire incremental-pipeline story (changelog source → arithmetic
+    MERGE sink) end to end against an algebraic oracle."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        read_delta_native,
+        write_delta_native,
+    )
+    from glaredb_spark.streaming.incremental import stream_maintain_delta
+    from glaredb_spark.streaming.source import register_stream_sources
+
+    register_stream_sources(spark)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_mv_")
+    up, mv, ck = (f"{root}/up", f"{root}/mv", f"{root}/ck")
+    write_delta_native(
+        docs.filter("doc_id < 60").coalesce(2), up, enable_cdf=True
+    )
+    write_delta_native(
+        docs.filter("doc_id >= 60 AND doc_id < 80").coalesce(1), up,
+        mode="append",
+    )
+    delete_delta_native(spark, up, "doc_id % 10 = 3")
+    delete_delta_native(spark, up, "lang = 'de'")
+
+    def _drain():
+        q = stream_maintain_delta(
+            spark.readStream.format("delta_changes")
+            .option("path", up).load(),
+            mv, ck, "mv_row", ["lang"], {"total": "n_chars"},
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    _drain()
+    return read_delta_native(spark, mv).select(
+        "lang", F.col("total").cast("long").alias("total"), "n_rows"
+    ).orderBy("lang")
+
+
+@register_query(
     "iceberg_evolution_lifecycle",
     oracle="""
 WITH ab AS (SELECT doc_id, lang AS language, n_chars FROM documents

@@ -2296,12 +2296,25 @@ def merge_delta_native(
     when_matched_update: dict[str, str] | None = None,
     when_not_matched_insert: bool = True,
     txn: "tuple[str, int] | None" = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_condition: str | None = None,
 ) -> tuple[int, int, int]:
     """MERGE (upsert) into a native Delta table: target rows whose key
     matches a source row get ``when_matched_update`` applied (SQL
     expressions over ``t.<col>`` / ``s.<col>``; default: replace every
     column with the source's), unmatched source rows are inserted.
-    Returns (updated_rows, inserted_rows, files_rewritten).
+    ``when_matched_delete`` (r12) is a SQL predicate over ``t.``/``s.``
+    columns: matched rows it selects are DELETED in the same commit
+    instead of updated (delta-spark's WHEN MATCHED AND <cond> THEN
+    DELETE clause, evaluated before the update branch) — the primitive
+    an incremental aggregate maintainer needs to retire groups whose
+    count reaches zero atomically. ``when_not_matched_condition`` (r12)
+    is a SQL predicate over the SOURCE columns gating inserts
+    (delta-spark's WHEN NOT MATCHED AND <cond> THEN INSERT): unmatched
+    source rows failing it are dropped — e.g. a group created and fully
+    deleted within one changelog batch must not materialize.
+    Returns (updated_rows, inserted_rows, files_rewritten);
+    ``updated_rows`` counts matched rows whether updated or deleted.
 
     Copy-on-write like UPDATE/DELETE: only target files containing a key
     match are rewritten; inserts land as new files in the same commit.
@@ -2348,7 +2361,7 @@ def merge_delta_native(
             spark, path, all_pairs, data_schema, types, part_cols,
             with_file_path=True, state=state,
         )
-        if not when_matched_update:
+        if not when_matched_update and not when_matched_delete:
             # insert-only merge: matched rows keep their values, so the
             # matched-file probe (a full target-vs-source join) is
             # skipped entirely
@@ -2375,7 +2388,11 @@ def merge_delta_native(
             if os.path.realpath(_resolve(p)) in touched_full
         ]
         if when_not_matched_insert:
-            inserts = source.alias("s").join(
+            src_ins = (
+                src.filter(F.expr(when_not_matched_condition))
+                if when_not_matched_condition else src
+            )
+            inserts = src_ins.alias("s").join(
                 _read_active(
                     spark, path, all_pairs, data_schema, types, part_cols,
                     state=state,
@@ -2406,6 +2423,13 @@ def merge_delta_native(
             ).alias("t")
             joined = t.join(src.alias("s"), on, "left")
             matched = F.col(f"s.{on[0]}").isNotNull() if on else F.lit(False)
+            # matched rows the delete predicate selects drop out of the
+            # rewrite entirely (delete branch wins over update, the SQL
+            # MERGE clause-order contract when DELETE is listed first)
+            drop = (
+                matched & F.expr(when_matched_delete)
+                if when_matched_delete else F.lit(False)
+            )
             out_cols = []
             for c in cols:
                 if c in on:
@@ -2419,9 +2443,9 @@ def merge_delta_native(
                     )
                 else:
                     out_cols.append(F.col(f"t.{c}").alias(c))
-            pieces.append(joined.select(*out_cols))
+            pieces.append(joined.filter(~drop).select(*out_cols))
             if _cdf_enabled(state):
-                m = joined.filter(matched)
+                m = joined.filter(matched & ~drop)
                 pre = m.select(
                     *[F.col(f"t.{c}").alias(c) for c in cols]
                 ).withColumn("_change_type", F.lit("update_preimage"))
@@ -2429,6 +2453,12 @@ def merge_delta_native(
                     "_change_type", F.lit("update_postimage")
                 )
                 cdc_pieces.extend([pre, post])
+                if when_matched_delete:
+                    cdc_pieces.append(
+                        joined.filter(drop).select(
+                            *[F.col(f"t.{c}").alias(c) for c in cols]
+                        ).withColumn("_change_type", F.lit("delete"))
+                    )
         out = pieces[0]
         for df in pieces[1:]:
             out = out.unionByName(df)

@@ -2780,6 +2780,7 @@ def equality_delete_iceberg_native(
 def upsert_iceberg_native(
     spark, table_path: str, df, on: list[str],
     summary_extra: "dict | None" = None,
+    delete_keys=None,
 ) -> int:
     """CDC upsert in ONE snapshot: an equality-delete file over the
     batch's ``on`` key values plus the batch's data files, published
@@ -2788,6 +2789,10 @@ def upsert_iceberg_native(
     own rows (same sequence number) survive while any prior row with a
     matching key dies — no table scan, no join; cost is O(|batch|)
     regardless of table size (the streaming upsert sink's engine).
+    ``delete_keys`` (r12) is an optional DataFrame of ``on``-column key
+    values that die WITHOUT replacement — their keys join the equality
+    delete file but contribute no data rows (the retire-a-group half of
+    incremental aggregate maintenance, atomic with the upsert).
     Creates the table (format-version 2) when absent. Returns the
     snapshot id."""
     table_path = os.path.abspath(table_path)
@@ -2803,10 +2808,17 @@ def upsert_iceberg_native(
             "upsert batch has multiple rows for key "
             f"{tuple(dup[0][k] for k in on)!r}; dedupe the batch first"
         )
+    if delete_keys is not None and \
+            sorted(delete_keys.columns) != sorted(on):
+        raise IcebergError(
+            f"delete_keys columns {sorted(delete_keys.columns)} != "
+            f"upsert keys {sorted(on)}"
+        )
     mdir = os.path.join(table_path, "metadata")
     if not _glob.glob(os.path.join(mdir, "*.metadata.json")):
         # creating commit carries the same summary markers (the
-        # streaming sink's idempotence handle must cover batch 0 too)
+        # streaming sink's idempotence handle must cover batch 0 too;
+        # delete_keys have nothing to kill on a fresh table)
         return write_iceberg_native(
             df, table_path, format_version=2, summary_extra=summary_extra
         )
@@ -2847,10 +2859,14 @@ def upsert_iceberg_native(
             )
             if int(d["record_count"]) > 0  # empty batches add nothing
         ]
-        keys = df.select(*on).distinct().coalesce(1)
+        keys = df.select(*on).distinct()
+        if delete_keys is not None:
+            keys = keys.unionByName(
+                delete_keys.select(*on)
+            ).distinct()
         del_adds = [
             d for d in _stage_data_files(
-                keys, table_path, schema_obj=schema_obj
+                keys.coalesce(1), table_path, schema_obj=schema_obj
             )
             if int(d["record_count"]) > 0
         ]

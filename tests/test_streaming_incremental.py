@@ -1,0 +1,255 @@
+"""Incremental materialized-aggregate maintenance from changelog streams
+(streaming/incremental.py): the end-to-end composition — upstream DML →
+changes stream → exactly-once per-batch delta MERGE into a derived
+aggregate table — proven equal to a from-scratch recompute after every
+round of DML, on BOTH lakehouse formats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from glaredb_spark.streaming.incremental import (
+    changelog_deltas,
+    delta_mv_writer,
+    iceberg_mv_writer,
+    stream_maintain_delta,
+    stream_maintain_iceberg,
+)
+from glaredb_spark.streaming.source import register_stream_sources
+
+GROUP = ["g"]
+SUMS = {"total": "v"}
+
+
+def _expected(upstream_df):
+    return sorted(
+        (r["g"], r["total"], r["n_rows"])
+        for r in upstream_df.groupBy("g")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+
+
+def _mv_rows(df):
+    return sorted(
+        (r["g"], r["total"], r["n_rows"]) for r in df.collect()
+    )
+
+
+def test_changelog_deltas_weights(spark):
+    ch = spark.createDataFrame(
+        [
+            ("a", 10, "insert"),
+            ("a", 3, "delete"),
+            ("a", 3, "insert"),
+            ("b", 7, "update_preimage"),
+            ("b", 9, "update_postimage"),
+        ],
+        "g string, v long, _change_type string",
+    )
+    got = sorted(
+        (r["g"], r["total"], r["n_rows"])
+        for r in changelog_deltas(ch, GROUP, SUMS).drop("_bad").collect()
+    )
+    assert got == [("a", 10, 1), ("b", 2, 0)]
+
+
+def test_unknown_change_type_fails(spark, tmp_path):
+    ch = spark.createDataFrame(
+        [("a", 1, "mystery")], "g string, v long, _change_type string"
+    )
+    w = delta_mv_writer(str(tmp_path / "mv"), "app", GROUP, SUMS)
+    with pytest.raises(ValueError, match="unknown _change_type"):
+        w(ch, 0)
+
+
+def _run_stream_delta(spark, upstream, mv, ck):
+    q = stream_maintain_delta(
+        spark.readStream.format("delta_changes")
+        .option("path", upstream).load(),
+        mv, ck, "mv_app", GROUP, SUMS,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+
+def test_delta_mv_end_to_end(spark, tmp_path):
+    """Upstream Delta table with CDF → delta_changes stream →
+    incrementally maintained aggregate == batch recompute after
+    inserts, updates, deletes, and a whole-group retirement."""
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        read_delta_native,
+        update_delta_native,
+        write_delta_native,
+    )
+
+    register_stream_sources(spark)
+    up = str(tmp_path / "up")
+    mv = str(tmp_path / "mv")
+    ck = str(tmp_path / "ck")
+    rows = [(i, "g%d" % (i % 3), i * 10) for i in range(12)]
+    write_delta_native(
+        spark.createDataFrame(rows, "id long, g string, v long"),
+        up, enable_cdf=True,
+    )
+    _run_stream_delta(spark, up, mv, ck)
+    assert _mv_rows(read_delta_native(spark, mv)) == _expected(
+        read_delta_native(spark, up).select("g", "v")
+    )
+
+    # round 2: DML upstream, resume the SAME checkpoint
+    update_delta_native(spark, up, {"v": "v + 1000"}, "id < 4")
+    delete_delta_native(spark, up, "id = 7")
+    write_delta_native(
+        spark.createDataFrame([(100, "g0", 5)],
+                              "id long, g string, v long"),
+        up, mode="append",
+    )
+    _run_stream_delta(spark, up, mv, ck)
+    assert _mv_rows(read_delta_native(spark, mv)) == _expected(
+        read_delta_native(spark, up).select("g", "v")
+    )
+
+    # round 3: retire group g1 entirely — its MV row must VANISH
+    delete_delta_native(spark, up, "g = 'g1'")
+    _run_stream_delta(spark, up, mv, ck)
+    got = _mv_rows(read_delta_native(spark, mv))
+    assert got == _expected(read_delta_native(spark, up).select("g", "v"))
+    assert all(g != "g1" for g, _t, _n in got)
+
+
+def test_same_batch_create_and_delete_no_phantom(spark, tmp_path):
+    """A group born and fully deleted within ONE batch nets to count 0
+    and must not materialize in the MV, on either format."""
+    from glaredb_spark.sources.delta_native import read_delta_native
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    ch0 = spark.createDataFrame(
+        [("a", 5, "insert")], "g string, v long, _change_type string"
+    )
+    ch1 = spark.createDataFrame(
+        [("z", 9, "insert"), ("z", 9, "delete"), ("a", 1, "insert")],
+        "g string, v long, _change_type string",
+    )
+    dmv = str(tmp_path / "dmv")
+    w = delta_mv_writer(dmv, "app", GROUP, SUMS)
+    w(ch0, 0)
+    w(ch1, 1)
+    assert _mv_rows(read_delta_native(spark, dmv)) == [("a", 6, 2)]
+
+    imv = str(tmp_path / "imv")
+    wi = iceberg_mv_writer(imv, "app", GROUP, SUMS)
+    wi(ch0, 0)
+    wi(ch1, 1)
+    assert _mv_rows(read_iceberg_native(spark, imv)) == [("a", 6, 2)]
+
+
+def test_delta_mv_replay_idempotent(spark, tmp_path):
+    """A checkpoint-replayed batch must not double-apply (txn marker)."""
+    from glaredb_spark.sources.delta_native import (
+        read_delta_native,
+        write_delta_native,
+    )
+
+    up_rows = spark.createDataFrame(
+        [("a", 5, "insert"), ("b", 6, "insert")],
+        "g string, v long, _change_type string",
+    )
+    mv = str(tmp_path / "mv")
+    w = delta_mv_writer(mv, "app", GROUP, SUMS)
+    w(up_rows, 0)
+    w(up_rows, 0)  # replay
+    assert _mv_rows(read_delta_native(spark, mv)) == [
+        ("a", 5, 1), ("b", 6, 1)
+    ]
+
+
+def _run_stream_iceberg(spark, upstream, mv, ck):
+    q = stream_maintain_iceberg(
+        spark.readStream.format("iceberg_changes")
+        .option("path", upstream).load(),
+        mv, ck, "mv_app", GROUP, SUMS,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+
+def test_iceberg_mv_end_to_end(spark, tmp_path):
+    """Upstream Iceberg v2 MoR DML → iceberg_changes stream →
+    incrementally maintained aggregate == batch recompute, including a
+    group retirement via equality delete."""
+    from glaredb_spark.sources.iceberg_native import (
+        equality_delete_iceberg_native,
+        read_iceberg_native,
+        upsert_iceberg_native,
+        write_iceberg_native,
+    )
+
+    register_stream_sources(spark)
+    up = str(tmp_path / "up")
+    mv = str(tmp_path / "mv")
+    ck = str(tmp_path / "ck")
+    rows = [(i, "g%d" % (i % 3), i * 10) for i in range(12)]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, g string, v long")
+        .coalesce(1),
+        up, format_version=2,
+    )
+    _run_stream_iceberg(spark, up, mv, ck)
+    assert _mv_rows(read_iceberg_native(spark, mv)) == _expected(
+        read_iceberg_native(spark, up).select("g", "v")
+    )
+
+    # round 2: MoR upsert (update id=2, insert id=200) + eq delete id=7
+    upsert_iceberg_native(
+        spark, up,
+        spark.createDataFrame(
+            [(2, "g2", 9999), (200, "g0", 5)],
+            "id long, g string, v long",
+        ),
+        on=["id"],
+    )
+    equality_delete_iceberg_native(
+        spark, up, spark.createDataFrame([(7,)], "id long")
+    )
+    _run_stream_iceberg(spark, up, mv, ck)
+    assert _mv_rows(read_iceberg_native(spark, mv)) == _expected(
+        read_iceberg_native(spark, up).select("g", "v")
+    )
+
+    # round 3: retire g1 entirely
+    g1_ids = [
+        (r["id"],) for r in read_iceberg_native(spark, up)
+        .filter("g = 'g1'").select("id").collect()
+    ]
+    equality_delete_iceberg_native(
+        spark, up, spark.createDataFrame(g1_ids, "id long")
+    )
+    _run_stream_iceberg(spark, up, mv, ck)
+    got = _mv_rows(read_iceberg_native(spark, mv))
+    assert got == _expected(
+        read_iceberg_native(spark, up).select("g", "v")
+    )
+    assert all(g != "g1" for g, _t, _n in got)
+
+
+def test_iceberg_mv_replay_idempotent(spark, tmp_path):
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    ch = spark.createDataFrame(
+        [("a", 5, "insert"), ("b", 6, "insert")],
+        "g string, v long, _change_type string",
+    )
+    mv = str(tmp_path / "mv")
+    w = iceberg_mv_writer(mv, "app", GROUP, SUMS)
+    w(ch, 0)
+    w(ch, 0)  # replay
+    assert _mv_rows(read_iceberg_native(spark, mv)) == [
+        ("a", 5, 1), ("b", 6, 1)
+    ]
+
+
+def test_min_max_refused_by_docs():
+    """MIN/MAX are not retractable — the module documents the refusal;
+    this is a doc-contract probe, not a runtime path."""
+    import glaredb_spark.streaming.incremental as inc
+
+    assert "MIN/MAX are not retractable" in inc.__doc__
