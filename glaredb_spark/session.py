@@ -813,13 +813,19 @@ class GlareSession:
                 # retention semantics over the snapshot chain
                 from glaredb_spark.sources.iceberg_native import (
                     expire_snapshots_iceberg_native as _vac,
+                    remove_orphans_iceberg_native as _orph,
                 )
 
+                hours = float(m.group(2)) if m.group(2) else 168.0
                 deleted = _vac(
-                    m.group(1),
-                    retention_hours=(
-                        float(m.group(2)) if m.group(2) else 168.0
-                    ),
+                    m.group(1), retention_hours=hours,
+                    dry_run=bool(m.group(3)),
+                )
+                # same retention gates the orphan sweep (files staged
+                # by losing/dead committers that NO snapshot references
+                # — expiration alone never touches them; r12)
+                deleted = deleted + _orph(
+                    m.group(1), older_than_hours=hours,
                     dry_run=bool(m.group(3)),
                 )
             else:

@@ -3732,6 +3732,82 @@ def _expire_snapshots_once(
     return doomed
 
 
+def remove_orphans_iceberg_native(
+    table_path: str, older_than_hours: float = 24.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete files under the table directory referenced by NO snapshot
+    (Iceberg's removeOrphanFiles; the cleanup half the optimistic-commit
+    story needs — a committer that loses the catalog race, r12
+    iceberg_rest.append_table, or dies mid-write leaves staged parquet/
+    manifest/manifest-list files no snapshot ever references, and
+    neither snapshot expiration nor any read will ever touch them).
+
+    The referenced set is every retained snapshot's manifest list, its
+    manifests, and every entry's data/delete file — DELETED-status
+    entries included (their files remain part of history until
+    expiration drops the snapshots that saw them). All
+    ``*.metadata.json`` documents and the version hint are protected
+    unconditionally. Candidates must be older than
+    ``older_than_hours`` (default 24h, the same in-flight-commit guard
+    Iceberg's own action ships): a racing commit only ADDS files, and
+    young files are protected, so no publish/retry dance is needed.
+
+    Scale: one directory walk + driver-side manifest reads (KB each);
+    cost follows file count, never table bytes. At object-store scale
+    the walk is the LIST cost every orphan scan pays. Returns deleted
+    (or would-delete, under ``dry_run``) absolute paths."""
+    import time
+
+    table_path = os.path.abspath(table_path)
+    meta = table_metadata(table_path)
+    referenced: set[str] = set()
+    for s in meta.get("snapshots", []):
+        mlp = s.get("manifest-list")
+        if not mlp:
+            continue
+        mlp = _resolve(mlp, meta, table_path)
+        referenced.add(os.path.realpath(mlp))
+        try:
+            recs, _ = read_avro(mlp)
+        except (OSError, ValueError):
+            continue
+        for r in recs:
+            mp = _resolve(r["manifest_path"], meta, table_path)
+            referenced.add(os.path.realpath(mp))
+            try:
+                ents, _ = read_avro(mp)
+            except (OSError, ValueError):
+                continue
+            for e in ents:
+                referenced.add(os.path.realpath(_resolve(
+                    e["data_file"]["file_path"], meta, table_path
+                )))
+    cutoff = time.time() - older_than_hours * 3600.0
+    victims: list[str] = []
+    for root, _dirs, files in os.walk(table_path):
+        for n in files:
+            if n.endswith(".metadata.json") or n == "version-hint.text":
+                continue
+            full = os.path.join(root, n)
+            if os.path.realpath(full) in referenced:
+                continue
+            try:
+                if os.stat(full).st_mtime > cutoff:
+                    continue
+            except OSError:
+                continue
+            victims.append(full)
+    victims.sort()
+    if not dry_run:
+        for p in victims:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    return victims
+
+
 def optimize_iceberg_native(
     spark, table_path: str, max_files_per_group: int = 128,
     zorder_by: "list[str] | None" = None,

@@ -199,12 +199,13 @@ class IcebergRestEmulator:
                 pass
 
             def _json(self, code: int, payload: dict) -> None:
-                body = json.dumps(payload).encode()
+                # 204 must not carry a body (RFC 9110)
+                body = b"" if code == 204 else json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
-                if self.command != "HEAD":
+                if self.command != "HEAD" and body:
                     self.wfile.write(body)
 
             def _err(self, code: int, etype: str, msg: str) -> None:

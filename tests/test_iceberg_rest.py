@@ -333,3 +333,57 @@ def test_commit_preserves_metadata_fidelity(spark, catalog, tmp_path):
     got = rest.read_table(spark, endpoint, "analytics", "docs")
     assert got.count() == 6
     assert "note" in got.columns
+
+
+def test_orphan_cleanup_after_lost_commit(spark, catalog, tmp_path):
+    """A committer that loses the catalog race leaves staged files no
+    snapshot references; remove_orphans_iceberg_native deletes exactly
+    those — referenced files and metadata documents survive, young
+    files survive the grace period, and the table reads unchanged."""
+    import os
+    import time
+
+    from glaredb_spark.sources.iceberg_native import (
+        remove_orphans_iceberg_native,
+    )
+
+    emu, endpoint = catalog
+    loc = _mk_table(spark, emu, tmp_path, rows=10)
+
+    # simulate a lost commit: stage an append whose commit hook raises
+    def losing_commit(_new_meta):
+        raise CommitConflict("simulated lost race")
+
+    with pytest.raises(CommitConflict):
+        write_iceberg_native(
+            spark.range(100, 105).selectExpr("id", "id * 2 AS v"),
+            loc, mode="append",
+            base_meta=rest.load_table(
+                endpoint, "analytics", "docs")["metadata"],
+            commit_fn=losing_commit,
+        )
+    # young orphans are protected by the grace period...
+    assert remove_orphans_iceberg_native(loc) == []
+    orphans = remove_orphans_iceberg_native(
+        loc, older_than_hours=0.0, dry_run=True
+    )
+    assert orphans, "staged files of the lost commit must be orphaned"
+    # age them artificially and sweep for real
+    old = time.time() - 48 * 3600
+    for p in orphans:
+        os.utime(p, (old, old))
+    swept = remove_orphans_iceberg_native(loc, older_than_hours=24.0)
+    assert sorted(swept) == sorted(orphans)
+    # table intact, metadata intact, a following catalog append works
+    assert rest.read_table(
+        spark, endpoint, "analytics", "docs").count() == 10
+    rest.append_table(
+        spark, endpoint, "analytics", "docs",
+        spark.range(100, 105).selectExpr("id", "id * 2 AS v"),
+    )
+    assert rest.read_table(
+        spark, endpoint, "analytics", "docs").count() == 15
+    # nothing left to sweep: every surviving file is referenced
+    assert remove_orphans_iceberg_native(
+        loc, older_than_hours=0.0, dry_run=True
+    ) == []
