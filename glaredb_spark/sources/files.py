@@ -635,17 +635,28 @@ def with_filename(
             path.startswith(base), F.substring(path, len(base) + 1, 2**31 - 1)
         ).otherwise(path)
     # files localized from S3 display their virtual-hosted https URL, the
-    # reference's _filename form for object-store scans (slt/s3/public)
+    # reference's _filename form for object-store scans (slt/s3/public).
+    # ONE flat first-match-wins CASE over the pairs — the pre-r12 form
+    # nested the accumulated expression inside each new when/otherwise,
+    # tripling expression size per registered bucket (3^n nodes): after
+    # the s3+gcs suites register dozens of pairs, Catalyst
+    # canonicalization of that tree is effectively unbounded (the r11
+    # full-suite crash — 25-minute analysis stall at
+    # test_read_csv_and_text). A path rewritten to an https URL can
+    # never match another local prefix, so first-match-wins over the
+    # BASE expression is semantically identical and linear-sized.
     from glaredb_spark.sources.objectstore import canonical_url_pairs
 
+    case = None
     for local_prefix, url_prefix in canonical_url_pairs():
-        path = F.when(
-            path.startswith(local_prefix),
-            F.concat(
-                F.lit(url_prefix),
-                F.substring(path, len(local_prefix) + 1, 2**31 - 1),
-            ),
-        ).otherwise(path)
+        cond = path.startswith(local_prefix)
+        repl = F.concat(
+            F.lit(url_prefix),
+            F.substring(path, len(local_prefix) + 1, 2**31 - 1),
+        )
+        case = F.when(cond, repl) if case is None else case.when(cond, repl)
+    if case is not None:
+        path = case.otherwise(path)
     return df.withColumn(col, path)
 
 
