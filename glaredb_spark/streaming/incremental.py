@@ -11,6 +11,11 @@ recompute of the upstream table.
 Retractable aggregates only: SUM and COUNT (AVG = maintained sum /
 maintained count at read time). MIN/MAX are not retractable from a
 changelog without re-scanning the group and are refused by name.
+NULL semantics: contributions that are NULL in a summed column are
+ignored (SQL SUM), and the maintained total coalesces to 0 on both
+sides of the arithmetic merge — so a group whose LIVE rows are all
+NULL in a summed column maintains 0 where a from-scratch SQL SUM
+yields NULL (the one documented divergence; counts are exact).
 
 How a batch applies (classic delta-propagation):
   weight  = +1 for insert / update_postimage, -1 for delete /
@@ -111,8 +116,15 @@ def delta_mv_writer(path: str, app_id: str, group_by: list[str],
             return
         merge_delta_native(
             batch_df.sparkSession, path, deltas, group_by,
+            # coalesce both sides: a batch whose contributions to a sum
+            # column are all NULL has a NULL delta, and NULL + x would
+            # poison the maintained total forever. Documented
+            # divergence from a recompute: a group whose live rows are
+            # ALL NULL in a summed column maintains 0, where SQL SUM
+            # yields NULL.
             when_matched_update={
-                c: f"t.{c} + s.{c}" for c in (*sums, count_col)
+                c: f"coalesce(t.{c}, 0) + coalesce(s.{c}, 0)"
+                for c in (*sums, count_col)
             },
             when_matched_delete=f"t.{count_col} + s.{count_col} = 0",
             # a group born and fully deleted inside one batch nets to
@@ -172,11 +184,13 @@ def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
             cur = read_iceberg_native(spark, path).select(
                 *group_by, *vals
             ).join(F.broadcast(renamed), group_by, "right")
+            # coalesce BOTH sides (same NULL-poisoning guard and
+            # documented all-NULL-group divergence as the Delta writer)
             merged = cur.select(
                 *group_by,
                 *[
                     (F.coalesce(F.col(c), F.lit(0))
-                     + F.col(f"_d_{c}")).alias(c)
+                     + F.coalesce(F.col(f"_d_{c}"), F.lit(0))).alias(c)
                     for c in vals
                 ],
             ).persist()

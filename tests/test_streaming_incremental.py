@@ -253,3 +253,31 @@ def test_min_max_refused_by_docs():
     import glaredb_spark.streaming.incremental as inc
 
     assert "MIN/MAX are not retractable" in inc.__doc__
+
+
+def test_null_contributions_do_not_poison(spark, tmp_path):
+    """A batch whose contributions to a summed column are all NULL has
+    a NULL delta; the arithmetic merge must coalesce, not propagate the
+    NULL into the maintained total, on both formats."""
+    from glaredb_spark.sources.delta_native import read_delta_native
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    ch0 = spark.createDataFrame(
+        [("a", 5, "insert")], "g string, v long, _change_type string"
+    )
+    ch1 = spark.createDataFrame(
+        [("a", None, "insert")], "g string, v long, _change_type string"
+    )
+    ch2 = spark.createDataFrame(
+        [("a", 7, "insert")], "g string, v long, _change_type string"
+    )
+    for fmt, writer, reader in (
+        ("delta", delta_mv_writer, read_delta_native),
+        ("iceberg", iceberg_mv_writer, read_iceberg_native),
+    ):
+        mv = str(tmp_path / f"mv_{fmt}")
+        w = writer(mv, "app", GROUP, SUMS)
+        w(ch0, 0)
+        w(ch1, 1)  # NULL delta for the sum column, count +1
+        w(ch2, 2)
+        assert _mv_rows(reader(spark, mv)) == [("a", 12, 3)], fmt
