@@ -575,23 +575,30 @@ def _handle_icerest(spark: SparkSession, m: re.Match) -> str:
     listing = (m.group(1) or "").lower()
     reading = (m.group(2) or "").lower()
     endpoint, second = m.group(3), m.group(4)
+    token = None
+    if not endpoint.lower().startswith(("http://", "https://")):
+        # first argument may be an ATTACHed catalog alias instead of a
+        # raw endpoint: iceberg.rest_scan('ic', 'ns.table')
+        endpoint, token = _ir.resolve_attached(spark, endpoint)
     if reading:
         if not second or "." not in second:
             raise ValueError(
                 "iceberg.rest_scan takes (endpoint, 'namespace.table')"
             )
         ns, _, table = second.rpartition(".")
-        df = _ir.read_table(spark, endpoint, ns, table)
+        df = _ir.read_table(spark, endpoint, ns, table, token=token)
         name = "iceberg.rest_scan"
     elif listing == "namespaces":
-        df = _ir.list_namespaces(spark, endpoint, parent=second or "")
+        df = _ir.list_namespaces(
+            spark, endpoint, parent=second or "", token=token
+        )
         name = "iceberg_rest_list_namespaces"
     else:
         if not second:
             raise ValueError(
                 "iceberg_rest_list_tables takes (endpoint, namespace)"
             )
-        df = _ir.list_tables(spark, endpoint, second)
+        df = _ir.list_tables(spark, endpoint, second, token=token)
         name = "iceberg_rest_list_tables"
     view = _view_name(name, f"{endpoint},{second or ''}")
     df.createOrReplaceTempView(view)

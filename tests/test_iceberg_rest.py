@@ -387,3 +387,35 @@ def test_orphan_cleanup_after_lost_commit(spark, catalog, tmp_path):
     assert remove_orphans_iceberg_native(
         loc, older_than_hours=0.0, dry_run=True
     ) == []
+
+
+def test_attached_alias_in_tvfs(spark, catalog, tmp_path):
+    """The first TVF argument may be an ATTACHed alias instead of a raw
+    endpoint — the attach surface is usable, not just listable."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path)
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS ic2 (endpoint '{endpoint}')"
+    ).collect()
+    try:
+        n = sess.sql(
+            "SELECT count(*) AS n FROM iceberg.rest_scan('ic2', "
+            "'analytics.docs')"
+        ).collect()[0].n
+        assert n == 20
+        rows = sess.sql(
+            "SELECT * FROM iceberg_rest_list_tables('ic2', 'analytics')"
+        ).collect()
+        assert [(r.namespace, r.name) for r in rows] == [
+            ("analytics", "docs")
+        ]
+        with pytest.raises(Exception, match="no attached"):
+            sess.sql(
+                "SELECT * FROM iceberg_rest_list_namespaces('ghost')"
+            ).collect()
+    finally:
+        detach_iceberg_rest(spark, "ic2")
