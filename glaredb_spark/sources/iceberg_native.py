@@ -2624,6 +2624,73 @@ def write_iceberg_native(
     )
 
 
+def stage_append_iceberg_native(df, table_path: str,
+                                base_meta: dict) -> list[dict]:
+    """Stage an append's data files WITHOUT committing: the distributed
+    parquet write + footer stats, returning the data_file dicts. Pair
+    with ``commit_staged_append_iceberg_native`` — the split lets an
+    optimistic committer (iceberg_rest.append_table) reuse the staged
+    files across commit retries instead of rewriting the whole batch
+    per conflict (the real cost at 100 TB: data re-staging is O(batch
+    bytes); re-authoring manifests against a refreshed base is KBs)."""
+    table_path = os.path.abspath(table_path)
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    schema_obj = _current_schema_obj(base_meta)
+    want = [f["name"] for f in schema_obj.get("fields", [])]
+    if want != df.columns:
+        raise IcebergError(
+            f"schema mismatch: table columns {want}, DataFrame {df.columns}"
+        )
+    pfields = _partition_fields(base_meta)
+    return _stage_data_files(
+        df, table_path, pfields or None, schema_obj=schema_obj
+    )
+
+
+def commit_staged_append_iceberg_native(
+    table_path: str, base_meta: dict, staged: list[dict],
+    commit_fn=None, summary_extra: "dict | None" = None,
+    staged_schema_id=None, staged_spec_id=None,
+) -> int:
+    """Commit ALREADY-STAGED data files as an append snapshot planned
+    against ``base_meta`` (KB driver work: carry-forward manifest-list
+    entries + one new manifest + metadata). Refuses when the base's
+    current schema or default partition spec differs from the one the
+    files were staged under (``staged_schema_id``/``staged_spec_id``)
+    — concurrently-evolved tables need a re-stage, not a silent commit
+    of stale-shaped files."""
+    table_path = os.path.abspath(table_path)
+    if staged_schema_id is not None and int(
+            base_meta.get("current-schema-id", 0) or 0
+    ) != int(staged_schema_id):
+        raise IcebergError(
+            "table schema evolved since the files were staged; re-stage"
+        )
+    if staged_spec_id is not None and int(
+            base_meta.get("default-spec-id", 0) or 0
+    ) != int(staged_spec_id):
+        raise IcebergError(
+            "partition spec evolved since the files were staged; re-stage"
+        )
+    schema_obj = _current_schema_obj(base_meta)
+    carry = _manifest_list_entries(base_meta, table_path)
+    summary = {
+        "added-data-files": len(staged),
+        "added-records": sum(
+            int(d.get("record_count", 0) or 0) for d in staged
+        ),
+        **(summary_extra or {}),
+    }
+    # _publish_snapshot mutates the added dicts (content defaults, seq
+    # stamping) — hand it copies so the staged list survives a failed
+    # commit attempt intact for the next retry
+    return _publish_snapshot(
+        table_path, base_meta, schema_obj, [dict(d) for d in staged],
+        [], "append", summary, carry,
+        commit_fn=commit_fn,
+    )
+
+
 # --- copy-on-write DML (beyond the read-only reference) ----------------------
 
 

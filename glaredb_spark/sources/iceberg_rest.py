@@ -254,20 +254,28 @@ def append_table(spark, endpoint: str, namespace: str, table: str, df,
                  token: str | None = None, max_retries: int = 3) -> int:
     """Append ``df`` through the catalog's optimistic commitTable.
 
-    Data files + manifests + manifest list stage into the warehouse
-    location exactly like a filesystem append; only the pointer swap
-    goes through the catalog: POST with requirements
-    ``assert-ref-snapshot-id(main)`` = the snapshot the write planned
-    against, updates ``add-snapshot`` + ``set-snapshot-ref``. A 409
-    CommitFailedException means another writer won the race — refresh
-    the table and re-stage (the loser's staged files become orphans;
-    VACUUM removes them). Returns the committed snapshot id."""
+    Data files stage into the warehouse location ONCE (the O(batch
+    bytes) distributed write); each commit attempt re-authors only the
+    KB-scale manifests against a freshly-loaded base and routes the
+    pointer swap through the catalog: POST with requirements
+    ``assert-table-uuid`` + ``assert-ref-snapshot-id(main)`` = the
+    snapshot the attempt planned against, updates ``add-snapshot`` +
+    ``set-snapshot-ref``. A 409 CommitFailedException means another
+    writer won the race — refresh and re-commit the SAME staged files
+    (Iceberg's own committer semantics; re-staging per conflict would
+    pay the batch write again). If the schema or partition spec evolved
+    concurrently, the staged files are abandoned (orphans; VACUUM
+    removes them) and the batch re-stages under the new shape. Returns
+    the committed snapshot id."""
     from glaredb_spark.sources.iceberg_native import (
         IcebergError,
-        write_iceberg_native,
+        commit_staged_append_iceberg_native,
+        stage_append_iceberg_native,
     )
 
     last: Exception | None = None
+    staged = None
+    staged_schema_id = staged_spec_id = None
     for _attempt in range(max_retries):
         res = load_table(endpoint, namespace, table, token)
         base = res.get("metadata") or {}
@@ -276,6 +284,15 @@ def append_table(spark, endpoint: str, namespace: str, table: str, df,
             raise IcebergRestError(
                 f"table {namespace}.{table} has no location"
             )
+        cur_schema = int(base.get("current-schema-id", 0) or 0)
+        cur_spec = int(base.get("default-spec-id", 0) or 0)
+        if staged is not None and (
+                cur_schema != staged_schema_id
+                or cur_spec != staged_spec_id):
+            staged = None  # concurrent evolution: re-stage below
+        if staged is None:
+            staged = stage_append_iceberg_native(df, loc, base)
+            staged_schema_id, staged_spec_id = cur_schema, cur_spec
         base_snap = base.get("current-snapshot-id")
         if base_snap is not None and int(base_snap) == -1:
             base_snap = None  # java writers use -1 for "no snapshot"
@@ -304,8 +321,10 @@ def append_table(spark, endpoint: str, namespace: str, table: str, df,
             )
 
         try:
-            return write_iceberg_native(
-                df, loc, mode="append", base_meta=base, commit_fn=commit,
+            return commit_staged_append_iceberg_native(
+                loc, base, staged, commit_fn=commit,
+                staged_schema_id=staged_schema_id,
+                staged_spec_id=staged_spec_id,
             )
         except CommitConflict as e:
             last = e

@@ -419,3 +419,54 @@ def test_attached_alias_in_tvfs(spark, catalog, tmp_path):
             ).collect()
     finally:
         detach_iceberg_rest(spark, "ic2")
+
+
+def test_conflict_retry_reuses_staged_files(spark, catalog, tmp_path,
+                                            monkeypatch):
+    """A 409 on commitTable must NOT re-stage the data files — the
+    retry re-authors manifests only and commits the same parquet
+    (Iceberg committer semantics; re-staging pays the batch write
+    again)."""
+    import glob
+
+    emu, endpoint = catalog
+    loc = _mk_table(spark, emu, tmp_path, rows=6)
+    before = set(glob.glob(os.path.join(loc, "data", "**", "*.parquet"),
+                           recursive=True))
+
+    real_request = rest._request
+    fails = {"n": 0}
+
+    def flaky(url, token=None, method="GET", payload=None):
+        if method == "POST" and "/tables/" in url and fails["n"] == 0:
+            fails["n"] += 1
+            raise CommitConflict("injected 409", "CommitFailedException",
+                                 409)
+        return real_request(url, token, method, payload)
+
+    monkeypatch.setattr(rest, "_request", flaky)
+    rest.append_table(
+        spark, endpoint, "analytics", "docs",
+        spark.range(50, 55).selectExpr("id", "id * 2 AS v"),
+    )
+    after = set(glob.glob(os.path.join(loc, "data", "**", "*.parquet"),
+                          recursive=True))
+    new_files = after - before
+    assert fails["n"] == 1  # the injected conflict fired
+    # exactly ONE staging: every new parquet is referenced by the
+    # committed snapshot (no orphaned duplicate batch)
+    assert rest.read_table(
+        spark, endpoint, "analytics", "docs").count() == 11
+    from glaredb_spark.sources.iceberg_native import (
+        remove_orphans_iceberg_native,
+    )
+
+    orphans = remove_orphans_iceberg_native(
+        loc, older_than_hours=0.0, dry_run=True
+    )
+    # the failed attempt's manifest/manifest-list avros are expected
+    # KB-scale orphans; the DATA files must all be referenced (reuse)
+    assert not [p for p in orphans if p.endswith(".parquet")], (
+        f"retry re-staged or orphaned data files: {orphans} {new_files}"
+    )
+    assert all(p.endswith(".avro") for p in orphans)
