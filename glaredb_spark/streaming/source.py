@@ -275,9 +275,45 @@ def _gap_checked_range(snaps: list, start: dict, lo: int, hi: int,
     return in_range
 
 
+def iceberg_meta_for_options(options: dict) -> tuple[dict, str]:
+    """(metadata document, table location) for a source's options —
+    path-addressed (``path``) or catalog-addressed (r12:
+    ``endpoint`` + ``table`` ['ns.name'] [+ ``token``], resolved
+    through the Iceberg REST catalog per call so the stream follows
+    catalog commits, which real catalogs do NOT mirror into a
+    filesystem version hint)."""
+    if options.get("endpoint"):
+        from glaredb_spark.sources.iceberg_rest import (
+            _strip_file,
+            load_table,
+        )
+
+        full = options.get("table") or ""
+        ns, _, tbl = full.rpartition(".")
+        if not ns:
+            raise ValueError(
+                "catalog-addressed stream needs table='namespace.name'"
+            )
+        res = load_table(
+            options["endpoint"], ns, tbl, options.get("token")
+        )
+        meta = res.get("metadata") or {}
+        loc = _strip_file(meta.get("location") or "")
+        if not meta or not loc:
+            raise ValueError(
+                f"loadTable for {full} returned no metadata/location"
+            )
+        return meta, loc
+    from glaredb_spark.sources.iceberg_native import table_metadata
+
+    p = os.path.abspath(options["path"])
+    return table_metadata(p), p
+
+
 class _IcebergAppendsStreamReader(DataSourceStreamReader):
     def __init__(self, schema_json: str, options: dict):
-        self._path = os.path.abspath(options["path"])
+        self._options = dict(options)
+        _meta, self._path = iceberg_meta_for_options(self._options)
         self._schema_json = schema_json
         self._skip = str(
             options.get("skip_non_appends", "false")
@@ -289,10 +325,9 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
         from glaredb_spark.sources.iceberg_native import (
             IcebergError,
             _sorted_snapshots,
-            table_metadata,
         )
 
-        meta = table_metadata(self._path)
+        meta, self._path = iceberg_meta_for_options(self._options)
         snaps = _sorted_snapshots(meta)
         if any(s.get("sequence-number") is None for s in snaps):
             # ANY seq-less snapshot is refused, not just all-seq-less:
@@ -402,19 +437,19 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
 
 
 class IcebergAppendsDataSource(DataSource):
-    """spark.readStream.format("iceberg_appends").option("path", p)"""
+    """spark.readStream.format("iceberg_appends").option("path", p),
+    or catalog-addressed (r12): .option("endpoint", url)
+    .option("table", "ns.name") [.option("token", t)]"""
 
     @classmethod
     def name(cls) -> str:
         return "iceberg_appends"
 
     def schema(self) -> str:
-        from glaredb_spark.sources.iceberg_native import (
-            _spark_schema,
-            table_metadata,
-        )
+        from glaredb_spark.sources.iceberg_native import _spark_schema
 
-        return _spark_schema(table_metadata(self.options["path"]))
+        meta, _loc = iceberg_meta_for_options(dict(self.options))
+        return _spark_schema(meta)
 
     def streamReader(self, schema):
         # ship the schema as StructType JSON: executors reconstruct it
@@ -634,12 +669,10 @@ class IcebergChangesDataSource(DataSource):
         return "iceberg_changes"
 
     def schema(self) -> str:
-        from glaredb_spark.sources.iceberg_native import (
-            _spark_schema,
-            table_metadata,
-        )
+        from glaredb_spark.sources.iceberg_native import _spark_schema
 
-        base = _spark_schema(table_metadata(self.options["path"]))
+        meta, _loc = iceberg_meta_for_options(dict(self.options))
+        base = _spark_schema(meta)
         return (
             f"{base}, `_change_type` string, "
             "`_commit_snapshot_id` bigint, `_commit_timestamp` timestamp"

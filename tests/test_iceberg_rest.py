@@ -470,3 +470,37 @@ def test_conflict_retry_reuses_staged_files(spark, catalog, tmp_path,
         f"retry re-staged or orphaned data files: {orphans} {new_files}"
     )
     assert all(p.endswith(".avro") for p in orphans)
+
+
+def test_catalog_addressed_stream(spark, catalog, tmp_path):
+    """readStream over a CATALOG-addressed Iceberg table (endpoint +
+    table options): the stream resolves metadata through loadTable per
+    micro-batch, so catalog commits — which real catalogs never mirror
+    into a filesystem hint — drive new batches."""
+    from glaredb_spark.streaming.source import register_stream_sources
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, rows=4)
+
+    register_stream_sources(spark)
+
+    def drain(name):
+        q = (
+            spark.readStream.format("iceberg_appends")
+            .option("endpoint", endpoint)
+            .option("table", "analytics.docs")
+            .load()
+            .writeStream.format("memory").queryName(name)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}")
+
+    assert drain("cat_stream_1").count() == 4
+    rest.append_table(
+        spark, endpoint, "analytics", "docs",
+        spark.range(10, 13).selectExpr("id", "id * 2 AS v"),
+    )
+    got = drain("cat_stream_2")
+    assert got.count() == 7
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 10, 11, 12]
