@@ -684,6 +684,38 @@ class IcebergChangesDataSource(DataSource):
         )
 
 
+def delta_path_for_options(options: dict) -> str:
+    """Table path for a Delta source's options — path-addressed
+    (``path``) or Unity-catalog-addressed (r12: ``endpoint`` +
+    ``table`` ['catalog.schema.table']). Unity's storage_location is
+    static per table and the transaction log at that path IS the
+    source of truth, so one resolution at stream start suffices
+    (unlike the Iceberg REST pointer, which moves per commit)."""
+    if options.get("endpoint"):
+        from glaredb_spark.sources.unity import UnityError, table_info
+
+        full = options.get("table") or ""
+        parts = full.split(".")
+        if len(parts) != 3:
+            raise ValueError(
+                "unity-addressed stream needs "
+                "table='catalog.schema.table'"
+            )
+        info = table_info(options["endpoint"], *parts)
+        fmt = (info.get("data_source_format") or "DELTA").upper()
+        if fmt != "DELTA":
+            raise UnityError(
+                f"cannot stream {full}: data_source_format {fmt}"
+            )
+        loc = info.get("storage_location") or ""
+        if loc.startswith("file://"):
+            loc = loc[len("file://"):]
+        if not loc:
+            raise UnityError(f"table {full} has no storage_location")
+        return loc
+    return os.path.abspath(options["path"])
+
+
 class _DeltaAppendsStreamReader(DataSourceStreamReader):
     """Offsets are commit VERSIONS; each micro-batch covers commits
     (start, end] — append commits (adds only, dataChange) contribute
@@ -694,7 +726,7 @@ class _DeltaAppendsStreamReader(DataSourceStreamReader):
     executors."""
 
     def __init__(self, schema_json: str, options: dict):
-        self._path = os.path.abspath(options["path"])
+        self._path = delta_path_for_options(options)
         self._schema_json = schema_json
         self._skip = str(
             options.get("skip_non_appends", "false")
@@ -794,7 +826,9 @@ class DeltaAppendsDataSource(DataSource):
 
         from glaredb_spark.sources.delta_native import load_delta_state
 
-        state = load_delta_state(self.options["path"])
+        state = load_delta_state(
+            delta_path_for_options(dict(self.options))
+        )
         st = StructType.fromJson(_json.loads(state.schema_json))
         return ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields
@@ -817,7 +851,7 @@ class _DeltaChangesStreamReader(DataSourceStreamReader):
     Column-mapped tables demap physical->logical on executors."""
 
     def __init__(self, schema_json: str, options: dict):
-        self._path = os.path.abspath(options["path"])
+        self._path = delta_path_for_options(options)
         self._schema_json = schema_json
         self._start_ver = int(options.get("starting_version", -1))
 

@@ -501,3 +501,53 @@ def test_iceberg_changes_stream_expired_parent_fails(spark, tmp_path):
          .trigger(availableNow=True).start())
     with pytest.raises(Exception, match="expired|STREAM"):
         q.awaitTermination(120)
+
+
+def test_unity_addressed_delta_stream(spark, tmp_path):
+    """readStream over a Unity-catalog-addressed Delta table (endpoint +
+    table options): storage_location resolves through the catalog; the
+    log at that path drives the stream."""
+    from glaredb_spark.sources.delta_native import write_delta_native
+    from glaredb_spark.sources.unity_emulator import UnityEmulator
+
+    loc = str(tmp_path / "udt")
+    write_delta_native(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5)], "id long, v string"
+        ),
+        loc,
+    )
+    emu = UnityEmulator(
+        schemas=[{"name": "default", "catalog_name": "u",
+                  "comment": ""}],
+        tables=[{
+            "name": "t", "catalog_name": "u", "schema_name": "default",
+            "table_type": "EXTERNAL", "data_source_format": "DELTA",
+            "storage_location": f"file://{loc}", "comment": "",
+        }],
+    )
+    endpoint = emu.start()
+    try:
+        register_stream_sources(spark)
+        q = (
+            spark.readStream.format("delta_appends")
+            .option("endpoint", endpoint)
+            .option("table", "u.default.t")
+            .load()
+            .writeStream.format("memory").queryName("unity_stream")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert spark.sql("SELECT * FROM unity_stream").count() == 5
+        # a PARQUET-format table is refused by name
+        emu.add_table(**{
+            "name": "p", "catalog_name": "u", "schema_name": "default",
+            "table_type": "EXTERNAL", "data_source_format": "PARQUET",
+            "storage_location": f"file://{loc}", "comment": "",
+        })
+        with pytest.raises(Exception, match="data_source_format"):
+            (spark.readStream.format("delta_appends")
+             .option("endpoint", endpoint)
+             .option("table", "u.default.p").load())
+    finally:
+        emu.stop()
