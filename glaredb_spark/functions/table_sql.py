@@ -148,6 +148,49 @@ _FROM_FILE = re.compile(
     re.IGNORECASE,
 )
 
+# FROM <attached-alias>.<ns...>.<table> — dotted references over
+# ATTACHed iceberg_rest / unity catalogs (r12). Only fires when the
+# first segment is a REGISTERED alias, so plain Spark three-part names
+# (spark_catalog.db.t) pass through untouched.
+_ATTACHED_REF = re.compile(
+    r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)\.((?:[A-Za-z_]\w*\.)*)([A-Za-z_]\w*)"
+    r"(?!\s*\()",
+    re.IGNORECASE,
+)
+
+
+def _handle_attached_ref(spark: SparkSession, m: re.Match) -> str:
+    kw, alias, mid, last = m.group(1), m.group(2), m.group(3), m.group(4)
+    from glaredb_spark.sources import iceberg_rest as _ir
+    from glaredb_spark.sources import unity as _u
+
+    ir_attached = _ir._attached(spark)
+    u_attached = _u._attached(spark)
+    if alias in ir_attached:
+        ns = mid.rstrip(".")
+        if not ns:
+            raise ValueError(
+                f"attached catalog reference needs "
+                f"{alias}.<namespace>.<table>"
+            )
+        endpoint, token = ir_attached[alias]
+        df = _ir.read_table(spark, endpoint, ns, last, token=token)
+        view = _view_name("icerest_ref", f"{endpoint}|{ns}.{last}")
+    elif alias in u_attached:
+        parts = mid.rstrip(".").split(".") if mid else []
+        if len(parts) != 1:
+            raise ValueError(
+                f"attached unity reference needs "
+                f"{alias}.<schema>.<table>"
+            )
+        endpoint, catalog = u_attached[alias]
+        df = _u.read_table(spark, endpoint, catalog, parts[0], last)
+        view = _view_name("unity_ref", f"{endpoint}|{catalog}.{parts[0]}.{last}")
+    else:
+        return m.group(0)  # not an attached alias: leave untouched
+    df.createOrReplaceTempView(view)
+    return f"{kw} {view}"
+
 
 def _handle_from_file(
     spark: SparkSession, m: re.Match, wants_meta: bool = False
@@ -285,7 +328,7 @@ def rewrite_table_functions(spark: SparkSession, sql: str) -> str:
 
     clear_credentials()
 
-    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_CHANGES_TF, _handle_ice_changes), (_ICEREST_TF, _handle_icerest), (_ICE_TF, _handle_ice), (_UNITY_TF, _handle_unity), (_DELTA_HISTORY_TF, _handle_delta_history), (_DELTA_CDF_TF, _handle_delta_cdf), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file)):
+    for pattern, handler in ((_LATERAL_GS, _handle_lateral_gs), (_TF, _handle_tf), (_ICE_CHANGES_TF, _handle_ice_changes), (_ICEREST_TF, _handle_icerest), (_ICE_TF, _handle_ice), (_UNITY_TF, _handle_unity), (_DELTA_HISTORY_TF, _handle_delta_history), (_DELTA_CDF_TF, _handle_delta_cdf), (_DELTA_TF, _handle_delta), (_TPCHGEN_TF, _handle_tpchgen), (_PG_TF, _handle_pg), (_GS, _handle_gs), (_CAT, _handle_cat), (_PROFILE, _handle_profile), (_FROM_FILE, _handle_from_file), (_ATTACHED_REF, _handle_attached_ref)):
         spans = _literal_spans(sql)
 
         def outside(pos: int) -> bool:

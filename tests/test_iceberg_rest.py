@@ -504,3 +504,30 @@ def test_catalog_addressed_stream(spark, catalog, tmp_path):
     got = drain("cat_stream_2")
     assert got.count() == 7
     assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 10, 11, 12]
+
+
+def test_dotted_reference_over_attached_catalog(spark, catalog, tmp_path):
+    """FROM <alias>.<namespace>.<table> resolves through the ATTACHed
+    catalog; non-attached three-part names pass through untouched."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path)
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icd (endpoint '{endpoint}')"
+    ).collect()
+    try:
+        rows = sess.sql(
+            "SELECT count(*) AS n, max(v) AS mx FROM icd.analytics.docs"
+        ).collect()
+        assert (rows[0].n, rows[0].mx) == (20, 38)
+        # joins work too
+        n = sess.sql(
+            "SELECT count(*) AS n FROM icd.analytics.docs a "
+            "JOIN icd.analytics.docs b ON a.id = b.id"
+        ).collect()[0].n
+        assert n == 20
+    finally:
+        detach_iceberg_rest(spark, "icd")

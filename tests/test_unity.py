@@ -107,3 +107,31 @@ def test_read_table_resolves_storage_location(spark, sf_dir, emulator, tmp_path)
     assert got[0].n == 25
     with pytest.raises(unity.UnityError, match="request failed"):
         unity.read_table(spark, ep, "unity", "default", "nope")
+
+
+def test_dotted_reference_over_attached_unity(spark, emulator, tmp_path):
+    """FROM <alias>.<schema>.<table> over an ATTACHed unity catalog."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.delta_native import write_delta_native
+    from glaredb_spark.sources.unity import attach_unity, detach_unity
+
+    loc = str(tmp_path / "ud")
+    write_delta_native(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        loc,
+    )
+    em, endpoint = emulator
+    em.add_table(**{
+        "name": "dt", "catalog_name": "unity", "schema_name": "default",
+        "table_type": "EXTERNAL", "data_source_format": "DELTA",
+        "storage_location": f"file://{loc}", "comment": "",
+    })
+    attach_unity(spark, "ud_alias", endpoint, "unity")
+    try:
+        sess = GlareSession(spark)
+        rows = sess.sql(
+            "SELECT count(*) AS n FROM ud_alias.default.dt"
+        ).collect()
+        assert rows[0].n == 2
+    finally:
+        detach_unity(spark, "ud_alias")
