@@ -975,6 +975,41 @@ class GlareSession:
 
             table = ins.group(1)
             source = query[ins.end() :].strip().rstrip(";").strip()
+            # INSERT INTO <attached-alias>.<ns...>.<table> routes
+            # through the catalog's optimistic commitTable (r12)
+            parts = table.split(".")
+            if len(parts) >= 3:
+                from glaredb_spark.sources import iceberg_rest as _ir
+
+                ir_attached = _ir._attached(self.spark)
+                if parts[0] in ir_attached:
+                    endpoint, token = ir_attached[parts[0]]
+                    src = self.spark.sql(
+                        rewrite_table_functions(self.spark, source)
+                        if re.match(r"(VALUES|SELECT|WITH|TABLE|FROM)\b",
+                                    source, re.IGNORECASE)
+                        else source
+                    )
+                    want = _ir.read_table(
+                        self.spark, endpoint, ".".join(parts[1:-1]),
+                        parts[-1], token=token,
+                    ).schema
+                    if len(src.columns) == len(want.fields):
+                        src = src.toDF(
+                            *[f"_ins_c{i}" for i in range(len(want))]
+                        ).select(*[
+                            F.col(f"_ins_c{i}").cast(f.dataType)
+                            .alias(f.name)
+                            for i, f in enumerate(want.fields)
+                        ])
+                    n = src.count()
+                    _ir.append_table(
+                        self.spark, endpoint, ".".join(parts[1:-1]),
+                        parts[-1], src, token=token,
+                    )
+                    return self.spark.range(1).select(
+                        F.lit(n).cast("bigint").alias("Count")
+                    )
             if re.match(r"(VALUES|SELECT|WITH|TABLE|FROM)\b", source, re.IGNORECASE):
                 # single pass: the inserted-row Count (reference
                 # PhysicalInsert, insert.rs:33) rides along the write via

@@ -531,3 +531,34 @@ def test_dotted_reference_over_attached_catalog(spark, catalog, tmp_path):
         assert n == 20
     finally:
         detach_iceberg_rest(spark, "icd")
+
+
+def test_insert_into_attached_catalog_table(spark, catalog, tmp_path):
+    """INSERT INTO <alias>.<ns>.<table> routes through the catalog's
+    optimistic commitTable and reports the inserted-row count."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, rows=3)
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS ici (endpoint '{endpoint}')"
+    ).collect()
+    try:
+        out = sess.sql(
+            "INSERT INTO ici.analytics.docs VALUES (50, 100), (51, 102)"
+        ).collect()
+        assert out[0].Count == 2
+        rows = sess.sql(
+            "SELECT count(*) AS n FROM ici.analytics.docs"
+        ).collect()
+        assert rows[0].n == 5
+        # positional coercion applies like the memory-table INSERT path
+        sess.sql(
+            "INSERT INTO ici.analytics.docs SELECT 60, 1 + 1"
+        ).collect()
+        assert rest.read_table(
+            spark, endpoint, "analytics", "docs").count() == 6
+    finally:
+        detach_iceberg_rest(spark, "ici")
