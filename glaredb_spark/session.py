@@ -651,6 +651,7 @@ class GlareSession:
             attach_iceberg_rest(
                 self.spark, attach_ir.group(1), opts["endpoint"],
                 token=opts.get("token"),
+                credential=opts.get("credential"),
             )
             return self.spark.range(1).select(
                 F.lit(

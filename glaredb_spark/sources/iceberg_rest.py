@@ -84,6 +84,59 @@ def _request(url: str, token: str | None = None, method: str = "GET",
 _PREFIX_CACHE: dict[tuple[str, str | None], str] = {}
 
 
+# (endpoint, credential) -> bearer token from the OAuth2
+# client-credentials flow (POST /v1/oauth/tokens) — the REST spec's
+# built-in auth; cleared on 401 so an expired token re-fetches
+_TOKEN_CACHE: dict[tuple[str, str], str] = {}
+
+
+def oauth_token(endpoint: str, credential: str) -> str:
+    """Exchange a ``client_id:client_secret`` credential for a bearer
+    token via the catalog's own token endpoint (OAuth2
+    client-credentials grant, application/x-www-form-urlencoded — the
+    spec's tokens API)."""
+    key = (endpoint.rstrip("/"), credential)
+    if key not in _TOKEN_CACHE:
+        cid, _, secret = credential.partition(":")
+        body = urllib.parse.urlencode({
+            "grant_type": "client_credentials",
+            "client_id": cid,
+            "client_secret": secret,
+            "scope": "catalog",
+        }).encode()
+        req = urllib.request.Request(
+            f"{endpoint.rstrip('/')}/v1/oauth/tokens", data=body,
+            method="POST",
+            headers={"Content-Type":
+                     "application/x-www-form-urlencoded"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                tok = json.loads(resp.read()).get("access_token")
+        except urllib.error.HTTPError as e:
+            raise IcebergRestError(
+                f"oauth token exchange failed ({e.code}): "
+                f"{e.read()[:200]!r}", code=e.code,
+            ) from e
+        if not tok:
+            raise IcebergRestError("token endpoint returned no "
+                                   "access_token")
+        _TOKEN_CACHE[key] = tok
+    return _TOKEN_CACHE[key]
+
+
+def resolve_auth(endpoint: str, token: str | None = None,
+                 credential: str | None = None) -> str | None:
+    """The bearer to send: an explicit ``token`` wins; a
+    ``credential`` ('client_id:client_secret') exchanges through the
+    OAuth2 tokens endpoint (cached)."""
+    if token:
+        return token
+    if credential:
+        return oauth_token(endpoint, credential)
+    return None
+
+
 def catalog_config(endpoint: str, token: str | None = None,
                    warehouse: str | None = None) -> dict:
     q = f"?warehouse={urllib.parse.quote(warehouse)}" if warehouse else ""
@@ -364,15 +417,20 @@ def _attached(spark) -> dict[str, tuple[str, str | None]]:
 
 
 def attach_iceberg_rest(spark, alias: str, endpoint: str,
-                        token: str | None = None) -> None:
+                        token: str | None = None,
+                        credential: str | None = None) -> None:
     """ATTACH iceberg_rest DATABASE AS alias (endpoint '...'
-    [, token '...']) — validates the endpoint with a /v1/config +
-    namespace listing, then records the alias (surfaced by SHOW
-    CATALOGS)."""
+    [, token '...'] [, credential 'client_id:client_secret']) —
+    validates the endpoint with a /v1/config + namespace listing, then
+    records the alias (surfaced by SHOW CATALOGS). A ``credential``
+    exchanges through the OAuth2 client-credentials tokens endpoint at
+    attach time; every later call through the alias reuses the minted
+    bearer."""
     if alias in _attached(spark):
         raise IcebergRestError(
             f"Catalog with name '{alias}' already attached"
         )
+    token = resolve_auth(endpoint, token, credential)
     list_namespaces(spark, endpoint, token=token).collect()
     _attached(spark)[alias] = (endpoint, token)
 

@@ -33,11 +33,17 @@ _SEP = "\x1f"
 
 class IcebergRestEmulator:
     def __init__(self, warehouse: str, prefix: str = "w1",
-                 token: str | None = None, page_size: int = 100) -> None:
+                 token: str | None = None, page_size: int = 100,
+                 credentials: dict | None = None) -> None:
         self.warehouse = warehouse
         self.prefix = prefix
         self.token = token
         self.page_size = page_size
+        # OAuth2 client-credentials flow (POST /v1/oauth/tokens):
+        # client_id -> client_secret; a successful exchange mints a
+        # deterministic bearer accepted like a static token
+        self.credentials = credentials or {}
+        self._minted: set[str] = set()
         # ns tuple -> properties
         self.namespaces: dict[tuple, dict] = {}
         # (ns tuple, name) -> current metadata file path
@@ -213,10 +219,13 @@ class IcebergRestEmulator:
                     "message": msg, "type": etype, "code": code}})
 
             def _auth_ok(self) -> bool:
-                if emu.token is None:
+                if emu.token is None and not emu.credentials:
                     return True
-                if self.headers.get("Authorization") == \
-                        f"Bearer {emu.token}":
+                got = self.headers.get("Authorization") or ""
+                if emu.token is not None and got == f"Bearer {emu.token}":
+                    return True
+                if got.startswith("Bearer ") and \
+                        got[len("Bearer "):] in emu._minted:
                     return True
                 self._err(401, "NotAuthorizedException", "bad token")
                 return False
@@ -226,6 +235,29 @@ class IcebergRestEmulator:
                 q = urllib.parse.parse_qs(parsed.query)
                 segs = [urllib.parse.unquote(s)
                         for s in parsed.path.split("/") if s]
+                if segs == ["v1", "oauth", "tokens"] \
+                        and self.command == "POST":
+                    # client-credentials exchange: form-encoded, and
+                    # necessarily UNauthenticated (it mints the bearer)
+                    length = int(self.headers.get("Content-Length") or 0)
+                    form = urllib.parse.parse_qs(
+                        self.rfile.read(length).decode()
+                    )
+                    cid = form.get("client_id", [""])[0]
+                    secret = form.get("client_secret", [""])[0]
+                    if form.get("grant_type", [""])[0] != \
+                            "client_credentials" \
+                            or emu.credentials.get(cid) != secret \
+                            or not cid:
+                        self._err(401, "NotAuthorizedException",
+                                  "invalid client credentials")
+                        return
+                    tok = f"emu-token-{cid}"
+                    emu._minted.add(tok)
+                    self._json(200, {"access_token": tok,
+                                     "token_type": "bearer",
+                                     "expires_in": 3600})
+                    return
                 if not self._auth_ok():
                     return
                 body = {}

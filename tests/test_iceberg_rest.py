@@ -562,3 +562,54 @@ def test_insert_into_attached_catalog_table(spark, catalog, tmp_path):
             spark, endpoint, "analytics", "docs").count() == 6
     finally:
         detach_iceberg_rest(spark, "ici")
+
+
+def test_oauth_client_credentials_flow(spark, tmp_path):
+    """The REST spec's OAuth2 client-credentials grant: a credential
+    exchanges at /v1/oauth/tokens for a bearer the catalog then
+    requires; bad secrets get 401; the SQL ATTACH credential option
+    rides the same flow."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import (
+        detach_iceberg_rest,
+        oauth_token,
+        resolve_auth,
+    )
+
+    emu = IcebergRestEmulator(
+        str(tmp_path / "wh"),
+        credentials={"svc": "hunter2"},
+    )
+    endpoint = emu.start()
+    try:
+        emu.add_namespace("a")
+        # no auth: refused
+        with pytest.raises(IcebergRestError, match="401"):
+            rest.list_namespaces(spark, endpoint).collect()
+        rest._PREFIX_CACHE.clear()
+        # bad secret: refused at the token endpoint
+        with pytest.raises(IcebergRestError, match="401"):
+            oauth_token(endpoint, "svc:wrong")
+        # good credential: exchanged + cached + accepted
+        tok = resolve_auth(endpoint, credential="svc:hunter2")
+        assert tok == "emu-token-svc"
+        got = [r.namespace for r in rest.list_namespaces(
+            spark, endpoint, token=tok).collect()]
+        assert got == ["a"]
+        # SQL ATTACH with credential
+        sess = GlareSession(spark)
+        sess.sql(
+            f"ATTACH ICEBERG_REST DATABASE AS oa (endpoint "
+            f"'{endpoint}', credential 'svc:hunter2')"
+        ).collect()
+        try:
+            rows = sess.sql(
+                "SELECT * FROM iceberg_rest_list_namespaces('oa')"
+            ).collect()
+            assert [r.namespace for r in rows] == ["a"]
+        finally:
+            detach_iceberg_rest(spark, "oa")
+    finally:
+        emu.stop()
+        rest._PREFIX_CACHE.clear()
+        rest._TOKEN_CACHE.clear()
