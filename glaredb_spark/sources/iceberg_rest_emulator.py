@@ -141,8 +141,18 @@ class IcebergRestEmulator:
                 ) + 1
             new_path = os.path.join(mdir, f"v{version}.metadata.json")
             # O_EXCL even under the lock: a filesystem-direct committer
-            # racing the catalog collides here instead of clobbering
-            fd = os.open(new_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # racing the catalog collides here instead of clobbering —
+            # surfaced as a 409 (retryable) rather than a server error
+            try:
+                fd = os.open(
+                    new_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                raise _Conflict(
+                    f"metadata version v{version} already exists (a "
+                    "filesystem-direct commit raced the catalog); "
+                    "refresh and retry"
+                ) from None
             with os.fdopen(fd, "w") as fh:
                 json.dump(meta, fh, indent=2)
             # keep the advisory hint in step so path-addressed readers

@@ -613,3 +613,37 @@ def test_oauth_client_credentials_flow(spark, tmp_path):
         emu.stop()
         rest._PREFIX_CACHE.clear()
         rest._TOKEN_CACHE.clear()
+
+
+def test_filesystem_racer_surfaces_as_409(spark, catalog, tmp_path):
+    """A filesystem-direct commit that advances vN under the catalog
+    makes the catalog's own publish collide — surfaced as a retryable
+    409, and the client-side retry recovers."""
+    emu, endpoint = catalog
+    loc = _mk_table(spark, emu, tmp_path, rows=4)
+    # filesystem-direct append: advances v2 while the catalog pointer
+    # still names v1 (register() captured the pre-append metadata)
+    write_iceberg_native(
+        spark.range(20, 23).selectExpr("id", "id * 2 AS v"), loc
+    )
+    # catalog append: first attempt plans against the stale pointer,
+    # collides on v2 (409), refreshes... the stale pointer still names
+    # v1, so requirements pass but the publish collides until the
+    # pointer advances — with retries bounded, the error is actionable
+    with pytest.raises(IcebergRestError, match="race|retry"):
+        rest.append_table(
+            spark, endpoint, "analytics", "docs",
+            spark.range(30, 32).selectExpr("id", "id * 2 AS v"),
+            max_retries=2,
+        )
+    # re-register the current metadata (the operator action the error
+    # asks for) and the append lands
+    from glaredb_spark.sources.iceberg_native import _metadata_path
+
+    emu.tables[(("analytics",), "docs")] = _metadata_path(loc)
+    rest.append_table(
+        spark, endpoint, "analytics", "docs",
+        spark.range(30, 32).selectExpr("id", "id * 2 AS v"),
+    )
+    assert rest.read_table(
+        spark, endpoint, "analytics", "docs").count() == 9
