@@ -1413,3 +1413,50 @@ def test_min_writer_version_above_7_message(spark, tmp_path):
     _edit_last_commit(path, bump)
     with pytest.raises(RuntimeError, match=r"minWriterVersion 8 > 7"):
         write_delta_native(df, path)
+
+
+def test_merge_matched_delete_branch_and_cdf(spark, tmp_path):
+    """MERGE's WHEN MATCHED ... DELETE branch (r12): selected matched
+    rows drop atomically in the same commit as updates+inserts, and the
+    change feed records their pre-images as 'delete' rows."""
+    from glaredb_spark.sources.delta_native import (
+        merge_delta_native,
+        read_delta_native,
+        table_changes_delta_native,
+        write_delta_native,
+    )
+
+    path = str(tmp_path / "md")
+    write_delta_native(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id long, v long"
+        ),
+        path, enable_cdf=True,
+    )
+    src = spark.createDataFrame(
+        [(2, -20), (3, 5), (4, 40)], "id long, v long"
+    )
+    updated, inserted, _files = merge_delta_native(
+        spark, path, src, ["id"],
+        when_matched_update={"v": "t.v + s.v"},
+        when_matched_delete="t.v + s.v = 0",  # id=2: 20 + -20
+        when_not_matched_condition="v > 0",
+    )
+    assert (updated, inserted) == (2, 1)  # id2 deleted + id3 updated; id4 in
+    got = sorted((r.id, r.v) for r in read_delta_native(spark, path).collect())
+    assert got == [(1, 10), (3, 35), (4, 40)]
+    ch = table_changes_delta_native(spark, path, 1)
+    by = {}
+    for r in ch.collect():
+        by.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by["delete"] == {2}
+    assert by["insert"] == {4}
+    assert by["update_preimage"] == {3} and by["update_postimage"] == {3}
+    # gated insert: a negative-v unmatched source row must not land
+    merge_delta_native(
+        spark, path,
+        spark.createDataFrame([(9, -1)], "id long, v long"), ["id"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_condition="v > 0",
+    )
+    assert 9 not in {r.id for r in read_delta_native(spark, path).collect()}
