@@ -169,20 +169,18 @@ def _handle_attached_ref(spark: SparkSession, m: re.Match) -> str:
     if alias in ir_attached:
         ns = mid.rstrip(".")
         if not ns:
-            raise ValueError(
-                f"attached catalog reference needs "
-                f"{alias}.<namespace>.<table>"
-            )
-        endpoint, token = ir_attached[alias]
+            # two-part reference: not a catalog table path — this is
+            # SQL like EXTRACT(YEAR FROM o.o_orderdate) whose qualifier
+            # happens to collide with the alias; leave it untouched
+            # rather than breaking the query (r12 review)
+            return m.group(0)
+        endpoint, token = _ir.resolve_attached(spark, alias)
         df = _ir.read_table(spark, endpoint, ns, last, token=token)
         view = _view_name("icerest_ref", f"{endpoint}|{ns}.{last}")
     elif alias in u_attached:
         parts = mid.rstrip(".").split(".") if mid else []
         if len(parts) != 1:
-            raise ValueError(
-                f"attached unity reference needs "
-                f"{alias}.<schema>.<table>"
-            )
+            return m.group(0)  # same collision guard as above
         endpoint, catalog = u_attached[alias]
         df = _u.read_table(spark, endpoint, catalog, parts[0], last)
         view = _view_name("unity_ref", f"{endpoint}|{catalog}.{parts[0]}.{last}")

@@ -822,11 +822,16 @@ class GlareSession:
                     m.group(1), retention_hours=hours,
                     dry_run=bool(m.group(3)),
                 )
-                # same retention gates the orphan sweep (files staged
-                # by losing/dead committers that NO snapshot references
-                # — expiration alone never touches them; r12)
+                # orphan sweep rides VACUUM (files staged by losing/
+                # dead committers that NO snapshot references), but its
+                # grace NEVER drops below 24h here: an optimistic
+                # committer between stage and commit has live staged
+                # files a 'RETAIN 0 HOURS' would otherwise delete,
+                # breaking the subsequent commit (r12 review). Shorter
+                # graces need the explicit API
+                # (remove_orphans_iceberg_native).
                 deleted = deleted + _orph(
-                    m.group(1), older_than_hours=hours,
+                    m.group(1), older_than_hours=max(hours, 24.0),
                     dry_run=bool(m.group(3)),
                 )
             else:
@@ -984,17 +989,27 @@ class GlareSession:
 
                 ir_attached = _ir._attached(self.spark)
                 if parts[0] in ir_attached:
-                    endpoint, token = ir_attached[parts[0]]
+                    endpoint, token = _ir.resolve_attached(
+                        self.spark, parts[0]
+                    )
                     src = self.spark.sql(
                         rewrite_table_functions(self.spark, source)
                         if re.match(r"(VALUES|SELECT|WITH|TABLE|FROM)\b",
                                     source, re.IGNORECASE)
                         else source
                     )
-                    want = _ir.read_table(
-                        self.spark, endpoint, ".".join(parts[1:-1]),
-                        parts[-1], token=token,
-                    ).schema
+                    # target schema from loadTable METADATA (no scan)
+                    from pyspark.sql.types import _parse_datatype_string
+
+                    from glaredb_spark.sources.iceberg_native import (
+                        _spark_schema,
+                    )
+
+                    ns = ".".join(parts[1:-1])
+                    meta = _ir.load_table(
+                        endpoint, ns, parts[-1], token,
+                    ).get("metadata") or {}
+                    want = _parse_datatype_string(_spark_schema(meta))
                     if len(src.columns) == len(want.fields):
                         src = src.toDF(
                             *[f"_ins_c{i}" for i in range(len(want))]
@@ -1003,11 +1018,19 @@ class GlareSession:
                             .alias(f.name)
                             for i, f in enumerate(want.fields)
                         ])
-                    n = src.count()
-                    _ir.append_table(
-                        self.spark, endpoint, ".".join(parts[1:-1]),
-                        parts[-1], src, token=token,
-                    )
+                    # persisted: the count and the staged write read
+                    # ONE materialization — a nondeterministic source
+                    # must not report a Count different from the rows
+                    # written (r12 review)
+                    src = src.persist()
+                    try:
+                        n = src.count()
+                        _ir.append_table(
+                            self.spark, endpoint, ns, parts[-1], src,
+                            token=token,
+                        )
+                    finally:
+                        src.unpersist()
                     return self.spark.range(1).select(
                         F.lit(n).cast("bigint").alias("Count")
                     )

@@ -2425,9 +2425,15 @@ def merge_delta_native(
             matched = F.col(f"s.{on[0]}").isNotNull() if on else F.lit(False)
             # matched rows the delete predicate selects drop out of the
             # rewrite entirely (delete branch wins over update, the SQL
-            # MERGE clause-order contract when DELETE is listed first)
+            # MERGE clause-order contract when DELETE is listed first).
+            # NULL predicate = clause does not apply (falls through to
+            # the update branch) — without the coalesce a NULL would
+            # silently drop the row from BOTH the rewrite and the CDF
+            # delete images (r12 review)
             drop = (
-                matched & F.expr(when_matched_delete)
+                matched & F.coalesce(
+                    F.expr(when_matched_delete), F.lit(False)
+                )
                 if when_matched_delete else F.lit(False)
             )
             out_cols = []

@@ -3837,15 +3837,25 @@ def remove_orphans_iceberg_native(
         referenced.add(os.path.realpath(mlp))
         try:
             recs, _ = read_avro(mlp)
-        except (OSError, ValueError):
-            continue
+        except (OSError, ValueError) as exc:
+            # an unreadable manifest list means this snapshot's
+            # references are UNKNOWN — continuing would classify its
+            # live data files as orphans and delete them. Abort the
+            # sweep; never widen it (r12 review).
+            raise IcebergError(
+                f"orphan sweep aborted: cannot read manifest list "
+                f"{mlp!r} of snapshot {s.get('snapshot-id')}: {exc}"
+            ) from exc
         for r in recs:
             mp = _resolve(r["manifest_path"], meta, table_path)
             referenced.add(os.path.realpath(mp))
             try:
                 ents, _ = read_avro(mp)
-            except (OSError, ValueError):
-                continue
+            except (OSError, ValueError) as exc:
+                raise IcebergError(
+                    f"orphan sweep aborted: cannot read manifest "
+                    f"{mp!r}: {exc}"
+                ) from exc
             for e in ents:
                 referenced.add(os.path.realpath(_resolve(
                     e["data_file"]["file_path"], meta, table_path

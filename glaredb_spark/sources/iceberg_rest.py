@@ -84,45 +84,50 @@ def _request(url: str, token: str | None = None, method: str = "GET",
 _PREFIX_CACHE: dict[tuple[str, str | None], str] = {}
 
 
-# (endpoint, credential) -> bearer token from the OAuth2
-# client-credentials flow (POST /v1/oauth/tokens) — the REST spec's
-# built-in auth; cleared on 401 so an expired token re-fetches
-_TOKEN_CACHE: dict[tuple[str, str], str] = {}
+# (endpoint, credential) -> (bearer, refetch-after-monotonic-seconds)
+# from the OAuth2 client-credentials flow (POST /v1/oauth/tokens) — the
+# spec's tokens API. Entries expire per the server's expires_in (minus
+# a 60 s skew allowance), so a long-lived session re-exchanges instead
+# of wedging on a stale bearer (r12 review).
+_TOKEN_CACHE: dict[tuple[str, str], tuple[str, float]] = {}
 
 
 def oauth_token(endpoint: str, credential: str) -> str:
     """Exchange a ``client_id:client_secret`` credential for a bearer
     token via the catalog's own token endpoint (OAuth2
-    client-credentials grant, application/x-www-form-urlencoded — the
-    spec's tokens API)."""
+    client-credentials grant, application/x-www-form-urlencoded)."""
+    import time
+
     key = (endpoint.rstrip("/"), credential)
-    if key not in _TOKEN_CACHE:
-        cid, _, secret = credential.partition(":")
-        body = urllib.parse.urlencode({
-            "grant_type": "client_credentials",
-            "client_id": cid,
-            "client_secret": secret,
-            "scope": "catalog",
-        }).encode()
-        req = urllib.request.Request(
-            f"{endpoint.rstrip('/')}/v1/oauth/tokens", data=body,
-            method="POST",
-            headers={"Content-Type":
-                     "application/x-www-form-urlencoded"},
-        )
-        try:
-            with urllib.request.urlopen(req, timeout=30) as resp:
-                tok = json.loads(resp.read()).get("access_token")
-        except urllib.error.HTTPError as e:
-            raise IcebergRestError(
-                f"oauth token exchange failed ({e.code}): "
-                f"{e.read()[:200]!r}", code=e.code,
-            ) from e
-        if not tok:
-            raise IcebergRestError("token endpoint returned no "
-                                   "access_token")
-        _TOKEN_CACHE[key] = tok
-    return _TOKEN_CACHE[key]
+    hit = _TOKEN_CACHE.get(key)
+    if hit is not None and time.monotonic() < hit[1]:
+        return hit[0]
+    cid, _, secret = credential.partition(":")
+    body = urllib.parse.urlencode({
+        "grant_type": "client_credentials",
+        "client_id": cid,
+        "client_secret": secret,
+        "scope": "catalog",
+    }).encode()
+    req = urllib.request.Request(
+        f"{endpoint.rstrip('/')}/v1/oauth/tokens", data=body,
+        method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            payload = json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        raise IcebergRestError(
+            f"oauth token exchange failed ({e.code}): "
+            f"{e.read()[:200]!r}", code=e.code,
+        ) from e
+    tok = payload.get("access_token")
+    if not tok:
+        raise IcebergRestError("token endpoint returned no access_token")
+    ttl = max(float(payload.get("expires_in") or 3600) - 60.0, 30.0)
+    _TOKEN_CACHE[key] = (tok, time.monotonic() + ttl)
+    return tok
 
 
 def resolve_auth(endpoint: str, token: str | None = None,
@@ -406,11 +411,14 @@ def create_table(spark, endpoint: str, namespace: str, table: str, df,
 
 # --- ATTACH surface (mirrors sources/unity.py) -------------------------------
 
-# applicationId -> {alias: (endpoint, token)}
-_REST_ATTACHED: dict[str, dict[str, tuple[str, str | None]]] = {}
+# applicationId -> {alias: (endpoint, token, credential)} — the
+# CREDENTIAL is stored (not just the minted bearer) so a long-lived
+# alias re-exchanges through the expiry-aware token cache instead of
+# wedging on a stale token (r12 review)
+_REST_ATTACHED: dict[str, dict[str, tuple]] = {}
 
 
-def _attached(spark) -> dict[str, tuple[str, str | None]]:
+def _attached(spark) -> dict[str, tuple]:
     return _REST_ATTACHED.setdefault(
         spark.sparkContext.applicationId, {}
     )
@@ -430,9 +438,10 @@ def attach_iceberg_rest(spark, alias: str, endpoint: str,
         raise IcebergRestError(
             f"Catalog with name '{alias}' already attached"
         )
-    token = resolve_auth(endpoint, token, credential)
-    list_namespaces(spark, endpoint, token=token).collect()
-    _attached(spark)[alias] = (endpoint, token)
+    list_namespaces(
+        spark, endpoint, token=resolve_auth(endpoint, token, credential)
+    ).collect()
+    _attached(spark)[alias] = (endpoint, token, credential)
 
 
 def detach_iceberg_rest(spark, alias: str) -> bool:
@@ -444,9 +453,12 @@ def attached_iceberg_rest(spark) -> list[str]:
 
 
 def resolve_attached(spark, alias: str) -> tuple[str, str | None]:
+    """(endpoint, live bearer) for an attached alias — credentials
+    re-exchange through the expiry-aware token cache per call."""
     try:
-        return _attached(spark)[alias]
+        endpoint, token, credential = _attached(spark)[alias]
     except KeyError:
         raise IcebergRestError(
             f"no attached iceberg rest catalog named '{alias}'"
         ) from None
+    return endpoint, resolve_auth(endpoint, token, credential)

@@ -167,6 +167,14 @@ class IcebergRestEmulator:
         import time
         import uuid
 
+        with self._lock:
+            return self._create_locked(ns, name, schema, location,
+                                       time, uuid)
+
+    def _create_locked(self, ns, name, schema, location, time, uuid):
+        # under the catalog lock (same optimistic-concurrency contract
+        # as _commit): racing createTable calls get a 409, not an
+        # escaped FileExistsError (r12 review)
         if (ns, name) in self.tables:
             raise _Conflict(f"table {'.'.join(ns)}.{name} already exists")
         loc = location or os.path.join(
@@ -197,7 +205,13 @@ class IcebergRestEmulator:
             "snapshots": [],
         }
         path = os.path.join(mdir, "v1.metadata.json")
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise _Conflict(
+                f"metadata already exists at {path!r} (an unregistered "
+                "table lives at this location); use register instead"
+            ) from None
         with os.fdopen(fd, "w") as fh:
             json.dump(meta, fh, indent=2)
         with open(os.path.join(mdir, "version-hint.text"), "w") as fh:

@@ -105,33 +105,40 @@ def delta_mv_writer(path: str, app_id: str, group_by: list[str],
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed_batch(path, app_id):
             return  # checkpoint replay of an already-committed batch
-        deltas = _split_assert_known(
-            changelog_deltas(batch_df, group_by, sums, count_col)
-        ).select(*out_cols)
-        if not os.path.isdir(os.path.join(path, "_delta_log")):
-            write_delta_native(
-                deltas.filter(F.col(count_col) > 0), path,
+        # persisted: the _bad assertion and the merge consume the same
+        # aggregation once, not twice (r12 review)
+        deltas = changelog_deltas(
+            batch_df, group_by, sums, count_col
+        ).persist()
+        try:
+            _split_assert_known(deltas)
+            out = deltas.select(*out_cols)
+            if not os.path.isdir(os.path.join(path, "_delta_log")):
+                write_delta_native(
+                    out.filter(F.col(count_col) > 0), path,
+                    txn=(app_id, batch_id),
+                )
+                return
+            merge_delta_native(
+                batch_df.sparkSession, path, out, group_by,
+                # coalesce both sides: a batch whose contributions to a
+                # sum column are all NULL has a NULL delta, and
+                # NULL + x would poison the maintained total forever.
+                # Documented divergence from a recompute: a group whose
+                # live rows are ALL NULL in a summed column maintains
+                # 0, where SQL SUM yields NULL.
+                when_matched_update={
+                    c: f"coalesce(t.{c}, 0) + coalesce(s.{c}, 0)"
+                    for c in (*sums, count_col)
+                },
+                when_matched_delete=f"t.{count_col} + s.{count_col} = 0",
+                # a group born and fully deleted inside one batch nets
+                # to count 0 — it must not materialize as a phantom row
+                when_not_matched_condition=f"{count_col} > 0",
                 txn=(app_id, batch_id),
             )
-            return
-        merge_delta_native(
-            batch_df.sparkSession, path, deltas, group_by,
-            # coalesce both sides: a batch whose contributions to a sum
-            # column are all NULL has a NULL delta, and NULL + x would
-            # poison the maintained total forever. Documented
-            # divergence from a recompute: a group whose live rows are
-            # ALL NULL in a summed column maintains 0, where SQL SUM
-            # yields NULL.
-            when_matched_update={
-                c: f"coalesce(t.{c}, 0) + coalesce(s.{c}, 0)"
-                for c in (*sums, count_col)
-            },
-            when_matched_delete=f"t.{count_col} + s.{count_col} = 0",
-            # a group born and fully deleted inside one batch nets to
-            # count 0 — it must not materialize as a phantom row
-            when_not_matched_condition=f"{count_col} > 0",
-            txn=(app_id, batch_id),
-        )
+        finally:
+            deltas.unpersist()
 
     return write_batch
 
@@ -163,22 +170,32 @@ def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
         if batch_id <= last_committed_batch_iceberg(path, app_id):
             return
         spark = batch_df.sparkSession
-        deltas = _split_assert_known(
-            changelog_deltas(batch_df, group_by, sums, count_col)
-        ).select(*out_cols)
-        mdir = _os.path.join(path, "metadata")
-        import glob as _glob
+        # persisted: the _bad assertion and the merge join consume the
+        # same aggregation once, not twice (r12 review)
+        agg = changelog_deltas(
+            batch_df, group_by, sums, count_col
+        ).persist()
+        try:
+            _split_assert_known(agg)
+            deltas = agg.select(*out_cols)
+            mdir = _os.path.join(path, "metadata")
+            import glob as _glob
 
-        if not _glob.glob(_os.path.join(mdir, "*.metadata.json")):
-            write_iceberg_native(
-                deltas.filter(F.col(count_col) > 0), path,
-                format_version=2, summary_extra=marker(batch_id),
-            )
-            return
-        vals = [*sums, count_col]
-        renamed = deltas
-        for c in vals:
-            renamed = renamed.withColumnRenamed(c, f"_d_{c}")
+            if not _glob.glob(_os.path.join(mdir, "*.metadata.json")):
+                write_iceberg_native(
+                    deltas.filter(F.col(count_col) > 0), path,
+                    format_version=2, summary_extra=marker(batch_id),
+                )
+                return
+            vals = [*sums, count_col]
+            renamed = deltas
+            for c in vals:
+                renamed = renamed.withColumnRenamed(c, f"_d_{c}")
+            _inner_batch(spark, renamed, vals, batch_id)
+        finally:
+            agg.unpersist()
+
+    def _inner_batch(spark, renamed, vals, batch_id):
         renamed = renamed.persist()
         try:
             cur = read_iceberg_native(spark, path).select(
@@ -195,6 +212,22 @@ def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
                 ],
             ).persist()
             try:
+                # a NEGATIVE merged count means the changelog carried
+                # more deletes for a group than this MV ever counted
+                # (e.g. the stream was attached past the group's
+                # inserts) — silently skipping it would strand a stale
+                # row forever; fail the batch loudly instead
+                # (r12 review)
+                neg = merged.filter(
+                    F.col(count_col) < 0
+                ).limit(1).collect()
+                if neg:
+                    raise ValueError(
+                        "maintained count went negative for group "
+                        f"{tuple(neg[0][k] for k in group_by)!r}: the "
+                        "changelog is inconsistent with this MV "
+                        "(attached mid-history?)"
+                    )
                 keep = merged.filter(F.col(count_col) > 0)
                 dead = merged.filter(F.col(count_col) == 0) \
                     .select(*group_by)

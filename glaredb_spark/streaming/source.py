@@ -989,7 +989,9 @@ class DeltaChangesDataSource(DataSource):
 
         from glaredb_spark.sources.delta_native import load_delta_state
 
-        state = load_delta_state(self.options["path"])
+        state = load_delta_state(
+            delta_path_for_options(dict(self.options))
+        )
         st = StructType.fromJson(_json.loads(state.schema_json))
         base = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields

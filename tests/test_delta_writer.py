@@ -1460,3 +1460,35 @@ def test_merge_matched_delete_branch_and_cdf(spark, tmp_path):
         when_not_matched_condition="v > 0",
     )
     assert 9 not in {r.id for r in read_delta_native(spark, path).collect()}
+
+
+def test_merge_delete_predicate_null_falls_through(spark, tmp_path):
+    """A NULL when_matched_delete predicate means the clause does NOT
+    apply — the row must fall through to the update branch, not vanish
+    silently with no CDF record (r12 review)."""
+    from glaredb_spark.sources.delta_native import (
+        merge_delta_native,
+        read_delta_native,
+        table_changes_delta_native,
+        write_delta_native,
+    )
+
+    path = str(tmp_path / "nulldel")
+    write_delta_native(
+        spark.createDataFrame([(1, None), (2, 20)], "id long, v long"),
+        path, enable_cdf=True,
+    )
+    merge_delta_native(
+        spark, path,
+        spark.createDataFrame([(1, 5), (2, -20)], "id long, v long"),
+        ["id"],
+        when_matched_update={"v": "coalesce(t.v, 0) + s.v"},
+        when_matched_delete="t.v + s.v = 0",  # NULL for id=1 (t.v NULL)
+    )
+    got = sorted((r.id, r.v) for r in read_delta_native(spark, path).collect())
+    assert got == [(1, 5)]  # id=1 updated (NULL pred ≠ delete); id=2 deleted
+    by = {}
+    for r in table_changes_delta_native(spark, path, 1).collect():
+        by.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by["delete"] == {2}
+    assert by["update_postimage"] == {1}

@@ -712,3 +712,29 @@ def test_catalog_changes_stream_maintains_mv(spark, catalog, tmp_path):
     )
     drain()
     assert mv_rows() == expected()
+
+
+def test_alias_collision_in_extract_untouched(spark, catalog, tmp_path):
+    """SQL whose FROM qualifier merely collides with an attached alias
+    (EXTRACT(x FROM o.col)) must pass through untouched (r12 review)."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path)
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS o (endpoint '{endpoint}')"
+    ).collect()
+    try:
+        spark.createDataFrame(
+            [("2024-03-05",)], "o_orderdate string"
+        ).selectExpr("CAST(o_orderdate AS DATE) AS o_orderdate") \
+            .createOrReplaceTempView("orders_v")
+        row = sess.sql(
+            "SELECT EXTRACT(YEAR FROM o.o_orderdate) AS y "
+            "FROM orders_v o"
+        ).collect()[0]
+        assert row.y == 2024
+    finally:
+        detach_iceberg_rest(spark, "o")

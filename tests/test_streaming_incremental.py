@@ -281,3 +281,19 @@ def test_null_contributions_do_not_poison(spark, tmp_path):
         w(ch1, 1)  # NULL delta for the sum column, count +1
         w(ch2, 2)
         assert _mv_rows(reader(spark, mv)) == [("a", 12, 3)], fmt
+
+
+def test_iceberg_negative_count_fails_loudly(spark, tmp_path):
+    """A merged count below zero (changelog inconsistent with the MV —
+    e.g. attached mid-history) must fail the batch, not strand a stale
+    row silently (r12 review)."""
+    mv = str(tmp_path / "neg")
+    w = iceberg_mv_writer(mv, "app", GROUP, SUMS)
+    w(spark.createDataFrame([("a", 5, "insert")],
+                            "g string, v long, _change_type string"), 0)
+    two_deletes = spark.createDataFrame(
+        [("a", 5, "delete"), ("a", 9, "delete")],
+        "g string, v long, _change_type string",
+    )
+    with pytest.raises(ValueError, match="negative"):
+        w(two_deletes, 1)
