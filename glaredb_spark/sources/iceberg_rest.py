@@ -122,6 +122,12 @@ def oauth_token(endpoint: str, credential: str) -> str:
             f"oauth token exchange failed ({e.code}): "
             f"{e.read()[:200]!r}", code=e.code,
         ) from e
+    except OSError as e:
+        # connection-level failures wrap into the module's uniform
+        # error type like every other request (r12 review pass 2)
+        raise IcebergRestError(
+            f"oauth token exchange failed for {endpoint!r}: {e}"
+        ) from e
     tok = payload.get("access_token")
     if not tok:
         raise IcebergRestError("token endpoint returned no access_token")
@@ -246,8 +252,6 @@ def table_exists(endpoint: str, namespace: str, table: str,
     try:
         load_table(endpoint, namespace, table, token)
         return True
-    except CommitConflict:
-        raise
     except IcebergRestError as e:
         if e.code == 404:
             return False
@@ -438,9 +442,11 @@ def attach_iceberg_rest(spark, alias: str, endpoint: str,
         raise IcebergRestError(
             f"Catalog with name '{alias}' already attached"
         )
-    list_namespaces(
-        spark, endpoint, token=resolve_auth(endpoint, token, credential)
-    ).collect()
+    # liveness+auth probe: /v1/config (inside _base) plus ONE
+    # namespaces page — attach latency must not scale with catalog
+    # size (r12 review pass 2)
+    live = resolve_auth(endpoint, token, credential)
+    _request(f"{_base(endpoint, live)}/namespaces", live)
     _attached(spark)[alias] = (endpoint, token, credential)
 
 

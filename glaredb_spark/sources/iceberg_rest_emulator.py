@@ -101,7 +101,14 @@ class IcebergRestEmulator:
             for u in updates or []:
                 a = u.get("action")
                 if a == "add-snapshot":
-                    snap = u["snapshot"]
+                    # defensive body access: a malformed request is a
+                    # 400, never a KeyError the router would misreport
+                    # as 404 table-not-found (r12 review pass 2)
+                    snap = u.get("snapshot")
+                    if not isinstance(snap, dict):
+                        raise _BadRequest(
+                            "add-snapshot update needs a snapshot object"
+                        )
                     meta["snapshots"] = list(
                         meta.get("snapshots") or []
                     ) + [snap]
@@ -116,6 +123,10 @@ class IcebergRestEmulator:
                         raise _BadRequest(
                             f"only the main branch is supported, got "
                             f"{u.get('ref-name')!r}"
+                        )
+                    if "snapshot-id" not in u:
+                        raise _BadRequest(
+                            "set-snapshot-ref update needs snapshot-id"
                         )
                     meta["current-snapshot-id"] = u["snapshot-id"]
                 elif a == "set-properties":
@@ -336,11 +347,14 @@ class IcebergRestEmulator:
                         ns = tuple(body.get("namespace") or [])
                         if not ns:
                             raise _BadRequest("empty namespace")
-                        if ns in emu.namespaces:
-                            self._err(409, "AlreadyExistsException",
-                                      ".".join(ns))
-                            return
-                        emu.namespaces[ns] = body.get("properties") or {}
+                        with emu._lock:
+                            if ns in emu.namespaces:
+                                self._err(409, "AlreadyExistsException",
+                                          ".".join(ns))
+                                return
+                            emu.namespaces[ns] = (
+                                body.get("properties") or {}
+                            )
                         self._json(200, {
                             "namespace": list(ns),
                             "properties": emu.namespaces[ns]})
@@ -410,14 +424,17 @@ class IcebergRestEmulator:
                         raise _BadRequest(
                             "name and metadata-location required"
                         )
-                    if (ns, name) in emu.tables:
-                        self._err(409, "AlreadyExistsException", name)
-                        return
-                    if not os.path.exists(mloc):
-                        raise _BadRequest(
-                            f"metadata-location does not exist: {mloc}"
-                        )
-                    emu.tables[(ns, name)] = mloc
+                    with emu._lock:
+                        if (ns, name) in emu.tables:
+                            self._err(409, "AlreadyExistsException",
+                                      name)
+                            return
+                        if not os.path.exists(mloc):
+                            raise _BadRequest(
+                                f"metadata-location does not exist: "
+                                f"{mloc}"
+                            )
+                        emu.tables[(ns, name)] = mloc
                     self._json(200, {
                         "metadata-location": mloc,
                         "metadata": emu._load_meta((ns, name)),
@@ -456,19 +473,20 @@ class IcebergRestEmulator:
                             src.get("name"))
                     dkey = (tuple(dst.get("namespace") or []),
                             dst.get("name"))
-                    if skey not in emu.tables:
-                        self._err(404, "NoSuchTableException",
-                                  str(src.get("name")))
-                        return
-                    if dkey in emu.tables:
-                        self._err(409, "AlreadyExistsException",
-                                  str(dst.get("name")))
-                        return
-                    if dkey[0] not in emu.namespaces:
-                        self._err(404, "NoSuchNamespaceException",
-                                  ".".join(dkey[0]))
-                        return
-                    emu.tables[dkey] = emu.tables.pop(skey)
+                    with emu._lock:
+                        if skey not in emu.tables:
+                            self._err(404, "NoSuchTableException",
+                                      str(src.get("name")))
+                            return
+                        if dkey in emu.tables:
+                            self._err(409, "AlreadyExistsException",
+                                      str(dst.get("name")))
+                            return
+                        if dkey[0] not in emu.namespaces:
+                            self._err(404, "NoSuchNamespaceException",
+                                      ".".join(dkey[0]))
+                            return
+                        emu.tables[dkey] = emu.tables.pop(skey)
                     self._json(204, {})
                     return
                 self._err(404, "NotFoundException", "/".join(segs))

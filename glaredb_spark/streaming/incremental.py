@@ -74,15 +74,36 @@ def changelog_deltas(changes: DataFrame, group_by: list[str],
     return out
 
 
-def _split_assert_known(deltas: DataFrame) -> DataFrame:
+def _split_assert_known(deltas: DataFrame,
+                        group_by: list[str]) -> DataFrame:
     bad = deltas.filter("_bad > 0").limit(1).collect()
     if bad:
         raise ValueError(
             "changelog batch contains an unknown _change_type for key "
-            f"{tuple(bad[0][c] for c in deltas.columns[:1])!r}; known: "
+            f"{tuple(bad[0][c] for c in group_by)!r}; known: "
             f"{sorted(_PLUS + _MINUS)}"
         )
     return deltas.drop("_bad")
+
+
+def _assert_no_orphan_negative(out: DataFrame, group_by: list[str],
+                               count_col: str,
+                               target_keys: DataFrame | None = None):
+    """A negative count delta for a group the MV has never counted
+    (no target row — or no target at all on the creation batch) means
+    the changelog is inconsistent with this MV; silently dropping it
+    would strand the divergence forever (r12 review pass 2). The probe
+    runs only when a negative delta actually exists (rare)."""
+    negs = out.filter(F.col(count_col) < 0)
+    if target_keys is not None:
+        negs = negs.join(target_keys, group_by, "left_anti")
+    stray = negs.limit(1).collect()
+    if stray:
+        raise ValueError(
+            "negative count delta for group the MV has never seen "
+            f"{tuple(stray[0][k] for k in group_by)!r}: the changelog "
+            "is inconsistent with this MV (attached mid-history?)"
+        )
 
 
 def delta_mv_writer(path: str, app_id: str, group_by: list[str],
@@ -111,14 +132,41 @@ def delta_mv_writer(path: str, app_id: str, group_by: list[str],
             batch_df, group_by, sums, count_col
         ).persist()
         try:
-            _split_assert_known(deltas)
+            _split_assert_known(deltas, group_by)
             out = deltas.select(*out_cols)
             if not os.path.isdir(os.path.join(path, "_delta_log")):
+                _assert_no_orphan_negative(out, group_by, count_col)
                 write_delta_native(
                     out.filter(F.col(count_col) > 0), path,
                     txn=(app_id, batch_id),
                 )
                 return
+            # a NEGATIVE maintained count (changelog inconsistent with
+            # the MV — attached mid-history?) fails the rewrite job
+            # loudly via assert_true instead of persisting corruption;
+            # a negative delta for a group the MV has never seen is
+            # the same inconsistency on the insert side
+            from glaredb_spark.sources.delta_native import (
+                read_delta_native,
+            )
+
+            _assert_no_orphan_negative(
+                out, group_by, count_col,
+                target_keys=read_delta_native(
+                    batch_df.sparkSession, path
+                ).select(*group_by),
+            )
+            upd = {
+                c: f"coalesce(t.{c}, 0) + coalesce(s.{c}, 0)"
+                for c in sums
+            }
+            upd[count_col] = (
+                f"coalesce(t.{count_col}, 0) + coalesce(s.{count_col},"
+                f" 0) + CASE WHEN t.{count_col} + s.{count_col} < 0 "
+                f"THEN CAST(assert_true(false, 'maintained count went "
+                f"negative: the changelog is inconsistent with this MV"
+                f" (attached mid-history?)') AS BIGINT) ELSE 0 END"
+            )
             merge_delta_native(
                 batch_df.sparkSession, path, out, group_by,
                 # coalesce both sides: a batch whose contributions to a
@@ -127,10 +175,7 @@ def delta_mv_writer(path: str, app_id: str, group_by: list[str],
                 # Documented divergence from a recompute: a group whose
                 # live rows are ALL NULL in a summed column maintains
                 # 0, where SQL SUM yields NULL.
-                when_matched_update={
-                    c: f"coalesce(t.{c}, 0) + coalesce(s.{c}, 0)"
-                    for c in (*sums, count_col)
-                },
+                when_matched_update=upd,
                 when_matched_delete=f"t.{count_col} + s.{count_col} = 0",
                 # a group born and fully deleted inside one batch nets
                 # to count 0 — it must not materialize as a phantom row
@@ -176,12 +221,15 @@ def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
             batch_df, group_by, sums, count_col
         ).persist()
         try:
-            _split_assert_known(agg)
+            _split_assert_known(agg, group_by)
             deltas = agg.select(*out_cols)
             mdir = _os.path.join(path, "metadata")
             import glob as _glob
 
             if not _glob.glob(_os.path.join(mdir, "*.metadata.json")):
+                # creation batch: every negative delta is by definition
+                # for a group this MV has never counted (r12 review 2)
+                _assert_no_orphan_negative(deltas, group_by, count_col)
                 write_iceberg_native(
                     deltas.filter(F.col(count_col) > 0), path,
                     format_version=2, summary_extra=marker(batch_id),

@@ -313,7 +313,14 @@ def iceberg_meta_for_options(options: dict) -> tuple[dict, str]:
 class _IcebergAppendsStreamReader(DataSourceStreamReader):
     def __init__(self, schema_json: str, options: dict):
         self._options = dict(options)
-        _meta, self._path = iceberg_meta_for_options(self._options)
+        # lazy: every offset/partition call re-resolves through
+        # _snapshots() anyway (and sets _path); an eager loadTable here
+        # was a third catalog round-trip before the first batch
+        # (r12 review pass 2)
+        self._path = (
+            os.path.abspath(options["path"])
+            if options.get("path") else None
+        )
         self._schema_json = schema_json
         self._skip = str(
             options.get("skip_non_appends", "false")

@@ -297,3 +297,21 @@ def test_iceberg_negative_count_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="negative"):
         w(two_deletes, 1)
+
+
+def test_delta_negative_count_fails_loudly(spark, tmp_path):
+    """The Delta twin of the Iceberg negative-count guard (r12 review
+    pass 2): a matched group driven below zero fails the merge job; an
+    unmatched negative group fails the pre-probe."""
+    mv = str(tmp_path / "dneg")
+    w = delta_mv_writer(mv, "app", GROUP, SUMS)
+    w(spark.createDataFrame([("a", 5, "insert")],
+                            "g string, v long, _change_type string"), 0)
+    with pytest.raises(Exception, match="negative"):
+        w(spark.createDataFrame(
+            [("a", 5, "delete"), ("a", 9, "delete")],
+            "g string, v long, _change_type string"), 1)
+    with pytest.raises(ValueError, match="never seen"):
+        w(spark.createDataFrame(
+            [("ghost", 1, "delete")],
+            "g string, v long, _change_type string"), 2)
