@@ -373,7 +373,21 @@ def main() -> None:
                 # #2). The one place the harness publishes a scaling-
                 # exponent claim must be at least as noise-guarded as the
                 # headline numbers.
-                run_sf1(name)  # untimed warmup
+                # warm until STABLE, not just once: after a heavy
+                # prior workload (e.g. a full pytest run) the sf1
+                # parquet is evicted from the page cache and a single
+                # warmup leaves the timed samples consistently-slow —
+                # consistent means the median-vs-min variance guard
+                # cannot flag them (r12: a cold run published q01 sf1
+                # = 10.84x where the warm ratio is 1.06x; the r9 13.2x
+                # artifact was the same class). Warmups repeat until
+                # two consecutive ones agree within 30% (max 4).
+                w_prev = run_sf1(name)
+                for _ in range(3):
+                    w_cur = run_sf1(name)
+                    if abs(w_prev - w_cur) / max(w_cur, 1e-9) <= 0.30:
+                        break
+                    w_prev = w_cur
                 samples = [run_sf1(name) for _ in range(2)]
                 extra = 0
                 while (
