@@ -2694,7 +2694,8 @@ def commit_staged_append_iceberg_native(
 # --- copy-on-write DML (beyond the read-only reference) ----------------------
 
 
-def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
+def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite,
+                          base_meta=None, commit_fn=None):
     """COW core shared by DELETE and UPDATE (the Delta writer's strategy,
     delta_native.py:_rewrite_matching): one distributed probe finds the
     data files containing >=1 predicate match via a per-
@@ -2705,7 +2706,10 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
     from pyspark.sql import functions as F
 
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    # base_meta/commit_fn (r12): a catalog-attached table plans against
+    # the CATALOG's current metadata and routes the pointer swap back
+    # through it — same contract as the staged append
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     pfields = _partition_fields(meta)
     snap_id = meta.get("current-snapshot-id")
     active = []
@@ -2780,12 +2784,14 @@ def _rewrite_matching_ice(spark, table_path, predicate, operation, rewrite):
             "added-data-files": len(added),
             "matched-records": int(matched),
         },
+        commit_fn=commit_fn,
     )
     return (int(matched), len(hit))
 
 
 def equality_delete_iceberg_native(
-    spark, table_path: str, keys
+    spark, table_path: str, keys,
+    base_meta=None, commit_fn=None,
 ) -> tuple[int, int]:
     """Equality-delete write (v2 content=2): delete every row whose key
     columns match a row of ``keys`` (a DataFrame whose columns name a
@@ -2796,7 +2802,7 @@ def equality_delete_iceberg_native(
     strictly older sequence numbers (rows re-inserted later survive,
     per spec). Returns (key_rows_written, delete_files_written)."""
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     fv = int(meta.get("format-version", 1) or 1)
     if fv != 2:
         raise IcebergError(
@@ -2839,6 +2845,7 @@ def equality_delete_iceberg_native(
     _publish_snapshot(
         table_path, meta, schema_obj, added, [], "delete",
         {"added-delete-files": len(added), "equality-delete-keys": nkeys},
+        commit_fn=commit_fn,
         carry_forward=carry, manifest_content=1,
     )
     return (nkeys, len(added))
@@ -2847,7 +2854,7 @@ def equality_delete_iceberg_native(
 def upsert_iceberg_native(
     spark, table_path: str, df, on: list[str],
     summary_extra: "dict | None" = None,
-    delete_keys=None,
+    delete_keys=None, base_meta=None, commit_fn=None,
 ) -> int:
     """CDC upsert in ONE snapshot: an equality-delete file over the
     batch's ``on`` key values plus the batch's data files, published
@@ -2887,9 +2894,10 @@ def upsert_iceberg_native(
         # streaming sink's idempotence handle must cover batch 0 too;
         # delete_keys have nothing to kill on a fresh table)
         return write_iceberg_native(
-            df, table_path, format_version=2, summary_extra=summary_extra
+            df, table_path, format_version=2,
+            summary_extra=summary_extra, commit_fn=commit_fn,
         )
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     fv = int(meta.get("format-version", 1) or 1)
     if fv != 2:
         raise IcebergError(
@@ -2953,6 +2961,7 @@ def upsert_iceberg_native(
     return _publish_snapshot(
         table_path, meta, schema_obj, data_adds, [], "overwrite",
         summary, carry_forward=carry, added_deletes=del_adds or None,
+        commit_fn=commit_fn,
     )
 
 
@@ -4191,7 +4200,8 @@ def merge_iceberg_native(
 
 
 def delete_iceberg_native(
-    spark, table_path: str, predicate: str, strategy: str = "auto"
+    spark, table_path: str, predicate: str, strategy: str = "auto",
+    base_meta=None, commit_fn=None,
 ) -> tuple[int, int]:
     """DELETE rows matching ``predicate`` (SQL expression).
 
@@ -4211,12 +4221,16 @@ def delete_iceberg_native(
     if strategy == "auto":
         strategy = "mor" if _has_position_deletes(table_path) else "cow"
     if strategy == "mor":
-        return _delete_with_position_files(spark, table_path, predicate)
+        return _delete_with_position_files(
+            spark, table_path, predicate,
+            base_meta=base_meta, commit_fn=commit_fn,
+        )
     if strategy != "cow":
         raise IcebergError(f"unknown DELETE strategy {strategy!r}")
     return _rewrite_matching_ice(
         spark, table_path, predicate, "delete",
         lambda df, pred: df.filter(~pred),
+        base_meta=base_meta, commit_fn=commit_fn,
     )
 
 
@@ -4329,7 +4343,8 @@ def _positions_to_delete_files(
 
 
 def _delete_with_position_files(
-    spark, table_path: str, predicate: str
+    spark, table_path: str, predicate: str,
+    base_meta=None, commit_fn=None,
 ) -> tuple[int, int]:
     """Position-delete-writing DELETE (see delete_iceberg_native).
     Fully distributed where it matters: the probe scans live rows
@@ -4340,7 +4355,7 @@ def _delete_with_position_files(
     from pyspark.sql import functions as F
 
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     out, mapping = _mor_live_scan(spark, table_path, meta, "DELETE")
     if out is None:
         return (0, 0)
@@ -4354,13 +4369,14 @@ def _delete_with_position_files(
         table_path, meta, _current_schema_obj(meta), added, [],
         "delete",
         {"added-delete-files": len(added), "deleted-records": deleted},
-        carry_forward=carry, manifest_content=1,
+        carry_forward=carry, manifest_content=1, commit_fn=commit_fn,
     )
     return (deleted, len(added))
 
 
 def _update_with_position_files(
-    spark, table_path: str, sets: dict, predicate: str
+    spark, table_path: str, sets: dict, predicate: str,
+    base_meta=None, commit_fn=None,
 ) -> tuple[int, int]:
     """Position-delete-writing UPDATE (the MoR UPDATE shape): matched
     live rows are position-deleted in place and their UPDATED COPIES
@@ -4370,7 +4386,7 @@ def _update_with_position_files(
     from pyspark.sql import functions as F
 
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     schema_obj = _current_schema_obj(meta)
     cols = [f["name"] for f in schema_obj.get("fields", [])]
     unknown = set(sets) - set(cols)
@@ -4413,13 +4429,14 @@ def _update_with_position_files(
          "added-data-files": len(data_adds),
          "updated-records": updated},
         carry_forward=carry, added_deletes=del_adds,
+        commit_fn=commit_fn,
     )
     return (updated, len(del_adds))
 
 
 def update_iceberg_native(
     spark, table_path: str, sets: dict, predicate: str,
-    strategy: str = "auto",
+    strategy: str = "auto", base_meta=None, commit_fn=None,
 ) -> tuple[int, int]:
     """UPDATE: rows matching ``predicate`` get the ``sets``
     column->SQL-expression assignments. ``strategy="cow"`` rewrites
@@ -4435,7 +4452,8 @@ def update_iceberg_native(
         strategy = "mor" if _has_position_deletes(table_path) else "cow"
     if strategy == "mor":
         return _update_with_position_files(
-            spark, table_path, sets, predicate
+            spark, table_path, sets, predicate,
+            base_meta=base_meta, commit_fn=commit_fn,
         )
     if strategy != "cow":
         raise IcebergError(f"unknown UPDATE strategy {strategy!r}")
@@ -4454,7 +4472,8 @@ def update_iceberg_native(
         return out
 
     return _rewrite_matching_ice(
-        spark, table_path, predicate, "overwrite", _apply
+        spark, table_path, predicate, "overwrite", _apply,
+        base_meta=base_meta, commit_fn=commit_fn,
     )
 
 

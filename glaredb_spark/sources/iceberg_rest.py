@@ -355,33 +355,7 @@ def append_table(spark, endpoint: str, namespace: str, table: str, df,
         if staged is None:
             staged = stage_append_iceberg_native(df, loc, base)
             staged_schema_id, staged_spec_id = cur_schema, cur_spec
-        base_snap = base.get("current-snapshot-id")
-        if base_snap is not None and int(base_snap) == -1:
-            base_snap = None  # java writers use -1 for "no snapshot"
-
-        def commit(new_meta, _base_snap=base_snap):
-            snap = new_meta["snapshots"][-1]
-            requirements = [
-                {"type": "assert-table-uuid",
-                 "uuid": new_meta.get("table-uuid")},
-                # null snapshot-id asserts the ref does not exist yet
-                {"type": "assert-ref-snapshot-id", "ref": "main",
-                 "snapshot-id": _base_snap},
-            ]
-            updates = [
-                {"action": "add-snapshot", "snapshot": snap},
-                {"action": "set-snapshot-ref", "ref-name": "main",
-                 "type": "branch",
-                 "snapshot-id": snap["snapshot-id"]},
-            ]
-            _request(
-                _table_url(endpoint, namespace, table, token), token,
-                "POST",
-                {"identifier": {"namespace": namespace.split("."),
-                                "name": table},
-                 "requirements": requirements, "updates": updates},
-            )
-
+        commit = _commit_fn_for(endpoint, namespace, table, token, base)
         try:
             return commit_staged_append_iceberg_native(
                 loc, base, staged, commit_fn=commit,
@@ -396,6 +370,137 @@ def append_table(spark, endpoint: str, namespace: str, table: str, df,
     raise IcebergRestError(
         f"append to {namespace}.{table} lost the commit race "
         f"{max_retries} times: {last}"
+    )
+
+
+def _commit_fn_for(endpoint: str, namespace: str, table: str,
+                   token: str | None, base: dict):
+    """The _publish_snapshot commit hook for a catalog table: swap the
+    pointer through commitTable with optimistic requirements planned
+    against ``base`` (shared by append/DML paths)."""
+    base_snap = base.get("current-snapshot-id")
+    if base_snap is not None and int(base_snap) == -1:
+        base_snap = None  # java writers use -1 for "no snapshot"
+
+    def commit(new_meta):
+        snap = new_meta["snapshots"][-1]
+        _request(
+            _table_url(endpoint, namespace, table, token), token,
+            "POST",
+            {"identifier": {"namespace": namespace.split("."),
+                            "name": table},
+             "requirements": [
+                 {"type": "assert-table-uuid",
+                  "uuid": new_meta.get("table-uuid")},
+                 # null snapshot-id asserts the ref does not exist yet
+                 {"type": "assert-ref-snapshot-id", "ref": "main",
+                  "snapshot-id": base_snap},
+             ],
+             "updates": [
+                 {"action": "add-snapshot", "snapshot": snap},
+                 {"action": "set-snapshot-ref", "ref-name": "main",
+                  "type": "branch",
+                  "snapshot-id": snap["snapshot-id"]},
+             ]},
+        )
+
+    return commit
+
+
+def _dml_with_retry(endpoint: str, namespace: str, table: str,
+                    token: str | None, max_retries: int, run):
+    """Catalog DML loop: load a fresh base per attempt, run the DML
+    planned against it with the catalog commit hook, retry on 409.
+    Unlike the staged append, a DML's WRITE SET depends on the base
+    (the rewrite/delete plans against its files), so each retry is a
+    full re-plan — the loser's staged files are VACUUM-fodder orphans."""
+    last: Exception | None = None
+    for _attempt in range(max_retries):
+        res = load_table(endpoint, namespace, table, token)
+        base = res.get("metadata") or {}
+        loc = _strip_file(base.get("location") or "")
+        if not loc:
+            raise IcebergRestError(
+                f"table {namespace}.{table} has no location"
+            )
+        try:
+            return run(
+                loc, base,
+                _commit_fn_for(endpoint, namespace, table, token, base),
+            )
+        except CommitConflict as e:
+            last = e
+            continue
+    raise IcebergRestError(
+        f"DML on {namespace}.{table} lost the commit race "
+        f"{max_retries} times: {last}"
+    )
+
+
+def delete_table_rows(spark, endpoint: str, namespace: str, table: str,
+                      predicate: str, strategy: str = "auto",
+                      token: str | None = None,
+                      max_retries: int = 3) -> tuple[int, int]:
+    """DELETE rows of a catalog table (COW or MoR position deletes per
+    ``strategy``) — planned against the catalog's current metadata,
+    committed through optimistic commitTable."""
+    from glaredb_spark.sources.iceberg_native import delete_iceberg_native
+
+    return _dml_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: delete_iceberg_native(
+            spark, loc, predicate, strategy=strategy,
+            base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def update_table_rows(spark, endpoint: str, namespace: str, table: str,
+                      sets: dict, predicate: str, strategy: str = "auto",
+                      token: str | None = None,
+                      max_retries: int = 3) -> tuple[int, int]:
+    """UPDATE rows of a catalog table (COW rewrite or MoR
+    delete+reinsert) through optimistic commitTable."""
+    from glaredb_spark.sources.iceberg_native import update_iceberg_native
+
+    return _dml_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: update_iceberg_native(
+            spark, loc, sets, predicate, strategy=strategy,
+            base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def upsert_table(spark, endpoint: str, namespace: str, table: str, df,
+                 on: list[str], token: str | None = None,
+                 max_retries: int = 3) -> int:
+    """CDC upsert (equality-delete + insert in one snapshot) on a
+    catalog table through optimistic commitTable."""
+    from glaredb_spark.sources.iceberg_native import upsert_iceberg_native
+
+    return _dml_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: upsert_iceberg_native(
+            spark, loc, df, on, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def equality_delete_table(spark, endpoint: str, namespace: str,
+                          table: str, keys, token: str | None = None,
+                          max_retries: int = 3) -> tuple[int, int]:
+    """Equality-delete keys from a catalog table (O(|keys|), no data
+    scan) through optimistic commitTable."""
+    from glaredb_spark.sources.iceberg_native import (
+        equality_delete_iceberg_native,
+    )
+
+    return _dml_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: equality_delete_iceberg_native(
+            spark, loc, keys, base_meta=base, commit_fn=commit,
+        ),
     )
 
 

@@ -738,3 +738,150 @@ def test_alias_collision_in_extract_untouched(spark, catalog, tmp_path):
         assert row.y == 2024
     finally:
         detach_iceberg_rest(spark, "o")
+
+
+def test_catalog_routed_dml(spark, catalog, tmp_path):
+    """DELETE/UPDATE/upsert/equality-delete on a catalog table: planned
+    against the catalog's current metadata, committed through
+    optimistic commitTable (r12 — every mutation now routes through
+    the catalog pointer, not the filesystem hint)."""
+    emu, endpoint = catalog
+    rest.create_namespace(endpoint, "dml")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), i * 10) for i in range(10)],
+        "id long, g string, v long",
+    )
+    rest.create_table(spark, endpoint, "dml", "t", df)
+    rest.append_table(spark, endpoint, "dml", "t", df)
+
+    # COW delete via catalog
+    n, files = rest.delete_table_rows(
+        spark, endpoint, "dml", "t", "id >= 8", strategy="cow"
+    )
+    assert n == 2
+    assert rest.read_table(spark, endpoint, "dml", "t").count() == 8
+
+    # COW update via catalog
+    n, _f = rest.update_table_rows(
+        spark, endpoint, "dml", "t", {"v": "v + 1000"}, "id < 2",
+        strategy="cow",
+    )
+    assert n == 2
+    got = {r.id: r.v for r in
+           rest.read_table(spark, endpoint, "dml", "t").collect()}
+    assert got[0] == 1000 and got[1] == 1010 and got[5] == 50
+
+    # the catalog pointer advanced with every commit
+    meta = rest.load_table(endpoint, "dml", "t")["metadata"]
+    assert len(meta["snapshots"]) >= 3
+
+
+def test_catalog_routed_mor_upsert_and_eq_delete(spark, catalog,
+                                                 tmp_path):
+    """MoR paths via the catalog: the table must be format-version 2 —
+    write it natively, register, then upsert + equality-delete through
+    commitTable; reads stay catalog-pinned."""
+    from glaredb_spark.sources.iceberg_native import (
+        _metadata_path,
+        write_iceberg_native,
+    )
+
+    emu, endpoint = catalog
+    loc = str(tmp_path / "wh" / "m" / "t")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), i * 10) for i in range(6)],
+        "id long, g string, v long",
+    )
+    write_iceberg_native(df.coalesce(1), loc, format_version=2)
+    emu.add_namespace("m")
+    emu.register("m", "t", _metadata_path(loc))
+
+    snap = rest.upsert_table(
+        spark, endpoint, "m", "t",
+        spark.createDataFrame([(2, "g0", 999), (100, "g1", 5)],
+                              "id long, g string, v long"),
+        on=["id"],
+    )
+    assert snap > 0
+    got = {r.id: r.v for r in
+           rest.read_table(spark, endpoint, "m", "t").collect()}
+    assert got[2] == 999 and got[100] == 5 and len(got) == 7
+
+    nkeys, nfiles = rest.equality_delete_table(
+        spark, endpoint, "m", "t",
+        spark.createDataFrame([(4,), (100,)], "id long"),
+    )
+    assert nkeys == 2
+    ids = {r.id for r in
+           rest.read_table(spark, endpoint, "m", "t").collect()}
+    assert ids == {0, 1, 2, 3, 5}
+
+    # another catalog-routed equality delete (position-delete DML on a
+    # table already carrying equality deletes is refused by design —
+    # the documented native-writer MoR mixing rule)
+    nkeys, _f = rest.equality_delete_table(
+        spark, endpoint, "m", "t",
+        spark.createDataFrame([(5,)], "id long"),
+    )
+    assert nkeys == 1
+    assert {r.id for r in rest.read_table(
+        spark, endpoint, "m", "t").collect()} == {0, 1, 2, 3}
+
+
+def test_catalog_dml_conflict_retries(spark, catalog, tmp_path,
+                                      monkeypatch):
+    """A 409 on the DML commit re-plans against the refreshed base and
+    lands (full re-plan, unlike the staged append)."""
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, rows=6)
+
+    real = rest._request
+    fails = {"n": 0}
+
+    def flaky(url, token=None, method="GET", payload=None):
+        if method == "POST" and "/tables/" in url and fails["n"] == 0:
+            fails["n"] += 1
+            raise CommitConflict("injected", "CommitFailedException",
+                                 409)
+        return real(url, token, method, payload)
+
+    monkeypatch.setattr(rest, "_request", flaky)
+    n, _f = rest.delete_table_rows(
+        spark, endpoint, "analytics", "docs", "id < 2", strategy="cow"
+    )
+    assert fails["n"] == 1 and n == 2
+    assert rest.read_table(
+        spark, endpoint, "analytics", "docs").count() == 4
+
+
+def test_catalog_routed_mor_position_delete(spark, catalog, tmp_path):
+    """MoR position-delete DELETE via the catalog on a clean v2 table
+    (no equality deletes — the mixing rule)."""
+    from glaredb_spark.sources.iceberg_native import (
+        _metadata_path,
+        write_iceberg_native,
+    )
+
+    emu, endpoint = catalog
+    loc = str(tmp_path / "wh" / "pd" / "t")
+    write_iceberg_native(
+        spark.range(8).selectExpr("id", "id * 2 AS v").coalesce(1),
+        loc, format_version=2,
+    )
+    emu.add_namespace("pd")
+    emu.register("pd", "t", _metadata_path(loc))
+    n, files = rest.delete_table_rows(
+        spark, endpoint, "pd", "t", "id % 3 = 0", strategy="mor"
+    )
+    assert n == 3 and files >= 1
+    assert {r.id for r in rest.read_table(
+        spark, endpoint, "pd", "t").collect()} == {1, 2, 4, 5, 7}
+    # MoR UPDATE rides the same catalog commit
+    n, _f = rest.update_table_rows(
+        spark, endpoint, "pd", "t", {"v": "v + 100"}, "id = 1",
+        strategy="mor",
+    )
+    assert n == 1
+    got = {r.id: r.v for r in rest.read_table(
+        spark, endpoint, "pd", "t").collect()}
+    assert got[1] == 102
