@@ -99,6 +99,22 @@ _UPDATE_PATH_RE = re.compile(
     + r"\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# catalog-routed DML over ATTACHed aliases (r12):
+# DELETE FROM alias.ns[.ns2...].table WHERE pred
+# UPDATE alias.ns[.ns2...].table SET c = expr[, ...] WHERE pred
+# — only fires when the first segment IS an attached iceberg_rest
+# alias; everything else falls through to the existing handlers
+_DELETE_CAT_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\."
+    r"((?:[A-Za-z_]\w*\.)*)([A-Za-z_]\w*)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_CAT_RE = re.compile(
+    r"^\s*UPDATE\s+([A-Za-z_]\w*)\."
+    r"((?:[A-Za-z_]\w*\.)*)([A-Za-z_]\w*)"
+    r"\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # MERGE INTO '<table-dir>' [AS] t USING (<query>)|<table> [AS] s
 #   [ON <equi-cond>] [WHEN MATCHED THEN UPDATE SET c = expr, ...]
 #   [WHEN NOT MATCHED THEN INSERT [*]]
@@ -705,6 +721,55 @@ class GlareSession:
                 )
                 msg = f"attached {attach.group(2)}"
             return self.spark.range(1).select(F.lit(msg).alias("status"))
+        dml = _DELETE_CAT_RE.match(query)
+        if dml:
+            # DELETE FROM <attached-alias>.<ns...>.<table> WHERE pred —
+            # catalog-routed (r12); unattached aliases fall through
+            hit = self._catalog_dml_target(dml.group(1))
+            if hit:
+                from pyspark.sql import functions as F
+
+                from glaredb_spark.sources import iceberg_rest as _ir
+
+                endpoint, token = hit
+                ns = (dml.group(2) or "").rstrip(".")
+                if ns:
+                    n, _f = _ir.delete_table_rows(
+                        self.spark, endpoint, ns, dml.group(3),
+                        dml.group(4), token=token,
+                    )
+                    return self.spark.range(1).select(
+                        F.lit(n).cast("bigint").alias("Count")
+                    )
+        dml = _UPDATE_CAT_RE.match(query)
+        if dml:
+            hit = self._catalog_dml_target(dml.group(1))
+            if hit:
+                from pyspark.sql import functions as F
+
+                from glaredb_spark.functions.arith_binder import (
+                    _split_top_args,
+                )
+                from glaredb_spark.sources import iceberg_rest as _ir
+
+                endpoint, token = hit
+                ns = (dml.group(2) or "").rstrip(".")
+                if ns:
+                    sets: dict[str, str] = {}
+                    for item in _split_top_args(dml.group(4)):
+                        col, eq, expr = item.partition("=")
+                        if not eq or not col.strip() or not expr.strip():
+                            raise ValueError(
+                                f"malformed SET clause item: {item!r}"
+                            )
+                        sets[col.strip().strip('`"')] = expr.strip()
+                    n, _f = _ir.update_table_rows(
+                        self.spark, endpoint, ns, dml.group(3), sets,
+                        dml.group(5), token=token,
+                    )
+                    return self.spark.range(1).select(
+                        F.lit(n).cast("bigint").alias("Count")
+                    )
         dml = _DELETE_PATH_RE.match(query)
         if dml:
             # DELETE FROM '<table-dir>' WHERE pred — copy-on-write over
@@ -1131,6 +1196,16 @@ class GlareSession:
             # are not recorded so profile() keeps pointing at user queries
             record_query(self.spark, df)
         return df
+
+    def _catalog_dml_target(self, alias: str):
+        """(endpoint, token) when ``alias`` names an ATTACHed iceberg
+        rest catalog, else None (the DML falls through to the path /
+        Spark-SQL handlers)."""
+        from glaredb_spark.sources import iceberg_rest as _ir
+
+        if alias in _ir._attached(self.spark):
+            return _ir.resolve_attached(self.spark, alias)
+        return None
 
     def _attach_postgres(self, m: "re.Match") -> DataFrame:
         """ATTACH POSTGRES DATABASE AS name (connection_string '...') —

@@ -885,3 +885,39 @@ def test_catalog_routed_mor_position_delete(spark, catalog, tmp_path):
     got = {r.id: r.v for r in rest.read_table(
         spark, endpoint, "pd", "t").collect()}
     assert got[1] == 102
+
+
+def test_sql_dml_over_attached_catalog(spark, catalog, tmp_path):
+    """DELETE FROM / UPDATE over an attached alias route through
+    commitTable; non-attached dotted targets fall through untouched."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, rows=10)
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icm (endpoint '{endpoint}')"
+    ).collect()
+    try:
+        n = sess.sql(
+            "DELETE FROM icm.analytics.docs WHERE id >= 7"
+        ).collect()[0].Count
+        assert n == 3
+        n = sess.sql(
+            "UPDATE icm.analytics.docs SET v = v + 100 WHERE id < 2"
+        ).collect()[0].Count
+        assert n == 2
+        got = {r.id: r.v for r in rest.read_table(
+            spark, endpoint, "analytics", "docs").collect()}
+        assert len(got) == 7 and got[0] == 100 and got[1] == 102
+        # every mutation advanced the CATALOG pointer
+        meta = rest.load_table(endpoint, "analytics", "docs")["metadata"]
+        assert len(meta["snapshots"]) == 3
+        # a temp-view UPDATE with a dotted-looking name still falls
+        # through to Spark (and errors there, not in the catalog path)
+        with pytest.raises(Exception):
+            sess.sql("UPDATE nosuch.alias.t SET v = 1 WHERE id = 1") \
+                .collect()
+    finally:
+        detach_iceberg_rest(spark, "icm")
