@@ -175,6 +175,12 @@ def _handle_attached_ref(spark: SparkSession, m: re.Match) -> str:
             # rather than breaking the query (r12 review)
             return m.group(0)
         endpoint, token = _ir.resolve_attached(spark, alias)
+        # a three-part struct-field reference whose qualifier collides
+        # with the alias (EXTRACT(YEAR FROM ic.addr.ts)) is not a
+        # table: probe existence and fall through untouched on a miss
+        # rather than rewriting into a 404ing read (r12 advisor)
+        if not _ir.table_exists(endpoint, ns, last, token=token):
+            return m.group(0)
         df = _ir.read_table(spark, endpoint, ns, last, token=token)
         view = _view_name("icerest_ref", f"{endpoint}|{ns}.{last}")
     elif alias in u_attached:
@@ -182,7 +188,10 @@ def _handle_attached_ref(spark: SparkSession, m: re.Match) -> str:
         if len(parts) != 1:
             return m.group(0)  # same collision guard as above
         endpoint, catalog = u_attached[alias]
-        df = _u.read_table(spark, endpoint, catalog, parts[0], last)
+        try:
+            df = _u.read_table(spark, endpoint, catalog, parts[0], last)
+        except (ValueError, OSError):
+            return m.group(0)  # non-table dotted ref: leave untouched
         view = _view_name("unity_ref", f"{endpoint}|{catalog}.{parts[0]}.{last}")
     else:
         return m.group(0)  # not an attached alias: leave untouched

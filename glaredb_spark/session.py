@@ -167,6 +167,39 @@ _REORG_RE = re.compile(
     r"^\s*REORG\s+TABLE\s+'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
+# catalog-routed maintenance/DDL over ATTACHed iceberg_rest aliases
+# (r13, verdict #1): same statements, dotted alias.ns.table target —
+# commits go through the catalog's optimistic commitTable, never the
+# filesystem version hint (invisible to a pointer-only catalog)
+_CATREF = r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
+_OPTIMIZE_CAT_RE = re.compile(
+    r"^\s*OPTIMIZE\s+" + _CATREF +
+    r"(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_CAT_RE = re.compile(
+    r"^\s*VACUUM\s+" + _CATREF +
+    r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REORG_CAT_RE = re.compile(
+    r"^\s*REORG\s+TABLE\s+" + _CATREF +
+    r"\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_CAT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+" + _CATREF + r"\s+"
+    r"(?:ADD\s+COLUMN\s+(\w+)\s+([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
+    r"|RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
+    r"|DROP\s+COLUMN\s+(\w+)"
+    r"|ADD\s+PARTITION\s+FIELD\s+([^;]+?)"
+    r"|DROP\s+PARTITION\s+FIELD\s+([^;]+?)"
+    r"|ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
+    r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
+    r"|SET\s+IDENTIFIER\s+FIELDS\s*\(([^)]*)\)"
+    r"|RENAME\s+TO\s+([A-Za-z_][\w.]*))\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _native_table_kind(path: str) -> str:
@@ -732,15 +765,17 @@ class GlareSession:
                 from glaredb_spark.sources import iceberg_rest as _ir
 
                 endpoint, token = hit
-                ns = (dml.group(2) or "").rstrip(".")
-                if ns:
-                    n, _f = _ir.delete_table_rows(
-                        self.spark, endpoint, ns, dml.group(3),
-                        dml.group(4), token=token,
-                    )
-                    return self.spark.range(1).select(
-                        F.lit(n).cast("bigint").alias("Count")
-                    )
+                ns = self._resolve_catalog_ns(
+                    endpoint, token, (dml.group(2) or "").rstrip("."),
+                    dml.group(1), dml.group(3),
+                )
+                n, _f = _ir.delete_table_rows(
+                    self.spark, endpoint, ns, dml.group(3),
+                    dml.group(4), token=token,
+                )
+                return self.spark.range(1).select(
+                    F.lit(n).cast("bigint").alias("Count")
+                )
         dml = _UPDATE_CAT_RE.match(query)
         if dml:
             hit = self._catalog_dml_target(dml.group(1))
@@ -753,23 +788,25 @@ class GlareSession:
                 from glaredb_spark.sources import iceberg_rest as _ir
 
                 endpoint, token = hit
-                ns = (dml.group(2) or "").rstrip(".")
-                if ns:
-                    sets: dict[str, str] = {}
-                    for item in _split_top_args(dml.group(4)):
-                        col, eq, expr = item.partition("=")
-                        if not eq or not col.strip() or not expr.strip():
-                            raise ValueError(
-                                f"malformed SET clause item: {item!r}"
-                            )
-                        sets[col.strip().strip('`"')] = expr.strip()
-                    n, _f = _ir.update_table_rows(
-                        self.spark, endpoint, ns, dml.group(3), sets,
-                        dml.group(5), token=token,
-                    )
-                    return self.spark.range(1).select(
-                        F.lit(n).cast("bigint").alias("Count")
-                    )
+                ns = self._resolve_catalog_ns(
+                    endpoint, token, (dml.group(2) or "").rstrip("."),
+                    dml.group(1), dml.group(3),
+                )
+                sets: dict[str, str] = {}
+                for item in _split_top_args(dml.group(4)):
+                    col, eq, expr = item.partition("=")
+                    if not eq or not col.strip() or not expr.strip():
+                        raise ValueError(
+                            f"malformed SET clause item: {item!r}"
+                        )
+                    sets[col.strip().strip('`"')] = expr.strip()
+                n, _f = _ir.update_table_rows(
+                    self.spark, endpoint, ns, dml.group(3), sets,
+                    dml.group(5), token=token,
+                )
+                return self.spark.range(1).select(
+                    F.lit(n).cast("bigint").alias("Count")
+                )
         dml = _DELETE_PATH_RE.match(query)
         if dml:
             # DELETE FROM '<table-dir>' WHERE pred — copy-on-write over
@@ -840,6 +877,64 @@ class GlareSession:
         dml = _MERGE_PATH_RE.match(query)
         if dml:
             return self._run_merge(dml, query)
+        m = _OPTIMIZE_CAT_RE.match(query)
+        if m:
+            tgt = self._catalog_ref(m.group(1))
+            if tgt:
+                from pyspark.sql import functions as F
+
+                from glaredb_spark.sources import iceberg_rest as _ir
+
+                endpoint, token, ns, tbl = tgt
+                zorder = (
+                    [c.strip() for c in m.group(2).split(",")]
+                    if m.group(2) else None
+                )
+                removed, added = _ir.optimize_table(
+                    self.spark, endpoint, ns, tbl,
+                    zorder_by=zorder, token=token,
+                )
+                return self.spark.range(1).select(
+                    F.lit(removed).cast("bigint").alias("files_removed"),
+                    F.lit(added).cast("bigint").alias("files_added"),
+                )
+        m = _VACUUM_CAT_RE.match(query)
+        if m:
+            tgt = self._catalog_ref(m.group(1))
+            if tgt:
+                from glaredb_spark.sources import iceberg_rest as _ir
+
+                endpoint, token, ns, tbl = tgt
+                deleted = _ir.vacuum_table(
+                    self.spark, endpoint, ns, tbl,
+                    retention_hours=(
+                        float(m.group(2)) if m.group(2) else 168.0
+                    ),
+                    dry_run=bool(m.group(3)), token=token,
+                )
+                return self.spark.createDataFrame(
+                    [(p,) for p in deleted] or [], "path string"
+                )
+        m = _REORG_CAT_RE.match(query)
+        if m:
+            tgt = self._catalog_ref(m.group(1))
+            if tgt:
+                from pyspark.sql import functions as F
+
+                from glaredb_spark.sources import iceberg_rest as _ir
+
+                endpoint, token, ns, tbl = tgt
+                files, rows = _ir.purge_table(
+                    self.spark, endpoint, ns, tbl, token=token,
+                )
+                return self.spark.range(1).select(
+                    F.lit(files).cast("bigint").alias("files_purged"),
+                    F.lit(rows).cast("bigint")
+                    .alias("rows_materialized"),
+                )
+        m = _ALTER_CAT_RE.match(query)
+        if m and self._catalog_dml_target(m.group(1).split(".")[0]):
+            return self._alter_catalog_table(m)
         m = _OPTIMIZE_RE.match(query)
         if m:
             from pyspark.sql import functions as F
@@ -897,7 +992,7 @@ class GlareSession:
                 # (remove_orphans_iceberg_native).
                 deleted = deleted + _orph(
                     m.group(1), older_than_hours=max(hours, 24.0),
-                    dry_run=bool(m.group(3)),
+                    dry_run=bool(m.group(3)), spark=self.spark,
                 )
             else:
                 from glaredb_spark.sources.delta_native import (
@@ -1049,7 +1144,7 @@ class GlareSession:
             # INSERT INTO <attached-alias>.<ns...>.<table> routes
             # through the catalog's optimistic commitTable (r12)
             parts = table.split(".")
-            if len(parts) >= 3:
+            if len(parts) >= 2:
                 from glaredb_spark.sources import iceberg_rest as _ir
 
                 ir_attached = _ir._attached(self.spark)
@@ -1070,7 +1165,10 @@ class GlareSession:
                         _spark_schema,
                     )
 
-                    ns = ".".join(parts[1:-1])
+                    ns = self._resolve_catalog_ns(
+                        endpoint, token, ".".join(parts[1:-1]),
+                        parts[0], parts[-1],
+                    )
                     meta = _ir.load_table(
                         endpoint, ns, parts[-1], token,
                     ).get("metadata") or {}
@@ -1206,6 +1304,108 @@ class GlareSession:
         if alias in _ir._attached(self.spark):
             return _ir.resolve_attached(self.spark, alias)
         return None
+
+    def _alter_catalog_table(self, m: "re.Match") -> DataFrame:
+        """ALTER TABLE alias.ns.t ... over an ATTACHed iceberg_rest
+        catalog (r13): every revision commits through commitTable
+        (add-schema/set-current-schema/add-spec/set-default-spec), so
+        other catalog readers see it; RENAME TO routes to the
+        catalog's renameTable (reference client surface
+        client.rs:300)."""
+        from pyspark.sql import functions as F
+
+        from glaredb_spark.sources import iceberg_rest as _ir
+
+        endpoint, token, ns, tbl = self._catalog_ref(m.group(1))
+        if m.group(12):  # RENAME TO [ns2.]t2
+            dst = m.group(12).split(".")
+            to_ns = ".".join(dst[:-1]) if len(dst) > 1 else ns
+            _ir.rename_table(
+                endpoint, ns, tbl, to_ns, dst[-1], token=token
+            )
+            msg = f"renamed table {ns}.{tbl} to {to_ns}.{dst[-1]}"
+        elif m.group(2):  # ADD COLUMN
+            _ir.alter_add_column(
+                endpoint, ns, tbl, m.group(2), m.group(3), token=token
+            )
+            msg = f"added column {m.group(2)}"
+        elif m.group(4):  # RENAME COLUMN
+            _ir.alter_rename_column(
+                endpoint, ns, tbl, m.group(4), m.group(5), token=token
+            )
+            msg = f"renamed column {m.group(4)} to {m.group(5)}"
+        elif m.group(6):  # DROP COLUMN
+            _ir.alter_drop_column(
+                endpoint, ns, tbl, m.group(6), token=token
+            )
+            msg = f"dropped column {m.group(6)}"
+        elif m.group(11) is not None:  # SET IDENTIFIER FIELDS
+            cols = [c.strip() for c in m.group(11).split(",")
+                    if c.strip()]
+            _ir.alter_set_identifier_fields(
+                endpoint, ns, tbl, cols, token=token
+            )
+            msg = f"set identifier fields {cols}"
+        elif m.group(9):  # ALTER COLUMN TYPE (widening)
+            _ir.alter_widen_column(
+                endpoint, ns, tbl, m.group(9), m.group(10), token=token
+            )
+            msg = (
+                f"widened column {m.group(9)} to {m.group(10).lower()}"
+            )
+        elif m.group(7):  # ADD PARTITION FIELD
+            sid = _ir.alter_add_partition_field(
+                endpoint, ns, tbl, m.group(7).strip(), token=token
+            )
+            msg = (
+                f"added partition field {m.group(7).strip()} "
+                f"(spec {sid})"
+            )
+        else:  # DROP PARTITION FIELD
+            sid = _ir.alter_drop_partition_field(
+                endpoint, ns, tbl, m.group(8).strip(), token=token
+            )
+            msg = (
+                f"dropped partition field {m.group(8).strip()} "
+                f"(spec {sid})"
+            )
+        return self.spark.range(1).select(F.lit(msg).alias("status"))
+
+    def _catalog_ref(self, ref: str):
+        """(endpoint, token, namespace, table) when the first segment
+        of dotted ``ref`` is an ATTACHed iceberg_rest alias (namespace
+        resolved against the sole namespace when omitted), else None —
+        the statement falls through to the path/Spark handlers."""
+        parts = ref.split(".")
+        hit = self._catalog_dml_target(parts[0])
+        if not hit:
+            return None
+        endpoint, token = hit
+        ns = self._resolve_catalog_ns(
+            endpoint, token, ".".join(parts[1:-1]), parts[0], parts[-1]
+        )
+        return endpoint, token, ns, parts[-1]
+
+    def _resolve_catalog_ns(self, endpoint, token, ns, alias, table):
+        """Namespace of a catalog-routed statement. A two-part
+        reference (``alias.table``, namespace omitted) resolves against
+        the catalog's SOLE namespace; with several it raises a NAMED
+        error instead of falling through to an unrelated path/Spark
+        failure (r12 verdict seam #2)."""
+        if ns:
+            return ns
+        from glaredb_spark.sources import iceberg_rest as _ir
+
+        names = _ir.namespace_names(endpoint, token=token)
+        if len(names) == 1:
+            return names[0]
+        raise ValueError(
+            f"namespace required for catalog-routed statement on "
+            f"'{alias}.{table}': catalog has "
+            f"{len(names)} namespaces ({', '.join(sorted(names)[:5])}"
+            f"{', ...' if len(names) > 5 else ''}); use "
+            f"'{alias}.<namespace>.{table}'"
+        )
 
     def _attach_postgres(self, m: "re.Match") -> DataFrame:
         """ATTACH POSTGRES DATABASE AS name (connection_string '...') —

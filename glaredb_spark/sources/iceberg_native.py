@@ -2965,7 +2965,9 @@ def upsert_iceberg_native(
     )
 
 
-def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
+def purge_iceberg_native(spark, table_path: str,
+                         base_meta: "dict | None" = None,
+                         commit_fn=None) -> tuple[int, int]:
     """REORG APPLY (PURGE) for Iceberg: materialize row-level deletes —
     every data file a position OR equality delete can apply to has its
     LIVE rows rewritten into new files, delete manifests are dropped,
@@ -2979,7 +2981,7 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
     from pyspark.sql import functions as F
 
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     active: list[dict] = []
     pos_deletes: list[str] = []
     eq_deletes: "list[tuple[str, list[int] | None, int, str | None]]" = []
@@ -3094,6 +3096,7 @@ def purge_iceberg_native(spark, table_path: str) -> tuple[int, int]:
         table_path, meta, schema_obj, added, untouched, "replace",
         {"purged-files": len(touched), "added-data-files": len(added),
          "removed-delete-files": len(pos_deletes) + len(eq_deletes)},
+        commit_fn=commit_fn,
     )
     return (len(touched), rows)
 
@@ -3102,6 +3105,7 @@ def _commit_schema_revision(table_path: str, meta: dict,
                             new_fields: list[dict],
                             mark_dirty: bool = True,
                             identifier_field_ids: "list | None" = None,
+                            commit_fn=None,
                             ) -> int:
     """Append a new schema revision and make it current — one KB-scale
     metadata commit at read-version+1 (O_EXCL). Shared by RENAME/DROP/
@@ -3149,6 +3153,12 @@ def _commit_schema_revision(table_path: str, meta: dict,
         prev = int(props.get("glaredb.evolution-dirty-seq", -1))
         props["glaredb.evolution-dirty-seq"] = str(max(prev, dirty))
         new_meta["properties"] = props
+    if commit_fn is not None:
+        # catalog-routed DDL: the catalog, not the filesystem hint,
+        # names the current metadata (r13) — conflicts raise for the
+        # caller's re-plan
+        commit_fn(new_meta)
+        return new_id
     _write_metadata_version(
         os.path.join(table_path, "metadata"), new_meta,
         version=_metadata_version(table_path) + 1,
@@ -3194,7 +3204,9 @@ def _refuse_row_level_deletes(meta: dict, table_path: str,
 
 
 def rename_column_iceberg_native(table_path: str, old: str,
-                                 new: str) -> int:
+                                 new: str,
+                                 base_meta: "dict | None" = None,
+                                 commit_fn=None) -> int:
     """ALTER TABLE RENAME COLUMN (r9-late): metadata-only — the field
     keeps its ID, so reads resolve old-named files by field id
     (_scan_with_field_ids) exactly as the iceberg spec intends; data
@@ -3217,16 +3229,19 @@ def rename_column_iceberg_native(table_path: str, old: str,
         raise IcebergError(f"unknown column {old!r}")
     out = [dict(f, name=new) if f["name"] == old else dict(f)
            for f in fields]
-    return _commit_schema_revision(table_path, meta, out)
+    return _commit_schema_revision(table_path, meta, out,
+                                   commit_fn=commit_fn)
 
 
-def drop_column_iceberg_native(table_path: str, name: str) -> int:
+def drop_column_iceberg_native(table_path: str, name: str,
+                               base_meta: "dict | None" = None,
+                               commit_fn=None) -> int:
     """ALTER TABLE DROP COLUMN (r9-late): metadata-only — the field
     leaves the current schema (its id is never reused: ids are minted
     from last-column-id); old files keep the physical data, which reads
     simply no longer select. Partition source columns are refused."""
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     if int(meta.get("format-version", 1) or 1) != 2:
         raise IcebergError(
             "DROP COLUMN requires a format-version 2 table (v1 has no "
@@ -3249,7 +3264,8 @@ def drop_column_iceberg_native(table_path: str, name: str) -> int:
     out = [dict(f) for f in fields if f["name"] != name]
     if not out:
         raise IcebergError("cannot drop the last column")
-    return _commit_schema_revision(table_path, meta, out)
+    return _commit_schema_revision(table_path, meta, out,
+                                   commit_fn=commit_fn)
 
 
 def _write_metadata_version(
@@ -3282,7 +3298,9 @@ def _write_metadata_version(
 
 
 def widen_column_iceberg_native(table_path: str, name: str,
-                                new_type: str) -> int:
+                                new_type: str,
+                                base_meta: "dict | None" = None,
+                                commit_fn=None) -> int:
     """ALTER COLUMN TYPE widening (iceberg spec type promotion, r10 —
     VERDICT r9 next #6): int->long, float->double, decimal(P,S)->
     decimal(P',S) with P'>=P. One metadata-only schema revision — the
@@ -3291,7 +3309,7 @@ def widen_column_iceberg_native(table_path: str, name: str,
     under the widened type (Spark's parquet reader upcasts natively)
     and new writes land wide. Any other type change is refused."""
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     fields = _current_schema_obj(meta).get("fields", [])
     hit = [f for f in fields if f["name"] == name]
     if not hit:
@@ -3311,11 +3329,13 @@ def widen_column_iceberg_native(table_path: str, name: str,
     out = [dict(f, type=want) if f["name"] == name else dict(f)
            for f in fields]
     return _commit_schema_revision(table_path, meta, out,
-                                   mark_dirty=False)
+                                   mark_dirty=False,
+                                   commit_fn=commit_fn)
 
 
 def set_identifier_fields_iceberg_native(
-    table_path: str, cols: list
+    table_path: str, cols: list,
+    base_meta: "dict | None" = None, commit_fn=None,
 ) -> int:
     """ALTER TABLE SET IDENTIFIER FIELDS (iceberg spec
     identifier-field-ids, r10): marks the row-identity columns on a new
@@ -3324,7 +3344,7 @@ def set_identifier_fields_iceberg_native(
     snapshot's delete+insert of the same key into update_preimage /
     update_postimage rows, the Delta-CDF-parity shape."""
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     fields = _current_schema_obj(meta).get("fields", [])
     by_name = {f["name"]: f for f in fields}
     if not cols:
@@ -3369,6 +3389,7 @@ def set_identifier_fields_iceberg_native(
     return _commit_schema_revision(
         table_path, meta, out, mark_dirty=False,
         identifier_field_ids=[int(by_name[c]["id"]) for c in cols],
+        commit_fn=commit_fn,
     )
 
 
@@ -3473,7 +3494,8 @@ def _default_partition_field_name(src: str, transform: str) -> str:
 
 
 def add_partition_field_iceberg_native(
-    table_path: str, expr: str, name: "str | None" = None
+    table_path: str, expr: str, name: "str | None" = None,
+    base_meta: "dict | None" = None, commit_fn=None,
 ) -> int:
     """ALTER TABLE ADD PARTITION FIELD (partition-spec evolution, r10 —
     VERDICT r9 next #5): commit a NEW spec = current default fields +
@@ -3485,7 +3507,7 @@ def add_partition_field_iceberg_native(
     import time
 
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     src, transform = _parse_transform_sql(expr)
     by_name = {
         f["name"]: f for f in _current_schema_obj(meta).get("fields", [])
@@ -3558,6 +3580,9 @@ def add_partition_field_iceberg_native(
     new_meta["default-spec-id"] = new_spec_id
     new_meta["last-partition-id"] = last_pid + 1
     new_meta["last-updated-ms"] = int(time.time() * 1000)
+    if commit_fn is not None:
+        commit_fn(new_meta)
+        return new_spec_id
     _write_metadata_version(
         os.path.join(table_path, "metadata"), new_meta,
         version=_metadata_version(table_path) + 1,
@@ -3565,7 +3590,10 @@ def add_partition_field_iceberg_native(
     return new_spec_id
 
 
-def drop_partition_field_iceberg_native(table_path: str, expr: str) -> int:
+def drop_partition_field_iceberg_native(
+    table_path: str, expr: str,
+    base_meta: "dict | None" = None, commit_fn=None,
+) -> int:
     """ALTER TABLE DROP PARTITION FIELD: a new default spec WITHOUT the
     named field (match by partition field name or by transform
     expression). Existing files stay pruned under their own spec;
@@ -3573,7 +3601,7 @@ def drop_partition_field_iceberg_native(table_path: str, expr: str) -> int:
     import time
 
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     specs = meta.get("partition-specs") or [
         {"spec-id": 0, "fields": meta.get("partition-spec", [])}
     ]
@@ -3615,6 +3643,9 @@ def drop_partition_field_iceberg_native(table_path: str, expr: str) -> int:
     ]
     new_meta["default-spec-id"] = new_spec_id
     new_meta["last-updated-ms"] = int(time.time() * 1000)
+    if commit_fn is not None:
+        commit_fn(new_meta)
+        return new_spec_id
     _write_metadata_version(
         os.path.join(table_path, "metadata"), new_meta,
         version=_metadata_version(table_path) + 1,
@@ -3623,7 +3654,9 @@ def drop_partition_field_iceberg_native(table_path: str, expr: str) -> int:
 
 
 def add_column_iceberg_native(table_path: str, name: str,
-                              ddl_type: str) -> int:
+                              ddl_type: str,
+                              base_meta: "dict | None" = None,
+                              commit_fn=None) -> int:
     """ALTER TABLE ADD COLUMN (schema evolution): a new schema with the
     next field id appends to the schemas list and becomes current — one
     KB-scale metadata commit, data files untouched. Old files simply
@@ -3640,7 +3673,7 @@ def add_column_iceberg_native(table_path: str, name: str,
         "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
     }
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     norm = re.sub(r"\s+", "", ddl_type.lower())
     t = _DDL_TO_ICE.get(norm)
     if t is None and re.fullmatch(r"decimal\(\d+,\d+\)", norm):
@@ -3681,6 +3714,9 @@ def add_column_iceberg_native(table_path: str, name: str,
     new_meta["schema"] = new_schema
     new_meta["last-column-id"] = next_fid
     new_meta["last-updated-ms"] = int(time.time() * 1000)
+    if commit_fn is not None:
+        commit_fn(new_meta)
+        return new_id
     _write_metadata_version(
         os.path.join(table_path, "metadata"), new_meta,
         version=_metadata_version(table_path) + 1,
@@ -3691,6 +3727,7 @@ def add_column_iceberg_native(table_path: str, name: str,
 def expire_snapshots_iceberg_native(
     table_path: str, retention_hours: float = 168.0,
     retain_last: int = 1, dry_run: bool = False,
+    base_meta: "dict | None" = None, commit_fn=None,
 ) -> list[str]:
     """Snapshot expiration (Iceberg's expireSnapshots + orphan file
     cleanup — the maintenance path the small-commit streaming sinks
@@ -3710,6 +3747,14 @@ def expire_snapshots_iceberg_native(
     being silently dropped from the table (r9 review). Returns the
     deleted paths (``dry_run`` returns them without deleting)."""
     table_path = os.path.abspath(table_path)
+    if commit_fn is not None:
+        # catalog-routed: ONE pass against the caller's base metadata;
+        # a lost race surfaces as CommitConflict and the catalog
+        # wrapper re-plans from a fresh loadTable (the DML contract)
+        return _expire_snapshots_once(
+            table_path, retention_hours, retain_last, dry_run,
+            base_meta=base_meta, commit_fn=commit_fn,
+        )
     for _attempt in range(5):
         result = _expire_snapshots_once(
             table_path, retention_hours, retain_last, dry_run
@@ -3725,13 +3770,18 @@ def expire_snapshots_iceberg_native(
 def _expire_snapshots_once(
     table_path: str, retention_hours: float,
     retain_last: int, dry_run: bool,
+    base_meta: "dict | None" = None, commit_fn=None,
 ) -> "list[str] | None":
     """One expiration pass; None = a commit landed between the metadata
-    read and the publish (caller retries over fresh metadata)."""
+    read and the publish (caller retries over fresh metadata). With
+    ``base_meta``/``commit_fn`` the pass plans against the caller's
+    (catalog-loaded) metadata and publishes through the catalog's
+    commitTable instead of the filesystem version hint — a conflict
+    raises (CommitConflict) for the catalog wrapper's full re-plan."""
     import time
 
-    ver0 = _metadata_version(table_path)
-    meta = table_metadata(table_path)
+    ver0 = None if commit_fn is not None else _metadata_version(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     snaps = sorted(
         meta.get("snapshots", []),
         key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]),
@@ -3760,16 +3810,23 @@ def _expire_snapshots_once(
         manifests: set = set()
         files: set = set()
         for s in snaps:
-            if s["snapshot-id"] not in ids or "manifest-list" not in s:
+            if s["snapshot-id"] not in ids:
                 continue
-            mlp = _resolve(s["manifest-list"], meta, table_path)
-            mls.add(mlp)
-            try:
-                recs, _ = read_avro(mlp)
-            except (OSError, ValueError):
-                continue
-            for r in recs:
-                mp = _resolve(r["manifest_path"], meta, table_path)
+            if "manifest-list" in s:
+                mlp = _resolve(s["manifest-list"], meta, table_path)
+                mls.add(mlp)
+                try:
+                    recs, _ = read_avro(mlp)
+                except (OSError, ValueError):
+                    continue
+                raw_manifests = [r["manifest_path"] for r in recs]
+            else:
+                # v1 snapshots may inline "manifests" — protect their
+                # manifests/files like any other kept snapshot (same
+                # fallback as the orphan sweep; r12 advisor class)
+                raw_manifests = list(s.get("manifests") or [])
+            for raw in raw_manifests:
+                mp = _resolve(raw, meta, table_path)
                 manifests.add(mp)
                 try:
                     ents, _ = read_avro(mp)
@@ -3793,13 +3850,20 @@ def _expire_snapshots_once(
         s for s in snaps if s["snapshot-id"] in keep_ids
     ]
     new_meta["last-updated-ms"] = int(time.time() * 1000)
-    try:
-        _write_metadata_version(
-            os.path.join(table_path, "metadata"), new_meta,
-            version=ver0 + 1,
-        )
-    except FileExistsError:
-        return None  # commit landed mid-walk — retry over fresh metadata
+    if commit_fn is not None:
+        # catalog-routed: the catalog names the current metadata — a
+        # filesystem hint write here would be invisible to (and
+        # divergent from) every other catalog reader. Conflicts raise
+        # through commit_fn for the caller's re-plan.
+        commit_fn(new_meta)
+    else:
+        try:
+            _write_metadata_version(
+                os.path.join(table_path, "metadata"), new_meta,
+                version=ver0 + 1,
+            )
+        except FileExistsError:
+            return None  # commit landed mid-walk; retry over fresh metadata
     for p in doomed:
         try:
             os.unlink(p)
@@ -3808,9 +3872,24 @@ def _expire_snapshots_once(
     return doomed
 
 
+# below this many manifests a driver loop beats the job-scheduling
+# overhead of a parallelize; tests pin it to 0 to exercise the
+# executor path on small fixtures
+_ORPHAN_DISTRIBUTE_MIN = 8
+
+
+def _manifest_datafile_paths(mp: str) -> list[str]:
+    """Raw data/delete-file paths referenced by one manifest; raises
+    on an unreadable manifest (the caller turns that into a loud
+    sweep abort). Executor-safe: touches only the avro reader."""
+    ents, _ = read_avro(mp)
+    return [e["data_file"]["file_path"] for e in ents]
+
+
 def remove_orphans_iceberg_native(
     table_path: str, older_than_hours: float = 24.0,
-    dry_run: bool = False,
+    dry_run: bool = False, spark=None,
+    base_meta: "dict | None" = None,
 ) -> list[str]:
     """Delete files under the table directory referenced by NO snapshot
     (Iceberg's removeOrphanFiles; the cleanup half the optimistic-commit
@@ -3829,46 +3908,91 @@ def remove_orphans_iceberg_native(
     Iceberg's own action ships): a racing commit only ADDS files, and
     young files are protected, so no publish/retry dance is needed.
 
-    Scale: one directory walk + driver-side manifest reads (KB each);
-    cost follows file count, never table bytes. At object-store scale
-    the walk is the LIST cost every orphan scan pays. Returns deleted
-    (or would-delete, under ``dry_run``) absolute paths."""
+    Scale: one directory walk + manifest reads (KB each); manifest
+    lists (one per snapshot) read on the driver, the manifests
+    themselves fan out to EXECUTORS when ``spark`` is given and the
+    count warrants it — the reachable-set build then parallelizes the
+    way the footer sweep does, and the driver keeps only the path-set
+    reduction. Cost follows file count, never table bytes. At
+    object-store scale the walk is the LIST cost every orphan scan
+    pays. Returns deleted (or would-delete, under ``dry_run``)
+    absolute paths."""
     import time
 
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     referenced: set[str] = set()
+    manifest_paths: list[str] = []
     for s in meta.get("snapshots", []):
         mlp = s.get("manifest-list")
-        if not mlp:
-            continue
-        mlp = _resolve(mlp, meta, table_path)
-        referenced.add(os.path.realpath(mlp))
-        try:
-            recs, _ = read_avro(mlp)
-        except (OSError, ValueError) as exc:
-            # an unreadable manifest list means this snapshot's
-            # references are UNKNOWN — continuing would classify its
-            # live data files as orphans and delete them. Abort the
-            # sweep; never widen it (r12 review).
-            raise IcebergError(
-                f"orphan sweep aborted: cannot read manifest list "
-                f"{mlp!r} of snapshot {s.get('snapshot-id')}: {exc}"
-            ) from exc
-        for r in recs:
-            mp = _resolve(r["manifest_path"], meta, table_path)
-            referenced.add(os.path.realpath(mp))
+        if mlp:
+            mlp = _resolve(mlp, meta, table_path)
+            referenced.add(os.path.realpath(mlp))
             try:
-                ents, _ = read_avro(mp)
+                recs, _ = read_avro(mlp)
             except (OSError, ValueError) as exc:
+                # an unreadable manifest list means this snapshot's
+                # references are UNKNOWN — continuing would classify
+                # its live data files as orphans and delete them.
+                # Abort the sweep; never widen it (r12 review).
                 raise IcebergError(
-                    f"orphan sweep aborted: cannot read manifest "
-                    f"{mp!r}: {exc}"
+                    f"orphan sweep aborted: cannot read manifest list "
+                    f"{mlp!r} of snapshot {s.get('snapshot-id')}: {exc}"
                 ) from exc
-            for e in ents:
-                referenced.add(os.path.realpath(_resolve(
-                    e["data_file"]["file_path"], meta, table_path
-                )))
+            raw_manifests = [r["manifest_path"] for r in recs]
+        elif s.get("manifests"):
+            # v1 snapshots may inline "manifests" with no manifest
+            # list — the same fallback _manifest_list_entries honors.
+            # Skipping them classified their LIVE data files as
+            # orphans (r12 advisor, high).
+            raw_manifests = list(s["manifests"])
+        else:
+            # a snapshot whose references we cannot enumerate at all:
+            # abort rather than widen the victim set (r12 advisor).
+            raise IcebergError(
+                f"orphan sweep aborted: snapshot "
+                f"{s.get('snapshot-id')} has neither manifest-list "
+                f"nor inline manifests; its references are unknown"
+            )
+        for raw in raw_manifests:
+            mp = _resolve(raw, meta, table_path)
+            referenced.add(os.path.realpath(mp))
+            manifest_paths.append(mp)
+    manifest_paths = sorted(set(manifest_paths))
+    if spark is not None and len(manifest_paths) > _ORPHAN_DISTRIBUTE_MIN:
+        # executor-side manifest reads (the footer-sweep pattern):
+        # each task returns (manifest, paths|None, err|None) so a
+        # read failure still aborts the sweep loudly on the driver
+        sc = spark.sparkContext
+        slices = min(len(manifest_paths), max(2, sc.defaultParallelism))
+
+        def _read_one(mp):
+            try:
+                return (mp, _manifest_datafile_paths(mp), None)
+            except (OSError, ValueError) as exc:
+                return (mp, None, str(exc))
+
+        results = (
+            sc.parallelize(manifest_paths, slices).map(_read_one)
+            .collect()
+        )
+    else:
+        results = []
+        for mp in manifest_paths:
+            try:
+                results.append((mp, _manifest_datafile_paths(mp), None))
+            except (OSError, ValueError) as exc:
+                results.append((mp, None, str(exc)))
+    for mp, paths, err in results:
+        if err is not None:
+            raise IcebergError(
+                f"orphan sweep aborted: cannot read manifest "
+                f"{mp!r}: {err}"
+            )
+        for p in paths:
+            referenced.add(
+                os.path.realpath(_resolve(p, meta, table_path))
+            )
     cutoff = time.time() - older_than_hours * 3600.0
     victims: list[str] = []
     for root, _dirs, files in os.walk(table_path):
@@ -3898,6 +4022,7 @@ def optimize_iceberg_native(
     spark, table_path: str, max_files_per_group: int = 128,
     zorder_by: "list[str] | None" = None,
     min_file_bytes: "int | None" = None,
+    base_meta: "dict | None" = None, commit_fn=None,
 ) -> tuple[int, int]:
     """Compaction (Iceberg's rewrite_data_files): the current snapshot's
     data files are rewritten into fewer, larger ones referenced by a
@@ -3923,7 +4048,7 @@ def optimize_iceberg_native(
 
     Returns (files_removed, files_added)."""
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     pfields = _partition_fields(meta)
     active: list[dict] = []
     entries = _manifest_entries(meta, table_path)
@@ -4027,6 +4152,7 @@ def optimize_iceberg_native(
         {"deleted-data-files": len(rewrite),
          "added-data-files": len(added),
          **({"zorder-by": ",".join(zorder_by)} if zorder_by else {})},
+        commit_fn=commit_fn,
     )
     return (len(rewrite), len(added))
 
@@ -4219,7 +4345,10 @@ def delete_iceberg_native(
     position deletes (COW would refuse them), COW otherwise. Returns
     (rows_deleted, files_touched_or_written)."""
     if strategy == "auto":
-        strategy = "mor" if _has_position_deletes(table_path) else "cow"
+        strategy = (
+            "mor" if _has_position_deletes(table_path, meta=base_meta)
+            else "cow"
+        )
     if strategy == "mor":
         return _delete_with_position_files(
             spark, table_path, predicate,
@@ -4234,10 +4363,15 @@ def delete_iceberg_native(
     )
 
 
-def _has_position_deletes(table_path: str) -> bool:
+def _has_position_deletes(table_path: str, meta: dict = None) -> bool:
     """Any live position-delete file in the current snapshot (the
-    strategy='auto' router: COW refuses them, MoR handles them)."""
-    meta = table_metadata(table_path)
+    strategy='auto' router: COW refuses them, MoR handles them).
+    ``meta`` is the caller's base metadata when DML plans against a
+    catalog (catalog commits skip the filesystem version-hint, so
+    reading it here would route on stale metadata or fail outright —
+    r12 advisor); filesystem-addressed callers omit it."""
+    if meta is None:
+        meta = table_metadata(table_path)
     return any(
         (e["data_file"].get("content", 0) or 0) == 1
         for e in _manifest_entries(meta, table_path)
@@ -4449,7 +4583,10 @@ def update_iceberg_native(
     from pyspark.sql import functions as F
 
     if strategy == "auto":
-        strategy = "mor" if _has_position_deletes(table_path) else "cow"
+        strategy = (
+            "mor" if _has_position_deletes(table_path, meta=base_meta)
+            else "cow"
+        )
     if strategy == "mor":
         return _update_with_position_files(
             spark, table_path, sets, predicate,

@@ -176,9 +176,10 @@ def _ns_path(namespace: str) -> str:
     return urllib.parse.quote(_SEP.join(levels), safe="")
 
 
-def list_namespaces(spark, endpoint: str, parent: str = "",
-                    token: str | None = None):
-    """One row per namespace (dotted), paged via page-token."""
+def namespace_names(endpoint: str, parent: str = "",
+                    token: str | None = None) -> list[str]:
+    """Dotted namespace names (plain list — resolver use), paged via
+    page-token."""
     out, tok = [], ""
     while True:
         q = {"pageToken": tok} if tok else {}
@@ -192,8 +193,15 @@ def list_namespaces(spark, endpoint: str, parent: str = "",
         tok = resp.get("next-page-token") or ""
         if not tok:
             break
+    return [".".join(ns) for ns in out]
+
+
+def list_namespaces(spark, endpoint: str, parent: str = "",
+                    token: str | None = None):
+    """One row per namespace (dotted), paged via page-token."""
     return spark.createDataFrame(
-        [(".".join(ns),) for ns in out], "namespace string"
+        [(n,) for n in namespace_names(endpoint, parent, token)],
+        "namespace string",
     )
 
 
@@ -407,13 +415,141 @@ def _commit_fn_for(endpoint: str, namespace: str, table: str,
     return commit
 
 
+def _metadata_commit_fn_for(endpoint: str, namespace: str, table: str,
+                            token: str | None, base: dict):
+    """Commit hook for maintenance/DDL (r13): DIFF ``new_meta`` against
+    ``base`` and express the change as Iceberg REST commitTable update
+    actions — add-schema/set-current-schema, add-spec/set-default-spec,
+    set-properties/remove-properties, remove-snapshots, and
+    add-snapshot/set-snapshot-ref — with optimistic requirements
+    asserting the base state each touched dimension was planned
+    against. This is what makes OPTIMIZE/VACUUM/ALTER on an attached
+    catalog table VISIBLE to other catalog readers: a pointer-only
+    catalog has no version hint to observe (reference surface:
+    ext_iceberg catalog client.rs:257 update_table)."""
+    base_snap = base.get("current-snapshot-id")
+    if base_snap is not None and int(base_snap) == -1:
+        base_snap = None
+
+    def commit(new_meta):
+        updates: list[dict] = []
+        requirements: list[dict] = [
+            {"type": "assert-table-uuid",
+             "uuid": new_meta.get("table-uuid")},
+        ]
+        # --- schemas ---
+        base_sids = {
+            int(s.get("schema-id", 0) or 0)
+            for s in base.get("schemas") or []
+        }
+        for s in new_meta.get("schemas") or []:
+            if int(s.get("schema-id", 0) or 0) not in base_sids:
+                updates.append({
+                    "action": "add-schema", "schema": s,
+                    "last-column-id": new_meta.get("last-column-id"),
+                })
+        new_cur_schema = int(new_meta.get("current-schema-id", 0) or 0)
+        if new_cur_schema != int(base.get("current-schema-id", 0) or 0):
+            requirements.append({
+                "type": "assert-current-schema-id",
+                "current-schema-id": int(
+                    base.get("current-schema-id", 0) or 0
+                ),
+            })
+            updates.append({"action": "set-current-schema",
+                            "schema-id": new_cur_schema})
+        # --- partition specs ---
+        base_specs = {
+            int(s.get("spec-id", 0) or 0)
+            for s in base.get("partition-specs") or []
+        }
+        for s in new_meta.get("partition-specs") or []:
+            if int(s.get("spec-id", 0) or 0) not in base_specs:
+                updates.append({"action": "add-spec", "spec": s})
+        new_spec = int(new_meta.get("default-spec-id", 0) or 0)
+        if new_spec != int(base.get("default-spec-id", 0) or 0):
+            requirements.append({
+                "type": "assert-default-spec-id",
+                "default-spec-id": int(
+                    base.get("default-spec-id", 0) or 0
+                ),
+            })
+            updates.append({"action": "set-default-spec",
+                            "spec-id": new_spec})
+        # --- properties ---
+        bp = base.get("properties") or {}
+        np_ = new_meta.get("properties") or {}
+        changed = {k: v for k, v in np_.items() if bp.get(k) != v}
+        gone = [k for k in bp if k not in np_]
+        if changed:
+            updates.append({"action": "set-properties",
+                            "updates": changed})
+        if gone:
+            updates.append({"action": "remove-properties",
+                            "removals": gone})
+        # --- snapshots ---
+        base_ids = {
+            int(s.get("snapshot-id", 0) or 0)
+            for s in base.get("snapshots") or []
+        }
+        new_ids = {
+            int(s.get("snapshot-id", 0) or 0)
+            for s in new_meta.get("snapshots") or []
+        }
+        removed = sorted(base_ids - new_ids)
+        added = [
+            s for s in new_meta.get("snapshots") or []
+            if int(s.get("snapshot-id", 0) or 0) not in base_ids
+        ]
+        new_cur_snap = new_meta.get("current-snapshot-id")
+        snap_moved = (
+            removed or added
+            or (new_cur_snap is not None
+                and (base_snap is None
+                     or int(new_cur_snap) != int(base_snap)))
+        )
+        if snap_moved:
+            requirements.append({
+                "type": "assert-ref-snapshot-id", "ref": "main",
+                "snapshot-id": base_snap,
+            })
+        if removed:
+            updates.append({"action": "remove-snapshots",
+                            "snapshot-ids": removed})
+        for s in added:
+            updates.append({"action": "add-snapshot", "snapshot": s})
+        if added and new_cur_snap is not None and (
+                base_snap is None or int(new_cur_snap) != int(base_snap)):
+            updates.append({"action": "set-snapshot-ref",
+                            "ref-name": "main", "type": "branch",
+                            "snapshot-id": int(new_cur_snap)})
+        if not updates:
+            return  # metadata unchanged — nothing to commit
+        _request(
+            _table_url(endpoint, namespace, table, token), token,
+            "POST",
+            {"identifier": {"namespace": namespace.split("."),
+                            "name": table},
+             "requirements": requirements, "updates": updates},
+        )
+
+    return commit
+
+
 def _dml_with_retry(endpoint: str, namespace: str, table: str,
-                    token: str | None, max_retries: int, run):
+                    token: str | None, max_retries: int, run,
+                    commit_factory=None):
     """Catalog DML loop: load a fresh base per attempt, run the DML
     planned against it with the catalog commit hook, retry on 409.
     Unlike the staged append, a DML's WRITE SET depends on the base
     (the rewrite/delete plans against its files), so each retry is a
-    full re-plan — the loser's staged files are VACUUM-fodder orphans."""
+    full re-plan — the loser's staged files are VACUUM-fodder orphans.
+
+    ``commit_factory`` defaults to the snapshot-append hook
+    (_commit_fn_for); maintenance/DDL pass the metadata-diff hook
+    (_metadata_commit_fn_for) which expresses schema/spec/property/
+    snapshot-removal changes as commitTable update actions."""
+    factory = commit_factory or _commit_fn_for
     last: Exception | None = None
     for _attempt in range(max_retries):
         res = load_table(endpoint, namespace, table, token)
@@ -426,7 +562,7 @@ def _dml_with_retry(endpoint: str, namespace: str, table: str,
         try:
             return run(
                 loc, base,
-                _commit_fn_for(endpoint, namespace, table, token, base),
+                factory(endpoint, namespace, table, token, base),
             )
         except CommitConflict as e:
             last = e
@@ -501,6 +637,242 @@ def equality_delete_table(spark, endpoint: str, namespace: str,
         lambda loc, base, commit: equality_delete_iceberg_native(
             spark, loc, keys, base_meta=base, commit_fn=commit,
         ),
+    )
+
+
+def optimize_table(spark, endpoint: str, namespace: str, table: str,
+                   zorder_by: "list[str] | None" = None,
+                   min_file_bytes: "int | None" = None,
+                   token: str | None = None,
+                   max_retries: int = 3) -> tuple[int, int]:
+    """OPTIMIZE [ZORDER] a catalog table: the compaction snapshot
+    commits through commitTable so every catalog reader sees it (a
+    filesystem-hint publish is invisible to a pointer-only catalog —
+    r12 verdict #1). Full re-plan per 409: the rewrite set depends on
+    the base snapshot's files."""
+    from glaredb_spark.sources.iceberg_native import (
+        optimize_iceberg_native,
+    )
+
+    return _dml_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: optimize_iceberg_native(
+            spark, loc, zorder_by=zorder_by,
+            min_file_bytes=min_file_bytes,
+            base_meta=base, commit_fn=commit,
+        ),
+        commit_factory=_metadata_commit_fn_for,
+    )
+
+
+def purge_table(spark, endpoint: str, namespace: str, table: str,
+                token: str | None = None,
+                max_retries: int = 3) -> tuple[int, int]:
+    """REORG APPLY (PURGE) on a catalog table through commitTable."""
+    from glaredb_spark.sources.iceberg_native import purge_iceberg_native
+
+    return _dml_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: purge_iceberg_native(
+            spark, loc, base_meta=base, commit_fn=commit,
+        ),
+        commit_factory=_metadata_commit_fn_for,
+    )
+
+
+def vacuum_table(spark, endpoint: str, namespace: str, table: str,
+                 retention_hours: float = 168.0,
+                 dry_run: bool = False, token: str | None = None,
+                 max_retries: int = 3) -> list[str]:
+    """VACUUM a catalog table: snapshot expiration commits the shrunk
+    snapshot list through commitTable (remove-snapshots), then the
+    orphan sweep runs against the CATALOG-loaded metadata (the version
+    hint may be stale or absent on catalog tables — r12 advisor).
+    Returns the deleted paths."""
+    from glaredb_spark.sources.iceberg_native import (
+        expire_snapshots_iceberg_native,
+        remove_orphans_iceberg_native,
+    )
+
+    expired = _dml_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: expire_snapshots_iceberg_native(
+            loc, retention_hours=retention_hours, dry_run=dry_run,
+            base_meta=base, commit_fn=commit,
+        ),
+        commit_factory=_metadata_commit_fn_for,
+    )
+    # orphan grace never drops below 24h on the VACUUM path: a racing
+    # optimistic committer's staged-but-uncommitted files must survive
+    # (same floor as the session VACUUM route)
+    res = load_table(endpoint, namespace, table, token)
+    base = res.get("metadata") or {}
+    orphans = remove_orphans_iceberg_native(
+        _strip_file(base.get("location") or ""),
+        older_than_hours=max(retention_hours, 24.0),
+        dry_run=dry_run, spark=spark, base_meta=base,
+    )
+    return list(expired) + list(orphans)
+
+
+def _ddl_with_retry(endpoint, namespace, table, token, max_retries, run):
+    """Catalog DDL loop: metadata-only re-plan per 409 (KB round-trips,
+    no staged files)."""
+    return _dml_with_retry(
+        endpoint, namespace, table, token, max_retries, run,
+        commit_factory=_metadata_commit_fn_for,
+    )
+
+
+def alter_add_column(endpoint: str, namespace: str, table: str,
+                     name: str, ddl_type: str,
+                     token: str | None = None,
+                     max_retries: int = 3) -> int:
+    from glaredb_spark.sources.iceberg_native import (
+        add_column_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: add_column_iceberg_native(
+            loc, name, ddl_type, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def alter_rename_column(endpoint: str, namespace: str, table: str,
+                        old: str, new: str, token: str | None = None,
+                        max_retries: int = 3) -> int:
+    from glaredb_spark.sources.iceberg_native import (
+        rename_column_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: rename_column_iceberg_native(
+            loc, old, new, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def alter_drop_column(endpoint: str, namespace: str, table: str,
+                      name: str, token: str | None = None,
+                      max_retries: int = 3) -> int:
+    from glaredb_spark.sources.iceberg_native import (
+        drop_column_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: drop_column_iceberg_native(
+            loc, name, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def alter_widen_column(endpoint: str, namespace: str, table: str,
+                       name: str, new_type: str,
+                       token: str | None = None,
+                       max_retries: int = 3) -> int:
+    from glaredb_spark.sources.iceberg_native import (
+        widen_column_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: widen_column_iceberg_native(
+            loc, name, new_type, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def alter_add_partition_field(endpoint: str, namespace: str, table: str,
+                              expr: str, name: "str | None" = None,
+                              token: str | None = None,
+                              max_retries: int = 3) -> int:
+    from glaredb_spark.sources.iceberg_native import (
+        add_partition_field_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: add_partition_field_iceberg_native(
+            loc, expr, name, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def alter_drop_partition_field(endpoint: str, namespace: str,
+                               table: str, expr: str,
+                               token: str | None = None,
+                               max_retries: int = 3) -> int:
+    from glaredb_spark.sources.iceberg_native import (
+        drop_partition_field_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: drop_partition_field_iceberg_native(
+            loc, expr, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def alter_set_identifier_fields(endpoint: str, namespace: str,
+                                table: str, cols: list,
+                                token: str | None = None,
+                                max_retries: int = 3) -> int:
+    from glaredb_spark.sources.iceberg_native import (
+        set_identifier_fields_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: set_identifier_fields_iceberg_native(
+            loc, cols, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def rename_table(endpoint: str, from_namespace: str, from_table: str,
+                 to_namespace: str, to_table: str,
+                 token: str | None = None) -> None:
+    """renameTable (POST /tables/rename) — reference client surface
+    client.rs:300; the table's metadata/data move nowhere, only the
+    catalog's identifier changes."""
+    _request(
+        f"{_base(endpoint, token)}/tables/rename", token, "POST",
+        {"source": {"namespace": from_namespace.split("."),
+                    "name": from_table},
+         "destination": {"namespace": to_namespace.split("."),
+                         "name": to_table}},
+    )
+
+
+def namespace_properties(endpoint: str, namespace: str,
+                         token: str | None = None) -> dict:
+    """loadNamespaceMetadata's properties map (reference client
+    surface client.rs:146)."""
+    resp = _request(
+        f"{_base(endpoint, token)}/namespaces/{_ns_path(namespace)}",
+        token,
+    )
+    return resp.get("properties") or {}
+
+
+def update_namespace_properties(
+    endpoint: str, namespace: str,
+    updates: "dict | None" = None, removals: "list | None" = None,
+    token: str | None = None,
+) -> dict:
+    """updateProperties (POST /namespaces/{ns}/properties — reference
+    client surface client.rs:165). Returns {updated, removed,
+    missing}."""
+    return _request(
+        f"{_base(endpoint, token)}/namespaces/{_ns_path(namespace)}"
+        "/properties",
+        token, "POST",
+        {"updates": updates or {}, "removals": removals or []},
     )
 
 

@@ -96,6 +96,27 @@ class IcebergRestEmulator:
                         )
                 elif t == "assert-create":
                     raise _Conflict("table already exists")
+                elif t == "assert-current-schema-id":
+                    if int(r.get("current-schema-id", -1)) != int(
+                            meta.get("current-schema-id", 0) or 0):
+                        raise _Conflict(
+                            f"current schema changed: now "
+                            f"{meta.get('current-schema-id')}"
+                        )
+                elif t == "assert-default-spec-id":
+                    if int(r.get("default-spec-id", -1)) != int(
+                            meta.get("default-spec-id", 0) or 0):
+                        raise _Conflict(
+                            f"default spec changed: now "
+                            f"{meta.get('default-spec-id')}"
+                        )
+                elif t == "assert-last-assigned-field-id":
+                    if int(r.get("last-assigned-field-id", -1)) != int(
+                            meta.get("last-column-id", 0) or 0):
+                        raise _Conflict(
+                            f"last assigned field id changed: now "
+                            f"{meta.get('last-column-id')}"
+                        )
                 else:
                     raise _BadRequest(f"unknown requirement type {t!r}")
             for u in updates or []:
@@ -138,6 +159,93 @@ class IcebergRestEmulator:
                     for k in u.get("removals") or []:
                         props.pop(k, None)
                     meta["properties"] = props
+                elif a == "add-schema":
+                    sch = u.get("schema")
+                    if not isinstance(sch, dict):
+                        raise _BadRequest(
+                            "add-schema update needs a schema object"
+                        )
+                    meta["schemas"] = list(
+                        meta.get("schemas") or []
+                    ) + [sch]
+                    lci = u.get("last-column-id")
+                    if lci is not None:
+                        meta["last-column-id"] = max(
+                            int(meta.get("last-column-id", 0) or 0),
+                            int(lci),
+                        )
+                elif a == "set-current-schema":
+                    sid = u.get("schema-id")
+                    if sid is None:
+                        raise _BadRequest(
+                            "set-current-schema update needs schema-id"
+                        )
+                    if int(sid) == -1:  # spec: -1 = last added schema
+                        sid = (meta.get("schemas") or [{}])[-1] \
+                            .get("schema-id", 0)
+                    known = {
+                        int(s.get("schema-id", 0) or 0)
+                        for s in meta.get("schemas") or []
+                    }
+                    if int(sid) not in known:
+                        raise _BadRequest(f"unknown schema-id {sid}")
+                    meta["current-schema-id"] = int(sid)
+                    cur = next(
+                        s for s in meta["schemas"]
+                        if int(s.get("schema-id", 0) or 0) == int(sid)
+                    )
+                    meta["schema"] = cur
+                elif a == "add-spec":
+                    spec = u.get("spec")
+                    if not isinstance(spec, dict):
+                        raise _BadRequest(
+                            "add-spec update needs a spec object"
+                        )
+                    meta["partition-specs"] = list(
+                        meta.get("partition-specs") or []
+                    ) + [spec]
+                    pids = [
+                        int(f.get("field-id", 0) or 0)
+                        for f in spec.get("fields") or []
+                    ]
+                    if pids:
+                        meta["last-partition-id"] = max(
+                            int(meta.get("last-partition-id", 999)
+                                or 999),
+                            *pids,
+                        )
+                elif a == "set-default-spec":
+                    sid = u.get("spec-id")
+                    if sid is None:
+                        raise _BadRequest(
+                            "set-default-spec update needs spec-id"
+                        )
+                    if int(sid) == -1:  # spec: -1 = last added spec
+                        sid = (meta.get("partition-specs") or [{}])[-1] \
+                            .get("spec-id", 0)
+                    known = {
+                        int(s.get("spec-id", 0) or 0)
+                        for s in meta.get("partition-specs") or []
+                    }
+                    if int(sid) not in known:
+                        raise _BadRequest(f"unknown spec-id {sid}")
+                    meta["default-spec-id"] = int(sid)
+                elif a == "remove-snapshots":
+                    ids = u.get("snapshot-ids")
+                    if not isinstance(ids, list):
+                        raise _BadRequest(
+                            "remove-snapshots update needs snapshot-ids"
+                        )
+                    drop = {int(i) for i in ids}
+                    cur = meta.get("current-snapshot-id")
+                    if cur is not None and int(cur) in drop:
+                        raise _BadRequest(
+                            "cannot remove the current snapshot"
+                        )
+                    meta["snapshots"] = [
+                        s for s in meta.get("snapshots") or []
+                        if int(s.get("snapshot-id", 0) or 0) not in drop
+                    ]
                 else:
                     raise _BadRequest(f"unsupported update action {a!r}")
             cur_path = self.tables[key]
@@ -298,7 +406,16 @@ class IcebergRestEmulator:
                 body = {}
                 length = int(self.headers.get("Content-Length") or 0)
                 if length:
-                    body = json.loads(self.rfile.read(length))
+                    raw = self.rfile.read(length)
+                    try:
+                        body = json.loads(raw)
+                    except ValueError:
+                        # malformed body → 400, same as every other
+                        # malformed-body path (r12 advisor: an
+                        # unhandled ValueError reset the connection)
+                        self._err(400, "BadRequestException",
+                                  "request body is not valid JSON")
+                        return
                 try:
                     self._dispatch(segs, q, body)
                 except _Conflict as e:
@@ -380,6 +497,39 @@ class IcebergRestEmulator:
                         self._json(204, {})
                     else:
                         self._err(405, "MethodNotAllowed", m)
+                    return
+                if len(rest) == 3 and rest[0] == "namespaces" \
+                        and rest[2] == "properties" and m == "POST":
+                    # updateProperties (OpenAPI UpdateNamespace
+                    # PropertiesRequest): apply removals then updates;
+                    # response names what changed
+                    ns = tuple(rest[1].split(_SEP))
+                    if ns not in emu.namespaces:
+                        self._err(404, "NoSuchNamespaceException",
+                                  ".".join(ns))
+                        return
+                    removals = body.get("removals") or []
+                    updates = body.get("updates") or {}
+                    overlap = set(removals) & set(updates)
+                    if overlap:
+                        raise _BadRequest(
+                            f"keys in both removals and updates: "
+                            f"{sorted(overlap)}"
+                        )
+                    with emu._lock:
+                        props = emu.namespaces[ns]
+                        removed = [k for k in removals if k in props]
+                        missing = [k for k in removals
+                                   if k not in props]
+                        for k in removed:
+                            del props[k]
+                        props.update(
+                            {str(k): str(v)
+                             for k, v in updates.items()}
+                        )
+                    self._json(200, {"updated": sorted(updates),
+                                     "removed": removed,
+                                     "missing": missing})
                     return
                 if len(rest) == 3 and rest[0] == "namespaces" \
                         and rest[2] == "tables":

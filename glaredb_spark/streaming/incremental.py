@@ -150,12 +150,17 @@ def delta_mv_writer(path: str, app_id: str, group_by: list[str],
                 read_delta_native,
             )
 
-            _assert_no_orphan_negative(
-                out, group_by, count_col,
-                target_keys=read_delta_native(
-                    batch_df.sparkSession, path
-                ).select(*group_by),
-            )
+            # the target-key scan + anti-join is the expensive half of
+            # the probe — pay it only when a negative delta actually
+            # exists (rare; the persisted deltas make this limit(1)
+            # probe cheap — r12 advisor)
+            if out.filter(F.col(count_col) < 0).limit(1).collect():
+                _assert_no_orphan_negative(
+                    out, group_by, count_col,
+                    target_keys=read_delta_native(
+                        batch_df.sparkSession, path
+                    ).select(*group_by),
+                )
             upd = {
                 c: f"coalesce(t.{c}, 0) + coalesce(s.{c}, 0)"
                 for c in sums

@@ -1678,3 +1678,112 @@ def test_v3_deletion_vector_entry_refused_named():
         {"content": 1, "file_format": "PARQUET",
          "file_path": "s3://t/deletes/d1.parquet"}
     )
+
+
+def test_orphan_sweep_honors_v1_inline_manifests(spark, sf_dir, tmp_path):
+    """A v1 snapshot may inline "manifests" with no manifest-list
+    (supported by _manifest_list_entries); the orphan sweep must treat
+    those manifests and their data files as REFERENCED, not victims
+    (r12 advisor, high: skipping such snapshots deleted live data)."""
+    import json
+
+    from glaredb_spark.sources.iceberg_native import (
+        _metadata_path,
+        _resolve,
+        read_avro,
+        read_iceberg_native,
+        remove_orphans_iceberg_native,
+        table_metadata,
+    )
+
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 40), path)
+    write_iceberg_native(_docs(spark, sf_dir, 40, 70), path)
+    mp = _metadata_path(path)
+    meta = table_metadata(path)
+    dropped_lists = []
+    for s in meta["snapshots"]:
+        mlp = _resolve(s["manifest-list"], meta, path)
+        recs, _ = read_avro(mlp)
+        s["manifests"] = [r["manifest_path"] for r in recs]
+        del s["manifest-list"]
+        dropped_lists.append(mlp)
+    json.dump(meta, open(mp, "w"))
+    victims = remove_orphans_iceberg_native(
+        path, older_than_hours=0.0, dry_run=True
+    )
+    # ONLY the now-unreferenced manifest-list avros may be orphaned —
+    # never a data file or a manifest the inline form references
+    import os
+
+    assert set(map(os.path.realpath, victims)) <= set(
+        map(os.path.realpath, dropped_lists)
+    )
+    remove_orphans_iceberg_native(path, older_than_hours=0.0)
+    assert read_iceberg_native(spark, path).count() == 70
+
+
+def test_orphan_sweep_aborts_on_referenceless_snapshot(
+    spark, sf_dir, tmp_path
+):
+    """A snapshot with neither manifest-list nor inline manifests has
+    unknowable references — the sweep must abort loudly, never widen."""
+    import json
+
+    from glaredb_spark.sources.iceberg_native import (
+        _metadata_path,
+        remove_orphans_iceberg_native,
+        table_metadata,
+    )
+
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 10), path)
+    mp = _metadata_path(path)
+    meta = table_metadata(path)
+    for s in meta["snapshots"]:
+        s.pop("manifest-list", None)
+        s.pop("manifests", None)
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(IcebergError, match="neither manifest-list"):
+        remove_orphans_iceberg_native(
+            path, older_than_hours=0.0, dry_run=True
+        )
+
+
+def test_orphan_sweep_distributed_matches_driver(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Executor-side manifest reads (spark= path) pick the same victims
+    as the driver loop, and an unreadable manifest still aborts."""
+    from glaredb_spark.sources import iceberg_native as ice
+
+    path = str(tmp_path / "ice")
+    write_iceberg_native(_docs(spark, sf_dir, 0, 30), path)
+    write_iceberg_native(_docs(spark, sf_dir, 30, 60), path)
+    # stage an orphan the sweep should find either way
+    orphan = str(
+        tmp_path / "ice" / "data" / "lost-commit-00000.parquet"
+    )
+    open(orphan, "wb").write(b"not really parquet")
+    driver = ice.remove_orphans_iceberg_native(
+        path, older_than_hours=0.0, dry_run=True
+    )
+    monkeypatch.setattr(ice, "_ORPHAN_DISTRIBUTE_MIN", 0)
+    dist = ice.remove_orphans_iceberg_native(
+        path, older_than_hours=0.0, dry_run=True, spark=spark
+    )
+    assert driver == dist and orphan in driver
+    # corrupt one manifest: the distributed path must abort, not widen
+    import glob as _g
+
+    mf = sorted(
+        p for p in _g.glob(str(tmp_path / "ice" / "metadata" / "*.avro"))
+        if "snap-" not in p and ice.os.path.realpath(p) not in ()
+    )
+    # pick a manifest (not a manifest list) by checking victims exclude it
+    target = [p for p in mf if p not in driver][0]
+    open(target, "wb").write(b"garbage")
+    with pytest.raises(ice.IcebergError, match="cannot read manifest"):
+        ice.remove_orphans_iceberg_native(
+            path, older_than_hours=0.0, dry_run=True, spark=spark
+        )
