@@ -8,9 +8,19 @@ readChangeFeed) drives a derived GROUP BY aggregate table that is
 updated incrementally — per micro-batch cost is O(|changes|), never a
 recompute of the upstream table.
 
-Retractable aggregates only: SUM and COUNT (AVG = maintained sum /
+SUM and COUNT are pure-delta retractable (AVG = maintained sum /
 maintained count at read time). MIN/MAX are not retractable from a
-changelog without re-scanning the group and are refused by name.
+changelog alone — a retraction of the current extreme makes the new
+extreme unknowable without looking at the group's remaining rows — so
+``mins``/``maxs`` maintenance (r13, VERDICT r12 #4) requires an
+``upstream_fn`` handle and uses BOUNDED GROUP RE-SCAN: inserts merge
+as least/greatest (pure delta, no scan); a retraction that ties-or-
+beats a group's maintained extreme re-aggregates ONLY the affected
+groups from the upstream table (semi-join on the retracted keys),
+never the whole table. SUM/COUNT stay pure delta alongside. The
+re-scan reads the upstream's CURRENT state, which may be ahead of the
+batch being applied — intermediate MV values can run ahead, but at
+stream quiescence MV == recompute (the property the tests assert).
 NULL semantics: contributions that are NULL in a summed column are
 ignored (SQL SUM), and the maintained total coalesces to 0 on both
 sides of the arithmetic merge — so a group whose LIVE rows are all
@@ -46,15 +56,25 @@ _MINUS = ("delete", "update_preimage")
 
 def changelog_deltas(changes: DataFrame, group_by: list[str],
                      sums: dict[str, str],
-                     count_col: str = "n_rows") -> DataFrame:
+                     count_col: str = "n_rows",
+                     mins: "dict[str, str] | None" = None,
+                     maxs: "dict[str, str] | None" = None) -> DataFrame:
     """Per-key aggregate deltas of one changelog micro-batch.
 
     ``sums`` maps output column -> source column to SUM;
-    ``count_col`` receives the row-count delta. Unknown _change_type
-    values fail the batch loudly (a silently-dropped change type would
-    corrupt the aggregate forever)."""
-    if count_col in sums or count_col in group_by:
-        raise ValueError(f"count column {count_col!r} collides")
+    ``count_col`` receives the row-count delta. ``mins``/``maxs`` add
+    per-group extreme candidates: ``_add_<dst>`` = the batch's best
+    inserted value (merges as least/greatest, no scan) and
+    ``_ret_<dst>`` = the batch's best RETRACTED value (a retraction
+    tying-or-beating the maintained extreme forces the bounded group
+    re-scan). Unknown _change_type values fail the batch loudly (a
+    silently-dropped change type would corrupt the aggregate
+    forever)."""
+    mins, maxs = mins or {}, maxs or {}
+    names = [count_col, *sums, *mins, *maxs, *group_by]
+    dup = {n for n in names if names.count(n) > 1}
+    if dup:
+        raise ValueError(f"output columns collide: {sorted(dup)}")
     w = (
         F.when(F.col("_change_type").isin(*_PLUS), F.lit(1))
         .when(F.col("_change_type").isin(*_MINUS), F.lit(-1))
@@ -63,6 +83,16 @@ def changelog_deltas(changes: DataFrame, group_by: list[str],
         F.sum(F.col(src) * F.col("_w")).alias(dst)
         for dst, src in sums.items()
     ] + [F.sum("_w").alias(count_col)]
+    for dst, src in mins.items():
+        aggs.append(F.min(F.when(F.col("_w") == 1, F.col(src)))
+                    .alias(f"_add_{dst}"))
+        aggs.append(F.min(F.when(F.col("_w") == -1, F.col(src)))
+                    .alias(f"_ret_{dst}"))
+    for dst, src in maxs.items():
+        aggs.append(F.max(F.when(F.col("_w") == 1, F.col(src)))
+                    .alias(f"_add_{dst}"))
+        aggs.append(F.max(F.when(F.col("_w") == -1, F.col(src)))
+                    .alias(f"_ret_{dst}"))
     bad = F.sum(F.when(F.col("_w").isNull(), 1).otherwise(0))
     out = (
         changes.withColumn("_w", w)
@@ -106,13 +136,109 @@ def _assert_no_orphan_negative(out: DataFrame, group_by: list[str],
         )
 
 
+def _creation_frame(deltas: DataFrame, group_by: list[str],
+                    sums: dict[str, str], count_col: str,
+                    mins: dict, maxs: dict) -> DataFrame:
+    """Final MV rows for the CREATION batch: no target exists, so every
+    extreme is just the batch's inserted candidate."""
+    cols: list = [*group_by, *sums, count_col]
+    for m in (*mins, *maxs):
+        cols.append(F.col(f"_add_{m}").alias(m))
+    return deltas.select(*cols)
+
+
+def _merged_frame(spark, target: DataFrame, deltas: DataFrame,
+                  group_by: list[str], sums: dict[str, str],
+                  count_col: str, mins: dict, maxs: dict,
+                  upstream_fn) -> DataFrame:
+    """Final values for every group the batch touches. SUM/COUNT merge
+    as pure deltas; MIN/MAX merge as least/greatest on inserts and fall
+    back to a BOUNDED re-aggregation of only the affected groups
+    (semi-join on the retracted keys against ``upstream_fn(spark)``)
+    when a retraction ties-or-beats the maintained extreme — never a
+    whole-table recompute. The target read is bounded to matched keys
+    by the broadcast right join."""
+    vals = [*sums, count_col]
+    mm = [*mins, *maxs]
+    renamed = deltas
+    for c in vals:
+        renamed = renamed.withColumnRenamed(c, f"_d_{c}")
+    cur = target.select(*group_by, *vals, *mm).join(
+        F.broadcast(renamed), group_by, "right"
+    )
+    need = F.lit(False)
+    for m in mins:
+        need = need | (
+            F.col(f"_ret_{m}").isNotNull()
+            & (F.col(m).isNull() | (F.col(f"_ret_{m}") <= F.col(m)))
+        )
+    for m in maxs:
+        need = need | (
+            F.col(f"_ret_{m}").isNotNull()
+            & (F.col(m).isNull() | (F.col(f"_ret_{m}") >= F.col(m)))
+        )
+    flagged = cur.withColumn("_rescan", need)
+    if mm:
+        rescan_keys = flagged.filter("_rescan").select(*group_by)
+        re_agg = (
+            upstream_fn(spark)
+            .join(F.broadcast(rescan_keys), group_by, "semi")
+            .groupBy(*group_by)
+            .agg(
+                *[F.min(src).alias(f"_rs_{dst}")
+                  for dst, src in mins.items()],
+                *[F.max(src).alias(f"_rs_{dst}")
+                  for dst, src in maxs.items()],
+            )
+        )
+        flagged = flagged.join(F.broadcast(re_agg), group_by, "left")
+    out_cols = [*group_by]
+    for c in vals:
+        # coalesce BOTH sides (NULL-poisoning guard; documented
+        # all-NULL-group divergence)
+        out_cols.append(
+            (F.coalesce(F.col(c), F.lit(0))
+             + F.coalesce(F.col(f"_d_{c}"), F.lit(0))).alias(c)
+        )
+    for m in mins:
+        out_cols.append(
+            F.when(F.col("_rescan"), F.col(f"_rs_{m}"))
+            .otherwise(F.least(F.col(m), F.col(f"_add_{m}")))
+            .alias(m)
+        )
+    for m in maxs:
+        out_cols.append(
+            F.when(F.col("_rescan"), F.col(f"_rs_{m}"))
+            .otherwise(F.greatest(F.col(m), F.col(f"_add_{m}")))
+            .alias(m)
+        )
+    return flagged.select(*out_cols)
+
+
+def _require_upstream(mins, maxs, upstream_fn):
+    if (mins or maxs) and upstream_fn is None:
+        raise ValueError(
+            "MIN/MAX maintenance requires upstream_fn: a retraction of "
+            "a group's extreme is resolved by re-aggregating ONLY that "
+            "group from the upstream table (bounded re-scan); without "
+            "an upstream handle MIN/MAX are not retractable"
+        )
+
+
 def delta_mv_writer(path: str, app_id: str, group_by: list[str],
-                    sums: dict[str, str], count_col: str = "n_rows"):
+                    sums: dict[str, str], count_col: str = "n_rows",
+                    mins: "dict[str, str] | None" = None,
+                    maxs: "dict[str, str] | None" = None,
+                    upstream_fn=None):
     """foreachBatch callback maintaining a Delta aggregate table.
 
     One atomic MERGE commit per batch: matched groups add the deltas
     (and DELETE when the maintained count hits zero), new groups
-    insert. Exactly-once via the txn marker."""
+    insert. Exactly-once via the txn marker. With ``mins``/``maxs``
+    the final values are precomputed per touched group (bounded target
+    read + bounded re-scan via ``upstream_fn`` — see _merged_frame)
+    and the MERGE becomes replace-matched; without them the original
+    pure-delta MERGE never reads the target at all."""
     from glaredb_spark.sources.delta_native import (
         merge_delta_native,
         write_delta_native,
@@ -121,7 +247,9 @@ def delta_mv_writer(path: str, app_id: str, group_by: list[str],
 
     import os
 
-    out_cols = [*group_by, *sums, count_col]
+    _require_upstream(mins, maxs, upstream_fn)
+    mins, maxs = mins or {}, maxs or {}
+    out_cols = [*group_by, *sums, count_col, *mins, *maxs]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed_batch(path, app_id):
@@ -129,16 +257,22 @@ def delta_mv_writer(path: str, app_id: str, group_by: list[str],
         # persisted: the _bad assertion and the merge consume the same
         # aggregation once, not twice (r12 review)
         deltas = changelog_deltas(
-            batch_df, group_by, sums, count_col
+            batch_df, group_by, sums, count_col, mins=mins, maxs=maxs,
         ).persist()
         try:
             _split_assert_known(deltas, group_by)
-            out = deltas.select(*out_cols)
+            out = deltas.select(
+                *group_by, *sums, count_col,
+                *[c for m in (*mins, *maxs)
+                  for c in (f"_add_{m}", f"_ret_{m}")],
+            )
             if not os.path.isdir(os.path.join(path, "_delta_log")):
                 _assert_no_orphan_negative(out, group_by, count_col)
                 write_delta_native(
-                    out.filter(F.col(count_col) > 0), path,
-                    txn=(app_id, batch_id),
+                    _creation_frame(
+                        deltas, group_by, sums, count_col, mins, maxs
+                    ).filter(F.col(count_col) > 0),
+                    path, txn=(app_id, batch_id),
                 )
                 return
             # a NEGATIVE maintained count (changelog inconsistent with
@@ -161,6 +295,34 @@ def delta_mv_writer(path: str, app_id: str, group_by: list[str],
                         batch_df.sparkSession, path
                     ).select(*group_by),
                 )
+            if mins or maxs:
+                spark = batch_df.sparkSession
+                merged = _merged_frame(
+                    spark, read_delta_native(spark, path), out,
+                    group_by, sums, count_col, mins, maxs, upstream_fn,
+                ).persist()
+                try:
+                    neg = merged.filter(
+                        F.col(count_col) < 0
+                    ).limit(1).collect()
+                    if neg:
+                        raise ValueError(
+                            "maintained count went negative for group "
+                            f"{tuple(neg[0][k] for k in group_by)!r}: "
+                            "the changelog is inconsistent with this "
+                            "MV (attached mid-history?)"
+                        )
+                    merge_delta_native(
+                        spark, path, merged.select(*out_cols),
+                        group_by,
+                        # final values are precomputed: replace matched
+                        when_matched_delete=f"s.{count_col} = 0",
+                        when_not_matched_condition=f"{count_col} > 0",
+                        txn=(app_id, batch_id),
+                    )
+                finally:
+                    merged.unpersist()
+                return
             upd = {
                 c: f"coalesce(t.{c}, 0) + coalesce(s.{c}, 0)"
                 for c in sums
@@ -194,14 +356,19 @@ def delta_mv_writer(path: str, app_id: str, group_by: list[str],
 
 
 def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
-                      sums: dict[str, str], count_col: str = "n_rows"):
+                      sums: dict[str, str], count_col: str = "n_rows",
+                      mins: "dict[str, str] | None" = None,
+                      maxs: "dict[str, str] | None" = None,
+                      upstream_fn=None):
     """foreachBatch callback maintaining an Iceberg v2 aggregate table.
 
     One snapshot per batch: current values of the MATCHED groups are
     read (semi-join on the batch's keys — the delta side broadcasts),
-    summed with the deltas, and published through the equality-delete
-    upsert; groups whose count reaches zero ride the same snapshot as
-    delete-only keys. Exactly-once via the snapshot summary marker."""
+    summed with the deltas (MIN/MAX via least/greatest plus the
+    bounded group re-scan — see _merged_frame), and published through
+    the equality-delete upsert; groups whose count reaches zero ride
+    the same snapshot as delete-only keys. Exactly-once via the
+    snapshot summary marker."""
     import os as _os
 
     from glaredb_spark.sources.iceberg_native import (
@@ -211,7 +378,8 @@ def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
     )
     from glaredb_spark.streaming.sink import last_committed_batch_iceberg
 
-    out_cols = [*group_by, *sums, count_col]
+    _require_upstream(mins, maxs, upstream_fn)
+    mins, maxs = mins or {}, maxs or {}
     marker = lambda b: {  # noqa: E731
         "glaredb-app-id": app_id, "glaredb-batch-id": str(b),
     }
@@ -223,11 +391,15 @@ def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
         # persisted: the _bad assertion and the merge join consume the
         # same aggregation once, not twice (r12 review)
         agg = changelog_deltas(
-            batch_df, group_by, sums, count_col
+            batch_df, group_by, sums, count_col, mins=mins, maxs=maxs,
         ).persist()
         try:
             _split_assert_known(agg, group_by)
-            deltas = agg.select(*out_cols)
+            deltas = agg.select(
+                *group_by, *sums, count_col,
+                *[c for m in (*mins, *maxs)
+                  for c in (f"_add_{m}", f"_ret_{m}")],
+            )
             mdir = _os.path.join(path, "metadata")
             import glob as _glob
 
@@ -236,33 +408,23 @@ def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
                 # for a group this MV has never counted (r12 review 2)
                 _assert_no_orphan_negative(deltas, group_by, count_col)
                 write_iceberg_native(
-                    deltas.filter(F.col(count_col) > 0), path,
-                    format_version=2, summary_extra=marker(batch_id),
+                    _creation_frame(
+                        agg, group_by, sums, count_col, mins, maxs
+                    ).filter(F.col(count_col) > 0),
+                    path, format_version=2,
+                    summary_extra=marker(batch_id),
                 )
                 return
-            vals = [*sums, count_col]
-            renamed = deltas
-            for c in vals:
-                renamed = renamed.withColumnRenamed(c, f"_d_{c}")
-            _inner_batch(spark, renamed, vals, batch_id)
+            _inner_batch(spark, deltas, batch_id)
         finally:
             agg.unpersist()
 
-    def _inner_batch(spark, renamed, vals, batch_id):
-        renamed = renamed.persist()
+    def _inner_batch(spark, deltas, batch_id):
+        deltas = deltas.persist()
         try:
-            cur = read_iceberg_native(spark, path).select(
-                *group_by, *vals
-            ).join(F.broadcast(renamed), group_by, "right")
-            # coalesce BOTH sides (same NULL-poisoning guard and
-            # documented all-NULL-group divergence as the Delta writer)
-            merged = cur.select(
-                *group_by,
-                *[
-                    (F.coalesce(F.col(c), F.lit(0))
-                     + F.coalesce(F.col(f"_d_{c}"), F.lit(0))).alias(c)
-                    for c in vals
-                ],
+            merged = _merged_frame(
+                spark, read_iceberg_native(spark, path), deltas,
+                group_by, sums, count_col, mins, maxs, upstream_fn,
             ).persist()
             try:
                 # a NEGATIVE merged count means the changelog carried
@@ -292,7 +454,7 @@ def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
             finally:
                 merged.unpersist()
         finally:
-            renamed.unpersist()
+            deltas.unpersist()
 
     return write_batch
 
@@ -300,12 +462,17 @@ def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
 def stream_maintain_delta(changes: DataFrame, path: str, checkpoint: str,
                           app_id: str, group_by: list[str],
                           sums: dict[str, str],
-                          count_col: str = "n_rows"):
+                          count_col: str = "n_rows",
+                          mins: "dict[str, str] | None" = None,
+                          maxs: "dict[str, str] | None" = None,
+                          upstream_fn=None):
     """``changes.writeStream`` maintaining a Delta aggregate table from
     a changelog stream. Returns the (unstarted) DataStreamWriter."""
     return (
         changes.writeStream.foreachBatch(
-            delta_mv_writer(path, app_id, group_by, sums, count_col)
+            delta_mv_writer(path, app_id, group_by, sums, count_col,
+                            mins=mins, maxs=maxs,
+                            upstream_fn=upstream_fn)
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
@@ -315,13 +482,18 @@ def stream_maintain_delta(changes: DataFrame, path: str, checkpoint: str,
 def stream_maintain_iceberg(changes: DataFrame, path: str,
                             checkpoint: str, app_id: str,
                             group_by: list[str], sums: dict[str, str],
-                            count_col: str = "n_rows"):
+                            count_col: str = "n_rows",
+                            mins: "dict[str, str] | None" = None,
+                            maxs: "dict[str, str] | None" = None,
+                            upstream_fn=None):
     """``changes.writeStream`` maintaining an Iceberg v2 aggregate table
     from a changelog stream. Returns the (unstarted)
     DataStreamWriter."""
     return (
         changes.writeStream.foreachBatch(
-            iceberg_mv_writer(path, app_id, group_by, sums, count_col)
+            iceberg_mv_writer(path, app_id, group_by, sums, count_col,
+                              mins=mins, maxs=maxs,
+                              upstream_fn=upstream_fn)
         )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")

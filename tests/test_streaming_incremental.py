@@ -315,3 +315,96 @@ def test_delta_negative_count_fails_loudly(spark, tmp_path):
         w(spark.createDataFrame(
             [("ghost", 1, "delete")],
             "g string, v long, _change_type string"), 2)
+
+
+def _expected_mm(upstream_df):
+    return sorted(
+        (r["g"], r["total"], r["n_rows"], r["v_min"], r["v_max"])
+        for r in upstream_df.groupBy("g")
+        .agg(F.sum("v").alias("total"),
+             F.count(F.lit(1)).alias("n_rows"),
+             F.min("v").alias("v_min"),
+             F.max("v").alias("v_max"))
+        .collect()
+    )
+
+
+def _mm_rows(df):
+    return sorted(
+        (r["g"], r["total"], r["n_rows"], r["v_min"], r["v_max"])
+        for r in df.collect()
+    )
+
+
+def test_iceberg_mv_minmax_end_to_end(spark, tmp_path):
+    """MIN/MAX maintenance on the Iceberg writer (r13): extremes track
+    through inserts (least/greatest, no scan) and through retractions
+    of the current extreme (bounded group re-scan via upstream_fn)."""
+    from glaredb_spark.sources.iceberg_native import (
+        equality_delete_iceberg_native,
+        read_iceberg_native,
+        write_iceberg_native,
+    )
+    from glaredb_spark.streaming.incremental import (
+        stream_maintain_iceberg,
+    )
+
+    register_stream_sources(spark)
+    up, mv, ck = (str(tmp_path / d) for d in ("up", "mv", "ck"))
+    rows = [(i, "g%d" % (i % 3), i * 10) for i in range(12)]
+    write_iceberg_native(
+        spark.createDataFrame(rows, "id long, g string, v long")
+        .coalesce(1),
+        up, format_version=2,
+    )
+
+    def run():
+        q = stream_maintain_iceberg(
+            spark.readStream.format("iceberg_changes")
+            .option("path", up).load(),
+            mv, ck, "mv_mm", GROUP, SUMS,
+            mins={"v_min": "v"}, maxs={"v_max": "v"},
+            upstream_fn=lambda s: read_iceberg_native(s, up),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run()
+    assert _mm_rows(read_iceberg_native(spark, mv)) == _expected_mm(
+        read_iceberg_native(spark, up).select("g", "v")
+    )
+    # retract g0's MAX (id=9 -> v=90) and g1's MIN (id=1 -> v=10):
+    # both resolve only through the bounded re-scan
+    equality_delete_iceberg_native(
+        spark, up, spark.createDataFrame([(9,), (1,)], "id long")
+    )
+    run()
+    assert _mm_rows(read_iceberg_native(spark, mv)) == _expected_mm(
+        read_iceberg_native(spark, up).select("g", "v")
+    )
+    # inserts that move extremes without a scan
+    write_iceberg_native(
+        spark.createDataFrame(
+            [(300, "g0", -5), (301, "g1", 10**6)],
+            "id long, g string, v long",
+        ).coalesce(1),
+        up, mode="append",
+    )
+    run()
+    assert _mm_rows(read_iceberg_native(spark, mv)) == _expected_mm(
+        read_iceberg_native(spark, up).select("g", "v")
+    )
+
+
+def test_minmax_requires_upstream_handle():
+    """mins/maxs without upstream_fn is refused by a NAMED error (the
+    bounded re-scan is what makes MIN/MAX retractable)."""
+    from glaredb_spark.streaming.incremental import (
+        delta_mv_writer,
+        iceberg_mv_writer,
+    )
+
+    for mk in (delta_mv_writer, iceberg_mv_writer):
+        with pytest.raises(ValueError, match="upstream_fn"):
+            mk("/tmp/x", "app", GROUP, SUMS, mins={"m": "v"})
+        with pytest.raises(ValueError, match="upstream_fn"):
+            mk("/tmp/x", "app", GROUP, SUMS, maxs={"m": "v"})
