@@ -41,6 +41,7 @@ from __future__ import annotations
 import math
 import os
 import re
+import shutil
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -122,8 +123,12 @@ def parse_slt(text: str) -> list[Record]:
             i += 1
             continue
         if line == "halt":
+            # record and keep parsing: the RUNNER stops here (the
+            # reference behavior) except for the _RUN_PAST_HALT
+            # adjudications, which need the post-halt records parsed
             records.append(Record("halt", line=i + 1))
-            break
+            i += 1
+            continue
         if line.startswith("statement"):
             kind = (
                 "statement_ok" if line.split()[1] == "ok" else "statement_error"
@@ -1171,7 +1176,6 @@ def _tpchbench_dataset(sess) -> str:
             os.path.join(tmp, f"{name}.parquet")
         )
     open(os.path.join(tmp, "_COMPLETE"), "w").close()
-    import shutil
 
     try:
         os.replace(tmp, base)
@@ -1447,6 +1451,22 @@ def _ensure_unity_fixture() -> None:
     _MOTO["unity"] = em
 
 
+# Files whose `halt` the reference parked on its OWN unfinished engine
+# work (TODO comments), but whose post-halt records are COMPLETE goldens
+# this engine satisfies — we deliberately run past the halt (superset
+# policy, same as persistent views/tables; adjudication in COVERAGE.md).
+# Files whose post-halt goldens are themselves incomplete (empty or
+# wrong-arity result blocks) are NOT here — running them would assert
+# against a golden the reference never finished writing.
+_RUN_PAST_HALT = (
+    f"csv{os.sep}copy_to.slt",
+    f"parquet{os.sep}copy_to.slt",
+    f"standard{os.sep}window{os.sep}basic.slt",
+    f"standard{os.sep}attach{os.sep}memory.slt",
+    f"standard{os.sep}attach{os.sep}invalid_datasource.slt",
+)
+
+
 def run_slt_file(sess, path: str) -> SltResult:
     """Run one .slt file through a GlareSession; returns per-record tallies.
     Tables created by the script are dropped afterwards."""
@@ -1491,6 +1511,15 @@ def run_slt_file(sess, path: str) -> SltResult:
             "__GCP_SERVICE_ACCOUNT__",
             _MOTO.get("gcs_service_account") or "__GCP_SERVICE_ACCOUNT__",
         )
+    slt_tmp = None
+    if "__SLT_TMP__" in raw:
+        # the reference harness substitutes a per-file scratch dir for
+        # COPY TO targets; ours is a real tempdir removed afterwards
+        import tempfile
+
+        slt_tmp = tempfile.mkdtemp(prefix="slt_tmp_")
+        raw = raw.replace("__SLT_TMP__", slt_tmp)
+    past_halt = path.endswith(_RUN_PAST_HALT)
     records = parse_slt(raw)
     # the reference runs every slt file in a fresh engine — reset the
     # session-level schema tracking so files don't see each other's
@@ -1528,7 +1557,6 @@ def run_slt_file(sess, path: str) -> SltResult:
         for m in _CREATE_VIEW_RE.finditer(rec.sql):
             pre_names.add(m.group(1))
     if pre_names:
-        import shutil
         from urllib.parse import urlparse
 
         wh = urlparse(
@@ -1552,6 +1580,8 @@ def run_slt_file(sess, path: str) -> SltResult:
     try:
         for rec in records:
             if rec.kind == "halt":
+                if past_halt:
+                    continue  # _RUN_PAST_HALT adjudication above
                 break
             sql = rec.sql.strip().rstrip(";")
             if not sql:
@@ -1705,6 +1735,8 @@ def run_slt_file(sess, path: str) -> SltResult:
                 else:
                     res.ok += 1
     finally:
+        if slt_tmp:
+            shutil.rmtree(slt_tmp, ignore_errors=True)
         # don't leak case-sensitive storage mode into later tests sharing
         # the session (flipped by a case-colliding CREATE, session.py)
         sess.spark.conf.set("spark.sql.caseSensitive", "false")
