@@ -1937,6 +1937,135 @@ def incremental_mv_maintenance(spark, sf_dir):
 
 
 @register_query(
+    "iceberg_rest_maintenance",
+    oracle="""
+WITH final AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE doc_id < 60 AND doc_id % 10 <> 3
+)
+SELECT COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS total,
+       3 AS n_cols
+FROM final
+""",
+)
+def iceberg_rest_maintenance(spark, sf_dir):
+    """r13 catalog-routed maintenance row (VERDICT r12 #1): live
+    loopback REST catalog → create/append (3 files) → OPTIMIZE through
+    commitTable (3→1) → ALTER ADD COLUMN through commitTable → COW
+    DELETE through commitTable → VACUUM through commitTable
+    (remove-snapshots + catalog-metadata orphan sweep) → read through
+    the catalog pointer. Every mutation publishes via the catalog's
+    optimistic commitTable, never the filesystem version hint — the
+    contract a pointer-only catalog needs. n_cols proves the schema
+    revision landed catalog-side."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources import iceberg_rest as _rest
+    from glaredb_spark.sources.files import load_tables
+    from glaredb_spark.sources.iceberg_rest_emulator import (
+        IcebergRestEmulator,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "n_chars"
+    )
+    wh = _tf.mkdtemp(prefix="glaredb_ice_maint_")
+    emu = IcebergRestEmulator(wh, prefix="wh")
+    endpoint = emu.start()
+    try:
+        _rest.create_namespace(endpoint, "analytics")
+        _rest.create_table(spark, endpoint, "analytics", "docs", docs)
+        for lo, hi in ((0, 20), (20, 40), (40, 60)):
+            _rest.append_table(
+                spark, endpoint, "analytics", "docs",
+                docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+                .coalesce(1),
+            )
+        removed, added = _rest.optimize_table(
+            spark, endpoint, "analytics", "docs"
+        )
+        assert (removed, added) == (3, 1), (removed, added)
+        _rest.alter_add_column(
+            endpoint, "analytics", "docs", "flag", "string"
+        )
+        _rest.delete_table_rows(
+            spark, endpoint, "analytics", "docs", "doc_id % 10 = 3",
+        )
+        _rest.vacuum_table(
+            spark, endpoint, "analytics", "docs", retention_hours=0.0,
+        )
+        got = _rest.read_table(spark, endpoint, "analytics", "docs")
+        n_cols = len(got.columns)
+        return got.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").cast("long").alias("total"),
+        ).select("c", "total", F.lit(n_cols).alias("n_cols"))
+    finally:
+        emu.stop()
+        _rest._PREFIX_CACHE.clear()
+
+
+@register_query(
+    "incremental_mv_minmax",
+    oracle="""
+WITH final AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE doc_id < 80 AND doc_id % 10 <> 3 AND lang <> 'de'
+)
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total, COUNT(*) AS n_rows,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM final GROUP BY lang ORDER BY lang
+""",
+)
+def incremental_mv_minmax(spark, sf_dir):
+    """r13 MV MIN/MAX row (VERDICT r12 #4): the same changelog-driven
+    aggregate MV as incremental_mv_maintenance, now also maintaining
+    per-group MIN/MAX — predicate deletes retract group extremes, which
+    resolve through the bounded group re-scan (semi-join on retracted
+    keys against the upstream), and the final MV must equal the
+    from-scratch GROUP BY with extremes included."""
+    import tempfile as _tf
+
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        read_delta_native,
+        write_delta_native,
+    )
+    from glaredb_spark.streaming.incremental import stream_maintain_delta
+    from glaredb_spark.streaming.source import register_stream_sources
+
+    register_stream_sources(spark)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _tf.mkdtemp(prefix="glaredb_mv_mm_")
+    up, mv, ck = (f"{root}/up", f"{root}/mv", f"{root}/ck")
+    write_delta_native(
+        docs.filter("doc_id < 60").coalesce(2), up, enable_cdf=True
+    )
+    write_delta_native(
+        docs.filter("doc_id >= 60 AND doc_id < 80").coalesce(1), up,
+        mode="append",
+    )
+    delete_delta_native(spark, up, "doc_id % 10 = 3")
+    delete_delta_native(spark, up, "lang = 'de'")
+    q = stream_maintain_delta(
+        spark.readStream.format("delta_changes")
+        .option("path", up).load(),
+        mv, ck, "mv_mm_row", ["lang"], {"total": "n_chars"},
+        mins={"min_chars": "n_chars"}, maxs={"max_chars": "n_chars"},
+        upstream_fn=lambda s: read_delta_native(s, up),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return read_delta_native(spark, mv).select(
+        "lang", F.col("total").cast("long").alias("total"), "n_rows",
+        F.col("min_chars").cast("long").alias("min_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+    ).orderBy("lang")
+
+
+@register_query(
     "iceberg_evolution_lifecycle",
     oracle="""
 WITH ab AS (SELECT doc_id, lang AS language, n_chars FROM documents

@@ -72,9 +72,14 @@ GATE_PRIORITY: list[str] = [
     # (delta_change_feed, iceberg_change_feed,
     # iceberg_evolution_lifecycle); all three stay in the local strict
     # gate every round
-    "tpch_q02", "tpch_q03", "tpch_q05", "tpch_q06",
+    "tpch_q02", "tpch_q03", "tpch_q06",
     "tpch_q09",
     "tpch_q13",
+    # r13 rotation: q05 — long-green, join-chain shape covered by
+    # q03/q09, runs bit-exact every round as a tpchbench golden SLT —
+    # yields its slot to the round's catalog-routed MAINTENANCE
+    # lifecycle row (iceberg_rest_maintenance below); stays in the
+    # local strict gate every round
     # r11 rotation (VERDICT r10 #1): q19 — long-green, filter-join-ratio
     # shape covered by q06/q17, runs bit-exact every round as a
     # tpchbench golden SLT — yields its slot to the round's new
@@ -116,6 +121,11 @@ GATE_PRIORITY: list[str] = [
     # REST catalog — discovery + loadTable-pinned reads + optimistic
     # commitTable appends against a live loopback emulator
     "iceberg_rest_catalog",
+    # r13 (VERDICT r12 #1): catalog-routed maintenance — OPTIMIZE /
+    # ALTER / DELETE / VACUUM all publishing through optimistic
+    # commitTable against the live loopback catalog; the MV MIN/MAX
+    # twin (incremental_mv_minmax) is oracle-gated locally every round
+    "iceberg_rest_maintenance",
     # r11: streaming changelog source (readStream iceberg_changes —
     # per-file MoR diff on executors), first driver row; the Delta twin
     # delta_change_stream is oracle-gated locally every round
