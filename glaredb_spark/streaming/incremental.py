@@ -136,15 +136,56 @@ def _assert_no_orphan_negative(out: DataFrame, group_by: list[str],
         )
 
 
-def _creation_frame(deltas: DataFrame, group_by: list[str],
+def _creation_frame(spark, deltas: DataFrame, group_by: list[str],
                     sums: dict[str, str], count_col: str,
-                    mins: dict, maxs: dict) -> DataFrame:
-    """Final MV rows for the CREATION batch: no target exists, so every
-    extreme is just the batch's inserted candidate."""
+                    mins: dict, maxs: dict, upstream_fn) -> DataFrame:
+    """Final MV rows for the CREATION batch. For a pure-insert batch
+    every extreme is the batch's inserted candidate (_add), but a
+    creation batch may fold several upstream versions — a group whose
+    batch ALSO retracts rows cannot trust _add (the retracted row may
+    be the extreme: insert 1,5 then delete 1 in one chunk must yield
+    min 5, not 1), so any group with a retraction candidate takes the
+    bounded re-scan (r13 review)."""
     cols: list = [*group_by, *sums, count_col]
+    if not (mins or maxs):
+        return deltas.select(*cols)
+    ret_any = F.lit(False)
     for m in (*mins, *maxs):
-        cols.append(F.col(f"_add_{m}").alias(m))
-    return deltas.select(*cols)
+        ret_any = ret_any | F.col(f"_ret_{m}").isNotNull()
+    flagged = deltas.withColumn("_rescan", ret_any)
+    flagged = _join_rescan(spark, flagged, group_by, mins, maxs,
+                           upstream_fn)
+    for m in mins:
+        cols.append(
+            F.when(F.col("_rescan"), F.col(f"_rs_{m}"))
+            .otherwise(F.col(f"_add_{m}")).alias(m)
+        )
+    for m in maxs:
+        cols.append(
+            F.when(F.col("_rescan"), F.col(f"_rs_{m}"))
+            .otherwise(F.col(f"_add_{m}")).alias(m)
+        )
+    return flagged.select(*cols)
+
+
+def _join_rescan(spark, flagged: DataFrame, group_by: list[str],
+                 mins: dict, maxs: dict, upstream_fn) -> DataFrame:
+    """Left-join the true extremes (_rs_<col>) of the groups flagged
+    ``_rescan`` — re-aggregated from the upstream bounded by a
+    semi-join on exactly those keys."""
+    rescan_keys = flagged.filter("_rescan").select(*group_by)
+    re_agg = (
+        upstream_fn(spark)
+        .join(F.broadcast(rescan_keys), group_by, "semi")
+        .groupBy(*group_by)
+        .agg(
+            *[F.min(src).alias(f"_rs_{dst}")
+              for dst, src in mins.items()],
+            *[F.max(src).alias(f"_rs_{dst}")
+              for dst, src in maxs.items()],
+        )
+    )
+    return flagged.join(F.broadcast(re_agg), group_by, "left")
 
 
 def _merged_frame(spark, target: DataFrame, deltas: DataFrame,
@@ -179,19 +220,8 @@ def _merged_frame(spark, target: DataFrame, deltas: DataFrame,
         )
     flagged = cur.withColumn("_rescan", need)
     if mm:
-        rescan_keys = flagged.filter("_rescan").select(*group_by)
-        re_agg = (
-            upstream_fn(spark)
-            .join(F.broadcast(rescan_keys), group_by, "semi")
-            .groupBy(*group_by)
-            .agg(
-                *[F.min(src).alias(f"_rs_{dst}")
-                  for dst, src in mins.items()],
-                *[F.max(src).alias(f"_rs_{dst}")
-                  for dst, src in maxs.items()],
-            )
-        )
-        flagged = flagged.join(F.broadcast(re_agg), group_by, "left")
+        flagged = _join_rescan(spark, flagged, group_by, mins, maxs,
+                               upstream_fn)
     out_cols = [*group_by]
     for c in vals:
         # coalesce BOTH sides (NULL-poisoning guard; documented
@@ -270,7 +300,8 @@ def delta_mv_writer(path: str, app_id: str, group_by: list[str],
                 _assert_no_orphan_negative(out, group_by, count_col)
                 write_delta_native(
                     _creation_frame(
-                        deltas, group_by, sums, count_col, mins, maxs
+                        batch_df.sparkSession, deltas, group_by, sums,
+                        count_col, mins, maxs, upstream_fn,
                     ).filter(F.col(count_col) > 0),
                     path, txn=(app_id, batch_id),
                 )
@@ -409,7 +440,8 @@ def iceberg_mv_writer(path: str, app_id: str, group_by: list[str],
                 _assert_no_orphan_negative(deltas, group_by, count_col)
                 write_iceberg_native(
                     _creation_frame(
-                        agg, group_by, sums, count_col, mins, maxs
+                        spark, agg, group_by, sums, count_col, mins,
+                        maxs, upstream_fn,
                     ).filter(F.col(count_col) > 0),
                     path, format_version=2,
                     summary_extra=marker(batch_id),

@@ -408,3 +408,44 @@ def test_minmax_requires_upstream_handle():
             mk("/tmp/x", "app", GROUP, SUMS, mins={"m": "v"})
         with pytest.raises(ValueError, match="upstream_fn"):
             mk("/tmp/x", "app", GROUP, SUMS, maxs={"m": "v"})
+
+
+def test_minmax_creation_batch_folds_retractions(spark, tmp_path):
+    """A creation batch folding several upstream versions (MV attached
+    late) may insert AND retract the same group's extreme in one
+    chunk — _add alone would resurrect the deleted extreme; the
+    bounded re-scan must resolve it (r13 review)."""
+    import os
+
+    from glaredb_spark.sources.delta_native import (
+        _latest_version,
+        delete_delta_native,
+        read_delta_native,
+        table_changes_delta_native,
+        write_delta_native,
+    )
+    from glaredb_spark.streaming.incremental import delta_mv_writer
+
+    up = str(tmp_path / "up")
+    mv = str(tmp_path / "mv")
+    write_delta_native(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "a", 5), (3, "b", 7)],
+            "id long, g string, v long",
+        ),
+        up, enable_cdf=True,
+    )
+    delete_delta_native(spark, up, "v = 1")  # retract group a's MIN
+    w = delta_mv_writer(
+        mv, "late", ["g"], {"total": "v"},
+        mins={"v_min": "v"}, maxs={"v_max": "v"},
+        upstream_fn=lambda s: read_delta_native(s, up),
+    )
+    # ONE batch folds version 0 (inserts) + version 1 (the delete)
+    w(table_changes_delta_native(
+        spark, up, 0, _latest_version(os.path.join(up, "_delta_log"))
+    ), 0)
+    got = sorted(tuple(r) for r in read_delta_native(spark, mv)
+                 .select("g", "total", "n_rows", "v_min", "v_max")
+                 .collect())
+    assert got == [("a", 5, 1, 5, 5), ("b", 7, 1, 7, 7)]
