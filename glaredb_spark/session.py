@@ -135,6 +135,18 @@ _MERGE_PATH_RE = re.compile(
 _MERGE_NOT_MATCHED_RE = re.compile(
     r"\bWHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\b", re.IGNORECASE
 )
+# MERGE INTO alias.ns.table — catalog-routed COW merge (r13); only
+# fires when the first segment is an ATTACHed iceberg_rest alias
+_MERGE_CAT_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)\s+"
+    r"(?:AS\s+)?([A-Za-z_]\w*)\s+"
+    r"USING\s+(\(.*?\)|[A-Za-z_][\w.]*)\s+(?:AS\s+)?([A-Za-z_]\w*)"
+    r"(?:\s+ON\s+(.+?))?"
+    r"(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?))?"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT(?:\s+\*)?)?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # maintenance statements over native table DIRECTORIES (delta-spark's
 # OPTIMIZE / VACUUM [RETAIN n HOURS] [DRY RUN] / REORG APPLY (PURGE))
 _OPTIMIZE_RE = re.compile(
@@ -877,6 +889,11 @@ class GlareSession:
         dml = _MERGE_PATH_RE.match(query)
         if dml:
             return self._run_merge(dml, query)
+        dml = _MERGE_CAT_RE.match(query)
+        if dml and self._catalog_dml_target(dml.group(1).split(".")[0]):
+            return self._run_merge(
+                dml, query, catalog=self._catalog_ref(dml.group(1))
+            )
         m = _OPTIMIZE_CAT_RE.match(query)
         if m:
             tgt = self._catalog_ref(m.group(1))
@@ -1491,7 +1508,8 @@ class GlareSession:
             F.lit(obs.get["n"]).cast("bigint").alias("Count")
         )
 
-    def _run_merge(self, m: "re.Match", query: str) -> DataFrame:
+    def _run_merge(self, m: "re.Match", query: str,
+                   catalog: "tuple | None" = None) -> DataFrame:
         """MERGE INTO '<table-dir>' t USING src s ON t.k = s.k [AND ...]
         [WHEN MATCHED THEN UPDATE SET ...] [WHEN NOT MATCHED THEN
         INSERT [*]] — the SQL surface over the native COW upsert
@@ -1504,20 +1522,24 @@ class GlareSession:
         from glaredb_spark.functions.table_sql import rewrite_table_functions
 
         path, t_alias, src_txt, s_alias, on_txt, set_txt = m.groups()
-        kind = _native_table_kind(path)
-        if kind == "delta":
-            from glaredb_spark.sources.delta_native import (
-                merge_delta_native as _merge,
-            )
-        elif kind == "iceberg":
-            from glaredb_spark.sources.iceberg_native import (
-                merge_iceberg_native as _merge,
-            )
+        _merge = None
+        if catalog is not None:
+            kind = "iceberg"  # catalog tables are Iceberg by contract
         else:
-            raise ValueError(
-                f"MERGE INTO target is not a native Delta or Iceberg "
-                f"table: {path!r}"
-            )
+            kind = _native_table_kind(path)
+            if kind == "delta":
+                from glaredb_spark.sources.delta_native import (
+                    merge_delta_native as _merge,
+                )
+            elif kind == "iceberg":
+                from glaredb_spark.sources.iceberg_native import (
+                    merge_iceberg_native as _merge,
+                )
+            else:
+                raise ValueError(
+                    f"MERGE INTO target is not a native Delta or "
+                    f"Iceberg table: {path!r}"
+                )
         if src_txt.startswith("("):
             source = self.spark.sql(
                 rewrite_table_functions(self.spark, src_txt[1:-1])
@@ -1557,7 +1579,16 @@ class GlareSession:
                 table_metadata,
             )
 
-            on = _identifier_columns(table_metadata(path))
+            if catalog is not None:
+                from glaredb_spark.sources import iceberg_rest as _ir
+
+                endpoint, token, ns, tbl = catalog
+                meta = _ir.load_table(
+                    endpoint, ns, tbl, token
+                ).get("metadata") or {}
+            else:
+                meta = table_metadata(path)
+            on = _identifier_columns(meta)
             if not on:
                 raise ValueError(
                     "MERGE INTO without an ON clause: the table has no "
@@ -1602,11 +1633,21 @@ class GlareSession:
                     col = col.split(".", 1)[1].strip("`\"")
                 when_matched[col] = _norm_alias(expr.strip())
         insert = bool(_MERGE_NOT_MATCHED_RE.search(query))
-        updated, inserted, _files = _merge(
-            self.spark, path, source, on,
-            when_matched_update=when_matched or {},
-            when_not_matched_insert=insert,
-        )
+        if catalog is not None:
+            from glaredb_spark.sources import iceberg_rest as _ir
+
+            endpoint, token, ns, tbl = catalog
+            updated, inserted, _files = _ir.merge_table(
+                self.spark, endpoint, ns, tbl, source, on,
+                when_matched_update=when_matched or {},
+                when_not_matched_insert=insert, token=token,
+            )
+        else:
+            updated, inserted, _files = _merge(
+                self.spark, path, source, on,
+                when_matched_update=when_matched or {},
+                when_not_matched_insert=insert,
+            )
         return self.spark.range(1).select(
             F.lit(updated + inserted).cast("bigint").alias("Count")
         )

