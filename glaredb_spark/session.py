@@ -184,6 +184,15 @@ _REORG_RE = re.compile(
 # commits go through the catalog's optimistic commitTable, never the
 # filesystem version hint (invisible to a pointer-only catalog)
 _CATREF = r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
+_CTAS_CAT_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+" + _CATREF + r"\s+AS\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE_CAT_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?" + _CATREF
+    + r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_CAT_RE = re.compile(
     r"^\s*OPTIMIZE\s+" + _CATREF +
     r"(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$",
@@ -651,9 +660,23 @@ class GlareSession:
 
             from glaredb_spark import catalog as _cat
 
-            _cat.create_schema(self.spark, schema_m.group(1))
+            name = schema_m.group(1)
+            hit = ("." in name) and self._catalog_dml_target(
+                name.split(".", 1)[0]
+            )
+            if hit:
+                # CREATE SCHEMA alias.ns[.sub] → catalog createNamespace
+                from glaredb_spark.sources import iceberg_rest as _ir
+
+                endpoint, token = hit
+                ns = name.split(".", 1)[1]
+                _ir.create_namespace(endpoint, ns, token=token)
+                return self.spark.range(1).select(
+                    F.lit(f"created namespace {ns}").alias("status")
+                )
+            _cat.create_schema(self.spark, name)
             return self.spark.range(1).select(
-                F.lit(f"created schema {schema_m.group(1)}").alias("status")
+                F.lit(f"created schema {name}").alias("status")
             )
         drop_m = _DROP_SCHEMA_RE.match(query)
         if drop_m:
@@ -661,13 +684,72 @@ class GlareSession:
 
             from glaredb_spark import catalog as _cat
 
+            name = drop_m.group(1)
+            hit = ("." in name) and self._catalog_dml_target(
+                name.split(".", 1)[0]
+            )
+            if hit:
+                from glaredb_spark.sources import iceberg_rest as _ir
+
+                endpoint, token = hit
+                ns = name.split(".", 1)[1]
+                _ir.drop_namespace(endpoint, ns, token=token)
+                return self.spark.range(1).select(
+                    F.lit(f"dropped namespace {ns}").alias("status")
+                )
             _cat.drop_schema(
                 self.spark,
-                drop_m.group(1),
+                name,
                 cascade=(drop_m.group(2) or "").upper() == "CASCADE",
             )
             return self.spark.range(1).select(
-                F.lit(f"dropped schema {drop_m.group(1)}").alias("status")
+                F.lit(f"dropped schema {name}").alias("status")
+            )
+        m = _CTAS_CAT_RE.match(query)
+        if m and self._catalog_dml_target(m.group(1).split(".")[0]):
+            # CREATE TABLE alias.ns.t AS <query> — catalog createTable
+            # (schema from the query) + rows through optimistic
+            # commitTable (r13)
+            from pyspark.sql import functions as F
+
+            from glaredb_spark.functions.table_sql import (
+                rewrite_table_functions,
+            )
+            from glaredb_spark.sources import iceberg_rest as _ir
+
+            endpoint, token, ns, tbl = self._catalog_ref(m.group(1))
+            df = self.spark.sql(
+                rewrite_table_functions(self.spark, m.group(2))
+            )
+            _ir.create_table(
+                self.spark, endpoint, ns, tbl, df, token=token
+            )
+            df = df.persist()
+            try:
+                n = df.count()
+                if n:
+                    _ir.append_table(
+                        self.spark, endpoint, ns, tbl, df, token=token
+                    )
+            finally:
+                df.unpersist()
+            return self.spark.range(1).select(
+                F.lit(n).cast("bigint").alias("Count")
+            )
+        m = _DROP_TABLE_CAT_RE.match(query)
+        if m and self._catalog_dml_target(m.group(2).split(".")[0]):
+            from pyspark.sql import functions as F
+
+            from glaredb_spark.sources import iceberg_rest as _ir
+
+            endpoint, token, ns, tbl = self._catalog_ref(m.group(2))
+            try:
+                _ir.drop_table(endpoint, ns, tbl, token=token)
+            except _ir.IcebergRestError as e:
+                if not (m.group(1) and e.code == 404):
+                    raise  # IF EXISTS swallows only a missing table
+            return self.spark.range(1).select(
+                F.lit(f"dropped table {ns}.{tbl}").alias("status")
             )
         copy = _COPY_RE.match(query)
         if copy:

@@ -1240,3 +1240,41 @@ def test_catalog_routed_merge(spark, catalog, tmp_path):
         assert got[3] == 777 and got[200] == 8 and len(got) == 8
     finally:
         detach_iceberg_rest(spark, "icmg")
+
+
+def test_sql_catalog_ctas_drop_and_schema(spark, catalog, tmp_path):
+    """CREATE SCHEMA / CTAS / DROP TABLE / DROP SCHEMA over an attached
+    alias route to createNamespace / createTable+append / dropTable /
+    dropNamespace (r13)."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icddl (endpoint '{endpoint}')"
+    )
+    try:
+        st = sess.sql("CREATE SCHEMA icddl.lab").collect()[0].status
+        assert "created namespace lab" in st
+        n = sess.sql(
+            "CREATE TABLE icddl.lab.nums AS "
+            "SELECT id, id * 3 AS v FROM range(7)"
+        ).collect()[0].Count
+        assert n == 7
+        got = sess.sql(
+            "SELECT sum(v) AS s FROM icddl.lab.nums"
+        ).collect()[0].s
+        assert got == sum(i * 3 for i in range(7))
+        # IF EXISTS swallows only a missing table
+        sess.sql("DROP TABLE IF EXISTS icddl.lab.ghost")
+        with pytest.raises(IcebergRestError, match="404"):
+            sess.sql("DROP TABLE icddl.lab.ghost")
+        st = sess.sql("DROP TABLE icddl.lab.nums").collect()[0].status
+        assert "dropped table lab.nums" in st
+        with pytest.raises(IcebergRestError, match="404"):
+            rest.load_table(endpoint, "lab", "nums")
+        st = sess.sql("DROP SCHEMA icddl.lab").collect()[0].status
+        assert "dropped namespace lab" in st
+    finally:
+        detach_iceberg_rest(spark, "icddl")
