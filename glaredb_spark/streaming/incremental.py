@@ -204,9 +204,16 @@ def _merged_frame(spark, target: DataFrame, deltas: DataFrame,
     renamed = deltas
     for c in vals:
         renamed = renamed.withColumnRenamed(c, f"_d_{c}")
-    cur = target.select(*group_by, *vals, *mm).join(
-        F.broadcast(renamed), group_by, "right"
+    # two-step probe instead of a right-outer join with a broadcast
+    # hint on the preserved side (Spark cannot build-broadcast that
+    # side, so the hint silently degraded to a shuffled SMJ — r13
+    # review): (1) broadcast SEMI-join bounds the target read to the
+    # batch's keys; (2) the filtered target is ≤|batch| rows, so AQE
+    # broadcast-joins it back onto the deltas at runtime
+    touched = target.select(*group_by, *vals, *mm).join(
+        F.broadcast(renamed.select(*group_by)), group_by, "semi"
     )
+    cur = renamed.join(touched, group_by, "left")
     need = F.lit(False)
     for m in mins:
         need = need | (
