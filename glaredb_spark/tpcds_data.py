@@ -127,8 +127,8 @@ _ROWS = {
     "date_dim": _DAYS,
     "time_dim": 1440,  # one per minute of day
     "item": 120,
-    "customer": 200,
-    "customer_address": 150,
+    "customer": 400,
+    "customer_address": 250,
     "customer_demographics": 120,
     "household_demographics": 60,
     "income_band": 20,
@@ -141,13 +141,13 @@ _ROWS = {
     "ship_mode": 12,
     "reason": 12,
     "promotion": 24,
-    "store_sales": 2400,
-    "catalog_sales": 1800,
-    "web_sales": 1800,
-    "store_returns": 480,
-    "catalog_returns": 360,
-    "web_returns": 360,
-    "inventory": 1200,
+    "store_sales": 6000,
+    "catalog_sales": 4500,
+    "web_sales": 4500,
+    "store_returns": 900,
+    "catalog_returns": 700,
+    "web_returns": 700,
+    "inventory": 2400,
 }
 
 # fact FK suffix -> dimension whose key range it samples
@@ -247,10 +247,19 @@ def _generic(col: str, typ: str, i: int, rng: random.Random, nrows: int):
             return decimal.Decimal(rng.choice([-5, -6, -7, -8]))
         if "percentage" in col or col.endswith("_tax_percentage"):
             return _dec(rng, 0, 0.12)
+        if col == "i_current_price":
+            # the price-window filters (BETWEEN 62 AND 92, ...) live
+            # under 100; q21's band is 0.99..1.49, so pin some items
+            # inside it
+            if rng.random() < 0.12:
+                return _dec(rng, 0.99, 1.49)
+            return _dec(rng, 0.09, 99)
         return _dec(rng, 0, 1500)
     if typ == "Int32":
-        if col.endswith("_quantity") or col.endswith(
-                "_quantity_on_hand") or col.endswith("_return_quantity"):
+        if col.endswith("_quantity_on_hand"):
+            # the inventory-window queries filter 100..500
+            return rng.randrange(0, 1001)
+        if col.endswith("_quantity") or col.endswith("_return_quantity"):
             return rng.randrange(1, 101)
         if col.endswith("_birth_year"):
             return rng.randrange(1924, 1993)
@@ -261,11 +270,23 @@ def _generic(col: str, typ: str, i: int, rng: random.Random, nrows: int):
         if col.endswith("_dep_count") or col.endswith("_vehicle_count"):
             return rng.randrange(0, 10)
         if col.endswith("_manager_id"):
-            return rng.randrange(1, 101)
+            # weight toward the ids the queries name
+            return rng.choice([1, 8, 28, rng.randrange(1, 101)])
         if col.endswith(("_brand_id", "_class_id", "_category_id")):
-            return rng.randrange(1, 17) * 1000000 + rng.randrange(1, 17)
+            return rng.randrange(1, 17)
         if col.endswith("_manufact_id"):
-            return rng.randrange(1, 1001)
+            # half the items land on the ids the queries name, so
+            # manufact-filtered plans have rows to return
+            return rng.choice([
+                128, 350, 738, 977,      # the = literals
+                677, 940, 694, 808,      # q37's IN list
+                129, 270, 821, 423,      # q82's IN list
+                rng.randrange(1, 1001),
+            ])
+        if col == "s_market_id":
+            return rng.randrange(1, 11)
+        if col == "wp_char_count":
+            return rng.randrange(4800, 5501)
         if col == "ib_lower_bound":
             return (i % 20) * 10000
         if col == "ib_upper_bound":
@@ -330,6 +351,13 @@ def ensure(root: str) -> dict[str, str]:
     def build(table: str) -> list[dict]:
         cols = schemas[table]
         n = _ROWS[table]
+        # variable ticket/order sizes (1..25 lines): the cnt-window
+        # queries (q34/q73-style HAVING cnt BETWEEN 15 AND 20) need
+        # some large baskets to exist
+        group_no, g = [], 0
+        while len(group_no) < n:
+            g += 1
+            group_no.extend([g] * rng.randrange(1, 26))
         rows = []
         for i in range(n):
             if table == "date_dim":
@@ -357,10 +385,9 @@ def ensure(root: str) -> dict[str, str]:
                     r[c] = rng.randrange(1, _ROWS[dim] + 1)
                 elif c.endswith("_sk"):
                     r[c] = rng.randrange(1, 100)
-                elif c == "ss_ticket_number":
-                    r[c] = 1 + i // 3
-                elif c in ("cs_order_number", "ws_order_number"):
-                    r[c] = 1 + i // 2
+                elif c == "ss_ticket_number" or c in (
+                        "cs_order_number", "ws_order_number"):
+                    r[c] = group_no[i]
                 else:
                     r[c] = _generic(c, typ, i, rng, n)
                 # sparse NULLs in nullable fact measures/FKs (never in
@@ -384,6 +411,23 @@ def ensure(root: str) -> dict[str, str]:
         rows_by_table[t] = build(t)
     for t in ("store_sales", "catalog_sales", "web_sales", "inventory"):
         rows_by_table[t] = build(t)
+    # cross-channel overlap: the multi-channel queries (q10/q23/q25/
+    # q29/q64-style) join the SAME customer buying the SAME item across
+    # channels — give a third of catalog/web lines a store-sales
+    # (customer, item) pair. Same-order lines keep their order number,
+    # so the returns link below stays consistent.
+    ss_rows = rows_by_table["store_sales"]
+    for t, cust_col, item_col in (
+        ("catalog_sales", "cs_bill_customer_sk", "cs_item_sk"),
+        ("web_sales", "ws_bill_customer_sk", "ws_item_sk"),
+    ):
+        for r in rows_by_table[t]:
+            if rng.random() < 0.33:
+                src = rng.choice(ss_rows)
+                if src["ss_customer_sk"] is not None:
+                    r[cust_col] = src["ss_customer_sk"]
+                if src["ss_item_sk"] is not None:
+                    r[item_col] = src["ss_item_sk"]
     # returns reference EXISTING sale line items so the (item, ticket/
     # order) return joins the queries perform are non-empty
     link = {

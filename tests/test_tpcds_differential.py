@@ -110,3 +110,28 @@ def test_tpcds_values_match_duckdb(engines, fname):
     assert _rows_eq(
         sorted(ours, key=_key), sorted(duck, key=_key)
     ), f"{fname}: ours={len(ours)} rows, duckdb={len(duck)} rows"
+
+
+def test_dataset_depth_floor(engines):
+    """At least 80 of the 99 queries must return NON-EMPTY results on
+    this dataset — a floor so future generator edits can't silently
+    hollow the differential out into empty-vs-empty comparisons.
+    (Current depth: 80; the remaining empties are deep multi-stage
+    correlations — q23's best-customers chain, q64's two-purchase
+    join — whose plans the comparison still exercises.)"""
+    from glaredb_spark.slt import parse_slt
+
+    _sess, con = engines
+    nonempty = 0
+    for fname in QFILES:
+        recs = [
+            r
+            for r in parse_slt(open(os.path.join(TPCDS, fname)).read())
+            if r.kind == "query"
+        ]
+        sql = recs[0].sql.strip().rstrip(";")
+        if sql.upper().startswith("DESCRIBE"):
+            sql = sql[len("DESCRIBE"):].strip()
+        if con.sql(sql).fetchall():
+            nonempty += 1
+    assert nonempty >= 80, f"dataset depth regressed: {nonempty}/99"
