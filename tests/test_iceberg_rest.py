@@ -1278,3 +1278,51 @@ def test_sql_catalog_ctas_drop_and_schema(spark, catalog, tmp_path):
         assert "dropped namespace lab" in st
     finally:
         detach_iceberg_rest(spark, "icddl")
+
+
+def test_optimize_races_append_through_catalog(spark, catalog,
+                                               tmp_path):
+    """A live race: OPTIMIZE and an append hit commitTable
+    concurrently. The emulator's lock + assert-ref-snapshot-id
+    serialize them; the loser re-plans and BOTH land — no rows lost,
+    no files resurrected."""
+    import threading
+
+    emu, endpoint = catalog
+    _mk_v2_table(spark, emu, tmp_path, ns="race", name="t", rows=12,
+                 files=3)
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def do_optimize():
+        try:
+            barrier.wait(timeout=30)
+            rest.optimize_table(spark, endpoint, "race", "t",
+                                max_retries=5)
+        except Exception as e:  # noqa: BLE001
+            errs.append(("optimize", e))
+
+    def do_append():
+        try:
+            barrier.wait(timeout=30)
+            rest.append_table(
+                spark, endpoint, "race", "t",
+                spark.range(100, 104).selectExpr("id", "id * 2 AS v")
+                .coalesce(1),
+                max_retries=5,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(("append", e))
+
+    threads = [threading.Thread(target=do_optimize),
+               threading.Thread(target=do_append)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    got = rest.read_table(spark, endpoint, "race", "t")
+    assert got.count() == 16
+    assert got.selectExpr("sum(v)").collect()[0][0] == (
+        sum(i * 2 for i in range(12)) + sum(i * 2 for i in range(100, 104))
+    )
