@@ -449,3 +449,53 @@ def test_minmax_creation_batch_folds_retractions(spark, tmp_path):
                  .select("g", "total", "n_rows", "v_min", "v_max")
                  .collect())
     assert got == [("a", 5, 1, 5, 5), ("b", 7, 1, 7, 7)]
+
+
+def test_merged_frame_plan_bounds_target_read(spark, tmp_path):
+    """The MV merge probe must bound the target read with a broadcast
+    LEFT-SEMI join on the batch's keys — never a shuffled scan of the
+    whole MV (the r13 review found the previous right-outer broadcast
+    hint silently degraded to a sort-merge join)."""
+    from glaredb_spark.sources.delta_native import (
+        read_delta_native,
+        write_delta_native,
+    )
+    from glaredb_spark.streaming.incremental import (
+        _merged_frame,
+        changelog_deltas,
+    )
+
+    target = str(tmp_path / "mv")
+    up = str(tmp_path / "up")
+    write_delta_native(
+        spark.createDataFrame(
+            [(f"g{i}", i * 10, 2, i, i * 3) for i in range(50)],
+            "g string, total long, n_rows long, v_min long, v_max long",
+        ),
+        target,
+    )
+    write_delta_native(
+        spark.createDataFrame(
+            [(f"g{i % 50}", i) for i in range(100)],
+            "g string, v long",
+        ),
+        up,
+    )
+    batch = spark.createDataFrame(
+        [("g1", 5, "insert"), ("g2", 7, "delete")],
+        "g string, v long, _change_type string",
+    )
+    deltas = changelog_deltas(
+        batch, ["g"], {"total": "v"},
+        mins={"v_min": "v"}, maxs={"v_max": "v"},
+    ).drop("_bad")
+    merged = _merged_frame(
+        spark, read_delta_native(spark, target), deltas,
+        ["g"], {"total": "v"}, "n_rows",
+        {"v_min": "v"}, {"v_max": "v"},
+        lambda s: read_delta_native(s, up),
+    )
+    physical = merged._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in physical
+    assert "BroadcastHashJoin" in physical or "BroadcastExchange" \
+        in physical
