@@ -66,6 +66,7 @@ _POOLS: dict[str, list[str]] = {
         "brown", "cornflower", "cyan", "deep", "floral", "forest",
         "frosted", "ghost", "honeydew", "khaki", "light", "midnight",
         "orange", "papaya", "peach", "powder", "snow", "red", "blue",
+        "slate", "blanched", "burlywood", "purple",
     ],
     "i_units": [
         "Box", "Bunch", "Bundle", "Cup", "Dozen", "Dram", "Each",
@@ -144,9 +145,9 @@ _ROWS = {
     "store_sales": 6000,
     "catalog_sales": 4500,
     "web_sales": 4500,
-    "store_returns": 900,
-    "catalog_returns": 700,
-    "web_returns": 700,
+    "store_returns": 1400,
+    "catalog_returns": 1000,
+    "web_returns": 1000,
     "inventory": 2400,
 }
 
@@ -299,7 +300,11 @@ def _generic(col: str, typ: str, i: int, rng: random.Random, nrows: int):
     # Utf8
     pool = _POOLS.get(col)
     if pool:
-        return rng.choice(pool)
+        # the first len(pool) rows ENUMERATE the pool, so every literal
+        # the queries filter on is guaranteed to exist even in small
+        # dimensions (an unlucky draw once left 'reason 28' out of the
+        # 12-row reason table and emptied q93); later rows draw freely
+        return pool[i] if i < len(pool) else rng.choice(pool)
     if col.endswith("_id"):
         return f"{col[:2].upper()}{i:014d}"
     if col.endswith("_zip"):
