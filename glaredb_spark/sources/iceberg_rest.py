@@ -640,6 +640,90 @@ def equality_delete_table(spark, endpoint: str, namespace: str,
     )
 
 
+def transaction_append(spark, endpoint: str,
+                       tables: "list[tuple[str, str, object]]",
+                       token: str | None = None,
+                       max_retries: int = 3) -> list[int]:
+    """Append to SEVERAL catalog tables in ONE atomic commitTransaction
+    (OpenAPI POST /v1/{prefix}/transactions/commit): either every
+    table's snapshot publishes or none does — the shape a fact+summary
+    pipeline needs so readers never observe one table advanced without
+    the other. Data files stage ONCE per table (the O(batch bytes)
+    distributed writes); each retry re-authors only the KB-scale
+    manifests against freshly-loaded bases; a 409 on ANY table re-plans
+    the whole transaction. ``tables`` is [(namespace, table, df), ...].
+    Returns the committed snapshot ids in input order."""
+    from glaredb_spark.sources.iceberg_native import (
+        commit_staged_append_iceberg_native,
+        stage_append_iceberg_native,
+    )
+
+    staged: "list[list | None]" = [None] * len(tables)
+    staged_shape: "list[tuple | None]" = [None] * len(tables)
+    last: Exception | None = None
+    for _attempt in range(max_retries):
+        changes = []
+        snap_ids = []
+        ok = True
+        for idx, (ns, tbl, df) in enumerate(tables):
+            res = load_table(endpoint, ns, tbl, token)
+            base = res.get("metadata") or {}
+            loc = _strip_file(base.get("location") or "")
+            if not loc:
+                raise IcebergRestError(
+                    f"table {ns}.{tbl} has no location"
+                )
+            shape = (int(base.get("current-schema-id", 0) or 0),
+                     int(base.get("default-spec-id", 0) or 0))
+            if staged[idx] is not None and staged_shape[idx] != shape:
+                staged[idx] = None  # concurrent evolution: re-stage
+            if staged[idx] is None:
+                staged[idx] = stage_append_iceberg_native(df, loc, base)
+                staged_shape[idx] = shape
+            captured: dict = {}
+            commit_staged_append_iceberg_native(
+                loc, base, staged[idx],
+                commit_fn=lambda nm, c=captured: c.update(meta=nm),
+                staged_schema_id=shape[0], staged_spec_id=shape[1],
+            )
+            new_meta = captured["meta"]
+            snap = new_meta["snapshots"][-1]
+            base_snap = base.get("current-snapshot-id")
+            if base_snap is not None and int(base_snap) == -1:
+                base_snap = None
+            changes.append({
+                "identifier": {"namespace": ns.split("."),
+                               "name": tbl},
+                "requirements": [
+                    {"type": "assert-table-uuid",
+                     "uuid": new_meta.get("table-uuid")},
+                    {"type": "assert-ref-snapshot-id", "ref": "main",
+                     "snapshot-id": base_snap},
+                ],
+                "updates": [
+                    {"action": "add-snapshot", "snapshot": snap},
+                    {"action": "set-snapshot-ref", "ref-name": "main",
+                     "type": "branch",
+                     "snapshot-id": snap["snapshot-id"]},
+                ],
+            })
+            snap_ids.append(int(snap["snapshot-id"]))
+        try:
+            _request(
+                f"{_base(endpoint, token)}/transactions/commit",
+                token, "POST", {"table-changes": changes},
+            )
+        except CommitConflict as e:
+            last = e
+            ok = False
+        if ok:
+            return snap_ids
+    raise IcebergRestError(
+        f"transaction_append lost the commit race {max_retries} "
+        f"times: {last}"
+    )
+
+
 def merge_table(spark, endpoint: str, namespace: str, table: str,
                 source, on: list[str],
                 when_matched_update: "dict | None" = None,

@@ -73,213 +73,237 @@ class IcebergRestEmulator:
         failure."""
         with self._lock:
             meta = self._load_meta(key)
-            for r in requirements or []:
-                t = r.get("type")
-                if t == "assert-table-uuid":
-                    if r.get("uuid") != meta.get("table-uuid"):
-                        raise _Conflict(
-                            f"table uuid changed: now "
-                            f"{meta.get('table-uuid')}"
-                        )
-                elif t == "assert-ref-snapshot-id":
-                    if r.get("ref") != "main":
-                        raise _Conflict(f"unknown ref {r.get('ref')!r}")
-                    cur = meta.get("current-snapshot-id")
-                    if cur is not None and int(cur) == -1:
-                        cur = None
-                    want = r.get("snapshot-id")
-                    if (cur is None) != (want is None) or (
-                            cur is not None and int(cur) != int(want)):
-                        raise _Conflict(
-                            f"branch main moved: expected {want}, "
-                            f"now {cur}"
-                        )
-                elif t == "assert-create":
-                    raise _Conflict("table already exists")
-                elif t == "assert-current-schema-id":
-                    if int(r.get("current-schema-id", -1)) != int(
-                            meta.get("current-schema-id", 0) or 0):
-                        raise _Conflict(
-                            f"current schema changed: now "
-                            f"{meta.get('current-schema-id')}"
-                        )
-                elif t == "assert-default-spec-id":
-                    if int(r.get("default-spec-id", -1)) != int(
-                            meta.get("default-spec-id", 0) or 0):
-                        raise _Conflict(
-                            f"default spec changed: now "
-                            f"{meta.get('default-spec-id')}"
-                        )
-                elif t == "assert-last-assigned-field-id":
-                    if int(r.get("last-assigned-field-id", -1)) != int(
-                            meta.get("last-column-id", 0) or 0):
-                        raise _Conflict(
-                            f"last assigned field id changed: now "
-                            f"{meta.get('last-column-id')}"
-                        )
-                else:
-                    raise _BadRequest(f"unknown requirement type {t!r}")
-            for u in updates or []:
-                a = u.get("action")
-                if a == "add-snapshot":
-                    # defensive body access: a malformed request is a
-                    # 400, never a KeyError the router would misreport
-                    # as 404 table-not-found (r12 review pass 2)
-                    snap = u.get("snapshot")
-                    if not isinstance(snap, dict):
-                        raise _BadRequest(
-                            "add-snapshot update needs a snapshot object"
-                        )
-                    meta["snapshots"] = list(
-                        meta.get("snapshots") or []
-                    ) + [snap]
-                    meta["last-updated-ms"] = snap.get("timestamp-ms")
-                    if int(meta.get("format-version", 1) or 1) >= 2:
-                        meta["last-sequence-number"] = max(
-                            int(meta.get("last-sequence-number", 0) or 0),
-                            int(snap.get("sequence-number", 0) or 0),
-                        )
-                elif a == "set-snapshot-ref":
-                    if u.get("ref-name") != "main":
-                        raise _BadRequest(
-                            f"only the main branch is supported, got "
-                            f"{u.get('ref-name')!r}"
-                        )
-                    if "snapshot-id" not in u:
-                        raise _BadRequest(
-                            "set-snapshot-ref update needs snapshot-id"
-                        )
-                    meta["current-snapshot-id"] = u["snapshot-id"]
-                elif a == "set-properties":
-                    props = dict(meta.get("properties") or {})
-                    props.update(u.get("updates") or {})
-                    meta["properties"] = props
-                elif a == "remove-properties":
-                    props = dict(meta.get("properties") or {})
-                    for k in u.get("removals") or []:
-                        props.pop(k, None)
-                    meta["properties"] = props
-                elif a == "add-schema":
-                    sch = u.get("schema")
-                    if not isinstance(sch, dict):
-                        raise _BadRequest(
-                            "add-schema update needs a schema object"
-                        )
-                    meta["schemas"] = list(
-                        meta.get("schemas") or []
-                    ) + [sch]
-                    lci = u.get("last-column-id")
-                    if lci is not None:
-                        meta["last-column-id"] = max(
-                            int(meta.get("last-column-id", 0) or 0),
-                            int(lci),
-                        )
-                elif a == "set-current-schema":
-                    sid = u.get("schema-id")
-                    if sid is None:
-                        raise _BadRequest(
-                            "set-current-schema update needs schema-id"
-                        )
-                    if int(sid) == -1:  # spec: -1 = last added schema
-                        sid = (meta.get("schemas") or [{}])[-1] \
-                            .get("schema-id", 0)
-                    known = {
-                        int(s.get("schema-id", 0) or 0)
-                        for s in meta.get("schemas") or []
-                    }
-                    if int(sid) not in known:
-                        raise _BadRequest(f"unknown schema-id {sid}")
-                    meta["current-schema-id"] = int(sid)
-                    cur = next(
-                        s for s in meta["schemas"]
-                        if int(s.get("schema-id", 0) or 0) == int(sid)
-                    )
-                    meta["schema"] = cur
-                elif a == "add-spec":
-                    spec = u.get("spec")
-                    if not isinstance(spec, dict):
-                        raise _BadRequest(
-                            "add-spec update needs a spec object"
-                        )
-                    meta["partition-specs"] = list(
-                        meta.get("partition-specs") or []
-                    ) + [spec]
-                    pids = [
-                        int(f.get("field-id", 0) or 0)
-                        for f in spec.get("fields") or []
-                    ]
-                    if pids:
-                        meta["last-partition-id"] = max(
-                            int(meta.get("last-partition-id", 999)
-                                or 999),
-                            *pids,
-                        )
-                elif a == "set-default-spec":
-                    sid = u.get("spec-id")
-                    if sid is None:
-                        raise _BadRequest(
-                            "set-default-spec update needs spec-id"
-                        )
-                    if int(sid) == -1:  # spec: -1 = last added spec
-                        sid = (meta.get("partition-specs") or [{}])[-1] \
-                            .get("spec-id", 0)
-                    known = {
-                        int(s.get("spec-id", 0) or 0)
-                        for s in meta.get("partition-specs") or []
-                    }
-                    if int(sid) not in known:
-                        raise _BadRequest(f"unknown spec-id {sid}")
-                    meta["default-spec-id"] = int(sid)
-                elif a == "remove-snapshots":
-                    ids = u.get("snapshot-ids")
-                    if not isinstance(ids, list):
-                        raise _BadRequest(
-                            "remove-snapshots update needs snapshot-ids"
-                        )
-                    drop = {int(i) for i in ids}
-                    cur = meta.get("current-snapshot-id")
-                    if cur is not None and int(cur) in drop:
-                        raise _BadRequest(
-                            "cannot remove the current snapshot"
-                        )
-                    meta["snapshots"] = [
-                        s for s in meta.get("snapshots") or []
-                        if int(s.get("snapshot-id", 0) or 0) not in drop
-                    ]
-                else:
-                    raise _BadRequest(f"unsupported update action {a!r}")
-            cur_path = self.tables[key]
-            base = os.path.basename(cur_path)
-            mdir = os.path.dirname(cur_path)
-            try:
-                version = int(base.split(".")[0].lstrip("v")) + 1
-            except ValueError:
-                version = len(
-                    [n for n in os.listdir(mdir)
-                     if n.endswith(".metadata.json")]
-                ) + 1
-            new_path = os.path.join(mdir, f"v{version}.metadata.json")
-            # O_EXCL even under the lock: a filesystem-direct committer
-            # racing the catalog collides here instead of clobbering —
-            # surfaced as a 409 (retryable) rather than a server error
-            try:
-                fd = os.open(
-                    new_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            self._check_requirements(meta, requirements)
+            self._apply_updates(meta, updates)
+            return self._publish_meta(key, meta)
+
+    def _commit_transaction(self, keys: list, changes: list) -> None:
+        """commitTransaction: ATOMIC across tables — one lock hold,
+        every table's requirements validate against its CURRENT
+        metadata before any update applies; a single stale table
+        conflicts the whole batch and nothing publishes."""
+        with self._lock:
+            metas = [self._load_meta(k) for k in keys]
+            for meta, ch in zip(metas, changes):
+                self._check_requirements(
+                    meta, ch.get("requirements") or []
                 )
-            except FileExistsError:
-                raise _Conflict(
-                    f"metadata version v{version} already exists (a "
-                    "filesystem-direct commit raced the catalog); "
-                    "refresh and retry"
-                ) from None
-            with os.fdopen(fd, "w") as fh:
-                json.dump(meta, fh, indent=2)
-            # keep the advisory hint in step so path-addressed readers
-            # of the same warehouse table see catalog commits
-            with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
-                fh.write(str(version))
-            self.tables[key] = new_path
-            return new_path
+            for key, meta, ch in zip(keys, metas, changes):
+                self._apply_updates(meta, ch.get("updates") or [])
+                self._publish_meta(key, meta)
+
+    def _check_requirements(self, meta: dict, requirements: list):
+        for r in requirements or []:
+            t = r.get("type")
+            if t == "assert-table-uuid":
+                if r.get("uuid") != meta.get("table-uuid"):
+                    raise _Conflict(
+                        f"table uuid changed: now "
+                        f"{meta.get('table-uuid')}"
+                    )
+            elif t == "assert-ref-snapshot-id":
+                if r.get("ref") != "main":
+                    raise _Conflict(f"unknown ref {r.get('ref')!r}")
+                cur = meta.get("current-snapshot-id")
+                if cur is not None and int(cur) == -1:
+                    cur = None
+                want = r.get("snapshot-id")
+                if (cur is None) != (want is None) or (
+                        cur is not None and int(cur) != int(want)):
+                    raise _Conflict(
+                        f"branch main moved: expected {want}, "
+                        f"now {cur}"
+                    )
+            elif t == "assert-create":
+                raise _Conflict("table already exists")
+            elif t == "assert-current-schema-id":
+                if int(r.get("current-schema-id", -1)) != int(
+                        meta.get("current-schema-id", 0) or 0):
+                    raise _Conflict(
+                        f"current schema changed: now "
+                        f"{meta.get('current-schema-id')}"
+                    )
+            elif t == "assert-default-spec-id":
+                if int(r.get("default-spec-id", -1)) != int(
+                        meta.get("default-spec-id", 0) or 0):
+                    raise _Conflict(
+                        f"default spec changed: now "
+                        f"{meta.get('default-spec-id')}"
+                    )
+            elif t == "assert-last-assigned-field-id":
+                if int(r.get("last-assigned-field-id", -1)) != int(
+                        meta.get("last-column-id", 0) or 0):
+                    raise _Conflict(
+                        f"last assigned field id changed: now "
+                        f"{meta.get('last-column-id')}"
+                    )
+            else:
+                raise _BadRequest(f"unknown requirement type {t!r}")
+
+    def _apply_updates(self, meta: dict, updates: list):
+        for u in updates or []:
+            a = u.get("action")
+            if a == "add-snapshot":
+                # defensive body access: a malformed request is a
+                # 400, never a KeyError the router would misreport
+                # as 404 table-not-found (r12 review pass 2)
+                snap = u.get("snapshot")
+                if not isinstance(snap, dict):
+                    raise _BadRequest(
+                        "add-snapshot update needs a snapshot object"
+                    )
+                meta["snapshots"] = list(
+                    meta.get("snapshots") or []
+                ) + [snap]
+                meta["last-updated-ms"] = snap.get("timestamp-ms")
+                if int(meta.get("format-version", 1) or 1) >= 2:
+                    meta["last-sequence-number"] = max(
+                        int(meta.get("last-sequence-number", 0) or 0),
+                        int(snap.get("sequence-number", 0) or 0),
+                    )
+            elif a == "set-snapshot-ref":
+                if u.get("ref-name") != "main":
+                    raise _BadRequest(
+                        f"only the main branch is supported, got "
+                        f"{u.get('ref-name')!r}"
+                    )
+                if "snapshot-id" not in u:
+                    raise _BadRequest(
+                        "set-snapshot-ref update needs snapshot-id"
+                    )
+                meta["current-snapshot-id"] = u["snapshot-id"]
+            elif a == "set-properties":
+                props = dict(meta.get("properties") or {})
+                props.update(u.get("updates") or {})
+                meta["properties"] = props
+            elif a == "remove-properties":
+                props = dict(meta.get("properties") or {})
+                for k in u.get("removals") or []:
+                    props.pop(k, None)
+                meta["properties"] = props
+            elif a == "add-schema":
+                sch = u.get("schema")
+                if not isinstance(sch, dict):
+                    raise _BadRequest(
+                        "add-schema update needs a schema object"
+                    )
+                meta["schemas"] = list(
+                    meta.get("schemas") or []
+                ) + [sch]
+                lci = u.get("last-column-id")
+                if lci is not None:
+                    meta["last-column-id"] = max(
+                        int(meta.get("last-column-id", 0) or 0),
+                        int(lci),
+                    )
+            elif a == "set-current-schema":
+                sid = u.get("schema-id")
+                if sid is None:
+                    raise _BadRequest(
+                        "set-current-schema update needs schema-id"
+                    )
+                if int(sid) == -1:  # spec: -1 = last added schema
+                    sid = (meta.get("schemas") or [{}])[-1] \
+                        .get("schema-id", 0)
+                known = {
+                    int(s.get("schema-id", 0) or 0)
+                    for s in meta.get("schemas") or []
+                }
+                if int(sid) not in known:
+                    raise _BadRequest(f"unknown schema-id {sid}")
+                meta["current-schema-id"] = int(sid)
+                cur = next(
+                    s for s in meta["schemas"]
+                    if int(s.get("schema-id", 0) or 0) == int(sid)
+                )
+                meta["schema"] = cur
+            elif a == "add-spec":
+                spec = u.get("spec")
+                if not isinstance(spec, dict):
+                    raise _BadRequest(
+                        "add-spec update needs a spec object"
+                    )
+                meta["partition-specs"] = list(
+                    meta.get("partition-specs") or []
+                ) + [spec]
+                pids = [
+                    int(f.get("field-id", 0) or 0)
+                    for f in spec.get("fields") or []
+                ]
+                if pids:
+                    meta["last-partition-id"] = max(
+                        int(meta.get("last-partition-id", 999)
+                            or 999),
+                        *pids,
+                    )
+            elif a == "set-default-spec":
+                sid = u.get("spec-id")
+                if sid is None:
+                    raise _BadRequest(
+                        "set-default-spec update needs spec-id"
+                    )
+                if int(sid) == -1:  # spec: -1 = last added spec
+                    sid = (meta.get("partition-specs") or [{}])[-1] \
+                        .get("spec-id", 0)
+                known = {
+                    int(s.get("spec-id", 0) or 0)
+                    for s in meta.get("partition-specs") or []
+                }
+                if int(sid) not in known:
+                    raise _BadRequest(f"unknown spec-id {sid}")
+                meta["default-spec-id"] = int(sid)
+            elif a == "remove-snapshots":
+                ids = u.get("snapshot-ids")
+                if not isinstance(ids, list):
+                    raise _BadRequest(
+                        "remove-snapshots update needs snapshot-ids"
+                    )
+                drop = {int(i) for i in ids}
+                cur = meta.get("current-snapshot-id")
+                if cur is not None and int(cur) in drop:
+                    raise _BadRequest(
+                        "cannot remove the current snapshot"
+                    )
+                meta["snapshots"] = [
+                    s for s in meta.get("snapshots") or []
+                    if int(s.get("snapshot-id", 0) or 0) not in drop
+                ]
+            else:
+                raise _BadRequest(f"unsupported update action {a!r}")
+
+    def _publish_meta(self, key: tuple, meta: dict) -> str:
+        cur_path = self.tables[key]
+        base = os.path.basename(cur_path)
+        mdir = os.path.dirname(cur_path)
+        try:
+            version = int(base.split(".")[0].lstrip("v")) + 1
+        except ValueError:
+            version = len(
+                [n for n in os.listdir(mdir)
+                 if n.endswith(".metadata.json")]
+            ) + 1
+        new_path = os.path.join(mdir, f"v{version}.metadata.json")
+        # O_EXCL even under the lock: a filesystem-direct committer
+        # racing the catalog collides here instead of clobbering —
+        # surfaced as a 409 (retryable) rather than a server error
+        try:
+            fd = os.open(
+                new_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            raise _Conflict(
+                f"metadata version v{version} already exists (a "
+                "filesystem-direct commit raced the catalog); "
+                "refresh and retry"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh, indent=2)
+        # keep the advisory hint in step so path-addressed readers
+        # of the same warehouse table see catalog commits
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        self.tables[key] = new_path
+        return new_path
 
     def _create(self, ns: tuple, name: str, schema: dict,
                 location: str | None) -> str:
@@ -615,6 +639,36 @@ class IcebergRestEmulator:
                             "metadata": emu._load_meta(key)})
                     else:
                         self._err(405, "MethodNotAllowed", m)
+                    return
+                if rest == ["transactions", "commit"] and m == "POST":
+                    # commitTransaction (OpenAPI CommitTransactionRequest):
+                    # ATOMIC across tables — every table's requirements
+                    # validate under ONE lock hold before ANY update
+                    # applies; one stale table 409s the whole batch
+                    changes = body.get("table-changes")
+                    if not isinstance(changes, list) or not changes:
+                        raise _BadRequest(
+                            "table-changes must be a non-empty list"
+                        )
+                    keys = []
+                    for ch in changes:
+                        ident = ch.get("identifier") or {}
+                        key = (tuple(ident.get("namespace") or []),
+                               ident.get("name"))
+                        if key not in emu.tables:
+                            self._err(404, "NoSuchTableException",
+                                      str(ident.get("name")))
+                            return
+                        keys.append(key)
+                    try:
+                        emu._commit_transaction(keys, changes)
+                    except _Conflict as e:
+                        self._err(409, "CommitFailedException", str(e))
+                        return
+                    except _BadRequest as e:
+                        self._err(400, "BadRequestException", str(e))
+                        return
+                    self._json(204, {})
                     return
                 if rest == ["tables", "rename"] and m == "POST":
                     src = body.get("source") or {}

@@ -1326,3 +1326,72 @@ def test_optimize_races_append_through_catalog(spark, catalog,
     assert got.selectExpr("sum(v)").collect()[0][0] == (
         sum(i * 2 for i in range(12)) + sum(i * 2 for i in range(100, 104))
     )
+
+
+def test_transaction_append_atomic(spark, catalog, tmp_path):
+    """commitTransaction appends to TWO tables atomically: both land
+    in one request; an injected conflict on the transaction leaves
+    NEITHER table advanced, and the retry lands both."""
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="tx", name="a", rows=4)
+    _mk_table(spark, emu, tmp_path, ns="tx", name="b", rows=6)
+    snap_ids = rest.transaction_append(
+        spark, endpoint,
+        [("tx", "a", spark.range(100, 103).selectExpr(
+            "id", "id * 2 AS v")),
+         ("tx", "b", spark.range(200, 202).selectExpr(
+             "id", "id * 2 AS v"))],
+    )
+    assert len(snap_ids) == 2
+    assert rest.read_table(spark, endpoint, "tx", "a").count() == 7
+    assert rest.read_table(spark, endpoint, "tx", "b").count() == 8
+
+
+def test_transaction_append_conflict_is_all_or_nothing(
+    spark, catalog, tmp_path, monkeypatch
+):
+    """A stale second table 409s the WHOLE transaction: the first
+    table must not advance either; the re-plan then lands both."""
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="tx2", name="a", rows=4)
+    _mk_table(spark, emu, tmp_path, ns="tx2", name="b", rows=6)
+
+    real = rest._request
+    fails = {"n": 0}
+
+    def flaky(url, token=None, method="GET", payload=None):
+        if method == "POST" and url.endswith("/transactions/commit") \
+                and fails["n"] == 0:
+            fails["n"] += 1
+            # concurrent append to b between our load and the commit:
+            # the transaction's assert-ref on b must fail server-side
+            rest_mod_append()
+            return real(url, token, method, payload)
+        return real(url, token, method, payload)
+
+    def rest_mod_append():
+        monkeypatch.setattr(rest, "_request", real)
+        try:
+            rest.append_table(
+                spark, endpoint, "tx2", "b",
+                spark.range(900, 901).selectExpr("id", "id * 2 AS v"),
+            )
+        finally:
+            monkeypatch.setattr(rest, "_request", flaky)
+
+    monkeypatch.setattr(rest, "_request", flaky)
+    snap_ids = rest.transaction_append(
+        spark, endpoint,
+        [("tx2", "a", spark.range(100, 103).selectExpr(
+            "id", "id * 2 AS v")),
+         ("tx2", "b", spark.range(200, 202).selectExpr(
+             "id", "id * 2 AS v"))],
+    )
+    assert fails["n"] == 1 and len(snap_ids) == 2
+    # both appends landed exactly once, plus the racing row on b
+    assert rest.read_table(spark, endpoint, "tx2", "a").count() == 7
+    assert rest.read_table(spark, endpoint, "tx2", "b").count() == 9
+    # table a carries NO snapshot from the losing attempt: its
+    # snapshot count is initial + exactly one committed append
+    meta_a = rest.load_table(endpoint, "tx2", "a")["metadata"]
+    assert len(meta_a["snapshots"]) == 2
