@@ -81,16 +81,63 @@ class IcebergRestEmulator:
         """commitTransaction: ATOMIC across tables — one lock hold,
         every table's requirements validate against its CURRENT
         metadata before any update applies; a single stale table
-        conflicts the whole batch and nothing publishes."""
+        conflicts the whole batch and nothing publishes. A
+        filesystem-direct racer's O_EXCL collision mid-publish would
+        break atomicity, so every table's next version file is
+        RESERVED (created O_EXCL, empty) before the first document is
+        written; a reservation failure unlinks the others and 409s."""
         with self._lock:
             metas = [self._load_meta(k) for k in keys]
             for meta, ch in zip(metas, changes):
                 self._check_requirements(
                     meta, ch.get("requirements") or []
                 )
-            for key, meta, ch in zip(keys, metas, changes):
+            # apply on the in-memory documents BEFORE any file write:
+            # a malformed update in table N must not leave tables
+            # 0..N-1 published
+            for meta, ch in zip(metas, changes):
                 self._apply_updates(meta, ch.get("updates") or [])
-                self._publish_meta(key, meta)
+            reserved: list[str] = []
+            try:
+                for key in keys:
+                    cur = self.tables[key]
+                    mdir = os.path.dirname(cur)
+                    try:
+                        version = int(
+                            os.path.basename(cur).split(".")[0]
+                            .lstrip("v")
+                        ) + 1
+                    except ValueError:
+                        version = len(
+                            [n for n in os.listdir(mdir)
+                             if n.endswith(".metadata.json")]
+                        ) + 1
+                    path = os.path.join(
+                        mdir, f"v{version}.metadata.json"
+                    )
+                    fd = os.open(
+                        path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    os.close(fd)
+                    reserved.append(path)
+            except FileExistsError:
+                for p in reserved:
+                    os.unlink(p)
+                raise _Conflict(
+                    "a filesystem-direct commit raced the "
+                    "transaction; refresh and retry"
+                ) from None
+            for key, meta, path in zip(keys, metas, reserved):
+                with open(path, "w") as fh:
+                    json.dump(meta, fh, indent=2)
+                mdir = os.path.dirname(path)
+                version = int(
+                    os.path.basename(path).split(".")[0].lstrip("v")
+                )
+                with open(os.path.join(mdir, "version-hint.text"),
+                          "w") as fh:
+                    fh.write(str(version))
+                self.tables[key] = path
 
     def _check_requirements(self, meta: dict, requirements: list):
         for r in requirements or []:
