@@ -128,10 +128,10 @@ _ROWS = {
     "date_dim": _DAYS,
     "time_dim": 1440,  # one per minute of day
     "item": 120,
-    "customer": 400,
+    "customer": 250,
     "customer_address": 250,
-    "customer_demographics": 120,
-    "household_demographics": 60,
+    "customer_demographics": 140,  # 2 x (gender x marital x education)
+    "household_demographics": 120,
     "income_band": 20,
     "store": 12,
     "call_center": 6,
@@ -142,13 +142,39 @@ _ROWS = {
     "ship_mode": 12,
     "reason": 12,
     "promotion": 24,
-    "store_sales": 6000,
-    "catalog_sales": 4500,
-    "web_sales": 4500,
-    "store_returns": 1400,
-    "catalog_returns": 1000,
-    "web_returns": 1000,
-    "inventory": 2400,
+    "store_sales": 10000,
+    "catalog_sales": 7500,
+    "web_sales": 7500,
+    "store_returns": 2000,
+    "catalog_returns": 1500,
+    "web_returns": 1500,
+    "inventory": 5200,
+}
+
+# per-line-group SHARED columns: a real ticket/order's lines share the
+# sale's date/time/parties/store — without this every line draws its
+# own customer and the basket-count queries (HAVING cnt BETWEEN 15 AND
+# 20 grouped by ticket+customer) can never see a basket bigger than a
+# coincidence (r13 depth work)
+_GROUP_SHARED = {
+    "store_sales": (
+        "ss_sold_date_sk", "ss_sold_time_sk", "ss_customer_sk",
+        "ss_cdemo_sk", "ss_hdemo_sk", "ss_addr_sk", "ss_store_sk",
+    ),
+    "catalog_sales": (
+        "cs_sold_date_sk", "cs_sold_time_sk", "cs_ship_date_sk",
+        "cs_bill_customer_sk", "cs_bill_cdemo_sk", "cs_bill_hdemo_sk",
+        "cs_bill_addr_sk", "cs_ship_customer_sk", "cs_ship_cdemo_sk",
+        "cs_ship_hdemo_sk", "cs_ship_addr_sk", "cs_call_center_sk",
+        "cs_ship_mode_sk", "cs_warehouse_sk",
+    ),
+    "web_sales": (
+        "ws_sold_date_sk", "ws_sold_time_sk", "ws_ship_date_sk",
+        "ws_bill_customer_sk", "ws_bill_cdemo_sk", "ws_bill_hdemo_sk",
+        "ws_bill_addr_sk", "ws_ship_customer_sk", "ws_ship_cdemo_sk",
+        "ws_ship_hdemo_sk", "ws_ship_addr_sk", "ws_web_site_sk",
+        "ws_ship_mode_sk", "ws_warehouse_sk",
+    ),
 }
 
 # fact FK suffix -> dimension whose key range it samples
@@ -207,6 +233,40 @@ def _calendar(i: int) -> dict:
         "d_current_month": "N",
         "d_current_quarter": "N",
         "d_current_year": "N",
+    }
+
+
+def _cd_row(i: int) -> dict:
+    """customer_demographics is a CROSS-PRODUCT dimension in dsdgen —
+    enumerate (gender x marital x education) so every filter combo the
+    queries name exists (random draws left ~30% of combos absent and
+    emptied the cd-triple queries)."""
+    g = _POOLS["cd_gender"][i % 2]
+    m = _POOLS["cd_marital_status"][(i // 2) % 5]
+    e = _POOLS["cd_education_status"][(i // 10) % 7]
+    return {
+        "cd_demo_sk": i + 1,
+        "cd_gender": g,
+        "cd_marital_status": m,
+        "cd_education_status": e,
+        "cd_purchase_estimate": 500 + (i % 20) * 500,
+        "cd_credit_rating": _POOLS["cd_credit_rating"][i % 4],
+        "cd_dep_count": i % 7,
+        "cd_dep_employed_count": (i // 7) % 5,
+        "cd_dep_college_count": (i // 35) % 4,
+    }
+
+
+def _hd_row(i: int) -> dict:
+    """household_demographics: enumerate buy_potential x dep_count x
+    vehicle_count so ratio filters (dep/vehicle > 1, vehicle = 3, ...)
+    always have qualifying rows."""
+    return {
+        "hd_demo_sk": i + 1,
+        "hd_income_band_sk": (i % 20) + 1,
+        "hd_buy_potential": _POOLS["hd_buy_potential"][i % 6],
+        "hd_dep_count": (i // 6) % 10,
+        "hd_vehicle_count": (i // 2) % 5,
     }
 
 
@@ -363,6 +423,7 @@ def ensure(root: str) -> dict[str, str]:
         while len(group_no) < n:
             g += 1
             group_no.extend([g] * rng.randrange(1, 26))
+        group_shared: dict[int, dict] = {}
         rows = []
         for i in range(n):
             if table == "date_dim":
@@ -371,7 +432,15 @@ def ensure(root: str) -> dict[str, str]:
             if table == "time_dim":
                 rows.append(_time_row(i))
                 continue
+            if table == "customer_demographics":
+                rows.append(_cd_row(i))
+                continue
+            if table == "household_demographics":
+                rows.append(_hd_row(i))
+                continue
             r: dict = {}
+            shared_cols = _GROUP_SHARED.get(table, ())
+            g = group_no[i] if shared_cols else None
             for c, typ in cols:
                 dim = _fk_for(c)
                 # a table's OWN key is its first column — but facts
@@ -383,7 +452,15 @@ def ensure(root: str) -> dict[str, str]:
                 if first_sk:
                     r[c] = i + 1
                 elif c.endswith("_date_sk"):
-                    r[c] = fact_date(rng)
+                    if table == "inventory":
+                        # weekly snapshots (dsdgen convention): dense
+                        # per-(item, warehouse, week) buckets, and the
+                        # week-seq equality joins (q72) can match
+                        r[c] = JULIAN_1998 + (
+                            rng.randrange(_DAYS) // 7
+                        ) * 7
+                    else:
+                        r[c] = fact_date(rng)
                 elif c.endswith("_time_sk"):
                     r[c] = rng.choice(time_sks)
                 elif dim is not None:
@@ -395,11 +472,26 @@ def ensure(root: str) -> dict[str, str]:
                     r[c] = group_no[i]
                 else:
                     r[c] = _generic(c, typ, i, rng, n)
+                # a ticket/order's lines SHARE the sale-level columns;
+                # the NULL chance applies at the GROUP level (a basket
+                # sold with no recorded store/customer — the channel-
+                # union queries filter ON these NULL keys, q76)
+                if g is not None and c in shared_cols:
+                    gv = group_shared.setdefault(g, {})
+                    if c not in gv:
+                        gv[c] = None if (
+                            not c.endswith("_date_sk")
+                            and rng.random() < 0.04
+                        ) else r[c]
+                    r[c] = gv[c]
                 # sparse NULLs in nullable fact measures/FKs (never in
-                # line identity or the primary key)
+                # line identity, group-shared sale columns, or the
+                # primary key — a NULL on one line of a shared column
+                # would break the basket grouping)
                 if (
                     table.endswith(("_sales", "_returns"))
                     and not first_sk
+                    and c not in shared_cols
                     and c not in ("ss_ticket_number", "cs_order_number",
                                   "ws_order_number", "ss_item_sk",
                                   "cs_item_sk", "ws_item_sk",
@@ -422,17 +514,27 @@ def ensure(root: str) -> dict[str, str]:
     # (customer, item) pair. Same-order lines keep their order number,
     # so the returns link below stays consistent.
     ss_rows = rows_by_table["store_sales"]
-    for t, cust_col, item_col in (
-        ("catalog_sales", "cs_bill_customer_sk", "cs_item_sk"),
-        ("web_sales", "ws_bill_customer_sk", "ws_item_sk"),
+    for t, cust_col, item_col, order_col in (
+        ("catalog_sales", "cs_bill_customer_sk", "cs_item_sk",
+         "cs_order_number"),
+        ("web_sales", "ws_bill_customer_sk", "ws_item_sk",
+         "ws_order_number"),
     ):
+        by_order: dict[int, list[dict]] = {}
         for r in rows_by_table[t]:
+            by_order.setdefault(r[order_col], []).append(r)
+        for lines in by_order.values():
             if rng.random() < 0.33:
+                # whole-order patch: intra-order customer consistency
+                # survives; each line gets its own store item
                 src = rng.choice(ss_rows)
-                if src["ss_customer_sk"] is not None:
-                    r[cust_col] = src["ss_customer_sk"]
-                if src["ss_item_sk"] is not None:
-                    r[item_col] = src["ss_item_sk"]
+                cust = src["ss_customer_sk"]
+                for line in lines:
+                    if cust is not None:
+                        line[cust_col] = cust
+                    item = rng.choice(ss_rows)["ss_item_sk"]
+                    if item is not None:
+                        line[item_col] = item
     # returns reference EXISTING sale line items so the (item, ticket/
     # order) return joins the queries perform are non-empty
     link = {
