@@ -264,7 +264,7 @@ _CREATE_SCHEMA_RE = re.compile(
     re.IGNORECASE,
 )
 _DROP_SCHEMA_RE = re.compile(
-    r"^\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*"
+    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*"
     r"(CASCADE|RESTRICT)?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -684,23 +684,37 @@ class GlareSession:
 
             from glaredb_spark import catalog as _cat
 
-            name = drop_m.group(1)
+            name = drop_m.group(2)
+            if_exists = bool(drop_m.group(1))
+            cascade = (drop_m.group(3) or "").upper() == "CASCADE"
             hit = ("." in name) and self._catalog_dml_target(
                 name.split(".", 1)[0]
             )
             if hit:
+                # catalog route honors BOTH modifiers like the local
+                # path (r14, ADVICE): CASCADE drops the namespace's
+                # tables first (the REST catalog 409s a non-empty
+                # namespace); IF EXISTS swallows the 404
                 from glaredb_spark.sources import iceberg_rest as _ir
 
                 endpoint, token = hit
                 ns = name.split(".", 1)[1]
-                _ir.drop_namespace(endpoint, ns, token=token)
+                try:
+                    if cascade:
+                        for t in _ir.table_names(
+                                endpoint, ns, token=token):
+                            _ir.drop_table(endpoint, ns, t, token=token)
+                    _ir.drop_namespace(endpoint, ns, token=token)
+                except _ir.IcebergRestError as e:
+                    if not (if_exists and e.code == 404):
+                        raise
                 return self.spark.range(1).select(
                     F.lit(f"dropped namespace {ns}").alias("status")
                 )
             _cat.drop_schema(
                 self.spark,
                 name,
-                cascade=(drop_m.group(2) or "").upper() == "CASCADE",
+                cascade=cascade,
             )
             return self.spark.range(1).select(
                 F.lit(f"dropped schema {name}").alias("status")
@@ -724,15 +738,33 @@ class GlareSession:
             _ir.create_table(
                 self.spark, endpoint, ns, tbl, df, token=token
             )
-            df = df.persist()
+            # single pass (r14, ADVICE/VERDICT #5): the SELECT executes
+            # exactly once — the staged append — and the Count comes
+            # from the committed snapshot's own summary
+            # (added-records, authored by the writer), not a second
+            # count() job pinning the result in executor storage. An
+            # append failure drops the just-created table so a retry
+            # or concurrent reader never observes a created-but-empty
+            # husk.
             try:
-                n = df.count()
-                if n:
-                    _ir.append_table(
-                        self.spark, endpoint, ns, tbl, df, token=token
-                    )
-            finally:
-                df.unpersist()
+                snap_id = _ir.append_table(
+                    self.spark, endpoint, ns, tbl, df, token=token
+                )
+            except BaseException:
+                try:
+                    _ir.drop_table(endpoint, ns, tbl, token=token)
+                except Exception:  # noqa: BLE001 — original error wins
+                    pass
+                raise
+            meta = _ir.load_table(
+                endpoint, ns, tbl, token
+            ).get("metadata") or {}
+            n = next(
+                (int((s.get("summary") or {}).get("added-records", 0))
+                 for s in meta.get("snapshots") or []
+                 if int(s.get("snapshot-id", 0) or 0) == int(snap_id)),
+                0,
+            )
             return self.spark.range(1).select(
                 F.lit(n).cast("bigint").alias("Count")
             )

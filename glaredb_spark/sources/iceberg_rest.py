@@ -205,8 +205,10 @@ def list_namespaces(spark, endpoint: str, parent: str = "",
     )
 
 
-def list_tables(spark, endpoint: str, namespace: str,
-                token: str | None = None):
+def table_names(endpoint: str, namespace: str,
+                token: str | None = None) -> list[str]:
+    """Plain table names in a namespace, paged via page-token
+    (resolver / CASCADE use)."""
     out, tok = [], ""
     while True:
         url = (f"{_base(endpoint, token)}/namespaces/"
@@ -218,9 +220,13 @@ def list_tables(spark, endpoint: str, namespace: str,
         tok = resp.get("next-page-token") or ""
         if not tok:
             break
+    return [t.get("name", "") for t in out]
+
+
+def list_tables(spark, endpoint: str, namespace: str,
+                token: str | None = None):
     return spark.createDataFrame(
-        [(".".join(t.get("namespace") or []), t.get("name", ""))
-         for t in out],
+        [(namespace, n) for n in table_names(endpoint, namespace, token)],
         "namespace string, name string",
     )
 
@@ -518,7 +524,11 @@ def _metadata_commit_fn_for(endpoint: str, namespace: str, table: str,
                             "snapshot-ids": removed})
         for s in added:
             updates.append({"action": "add-snapshot", "snapshot": s})
-        if added and new_cur_snap is not None and (
+        # gate on the ref actually MOVING, not on `added` (r14, ADVICE):
+        # a rollback/set-current-snapshot to an already-existing
+        # snapshot adds nothing but still must move the ref — gating on
+        # `added` would report success while the catalog stays put
+        if new_cur_snap is not None and (
                 base_snap is None or int(new_cur_snap) != int(base_snap)):
             updates.append({"action": "set-snapshot-ref",
                             "ref-name": "main", "type": "branch",
@@ -658,6 +668,18 @@ def transaction_append(spark, endpoint: str,
         stage_append_iceberg_native,
     )
 
+    seen: set[tuple] = set()
+    for ns, tbl, _df in tables:
+        if (ns, tbl) in seen:
+            # two entries plan against the same base: their snapshots
+            # carry identical sequence numbers and their requirements
+            # can never both hold — every attempt would 409 until the
+            # retries burn out with a misleading "lost the race"
+            raise IcebergRestError(
+                f"duplicate table {ns}.{tbl} in one transaction; "
+                "union the DataFrames into a single entry"
+            )
+        seen.add((ns, tbl))
     staged: "list[list | None]" = [None] * len(tables)
     staged_shape: "list[tuple | None]" = [None] * len(tables)
     last: Exception | None = None

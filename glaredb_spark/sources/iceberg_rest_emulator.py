@@ -85,7 +85,21 @@ class IcebergRestEmulator:
         filesystem-direct racer's O_EXCL collision mid-publish would
         break atomicity, so every table's next version file is
         RESERVED (created O_EXCL, empty) before the first document is
-        written; a reservation failure unlinks the others and 409s."""
+        written; a reservation failure unlinks the others and 409s.
+        Publication itself is failure-atomic too (r14, ADVICE): the
+        documents all write before ANY pointer (version hint or
+        self.tables) advances, and a write failure unlinks every
+        reserved file — earlier tables are never left published with
+        later ones permanently 409ing on their empty reservations."""
+        if len(set(keys)) != len(keys):
+            # two changes to one table would plan against the same base
+            # and collide on the same reservation — structurally
+            # uncommittable; tell the caller to merge the entries
+            dup = next(k for k in keys if keys.count(k) > 1)
+            raise _BadRequest(
+                f"duplicate table {'.'.join(dup[0])}.{dup[1]} in one "
+                "transaction; union the changes into a single entry"
+            )
         with self._lock:
             metas = [self._load_meta(k) for k in keys]
             for meta, ch in zip(metas, changes):
@@ -127,9 +141,22 @@ class IcebergRestEmulator:
                     "a filesystem-direct commit raced the "
                     "transaction; refresh and retry"
                 ) from None
-            for key, meta, path in zip(keys, metas, reserved):
-                with open(path, "w") as fh:
-                    json.dump(meta, fh, indent=2)
+            try:
+                # phase 1: every document writes before ANY pointer
+                # moves — a disk/serialization failure on table N must
+                # not leave tables 0..N-1 published
+                for meta, path in zip(metas, reserved):
+                    with open(path, "w") as fh:
+                        json.dump(meta, fh, indent=2)
+            except BaseException:
+                for p in reserved:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+                raise
+            # phase 2: advance the pointers (hint files + catalog map)
+            for key, path in zip(keys, reserved):
                 mdir = os.path.dirname(path)
                 version = int(
                     os.path.basename(path).split(".")[0].lstrip("v")

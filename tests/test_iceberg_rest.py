@@ -1395,3 +1395,192 @@ def test_transaction_append_conflict_is_all_or_nothing(
     # snapshot count is initial + exactly one committed append
     meta_a = rest.load_table(endpoint, "tx2", "a")["metadata"]
     assert len(meta_a["snapshots"]) == 2
+
+
+def test_transaction_publish_failure_is_atomic(spark, catalog, tmp_path,
+                                               monkeypatch):
+    """A document-write failure MID-publication (disk error on table
+    B's metadata json) must not leave table A published: the emulator
+    writes every document before ANY pointer advances and unlinks all
+    reservations on failure — no empty vN.metadata.json is left to
+    409 every future commit (r14, ADVICE #1)."""
+    import glaredb_spark.sources.iceberg_rest_emulator as emu_mod
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="txa", name="a", rows=4)
+    _mk_table(spark, emu, tmp_path, ns="txa", name="b", rows=6)
+    base_tables = dict(emu.tables)
+
+    real_dump = json.dump
+    calls = {"n": 0}
+
+    def failing_dump(obj, fh, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second table's document write dies
+            raise OSError("disk full")
+        return real_dump(obj, fh, **kw)
+
+    monkeypatch.setattr(emu_mod.json, "dump", failing_dump)
+    with pytest.raises((IcebergRestError, OSError)):
+        rest.transaction_append(
+            spark, endpoint,
+            [("txa", "a", spark.range(100, 103).selectExpr(
+                "id", "id * 2 AS v")),
+             ("txa", "b", spark.range(200, 202).selectExpr(
+                 "id", "id * 2 AS v"))],
+            max_retries=1,
+        )
+    monkeypatch.setattr(emu_mod.json, "dump", real_dump)
+    # neither pointer advanced, and no empty reservation survives
+    assert emu.tables == base_tables
+    for key in [(("txa",), "a"), (("txa",), "b")]:
+        mdir = os.path.dirname(emu.tables[key])
+        for name in os.listdir(mdir):
+            if name.endswith(".metadata.json"):
+                p = os.path.join(mdir, name)
+                assert os.path.getsize(p) > 0, f"empty reservation {p}"
+    # the same transaction now lands cleanly — nothing is wedged
+    snap_ids = rest.transaction_append(
+        spark, endpoint,
+        [("txa", "a", spark.range(100, 103).selectExpr(
+            "id", "id * 2 AS v")),
+         ("txa", "b", spark.range(200, 202).selectExpr(
+             "id", "id * 2 AS v"))],
+    )
+    assert len(snap_ids) == 2
+    assert rest.read_table(spark, endpoint, "txa", "a").count() == 7
+    assert rest.read_table(spark, endpoint, "txa", "b").count() == 8
+
+
+def test_transaction_duplicate_table_named_error(spark, catalog,
+                                                 tmp_path):
+    """The same (namespace, table) twice in one transaction raises a
+    NAMED error telling the caller to union the DataFrames — not a
+    spurious 'lost the commit race' after burning all retries (r14,
+    ADVICE #4). The emulator independently 400s the shape."""
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="txd", name="a", rows=4)
+    with pytest.raises(IcebergRestError, match="union the DataFrames"):
+        rest.transaction_append(
+            spark, endpoint,
+            [("txd", "a", spark.range(3).selectExpr("id", "id*2 AS v")),
+             ("txd", "a", spark.range(3).selectExpr("id", "id*2 AS v"))],
+        )
+    # server-side guard too (a non-this-client caller)
+    from glaredb_spark.sources.iceberg_rest_emulator import _BadRequest
+
+    key = (("txd",), "a")
+    with pytest.raises(_BadRequest, match="duplicate table"):
+        emu._commit_transaction([key, key], [{}, {}])
+    # nothing advanced
+    assert rest.read_table(spark, endpoint, "txd", "a").count() == 4
+
+
+def test_set_current_snapshot_ref_move_without_add(spark, catalog,
+                                                   tmp_path):
+    """A metadata diff that MOVES current-snapshot-id to an existing
+    snapshot (rollback) without adding one must still emit
+    set-snapshot-ref — previously gated on `added` and silently
+    dropped (r14, ADVICE #2)."""
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="rb", name="t", rows=4)
+    rest.append_table(
+        spark, endpoint, "rb", "t",
+        spark.range(100, 103).selectExpr("id", "id * 2 AS v"),
+    )
+    base = rest.load_table(endpoint, "rb", "t")["metadata"]
+    snaps = base["snapshots"]
+    assert len(snaps) == 2
+    old_id = int(snaps[0]["snapshot-id"])
+    assert int(base["current-snapshot-id"]) != old_id
+    # rollback: same snapshot set, ref moved to the older snapshot
+    new_meta = json.loads(json.dumps(base))
+    new_meta["current-snapshot-id"] = old_id
+    commit = rest._metadata_commit_fn_for(
+        endpoint, "rb", "t", None, base
+    )
+    commit(new_meta)
+    after = rest.load_table(endpoint, "rb", "t")["metadata"]
+    assert int(after["current-snapshot-id"]) == old_id
+    assert rest.read_table(spark, endpoint, "rb", "t").count() == 4
+
+
+def test_drop_schema_cascade_and_if_exists_catalog(spark, catalog,
+                                                   tmp_path):
+    """DROP SCHEMA alias.ns honors BOTH modifiers on the catalog route
+    like the local path (r14, ADVICE #5): CASCADE drops the
+    namespace's tables first; IF EXISTS swallows the 404."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="dsc", name="t1", rows=3)
+    _mk_table(spark, emu, tmp_path, ns="dsc", name="t2", rows=3)
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icds (endpoint '{endpoint}')"
+    )
+    try:
+        # non-empty + no CASCADE: the catalog's 409 surfaces
+        with pytest.raises(IcebergRestError):
+            sess.sql("DROP SCHEMA icds.dsc")
+        st = sess.sql("DROP SCHEMA icds.dsc CASCADE").collect()[0].status
+        assert "dropped namespace dsc" in st
+        assert "dsc" not in rest.namespace_names(endpoint)
+        # IF EXISTS swallows a missing namespace; without it, raises
+        sess.sql("DROP SCHEMA IF EXISTS icds.ghost")
+        with pytest.raises(IcebergRestError):
+            sess.sql("DROP SCHEMA icds.ghost")
+    finally:
+        detach_iceberg_rest(spark, "icds")
+
+
+def test_catalog_ctas_single_pass(spark, catalog, tmp_path,
+                                  monkeypatch):
+    """Catalog CTAS executes the SELECT exactly ONCE (the staged
+    append) and takes its Count from the committed snapshot's
+    added-records — no count() job, no persist() pinning the result in
+    executor storage (r14, VERDICT #5). An append failure drops the
+    just-created table (ADVICE #3)."""
+    from pyspark.sql import DataFrame
+
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    emu.add_namespace("sp")
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icsp (endpoint '{endpoint}')"
+    )
+
+    def banned(self, *a, **kw):
+        raise AssertionError("CTAS must not re-execute the query")
+
+    try:
+        monkeypatch.setattr(DataFrame, "count", banned)
+        monkeypatch.setattr(DataFrame, "persist", banned)
+        n = sess.sql(
+            "CREATE TABLE icsp.sp.nums AS "
+            "SELECT id, id * 3 AS v FROM range(9)"
+        ).collect()[0].Count
+        assert n == 9
+        monkeypatch.undo()
+        got = rest.read_table(spark, endpoint, "sp", "nums")
+        assert got.count() == 9
+
+        # append failure → the created table is dropped, not left as
+        # an empty husk a reader could observe
+        def boom(*a, **kw):
+            raise RuntimeError("staging died")
+
+        monkeypatch.setattr(rest, "append_table", boom)
+        with pytest.raises(RuntimeError, match="staging died"):
+            sess.sql(
+                "CREATE TABLE icsp.sp.husk AS SELECT id FROM range(3)"
+            )
+        monkeypatch.undo()
+        with pytest.raises(IcebergRestError, match="404"):
+            rest.load_table(endpoint, "sp", "husk")
+    finally:
+        detach_iceberg_rest(spark, "icsp")
