@@ -72,7 +72,11 @@ GATE_PRIORITY: list[str] = [
     # (delta_change_feed, iceberg_change_feed,
     # iceberg_evolution_lifecycle); all three stay in the local strict
     # gate every round
-    "tpch_q02", "tpch_q03", "tpch_q06",
+    # r14 rotation: q02 — long-green, join-topk shape covered by
+    # q03/q18, runs bit-exact every round as a tpchbench golden SLT —
+    # yields its slot to the round's SQL multi-table TRANSACTION row
+    # (iceberg_rest_txn below); stays in the local strict gate
+    "tpch_q03", "tpch_q06",
     "tpch_q09",
     "tpch_q13",
     # r13 rotation: q05 — long-green, join-chain shape covered by
@@ -126,6 +130,11 @@ GATE_PRIORITY: list[str] = [
     # commitTable against the live loopback catalog; the MV MIN/MAX
     # twin (incremental_mv_minmax) is oracle-gated locally every round
     "iceberg_rest_maintenance",
+    # r14 (VERDICT r13 #1): SQL multi-table transactions — BEGIN
+    # buffering catalog INSERTs, COMMIT publishing them in ONE atomic
+    # commitTransaction, ROLLBACK discarding; snapshot-count asserts
+    # prove the rollback left nothing and same-table inserts unioned
+    "iceberg_rest_txn",
     # r11: streaming changelog source (readStream iceberg_changes —
     # per-file MoR diff on executors), first driver row; the Delta twin
     # delta_change_stream is oracle-gated locally every round

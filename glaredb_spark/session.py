@@ -80,6 +80,25 @@ _DETACH_RE = re.compile(
 # Count (execution/operators/catalog/insert.rs:33; slt insert_count.slt)
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
 
+# multi-table transaction surface (r14): BEGIN buffers catalog INSERTs;
+# COMMIT publishes them atomically through the REST catalog's
+# commitTransaction (transaction_append); ROLLBACK discards the buffer
+_BEGIN_RE = re.compile(
+    r"^\s*(?:BEGIN|START)\s*(?:TRANSACTION|WORK)?\s*;?\s*$", re.IGNORECASE
+)
+_COMMIT_RE = re.compile(
+    r"^\s*COMMIT\s*(?:TRANSACTION|WORK)?\s*;?\s*$", re.IGNORECASE
+)
+_ROLLBACK_RE = re.compile(
+    r"^\s*ROLLBACK\s*(?:TRANSACTION|WORK)?\s*;?\s*$", re.IGNORECASE
+)
+
+
+class TransactionError(ValueError):
+    """A statement inside (or around) BEGIN ... COMMIT that the
+    transaction surface does not support — named so a user sees the
+    supported grammar, not an unrelated parser failure."""
+
 # DML over native Delta table DIRECTORIES (path-quoted forms; the
 # copy-on-write execution lives in sources/delta_native.py)
 # DML targets: a quoted table directory, or iceberg.scan('path'
@@ -368,6 +387,11 @@ class GlareSession:
             n: d(spark) if callable(d) else d
             for n, (d, _) in self._VAR_SPEC.items()
         }
+        # open multi-table transaction: None = no transaction;
+        # a list = buffered (alias, ns, table, DataFrame) inserts that
+        # COMMIT publishes atomically through the catalog's
+        # commitTransaction (sources/iceberg_rest.py:transaction_append)
+        self._txn: "list[tuple[str, str, str, DataFrame]] | None" = None
 
     # -- session variables (reference config/session.rs:12-21; SLTs
     # slt/standard/vars/*, parallelism/arbitrary_values.slt) ----------------
@@ -590,6 +614,9 @@ class GlareSession:
         ``* EXCEPT``, and ``* REPLACE (expr AS col)`` / ``COLUMNS('re')``
         expand against the analyzed probe schema (select_list binder +
         COLUMNS expression of the reference)."""
+        txn_df = self._txn_statement(query)
+        if txn_df is not None:
+            return txn_df
         var_df = self._var_statement(query)
         if var_df is not None:
             return var_df
@@ -1283,35 +1310,13 @@ class GlareSession:
                     endpoint, token = _ir.resolve_attached(
                         self.spark, parts[0]
                     )
-                    src = self.spark.sql(
-                        rewrite_table_functions(self.spark, source)
-                        if re.match(r"(VALUES|SELECT|WITH|TABLE|FROM)\b",
-                                    source, re.IGNORECASE)
-                        else source
-                    )
-                    # target schema from loadTable METADATA (no scan)
-                    from pyspark.sql.types import _parse_datatype_string
-
-                    from glaredb_spark.sources.iceberg_native import (
-                        _spark_schema,
-                    )
-
                     ns = self._resolve_catalog_ns(
                         endpoint, token, ".".join(parts[1:-1]),
                         parts[0], parts[-1],
                     )
-                    meta = _ir.load_table(
-                        endpoint, ns, parts[-1], token,
-                    ).get("metadata") or {}
-                    want = _parse_datatype_string(_spark_schema(meta))
-                    if len(src.columns) == len(want.fields):
-                        src = src.toDF(
-                            *[f"_ins_c{i}" for i in range(len(want))]
-                        ).select(*[
-                            F.col(f"_ins_c{i}").cast(f.dataType)
-                            .alias(f.name)
-                            for i, f in enumerate(want.fields)
-                        ])
+                    src = self._catalog_insert_source(
+                        endpoint, token, ns, parts[-1], source
+                    )
                     # persisted: the count and the staged write read
                     # ONE materialization — a nondeterministic source
                     # must not report a Count different from the rows
@@ -1536,6 +1541,169 @@ class GlareSession:
             f"{len(names)} namespaces ({', '.join(sorted(names)[:5])}"
             f"{', ...' if len(names) > 5 else ''}); use "
             f"'{alias}.<namespace>.{table}'"
+        )
+
+    def _catalog_insert_source(self, endpoint, token, ns, tbl,
+                               source: str) -> DataFrame:
+        """Analyze an INSERT source against a catalog table: the query
+        plans lazily and its columns cast-align positionally to the
+        target schema from loadTable METADATA (no data scan)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import _parse_datatype_string
+
+        from glaredb_spark.functions.table_sql import (
+            rewrite_table_functions,
+        )
+        from glaredb_spark.sources import iceberg_rest as _ir
+        from glaredb_spark.sources.iceberg_native import _spark_schema
+
+        src = self.spark.sql(
+            rewrite_table_functions(self.spark, source)
+            if re.match(r"(VALUES|SELECT|WITH|TABLE|FROM)\b",
+                        source, re.IGNORECASE)
+            else source
+        )
+        meta = _ir.load_table(
+            endpoint, ns, tbl, token,
+        ).get("metadata") or {}
+        want = _parse_datatype_string(_spark_schema(meta))
+        if len(src.columns) == len(want.fields):
+            src = src.toDF(
+                *[f"_ins_c{i}" for i in range(len(want))]
+            ).select(*[
+                F.col(f"_ins_c{i}").cast(f.dataType).alias(f.name)
+                for i, f in enumerate(want.fields)
+            ])
+        return src
+
+    def _txn_statement(self, query: str) -> "DataFrame | None":
+        """Multi-table transaction surface (r14, VERDICT r13 #1):
+        ``BEGIN`` opens a buffer; inside it only
+        ``INSERT INTO <attached-alias>[.<ns>].<table> <query>`` is
+        legal — each buffers LAZILY (the source executes at COMMIT,
+        staging once per table); ``COMMIT`` publishes every buffered
+        insert in ONE atomic catalog commitTransaction (either every
+        table's snapshot lands or none does); ``ROLLBACK`` discards the
+        buffer. Any other statement inside the block raises a NAMED
+        TransactionError instead of an unrelated parser failure."""
+        from pyspark.sql import functions as F
+
+        def status(msg: str) -> DataFrame:
+            return self.spark.range(1).select(
+                F.lit(msg).alias("status")
+            )
+
+        if _BEGIN_RE.match(query):
+            if self._txn is not None:
+                raise TransactionError(
+                    "transaction already open; COMMIT or ROLLBACK it "
+                    "before BEGIN"
+                )
+            self._txn = []
+            return status("began transaction")
+        if _COMMIT_RE.match(query):
+            if self._txn is None:
+                raise TransactionError(
+                    "COMMIT without an open transaction; BEGIN first"
+                )
+            return self._commit_txn()
+        if _ROLLBACK_RE.match(query):
+            if self._txn is None:
+                raise TransactionError(
+                    "ROLLBACK without an open transaction; BEGIN first"
+                )
+            n = len(self._txn)
+            self._txn = None
+            return status(f"rolled back {n} buffered insert(s)")
+        if self._txn is None:
+            return None
+        # --- inside an open transaction ---
+        ins = _INSERT_RE.match(query)
+        if not ins:
+            verb = (re.match(r"\s*(\w+)", query) or [None, "?"])[1]
+            raise TransactionError(
+                f"only INSERT INTO <attached-alias>[.<namespace>]"
+                f".<table> <query>, COMMIT, and ROLLBACK are supported "
+                f"inside BEGIN ... COMMIT; got {verb.upper()!r} "
+                f"(ROLLBACK to abandon the transaction)"
+            )
+        parts = ins.group(1).split(".")
+        hit = len(parts) >= 2 and self._catalog_dml_target(parts[0])
+        if not hit:
+            raise TransactionError(
+                f"INSERT inside BEGIN ... COMMIT must target an "
+                f"ATTACHed iceberg_rest catalog table "
+                f"(<alias>[.<namespace>].<table>); "
+                f"{ins.group(1)!r} is not one"
+            )
+        endpoint, token = hit
+        ns = self._resolve_catalog_ns(
+            endpoint, token, ".".join(parts[1:-1]), parts[0], parts[-1]
+        )
+        source = query[ins.end():].strip().rstrip(";").strip()
+        df = self._catalog_insert_source(
+            endpoint, token, ns, parts[-1], source
+        )
+        self._txn.append((parts[0], ns, parts[-1], df))
+        return status(
+            f"buffered insert into {ns}.{parts[-1]} "
+            f"({len(self._txn)} in transaction)"
+        )
+
+    def _commit_txn(self) -> DataFrame:
+        """Publish the buffered inserts atomically. The transaction
+        ENDS either way: a failed COMMIT aborts (standard SQL), it does
+        not leave a half-open buffer. Several inserts into the same
+        table union into one entry (commitTransaction forbids duplicate
+        identifiers); inserts spanning DIFFERENT catalogs raise — a
+        single commitTransaction request can only hit one catalog."""
+        from pyspark.sql import functions as F
+
+        from glaredb_spark.sources import iceberg_rest as _ir
+
+        entries, self._txn = self._txn, None
+        if not entries:
+            return self.spark.range(1).select(
+                F.lit("nothing to commit").alias("status")
+            )
+        aliases = sorted({a for a, _, _, _ in entries})
+        if len(aliases) > 1:
+            raise TransactionError(
+                f"a transaction can target only ONE attached catalog "
+                f"(atomicity is the catalog's commitTransaction); got "
+                f"inserts into {', '.join(aliases)}"
+            )
+        # re-resolve at commit time: credentials re-exchange through
+        # the expiry-aware token cache, and a DETACH mid-transaction
+        # surfaces here as a named error
+        endpoint, token = _ir.resolve_attached(self.spark, aliases[0])
+        merged: dict[tuple, DataFrame] = {}
+        order: list[tuple] = []
+        for _alias, ns, tbl, df in entries:
+            key = (ns, tbl)
+            if key in merged:
+                merged[key] = merged[key].unionByName(df)
+            else:
+                merged[key] = df
+                order.append(key)
+        tables = [(ns, tbl, merged[(ns, tbl)]) for ns, tbl in order]
+        snap_ids = _ir.transaction_append(
+            self.spark, endpoint, tables, token=token
+        )
+        rows = []
+        for (ns, tbl, _df), sid in zip(tables, snap_ids):
+            meta = _ir.load_table(
+                endpoint, ns, tbl, token
+            ).get("metadata") or {}
+            added = next(
+                (int((s.get("summary") or {}).get("added-records", 0))
+                 for s in meta.get("snapshots") or []
+                 if int(s.get("snapshot-id", 0) or 0) == int(sid)),
+                0,
+            )
+            rows.append((f"{ns}.{tbl}", added))
+        return self.spark.createDataFrame(
+            rows, "table string, Count bigint"
         )
 
     def _attach_postgres(self, m: "re.Match") -> DataFrame:

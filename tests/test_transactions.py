@@ -1,0 +1,173 @@
+"""SQL multi-table transaction surface: BEGIN / INSERT / COMMIT /
+ROLLBACK batching onto the Iceberg REST catalog's atomic
+commitTransaction (r14, VERDICT r13 next #1).
+
+Reference anchor: the commitTransaction route is part of the same
+OpenAPI surface the reference's catalog stub targets
+(crates/glaredb_ext_iceberg/src/catalog/rest.rs:22, client.rs:257).
+"""
+
+import pytest
+
+from glaredb_spark.session import GlareSession, TransactionError
+from glaredb_spark.sources import iceberg_rest as rest
+from glaredb_spark.sources.iceberg_rest import IcebergRestError
+from glaredb_spark.sources.iceberg_rest_emulator import IcebergRestEmulator
+from glaredb_spark.sources.iceberg_native import (
+    _metadata_path,
+    write_iceberg_native,
+)
+
+
+@pytest.fixture()
+def sess(spark, tmp_path):
+    emu = IcebergRestEmulator(str(tmp_path / "wh"), prefix="w1")
+    endpoint = emu.start()
+    emu.add_namespace("core")
+    for name, rows in (("facts", 4), ("sums", 2)):
+        loc = str(tmp_path / "wh" / "core" / name)
+        write_iceberg_native(
+            spark.range(rows).selectExpr("id", "id * 2 AS v"), loc
+        )
+        emu.register("core", name, _metadata_path(loc))
+    s = GlareSession(spark)
+    s.sql(f"ATTACH ICEBERG_REST DATABASE AS lake (endpoint '{endpoint}')")
+    yield s, emu, endpoint
+    rest.detach_iceberg_rest(spark, "lake")
+    emu.stop()
+    rest._PREFIX_CACHE.clear()
+
+
+def _counts(spark, endpoint):
+    return (
+        rest.read_table(spark, endpoint, "core", "facts").count(),
+        rest.read_table(spark, endpoint, "core", "sums").count(),
+    )
+
+
+def test_commit_publishes_both_tables(spark, sess):
+    s, emu, endpoint = sess
+    assert s.sql("BEGIN").collect()[0].status == "began transaction"
+    st = s.sql(
+        "INSERT INTO lake.core.facts SELECT id, id*2 AS v FROM range(10, 13)"
+    ).collect()[0].status
+    assert "buffered insert into core.facts" in st
+    s.sql("INSERT INTO lake.core.sums VALUES (100, 200), (101, 202)")
+    # nothing is visible before COMMIT — readers never see a half state
+    assert _counts(spark, endpoint) == (4, 2)
+    got = {r.table: r.Count for r in s.sql("COMMIT").collect()}
+    assert got == {"core.facts": 3, "core.sums": 2}
+    assert _counts(spark, endpoint) == (7, 4)
+
+
+def test_rollback_discards_buffer(spark, sess):
+    s, emu, endpoint = sess
+    s.sql("BEGIN TRANSACTION")
+    s.sql("INSERT INTO lake.core.facts VALUES (99, 198)")
+    st = s.sql("ROLLBACK").collect()[0].status
+    assert "rolled back 1" in st
+    assert _counts(spark, endpoint) == (4, 2)
+    # the session is reusable: a fresh transaction commits cleanly
+    s.sql("BEGIN")
+    s.sql("INSERT INTO lake.core.facts VALUES (99, 198)")
+    s.sql("COMMIT")
+    assert _counts(spark, endpoint) == (5, 2)
+
+
+def test_conflict_on_second_table_leaves_first_unadvanced(
+    spark, sess, monkeypatch
+):
+    """The all-or-nothing contract: a commitTransaction that can never
+    land (injected permanent 409) leaves EVERY table unadvanced —
+    table A shows no snapshot from the failed transaction."""
+    s, emu, endpoint = sess
+    base_a = len(rest.load_table(endpoint, "core", "facts")
+                 ["metadata"]["snapshots"])
+    real = rest._request
+
+    def always_conflict(url, token=None, method="GET", payload=None):
+        if method == "POST" and url.endswith("/transactions/commit"):
+            raise rest.CommitConflict("injected: table B is stale", code=409)
+        return real(url, token, method, payload)
+
+    monkeypatch.setattr(rest, "_request", always_conflict)
+    s.sql("BEGIN")
+    s.sql("INSERT INTO lake.core.facts VALUES (50, 100)")
+    s.sql("INSERT INTO lake.core.sums VALUES (60, 120)")
+    with pytest.raises(IcebergRestError, match="lost the commit race"):
+        s.sql("COMMIT")
+    monkeypatch.undo()
+    assert _counts(spark, endpoint) == (4, 2)
+    meta_a = rest.load_table(endpoint, "core", "facts")["metadata"]
+    assert len(meta_a["snapshots"]) == base_a
+    # the failed COMMIT ended the transaction (standard SQL abort)
+    with pytest.raises(TransactionError, match="without an open"):
+        s.sql("COMMIT")
+
+
+def test_same_table_twice_unions_into_one_entry(spark, sess):
+    s, emu, endpoint = sess
+    s.sql("BEGIN")
+    s.sql("INSERT INTO lake.core.facts VALUES (70, 140)")
+    s.sql("INSERT INTO lake.core.facts VALUES (71, 142), (72, 144)")
+    got = {r.table: r.Count for r in s.sql("COMMIT").collect()}
+    assert got == {"core.facts": 3}
+    assert _counts(spark, endpoint) == (7, 2)
+    # ONE snapshot for the whole transaction's worth on that table
+    meta = rest.load_table(endpoint, "core", "facts")["metadata"]
+    assert len(meta["snapshots"]) == 2  # initial + txn
+
+
+def test_named_errors(spark, sess, tmp_path):
+    s, emu, endpoint = sess
+    with pytest.raises(TransactionError, match="COMMIT without an open"):
+        s.sql("COMMIT")
+    with pytest.raises(TransactionError, match="ROLLBACK without an open"):
+        s.sql("ROLLBACK")
+    s.sql("BEGIN")
+    with pytest.raises(TransactionError, match="already open"):
+        s.sql("BEGIN")
+    with pytest.raises(TransactionError, match="got 'SELECT'"):
+        s.sql("SELECT 1")
+    with pytest.raises(TransactionError, match="not one"):
+        s.sql("INSERT INTO local_table VALUES (1)")
+    s.sql("ROLLBACK")
+    # cross-catalog transactions are refused with a named error
+    emu2 = IcebergRestEmulator(str(tmp_path / "wh2"), prefix="w2")
+    ep2 = emu2.start()
+    emu2.add_namespace("other")
+    loc = str(tmp_path / "wh2" / "other" / "t")
+    write_iceberg_native(spark.range(2).selectExpr("id", "id*2 AS v"), loc)
+    emu2.register("other", "t", _metadata_path(loc))
+    s.sql(f"ATTACH ICEBERG_REST DATABASE AS lake2 (endpoint '{ep2}')")
+    try:
+        s.sql("BEGIN")
+        s.sql("INSERT INTO lake.core.facts VALUES (1, 2)")
+        s.sql("INSERT INTO lake2.other.t VALUES (1, 2)")
+        with pytest.raises(TransactionError, match="ONE attached catalog"):
+            s.sql("COMMIT")
+    finally:
+        rest.detach_iceberg_rest(spark, "lake2")
+        emu2.stop()
+
+
+def test_sources_bind_at_buffer_execute_at_commit(spark, sess):
+    """Buffered INSERT sources are lazy plans ANALYZED at buffer time:
+    redefining a source view after buffering does not change what
+    commits (statement-time binding), while execution — the staged
+    write — happens only at COMMIT."""
+    s, emu, endpoint = sess
+    spark.range(3).selectExpr("id", "id * 7 AS v").createOrReplaceTempView(
+        "txn_src"
+    )
+    s.sql("BEGIN")
+    s.sql("INSERT INTO lake.core.facts SELECT * FROM txn_src")
+    # no snapshot exists yet — nothing executed at buffer time
+    assert len(rest.load_table(endpoint, "core", "facts")
+               ["metadata"]["snapshots"]) == 1
+    # redefine AFTER buffering: the buffered plan keeps its binding
+    spark.range(5).selectExpr("id", "id * 7 AS v").createOrReplaceTempView(
+        "txn_src"
+    )
+    got = {r.table: r.Count for r in s.sql("COMMIT").collect()}
+    assert got == {"core.facts": 3}
