@@ -4165,6 +4165,8 @@ def merge_iceberg_native(
     when_matched_update: dict | None = None,
     when_not_matched_insert: bool = True,
     base_meta=None, commit_fn=None,
+    when_matched_delete: str | None = None,
+    when_not_matched_condition: str | None = None,
 ) -> tuple[int, int, int]:
     """MERGE (upsert) into a native Iceberg v1 table — the Iceberg
     counterpart of delta_native.merge_delta_native: target rows whose
@@ -4172,7 +4174,13 @@ def merge_iceberg_native(
     expressions over ``t.<col>`` / ``s.<col>``; default: replace every
     non-key column with the source's), unmatched source rows are
     inserted; duplicate source keys raise (the standard MERGE
-    contract). COW: only files containing a key match are rewritten;
+    contract). ``when_matched_delete`` (r14) is a SQL predicate over
+    ``t.``/``s.`` columns: matched rows it selects are DELETED in the
+    same snapshot instead of updated (delete branch wins over update);
+    ``when_not_matched_condition`` gates inserts on a SOURCE-column
+    predicate — both mirror the Delta writer's r12 surface. Returned
+    ``updated_rows`` counts matched rows whether updated or deleted.
+    COW: only files containing a key match are rewritten;
     inserts land as new files referenced by the same "overwrite"
     snapshot. Scale: the probe and the rewrite join shuffle on the
     merge keys — the exchange any engine's MERGE performs; the source
@@ -4241,7 +4249,9 @@ def merge_iceberg_native(
         # writer's semantics (None was expanded to default-replace
         # above). ADVICE r5: `is not None` here probed + rewrote every
         # matched file with unchanged values and over-counted.
-        if active and when_matched_update:
+        # A matched-DELETE clause (r14) also needs the probe: deleted
+        # rows live in matched files that must rewrite without them.
+        if active and (when_matched_update or when_matched_delete):
             from glaredb_spark.sources.files import decoded_file_path
 
             target = _scan_parquet(
@@ -4262,8 +4272,15 @@ def merge_iceberg_native(
                 in hit_paths
             ]
             keep = [d for d in active if d not in touched]
+        # when_not_matched_condition (r14): a SQL predicate over the
+        # SOURCE columns gating inserts — unmatched rows failing it
+        # are dropped (the Delta writer's WHEN NOT MATCHED AND <cond>)
+        ins_src = (
+            src.filter(F.expr(when_not_matched_condition))
+            if when_not_matched_condition else src
+        )
         if when_not_matched_insert and active:
-            inserts = src.alias("s").join(
+            inserts = ins_src.alias("s").join(
                 _scan_parquet(
                     spark, *[d["file_path"] for d in active],
                     schema=evolved,
@@ -4272,7 +4289,7 @@ def merge_iceberg_native(
                 "left_anti",
             ).select(*cols)
         elif when_not_matched_insert:
-            inserts = src.select(*cols)
+            inserts = ins_src.select(*cols)
         else:
             inserts = spark.createDataFrame([], source.schema).select(*cols)
         inserts = inserts.persist()
@@ -4290,6 +4307,18 @@ def merge_iceberg_native(
             matched = (
                 F.col(f"s.{on[0]}").isNotNull() if on else F.lit(False)
             )
+            # matched rows the delete predicate selects drop out of
+            # the rewrite entirely (delete branch wins over update,
+            # the SQL MERGE clause-order contract); NULL predicate =
+            # clause does not apply — coalesce keeps the row in the
+            # update branch instead of silently dropping it (the same
+            # contract as the Delta writer, delta_native.py:2430)
+            drop = (
+                matched & F.coalesce(
+                    F.expr(when_matched_delete), F.lit(False)
+                )
+                if when_matched_delete else F.lit(False)
+            )
             out_cols = []
             for c in cols:
                 if c in on:
@@ -4302,7 +4331,7 @@ def merge_iceberg_native(
                     )
                 else:
                     out_cols.append(F.col(f"t.{c}").alias(c))
-            pieces.append(joined.select(*out_cols))
+            pieces.append(joined.filter(~drop).select(*out_cols))
         out = pieces[0]
         for df in pieces[1:]:
             out = out.unionByName(df)

@@ -751,11 +751,15 @@ def merge_table(spark, endpoint: str, namespace: str, table: str,
                 when_matched_update: "dict | None" = None,
                 when_not_matched_insert: bool = True,
                 token: str | None = None,
-                max_retries: int = 3) -> tuple[int, int, int]:
-    """COW MERGE (update-or-insert with SQL expressions) into a catalog
-    table through optimistic commitTable — the COW twin of
+                max_retries: int = 3,
+                when_matched_delete: "str | None" = None,
+                when_not_matched_condition: "str | None" = None,
+                ) -> tuple[int, int, int]:
+    """COW MERGE (update/delete-or-insert with SQL expressions) into a
+    catalog table through optimistic commitTable — the COW twin of
     upsert_table's equality-delete path (r13: merge was the one DML
-    missing catalog routing)."""
+    missing catalog routing; r14: + matched-DELETE and conditional
+    insert, parity with the Delta writer)."""
     from glaredb_spark.sources.iceberg_native import merge_iceberg_native
 
     return _dml_with_retry(
@@ -765,6 +769,8 @@ def merge_table(spark, endpoint: str, namespace: str, table: str,
             when_matched_update=when_matched_update,
             when_not_matched_insert=when_not_matched_insert,
             base_meta=base, commit_fn=commit,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_condition=when_not_matched_condition,
         ),
     )
 

@@ -1020,3 +1020,65 @@ def register_stream_sources(spark) -> None:
     spark.dataSource.register(DeltaAppendsDataSource)
     spark.dataSource.register(IcebergChangesDataSource)
     spark.dataSource.register(DeltaChangesDataSource)
+
+
+def catalog_stream_options(spark, table: str) -> dict:
+    """Resolve ``'alias[.namespace].table'`` against an ATTACHed
+    iceberg_rest catalog into explicit ``endpoint``/``table``
+    [+ ``token``] stream options (r14, VERDICT r13 #4).
+
+    Resolution happens AT STREAM CONSTRUCTION in the user's process —
+    it cannot happen inside the DataSource: PySpark 4 plans Python data
+    sources in a separate worker process that shares none of the
+    driver's module state, so the attach registry is unreachable there.
+    A two-part reference resolves against the catalog's sole namespace
+    (the same contract as catalog-routed DML). The minted bearer is
+    baked into the options; a stream outliving its token's expiry needs
+    reconstruction (static tokens are unaffected)."""
+    from glaredb_spark.sources.iceberg_rest import (
+        IcebergRestError,
+        _attached,
+        namespace_names,
+        resolve_attached,
+    )
+
+    alias, dot, rest_ = table.partition(".")
+    if not dot:
+        raise ValueError(
+            "catalog stream table must be 'alias[.namespace].table'; "
+            f"got {table!r}"
+        )
+    if alias not in _attached(spark):
+        raise IcebergRestError(
+            f"no attached iceberg rest catalog named '{alias}'; "
+            f"ATTACH ICEBERG_REST DATABASE AS {alias} (...) first"
+        )
+    endpoint, token = resolve_attached(spark, alias)
+    ns, _, tbl = rest_.rpartition(".")
+    if not ns:
+        names = namespace_names(endpoint, token=token)
+        if len(names) != 1:
+            raise ValueError(
+                f"namespace required for stream over '{alias}.{tbl}': "
+                f"catalog has {len(names)} namespaces; use "
+                f"'{alias}.<namespace>.{tbl}'"
+            )
+        ns = names[0]
+    out = {"endpoint": endpoint, "table": f"{ns}.{tbl}"}
+    if token:
+        out["token"] = token
+    return out
+
+
+def read_catalog_stream(spark, fmt: str, table: str, **options):
+    """``readStream`` over an ATTACHed catalog table:
+    ``read_catalog_stream(spark, 'iceberg_changes', 'lake.core.t')``
+    ≡ ``spark.readStream.format('iceberg_changes')`` with the alias
+    resolved to endpoint/token/table options at construction. Extra
+    keyword options (starting_seq, skip_non_appends, ...) pass
+    through. Delta streams are path-addressed (the REST catalog holds
+    Iceberg tables), so only the iceberg_* formats accept aliases."""
+    reader = spark.readStream.format(fmt)
+    for k, v in {**options, **catalog_stream_options(spark, table)}.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

@@ -342,3 +342,127 @@ def test_sql_iceberg_dml_strategy_knob(spark, sf_dir, tmp_path):
             f"DELETE FROM iceberg.scan('{p3}', strategy=>'mor') "
             f"WHERE n_nationkey = 1"
         )
+
+
+def test_merge_matched_delete_sql_delta(sess, tmp_path):
+    """WHEN MATCHED THEN DELETE (r14, VERDICT r13 #3): matched rows
+    are retired in the same commit; with AND <cond> only the selected
+    matched rows delete while others fall to the update branch."""
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    out = str(tmp_path / "dt")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation) "
+        f"TO '{out}' (FORMAT DELTA)"
+    )
+    sess.spark.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation "
+        "WHERE n_nationkey < 6"
+    ).createOrReplaceTempView("mdel_src")
+    n = sess.sql(
+        f"MERGE INTO '{out}' AS t USING mdel_src AS s "
+        f"ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED THEN DELETE"
+    ).collect()[0].Count
+    assert n == 6
+    keys = {r.n_nationkey
+            for r in read_delta_native(sess.spark, out).collect()}
+    assert keys == set(range(6, 25))
+    # conditional delete + update for the rest
+    sess.spark.sql(
+        "SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey "
+        "FROM nation WHERE n_nationkey >= 6 AND n_nationkey < 12"
+    ).createOrReplaceTempView("mdel_src2")
+    n = sess.sql(
+        f"MERGE INTO '{out}' AS t USING mdel_src2 AS s "
+        f"ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED AND t.n_nationkey < 9 THEN DELETE "
+        f"WHEN MATCHED THEN UPDATE SET n_name = s.n_name"
+    ).collect()[0].Count
+    assert n == 6  # matched rows, deleted or updated
+    rows = {r.n_nationkey: r.n_name
+            for r in read_delta_native(sess.spark, out).collect()}
+    assert set(rows) == set(range(9, 25))
+    assert rows[10] == rows[10].upper()
+
+
+def test_merge_matched_delete_sql_iceberg(sess, tmp_path):
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    out = str(tmp_path / "ice")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation) "
+        f"TO '{out}' (FORMAT ICEBERG)"
+    )
+    n = sess.sql(
+        f"MERGE INTO '{out}' AS t "
+        f"USING (SELECT n_nationkey, n_name, n_regionkey FROM nation "
+        f"WHERE n_regionkey = 2) AS s "
+        f"ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED THEN DELETE"
+    ).collect()[0].Count
+    assert n == 5
+    got = read_iceberg_native(sess.spark, out)
+    assert got.count() == 20
+    assert got.filter("n_regionkey = 2").count() == 0
+
+
+def test_merge_nested_paren_using_subquery(sess, tmp_path):
+    """The USING capture is paren-balanced (r14): a subquery with
+    nested parens no longer truncates at the first ')'."""
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    out = str(tmp_path / "dt")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation WHERE "
+        f"n_nationkey < 10) TO '{out}' (FORMAT DELTA)"
+    )
+    n = sess.sql(
+        f"MERGE INTO '{out}' t USING "
+        f"(SELECT n_nationkey, upper(substring(n_name, 1, 3)) AS n_name "
+        f"FROM nation WHERE n_nationkey IN (SELECT n_nationkey FROM "
+        f"nation WHERE n_nationkey < 12)) s "
+        f"ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED THEN UPDATE SET n_name = s.n_name "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0].Count
+    assert n == 12  # 10 updated + 2 inserted
+    rows = read_delta_native(sess.spark, out).collect()
+    assert len(rows) == 12
+    assert all(len(r.n_name) == 3 for r in rows)
+
+
+def test_merge_conditional_insert_sql(sess, tmp_path):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT gates inserts on a
+    source predicate (r14)."""
+    from glaredb_spark.sources.delta_native import read_delta_native
+
+    out = str(tmp_path / "dt")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_regionkey FROM nation WHERE "
+        f"n_nationkey < 10) TO '{out}' (FORMAT DELTA)"
+    )
+    n = sess.sql(
+        f"MERGE INTO '{out}' t USING "
+        f"(SELECT n_nationkey, n_regionkey FROM nation) s "
+        f"ON t.n_nationkey = s.n_nationkey "
+        f"WHEN NOT MATCHED AND s.n_regionkey = 3 THEN INSERT *"
+    ).collect()[0].Count
+    back = read_delta_native(sess.spark, out)
+    inserted = back.filter("n_nationkey >= 10").collect()
+    assert n == len(inserted)
+    assert inserted and all(r.n_regionkey == 3 for r in inserted)
+
+
+def test_merge_unsupported_clause_named_error(sess, tmp_path):
+    out = str(tmp_path / "dt")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{out}' "
+        f"(FORMAT DELTA)"
+    )
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        sess.sql(
+            f"MERGE INTO '{out}' t USING nation s "
+            f"ON t.n_nationkey = s.n_nationkey "
+            f"WHEN MATCHED THEN FROBNICATE"
+        )

@@ -1584,3 +1584,158 @@ def test_catalog_ctas_single_pass(spark, catalog, tmp_path,
             rest.load_table(endpoint, "sp", "husk")
     finally:
         detach_iceberg_rest(spark, "icsp")
+
+
+def test_alias_statement_guard_named_errors(spark, catalog, tmp_path):
+    """A mutating statement targeting an attached alias that matches NO
+    handler raises UnsupportedCatalogStatement with the verb's grammar
+    — never Spark's unrelated parser error (r14, VERDICT r13 #3)."""
+    from glaredb_spark.session import (
+        GlareSession,
+        UnsupportedCatalogStatement,
+    )
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="gd", name="t", rows=4)
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icgd (endpoint '{endpoint}')"
+    )
+    try:
+        # DELETE without WHERE, ALTER variant outside the arms,
+        # malformed VACUUM — each dies by NAME with its grammar
+        with pytest.raises(UnsupportedCatalogStatement,
+                           match="DELETE FROM alias.ns.t WHERE"):
+            sess.sql("DELETE FROM icgd.gd.t")
+        with pytest.raises(UnsupportedCatalogStatement,
+                           match="ALTER TABLE alias.ns.t"):
+            sess.sql("ALTER TABLE icgd.gd.t SET TBLPROPERTIES ('a'='b')")
+        with pytest.raises(UnsupportedCatalogStatement,
+                           match="VACUUM alias.ns.t"):
+            sess.sql("VACUUM icgd.gd.t RETAIN abc HOURS")
+        with pytest.raises(UnsupportedCatalogStatement,
+                           match="UPDATE alias.ns.t SET"):
+            sess.sql("UPDATE icgd.gd.t SET v = 1")  # no WHERE
+        # non-alias targets still fall through untouched: a local temp
+        # view UPDATE dies in Spark, not in the guard
+        with pytest.raises(Exception) as ei:
+            sess.sql("UPDATE some.local.table SET v = 1 WHERE v = 2")
+        assert not isinstance(ei.value, UnsupportedCatalogStatement)
+    finally:
+        detach_iceberg_rest(spark, "icgd")
+
+
+def test_catalog_merge_matched_delete(spark, catalog, tmp_path):
+    """Catalog-routed MERGE supports WHEN MATCHED THEN DELETE (r14;
+    previously the clause fell through to Spark's parser)."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="md", name="t", rows=10)
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icmd (endpoint '{endpoint}')"
+    )
+    try:
+        spark.range(3, 7).selectExpr(
+            "id", "id * 2 AS v"
+        ).createOrReplaceTempView("md_src")
+        n = sess.sql(
+            "MERGE INTO icmd.md.t AS t USING md_src AS s "
+            "ON t.id = s.id WHEN MATCHED THEN DELETE"
+        ).collect()[0].Count
+        assert n == 4
+        got = rest.read_table(spark, endpoint, "md", "t")
+        assert {r.id for r in got.collect()} == {0, 1, 2, 7, 8, 9}
+    finally:
+        detach_iceberg_rest(spark, "icmd")
+
+
+def test_create_table_column_list_catalog(spark, catalog, tmp_path):
+    """CREATE TABLE alias.ns.t (col type, ...) routes to catalog
+    createTable from the explicit column list (r14)."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    emu.add_namespace("cl")
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS iccl (endpoint '{endpoint}')"
+    )
+    try:
+        st = sess.sql(
+            "CREATE TABLE iccl.cl.t (id BIGINT, name STRING, "
+            "score DECIMAL(10,2))"
+        ).collect()[0].status
+        assert "created table cl.t" in st
+        sess.sql(
+            "INSERT INTO iccl.cl.t VALUES (1, 'a', 1.5), (2, 'b', 2.5)"
+        )
+        got = sess.sql(
+            "SELECT count(*) AS c, sum(score) AS s FROM iccl.cl.t"
+        ).collect()[0]
+        assert got.c == 2 and float(got.s) == 4.0
+    finally:
+        detach_iceberg_rest(spark, "iccl")
+
+
+def test_alias_addressed_stream(spark, tmp_path):
+    """readStream over an ATTACHed alias (r14, VERDICT r13 #4):
+    read_catalog_stream resolves 'alias.ns.t' — including a
+    token-bearing endpoint — at stream construction, and the stream
+    equals the batch read after a catalog append. A two-part
+    'alias.t' resolves the sole namespace; unknown aliases raise by
+    name."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+    from glaredb_spark.streaming.source import (
+        read_catalog_stream,
+        register_stream_sources,
+    )
+
+    emu = IcebergRestEmulator(
+        str(tmp_path / "wh"), prefix="w1", token="sekrit"
+    )
+    endpoint = emu.start()
+    try:
+        _mk_table(spark, emu, tmp_path, ns="st", name="t", rows=4)
+        sess = GlareSession(spark)
+        sess.sql(
+            f"ATTACH ICEBERG_REST DATABASE AS icstr "
+            f"(endpoint '{endpoint}', token 'sekrit')"
+        )
+        register_stream_sources(spark)
+
+        def drain(name, table):
+            q = (
+                read_catalog_stream(spark, "iceberg_appends", table)
+                .writeStream.format("memory").queryName(name)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            return spark.sql(f"SELECT * FROM {name}")
+
+        assert drain("alias_stream_1", "icstr.st.t").count() == 4
+        rest.append_table(
+            spark, endpoint, "st", "t",
+            spark.range(10, 13).selectExpr("id", "id * 2 AS v"),
+            token="sekrit",
+        )
+        got = drain("alias_stream_2", "icstr.st.t")
+        # stream ≡ batch over the same alias-addressed table
+        batch = rest.read_table(spark, endpoint, "st", "t",
+                                token="sekrit")
+        assert sorted(r.id for r in got.collect()) == sorted(
+            r.id for r in batch.collect()
+        )
+        # two-part form resolves the sole namespace
+        assert drain("alias_stream_3", "icstr.t").count() == 7
+        with pytest.raises(IcebergRestError, match="no attached"):
+            read_catalog_stream(spark, "iceberg_appends", "ghost.ns.t")
+        detach_iceberg_rest(spark, "icstr")
+    finally:
+        emu.stop()
+        rest._PREFIX_CACHE.clear()
