@@ -76,9 +76,12 @@ GATE_PRIORITY: list[str] = [
     # q03/q18, runs bit-exact every round as a tpchbench golden SLT —
     # yields its slot to the round's SQL multi-table TRANSACTION row
     # (iceberg_rest_txn below); stays in the local strict gate
+    # r14 rotation: q13 — long-green, left-outer-count shape covered by
+    # rel_outer_joins + tpchbench golden SLT — yields its slot to the
+    # TPC-DS differential gate row (tpcds_diff_q88 below); stays in the
+    # local strict gate
     "tpch_q03", "tpch_q06",
     "tpch_q09",
-    "tpch_q13",
     # r13 rotation: q05 — long-green, join-chain shape covered by
     # q03/q09, runs bit-exact every round as a tpchbench golden SLT —
     # yields its slot to the round's catalog-routed MAINTENANCE
@@ -135,6 +138,11 @@ GATE_PRIORITY: list[str] = [
     # commitTransaction, ROLLBACK discarding; snapshot-count asserts
     # prove the rollback left nothing and same-table inserts unioned
     "iceberg_rest_txn",
+    # r14 (VERDICT r13 #7): one of the 99 value-differential TPC-DS
+    # queries promoted into the gate — q88 verbatim on the
+    # FK-correlated differential fixture, DuckDB oracle reading the
+    # identical parquet through CTE-shadowed read_parquet
+    "tpcds_diff_q88",
     # r11: streaming changelog source (readStream iceberg_changes —
     # per-file MoR diff on executors), first driver row; the Delta twin
     # delta_change_stream is oracle-gated locally every round
@@ -214,6 +222,7 @@ def load_all() -> None:
     import glaredb_spark.operators.recursive  # noqa: F401
     import glaredb_spark.operators.clickbench  # noqa: F401
     import glaredb_spark.operators.tpcds  # noqa: F401
+    import glaredb_spark.operators.tpcds_diff  # noqa: F401
     import glaredb_spark.functions.queries  # noqa: F401
     import glaredb_spark.operators.skew  # noqa: F401
     import glaredb_spark.operators.pipeline  # noqa: F401

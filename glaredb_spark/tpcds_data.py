@@ -382,6 +382,295 @@ def _generic(col: str, typ: str, i: int, rng: random.Random, nrows: int):
     return f"{col.split('_', 1)[-1]}{i % 13}"
 
 
+def _date_sk(y: int, m: int, d: int) -> int:
+    return JULIAN_1998 + (
+        datetime.date(y, m, d) - datetime.date(1998, 1, 1)
+    ).days
+
+
+def _find_cd(rows: list[dict], marital: str, education: str) -> int:
+    """cd_demo_sk of the enumerated (marital, education) combo."""
+    for r in rows:
+        if (r["cd_marital_status"] == marital
+                and r["cd_education_status"] == education):
+            return r["cd_demo_sk"]
+    raise AssertionError(f"no cd combo {marital}/{education}")
+
+
+def _find_hd(rows: list[dict], buy_potential: str) -> int:
+    for r in rows:
+        if r["hd_buy_potential"] == buy_potential:
+            return r["hd_demo_sk"]
+    raise AssertionError(f"no hd {buy_potential}")
+
+
+def _plant(rows_by_table: dict, rng: random.Random) -> None:
+    """Plant deterministic correlated cohorts so the 13 deepest TPC-DS
+    queries return rows (r14, VERDICT r13 #2): multi-year multi-channel
+    customer growth chains (q04), cross-channel same-window purchasers
+    (q10), inventory before/after and variance windows (q21/q39/q72),
+    best-customer + frequent-item chains (q23), manufact attribute
+    combos (q41), high-value returns (q49), category-cohort revenue
+    segments (q54), same-week tri-channel item revenue (q58), the
+    two-purchase store/returns chain (q64), and demographic-matched
+    return cohorts (q85/q91). Planted magnitudes dominate the random
+    background (99k-scale measures vs ~1.5k noise lines) so the ratio
+    and growth predicates hold regardless of the surrounding draws.
+    Every plant is pure-dict editing before the parquet write; both
+    engines read identical bytes, so the differential stays exact."""
+    T = rows_by_table
+    next_no = [100000]  # fresh ticket/order numbers, beyond any group
+    orig: dict[str, list] = {}  # clone only PRE-plant rows — a planted
+    # 99k-measure line must never leak into a later plant's base
+
+    def mk(table: str, **over) -> dict:
+        pool = orig.setdefault(table, list(T[table]))
+        r = dict(rng.choice(pool))
+        r.update(over)
+        T[table].append(r)
+        return r
+
+    def order_no() -> int:
+        next_no[0] += 1
+        return next_no[0]
+
+    items, addrs, custs = T["item"], T["customer_address"], T["customer"]
+    cds, hds = T["customer_demographics"], T["household_demographics"]
+
+    # --- q04: store+catalog+web in 2001 AND 2002, catalog growing
+    # faster than both store and web (year_total =
+    # sum((list - wholesale - discount + sales)/2); planted 99k/line)
+    MEAS = dict(list_price=99000, wholesale=0, discount=0, sales=99000)
+
+    def sale_lines(table, p, cust, y, n, item_sk=None):
+        no = order_no()
+        cust_col = (f"{p}_customer_sk" if p == "ss"
+                    else f"{p}_bill_customer_sk")
+        no_col = ("ss_ticket_number" if p == "ss"
+                  else f"{p}_order_number")
+        out = []
+        for _ in range(n):
+            out.append(mk(
+                table, **{
+                    cust_col: cust,
+                    no_col: no,
+                    f"{p}_sold_date_sk": _date_sk(y, 6, 15),
+                    f"{p}_item_sk": item_sk or rng.randrange(1, 100),
+                    f"{p}_ext_list_price": MEAS["list_price"],
+                    f"{p}_ext_wholesale_cost": MEAS["wholesale"],
+                    f"{p}_ext_discount_amt": MEAS["discount"],
+                    f"{p}_ext_sales_price": MEAS["sales"],
+                }))
+        return out
+
+    for cust in (1, 2, 3, 4):
+        for y in (2001, 2002):
+            sale_lines("store_sales", "ss", cust, y, 6)
+        sale_lines("catalog_sales", "cs", cust, 2001, 1)
+        sale_lines("catalog_sales", "cs", cust, 2002, 30)
+        sale_lines("web_sales", "ws", cust, 2001, 1)
+        sale_lines("web_sales", "ws", cust, 2002, 2)
+
+    # --- q10: customers in the query's county list buying store +
+    # (web | catalog-SHIP) within Jan..Apr 2002
+    q10_counties = ["Rush County", "Toole County", "Jefferson County",
+                    "Dona Ana County", "La Porte County"]
+    for k, cust in enumerate((13, 14, 15, 16)):
+        addr_sk = 240 + k
+        addrs[addr_sk - 1]["ca_county"] = q10_counties[k % 5]
+        custs[cust - 1]["c_current_addr_sk"] = addr_sk
+        mk("store_sales", ss_customer_sk=cust,
+           ss_sold_date_sk=_date_sk(2002, 2, 10),
+           ss_ticket_number=order_no(), ss_item_sk=7)
+        if k < 2:
+            mk("web_sales", ws_bill_customer_sk=cust,
+               ws_sold_date_sk=_date_sk(2002, 3, 5),
+               ws_order_number=order_no(), ws_item_sk=7)
+        else:
+            mk("catalog_sales", cs_ship_customer_sk=cust,
+               cs_sold_date_sk=_date_sk(2002, 3, 5),
+               cs_order_number=order_no(), cs_item_sk=7)
+
+    # --- q21: items priced 0.99..1.49 with balanced inventory around
+    # 2000-03-11 (planted 20k dominates ≤1k-noise rows in the window)
+    for item_sk in (102, 103, 104):
+        items[item_sk - 1]["i_current_price"] = decimal.Decimal("1.25")
+        for d, qty in (((2000, 2, 20), 20000), ((2000, 3, 20), 20000)):
+            mk("inventory", inv_date_sk=_date_sk(*d),
+               inv_item_sk=item_sk, inv_warehouse_sk=1,
+               inv_quantity_on_hand=qty)
+
+    # --- q39: per-(item, warehouse) inventory with cov = stdev/mean >
+    # 1 in BOTH January and February 2001
+    for m in (1, 2):
+        for day, qty in ((5, 0), (12, 0), (19, 30000)):
+            mk("inventory", inv_date_sk=_date_sk(2001, m, day),
+               inv_item_sk=103, inv_warehouse_sk=1,
+               inv_quantity_on_hand=qty)
+
+    # --- q72: catalog line shipping >5 days out, inventory in the SAME
+    # week short of the ordered quantity, '>10000' household, 'D'
+    # marital demographics, d1.d_year = 1999
+    mk("catalog_sales", cs_item_sk=104,
+       cs_sold_date_sk=_date_sk(1999, 5, 3),
+       cs_ship_date_sk=_date_sk(1999, 5, 13),
+       cs_order_number=order_no(), cs_quantity=5000,
+       cs_bill_hdemo_sk=_find_hd(hds, ">10000"),
+       cs_bill_cdemo_sk=_find_cd(cds, "D", "2 yr Degree"))
+    mk("inventory", inv_date_sk=_date_sk(1999, 5, 5),
+       inv_item_sk=104, inv_warehouse_sk=1, inv_quantity_on_hand=10)
+
+    # --- q23: a frequent store item (>4 same-item-same-date store
+    # lines in 2000-2003), a dominant store customer, and that
+    # customer buying the frequent item via catalog+web in Feb 2000
+    freq_item, best_cust = 107, 9
+    for _ in range(6):
+        mk("store_sales", ss_item_sk=freq_item,
+           ss_sold_date_sk=_date_sk(2000, 2, 10),
+           ss_customer_sk=best_cust, ss_ticket_number=order_no(),
+           ss_quantity=10, ss_sales_price=10)
+    big = order_no()
+    for _ in range(10):
+        mk("store_sales", ss_item_sk=freq_item,
+           ss_sold_date_sk=_date_sk(2001, 7, 4),
+           ss_customer_sk=best_cust, ss_ticket_number=big,
+           ss_quantity=99, ss_sales_price=99000)
+    mk("catalog_sales", cs_item_sk=freq_item,
+       cs_bill_customer_sk=best_cust,
+       cs_sold_date_sk=_date_sk(2000, 2, 15),
+       cs_order_number=order_no(), cs_quantity=5, cs_list_price=200)
+    mk("web_sales", ws_item_sk=freq_item,
+       ws_bill_customer_sk=best_cust,
+       ws_sold_date_sk=_date_sk(2000, 2, 16),
+       ws_order_number=order_no(), ws_quantity=5, ws_list_price=200)
+
+    # --- q41: a manufact group with one member matching the query's
+    # category/color/units/size combo, anchored in manufact_id 738..778
+    items[108].update(i_manufact_id=750, i_manufact="plantmanufact",
+                      i_product_name="plant product one")
+    items[109].update(i_manufact="plantmanufact", i_category="Women",
+                      i_color="powder", i_units="Ounce",
+                      i_size="medium")
+
+    # --- q49: December-2001 sales with matched >10000 returns in all
+    # three channels (profit > 1, paid > 0, quantity > 0)
+    for table, p, rt, rp, amt_col in (
+        ("web_sales", "ws", "web_returns", "wr", "wr_return_amt"),
+        ("catalog_sales", "cs", "catalog_returns", "cr",
+         "cr_return_amount"),
+        ("store_sales", "ss", "store_returns", "sr", "sr_return_amt"),
+    ):
+        no = order_no()
+        no_col = ("ss_ticket_number" if p == "ss"
+                  else f"{p}_order_number")
+        sale = mk(table, **{
+            f"{p}_item_sk": 60, no_col: no,
+            f"{p}_sold_date_sk": _date_sk(2001, 12, 10),
+            f"{p}_quantity": 50, f"{p}_net_paid": 50000,
+            f"{p}_net_profit": 500,
+        })
+        mk(rt, **{
+            f"{rp}_item_sk": 60,
+            (f"{rp}_ticket_number" if rp == "sr"
+             else f"{rp}_order_number"): no,
+            amt_col: 15000, f"{rp}_return_quantity": 25,
+            f"{rp}_returned_date_sk": _date_sk(2001, 12, 20),
+        })
+        del sale
+
+    # --- q54: Women/maternity catalog buyer whose address county+state
+    # matches a store's, with store revenue in the following quarter
+    items[104].update(i_category="Women", i_class="maternity")
+    q54_cust = 20
+    addrs[244].update(ca_county="Williamson County", ca_state="TN")
+    custs[q54_cust - 1]["c_current_addr_sk"] = 245
+    mk("catalog_sales", cs_item_sk=105, cs_bill_customer_sk=q54_cust,
+       cs_sold_date_sk=_date_sk(1998, 12, 10),
+       cs_order_number=order_no())
+    for m in (1, 2):
+        mk("store_sales", ss_customer_sk=q54_cust,
+           ss_sold_date_sk=_date_sk(1999, m, 15),
+           ss_ticket_number=order_no(), ss_item_sk=8,
+           ss_ext_sales_price=123)
+
+    # --- q58: one item whose store/catalog/web revenue in the week of
+    # 2000-01-03 agree within 10% (planted 270k/channel vs ≤5k noise)
+    for table, p in (("store_sales", "ss"), ("catalog_sales", "cs"),
+                     ("web_sales", "ws")):
+        no = order_no()
+        no_col = ("ss_ticket_number" if p == "ss"
+                  else f"{p}_order_number")
+        for _ in range(3):
+            mk(table, **{
+                f"{p}_item_sk": 106, no_col: no,
+                f"{p}_sold_date_sk": _date_sk(2000, 1, 3),
+                f"{p}_ext_sales_price": 90000,
+            })
+
+    # --- q64: purple 65..74-priced item bought through a fully-keyed
+    # store chain (demographics, household, address, promo, matched
+    # store return) in 1999 twice and 2000 once, with a catalog
+    # sale>2*refund history and a customer whose current marital status
+    # differs from the purchase-time one
+    q64_item, q64_cust, q64_store = 101, 22, 1
+    items[q64_item - 1].update(
+        i_color="purple", i_current_price=decimal.Decimal("65.50"))
+    cd_at_sale = _find_cd(cds, "D", "2 yr Degree")
+    custs[q64_cust - 1].update(
+        c_current_cdemo_sk=_find_cd(cds, "M", "2 yr Degree"),
+        c_current_hdemo_sk=2, c_current_addr_sk=30)
+    cs_no = order_no()
+    for _ in range(5):
+        mk("catalog_sales", cs_item_sk=q64_item, cs_order_number=cs_no,
+           cs_ext_list_price=90000,
+           cs_sold_date_sk=_date_sk(1999, 2, 1))
+    mk("catalog_returns", cr_item_sk=q64_item, cr_order_number=cs_no,
+       cr_refunded_cash=100, cr_reversed_charge=50, cr_store_credit=50,
+       cr_returned_date_sk=_date_sk(1999, 3, 1))
+    for y, tickets in ((1999, 2), (2000, 1)):
+        for _ in range(tickets):
+            t_no = order_no()
+            mk("store_sales", ss_item_sk=q64_item,
+               ss_customer_sk=q64_cust, ss_store_sk=q64_store,
+               ss_cdemo_sk=cd_at_sale, ss_hdemo_sk=1, ss_addr_sk=10,
+               ss_promo_sk=3, ss_ticket_number=t_no,
+               ss_sold_date_sk=_date_sk(y, 3, 10),
+               ss_wholesale_cost=30, ss_list_price=80,
+               ss_coupon_amt=0)
+            mk("store_returns", sr_item_sk=q64_item,
+               sr_ticket_number=t_no,
+               sr_returned_date_sk=_date_sk(y, 4, 1))
+
+    # --- q85: web sale+return with matching refunded/returning
+    # demographics ('M' + 'Advanced Degree', price 100..150), a
+    # refund address in the IN/OH/NJ group, profit 100..200
+    cd_ma = _find_cd(cds, "M", "Advanced Degree")
+    addrs[245].update(ca_state="OH", ca_country="United States")
+    q85_no = order_no()
+    mk("web_sales", ws_item_sk=50, ws_order_number=q85_no,
+       ws_sold_date_sk=_date_sk(2000, 6, 5), ws_web_page_sk=3,
+       ws_sales_price=120, ws_net_profit=150, ws_quantity=10)
+    mk("web_returns", wr_item_sk=50, wr_order_number=q85_no,
+       wr_refunded_cdemo_sk=cd_ma, wr_returning_cdemo_sk=cd_ma,
+       wr_refunded_addr_sk=246, wr_reason_sk=5,
+       wr_refunded_cash=500, wr_fee=20, wr_return_quantity=5,
+       wr_returned_date_sk=_date_sk(2000, 7, 1))
+
+    # --- q91: November-1998 catalog return by a customer whose current
+    # demographics hit the 'M'/'Unknown' + 'Unknown%' household +
+    # gmt -7 filter chain
+    q91_cust = 21
+    addrs[246].update(ca_gmt_offset=decimal.Decimal(-7))
+    custs[q91_cust - 1].update(
+        c_current_cdemo_sk=_find_cd(cds, "M", "Unknown"),
+        c_current_hdemo_sk=_find_hd(hds, "Unknown"),
+        c_current_addr_sk=247)
+    mk("catalog_returns", cr_call_center_sk=2,
+       cr_returned_date_sk=_date_sk(1998, 11, 15),
+       cr_returning_customer_sk=q91_cust, cr_net_loss=321,
+       cr_item_sk=11, cr_order_number=order_no())
+
+
 def _fk_for(col: str) -> "str | None":
     for suf, dim in _FK.items():
         if col.endswith(suf):
@@ -568,6 +857,10 @@ def ensure(root: str) -> dict[str, str]:
                 if src in s and dst in r and s[src] is not None:
                     r[dst] = s[src]
         rows_by_table[t] = rows
+
+    # plant the deep-correlation cohorts (q04/q10/q21/q23/q39/q41/q49/
+    # q54/q58/q64/q72/q85/q91) — see _plant
+    _plant(rows_by_table, rng)
 
     _PA = {
         "Int32": pa.int32(),

@@ -113,13 +113,17 @@ def test_tpcds_values_match_duckdb(engines, fname):
 
 
 def test_dataset_depth_floor(engines):
-    """At least 85 of the 99 queries must return NON-EMPTY results on
+    """At least 97 of the 99 queries must return NON-EMPTY results on
     this dataset — a floor so future generator edits can't silently
     hollow the differential out into empty-vs-empty comparisons.
-    (Current depth: 86; the remaining empties are deep multi-stage
-    correlations — q23's best-customers chain, q64's two-purchase
-    join, q04's three-channel year-over-year growth — whose plans the
-    comparison still exercises.)"""
+    (Current depth: 99/99 — r14 planted the deep-correlation cohorts
+    the last 13 empties needed: q04's three-channel year-over-year
+    growth, q23's best-customers chain, q64's two-purchase join,
+    q39/q21/q72's inventory windows, q10/q54's cross-channel cohorts,
+    q41/q49/q58/q85/q91's attribute-matched rows; see
+    tpcds_data._plant. The floor sits at 97 so an incidental ±2 shift
+    from unrelated generator edits fails softly while a hollowing-out
+    still fails loudly.)"""
     from glaredb_spark.slt import parse_slt
 
     _sess, con = engines
@@ -135,4 +139,4 @@ def test_dataset_depth_floor(engines):
             sql = sql[len("DESCRIBE"):].strip()
         if con.sql(sql).fetchall():
             nonempty += 1
-    assert nonempty >= 85, f"dataset depth regressed: {nonempty}/99"
+    assert nonempty >= 97, f"dataset depth regressed: {nonempty}/99"
