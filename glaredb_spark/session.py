@@ -240,7 +240,8 @@ _ALTER_RE = re.compile(
     r"|DROP\s+PARTITION\s+FIELD\s+([^;]+?)"
     r"|ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
     r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
-    r"|SET\s+IDENTIFIER\s+FIELDS\s*\(([^)]*)\))\s*;?\s*$",
+    r"|SET\s+IDENTIFIER\s+FIELDS\s*\(([^)]*)\)"
+    r"|ROLLBACK\s+TO\s+SNAPSHOT\s+(\d+))\s*;?\s*$",
     re.IGNORECASE,
 )
 _REORG_RE = re.compile(
@@ -307,7 +308,8 @@ _ALIAS_GUARD_RES: "list[tuple[re.Pattern, str]]" = [
     (re.compile(r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)", re.IGNORECASE),
      "ALTER TABLE alias.ns.t ADD COLUMN c type | RENAME COLUMN a TO b "
      "| DROP COLUMN c | ALTER COLUMN c TYPE t | ADD/DROP PARTITION "
-     "FIELD f | SET IDENTIFIER FIELDS (c, ...) | RENAME TO [ns.]t2"),
+     "FIELD f | SET IDENTIFIER FIELDS (c, ...) | RENAME TO [ns.]t2 "
+     "| ROLLBACK TO SNAPSHOT n"),
     (re.compile(
         r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)",
         re.IGNORECASE),
@@ -340,7 +342,8 @@ _ALTER_CAT_RE = re.compile(
     r"|ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
     r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
     r"|SET\s+IDENTIFIER\s+FIELDS\s*\(([^)]*)\)"
-    r"|RENAME\s+TO\s+([A-Za-z_][\w.]*))\s*;?\s*$",
+    r"|RENAME\s+TO\s+([A-Za-z_][\w.]*)"
+    r"|ROLLBACK\s+TO\s+SNAPSHOT\s+(\d+))\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -1379,6 +1382,18 @@ class GlareSession:
                     f"added partition field {m.group(7).strip()} "
                     f"(spec {sid})"
                 )
+            elif m.group(12):  # ROLLBACK TO SNAPSHOT (iceberg only)
+                if kind != "iceberg":
+                    raise ValueError(
+                        "ROLLBACK TO SNAPSHOT requires an iceberg "
+                        "table (Delta time travel is version-based)"
+                    )
+                from glaredb_spark.sources.iceberg_native import (
+                    rollback_iceberg_native as _rb,
+                )
+
+                sid = _rb(path, int(m.group(12)))
+                msg = f"rolled back to snapshot {sid}"
             else:  # DROP PARTITION FIELD (iceberg only)
                 if kind != "iceberg":
                     raise ValueError(
@@ -1643,6 +1658,11 @@ class GlareSession:
                 f"added partition field {m.group(7).strip()} "
                 f"(spec {sid})"
             )
+        elif m.group(13):  # ROLLBACK TO SNAPSHOT (r14)
+            sid = _ir.rollback_table(
+                endpoint, ns, tbl, int(m.group(13)), token=token
+            )
+            msg = f"rolled back to snapshot {sid}"
         else:  # DROP PARTITION FIELD
             sid = _ir.alter_drop_partition_field(
                 endpoint, ns, tbl, m.group(8).strip(), token=token

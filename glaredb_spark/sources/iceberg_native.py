@@ -3724,6 +3724,60 @@ def add_column_iceberg_native(table_path: str, name: str,
     return new_id
 
 
+def rollback_iceberg_native(
+    table_path: str, snapshot_id: int,
+    base_meta: "dict | None" = None, commit_fn=None,
+) -> int:
+    """ROLLBACK the table's main ref to an EXISTING retained snapshot
+    (iceberg's rollback_to_snapshot; r14 — enabled by the
+    set-snapshot-ref ref-move fix in the catalog commit hook): one
+    KB-scale metadata commit that moves current-snapshot-id without
+    adding or removing snapshots, so the abandoned tip stays
+    time-travelable until expiration. Reads and writes resume from the
+    rolled-back state; the next append parents off it (the abandoned
+    tip becomes a dead branch — the spec's divergence semantics).
+    Note: a seq-range appends STREAM over a rolled-back table raises
+    its chain-gap error on the dead branch rather than silently
+    replaying it — reconstruct streams after a rollback."""
+    import time
+
+    table_path = os.path.abspath(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
+    snapshot_id = int(snapshot_id)
+    snaps = meta.get("snapshots") or []
+    if not any(int(s.get("snapshot-id", 0) or 0) == snapshot_id
+               for s in snaps):
+        raise IcebergError(
+            f"no retained snapshot with id {snapshot_id} — expired "
+            "snapshots cannot be rolled back to"
+        )
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and int(cur) == snapshot_id:
+        return snapshot_id  # already current: nothing to commit
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    # the ref move is a HISTORY event: snapshot-log appends a new entry
+    # pointing at the old snapshot (spec behavior — time travel by
+    # timestamp resolves to the rollback from then on)
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": int(time.time() * 1000),
+         "snapshot-id": snapshot_id}
+    ]
+    if meta.get("refs"):
+        refs = {k: dict(v) for k, v in meta["refs"].items()}
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    if commit_fn is not None:
+        commit_fn(new_meta)
+        return snapshot_id
+    _write_metadata_version(
+        os.path.join(table_path, "metadata"), new_meta,
+        version=_metadata_version(table_path) + 1,
+    )
+    return snapshot_id
+
+
 def expire_snapshots_iceberg_native(
     table_path: str, retention_hours: float = 168.0,
     retain_last: int = 1, dry_run: bool = False,

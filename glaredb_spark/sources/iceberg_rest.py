@@ -969,6 +969,25 @@ def alter_set_identifier_fields(endpoint: str, namespace: str,
     )
 
 
+def rollback_table(endpoint: str, namespace: str, table: str,
+                   snapshot_id: int, token: str | None = None,
+                   max_retries: int = 3) -> int:
+    """ROLLBACK a catalog table's main ref to a retained snapshot
+    through commitTable (r14): the metadata-diff hook expresses the
+    move as assert-ref + set-snapshot-ref with NO added snapshots —
+    exactly the ref-move case the r14 gating fix made publishable."""
+    from glaredb_spark.sources.iceberg_native import (
+        rollback_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: rollback_iceberg_native(
+            loc, snapshot_id, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
 def rename_table(endpoint: str, from_namespace: str, from_table: str,
                  to_namespace: str, to_table: str,
                  token: str | None = None) -> None:
