@@ -1899,6 +1899,95 @@ def _update_with_dvs(
     return (updated, len(results))
 
 
+def restore_delta_native(spark: SparkSession, path: str,
+                         version: int) -> tuple[int, int]:
+    """RESTORE the table's DATA to an earlier version (delta-spark's
+    ``RESTORE TABLE ... TO VERSION AS OF`` — the Delta twin of the r14
+    Iceberg snapshot rollback): ONE new commit whose actions remove
+    every currently-active file absent from (or carrying different add
+    metadata than) the target version and re-add every target-version
+    file the current state lost. History is preserved — time travel to
+    the pre-restore tip keeps working — and the log only ever grows, so
+    concurrent readers fold a consistent state.
+
+    Restored files must still exist on disk: a VACUUM that ran after
+    the target version makes the restore impossible and raises by name
+    (delta-spark's contract). Metadata (schema / partitioning /
+    configuration) must match the target version — a schema-crossing
+    RESTORE refuses loudly instead of silently flipping readers.
+    Returns (files_removed, files_readded); (0, 0) = already there."""
+    import time as _time
+
+    path = os.path.abspath(path)
+    log_dir = os.path.join(path, "_delta_log")
+    cur_v = _latest_version(log_dir)
+    if cur_v is None:
+        raise ValueError(f"no Delta log at {path!r}")
+    version = int(version)
+    old = load_delta_state(path, version=version)
+    cur = load_delta_state(path)
+    _check_writer_features(cur, "restore")
+
+    def _meta_key(s: "DeltaState"):
+        m = s.metadata_raw or {}
+        return (
+            s.schema_json,
+            tuple(s.partition_columns),
+            json.dumps(m.get("configuration") or {}, sort_keys=True),
+        )
+
+    if _meta_key(old) != _meta_key(cur):
+        raise ValueError(
+            f"RESTORE to version {version} crosses a schema/"
+            "partitioning/configuration change; restore the metadata "
+            "explicitly first (ALTER TABLE), then restore the data"
+        )
+    removes = [
+        p for p in cur.adds
+        if p not in old.adds or cur.add_meta[p] != old.add_meta[p]
+    ]
+    readds = [
+        p for p in old.adds
+        if p not in cur.adds or cur.add_meta[p] != old.add_meta[p]
+    ]
+    if not removes and not readds:
+        return (0, 0)
+    missing = [
+        p for p in readds
+        if not os.path.exists(
+            os.path.join(path, urllib.parse.unquote(p))
+        )
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE to version {version}: "
+            f"{len(missing)} data file(s) were VACUUMed since "
+            f"(first: {urllib.parse.unquote(missing[0])!r})"
+        )
+    ts = int(_time.time() * 1000)
+    actions: list[dict] = [{
+        "commitInfo": {
+            "timestamp": ts,
+            "operation": "RESTORE",
+            "operationParameters": {"version": str(version)},
+        }
+    }]
+    actions += [
+        {"remove": {"path": p, "deletionTimestamp": ts,
+                    "dataChange": True}}
+        for p in sorted(removes)
+    ]
+    # re-adds replay the TARGET version's add actions verbatim (stats,
+    # partitionValues, deletion vectors all restored); ordered after
+    # the removes so a same-path remove+re-add folds to the add
+    actions += [
+        {"add": dict(old.add_meta[p], dataChange=True)}
+        for p in sorted(readds)
+    ]
+    _commit_actions(log_dir, cur_v + 1, actions)
+    return (len(removes), len(readds))
+
+
 def purge_delta_native(spark: SparkSession, path: str) -> tuple[int, int]:
     """REORG TABLE ... APPLY (PURGE): materialize deletion vectors —
     every DV-carrying file's LIVE rows are rewritten into new files and

@@ -110,3 +110,69 @@ def test_catalog_rollback_sql(spark, tmp_path):
     finally:
         emu.stop()
         rest._PREFIX_CACHE.clear()
+
+
+def test_delta_restore_sql(spark, tmp_path):
+    """RESTORE TABLE '<path>' TO VERSION AS OF n (r14, Delta twin of
+    the Iceberg rollback): data reverts, history is preserved, and a
+    post-VACUUM restore raises by name."""
+    from glaredb_spark.sources.delta_native import (
+        read_delta_native,
+        restore_delta_native,
+        write_delta_native,
+    )
+
+    loc = str(tmp_path / "dt")
+    write_delta_native(
+        spark.range(4).selectExpr("id", "id * 2 AS v"), loc
+    )
+    write_delta_native(
+        spark.range(10, 13).selectExpr("id", "id * 2 AS v"), loc,
+        mode="append",
+    )
+    from glaredb_spark.session import GlareSession
+
+    sess = GlareSession(spark)
+    sess.sql(f"DELETE FROM '{loc}' WHERE id < 2")
+    assert read_delta_native(spark, loc).count() == 5
+    row = sess.sql(
+        f"RESTORE TABLE '{loc}' TO VERSION AS OF 0"
+    ).collect()[0]
+    assert row.files_removed >= 1 and row.files_readded >= 1
+    got = read_delta_native(spark, loc)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3]
+    # history preserved: time travel to the pre-restore state works
+    assert read_delta_native(spark, loc, version=2).count() == 5
+    # restoring to where we already are is a no-op
+    assert restore_delta_native(spark, loc, 3) == (0, 0)
+    # forward "restore" to version 1 re-adds the appended files
+    sess.sql(f"RESTORE TABLE '{loc}' TO VERSION AS OF 1")
+    assert read_delta_native(spark, loc).count() == 7
+    # an Iceberg target is refused with a pointer to ROLLBACK
+    ice = str(tmp_path / "ice")
+    from glaredb_spark.sources.iceberg_native import write_iceberg_native
+
+    write_iceberg_native(spark.range(2).selectExpr("id"), ice)
+    with pytest.raises(ValueError, match="ROLLBACK TO SNAPSHOT"):
+        sess.sql(f"RESTORE TABLE '{ice}' TO VERSION AS OF 0")
+
+
+def test_delta_restore_refuses_vacuumed(spark, tmp_path):
+    from glaredb_spark.sources.delta_native import (
+        delete_delta_native,
+        vacuum_delta_native,
+        write_delta_native,
+    )
+
+    loc = str(tmp_path / "dt")
+    write_delta_native(
+        spark.range(6).selectExpr("id", "id * 2 AS v").coalesce(1), loc
+    )
+    delete_delta_native(spark, loc, "id < 3")  # rewrites the file
+    vacuum_delta_native(spark, loc, retention_hours=0.0)
+    from glaredb_spark.session import GlareSession
+
+    with pytest.raises(ValueError, match="VACUUMed"):
+        GlareSession(spark).sql(
+            f"RESTORE TABLE '{loc}' TO VERSION AS OF 0"
+        )
