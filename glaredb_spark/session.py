@@ -110,12 +110,13 @@ _DML_TARGET = (
     r"(?:\s*,\s*strategy\s*=>?\s*'(\w+)')?\s*\))"
 )
 _DELETE_PATH_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+" + _DML_TARGET + r"\s+WHERE\s+(.+?)\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+" + _DML_TARGET
+    + r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_PATH_RE = re.compile(
     r"^\s*UPDATE\s+" + _DML_TARGET
-    + r"\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    + r"\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # catalog-routed DML over ATTACHed aliases (r12):
@@ -125,13 +126,14 @@ _UPDATE_PATH_RE = re.compile(
 # alias; everything else falls through to the existing handlers
 _DELETE_CAT_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\."
-    r"((?:[A-Za-z_]\w*\.)*)([A-Za-z_]\w*)\s+WHERE\s+(.+?)\s*;?\s*$",
+    r"((?:[A-Za-z_]\w*\.)*)([A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_CAT_RE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_]\w*)\."
     r"((?:[A-Za-z_]\w*\.)*)([A-Za-z_]\w*)"
-    r"\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    r"\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # MERGE INTO '<table-dir>' [AS] t USING (<query>)|<table> [AS] s
@@ -261,13 +263,15 @@ _RESTORE_RE = re.compile(
 # filesystem version hint (invisible to a pointer-only catalog)
 _CATREF = r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
 _CTAS_CAT_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+" + _CATREF + r"\s+AS\s+(.+?)\s*;?\s*$",
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?" + _CATREF
+    + r"\s+AS\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # CREATE TABLE alias.ns.t (col type, ...) — catalog createTable from an
 # explicit column list (r14); the CTAS form above covers AS <query>
 _CREATE_TABLE_CAT_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+" + _CATREF + r"\s*\((.+)\)\s*;?\s*$",
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?" + _CATREF
+    + r"\s*\((.+)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_TABLE_CAT_RE = re.compile(
@@ -333,9 +337,9 @@ _ALIAS_GUARD_RES: "list[tuple[re.Pattern, str]]" = [
                 re.IGNORECASE),
      "DROP SCHEMA [IF EXISTS] alias.ns [CASCADE]"),
     (re.compile(r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)", re.IGNORECASE),
-     "DELETE FROM alias.ns.t WHERE <pred>"),
+     "DELETE FROM alias.ns.t [WHERE <pred>]"),
     (re.compile(r"^\s*UPDATE\s+([A-Za-z_][\w.]*)", re.IGNORECASE),
-     "UPDATE alias.ns.t SET c = expr[, ...] WHERE <pred>"),
+     "UPDATE alias.ns.t SET c = expr[, ...] [WHERE <pred>]"),
 ]
 
 
@@ -860,10 +864,10 @@ class GlareSession:
                 F.lit(f"dropped schema {name}").alias("status")
             )
         m = _CTAS_CAT_RE.match(query)
-        if m and self._catalog_dml_target(m.group(1).split(".")[0]):
-            # CREATE TABLE alias.ns.t AS <query> — catalog createTable
-            # (schema from the query) + rows through optimistic
-            # commitTable (r13)
+        if m and self._catalog_dml_target(m.group(2).split(".")[0]):
+            # CREATE TABLE [IF NOT EXISTS] alias.ns.t AS <query> —
+            # catalog createTable (schema from the query) + rows
+            # through optimistic commitTable (r13)
             from pyspark.sql import functions as F
 
             from glaredb_spark.functions.table_sql import (
@@ -871,13 +875,22 @@ class GlareSession:
             )
             from glaredb_spark.sources import iceberg_rest as _ir
 
-            endpoint, token, ns, tbl = self._catalog_ref(m.group(1))
+            endpoint, token, ns, tbl = self._catalog_ref(m.group(2))
             df = self.spark.sql(
-                rewrite_table_functions(self.spark, m.group(2))
+                rewrite_table_functions(self.spark, m.group(3))
             )
-            _ir.create_table(
-                self.spark, endpoint, ns, tbl, df, token=token
-            )
+            try:
+                _ir.create_table(
+                    self.spark, endpoint, ns, tbl, df, token=token
+                )
+            except _ir.IcebergRestError as e:
+                if m.group(1) and e.code == 409:
+                    # IF NOT EXISTS: the table is someone else's —
+                    # skip the insert too (standard CTAS semantics)
+                    return self.spark.range(1).select(
+                        F.lit(0).cast("bigint").alias("Count")
+                    )
+                raise
             # single pass (r14, ADVICE/VERDICT #5): the SELECT executes
             # exactly once — the staged append — and the Count comes
             # from the committed snapshot's own summary
@@ -909,22 +922,28 @@ class GlareSession:
                 F.lit(n).cast("bigint").alias("Count")
             )
         m = _CREATE_TABLE_CAT_RE.match(query)
-        if m and self._catalog_dml_target(m.group(1).split(".")[0]):
-            # CREATE TABLE alias.ns.t (col type, ...) — catalog
-            # createTable from the explicit column list (r14)
+        if m and self._catalog_dml_target(m.group(2).split(".")[0]):
+            # CREATE TABLE [IF NOT EXISTS] alias.ns.t (col type, ...)
+            # — catalog createTable from the explicit column list (r14)
             from pyspark.sql import functions as F
             from pyspark.sql.types import _parse_datatype_string
 
             from glaredb_spark.sources import iceberg_rest as _ir
 
-            endpoint, token, ns, tbl = self._catalog_ref(m.group(1))
-            schema = _parse_datatype_string(m.group(2))
-            _ir.create_table(
-                self.spark, endpoint, ns, tbl,
-                self.spark.createDataFrame([], schema), token=token,
-            )
+            endpoint, token, ns, tbl = self._catalog_ref(m.group(2))
+            schema = _parse_datatype_string(m.group(3))
+            try:
+                _ir.create_table(
+                    self.spark, endpoint, ns, tbl,
+                    self.spark.createDataFrame([], schema), token=token,
+                )
+                msg = f"created table {ns}.{tbl}"
+            except _ir.IcebergRestError as e:
+                if not (m.group(1) and e.code == 409):
+                    raise
+                msg = f"table {ns}.{tbl} exists, skipped"
             return self.spark.range(1).select(
-                F.lit(f"created table {ns}.{tbl}").alias("status")
+                F.lit(msg).alias("status")
             )
         m = _DROP_TABLE_CAT_RE.match(query)
         if m and self._catalog_dml_target(m.group(2).split(".")[0]):
@@ -1055,7 +1074,7 @@ class GlareSession:
                 )
                 n, _f = _ir.delete_table_rows(
                     self.spark, endpoint, ns, dml.group(3),
-                    dml.group(4), token=token,
+                    dml.group(4) or "true", token=token,
                 )
                 return self.spark.range(1).select(
                     F.lit(n).cast("bigint").alias("Count")
@@ -1086,7 +1105,7 @@ class GlareSession:
                     sets[col.strip().strip('`"')] = expr.strip()
                 n, _f = _ir.update_table_rows(
                     self.spark, endpoint, ns, dml.group(3), sets,
-                    dml.group(5), token=token,
+                    dml.group(5) or "true", token=token,
                 )
                 return self.spark.range(1).select(
                     F.lit(n).cast("bigint").alias("Count")
@@ -1106,7 +1125,8 @@ class GlareSession:
                     delete_iceberg_native as _del,
                 )
 
-                n, _ = _del(self.spark, path, dml.group(4),
+                n, _ = _del(self.spark, path,
+                            dml.group(4) or "true",
                             strategy=strategy)
             else:
                 if dml.group(3):
@@ -1118,7 +1138,8 @@ class GlareSession:
                     delete_delta_native as _del,
                 )
 
-                n, _ = _del(self.spark, path, dml.group(4))
+                n, _ = _del(self.spark, path,
+                            dml.group(4) or "true")
             return self.spark.range(1).select(
                 F.lit(n).cast("bigint").alias("Count")
             )
@@ -1142,7 +1163,8 @@ class GlareSession:
                     update_iceberg_native as _upd,
                 )
 
-                n, _ = _upd(self.spark, path, sets, dml.group(5),
+                n, _ = _upd(self.spark, path, sets,
+                            dml.group(5) or "true",
                             strategy=strategy)
             else:
                 if dml.group(3):
@@ -1154,7 +1176,8 @@ class GlareSession:
                     update_delta_native as _upd,
                 )
 
-                n, _ = _upd(self.spark, path, sets, dml.group(5))
+                n, _ = _upd(self.spark, path, sets,
+                            dml.group(5) or "true")
             return self.spark.range(1).select(
                 F.lit(n).cast("bigint").alias("Count")
             )

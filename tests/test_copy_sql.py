@@ -466,3 +466,37 @@ def test_merge_unsupported_clause_named_error(sess, tmp_path):
             f"ON t.n_nationkey = s.n_nationkey "
             f"WHEN MATCHED THEN FROBNICATE"
         )
+
+
+def test_delete_update_without_where(sess, tmp_path):
+    """DELETE FROM t / UPDATE t SET ... without WHERE are the standard
+    full-table forms (r14): predicate defaults to true on both the
+    path and catalog routes."""
+    from glaredb_spark.sources.delta_native import read_delta_native
+    from glaredb_spark.sources.iceberg_native import read_iceberg_native
+
+    dt = str(tmp_path / "dt")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{dt}' "
+        f"(FORMAT DELTA)"
+    )
+    n = sess.sql(
+        f"UPDATE '{dt}' SET n_name = upper(n_name)"
+    ).collect()[0].Count
+    assert n == 25
+    assert all(
+        r.n_name == r.n_name.upper()
+        for r in read_delta_native(sess.spark, dt).collect()
+    )
+    n = sess.sql(f"DELETE FROM '{dt}'").collect()[0].Count
+    assert n == 25
+    assert read_delta_native(sess.spark, dt).count() == 0
+
+    ice = str(tmp_path / "ice")
+    sess.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation) TO '{ice}' "
+        f"(FORMAT ICEBERG)"
+    )
+    n = sess.sql(f"DELETE FROM '{ice}'").collect()[0].Count
+    assert n == 25
+    assert read_iceberg_native(sess.spark, ice).count() == 0

@@ -1603,11 +1603,13 @@ def test_alias_statement_guard_named_errors(spark, catalog, tmp_path):
         f"ATTACH ICEBERG_REST DATABASE AS icgd (endpoint '{endpoint}')"
     )
     try:
-        # DELETE without WHERE, ALTER variant outside the arms,
+        # malformed DELETE, ALTER variant outside the arms,
         # malformed VACUUM — each dies by NAME with its grammar
+        # (bare DELETE/UPDATE without WHERE are the full-table forms
+        # since r14 and route normally)
         with pytest.raises(UnsupportedCatalogStatement,
-                           match="DELETE FROM alias.ns.t WHERE"):
-            sess.sql("DELETE FROM icgd.gd.t")
+                           match="DELETE FROM alias.ns.t"):
+            sess.sql("DELETE FROM icgd.gd.t USING other t")
         with pytest.raises(UnsupportedCatalogStatement,
                            match="ALTER TABLE alias.ns.t"):
             sess.sql("ALTER TABLE icgd.gd.t SET TBLPROPERTIES ('a'='b')")
@@ -1616,7 +1618,7 @@ def test_alias_statement_guard_named_errors(spark, catalog, tmp_path):
             sess.sql("VACUUM icgd.gd.t RETAIN abc HOURS")
         with pytest.raises(UnsupportedCatalogStatement,
                            match="UPDATE alias.ns.t SET"):
-            sess.sql("UPDATE icgd.gd.t SET v = 1")  # no WHERE
+            sess.sql("UPDATE icgd.gd.t FROBNICATE")
         # non-alias targets still fall through untouched: a local temp
         # view UPDATE dies in Spark, not in the guard
         with pytest.raises(Exception) as ei:
@@ -1739,3 +1741,69 @@ def test_alias_addressed_stream(spark, tmp_path):
     finally:
         emu.stop()
         rest._PREFIX_CACHE.clear()
+
+
+def test_catalog_delete_update_without_where(spark, catalog, tmp_path):
+    """Full-table DELETE/UPDATE over an attached alias (r14): the
+    WHERE-less forms route through the catalog with predicate true."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="fa", name="t", rows=6)
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icfa (endpoint '{endpoint}')"
+    )
+    try:
+        n = sess.sql("UPDATE icfa.fa.t SET v = v + 1").collect()[0].Count
+        assert n == 6
+        got = rest.read_table(spark, endpoint, "fa", "t")
+        assert sorted(r.v for r in got.collect()) == [
+            i * 2 + 1 for i in range(6)
+        ]
+        n = sess.sql("DELETE FROM icfa.fa.t").collect()[0].Count
+        assert n == 6
+        assert rest.read_table(spark, endpoint, "fa", "t").count() == 0
+    finally:
+        detach_iceberg_rest(spark, "icfa")
+
+
+def test_create_table_if_not_exists_catalog(spark, catalog, tmp_path):
+    """CREATE TABLE IF NOT EXISTS over an attached alias (r14): an
+    existing table short-circuits BOTH forms — the CTAS skips its
+    insert entirely (standard semantics), the column-list form reports
+    and moves on; without the modifier the 409 surfaces."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    emu.add_namespace("ine")
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icine (endpoint '{endpoint}')"
+    )
+    try:
+        n = sess.sql(
+            "CREATE TABLE icine.ine.t AS SELECT id, id*2 AS v "
+            "FROM range(5)"
+        ).collect()[0].Count
+        assert n == 5
+        n = sess.sql(
+            "CREATE TABLE IF NOT EXISTS icine.ine.t AS "
+            "SELECT id, id*2 AS v FROM range(99)"
+        ).collect()[0].Count
+        assert n == 0  # skipped: no insert happened either
+        assert sess.sql(
+            "SELECT count(*) AS c FROM icine.ine.t"
+        ).collect()[0].c == 5
+        with pytest.raises(IcebergRestError):
+            sess.sql(
+                "CREATE TABLE icine.ine.t AS SELECT id FROM range(2)"
+            )
+        st = sess.sql(
+            "CREATE TABLE IF NOT EXISTS icine.ine.t (a BIGINT)"
+        ).collect()[0].status
+        assert "exists, skipped" in st
+    finally:
+        detach_iceberg_rest(spark, "icine")
