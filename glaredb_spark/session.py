@@ -1795,13 +1795,16 @@ class GlareSession:
 
     def _txn_statement(self, query: str) -> "DataFrame | None":
         """Multi-table transaction surface (r14, VERDICT r13 #1):
-        ``BEGIN`` opens a buffer; inside it only
-        ``INSERT INTO <attached-alias>[.<ns>].<table> <query>`` is
-        legal — each buffers LAZILY (the source executes at COMMIT,
-        staging once per table); ``COMMIT`` publishes every buffered
-        insert in ONE atomic catalog commitTransaction (either every
-        table's snapshot lands or none does); ``ROLLBACK`` discards the
-        buffer. Any other statement inside the block raises a NAMED
+        ``BEGIN`` opens a buffer; inside it
+        ``INSERT INTO <attached-alias>[.<ns>].<table> <query>``,
+        ``DELETE FROM <alias>[.<ns>].<table> [WHERE ...]``, and
+        ``UPDATE <alias>[.<ns>].<table> SET ... [WHERE ...]`` buffer
+        LAZILY (sources analyze immediately; staging and COW planning
+        happen at COMMIT); ``COMMIT`` publishes every buffered
+        statement in ONE atomic catalog commitTransaction — statements
+        on the same table chain in order, and either every table
+        advances or none does; ``ROLLBACK`` discards the buffer. Any
+        other statement inside the block raises a NAMED
         TransactionError instead of an unrelated parser failure."""
         from pyspark.sql import functions as F
 
@@ -1831,49 +1834,96 @@ class GlareSession:
                 )
             n = len(self._txn)
             self._txn = None
-            return status(f"rolled back {n} buffered insert(s)")
+            return status(f"rolled back {n} buffered statement(s)")
         if self._txn is None:
             return None
         # --- inside an open transaction ---
         ins = _INSERT_RE.match(query)
-        if not ins:
-            verb = (re.match(r"\s*(\w+)", query) or [None, "?"])[1]
-            raise TransactionError(
-                f"only INSERT INTO <attached-alias>[.<namespace>]"
-                f".<table> <query>, COMMIT, and ROLLBACK are supported "
-                f"inside BEGIN ... COMMIT; got {verb.upper()!r} "
-                f"(ROLLBACK to abandon the transaction)"
+        if ins:
+            parts = ins.group(1).split(".")
+            hit = len(parts) >= 2 and self._catalog_dml_target(parts[0])
+            if not hit:
+                raise TransactionError(
+                    f"INSERT inside BEGIN ... COMMIT must target an "
+                    f"ATTACHed iceberg_rest catalog table "
+                    f"(<alias>[.<namespace>].<table>); "
+                    f"{ins.group(1)!r} is not one"
+                )
+            endpoint, token = hit
+            ns = self._resolve_catalog_ns(
+                endpoint, token, ".".join(parts[1:-1]), parts[0],
+                parts[-1],
             )
-        parts = ins.group(1).split(".")
-        hit = len(parts) >= 2 and self._catalog_dml_target(parts[0])
-        if not hit:
-            raise TransactionError(
-                f"INSERT inside BEGIN ... COMMIT must target an "
-                f"ATTACHed iceberg_rest catalog table "
-                f"(<alias>[.<namespace>].<table>); "
-                f"{ins.group(1)!r} is not one"
+            source = query[ins.end():].strip().rstrip(";").strip()
+            df = self._catalog_insert_source(
+                endpoint, token, ns, parts[-1], source
             )
-        endpoint, token = hit
-        ns = self._resolve_catalog_ns(
-            endpoint, token, ".".join(parts[1:-1]), parts[0], parts[-1]
-        )
-        source = query[ins.end():].strip().rstrip(";").strip()
-        df = self._catalog_insert_source(
-            endpoint, token, ns, parts[-1], source
-        )
-        self._txn.append((parts[0], ns, parts[-1], df))
-        return status(
-            f"buffered insert into {ns}.{parts[-1]} "
-            f"({len(self._txn)} in transaction)"
+            self._txn.append(("insert", parts[0], ns, parts[-1], df))
+            return status(
+                f"buffered insert into {ns}.{parts[-1]} "
+                f"({len(self._txn)} in transaction)"
+            )
+        dml = _DELETE_CAT_RE.match(query)
+        if dml and self._catalog_dml_target(dml.group(1)):
+            endpoint, token = self._catalog_dml_target(dml.group(1))
+            ns = self._resolve_catalog_ns(
+                endpoint, token, (dml.group(2) or "").rstrip("."),
+                dml.group(1), dml.group(3),
+            )
+            self._txn.append((
+                "delete", dml.group(1), ns, dml.group(3),
+                dml.group(4) or "true",
+            ))
+            return status(
+                f"buffered delete on {ns}.{dml.group(3)} "
+                f"({len(self._txn)} in transaction)"
+            )
+        dml = _UPDATE_CAT_RE.match(query)
+        if dml and self._catalog_dml_target(dml.group(1)):
+            from glaredb_spark.functions.arith_binder import (
+                _split_top_args,
+            )
+
+            endpoint, token = self._catalog_dml_target(dml.group(1))
+            ns = self._resolve_catalog_ns(
+                endpoint, token, (dml.group(2) or "").rstrip("."),
+                dml.group(1), dml.group(3),
+            )
+            sets: dict[str, str] = {}
+            for item in _split_top_args(dml.group(4)):
+                col, eq, expr = item.partition("=")
+                if not eq or not col.strip() or not expr.strip():
+                    raise TransactionError(
+                        f"malformed SET clause item: {item!r}"
+                    )
+                sets[col.strip().strip('`"')] = expr.strip()
+            self._txn.append((
+                "update", dml.group(1), ns, dml.group(3),
+                (sets, dml.group(5) or "true"),
+            ))
+            return status(
+                f"buffered update on {ns}.{dml.group(3)} "
+                f"({len(self._txn)} in transaction)"
+            )
+        verb = (re.match(r"\s*(\w+)", query) or [None, "?"])[1]
+        raise TransactionError(
+            f"only INSERT INTO / DELETE FROM / UPDATE on "
+            f"<attached-alias>[.<namespace>].<table> targets, COMMIT, "
+            f"and ROLLBACK are supported inside BEGIN ... COMMIT; got "
+            f"{verb.upper()!r} (ROLLBACK to abandon the transaction)"
         )
 
     def _commit_txn(self) -> DataFrame:
-        """Publish the buffered inserts atomically. The transaction
-        ENDS either way: a failed COMMIT aborts (standard SQL), it does
-        not leave a half-open buffer. Several inserts into the same
-        table union into one entry (commitTransaction forbids duplicate
-        identifiers); inserts spanning DIFFERENT catalogs raise — a
-        single commitTransaction request can only hit one catalog."""
+        """Publish the buffered statements atomically through
+        transaction_apply: ops on the same table CHAIN in statement
+        order, ADJACENT inserts on one table coalesce into a single
+        staged append (one snapshot per run — commitTransaction forbids
+        duplicate identifiers and a bulk load shouldn't pay a snapshot
+        per INSERT anyway), and the per-table metadata diff posts as
+        ONE commitTransaction. The transaction ENDS either way: a
+        failed COMMIT aborts (standard SQL), it does not leave a
+        half-open buffer. Statements spanning DIFFERENT catalogs raise
+        — a single commitTransaction request hits one catalog."""
         from pyspark.sql import functions as F
 
         from glaredb_spark.sources import iceberg_rest as _ir
@@ -1883,45 +1933,105 @@ class GlareSession:
             return self.spark.range(1).select(
                 F.lit("nothing to commit").alias("status")
             )
-        aliases = sorted({a for a, _, _, _ in entries})
+        aliases = sorted({e[1] for e in entries})
         if len(aliases) > 1:
             raise TransactionError(
                 f"a transaction can target only ONE attached catalog "
                 f"(atomicity is the catalog's commitTransaction); got "
-                f"inserts into {', '.join(aliases)}"
+                f"statements on {', '.join(aliases)}"
             )
         # re-resolve at commit time: credentials re-exchange through
         # the expiry-aware token cache, and a DETACH mid-transaction
         # surfaces here as a named error
         endpoint, token = _ir.resolve_attached(self.spark, aliases[0])
-        merged: dict[tuple, DataFrame] = {}
-        order: list[tuple] = []
-        for _alias, ns, tbl, df in entries:
-            key = (ns, tbl)
-            if key in merged:
-                merged[key] = merged[key].unionByName(df)
+        coalesced: list[tuple] = []
+        for op, alias, ns, tbl, payload in entries:
+            if (op == "insert" and coalesced
+                    and coalesced[-1][0] == "insert"
+                    and coalesced[-1][2:4] == (ns, tbl)):
+                prev = coalesced[-1]
+                coalesced[-1] = (op, alias, ns, tbl,
+                                 prev[4].unionByName(payload))
             else:
-                merged[key] = df
-                order.append(key)
-        tables = [(ns, tbl, merged[(ns, tbl)]) for ns, tbl in order]
-        snap_ids = _ir.transaction_append(
-            self.spark, endpoint, tables, token=token
-        )
-        rows = []
-        for (ns, tbl, _df), sid in zip(tables, snap_ids):
-            meta = _ir.load_table(
-                endpoint, ns, tbl, token
-            ).get("metadata") or {}
-            added = next(
-                (int((s.get("summary") or {}).get("added-records", 0))
-                 for s in meta.get("snapshots") or []
-                 if int(s.get("snapshot-id", 0) or 0) == int(sid)),
-                0,
-            )
-            rows.append((f"{ns}.{tbl}", added))
+                coalesced.append((op, alias, ns, tbl, payload))
+        ops, labels = [], []
+        for op, _alias, ns, tbl, payload in coalesced:
+            if op == "insert":
+                ops.append((ns, tbl, self._txn_insert_run(payload)))
+            elif op == "delete":
+                ops.append((ns, tbl, self._txn_delete_run(payload)))
+            else:
+                sets, pred = payload
+                ops.append((ns, tbl,
+                            self._txn_update_run(sets, pred)))
+            labels.append((op, f"{ns}.{tbl}"))
+        results = _ir.transaction_apply(endpoint, ops, token=token)
+        rows = [
+            (op, ident,
+             int(res) if op == "insert" else int(res[0]))
+            for (op, ident), res in zip(labels, results)
+        ]
         return self.spark.createDataFrame(
-            rows, "table string, Count bigint"
+            rows, "op string, table string, Count bigint"
         )
+
+    def _txn_insert_run(self, df: DataFrame):
+        """transaction_apply run for a buffered insert: stage once
+        (cached across retries while the table shape holds), author
+        the append against whatever base the chain hands us, return
+        the exact staged row count (footer record_counts — no extra
+        job)."""
+        from glaredb_spark.sources.iceberg_native import (
+            commit_staged_append_iceberg_native,
+            stage_append_iceberg_native,
+        )
+
+        cache: dict = {}
+
+        def run(loc, base, commit):
+            shape = (int(base.get("current-schema-id", 0) or 0),
+                     int(base.get("default-spec-id", 0) or 0))
+            if cache.get("shape") != shape:
+                cache["staged"] = stage_append_iceberg_native(
+                    df, loc, base
+                )
+                cache["shape"] = shape
+            commit_staged_append_iceberg_native(
+                loc, base, cache["staged"], commit_fn=commit,
+                staged_schema_id=shape[0], staged_spec_id=shape[1],
+            )
+            return sum(
+                int(d.get("record_count", 0) or 0)
+                for d in cache["staged"]
+            )
+
+        return run
+
+    def _txn_delete_run(self, predicate: str):
+        from glaredb_spark.sources.iceberg_native import (
+            delete_iceberg_native,
+        )
+
+        def run(loc, base, commit):
+            return delete_iceberg_native(
+                self.spark, loc, predicate,
+                base_meta=base, commit_fn=commit,
+            )
+
+        return run
+
+    def _txn_update_run(self, sets: dict, predicate: str):
+        from glaredb_spark.sources.iceberg_native import (
+            update_iceberg_native,
+        )
+
+        def run(loc, base, commit):
+            return update_iceberg_native(
+                self.spark, loc, sets, predicate,
+                base_meta=base, commit_fn=commit,
+            )
+
+        return run
 
     def _attach_postgres(self, m: "re.Match") -> DataFrame:
         """ATTACH POSTGRES DATABASE AS name (connection_string '...') —

@@ -433,106 +433,8 @@ def _metadata_commit_fn_for(endpoint: str, namespace: str, table: str,
     catalog table VISIBLE to other catalog readers: a pointer-only
     catalog has no version hint to observe (reference surface:
     ext_iceberg catalog client.rs:257 update_table)."""
-    base_snap = base.get("current-snapshot-id")
-    if base_snap is not None and int(base_snap) == -1:
-        base_snap = None
-
     def commit(new_meta):
-        updates: list[dict] = []
-        requirements: list[dict] = [
-            {"type": "assert-table-uuid",
-             "uuid": new_meta.get("table-uuid")},
-        ]
-        # --- schemas ---
-        base_sids = {
-            int(s.get("schema-id", 0) or 0)
-            for s in base.get("schemas") or []
-        }
-        for s in new_meta.get("schemas") or []:
-            if int(s.get("schema-id", 0) or 0) not in base_sids:
-                updates.append({
-                    "action": "add-schema", "schema": s,
-                    "last-column-id": new_meta.get("last-column-id"),
-                })
-        new_cur_schema = int(new_meta.get("current-schema-id", 0) or 0)
-        if new_cur_schema != int(base.get("current-schema-id", 0) or 0):
-            requirements.append({
-                "type": "assert-current-schema-id",
-                "current-schema-id": int(
-                    base.get("current-schema-id", 0) or 0
-                ),
-            })
-            updates.append({"action": "set-current-schema",
-                            "schema-id": new_cur_schema})
-        # --- partition specs ---
-        base_specs = {
-            int(s.get("spec-id", 0) or 0)
-            for s in base.get("partition-specs") or []
-        }
-        for s in new_meta.get("partition-specs") or []:
-            if int(s.get("spec-id", 0) or 0) not in base_specs:
-                updates.append({"action": "add-spec", "spec": s})
-        new_spec = int(new_meta.get("default-spec-id", 0) or 0)
-        if new_spec != int(base.get("default-spec-id", 0) or 0):
-            requirements.append({
-                "type": "assert-default-spec-id",
-                "default-spec-id": int(
-                    base.get("default-spec-id", 0) or 0
-                ),
-            })
-            updates.append({"action": "set-default-spec",
-                            "spec-id": new_spec})
-        # --- properties ---
-        bp = base.get("properties") or {}
-        np_ = new_meta.get("properties") or {}
-        changed = {k: v for k, v in np_.items() if bp.get(k) != v}
-        gone = [k for k in bp if k not in np_]
-        if changed:
-            updates.append({"action": "set-properties",
-                            "updates": changed})
-        if gone:
-            updates.append({"action": "remove-properties",
-                            "removals": gone})
-        # --- snapshots ---
-        base_ids = {
-            int(s.get("snapshot-id", 0) or 0)
-            for s in base.get("snapshots") or []
-        }
-        new_ids = {
-            int(s.get("snapshot-id", 0) or 0)
-            for s in new_meta.get("snapshots") or []
-        }
-        removed = sorted(base_ids - new_ids)
-        added = [
-            s for s in new_meta.get("snapshots") or []
-            if int(s.get("snapshot-id", 0) or 0) not in base_ids
-        ]
-        new_cur_snap = new_meta.get("current-snapshot-id")
-        snap_moved = (
-            removed or added
-            or (new_cur_snap is not None
-                and (base_snap is None
-                     or int(new_cur_snap) != int(base_snap)))
-        )
-        if snap_moved:
-            requirements.append({
-                "type": "assert-ref-snapshot-id", "ref": "main",
-                "snapshot-id": base_snap,
-            })
-        if removed:
-            updates.append({"action": "remove-snapshots",
-                            "snapshot-ids": removed})
-        for s in added:
-            updates.append({"action": "add-snapshot", "snapshot": s})
-        # gate on the ref actually MOVING, not on `added` (r14, ADVICE):
-        # a rollback/set-current-snapshot to an already-existing
-        # snapshot adds nothing but still must move the ref — gating on
-        # `added` would report success while the catalog stays put
-        if new_cur_snap is not None and (
-                base_snap is None or int(new_cur_snap) != int(base_snap)):
-            updates.append({"action": "set-snapshot-ref",
-                            "ref-name": "main", "type": "branch",
-                            "snapshot-id": int(new_cur_snap)})
+        requirements, updates = _diff_updates(base, new_meta)
         if not updates:
             return  # metadata unchanged — nothing to commit
         _request(
@@ -544,6 +446,113 @@ def _metadata_commit_fn_for(endpoint: str, namespace: str, table: str,
         )
 
     return commit
+
+
+def _diff_updates(base: dict, new_meta: dict
+                  ) -> "tuple[list[dict], list[dict]]":
+    """DIFF ``new_meta`` against ``base`` into commitTable
+    (requirements, updates) — the core of the metadata-diff commit hook
+    (r13), factored in r14 so transaction_apply can express a CHAIN of
+    operations on one table as a single table-change."""
+    base_snap = base.get("current-snapshot-id")
+    if base_snap is not None and int(base_snap) == -1:
+        base_snap = None
+    updates: list[dict] = []
+    requirements: list[dict] = [
+        {"type": "assert-table-uuid",
+         "uuid": new_meta.get("table-uuid")},
+    ]
+    # --- schemas ---
+    base_sids = {
+        int(s.get("schema-id", 0) or 0)
+        for s in base.get("schemas") or []
+    }
+    for s in new_meta.get("schemas") or []:
+        if int(s.get("schema-id", 0) or 0) not in base_sids:
+            updates.append({
+                "action": "add-schema", "schema": s,
+                "last-column-id": new_meta.get("last-column-id"),
+            })
+    new_cur_schema = int(new_meta.get("current-schema-id", 0) or 0)
+    if new_cur_schema != int(base.get("current-schema-id", 0) or 0):
+        requirements.append({
+            "type": "assert-current-schema-id",
+            "current-schema-id": int(
+                base.get("current-schema-id", 0) or 0
+            ),
+        })
+        updates.append({"action": "set-current-schema",
+                        "schema-id": new_cur_schema})
+    # --- partition specs ---
+    base_specs = {
+        int(s.get("spec-id", 0) or 0)
+        for s in base.get("partition-specs") or []
+    }
+    for s in new_meta.get("partition-specs") or []:
+        if int(s.get("spec-id", 0) or 0) not in base_specs:
+            updates.append({"action": "add-spec", "spec": s})
+    new_spec = int(new_meta.get("default-spec-id", 0) or 0)
+    if new_spec != int(base.get("default-spec-id", 0) or 0):
+        requirements.append({
+            "type": "assert-default-spec-id",
+            "default-spec-id": int(
+                base.get("default-spec-id", 0) or 0
+            ),
+        })
+        updates.append({"action": "set-default-spec",
+                        "spec-id": new_spec})
+    # --- properties ---
+    bp = base.get("properties") or {}
+    np_ = new_meta.get("properties") or {}
+    changed = {k: v for k, v in np_.items() if bp.get(k) != v}
+    gone = [k for k in bp if k not in np_]
+    if changed:
+        updates.append({"action": "set-properties",
+                        "updates": changed})
+    if gone:
+        updates.append({"action": "remove-properties",
+                        "removals": gone})
+    # --- snapshots ---
+    base_ids = {
+        int(s.get("snapshot-id", 0) or 0)
+        for s in base.get("snapshots") or []
+    }
+    new_ids = {
+        int(s.get("snapshot-id", 0) or 0)
+        for s in new_meta.get("snapshots") or []
+    }
+    removed = sorted(base_ids - new_ids)
+    added = [
+        s for s in new_meta.get("snapshots") or []
+        if int(s.get("snapshot-id", 0) or 0) not in base_ids
+    ]
+    new_cur_snap = new_meta.get("current-snapshot-id")
+    snap_moved = (
+        removed or added
+        or (new_cur_snap is not None
+            and (base_snap is None
+                 or int(new_cur_snap) != int(base_snap)))
+    )
+    if snap_moved:
+        requirements.append({
+            "type": "assert-ref-snapshot-id", "ref": "main",
+            "snapshot-id": base_snap,
+        })
+    if removed:
+        updates.append({"action": "remove-snapshots",
+                        "snapshot-ids": removed})
+    for s in added:
+        updates.append({"action": "add-snapshot", "snapshot": s})
+    # gate on the ref actually MOVING, not on `added` (r14, ADVICE):
+    # a rollback/set-current-snapshot to an already-existing
+    # snapshot adds nothing but still must move the ref — gating on
+    # `added` would report success while the catalog stays put
+    if new_cur_snap is not None and (
+            base_snap is None or int(new_cur_snap) != int(base_snap)):
+        updates.append({"action": "set-snapshot-ref",
+                        "ref-name": "main", "type": "branch",
+                        "snapshot-id": int(new_cur_snap)})
+    return requirements, updates
 
 
 def _dml_with_retry(endpoint: str, namespace: str, table: str,
@@ -742,6 +751,88 @@ def transaction_append(spark, endpoint: str,
             return snap_ids
     raise IcebergRestError(
         f"transaction_append lost the commit race {max_retries} "
+        f"times: {last}"
+    )
+
+
+def transaction_apply(endpoint: str,
+                      ops: "list[tuple[str, str, object]]",
+                      token: str | None = None,
+                      max_retries: int = 3) -> list:
+    """Apply SEVERAL arbitrary table operations in ONE atomic
+    commitTransaction (r14 — the mixed-DML generalization of
+    transaction_append): ``ops`` is [(namespace, table, run), ...]
+    where ``run(loc, base_meta, commit_fn)`` plans one operation
+    against ``base_meta`` and publishes by calling
+    ``commit_fn(new_meta)`` — the same contract every native
+    writer/DML helper already speaks. The commit_fn only CAPTURES:
+    nothing reaches the catalog until every op has planned, then the
+    per-table metadata DIFF (base → final chained meta) posts as one
+    transactions/commit — all tables advance or none do.
+
+    Ops on the SAME table CHAIN: op N+1 plans against op N's captured
+    metadata (its staged-but-unpublished files are readable on disk),
+    and the final diff expresses the whole chain as one table-change
+    with requirements asserted against the CATALOG base. A 409 on any
+    table re-plans the entire transaction against fresh bases (losers'
+    staged files are VACUUM-able orphans — the _dml_with_retry
+    contract, batched). Returns each op's own return value, in order;
+    a no-op (an op that never calls commit_fn) contributes no
+    metadata change."""
+    last: Exception | None = None
+    for _attempt in range(max_retries):
+        bases: dict[tuple, dict] = {}
+        current: dict[tuple, dict] = {}
+        locs: dict[tuple, str] = {}
+        order: list[tuple] = []
+        results: list = []
+        for ns, tbl, run in ops:
+            key = (ns, tbl)
+            if key not in bases:
+                res = load_table(endpoint, ns, tbl, token)
+                base = res.get("metadata") or {}
+                loc = _strip_file(base.get("location") or "")
+                if not loc:
+                    raise IcebergRestError(
+                        f"table {ns}.{tbl} has no location"
+                    )
+                bases[key] = base
+                current[key] = base
+                locs[key] = loc
+                order.append(key)
+            captured: dict = {}
+            results.append(run(
+                locs[key], current[key],
+                lambda nm, c=captured: c.update(meta=nm),
+            ))
+            if "meta" in captured:
+                current[key] = captured["meta"]
+        changes = []
+        for key in order:
+            if current[key] is bases[key]:
+                continue  # every op on this table was a no-op
+            reqs, updates = _diff_updates(bases[key], current[key])
+            if not updates:
+                continue
+            ns, tbl = key
+            changes.append({
+                "identifier": {"namespace": ns.split("."),
+                               "name": tbl},
+                "requirements": reqs,
+                "updates": updates,
+            })
+        if not changes:
+            return results
+        try:
+            _request(
+                f"{_base(endpoint, token)}/transactions/commit",
+                token, "POST", {"table-changes": changes},
+            )
+            return results
+        except CommitConflict as e:
+            last = e
+    raise IcebergRestError(
+        f"transaction_apply lost the commit race {max_retries} "
         f"times: {last}"
     )
 

@@ -171,3 +171,77 @@ def test_sources_bind_at_buffer_execute_at_commit(spark, sess):
     )
     got = {r.table: r.Count for r in s.sql("COMMIT").collect()}
     assert got == {"core.facts": 3}
+
+
+def test_mixed_dml_transaction(spark, sess):
+    """INSERT + DELETE + UPDATE in ONE transaction (r14 mixed-DML
+    generalization): statements chain in order — the DELETE sees the
+    transaction's own insert — and everything publishes in one atomic
+    commitTransaction."""
+    s, emu, endpoint = sess
+    s.sql("BEGIN")
+    s.sql("INSERT INTO lake.core.facts VALUES (100, 1), (101, 2)")
+    # chained: deletes one PRE-existing row AND one row inserted above
+    s.sql("DELETE FROM lake.core.facts WHERE id = 0 OR id = 100")
+    s.sql("UPDATE lake.core.sums SET v = v * 10 WHERE id = 1")
+    # nothing visible before COMMIT
+    assert _counts(spark, endpoint) == (4, 2)
+    rows = {(r.op, r.table): r.Count for r in s.sql("COMMIT").collect()}
+    assert rows == {
+        ("insert", "core.facts"): 2,
+        ("delete", "core.facts"): 2,
+        ("update", "core.sums"): 1,
+    }
+    facts = rest.read_table(spark, endpoint, "core", "facts")
+    assert sorted(r.id for r in facts.collect()) == [1, 2, 3, 101]
+    sums = {r.id: r.v
+            for r in rest.read_table(spark, endpoint, "core", "sums")
+            .collect()}
+    assert sums == {0: 0, 1: 20}
+
+
+def test_mixed_transaction_conflict_all_or_nothing(
+    spark, sess, monkeypatch
+):
+    """A permanently-conflicting mixed transaction leaves EVERY table
+    unadvanced — including the DELETE's COW rewrite."""
+    s, emu, endpoint = sess
+    base_snaps = {
+        t: len(rest.load_table(endpoint, "core", t)
+               ["metadata"]["snapshots"])
+        for t in ("facts", "sums")
+    }
+    real = rest._request
+
+    def always_conflict(url, token=None, method="GET", payload=None):
+        if method == "POST" and url.endswith("/transactions/commit"):
+            raise rest.CommitConflict("injected", code=409)
+        return real(url, token, method, payload)
+
+    monkeypatch.setattr(rest, "_request", always_conflict)
+    s.sql("BEGIN")
+    s.sql("DELETE FROM lake.core.facts WHERE id < 2")
+    s.sql("INSERT INTO lake.core.sums VALUES (50, 100)")
+    with pytest.raises(IcebergRestError, match="lost the commit race"):
+        s.sql("COMMIT")
+    monkeypatch.undo()
+    assert _counts(spark, endpoint) == (4, 2)
+    for t, n in base_snaps.items():
+        assert len(rest.load_table(endpoint, "core", t)
+                   ["metadata"]["snapshots"]) == n
+
+
+def test_transaction_noop_delete_contributes_nothing(spark, sess):
+    s, emu, endpoint = sess
+    s.sql("BEGIN")
+    s.sql("DELETE FROM lake.core.facts WHERE id > 9000")  # matches 0
+    s.sql("INSERT INTO lake.core.sums VALUES (60, 120)")
+    rows = {(r.op, r.table): r.Count for r in s.sql("COMMIT").collect()}
+    assert rows == {
+        ("delete", "core.facts"): 0,
+        ("insert", "core.sums"): 1,
+    }
+    # facts got NO new snapshot from the no-op delete
+    meta = rest.load_table(endpoint, "core", "facts")["metadata"]
+    assert len(meta["snapshots"]) == 1
+    assert _counts(spark, endpoint) == (4, 3)
