@@ -2008,8 +2008,11 @@ def iceberg_rest_maintenance(spark, sf_dir):
 @register_query(
     "iceberg_rest_txn",
     oracle="""
-WITH facts AS (SELECT doc_id, n_chars FROM documents WHERE doc_id < 70),
-     tags AS (SELECT doc_id, lang FROM documents WHERE doc_id < 30)
+WITH facts AS (SELECT doc_id, n_chars + 7 AS n_chars FROM documents
+               WHERE doc_id < 70 AND doc_id % 10 <> 3),
+     tags AS (SELECT doc_id,
+                     CASE WHEN doc_id < 5 THEN 'xx' ELSE lang END AS lang
+              FROM documents WHERE doc_id < 30)
 SELECT * FROM (
   SELECT 'facts' AS tbl, COUNT(*) AS c,
          CAST(SUM(n_chars) AS BIGINT) AS total
@@ -2025,7 +2028,9 @@ def iceberg_rest_txn(spark, sf_dir):
     loopback REST catalog → BEGIN buffering INSERTs into TWO tables →
     COMMIT publishing both in ONE atomic commitTransaction → a ROLLBACK
     that leaves nothing behind → a same-table-twice transaction that
-    unions into ONE snapshot. Snapshot-count asserts prove atomicity
+    unions into ONE snapshot → a MIXED-DML transaction (late r14:
+    chained DELETE + UPDATE across both tables in one
+    commitTransaction). Snapshot-count asserts prove atomicity
     structurally: facts carries exactly one snapshot per committed
     transaction touching it — none from the rollback (reference anchor:
     the commitTransaction route of the OpenAPI surface the catalog stub
@@ -2098,12 +2103,35 @@ def iceberg_rest_txn(spark, sf_dir):
             "WHERE doc_id >= 60 AND doc_id < 70"
         )
         sess.sql("COMMIT")
+        # txn 4 (late r14): MIXED DML — a chained delete on facts and
+        # an update on tags publish in ONE atomic commitTransaction
+        sess.sql("BEGIN")
+        sess.sql(
+            "DELETE FROM txnlake.analytics.facts WHERE doc_id % 10 = 3"
+        )
+        sess.sql(
+            "UPDATE txnlake.analytics.facts SET n_chars = n_chars + 7"
+        )
+        sess.sql(
+            "UPDATE txnlake.analytics.tags SET lang = 'xx' "
+            "WHERE doc_id < 5"
+        )
+        mixed = {
+            (r.op, r.table): r.Count
+            for r in sess.sql("COMMIT").collect()
+        }
+        assert set(mixed) == {
+            ("delete", "analytics.facts"),
+            ("update", "analytics.facts"),
+            ("update", "analytics.tags"),
+        }
         snaps = _rest.load_table(
             endpoint, "analytics", "facts"
         )["metadata"]["snapshots"]
-        # initial append + txn1 + txn3 — nothing from the rollback,
-        # and txn3's two buffered inserts landed as ONE snapshot
-        assert len(snaps) == 3, len(snaps)
+        # initial append + txn1 + txn3 + txn4's delete + txn4's update
+        # — nothing from the rollback, txn3's two buffered inserts
+        # landed as ONE snapshot, txn4's chained ops as one each
+        assert len(snaps) == 5, len(snaps)
         facts = _rest.read_table(spark, endpoint, "analytics", "facts")
         tags = _rest.read_table(spark, endpoint, "analytics", "tags")
         out = facts.agg(
