@@ -68,6 +68,15 @@ _ATTACH_ICEREST_RE = re.compile(
 _SHOW_CATALOGS_RE = re.compile(
     r"^\s*SHOW\s+CATALOGS\s*;?\s*$", re.IGNORECASE
 )
+# SHOW TABLES FROM <alias>[.<ns>] over an ATTACHed catalog (r14) —
+# columns follow the reference's list_tables shape
+# (database_name, schema_name, table_name; list_entries.rs:177-180);
+# non-attached targets fall through to Spark's own SHOW TABLES
+_SHOW_TABLES_FROM_RE = re.compile(
+    r"^\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+"
+    r"([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ATTACH_PATH_RE = re.compile(
     r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'\s+AS\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
@@ -786,6 +795,30 @@ class GlareSession:
             re.IGNORECASE,
         ):
             return self._describe(desc.group(1))
+        show_t = _SHOW_TABLES_FROM_RE.match(query)
+        if show_t:
+            parts = show_t.group(1).split(".")
+            hit = self._catalog_dml_target(parts[0])
+            if hit:
+                from glaredb_spark.sources import iceberg_rest as _ir
+
+                endpoint, token = hit
+                if len(parts) > 1:
+                    namespaces = [".".join(parts[1:])]
+                else:
+                    namespaces = _ir.namespace_names(
+                        endpoint, token=token
+                    )
+                rows = [
+                    (parts[0], ns, t)
+                    for ns in namespaces
+                    for t in _ir.table_names(endpoint, ns, token=token)
+                ]
+                return self.spark.createDataFrame(
+                    rows or [],
+                    "database_name string, schema_name string, "
+                    "table_name string",
+                )
         if _SHOW_DB_RE.match(query) or _SHOW_SCHEMAS_RE.match(query):
             from glaredb_spark import catalog as _cat
 
@@ -2302,6 +2335,15 @@ class GlareSession:
                 df = _files.read_text(self.spark, p)
             return _cat.describe(df, raw_names=True)
         elif _IDENT_ONLY_RE.match(target):
+            if "." in target and self._catalog_dml_target(
+                    target.split(".")[0]):
+                # DESCRIBE alias.ns.t over an ATTACHed catalog (r14):
+                # resolve through the same dotted-reference rewrite the
+                # FROM clause uses — schema-only, loadTable metadata
+                df = self.spark.sql(rewrite_table_functions(
+                    self.spark, f"SELECT * FROM {target}"
+                ))
+                return _cat.describe(df, raw_names=True)
             return _cat.describe(self.spark.table(target), raw_names=True)
         else:
             if not re.match(

@@ -1807,3 +1807,35 @@ def test_create_table_if_not_exists_catalog(spark, catalog, tmp_path):
         assert "exists, skipped" in st
     finally:
         detach_iceberg_rest(spark, "icine")
+
+
+def test_describe_and_show_tables_over_alias(spark, catalog, tmp_path):
+    """DESCRIBE alias.ns.t and SHOW TABLES FROM alias[.ns] resolve
+    through the attached catalog (r14) — reference type names and the
+    reference list_tables column shape; non-attached targets still
+    fall through to Spark."""
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu, endpoint = catalog
+    _mk_table(spark, emu, tmp_path, ns="ds", name="t", rows=3)
+    sess = GlareSession(spark)
+    sess.sql(
+        f"ATTACH ICEBERG_REST DATABASE AS icds2 (endpoint '{endpoint}')"
+    )
+    try:
+        desc = {r.column_name: r.datatype
+                for r in sess.sql("DESCRIBE icds2.ds.t").collect()}
+        assert desc == {"id": "Int64", "v": "Int64"}
+        rows = [(r.database_name, r.schema_name, r.table_name)
+                for r in sess.sql("SHOW TABLES FROM icds2.ds").collect()]
+        assert rows == [("icds2", "ds", "t")]
+        rows = [(r.schema_name, r.table_name)
+                for r in sess.sql("SHOW TABLES IN icds2").collect()]
+        assert ("ds", "t") in rows
+        # non-attached: Spark's own SHOW TABLES shape
+        assert sess.sql("SHOW TABLES FROM default").columns == [
+            "namespace", "tableName", "isTemporary"
+        ]
+    finally:
+        detach_iceberg_rest(spark, "icds2")
