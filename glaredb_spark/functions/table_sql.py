@@ -871,7 +871,7 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
     )
     unknown = set(named) - {
         "region", "access_key_id", "secret_access_key", "service_account",
-        "prune", "as_of",
+        "prune", "as_of", "ref",
     }
     if unknown:
         raise ValueError(
@@ -886,6 +886,17 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
         raise ValueError(
             "iceberg.scan takes a snapshot id OR as_of=, not both"
         )
+    if named.get("ref"):
+        # iceberg.scan('path', ref=>'tag_or_branch') — read the pinned
+        # snapshot (r14 refs surface)
+        if fn not in ("scan", "read"):
+            raise ValueError(
+                f"ref= applies to iceberg.scan/read, not iceberg.{fn}"
+            )
+        if m.group(3) or named.get("as_of"):
+            raise ValueError(
+                "iceberg.scan takes ONE of snapshot id, as_of=, ref="
+            )
     # prune='col=value[,col2=value2]' — manifest-level partition-file
     # pruning (read_iceberg_native partition_filter); literals arrive as
     # strings, the pruner's typed coercion handles int/date forms. The
@@ -925,10 +936,11 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
         f"iceberg.{fn}",
         # delimited: 'p'|12|'a=1' and 'p'|1|'2a=1' must not collide
         f"{path}|{m.group(3) or ''}|{named.get('prune') or ''}"
-        f"|{named.get('as_of') or ''}",
+        f"|{named.get('as_of') or ''}|{named.get('ref') or ''}",
     )
     if fn in ("scan", "read") and (
         m.group(3) or partition_filter or named.get("as_of")
+        or named.get("ref")
     ):
         # iceberg.scan('path', <snapshot-id>) / as_of='ts' — time
         # travel; prune= — file pruning through BOTH partition tuples
@@ -941,6 +953,7 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
             partition_filter=partition_filter,
             value_filter=partition_filter,
             as_of=named.get("as_of"),
+            ref=named.get("ref"),
         )
         if row_filter:
             df = _apply_prune_row_filter(df, row_filter)

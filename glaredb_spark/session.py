@@ -252,7 +252,10 @@ _ALTER_RE = re.compile(
     r"|ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
     r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
     r"|SET\s+IDENTIFIER\s+FIELDS\s*\(([^)]*)\)"
-    r"|ROLLBACK\s+TO\s+SNAPSHOT\s+(\d+))\s*;?\s*$",
+    r"|ROLLBACK\s+TO\s+SNAPSHOT\s+(\d+)"
+    r"|CREATE\s+(TAG|BRANCH)\s+(\w+)"
+    r"(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?"
+    r"|DROP\s+(TAG|BRANCH)\s+(\w+))\s*;?\s*$",
     re.IGNORECASE,
 )
 _REORG_RE = re.compile(
@@ -363,7 +366,10 @@ _ALTER_CAT_RE = re.compile(
     r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)"
     r"|SET\s+IDENTIFIER\s+FIELDS\s*\(([^)]*)\)"
     r"|RENAME\s+TO\s+([A-Za-z_][\w.]*)"
-    r"|ROLLBACK\s+TO\s+SNAPSHOT\s+(\d+))\s*;?\s*$",
+    r"|ROLLBACK\s+TO\s+SNAPSHOT\s+(\d+)"
+    r"|CREATE\s+(TAG|BRANCH)\s+(\w+)"
+    r"(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?"
+    r"|DROP\s+(TAG|BRANCH)\s+(\w+))\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -1457,6 +1463,35 @@ class GlareSession:
 
                 sid = _rb(path, int(m.group(12)))
                 msg = f"rolled back to snapshot {sid}"
+            elif m.group(13):  # CREATE TAG/BRANCH (iceberg refs, r14)
+                if kind != "iceberg":
+                    raise ValueError(
+                        "CREATE TAG/BRANCH requires an iceberg table"
+                    )
+                from glaredb_spark.sources.iceberg_native import (
+                    create_ref_iceberg_native as _cref,
+                )
+
+                sid = _cref(
+                    path, m.group(14),
+                    int(m.group(15)) if m.group(15) else None,
+                    kind=m.group(13).lower(),
+                )
+                msg = (
+                    f"created {m.group(13).lower()} {m.group(14)} "
+                    f"at snapshot {sid}"
+                )
+            elif m.group(16):  # DROP TAG/BRANCH
+                if kind != "iceberg":
+                    raise ValueError(
+                        "DROP TAG/BRANCH requires an iceberg table"
+                    )
+                from glaredb_spark.sources.iceberg_native import (
+                    drop_ref_iceberg_native as _dref,
+                )
+
+                _dref(path, m.group(17))
+                msg = f"dropped {m.group(16).lower()} {m.group(17)}"
             else:  # DROP PARTITION FIELD (iceberg only)
                 if kind != "iceberg":
                     raise ValueError(
@@ -1747,6 +1782,21 @@ class GlareSession:
                 endpoint, ns, tbl, int(m.group(13)), token=token
             )
             msg = f"rolled back to snapshot {sid}"
+        elif m.group(14):  # CREATE TAG/BRANCH (r14)
+            sid = _ir.create_ref_table(
+                endpoint, ns, tbl, m.group(15),
+                int(m.group(16)) if m.group(16) else None,
+                kind=m.group(14).lower(), token=token,
+            )
+            msg = (
+                f"created {m.group(14).lower()} {m.group(15)} "
+                f"at snapshot {sid}"
+            )
+        elif m.group(17):  # DROP TAG/BRANCH (r14)
+            _ir.drop_ref_table(
+                endpoint, ns, tbl, m.group(18), token=token
+            )
+            msg = f"dropped {m.group(17).lower()} {m.group(18)}"
         else:  # DROP PARTITION FIELD
             sid = _ir.alter_drop_partition_field(
                 endpoint, ns, tbl, m.group(8).strip(), token=token

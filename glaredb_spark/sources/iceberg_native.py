@@ -863,6 +863,7 @@ def read_iceberg_native(
     value_filter: "dict | None" = None,
     as_of=None,
     metadata: "dict | None" = None,
+    ref: "str | None" = None,
 ):
     """Distributed scan of the table's current snapshot, or of a prior
     one named by ``snapshot_id`` (time travel).
@@ -894,6 +895,14 @@ def read_iceberg_native(
     # which metadata version is current
     m = metadata if metadata is not None else table_metadata(table_path)
     reject_v3(m, "read")
+    if ref is not None:
+        # read a TAG/BRANCH (r14): the ref map names the snapshot
+        if snapshot_id is not None or as_of is not None:
+            raise IcebergError(
+                "ref= excludes snapshot_id/as_of (a ref IS a pinned "
+                "snapshot)"
+            )
+        snapshot_id = resolve_ref_iceberg_native(m, ref)
     if snapshot_id is None and as_of is not None:
         # time travel by timestamp (r10): newest snapshot <= AS OF
         snapshot_id = snapshot_as_of_iceberg_native(m, as_of)
@@ -1865,6 +1874,17 @@ def _publish_snapshot(
         "current-snapshot-id": snapshot_id,
         "snapshots": prev_snaps + [snapshot],
     }
+    if prev.get("refs"):
+        # carry TAGS/BRANCHES through the rebuild (r14) — main tracks
+        # the new snapshot, pinned refs keep their snapshot
+        refs = {k: dict(v) for k, v in prev["refs"].items()}
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        new_meta["refs"] = refs
+    if prev.get("snapshot-log"):
+        # carry the history log a rollback started (spec behavior)
+        new_meta["snapshot-log"] = list(prev["snapshot-log"]) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
     if new_spec is not None:
         # register the delete manifests' unpartitioned spec (default
         # spec unchanged — data files keep partitioning)
@@ -3778,6 +3798,92 @@ def rollback_iceberg_native(
     return snapshot_id
 
 
+def create_ref_iceberg_native(
+    table_path: str, name: str, snapshot_id: "int | None" = None,
+    kind: str = "tag", base_meta: "dict | None" = None, commit_fn=None,
+) -> int:
+    """CREATE TAG / CREATE BRANCH (iceberg spec ``refs`` map, r14): pin
+    ``name`` to ``snapshot_id`` (default: the current snapshot) — one
+    KB-scale metadata commit. Pinned snapshots are exempt from
+    expiration (the whole point of a tag), so VACUUM keeps their files
+    readable; ``read_iceberg_native(..., ref=name)`` scans the pinned
+    snapshot. Branch WRITES are out of scope — this engine writes the
+    main branch only; a branch here is a named read pointer that a
+    future writer could advance."""
+    if kind not in ("tag", "branch"):
+        raise IcebergError(f"ref kind must be tag|branch, got {kind!r}")
+    if name == "main":
+        raise IcebergError("'main' is the table's own branch")
+    table_path = os.path.abspath(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
+    refs = {k: dict(v) for k, v in (meta.get("refs") or {}).items()}
+    if name in refs:
+        raise IcebergError(f"ref {name!r} already exists")
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id is None or int(snapshot_id) == -1:
+            raise IcebergError("table has no current snapshot to pin")
+    snapshot_id = int(snapshot_id)
+    if not any(int(s.get("snapshot-id", 0) or 0) == snapshot_id
+               for s in meta.get("snapshots") or []):
+        raise IcebergError(
+            f"no retained snapshot with id {snapshot_id}"
+        )
+    refs[name] = {"snapshot-id": snapshot_id, "type": kind}
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    if commit_fn is not None:
+        commit_fn(new_meta)
+        return snapshot_id
+    _write_metadata_version(
+        os.path.join(table_path, "metadata"), new_meta,
+        version=_metadata_version(table_path) + 1,
+    )
+    return snapshot_id
+
+
+def drop_ref_iceberg_native(
+    table_path: str, name: str,
+    base_meta: "dict | None" = None, commit_fn=None,
+) -> None:
+    """DROP TAG / DROP BRANCH: unpin the ref — its snapshot becomes
+    expirable again on the next VACUUM unless otherwise retained."""
+    if name == "main":
+        raise IcebergError("cannot drop the main branch")
+    table_path = os.path.abspath(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
+    refs = {k: dict(v) for k, v in (meta.get("refs") or {}).items()}
+    if name not in refs:
+        raise IcebergError(f"no ref named {name!r}")
+    del refs[name]
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    if commit_fn is not None:
+        commit_fn(new_meta)
+        return
+    _write_metadata_version(
+        os.path.join(table_path, "metadata"), new_meta,
+        version=_metadata_version(table_path) + 1,
+    )
+
+
+def resolve_ref_iceberg_native(meta: dict, name: str) -> int:
+    """snapshot-id a ref points at ('main' resolves to the current
+    snapshot)."""
+    if name == "main":
+        cur = meta.get("current-snapshot-id")
+        if cur is None or int(cur) == -1:
+            raise IcebergError("table has no current snapshot")
+        return int(cur)
+    ref = (meta.get("refs") or {}).get(name)
+    if ref is None or ref.get("snapshot-id") is None:
+        known = sorted((meta.get("refs") or {}))
+        raise IcebergError(
+            f"no ref named {name!r} (known: {', '.join(known) or '-'})"
+        )
+    return int(ref["snapshot-id"])
+
+
 def expire_snapshots_iceberg_native(
     table_path: str, retention_hours: float = 168.0,
     retain_last: int = 1, dry_run: bool = False,
@@ -3853,6 +3959,11 @@ def _expire_snapshots_once(
         keep_ids.add(cur)
     for s in snaps[-max(retain_last, 1):]:
         keep_ids.add(s["snapshot-id"])
+    # snapshots pinned by a REF (tag/branch, r14) never expire — a tag
+    # is precisely a promise that its snapshot stays readable
+    for ref in (meta.get("refs") or {}).values():
+        if ref.get("snapshot-id") is not None:
+            keep_ids.add(int(ref["snapshot-id"]))
     expired_ids = {
         s["snapshot-id"] for s in snaps if s["snapshot-id"] not in keep_ids
     }

@@ -302,7 +302,7 @@ def read_table(spark, endpoint: str, namespace: str, table: str,
                snapshot_id: int | None = None, as_of=None,
                partition_filter: dict | None = None,
                value_filter: dict | None = None,
-               token: str | None = None):
+               token: str | None = None, ref: str | None = None):
     """Distributed scan pinned to the catalog's loadTable metadata.
 
     Unlike a path read, a concurrent commit between loadTable and the
@@ -322,7 +322,7 @@ def read_table(spark, endpoint: str, namespace: str, table: str,
         spark, _strip_file(meta.get("location") or ""),
         snapshot_id=snapshot_id, as_of=as_of,
         partition_filter=partition_filter, value_filter=value_filter,
-        metadata=meta,
+        metadata=meta, ref=ref,
     )
 
 
@@ -552,6 +552,26 @@ def _diff_updates(base: dict, new_meta: dict
         updates.append({"action": "set-snapshot-ref",
                         "ref-name": "main", "type": "branch",
                         "snapshot-id": int(new_cur_snap)})
+    # --- refs beyond main: tags/branches (r14) ---
+    base_refs = base.get("refs") or {}
+    new_refs = new_meta.get("refs") or {}
+    for rname, ref in new_refs.items():
+        if rname == "main":
+            continue  # main travels through current-snapshot-id above
+        old = base_refs.get(rname)
+        if (old is None
+                or int(old.get("snapshot-id", -1) or -1)
+                != int(ref.get("snapshot-id", -1) or -1)
+                or old.get("type") != ref.get("type")):
+            updates.append({
+                "action": "set-snapshot-ref", "ref-name": rname,
+                "type": ref.get("type") or "branch",
+                "snapshot-id": int(ref["snapshot-id"]),
+            })
+    for rname in base_refs:
+        if rname != "main" and rname not in new_refs:
+            updates.append({"action": "remove-snapshot-ref",
+                            "ref-name": rname})
     return requirements, updates
 
 
@@ -1056,6 +1076,41 @@ def alter_set_identifier_fields(endpoint: str, namespace: str,
         endpoint, namespace, table, token, max_retries,
         lambda loc, base, commit: set_identifier_fields_iceberg_native(
             loc, cols, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def create_ref_table(endpoint: str, namespace: str, table: str,
+                     name: str, snapshot_id: "int | None" = None,
+                     kind: str = "tag", token: str | None = None,
+                     max_retries: int = 3) -> int:
+    """CREATE TAG/BRANCH on a catalog table through commitTable —
+    the refs change travels as a set-snapshot-ref-style metadata diff
+    (the emulator authors the whole document server-side)."""
+    from glaredb_spark.sources.iceberg_native import (
+        create_ref_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: create_ref_iceberg_native(
+            loc, name, snapshot_id, kind=kind,
+            base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def drop_ref_table(endpoint: str, namespace: str, table: str,
+                   name: str, token: str | None = None,
+                   max_retries: int = 3) -> None:
+    from glaredb_spark.sources.iceberg_native import (
+        drop_ref_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: drop_ref_iceberg_native(
+            loc, name, base_meta=base, commit_fn=commit,
         ),
     )
 

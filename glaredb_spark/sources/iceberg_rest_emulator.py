@@ -236,16 +236,40 @@ class IcebergRestEmulator:
                         int(snap.get("sequence-number", 0) or 0),
                     )
             elif a == "set-snapshot-ref":
-                if u.get("ref-name") != "main":
-                    raise _BadRequest(
-                        f"only the main branch is supported, got "
-                        f"{u.get('ref-name')!r}"
-                    )
                 if "snapshot-id" not in u:
                     raise _BadRequest(
                         "set-snapshot-ref update needs snapshot-id"
                     )
-                meta["current-snapshot-id"] = u["snapshot-id"]
+                rname = u.get("ref-name")
+                if not rname:
+                    raise _BadRequest(
+                        "set-snapshot-ref update needs ref-name"
+                    )
+                sid = int(u["snapshot-id"])
+                if not any(
+                    int(s.get("snapshot-id", 0) or 0) == sid
+                    for s in meta.get("snapshots") or []
+                ):
+                    raise _BadRequest(
+                        f"set-snapshot-ref names unknown snapshot {sid}"
+                    )
+                if rname == "main":
+                    meta["current-snapshot-id"] = sid
+                refs = dict(meta.get("refs") or {})
+                refs[rname] = {
+                    "snapshot-id": sid,
+                    "type": u.get("type") or "branch",
+                }
+                meta["refs"] = refs
+            elif a == "remove-snapshot-ref":
+                rname = u.get("ref-name")
+                if not rname or rname == "main":
+                    raise _BadRequest(
+                        "remove-snapshot-ref needs a non-main ref-name"
+                    )
+                refs = dict(meta.get("refs") or {})
+                refs.pop(rname, None)
+                meta["refs"] = refs
             elif a == "set-properties":
                 props = dict(meta.get("properties") or {})
                 props.update(u.get("updates") or {})

@@ -1,0 +1,136 @@
+"""Iceberg TAGS and BRANCHES (spec ``refs`` map, r14): create/drop on
+path and catalog routes, read-by-ref, and expiration protection.
+
+Reference scope: the reference's iceberg extension is a read-only v1
+scan with no refs surface; this follows the public Iceberg spec's refs
+semantics (a tag pins a snapshot; pinned snapshots never expire).
+"""
+
+import pytest
+
+from glaredb_spark.session import GlareSession
+from glaredb_spark.sources import iceberg_rest as rest
+from glaredb_spark.sources.iceberg_native import (
+    IcebergError,
+    _metadata_path,
+    create_ref_iceberg_native,
+    expire_snapshots_iceberg_native,
+    read_iceberg_native,
+    table_metadata,
+    write_iceberg_native,
+)
+from glaredb_spark.sources.iceberg_rest_emulator import IcebergRestEmulator
+
+
+def test_tag_lifecycle_path(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    write_iceberg_native(
+        spark.range(4).selectExpr("id", "id * 2 AS v"), loc
+    )
+    first = int(table_metadata(loc)["current-snapshot-id"])
+    sess = GlareSession(spark)
+    st = sess.sql(
+        f"ALTER TABLE '{loc}' CREATE TAG v1 AS OF SNAPSHOT {first}"
+    ).collect()[0].status
+    assert f"created tag v1 at snapshot {first}" in st
+    write_iceberg_native(
+        spark.range(10, 13).selectExpr("id", "id * 2 AS v"), loc,
+        mode="append",
+    )
+    # the tag keeps reading the pinned snapshot
+    assert read_iceberg_native(spark, loc, ref="v1").count() == 4
+    assert read_iceberg_native(spark, loc).count() == 7
+    # SQL surface: iceberg.scan(..., ref='v1')
+    got = sess.sql(
+        f"SELECT count(*) AS c FROM iceberg.scan('{loc}', ref='v1')"
+    ).collect()[0].c
+    assert got == 4
+    # a branch defaults to the current snapshot
+    st = sess.sql(
+        f"ALTER TABLE '{loc}' CREATE BRANCH dev"
+    ).collect()[0].status
+    assert "created branch dev" in st
+    assert read_iceberg_native(spark, loc, ref="dev").count() == 7
+    # named errors: duplicate, unknown, main
+    with pytest.raises(IcebergError, match="already exists"):
+        create_ref_iceberg_native(loc, "v1")
+    with pytest.raises(IcebergError, match="no ref named"):
+        read_iceberg_native(spark, loc, ref="ghost")
+    with pytest.raises(IcebergError, match="own branch"):
+        create_ref_iceberg_native(loc, "main")
+
+
+def test_tagged_snapshot_survives_expiration(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    write_iceberg_native(
+        spark.range(3).selectExpr("id", "id * 2 AS v"), loc
+    )
+    first = int(table_metadata(loc)["current-snapshot-id"])
+    create_ref_iceberg_native(loc, "pin", first)
+    for lo in (10, 20):
+        write_iceberg_native(
+            spark.range(lo, lo + 2).selectExpr("id", "id * 2 AS v"),
+            loc, mode="append",
+        )
+    expire_snapshots_iceberg_native(loc, retention_hours=0.0)
+    # the tagged snapshot (and its files) survive 0-retention expiry
+    assert read_iceberg_native(spark, loc, ref="pin").count() == 3
+    assert read_iceberg_native(spark, loc).count() == 7
+    # dropping the tag releases it: the next expiry removes it
+    GlareSession(spark).sql(f"ALTER TABLE '{loc}' DROP TAG pin")
+    expire_snapshots_iceberg_native(loc, retention_hours=0.0)
+    meta = table_metadata(loc)
+    assert not any(
+        int(s["snapshot-id"]) == first for s in meta["snapshots"]
+    )
+    with pytest.raises(IcebergError, match="no ref named"):
+        read_iceberg_native(spark, loc, ref="pin")
+
+
+def test_tag_lifecycle_catalog(spark, tmp_path):
+    """Catalog route: CREATE TAG commits through commitTable as a
+    set-snapshot-ref on the named ref (the r14 _diff_updates refs
+    arm); read_table(ref=) reads the pin; DROP TAG removes it."""
+    emu = IcebergRestEmulator(str(tmp_path / "wh"), prefix="w1")
+    endpoint = emu.start()
+    try:
+        loc = str(tmp_path / "wh" / "rf" / "t")
+        write_iceberg_native(
+            spark.range(4).selectExpr("id", "id * 2 AS v"), loc
+        )
+        emu.add_namespace("rf")
+        emu.register("rf", "t", _metadata_path(loc))
+        first = int(
+            rest.load_table(endpoint, "rf", "t")["metadata"]
+            ["current-snapshot-id"]
+        )
+        sess = GlareSession(spark)
+        sess.sql(
+            f"ATTACH ICEBERG_REST DATABASE AS icrf (endpoint '{endpoint}')"
+        )
+        try:
+            st = sess.sql(
+                f"ALTER TABLE icrf.rf.t CREATE TAG rel AS OF "
+                f"SNAPSHOT {first}"
+            ).collect()[0].status
+            assert f"created tag rel at snapshot {first}" in st
+            rest.append_table(
+                spark, endpoint, "rf", "t",
+                spark.range(10, 13).selectExpr("id", "id * 2 AS v"),
+            )
+            meta = rest.load_table(endpoint, "rf", "t")["metadata"]
+            assert meta["refs"]["rel"] == {
+                "snapshot-id": first, "type": "tag"
+            }
+            assert rest.read_table(
+                spark, endpoint, "rf", "t", ref="rel"
+            ).count() == 4
+            assert rest.read_table(spark, endpoint, "rf", "t").count() == 7
+            sess.sql("ALTER TABLE icrf.rf.t DROP TAG rel")
+            meta = rest.load_table(endpoint, "rf", "t")["metadata"]
+            assert "rel" not in (meta.get("refs") or {})
+        finally:
+            rest.detach_iceberg_rest(spark, "icrf")
+    finally:
+        emu.stop()
+        rest._PREFIX_CACHE.clear()
