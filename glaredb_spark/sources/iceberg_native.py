@@ -3842,6 +3842,63 @@ def create_ref_iceberg_native(
     return snapshot_id
 
 
+def append_branch_iceberg_native(
+    df, table_path: str, branch: str,
+    base_meta: "dict | None" = None, commit_fn=None,
+) -> int:
+    """Append to a BRANCH (r14, completes the refs story): the new
+    snapshot parents off the branch HEAD (carry-forward manifests come
+    from the branch, not main), the branch ref advances, and main —
+    current-snapshot-id included — stays untouched. Reads via
+    ``ref=branch`` see the append; main readers never do until a
+    rollback/fast-forward moves main to the branch head. Tags are
+    immutable and refuse. Catalog commits express this as add-snapshot
+    + set-snapshot-ref on the branch with an assert on the branch's
+    base head (plus the hook's conservative main assert — a concurrent
+    main commit re-plans the branch write rather than interleaving)."""
+    table_path = os.path.abspath(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
+    ref = (meta.get("refs") or {}).get(branch)
+    if ref is None:
+        raise IcebergError(
+            f"no branch named {branch!r}; ALTER TABLE ... CREATE "
+            f"BRANCH {branch} first"
+        )
+    if ref.get("type") != "branch":
+        raise IcebergError(f"{branch!r} is a tag; tags are immutable")
+    head = int(ref["snapshot-id"])
+    main_cur = meta.get("current-snapshot-id")
+    # plan the append AGAINST THE BRANCH HEAD: a virtual base whose
+    # current snapshot is the branch tip gives commit_staged_append the
+    # right parent and carry-forward manifest set
+    vbase = dict(meta)
+    vbase["current-snapshot-id"] = head
+    staged = stage_append_iceberg_native(df, table_path, meta)
+    captured: dict = {}
+    sid = commit_staged_append_iceberg_native(
+        table_path, vbase, staged,
+        commit_fn=lambda nm: captured.update(meta=nm),
+    )
+    nm = captured["meta"]
+    # restore main; advance ONLY the branch ref
+    nm["current-snapshot-id"] = main_cur
+    refs = {k: dict(v) for k, v in (nm.get("refs") or {}).items()}
+    refs[branch] = {"snapshot-id": int(sid), "type": "branch"}
+    if main_cur is not None and int(main_cur) != -1:
+        refs["main"] = {"snapshot-id": int(main_cur), "type": "branch"}
+    else:
+        refs.pop("main", None)
+    nm["refs"] = refs
+    if commit_fn is not None:
+        commit_fn(nm)
+        return int(sid)
+    _write_metadata_version(
+        os.path.join(table_path, "metadata"), nm,
+        version=_metadata_version(table_path) + 1,
+    )
+    return int(sid)
+
+
 def drop_ref_iceberg_native(
     table_path: str, name: str,
     base_meta: "dict | None" = None, commit_fn=None,

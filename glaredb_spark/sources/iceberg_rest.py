@@ -563,6 +563,14 @@ def _diff_updates(base: dict, new_meta: dict
                 or int(old.get("snapshot-id", -1) or -1)
                 != int(ref.get("snapshot-id", -1) or -1)
                 or old.get("type") != ref.get("type")):
+            # optimistic: the ref must still be where we planned from
+            # (None = the ref must not exist yet)
+            requirements.append({
+                "type": "assert-ref-snapshot-id", "ref": rname,
+                "snapshot-id": (
+                    int(old["snapshot-id"]) if old else None
+                ),
+            })
             updates.append({
                 "action": "set-snapshot-ref", "ref-name": rname,
                 "type": ref.get("type") or "branch",
@@ -1096,6 +1104,28 @@ def create_ref_table(endpoint: str, namespace: str, table: str,
         lambda loc, base, commit: create_ref_iceberg_native(
             loc, name, snapshot_id, kind=kind,
             base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def append_branch_table(spark, endpoint: str, namespace: str,
+                        table: str, df, branch: str,
+                        token: str | None = None,
+                        max_retries: int = 3) -> int:
+    """Append to a BRANCH of a catalog table through commitTable (r14):
+    add-snapshot + set-snapshot-ref on the branch with an optimistic
+    assert on the branch's base head; main stays untouched. Each retry
+    re-plans (and re-stages) against a fresh base — branch appends are
+    side-channel loads, not the bulk path, so staged-file reuse is not
+    worth the extra machinery here."""
+    from glaredb_spark.sources.iceberg_native import (
+        append_branch_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: append_branch_iceberg_native(
+            df, loc, branch, base_meta=base, commit_fn=commit,
         ),
     )
 

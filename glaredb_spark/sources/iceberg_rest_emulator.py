@@ -176,16 +176,24 @@ class IcebergRestEmulator:
                         f"{meta.get('table-uuid')}"
                     )
             elif t == "assert-ref-snapshot-id":
-                if r.get("ref") != "main":
-                    raise _Conflict(f"unknown ref {r.get('ref')!r}")
-                cur = meta.get("current-snapshot-id")
-                if cur is not None and int(cur) == -1:
-                    cur = None
+                rname = r.get("ref")
+                if rname == "main":
+                    cur = meta.get("current-snapshot-id")
+                    if cur is not None and int(cur) == -1:
+                        cur = None
+                else:
+                    # tags/branches (r14): the refs map is the truth;
+                    # None = the ref does not exist yet
+                    if not rname:
+                        raise _Conflict("assert-ref needs a ref name")
+                    ref = (meta.get("refs") or {}).get(rname)
+                    cur = (None if ref is None
+                           else int(ref.get("snapshot-id")))
                 want = r.get("snapshot-id")
                 if (cur is None) != (want is None) or (
                         cur is not None and int(cur) != int(want)):
                     raise _Conflict(
-                        f"branch main moved: expected {want}, "
+                        f"ref {rname} moved: expected {want}, "
                         f"now {cur}"
                     )
             elif t == "assert-create":

@@ -134,3 +134,94 @@ def test_tag_lifecycle_catalog(spark, tmp_path):
     finally:
         emu.stop()
         rest._PREFIX_CACHE.clear()
+
+
+def test_branch_append_path(spark, tmp_path):
+    """Appending to a branch advances ONLY the branch: main readers
+    never see branch rows; the branch read sees main's history up to
+    the fork plus its own appends; tags refuse writes."""
+    from glaredb_spark.sources.iceberg_native import (
+        append_branch_iceberg_native,
+    )
+
+    loc = str(tmp_path / "t")
+    write_iceberg_native(
+        spark.range(4).selectExpr("id", "id * 2 AS v"), loc
+    )
+    sess = GlareSession(spark)
+    sess.sql(f"ALTER TABLE '{loc}' CREATE BRANCH dev")
+    sess.sql(f"ALTER TABLE '{loc}' CREATE TAG frozen")
+    sid = append_branch_iceberg_native(
+        spark.range(100, 103).selectExpr("id", "id * 2 AS v"), loc,
+        "dev",
+    )
+    assert read_iceberg_native(spark, loc).count() == 4  # main
+    dev = read_iceberg_native(spark, loc, ref="dev")
+    assert sorted(r.id for r in dev.collect()) == [0, 1, 2, 3, 100,
+                                                   101, 102]
+    meta = table_metadata(loc)
+    assert int(meta["refs"]["dev"]["snapshot-id"]) == sid
+    # a main append after the fork stays invisible to the branch
+    write_iceberg_native(
+        spark.range(50, 52).selectExpr("id", "id * 2 AS v"), loc,
+        mode="append",
+    )
+    assert read_iceberg_native(spark, loc).count() == 6
+    assert read_iceberg_native(spark, loc, ref="dev").count() == 7
+    # a second branch append parents off the branch tip
+    append_branch_iceberg_native(
+        spark.range(200, 201).selectExpr("id", "id * 2 AS v"), loc,
+        "dev",
+    )
+    assert read_iceberg_native(spark, loc, ref="dev").count() == 8
+    assert read_iceberg_native(spark, loc).count() == 6
+    # tags are immutable; unknown branches raise by name
+    with pytest.raises(IcebergError, match="immutable"):
+        append_branch_iceberg_native(
+            spark.range(1).selectExpr("id", "id*2 AS v"), loc, "frozen"
+        )
+    with pytest.raises(IcebergError, match="no branch named"):
+        append_branch_iceberg_native(
+            spark.range(1).selectExpr("id", "id*2 AS v"), loc, "ghost"
+        )
+    # fast-forward main to the branch head via ROLLBACK TO SNAPSHOT
+    dev_head = int(table_metadata(loc)["refs"]["dev"]["snapshot-id"])
+    sess.sql(f"ALTER TABLE '{loc}' ROLLBACK TO SNAPSHOT {dev_head}")
+    assert read_iceberg_native(spark, loc).count() == 8
+
+
+def test_branch_append_catalog(spark, tmp_path):
+    """Catalog route: the branch append commits as add-snapshot +
+    set-snapshot-ref on the branch with an assert on its base head;
+    main's pointer never moves."""
+    emu = IcebergRestEmulator(str(tmp_path / "wh"), prefix="w1")
+    endpoint = emu.start()
+    try:
+        loc = str(tmp_path / "wh" / "br" / "t")
+        write_iceberg_native(
+            spark.range(4).selectExpr("id", "id * 2 AS v"), loc
+        )
+        emu.add_namespace("br")
+        emu.register("br", "t", _metadata_path(loc))
+        sess = GlareSession(spark)
+        sess.sql(
+            f"ATTACH ICEBERG_REST DATABASE AS icbr (endpoint '{endpoint}')"
+        )
+        try:
+            sess.sql("ALTER TABLE icbr.br.t CREATE BRANCH dev")
+            sid = rest.append_branch_table(
+                spark, endpoint, "br", "t",
+                spark.range(100, 102).selectExpr("id", "id * 2 AS v"),
+                "dev",
+            )
+            meta = rest.load_table(endpoint, "br", "t")["metadata"]
+            assert int(meta["refs"]["dev"]["snapshot-id"]) == sid
+            assert rest.read_table(spark, endpoint, "br", "t").count() == 4
+            assert rest.read_table(
+                spark, endpoint, "br", "t", ref="dev"
+            ).count() == 6
+        finally:
+            rest.detach_iceberg_rest(spark, "icbr")
+    finally:
+        emu.stop()
+        rest._PREFIX_CACHE.clear()
