@@ -328,6 +328,11 @@ _ALIAS_GUARD_RES: "list[tuple[re.Pattern, str]]" = [
      "VACUUM alias.ns.t [RETAIN n HOURS] [DRY RUN]"),
     (re.compile(r"^\s*REORG\s+TABLE\s+([A-Za-z_][\w.]*)", re.IGNORECASE),
      "REORG TABLE alias.ns.t APPLY (PURGE)"),
+    (re.compile(r"^\s*RESTORE\s+TABLE\s+([A-Za-z_][\w.]*)",
+                re.IGNORECASE),
+     "RESTORE targets a path-addressed Delta table ('<path>'); "
+     "catalog Iceberg tables roll back with ALTER TABLE alias.ns.t "
+     "ROLLBACK TO SNAPSHOT <id>"),
     (re.compile(r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)", re.IGNORECASE),
      "ALTER TABLE alias.ns.t ADD COLUMN c type | RENAME COLUMN a TO b "
      "| DROP COLUMN c | ALTER COLUMN c TYPE t | ADD/DROP PARTITION "

@@ -176,3 +176,31 @@ def test_delta_restore_refuses_vacuumed(spark, tmp_path):
         GlareSession(spark).sql(
             f"RESTORE TABLE '{loc}' TO VERSION AS OF 0"
         )
+
+
+def test_restore_catalog_target_named_error(spark, tmp_path):
+    """RESTORE TABLE alias.ns.t dies by NAME in the guard, pointing at
+    the catalog rollback — never Spark's parser."""
+    from glaredb_spark.session import UnsupportedCatalogStatement
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+
+    emu = IcebergRestEmulator(str(tmp_path / "wh"), prefix="w1")
+    endpoint = emu.start()
+    try:
+        loc = str(tmp_path / "wh" / "rg" / "t")
+        write_iceberg_native(spark.range(2).selectExpr("id"), loc)
+        emu.add_namespace("rg")
+        emu.register("rg", "t", _metadata_path(loc))
+        sess = GlareSession(spark)
+        sess.sql(
+            f"ATTACH ICEBERG_REST DATABASE AS icrg (endpoint '{endpoint}')"
+        )
+        try:
+            with pytest.raises(UnsupportedCatalogStatement,
+                               match="ROLLBACK TO SNAPSHOT"):
+                sess.sql("RESTORE TABLE icrg.rg.t TO VERSION AS OF 0")
+        finally:
+            detach_iceberg_rest(spark, "icrg")
+    finally:
+        emu.stop()
+        rest._PREFIX_CACHE.clear()
