@@ -336,6 +336,29 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
 
         meta, self._path = iceberg_meta_for_options(self._options)
         snaps = _sorted_snapshots(meta)
+        ref = self._options.get("ref")
+        if ref:
+            # stream a TAG/BRANCH (r14): only snapshots on the ref's
+            # ANCESTRY chain participate — a dead branch (a rollback's
+            # abandoned tip, another branch's appends) never enters the
+            # offset range, so the chain-gap validation holds by
+            # construction. ref='main' streams the current lineage —
+            # the rollback-safe form of the default seq-range stream.
+            from glaredb_spark.sources.iceberg_native import (
+                resolve_ref_iceberg_native,
+            )
+
+            head = resolve_ref_iceberg_native(meta, ref)
+            by_id = {int(s.get("snapshot-id", 0) or 0): s for s in snaps}
+            keep: set = set()
+            cur = head
+            while cur is not None and int(cur) in by_id:
+                keep.add(int(cur))
+                cur = by_id[int(cur)].get("parent-snapshot-id")
+            snaps = [
+                s for s in snaps
+                if int(s.get("snapshot-id", 0) or 0) in keep
+            ]
         if any(s.get("sequence-number") is None for s in snaps):
             # ANY seq-less snapshot is refused, not just all-seq-less:
             # a v1->v2 upgraded external table has seq-less old

@@ -225,3 +225,53 @@ def test_branch_append_catalog(spark, tmp_path):
     finally:
         emu.stop()
         rest._PREFIX_CACHE.clear()
+
+
+def test_stream_ref_ancestry(spark, tmp_path):
+    """readStream with ref= streams only the ref's ANCESTRY (r14): a
+    branch stream sees the fork history plus branch appends and never
+    main's post-fork rows; ref='main' streams the surviving lineage
+    after a rollback instead of raising the chain-gap error."""
+    from glaredb_spark.sources.iceberg_native import (
+        append_branch_iceberg_native,
+        rollback_iceberg_native,
+    )
+    from glaredb_spark.streaming.source import register_stream_sources
+
+    loc = str(tmp_path / "t")
+    write_iceberg_native(
+        spark.range(3).selectExpr("id", "id * 2 AS v"), loc
+    )
+    first = int(table_metadata(loc)["current-snapshot-id"])
+    GlareSession(spark).sql(f"ALTER TABLE '{loc}' CREATE BRANCH dev")
+    append_branch_iceberg_native(
+        spark.range(100, 102).selectExpr("id", "id * 2 AS v"), loc,
+        "dev",
+    )
+    write_iceberg_native(
+        spark.range(50, 54).selectExpr("id", "id * 2 AS v"), loc,
+        mode="append",
+    )
+    register_stream_sources(spark)
+
+    def drain(name, **opts):
+        r = spark.readStream.format("iceberg_appends").option("path", loc)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (r.load().writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return sorted(
+            r.id for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    assert drain("ref_dev", ref="dev") == [0, 1, 2, 100, 101]
+    assert drain("ref_main", ref="main") == [0, 1, 2, 50, 51, 52, 53]
+    # after a rollback, ref='main' streams the surviving lineage; the
+    # plain seq-range stream would hit the dead branch and raise
+    rollback_iceberg_native(loc, first)
+    write_iceberg_native(
+        spark.range(200, 201).selectExpr("id", "id * 2 AS v"), loc,
+        mode="append",
+    )
+    assert drain("ref_main2", ref="main") == [0, 1, 2, 200]
