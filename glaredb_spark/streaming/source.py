@@ -348,17 +348,23 @@ class _IcebergAppendsStreamReader(DataSourceStreamReader):
                 resolve_ref_iceberg_native,
             )
 
-            head = resolve_ref_iceberg_native(meta, ref)
-            by_id = {int(s.get("snapshot-id", 0) or 0): s for s in snaps}
-            keep: set = set()
-            cur = head
-            while cur is not None and int(cur) in by_id:
-                keep.add(int(cur))
-                cur = by_id[int(cur)].get("parent-snapshot-id")
-            snaps = [
-                s for s in snaps
-                if int(s.get("snapshot-id", 0) or 0) in keep
-            ]
+            cur0 = meta.get("current-snapshot-id")
+            if ref == "main" and (cur0 is None or int(cur0) == -1):
+                snaps = []  # empty table: no lineage yet, not an error
+            else:
+                head = resolve_ref_iceberg_native(meta, ref)
+                by_id = {
+                    int(s.get("snapshot-id", 0) or 0): s for s in snaps
+                }
+                keep: set = set()
+                cur = head
+                while cur is not None and int(cur) in by_id:
+                    keep.add(int(cur))
+                    cur = by_id[int(cur)].get("parent-snapshot-id")
+                snaps = [
+                    s for s in snaps
+                    if int(s.get("snapshot-id", 0) or 0) in keep
+                ]
         if any(s.get("sequence-number") is None for s in snaps):
             # ANY seq-less snapshot is refused, not just all-seq-less:
             # a v1->v2 upgraded external table has seq-less old
