@@ -192,9 +192,10 @@ class IcebergRestEmulator:
                 want = r.get("snapshot-id")
                 if (cur is None) != (want is None) or (
                         cur is not None and int(cur) != int(want)):
+                    label = ("branch main" if rname == "main"
+                             else f"ref {rname}")
                     raise _Conflict(
-                        f"ref {rname} moved: expected {want}, "
-                        f"now {cur}"
+                        f"{label} moved: expected {want}, now {cur}"
                     )
             elif t == "assert-create":
                 raise _Conflict("table already exists")
