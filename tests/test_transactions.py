@@ -245,3 +245,94 @@ def test_transaction_noop_delete_contributes_nothing(spark, sess):
     meta = rest.load_table(endpoint, "core", "facts")["metadata"]
     assert len(meta["snapshots"]) == 1
     assert _counts(spark, endpoint) == (4, 3)
+
+
+def test_property_txn_chain_matches_shadow(spark, tmp_path):
+    """Property check: random mixed-DML transactions applied through
+    BEGIN...COMMIT equal the same ops applied in order to a shadow
+    model — the chained-planning semantics (each op sees its
+    predecessors' uncommitted state) hold for arbitrary compositions,
+    and per-op Counts match the shadow's."""
+    import random
+
+    from glaredb_spark.sources.iceberg_native import (
+        _metadata_path,
+        write_iceberg_native,
+    )
+
+    rng = random.Random(20814)
+    emu = IcebergRestEmulator(str(tmp_path / "wh"), prefix="w1")
+    endpoint = emu.start()
+    emu.add_namespace("pp")
+    s = GlareSession(spark)
+    s.sql(f"ATTACH ICEBERG_REST DATABASE AS plk (endpoint '{endpoint}')")
+    try:
+        for trial in range(4):
+            name = f"t{trial}"
+            shadow = {i: i * 2 for i in range(8)}
+            loc = str(tmp_path / "wh" / "pp" / name)
+            write_iceberg_native(
+                spark.createDataFrame(
+                    sorted(shadow.items()), "id long, v long"
+                ),
+                loc,
+            )
+            emu.register("pp", name, _metadata_path(loc))
+            next_id = 100
+            expected_counts = []
+            s.sql("BEGIN")
+            for _ in range(rng.randrange(2, 6)):
+                kind = rng.choice(("insert", "delete", "update"))
+                if kind == "insert":
+                    n = rng.randrange(1, 4)
+                    vals = ", ".join(
+                        f"({next_id + j}, {(next_id + j) * 2})"
+                        for j in range(n)
+                    )
+                    s.sql(f"INSERT INTO plk.pp.{name} VALUES {vals}")
+                    for j in range(n):
+                        shadow[next_id + j] = (next_id + j) * 2
+                    next_id += n
+                    expected_counts.append(("insert", n))
+                elif kind == "delete":
+                    k, j = rng.randrange(2, 5), rng.randrange(0, 2)
+                    s.sql(
+                        f"DELETE FROM plk.pp.{name} "
+                        f"WHERE id % {k} = {j}"
+                    )
+                    hit = [i for i in shadow if i % k == j]
+                    for i in hit:
+                        del shadow[i]
+                    expected_counts.append(("delete", len(hit)))
+                else:
+                    c = rng.randrange(1, 9)
+                    lim = rng.randrange(2, 200)
+                    s.sql(
+                        f"UPDATE plk.pp.{name} SET v = v + {c} "
+                        f"WHERE id < {lim}"
+                    )
+                    hit = [i for i in shadow if i < lim]
+                    for i in hit:
+                        shadow[i] += c
+                    expected_counts.append(("update", len(hit)))
+            got = [(r.op, r.Count) for r in s.sql("COMMIT").collect()]
+            # adjacent same-table inserts coalesce into one reported
+            # row — coalesce the expectation the same way
+            want = []
+            for op, n in expected_counts:
+                if op == "insert" and want and want[-1][0] == "insert":
+                    want[-1] = ("insert", want[-1][1] + n)
+                else:
+                    want.append((op, n))
+            assert got == want, f"trial {trial}: {got} != {want}"
+            final = {
+                r.id: r.v
+                for r in rest.read_table(
+                    spark, endpoint, "pp", name
+                ).collect()
+            }
+            assert final == shadow, f"trial {trial}"
+    finally:
+        rest.detach_iceberg_rest(spark, "plk")
+        emu.stop()
+        rest._PREFIX_CACHE.clear()
