@@ -235,6 +235,22 @@ class IcebergRestEmulator:
                     raise _BadRequest(
                         "add-snapshot update needs a snapshot object"
                     )
+                sid = int(snap.get("snapshot-id", 0) or 0)
+                if any(
+                    int(s.get("snapshot-id", 0) or 0) == sid
+                    for s in meta.get("snapshots") or []
+                ):
+                    # two writers planned against the SAME base and
+                    # minted the same sequential snapshot id — but
+                    # neither moved the ref the other asserted (e.g. a
+                    # branch append racing a main append, r14 race
+                    # test). A duplicate id would make snapshot
+                    # resolution ambiguous; 409 so the loser re-plans
+                    # against the fresh base and mints a new id.
+                    raise _Conflict(
+                        f"snapshot id {sid} already committed; "
+                        "refresh and retry"
+                    )
                 meta["snapshots"] = list(
                     meta.get("snapshots") or []
                 ) + [snap]

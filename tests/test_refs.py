@@ -275,3 +275,66 @@ def test_stream_ref_ancestry(spark, tmp_path):
         mode="append",
     )
     assert drain("ref_main2", ref="main") == [0, 1, 2, 200]
+
+
+def test_branch_append_races_main_append(spark, tmp_path):
+    """Live race: a branch append and a main append hit commitTable
+    concurrently. The emulator lock + asserts serialize them; the
+    loser re-plans and BOTH land — main and the branch each advance by
+    exactly their own rows."""
+    import threading
+
+    from glaredb_spark.sources.iceberg_native import (
+        create_ref_iceberg_native,
+    )
+
+    emu = IcebergRestEmulator(str(tmp_path / "wh"), prefix="w1")
+    endpoint = emu.start()
+    try:
+        loc = str(tmp_path / "wh" / "rc" / "t")
+        write_iceberg_native(
+            spark.range(4).selectExpr("id", "id * 2 AS v"), loc
+        )
+        create_ref_iceberg_native(loc, "dev", kind="branch")
+        emu.add_namespace("rc")
+        emu.register("rc", "t", _metadata_path(loc))
+        errs = []
+        barrier = threading.Barrier(2)
+
+        def do_branch():
+            try:
+                barrier.wait(timeout=30)
+                rest.append_branch_table(
+                    spark, endpoint, "rc", "t",
+                    spark.range(100, 103).selectExpr(
+                        "id", "id * 2 AS v"),
+                    "dev", max_retries=5,
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(("branch", e))
+
+        def do_main():
+            try:
+                barrier.wait(timeout=30)
+                rest.append_table(
+                    spark, endpoint, "rc", "t",
+                    spark.range(50, 52).selectExpr("id", "id * 2 AS v"),
+                    max_retries=5,
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(("main", e))
+
+        threads = [threading.Thread(target=do_branch),
+                   threading.Thread(target=do_main)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errs, errs
+        assert rest.read_table(spark, endpoint, "rc", "t").count() == 6
+        assert rest.read_table(
+            spark, endpoint, "rc", "t", ref="dev"
+        ).count() == 7
+    finally:
+        emu.stop()
+        rest._PREFIX_CACHE.clear()
