@@ -415,6 +415,12 @@ _IDENT_ONLY_RE = re.compile(r"^(`[^`]+`|[A-Za-z_][\w.]*)$")
 # information_schema/pg_catalog/temp + created schemas).
 _SHOW_DB_RE = re.compile(r"^\s*SHOW\s+DATABASES\s*;?\s*$", re.IGNORECASE)
 _SHOW_SCHEMAS_RE = re.compile(r"^\s*SHOW\s+SCHEMAS\s*;?\s*$", re.IGNORECASE)
+# SHOW SCHEMAS FROM <alias> over an ATTACHed catalog (r14) —
+# lists the catalog's namespaces; non-attached targets fall to Spark
+_SHOW_SCHEMAS_FROM_RE = re.compile(
+    r"^\s*SHOW\s+SCHEMAS\s+(?:FROM|IN)\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_SCHEMA_RE = re.compile(
     r"^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
@@ -806,6 +812,17 @@ class GlareSession:
             re.IGNORECASE,
         ):
             return self._describe(desc.group(1))
+        show_s = _SHOW_SCHEMAS_FROM_RE.match(query)
+        if show_s and self._catalog_dml_target(show_s.group(1)):
+            from glaredb_spark.sources import iceberg_rest as _ir
+
+            endpoint, token = self._catalog_dml_target(show_s.group(1))
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(
+                    _ir.namespace_names(endpoint, token=token)
+                )],
+                "schema_name string",
+            )
         show_t = _SHOW_TABLES_FROM_RE.match(query)
         if show_t:
             parts = show_t.group(1).split(".")

@@ -1833,6 +1833,10 @@ def test_describe_and_show_tables_over_alias(spark, catalog, tmp_path):
         rows = [(r.schema_name, r.table_name)
                 for r in sess.sql("SHOW TABLES IN icds2").collect()]
         assert ("ds", "t") in rows
+        assert "ds" in [
+            r.schema_name
+            for r in sess.sql("SHOW SCHEMAS FROM icds2").collect()
+        ]
         # non-attached: Spark's own SHOW TABLES shape
         assert sess.sql("SHOW TABLES FROM default").columns == [
             "namespace", "tableName", "isTemporary"
