@@ -181,6 +181,31 @@ _MERGE_CAT_RE = re.compile(
 )
 
 
+# FOR BRANCH <name> right after a DML target (r15, write-audit-
+# publish): DELETE FROM / UPDATE / MERGE INTO / INSERT INTO gain an
+# optional branch clause — the write plans against the branch head and
+# advances only the branch ref; main readers see nothing until
+# ALTER TABLE ... FAST FORWARD main TO <branch> publishes it.
+# Stripped ONCE before the DML regexes so their group numbering (and
+# every downstream handler) stays untouched.
+_FOR_BRANCH_RE = re.compile(
+    r"^(\s*(?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|INSERT\s+INTO)\s+"
+    r"(?:'[^']+'|iceberg\s*\.\s*(?:scan|read)\s*\([^)]*\)"
+    r"|[A-Za-z_][\w.]*))"
+    r"\s+FOR\s+BRANCH\s+(\w+)",
+    re.IGNORECASE,
+)
+
+
+def _extract_for_branch(query: str) -> "tuple[str, str | None]":
+    """Split an optional FOR BRANCH clause off a DML statement:
+    returns (query without the clause, branch name or None)."""
+    m = _FOR_BRANCH_RE.match(query)
+    if not m:
+        return query, None
+    return query[: m.end(1)] + query[m.end():], m.group(2)
+
+
 def _parse_merge_whens(blob: str) -> dict:
     """Parse a MERGE statement's WHEN-clause blob into its arms.
     Unknown arms raise a NAMED error listing the supported grammar —
@@ -191,6 +216,7 @@ def _parse_merge_whens(blob: str) -> dict:
         "delete_cond": None,   # DELETE predicate ('true' = always)
         "insert": False,
         "insert_cond": None,   # INSERT gating predicate (source cols)
+        "update_cond": None,   # UPDATE gating predicate (r15)
     }
     for clause in re.split(
         r"(?i)\bWHEN\s+(?=(?:NOT\s+)?MATCHED\b)", blob
@@ -214,16 +240,18 @@ def _parse_merge_whens(blob: str) -> dict:
             out["delete_cond"] = (m.group(1) or "true").strip()
             continue
         m = re.match(
-            r"(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+)$", clause
+            r"(?is)^MATCHED(?:\s+AND\s+(.+?))?"
+            r"\s+THEN\s+UPDATE\s+SET\s+(.+)$", clause
         )
         if m:
-            out["set_txt"] = m.group(1)
+            out["update_cond"] = m.group(1)
+            out["set_txt"] = m.group(2)
             continue
         raise ValueError(
             f"unsupported MERGE clause 'WHEN {clause[:80]}'; supported:"
-            " WHEN MATCHED [AND <cond>] THEN DELETE, WHEN MATCHED THEN"
-            " UPDATE SET c = expr[, ...], WHEN NOT MATCHED [AND <cond>]"
-            " THEN INSERT [*]"
+            " WHEN MATCHED [AND <cond>] THEN DELETE, WHEN MATCHED"
+            " [AND <cond>] THEN UPDATE SET c = expr[, ...], WHEN NOT"
+            " MATCHED [AND <cond>] THEN INSERT [*]"
         )
     return out
 # maintenance statements over native table DIRECTORIES (delta-spark's
@@ -255,7 +283,8 @@ _ALTER_RE = re.compile(
     r"|ROLLBACK\s+TO\s+SNAPSHOT\s+(\d+)"
     r"|CREATE\s+(TAG|BRANCH)\s+(\w+)"
     r"(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?"
-    r"|DROP\s+(TAG|BRANCH)\s+(\w+))\s*;?\s*$",
+    r"|DROP\s+(TAG|BRANCH)\s+(\w+)"
+    r"|FAST\s+FORWARD\s+main\s+TO\s+(\w+))\s*;?\s*$",
     re.IGNORECASE,
 )
 _REORG_RE = re.compile(
@@ -318,9 +347,10 @@ class UnsupportedCatalogStatement(ValueError):
 # Spark: (verb regex capturing the dotted target, supported grammar)
 _ALIAS_GUARD_RES: "list[tuple[re.Pattern, str]]" = [
     (re.compile(r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE),
-     "MERGE INTO alias.ns.t [AS] x USING (<query>)|<table> [AS] y "
+     "MERGE INTO alias.ns.t [FOR BRANCH b] [AS] x USING "
+     "(<query>)|<table> [AS] y "
      "[ON x.k = y.k [AND ...]] [WHEN MATCHED [AND <cond>] THEN DELETE] "
-     "[WHEN MATCHED THEN UPDATE SET c = expr, ...] "
+     "[WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ...] "
      "[WHEN NOT MATCHED [AND <cond>] THEN INSERT [*]]"),
     (re.compile(r"^\s*OPTIMIZE\s+([A-Za-z_][\w.]*)", re.IGNORECASE),
      "OPTIMIZE alias.ns.t [ZORDER BY (col, ...)]"),
@@ -337,7 +367,8 @@ _ALIAS_GUARD_RES: "list[tuple[re.Pattern, str]]" = [
      "ALTER TABLE alias.ns.t ADD COLUMN c type | RENAME COLUMN a TO b "
      "| DROP COLUMN c | ALTER COLUMN c TYPE t | ADD/DROP PARTITION "
      "FIELD f | SET IDENTIFIER FIELDS (c, ...) | RENAME TO [ns.]t2 "
-     "| ROLLBACK TO SNAPSHOT n"),
+     "| ROLLBACK TO SNAPSHOT n | CREATE/DROP TAG|BRANCH name "
+     "| FAST FORWARD main TO branch"),
     (re.compile(
         r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)",
         re.IGNORECASE),
@@ -354,9 +385,10 @@ _ALIAS_GUARD_RES: "list[tuple[re.Pattern, str]]" = [
                 re.IGNORECASE),
      "DROP SCHEMA [IF EXISTS] alias.ns [CASCADE]"),
     (re.compile(r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)", re.IGNORECASE),
-     "DELETE FROM alias.ns.t [WHERE <pred>]"),
+     "DELETE FROM alias.ns.t [FOR BRANCH b] [WHERE <pred>]"),
     (re.compile(r"^\s*UPDATE\s+([A-Za-z_][\w.]*)", re.IGNORECASE),
-     "UPDATE alias.ns.t SET c = expr[, ...] [WHERE <pred>]"),
+     "UPDATE alias.ns.t [FOR BRANCH b] SET c = expr[, ...] "
+     "[WHERE <pred>]"),
 ]
 
 
@@ -374,7 +406,8 @@ _ALTER_CAT_RE = re.compile(
     r"|ROLLBACK\s+TO\s+SNAPSHOT\s+(\d+)"
     r"|CREATE\s+(TAG|BRANCH)\s+(\w+)"
     r"(?:\s+AS\s+OF\s+SNAPSHOT\s+(\d+))?"
-    r"|DROP\s+(TAG|BRANCH)\s+(\w+))\s*;?\s*$",
+    r"|DROP\s+(TAG|BRANCH)\s+(\w+)"
+    r"|FAST\s+FORWARD\s+main\s+TO\s+(\w+))\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -1118,6 +1151,10 @@ class GlareSession:
                 )
                 msg = f"attached {attach.group(2)}"
             return self.spark.range(1).select(F.lit(msg).alias("status"))
+        # FOR BRANCH <b> (r15): strip once here so every DML regex and
+        # handler below sees the canonical statement; the branch
+        # threads through as a kwarg
+        query, dml_branch = _extract_for_branch(query)
         dml = _DELETE_CAT_RE.match(query)
         if dml:
             # DELETE FROM <attached-alias>.<ns...>.<table> WHERE pred —
@@ -1136,6 +1173,7 @@ class GlareSession:
                 n, _f = _ir.delete_table_rows(
                     self.spark, endpoint, ns, dml.group(3),
                     dml.group(4) or "true", token=token,
+                    branch=dml_branch,
                 )
                 return self.spark.range(1).select(
                     F.lit(n).cast("bigint").alias("Count")
@@ -1167,6 +1205,7 @@ class GlareSession:
                 n, _f = _ir.update_table_rows(
                     self.spark, endpoint, ns, dml.group(3), sets,
                     dml.group(5) or "true", token=token,
+                    branch=dml_branch,
                 )
                 return self.spark.range(1).select(
                     F.lit(n).cast("bigint").alias("Count")
@@ -1188,12 +1227,17 @@ class GlareSession:
 
                 n, _ = _del(self.spark, path,
                             dml.group(4) or "true",
-                            strategy=strategy)
+                            strategy=strategy, branch=dml_branch)
             else:
                 if dml.group(3):
                     raise ValueError(
                         "strategy= applies to iceberg tables; Delta "
                         "row-level deletes use deletion vectors"
+                    )
+                if dml_branch:
+                    raise ValueError(
+                        "FOR BRANCH requires an iceberg table (Delta "
+                        "has no branch refs)"
                     )
                 from glaredb_spark.sources.delta_native import (
                     delete_delta_native as _del,
@@ -1226,12 +1270,17 @@ class GlareSession:
 
                 n, _ = _upd(self.spark, path, sets,
                             dml.group(5) or "true",
-                            strategy=strategy)
+                            strategy=strategy, branch=dml_branch)
             else:
                 if dml.group(3):
                     raise ValueError(
                         "strategy= applies to iceberg tables; Delta "
                         "row-level deletes use deletion vectors"
+                    )
+                if dml_branch:
+                    raise ValueError(
+                        "FOR BRANCH requires an iceberg table (Delta "
+                        "has no branch refs)"
                     )
                 from glaredb_spark.sources.delta_native import (
                     update_delta_native as _upd,
@@ -1244,11 +1293,12 @@ class GlareSession:
             )
         dml = _MERGE_PATH_RE.match(query)
         if dml:
-            return self._run_merge(dml, query)
+            return self._run_merge(dml, query, branch=dml_branch)
         dml = _MERGE_CAT_RE.match(query)
         if dml and self._catalog_dml_target(dml.group(1).split(".")[0]):
             return self._run_merge(
-                dml, query, catalog=self._catalog_ref(dml.group(1))
+                dml, query, catalog=self._catalog_ref(dml.group(1)),
+                branch=dml_branch,
             )
         m = _OPTIMIZE_CAT_RE.match(query)
         if m:
@@ -1514,6 +1564,20 @@ class GlareSession:
 
                 _dref(path, m.group(17))
                 msg = f"dropped {m.group(16).lower()} {m.group(17)}"
+            elif m.group(18):  # FAST FORWARD main TO <branch> (r15)
+                if kind != "iceberg":
+                    raise ValueError(
+                        "FAST FORWARD requires an iceberg table"
+                    )
+                from glaredb_spark.sources.iceberg_native import (
+                    fast_forward_iceberg_native as _ff,
+                )
+
+                sid = _ff(path, m.group(18))
+                msg = (
+                    f"fast-forwarded main to {m.group(18)} "
+                    f"(snapshot {sid})"
+                )
             else:  # DROP PARTITION FIELD (iceberg only)
                 if kind != "iceberg":
                     raise ValueError(
@@ -1607,15 +1671,29 @@ class GlareSession:
                     src = src.persist()
                     try:
                         n = src.count()
-                        _ir.append_table(
-                            self.spark, endpoint, ns, parts[-1], src,
-                            token=token,
-                        )
+                        if dml_branch:
+                            # INSERT ... FOR BRANCH (r15): the append
+                            # advances only the branch ref (WAP)
+                            _ir.append_branch_table(
+                                self.spark, endpoint, ns, parts[-1],
+                                src, dml_branch, token=token,
+                            )
+                        else:
+                            _ir.append_table(
+                                self.spark, endpoint, ns, parts[-1],
+                                src, token=token,
+                            )
                     finally:
                         src.unpersist()
                     return self.spark.range(1).select(
                         F.lit(n).cast("bigint").alias("Count")
                     )
+            if dml_branch:
+                raise ValueError(
+                    "INSERT ... FOR BRANCH targets an ATTACHed "
+                    "iceberg catalog table (alias.ns.t); path tables "
+                    "branch-append via append_branch_iceberg_native"
+                )
             if re.match(r"(VALUES|SELECT|WITH|TABLE|FROM)\b", source, re.IGNORECASE):
                 # single pass: the inserted-row Count (reference
                 # PhysicalInsert, insert.rs:33) rides along the write via
@@ -1819,6 +1897,14 @@ class GlareSession:
                 endpoint, ns, tbl, m.group(18), token=token
             )
             msg = f"dropped {m.group(17).lower()} {m.group(18)}"
+        elif m.group(19):  # FAST FORWARD main TO <branch> (r15)
+            sid = _ir.fast_forward_table(
+                endpoint, ns, tbl, m.group(19), token=token
+            )
+            msg = (
+                f"fast-forwarded main to {m.group(19)} "
+                f"(snapshot {sid})"
+            )
         else:  # DROP PARTITION FIELD
             sid = _ir.alter_drop_partition_field(
                 endpoint, ns, tbl, m.group(8).strip(), token=token
@@ -1943,6 +2029,12 @@ class GlareSession:
         if self._txn is None:
             return None
         # --- inside an open transaction ---
+        if _FOR_BRANCH_RE.match(query):
+            raise TransactionError(
+                "FOR BRANCH DML cannot buffer inside BEGIN ... COMMIT "
+                "(a transaction publishes main refs atomically; branch "
+                "writes are already isolated — run them outside)"
+            )
         ins = _INSERT_RE.match(query)
         if ins:
             parts = ins.group(1).split(".")
@@ -2010,9 +2102,28 @@ class GlareSession:
                 f"buffered update on {ns}.{dml.group(3)} "
                 f"({len(self._txn)} in transaction)"
             )
+        dml = _MERGE_CAT_RE.match(query)
+        if dml and self._catalog_dml_target(dml.group(1).split(".")[0]):
+            # MERGE inside BEGIN ... COMMIT (r15, VERDICT r14 #3): the
+            # statement parses NOW (source analyzed, arms normalized,
+            # identifier-field keys resolved) and buffers its args; at
+            # COMMIT the merge plans against whatever base the chain
+            # hands it, so it reads the transaction's own staged
+            # inserts/deletes like any other chained op
+            cat = self._catalog_ref(dml.group(1))
+            args = self._run_merge(dml, query, catalog=cat,
+                                   parse_only=True)
+            self._txn.append((
+                "merge", dml.group(1).split(".")[0], cat[2], cat[3],
+                args,
+            ))
+            return status(
+                f"buffered merge into {cat[2]}.{cat[3]} "
+                f"({len(self._txn)} in transaction)"
+            )
         verb = (re.match(r"\s*(\w+)", query) or [None, "?"])[1]
         raise TransactionError(
-            f"only INSERT INTO / DELETE FROM / UPDATE on "
+            f"only INSERT INTO / DELETE FROM / UPDATE / MERGE INTO on "
             f"<attached-alias>[.<namespace>].<table> targets, COMMIT, "
             f"and ROLLBACK are supported inside BEGIN ... COMMIT; got "
             f"{verb.upper()!r} (ROLLBACK to abandon the transaction)"
@@ -2065,6 +2176,8 @@ class GlareSession:
                 ops.append((ns, tbl, self._txn_insert_run(payload)))
             elif op == "delete":
                 ops.append((ns, tbl, self._txn_delete_run(payload)))
+            elif op == "merge":
+                ops.append((ns, tbl, self._txn_merge_run(payload)))
             else:
                 sets, pred = payload
                 ops.append((ns, tbl,
@@ -2135,6 +2248,30 @@ class GlareSession:
                 self.spark, loc, sets, predicate,
                 base_meta=base, commit_fn=commit,
             )
+
+        return run
+
+    def _txn_merge_run(self, args: dict):
+        """transaction_apply run for a buffered MERGE (r15): the COW
+        merge plans against the chain's base (so it sees the
+        transaction's own staged ops) and publishes through the chain
+        commit. Returns (updated + inserted,) so COMMIT's result rows
+        read Count uniformly."""
+        from glaredb_spark.sources.iceberg_native import (
+            merge_iceberg_native,
+        )
+
+        def run(loc, base, commit):
+            updated, inserted, _files = merge_iceberg_native(
+                self.spark, loc, args["source"], args["on"],
+                when_matched_update=args["when_matched"],
+                when_not_matched_insert=args["insert"],
+                base_meta=base, commit_fn=commit,
+                when_matched_delete=args["delete_cond"],
+                when_not_matched_condition=args["insert_cond"],
+                when_matched_update_condition=args["update_cond"],
+            )
+            return (updated + inserted,)
 
         return run
 
@@ -2223,7 +2360,9 @@ class GlareSession:
         )
 
     def _run_merge(self, m: "re.Match", query: str,
-                   catalog: "tuple | None" = None) -> DataFrame:
+                   catalog: "tuple | None" = None,
+                   branch: "str | None" = None,
+                   parse_only: bool = False):
         """MERGE INTO '<table-dir>' t USING src s ON t.k = s.k [AND ...]
         [WHEN MATCHED THEN UPDATE SET ...] [WHEN NOT MATCHED THEN
         INSERT [*]] — the SQL surface over the native COW upsert
@@ -2244,6 +2383,11 @@ class GlareSession:
         else:
             kind = _native_table_kind(path)
             if kind == "delta":
+                if branch:
+                    raise ValueError(
+                        "FOR BRANCH requires an iceberg table (Delta "
+                        "has no branch refs)"
+                    )
                 from glaredb_spark.sources.delta_native import (
                     merge_delta_native as _merge,
                 )
@@ -2352,6 +2496,9 @@ class GlareSession:
         delete_cond = whens["delete_cond"]
         if delete_cond:
             delete_cond = _norm_alias(delete_cond)
+        update_cond = whens["update_cond"]
+        if update_cond:
+            update_cond = _norm_alias(update_cond)
         insert_cond = whens["insert_cond"]
         if insert_cond:
             # evaluated over the BARE source relation (the writers'
@@ -2360,6 +2507,15 @@ class GlareSession:
                 rf"\b{re.escape(s_alias)}\s*\.", "", insert_cond,
                 flags=re.IGNORECASE,
             )
+        if parse_only:
+            # transaction buffering (r15): hand the fully-parsed merge
+            # args back so COMMIT can run them against the chain's base
+            return {
+                "source": source, "on": on,
+                "when_matched": when_matched or {},
+                "insert": insert, "delete_cond": delete_cond,
+                "insert_cond": insert_cond, "update_cond": update_cond,
+            }
         if catalog is not None:
             from glaredb_spark.sources import iceberg_rest as _ir
 
@@ -2370,14 +2526,19 @@ class GlareSession:
                 when_not_matched_insert=insert, token=token,
                 when_matched_delete=delete_cond,
                 when_not_matched_condition=insert_cond,
+                when_matched_update_condition=update_cond,
+                branch=branch,
             )
         else:
+            kw = {"branch": branch} if kind == "iceberg" else {}
             updated, inserted, _files = _merge(
                 self.spark, path, source, on,
                 when_matched_update=when_matched or {},
                 when_not_matched_insert=insert,
                 when_matched_delete=delete_cond,
                 when_not_matched_condition=insert_cond,
+                when_matched_update_condition=update_cond,
+                **kw,
             )
         return self.spark.range(1).select(
             F.lit(updated + inserted).cast("bigint").alias("Count")

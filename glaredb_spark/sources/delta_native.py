@@ -2387,6 +2387,7 @@ def merge_delta_native(
     txn: "tuple[str, int] | None" = None,
     when_matched_delete: str | None = None,
     when_not_matched_condition: str | None = None,
+    when_matched_update_condition: str | None = None,
 ) -> tuple[int, int, int]:
     """MERGE (upsert) into a native Delta table: target rows whose key
     matches a source row get ``when_matched_update`` applied (SQL
@@ -2402,6 +2403,12 @@ def merge_delta_native(
     (delta-spark's WHEN NOT MATCHED AND <cond> THEN INSERT): unmatched
     source rows failing it are dropped — e.g. a group created and fully
     deleted within one changelog batch must not materialize.
+    ``when_matched_update_condition`` (r15) is a SQL predicate over
+    ``t.``/``s.`` columns gating the UPDATE arm (delta-spark's WHEN
+    MATCHED AND <cond> THEN UPDATE): matched rows failing it (or NULL)
+    keep their values — unless the delete arm selects them, which
+    still wins (clause order). When given, ``updated_rows`` counts
+    only rows an arm actually affected.
     Returns (updated_rows, inserted_rows, files_rewritten);
     ``updated_rows`` counts matched rows whether updated or deleted.
 
@@ -2525,13 +2532,23 @@ def merge_delta_native(
                 )
                 if when_matched_delete else F.lit(False)
             )
+            # conditional UPDATE arm (r15): same contract as the
+            # Iceberg writer — rows failing the condition keep their
+            # values; delete wins over update
+            upd = (
+                F.coalesce(
+                    F.expr(when_matched_update_condition), F.lit(False)
+                )
+                if when_matched_update_condition else F.lit(True)
+            )
             out_cols = []
             for c in cols:
                 if c in on:
                     out_cols.append(F.col(f"t.{c}").alias(c))
                 elif c in when_matched_update:
                     out_cols.append(
-                        F.when(matched, F.expr(when_matched_update[c]))
+                        F.when(matched & upd,
+                               F.expr(when_matched_update[c]))
                         .otherwise(F.col(f"t.{c}"))
                         .cast(schema[c].dataType)
                         .alias(c)
@@ -2539,8 +2556,16 @@ def merge_delta_native(
                 else:
                     out_cols.append(F.col(f"t.{c}").alias(c))
             pieces.append(joined.filter(~drop).select(*out_cols))
+            if when_matched_update_condition:
+                # gated update arm: the probe's matched count
+                # over-reports — count only rows an arm affected
+                updated = joined.filter(
+                    matched & (drop | (upd & F.lit(
+                        bool(when_matched_update)
+                    )))
+                ).count()
             if _cdf_enabled(state):
-                m = joined.filter(matched & ~drop)
+                m = joined.filter(matched & ~drop & upd)
                 pre = m.select(
                     *[F.col(f"t.{c}").alias(c) for c in cols]
                 ).withColumn("_change_type", F.lit("update_preimage"))

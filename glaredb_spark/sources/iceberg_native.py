@@ -3807,9 +3807,9 @@ def create_ref_iceberg_native(
     KB-scale metadata commit. Pinned snapshots are exempt from
     expiration (the whole point of a tag), so VACUUM keeps their files
     readable; ``read_iceberg_native(..., ref=name)`` scans the pinned
-    snapshot. Branch WRITES are out of scope — this engine writes the
-    main branch only; a branch here is a named read pointer that a
-    future writer could advance."""
+    snapshot. Branches are WRITABLE: ``append_branch_iceberg_native``
+    advances the branch head, and DELETE/UPDATE/MERGE take ``branch=``
+    to plan COW rewrites against it (r15) — only tags are immutable."""
     if kind not in ("tag", "branch"):
         raise IcebergError(f"ref kind must be tag|branch, got {kind!r}")
     if name == "main":
@@ -3842,6 +3842,62 @@ def create_ref_iceberg_native(
     return snapshot_id
 
 
+def _branch_write_iceberg_native(
+    table_path: str, branch: str, base_meta: "dict | None",
+    commit_fn, run,
+):
+    """Shared branch-WRITE core (r15, generalizes the r14 branch
+    append): validate ``branch``, build a virtual base whose current
+    snapshot is the branch HEAD (so the write closure plans, parents,
+    and carries forward manifests off the branch tip, not main), run
+    ``run(vbase, capture_commit)``, then restore main and advance ONLY
+    the branch ref before committing. Main readers never see the
+    result until a fast-forward/rollback moves main; a branch snapshot
+    is NOT a main-history event, so any snapshot-log entry the closure
+    appended for it is stripped. If the closure publishes nothing
+    (0-match DML), nothing commits. Returns the closure's result."""
+    table_path = os.path.abspath(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
+    ref = (meta.get("refs") or {}).get(branch)
+    if ref is None:
+        raise IcebergError(
+            f"no branch named {branch!r}; ALTER TABLE ... CREATE "
+            f"BRANCH {branch} first"
+        )
+    if ref.get("type") != "branch":
+        raise IcebergError(f"{branch!r} is a tag; tags are immutable")
+    head = int(ref["snapshot-id"])
+    main_cur = meta.get("current-snapshot-id")
+    vbase = dict(meta)
+    vbase["current-snapshot-id"] = head
+    captured: dict = {}
+    result = run(vbase, lambda nm: captured.update(meta=nm))
+    if "meta" not in captured:
+        return result  # closure published no snapshot (e.g. 0 matches)
+    nm = captured["meta"]
+    sid = int(nm["current-snapshot-id"])
+    # restore main; advance ONLY the branch ref
+    nm["current-snapshot-id"] = main_cur
+    refs = {k: dict(v) for k, v in (nm.get("refs") or {}).items()}
+    refs[branch] = {"snapshot-id": sid, "type": "branch"}
+    if main_cur is not None and int(main_cur) != -1:
+        refs["main"] = {"snapshot-id": int(main_cur), "type": "branch"}
+    else:
+        refs.pop("main", None)
+    nm["refs"] = refs
+    slog = nm.get("snapshot-log")
+    if slog and int(slog[-1].get("snapshot-id", -1) or -1) == sid:
+        nm["snapshot-log"] = slog[:-1]
+    if commit_fn is not None:
+        commit_fn(nm)
+        return result
+    _write_metadata_version(
+        os.path.join(table_path, "metadata"), nm,
+        version=_metadata_version(table_path) + 1,
+    )
+    return result
+
+
 def append_branch_iceberg_native(
     df, table_path: str, branch: str,
     base_meta: "dict | None" = None, commit_fn=None,
@@ -3866,37 +3922,87 @@ def append_branch_iceberg_native(
         )
     if ref.get("type") != "branch":
         raise IcebergError(f"{branch!r} is a tag; tags are immutable")
-    head = int(ref["snapshot-id"])
-    main_cur = meta.get("current-snapshot-id")
-    # plan the append AGAINST THE BRANCH HEAD: a virtual base whose
-    # current snapshot is the branch tip gives commit_staged_append the
-    # right parent and carry-forward manifest set
-    vbase = dict(meta)
-    vbase["current-snapshot-id"] = head
     staged = stage_append_iceberg_native(df, table_path, meta)
-    captured: dict = {}
-    sid = commit_staged_append_iceberg_native(
-        table_path, vbase, staged,
-        commit_fn=lambda nm: captured.update(meta=nm),
-    )
-    nm = captured["meta"]
-    # restore main; advance ONLY the branch ref
-    nm["current-snapshot-id"] = main_cur
-    refs = {k: dict(v) for k, v in (nm.get("refs") or {}).items()}
-    refs[branch] = {"snapshot-id": int(sid), "type": "branch"}
-    if main_cur is not None and int(main_cur) != -1:
-        refs["main"] = {"snapshot-id": int(main_cur), "type": "branch"}
-    else:
-        refs.pop("main", None)
-    nm["refs"] = refs
+    return int(_branch_write_iceberg_native(
+        table_path, branch, meta, commit_fn,
+        lambda vbase, cap: commit_staged_append_iceberg_native(
+            table_path, vbase, staged, commit_fn=cap,
+        ),
+    ))
+
+
+def fast_forward_iceberg_native(
+    table_path: str, branch: str,
+    base_meta: "dict | None" = None, commit_fn=None,
+) -> int:
+    """ALTER TABLE ... FAST FORWARD main TO <branch> (r15, the publish
+    half of write-audit-publish): move the MAIN ref to the branch head
+    in one KB-scale metadata commit — no data moves, branch snapshots
+    simply become main's. Refuses unless main's current snapshot is an
+    ANCESTOR of the branch head (the spec's fast-forward condition): if
+    main advanced since the branch forked, publishing would silently
+    drop those commits — rebase the branch (re-run its writes) instead.
+    The branch ref survives the publish (drop it separately when done).
+    Returns the new main snapshot id."""
+    import time
+
+    table_path = os.path.abspath(table_path)
+    meta = base_meta if base_meta is not None else table_metadata(table_path)
+    ref = (meta.get("refs") or {}).get(branch)
+    if ref is None:
+        raise IcebergError(f"no branch named {branch!r}")
+    if ref.get("type") != "branch":
+        raise IcebergError(
+            f"{branch!r} is a tag; FAST FORWARD publishes a branch"
+        )
+    head = int(ref["snapshot-id"])
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and int(cur) != -1:
+        cur = int(cur)
+        if cur == head:
+            return head  # already published: nothing to commit
+        # ancestry walk: branch head -> parents must reach main's tip
+        by_id = {
+            int(s.get("snapshot-id", 0) or 0): s
+            for s in meta.get("snapshots") or []
+        }
+        node, seen = by_id.get(head), set()
+        ok = False
+        while node is not None:
+            nid = int(node.get("snapshot-id", 0) or 0)
+            if nid in seen:
+                break  # defensive: corrupt parent cycle
+            seen.add(nid)
+            if nid == cur:
+                ok = True
+                break
+            parent = node.get("parent-snapshot-id")
+            node = by_id.get(int(parent)) if parent is not None else None
+        if not ok:
+            raise IcebergError(
+                f"cannot fast-forward main to {branch!r}: main moved "
+                f"since the branch forked (snapshot {cur} is not an "
+                f"ancestor of branch head {head}) — rebase the branch "
+                "or ROLLBACK main first"
+            )
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = head
+    refs = {k: dict(v) for k, v in (meta.get("refs") or {}).items()}
+    refs["main"] = {"snapshot-id": head, "type": "branch"}
+    new_meta["refs"] = refs
+    # the publish IS a main-history event (same contract as rollback)
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": int(time.time() * 1000), "snapshot-id": head}
+    ]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
     if commit_fn is not None:
-        commit_fn(nm)
-        return int(sid)
+        commit_fn(new_meta)
+        return head
     _write_metadata_version(
-        os.path.join(table_path, "metadata"), nm,
+        os.path.join(table_path, "metadata"), new_meta,
         version=_metadata_version(table_path) + 1,
     )
-    return int(sid)
+    return head
 
 
 def drop_ref_iceberg_native(
@@ -4389,6 +4495,8 @@ def merge_iceberg_native(
     base_meta=None, commit_fn=None,
     when_matched_delete: str | None = None,
     when_not_matched_condition: str | None = None,
+    when_matched_update_condition: str | None = None,
+    branch: "str | None" = None,
 ) -> tuple[int, int, int]:
     """MERGE (upsert) into a native Iceberg v1 table — the Iceberg
     counterpart of delta_native.merge_delta_native: target rows whose
@@ -4407,9 +4515,32 @@ def merge_iceberg_native(
     snapshot. Scale: the probe and the rewrite join shuffle on the
     merge keys — the exchange any engine's MERGE performs; the source
     is typically the small side and broadcasts under AQE. Returns
-    (updated_rows, inserted_rows, files_rewritten)."""
+    (updated_rows, inserted_rows, files_rewritten).
+
+    ``when_matched_update_condition`` (r15): a SQL predicate over
+    ``t.``/``s.`` columns gating the UPDATE arm (``WHEN MATCHED AND
+    <cond> THEN UPDATE``, same clause-order contract as the Delta
+    writer): matched rows failing it (or NULL) keep their values —
+    unless the delete arm selects them, which still wins. When given,
+    ``updated_rows`` counts only rows an arm actually affected.
+
+    ``branch=`` (r15): plan against the branch head and advance only
+    the branch ref (write-audit-publish; see delete_iceberg_native)."""
     from pyspark.sql import functions as F
 
+    if branch is not None:
+        return _branch_write_iceberg_native(
+            table_path, branch, base_meta, commit_fn,
+            lambda vbase, cap: merge_iceberg_native(
+                spark, table_path, source, on,
+                when_matched_update=when_matched_update,
+                when_not_matched_insert=when_not_matched_insert,
+                base_meta=vbase, commit_fn=cap,
+                when_matched_delete=when_matched_delete,
+                when_not_matched_condition=when_not_matched_condition,
+                when_matched_update_condition=when_matched_update_condition,
+            ),
+        )
     table_path = os.path.abspath(table_path)
     meta = base_meta if base_meta is not None else table_metadata(table_path)
     pfields = _partition_fields(meta)
@@ -4541,19 +4672,37 @@ def merge_iceberg_native(
                 )
                 if when_matched_delete else F.lit(False)
             )
+            # conditional UPDATE arm (r15): matched rows failing the
+            # condition (or NULL — clause does not apply) keep their
+            # values; delete still wins over update (clause order)
+            upd = (
+                F.coalesce(
+                    F.expr(when_matched_update_condition), F.lit(False)
+                )
+                if when_matched_update_condition else F.lit(True)
+            )
             out_cols = []
             for c in cols:
                 if c in on:
                     out_cols.append(F.col(f"t.{c}").alias(c))
                 elif c in when_matched_update:
                     out_cols.append(
-                        F.when(matched, F.expr(when_matched_update[c]))
+                        F.when(matched & upd,
+                               F.expr(when_matched_update[c]))
                         .otherwise(F.col(f"t.{c}"))
                         .alias(c)
                     )
                 else:
                     out_cols.append(F.col(f"t.{c}").alias(c))
             pieces.append(joined.filter(~drop).select(*out_cols))
+            if when_matched_update_condition:
+                # with a gated update arm the probe's matched count
+                # over-reports: count only rows an arm affected
+                updated = joined.filter(
+                    matched & (drop | (upd & F.lit(
+                        bool(when_matched_update)
+                    )))
+                ).count()
         out = pieces[0]
         for df in pieces[1:]:
             out = out.unionByName(df)
@@ -4580,9 +4729,16 @@ def merge_iceberg_native(
 
 def delete_iceberg_native(
     spark, table_path: str, predicate: str, strategy: str = "auto",
-    base_meta=None, commit_fn=None,
+    base_meta=None, commit_fn=None, branch: "str | None" = None,
 ) -> tuple[int, int]:
     """DELETE rows matching ``predicate`` (SQL expression).
+
+    ``branch=`` (r15): plan the delete against the BRANCH head and
+    advance only the branch ref — main readers never see it until a
+    FAST FORWARD publishes the branch (write-audit-publish). The
+    strategy auto-pick and the file probe both evaluate against the
+    branch's snapshot, so a delete touching only branch-appended files
+    rewrites only those.
 
     ``strategy="cow"``: copy-on-write — only files containing matches
     are rewritten into a new "delete" snapshot.
@@ -4597,6 +4753,14 @@ def delete_iceberg_native(
     ``strategy="auto"`` (default): MoR on tables that already carry
     position deletes (COW would refuse them), COW otherwise. Returns
     (rows_deleted, files_touched_or_written)."""
+    if branch is not None:
+        return _branch_write_iceberg_native(
+            table_path, branch, base_meta, commit_fn,
+            lambda vbase, cap: delete_iceberg_native(
+                spark, table_path, predicate, strategy=strategy,
+                base_meta=vbase, commit_fn=cap,
+            ),
+        )
     if strategy == "auto":
         strategy = (
             "mor" if _has_position_deletes(table_path, meta=base_meta)
@@ -4824,6 +4988,7 @@ def _update_with_position_files(
 def update_iceberg_native(
     spark, table_path: str, sets: dict, predicate: str,
     strategy: str = "auto", base_meta=None, commit_fn=None,
+    branch: "str | None" = None,
 ) -> tuple[int, int]:
     """UPDATE: rows matching ``predicate`` get the ``sets``
     column->SQL-expression assignments. ``strategy="cow"`` rewrites
@@ -4832,9 +4997,21 @@ def update_iceberg_native(
     same snapshot (v2 tables; see _update_with_position_files);
     ``strategy="auto"`` picks MoR once the table carries position
     deletes (COW refuses them) and COW otherwise. Returns
-    (rows_updated, files_rewritten_or_delete_files)."""
+    (rows_updated, files_rewritten_or_delete_files).
+
+    ``branch=`` (r15): same write-audit-publish contract as
+    delete_iceberg_native — plan against the branch head, advance only
+    the branch ref."""
     from pyspark.sql import functions as F
 
+    if branch is not None:
+        return _branch_write_iceberg_native(
+            table_path, branch, base_meta, commit_fn,
+            lambda vbase, cap: update_iceberg_native(
+                spark, table_path, sets, predicate, strategy=strategy,
+                base_meta=vbase, commit_fn=cap,
+            ),
+        )
     if strategy == "auto":
         strategy = (
             "mor" if _has_position_deletes(table_path, meta=base_meta)

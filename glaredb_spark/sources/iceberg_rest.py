@@ -623,17 +623,26 @@ def _dml_with_retry(endpoint: str, namespace: str, table: str,
 def delete_table_rows(spark, endpoint: str, namespace: str, table: str,
                       predicate: str, strategy: str = "auto",
                       token: str | None = None,
-                      max_retries: int = 3) -> tuple[int, int]:
+                      max_retries: int = 3,
+                      branch: "str | None" = None) -> tuple[int, int]:
     """DELETE rows of a catalog table (COW or MoR position deletes per
     ``strategy``) — planned against the catalog's current metadata,
-    committed through optimistic commitTable."""
+    committed through optimistic commitTable. ``branch=`` (r15) plans
+    against the branch head and advances only the branch ref
+    (write-audit-publish; the commit travels as add-snapshot +
+    set-snapshot-ref on the branch)."""
     from glaredb_spark.sources.iceberg_native import delete_iceberg_native
 
     return _dml_with_retry(
         endpoint, namespace, table, token, max_retries,
         lambda loc, base, commit: delete_iceberg_native(
             spark, loc, predicate, strategy=strategy,
-            base_meta=base, commit_fn=commit,
+            base_meta=base, commit_fn=commit, branch=branch,
+        ),
+        # a branch write must NOT move main: the diff hook expresses it
+        # as add-snapshot + set-snapshot-ref on the branch only
+        commit_factory=(
+            _metadata_commit_fn_for if branch is not None else None
         ),
     )
 
@@ -641,16 +650,21 @@ def delete_table_rows(spark, endpoint: str, namespace: str, table: str,
 def update_table_rows(spark, endpoint: str, namespace: str, table: str,
                       sets: dict, predicate: str, strategy: str = "auto",
                       token: str | None = None,
-                      max_retries: int = 3) -> tuple[int, int]:
+                      max_retries: int = 3,
+                      branch: "str | None" = None) -> tuple[int, int]:
     """UPDATE rows of a catalog table (COW rewrite or MoR
-    delete+reinsert) through optimistic commitTable."""
+    delete+reinsert) through optimistic commitTable. ``branch=`` (r15):
+    see delete_table_rows."""
     from glaredb_spark.sources.iceberg_native import update_iceberg_native
 
     return _dml_with_retry(
         endpoint, namespace, table, token, max_retries,
         lambda loc, base, commit: update_iceberg_native(
             spark, loc, sets, predicate, strategy=strategy,
-            base_meta=base, commit_fn=commit,
+            base_meta=base, commit_fn=commit, branch=branch,
+        ),
+        commit_factory=(
+            _metadata_commit_fn_for if branch is not None else None
         ),
     )
 
@@ -873,12 +887,15 @@ def merge_table(spark, endpoint: str, namespace: str, table: str,
                 max_retries: int = 3,
                 when_matched_delete: "str | None" = None,
                 when_not_matched_condition: "str | None" = None,
+                when_matched_update_condition: "str | None" = None,
+                branch: "str | None" = None,
                 ) -> tuple[int, int, int]:
     """COW MERGE (update/delete-or-insert with SQL expressions) into a
     catalog table through optimistic commitTable — the COW twin of
     upsert_table's equality-delete path (r13: merge was the one DML
     missing catalog routing; r14: + matched-DELETE and conditional
-    insert, parity with the Delta writer)."""
+    insert, parity with the Delta writer; r15: + conditional
+    matched-UPDATE and ``branch=`` targeting)."""
     from glaredb_spark.sources.iceberg_native import merge_iceberg_native
 
     return _dml_with_retry(
@@ -890,6 +907,11 @@ def merge_table(spark, endpoint: str, namespace: str, table: str,
             base_meta=base, commit_fn=commit,
             when_matched_delete=when_matched_delete,
             when_not_matched_condition=when_not_matched_condition,
+            when_matched_update_condition=when_matched_update_condition,
+            branch=branch,
+        ),
+        commit_factory=(
+            _metadata_commit_fn_for if branch is not None else None
         ),
     )
 
@@ -1160,6 +1182,28 @@ def rollback_table(endpoint: str, namespace: str, table: str,
         endpoint, namespace, table, token, max_retries,
         lambda loc, base, commit: rollback_iceberg_native(
             loc, snapshot_id, base_meta=base, commit_fn=commit,
+        ),
+    )
+
+
+def fast_forward_table(endpoint: str, namespace: str, table: str,
+                       branch: str, token: str | None = None,
+                       max_retries: int = 3) -> int:
+    """FAST FORWARD a catalog table's main ref to a branch head through
+    commitTable (r15, the publish half of write-audit-publish): the
+    metadata-diff hook expresses the move as assert-ref +
+    set-snapshot-ref on main with NO added snapshots — the ancestry
+    check runs against each retry's fresh base, so a main commit racing
+    the publish turns it into the named refusal instead of a silent
+    drop."""
+    from glaredb_spark.sources.iceberg_native import (
+        fast_forward_iceberg_native,
+    )
+
+    return _ddl_with_retry(
+        endpoint, namespace, table, token, max_retries,
+        lambda loc, base, commit: fast_forward_iceberg_native(
+            loc, branch, base_meta=base, commit_fn=commit,
         ),
     )
 

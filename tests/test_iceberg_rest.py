@@ -1617,7 +1617,7 @@ def test_alias_statement_guard_named_errors(spark, catalog, tmp_path):
                            match="VACUUM alias.ns.t"):
             sess.sql("VACUUM icgd.gd.t RETAIN abc HOURS")
         with pytest.raises(UnsupportedCatalogStatement,
-                           match="UPDATE alias.ns.t SET"):
+                           match=r"UPDATE alias.ns.t \[FOR BRANCH b\] SET"):
             sess.sql("UPDATE icgd.gd.t FROBNICATE")
         # non-alias targets still fall through untouched: a local temp
         # view UPDATE dies in Spark, not in the guard
