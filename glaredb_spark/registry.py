@@ -97,10 +97,11 @@ GATE_PRIORITY: list[str] = [
     # yields its slot to the round's new REST catalog lifecycle row
     # (iceberg_rest_catalog below); stays in the local strict gate
     "tpch_q17", "tpch_q18", "tpch_q21",
-    # r7/r8 lakehouse DML surface, first driver rows: identity-partitioned
-    # Iceberg DML (r7, local-only evidence until now), columnMapping Delta
-    # DML, and bucket-transform Iceberg DML (both r8)
-    "iceberg_partitioned_dml",
+    # r15 rotation: iceberg_partitioned_dml — long-green since r7;
+    # identity COW DML stays sampled by iceberg_rest_maintenance's
+    # catalog COW delete and the new WAP row's branch delete/update/
+    # merge (all COW rewrites), and it stays in the local strict gate
+    # every round — yields its slot to iceberg_wap_branch below
     "delta_mapped_dml",
     "iceberg_bucket_dml",
     # r9 rotation: iceberg_dml_roundtrip (green r8) yields its slot to the
@@ -138,6 +139,11 @@ GATE_PRIORITY: list[str] = [
     # commitTransaction, ROLLBACK discarding; snapshot-count asserts
     # prove the rollback left nothing and same-table inserts unioned
     "iceberg_rest_txn",
+    # r15 (VERDICT r14 #1): write-audit-publish — branch INSERT +
+    # DELETE + conditional-update MERGE committing on the branch ref
+    # only, main provably frozen, then FAST FORWARD publishing the
+    # branch through commitTable; DuckDB oracle on the published state
+    "iceberg_wap_branch",
     # r14 (VERDICT r13 #7): one of the 99 value-differential TPC-DS
     # queries promoted into the gate — q88 verbatim on the
     # FK-correlated differential fixture, DuckDB oracle reading the
