@@ -131,9 +131,22 @@ def oauth_token(endpoint: str, credential: str) -> str:
     tok = payload.get("access_token")
     if not tok:
         raise IcebergRestError("token endpoint returned no access_token")
-    ttl = max(float(payload.get("expires_in") or 3600) - 60.0, 30.0)
+    # cache for the advertised lifetime minus a 60 s refresh margin;
+    # short-lived tokens (expires_in <= 2 min) cache for half their
+    # life instead — a flat 30 s floor outlived a 60 s token (r15,
+    # what the expiry-aware catalog STREAMS lean on)
+    exp = float(payload.get("expires_in") or 3600)
+    ttl = max(exp - 60.0, 30.0) if exp > 120 else max(exp / 2.0, 1.0)
     _TOKEN_CACHE[key] = (tok, time.monotonic() + ttl)
     return tok
+
+
+def invalidate_token(endpoint: str, credential: str) -> None:
+    """Drop a cached bearer so the next resolve_auth re-exchanges —
+    the 401-recovery hook for callers holding a credential (r15: the
+    catalog streams' planning path uses this when a server revokes
+    tokens before the client cache expires)."""
+    _TOKEN_CACHE.pop((endpoint.rstrip("/"), credential), None)
 
 
 def resolve_auth(endpoint: str, token: str | None = None,

@@ -34,16 +34,23 @@ _SEP = "\x1f"
 class IcebergRestEmulator:
     def __init__(self, warehouse: str, prefix: str = "w1",
                  token: str | None = None, page_size: int = 100,
-                 credentials: dict | None = None) -> None:
+                 credentials: dict | None = None,
+                 token_ttl: int = 3600) -> None:
         self.warehouse = warehouse
         self.prefix = prefix
         self.token = token
         self.page_size = page_size
         # OAuth2 client-credentials flow (POST /v1/oauth/tokens):
         # client_id -> client_secret; a successful exchange mints a
-        # deterministic bearer accepted like a static token
+        # deterministic bearer accepted like a static token.
+        # token_ttl is the advertised expires_in; revoke_tokens()
+        # invalidates every minted bearer (simulated expiry — the next
+        # exchange mints a generation-suffixed token, so a stale
+        # bearer is distinguishable from a refreshed one)
         self.credentials = credentials or {}
+        self.token_ttl = int(token_ttl)
         self._minted: set[str] = set()
+        self._token_gen = 0
         # ns tuple -> properties
         self.namespaces: dict[tuple, dict] = {}
         # (ns tuple, name) -> current metadata file path
@@ -55,6 +62,14 @@ class IcebergRestEmulator:
 
     def add_namespace(self, namespace: str, properties: dict | None = None):
         self.namespaces[tuple(namespace.split("."))] = properties or {}
+
+    def revoke_tokens(self) -> None:
+        """Invalidate every minted OAuth bearer (simulated expiry):
+        requests carrying an old bearer 401 until the client
+        re-exchanges its credential, which mints a new
+        generation-suffixed token."""
+        self._minted.clear()
+        self._token_gen += 1
 
     def register(self, namespace: str, name: str, metadata_location: str):
         if not os.path.exists(metadata_location):
@@ -542,11 +557,14 @@ class IcebergRestEmulator:
                         self._err(401, "NotAuthorizedException",
                                   "invalid client credentials")
                         return
-                    tok = f"emu-token-{cid}"
+                    tok = (
+                        f"emu-token-{cid}" if emu._token_gen == 0
+                        else f"emu-token-{cid}-g{emu._token_gen}"
+                    )
                     emu._minted.add(tok)
                     self._json(200, {"access_token": tok,
                                      "token_type": "bearer",
-                                     "expires_in": 3600})
+                                     "expires_in": emu.token_ttl})
                     return
                 if not self._auth_ok():
                     return

@@ -286,6 +286,7 @@ def iceberg_meta_for_options(options: dict) -> tuple[dict, str]:
         from glaredb_spark.sources.iceberg_rest import (
             _strip_file,
             load_table,
+            resolve_auth,
         )
 
         full = options.get("table") or ""
@@ -294,9 +295,28 @@ def iceberg_meta_for_options(options: dict) -> tuple[dict, str]:
             raise ValueError(
                 "catalog-addressed stream needs table='namespace.name'"
             )
-        res = load_table(
-            options["endpoint"], ns, tbl, options.get("token")
+        # token-expiry-aware (r15, VERDICT r14 #4): a ``credential``
+        # option re-exchanges through the expiry-aware OAuth cache at
+        # EVERY planning call, so a stream outliving its bearer's TTL
+        # keeps running; a static ``token`` is used as-is. A 401 on a
+        # cached bearer (server-side revocation before the cache
+        # expires) invalidates + re-exchanges ONCE — a stream poll
+        # must not die on a refreshable token.
+        from glaredb_spark.sources.iceberg_rest import (
+            IcebergRestError,
+            invalidate_token,
         )
+
+        cred = options.get("credential")
+        tok = resolve_auth(options["endpoint"], options.get("token"), cred)
+        try:
+            res = load_table(options["endpoint"], ns, tbl, tok)
+        except IcebergRestError as e:
+            if not (cred and getattr(e, "code", 0) == 401):
+                raise
+            invalidate_token(options["endpoint"], cred)
+            tok = resolve_auth(options["endpoint"], None, cred)
+            res = load_table(options["endpoint"], ns, tbl, tok)
         meta = res.get("metadata") or {}
         loc = _strip_file(meta.get("location") or "")
         if not meta or not loc:
@@ -1061,14 +1081,17 @@ def catalog_stream_options(spark, table: str) -> dict:
     sources in a separate worker process that shares none of the
     driver's module state, so the attach registry is unreachable there.
     A two-part reference resolves against the catalog's sole namespace
-    (the same contract as catalog-routed DML). The minted bearer is
-    baked into the options; a stream outliving its token's expiry needs
-    reconstruction (static tokens are unaffected)."""
+    (the same contract as catalog-routed DML). A credential-attached
+    alias passes the CREDENTIAL through (r15, VERDICT r14 #4): the
+    stream reader re-exchanges it through the expiry-aware OAuth cache
+    at every planning call, so a stream outliving any one bearer's TTL
+    keeps running without reconstruction. A static token is baked
+    as-is (there is nothing to re-exchange)."""
     from glaredb_spark.sources.iceberg_rest import (
         IcebergRestError,
         _attached,
         namespace_names,
-        resolve_attached,
+        resolve_auth,
     )
 
     alias, dot, rest_ = table.partition(".")
@@ -1082,10 +1105,11 @@ def catalog_stream_options(spark, table: str) -> dict:
             f"no attached iceberg rest catalog named '{alias}'; "
             f"ATTACH ICEBERG_REST DATABASE AS {alias} (...) first"
         )
-    endpoint, token = resolve_attached(spark, alias)
+    endpoint, token, credential = _attached(spark)[alias]
+    live = resolve_auth(endpoint, token, credential)
     ns, _, tbl = rest_.rpartition(".")
     if not ns:
-        names = namespace_names(endpoint, token=token)
+        names = namespace_names(endpoint, token=live)
         if len(names) != 1:
             raise ValueError(
                 f"namespace required for stream over '{alias}.{tbl}': "
@@ -1094,7 +1118,9 @@ def catalog_stream_options(spark, table: str) -> dict:
             )
         ns = names[0]
     out = {"endpoint": endpoint, "table": f"{ns}.{tbl}"}
-    if token:
+    if credential:
+        out["credential"] = credential
+    elif token:
         out["token"] = token
     return out
 

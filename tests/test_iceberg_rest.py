@@ -1843,3 +1843,77 @@ def test_describe_and_show_tables_over_alias(spark, catalog, tmp_path):
         ]
     finally:
         detach_iceberg_rest(spark, "icds2")
+
+
+def test_stream_survives_token_expiry(spark, tmp_path):
+    """Token-expiry-aware catalog streams (r15, VERDICT r14 #4): an
+    alias attached with a CREDENTIAL passes the credential (not a
+    minted bearer) into the stream options; ONE long-lived query keeps
+    running across a server-side revocation of every minted token —
+    the planning path re-exchanges instead of dying on 401. No stream
+    reconstruction anywhere."""
+    import time as _time
+
+    from glaredb_spark.session import GlareSession
+    from glaredb_spark.sources.iceberg_rest import detach_iceberg_rest
+    from glaredb_spark.streaming.source import (
+        catalog_stream_options,
+        read_catalog_stream,
+        register_stream_sources,
+    )
+
+    emu = IcebergRestEmulator(
+        str(tmp_path / "wh"), prefix="w1",
+        credentials={"svc": "hunter2"}, token_ttl=3600,
+    )
+    endpoint = emu.start()
+    try:
+        _mk_table(spark, emu, tmp_path, ns="ex", name="t", rows=4)
+        sess = GlareSession(spark)
+        sess.sql(
+            f"ATTACH ICEBERG_REST DATABASE AS icex (endpoint "
+            f"'{endpoint}', credential 'svc:hunter2')"
+        )
+        register_stream_sources(spark)
+        opts = catalog_stream_options(spark, "icex.ex.t")
+        assert opts.get("credential") == "svc:hunter2"
+        assert "token" not in opts  # the bearer is never baked
+        q = (
+            read_catalog_stream(spark, "iceberg_appends", "icex.ex.t")
+            .writeStream.format("memory").queryName("expiry_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.sql("SELECT * FROM expiry_stream").count() == 4
+            # forced expiry: the server revokes EVERY minted bearer
+            # (the stream's cached one included) and mints
+            # generation-suffixed tokens from now on
+            emu.revoke_tokens()
+            rest._TOKEN_CACHE.clear()
+            fresh = rest.resolve_auth(endpoint, credential="svc:hunter2")
+            assert fresh == "emu-token-svc-g1"
+            rest.append_table(
+                spark, endpoint, "ex", "t",
+                spark.range(10, 13).selectExpr("id", "id * 2 AS v"),
+                token=fresh,
+            )
+            deadline = _time.monotonic() + 120
+            while _time.monotonic() < deadline:
+                q.processAllAvailable()
+                if spark.sql(
+                    "SELECT * FROM expiry_stream"
+                ).count() == 7:
+                    break
+                if q.exception() is not None:
+                    raise AssertionError(q.exception())
+                _time.sleep(0.5)
+            assert spark.sql("SELECT * FROM expiry_stream").count() == 7
+            assert q.exception() is None
+        finally:
+            q.stop()
+        detach_iceberg_rest(spark, "icex")
+    finally:
+        emu.stop()
+        rest._PREFIX_CACHE.clear()
+        rest._TOKEN_CACHE.clear()
