@@ -81,7 +81,10 @@ GATE_PRIORITY: list[str] = [
     # TPC-DS differential gate row (tpcds_diff_q88 below); stays in the
     # local strict gate
     "tpch_q03", "tpch_q06",
-    "tpch_q09",
+    # r15 rotation: q09 — long-green, multi-join profit-agg shape
+    # covered by q03/q21, runs bit-exact every round as a tpchbench
+    # golden SLT — yields its slot to tpcds_diff_q04 below; stays in
+    # the local strict gate and the bench headline every round
     # r13 rotation: q05 — long-green, join-chain shape covered by
     # q03/q09, runs bit-exact every round as a tpchbench golden SLT —
     # yields its slot to the round's catalog-routed MAINTENANCE
@@ -103,7 +106,11 @@ GATE_PRIORITY: list[str] = [
     # merge (all COW rewrites), and it stays in the local strict gate
     # every round — yields its slot to iceberg_wap_branch below
     "delta_mapped_dml",
-    "iceberg_bucket_dml",
+    # r15 rotation: iceberg_bucket_dml — long-green since r8; the
+    # bucket-transform write path stays sampled by iceberg_upsert_purge
+    # (bucketed MoR) and the partition-transform machinery by
+    # iceberg_zorder_read, and it stays in the local strict gate every
+    # round — yields its slot to tpcds_diff_q64 below
     # r9 rotation: iceberg_dml_roundtrip (green r8) yields its slot to the
     # round's equality-delete LIFECYCLE row — 12 micro-batch upserts →
     # grouped MoR read → PURGE materialization (the r8 scale-killer fix,
@@ -149,6 +156,15 @@ GATE_PRIORITY: list[str] = [
     # FK-correlated differential fixture, DuckDB oracle reading the
     # identical parquet through CTE-shadowed read_parquet
     "tpcds_diff_q88",
+    # r15 (VERDICT r14 #5): two PLANTED-COHORT queries promoted — q04
+    # (three-channel year-over-year growth) and q64 (two-purchase
+    # cross-year join) return rows ONLY because tpcds_data._plant
+    # constructs their cohorts, so generator drift fails these rows
+    # with value DIFFs (plus pinned goldens in
+    # test_tpcds_differential.py), not just the depth floor. Slots
+    # freed by tpch_q09 and iceberg_bucket_dml (both above)
+    "tpcds_diff_q04",
+    "tpcds_diff_q64",
     # r11: streaming changelog source (readStream iceberg_changes —
     # per-file MoR diff on executors), first driver row; the Delta twin
     # delta_change_stream is oracle-gated locally every round

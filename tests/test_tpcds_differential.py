@@ -140,3 +140,50 @@ def test_dataset_depth_floor(engines):
         if con.sql(sql).fetchall():
             nonempty += 1
     assert nonempty >= 97, f"dataset depth regressed: {nonempty}/99"
+
+
+# --- pinned value goldens for the planted cohorts (r15, VERDICT r14 #5)
+#
+# The differential alone can't catch generator drift: both engines read
+# the SAME parquet, so a _plant edit changes both sides identically and
+# the diff still passes. These literal goldens — captured from the
+# current seeded generator — make a cohort change fail with a DIFF.
+# q04's four growth customers and q64's two cross-year purchase pairs
+# exist ONLY because _plant constructs them.
+
+_Q04_GOLDEN = [
+    ("C_00000000000000", "James", "Smith", "Y"),
+    ("C_00000000000001", "Mary", "Jones", "N"),
+    ("C_00000000000002", "John", "Brown", "Y"),
+    ("C_00000000000003", "Linda", "White", "Y"),
+]
+
+_Q64_GOLDEN = [
+    ("name 26", "ese", "85392", "233", "name 9", "Oak Grove", "24128",
+     "483", "name 29", "Fairview", "24128", 1999, 2, 60.0, 160.0, 0.0,
+     30.0, 80.0, 0.0, 2000, 1),
+    ("name 26", "ese", "85392", "521", "name 8", "Oak Grove", "81792",
+     "866", "name 34", "Edgewood", "88274", 1999, 2, 850.78, 2266.16,
+     1687.48, 30.0, 80.0, 0.0, 2000, 1),
+]
+
+
+@pytest.mark.parametrize(
+    "fname,golden",
+    [("q04.slt", _Q04_GOLDEN), ("q64.slt", _Q64_GOLDEN)],
+)
+def test_planted_cohort_goldens(engines, fname, golden):
+    from glaredb_spark.slt import parse_slt
+
+    _sess, con = engines
+    recs = [
+        r for r in parse_slt(open(os.path.join(TPCDS, fname)).read())
+        if r.kind == "query"
+    ]
+    sql = recs[0].sql.strip().rstrip(";")
+    if sql.upper().startswith("DESCRIBE"):
+        sql = sql[len("DESCRIBE"):].strip()
+    got = [tuple(_norm(v) for v in r) for r in con.sql(sql).fetchall()]
+    assert _rows_eq(got, golden), (
+        f"{fname} planted-cohort golden drifted: {got!r}"
+    )
