@@ -205,3 +205,35 @@ def test_wap_roundtrip_catalog(spark, tmp_path):
     finally:
         emu.stop()
         rest._PREFIX_CACHE.clear()
+
+
+def test_branch_mor_delete_and_publish(spark, tmp_path):
+    """Branch DML composes with the MoR strategy: a position-delete
+    snapshot lands on the branch (no data file rewritten), main reads
+    the full table until FAST FORWARD publishes, and strategy='auto'
+    resolves against the BRANCH head's files."""
+    from glaredb_spark.sources.iceberg_native import (
+        delete_iceberg_native,
+        fast_forward_iceberg_native,
+    )
+
+    loc = str(tmp_path / "t")
+    write_iceberg_native(
+        spark.range(12).selectExpr("id", "id * 2 AS v"), loc,
+        format_version=2,
+    )
+    create_ref_iceberg_native(loc, "dev", kind="branch")
+    deleted, files = delete_iceberg_native(
+        spark, loc, "id % 3 = 0", strategy="mor", branch="dev"
+    )
+    assert deleted == 4 and files >= 1
+    assert read_iceberg_native(spark, loc, ref="dev").count() == 8
+    assert read_iceberg_native(spark, loc).count() == 12
+    # auto on the branch sees the branch's position deletes -> MoR
+    deleted2, _ = delete_iceberg_native(
+        spark, loc, "id = 1", strategy="auto", branch="dev"
+    )
+    assert deleted2 == 1
+    assert read_iceberg_native(spark, loc, ref="dev").count() == 7
+    fast_forward_iceberg_native(loc, "dev")
+    assert read_iceberg_native(spark, loc).count() == 7
