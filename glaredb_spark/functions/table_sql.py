@@ -522,7 +522,8 @@ def _handle_tf(spark: SparkSession, m: re.Match, wants_meta: bool = False) -> st
 # table scan; slt/iceberg/*.slt) — native reader, no connector jar
 _ICE_TF = re.compile(
     r"\biceberg\s*\.\s*"
-    r"(metadata|snapshots|manifest_list|data_files|history|scan|read)"
+    r"(metadata|snapshots|manifest_list|data_files|history|refs"
+    r"|scan|read)"
     r"\s*\(\s*'([^']*)'\s*(?:,\s*(\d+)\s*)?"
     r"((?:,\s*[A-Za-z_]\w*\s*=\s*'[^']*'\s*)*)\)",
     re.IGNORECASE,
@@ -929,6 +930,7 @@ def _handle_ice(spark: SparkSession, m: re.Match) -> str:
         "manifest_list": _ice.manifest_list_df,
         "data_files": _ice.data_files_df,
         "history": _ice.history_df,
+        "refs": _ice.refs_df,
         "scan": _ice.read_iceberg_native,
         "read": _ice.read_iceberg_native,
     }

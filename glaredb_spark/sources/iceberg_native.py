@@ -562,6 +562,30 @@ def manifest_list_df(spark, table_path: str):
     )
 
 
+def refs_df(spark, table_path: str):
+    """``iceberg.refs('path')`` — the table's named refs (Iceberg's
+    ``refs`` metadata table shape: name, type, snapshot_id), with
+    ``main`` listed first at the current snapshot. The WAP loop's
+    audit view: which branches exist, where each head sits, and
+    whether main has been fast-forwarded yet — one KB-scale metadata
+    read, no data scan."""
+    m = table_metadata(table_path)
+    rows = []
+    cur = m.get("current-snapshot-id")
+    if cur is not None and int(cur) != -1:
+        rows.append(("main", "branch", int(cur)))
+    for name, ref in sorted((m.get("refs") or {}).items()):
+        if name == "main":
+            continue
+        rows.append((
+            name, ref.get("type") or "branch",
+            int(ref.get("snapshot-id", -1) or -1),
+        ))
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id long"
+    )
+
+
 def history_df(spark, table_path: str):
     """Snapshot history (iceberg.history TVF shape): one row per
     snapshot with its operation and summary counts — the Iceberg

@@ -237,3 +237,42 @@ def test_branch_mor_delete_and_publish(spark, tmp_path):
     assert read_iceberg_native(spark, loc, ref="dev").count() == 7
     fast_forward_iceberg_native(loc, "dev")
     assert read_iceberg_native(spark, loc).count() == 7
+
+
+def test_refs_tvf(spark, tmp_path):
+    """iceberg.refs('path') — the WAP audit view (Iceberg's refs
+    metadata table): main + every tag/branch with its head snapshot;
+    heads move as branches advance and main moves on fast-forward."""
+    from glaredb_spark.sources.iceberg_native import table_metadata
+
+    loc = str(tmp_path / "t")
+    write_iceberg_native(
+        spark.range(4).selectExpr("id", "id * 2 AS v"), loc
+    )
+    sess = GlareSession(spark)
+    sess.sql(f"ALTER TABLE '{loc}' CREATE TAG v1")
+    sess.sql(f"ALTER TABLE '{loc}' CREATE BRANCH dev")
+    append_branch_iceberg_native(
+        spark.range(10, 12).selectExpr("id", "id * 2 AS v"), loc, "dev"
+    )
+    got = {
+        r.name: (r.type, r.snapshot_id)
+        for r in sess.sql(f"SELECT * FROM iceberg.refs('{loc}')")
+        .collect()
+    }
+    meta = table_metadata(loc)
+    cur = int(meta["current-snapshot-id"])
+    dev_head = int(meta["refs"]["dev"]["snapshot-id"])
+    assert got == {
+        "main": ("branch", cur),
+        "dev": ("branch", dev_head),
+        "v1": ("tag", cur),
+    }
+    assert dev_head != cur
+    fast_forward_iceberg_native(loc, "dev")
+    got2 = {
+        r.name: r.snapshot_id
+        for r in sess.sql(f"SELECT * FROM iceberg.refs('{loc}')")
+        .collect()
+    }
+    assert got2["main"] == dev_head == got2["dev"]
