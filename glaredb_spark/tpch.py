@@ -815,21 +815,27 @@ LIMIT 100
 """,
 )
 def q18(spark, sf_dir):
+    # One lineitem pass (r15): the per-order quantity total computed for the
+    # HAVING filter IS the query's sum_qty — o_orderkey is unique in orders
+    # and rides the group key, so the post-join re-aggregation over a second
+    # lineitem scan (semi join + groupBy) collapsed to a join of the
+    # already-aggregated per-order totals. Same decimal sum over the same
+    # rows → bit-identical after the final double cast.
     t = T(spark, sf_dir, "customer", "orders", "lineitem")
     big_orders = (
         t["lineitem"]
         .groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("tot_qty"))
         .filter(F.col("tot_qty") > F.lit(150).cast(D))
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        t["lineitem"]
-        .join(big_orders, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+        big_orders
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(money(F.sum(dec("l_quantity"))).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            money(F.col("tot_qty")).alias("sum_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -939,33 +945,39 @@ LIMIT 100
 """,
 )
 def q21(spark, sf_dir):
+    # Single lineitem pass (r15): the old form scanned lineitem three times
+    # (late join, EXISTS distinct, NOT EXISTS distinct) and re-shuffled it
+    # for two semi joins. Both correlated conditions are per-order distinct
+    # supplier counts, so one join to F-orders + two collect_set windows
+    # over the SAME hash partitioning (l_orderkey — established by the join
+    # exchange, reused by the window) computes them in place:
+    #   EXISTS other-supplier lineitem      ⇔ n_supp  (distinct suppliers) ≥ 2
+    #   NOT EXISTS other-supplier LATE item ⇔ n_late (distinct late supp) = 1
+    # (l1 itself is late, so "no other late supplier" means exactly one).
+    # Orders are unique by o_orderkey, so the join preserves every lineitem
+    # row of an F order exactly once — the distinct counts match the old
+    # whole-table distincts on the orders that can qualify at all.
+    from pyspark.sql import Window
+
     t = T(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
     li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
     ords = t["orders"].filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
-    # late lineitems of 'F' orders
-    late = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey")).filter(
-        F.col("l_shipdate") > F.col("o_orderdate")
+    j = li.join(ords, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate")
     )
-    # EXISTS other-supplier lineitem in same order
-    order_supp = li.select("l_orderkey", "l_suppkey").distinct()
-    multi = order_supp.groupBy(F.col("l_orderkey").alias("m_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_supp")
-    ).filter(F.col("n_supp") >= 2)
-    # NOT EXISTS other-supplier *late* lineitem: exactly one distinct late
-    # supplier in the order (which is then necessarily l1's own)
-    late_supp = late.select("l_orderkey", "l_suppkey").distinct()
-    single_late = late_supp.groupBy(F.col("l_orderkey").alias("s_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_late")
-    ).filter(F.col("n_late") == 1)
+    w = Window.partitionBy("l_orderkey")
+    j = j.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w))).withColumn(
+        "n_late",
+        F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)),
+    )
     nat = t["nation"].filter(F.col("n_name") == "NATION_6")
     supp = t["supplier"].join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
-        late.join(multi, F.col("l_orderkey") == F.col("m_orderkey"), "left_semi")
-        .join(single_late, F.col("l_orderkey") == F.col("s_orderkey"), "left_semi")
+        j.filter(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
