@@ -68,6 +68,7 @@ def cb_filter_agg(spark, sf_dir):
 SELECT user_id, COUNT(*) AS c, COUNT(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id ORDER BY c DESC, user_id LIMIT 10
 """,
+    cache_plan=True,
 )
 def cb_groupby_highcard(spark, sf_dir):
     ev = _ev(spark, sf_dir)
@@ -133,6 +134,7 @@ FROM documents WHERE text <> ''
 GROUP BY head_word HAVING COUNT(*) > 5
 ORDER BY avg_len DESC, head_word LIMIT 25
 """,
+    cache_plan=True,
 )
 def cb_regexp_domain_agg(spark, sf_dir):
     docs = _docs(spark, sf_dir)

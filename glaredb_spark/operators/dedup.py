@@ -251,6 +251,7 @@ SELECT doc1, doc2, jaccard FROM scored
 WHERE jaccard >= {NGRAM_JACCARD_MIN}
 ORDER BY doc1, doc2
 """,
+    cache_plan=True,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     # sets feeds blocking AND verification — persist so the shingle
@@ -371,6 +372,7 @@ SELECT doc1, doc2, jaccard FROM scored
 WHERE jaccard >= {MINHASH_JACCARD_MIN}
 ORDER BY doc1, doc2
 """,
+    cache_plan=True,
 )
 def dedup_minhash_lsh(spark, sf_dir):
     # r15 shuffle diet, three changes, value-identical results:

@@ -111,6 +111,7 @@ FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """,
+    cache_plan=True,
 )
 def events_sessionize(spark, sf_dir):
     ev = _events(spark, sf_dir)

@@ -120,6 +120,7 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """,
+    cache_plan=True,
 )
 def knn_bruteforce_cosine(spark, sf_dir):
     emb = load_wide(spark, sf_dir, "embeddings")

@@ -67,6 +67,7 @@ SELECT doc_id, lang,
 FROM documents
 ORDER BY doc_id
 """,
+    cache_plan=True,
 )
 def text_token_stats(spark, sf_dir):
     docs = load_tables(spark, sf_dir, "documents")["documents"]

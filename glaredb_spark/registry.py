@@ -216,11 +216,21 @@ def ordered_names() -> list[str]:
     return [*GATE_PRIORITY, *[n for n in QUERIES if n not in prio]]
 
 
-def register_query(name: str, oracle: str | None = None):
+def register_query(
+    name: str, oracle: str | None = None, cache_plan: bool = False
+):
     """Decorator: register a (spark, sf_dir) -> DataFrame builder, with an
-    optional DuckDB oracle SQL equivalent."""
+    optional DuckDB oracle SQL equivalent.
+
+    ``cache_plan=True`` (r15, PURE scan queries only — never DML or other
+    side-effecting builders) memoizes the lazy plan per session + data
+    fingerprint; see glaredb_spark/plancache.py for the contract."""
 
     def deco(fn):
+        if cache_plan:
+            from glaredb_spark.plancache import plan_cached
+
+            fn = plan_cached(name)(fn)
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

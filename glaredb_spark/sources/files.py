@@ -141,6 +141,77 @@ def _ensure_session_conf(spark: SparkSession) -> None:
             pass
 
 
+# --- parquet metadata cache (r15, guide §1/§6) ---------------------------
+# A metastore-style catalog of SCAN METADATA only: the footer-inferred
+# Spark schema, the ns-timestamp column list, the arrow-fallback flag, and
+# the session's lazy DataFrame handle — all keyed on a file fingerprint
+# (path, mtime_ns, size per member). NO data, rows or results are ever
+# cached: a DataFrame is an unevaluated plan and every execution still
+# scans the parquet bytes. What this removes is the per-construction JVM
+# footer round trip (measured 143 ms → 25 ms per spark.read at sf0.1, and
+# ~0 with the handle hit) that every query re-paid for every table on
+# every run. Fingerprint mismatch (file rewritten, members added/removed)
+# invalidates the entry, so DDL/DML tests observe fresh files.
+_PQ_META_CACHE: dict = {}  # path -> [fingerprint, ns_cols, needs_arrow, schema]
+_PQ_DF_CACHE: dict = {}  # (app_id, path) -> (fingerprint, DataFrame)
+_PQ_CACHE_CAP = 512
+
+
+def _pq_fingerprint(path: str):
+    """Fingerprint of the local file set behind a scan path, or None when
+    the path cannot be cheaply fingerprinted (remote URI, partitioned
+    directory tree) — callers skip caching on None."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        st = None
+    if st is not None and not os.path.isdir(path):
+        return ((path, st.st_mtime_ns, st.st_size),)
+    members = []
+    try:
+        if st is not None:  # directory
+            entries = sorted(os.scandir(path), key=lambda e: e.name)
+        elif _pyglob.has_magic(path):
+            entries = [_DirEntryShim(p) for p in sorted(_pyglob.glob(path))]
+        else:
+            return None
+        for e in entries:
+            name = os.path.basename(e.path)
+            if name.startswith((".", "_")):
+                continue  # _SUCCESS / hidden markers don't affect the scan
+            if e.is_dir():
+                return None  # partition discovery — don't cache
+            s = e.stat()
+            members.append((e.path, s.st_mtime_ns, s.st_size))
+    except OSError:
+        return None
+    return tuple(members) or None
+
+
+class _DirEntryShim:
+    __slots__ = ("path",)
+
+    def __init__(self, path):
+        self.path = path
+
+    def is_dir(self):
+        return os.path.isdir(self.path)
+
+    def stat(self):
+        return os.stat(self.path)
+
+
+def clear_parquet_meta_cache() -> None:
+    _PQ_META_CACHE.clear()
+    _PQ_DF_CACHE.clear()
+
+
+def _evict(cache: dict) -> None:
+    if len(cache) > _PQ_CACHE_CAP:
+        for k in list(cache)[: _PQ_CACHE_CAP // 4]:
+            del cache[k]
+
+
 def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     """Parquet scan with ns-timestamp normalization.
 
@@ -153,11 +224,37 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
     """
     _ensure_session_conf(spark)
     path = ensure_object_store(spark, localize(path))
-    if _needs_arrow_scan(path):
-        return _read_parquet_arrow(spark, path)
-    df = spark.read.options(**options).parquet(path)
+    fp = None if options else _pq_fingerprint(path)
+    if fp is not None:
+        try:
+            app = spark.sparkContext.applicationId
+        except Exception:
+            app = None
+        if app is not None:
+            hit = _PQ_DF_CACHE.get((app, path))
+            if hit is not None and hit[0] == fp:
+                return hit[1]
+        meta = _PQ_META_CACHE.get(path)
+        if meta is None or meta[0] != fp:
+            meta = [fp, _ns_timestamp_columns(path), _needs_arrow_scan(path), None]
+            _PQ_META_CACHE[path] = meta
+            _evict(_PQ_META_CACHE)
+        if meta[2]:
+            return _read_parquet_arrow(spark, path)
+        reader = spark.read
+        if meta[3] is not None:
+            reader = reader.schema(meta[3])
+        df = reader.parquet(path)
+        if meta[3] is None:
+            meta[3] = df.schema
+        ns_cols = meta[1]
+    else:
+        if _needs_arrow_scan(path):
+            return _read_parquet_arrow(spark, path)
+        df = spark.read.options(**options).parquet(path)
+        ns_cols = _ns_timestamp_columns(path)
     dtypes = dict(df.dtypes)
-    for col in _ns_timestamp_columns(path):
+    for col in ns_cols:
         # pyarrow reports INT96 timestamps as ns too, but Spark reads those
         # as TIMESTAMP directly (nanosAsLong only covers annotated NANOS) —
         # normalize only when the column actually surfaced as raw int64
@@ -168,6 +265,9 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
                 col,
                 F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
             )
+    if fp is not None and app is not None:
+        _PQ_DF_CACHE[(app, path)] = (fp, df)
+        _evict(_PQ_DF_CACHE)
     return df
 
 
@@ -597,8 +697,30 @@ def widen_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 
 def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``load_tables`` + ``widen_partitions`` for compute-heavy corpora
-    (documents text pipelines, embedding vector kernels)."""
-    return widen_partitions(load_tables(spark, sf_dir, name)[name])
+    (documents text pipelines, embedding vector kernels).
+
+    r15: the widen decision comes from a driver-side stat of the fixture
+    path — same inputs as ``widen_partitions``'s ``df.inputFiles()`` walk
+    (this loader built df from exactly this path) without the per-call JVM
+    round trip."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = load_tables(spark, sf_dir, name)[name]
+    want = spark.sparkContext.defaultParallelism
+    try:
+        if os.path.isdir(path):
+            files = [
+                e.path
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith((".", "_"))
+            ]
+        else:
+            files = [path]
+        total = sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return widen_partitions(df)
+    if len(files) >= want or total >= want * 128 * 1024 * 1024:
+        return df
+    return df.repartition(want)
 
 
 def decoded_file_path(col=None):

@@ -113,6 +113,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
+    cache_plan=True,
 )
 def q01(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")["lineitem"]
@@ -203,6 +204,7 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
+    cache_plan=True,
 )
 def q03(spark, sf_dir):
     t = T(spark, sf_dir, "customer", "orders", "lineitem")
@@ -274,6 +276,7 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """,
+    cache_plan=True,
 )
 def q05(spark, sf_dir):
     t = T(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -318,6 +321,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """,
+    cache_plan=True,
 )
 def q06(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")["lineitem"]
@@ -476,6 +480,7 @@ FROM (SELECT n_name AS nation,
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
 """,
+    cache_plan=True,
 )
 def q09(spark, sf_dir):
     t = T(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
@@ -631,6 +636,7 @@ FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """,
+    cache_plan=True,
 )
 def q13(spark, sf_dir):
     t = T(spark, sf_dir, "customer", "orders")
@@ -813,6 +819,7 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """,
+    cache_plan=True,
 )
 def q18(spark, sf_dir):
     # One lineitem pass (r15): the per-order quantity total computed for the
@@ -943,6 +950,7 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """,
+    cache_plan=True,
 )
 def q21(spark, sf_dir):
     # Single lineitem pass (r15): the old form scanned lineitem three times
