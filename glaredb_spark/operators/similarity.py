@@ -365,7 +365,9 @@ def ann_cosine_topk(
             "query_id",
             "neighbor_id",
             (
-                V.dot(F.col("q_emb"), F.col("embedding"))
+                # r15: Arrow batch kernel on the candidate stream (same
+                # bit-identical scaled-int numerics as knn_bruteforce)
+                V.dot_arrow(F.col("q_emb"), F.col("embedding"))
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
@@ -459,7 +461,9 @@ def ivf_cosine_topk(
             "query_id",
             "neighbor_id",
             (
-                V.dot(F.col("q_emb"), F.col("embedding"))
+                # r15: Arrow batch kernel on the candidate stream (same
+                # bit-identical scaled-int numerics as knn_bruteforce)
+                V.dot_arrow(F.col("q_emb"), F.col("embedding"))
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
