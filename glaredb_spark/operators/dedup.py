@@ -275,39 +275,32 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     pfx = sets.select(
         "doc_id", "n", F.explode(F.slice("hs", F.lit(1), pfx_len)).alias("h")
-    )
-    # Grouped posting lists (r15): the old plan aggregated df counts, joined
-    # the rare hashes back, then SELF-JOINED the postings (two more
-    # exchanges of the posting stream + the pfx persist feeding three
-    # consumers). Now: one df-count aggregation keeps h with df ∈ [2,
-    # DF_MAX] (the stop-shingle cutoff, unchanged — and the reason the
-    # collect_list below is bounded at DF_MAX elements), the surviving
-    # postings group into per-hash doc lists WITHOUT a new exchange (the
-    # join on h leaves the stream hash-partitioned by h), and the candidate
-    # pairs are generated map-side by a nested array transform: every
-    # (a, b) with b.doc_id > a.doc_id passing the size-ratio prune
-    # (J ≥ θ ⇒ min(n1,n2) ≥ θ·max(n1,n2), lossless). Same pair stream as
-    # the self-join produced (one row per shared rare prefix hash), no
-    # distinct — the verified survivors dedup via the groupBy-min below,
-    # exactly as before.
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rare = (
         pfx.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df").between(2, DF_MAX))
         .select("h")
     )
-    pair_expr = F.expr(
-        "flatten(transform(ds, a -> transform("
-        "filter(ds, b -> b.doc_id > a.doc_id AND "
-        f"least(a.n, b.n) >= {NGRAM_JACCARD_MIN} * greatest(a.n, b.n)), "
-        "b -> struct(a.doc_id AS doc1, b.doc_id AS doc2))))"
-    )
+    p = pfx.join(rare, "h")
+    # size-ratio prune: J ≥ θ ⇒ min(n1,n2) ≥ θ·max(n1,n2) — lossless; n
+    # rides the posting rows (no extra join or stage).
+    #
+    # NO distinct on candidates: a pair appears once per shared rare prefix
+    # hash (multiplicity bounded by the prefix length, observed ~3x), and
+    # deduplicating the verified survivors (a few hundred rows) is far
+    # cheaper than a distinct shuffle over the full candidate stream —
+    # measured 3.2s → 1.5s at sf0.1. Duplicates verify to the SAME jaccard
+    # (same pair, same sets), so min() is a no-op value-wise.
     cand = (
-        pfx.join(rare, "h")
-        .groupBy("h")
-        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.doc1", "p.doc2")
+        p.alias("a")
+        .join(p.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.least("a.n", "b.n")
+            >= F.lit(NGRAM_JACCARD_MIN) * F.greatest("a.n", "b.n")
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
     )
     return (
         _verify_pairs(cand, sets.select("doc_id", "hs"), NGRAM_JACCARD_MIN, arrow=True)
@@ -375,28 +368,11 @@ ORDER BY doc1, doc2
     cache_plan=True,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    # r15 shuffle diet, three changes, value-identical results:
-    # 1. The exploded posting stream's .distinct() is GONE — `s` is already
-    #    array_distinct per doc, so (doc_id, shingle) rows were unique by
-    #    construction and the distinct was a full exchange of the widest
-    #    stream (shingle strings) for nothing. (The oracle's SELECT DISTINCT
-    #    is equally a no-op; min-of-permutation is a function of the value
-    #    set either way, so even hash collisions cannot diverge.)
-    # 2. Shingles are md5-hashed ONCE into the persisted per-doc hash set
-    #    `hsets`; both the signature aggregation (explode of hs) and the
-    #    verification join consume it — previously each side re-hashed
-    #    every shingle, and the persisted cache held ~20-byte strings
-    #    instead of 8-byte longs.
-    # 3. Band buckets group into doc lists and emit pairs map-side instead
-    #    of the bands-self-join (whose build side re-aggregated the
-    #    signatures). Bucket lists are small by design — a band key is 4
-    #    chained minhashes, so collisions are near-dups — and the candidate
-    #    distinct (pairs colliding in >1 band) is unchanged.
     sets = _shingles_df(spark, sf_dir).select(
         "doc_id", F.array_distinct("shingles").alias("s")
-    )
-    hsets = _hashed_sets(sets).persist(StorageLevel.MEMORY_AND_DISK)
-    hashed = hsets.select("doc_id", F.explode("hs").alias("h"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    posting = sets.select("doc_id", F.explode("s").alias("sh")).distinct()
+    hashed = posting.select("doc_id", _hash64(F.col("sh")).alias("h"))
     sigs = hashed.groupBy("doc_id").agg(*_minhash_aggs())
     # one band row per (doc, band) via a single explode — a 4-way union
     # would recompute the signature aggregation per branch
@@ -406,19 +382,17 @@ def dedup_minhash_lsh(spark, sf_dir):
             F.array(*[_band_key(b) for b in range(BANDS)])
         ).alias("band", "band_key"),
     )
-    pair_expr = F.expr(
-        "flatten(transform(ds, a -> transform(filter(ds, b -> b > a), "
-        "b -> struct(a AS doc1, b AS doc2))))"
-    )
+    # distinct IS kept here (unlike the ngram path): band-key collisions
+    # make a tiny candidate stream (near-dups only), so the distinct is
+    # cheap and skipping it measured SLOWER (extra post-verify shuffle)
     cand = (
-        bands.groupBy("band", "band_key")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .select("p.doc1", "p.doc2")
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    return _verify_pairs(cand, hsets, MINHASH_JACCARD_MIN).orderBy(
+    return _verify_pairs(cand, _hashed_sets(sets), MINHASH_JACCARD_MIN).orderBy(
         "doc1", "doc2"
     )
 

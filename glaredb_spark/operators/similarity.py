@@ -124,29 +124,22 @@ ORDER BY query_id, rank
 )
 def knn_bruteforce_cosine(spark, sf_dir):
     emb = load_wide(spark, sf_dir, "embeddings")
-    # norms once per vector (not per pair) — cosine = dot / (nrm_q * nrm_c);
-    # r15: Arrow kernel here too (one batch pass instead of a per-row HOF)
+    # norms once per vector (not per pair) — cosine = dot / (nrm_q * nrm_c)
     n = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(V.dot_arrow(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        "vec_id", "embedding", F.sqrt(V.norm_sq(F.col("embedding"))).alias("nrm")
     )
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    # r15: Arrow-batched dot kernel (one numpy matmul per batch) instead of
-    # the interpreted zip_with/aggregate HOF (~40 µs per 64-dim pair — the
-    # |corpus|×|queries| scored stream made that the whole query). Bit-
-    # identical numerics (vector.py asserts dot_arrow ≡ dot in tests).
     scored = (
         n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             (
-                V.dot_arrow(F.col("q_emb"), F.col("embedding"))
+                V.dot(F.col("q_emb"), F.col("embedding"))
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
@@ -365,9 +358,7 @@ def ann_cosine_topk(
             "query_id",
             "neighbor_id",
             (
-                # r15: Arrow batch kernel on the candidate stream (same
-                # bit-identical scaled-int numerics as knn_bruteforce)
-                V.dot_arrow(F.col("q_emb"), F.col("embedding"))
+                V.dot(F.col("q_emb"), F.col("embedding"))
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
@@ -461,9 +452,7 @@ def ivf_cosine_topk(
             "query_id",
             "neighbor_id",
             (
-                # r15: Arrow batch kernel on the candidate stream (same
-                # bit-identical scaled-int numerics as knn_bruteforce)
-                V.dot_arrow(F.col("q_emb"), F.col("embedding"))
+                V.dot(F.col("q_emb"), F.col("embedding"))
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
