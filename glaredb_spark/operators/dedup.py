@@ -652,47 +652,129 @@ def embedding_dup_pairs(
 ):
     """All pairs with exact cosine >= threshold among banded multi-probe
     sign-LSH candidates. Knobs default to lsh_params(|corpus|, threshold,
-    recall). Plan: band/probe explode (map-side), equi-join on (band, code)
-    — shuffle ∝ band-bucket sizes, never a corpus cross join — distinct
-    pairs, then two id-joins back for exact verification."""
-    from glaredb_spark.operators.similarity import lsh_params
+    recall).
+
+    r15 BLOCKED verification (guide §2.2/§4): the old plan exploded the
+    candidate PAIRS (at the fixture's weak threshold ~94% of all N² pairs
+    survive blocking) and shipped two 64-dim arrays per pair through two
+    joins and a per-pair Arrow UDF — ~1.9M pair-array rows dominated the
+    query. Now each vector ships ONCE per band into its (band, code)
+    bucket (members = exact codes, probers = Hamming-1 multi-probe codes),
+    and one mapInArrow kernel per bucket computes the prober×member
+    scaled-int dot matrix in numpy, filters cosine >= threshold and the
+    (prober_id < member_id) orientation inside the kernel, and emits only
+    the surviving pairs. Candidate SET is unchanged (a's probe hits b's
+    exact code in some band ⇔ their codes are within Hamming 1 there —
+    exactly the old px⋈bands join); cross-band duplicates resolve in a
+    final groupBy over the few surviving rows, where the old plan ran
+    distinct over the full candidate stream. Numerics are bit-identical:
+    same per-element half-away rounding before the sum, same one-sqrt
+    norms, same dot/(n1*n2) op order (vector.scaled_cross_dots /
+    scaled_self_norms).
+
+    Scale: shuffle volume is |corpus|·bands·(r+2) vector rows (vs ~Σ
+    bucket² pair rows); per-task state is one bucket's matrices — bounded
+    by the LSH design (bucket ≈ N/2^r with r sized by lsh_params), the
+    standard blocked-verification trade."""
+    from glaredb_spark.operators.similarity import (
+        band_code_cols,
+        lsh_params,
+        probe_code_arrays,
+    )
 
     if r is None or n_bands is None:
         if n_rows is None:
             n_rows = emb.count()
         r, n_bands = lsh_params(n_rows, threshold, recall, dim)
-    cand = lsh_candidate_pairs(emb, r, n_bands, id_col=id_col, emb_col=emb_col)
-    # norms once per VECTOR (not per pair — candidate volume is ~ sum of
-    # band-bucket^2); identical bits to a per-pair cosine since the norm is
-    # the same scaled-integer dot of the same array either way
-    e = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("embedding"),
-        F.sqrt(V.norm_sq(F.col(emb_col))).alias("nrm"),
+    codes = band_code_cols(emb_col, n_bands, r)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
-    # Arrow kernel: exact-verification is the hot path — numpy batch
-    # matmul over the pair dot products, bit-identical numerics.
-    cos = V.dot_arrow(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
-    return (
-        cand.join(
-            e.select(
-                F.col("vec_id").alias("v1"),
-                F.col("embedding").alias("e1"),
-                F.col("nrm").alias("n1"),
-            ),
-            "v1",
-        )
-        .join(
-            e.select(
-                F.col("vec_id").alias("v2"),
-                F.col("embedding").alias("e2"),
-                F.col("nrm").alias("n2"),
-            ),
-            "v2",
-        )
-        .select("v1", "v2", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    members = base.select(
+        F.lit(0).alias("role"),
+        "vec_id",
+        "embedding",
+        F.posexplode(F.array(*codes)).alias("band", "code"),
     )
+    probers = (
+        base.select(
+            F.lit(1).alias("role"),
+            "vec_id",
+            "embedding",
+            F.posexplode(F.array(*probe_code_arrays(codes, r))).alias(
+                "band", "probes"
+            ),
+        )
+        .select("role", "vec_id", "embedding", "band", F.explode("probes").alias("code"))
+    )
+    buckets = (
+        members.unionByName(probers)
+        .groupBy("band", "code")
+        .agg(F.collect_list(F.struct("role", "vec_id", "embedding")).alias("rows"))
+    )
+    id_type = base.schema["vec_id"].dataType.simpleString()
+    thr = float(threshold)
+
+    def gen(batches):
+        import numpy as np
+
+        import pyarrow as pa
+
+        from glaredb_spark.functions.vector import (
+            flat_matrix,
+            scaled_cross_dots,
+            scaled_self_norms,
+        )
+
+        for b in batches:
+            col = b.column(b.schema.get_field_index("rows"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lens = pa.compute.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )
+            flat = col.flatten()
+            roles = flat.field("role").to_numpy(zero_copy_only=False)
+            ids = flat.field("vec_id").to_numpy(zero_copy_only=False)
+            mat, _ = flat_matrix(flat.field("embedding"))
+            nrm = scaled_self_norms(mat)
+            v1s, v2s, cs = [], [], []
+            s = 0
+            for ln in lens:
+                e = s + int(ln)
+                rl = roles[s:e]
+                p_idx = np.nonzero(rl == 1)[0] + s
+                m_idx = np.nonzero(rl == 0)[0] + s
+                s = e
+                if not len(p_idx) or not len(m_idx):
+                    continue
+                D = scaled_cross_dots(mat[p_idx], mat[m_idx])
+                C = D / np.outer(nrm[p_idx], nrm[m_idx])
+                keep = (ids[p_idx][:, None] < ids[m_idx][None, :]) & (
+                    C >= thr
+                )
+                pi, mi = np.nonzero(keep)
+                if len(pi):
+                    v1s.append(ids[p_idx][pi])
+                    v2s.append(ids[m_idx][mi])
+                    cs.append(C[pi, mi])
+            if v1s:
+                id_pa = flat.field("vec_id").type
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(v1s), id_pa),
+                        pa.array(np.concatenate(v2s), id_pa),
+                        pa.array(np.concatenate(cs), pa.float64()),
+                    ],
+                    ["v1", "v2", "cosine"],
+                )
+
+    pairs = buckets.mapInArrow(
+        gen, f"v1 {id_type}, v2 {id_type}, cosine double"
+    )
+    # cross-band duplicates carry the SAME cosine (same pair, same arrays):
+    # min() is value-neutral and runs over only the verified survivors
+    return pairs.groupBy("v1", "v2").agg(F.min("cosine").alias("cosine"))
 
 
 @register_query(

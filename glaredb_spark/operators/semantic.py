@@ -225,20 +225,81 @@ def dedup_semdedup(spark, sf_dir):
     """SemDeDup: near-duplicate pairs found ONLY within k-means clusters
     (cos ≥ 0.35, keep = smaller vec_id). The candidate set is the union
     of per-cluster pair sets — Σ n_c² comparisons instead of N²; recall
-    is traded at cluster boundaries exactly as in the paper. Pair scoring
-    is the Arrow-batched numpy kernel (bit-identical to the oracle)."""
+    is traded at cluster boundaries exactly as in the paper.
+
+    r15 BLOCKED verification (guide §2.2/§4): the old plan materialized
+    the within-cluster pair JOIN (Σ n_c² rows each carrying two 64-dim
+    arrays) and scored each pair with the per-pair Arrow cosine UDF —
+    which also recomputed both norms per pair (3 scaled dots/pair). Now
+    each vector ships once into its cluster's collect_list bucket and one
+    mapInArrow kernel per cluster computes the all-pairs scaled-int dot
+    matrix, norms once per VECTOR, filters (keep_id < dup_id, cos ≥
+    threshold) in-kernel and emits only survivors. Numerics bit-identical
+    (same per-element rounding, same sqrt, same d/(na·nb) op order —
+    vector.scaled_cross_dots / scaled_self_norms); clusters are disjoint
+    so no pair-dedup stage is needed. Per-task state is one cluster's
+    matrix — the SemDeDup regime sizes K ∝ N/target_cluster_size, which
+    bounds it by design."""
     emb = load_wide(spark, sf_dir, "embeddings")
     assign = kmeans_assignments(spark, sf_dir).select("vec_id", "cid")
     tagged = emb.join(assign, "vec_id").select("vec_id", "cid", "embedding")
-    a = tagged.alias("a")
-    b = tagged.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("keep_id"),
-        F.col("b.vec_id").alias("dup_id"),
-        F.col("a.cid").alias("cid"),
-        V.cosine_arrow(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+    clusters = tagged.groupBy("cid").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("rows")
     )
-    return pairs.filter(F.col("cos") >= SEMDEDUP_MIN_COS).orderBy("keep_id", "dup_id")
+    id_type = tagged.schema["vec_id"].dataType.simpleString()
+    cid_type = tagged.schema["cid"].dataType.simpleString()
+    thr = float(SEMDEDUP_MIN_COS)
+
+    def gen(batches):
+        import numpy as np
+
+        import pyarrow as pa
+
+        from glaredb_spark.functions.vector import (
+            flat_matrix,
+            scaled_cross_dots,
+            scaled_self_norms,
+        )
+
+        for b in batches:
+            cids = b.column(b.schema.get_field_index("cid"))
+            col = b.column(b.schema.get_field_index("rows"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lens = pa.compute.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            )
+            flat = col.flatten()
+            ids = flat.field("vec_id").to_numpy(zero_copy_only=False)
+            mat, _ = flat_matrix(flat.field("embedding"))
+            nrm = scaled_self_norms(mat)
+            keeps, dups, outc, cos = [], [], [], []
+            s = 0
+            for bi, ln in enumerate(lens):
+                e = s + int(ln)
+                bid = ids[s:e]
+                D = scaled_cross_dots(mat[s:e], mat[s:e])
+                C = D / np.outer(nrm[s:e], nrm[s:e])
+                keep = (bid[:, None] < bid[None, :]) & (C >= thr)
+                s = e
+                ai, bj = np.nonzero(keep)
+                if len(ai):
+                    keeps.append(bid[ai])
+                    dups.append(bid[bj])
+                    outc.append(np.full(len(ai), cids[bi].as_py()))
+                    cos.append(C[ai, bj])
+            if keeps:
+                id_pa = flat.field("vec_id").type
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(keeps), id_pa),
+                        pa.array(np.concatenate(dups), id_pa),
+                        pa.array(np.concatenate(outc), cids.type),
+                        pa.array(np.concatenate(cos), pa.float64()),
+                    ],
+                    ["keep_id", "dup_id", "cid", "cos"],
+                )
+
+    return clusters.mapInArrow(
+        gen, f"keep_id {id_type}, dup_id {id_type}, cid {cid_type}, cos double"
+    ).orderBy("keep_id", "dup_id")

@@ -1,0 +1,129 @@
+"""Parity proofs for the r15 blocked-verification kernels.
+
+dedup_embedding_cosine and dedup_semdedup now verify candidates per
+LSH-bucket / per-cluster with one numpy matrix kernel per block
+(vector.scaled_cross_dots / scaled_self_norms) instead of exploding the
+candidate PAIRS through joins and a per-pair Arrow UDF. Oracle parity is
+covered in test_oracle_parity; these tests pin the two properties the
+rewrite leans on:
+
+- the in-place chunked rounding in scaled_cross_dots is bit-identical to
+  the module's documented sign*floor(abs+0.5) discipline, and
+- the blocked plans emit exactly the rows the old pair-join plans did
+  (same pair set, same cosine bits), reconstructed inline here.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from glaredb_spark.functions import vector as V
+from glaredb_spark.operators import dedup as D
+from glaredb_spark.operators import semantic as S
+from glaredb_spark.sources.files import load_wide
+
+
+def test_scaled_cross_dots_matches_reference():
+    rng = np.random.default_rng(7)
+    P = rng.standard_normal((37, 16))
+    M = rng.standard_normal((23, 16))
+    # plant sign / zero / exact-half edge cases the in-place form must hit
+    P[0, :] = 0.0
+    P[1, :] = -P[2, :]
+    M[0, 0] = 0.5e-12  # product lands exactly on a rounding boundary scale
+    prods = P[:, None, :] * M[None, :, :] * V.SCALE
+    ref = (
+        (np.sign(prods) * np.floor(np.abs(prods) + 0.5))
+        .astype(np.int64)
+        .sum(axis=2)
+        / V.SCALE
+    )
+    # chunking must not change values either — force many chunks
+    got = V.scaled_cross_dots(P, M, chunk_elems=64)
+    assert np.array_equal(ref, got)
+    nrm_ref = np.sqrt(
+        np.diagonal(
+            (lambda q: (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64))(
+                P[:, None, :] * P[None, :, :] * V.SCALE
+            ).sum(axis=2)
+        )
+        / V.SCALE
+    )
+    assert np.array_equal(nrm_ref, V.scaled_self_norms(P))
+
+
+def _pair_join_reference(emb, threshold, r, n_bands):
+    """The pre-r15 plan: explode candidate pairs, join both embeddings
+    back, score per pair with the Arrow dot UDF."""
+    cand = D.lsh_candidate_pairs(emb, r, n_bands)
+    e = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.sqrt(V.norm_sq(F.col("embedding"))).alias("nrm"),
+    )
+    cos = V.dot_arrow(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("v1"),
+                F.col("embedding").alias("e1"),
+                F.col("nrm").alias("n1"),
+            ),
+            "v1",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("v2"),
+                F.col("embedding").alias("e2"),
+                F.col("nrm").alias("n2"),
+            ),
+            "v2",
+        )
+        .select("v1", "v2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def test_embedding_dup_pairs_matches_pair_join(spark, sf_dir):
+    emb = load_wide(spark, sf_dir, "embeddings")
+    blocked = sorted(
+        tuple(r)
+        for r in D.embedding_dup_pairs(
+            emb, D.COSINE_DUP_MIN, r=D.DEDUP_R, n_bands=D.DEDUP_BANDS
+        ).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in _pair_join_reference(
+            emb, D.COSINE_DUP_MIN, D.DEDUP_R, D.DEDUP_BANDS
+        ).collect()
+    )
+    assert len(blocked) > 0
+    assert blocked == ref  # same pairs, same cosine bits
+
+
+def test_semdedup_blocked_matches_pair_join(spark, sf_dir):
+    emb = load_wide(spark, sf_dir, "embeddings")
+    assign = S.kmeans_assignments(spark, sf_dir).select("vec_id", "cid")
+    tagged = emb.join(assign, "vec_id").select("vec_id", "cid", "embedding")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    ref = sorted(
+        tuple(r)
+        for r in a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("dup_id"),
+            F.col("a.cid").alias("cid"),
+            V.cosine_arrow(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= S.SEMDEDUP_MIN_COS)
+        .collect()
+    )
+    got = sorted(tuple(r) for r in S.dedup_semdedup(spark, sf_dir).collect())
+    assert len(got) > 0
+    assert got == ref
