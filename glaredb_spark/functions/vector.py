@@ -156,6 +156,23 @@ def scaled_self_norms(mat):
     return np.sqrt(scaled.sum(axis=1) / SCALE)
 
 
+def scaled_row_dots(A, B):
+    """Row-wise scaled-integer dots d[i] = dot(A[i], B[i]) — the same
+    in-place half-away rounding discipline as scaled_cross_dots, over the
+    2D row-pair layout (used by fused score kernels fed pre-joined pair
+    batches). Bit-identical to the HOF ``dot`` column."""
+    import numpy as np
+
+    prods = A * B
+    prods *= SCALE
+    neg = np.signbit(prods)
+    np.abs(prods, out=prods)
+    prods += 0.5
+    np.floor(prods, out=prods)
+    np.negative(prods, where=neg, out=prods)
+    return prods.astype(np.int64).sum(axis=1) / SCALE
+
+
 def scaled_cross_dots(P, M, chunk_elems: int = 524_288):
     """All-pairs scaled-integer dot matrix D[i, j] = dot(P[i], M[j]) under
     the module's rounding discipline (per-element round happens BEFORE the

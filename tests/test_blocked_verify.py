@@ -101,6 +101,76 @@ def test_embedding_dup_pairs_matches_pair_join(spark, sf_dir):
     assert blocked == ref  # same pairs, same cosine bits
 
 
+def test_fused_cosine_topk_matches_hof_plan(spark, sf_dir):
+    """knn's fused mapInArrow score+local-top-k kernel must reproduce the
+    HOF-scored + mapInPandas two-stage phase 1 exactly (any-batching
+    superset property + bit-identical cosines)."""
+    from glaredb_spark.operators import similarity as K
+
+    emb = load_wide(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", "embedding", F.sqrt(V.norm_sq(F.col("embedding"))).alias("nrm")
+    )
+    q = n.filter(F.col("vec_id") < K.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    joined = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    ref = sorted(
+        tuple(r)
+        for r in K.topk_per_key(
+            joined.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (
+                    V.dot(F.col("q_emb"), F.col("embedding"))
+                    / (F.col("q_nrm") * F.col("nrm"))
+                ).alias("cosine"),
+            ),
+            K.TOP_K,
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in K._topk_merge(
+            K._fused_cosine_topk(
+                joined.select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    "q_emb",
+                    "embedding",
+                    "q_nrm",
+                    "nrm",
+                ),
+                K.TOP_K,
+            ),
+            K.TOP_K,
+        ).collect()
+    )
+    assert len(got) == K.N_QUERIES * K.TOP_K
+    assert got == ref
+    # partition-invariance of the fused phase 1 (total order breaks ties)
+    got7 = sorted(
+        tuple(r)
+        for r in K._topk_merge(
+            K._fused_cosine_topk(
+                joined.select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    "q_emb",
+                    "embedding",
+                    "q_nrm",
+                    "nrm",
+                ).repartition(7),
+                K.TOP_K,
+            ),
+            K.TOP_K,
+        ).collect()
+    )
+    assert got7 == ref
+
+
 def test_semdedup_blocked_matches_pair_join(spark, sf_dir):
     emb = load_wide(spark, sf_dir, "embeddings")
     assign = S.kmeans_assignments(spark, sf_dir).select("vec_id", "cid")

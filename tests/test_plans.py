@@ -74,7 +74,8 @@ def test_r2_query_plan_shapes(spark, sf_dir):
     plan = formatted_plan(QUERIES["knn_ivf_cosine"](spark, sf_dir))
     # centroid/query/probe sides all broadcast — corpus never broadcast-builds
     assert plan.count("BroadcastExchange") >= 3
-    assert "MapInPandas" in plan  # two-phase top-k reduction present
+    # r15: fused MapInArrow score+local-top-k phase 1 (was MapInPandas)
+    assert "MapInArrow" in plan  # two-phase top-k reduction present
 
 
 def test_prefix_jaccard_plan_no_cartesian(spark, sf_dir):
@@ -100,7 +101,7 @@ def test_knn_no_full_scored_window_exchange(spark, sf_dir):
     load_all()
     plan = formatted_plan(QUERIES["knn_bruteforce_cosine"](spark, sf_dir))
     assert "Window" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan  # r15 fused phase-1 kernel
     # the scored set is produced by a broadcast join (corpus not shuffled)
     assert "BroadcastExchange" in plan
 

@@ -47,6 +47,8 @@ def test_knn_plan_two_phase_no_window(spark, sf_dir):
 
     for q in (knn_bruteforce_cosine, knn_lsh_cosine):
         plan = formatted_plan(q(spark, sf_dir))
-        assert "MapInPandas" in plan, plan
+        # r15: phase 1 is the fused MapInArrow score+local-top-k kernel
+        # (was a HOF-scored projection + MapInPandas top-k)
+        assert "MapInArrow" in plan, plan
         assert "Window" not in plan, plan
         assert "row_number" not in plan, plan
