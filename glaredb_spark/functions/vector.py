@@ -125,6 +125,7 @@ def flat_matrix(arr):
     Returns (matrix, lengths) so ragged callers can still slice."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import in workers
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()

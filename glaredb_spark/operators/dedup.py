@@ -158,43 +158,6 @@ O_HASHED_SETS = (
 )
 
 
-# lazy (pandas_udf needs an active session), keyed by session so a new
-# SparkSession after stop() rebuilds instead of reusing a dead binding
-_INTER_UDF: dict = {}
-
-
-def _intersect_count_arrow():
-    """Arrow-batched |A∩B| over two distinct-int64-array columns.
-
-    Spark's array_intersect is evaluated interpreted (~20 us per 52-element
-    pair measured); numpy's C intersect over an Arrow batch is ~10x. Counts
-    are integers — bit-exact parity with the JVM form is trivial."""
-    from pyspark.sql import SparkSession
-
-    import weakref
-
-    # weakref + identity check, not id() — see vector.py._arrow_udfs
-    sess = SparkSession.getActiveSession()
-    ref = _INTER_UDF.get("session_ref")
-    if sess is not None and ref is not None and ref() is sess:
-        return _INTER_UDF["f"]
-    _INTER_UDF.clear()
-    _INTER_UDF["session_ref"] = weakref.ref(sess) if sess is not None else None
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _inter(xa: pd.Series, xb: pd.Series) -> pd.Series:
-        import numpy as np
-
-        return pd.Series(
-            [np.intersect1d(a, b, assume_unique=True).size for a, b in zip(xa, xb)],
-            dtype="int64",
-        )
-
-    _INTER_UDF["f"] = _inter
-    return _inter
-
-
 def _verify_pairs(
     cand, hsets, threshold, *, broadcast_sets: bool = False, arrow: bool = False
 ):
@@ -208,7 +171,20 @@ def _verify_pairs(
     per-run broadcast build through the driver outweighs the cached
     shuffle it replaces) — so the default stays the AQE-planned join,
     which is also the only shape that scales past broadcastable set
-    tables."""
+    tables.
+
+    arrow=True (the high-pair-volume path, r15): one mapInArrow kernel
+    per batch replaces the per-pair pandas UDF. The old kernel converted
+    every hs array to a numpy OBJECT per row and looped
+    np.intersect1d pair by pair (~181k python iterations at sf0.1); now
+    the batch's list columns flatten zero-copy and ALL intersections
+    vectorize at once — each element becomes a (row << 31 | value) int64
+    key (values are md5 % P31 < 2³¹, so the packing is lossless), one
+    global intersect1d per side pair finds the common keys, and a
+    bincount on (key >> 31) yields every pair's |A∩B| with no per-pair
+    loop. Counts are the same exact integers; jaccard is the same
+    int-over-int double division; the ≥ threshold filter moves in-kernel
+    (fewer rows serialized out, same rows survive)."""
     maybe_b = F.broadcast if broadcast_sets else (lambda df: df)
     x = maybe_b(
         hsets.select(
@@ -224,11 +200,61 @@ def _verify_pairs(
             F.size("hs").alias("n2"),
         )
     )
-    if arrow:
-        i = _intersect_count_arrow()(F.col("s1"), F.col("s2"))
-    else:
-        i = F.size(F.array_intersect("s1", "s2")).cast("long")
     joined = cand.join(x, "doc1").join(y, "doc2")
+    if arrow:
+        id_t = hsets.schema["doc_id"].dataType.simpleString()
+        thr = float(threshold)
+
+        def gen(batches):
+            import numpy as np
+
+            import pyarrow as pa
+            import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import in workers
+
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                d1 = b.column(b.schema.get_field_index("doc1"))
+                d2 = b.column(b.schema.get_field_index("doc2"))
+                s1 = b.column(b.schema.get_field_index("s1"))
+                s2 = b.column(b.schema.get_field_index("s2"))
+                l1 = pa.compute.list_value_length(s1).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                l2 = pa.compute.list_value_length(s2).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                v1 = np.asarray(s1.flatten(), dtype=np.int64)
+                v2 = np.asarray(s2.flatten(), dtype=np.int64)
+                rid = np.arange(b.num_rows, dtype=np.int64)
+                k1 = (np.repeat(rid, l1) << 31) | v1
+                k2 = (np.repeat(rid, l2) << 31) | v2
+                common = np.intersect1d(k1, k2, assume_unique=True)
+                cnt = np.bincount(
+                    common >> 31, minlength=b.num_rows
+                ).astype(np.float64)
+                jac = cnt / (l1 + l2 - cnt)
+                keep = jac >= thr
+                if keep.any():
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(
+                                d1.to_numpy(zero_copy_only=False)[keep],
+                                d1.type,
+                            ),
+                            pa.array(
+                                d2.to_numpy(zero_copy_only=False)[keep],
+                                d2.type,
+                            ),
+                            pa.array(jac[keep], pa.float64()),
+                        ],
+                        ["doc1", "doc2", "jaccard"],
+                    )
+
+        return joined.select("doc1", "doc2", "s1", "s2").mapInArrow(
+            gen, f"doc1 {id_t}, doc2 {id_t}, jaccard double"
+        )
+    i = F.size(F.array_intersect("s1", "s2")).cast("long")
     jac = F.col("_i").cast("double") / (F.col("n1") + F.col("n2") - F.col("_i"))
     return (
         joined.withColumn("_i", i)
@@ -719,6 +745,7 @@ def embedding_dup_pairs(
         import numpy as np
 
         import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import in workers
 
         from glaredb_spark.functions.vector import (
             flat_matrix,

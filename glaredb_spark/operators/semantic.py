@@ -254,6 +254,7 @@ def dedup_semdedup(spark, sf_dir):
         import numpy as np
 
         import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import in workers
 
         from glaredb_spark.functions.vector import (
             flat_matrix,

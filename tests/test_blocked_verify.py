@@ -101,6 +101,58 @@ def test_embedding_dup_pairs_matches_pair_join(spark, sf_dir):
     assert blocked == ref  # same pairs, same cosine bits
 
 
+def test_verify_pairs_arrow_matches_jvm(spark, sf_dir):
+    """The vectorized batch-intersection kernel (arrow=True) must emit
+    exactly the rows of the JVM array_intersect form — same pairs, same
+    jaccard bits — on the real ngram candidate stream."""
+    from glaredb_spark.operators.dedup import (
+        DF_MAX,
+        NGRAM_JACCARD_MIN,
+        _hashed_shingle_sets,
+        _verify_pairs,
+    )
+
+    sets = _hashed_shingle_sets(spark, sf_dir).select(
+        "doc_id", "hs", F.size("hs").alias("n")
+    )
+    pfx_len = (
+        F.col("n") - F.ceil(F.lit(NGRAM_JACCARD_MIN) * F.col("n")) + 1
+    ).cast("int")
+    pfx = sets.select(
+        "doc_id", "n", F.explode(F.slice("hs", F.lit(1), pfx_len)).alias("h")
+    )
+    rare = (
+        pfx.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, DF_MAX))
+        .select("h")
+    )
+    p = pfx.join(rare, "h")
+    cand = (
+        p.alias("a")
+        .join(p.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+    )
+    hsets = sets.select("doc_id", "hs")
+    jvm = sorted(
+        tuple(r)
+        for r in _verify_pairs(
+            cand, hsets, NGRAM_JACCARD_MIN, arrow=False
+        ).collect()
+    )
+    vec = sorted(
+        tuple(r)
+        for r in _verify_pairs(
+            cand, hsets, NGRAM_JACCARD_MIN, arrow=True
+        ).collect()
+    )
+    assert len(vec) > 0
+    assert vec == jvm
+
+
 def test_fused_cosine_topk_matches_hof_plan(spark, sf_dir):
     """knn's fused mapInArrow score+local-top-k kernel must reproduce the
     HOF-scored + mapInPandas two-stage phase 1 exactly (any-batching
