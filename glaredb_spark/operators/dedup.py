@@ -486,23 +486,59 @@ def _simhash_df(spark, sf_dir, weighted: bool = False):
     """32-bit SimHash signatures. weighted=True uses term-frequency weights
     (Charikar's weighted form): every token OCCURRENCE votes ±1 per bit,
     which is exactly tf-weighting with integer sums — deterministic, and the
-    standard choice for real corpora where repeated terms carry signal."""
-    col = F.col("t") if weighted else F.array_distinct("t")
-    toks = _tokens_df(spark, sf_dir).select("doc_id", F.explode(col).alias("w"))
-    hashed = toks.select("doc_id", _hash64(F.col("w")).alias("h"))
-    bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when((F.col("h") / F.lit(2**i)).cast("long") % 2 == 1, 1).otherwise(-1)
-            ).alias(f"s{i}")
-            for i in range(32)
-        ]
-    )
-    simhash = sum(
-        [F.when(F.col(f"s{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(32)],
-        F.lit(0),
-    ).cast("long")
-    return bit_sums.select("doc_id", simhash.alias("simhash"))
+    standard choice for real corpora where repeated terms carry signal.
+
+    r15: computed by a map-only Arrow kernel (guide §2.1/§4), the
+    _hashed_shingle_sets pattern — the expression form exploded ~|corpus|
+    × tokens rows and shuffled them through a 32-conditional-sum
+    aggregation; here tokenize → md5 → bit votes → sign threshold runs
+    per document inside one mapInArrow pass, NO explode and NO shuffle.
+    Hash identity with the SQL/oracle form is exact (same md5 60-bit
+    prefix % P31 — see _hashed_shingle_sets); bit votes are exact
+    integer sums; ties (s_i ≥ 0 → bit set) match the JVM CASE. The
+    unweighted form hashes each DISTINCT TOKEN (so two distinct tokens
+    colliding to one hash still vote twice, exactly like
+    array_distinct + explode). Bit parity with the expression form is
+    asserted in tests/test_blocked_verify.py; oracle parity unchanged."""
+    docs = load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        shifts = np.arange(32, dtype=np.int64)
+        weights = (1 << shifts).astype(np.int64)
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("doc_id")).to_numpy(
+                zero_copy_only=False
+            )
+            out = np.empty(len(ids), dtype=np.int64)
+            for i, text in enumerate(
+                b.column(b.schema.get_field_index("text")).to_pylist()
+            ):
+                toks = (text or "").split(" ")
+                if not weighted:
+                    toks = set(toks)
+                hs = np.fromiter(
+                    (
+                        int(md5(t.encode()).hexdigest()[:15], 16) % P31
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                )
+                bits = (hs[:, None] >> shifts) & 1
+                votes = (2 * bits - 1).sum(axis=0)
+                out[i] = int(weights[votes >= 0].sum())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(out, pa.int64())],
+                ["doc_id", "simhash"],
+            )
+
+    return docs.mapInArrow(gen, "doc_id bigint, simhash bigint")
 
 
 def _o_simhash(weighted: bool = False) -> str:

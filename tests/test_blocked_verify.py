@@ -101,6 +101,46 @@ def test_embedding_dup_pairs_matches_pair_join(spark, sf_dir):
     assert blocked == ref  # same pairs, same cosine bits
 
 
+def test_simhash_kernel_matches_expression_form(spark, sf_dir):
+    """The map-only simhash Arrow kernel must reproduce the exploded
+    expression pipeline bit for bit, weighted and unweighted (same md5
+    hash identity, same ±1 votes, same ≥ 0 tie rule)."""
+    from glaredb_spark.operators.dedup import _hash64, _simhash_df, _tokens_df
+
+    for weighted in (False, True):
+        col = F.col("t") if weighted else F.array_distinct("t")
+        toks = _tokens_df(spark, sf_dir).select(
+            "doc_id", F.explode(col).alias("w")
+        )
+        hashed = toks.select("doc_id", _hash64(F.col("w")).alias("h"))
+        bit_sums = hashed.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("h") / F.lit(2**i)).cast("long") % 2 == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"s{i}")
+                for i in range(32)
+            ]
+        )
+        simhash = sum(
+            [
+                F.when(F.col(f"s{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
+                for i in range(32)
+            ],
+            F.lit(0),
+        ).cast("long")
+        ref = sorted(
+            tuple(r)
+            for r in bit_sums.select("doc_id", simhash.alias("simhash")).collect()
+        )
+        got = sorted(
+            tuple(r) for r in _simhash_df(spark, sf_dir, weighted).collect()
+        )
+        assert len(got) > 0
+        assert got == ref
+
+
 def test_verify_pairs_arrow_matches_jvm(spark, sf_dir):
     """The vectorized batch-intersection kernel (arrow=True) must emit
     exactly the rows of the JVM array_intersect form — same pairs, same
