@@ -97,8 +97,16 @@ def _hashed_sets(sets):
 
 
 def _hashed_shingle_sets(spark, sf_dir):
+    """Kernel applied to the full documents fixture — see hashed_sets_of."""
+    return hashed_sets_of(
+        load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def hashed_sets_of(docs):
     """(doc_id, hs: array<long>) — SORTED distinct md5-hashes of the token
-    3-gram shingles, computed in ONE Arrow pass per batch (guide §4).
+    3-gram shingles of any (doc_id, text) DataFrame, computed in ONE Arrow
+    pass per batch (guide §4).
 
     Why this replaces the expression pipeline for the two headline dedup
     queries: the JVM route evaluated `transform(sequence(...), i ->
@@ -121,7 +129,6 @@ def _hashed_shingle_sets(spark, sf_dir):
     (min-aggregates, array_intersect sizes), and doubles as ngram's
     ascending prefix order. Scale: map-only, no shuffle; per-task state
     is one document's shingle set."""
-    docs = load_wide(spark, sf_dir, "documents").select("doc_id", "text")
 
     def gen(batches):
         import hashlib
