@@ -25,13 +25,14 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from glaredb_spark.operators.dedup import (
+    _SHINGLE_EXPR,
+    _hash64,
     _minhash_aggs,
     _band_key,
     _o_band_key,
     _o_hash64,
     _o_minhash_cols,
     _verify_pairs,
-    hashed_sets_of,
     BANDS,
     MINHASH_JACCARD_MIN,
     O_HASHED_SETS,
@@ -118,20 +119,29 @@ def pipeline_corpus_clean(spark, sf_dir):
     )
 
     # stage 3: MinHash-LSH near-dup pairs on the surviving set (banded
-    # equi-join — identical machinery to dedup_minhash_lsh). r15: the
-    # shingle hashing runs through the shared Arrow kernel on the FILTERED
-    # docs (one pass, persisted 8-byte hash sets feed both the signature
-    # aggregation and verification), replacing the interpreted
-    # transform/md5 HOF chains this stage still carried after d0bd262
-    # optimized the standalone dedup queries. hs is the same distinct-hash
-    # set (string-distinct before hashing vs hash-distinct differ only
-    # when distinct shingles collide, which leaves MIN aggregates,
-    # set sizes and intersections unchanged — equality proven in
-    # tests/test_blocked_verify.py and by oracle parity).
-    sets = hashed_sets_of(exact.select("doc_id", "text")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # equi-join — identical machinery to dedup_minhash_lsh). r15 note:
+    # routing this stage through the shared Arrow shingle kernel
+    # (hashed_sets_of, the d0bd262 win for the STANDALONE dedup queries)
+    # was tried and measured as a 15-20% regression here — interleaved
+    # A/B at sf0.1, 9/9 alternating pairs slower in both orderings (old
+    # min 1.96-2.25 s vs new 2.44-2.55 s). The quality+exact-dedup
+    # stages shrink the corpus before stage 3, so the per-doc HOF saving
+    # no longer covers the extra python stage behind the dedup window
+    # (the same overhead class the knn per-pair-UDF revert pinned). The
+    # JVM expression form is kept deliberately.
+    sets = exact.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select("doc_id", F.array_distinct(F.expr(_SHINGLE_EXPR)).alias("s"))
+    sets = sets.select(
+        "doc_id",
+        "s",
+        F.array_distinct(F.transform("s", lambda x: _hash64(x))).alias("hs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = (
+        sets.select("doc_id", F.explode("s").alias("sh"))
+        .distinct()
+        .select("doc_id", _hash64(F.col("sh")).alias("h"))
     )
-    hashed = sets.select("doc_id", F.explode("hs").alias("h"))
     sigs = hashed.groupBy("doc_id").agg(*_minhash_aggs())
     bands = sigs.select(
         "doc_id",
