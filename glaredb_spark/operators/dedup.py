@@ -96,14 +96,15 @@ def _hashed_sets(sets):
     )
 
 
-def _hashed_shingle_sets(spark, sf_dir):
+def _hashed_shingle_sets(spark, sf_dir, *, with_sigs: bool = False):
     """Kernel applied to the full documents fixture — see hashed_sets_of."""
     return hashed_sets_of(
-        load_wide(spark, sf_dir, "documents").select("doc_id", "text")
+        load_wide(spark, sf_dir, "documents").select("doc_id", "text"),
+        with_sigs=with_sigs,
     )
 
 
-def hashed_sets_of(docs):
+def hashed_sets_of(docs, *, with_sigs: bool = False):
     """(doc_id, hs: array<long>) — SORTED distinct md5-hashes of the token
     3-gram shingles of any (doc_id, text) DataFrame, computed in ONE Arrow
     pass per batch (guide §4).
@@ -128,34 +129,69 @@ def hashed_sets_of(docs):
     sorted distinct set is order-insensitively consumed everywhere
     (min-aggregates, array_intersect sizes), and doubles as ngram's
     ascending prefix order. Scale: map-only, no shuffle; per-task state
-    is one document's shingle set."""
+    is one document's shingle set.
+
+    with_sigs=True (r15 second pass) additionally emits the 16 MinHash
+    signature values as `sig array<bigint>` (null for shingle-less docs),
+    computed over the SAME hash set in one vectorized numpy step:
+    min_j((A[j]·h + B[j]) mod P31). Equivalence with the expression form
+    (explode hs → groupBy doc_id → 16 MIN aggregates) is exact: products
+    are < 2⁶² (no int64 overflow on either side), numpy's mod on
+    non-negative int64 matches the JVM's `%`, and a doc with an empty hs
+    has NO row after the explode — mirrored by emitting null and
+    filtering size(hs) > 0 at the consumer. Folding the signatures into
+    the kernel removes the explode of ~10⁶ hashed-shingle rows, the
+    16-expression partial aggregation and its exchange — which the band
+    self-join's plan previously evaluated ONCE PER SIDE off the cached
+    sets (asserted by the sig-parity test in test_shingle_kernel.py)."""
 
     def gen(batches):
         import hashlib
 
+        import numpy as np
+
         import pyarrow as pa
 
         md5 = hashlib.md5
+        if with_sigs:
+            a_np = np.asarray(A, dtype=np.int64)
+            b_np = np.asarray(B, dtype=np.int64)
         for b in batches:
             ids = b.column("doc_id").to_pylist()
             out = []
+            sig_out = []
             for text in b.column("text").to_pylist():
                 t = (text or "").split(" ")
                 if len(t) < 3:
                     out.append([])
+                    sig_out.append(None)
                     continue
                 hs = {
                     int(md5(" ".join(t[i:i + 3]).encode()).hexdigest()[:15], 16)
                     % P31
                     for i in range(len(t) - 2)
                 }
-                out.append(sorted(hs))
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, pa.int64()), pa.array(out, pa.list_(pa.int64()))],
-                ["doc_id", "hs"],
-            )
+                srt = sorted(hs)
+                out.append(srt)
+                if with_sigs:
+                    arr = np.asarray(srt, dtype=np.int64)
+                    sig_out.append(
+                        ((arr[:, None] * a_np + b_np) % P31).min(axis=0)
+                    )
+            arrays = [
+                pa.array(ids, pa.int64()),
+                pa.array(out, pa.list_(pa.int64())),
+            ]
+            names = ["doc_id", "hs"]
+            if with_sigs:
+                arrays.append(pa.array(sig_out, pa.list_(pa.int64())))
+                names.append("sig")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
-    return docs.mapInArrow(gen, "doc_id bigint, hs array<bigint>")
+    schema = "doc_id bigint, hs array<bigint>"
+    if with_sigs:
+        schema += ", sig array<bigint>"
+    return docs.mapInArrow(gen, schema)
 
 
 O_HASHED_SETS = (
@@ -455,13 +491,25 @@ def dedup_minhash_lsh(spark, sf_dir):
     # aggregation and the verification join — the old plan re-hashed every
     # shingle on each branch through interpreted HOF/md5 chains and pushed
     # a no-op distinct over the widest (string) stream. Identical values,
-    # 4.5x measured (see _hashed_shingle_sets). The exploded posting rows
-    # are unique by construction (hs is distinct per doc).
-    hsets = _hashed_shingle_sets(spark, sf_dir).persist(
+    # 4.5x measured (see _hashed_shingle_sets).
+    #
+    # r15 second pass: the 16 signature minima now come out of the SAME
+    # kernel pass (with_sigs=True) instead of explode(hs) → groupBy →
+    # 16 MIN aggregates — the band self-join evaluated that agg chain
+    # once per side off the cache (2 Generate + 4 HashAggregate +
+    # 2 Exchange in the old plan, see plans/r15). Docs with empty hs had
+    # no exploded rows, hence the size(hs) > 0 filter. Values identical
+    # (see hashed_sets_of docstring + the sig-parity test).
+    hsets = _hashed_shingle_sets(spark, sf_dir, with_sigs=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    hashed = hsets.select("doc_id", F.explode("hs").alias("h"))
-    sigs = hashed.groupBy("doc_id").agg(*_minhash_aggs())
+    sigs = hsets.filter(F.size("hs") > 0).select(
+        "doc_id",
+        *[
+            F.element_at("sig", j + 1).alias(f"mh{j}")
+            for j in range(NUM_HASHES)
+        ],
+    )
     # one band row per (doc, band) via a single explode — a 4-way union
     # would recompute the signature aggregation per branch
     bands = sigs.select(

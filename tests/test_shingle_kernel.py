@@ -36,6 +36,37 @@ def test_kernel_matches_jvm_expression_form(spark, sf_dir):
     assert arrow == jvm
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_kernel_sigs_match_expression_aggregates(spark, sf_dir):
+    """with_sigs=True: the in-kernel 16 MinHash minima must equal the
+    expression form (explode hs → groupBy doc_id → 16 MIN aggregates),
+    including the absence of rows for shingle-less documents."""
+    from glaredb_spark.operators.dedup import (
+        NUM_HASHES,
+        _minhash_aggs,
+        _hashed_shingle_sets,
+    )
+
+    with_sig = _hashed_shingle_sets(spark, sf_dir, with_sigs=True)
+    kernel = {
+        r.doc_id: list(r.sig)
+        for r in with_sig.filter(F.size("hs") > 0).collect()
+    }
+    expr = {
+        r.doc_id: [r[f"mh{j}"] for j in range(NUM_HASHES)]
+        for r in _hashed_shingle_sets(spark, sf_dir)
+        .select("doc_id", F.explode("hs").alias("h"))
+        .groupBy("doc_id")
+        .agg(*_minhash_aggs())
+        .collect()
+    }
+    assert kernel.keys() == expr.keys()
+    assert kernel == expr
+    # shingle-less docs carry a null sig and are filtered by size(hs) > 0
+    empties = with_sig.filter(F.size("hs") == 0).collect()
+    assert all(r.sig is None for r in empties)
+
+
 def test_kernel_edge_documents(spark, tmp_path):
     p = str(tmp_path / "documents.parquet")
     rows = [
