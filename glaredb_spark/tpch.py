@@ -96,6 +96,24 @@ def T(spark, sf_dir, *names):
 # ---------------------------------------------------------------------------
 # q01 — pricing summary report (scan → filter → hash agg → sort)
 # ---------------------------------------------------------------------------
+def cents(col):
+    """Exact integer 'cents' of a fixture money DOUBLE, in pure codegen.
+
+    Equals the unscaled value of CAST(col AS DECIMAL(15,2)) for this
+    fixture's money columns (non-negative, at most 2 decimal digits,
+    < 10^6) while avoiding the per-row Double.toString/BigDecimal path
+    that cast takes (r15 profile: the dec() casts alone cost ~0.30 s of
+    tpch_q01's 0.95 s at sf0.1). Why floor(x*100 + 0.5) is exact here:
+    the true value v has <= 2 decimals, so v*100 is an integer n and the
+    stored double x deviates from v by < 1 ulp; x*100 then lands within
+    ~1e-8 of n (|n| < 10^8, far from the 0.5 threshold), so adding 0.5
+    and flooring recovers n for every representable input. Ties (values
+    with exactly 3 decimals ending in 5) cannot occur with 2-decimal
+    data. Proven per-row equal to the decimal cast on every lineitem
+    money column at sf0.001/0.01/0.1 (tests/test_q01_cents.py)."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5))
+
+
 @register_query(
     "tpch_q01",
     oracle=f"""
@@ -116,19 +134,43 @@ ORDER BY l_returnflag, l_linestatus
     cache_plan=True,
 )
 def q01(spark, sf_dir):
+    # r15: money arithmetic in exact long cents instead of per-row
+    # double->decimal casts + a widening decimal product chain. Per-row
+    # products stay in long (bounded: charge6 < 1.1e12); AGGREGATION is
+    # decimal(20,0) -> decimal(30,0) accumulators so sums remain exact at
+    # any scale (a long sum of charge6 would overflow around sf10 —
+    # scale-wrong). The final rescale multiplies the exact integer sum by
+    # an exact decimal 10^-k constant (product precision <= 37, no
+    # rounding), so the cast to DOUBLE is the single rounding step —
+    # bit-identical to the previous sum(decimal)->double path and to the
+    # unchanged DuckDB oracle. Proven by bit-identical collects at
+    # sf0.001/0.01/0.1 and oracle parity (tests/test_q01_cents.py).
     li = T(spark, sf_dir, "lineitem")["lineitem"]
+    qc, pc = cents("l_quantity"), cents("l_extendedprice")
+    dc, tc = cents("l_discount"), cents("l_tax")
+    dp4 = pc * (F.lit(100) - dc)  # disc_price, unscaled at 10^-4
+    ch6 = dp4 * (F.lit(100) + tc)  # charge, unscaled at 10^-6
+
+    def S(col):
+        return F.sum(col.cast("decimal(20,0)"))
+
+    def at(sum_col, k: int):
+        scale = F.lit("0." + "0" * (k - 1) + "1").cast(f"decimal({k},{k})")
+        return (sum_col * scale).cast("double")
+
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money(F.sum(dec("l_quantity"))).alias("sum_qty"),
-            money(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
-            money(F.sum(disc_price())).alias("sum_disc_price"),
-            money(F.sum(charge())).alias("sum_charge"),
-            (money(F.sum(dec("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty"),
-            (money(F.sum(dec("l_extendedprice"))) / F.count(F.lit(1))).alias("avg_price"),
-            (money(F.sum(dec("l_discount"))) / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            at(S(qc), 2).alias("sum_qty"),
+            at(S(pc), 2).alias("sum_base_price"),
+            at(S(dp4), 4).alias("sum_disc_price"),
+            at(S(ch6), 6).alias("sum_charge"),
+            (at(S(qc), 2) / cnt).alias("avg_qty"),
+            (at(S(pc), 2) / cnt).alias("avg_price"),
+            (at(S(dc), 2) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

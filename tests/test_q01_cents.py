@@ -1,0 +1,87 @@
+"""Proof obligations for the r15 long-cents rewrite of tpch_q01.
+
+The rewrite replaces the per-row double->decimal casts + widening decimal
+product chain with exact integer "cents" arithmetic in codegen
+(glaredb_spark/tpch.py::cents), aggregated in decimal accumulators so sums
+stay exact at any scale. Three obligations, each a test below:
+
+1. Per-row quantization equivalence — floor(x*100 + 0.5) equals the
+   unscaled value of CAST(x AS DECIMAL(15,2)) on EVERY lineitem money
+   column of every local fixture (the rewrite's precondition), and the
+   inputs satisfy the preconditions (no nulls, no negatives).
+2. Bit-identical results — the registered (cents) q01 collects exactly
+   the rows of the previous decimal-chain plan, reconstructed here from
+   the same helpers it used (dec/money/disc_price/charge).
+3. Oracle parity — the driver's own DuckDB gate, at both local SFs.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from glaredb_spark.registry import QUERIES, load_all
+from glaredb_spark.tpch import T, cents, charge, dec, disc_price, money, ts
+from tests.oracle import assert_parity
+
+load_all()
+
+MONEY_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _fixture_dirs(sf_dir, oracle_sf_dir):
+    dirs = [sf_dir, oracle_sf_dir]
+    big = "/root/testdata/sf0.1"
+    if os.path.isdir(big):
+        dirs.append(big)
+    return dirs
+
+
+def _q01_decimal_chain(spark, d):
+    """The pre-r15 q01 plan, verbatim (decimal casts + widening products)."""
+    li = T(spark, d, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            money(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            money(F.sum(disc_price())).alias("sum_disc_price"),
+            money(F.sum(charge())).alias("sum_charge"),
+            (money(F.sum(dec("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty"),
+            (money(F.sum(dec("l_extendedprice"))) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (money(F.sum(dec("l_discount"))) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def test_cents_rowwise_equals_decimal_cast(spark, sf_dir, oracle_sf_dir):
+    """floor(x*100+0.5) == unscaled(CAST(x AS DECIMAL(15,2))) per row,
+    and the preconditions (non-null, non-negative) hold on the fixtures."""
+    for d in _fixture_dirs(sf_dir, oracle_sf_dir):
+        li = T(spark, d, "lineitem")["lineitem"]
+        checks = []
+        for c in MONEY_COLS:
+            exact = (dec(c) * F.lit(100)).cast("long")  # integer-valued: exact
+            checks.append(F.sum((cents(c) != exact).cast("int")).alias(f"neq_{c}"))
+            checks.append(F.sum(F.col(c).isNull().cast("int")).alias(f"null_{c}"))
+            checks.append(F.sum((F.col(c) < 0).cast("int")).alias(f"neg_{c}"))
+        row = li.agg(*checks).collect()[0].asDict()
+        bad = {k: v for k, v in row.items() if v != 0}
+        assert not bad, f"{d}: cents precondition violated: {bad}"
+
+
+def test_q01_bit_identical_to_decimal_chain(spark, sf_dir, oracle_sf_dir):
+    for d in _fixture_dirs(sf_dir, oracle_sf_dir):
+        new_rows = QUERIES["tpch_q01"](spark, d).collect()
+        old_rows = _q01_decimal_chain(spark, d).collect()
+        assert new_rows == old_rows, f"{d}: cents q01 != decimal-chain q01"
+
+
+@pytest.mark.parametrize("which", ["small", "oracle"])
+def test_q01_oracle_parity(spark, sf_dir, oracle_sf_dir, which):
+    assert_parity(spark, "tpch_q01", sf_dir if which == "small" else oracle_sf_dir)
