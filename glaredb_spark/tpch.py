@@ -870,12 +870,18 @@ def q18(spark, sf_dir):
     # lineitem scan (semi join + groupBy) collapsed to a join of the
     # already-aggregated per-order totals. Same decimal sum over the same
     # rows → bit-identical after the final double cast.
+    # r15 second pass: the per-order quantity total in exact long cents
+    # (see cents()), aggregated in decimal(20,0) — same rewrite as q01.
+    # HAVING boundary: tot_qty > 150.00 ⇔ cents sum > 15000 (both sides
+    # exact integers in cents); the final ×0.01 rescale + double cast is
+    # the q01-proven single-rounding path. Bit-identical at all 3 SFs
+    # (tests/test_q01_cents.py::test_q18_bit_identical_to_decimal_chain).
     t = T(spark, sf_dir, "customer", "orders", "lineitem")
     big_orders = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("tot_qty"))
-        .filter(F.col("tot_qty") > F.lit(150).cast(D))
+        .agg(F.sum(cents("l_quantity").cast("decimal(20,0)")).alias("qty_c"))
+        .filter(F.col("qty_c") > 15000)
     )
     return (
         big_orders
@@ -883,7 +889,9 @@ def q18(spark, sf_dir):
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
-            money(F.col("tot_qty")).alias("sum_qty"),
+            (F.col("qty_c") * F.lit("0.01").cast("decimal(2,2)"))
+            .cast("double")
+            .alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)

@@ -85,3 +85,39 @@ def test_q01_bit_identical_to_decimal_chain(spark, sf_dir, oracle_sf_dir):
 @pytest.mark.parametrize("which", ["small", "oracle"])
 def test_q01_oracle_parity(spark, sf_dir, oracle_sf_dir, which):
     assert_parity(spark, "tpch_q01", sf_dir if which == "small" else oracle_sf_dir)
+
+
+def _q18_decimal_chain(spark, d):
+    """The pre-cents q18 plan (decimal sum + decimal HAVING compare)."""
+    from glaredb_spark.tpch import D
+
+    t = T(spark, d, "customer", "orders", "lineitem")
+    big_orders = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("tot_qty"))
+        .filter(F.col("tot_qty") > F.lit(150).cast(D))
+    )
+    return (
+        big_orders
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            money(F.col("tot_qty")).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def test_q18_bit_identical_to_decimal_chain(spark, sf_dir, oracle_sf_dir):
+    for d in _fixture_dirs(sf_dir, oracle_sf_dir):
+        new_rows = QUERIES["tpch_q18"](spark, d).collect()
+        old_rows = _q18_decimal_chain(spark, d).collect()
+        assert new_rows == old_rows, f"{d}: cents q18 != decimal-chain q18"
+
+
+@pytest.mark.parametrize("which", ["small", "oracle"])
+def test_q18_oracle_parity(spark, sf_dir, oracle_sf_dir, which):
+    assert_parity(spark, "tpch_q18", sf_dir if which == "small" else oracle_sf_dir)
