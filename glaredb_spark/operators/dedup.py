@@ -337,6 +337,127 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+def _blocked_jaccard_pairs(postings, threshold):
+    """Blocked per-bucket Jaccard verification (r15 third pass — the
+    embedding/semdedup blocked-verification pattern applied to ngram).
+
+    ``postings`` is the rare-prefix posting stream WITH each document's
+    full hash set attached: (h, doc_id, n, hs). Documents sharing a rare
+    prefix hash h form one bucket (|bucket| <= DF_MAX by construction);
+    each doc's set ships ONCE PER BUCKET it posts into, instead of once
+    per candidate PAIR. At sf0.1 that is ~24 MB through one exchange vs
+    ~143 MB of pair-attached arrays through the Python boundary (171,722
+    distinct candidate pairs x two 52-element sets); at scale the gap is
+    asymptotic — posting volume is linear in corpus size while pair
+    volume grows with df² per hash (guide §2.3 "shuffle keys and
+    metadata instead of payloads", §8).
+
+    The kernel computes EVERY bucket pair's full |A∩B| by vectorized
+    co-occurrence counting, no per-pair loop: flatten all buckets in the
+    batch, tag each set element with (bucket << 31 | value) — both
+    < 2³¹, lossless — sort once, expand each equal-key group's index
+    combinations (group size <= DF_MAX, so per-size np.triu templates
+    cover it), then one np.unique over packed (lo_instance << 31 | hi)
+    keys yields every pair's shared-element count. A pair sharing only
+    the bucket hash itself still appears (h is in both sets), so the
+    candidate set is exactly the old self-join's: both docs carry h in
+    their prefix, a.doc_id < b.doc_id, size-ratio prune — the latter two
+    applied in-kernel with the same float64 ops the JVM filter used.
+    jaccard = cnt/(n1+n2-cnt) is the same exact-int float64 division as
+    `_verify_pairs`; survivors are bit-identical (proven at all three
+    SFs + oracle parity; equality test in tests/test_blocked_verify.py).
+    Cross-bucket duplicates carry the same jaccard and resolve in the
+    caller's groupBy-min, exactly as the old multi-prefix duplicates
+    did. Interleaved A/B at sf0.1, two sessions: faster 12/12
+    alternating pairs (min 2.06→1.79 s and 2.42→1.98 s)."""
+    thr = float(threshold)
+
+    buckets = postings.groupBy("h").agg(
+        F.collect_list(F.struct("doc_id", "n", "hs")).alias("rows")
+    )
+    id_t = postings.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        import numpy as np
+
+        import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute needs the explicit import in workers
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            col = b.column(b.schema.get_field_index("rows"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lens = pa.compute.list_value_length(col).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = col.flatten()
+            id_pa = flat.field("doc_id").type
+            doc_ids = flat.field("doc_id").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            ns = flat.field("n").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            hs = flat.field("hs")
+            if isinstance(hs, pa.ChunkedArray):
+                hs = hs.combine_chunks()
+            hs_lens = pa.compute.list_value_length(hs).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            vals = np.asarray(hs.flatten(), dtype=np.int64)
+            n_inst = len(doc_ids)
+            inst = np.repeat(np.arange(n_inst, dtype=np.int64), hs_lens)
+            bkt = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)[inst]
+            key = (bkt << 31) | vals  # bucket idx and md5%P31 both < 2^31
+            order = np.argsort(key, kind="stable")
+            k_s = key[order]
+            inst_s = inst[order]
+            starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+            sizes = np.diff(np.r_[starts, len(k_s)])
+            pi_parts, pj_parts = [], []
+            max_m = int(sizes.max()) if len(sizes) else 0
+            for m in range(2, max_m + 1):  # group size <= DF_MAX
+                st = starts[sizes == m]
+                if not len(st):
+                    continue
+                iu, ju = np.triu_indices(m, k=1)
+                pi_parts.append(inst_s[st[:, None] + iu[None, :]].ravel())
+                pj_parts.append(inst_s[st[:, None] + ju[None, :]].ravel())
+            if not pi_parts:
+                continue
+            pi = np.concatenate(pi_parts)
+            pj = np.concatenate(pj_parts)
+            lo = np.minimum(pi, pj)
+            hi = np.maximum(pi, pj)
+            upk, cnt = np.unique((lo << 31) | hi, return_counts=True)
+            lo = upk >> 31
+            hi = upk & ((1 << 31) - 1)
+            d1, d2 = doc_ids[lo], doc_ids[hi]
+            swap = d1 > d2
+            d1s = np.where(swap, d2, d1)
+            d2s = np.where(swap, d1, d2)
+            n1, n2 = ns[lo], ns[hi]
+            mn = np.minimum(n1, n2).astype(np.float64)
+            mx = np.maximum(n1, n2).astype(np.float64)
+            jac = cnt.astype(np.float64) / (n1 + n2 - cnt)
+            keep = (mn >= thr * mx) & (jac >= thr)
+            if keep.any():
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(d1s[keep], id_pa),
+                        pa.array(d2s[keep], id_pa),
+                        pa.array(jac[keep], pa.float64()),
+                    ],
+                    ["doc1", "doc2", "jaccard"],
+                )
+
+    return buckets.mapInArrow(
+        gen, f"doc1 {id_t}, doc2 {id_t}, jaccard double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup — prefix-filtered inverted-index blocking
 # (Bayardo/AllPairs), exact verification
@@ -401,28 +522,27 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .filter(F.col("df").between(2, DF_MAX))
         .select("h")
     )
-    p = pfx.join(rare, "h")
-    # size-ratio prune: J ≥ θ ⇒ min(n1,n2) ≥ θ·max(n1,n2) — lossless; n
-    # rides the posting rows (no extra join or stage).
+    # r15 third pass: BLOCKED verification replaces the posting self-join
+    # + two array-attaching joins + per-pair kernel. Each doc's full hash
+    # set ships once per rare prefix hash it posts into (the bucket); the
+    # kernel computes every bucket pair's exact |A∩B| by vectorized
+    # co-occurrence counting and applies the a.doc_id < b.doc_id, size-
+    # ratio and jaccard >= θ filters in-kernel — same candidate set, same
+    # float64 ops, bit-identical survivors (see _blocked_jaccard_pairs).
     #
-    # NO distinct on candidates: a pair appears once per shared rare prefix
-    # hash (multiplicity bounded by the prefix length, observed ~3x), and
+    # NO distinct on candidates (unchanged reasoning): a pair appears once
+    # per shared rare prefix hash (~1.05x multiplicity measured), and
     # deduplicating the verified survivors (a few hundred rows) is far
-    # cheaper than a distinct shuffle over the full candidate stream —
-    # measured 3.2s → 1.5s at sf0.1. Duplicates verify to the SAME jaccard
-    # (same pair, same sets), so min() is a no-op value-wise.
-    cand = (
-        p.alias("a")
-        .join(p.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(
-            F.least("a.n", "b.n")
-            >= F.lit(NGRAM_JACCARD_MIN) * F.greatest("a.n", "b.n")
-        )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+    # cheaper than a distinct shuffle over the full candidate stream.
+    # Duplicates verify to the SAME jaccard, so min() is a no-op
+    # value-wise.
+    p = (
+        pfx.join(rare, "h")
+        .join(sets.select("doc_id", "hs"), "doc_id")
+        .select("h", "doc_id", "n", "hs")
     )
     return (
-        _verify_pairs(cand, sets.select("doc_id", "hs"), NGRAM_JACCARD_MIN, arrow=True)
+        _blocked_jaccard_pairs(p, NGRAM_JACCARD_MIN)
         .groupBy("doc1", "doc2")
         .agg(F.min("jaccard").alias("jaccard"))
         .orderBy("doc1", "doc2")

@@ -289,3 +289,59 @@ def test_semdedup_blocked_matches_pair_join(spark, sf_dir):
     got = sorted(tuple(r) for r in S.dedup_semdedup(spark, sf_dir).collect())
     assert len(got) > 0
     assert got == ref
+
+
+def test_ngram_blocked_matches_pair_join(spark, sf_dir):
+    """dedup_ngram_jaccard's blocked per-bucket verification must emit
+    exactly the rows of the old candidate-self-join + pair-attached
+    `_verify_pairs` plan — same pairs, same jaccard bits — reconstructed
+    inline here."""
+    from glaredb_spark.operators.dedup import (
+        DF_MAX,
+        NGRAM_JACCARD_MIN,
+        _hashed_shingle_sets,
+        _verify_pairs,
+    )
+
+    sets = _hashed_shingle_sets(spark, sf_dir).select(
+        "doc_id", "hs", F.size("hs").alias("n")
+    )
+    pfx_len = (
+        F.col("n") - F.ceil(F.lit(NGRAM_JACCARD_MIN) * F.col("n")) + 1
+    ).cast("int")
+    pfx = sets.select(
+        "doc_id", "n", F.explode(F.slice("hs", F.lit(1), pfx_len)).alias("h")
+    )
+    rare = (
+        pfx.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, DF_MAX))
+        .select("h")
+    )
+    p = pfx.join(rare, "h")
+    cand = (
+        p.alias("a")
+        .join(p.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.least("a.n", "b.n")
+            >= F.lit(NGRAM_JACCARD_MIN) * F.greatest("a.n", "b.n")
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+    )
+    ref = sorted(
+        tuple(r)
+        for r in _verify_pairs(
+            cand, sets.select("doc_id", "hs"), NGRAM_JACCARD_MIN, arrow=True
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.min("jaccard").alias("jaccard"))
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in D.dedup_ngram_jaccard(spark, sf_dir).collect()
+    )
+    assert len(got) > 0
+    assert got == ref
