@@ -499,23 +499,35 @@ ORDER BY doc1, doc2
     cache_plan=True,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    # sets feeds blocking AND verification — persist so the shingle
-    # explosion + hashing runs once. hs is the SORTED distinct hash set:
-    # one array serves as the prefix source (ascending hash = the global
-    # order) and the verification set. r15: hs comes from the Arrow
-    # kernel (_hashed_shingle_sets) instead of interpreted JVM HOFs —
-    # identical values, 2.4x measured (see the kernel's docstring).
-    sets = (
+    # hs is the SORTED distinct hash set: one array serves as the prefix
+    # source (ascending hash = the global order) and the verification
+    # set. r15: hs comes from the Arrow kernel (_hashed_shingle_sets)
+    # instead of interpreted JVM HOFs — identical values, 2.4x measured
+    # (see the kernel's docstring).
+    #
+    # r15 fourth pass: ONE persist instead of two — the posting rows
+    # carry hs through the prefix explode, so the separate `sets` persist
+    # level and the broadcast join that re-attached hs to the rare
+    # postings both disappear (guide §2.4: the exploded rows already HAD
+    # the array in hand; re-joining it back was a leftover of the
+    # pair-attached design). The fat persist stores hs once per posting
+    # row (~41 MB at sf0.1 vs ~3 MB sets + ~4 MB postings before) but the
+    # rare count scans only the pruned `h` column off the columnar cache,
+    # and the bucket exchange ships exactly what the old attach-join
+    # produced. Candidate stream `p` is row-identical by construction.
+    pfx_len = (
+        F.size("hs") - F.ceil(F.lit(NGRAM_JACCARD_MIN) * F.size("hs")) + 1
+    ).cast("int")
+    pfx = (
         _hashed_shingle_sets(spark, sf_dir)
-        .select("doc_id", "hs", F.size("hs").alias("n"))
+        .select(
+            "doc_id",
+            F.size("hs").alias("n"),
+            "hs",
+            F.explode(F.slice("hs", F.lit(1), pfx_len)).alias("h"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pfx_len = (F.col("n") - F.ceil(F.lit(NGRAM_JACCARD_MIN) * F.col("n")) + 1).cast(
-        "int"
-    )
-    pfx = sets.select(
-        "doc_id", "n", F.explode(F.slice("hs", F.lit(1), pfx_len)).alias("h")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     rare = (
         pfx.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -536,11 +548,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # cheaper than a distinct shuffle over the full candidate stream.
     # Duplicates verify to the SAME jaccard, so min() is a no-op
     # value-wise.
-    p = (
-        pfx.join(rare, "h")
-        .join(sets.select("doc_id", "hs"), "doc_id")
-        .select("h", "doc_id", "n", "hs")
-    )
+    p = pfx.join(rare, "h").select("h", "doc_id", "n", "hs")
     return (
         _blocked_jaccard_pairs(p, NGRAM_JACCARD_MIN)
         .groupBy("doc1", "doc2")
