@@ -121,3 +121,61 @@ def test_q18_bit_identical_to_decimal_chain(spark, sf_dir, oracle_sf_dir):
 @pytest.mark.parametrize("which", ["small", "oracle"])
 def test_q18_oracle_parity(spark, sf_dir, oracle_sf_dir, which):
     assert_parity(spark, "tpch_q18", sf_dir if which == "small" else oracle_sf_dir)
+
+
+def _q03_decimal_chain(spark, d):
+    """The pre-cents q03 plan (sum of the decimal(18,4) disc_price)."""
+    t = T(spark, d, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    ords = t["orders"].filter(F.col("o_orderdate") < ts("1997-03-15 00:00:00"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > ts("1997-03-15 00:00:00"))
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money(F.sum(disc_price())).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q09_decimal_chain(spark, d):
+    """The pre-cents q09 plan (per-row decimal disc_price amounts)."""
+    t = T(spark, d, "part", "supplier", "lineitem", "orders", "nation")
+    parts = t["part"].filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            disc_price().alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(money(F.sum("amount")).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+def test_q03_bit_identical_to_decimal_chain(spark, sf_dir, oracle_sf_dir):
+    for d in _fixture_dirs(sf_dir, oracle_sf_dir):
+        new_rows = QUERIES["tpch_q03"](spark, d).collect()
+        old_rows = _q03_decimal_chain(spark, d).collect()
+        assert new_rows == old_rows, f"{d}: cents q03 != decimal-chain q03"
+
+
+def test_q09_bit_identical_to_decimal_chain(spark, sf_dir, oracle_sf_dir):
+    for d in _fixture_dirs(sf_dir, oracle_sf_dir):
+        new_rows = QUERIES["tpch_q09"](spark, d).collect()
+        old_rows = _q09_decimal_chain(spark, d).collect()
+        assert new_rows == old_rows, f"{d}: cents q09 != decimal-chain q09"
+
+
+@pytest.mark.parametrize("which", ["small", "oracle"])
+@pytest.mark.parametrize("q", ["tpch_q03", "tpch_q09"])
+def test_q03_q09_oracle_parity(spark, sf_dir, oracle_sf_dir, which, q):
+    assert_parity(spark, q, sf_dir if which == "small" else oracle_sf_dir)
