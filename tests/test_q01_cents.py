@@ -179,3 +179,71 @@ def test_q09_bit_identical_to_decimal_chain(spark, sf_dir, oracle_sf_dir):
 @pytest.mark.parametrize("q", ["tpch_q03", "tpch_q09"])
 def test_q03_q09_oracle_parity(spark, sf_dir, oracle_sf_dir, which, q):
     assert_parity(spark, q, sf_dir if which == "small" else oracle_sf_dir)
+
+
+def test_events_value_cents_precondition(spark, sf_dir, oracle_sf_dir):
+    """floor(value*100+0.5) == unscaled(CAST(value AS DECIMAL(15,2))) per
+    row on the events fixture (precondition of the sessionize cents agg)."""
+    from glaredb_spark.operators.events import _events
+
+    for d in _fixture_dirs(sf_dir, oracle_sf_dir):
+        ev = _events(spark, d)
+        exact = (F.col("value").cast("decimal(15,2)") * F.lit(100)).cast("long")
+        got = F.floor(F.col("value") * 100 + F.lit(0.5))
+        row = ev.agg(
+            F.sum((got != exact).cast("int")).alias("neq"),
+            F.sum(F.col("value").isNull().cast("int")).alias("nulls"),
+        ).collect()[0]
+        assert row.neq == 0 and row.nulls == 0, f"{d}: events cents precondition"
+
+
+def _sessionize_decimal_chain(spark, d):
+    """The pre-cents sessionize plan (decimal sum for total_value)."""
+    from pyspark.sql.window import Window
+
+    from glaredb_spark.operators.events import _events
+
+    ev = _events(spark, d)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wnum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 minutes")),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_id", F.sum("new_session").over(wnum).cast("long")
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(15,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def test_sessionize_bit_identical_to_decimal_chain(spark, sf_dir, oracle_sf_dir):
+    for d in _fixture_dirs(sf_dir, oracle_sf_dir):
+        new_rows = QUERIES["events_sessionize"](spark, d).collect()
+        old_rows = _sessionize_decimal_chain(spark, d).collect()
+        assert new_rows == old_rows, f"{d}: cents sessionize != decimal chain"
+
+
+@pytest.mark.parametrize("which", ["small", "oracle"])
+def test_sessionize_oracle_parity(spark, sf_dir, oracle_sf_dir, which):
+    assert_parity(
+        spark, "events_sessionize", sf_dir if which == "small" else oracle_sf_dir
+    )
