@@ -662,6 +662,27 @@ def load_tables(
     }
 
 
+def _widen_count(want: int, total_bytes: int) -> int:
+    """Scale-adaptive widen target: one partition per
+    ``SPARK_GRAFT_WIDEN_MIN_BYTES`` (default 64 KiB) of source, capped at
+    ``want`` (the core count). Widening exists to parallelize compute, but
+    every extra task costs scheduling + a python-worker round trip
+    (~6 ms each measured via an identity mapInArrow: 32 tasks cost 0.38 s
+    vs 0.17 s for 1 over the same 594 KB input), so a partition should
+    carry at least a task floor's worth of bytes. At real scale
+    total/floor >> cores and the cap never binds — widen still targets
+    every core — while locally it stops a 600 KB corpus from fanning into
+    32 sub-20 KB tasks per python stage (interleaved A/B at sf0.1:
+    dedup_ngram_jaccard min 2.23 → 1.20 s). Parameterised, never a core
+    count constant (guide §2 scale-adaptive partitioning)."""
+    if total_bytes <= 0:
+        return want
+    floor = int(os.environ.get("SPARK_GRAFT_WIDEN_MIN_BYTES", str(64 * 1024)))
+    if floor <= 0:
+        return want
+    return max(1, min(want, total_bytes // floor))
+
+
 def widen_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Spread a narrow scan across the cluster before compute-heavy per-row
     work (vector kernels, shingle hashing, regex pipelines).
@@ -688,6 +709,7 @@ def widen_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     except Exception:
         files, total = [], 0
     if files:
+        want = _widen_count(want, total)
         if len(files) >= want or total >= want * 128 * 1024 * 1024:
             return df
     elif df.rdd.getNumPartitions() >= want:
@@ -718,6 +740,7 @@ def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         total = sum(os.path.getsize(f) for f in files)
     except OSError:
         return widen_partitions(df)
+    want = _widen_count(want, total)
     if len(files) >= want or total >= want * 128 * 1024 * 1024:
         return df
     return df.repartition(want)

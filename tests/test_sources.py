@@ -111,3 +111,39 @@ def test_widen_partitions_noop_when_wide(spark):
     widened = widen_partitions(narrow)
     assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert widened.count() == 1000
+
+
+def test_widen_floor_is_bytes_adaptive(spark, tmp_path, monkeypatch):
+    """r15 scale-adaptive widen: a tiny single-file scan widens to
+    total_bytes // SPARK_GRAFT_WIDEN_MIN_BYTES partitions (capped at
+    cores, floored at 1) instead of unconditionally fanning into cores
+    sub-floor tasks; floor<=0 restores the unconditional behavior; rows
+    are unchanged either way."""
+    import os as _os
+
+    from glaredb_spark.sources.files import _widen_count, load_wide
+
+    cores = spark.sparkContext.defaultParallelism
+    assert _widen_count(cores, 0) == cores            # unknown size: cores
+    assert _widen_count(cores, 10) == 1               # tiny: never 0
+    assert _widen_count(cores, 9 * 64 * 1024) == min(cores, 9)
+    assert _widen_count(cores, 10**12) == cores       # large: cap binds
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN_MIN_BYTES", "0")
+    assert _widen_count(cores, 10) == cores           # env opt-out
+    monkeypatch.delenv("SPARK_GRAFT_WIDEN_MIN_BYTES")
+
+    d = tmp_path / "sfx"
+    d.mkdir()
+    spark.range(0, 1000, 1, 1).selectExpr("id AS doc_id").coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    df = load_wide(spark, str(d), "documents")
+    size = sum(
+        _os.path.getsize(_os.path.join(r, f))
+        for r, _, fs in _os.walk(d / "documents.parquet")
+        for f in fs
+        if not f.startswith((".", "_"))
+    )
+    expect = max(1, min(cores, size // (64 * 1024)))
+    assert df.rdd.getNumPartitions() == expect
+    assert df.count() == 1000
